@@ -1,44 +1,827 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native ingest-pipeline engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship parse→enrich→route→aggregate pipeline on
+sf0.001.  ``queries()`` exposes one callable per implemented operator /
+pipeline (SURVEY.md §2 + the training-data ops); ``oracle_sql()`` gives
+the DuckDB twin for every SQL-expressible one.  The ``transcripts``
+input table is derived deterministically from the ``events`` table
+(see ``logstash_filter_elastic_integration_ray/sources/transcripts.py``
+— the derivation has an exact SQL twin, so even per-turn text equality
+is oracle-checked).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` here or below.
 """
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Make the engine importable regardless of the driver's cwd, and ship
+# it to Ray workers by VALUE: workers are spawned by the raylet and do
+# not inherit this process's sys.path, so closures referencing the
+# package would otherwise fail to unpickle (ModuleNotFoundError) when
+# the driver runs outside /root/repo.
+_REPO_DIR = _os.path.dirname(_os.path.abspath(__file__))
+if _REPO_DIR not in _sys.path:
+    _sys.path.insert(0, _REPO_DIR)
+
+
+def _register_package_by_value() -> None:
+    import importlib
+    import pkgutil
+
+    import logstash_filter_elastic_integration_ray as _pkg
+
+    for info in pkgutil.walk_packages(_pkg.__path__, _pkg.__name__ + "."):
+        try:
+            importlib.import_module(info.name)
+        except ImportError:  # pragma: no cover
+            pass
+    try:
+        from ray import cloudpickle as _cp
+    except ImportError:  # pragma: no cover
+        return
+    for name, mod in list(_sys.modules.items()):
+        if name == _pkg.__name__ or name.startswith(_pkg.__name__ + "."):
+            try:
+                _cp.register_pickle_by_value(mod)
+            except Exception:  # pragma: no cover
+                pass
+
+
+_register_package_by_value()
+
+from logstash_filter_elastic_integration_ray.model import (
+    META_FAILURE_MESSAGE,
+    META_INDEX,
+)
+from logstash_filter_elastic_integration_ray.pipelines import (
+    EventProcessor,
+    RoutingConfig,
+    compile_pipeline_set,
+)
+from logstash_filter_elastic_integration_ray.pipelines.flagship import (
+    assign_datastream,
+    build_event_processor,
+    flagship_parsed,
+)
+from logstash_filter_elastic_integration_ray.sources.transcripts import (
+    read_transcripts,
+    transcripts_sql,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _pipe_processor(pipeline_def: dict) -> EventProcessor:
+    return EventProcessor(
+        compile_pipeline_set({"q": pipeline_def}),
+        RoutingConfig(default_pipeline="q", use_datastream=False),
+    )
+
+
+def _project(ds, columns: list[str], renames: dict[str, str] | None = None):
+    renames = renames or {}
+
+    def fn(t: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for c in columns:
+            if c in t.column_names:
+                arrays.append(t.column(c))
+            else:
+                arrays.append(pa.nulls(t.num_rows))
+            names.append(renames.get(c, c))
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _filter_starts(ds, col: str, prefix: str):
+    return ds.map_batches(
+        lambda t: t.filter(pc.starts_with(t.column(col), prefix)), batch_format="pyarrow"
+    )
+
+
+def _filter_eq(ds, col: str, value: str):
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column(col), value)), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship parse→enrich→route→aggregate on sf0.001; returns the
+    per-conversation aggregate (Dataset)."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import conv_stats
+    from logstash_filter_elastic_integration_ray.stages.enrich import IntegrationEnricher
+    from logstash_filter_elastic_integration_ray.state.lookups import INTEGRATIONS_LOOKUP, broadcast
+
+    parsed = flagship_parsed(read_transcripts(SF_SMOKE))
+    ref = broadcast(INTEGRATIONS_LOOKUP)
+    enriched = parsed.map_batches(
+        IntegrationEnricher,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=1,
+    )
+    return conv_stats(enriched)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_transcripts_source(sf_dir: str):
+    return read_transcripts(sf_dir)
+
+
+_TOOLCALL_PIPE = {
+    "processors": [
+        {"grok": {"field": "text", "patterns": [
+            r"^%{WORD:tool_name}\(k=%{INT:k:int}\) status=%{INT:status:int} took=%{INT:took_ms:int}ms size=%{NOTSPACE:size_str}"
+        ]}},
+        {"bytes": {"field": "size_str", "target_field": "size_bytes"}},
+    ]
+}
+
+
+def q_grok_toolcalls(sf_dir: str):
+    ds = _filter_eq(read_transcripts(sf_dir), "role", "tool")
+    out = ds.map_batches(_pipe_processor(_TOOLCALL_PIPE), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "tool_name", "k", "status", "took_ms", "size_bytes"])
+
+
+_ACCESS_PIPE = {
+    "processors": [
+        {"dissect": {"field": "text", "pattern": '%{clientip} %{ident} %{auth} "%{verb} %{path} HTTP/%{httpversion}" %{status_code} %{resp_bytes}'}},
+        {"convert": {"field": "status_code", "type": "integer"}},
+    ]
+}
+
+
+def q_dissect_access(sf_dir: str):
+    ds = _filter_starts(read_transcripts(sf_dir), "text", "10.")
+    out = ds.map_batches(_pipe_processor(_ACCESS_PIPE), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "clientip", "verb", "path", "status_code", "resp_bytes"])
+
+
+def q_kv_fields(sf_dir: str):
+    ds = _filter_starts(read_transcripts(sf_dir), "text", "ip=")
+    pipe = {"processors": [{"kv": {"field": "text", "field_split": " ", "value_split": "="}}]}
+    out = ds.map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "ip", "code", "user"])
+
+
+def q_json_payload(sf_dir: str):
+    ds = _filter_starts(read_transcripts(sf_dir), "text", "{")
+    pipe = {"processors": [{"json": {"field": "text", "target_field": "payload"}}]}
+    out = ds.map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "payload.foo", "payload.bar"],
+                    {"payload.foo": "foo", "payload.bar": "bar"})
+
+
+def q_csv_contacts(sf_dir: str):
+    ds = read_transcripts(sf_dir).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t.column("role"), "assistant"), pc.starts_with(t.column("text"), "u"))
+        ),
+        batch_format="pyarrow",
+    )
+    pipe = {"processors": [{"csv": {"field": "text", "target_fields": [
+        "contact_name", "contact_email", "contact_phone", "contact_addr"]}}]}
+    out = ds.map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "contact_name", "contact_email", "contact_phone", "contact_addr"])
+
+
+def q_date_parse_iso(sf_dir: str):
+    def add_date_str(t: pa.Table) -> pa.Table:
+        s = t.column("ts").to_pandas().dt.strftime("%d/%m/%Y %H:%M:%S")
+        return t.append_column("date_str", pa.array(s, type=pa.string()))
+
+    pipe = {"processors": [{"date": {"field": "date_str", "formats": ["dd/MM/yyyy HH:mm:ss"],
+                                     "timezone": "UTC", "target_field": "parsed_ts"}}]}
+    out = (
+        read_transcripts(sf_dir)
+        .map_batches(add_date_str, batch_format="pyarrow")
+        .map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    )
+    return _project(out, ["conv_id", "turn_idx", "parsed_ts"])
+
+
+def q_redact_pii(sf_dir: str):
+    pipe = {"processors": [{"redact": {"field": "text", "patterns": [
+        "%{IPV4:REDACTED-IP}", "%{EMAILADDRESS:REDACTED-EMAIL}"], "prefix": "[", "suffix": "]"}}]}
+    out = read_transcripts(sf_dir).map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "text"])
+
+
+_WEB_PIPE = {
+    "processors": [
+        {"grok": {"field": "text", "patterns": [r"^%{WORD:verb} %{URI:url_original} %{GREEDYDATA:ua_string}"]}},
+        {"uri_parts": {"field": "url_original", "target_field": "url", "keep_original": False}},
+        {"urldecode": {"field": "url.path", "target_field": "path_decoded"}},
+        {"user_agent": {"field": "ua_string", "target_field": "user_agent"}},
+        {"grok": {"field": "url_original", "patterns": [r"https://%{HOSTNAME:site}/"]}},
+        {"registered_domain": {"field": "site"}},
+    ]
+}
+
+
+def _web_rows(sf_dir: str):
+    ds = _filter_starts(read_transcripts(sf_dir), "text", "GET https")
+    return ds.map_batches(_pipe_processor(_WEB_PIPE), batch_format="pyarrow")
+
+
+def q_uri_web(sf_dir: str):
+    return _project(
+        _web_rows(sf_dir),
+        ["conv_id", "turn_idx", "url.domain", "url.path", "url.query", "path_decoded"],
+        {"url.domain": "url_domain", "url.path": "url_path", "url.query": "url_query"},
+    )
+
+
+def q_user_agent_web(sf_dir: str):
+    return _project(
+        _web_rows(sf_dir),
+        ["conv_id", "turn_idx", "user_agent.name", "user_agent.version", "user_agent.os.name", "user_agent.device.name"],
+        {"user_agent.name": "ua_name", "user_agent.version": "ua_version",
+         "user_agent.os.name": "ua_os", "user_agent.device.name": "ua_device"},
+    )
+
+
+def q_registered_domain_web(sf_dir: str):
+    return _project(
+        _web_rows(sf_dir),
+        ["conv_id", "turn_idx", "domain", "registered_domain", "top_level_domain", "subdomain"],
+    )
+
+
+def q_html_strip_reports(sf_dir: str):
+    ds = _filter_starts(read_transcripts(sf_dir), "text", "<")
+    pipe = {"processors": [{"html_strip": {"field": "text", "target_field": "plain_text"}}]}
+    out = ds.map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "plain_text"])
+
+
+def q_mutate_chain(sf_dir: str):
+    pipe = {"processors": [
+        {"set": {"field": "role_up", "copy_from": "role"}},
+        {"uppercase": {"field": "role_up"}},
+        {"set": {"field": "label", "value": "{{role}}-{{conv_id}}"}},
+        {"gsub": {"field": "label", "pattern": "-", "replacement": "_"}},
+    ]}
+    out = read_transcripts(sf_dir).map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "role_up", "label"])
+
+
+def q_split_join_path(sf_dir: str):
+    ds = _filter_starts(read_transcripts(sf_dir), "text", "10.")
+    pipe = {"processors": [
+        {"dissect": {"field": "text", "pattern": '%{clientip} %{ident} %{auth} "%{verb} %{path} HTTP/%{httpversion}" %{status_code} %{resp_bytes}'}},
+        {"split": {"field": "path", "separator": "/", "target_field": "path_parts", "preserve_trailing": True}},
+        {"join": {"field": "path_parts", "separator": "|", "target_field": "path_joined"}},
+    ]}
+    out = ds.map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "path_joined"])
+
+
+def q_fingerprint_turns(sf_dir: str):
+    pipe = {"processors": [{"fingerprint": {"fields": ["conv_id", "text"], "method": "MD5",
+                                            "encoding": "hex", "target_field": "fp"}}]}
+    out = read_transcripts(sf_dir).map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "fp"])
+
+
+def q_drop_errors(sf_dir: str):
+    ds = _filter_starts(read_transcripts(sf_dir), "text", "10.")
+    pipe = {"processors": [
+        {"dissect": {"field": "text", "pattern": '%{clientip} %{ident} %{auth} "%{verb} %{path} HTTP/%{httpversion}" %{status_code} %{resp_bytes}'}},
+        {"convert": {"field": "status_code", "type": "integer"}},
+        {"drop": {"if": "ctx.status_code == 500"}},
+    ]}
+    out = ds.map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "status_code"])
+
+
+def q_fail_tagging(sf_dir: str):
+    pipe = {"processors": [{"convert": {"field": "text", "type": "integer", "tag": "badconv"}}]}
+    out = read_transcripts(sf_dir).map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+
+    def extract(t: pa.Table) -> pa.Table:
+        tags = t.column("tags").to_pylist()
+        first = [x[0] if isinstance(x, list) and x else None for x in tags]
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "failure_tag": pa.array(first, type=pa.string()),
+            "failure_message": t.column(META_FAILURE_MESSAGE),
+        })
+
+    return out.map_batches(extract, batch_format="pyarrow")
+
+
+def q_terminate_markers(sf_dir: str):
+    pipe = {"processors": [
+        {"terminate": {"if": "ctx.role == 'tool'"}},
+        {"set": {"field": "post", "value": "yes"}},
+    ]}
+    out = read_transcripts(sf_dir).map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "post"])
+
+
+def q_script_expr(sf_dir: str):
+    pipe = {"processors": [{"script": {"lang": "painless",
+                                       "source": "ctx.k2 = ctx.turn_idx * 2 + 1; ctx.is_tool = ctx.role == 'tool'"}}]}
+    out = read_transcripts(sf_dir).map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "k2", "is_tool"])
+
+
+def q_network_flows(sf_dir: str):
+    ds = _filter_starts(read_transcripts(sf_dir), "text", "ip=")
+    pipe = {"processors": [
+        {"kv": {"field": "text", "field_split": " ", "value_split": "="}},
+        {"rename": {"field": "ip", "target_field": "source.ip"}},
+        {"set": {"field": "destination.ip", "value": "203.0.113.5"}},
+        {"network_direction": {"internal_networks": ["10.0.0.0/8"]}},
+    ]}
+    out = ds.map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "network.direction"], {"network.direction": "direction"})
+
+
+def q_route_counts(sf_dir: str):
+    parsed = flagship_parsed(read_transcripts(sf_dir))
+    counts = parsed.groupby(META_INDEX).count()
+
+    def fix(t: pa.Table) -> pa.Table:
+        names = ["sink" if c == META_INDEX else "n_rows" for c in t.column_names]
+        return t.rename_columns(names)
+
+    return counts.map_batches(fix, batch_format="pyarrow")
+
+
+def q_enrich_costs(sf_dir: str):
+    from logstash_filter_elastic_integration_ray.stages.enrich import IntegrationEnricher
+    from logstash_filter_elastic_integration_ray.state.lookups import INTEGRATIONS_LOOKUP, broadcast
+    from ray.data.aggregate import Count, Sum
+
+    ref = broadcast(INTEGRATIONS_LOOKUP)
+    ds = read_transcripts(sf_dir).map_batches(
+        IntegrationEnricher,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=1,
+    )
+    out = ds.groupby(["role", "integration", "category"]).aggregate(
+        Count(alias_name="n_turns"), Sum("cost_weight", alias_name="total_cost")
+    )
+    return out
+
+
+def q_conv_stats(sf_dir: str):
+    import pandas as pd
+
+    from logstash_filter_elastic_integration_ray.stages.aggregate import add_partition_col
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = df.groupby("conv_id", sort=False)
+        out = g.agg(
+            n_turns=("turn_idx", "size"),
+            n_tool_calls=("tool", "count"),
+            first_ts=("ts", "min"),
+            last_ts=("ts", "max"),
+            turns_concat=("text", "|".join),
+        ).reset_index()
+        return out
+
+    parts = read_transcripts(sf_dir).map_batches(
+        lambda b: add_partition_col(b, 64), batch_format="pyarrow"
+    )
+    return parts.repartition(32).groupby("__part").map_groups(per_partition, batch_format="pandas")
+
+
+def q_conv_stats_scalable(sf_dir: str):
+    from logstash_filter_elastic_integration_ray.stages.aggregate import conv_stats
+
+    return conv_stats(read_transcripts(sf_dir))
+
+
+# ---- training-data ops ----------------------------------------------------
+
+def q_exact_dedup_docs(sf_dir: str):
+    from logstash_filter_elastic_integration_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def q_token_counts_docs(sf_dir: str):
+    from logstash_filter_elastic_integration_ray.stages.textstats import token_count_batch
+
+    return _docs(sf_dir).map_batches(token_count_batch, batch_format="pyarrow")
+
+
+def q_quality_docs(sf_dir: str):
+    from logstash_filter_elastic_integration_ray.stages.textstats import quality_batch
+
+    return _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
+
+
+def q_doc_fingerprints(sf_dir: str):
+    from logstash_filter_elastic_integration_ray.stages.textstats import fingerprint_batch
+
+    return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "content_hash"]
+    )
+
+
+def q_lang_id_docs(sf_dir: str):
+    from logstash_filter_elastic_integration_ray.stages.textstats import lang_id_batch
+
+    return _docs(sf_dir).map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+def q_minhash_dedup_docs(sf_dir: str):
+    from logstash_filter_elastic_integration_ray.stages.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_docs(sf_dir))
+
+
+def q_simhash_docs(sf_dir: str):
+    from logstash_filter_elastic_integration_ray.stages.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(sf_dir))
+
+
+def _query_vectors(sf_dir: str, ids=(0, 1, 2)):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = pc.is_in(t.column("vec_id"), value_set=pa.array(list(ids)))
+    sub = t.filter(mask)
+    order = np.argsort(sub.column("vec_id").to_numpy())
+    from logstash_filter_elastic_integration_ray.stages.similarity import _to_matrix
+
+    m = _to_matrix(sub.column("embedding"))[order]
+    qids = sub.column("vec_id").to_numpy()[order]
+    return m, qids
+
+
+def q_embedding_topk(sf_dir: str):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.similarity import brute_force_topk
+
+    q, qids = _query_vectors(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, q, qids, k=5)
+
+
+def q_embedding_topk_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.similarity import IvfIndex, ivf_topk, _to_matrix
+    import pyarrow.parquet as pq
+
+    q, qids = _query_vectors(sf_dir)
+    sample = _to_matrix(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).column("embedding")
+    )[:2048]
+    index = IvfIndex(sample)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, index, q, qids, k=5, nprobe=4)
+
+
+def q_multimodal_meta(sf_dir: str):
+    from logstash_filter_elastic_integration_ray.stages.multimodal import decode_stage
+
+    return decode_stage(_docs(sf_dir)).select_columns(["doc_id", "n_bytes", "width", "height", "channels"])
+
+
+# ---- relational / wide ops ------------------------------------------------
+
+def q_q1_pricing(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), pa.scalar(np.datetime64("1998-09-02", "us"))))
+        cents = pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)).cast(pa.int64())
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "l_quantity": t.column("l_quantity"),
+            "price_cents": cents,
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Count(alias_name="n"),
+        )
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        cents = pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64())
+        return pa.table({"user_id": t.column("user_id"), "hour": hour, "value_cents": cents})
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents_sum"))
+    )
+
+
+def q_segment_orders(sf_dir: str):
+    """Broadcast hash join: tiny customer dim shipped via ray.put once,
+    probed per batch; no shuffle of the orders fact table."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from logstash_filter_elastic_integration_ray.state.lookups import broadcast, resolve_broadcast
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    lookup = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()))
+    ref = broadcast(lookup)
+
+    class Joiner:
+        def __init__(self):
+            self.lookup = resolve_broadcast(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_pylist()
+            seg = [self.lookup.get(k) for k in keys]
+            cents = pc.round(pc.multiply(t.column("o_totalprice"), 100.0)).cast(pa.int64())
+            return pa.table({"c_mktsegment": pa.array(seg, type=pa.string()), "price_cents": cents})
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    return (
+        ds.map_batches(Joiner, batch_format="pyarrow", concurrency=2, num_cpus=1)
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="total_price_cents"))
+    )
+
+
+def q_top_orders(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "price_cents": pc.round(pc.multiply(t.column("o_totalprice"), 100.0)).cast(pa.int64()),
+        })
+
+    return out.map_batches(cents, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "transcripts_source": q_transcripts_source,
+        "grok_toolcalls": q_grok_toolcalls,
+        "dissect_access": q_dissect_access,
+        "kv_fields": q_kv_fields,
+        "json_payload": q_json_payload,
+        "csv_contacts": q_csv_contacts,
+        "date_parse_iso": q_date_parse_iso,
+        "redact_pii": q_redact_pii,
+        "uri_web": q_uri_web,
+        "user_agent_web": q_user_agent_web,
+        "registered_domain_web": q_registered_domain_web,
+        "html_strip_reports": q_html_strip_reports,
+        "mutate_chain": q_mutate_chain,
+        "split_join_path": q_split_join_path,
+        "fingerprint_turns": q_fingerprint_turns,
+        "drop_errors": q_drop_errors,
+        "fail_tagging": q_fail_tagging,
+        "terminate_markers": q_terminate_markers,
+        "script_expr": q_script_expr,
+        "network_flows": q_network_flows,
+        "route_counts": q_route_counts,
+        "enrich_costs": q_enrich_costs,
+        "conv_stats": q_conv_stats,
+        "conv_stats_scalable": q_conv_stats_scalable,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "token_counts_docs": q_token_counts_docs,
+        "quality_docs": q_quality_docs,
+        "doc_fingerprints": q_doc_fingerprints,
+        "lang_id_docs": q_lang_id_docs,
+        "minhash_dedup_docs": q_minhash_dedup_docs,
+        "simhash_docs": q_simhash_docs,
+        "embedding_topk": q_embedding_topk,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
+        "multimodal_meta": q_multimodal_meta,
+        "q1_pricing": q_q1_pricing,
+        "events_hourly": q_events_hourly,
+        "segment_orders": q_segment_orders,
+        "top_orders": q_top_orders,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; tables pre-registered as views)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    T = transcripts_sql
+    return {
+        "transcripts_source": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
+        "grok_toolcalls": T(
+            "SELECT conv_id, turn_idx, tool AS tool_name, CAST(kstr AS BIGINT) AS k, "
+            "CAST(status AS BIGINT) AS status, event_id % 1000 AS took_ms, "
+            "(event_id % 100) * 1024 AS size_bytes FROM transcripts WHERE role = 'tool'"
+        ),
+        "dissect_access": T(
+            "SELECT conv_id, turn_idx, ip AS clientip, 'GET' AS verb, "
+            "'/api/v' || CAST(event_id % 3 AS VARCHAR) || '/items/' || CAST(event_id % 50 AS VARCHAR) AS path, "
+            "CAST(status AS BIGINT) AS status_code, CAST(event_id % 5000 AS VARCHAR) AS resp_bytes "
+            "FROM transcripts WHERE event_id % 8 = 0"
+        ),
+        "kv_fields": T(
+            "SELECT conv_id, turn_idx, ip, CAST(status AS VARCHAR) AS code, "
+            "'u' || CAST(user_id AS VARCHAR) AS \"user\" FROM transcripts WHERE event_id % 8 = 1"
+        ),
+        "json_payload": T(
+            "SELECT conv_id, turn_idx, CAST(kstr AS BIGINT) AS foo, "
+            "'b' || CAST(event_id % 7 AS VARCHAR) AS bar FROM transcripts WHERE event_id % 8 = 2"
+        ),
+        "csv_contacts": T(
+            "SELECT conv_id, turn_idx, 'u' || CAST(user_id AS VARCHAR) AS contact_name, "
+            "'u' || CAST(user_id AS VARCHAR) || '@example.com' AS contact_email, "
+            "'555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') AS contact_phone, "
+            "'Addr ' || CAST(event_id % 90 AS VARCHAR) || ' Main St' AS contact_addr "
+            "FROM transcripts WHERE event_id % 8 = 5"
+        ),
+        "date_parse_iso": T(
+            "SELECT conv_id, turn_idx, strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.000Z' AS parsed_ts FROM transcripts"
+        ),
+        "redact_pii": T(
+            "SELECT conv_id, turn_idx, CASE "
+            "WHEN event_id % 8 = 0 THEN '[REDACTED-IP] - - \"GET /api/v' || CAST(event_id % 3 AS VARCHAR) || '/items/' || CAST(event_id % 50 AS VARCHAR) || ' HTTP/1.1\" ' || CAST(status AS VARCHAR) || ' ' || CAST(event_id % 5000 AS VARCHAR) "
+            "WHEN event_id % 8 = 1 THEN 'ip=[REDACTED-IP] code=' || CAST(status AS VARCHAR) || ' user=u' || CAST(user_id AS VARCHAR) "
+            "WHEN event_id % 8 = 5 THEN 'u' || CAST(user_id AS VARCHAR) || ',[REDACTED-EMAIL],555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') || ',Addr ' || CAST(event_id % 90 AS VARCHAR) || ' Main St' "
+            "WHEN event_id % 8 = 6 THEN 'GET https://sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk/p%20' || CAST(event_id % 9 AS VARCHAR) || '/x?q=' || kstr || ' Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 Chrome/[REDACTED-IP] Safari/537.36' "
+            "ELSE text END AS text FROM transcripts"
+        ),
+        "uri_web": T(
+            "SELECT conv_id, turn_idx, "
+            "'sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk' AS url_domain, "
+            "'/p%20' || CAST(event_id % 9 AS VARCHAR) || '/x' AS url_path, "
+            "'q=' || kstr AS url_query, "
+            "'/p ' || CAST(event_id % 9 AS VARCHAR) || '/x' AS path_decoded "
+            "FROM transcripts WHERE event_id % 8 = 6"
+        ),
+        "user_agent_web": T(
+            "SELECT conv_id, turn_idx, 'Chrome' AS ua_name, "
+            "CAST(100 + event_id % 20 AS VARCHAR) || '.0.0' AS ua_version, "
+            "'Linux' AS ua_os, 'Other' AS ua_device "
+            "FROM transcripts WHERE event_id % 8 = 6"
+        ),
+        "registered_domain_web": T(
+            "SELECT conv_id, turn_idx, "
+            "'sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk' AS domain, "
+            "'example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk' AS registered_domain, "
+            "'co.uk' AS top_level_domain, 'sub' AS subdomain "
+            "FROM transcripts WHERE event_id % 8 = 6"
+        ),
+        "html_strip_reports": T(
+            "SELECT conv_id, turn_idx, "
+            "chr(10) || 'Report ' || CAST(event_id % 6 AS VARCHAR) || chr(10) || ' ' || chr(10) || 'value=' || kstr || chr(10) AS plain_text "
+            "FROM transcripts WHERE event_id % 8 = 4"
+        ),
+        "mutate_chain": T(
+            "SELECT conv_id, turn_idx, upper(role) AS role_up, "
+            "replace(role || '-' || conv_id, '-', '_') AS label FROM transcripts"
+        ),
+        "split_join_path": T(
+            "SELECT conv_id, turn_idx, "
+            "replace('/api/v' || CAST(event_id % 3 AS VARCHAR) || '/items/' || CAST(event_id % 50 AS VARCHAR), '/', '|') AS path_joined "
+            "FROM transcripts WHERE event_id % 8 = 0"
+        ),
+        "fingerprint_turns": T(
+            "SELECT conv_id, turn_idx, md5('conv_id|' || conv_id || 'text|' || text) AS fp FROM transcripts"
+        ),
+        "drop_errors": T(
+            "SELECT conv_id, turn_idx, CAST(status AS BIGINT) AS status_code "
+            "FROM transcripts WHERE event_id % 8 = 0 AND status != 500"
+        ),
+        "fail_tagging": T(
+            "SELECT conv_id, turn_idx, '_ingest_pipeline_failure' AS failure_tag, "
+            "'unable to convert field' AS failure_message FROM transcripts"
+        ),
+        "terminate_markers": T(
+            "SELECT conv_id, turn_idx, CASE WHEN role = 'tool' THEN NULL ELSE 'yes' END AS post FROM transcripts"
+        ),
+        "script_expr": T(
+            "SELECT conv_id, turn_idx, CAST(turn_idx AS BIGINT) * 2 + 1 AS k2, "
+            "role = 'tool' AS is_tool FROM transcripts"
+        ),
+        "network_flows": T(
+            "SELECT conv_id, turn_idx, 'outbound' AS direction FROM transcripts WHERE event_id % 8 = 1"
+        ),
+        "route_counts": T(
+            "SELECT CASE WHEN tool = 'error' AND event_id % 10 = 5 THEN 'logs-alerts-prod' "
+            "ELSE 'logs-' || COALESCE(tool, 'app') || '-prod' END AS sink, "
+            "count(*) AS n_rows FROM transcripts GROUP BY 1"
+        ),
+        "enrich_costs": T(
+            "SELECT role, CASE WHEN tool IS NULL THEN 'integration-core' ELSE 'integration-' || tool END AS integration, "
+            "CASE role WHEN 'user' THEN 'human' WHEN 'assistant' THEN 'ai-agent' ELSE 'automation' END AS category, "
+            "count(*) AS n_turns, "
+            "sum(CASE role WHEN 'user' THEN CAST(1.0 AS DOUBLE) WHEN 'assistant' THEN CAST(2.5 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) AS total_cost "
+            "FROM transcripts GROUP BY 1, 2, 3"
+        ),
+        "conv_stats": T(
+            "SELECT conv_id, count(*) AS n_turns, count(tool) AS n_tool_calls, "
+            "min(ts) AS first_ts, max(ts) AS last_ts, "
+            "string_agg(text, '|' ORDER BY turn_idx) AS turns_concat "
+            "FROM transcripts GROUP BY conv_id"
+        ),
+        "exact_dedup_docs": (
+            "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+        ),
+        "token_counts_docs": (
+            "SELECT doc_id, length(string_split(text, ' ')) AS n_tokens FROM documents"
+        ),
+        "quality_docs": (
+            "SELECT doc_id, length(text) AS n_chars_calc, "
+            "length(string_split(text, ' ')) AS n_words, "
+            "len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','and','of','to','in','is'], w))) AS n_stopwords, "
+            "CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','and','of','to','in','is'], w))) AS DOUBLE) / greatest(length(string_split(text, ' ')), 1) AS stop_ratio "
+            "FROM documents"
+        ),
+        "doc_fingerprints": "SELECT doc_id, md5(text) AS content_hash FROM documents",
+        "embedding_topk": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)), "
+            "sims AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.qe, e.embedding) AS cos FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.qid), "
+            "ranked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM sims) "
+            "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5"
+        ),
+        "multimodal_meta": (
+            "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+            "octet_length(encode(text)) % 640 AS width, octet_length(encode(text)) % 480 AS height, "
+            "3 AS channels FROM documents"
+        ),
+        "q1_pricing": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, count(*) AS n "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "events_hourly": (
+            "SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events, "
+            "sum(CAST(round(value * 100) AS BIGINT)) AS value_cents_sum "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "segment_orders": (
+            "SELECT c.c_mktsegment, count(*) AS n_orders, "
+            "sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_price_cents "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
+        ),
+        "top_orders": (
+            "SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents "
+            "FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+        ),
+    }

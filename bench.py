@@ -1,0 +1,188 @@
+"""Benchmark harness.
+
+Runs the headline parse→enrich→route→aggregate pipeline over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32)
+and prints ONE JSON line.
+
+``--scaling``: runs the headline pipeline in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the north
+rule's N vs 4N cluster sizes).
+
+The transcripts parquet is materialized once (untimed) under /tmp —
+synthesis is input preparation, not pipeline work; a warm-up read
+(untimed) fills the page cache so timings measure compute + shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "1"))
+TRANSCRIPTS_CACHE = "/tmp/graft_transcripts"
+
+
+def _transcripts_dir() -> str:
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    if REPLICATE > 1:
+        tag = f"{tag}-x{REPLICATE}"
+    return os.path.join(TRANSCRIPTS_CACHE, tag)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from logstash_filter_elastic_integration_ray.pipelines.flagship import (
+        assign_datastream,
+        build_event_processor,
+    )
+    from logstash_filter_elastic_integration_ray.sources.transcripts import materialize_transcripts
+    from logstash_filter_elastic_integration_ray.stages.aggregate import conv_stats
+    from logstash_filter_elastic_integration_ray.stages.enrich import make_enrich_fn
+    from logstash_filter_elastic_integration_ray.stages.sinks import fanout_write
+    from logstash_filter_elastic_integration_ray.state.lookups import INTEGRATIONS_LOOKUP, broadcast
+
+    tdir = _transcripts_dir()
+    materialize_transcripts(SF_DIR, tdir, num_blocks=max(8, 128 // REPLICATE), replicate=REPLICATE)
+
+    def transcripts():
+        return rd.read_parquet(tdir)
+
+    # untimed warm-up: page cache + worker start
+    n_rows = transcripts().count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn, reps: int = 2):
+        best, out = None, None
+        for _ in range(reps):  # best-of-N: the box has noisy neighbors
+            t0 = time.time()
+            out = fn()
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+        timings[name] = round(best, 3)
+        return out
+
+    ref = broadcast(INTEGRATIONS_LOOKUP)
+    proc = build_event_processor()
+
+    def headline():
+        ds = (
+            transcripts()
+            .map_batches(assign_datastream, batch_format="pyarrow")
+            .map_batches(proc, batch_format="pyarrow")
+            .map_batches(make_enrich_fn(ref), batch_format="pyarrow")
+        )
+        return conv_stats(ds, num_partitions=2 * NUM_CPUS).count()
+
+    headline()  # untimed warm run: starts map workers + enrich actors
+    timed("headline_parse_enrich_route_aggregate", headline)
+
+    def fanout():
+        ds = (
+            transcripts()
+            .map_batches(assign_datastream, batch_format="pyarrow")
+            .map_batches(proc, batch_format="pyarrow")
+        )
+        out = f"/tmp/graft_bench_out/{NUM_CPUS}"
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        fanout_write(ds, out)
+        return out
+
+    timed("parse_route_fanout_write", fanout)
+
+    def dedup():
+        from logstash_filter_elastic_integration_ray.stages.dedup import exact_dedup
+
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+        return exact_dedup(docs).count()
+
+    timed("exact_dedup_docs", dedup)
+
+    def topk():
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from logstash_filter_elastic_integration_ray.stages.similarity import _to_matrix, brute_force_topk
+
+        t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+        m = _to_matrix(t.column("embedding"))[:8]
+        qids = t.column("vec_id").to_numpy()[:8]
+        ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+        return brute_force_topk(ds, m, qids, k=10).count()
+
+    timed("embedding_topk", topk)
+
+    headline_sec = timings["headline_parse_enrich_route_aggregate"]
+    result = {
+        "metric": "headline parse→enrich→route→aggregate wall time",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_turns": int(n_rows),
+        "turns_per_sec": round(n_rows / headline_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        # 16× replicated input so compute dominates fixed startup costs
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_REPLICATE=os.environ.get("GRAFT_REPLICATE", "16"))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo = r_lo["value"]
+    t_hi = r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 → 32, fresh processes, same input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,28 @@
+"""Processor kernels.
+
+Each ingest *processor* type (reference factory registrations:
+``EventProcessorBuilder.java:80-117``) compiles to a batch-level
+**kernel**: a vectorized function over a :class:`~..model.ColumnBatch`
+plus an active-row mask.  The registry here mirrors the reference's
+user-extension surface (``IngestPluginBridge`` suppliers,
+``EventProcessorBuilder.java:203-214``): new processor types register a
+factory ``(config: dict) -> Kernel``.
+"""
+
+from .base import Kernel, KernelCompileError, PROCESSOR_REGISTRY, register_processor, build_kernel
+
+# import modules for their registration side effects
+from . import grok  # noqa: F401
+from . import dissect  # noqa: F401
+from . import parse  # noqa: F401
+from . import mutate  # noqa: F401
+from . import net  # noqa: F401
+from . import control  # noqa: F401
+
+__all__ = [
+    "Kernel",
+    "KernelCompileError",
+    "PROCESSOR_REGISTRY",
+    "register_processor",
+    "build_kernel",
+]

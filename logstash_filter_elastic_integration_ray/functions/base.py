@@ -1,0 +1,107 @@
+"""Kernel protocol + processor registry.
+
+A ``Kernel`` is the compiled form of one ingest processor: a vectorized
+batch transform.  Contract:
+
+``apply(batch, mask, state) -> np.ndarray | None``
+    Mutates ``batch`` **only on masked rows**.  Returns a per-row error
+    mask (subset of ``mask``) for rows whose processing failed — the
+    executor owns ``ignore_failure`` / ``on_failure`` / tag-and-pass-
+    through semantics (reference: per-event failure isolation,
+    ``EventProcessor.java:160-168, 246-252``).  Kernels should *return*
+    error masks rather than raise; a raised exception triggers the
+    executor's slow row-wise fallback so one bad row can't poison a
+    batch (Ray task retries must stay deterministic — SURVEY.md §4.2).
+
+``state`` is the executor's per-batch :class:`PipelineState`; only
+flow-control kernels (drop/terminate/fail/reroute/pipeline) touch it.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+from ..model import ColumnBatch
+
+
+class KernelCompileError(ValueError):
+    """Raised at pipeline-compile time for invalid/unsupported configs —
+    mirroring the reference failing pipeline *creation* for unsupported
+    processors (docs/index.asciidoc:309-324)."""
+
+
+class Kernel:
+    #: error message used when the kernel flags rows without a custom one
+    failure_message: str = "processor failed"
+    #: flow-control kernels get special executor treatment
+    is_control: bool = False
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        raise NotImplementedError
+
+    def output_fields(self) -> list[str]:
+        """Statically-known fields this kernel may add (schema inference)."""
+        return []
+
+
+PROCESSOR_REGISTRY: dict[str, Callable[[dict], Kernel]] = {}
+
+
+def register_processor(name: str):
+    def deco(factory: Callable[[dict], Kernel]):
+        PROCESSOR_REGISTRY[name] = factory
+        return factory
+
+    return deco
+
+
+def build_kernel(ptype: str, config: dict) -> Kernel:
+    factory = PROCESSOR_REGISTRY.get(ptype)
+    if factory is None:
+        raise KernelCompileError(
+            f"processor type [{ptype}] is not supported; pipeline creation fails "
+            f"(reference behavior: docs/index.asciidoc:309-324)"
+        )
+    return factory(config)
+
+
+# --------------------------------------------------------------------------
+# shared helpers
+# --------------------------------------------------------------------------
+
+def cfg_field(config: dict, key: str = "field", required: bool = True) -> str | None:
+    v = config.get(key)
+    if v is None and required:
+        raise KernelCompileError(f"missing required config [{key}]")
+    return v
+
+
+def masked_indices(mask: np.ndarray) -> np.ndarray:
+    return np.nonzero(mask)[0]
+
+
+def missing_field_mask(batch: ColumnBatch, field: str, mask: np.ndarray) -> np.ndarray:
+    """Rows (within mask) where ``field`` is absent/null."""
+    return mask & ~batch.valid_mask(field)
+
+
+def string_values(batch: ColumnBatch, field: str) -> np.ndarray:
+    """Column as numpy object array of str/None (stringify non-strings)."""
+    if not batch.has(field):
+        out = np.empty(batch.n, dtype=object)
+        out[:] = None
+        return out
+    vals = batch.objects(field)
+    out = np.empty(batch.n, dtype=object)
+    for i, v in enumerate(vals):
+        if v is None:
+            out[i] = None
+        elif isinstance(v, str):
+            out[i] = v
+        elif isinstance(v, bool):
+            out[i] = "true" if v else "false"
+        else:
+            out[i] = str(v)
+    return out

@@ -1,0 +1,228 @@
+"""Flow-control kernels: drop, terminate, fail, pipeline, reroute,
+date_index_name.
+
+These mutate the executor's per-batch :class:`PipelineState` masks
+instead of document fields — the columnar translation of the
+reference's per-event control flow:
+
+- ``drop`` cancels the event (``EventProcessor.java:185-189``,
+  spec:360-391);
+- ``terminate`` stops processing for the doc but keeps it
+  (spec:1139-1167);
+- ``fail`` raises → tag + annotate, original emitted unmodified
+  (``EventProcessor.java:176-184,246-252``, spec:1250-1270);
+- ``pipeline`` invokes a named sub-pipeline inline with cycle
+  detection (``ingest/PipelineProcessor.java:75-90``,
+  ``SmokeTest.java:162-238``);
+- ``reroute`` rewrites ``data_stream.*`` + doc ``_index`` and skips the
+  remaining processors of the current pipeline
+  (``EventProcessor.java:192-228``, ``SmokeTest.java:267-388``);
+- ``date_index_name`` computes a date-math index expression into
+  ``_index`` (spec:278-301).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+
+from ..model import ColumnBatch, META_INDEX
+from .base import Kernel, KernelCompileError, register_processor
+from .grok import _normalize_field_path
+from .mutate import render_template
+from .parse import DateKernel
+
+
+class DropKernel(Kernel):
+    is_control = True
+
+    def __init__(self, config: dict):
+        pass
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        state.mark_dropped(mask)
+        return None
+
+
+@register_processor("drop")
+def _drop_factory(config):
+    return DropKernel(config)
+
+
+class TerminateKernel(Kernel):
+    is_control = True
+
+    def __init__(self, config: dict):
+        pass
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        state.mark_terminated(mask)
+        return None
+
+
+@register_processor("terminate")
+def _terminate_factory(config):
+    return TerminateKernel(config)
+
+
+class FailKernel(Kernel):
+    is_control = True
+    failure_message = "fail processor invoked"
+
+    def __init__(self, config: dict):
+        self.message = config.get("message")
+        if self.message is None:
+            raise KernelCompileError("fail: requires [message]")
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        rendered = render_template(self.message, batch, mask)
+        if rendered is not None:
+            state.set_failure_messages(mask, rendered)
+        else:
+            state.set_failure_messages(mask, np.full(batch.n, str(self.message), dtype=object))
+        return mask.copy()  # every masked row "raises"
+
+
+@register_processor("fail")
+def _fail_factory(config):
+    return FailKernel(config)
+
+
+class PipelineKernel(Kernel):
+    """Invoke a named sub-pipeline inline.  The executor intercepts this
+    kernel (``is_pipeline_call``) and recurses into the compiled
+    pipeline set with an execution stack for cycle detection —
+    compile-time inlining is not possible for templated names."""
+
+    is_control = True
+    is_pipeline_call = True
+
+    def __init__(self, config: dict):
+        self.name = config.get("name")
+        if not self.name:
+            raise KernelCompileError("pipeline: requires [name]")
+        self.ignore_missing_pipeline = bool(config.get("ignore_missing_pipeline", False))
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        raise RuntimeError("PipelineKernel must be executed by the pipeline executor")
+
+
+@register_processor("pipeline")
+def _pipeline_factory(config):
+    return PipelineKernel(config)
+
+
+class RerouteKernel(Kernel):
+    is_control = True
+    failure_message = "reroute failed"
+
+    def __init__(self, config: dict):
+        self.destination = config.get("destination")
+        dataset = config.get("dataset")
+        namespace = config.get("namespace")
+        if self.destination is not None and (dataset is not None or namespace is not None):
+            raise KernelCompileError("reroute: [destination] cannot be combined with [dataset]/[namespace]")
+        # ES allows a list of fallback values; we use the first static one
+        self.dataset = dataset[0] if isinstance(dataset, list) else dataset
+        self.namespace = namespace[0] if isinstance(namespace, list) else namespace
+
+    def _resolve(self, template, batch, mask, current: np.ndarray) -> np.ndarray:
+        """{{field}} templates supported; ``{{data_stream.xxx}}`` falls
+        back to the current value when the field is missing."""
+        if template is None:
+            return current
+        rendered = render_template(template, batch, mask)
+        if rendered is None:
+            return np.full(batch.n, str(template), dtype=object)
+        # empty render (missing field) → keep current
+        out = current.copy()
+        for i in np.nonzero(mask)[0]:
+            if rendered[i]:
+                out[i] = rendered[i]
+        return out
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        if self.destination is not None:
+            rendered = render_template(self.destination, batch, mask)
+            dest = rendered if rendered is not None else np.full(batch.n, str(self.destination), dtype=object)
+            state.mark_reroute(mask, dest)
+            return None
+        get = lambda f, default: (
+            batch.get_objects_or_none(f)
+            if batch.has(f)
+            else np.full(batch.n, default, dtype=object)
+        )
+        dtype_col = get("data_stream.type", "logs")
+        dset_col = get("data_stream.dataset", "generic")
+        dns_col = get("data_stream.namespace", "default")
+        new_dset = self._resolve(self.dataset, batch, mask, dset_col)
+        new_dns = self._resolve(self.namespace, batch, mask, dns_col)
+        batch.blend("data_stream.dataset", new_dset, mask)
+        batch.blend("data_stream.namespace", new_dns, mask)
+        dest = np.empty(batch.n, dtype=object)
+        dest[:] = None
+        for i in np.nonzero(mask)[0]:
+            t = dtype_col[i] if dtype_col[i] is not None else "logs"
+            dest[i] = f"{t}-{new_dset[i]}-{new_dns[i]}"
+        state.mark_reroute(mask, dest)
+        return None
+
+
+@register_processor("reroute")
+def _reroute_factory(config):
+    return RerouteKernel(config)
+
+
+class DateIndexNameKernel(Kernel):
+    """Compute a date-math index expression into ``_index``
+    (spec:278-301: asserts index startswith ``<monthly-index-{2023-03-08``)."""
+
+    is_control = True
+    failure_message = "date_index_name failed"
+
+    _ROUNDINGS = {"y", "M", "w", "d", "h", "H", "m", "s"}
+
+    def __init__(self, config: dict):
+        self.field = _normalize_field_path(config.get("field", ""))
+        rounding = config.get("date_rounding")
+        if not self.field or rounding not in self._ROUNDINGS:
+            raise KernelCompileError("date_index_name: requires [field] and a valid [date_rounding]")
+        self.rounding = rounding
+        self.prefix = config.get("index_name_prefix", "")
+        self.index_format = config.get("index_name_format", "yyyy-MM-dd")
+        self.timezone = config.get("timezone", "UTC")
+        formats = config.get("date_formats") or ["ISO8601"]
+        self._parser = DateKernel({"field": self.field, "formats": formats, "timezone": config.get("timezone")})
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        from .parse import java_format_to_strptime, string_values
+
+        fmt = java_format_to_strptime(self.index_format)
+        values = string_values(batch, self.field)
+        err = np.zeros(batch.n, dtype=bool)
+        out = np.empty(batch.n, dtype=object)
+        out[:] = None
+        for i in np.nonzero(mask)[0]:
+            v = values[i]
+            if v is None:
+                err[i] = True
+                continue
+            try:
+                d = self._parser._parse_one(v)
+            except ValueError:
+                err[i] = True
+                continue
+            formatted = d.strftime(fmt)
+            out[i] = (
+                f"<{self.prefix}{{{formatted}||/{self.rounding}{{{self.index_format}|{self.timezone}}}}}>"
+            )
+        ok = mask & ~err
+        if ok.any():
+            batch.blend(META_INDEX, out, ok)
+        return err if err.any() else None
+
+
+@register_processor("date_index_name")
+def _date_index_name_factory(config):
+    return DateIndexNameKernel(config)

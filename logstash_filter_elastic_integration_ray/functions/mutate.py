@@ -1,0 +1,681 @@
+"""Mutate-family kernels: set, append, remove, rename, uppercase,
+lowercase, trim, split, join, sort (list field), dot_expander,
+fingerprint, foreach, script (expression-DSL subset).
+
+Conformance targets (reference
+``spec/integration/elastic_integration_spec.rb``): set/golden pipeline
+:813-835 + ``src/test/resources/.../simple-mutate-pipelines/simple-mutate.json``,
+append :129-152, remove :695-725, rename :728-751, case/trim :592-614 /
+:885-929, split :861-882, join :519-541, sort :838-858, dot_expander
+:335-358, fingerprint :393-413, foreach :416-441, script
+``SmokeTest.java:240-265`` (restricted to an expression DSL — arbitrary
+painless is a documented gap mirroring docs/index.asciidoc:192).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..conditions import compile_value_expr
+from ..model import ColumnBatch, META_INDEX
+from .base import Kernel, KernelCompileError, register_processor
+from .grok import _normalize_field_path
+
+_MUSTACHE = re.compile(r"\{\{\{?([^}]+?)\}?\}\}")
+
+
+def render_template(template, batch: ColumnBatch, mask: np.ndarray) -> np.ndarray | None:
+    """Render a mustache-ish template (``{{field}}`` / ``{{{field}}}``)
+    per row.  Returns None if the template is a plain literal (caller
+    can use the scalar fast path)."""
+    if not isinstance(template, str) or "{{" not in template:
+        return None
+    parts = _MUSTACHE.split(template)
+    # parts = [lit, field, lit, field, ..., lit]
+    out = np.empty(batch.n, dtype=object)
+    field_vals = []
+    for j in range(1, len(parts), 2):
+        field_vals.append(batch.get_objects_or_none(_normalize_field_path(parts[j].strip())))
+    idx = np.nonzero(mask)[0]
+    for i in idx:
+        buf = []
+        for j, part in enumerate(parts):
+            if j % 2 == 0:
+                buf.append(part)
+            else:
+                vals = field_vals[j // 2]
+                v = vals[i] if vals is not None else None
+                buf.append("" if v is None else (str(v) if not isinstance(v, bool) else ("true" if v else "false")))
+        out[i] = "".join(buf)
+    return out
+
+
+def _resolve_field(name: str) -> str:
+    """Map ES doc-metadata paths to engine-private columns."""
+    f = _normalize_field_path(name)
+    if f == "_index":
+        return META_INDEX
+    return f
+
+
+class SetKernel(Kernel):
+    failure_message = "set processor failed"
+
+    def __init__(self, config: dict):
+        self.field = _resolve_field(config.get("field", ""))
+        if not self.field:
+            raise KernelCompileError("set: requires [field]")
+        self.copy_from = config.get("copy_from")
+        self.value = config.get("value")
+        if self.copy_from is None and "value" not in config:
+            raise KernelCompileError("set: requires [value] or [copy_from]")
+        self.override = bool(config.get("override", True))
+        self.ignore_empty_value = bool(config.get("ignore_empty_value", False))
+
+    def output_fields(self) -> list[str]:
+        return [self.field]
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        m = mask
+        if not self.override:
+            m = m & ~batch.valid_mask(self.field)
+            if not m.any():
+                return None
+        if self.copy_from is not None:
+            src = batch.get_objects_or_none(_resolve_field(self.copy_from))
+            if src is None:
+                return m.copy()  # copy_from missing → error
+            batch.blend(self.field, src.copy(), m)
+            return None
+        rendered = render_template(self.value, batch, m)
+        if rendered is None:
+            if self.ignore_empty_value and (self.value is None or self.value == ""):
+                return None
+            batch.set_scalar(self.field, self.value, m)
+        else:
+            if self.ignore_empty_value:
+                nonempty = np.array([bool(v) for v in rendered], dtype=bool)
+                m = m & nonempty
+            batch.blend(self.field, rendered, m)
+        return None
+
+
+@register_processor("set")
+def _set_factory(config):
+    return SetKernel(config)
+
+
+class AppendKernel(Kernel):
+    failure_message = "append processor failed"
+
+    def __init__(self, config: dict):
+        self.field = _resolve_field(config.get("field", ""))
+        if not self.field or "value" not in config:
+            raise KernelCompileError("append: requires [field] and [value]")
+        v = config["value"]
+        self.values = v if isinstance(v, list) else [v]
+        self.allow_duplicates = bool(config.get("allow_duplicates", True))
+
+    def output_fields(self) -> list[str]:
+        return [self.field]
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        rendered_cols = [render_template(v, batch, mask) for v in self.values]
+        cur = batch.get_objects_or_none(self.field)
+        out = np.empty(batch.n, dtype=object)
+        out[:] = None
+        idx = np.nonzero(mask)[0]
+        for i in idx:
+            base = cur[i] if cur is not None else None
+            if base is None:
+                lst = []
+            elif isinstance(base, list):
+                lst = list(base)
+            else:
+                lst = [base]
+            for j, v in enumerate(self.values):
+                val = rendered_cols[j][i] if rendered_cols[j] is not None else v
+                if self.allow_duplicates or val not in lst:
+                    lst.append(val)
+            out[i] = lst
+        batch.blend(self.field, out, mask)
+        return None
+
+
+@register_processor("append")
+def _append_factory(config):
+    return AppendKernel(config)
+
+
+class RemoveKernel(Kernel):
+    def __init__(self, config: dict):
+        field = config.get("field")
+        if field is None:
+            raise KernelCompileError("remove: requires [field]")
+        self.fields = [_resolve_field(f) for f in (field if isinstance(field, list) else [field])]
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+        self.failure_message = f"field [{self.fields[0]}] not present as part of path [{self.fields[0]}]"
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        err = np.zeros(batch.n, dtype=bool)
+        for f in self.fields:
+            valid = batch.valid_mask(f)
+            if not self.ignore_missing:
+                err |= mask & ~valid
+            hit = mask & valid & ~err
+            if not batch.has(f):
+                continue
+            if bool(mask.all()) and not err.any():
+                batch.drop(f)
+            elif hit.any():
+                batch.blend(f, np.full(batch.n, None, dtype=object), hit)
+        return err if err.any() else None
+
+
+@register_processor("remove")
+def _remove_factory(config):
+    return RemoveKernel(config)
+
+
+class RenameKernel(Kernel):
+    failure_message = "rename processor failed"
+
+    def __init__(self, config: dict):
+        self.field = _resolve_field(config.get("field", ""))
+        self.target = _resolve_field(config.get("target_field", ""))
+        if not self.field or not self.target:
+            raise KernelCompileError("rename: requires [field] and [target_field]")
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+
+    def output_fields(self) -> list[str]:
+        return [self.target]
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        valid = batch.valid_mask(self.field)
+        err = np.zeros(batch.n, dtype=bool)
+        if not self.ignore_missing:
+            err |= mask & ~valid
+        # error if target already has a value on those rows (ES semantics)
+        err |= mask & valid & batch.valid_mask(self.target)
+        move = mask & valid & ~err
+        if move.any():
+            src = batch.objects(self.field)
+            batch.blend(self.target, src.copy(), move)
+            batch.blend(self.field, np.full(batch.n, None, dtype=object), move)
+            if bool(mask.all()) and not err.any():
+                batch.drop(self.field)
+        return err if err.any() else None
+
+
+@register_processor("rename")
+def _rename_factory(config):
+    return RenameKernel(config)
+
+
+class _StringOpKernel(Kernel):
+    """uppercase / lowercase / trim — vectorized Arrow fast path, and
+    element-wise over list fields (spec:592-614 exercises lists)."""
+
+    def __init__(self, config: dict, op: str):
+        self.field = _resolve_field(config.get("field", ""))
+        if not self.field:
+            raise KernelCompileError(f"{op}: requires [field]")
+        self.target = _resolve_field(config.get("target_field") or "") or self.field
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+        self.op = op
+        self.failure_message = f"{op} processor failed"
+        self._py = {"uppercase": str.upper, "lowercase": str.lower, "trim": str.strip}[op]
+        self._pc = {"uppercase": pc.utf8_upper, "lowercase": pc.utf8_lower, "trim": pc.utf8_trim_whitespace}[op]
+
+    def output_fields(self) -> list[str]:
+        return [self.target]
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        valid = batch.valid_mask(self.field)
+        err = np.zeros(batch.n, dtype=bool)
+        if not self.ignore_missing:
+            err |= mask & ~valid
+        active = mask & valid
+        if not active.any():
+            return err if err.any() else None
+        col = batch._cols.get(self.field)
+        if isinstance(col, pa.Array) and pa.types.is_string(col.type):
+            new = self._pc(col)
+            batch.blend(self.target, new, active)
+            return err if err.any() else None
+        vals = batch.objects(self.field)
+        out = np.empty(batch.n, dtype=object)
+        out[:] = None
+        fn = self._py
+        for i in np.nonzero(active)[0]:
+            v = vals[i]
+            try:
+                out[i] = [fn(x) for x in v] if isinstance(v, list) else fn(v)
+            except (TypeError, AttributeError):
+                err[i] = True
+        ok = active & ~err
+        if ok.any():
+            batch.blend(self.target, out, ok)
+        return err if err.any() else None
+
+
+@register_processor("uppercase")
+def _uppercase_factory(config):
+    return _StringOpKernel(config, "uppercase")
+
+
+@register_processor("lowercase")
+def _lowercase_factory(config):
+    return _StringOpKernel(config, "lowercase")
+
+
+@register_processor("trim")
+def _trim_factory(config):
+    return _StringOpKernel(config, "trim")
+
+
+class GsubKernel(Kernel):
+    """Regex replace, element-wise over list fields too (spec:471-494:
+    ``["kit//.ten","dog//.gy"]`` with pattern ``//.`` → ``kit-ten``...).
+    Vectorized via ``pc.replace_substring_regex`` on plain string
+    columns."""
+
+    failure_message = "gsub processor failed"
+
+    def __init__(self, config: dict):
+        self.field = _resolve_field(config.get("field", ""))
+        pattern = config.get("pattern")
+        replacement = config.get("replacement")
+        if not self.field or pattern is None or replacement is None:
+            raise KernelCompileError("gsub: requires [field], [pattern], [replacement]")
+        self.pattern = pattern
+        self.replacement = replacement
+        self.rx = re.compile(pattern)
+        self.target = _resolve_field(config.get("target_field") or "") or self.field
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+
+    def output_fields(self) -> list[str]:
+        return [self.target]
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        valid = batch.valid_mask(self.field)
+        err = np.zeros(batch.n, dtype=bool)
+        if not self.ignore_missing:
+            err |= mask & ~valid
+        active = mask & valid
+        if not active.any():
+            return err if err.any() else None
+        col = batch._cols.get(self.field)
+        if isinstance(col, pa.Array) and pa.types.is_string(col.type):
+            try:
+                new = pc.replace_substring_regex(col, pattern=self.pattern, replacement=self.replacement)
+                batch.blend(self.target, new, active)
+                return err if err.any() else None
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                pass  # non-RE2 pattern → python path
+        vals = batch.objects(self.field)
+        out = np.empty(batch.n, dtype=object)
+        out[:] = None
+        for i in np.nonzero(active)[0]:
+            v = vals[i]
+            if isinstance(v, list):
+                out[i] = [self.rx.sub(self.replacement, str(x)) for x in v]
+            elif isinstance(v, str):
+                out[i] = self.rx.sub(self.replacement, v)
+            else:
+                err[i] = True
+        ok = active & ~err
+        if ok.any():
+            batch.blend(self.target, out, ok)
+        return err if err.any() else None
+
+
+@register_processor("gsub")
+def _gsub_factory(config):
+    return GsubKernel(config)
+
+
+class SplitKernel(Kernel):
+    failure_message = "split processor failed"
+
+    def __init__(self, config: dict):
+        self.field = _resolve_field(config.get("field", ""))
+        sep = config.get("separator")
+        if not self.field or sep is None:
+            raise KernelCompileError("split: requires [field] and [separator]")
+        self.sep = re.compile(sep if len(sep) > 1 else re.escape(sep))
+        self.target = _resolve_field(config.get("target_field") or "") or self.field
+        self.preserve_trailing = bool(config.get("preserve_trailing", False))
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+
+    def output_fields(self) -> list[str]:
+        return [self.target]
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        valid = batch.valid_mask(self.field)
+        err = np.zeros(batch.n, dtype=bool)
+        if not self.ignore_missing:
+            err |= mask & ~valid
+        active = mask & valid
+        vals = batch.objects(self.field) if batch.has(self.field) else None
+        out = np.empty(batch.n, dtype=object)
+        out[:] = None
+        for i in np.nonzero(active)[0]:
+            v = vals[i]
+            if not isinstance(v, str):
+                err[i] = True
+                continue
+            parts = self.sep.split(v)
+            if not self.preserve_trailing:
+                while parts and parts[-1] == "":
+                    parts.pop()
+            out[i] = parts
+        ok = active & ~err
+        if ok.any():
+            batch.blend(self.target, out, ok)
+        return err if err.any() else None
+
+
+@register_processor("split")
+def _split_factory(config):
+    return SplitKernel(config)
+
+
+class JoinKernel(Kernel):
+    failure_message = "join processor failed"
+
+    def __init__(self, config: dict):
+        self.field = _resolve_field(config.get("field", ""))
+        self.sep = config.get("separator")
+        if not self.field or self.sep is None:
+            raise KernelCompileError("join: requires [field] and [separator]")
+        self.target = _resolve_field(config.get("target_field") or "") or self.field
+
+    def output_fields(self) -> list[str]:
+        return [self.target]
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        valid = batch.valid_mask(self.field)
+        err = mask & ~valid
+        vals = batch.objects(self.field) if batch.has(self.field) else None
+        out = np.empty(batch.n, dtype=object)
+        out[:] = None
+        active = mask & valid
+        for i in np.nonzero(active)[0]:
+            v = vals[i]
+            if not isinstance(v, list):
+                err[i] = True
+                continue
+            out[i] = self.sep.join(str(x) for x in v)
+        ok = active & ~err
+        if ok.any():
+            batch.blend(self.target, out, ok)
+        return err if err.any() else None
+
+
+@register_processor("join")
+def _join_factory(config):
+    return JoinKernel(config)
+
+
+class SortKernel(Kernel):
+    """Sorts a *list field* within each document (NOT a dataset sort —
+    spec:838-858, e.g. ``[8,4,3,2,1]`` desc)."""
+
+    failure_message = "sort processor failed"
+
+    def __init__(self, config: dict):
+        self.field = _resolve_field(config.get("field", ""))
+        if not self.field:
+            raise KernelCompileError("sort: requires [field]")
+        order = config.get("order", "asc")
+        if order not in ("asc", "desc"):
+            raise KernelCompileError(f"sort: invalid order [{order}]")
+        self.desc = order == "desc"
+        self.target = _resolve_field(config.get("target_field") or "") or self.field
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        valid = batch.valid_mask(self.field)
+        err = mask & ~valid
+        vals = batch.objects(self.field) if batch.has(self.field) else None
+        out = np.empty(batch.n, dtype=object)
+        out[:] = None
+        active = mask & valid
+        for i in np.nonzero(active)[0]:
+            v = vals[i]
+            if not isinstance(v, list):
+                err[i] = True
+                continue
+            try:
+                out[i] = sorted(v, reverse=self.desc)
+            except TypeError:
+                err[i] = True
+        ok = active & ~err
+        if ok.any():
+            batch.blend(self.target, out, ok)
+        return err if err.any() else None
+
+
+@register_processor("sort")
+def _sort_factory(config):
+    return SortKernel(config)
+
+
+class DotExpanderKernel(Kernel):
+    """``"a.b": v`` → ``{"a": {"b": v}}`` (spec:335-358).  In the
+    columnar layout flat-dotted and nested are the same column; this
+    kernel records the path as expanded so nested renderers emit
+    structure."""
+
+    failure_message = "dot_expander failed"
+
+    def __init__(self, config: dict):
+        field = config.get("field")
+        if field is None:
+            raise KernelCompileError("dot_expander: requires [field]")
+        self.field = str(field)
+        self.path = config.get("path")
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        if self.field == "*":
+            for name in batch.names():
+                if "." in name and not name.startswith("__"):
+                    batch.expanded_paths.add(name)
+            return None
+        full = f"{self.path}.{self.field}" if self.path else self.field
+        if batch.has(full):
+            batch.expanded_paths.add(full)
+        return None
+
+
+@register_processor("dot_expander")
+def _dot_expander_factory(config):
+    return DotExpanderKernel(config)
+
+
+_FP_METHODS = {
+    "MD5": hashlib.md5,
+    "SHA-1": hashlib.sha1,
+    "SHA-256": hashlib.sha256,
+    "SHA-512": hashlib.sha512,
+}
+
+
+class FingerprintKernel(Kernel):
+    """Hash selected fields → deterministic fingerprint (spec:393-413)."""
+
+    failure_message = "fingerprint processor failed"
+
+    def __init__(self, config: dict):
+        fields = config.get("fields")
+        if not fields:
+            raise KernelCompileError("fingerprint: requires [fields]")
+        self.fields = [_resolve_field(f) for f in fields]
+        self.target = _resolve_field(config.get("target_field") or "fingerprint")
+        self.salt = config.get("salt", "")
+        method = config.get("method", "SHA-1")
+        if method not in _FP_METHODS:
+            raise KernelCompileError(f"fingerprint: unsupported method [{method}]")
+        self.hasher = _FP_METHODS[method]
+        self.encoding = config.get("encoding", "base64")  # engine extension: "hex"
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+
+    def output_fields(self) -> list[str]:
+        return [self.target]
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        cols = [batch.get_objects_or_none(f) for f in self.fields]
+        err = np.zeros(batch.n, dtype=bool)
+        out = np.empty(batch.n, dtype=object)
+        out[:] = None
+        for i in np.nonzero(mask)[0]:
+            h = self.hasher()
+            if self.salt:
+                h.update(str(self.salt).encode())
+            any_field = False
+            for f, c in zip(self.fields, cols):
+                v = c[i] if c is not None else None
+                if v is None:
+                    if not self.ignore_missing:
+                        err[i] = True
+                    continue
+                any_field = True
+                h.update(f.encode())
+                h.update(b"|")
+                h.update(str(v).encode())
+            if err[i] or not any_field:
+                err[i] = err[i] or not any_field
+                continue
+            digest = h.digest()
+            out[i] = digest.hex() if self.encoding == "hex" else base64.b64encode(digest).decode()
+        ok = mask & ~err
+        if ok.any():
+            batch.blend(self.target, out, ok)
+        return err if err.any() else None
+
+
+@register_processor("fingerprint")
+def _fingerprint_factory(config):
+    return FingerprintKernel(config)
+
+
+class ForeachKernel(Kernel):
+    """Run a sub-processor over each element of a list field
+    (spec:416-441).  The sub-processor sees the element as
+    ``_ingest._value``."""
+
+    failure_message = "foreach processor failed"
+
+    def __init__(self, config: dict):
+        from . import build_kernel  # late import to avoid cycle
+
+        self.field = _resolve_field(config.get("field", ""))
+        proc = config.get("processor")
+        if not self.field or not proc or len(proc) != 1:
+            raise KernelCompileError("foreach: requires [field] and exactly one [processor]")
+        ptype, pconf = next(iter(proc.items()))
+        self.sub = build_kernel(ptype, pconf)
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        valid = batch.valid_mask(self.field)
+        err = np.zeros(batch.n, dtype=bool)
+        if not self.ignore_missing:
+            err |= mask & ~valid
+        vals = batch.objects(self.field) if batch.has(self.field) else None
+        out = np.empty(batch.n, dtype=object)
+        out[:] = None
+        active = mask & valid
+        for i in np.nonzero(active)[0]:
+            v = vals[i]
+            if not isinstance(v, list):
+                err[i] = True
+                continue
+            sub_batch = ColumnBatch(num_rows=len(v))
+            sub_batch.set("_ingest._value", list(v))
+            sub_mask = np.ones(len(v), dtype=bool)
+            sub_err = self.sub.apply(sub_batch, sub_mask, state)
+            if sub_err is not None and sub_err.any():
+                err[i] = True
+                continue
+            out[i] = list(sub_batch.objects("_ingest._value"))
+        ok = active & ~err
+        if ok.any():
+            batch.blend(self.field, out, ok)
+        return err if err.any() else None
+
+
+@register_processor("foreach")
+def _foreach_factory(config):
+    return ForeachKernel(config)
+
+
+_ASSIGN = re.compile(r"^\s*ctx(\??\.|\[)")
+
+
+class ScriptKernel(Kernel):
+    """Expression-DSL subset of the ``script`` processor.
+
+    Supports ``;``-separated assignments ``ctx.path = <expr>`` where
+    ``<expr>`` is the painless-subset expression grammar of
+    :mod:`..conditions` (field refs, literals, arithmetic, string
+    concat, comparisons, method calls).  Arbitrary painless fails
+    pipeline compilation loudly — the documented gap (SURVEY.md §7.3;
+    reference restriction docs/index.asciidoc:192).
+    """
+
+    failure_message = "script processor failed"
+
+    def __init__(self, config: dict):
+        lang = config.get("lang", "painless")
+        if lang != "painless":
+            raise KernelCompileError(f"script: only painless supported, got [{lang}]")
+        source = config.get("source") or config.get("inline")
+        if not source:
+            raise KernelCompileError("script: requires inline [source] (stored scripts unsupported)")
+        self.assignments: list[tuple[str, object]] = []
+        for stmt in str(source).split(";"):
+            stmt = stmt.strip()
+            if not stmt:
+                continue
+            if not _ASSIGN.match(stmt):
+                raise KernelCompileError(
+                    f"script: unsupported statement {stmt!r} — only `ctx.field = expr` "
+                    f"assignments are supported by the expression DSL"
+                )
+            lhs, _, rhs = stmt.partition("=")
+            if rhs.startswith("="):
+                raise KernelCompileError(f"script: unsupported statement {stmt!r}")
+            lhs = lhs.strip()
+            # parse the lhs field path: ctx.a.b / ctx['a']
+            path = lhs[3:].lstrip("?.")
+            if path.startswith("["):
+                parts = re.findall(r"\[['\"]([^'\"]+)['\"]\]", path)
+                field = ".".join(parts)
+            else:
+                field = path.replace("?.", ".")
+            try:
+                expr = compile_value_expr(rhs.strip())
+            except ValueError as e:
+                raise KernelCompileError(f"script: cannot compile expression {rhs.strip()!r}: {e}") from e
+            self.assignments.append((_resolve_field(field), expr))
+
+    def output_fields(self) -> list[str]:
+        return [f for f, _ in self.assignments]
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        for field, expr in self.assignments:
+            vals = expr.evaluate(batch)
+            batch.blend(field, vals, mask)
+        return None
+
+
+@register_processor("script")
+def _script_factory(config):
+    return ScriptKernel(config)

@@ -1,0 +1,391 @@
+"""Network / lookup-style kernels: user_agent, registered_domain,
+network_direction, community_id, geoip.
+
+These are the reference's "loaded-once side data" processors: the UA
+regex bank and public-suffix list are module-level constants compiled
+once per worker process (the reference loads uap regexes / PSL once —
+``docs/index.asciidoc:200``, spec:668-693), mirroring geoip's
+load-once-per-worker state (``geoip/IpDatabaseProvider.java:80-99``).
+
+``geoip``: the real MaxMind ``.mmdb`` reader is unavailable in this
+environment; the kernel keeps the full Ray-side plumbing (state loaded
+once, per-batch vectorized lookup, missing-database tagging exactly as
+the reference — ``_geoip_database_unavailable_*`` spec:1045) and STUBS
+the database itself behind an injectable dict.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import ipaddress
+import re
+import socket
+import struct
+
+import numpy as np
+
+from ..model import ColumnBatch, append_tag
+from .base import Kernel, KernelCompileError, register_processor
+from .grok import _normalize_field_path
+
+# --------------------------------------------------------------------------
+# user_agent — mini UA regex bank (simplified public uap-core style rules,
+# compiled once at import = once per worker process)
+# --------------------------------------------------------------------------
+_UA_RULES: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"Edg(?:e|A|iOS)?/(\d+)(?:\.(\d+))?(?:\.(\d+))?"), "Edge"),
+    (re.compile(r"OPR/(\d+)(?:\.(\d+))?(?:\.(\d+))?"), "Opera"),
+    (re.compile(r"Chrome/(\d+)(?:\.(\d+))?(?:\.(\d+))?"), "Chrome"),
+    (re.compile(r"Firefox/(\d+)(?:\.(\d+))?(?:\.(\d+))?"), "Firefox"),
+    (re.compile(r"Version/(\d+)(?:\.(\d+))?(?:\.(\d+))?.*Safari/"), "Safari"),
+    (re.compile(r"MSIE (\d+)(?:\.(\d+))?"), "IE"),
+    (re.compile(r"curl/(\d+)(?:\.(\d+))?(?:\.(\d+))?"), "curl"),
+    (re.compile(r"python-requests/(\d+)(?:\.(\d+))?(?:\.(\d+))?"), "Python Requests"),
+    (re.compile(r"(Googlebot|bingbot|DuckDuckBot)/(\d+)(?:\.(\d+))?"), "Spider"),
+]
+_UA_OS_RULES: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"Windows NT 10"), "Windows 10"),
+    (re.compile(r"Windows NT 6\.1"), "Windows 7"),
+    (re.compile(r"Windows"), "Windows"),
+    (re.compile(r"Android (\d+)"), "Android"),
+    (re.compile(r"iPhone OS (\d+)"), "iOS"),
+    (re.compile(r"Mac OS X"), "Mac OS X"),
+    (re.compile(r"X11; Linux|Linux x86_64|Linux i686"), "Linux"),
+]
+_UA_DEVICE_RULES: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"iPhone"), "iPhone"),
+    (re.compile(r"iPad"), "iPad"),
+    (re.compile(r"Android"), "Generic Smartphone"),
+]
+
+
+def parse_user_agent(ua: str) -> dict[str, object]:
+    out: dict[str, object] = {"name": "Other", "device.name": "Other"}
+    for rx, name in _UA_RULES:
+        m = rx.search(ua)
+        if m:
+            out["name"] = name
+            groups = [g for g in m.groups() if g is not None and g.isdigit()]
+            if groups:
+                out["version"] = ".".join(groups)
+                out["major"] = groups[0]
+            break
+    for rx, osname in _UA_OS_RULES:
+        m = rx.search(ua)
+        if m:
+            out["os.name"] = osname.split(" ")[0] if osname.startswith("Windows ") else osname
+            out["os.full"] = osname
+            if m.groups() and m.group(1):
+                out["os.version"] = m.group(1)
+                out["os.full"] = f"{osname} {m.group(1)}"
+            break
+    for rx, dev in _UA_DEVICE_RULES:
+        if rx.search(ua):
+            out["device.name"] = dev
+            break
+    else:
+        if "Mac OS X" in ua:
+            out["device.name"] = "Mac"
+    return out
+
+
+class UserAgentKernel(Kernel):
+    failure_message = "user_agent parse failed"
+
+    def __init__(self, config: dict):
+        self.field = _normalize_field_path(config.get("field", ""))
+        if not self.field:
+            raise KernelCompileError("user_agent: requires [field]")
+        self.target = config.get("target_field", "user_agent")
+        if config.get("regex_file"):
+            # reference caveat: custom regex files unsupported (docs:200)
+            raise KernelCompileError("user_agent: [regex_file] is not supported")
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+        props = config.get("properties")
+        self.properties = set(props) if props else None
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        from .parse import _per_row
+
+        t = self.target
+
+        def parse(s: str):
+            res = parse_user_agent(s)
+            out = {f"{t}.{k}": v for k, v in res.items() if self.properties is None or k.split(".")[0] in self.properties}
+            out[f"{t}.original"] = s
+            return out
+
+        return _per_row(self, batch, mask, parse)
+
+
+@register_processor("user_agent")
+def _user_agent_factory(config):
+    return UserAgentKernel(config)
+
+
+# --------------------------------------------------------------------------
+# registered_domain — mini public-suffix list (module constant = loaded
+# once per worker; conformance spec:668-693: www.example.ac.uk →
+# top_level_domain=ac.uk, registered_domain=example.ac.uk, subdomain=www)
+# --------------------------------------------------------------------------
+_PSL = {
+    "com", "org", "net", "io", "dev", "edu", "gov", "mil", "int", "info", "biz",
+    "co", "ai", "app", "xyz",
+    "uk", "co.uk", "ac.uk", "org.uk", "gov.uk",
+    "de", "fr", "nl", "es", "it", "ru", "pl", "ch", "se",
+    "jp", "co.jp", "ne.jp", "ac.jp",
+    "au", "com.au", "net.au", "org.au",
+    "cn", "com.cn", "org.cn",
+    "br", "com.br",
+    "in", "co.in",
+    "us", "ca", "mx", "kr", "co.kr",
+}
+
+
+def split_registered_domain(domain: str) -> dict[str, str] | None:
+    labels = domain.lower().rstrip(".").split(".")
+    if len(labels) < 2:
+        return None
+    # longest public suffix wins
+    suffix = None
+    for i in range(len(labels) - 1):
+        cand = ".".join(labels[i:])
+        if cand in _PSL:
+            suffix = cand
+            suffix_start = i
+            break
+    if suffix is None:
+        suffix = labels[-1]
+        suffix_start = len(labels) - 1
+    if suffix_start == 0:
+        return None  # the whole domain is a public suffix
+    reg = ".".join(labels[suffix_start - 1:])
+    sub = ".".join(labels[: suffix_start - 1])
+    out = {"domain": domain, "registered_domain": reg, "top_level_domain": suffix}
+    if sub:
+        out["subdomain"] = sub
+    return out
+
+
+class RegisteredDomainKernel(Kernel):
+    failure_message = "unable to determine registered domain"
+
+    def __init__(self, config: dict):
+        self.field = _normalize_field_path(config.get("field", ""))
+        if not self.field:
+            raise KernelCompileError("registered_domain: requires [field]")
+        self.target = config.get("target_field", "")
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        from .parse import _per_row
+
+        t = self.target
+
+        def parse(s: str):
+            res = split_registered_domain(s)
+            if res is None:
+                raise ValueError(f"unable to determine registered domain for [{s}]")
+            return {(f"{t}.{k}" if t else k): v for k, v in res.items()}
+
+        return _per_row(self, batch, mask, parse)
+
+
+@register_processor("registered_domain")
+def _registered_domain_factory(config):
+    return RegisteredDomainKernel(config)
+
+
+# --------------------------------------------------------------------------
+# network_direction (spec:616-637)
+# --------------------------------------------------------------------------
+_NAMED_NETWORKS = {
+    "loopback": [ipaddress.ip_network("127.0.0.0/8"), ipaddress.ip_network("::1/128")],
+    "private": [
+        ipaddress.ip_network("10.0.0.0/8"),
+        ipaddress.ip_network("172.16.0.0/12"),
+        ipaddress.ip_network("192.168.0.0/16"),
+        ipaddress.ip_network("fc00::/7"),
+    ],
+    "link_local_unicast": [ipaddress.ip_network("169.254.0.0/16"), ipaddress.ip_network("fe80::/10")],
+    "multicast": [ipaddress.ip_network("224.0.0.0/4"), ipaddress.ip_network("ff00::/8")],
+    "unspecified": [ipaddress.ip_network("0.0.0.0/32"), ipaddress.ip_network("::/128")],
+}
+
+
+class NetworkDirectionKernel(Kernel):
+    failure_message = "network_direction failed"
+
+    def __init__(self, config: dict):
+        self.source_ip = _normalize_field_path(config.get("source_ip", "source.ip"))
+        self.dest_ip = _normalize_field_path(config.get("destination_ip", "destination.ip"))
+        self.target = _normalize_field_path(config.get("target_field", "network.direction"))
+        nets = config.get("internal_networks")
+        if not nets:
+            raise KernelCompileError("network_direction: requires [internal_networks]")
+        self.networks: list[ipaddress._BaseNetwork] = []
+        for n in nets:
+            if n in _NAMED_NETWORKS:
+                self.networks.extend(_NAMED_NETWORKS[n])
+            else:
+                self.networks.append(ipaddress.ip_network(n))
+        self.ignore_missing = bool(config.get("ignore_missing", True))
+
+    def output_fields(self) -> list[str]:
+        return [self.target]
+
+    def _internal(self, ip: str) -> bool:
+        addr = ipaddress.ip_address(ip)
+        return any(addr in n for n in self.networks)
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        src = batch.get_objects_or_none(self.source_ip)
+        dst = batch.get_objects_or_none(self.dest_ip)
+        err = np.zeros(batch.n, dtype=bool)
+        out = np.empty(batch.n, dtype=object)
+        out[:] = None
+        for i in np.nonzero(mask)[0]:
+            s = src[i] if src is not None else None
+            d = dst[i] if dst is not None else None
+            if s is None or d is None:
+                if not self.ignore_missing:
+                    err[i] = True
+                continue
+            try:
+                si, di = self._internal(s), self._internal(d)
+            except ValueError:
+                err[i] = True
+                continue
+            out[i] = "internal" if (si and di) else "inbound" if di else "outbound" if si else "external"
+        ok = mask & ~err & np.array([v is not None for v in out], dtype=bool)
+        if ok.any():
+            batch.blend(self.target, out, ok)
+        return err if err.any() else None
+
+
+@register_processor("network_direction")
+def _network_direction_factory(config):
+    return NetworkDirectionKernel(config)
+
+
+# --------------------------------------------------------------------------
+# community_id (public Community ID flow-hash spec; spec:177-199)
+# --------------------------------------------------------------------------
+_PROTO_NUM = {"icmp": 1, "igmp": 2, "tcp": 6, "udp": 17, "gre": 47, "icmp6": 58, "ipv6-icmp": 58, "sctp": 132}
+_PORT_PROTOS = {1, 6, 17, 58, 132}
+
+
+def community_id(saddr: str, sport, daddr: str, dport, transport, seed: int = 0) -> str:
+    proto = _PROTO_NUM.get(str(transport).lower()) if not str(transport).isdigit() else int(transport)
+    if proto is None:
+        raise ValueError(f"unsupported transport [{transport}]")
+    sb = socket.inet_pton(socket.AF_INET6 if ":" in saddr else socket.AF_INET, saddr)
+    db = socket.inet_pton(socket.AF_INET6 if ":" in daddr else socket.AF_INET, daddr)
+    has_ports = proto in _PORT_PROTOS and sport is not None and dport is not None
+    sp = int(sport) if has_ports else 0
+    dp = int(dport) if has_ports else 0
+    if (sb, sp) > (db, dp):
+        sb, db, sp, dp = db, sb, dp, sp
+    buf = struct.pack("!H", seed) + sb + db + struct.pack("BB", proto, 0)
+    if has_ports:
+        buf += struct.pack("!HH", sp, dp)
+    return "1:" + base64.b64encode(hashlib.sha1(buf).digest()).decode()
+
+
+class CommunityIdKernel(Kernel):
+    failure_message = "community_id failed"
+
+    def __init__(self, config: dict):
+        g = lambda k, d: _normalize_field_path(config.get(k, d))
+        self.source_ip = g("source_ip", "source.ip")
+        self.source_port = g("source_port", "source.port")
+        self.dest_ip = g("destination_ip", "destination.ip")
+        self.dest_port = g("destination_port", "destination.port")
+        self.transport = g("transport", "network.transport")
+        self.iana_number = g("iana_number", "network.iana_number")
+        self.target = _normalize_field_path(config.get("target_field", "network.community_id"))
+        self.seed = int(config.get("seed", 0))
+        self.ignore_missing = bool(config.get("ignore_missing", True))
+
+    def output_fields(self) -> list[str]:
+        return [self.target]
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        cols = {
+            name: batch.get_objects_or_none(name)
+            for name in (self.source_ip, self.source_port, self.dest_ip, self.dest_port, self.transport, self.iana_number)
+        }
+        err = np.zeros(batch.n, dtype=bool)
+        out = np.empty(batch.n, dtype=object)
+        out[:] = None
+        for i in np.nonzero(mask)[0]:
+            v = lambda name: (cols[name][i] if cols[name] is not None else None)
+            transport = v(self.transport) or v(self.iana_number)
+            s, d = v(self.source_ip), v(self.dest_ip)
+            if s is None or d is None or transport is None:
+                if not self.ignore_missing:
+                    err[i] = True
+                continue
+            try:
+                out[i] = community_id(s, v(self.source_port), d, v(self.dest_port), transport, self.seed)
+            except (ValueError, OSError):
+                err[i] = True
+        ok = mask & np.array([v is not None for v in out], dtype=bool)
+        if ok.any():
+            batch.blend(self.target, out, ok)
+        return err if err.any() else None
+
+
+@register_processor("community_id")
+def _community_id_factory(config):
+    return CommunityIdKernel(config)
+
+
+# --------------------------------------------------------------------------
+# geoip — STUB database behind real plumbing
+# --------------------------------------------------------------------------
+class GeoIpKernel(Kernel):
+    """GeoIP enrichment with the reference's missing-database semantics.
+
+    The MaxMind reader is not available here; a database is an injected
+    ``dict[str prefix → dict of fields]`` (see
+    ``state/lookups.py:fake_geoip_database``).  When the configured
+    database is unavailable the event is tagged
+    ``_geoip_database_unavailable_<name>`` and passes through unchanged
+    — exactly the reference behavior (spec:1045,
+    ``geoip/IpDatabaseProvider.java``)."""
+
+    failure_message = "geoip failed"
+
+    def __init__(self, config: dict):
+        self.field = _normalize_field_path(config.get("field", ""))
+        if not self.field:
+            raise KernelCompileError("geoip: requires [field]")
+        self.target = config.get("target_field", "geoip")
+        self.database_file = config.get("database_file", "GeoLite2-City.mmdb")
+        self.database: dict | None = config.get("_database")  # injected stub
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        if self.database is None:
+            append_tag(batch, mask, f"_geoip_database_unavailable_{self.database_file}")
+            return None
+        from .parse import _per_row
+
+        t = self.target
+        db = self.database
+
+        def parse(s: str):
+            key = s.rsplit(".", 1)[0] if "." in s else s
+            rec = db.get(key) or db.get(s)
+            if rec is None:
+                return {}
+            return {f"{t}.{k}": v for k, v in rec.items()}
+
+        return _per_row(self, batch, mask, parse)
+
+
+@register_processor("geoip")
+def _geoip_factory(config):
+    return GeoIpKernel(config)

@@ -1,0 +1,605 @@
+"""Parse-family kernels: kv, csv, json, date, convert, bytes,
+urldecode, html_strip, uri_parts.
+
+Conformance targets (reference
+``spec/integration/elastic_integration_spec.rb``): kv :567-590,
+csv :225-250, json :543-565, date :252-276, convert :201-223,
+bytes :154-175, urldecode :960-980, html_strip :496-517,
+uri_parts :932-957.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json as _json
+import re
+
+import numpy as np
+
+from ..model import ColumnBatch
+from .base import Kernel, KernelCompileError, register_processor, string_values
+from .grok import _normalize_field_path
+
+
+def _per_row(kernel_self, batch, mask, fn):
+    """Per-row driver: fn(value) -> dict[field, value] | Exception.
+
+    Returns err mask. Shared by kernels whose semantics are inherently
+    per-row; everything stays batch-level above this point.
+    """
+    values = string_values(batch, kernel_self.field)
+    present = np.array([v is not None for v in values], dtype=bool)
+    err = np.zeros(batch.n, dtype=bool)
+    if not getattr(kernel_self, "ignore_missing", False):
+        err |= mask & ~present
+    idx = np.nonzero(mask & present)[0]
+    cols: dict[str, np.ndarray] = {}
+    ok = np.zeros(batch.n, dtype=bool)
+    for i in idx:
+        try:
+            res = fn(values[i])
+        except Exception:
+            err[i] = True
+            continue
+        if res is None:
+            err[i] = True
+            continue
+        ok[i] = True
+        for f, v in res.items():
+            if f not in cols:
+                c = np.empty(batch.n, dtype=object)
+                c[:] = None
+                cols[f] = c
+            cols[f][i] = v
+    for f, c in cols.items():
+        has = np.array([v is not None for v in c], dtype=bool)
+        m = ok & has
+        if m.any():
+            batch.blend(f, c, m)
+    return err if err.any() else None
+
+
+# --------------------------------------------------------------------------
+# kv
+# --------------------------------------------------------------------------
+class KvKernel(Kernel):
+    failure_message = "kv processor failed"
+
+    def __init__(self, config: dict):
+        self.field = _normalize_field_path(config.get("field", ""))
+        if not self.field:
+            raise KernelCompileError("kv: requires [field]")
+        fs = config.get("field_split")
+        vs = config.get("value_split")
+        if fs is None or vs is None:
+            raise KernelCompileError("kv: requires [field_split] and [value_split]")
+        self.field_split = re.compile(fs if len(fs) > 1 else re.escape(fs))
+        self.value_split = re.compile(vs if len(vs) > 1 else re.escape(vs))
+        self.target = config.get("target_field")
+        self.prefix = config.get("prefix", "")
+        self.include = set(config.get("include_keys", []) or [])
+        self.exclude = set(config.get("exclude_keys", []) or [])
+        self.trim_key = config.get("trim_key")
+        self.trim_value = config.get("trim_value")
+        self.strip_brackets = bool(config.get("strip_brackets", False))
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+
+    def _fieldname(self, key: str) -> str:
+        name = self.prefix + key
+        return f"{self.target}.{name}" if self.target else name
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        def parse(s: str):
+            out: dict[str, object] = {}
+            for token in self.field_split.split(s):
+                if token == "":
+                    continue
+                parts = self.value_split.split(token, maxsplit=1)
+                if len(parts) != 2:
+                    raise ValueError(f"cannot split key-value from {token!r}")
+                k, v = parts
+                if self.trim_key:
+                    k = k.strip(self.trim_key)
+                if self.trim_value:
+                    v = v.strip(self.trim_value)
+                if self.strip_brackets:
+                    v = v.strip("()<>[]\"'")
+                if self.include and k not in self.include:
+                    continue
+                if k in self.exclude:
+                    continue
+                f = self._fieldname(k)
+                if f in out:
+                    prev = out[f]
+                    out[f] = (prev if isinstance(prev, list) else [prev]) + [v]
+                else:
+                    out[f] = v
+            return out
+
+        return _per_row(self, batch, mask, parse)
+
+
+@register_processor("kv")
+def _kv_factory(config: dict) -> Kernel:
+    return KvKernel(config)
+
+
+# --------------------------------------------------------------------------
+# csv
+# --------------------------------------------------------------------------
+class CsvKernel(Kernel):
+    failure_message = "csv processor failed"
+
+    def __init__(self, config: dict):
+        self.field = _normalize_field_path(config.get("field", ""))
+        tf = config.get("target_fields")
+        if not self.field or not tf:
+            raise KernelCompileError("csv: requires [field] and [target_fields]")
+        self.target_fields = [_normalize_field_path(f) for f in tf]
+        self.sep = config.get("separator", ",")
+        self.quote = config.get("quote", '"')
+        self.trim = bool(config.get("trim", False))
+        self.empty_value = config.get("empty_value")
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+
+    def output_fields(self) -> list[str]:
+        return list(self.target_fields)
+
+    def _split(self, s: str) -> list[str]:
+        if self.quote and self.quote in s:
+            out, cur, i, n, inq = [], [], 0, len(s), False
+            q, sep = self.quote, self.sep
+            while i < n:
+                c = s[i]
+                if inq:
+                    if c == q:
+                        if i + 1 < n and s[i + 1] == q:
+                            cur.append(q)
+                            i += 1
+                        else:
+                            inq = False
+                    else:
+                        cur.append(c)
+                elif c == q and not cur:
+                    inq = True
+                elif c == sep:
+                    out.append("".join(cur))
+                    cur = []
+                else:
+                    cur.append(c)
+                i += 1
+            out.append("".join(cur))
+            return out
+        return s.split(self.sep)
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        def parse(s: str):
+            vals = self._split(s)
+            out = {}
+            for f, v in zip(self.target_fields, vals):
+                if self.trim:
+                    v = v.strip()
+                if v == "" and self.empty_value is not None:
+                    v = self.empty_value
+                out[f] = v
+            return out
+
+        return _per_row(self, batch, mask, parse)
+
+
+@register_processor("csv")
+def _csv_factory(config: dict) -> Kernel:
+    return CsvKernel(config)
+
+
+# --------------------------------------------------------------------------
+# json
+# --------------------------------------------------------------------------
+def flatten_json(value, prefix: str) -> dict[str, object]:
+    """Flatten a parsed JSON value into dotted columns under ``prefix``."""
+    out: dict[str, object] = {}
+    if isinstance(value, dict):
+        for k, v in value.items():
+            key = f"{prefix}.{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                out.update(flatten_json(v, key))
+            else:
+                out[key] = v
+    else:
+        out[prefix] = value
+    return out
+
+
+class JsonKernel(Kernel):
+    failure_message = "json processor failed to parse field"
+
+    def __init__(self, config: dict):
+        self.field = _normalize_field_path(config.get("field", ""))
+        if not self.field:
+            raise KernelCompileError("json: requires [field]")
+        self.target = config.get("target_field")
+        self.add_to_root = bool(config.get("add_to_root", False))
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        def parse(s: str):
+            v = _json.loads(s)
+            if self.add_to_root:
+                if not isinstance(v, dict):
+                    raise ValueError("cannot add non-object to root")
+                return flatten_json(v, "")
+            target = self.target if self.target else self.field
+            return flatten_json(v, target)
+
+        return _per_row(self, batch, mask, parse)
+
+
+@register_processor("json")
+def _json_factory(config: dict) -> Kernel:
+    return JsonKernel(config)
+
+
+# --------------------------------------------------------------------------
+# date
+# --------------------------------------------------------------------------
+_JAVA_TOKENS = [
+    ("yyyy", "%Y"),
+    ("yy", "%y"),
+    ("MM", "%m"),
+    ("dd", "%d"),
+    ("HH", "%H"),
+    ("mm", "%M"),
+    ("ss", "%S"),
+    ("SSS", "%f"),
+    ("XXX", "%z"),
+    ("XX", "%z"),
+    ("X", "%z"),
+    ("Z", "%z"),
+    ("EEE", "%a"),
+    ("MMM", "%b"),
+]
+
+
+def java_format_to_strptime(fmt: str) -> str:
+    out = fmt
+    for j, p in _JAVA_TOKENS:
+        out = out.replace(j, p)
+    return out.replace("'T'", "T")
+
+
+def format_iso8601(d: dt.datetime) -> str:
+    """ES DateFormatter-style ISO8601 with milliseconds; 'Z' for UTC."""
+    ms = d.microsecond // 1000
+    base = f"{d.year:04d}-{d.month:02d}-{d.day:02d}T{d.hour:02d}:{d.minute:02d}:{d.second:02d}.{ms:03d}"
+    off = d.utcoffset()
+    if off is None or off == dt.timedelta(0):
+        return base + "Z"
+    total = int(off.total_seconds())
+    sign = "+" if total >= 0 else "-"
+    total = abs(total)
+    return f"{base}{sign}{total // 3600:02d}:{(total % 3600) // 60:02d}"
+
+
+class DateKernel(Kernel):
+    failure_message = "unable to parse date"
+
+    def __init__(self, config: dict):
+        self.field = _normalize_field_path(config.get("field", ""))
+        formats = config.get("formats")
+        if not self.field or not formats:
+            raise KernelCompileError("date: requires [field] and [formats]")
+        self.formats = [str(f) for f in formats]
+        self.strptimes = [java_format_to_strptime(f) for f in self.formats]
+        self.target = _normalize_field_path(config.get("target_field", "@timestamp"))
+        self.output_format = config.get("output_format")  # None → ISO8601
+        tz = config.get("timezone")
+        self.tz = None
+        if tz:
+            if tz in ("UTC", "Z", "+00:00"):
+                self.tz = dt.timezone.utc
+            else:
+                from zoneinfo import ZoneInfo
+
+                self.tz = ZoneInfo(tz)
+        self.ignore_missing = False
+
+    def output_fields(self) -> list[str]:
+        return [self.target]
+
+    def _parse_one(self, s: str) -> dt.datetime:
+        for fmt, sp in zip(self.formats, self.strptimes):
+            if fmt in ("ISO8601", "iso8601"):
+                try:
+                    d = dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+                except ValueError:
+                    continue
+            elif fmt in ("UNIX", "unix"):
+                try:
+                    d = dt.datetime.fromtimestamp(float(s), dt.timezone.utc)
+                except ValueError:
+                    continue
+            elif fmt in ("UNIX_MS", "unix_ms"):
+                try:
+                    d = dt.datetime.fromtimestamp(float(s) / 1000.0, dt.timezone.utc)
+                except ValueError:
+                    continue
+            else:
+                try:
+                    d = dt.datetime.strptime(s, sp)
+                except ValueError:
+                    continue
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=self.tz or dt.timezone.utc)
+            return d
+        raise ValueError(f"unable to parse date [{s}] with formats {self.formats}")
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        def parse(s: str):
+            d = self._parse_one(s)
+            if self.output_format:
+                return {self.target: d.strftime(java_format_to_strptime(self.output_format))}
+            return {self.target: format_iso8601(d)}
+
+        return _per_row(self, batch, mask, parse)
+
+
+@register_processor("date")
+def _date_factory(config: dict) -> Kernel:
+    return DateKernel(config)
+
+
+# --------------------------------------------------------------------------
+# convert
+# --------------------------------------------------------------------------
+def _convert_value(v, ctype: str):
+    if ctype in ("integer", "long"):
+        if isinstance(v, bool):
+            raise ValueError("cannot convert boolean")
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float):
+            raise ValueError("cannot losslessly convert float")
+        return int(str(v).strip())
+    if ctype in ("float", "double"):
+        if isinstance(v, bool):
+            raise ValueError("cannot convert boolean")
+        if isinstance(v, (int, float)):
+            return float(v)
+        return float(str(v).strip())
+    if ctype == "string":
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+    if ctype == "boolean":
+        if isinstance(v, bool):
+            return v
+        s = str(v).strip().lower()
+        if s == "true":
+            return True
+        if s == "false":
+            return False
+        raise ValueError(f"[{v}] is not a boolean")
+    if ctype == "ip":
+        import ipaddress
+
+        ipaddress.ip_address(str(v))
+        return str(v)
+    if ctype == "auto":
+        if not isinstance(v, str):
+            return v
+        s = v.strip()
+        if s.lower() in ("true", "false"):
+            return s.lower() == "true"
+        try:
+            return int(s)
+        except ValueError:
+            pass
+        try:
+            return float(s)
+        except ValueError:
+            pass
+        return v
+    raise KernelCompileError(f"convert: unsupported type [{ctype}]")
+
+
+class ConvertKernel(Kernel):
+    failure_message = "unable to convert field"
+
+    def __init__(self, config: dict):
+        self.field = _normalize_field_path(config.get("field", ""))
+        self.ctype = config.get("type")
+        if not self.field or not self.ctype:
+            raise KernelCompileError("convert: requires [field] and [type]")
+        if self.ctype not in ("integer", "long", "float", "double", "string", "boolean", "ip", "auto"):
+            raise KernelCompileError(f"convert: unsupported type [{self.ctype}]")
+        self.target = _normalize_field_path(config.get("target_field") or self.field)
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+
+    def output_fields(self) -> list[str]:
+        return [self.target]
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        if not batch.has(self.field):
+            if self.ignore_missing:
+                return None
+            return mask.copy()
+        vals = batch.objects(self.field)
+        present = np.array([v is not None for v in vals], dtype=bool)
+        err = np.zeros(batch.n, dtype=bool)
+        if not self.ignore_missing:
+            err |= mask & ~present
+        idx = np.nonzero(mask & present)[0]
+        out = np.empty(batch.n, dtype=object)
+        out[:] = None
+        ok = np.zeros(batch.n, dtype=bool)
+        for i in idx:
+            v = vals[i]
+            try:
+                if isinstance(v, list):
+                    out[i] = [_convert_value(x, self.ctype) for x in v]
+                else:
+                    out[i] = _convert_value(v, self.ctype)
+                ok[i] = True
+            except (ValueError, TypeError):
+                err[i] = True
+        if ok.any():
+            batch.blend(self.target, out, ok)
+        return err if err.any() else None
+
+
+@register_processor("convert")
+def _convert_factory(config: dict) -> Kernel:
+    return ConvertKernel(config)
+
+
+# --------------------------------------------------------------------------
+# bytes
+# --------------------------------------------------------------------------
+_BYTES_RE = re.compile(r"^\s*([0-9]*\.?[0-9]+)\s*(b|kb|mb|gb|tb|pb)\s*$", re.I)
+_BYTES_MULT = {"b": 1, "kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30, "tb": 1 << 40, "pb": 1 << 50}
+
+
+class BytesKernel(Kernel):
+    failure_message = "failed to parse bytes value"
+
+    def __init__(self, config: dict):
+        self.field = _normalize_field_path(config.get("field", ""))
+        if not self.field:
+            raise KernelCompileError("bytes: requires [field]")
+        self.target = _normalize_field_path(config.get("target_field") or self.field)
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+
+    def output_fields(self) -> list[str]:
+        return [self.target]
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        def parse(s: str):
+            m = _BYTES_RE.match(s)
+            if not m:
+                raise ValueError(f"failed to parse setting [{s}]")
+            num, unit = m.group(1), m.group(2).lower()
+            return {self.target: int(float(num) * _BYTES_MULT[unit])}
+
+        return _per_row(self, batch, mask, parse)
+
+
+@register_processor("bytes")
+def _bytes_factory(config: dict) -> Kernel:
+    return BytesKernel(config)
+
+
+# --------------------------------------------------------------------------
+# urldecode / html_strip
+# --------------------------------------------------------------------------
+class UrldecodeKernel(Kernel):
+    failure_message = "could not URL-decode field"
+
+    def __init__(self, config: dict):
+        self.field = _normalize_field_path(config.get("field", ""))
+        if not self.field:
+            raise KernelCompileError("urldecode: requires [field]")
+        self.target = _normalize_field_path(config.get("target_field") or self.field)
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        from urllib.parse import unquote_plus
+
+        def parse(s: str):
+            return {self.target: unquote_plus(s)}
+
+        return _per_row(self, batch, mask, parse)
+
+
+@register_processor("urldecode")
+def _urldecode_factory(config: dict) -> Kernel:
+    return UrldecodeKernel(config)
+
+
+_TAG_RE = re.compile(r"<[^>]*>")
+_MULTI_NL = re.compile(r"\n{2,}")
+
+
+class HtmlStripKernel(Kernel):
+    failure_message = "html_strip failed"
+
+    def __init__(self, config: dict):
+        self.field = _normalize_field_path(config.get("field", ""))
+        if not self.field:
+            raise KernelCompileError("html_strip: requires [field]")
+        self.target = _normalize_field_path(config.get("target_field") or self.field)
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        def parse(s: str):
+            return {self.target: _MULTI_NL.sub("\n", _TAG_RE.sub("\n", s))}
+
+        return _per_row(self, batch, mask, parse)
+
+
+@register_processor("html_strip")
+def _html_strip_factory(config: dict) -> Kernel:
+    return HtmlStripKernel(config)
+
+
+# --------------------------------------------------------------------------
+# uri_parts
+# --------------------------------------------------------------------------
+class UriPartsKernel(Kernel):
+    failure_message = "unable to parse URI"
+
+    def __init__(self, config: dict):
+        self.field = _normalize_field_path(config.get("field", ""))
+        if not self.field:
+            raise KernelCompileError("uri_parts: requires [field]")
+        self.target = config.get("target_field", "url")
+        self.keep_original = bool(config.get("keep_original", True))
+        self.remove_if_successful = bool(config.get("remove_if_successful", False))
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        from urllib.parse import urlsplit
+
+        t = self.target
+
+        def parse(s: str):
+            u = urlsplit(s)
+            if not u.scheme and not u.netloc:
+                raise ValueError(f"unable to parse URI [{s}]")
+            out: dict[str, object] = {}
+            if self.keep_original:
+                out[f"{t}.original"] = s
+            if u.scheme:
+                out[f"{t}.scheme"] = u.scheme
+            if u.hostname:
+                out[f"{t}.domain"] = u.hostname
+            if u.port is not None:
+                out[f"{t}.port"] = int(u.port)
+            if u.path:
+                out[f"{t}.path"] = u.path
+                seg = u.path.rsplit("/", 1)[-1]
+                if "." in seg:
+                    out[f"{t}.extension"] = seg.rsplit(".", 1)[1]
+            if u.query:
+                out[f"{t}.query"] = u.query
+            if u.fragment:
+                out[f"{t}.fragment"] = u.fragment
+            if u.username:
+                out[f"{t}.username"] = u.username
+                out[f"{t}.user_info"] = f"{u.username}:{u.password or ''}"
+            if u.password:
+                out[f"{t}.password"] = u.password
+            return out
+
+        err = _per_row(self, batch, mask, parse)
+        if self.remove_if_successful and batch.has(self.field):
+            ok = mask.copy()
+            if err is not None:
+                ok &= ~err
+            if bool(ok.all()) and self.field != self.target:
+                batch.drop(self.field)
+        return err
+
+
+@register_processor("uri_parts")
+def _uri_parts_factory(config: dict) -> Kernel:
+    return UriPartsKernel(config)

@@ -1,0 +1,410 @@
+"""Columnar document model.
+
+The reference engine's unit of data is one mutable nested map per event
+(``IngestDocument``, see reference
+``src/main/java/co/elastic/logstash/filters/elasticintegration/IngestDuplexMarshaller.java:79-102``).
+Our unit of data is one Arrow **batch**: a ``ColumnBatch`` wraps a
+``pyarrow.Table`` as a mutable dict of columns keyed by *field path*
+(dotted, e.g. ``url.domain``), which processor kernels read and write
+vectorized.  Nested structure is flattened to dotted column names in
+flight and (optionally) re-nested at the edge — the columnar layout is
+what makes every kernel a batch-level Arrow/numpy operation instead of
+a per-row interpreter.
+
+Reserved-field sanitization semantics mirror the reference marshaller
+(``IngestDuplexMarshaller.java:237-252, 331-346, 357-377, 395-413,
+456-509``): see :func:`sanitize_reserved_fields`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# Engine-private column names (reference: `@metadata` / `_ingest_document`
+# doc-level metadata, surfaced as [@metadata][_ingest_document][...] —
+# IngestDuplexMarshaller.java:331-346).  Private columns are dropped from
+# public output unless explicitly requested.
+# ---------------------------------------------------------------------------
+META_INDEX = "__meta_index"              # doc-level `_index` (routing target)
+META_TARGET_PIPELINE = "__meta_target_pipeline"  # success marker, "_none"
+META_FAILURE_MESSAGE = "__meta_failure_message"  # _ingest_pipeline_failure.message
+META_FAILURE_TAG = "__meta_failure_tag"          # failing processor tag
+PRIVATE_PREFIX = "__"
+
+TAGS = "tags"
+FAILURE_TAG_VALUE = "_ingest_pipeline_failure"
+
+# Reserved Logstash fields and their quarantine targets
+# (IngestDuplexMarshaller.java:43-46).
+RESERVED_TIMESTAMP = "@timestamp"
+RESERVED_VERSION = "@version"
+RESERVED_METADATA = "@metadata"
+QUARANTINE = {
+    RESERVED_TIMESTAMP: "_@timestamp",
+    RESERVED_VERSION: "_@version",
+    RESERVED_METADATA: "_@metadata",
+    TAGS: "_tags",
+}
+
+
+def _to_numpy_objects(arr) -> np.ndarray:
+    if isinstance(arr, np.ndarray):
+        if arr.dtype == object:
+            return arr
+        return arr.astype(object)
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        out = np.empty(len(arr), dtype=object)
+        out[:] = arr.to_pylist()
+        return out
+    out = np.empty(len(arr), dtype=object)
+    out[:] = list(arr)
+    return out
+
+
+def _objects_to_arrow(arr: np.ndarray) -> pa.Array:
+    """Best-effort object→Arrow conversion.
+
+    Mixed-type columns (a thing ES documents can legally produce, e.g.
+    ``append`` promoting a scalar to a list on some rows only) fall back
+    to JSON-encoded strings so the batch stays representable.
+    """
+    try:
+        return pa.array(arr.tolist())
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        import json
+
+        enc = [None if v is None else json.dumps(v, default=str) for v in arr.tolist()]
+        return pa.array(enc, type=pa.string())
+
+
+class ColumnBatch:
+    """Mutable dict-of-columns view over one Arrow batch.
+
+    Columns are stored either as ``pyarrow.Array`` (preferred, zero-copy
+    from the object store) or as numpy object ndarrays (fallback for
+    kernels that need per-row Python values or mixed types).  Conversion
+    happens lazily on access.
+    """
+
+    def __init__(self, table: pa.Table | None = None, num_rows: int | None = None):
+        self._cols: dict[str, object] = {}
+        if table is not None:
+            self.n = table.num_rows
+            for i, name in enumerate(table.column_names):
+                self._cols[name] = table.column(i).combine_chunks()
+        else:
+            self.n = int(num_rows or 0)
+        # field paths flagged as originally-flat literal dotted keys
+        # (dot_expander bookkeeping; columnar layout is identical).
+        self.expanded_paths: set[str] = set()
+
+    # -- introspection ------------------------------------------------------
+    def has(self, name: str) -> bool:
+        return name in self._cols
+
+    def names(self) -> list[str]:
+        return list(self._cols)
+
+    def children(self, prefix: str) -> list[str]:
+        """Column names under a dotted prefix (``a`` -> [``a.b``, ...])."""
+        p = prefix + "."
+        return [c for c in self._cols if c.startswith(p)]
+
+    # -- access -------------------------------------------------------------
+    def arrow(self, name: str) -> pa.Array:
+        v = self._cols[name]
+        if isinstance(v, np.ndarray):
+            v = _objects_to_arrow(v)
+            self._cols[name] = v
+        return v
+
+    def objects(self, name: str) -> np.ndarray:
+        """Column as numpy object array (materializes Python values)."""
+        v = self._cols[name]
+        if not isinstance(v, np.ndarray):
+            v = _to_numpy_objects(v)
+            self._cols[name] = v
+        return v
+
+    def get_objects_or_none(self, name: str) -> np.ndarray | None:
+        return self.objects(name) if name in self._cols else None
+
+    def valid_mask(self, name: str) -> np.ndarray:
+        if name not in self._cols:
+            return np.zeros(self.n, dtype=bool)
+        v = self._cols[name]
+        if isinstance(v, np.ndarray):
+            return np.array([x is not None for x in v], dtype=bool)
+        if v.null_count == 0:
+            return np.ones(self.n, dtype=bool)
+        return np.asarray(pc.is_valid(v))
+
+    # -- mutation -----------------------------------------------------------
+    def set(self, name: str, values) -> None:
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if isinstance(values, (pa.Array, np.ndarray)):
+            if len(values) != self.n:
+                raise ValueError(f"column {name!r}: length {len(values)} != {self.n}")
+            if isinstance(values, np.ndarray) and values.dtype != object:
+                values = pa.array(values)
+            self._cols[name] = values
+        elif isinstance(values, list):
+            if len(values) != self.n:
+                raise ValueError(f"column {name!r}: length {len(values)} != {self.n}")
+            arr = np.empty(self.n, dtype=object)
+            arr[:] = values
+            self._cols[name] = arr
+        else:
+            raise TypeError(f"unsupported column value type {type(values)}")
+
+    def set_scalar(self, name: str, value, mask: np.ndarray | None = None) -> None:
+        if mask is None or bool(mask.all()):
+            if value is None:
+                self._cols[name] = pa.nulls(self.n)
+            else:
+                try:
+                    self._cols[name] = pa.array([value] * self.n)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    arr = np.empty(self.n, dtype=object)
+                    arr[:] = [value] * self.n
+                    self._cols[name] = arr
+            return
+        new = np.empty(self.n, dtype=object)
+        new[:] = [value] * self.n
+        self.blend(name, new, mask)
+
+    def drop(self, name: str) -> None:
+        self._cols.pop(name, None)
+
+    def rename(self, old: str, new: str) -> None:
+        self._cols[new] = self._cols.pop(old)
+
+    def blend(self, name: str, new_values, mask: np.ndarray) -> None:
+        """Set ``name`` to ``new_values`` on masked rows, keep old elsewhere.
+
+        Fast path: both sides Arrow with a common type → ``pc.if_else``.
+        Fallback: object arrays.
+        """
+        if isinstance(new_values, list):
+            tmp = np.empty(self.n, dtype=object)
+            tmp[:] = new_values
+            new_values = tmp
+        old = self._cols.get(name)
+        if old is None:
+            if isinstance(new_values, pa.Array) or (
+                isinstance(new_values, np.ndarray) and new_values.dtype != object
+            ):
+                arr = new_values if isinstance(new_values, pa.Array) else pa.array(new_values)
+                self._cols[name] = pc.if_else(pa.array(mask), arr, pa.nulls(self.n, arr.type))
+            else:
+                out = np.empty(self.n, dtype=object)
+                out[:] = None
+                out[mask] = np.asarray(new_values, dtype=object)[mask]
+                self._cols[name] = out
+            return
+        arrow_old = isinstance(old, pa.Array)
+        arrow_new = isinstance(new_values, pa.Array) or (
+            isinstance(new_values, np.ndarray) and new_values.dtype != object
+        )
+        if arrow_old and arrow_new:
+            arr = new_values if isinstance(new_values, pa.Array) else pa.array(new_values)
+            try:
+                if arr.type != old.type:
+                    common = pa.string() if (pa.types.is_string(arr.type) or pa.types.is_string(old.type)) else None
+                    if common is not None:
+                        arr = arr.cast(common) if arr.type != common else arr
+                        old = old.cast(common) if old.type != common else old
+                    else:
+                        arr = arr.cast(old.type)
+                self._cols[name] = pc.if_else(pa.array(mask), arr, old)
+                return
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                pass
+        out = self.objects(name).copy()
+        out[mask] = _to_numpy_objects(new_values)[mask]
+        self._cols[name] = out
+
+    # -- output -------------------------------------------------------------
+    def take_mask(self, keep: np.ndarray) -> None:
+        """Filter all columns to ``keep`` rows (used for drop semantics)."""
+        if bool(keep.all()):
+            return
+        kmask = pa.array(keep)
+        for name, v in list(self._cols.items()):
+            if isinstance(v, np.ndarray):
+                self._cols[name] = v[keep]
+            else:
+                self._cols[name] = v.filter(kmask)
+        self.n = int(keep.sum())
+
+    def to_table(self, include_private: bool = False) -> pa.Table:
+        names, arrays = [], []
+        for name in self._cols:
+            if not include_private and name.startswith(PRIVATE_PREFIX):
+                continue
+            names.append(name)
+            arrays.append(self.arrow(name))
+        if not names:
+            # keep row count observable even with no public columns
+            return pa.table({"__rows": pa.nulls(self.n)}).drop_columns(["__rows"]) if self.n == 0 else pa.table(
+                {"_": pa.nulls(self.n)}
+            )
+        return pa.Table.from_arrays(arrays, names=names)
+
+    def snapshot(self) -> dict[str, object]:
+        """Shallow column snapshot (arrays are immutable-in-practice:
+        kernels always *replace* columns, never mutate buffers)."""
+        return dict(self._cols)
+
+    def restore_rows(self, snapshot: dict[str, object], mask: np.ndarray) -> None:
+        """Restore masked rows to their snapshot values — the reference's
+        failure isolation: a failed event is emitted *unmodified*
+        (EventProcessor.java:176-184)."""
+        if not mask.any():
+            return
+        current = set(self._cols)
+        snap_names = set(snapshot)
+        for name in current - snap_names:
+            if mask.all():
+                self.drop(name)
+            else:
+                # column added after snapshot: null it out on failed rows
+                self.blend(name, np.full(self.n, None, dtype=object), mask)
+        for name in snap_names:
+            old = snapshot[name]
+            if name not in self._cols:
+                self._cols[name] = old
+            else:
+                keep = self._cols[name]
+                self._cols[name] = keep
+                old_np = _to_numpy_objects(old)
+                self.blend(name, old_np, mask)
+
+
+# ---------------------------------------------------------------------------
+# Reserved-field sanitization (marshal-out semantics)
+# ---------------------------------------------------------------------------
+
+def _is_int_string(v) -> bool:
+    if not isinstance(v, str):
+        return False
+    s = v[1:] if v[:1] in "+-" else v
+    return s.isdigit() and s != ""
+
+
+def sanitize_reserved_fields(batch: ColumnBatch) -> None:
+    """Apply the reference marshaller's reserved-field rules
+    (IngestDuplexMarshaller.java:357-377 `@version`, :395-413
+    `@timestamp`, :456-476 `@metadata`, :486-509 `tags`):
+
+    - ``@version`` must be a string-encoded integer, else the original
+      value moves to ``_@version``;
+    - ``@timestamp`` must coerce to a timestamp, else the original moves
+      to ``_@timestamp``;
+    - ``@metadata`` must be a map, else moves to ``_@metadata``;
+    - ``tags`` must be a string or list of strings, else moves to
+      ``_tags``.
+
+    Only applied to columns that exist; values on rows that conform are
+    left untouched.
+    """
+    import datetime as _dt
+
+    if batch.has(RESERVED_VERSION):
+        vals = batch.objects(RESERVED_VERSION)
+        bad = np.array(
+            [v is not None and not (_is_int_string(v) or isinstance(v, int) and not isinstance(v, bool)) for v in vals],
+            dtype=bool,
+        )
+        if bad.any():
+            quarantined = np.where(bad, vals, None)
+            batch.blend(QUARANTINE[RESERVED_VERSION], quarantined, bad)
+            coerced = vals.copy()
+            coerced[bad] = None
+            batch.set(RESERVED_VERSION, coerced)
+        # integers become string-encoded
+        vals = batch.objects(RESERVED_VERSION)
+        batch.set(RESERVED_VERSION, np.array(
+            [str(v) if isinstance(v, int) and not isinstance(v, bool) else v for v in vals], dtype=object
+        ))
+
+    if batch.has(RESERVED_TIMESTAMP):
+        col = batch._cols[RESERVED_TIMESTAMP]
+        is_temporal_col = isinstance(col, pa.Array) and pa.types.is_temporal(col.type)
+        if not is_temporal_col:
+            vals = batch.objects(RESERVED_TIMESTAMP)
+            coerced = np.empty(batch.n, dtype=object)
+            bad = np.zeros(batch.n, dtype=bool)
+            for i, v in enumerate(vals):
+                if v is None:
+                    coerced[i] = None
+                    continue
+                if isinstance(v, _dt.datetime):
+                    coerced[i] = v
+                    continue
+                if isinstance(v, str):
+                    try:
+                        coerced[i] = _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+                        continue
+                    except ValueError:
+                        pass
+                bad[i] = True
+                coerced[i] = None
+            if bad.any():
+                quarantined = np.where(bad, vals, None)
+                batch.blend(QUARANTINE[RESERVED_TIMESTAMP], quarantined, bad)
+            batch.set(RESERVED_TIMESTAMP, coerced)
+
+    if batch.has(RESERVED_METADATA):
+        vals = batch.objects(RESERVED_METADATA)
+        bad = np.array([v is not None and not isinstance(v, dict) for v in vals], dtype=bool)
+        if bad.any():
+            quarantined = np.where(bad, vals, None)
+            batch.blend(QUARANTINE[RESERVED_METADATA], quarantined, bad)
+            cleaned = vals.copy()
+            cleaned[bad] = None
+            batch.set(RESERVED_METADATA, cleaned)
+
+    if batch.has(TAGS):
+        vals = batch.objects(TAGS)
+
+        def _tags_ok(v):
+            if v is None or isinstance(v, str):
+                return True
+            if isinstance(v, list):
+                return all(isinstance(x, str) for x in v)
+            return False
+
+        bad = np.array([not _tags_ok(v) for v in vals], dtype=bool)
+        if bad.any():
+            quarantined = np.where(bad, vals, None)
+            batch.blend(QUARANTINE[TAGS], quarantined, bad)
+            cleaned = vals.copy()
+            cleaned[bad] = None
+            batch.set(TAGS, cleaned)
+
+
+def append_tag(batch: ColumnBatch, mask: np.ndarray, tag: str) -> None:
+    """Append ``tag`` to the ``tags`` field of masked rows (list-promote)."""
+    if not mask.any():
+        return
+    if batch.has(TAGS):
+        vals = batch.objects(TAGS).copy()
+    else:
+        vals = np.empty(batch.n, dtype=object)
+        vals[:] = None
+    idx = np.nonzero(mask)[0]
+    for i in idx:
+        v = vals[i]
+        if v is None:
+            vals[i] = [tag]
+        elif isinstance(v, list):
+            if tag not in v:
+                vals[i] = v + [tag]
+        else:
+            vals[i] = [v, tag]
+    batch.set(TAGS, vals)

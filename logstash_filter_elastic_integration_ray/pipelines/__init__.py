@@ -1,0 +1,11 @@
+from .compiler import CompiledPipeline, Step, compile_pipeline, compile_pipeline_set
+from .executor import EventProcessor, RoutingConfig
+
+__all__ = [
+    "CompiledPipeline",
+    "Step",
+    "compile_pipeline",
+    "compile_pipeline_set",
+    "EventProcessor",
+    "RoutingConfig",
+]

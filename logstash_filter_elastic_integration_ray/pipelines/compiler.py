@@ -1,0 +1,105 @@
+"""Pipeline compiler: ES ingest-pipeline JSON → compiled stage list.
+
+The reference parses the ES named-object wire format ``{"<id>": {...}}``
+(``PipelineConfigurationFactory.java:34-51``) and builds a ``Pipeline``
+of opaque Java processor objects (``IngestPipelineFactory.java:50-61``).
+We compile the same JSON shape **once on the driver** into
+:class:`CompiledPipeline` objects — plain picklable Python — that ship
+in the ``map_batches`` closure to every worker.  Common per-processor
+params (``if`` / ``tag`` / ``description`` / ``ignore_failure`` /
+``on_failure``) are handled generically here; per-type semantics live in
+the kernel registry (``functions/``).
+
+Unsupported processor types fail *compilation* (mirroring the reference
+failing pipeline creation — docs/index.asciidoc:309-324).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..conditions import Condition, compile_condition
+from ..functions import Kernel, build_kernel
+
+COMMON_PARAMS = ("if", "tag", "description", "ignore_failure", "on_failure")
+
+
+@dataclass
+class Step:
+    ptype: str
+    kernel: Kernel
+    tag: str | None = None
+    condition: Condition | None = None
+    ignore_failure: bool = False
+    on_failure: list["Step"] | None = None
+    description: str | None = None
+
+    @property
+    def display_name(self) -> str:
+        return f"{self.ptype}" + (f":{self.tag}" if self.tag else "")
+
+
+@dataclass
+class CompiledPipeline:
+    pipeline_id: str
+    steps: list[Step] = field(default_factory=list)
+    on_failure: list[Step] | None = None
+
+    def output_fields(self) -> list[str]:
+        """Statically inferred fields this pipeline may add (the schema
+        system the reference can't have — SURVEY.md §1.2)."""
+        out: list[str] = []
+        seen = set()
+        for s in self.steps:
+            for f in s.kernel.output_fields():
+                if f not in seen:
+                    seen.add(f)
+                    out.append(f)
+        return out
+
+
+def _compile_step(proc_def: dict) -> Step:
+    if not isinstance(proc_def, dict) or len(proc_def) != 1:
+        raise ValueError(f"each processor must be a single-key object, got {proc_def!r}")
+    ptype, config = next(iter(proc_def.items()))
+    config = dict(config or {})
+    condition = compile_condition(config.pop("if", None))
+    tag = config.pop("tag", None)
+    description = config.pop("description", None)
+    ignore_failure = bool(config.pop("ignore_failure", False))
+    on_failure_defs = config.pop("on_failure", None)
+    kernel = build_kernel(ptype, config)
+    on_failure = [_compile_step(d) for d in on_failure_defs] if on_failure_defs else None
+    return Step(
+        ptype=ptype,
+        kernel=kernel,
+        tag=tag,
+        condition=condition,
+        ignore_failure=ignore_failure,
+        on_failure=on_failure,
+        description=description,
+    )
+
+
+def compile_pipeline(pipeline_id: str, definition: dict) -> CompiledPipeline:
+    processors = definition.get("processors")
+    if processors is None:
+        raise ValueError(f"pipeline [{pipeline_id}] has no [processors]")
+    steps = [_compile_step(p) for p in processors]
+    on_failure_defs = definition.get("on_failure")
+    on_failure = [_compile_step(d) for d in on_failure_defs] if on_failure_defs else None
+    return CompiledPipeline(pipeline_id=pipeline_id, steps=steps, on_failure=on_failure)
+
+
+def compile_pipeline_set(definitions: dict[str, dict]) -> dict[str, CompiledPipeline]:
+    """Compile a set of named pipelines.  Accepts either
+    ``{id: definition}`` or per-entry ES wire format
+    ``{id: {id: definition}}`` (PipelineConfigurationFactory.java:34-51)."""
+    out: dict[str, CompiledPipeline] = {}
+    for pid, definition in definitions.items():
+        if "processors" not in definition and len(definition) == 1:
+            inner_id, inner = next(iter(definition.items()))
+            if isinstance(inner, dict) and "processors" in inner:
+                pid, definition = inner_id, inner
+        out[pid] = compile_pipeline(pid, definition)
+    return out

@@ -1,0 +1,385 @@
+"""Batch pipeline executor — the engine's hot path.
+
+The reference's per-event flow (``EventProcessor.java:91-244``):
+resolve event→index→pipeline, run the processor chain with
+conditionals / on_failure / sub-pipelines, follow ``reroute`` to the
+next pipeline with index-history cycle detection, emit originals for
+failed events.  Here the *entire* flow — including the reroute loop —
+executes inside one ``map_batches`` call per Arrow batch: masks replace
+per-event control flow, kernels replace processor objects, and control
+never leaves the worker until the batch is finished (no per-event async
+machinery, no latches — SURVEY.md §3.2).
+
+``EventProcessor`` is a picklable callable class, usable directly as a
+``map_batches`` actor (compiled pipelines built once in ``__init__`` on
+the driver, shipped in the closure)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from ..model import (
+    META_FAILURE_MESSAGE,
+    META_FAILURE_TAG,
+    META_INDEX,
+    META_TARGET_PIPELINE,
+    FAILURE_TAG_VALUE,
+    ColumnBatch,
+    append_tag,
+    sanitize_reserved_fields,
+)
+from .compiler import CompiledPipeline, Step
+
+MAX_REROUTES = 10  # static bound on data-dependent pipeline re-entry
+
+
+class PipelineState:
+    """Per-batch execution masks — the columnar form of per-event flow."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self.failed = np.zeros(n, dtype=bool)
+        self.dropped = np.zeros(n, dtype=bool)
+        self.terminated = np.zeros(n, dtype=bool)
+        self.reroute_pending = np.zeros(n, dtype=bool)
+        self.reroute_dest = np.empty(n, dtype=object)
+        self.reroute_dest[:] = None
+        self.failure_messages = np.empty(n, dtype=object)
+        self.failure_messages[:] = None
+        self.failure_tags = np.empty(n, dtype=object)
+        self.failure_tags[:] = None
+        # local_done is managed per run_pipeline invocation (reroute
+        # skips the *rest of the current pipeline* only)
+        self.local_done = np.zeros(n, dtype=bool)
+
+    def inactive(self) -> np.ndarray:
+        return self.failed | self.dropped | self.terminated
+
+    # -- control-kernel API -------------------------------------------------
+    def mark_dropped(self, mask: np.ndarray) -> None:
+        self.dropped |= mask
+
+    def mark_terminated(self, mask: np.ndarray) -> None:
+        self.terminated |= mask
+
+    def mark_reroute(self, mask: np.ndarray, dest: np.ndarray) -> None:
+        self.reroute_pending |= mask
+        self.reroute_dest[mask] = dest[mask]
+        self.local_done |= mask
+
+    def set_failure_messages(self, mask: np.ndarray, messages: np.ndarray) -> None:
+        self.failure_messages[mask] = messages[mask]
+
+
+@dataclass
+class RoutingConfig:
+    """Compile-time routing — replaces the reference's remote resolvers
+    (``ElasticsearchIndexNameToPipelineNameResolver.java:38-70`` becomes
+    a broadcast dict; ``DatastreamEventToIndexNameResolver.java:28-54``
+    becomes the type-dataset-namespace composition below)."""
+
+    #: index name → pipeline name ("_none" bypasses; missing → no-op)
+    index_to_pipeline: dict[str, str] = field(default_factory=dict)
+    #: pipeline applied when no index can be resolved (engine extension
+    #: for standalone pipelines; None → reference no-op pass-through)
+    default_pipeline: str | None = None
+    #: compose the index from data_stream.{type,dataset,namespace}
+    use_datastream: bool = True
+
+
+class EventProcessor:
+    """Callable batch transform: ``pa.Table -> pa.Table``.
+
+    Parameters
+    ----------
+    pipelines : compiled pipeline set (``compile_pipeline_set``)
+    routing : RoutingConfig
+    emit_private : include ``__meta_*`` columns in the output table
+    """
+
+    def __init__(
+        self,
+        pipelines: dict[str, CompiledPipeline],
+        routing: RoutingConfig | None = None,
+        emit_private: bool = True,
+    ):
+        self.pipelines = pipelines
+        self.routing = routing or RoutingConfig()
+        self.emit_private = emit_private
+
+    # -- map_batches entry ---------------------------------------------------
+    def __call__(self, table: pa.Table) -> pa.Table:
+        batch = ColumnBatch(table)
+        if batch.n == 0:
+            return table
+        state = PipelineState(batch.n)
+        original = batch.snapshot()
+
+        # 1. resolve index per row (DatastreamEventToIndexNameResolver.java:28-54)
+        index = self._resolve_index(batch)
+        # 2. resolve pipeline name per row; None → no-op bypass
+        pipeline_names = self._resolve_pipelines(index)
+        if batch.has(META_INDEX):
+            cur_index = batch.objects(META_INDEX).copy()
+        else:
+            cur_index = index
+        # index history for reroute cycle detection (EventProcessor.java:195-207)
+        history: dict[int, set] = {}
+
+        rounds = 0
+        pending = np.array([p is not None for p in pipeline_names], dtype=bool) & ~state.inactive()
+        while pending.any() and rounds < MAX_REROUTES:
+            rounds += 1
+            names = {pipeline_names[i] for i in np.nonzero(pending)[0]}
+            for name in sorted(names):
+                mask = pending & np.array([p == name for p in pipeline_names], dtype=bool)
+                pipe = self.pipelines.get(name)
+                if pipe is None:
+                    self._fail_rows(
+                        state, mask,
+                        np.full(batch.n, f"pipeline not loaded [{name}]", dtype=object), None,
+                    )
+                    continue
+                self.run_pipeline(pipe, batch, mask, state, stack=(name,))
+            # reroute handling
+            pending = np.zeros(batch.n, dtype=bool)
+            rr = state.reroute_pending & ~state.inactive()
+            if rr.any():
+                for i in np.nonzero(rr)[0]:
+                    new_index = state.reroute_dest[i]
+                    hist = history.setdefault(i, {cur_index[i]} if cur_index[i] else set())
+                    if new_index in hist:
+                        state.failure_messages[i] = (
+                            f"index cycle detected while rerouting document: {sorted(hist)} -> {new_index}"
+                        )
+                        state.failed[i] = True
+                        continue
+                    hist.add(new_index)
+                    cur_index[i] = new_index
+                    next_pipe = self._pipeline_for_index(new_index)
+                    pipeline_names[i] = next_pipe
+                    if next_pipe is not None:
+                        pending[i] = True
+                state.reroute_pending[:] = False
+                state.reroute_dest[:] = None
+
+        # final index column
+        has_index = np.array([v is not None for v in cur_index], dtype=bool)
+        if has_index.any():
+            batch.blend(META_INDEX, cur_index, has_index)
+
+        # failed rows: restore originals + tag (EventProcessor.java:176-184, 246-252)
+        if state.failed.any():
+            batch.restore_rows(original, state.failed)
+            append_tag(batch, state.failed, FAILURE_TAG_VALUE)
+            batch.blend(META_FAILURE_MESSAGE, state.failure_messages, state.failed)
+            has_tag = np.array([t is not None for t in state.failure_tags], dtype=bool)
+            m = state.failed & has_tag
+            if m.any():
+                batch.blend(META_FAILURE_TAG, state.failure_tags, m)
+
+        # success marker (EventProcessor.java:60-61,234)
+        ok = ~state.failed & ~state.dropped
+        if ok.any():
+            batch.set_scalar(META_TARGET_PIPELINE, "_none", ok)
+
+        sanitize_reserved_fields(batch)
+
+        if state.dropped.any():
+            batch.take_mask(~state.dropped)
+        return batch.to_table(include_private=self.emit_private)
+
+    # -- resolution ----------------------------------------------------------
+    def _resolve_index(self, batch: ColumnBatch) -> np.ndarray:
+        n = batch.n
+        out = np.empty(n, dtype=object)
+        out[:] = None
+        if batch.has(META_INDEX):
+            meta = batch.objects(META_INDEX)
+            out[:] = meta
+        if not self.routing.use_datastream:
+            return out
+        t = batch.get_objects_or_none("data_stream.type")
+        d = batch.get_objects_or_none("data_stream.dataset")
+        ns = batch.get_objects_or_none("data_stream.namespace")
+        if t is None or d is None or ns is None:
+            return out
+        for i in range(n):
+            if out[i] is None and t[i] and d[i] and ns[i]:
+                out[i] = f"{t[i]}-{d[i]}-{ns[i]}"
+        return out
+
+    def _pipeline_for_index(self, index: str | None) -> str | None:
+        if index is None:
+            return self.routing.default_pipeline
+        name = self.routing.index_to_pipeline.get(index)
+        if name is None:
+            return None
+        if name == "_none":
+            return None
+        return name
+
+    def _resolve_pipelines(self, index: np.ndarray) -> list:
+        return [self._pipeline_for_index(ix) for ix in index]
+
+    # -- pipeline execution --------------------------------------------------
+    def run_pipeline(
+        self,
+        pipe: CompiledPipeline,
+        batch: ColumnBatch,
+        mask: np.ndarray,
+        state: PipelineState,
+        stack: tuple,
+    ) -> None:
+        saved_local = state.local_done
+        state.local_done = np.zeros(batch.n, dtype=bool)
+        failed_here = np.zeros(batch.n, dtype=bool)
+        for step in pipe.steps:
+            active = mask & ~state.inactive() & ~state.local_done & ~failed_here
+            if not active.any():
+                break
+            self._run_step(step, batch, active, state, stack, failed_here)
+        if failed_here.any():
+            if pipe.on_failure:
+                # pipeline-level catch block (docs/index.asciidoc:357-367)
+                recovered = failed_here.copy()
+                sub_failed = np.zeros(batch.n, dtype=bool)
+                for step in pipe.on_failure:
+                    act = recovered & ~state.inactive() & ~sub_failed
+                    if not act.any():
+                        break
+                    self._run_step(step, batch, act, state, stack, sub_failed)
+                if sub_failed.any():
+                    self._fail_rows(state, sub_failed, state.failure_messages, state.failure_tags)
+            else:
+                self._fail_rows(state, failed_here, state.failure_messages, state.failure_tags)
+        state.local_done = saved_local
+
+    def _run_step(
+        self,
+        step: Step,
+        batch: ColumnBatch,
+        active: np.ndarray,
+        state: PipelineState,
+        stack: tuple,
+        failed_here: np.ndarray,
+    ) -> None:
+        if step.condition is not None:
+            try:
+                cond = step.condition.evaluate(batch)
+            except Exception:
+                self._record_step_failure(step, state, active, failed_here,
+                                          override_msg="error evaluating conditional")
+                return
+            active = active & cond
+            if not active.any():
+                return
+
+        if getattr(step.kernel, "is_pipeline_call", False):
+            self._run_pipeline_call(step, batch, active, state, stack, failed_here)
+            return
+
+        try:
+            err = step.kernel.apply(batch, active, state)
+        except Exception:
+            err = self._rowwise_fallback(step.kernel, batch, active, state)
+        if err is not None and err.any():
+            err = err & active
+            if step.ignore_failure:
+                return
+            if step.on_failure:
+                # per-processor catch block; handler context fields
+                batch.set_scalar("_ingest.on_failure_processor_type", step.ptype, err)
+                if step.tag:
+                    batch.set_scalar("_ingest.on_failure_processor_tag", step.tag, err)
+                msgs = np.where(
+                    state.failure_messages != None,  # noqa: E711
+                    state.failure_messages,
+                    step.kernel.failure_message,
+                )
+                batch.blend("_ingest.on_failure_message", msgs.astype(object), err)
+                sub_failed = np.zeros(batch.n, dtype=bool)
+                for h in step.on_failure:
+                    act = err & ~state.inactive() & ~sub_failed
+                    if not act.any():
+                        break
+                    self._run_step(h, batch, act, state, stack, sub_failed)
+                failed_here |= sub_failed
+                return
+            self._record_step_failure(step, state, err, failed_here)
+
+    def _record_step_failure(
+        self,
+        step: Step,
+        state: PipelineState,
+        err: np.ndarray,
+        failed_here: np.ndarray,
+        override_msg: str | None = None,
+    ) -> None:
+        for i in np.nonzero(err)[0]:
+            if state.failure_messages[i] is None or override_msg is not None:
+                state.failure_messages[i] = override_msg or step.kernel.failure_message
+            state.failure_tags[i] = step.tag
+        failed_here |= err
+
+    def _run_pipeline_call(self, step, batch, active, state, stack, failed_here) -> None:
+        name = step.kernel.name
+        sub = self.pipelines.get(name)
+        if sub is None:
+            if step.kernel.ignore_missing_pipeline:
+                return
+            for i in np.nonzero(active)[0]:
+                state.failure_messages[i] = f"Pipeline processor configured for non-existent pipeline [{name}]"
+            failed_here |= active
+            return
+        if name in stack:
+            for i in np.nonzero(active)[0]:
+                state.failure_messages[i] = (
+                    f"Cycle detected for pipeline: {name}"
+                )
+            failed_here |= active
+            return
+        # run sub-pipeline inline; its failures surface as this step's
+        sub_failed_before = state.failed.copy()
+        self.run_pipeline(sub, batch, active, state, stack + (name,))
+        new_failed = state.failed & ~sub_failed_before
+        if new_failed.any() and (step.ignore_failure or step.on_failure):
+            # undo: per-step handlers own these failures
+            state.failed &= sub_failed_before | ~new_failed
+            if step.on_failure:
+                sub_failed = np.zeros(batch.n, dtype=bool)
+                for h in step.on_failure:
+                    act = new_failed & ~state.inactive() & ~sub_failed
+                    if not act.any():
+                        break
+                    self._run_step(h, batch, act, state, stack, sub_failed)
+                failed_here |= sub_failed
+
+    def _fail_rows(self, state: PipelineState, mask: np.ndarray, messages, tags) -> None:
+        state.failed |= mask
+        for i in np.nonzero(mask)[0]:
+            if messages is not None and messages[i] is not None:
+                state.failure_messages[i] = messages[i]
+            if tags is not None and tags[i] is not None:
+                state.failure_tags[i] = tags[i]
+
+    def _rowwise_fallback(
+        self, kernel, batch: ColumnBatch, active: np.ndarray, state: PipelineState
+    ) -> np.ndarray | None:
+        """A kernel raised on the whole batch: isolate per-row so one bad
+        row can't poison the batch (SURVEY.md §7.3 — kernels must never
+        throw; retried Ray tasks must stay deterministic)."""
+        err = np.zeros(batch.n, dtype=bool)
+        for i in np.nonzero(active)[0]:
+            single = np.zeros(batch.n, dtype=bool)
+            single[i] = True
+            try:
+                e = kernel.apply(batch, single, state)
+                if e is not None and e[i]:
+                    err[i] = True
+            except Exception:
+                err[i] = True
+        return err if err.any() else None

@@ -1,0 +1,193 @@
+"""The flagship end-to-end pipeline: parse → enrich → route → aggregate
+over the transcripts table.
+
+Stage graph (SURVEY.md §7.0)::
+
+    events.parquet ─read_parquet─▶ derive transcripts   (map_batches)
+      ▶ assign data_stream.*                            (map_batches, vectorized)
+      ▶ EventProcessor: grok/dissect/kv/json/html/web parse per text
+        class + conditional reroute (status 404 on the error dataset →
+        alerts) — ONE map_batches for the whole processor chain
+      ▶ IntegrationEnricher                             (actor pool, broadcast dict)
+      ▶ fan-out write partitioned by __meta_index       (no shuffle)
+      ▶ conv_stats                                      (two-phase groupby)
+
+Routing mirrors the reference flow (``EventProcessor.java:113-169``):
+the event's ``data_stream.{type,dataset,namespace}`` compose the index
+name, a static dict maps index → pipeline (the compile-time stand-in
+for the remote resolvers, SURVEY.md §2.7), and ``reroute`` re-enters
+the loop for the new index's pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .compiler import compile_pipeline_set
+from .executor import EventProcessor, RoutingConfig
+
+DATASETS = ("app", "signup", "click", "error", "view", "purchase", "alerts")
+
+#: grok/dissect/kv/json/html/web parse chain — one conditional step per
+#: text class of the transcripts derivation (sources/transcripts.py).
+PARSE_PIPELINE = {
+    "processors": [
+        {
+            "grok": {
+                "if": "ctx.role == 'tool'",
+                "field": "text",
+                "patterns": [
+                    r"^%{WORD:tool_name}\(k=%{INT:k:int}\) status=%{INT:status:int} took=%{INT:took_ms:int}ms size=%{NOTSPACE:size_str}"
+                ],
+                "tag": "parse-toolcall",
+            }
+        },
+        {
+            "bytes": {
+                "if": "ctx.role == 'tool'",
+                "field": "size_str",
+                "target_field": "size_bytes",
+                "tag": "toolcall-bytes",
+            }
+        },
+        {
+            "dissect": {
+                "if": "ctx.text.startsWith('10.')",
+                "field": "text",
+                "pattern": '%{clientip} %{ident} %{auth} "%{verb} %{path} HTTP/%{httpversion}" %{status_code} %{resp_bytes}',
+                "tag": "parse-access",
+            }
+        },
+        {
+            "convert": {
+                "if": "ctx.status_code != null",
+                "field": "status_code",
+                "type": "integer",
+                "tag": "access-status-int",
+            }
+        },
+        {
+            "kv": {
+                "if": "ctx.text.startsWith('ip=')",
+                "field": "text",
+                "field_split": " ",
+                "value_split": "=",
+                "tag": "parse-kv",
+            }
+        },
+        {
+            "csv": {
+                "if": "ctx.role == 'assistant' && ctx.text.startsWith('u')",
+                "field": "text",
+                "target_fields": ["contact_name", "contact_email", "contact_phone", "contact_addr"],
+                "tag": "parse-csv",
+            }
+        },
+        {
+            "json": {
+                "if": "ctx.text.startsWith('{')",
+                "field": "text",
+                "target_field": "payload",
+                "tag": "parse-json",
+            }
+        },
+        {
+            "html_strip": {
+                "if": "ctx.text.startsWith('<')",
+                "field": "text",
+                "target_field": "plain_text",
+                "tag": "parse-html",
+            }
+        },
+        {
+            "grok": {
+                "if": "ctx.text.startsWith('GET https')",
+                "field": "text",
+                "patterns": [r"^%{WORD:verb} %{URI:url_original} %{GREEDYDATA:ua_string}"],
+                "tag": "parse-web",
+            }
+        },
+        {
+            "uri_parts": {
+                "if": "ctx.url_original != null",
+                "field": "url_original",
+                "target_field": "url",
+                "keep_original": False,
+                "tag": "web-uri",
+            }
+        },
+        {
+            "user_agent": {
+                "if": "ctx.ua_string != null",
+                "field": "ua_string",
+                "target_field": "user_agent",
+                "tag": "web-ua",
+            }
+        },
+    ]
+}
+
+FLAGSHIP_PIPELINE_DEFS = {
+    "transcripts-parse": PARSE_PIPELINE,
+    # the error dataset's default pipeline: parse, then conditionally
+    # reroute 404-status tool calls to the alerts dataset (remaining
+    # processors are skipped for rerouted rows — reroute semantics)
+    "transcripts-parse-error": {
+        "processors": [
+            {"pipeline": {"name": "transcripts-parse"}},
+            {"reroute": {"if": "ctx.status == 404", "dataset": "alerts", "tag": "error-to-alerts"}},
+            {"set": {"field": "error_handled", "value": "yes", "tag": "error-mark"}},
+        ]
+    },
+    "alerts-pipeline": {
+        "processors": [
+            {"set": {"field": "alert", "value": "true", "tag": "alert-mark"}},
+        ]
+    },
+}
+
+
+def build_routing() -> RoutingConfig:
+    index_to_pipeline = {}
+    for d in DATASETS:
+        if d == "error":
+            index_to_pipeline[f"logs-{d}-prod"] = "transcripts-parse-error"
+        elif d == "alerts":
+            index_to_pipeline[f"logs-{d}-prod"] = "alerts-pipeline"
+        else:
+            index_to_pipeline[f"logs-{d}-prod"] = "transcripts-parse"
+    return RoutingConfig(index_to_pipeline=index_to_pipeline)
+
+
+def assign_datastream(batch: pa.Table) -> pa.Table:
+    """Vectorized route-resolve pre-stage: add ``data_stream.*`` columns
+    (dataset = tool, falling back to 'app' for non-tool turns)."""
+    n = batch.num_rows
+    tool = batch.column("tool")
+    dataset = pc.fill_null(tool, "app")
+    return (
+        batch.append_column("data_stream.type", pa.array(["logs"] * n, type=pa.string()))
+        .append_column("data_stream.dataset", dataset)
+        .append_column("data_stream.namespace", pa.array(["prod"] * n, type=pa.string()))
+    )
+
+
+def build_event_processor(emit_private: bool = True) -> EventProcessor:
+    pipelines = compile_pipeline_set(FLAGSHIP_PIPELINE_DEFS)
+    return EventProcessor(pipelines, build_routing(), emit_private=emit_private)
+
+
+def flagship_parsed(transcripts_ds, *, batch_size: int = 16384):
+    """transcripts Dataset → parsed+routed Dataset (stateless tasks)."""
+    proc = build_event_processor()
+    return transcripts_ds.map_batches(assign_datastream, batch_format="pyarrow").map_batches(
+        proc, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def flagship_dataset(sf_dir: str, *, batch_size: int = 16384):
+    from ..sources.transcripts import read_transcripts
+
+    return flagship_parsed(read_transcripts(sf_dir), batch_size=batch_size)

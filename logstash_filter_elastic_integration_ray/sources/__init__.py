@@ -1,0 +1,13 @@
+from .transcripts import (
+    TRANSCRIPTS_CTE,
+    derive_transcripts_table,
+    read_transcripts,
+    transcripts_sql,
+)
+
+__all__ = [
+    "TRANSCRIPTS_CTE",
+    "derive_transcripts_table",
+    "read_transcripts",
+    "transcripts_sql",
+]

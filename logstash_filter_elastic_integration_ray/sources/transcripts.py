@@ -1,0 +1,218 @@
+"""The canonical ``transcripts`` input table.
+
+``BASELINE.json`` (input_hint) fixes the input schema:
+``(conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string, ts:timestamp)`` — a Parquet table of multi-turn
+conversation / agent transcripts.  This sandbox provides no transcript
+parquet, so the table is **derived deterministically** from the
+driver-generated ``events`` table by a pure per-row transform that has
+an exact SQL twin (:data:`TRANSCRIPTS_CTE`).  That makes every
+transcript pipeline oracle-checkable in DuckDB, including per-turn text
+equality.
+
+Derivation spec (``eid`` = event_id, ``uid`` = user_id):
+
+- ``conv_id  = 'c' + str(eid // 20)``  (20-turn conversations,
+  contiguous by event_id — conversations are written together, which is
+  also the realistic storage layout)
+- ``turn_idx = eid % 20`` (int32)
+- ``role     = user / tool / assistant``  by ``eid % 4``  (0 → user,
+  3 → tool, else assistant)
+- ``tool     = event_type`` on tool turns, else NULL
+- ``ts``     = events.ts
+- ``text``   = one of 7 deterministic log-line classes by ``eid % 8``
+  (access-log, html, kv, csv, json, web/UA, tool-call) built from
+  integer-derived parts only — every parse kernel has matching rows,
+  and both sides (Arrow kernel & DuckDB) produce byte-identical
+  strings.  Helper values: ``status`` (500/404/200 by ``eid % 10``),
+  ``ip`` (from uid/eid), ``kstr`` (the integer inside the
+  ``{"k": N}`` props JSON).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+#: the DuckDB twin of :func:`derive_transcripts_table` — prepend as
+#: ``WITH {TRANSCRIPTS_CTE} SELECT ...`` in oracle SQL.
+TRANSCRIPTS_CTE = """transcripts AS (
+  SELECT
+    'c' || CAST(event_id // 20 AS VARCHAR) AS conv_id,
+    CAST(event_id % 20 AS INTEGER) AS turn_idx,
+    CASE WHEN event_id % 4 = 0 THEN 'user'
+         WHEN event_id % 4 = 3 THEN 'tool'
+         ELSE 'assistant' END AS role,
+    CASE
+      WHEN event_id % 8 = 0 THEN ip || ' - - "GET /api/v' || CAST(event_id % 3 AS VARCHAR) || '/items/' || CAST(event_id % 50 AS VARCHAR) || ' HTTP/1.1" ' || CAST(status AS VARCHAR) || ' ' || CAST(event_id % 5000 AS VARCHAR)
+      WHEN event_id % 8 = 4 THEN '<h1>Report ' || CAST(event_id % 6 AS VARCHAR) || '</h1> <p>value=' || kstr || '</p>'
+      WHEN event_id % 8 = 1 THEN 'ip=' || ip || ' code=' || CAST(status AS VARCHAR) || ' user=u' || CAST(user_id AS VARCHAR)
+      WHEN event_id % 8 = 5 THEN 'u' || CAST(user_id AS VARCHAR) || ',u' || CAST(user_id AS VARCHAR) || '@example.com,555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') || ',Addr ' || CAST(event_id % 90 AS VARCHAR) || ' Main St'
+      WHEN event_id % 8 = 2 THEN '{"foo": ' || kstr || ', "bar": "b' || CAST(event_id % 7 AS VARCHAR) || '"}'
+      WHEN event_id % 8 = 6 THEN 'GET https://sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk/p%20' || CAST(event_id % 9 AS VARCHAR) || '/x?q=' || kstr || ' Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 Chrome/' || CAST(100 + event_id % 20 AS VARCHAR) || '.0.0.0 Safari/537.36'
+      ELSE event_type || '(k=' || kstr || ') status=' || CAST(status AS VARCHAR) || ' took=' || CAST(event_id % 1000 AS VARCHAR) || 'ms size=' || CAST(event_id % 100 AS VARCHAR) || 'kb'
+    END AS text,
+    CASE WHEN event_id % 4 = 3 THEN event_type ELSE NULL END AS tool,
+    ts,
+    -- oracle helper columns (NOT part of the Ray-side transcript
+    -- schema; oracle SQL uses them to derive expected values directly)
+    event_id, user_id, status, kstr, ip
+  FROM (
+    SELECT *,
+      '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR) AS ip,
+      CASE WHEN event_id % 10 = 0 THEN 500 WHEN event_id % 10 = 5 THEN 404 ELSE 200 END AS status,
+      replace(replace(props, '{"k": ', ''), '}', '') AS kstr
+    FROM events
+  )
+)"""
+
+
+def transcripts_sql(select: str) -> str:
+    """Wrap a SELECT-over-``transcripts`` with the derivation CTE."""
+    return f"WITH {TRANSCRIPTS_CTE}\n{select}"
+
+
+def derive_transcripts_table(events: pa.Table) -> pa.Table:
+    """Vectorized Arrow-in/Arrow-out twin of :data:`TRANSCRIPTS_CTE`."""
+    n = events.num_rows
+    eid = events.column("event_id").to_numpy()
+    uid = events.column("user_id").to_numpy()
+    et = events.column("event_type").to_pylist()
+    props = events.column("props").to_pylist()
+    ts = events.column("ts")
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+
+    m4 = eid % 4
+    m8 = eid % 8
+    m10 = eid % 10
+    status = np.where(m10 == 0, 500, np.where(m10 == 5, 404, 200))
+
+    conv_id = [f"c{e // 20}" for e in eid]
+    turn_idx = (eid % 20).astype(np.int32)
+    role = np.where(m4 == 0, "user", np.where(m4 == 3, "tool", "assistant"))
+    tool = [et[i] if m4[i] == 3 else None for i in range(n)]
+    kstr = [p.replace('{"k": ', "").replace("}", "") for p in props]
+    ip = [f"10.0.{uid[i] % 256}.{eid[i] % 256}" for i in range(n)]
+
+    text: list[str] = [""] * n
+    for i in range(n):
+        e, c, s, k = int(eid[i]), int(m8[i]), int(status[i]), kstr[i]
+        if c == 0:
+            text[i] = f'{ip[i]} - - "GET /api/v{e % 3}/items/{e % 50} HTTP/1.1" {s} {e % 5000}'
+        elif c == 4:
+            text[i] = f"<h1>Report {e % 6}</h1> <p>value={k}</p>"
+        elif c == 1:
+            text[i] = f"ip={ip[i]} code={s} user=u{uid[i]}"
+        elif c == 5:
+            text[i] = f"u{uid[i]},u{uid[i]}@example.com,555-{str(e % 10000).zfill(4)},Addr {e % 90} Main St"
+        elif c == 2:
+            text[i] = f'{{"foo": {k}, "bar": "b{e % 7}"}}'
+        elif c == 6:
+            text[i] = (
+                f"GET https://sub.example{e % 5}.co.uk/p%20{e % 9}/x?q={k} "
+                f"Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 Chrome/{100 + e % 20}.0.0.0 Safari/537.36"
+            )
+        else:
+            text[i] = f"{et[i]}(k={k}) status={s} took={e % 1000}ms size={e % 100}kb"
+
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_id, type=pa.string()),
+            "turn_idx": pa.array(turn_idx, type=pa.int32()),
+            "role": pa.array(role.tolist(), type=pa.string()),
+            "text": pa.array(text, type=pa.string()),
+            "tool": pa.array(tool, type=pa.string()),
+            "ts": ts.cast(pa.timestamp("us")),
+        }
+    )
+
+
+def read_transcripts(sf_dir: str, *, override_num_blocks: int | None = None):
+    """``ray.data`` source: events.parquet → transcripts Dataset.
+
+    Column-pruned read (only the 5 events columns the derivation needs)
+    followed by one vectorized ``map_batches``; stays streaming — the
+    derivation never materializes.
+    """
+    import ray.data as rd
+
+    kwargs = {}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+        **kwargs,
+    )
+    return ds.map_batches(derive_transcripts_table, batch_format="pyarrow")
+
+
+def materialize_transcripts(sf_dir: str, out_dir: str, num_blocks: int = 32, replicate: int = 1) -> str:
+    """One-time synthesis of transcripts parquet for benchmarks (the
+    production input would already exist as parquet; synthesis cost is
+    not part of the benchmark).  ``replicate`` writes R deterministic
+    copies with distinct conv_id prefixes — used to scale the bench
+    workload so fixed startup costs don't dominate the scaling
+    measurement."""
+    import os
+
+    import pyarrow.compute as pc
+
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
+    for r in range(replicate):
+        ds = read_transcripts(sf_dir, override_num_blocks=num_blocks)
+        if replicate > 1:
+            prefix = f"r{r}-"
+
+            def add_prefix(t: pa.Table, prefix=prefix) -> pa.Table:
+                conv = pc.binary_join_element_wise(
+                    pa.array([prefix] * t.num_rows), t.column("conv_id").combine_chunks(), ""
+                )
+                return t.set_column(t.column_names.index("conv_id"), "conv_id", conv)
+
+            ds = ds.map_batches(add_prefix, batch_format="pyarrow")
+        ds.write_parquet(out_dir)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def synthesize_skewed_transcripts(n_turns: int, hot_share: float = 0.05, n_convs: int = 1000, seed: int = 42) -> pa.Table:
+    """Deterministic skewed table for the salted-groupby tests: the top
+    conversation holds ``hot_share`` of all turns (FIXTURES.md §1)."""
+    rng = np.random.default_rng(seed)
+    n_hot = int(n_turns * hot_share)
+    cold = rng.integers(1, n_convs, size=n_turns - n_hot)
+    conv = np.concatenate([np.zeros(n_hot, dtype=np.int64), cold])
+    order = rng.permutation(n_turns)
+    conv = conv[order]
+    # dense per-conv turn_idx
+    turn_idx = np.zeros(n_turns, dtype=np.int32)
+    counts: dict[int, int] = {}
+    for i, c in enumerate(conv):
+        counts[c] = counts.get(c, 0) + 1
+        turn_idx[i] = counts[c] - 1
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    return pa.table(
+        {
+            "conv_id": pa.array([f"conv-{c:08d}" for c in conv], type=pa.string()),
+            "turn_idx": pa.array(turn_idx, type=pa.int32()),
+            "role": pa.array(np.where(turn_idx % 2 == 0, "user", "assistant").tolist(), type=pa.string()),
+            "text": pa.array([f"turn {t} of conv {c}" for c, t in zip(conv, turn_idx)], type=pa.string()),
+            "tool": pa.array([None] * n_turns, type=pa.string()),
+            "ts": pa.array(base + (np.arange(n_turns) * 1000).astype("timedelta64[us]")),
+        }
+    )

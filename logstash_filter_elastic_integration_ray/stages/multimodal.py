@@ -1,0 +1,88 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata, processed by actor-pool stages.
+
+The image/audio decode libraries are not available in this container,
+so the *decode* step is a clearly-marked deterministic fake (or raises
+``NotImplementedError`` in strict mode) — but the Ray-side plumbing is
+real and tested: binary Arrow columns, small batch sizes for large
+payloads, actor ``__init__`` doing the one-time "model load", and a
+typed metadata output schema.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def attach_binary_payload(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stand-in producer: encode the text column as the opaque binary
+    payload (in production this column would come straight from
+    parquet)."""
+    texts = batch.column(text_col).to_pylist()
+    payloads = [(t or "").encode("utf-8") for t in texts]
+    return batch.append_column("payload", pa.array(payloads, type=pa.binary()))
+
+
+class FakeImageDecoder:
+    """Actor-pool decode stage.
+
+    ``__init__`` is the once-per-actor setup (where a real decoder
+    would load codecs / models); ``__call__`` emits typed metadata per
+    payload.  ``strict=True`` raises ``NotImplementedError`` at the
+    decode step — the marker for "a real image library goes here".
+    """
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        self._codec_table = {"fake": 1}  # stand-in for loaded codec state
+
+    def _decode(self, payload: bytes) -> tuple[int, int, int]:
+        if self.strict:
+            raise NotImplementedError(
+                "real image decode requires an image library not present in this container"
+            )
+        # deterministic fake: dimensions derived from the byte length
+        n = len(payload)
+        return (n % 640, n % 480, 3)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        n = len(payloads)
+        n_bytes = np.zeros(n, dtype=np.int64)
+        width = np.zeros(n, dtype=np.int64)
+        height = np.zeros(n, dtype=np.int64)
+        channels = np.zeros(n, dtype=np.int64)
+        digests = []
+        for i, p in enumerate(payloads):
+            p = p or b""
+            n_bytes[i] = len(p)
+            w, h, c = self._decode(p)
+            width[i], height[i], channels[i] = w, h, c
+            digests.append(hashlib.md5(p).hexdigest())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bytes": pa.array(n_bytes),
+                "width": pa.array(width),
+                "height": pa.array(height),
+                "channels": pa.array(channels),
+                "payload_md5": pa.array(digests, type=pa.string()),
+            }
+        )
+
+
+def decode_stage(ds, *, batch_size: int = 1024, concurrency=(2, 4)):
+    """Binary payloads want small batches (payload × batch_size ×
+    concurrency must fit worker heaps)."""
+    return ds.map_batches(
+        attach_binary_payload, batch_format="pyarrow"
+    ).map_batches(
+        FakeImageDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,175 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`brute_force_topk` — the exact baseline: per batch, a float64
+  matmul of the batch's embeddings against a small broadcast query
+  matrix, per-batch partial top-k, then a tiny per-query merge.  The
+  shuffled volume is ``num_batches × k`` candidate rows, never the
+  full table.
+- :class:`IvfIndex` / :func:`ivf_topk` — the scale path: coarse
+  k-means centroids (seeded, few iterations, trained on a sample),
+  buckets assigned per batch; queries probe only the ``nprobe``
+  nearest buckets.  Recall measured against brute force in tests.
+- embedding-cosine near-dup: :func:`cosine_dup_pairs` reuses the same
+  batch-matmul shape for pairs above a threshold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix, zero-copy-ish."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def topk_partial_batch(batch: pa.Table, queries: np.ndarray, query_ids: np.ndarray, k: int,
+                       id_col: str = "vec_id", emb_col: str = "embedding") -> pa.Table:
+    ids = batch.column(id_col).to_numpy()
+    m = _normalize(_to_matrix(batch.column(emb_col)))
+    sims = m @ queries.T  # (n, q)
+    out_q, out_id, out_sim = [], [], []
+    for qi in range(queries.shape[0]):
+        col = sims[:, qi]
+        kk = min(k + 1, len(col))  # +1 to survive self-match removal
+        top = np.argpartition(-col, kk - 1)[:kk]
+        for t in top:
+            out_q.append(int(query_ids[qi]))
+            out_id.append(int(ids[t]))
+            out_sim.append(float(col[t]))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_id, type=pa.int64()),
+            "cosine": pa.array(out_sim, type=pa.float64()),
+        }
+    )
+
+
+def _final_topk(k: int, exclude_self: bool):
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        qid = int(g["query_id"].iloc[0])
+        if exclude_self:
+            g = g[g["neighbor_id"] != qid]
+        # deterministic: cosine desc, neighbor_id asc tie-break
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return merge
+
+
+def brute_force_topk(ds, queries: np.ndarray, query_ids, k: int = 5, exclude_self: bool = True,
+                     id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Exact cosine top-k: (query_id, neighbor_id, rank)."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    partials = ds.map_batches(
+        lambda b: topk_partial_batch(b, q, qids, k, id_col, emb_col), batch_format="pyarrow"
+    )
+    return partials.groupby("query_id").map_groups(_final_topk(k, exclude_self), batch_format="pandas")
+
+
+class IvfIndex:
+    """Coarse-quantizer (IVF) index: seeded mini k-means centroids."""
+
+    def __init__(self, sample: np.ndarray, n_clusters: int = 16, iters: int = 10, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        sample = _normalize(np.asarray(sample, dtype=np.float64))
+        idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+        cent = sample[np.sort(idx)].copy()
+        for _ in range(iters):
+            assign = np.argmax(sample @ cent.T, axis=1)
+            for c in range(len(cent)):
+                members = sample[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    norm = np.linalg.norm(v)
+                    if norm > 0:
+                        cent[c] = v / norm
+        self.centroids = cent
+
+    def assign(self, m: np.ndarray) -> np.ndarray:
+        return np.argmax(_normalize(m) @ self.centroids.T, axis=1)
+
+
+def ivf_topk(ds, index: IvfIndex, queries: np.ndarray, query_ids, k: int = 5, nprobe: int = 4,
+             exclude_self: bool = True, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Approximate top-k probing only the ``nprobe`` nearest buckets per
+    query — per batch, rows outside every probed bucket are skipped
+    before the matmul."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    probes = np.argsort(-(q @ index.centroids.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    probe_union = set(int(x) for x in probes.ravel())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column(emb_col))
+        buckets = index.assign(m)
+        keep = np.isin(buckets, list(probe_union))
+        if not keep.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        sub = batch.filter(pa.array(keep))
+        sub_buckets = buckets[keep]
+        ids = sub.column(id_col).to_numpy()
+        mm = _normalize(_to_matrix(sub.column(emb_col)))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(q.shape[0]):
+            mask = np.isin(sub_buckets, probes[qi])
+            if not mask.any():
+                continue
+            col = mm[mask] @ q[qi]
+            cand_ids = ids[mask]
+            kk = min(k + 1, len(col))
+            top = np.argpartition(-col, kk - 1)[:kk]
+            for t in top:
+                out_q.append(int(qids[qi]))
+                out_id.append(int(cand_ids[t]))
+                out_sim.append(float(col[t]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_sim, type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(_final_topk(k, exclude_self), batch_format="pandas")
+
+
+def cosine_dup_pairs(matrix: np.ndarray, ids: np.ndarray, threshold: float = 0.95,
+                     block: int = 2048) -> pd.DataFrame:
+    """All pairs with cosine ≥ threshold (blocked matmul; used by the
+    embedding near-dup query and tests)."""
+    m = _normalize(np.asarray(matrix, dtype=np.float64))
+    n = len(m)
+    pa_, pb_ = [], []
+    for s in range(0, n, block):
+        sims = m[s : s + block] @ m.T
+        for r in range(sims.shape[0]):
+            gi = s + r
+            hits = np.nonzero(sims[r] >= threshold)[0]
+            for j in hits:
+                if j > gi:
+                    pa_.append(int(ids[gi]))
+                    pb_.append(int(ids[j]))
+    return pd.DataFrame({"a": pd.Series(pa_, dtype="int64"), "b": pd.Series(pb_, dtype="int64")})

@@ -1,0 +1,118 @@
+"""Fan-out sinks with per-partition lineage manifests and resume.
+
+The "route → fan-out sinks" stage of the north star: routed rows land
+in one directory per sink (``__meta_index`` value), written as
+partitioned Parquet with **no shuffle** — routing is partition-local
+because ``write_parquet(partition_cols=...)`` splits each block by the
+routing column at write time.
+
+Resumability (north rule: "resumable from checkpoint with
+per-partition lineage + metrics"): work is organized per input *shard*;
+each completed shard gets a ``_MANIFEST.json`` recording inputs, row
+counts per sink and a content fingerprint.  A rerun skips shards whose
+manifest exists; outputs are written to a temp dir and atomically
+renamed, so a killed run never leaves a half-written shard that looks
+complete.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import pyarrow as pa
+
+from ..model import META_INDEX
+
+
+def fanout_write(ds, out_dir: str, partition_col: str = META_INDEX):
+    """Write a routed Dataset as per-sink Parquet directories."""
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        # hive partitioning rejects nulls; unrouted rows → "unrouted"
+        import pyarrow.compute as pc
+
+        if partition_col not in batch.column_names:
+            return batch.append_column(partition_col, pa.array(["unrouted"] * batch.num_rows))
+        col = batch.column(partition_col)
+        filled = pc.fill_null(col.cast(pa.string()), "unrouted")
+        i = batch.column_names.index(partition_col)
+        return batch.set_column(i, partition_col, filled)
+
+    ds.map_batches(_fill, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=[partition_col]
+    )
+    return out_dir
+
+
+def sink_counts_from_dir(out_dir: str) -> dict[str, int]:
+    """Per-sink row counts from a fan-out directory (conformance metric:
+    per-sink aggregate counts — FIXTURES.md §4)."""
+    import pyarrow.parquet as pq
+
+    counts: dict[str, int] = {}
+    for entry in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, entry)
+        if not os.path.isdir(path) or "=" not in entry:
+            continue
+        sink = entry.split("=", 1)[1]
+        n = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.read_metadata(os.path.join(root, f)).num_rows
+        counts[sink] = n
+    return counts
+
+
+# --------------------------------------------------------------------------
+# shard-level resume
+# --------------------------------------------------------------------------
+
+def _manifest_path(out_dir: str, shard_id: str) -> str:
+    return os.path.join(out_dir, shard_id, "_MANIFEST.json")
+
+
+def completed_shards(out_dir: str) -> set[str]:
+    if not os.path.isdir(out_dir):
+        return set()
+    return {
+        d for d in os.listdir(out_dir) if os.path.exists(_manifest_path(out_dir, d))
+    }
+
+
+def run_shard(shard_id: str, inputs: list[str], out_dir: str, build_and_write) -> dict:
+    """Run one shard idempotently.
+
+    ``build_and_write(inputs, dest_dir) -> dict`` does the actual
+    pipeline run + writes; its return value lands in the manifest as
+    ``metrics``.  Already-completed shards are skipped (lineage check).
+    """
+    final_dir = os.path.join(out_dir, shard_id)
+    manifest = _manifest_path(out_dir, shard_id)
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            return json.load(f)
+    tmp_dir = final_dir + ".tmp"
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir, exist_ok=True)
+    t0 = time.time()
+    metrics = build_and_write(inputs, tmp_dir) or {}
+    elapsed = time.time() - t0
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.rename(tmp_dir, final_dir)  # atomic completion marker step 1
+    doc = {
+        "shard_id": shard_id,
+        "inputs": inputs,
+        "metrics": metrics,
+        "wall_sec": round(elapsed, 3),
+    }
+    tmp_manifest = manifest + ".tmp"
+    with open(tmp_manifest, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    os.rename(tmp_manifest, manifest)  # atomic completion marker step 2
+    return doc

@@ -1,0 +1,106 @@
+"""Text analysis stages over the ``documents`` table: token counting,
+quality scoring, language-ID, document fingerprinting.
+
+All are stateless vectorized ``map_batches`` transforms (no actor
+state needed — the stopword/profile tables are module constants, loaded
+once per worker process at import).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+#: tiny language profiles for the n-gram/stopword heuristic language ID
+_LANG_PROFILES: dict[str, frozenset] = {
+    "en": frozenset({"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"}),
+    "es": frozenset({"el", "la", "de", "que", "y", "los", "las", "un", "una", "es"}),
+    "de": frozenset({"der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"}),
+    "fr": frozenset({"le", "la", "les", "de", "et", "un", "une", "est", "pour", "que"}),
+}
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens — tokens split on single spaces (exact twin of
+    DuckDB ``length(string_split(text, ' '))``)."""
+    texts = batch.column("text").to_pylist()
+    n_tokens = np.array([len(t.split(" ")) if t is not None else 0 for t in texts], dtype=np.int64)
+    return pa.table({"doc_id": batch.column("doc_id"), "n_tokens": pa.array(n_tokens)})
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality metrics: char/word counts, stopword count + ratio.
+
+    ``stop_ratio`` is an exact int/int double division so the DuckDB
+    oracle reproduces it bit-for-bit."""
+    texts = batch.column("text").to_pylist()
+    n = len(texts)
+    n_chars = np.zeros(n, dtype=np.int64)
+    n_words = np.zeros(n, dtype=np.int64)
+    n_stop = np.zeros(n, dtype=np.int64)
+    stop = set(STOPWORDS)
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        words = t.split(" ")
+        n_chars[i] = len(t)
+        n_words[i] = len(words)
+        n_stop[i] = sum(1 for w in words if w in stop)
+    ratio = n_stop / np.maximum(n_words, 1)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars_calc": pa.array(n_chars),
+            "n_words": pa.array(n_words),
+            "n_stopwords": pa.array(n_stop),
+            "stop_ratio": pa.array(ratio),
+        }
+    )
+
+
+def detect_language(text: str) -> str:
+    if not text:
+        return "und"
+    # CJK shortcut
+    if any("一" <= ch <= "鿿" for ch in text[:200]):
+        return "zh"
+    words = text.lower().split(" ")
+    best, best_score = "und", 0
+    for lang, profile in _LANG_PROFILES.items():
+        score = sum(1 for w in words if w in profile)
+        if score > best_score:
+            best, best_score = lang, score
+    return best
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    langs = [detect_language(t) for t in texts]
+    return pa.table({"doc_id": batch.column("doc_id"), "detected_lang": pa.array(langs, type=pa.string())})
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, content_hash (md5-hex, DuckDB ``md5(text)`` twin) +
+    rolling 64-bit polynomial hash (the streaming-friendly variant)."""
+    texts = batch.column("text").to_pylist()
+    md5s, rolls = [], []
+    P = (1 << 61) - 1
+    B = 131
+    for t in texts:
+        s = t or ""
+        md5s.append(hashlib.md5(s.encode("utf-8")).hexdigest())
+        h = 0
+        for ch in s:
+            h = (h * B + ord(ch)) % P
+        rolls.append(f"{h:016x}")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "content_hash": pa.array(md5s, type=pa.string()),
+            "rolling_hash": pa.array(rolls, type=pa.string()),
+        }
+    )

@@ -1,0 +1,13 @@
+from .lookups import (
+    INTEGRATIONS_LOOKUP,
+    integrations_lookup_sql_values,
+    fake_geoip_database,
+    broadcast,
+)
+
+__all__ = [
+    "INTEGRATIONS_LOOKUP",
+    "integrations_lookup_sql_values",
+    "fake_geoip_database",
+    "broadcast",
+]

@@ -1,0 +1,100 @@
+"""Broadcast side data for stateful (actor-pool) stages.
+
+The reference's enrichment state is "loaded once, shared by workers":
+geoip ``.mmdb`` readers discovered once and hot-swapped under a lock
+(``geoip/IpDatabaseProvider.java:80-99``,
+``ManagedIpDatabaseHolder.java:63-76``), UA regexes and the
+public-suffix list baked into jars.  The Ray-native equivalent is
+``ray.put`` once on the driver + ``ray.get`` in each actor's
+``__init__`` — never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+ROLES = ("user", "assistant", "tool")
+TOOLS = ("signup", "click", "error", "view", "purchase")
+
+#: role-category / cost weights — exact binary fractions so float
+#: equality against the SQL oracle is bit-exact.
+_ROLE_META = {
+    "user": ("human", 1.0),
+    "assistant": ("ai-agent", 2.5),
+    "tool": ("automation", 0.5),
+}
+
+
+def _build_integrations_lookup() -> dict[tuple[str, str | None], dict]:
+    """(role, tool) → integration metadata; ≤ 20 rows (FIXTURES.md §2)."""
+    out: dict[tuple[str, str | None], dict] = {}
+    for role in ROLES:
+        category, weight = _ROLE_META[role]
+        out[(role, None)] = {
+            "integration": "integration-core",
+            "category": category,
+            "cost_weight": weight,
+        }
+        for tool in TOOLS:
+            out[(role, tool)] = {
+                "integration": f"integration-{tool}",
+                "category": category,
+                "cost_weight": weight,
+            }
+    return out
+
+
+INTEGRATIONS_LOOKUP = _build_integrations_lookup()
+
+
+def integrations_lookup_sql_values() -> str:
+    """The same lookup as a SQL VALUES list (oracle twin):
+    columns (key_role, key_tool, integration, category, cost_weight);
+    key_tool = '' encodes the NULL-tool row."""
+    rows = []
+    for (role, tool), meta in sorted(INTEGRATIONS_LOOKUP.items(), key=lambda kv: (kv[0][0], kv[0][1] or "")):
+        t = tool if tool is not None else ""
+        rows.append(
+            f"('{role}', '{t}', '{meta['integration']}', '{meta['category']}', {meta['cost_weight']})"
+        )
+    return ",\n    ".join(rows)
+
+
+def fake_geoip_database() -> dict[str, dict]:
+    """Deterministic stand-in for a MaxMind city database (the real
+    ``.mmdb`` reader is unavailable here — see
+    ``functions/net.py:GeoIpKernel``).  Keyed by /24 prefix."""
+    db: dict[str, dict] = {}
+    continents = ["Europe", "Asia", "North America", "South America", "Africa", "Oceania"]
+    countries = ["NL", "JP", "US", "BR", "ZA", "AU"]
+    for a in range(0, 256, 16):
+        idx = (a // 16) % 6
+        db[f"10.0.{a}"] = {
+            "continent_name": continents[idx],
+            "country_iso_code": countries[idx],
+            "city_name": f"City-{a}",
+        }
+    return db
+
+
+def broadcast(obj):
+    """``ray.put`` once on the driver; workers ``ray.get`` in
+    ``__init__``.  Falls through to the raw object outside Ray (unit
+    tests of kernels don't need a cluster)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return ray.put(obj)
+    except ImportError:  # pragma: no cover
+        pass
+    return obj
+
+
+def resolve_broadcast(ref):
+    try:
+        import ray
+
+        if isinstance(ref, ray.ObjectRef):
+            return ray.get(ref)
+    except ImportError:  # pragma: no cover
+        pass
+    return ref

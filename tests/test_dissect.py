@@ -1,0 +1,74 @@
+"""Dissect conformance (reference spec:303-333 + dissect modifier
+semantics)."""
+
+from tests.util import run_pipeline
+
+NGINX = '1.2.3.4 - - [01/Apr/2023:22:00:52 +0000] "GET /path/to/some/resources/test.gif HTTP/1.0" 200 3171'
+PATTERN = '%{clientip} %{ident} %{auth} [%{@timestamp}] "%{verb} %{request} HTTP/%{httpversion}" %{status} %{size}'
+
+
+def test_dissect_nginx_with_reserved_field_collision():
+    rows = run_pipeline(
+        {"processors": [{"dissect": {"field": "dissect_field", "pattern": PATTERN}}]},
+        [{"dissect_field": NGINX}],
+    )
+    r = rows[0]
+    assert r["clientip"] == "1.2.3.4"
+    assert r["ident"] == "-" and r["auth"] == "-"
+    assert r["verb"] == "GET"
+    assert r["request"] == "/path/to/some/resources/test.gif"
+    assert r["httpversion"] == "1.0"
+    assert r["status"] == "200"  # dissect outputs are all strings
+    assert r["size"] == "3171"
+    # the captured @timestamp is not timestamp-coercible → moved to _@timestamp
+    # (IngestDuplexMarshaller.java:395-413; spec:323)
+    assert r["_@timestamp"] == "01/Apr/2023:22:00:52 +0000"
+
+
+def test_dissect_no_match_fails_row():
+    rows = run_pipeline(
+        {"processors": [{"dissect": {"field": "f", "pattern": "%{a}:%{b}"}}]},
+        [{"f": "no-colon-here"}],
+    )
+    assert "_ingest_pipeline_failure" in rows[0]["tags"]
+
+
+def test_dissect_skip_and_named_skip():
+    rows = run_pipeline(
+        {"processors": [{"dissect": {"field": "f", "pattern": "%{}-%{?junk}-%{keep}"}}]},
+        [{"f": "a-b-c"}],
+    )
+    assert rows[0]["keep"] == "c"
+    assert "junk" not in rows[0]
+
+
+def test_dissect_append_modifier():
+    rows = run_pipeline(
+        {"processors": [{"dissect": {"field": "f", "pattern": "%{+name} %{+name}", "append_separator": " "}}]},
+        [{"f": "john smith"}],
+    )
+    assert rows[0]["name"] == "john smith"
+
+
+def test_dissect_append_with_order():
+    rows = run_pipeline(
+        {"processors": [{"dissect": {"field": "f", "pattern": "%{+name/2} %{+name/1}", "append_separator": ","}}]},
+        [{"f": "smith john"}],
+    )
+    assert rows[0]["name"] == "john,smith"
+
+
+def test_dissect_right_padding():
+    rows = run_pipeline(
+        {"processors": [{"dissect": {"field": "f", "pattern": "%{a->} %{b}"}}]},
+        [{"f": "x     y"}],
+    )
+    assert rows[0]["a"] == "x" and rows[0]["b"] == "y"
+
+
+def test_dissect_reference_keys():
+    rows = run_pipeline(
+        {"processors": [{"dissect": {"field": "f", "pattern": "%{*k1}=%{&k1}"}}]},
+        [{"f": "color=red"}],
+    )
+    assert rows[0]["color"] == "red"

@@ -1,0 +1,63 @@
+"""Driver-contract smoke: entry() and a few queries() run and agree
+with their oracles at sf0.001."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_entry_returns_rows(ray_session):
+    import __ray_entry__ as e
+
+    res = e.entry()
+    df = res.to_pandas()
+    assert len(df) > 0
+    assert "conv_id" in df.columns
+
+
+@pytest.mark.parametrize("name", ["transcripts_source", "grok_toolcalls", "route_counts", "conv_stats"])
+def test_query_matches_oracle(ray_session, duck, name):
+    import __ray_entry__ as e
+
+    mine = e.queries()[name](SF)
+    try:
+        import ray.data
+
+        if isinstance(mine, ray.data.Dataset):
+            mine = mine.to_pandas()
+    except ImportError:
+        pass
+    oracle = duck.sql(e.oracle_sql()[name]).df()
+    a, b = _canon(pd.DataFrame(mine)), _canon(oracle)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    for c in a.columns:
+        assert (a[c].fillna("<NA>") == b[c].fillna("<NA>")).all(), c
+
+
+def test_every_query_has_callable():
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    assert len(qs) >= 30
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(qs)

@@ -1,0 +1,74 @@
+"""Golden-pipeline executor tests (SmokeTest.java:81-158 semantics) +
+conditions."""
+
+from tests.util import run_pipeline
+
+SIMPLE_MUTATE = {
+    "processors": [
+        {"set": {"field": "my-long-field", "value": 10}},
+        {"set": {"field": "host.hostname", "value": "BamBam"}},
+        {"lowercase": {"field": "host.hostname"}},
+        {"remove": {"field": "required-field-to-remove"}},
+        {"append": {"field": "events", "value": ["one", "two"]}},
+    ]
+}
+
+
+def test_simple_mutate_happy_path():
+    rows = run_pipeline(SIMPLE_MUTATE, [{"required-field-to-remove": "x", "keep": 1}])
+    r = rows[0]
+    assert r["my-long-field"] == 10
+    assert r["host.hostname"] == "bambam"
+    assert "required-field-to-remove" not in r
+    assert r["events"] == ["one", "two"]
+    assert r["__meta_target_pipeline"] == "_none"
+
+
+def test_simple_mutate_failure_isolated_per_row():
+    rows = run_pipeline(
+        SIMPLE_MUTATE,
+        [{"required-field-to-remove": "x", "i": 1}, {"i": 2}],
+    )
+    ok = next(r for r in rows if r["i"] == 1)
+    bad = next(r for r in rows if r["i"] == 2)
+    assert ok["host.hostname"] == "bambam"
+    assert "tags" not in ok
+    # failed row: original, unmodified, tagged
+    assert "my-long-field" not in bad
+    assert "host.hostname" not in bad
+    assert "_ingest_pipeline_failure" in bad["tags"]
+    assert "required-field-to-remove" in bad["__meta_failure_message"]
+
+
+def test_condition_gating_vectorized():
+    rows = run_pipeline(
+        {"processors": [
+            {"set": {"field": "cls", "value": "tool", "if": "ctx.role == 'tool'"}},
+            {"set": {"field": "cls", "value": "other", "if": "ctx.role != 'tool'"}},
+            {"set": {"field": "big", "value": "y", "if": "ctx.n > 5 && ctx.role.startsWith('t')"}},
+        ]},
+        [{"role": "tool", "n": 10}, {"role": "user", "n": 10}, {"role": "tool", "n": 1}],
+    )
+    assert [r["cls"] for r in rows] == ["tool", "other", "tool"]
+    assert rows[0]["big"] == "y"
+    assert "big" not in rows[1] and "big" not in rows[2]
+
+
+def test_null_safe_access():
+    rows = run_pipeline(
+        {"processors": [{"set": {"field": "hit", "value": "y", "if": "ctx?.a?.b == 'x'"}}]},
+        [{"a.b": "x"}, {"other": 1}],
+    )
+    assert rows[0]["hit"] == "y"
+    assert "hit" not in rows[1]
+
+
+def test_unknown_processor_fails_compilation():
+    import pytest
+
+    from logstash_filter_elastic_integration_ray.functions import KernelCompileError
+    from logstash_filter_elastic_integration_ray.pipelines import compile_pipeline
+
+    # docs/index.asciidoc:309-324: unsupported processors fail creation
+    with pytest.raises(KernelCompileError):
+        compile_pipeline("p", {"processors": [{"inference": {"model_id": "m"}}]})

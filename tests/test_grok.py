@@ -1,0 +1,82 @@
+"""Grok + redact conformance (reference spec:444-469, :640-666)."""
+
+from tests.util import run_pipeline
+
+
+def test_grok_basic_typed_extraction():
+    # spec:444-469 — client/method/request extracted; bytes int; duration double
+    rows = run_pipeline(
+        {"processors": [{"grok": {"field": "message", "patterns": [
+            "%{IP:client} %{WORD:method} %{URIPATHPARAM:request} %{NUMBER:bytes:int} %{NUMBER:duration:double}"
+        ]}}]},
+        [{"message": "55.3.244.1 GET /index.html 15824 0.043"}],
+    )
+    r = rows[0]
+    assert r["client"] == "55.3.244.1"
+    assert r["method"] == "GET"
+    assert r["request"] == "/index.html"
+    assert r["bytes"] == 15824 and isinstance(r["bytes"], int)
+    assert abs(r["duration"] - 0.043) < 1e-12
+
+
+def test_grok_first_matching_pattern_wins():
+    rows = run_pipeline(
+        {"processors": [{"grok": {"field": "m", "patterns": [
+            "^num=%{NUMBER:val:int}$", "^word=%{WORD:wval}$"]}}]},
+        [{"m": "num=7"}, {"m": "word=hello"}],
+    )
+    assert rows[0]["val"] == 7 and "wval" not in rows[0]
+    assert rows[1]["wval"] == "hello" and "val" not in rows[1]
+
+
+def test_grok_no_match_fails_row_and_passes_original():
+    rows = run_pipeline(
+        {"processors": [{"grok": {"field": "m", "patterns": ["%{IP:client}"]}}]},
+        [{"m": "no ip here"}],
+    )
+    assert rows[0]["m"] == "no ip here"
+    assert "_ingest_pipeline_failure" in rows[0]["tags"]
+    assert "Grok" in rows[0]["__meta_failure_message"]
+
+
+def test_grok_missing_field():
+    rows = run_pipeline(
+        {"processors": [{"grok": {"field": "absent", "patterns": ["%{WORD:w}"]}}]},
+        [{"m": "x"}],
+    )
+    assert "_ingest_pipeline_failure" in rows[0]["tags"]
+    rows = run_pipeline(
+        {"processors": [{"grok": {"field": "absent", "patterns": ["%{WORD:w}"], "ignore_missing": True}}]},
+        [{"m": "x"}],
+    )
+    assert "tags" not in rows[0]
+
+
+def test_grok_pattern_definitions_and_oniguruma_names():
+    rows = run_pipeline(
+        {"processors": [{"grok": {"field": "m",
+                                  "patterns": ["%{MYID:the_id} (?<rest>.*)"],
+                                  "pattern_definitions": {"MYID": "id-[0-9]+"}}}]},
+        [{"m": "id-42 trailing stuff"}],
+    )
+    assert rows[0]["the_id"] == "id-42"
+    assert rows[0]["rest"] == "trailing stuff"
+
+
+def test_redact_masks_ip_and_email():
+    # spec:640-666
+    rows = run_pipeline(
+        {"processors": [{"redact": {"field": "message", "patterns": [
+            "%{IP:REDACTED-IP}", "%{EMAILADDRESS:REDACTED-EMAIL}"],
+            "prefix": "[", "suffix": "]"}}]},
+        [{"message": "55.3.244.1 GET /index.html 15824 0.043 test@elastic.co"}],
+    )
+    assert rows[0]["message"] == "[REDACTED-IP] GET /index.html 15824 0.043 [REDACTED-EMAIL]"
+
+
+def test_redact_default_wrappers():
+    rows = run_pipeline(
+        {"processors": [{"redact": {"field": "m", "patterns": ["%{IPV4:ip}"]}}]},
+        [{"m": "from 1.2.3.4 ok"}],
+    )
+    assert rows[0]["m"] == "from <ip> ok"

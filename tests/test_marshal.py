@@ -1,0 +1,131 @@
+"""Reserved-field sanitization (IngestDuplexMarshallerTest.java:43-533
+semantics, SURVEY.md §1.1) + net kernels (user_agent/registered_domain/
+network_direction/community_id/geoip stub)."""
+
+import datetime as dt
+
+import numpy as np
+
+from logstash_filter_elastic_integration_ray.model import ColumnBatch, sanitize_reserved_fields
+from tests.util import run_pipeline
+
+
+def _batch(rows: dict[str, list]) -> ColumnBatch:
+    n = len(next(iter(rows.values())))
+    b = ColumnBatch(num_rows=n)
+    for k, v in rows.items():
+        b.set(k, list(v))
+    return b
+
+
+def test_version_must_be_string_encoded_integer():
+    b = _batch({"@version": ["1", 2, "x1", None]})
+    sanitize_reserved_fields(b)
+    vals = list(b.objects("@version"))
+    quarantined = list(b.objects("_@version"))
+    assert vals[0] == "1"
+    assert vals[1] == "2"          # integer → string-encoded
+    assert vals[2] is None and quarantined[2] == "x1"
+    assert vals[3] is None
+
+
+def test_timestamp_coercion_and_quarantine():
+    b = _batch({"@timestamp": ["2023-01-02T03:04:05Z", "not a ts", dt.datetime(2020, 1, 1)]})
+    sanitize_reserved_fields(b)
+    vals = list(b.objects("@timestamp"))
+    quarantined = list(b.objects("_@timestamp"))
+    assert isinstance(vals[0], dt.datetime)
+    assert vals[1] is None and quarantined[1] == "not a ts"
+    assert vals[2] == dt.datetime(2020, 1, 1)
+
+
+def test_metadata_must_be_map():
+    b = _batch({"@metadata": [{"k": 1}, "oops"]})
+    sanitize_reserved_fields(b)
+    assert list(b.objects("@metadata"))[1] is None
+    assert list(b.objects("_@metadata"))[1] == "oops"
+
+
+def test_tags_shapes():
+    b = _batch({"tags": ["one", ["a", "b"], ["a", 3], 7]})
+    sanitize_reserved_fields(b)
+    vals = list(b.objects("tags"))
+    quarantined = list(b.objects("_tags"))
+    assert vals[0] == "one"
+    assert vals[1] == ["a", "b"]
+    assert vals[2] is None and quarantined[2] == ["a", 3]
+    assert vals[3] is None and quarantined[3] == 7
+
+
+def test_success_marker_set():  # EventProcessor.java:60-61,234
+    rows = run_pipeline({"processors": [{"set": {"field": "x", "value": 1}}]}, [{"a": 1}])
+    assert rows[0]["__meta_target_pipeline"] == "_none"
+
+
+# ---------------------------------------------------------------------------
+# net kernels
+# ---------------------------------------------------------------------------
+
+def test_user_agent():  # spec:983-1006-style
+    ua = "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 Chrome/112.0.0.0 Safari/537.36"
+    rows = run_pipeline(
+        {"processors": [{"user_agent": {"field": "ua"}}]},
+        [{"ua": ua}],
+    )
+    r = rows[0]
+    assert r["user_agent.name"] == "Chrome"
+    assert r["user_agent.version"].startswith("112")
+    assert r["user_agent.os.name"] == "Linux"
+    assert r["user_agent.original"] == ua
+
+
+def test_registered_domain():  # spec:668-693
+    rows = run_pipeline(
+        {"processors": [{"registered_domain": {"field": "domain_field", "target_field": "url"}}]},
+        [{"domain_field": "www.example.ac.uk"}],
+    )
+    r = rows[0]
+    assert r["url.top_level_domain"] == "ac.uk"
+    assert r["url.registered_domain"] == "example.ac.uk"
+    assert r["url.subdomain"] == "www"
+    assert r["url.domain"] == "www.example.ac.uk"
+
+
+def test_network_direction():  # spec:616-637
+    rows = run_pipeline(
+        {"processors": [{"network_direction": {"internal_networks": ["private"]}}]},
+        [{"source.ip": "128.232.110.120", "destination.ip": "192.168.1.1"},
+         {"source.ip": "192.168.1.1", "destination.ip": "8.8.8.8"}],
+    )
+    assert rows[0]["network.direction"] == "inbound"
+    assert rows[1]["network.direction"] == "outbound"
+
+
+def test_community_id():  # spec:177-199; public community-id test vector
+    rows = run_pipeline(
+        {"processors": [{"community_id": {}}]},
+        [{"source.ip": "128.232.110.120", "source.port": 34855,
+          "destination.ip": "66.35.250.204", "destination.port": 80,
+          "network.transport": "tcp"}],
+    )
+    # known vector from the public Community ID spec
+    assert rows[0]["network.community_id"] == "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
+
+
+def test_geoip_missing_database_tags():  # spec:1045
+    rows = run_pipeline(
+        {"processors": [{"geoip": {"field": "ip"}}]},
+        [{"ip": "89.160.20.128"}],
+    )
+    assert "_geoip_database_unavailable_GeoLite2-City.mmdb" in rows[0]["tags"]
+
+
+def test_geoip_with_stub_database():
+    from logstash_filter_elastic_integration_ray.state.lookups import fake_geoip_database
+
+    rows = run_pipeline(
+        {"processors": [{"geoip": {"field": "ip", "_database": fake_geoip_database()}}]},
+        [{"ip": "10.0.16.7"}],
+    )
+    assert rows[0]["geoip.continent_name"] == "Asia"
+    assert rows[0]["geoip.country_iso_code"] == "JP"

@@ -1,0 +1,229 @@
+"""Ray-backed stage tests: aggregate two-phase correctness (incl. skew),
+enrich actor pool, fan-out sinks + resume, dedup, similarity,
+multimodal plumbing."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from logstash_filter_elastic_integration_ray.sources.transcripts import (
+    derive_transcripts_table,
+    synthesize_skewed_transcripts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _transcripts_table():
+    return derive_transcripts_table(pq.read_table(f"{SF}/events.parquet"))
+
+
+def test_conv_stats_two_phase_matches_reference(ray_session):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.aggregate import conv_stats, conv_stats_reference
+
+    t = _transcripts_table()
+    # small batches force conversations to straddle batch boundaries
+    ds = rd.from_arrow(t).map_batches(lambda b: b, batch_format="pyarrow", batch_size=64)
+    mine = conv_stats(ds).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    ref = conv_stats_reference(t).sort_values("conv_id").reset_index(drop=True)
+    for col in ["conv_id", "n_turns", "n_tool_calls", "first_text", "last_text", "ordered_hash"]:
+        assert mine[col].tolist() == ref[col].tolist(), col
+    assert (mine["first_ts"] == ref["first_ts"]).all()
+    assert (mine["last_ts"] == ref["last_ts"]).all()
+
+
+def test_conv_stats_skewed_hot_key(ray_session):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.aggregate import conv_stats, conv_stats_reference
+
+    t = synthesize_skewed_transcripts(4000)
+    ds = rd.from_arrow(t).map_batches(lambda b: b, batch_format="pyarrow", batch_size=128)
+    mine = conv_stats(ds).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    ref = conv_stats_reference(t).sort_values("conv_id").reset_index(drop=True)
+    assert mine["conv_id"].tolist() == ref["conv_id"].tolist()
+    assert mine["n_turns"].tolist() == ref["n_turns"].tolist()
+    assert mine["ordered_hash"].tolist() == ref["ordered_hash"].tolist()
+
+
+def test_enrich_actor_pool(ray_session):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.enrich import IntegrationEnricher
+    from logstash_filter_elastic_integration_ray.state.lookups import INTEGRATIONS_LOOKUP, broadcast
+
+    ds = rd.from_arrow(_transcripts_table())
+    ref = broadcast(INTEGRATIONS_LOOKUP)
+    out = ds.map_batches(
+        IntegrationEnricher, fn_constructor_args=(ref,), batch_format="pyarrow",
+        concurrency=2, num_cpus=1,
+    ).to_pandas()
+    tool_rows = out[out["role"] == "tool"]
+    assert (tool_rows["integration"] == "integration-" + tool_rows["tool"]).all()
+    assert (out[out["role"] == "user"]["cost_weight"] == 1.0).all()
+    assert (out[out["role"] == "assistant"]["category"] == "ai-agent").all()
+
+
+def test_fanout_write_and_sink_counts(ray_session, tmp_path):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.pipelines.flagship import assign_datastream, build_event_processor
+    from logstash_filter_elastic_integration_ray.stages.sinks import fanout_write, sink_counts_from_dir
+
+    t = assign_datastream(_transcripts_table())
+    parsed = build_event_processor()(t)
+    out_dir = str(tmp_path / "fanout")
+    fanout_write(rd.from_arrow(parsed), out_dir)
+    counts = sink_counts_from_dir(out_dir)
+    import collections
+
+    expected = collections.Counter(parsed.column("__meta_index").to_pylist())
+    assert counts == dict(expected)
+    assert sum(counts.values()) == t.num_rows
+
+
+def test_run_shard_resume(tmp_path):
+    from logstash_filter_elastic_integration_ray.stages.sinks import completed_shards, run_shard
+
+    calls = []
+
+    def build(inputs, dest):
+        calls.append(inputs)
+        with open(os.path.join(dest, "out.txt"), "w") as f:
+            f.write("data")
+        return {"rows": 7}
+
+    out = str(tmp_path / "o")
+    os.makedirs(out)
+    m1 = run_shard("shard-0", ["a.parquet"], out, build)
+    assert m1["metrics"]["rows"] == 7
+    m2 = run_shard("shard-0", ["a.parquet"], out, build)  # resume: skipped
+    assert len(calls) == 1
+    assert m2["metrics"]["rows"] == 7
+    assert completed_shards(out) == {"shard-0"}
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.dedup import exact_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([5, 1, 2, 3, 4], type=pa.int64()),
+        "text": ["dup", "dup", "unique-a", "dup", "unique-b"],
+    })
+    out = exact_dedup(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 3
+    survivors = set(out["doc_id"])
+    assert survivors == {1, 2, 4}  # min doc_id per distinct text
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.dedup import minhash_lsh_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    near = base.replace("yard", "garden")
+    far = "completely different words describing some other topic entirely here now"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": [base, near, far, base],
+    })
+    out = minhash_lsh_dedup(rd.from_arrow(t), threshold=0.5)
+    clusters = dict(zip(out["doc_id"], out["cluster_size"]))
+    assert clusters[1] == 3      # base, near-dup and exact dup clustered
+    assert clusters[3] == 1
+    assert 2 not in clusters and 4 not in clusters
+
+
+def test_simhash_near_dup_close(ray_session):
+    from logstash_filter_elastic_integration_ray.stages.dedup import simhash_batch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()), "text": [base, near]})
+    out = simhash_batch(t)
+    a, b = [int(x, 16) for x in out.column("simhash").to_pylist()]
+    assert bin(a ^ b).count("1") <= 16  # near-dups stay hamming-close
+
+
+def test_ngram_jaccard():
+    from logstash_filter_elastic_integration_ray.stages.dedup import ngram_jaccard
+
+    assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert ngram_jaccard("a b c d e", "v w x y z") == 0.0
+
+
+def test_brute_force_topk_matches_naive(ray_session):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.similarity import brute_force_topk
+
+    rng = np.random.default_rng(7)
+    n, d = 300, 16
+    m = rng.normal(size=(n, d))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array([row.astype(np.float32).tolist() for row in m]),
+    })
+    q = m[:2]
+    out = brute_force_topk(rd.from_arrow(t), q, [0, 1], k=5).to_pandas()
+    # naive oracle
+    mf = m.astype(np.float32).astype(np.float64)
+    norm = mf / np.linalg.norm(mf, axis=1, keepdims=True)
+    qn = norm[:2]
+    sims = norm @ qn.T
+    for qi in (0, 1):
+        col = sims[:, qi].copy()
+        col[qi] = -np.inf  # exclude self
+        expect = np.argsort(-col, kind="stable")[:5].tolist()
+        got = out[out["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+        assert got == expect
+
+
+def test_ivf_recall(ray_session):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.similarity import IvfIndex, brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    n, d = 500, 16
+    m = rng.normal(size=(n, d))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array([row.astype(np.float32).tolist() for row in m]),
+    })
+    q = m[:3]
+    ds = rd.from_arrow(t)
+    exact = brute_force_topk(ds, q, [0, 1, 2], k=5).to_pandas()
+    index = IvfIndex(m, n_clusters=8)
+    approx = ivf_topk(ds, index, q, [0, 1, 2], k=5, nprobe=4).to_pandas()
+    recall = 0
+    for qi in (0, 1, 2):
+        e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+        recall += len(e & a) / len(e)
+    assert recall / 3 >= 0.6  # nprobe=4 of 8 buckets
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.multimodal import FakeImageDecoder, decode_stage
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    out = decode_stage(docs).to_pandas()
+    assert (out["n_bytes"] > 0).all()
+    assert (out["width"] == out["n_bytes"] % 640).all()
+    assert (out["channels"] == 3).all()
+    # strict mode marks where the real decoder goes
+    strict = FakeImageDecoder(strict=True)
+    with pytest.raises(NotImplementedError):
+        strict._decode(b"abc")

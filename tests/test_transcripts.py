@@ -1,0 +1,53 @@
+"""The transcripts derivation and its DuckDB SQL twin must agree
+byte-for-byte (this is what makes per-turn text equality
+oracle-checkable)."""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from logstash_filter_elastic_integration_ray.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    derive_transcripts_table,
+    synthesize_skewed_transcripts,
+    transcripts_sql,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_derivation_matches_sql_twin():
+    events = pq.read_table(f"{SF}/events.parquet")
+    mine = derive_transcripts_table(events).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    con = duckdb.connect()
+    con.register("events", events)
+    oracle = con.sql(
+        transcripts_sql("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts ORDER BY conv_id, turn_idx")
+    ).arrow()
+    assert mine.num_rows == oracle.num_rows
+    for col in ["conv_id", "turn_idx", "role", "text", "tool"]:
+        assert mine.column(col).to_pylist() == oracle.column(col).to_pylist(), col
+    assert (
+        mine.column("ts").cast(pa.timestamp("us")).to_pylist()
+        == oracle.column("ts").cast(pa.timestamp("us")).to_pylist()
+    )
+
+
+def test_schema_matches_input_hint():
+    events = pq.read_table(f"{SF}/events.parquet")
+    t = derive_transcripts_table(events)
+    assert t.schema.equals(TRANSCRIPT_SCHEMA)
+
+
+def test_skewed_synth_is_deterministic_and_skewed():
+    a = synthesize_skewed_transcripts(5000)
+    b = synthesize_skewed_transcripts(5000)
+    assert a.equals(b)
+    import collections
+
+    counts = collections.Counter(a.column("conv_id").to_pylist())
+    top = counts.most_common(1)[0]
+    assert top[1] >= 0.04 * 5000  # hot conversation holds ~5% of turns
+    # (conv_id, turn_idx) unique
+    pairs = list(zip(a.column("conv_id").to_pylist(), a.column("turn_idx").to_pylist()))
+    assert len(set(pairs)) == len(pairs)

@@ -1,0 +1,57 @@
+"""Test helpers: run a pipeline definition over rows-as-dicts without
+needing a Ray cluster (the executor is a plain callable over Arrow)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from logstash_filter_elastic_integration_ray.model import ColumnBatch
+from logstash_filter_elastic_integration_ray.pipelines import (
+    EventProcessor,
+    RoutingConfig,
+    compile_pipeline_set,
+)
+
+
+def rows_to_table(rows: list[dict]) -> pa.Table:
+    keys: list[str] = []
+    for r in rows:
+        for k in r:
+            if k not in keys:
+                keys.append(k)
+    cols = {}
+    for k in keys:
+        vals = [r.get(k) for r in rows]
+        try:
+            cols[k] = pa.array(vals)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            arr = np.empty(len(vals), dtype=object)
+            arr[:] = vals
+            cols[k] = arr
+    batch = ColumnBatch(num_rows=len(rows))
+    for k, v in cols.items():
+        batch.set(k, v)
+    return batch.to_table(include_private=True)
+
+
+def table_to_rows(table: pa.Table) -> list[dict]:
+    out = []
+    for i in range(table.num_rows):
+        row = {}
+        for name in table.column_names:
+            v = table.column(name)[i].as_py()
+            if v is not None:
+                row[name] = v
+        out.append(row)
+    return out
+
+
+def run_pipeline(pipeline_def: dict, rows: list[dict], extra_pipelines: dict | None = None,
+                 routing: RoutingConfig | None = None) -> list[dict]:
+    defs = {"main": pipeline_def}
+    if extra_pipelines:
+        defs.update(extra_pipelines)
+    routing = routing or RoutingConfig(default_pipeline="main", use_datastream=False)
+    proc = EventProcessor(compile_pipeline_set(defs), routing)
+    return table_to_rows(proc(rows_to_table(rows)))
