@@ -601,6 +601,94 @@ def q_segment_orders(sf_dir: str):
     )
 
 
+def q_session_windows(sf_dir: str):
+    """Gap-based session windows (30-min inactivity) per user — the
+    streaming-window-shaped custom operator: sort within hash
+    partition, vectorized gap/cumsum sessionization in pandas."""
+    import pandas as pd
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.aggregate import add_partition_col
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        gap = df.groupby("user_id", sort=False)["ts"].diff()
+        new_s = gap.isna() | (gap > pd.Timedelta(minutes=30))
+        df["session_idx"] = new_s.groupby(df["user_id"], sort=False).cumsum().astype("int64") - 1
+        out = (
+            df.groupby(["user_id", "session_idx"], sort=False)
+            .agg(n_events=("event_id", "size"), start_ts=("ts", "min"), end_ts=("ts", "max"))
+            .reset_index()
+        )
+        return out
+
+    parts = ds.map_batches(lambda b: add_partition_col(b, 16, key="user_id"), batch_format="pyarrow")
+    return parts.repartition(16).groupby("__part").map_groups(per_partition, batch_format="pandas")
+
+
+def q_asof_latest_order(sf_dir: str):
+    """As-of join: for each event, the latest order of the same
+    customer key at or before the event time.  Small side broadcast +
+    per-batch vectorized ``pd.merge_asof``; the both-sides-large path
+    is bucket-by-key + per-bucket merge_asof (documented assumption:
+    order side fits the object store per bucket)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.state.lookups import broadcast, resolve_broadcast
+
+    orders = (
+        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .to_pandas()
+        .sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    ref = broadcast(orders)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        odf = resolve_broadcast(ref)
+        e = batch.to_pandas().sort_values("ts", kind="mergesort")
+        merged = pd.merge_asof(
+            e, odf, left_on="ts", right_on="o_orderdate",
+            left_by="user_id", right_by="o_custkey", direction="backward",
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(merged["event_id"], type=pa.int64()),
+                "o_orderkey": pa.array(merged["o_orderkey"].astype("Int64")),
+                "o_orderdate": pa.array(merged["o_orderdate"]).cast(pa.timestamp("us")),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_join_orders_nation(sf_dir: str):
+    """Both-sides-as-Datasets hash join via the native ``Dataset.join``
+    (hash-partitioned on the key), then grouped totals per nation."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "price_cents": pc.round(pc.multiply(t.column("o_totalprice"), 100.0)).cast(pa.int64()),
+        })
+
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]).map_batches(
+        cents, batch_format="pyarrow"
+    )
+    c = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    j = o.join(c, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+    return j.groupby("c_nationkey").aggregate(
+        Count(alias_name="n_orders"), Sum("price_cents", alias_name="total_price_cents")
+    )
+
+
 def q_top_orders(sf_dir: str):
     import ray.data as rd
 
@@ -656,6 +744,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "segment_orders": q_segment_orders,
         "top_orders": q_top_orders,
+        "session_windows": q_session_windows,
+        "asof_latest_order": q_asof_latest_order,
+        "join_orders_nation": q_join_orders_nation,
     }
 
 
@@ -714,7 +805,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "user_agent_web": T(
             "SELECT conv_id, turn_idx, 'Chrome' AS ua_name, "
-            "CAST(100 + event_id % 20 AS VARCHAR) || '.0.0' AS ua_version, "
+            "CAST(100 + event_id % 20 AS VARCHAR) || '.0.0.0' AS ua_version, "
             "'Linux' AS ua_os, 'Other' AS ua_device "
             "FROM transcripts WHERE event_id % 8 = 6"
         ),
@@ -823,5 +914,29 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": (
             "SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents "
             "FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+        ),
+        "session_windows": (
+            "WITH w AS ("
+            "  SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER "
+            "    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+            "    THEN 1 ELSE 0 END AS new_s FROM events), "
+            "s AS (SELECT user_id, ts, event_id, sum(new_s) OVER "
+            "  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 AS session_idx FROM w) "
+            "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events, "
+            "min(ts) AS start_ts, max(ts) AS end_ts FROM s GROUP BY 1, 2"
+        ),
+        "asof_latest_order": (
+            "WITH cand AS ("
+            "  SELECT e.event_id, o.o_orderkey, o.o_orderdate, "
+            "    ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn "
+            "  FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) "
+            "SELECT e.event_id, c.o_orderkey, c.o_orderdate "
+            "FROM events e LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1"
+        ),
+        "join_orders_nation": (
+            "SELECT c.c_nationkey, count(*) AS n_orders, "
+            "sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_price_cents "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
         ),
     }

@@ -159,6 +159,23 @@ class _Parser:
         if t == "null":
             self.eat()
             return _Node("lit", value=None)
+        if t is not None and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", t) and t not in ("ctx",):
+            # namespace call (Processors.bytes(...), Math.abs(...)) or a
+            # script-local variable reference
+            self.eat()
+            if self.peek() == "." and self.i + 2 < len(self.toks) and self.toks[self.i + 2] == "(":
+                self.eat(".")
+                fname = self.eat()
+                self.eat("(")
+                args = []
+                if self.peek() != ")":
+                    args.append(self.parse_or())
+                    while self.peek() == ",":
+                        self.eat()
+                        args.append(self.parse_or())
+                self.eat(")")
+                return _Node("call", value=(t, fname), children=tuple(args))
+            return _Node("var", value=t)
         if t == "ctx":
             self.eat()
             path = []
@@ -196,7 +213,7 @@ class _Parser:
         return node
 
 
-def _eval_values(node: _Node, batch: ColumnBatch) -> np.ndarray:
+def _eval_values(node: _Node, batch: ColumnBatch, env: dict | None = None) -> np.ndarray:
     """Evaluate a value-producing node → numpy object array of length n."""
     if node.kind == "lit":
         out = np.empty(batch.n, dtype=object)
@@ -209,9 +226,28 @@ def _eval_values(node: _Node, batch: ColumnBatch) -> np.ndarray:
             out[:] = None
             return out
         return vals
+    if node.kind == "var":
+        if env is not None and node.value in env:
+            return env[node.value]
+        out = np.empty(batch.n, dtype=object)
+        out[:] = None
+        return out
+    if node.kind == "call":
+        ns, fname = node.value
+        args = [_eval_values(a, batch, env) for a in node.children]
+        fn = _BUILTIN_CALLS.get((ns, fname))
+        if fn is None:
+            raise ValueError(f"unsupported call {ns}.{fname}() in expression")
+        out = np.empty(batch.n, dtype=object)
+        for i in range(batch.n):
+            try:
+                out[i] = fn(*[a[i] for a in args])
+            except (ValueError, TypeError):
+                out[i] = None
+        return out
     if node.kind == "arith":
-        lv = _eval_values(node.children[0], batch)
-        rv = _eval_values(node.children[1], batch)
+        lv = _eval_values(node.children[0], batch, env)
+        rv = _eval_values(node.children[1], batch, env)
         op = node.value
         out = np.empty(batch.n, dtype=object)
         for i in range(batch.n):
@@ -237,8 +273,8 @@ def _eval_values(node: _Node, batch: ColumnBatch) -> np.ndarray:
                 out[i] = None
         return out
     if node.kind == "method":
-        recv = _eval_values(node.children[0], batch)
-        args = [_eval_values(a, batch) for a in node.children[1:]]
+        recv = _eval_values(node.children[0], batch, env)
+        args = [_eval_values(a, batch, env) for a in node.children[1:]]
         name = node.value
         out = np.empty(batch.n, dtype=object)
         for i in range(batch.n):
@@ -271,6 +307,28 @@ def _eval_values(node: _Node, batch: ColumnBatch) -> np.ndarray:
                 out[i] = None
         return out
     raise ValueError(f"node {node.kind} does not produce a value")
+
+
+def _processors_bytes(v):
+    """``Processors.bytes('1kb')`` — painless access to ingest-common
+    helpers (SmokeTest exercises this via script; spec:784-810)."""
+    from .functions.parse import _BYTES_MULT, _BYTES_RE
+
+    m = _BYTES_RE.match(str(v))
+    if not m:
+        raise ValueError(f"failed to parse bytes [{v}]")
+    return int(float(m.group(1)) * _BYTES_MULT[m.group(2).lower()])
+
+
+_BUILTIN_CALLS = {
+    ("Processors", "bytes"): _processors_bytes,
+    ("Processors", "lowercase"): lambda v: str(v).lower(),
+    ("Processors", "uppercase"): lambda v: str(v).upper(),
+    ("Processors", "trim"): lambda v: str(v).strip(),
+    ("Math", "abs"): abs,
+    ("Math", "min"): min,
+    ("Math", "max"): max,
+}
 
 
 def _truthy(vals: np.ndarray) -> np.ndarray:
@@ -319,6 +377,25 @@ def _fast_bool(node: _Node, batch: ColumnBatch) -> np.ndarray | None:
                         return np.asarray(pc.fill_null(pc.equal(col, lit), False))
                     # null != 'x' → true (Java reference semantics)
                     return np.asarray(pc.fill_null(pc.not_equal(col, lit), True))
+            if isinstance(lit, (int, float)) and not isinstance(lit, bool):
+                col = batch._cols.get(fname)
+                if col is not None and not isinstance(col, np.ndarray):
+                    import pyarrow as pa
+
+                    if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+                        if node.value == "==":
+                            return np.asarray(pc.fill_null(pc.equal(col, lit), False))
+                        return np.asarray(pc.fill_null(pc.not_equal(col, lit), True))
+    if node.kind == "cmp" and node.value in ("<", "<=", ">", ">="):
+        a, b = node.children
+        if a.kind == "field" and b.kind == "lit" and isinstance(b.value, (int, float)) and not isinstance(b.value, bool):
+            col = batch._cols.get(a.value)
+            if col is not None and not isinstance(col, np.ndarray):
+                import pyarrow as pa
+
+                if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+                    op = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}[node.value]
+                    return np.asarray(pc.fill_null(op(col, b.value), False))
     if node.kind == "method" and node.value in ("equals", "startsWith", "endsWith", "contains"):
         recv = node.children[0]
         if recv.kind == "field" and len(node.children) == 2 and node.children[1].kind == "lit":
@@ -338,20 +415,20 @@ def _fast_bool(node: _Node, batch: ColumnBatch) -> np.ndarray | None:
     return None
 
 
-def _eval_bool(node: _Node, batch: ColumnBatch) -> np.ndarray:
+def _eval_bool(node: _Node, batch: ColumnBatch, env: dict | None = None) -> np.ndarray:
     fast = _fast_bool(node, batch)
     if fast is not None:
         return fast
     if node.kind == "and":
-        return _eval_bool(node.children[0], batch) & _eval_bool(node.children[1], batch)
+        return _eval_bool(node.children[0], batch, env) & _eval_bool(node.children[1], batch, env)
     if node.kind == "or":
-        return _eval_bool(node.children[0], batch) | _eval_bool(node.children[1], batch)
+        return _eval_bool(node.children[0], batch, env) | _eval_bool(node.children[1], batch, env)
     if node.kind == "not":
-        return ~_eval_bool(node.children[0], batch)
+        return ~_eval_bool(node.children[0], batch, env)
     if node.kind == "cmp":
         op = node.value
-        lv = _eval_values(node.children[0], batch)
-        rv = _eval_values(node.children[1], batch)
+        lv = _eval_values(node.children[0], batch, env)
+        rv = _eval_values(node.children[1], batch, env)
         out = np.zeros(batch.n, dtype=bool)
         for i in range(batch.n):
             a, b = lv[i], rv[i]
@@ -375,7 +452,7 @@ def _eval_bool(node: _Node, batch: ColumnBatch) -> np.ndarray:
                     out[i] = False
         return out
     # value node used in boolean position
-    return _truthy(_eval_values(node, batch))
+    return _truthy(_eval_values(node, batch, env))
 
 
 class Condition:
@@ -406,14 +483,14 @@ class ValueExpr:
         self.source = source
         self._ast = _Parser(_tokenize(source)).parse()
 
-    def evaluate(self, batch: ColumnBatch) -> np.ndarray:
+    def evaluate(self, batch: ColumnBatch, env: dict | None = None) -> np.ndarray:
         ast = self._ast
         if ast.kind in ("and", "or", "not", "cmp"):
-            vals = _eval_bool(ast, batch)
+            vals = _eval_bool(ast, batch, env)
             out = np.empty(batch.n, dtype=object)
             out[:] = [bool(v) for v in vals]
             return out
-        return _eval_values(ast, batch)
+        return _eval_values(ast, batch, env)
 
 
 def compile_value_expr(source: str) -> ValueExpr:

@@ -632,47 +632,78 @@ class ScriptKernel(Kernel):
 
     failure_message = "script processor failed"
 
+    _LOCAL_DECL = re.compile(
+        r"^(?:def|var|int|long|double|float|boolean|String|Object)\s+([A-Za-z_][A-Za-z_0-9]*)\s*=\s*(.+)$",
+        re.S,
+    )
+    _PARAM_REF = re.compile(r"params(?:\[['\"]([^'\"]+)['\"]\]|\.([A-Za-z_][A-Za-z_0-9]*))")
+
     def __init__(self, config: dict):
+        import json as _json
+
         lang = config.get("lang", "painless")
         if lang != "painless":
             raise KernelCompileError(f"script: only painless supported, got [{lang}]")
         source = config.get("source") or config.get("inline")
         if not source:
             raise KernelCompileError("script: requires inline [source] (stored scripts unsupported)")
-        self.assignments: list[tuple[str, object]] = []
-        for stmt in str(source).split(";"):
+        params = config.get("params") or {}
+
+        # substitute params['x'] / params.x with literals at compile time
+        def sub_param(m: re.Match) -> str:
+            key = m.group(1) or m.group(2)
+            if key not in params:
+                raise KernelCompileError(f"script: unknown param [{key}]")
+            v = params[key]
+            if isinstance(v, str):
+                return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            return _json.dumps(v)
+
+        source = self._PARAM_REF.sub(sub_param, str(source))
+
+        #: list of ("local", name, expr) | ("field", path, expr)
+        self.statements: list[tuple[str, str, object]] = []
+        for stmt in source.split(";"):
             stmt = stmt.strip()
             if not stmt:
                 continue
-            if not _ASSIGN.match(stmt):
-                raise KernelCompileError(
-                    f"script: unsupported statement {stmt!r} — only `ctx.field = expr` "
-                    f"assignments are supported by the expression DSL"
-                )
-            lhs, _, rhs = stmt.partition("=")
-            if rhs.startswith("="):
-                raise KernelCompileError(f"script: unsupported statement {stmt!r}")
-            lhs = lhs.strip()
-            # parse the lhs field path: ctx.a.b / ctx['a']
-            path = lhs[3:].lstrip("?.")
-            if path.startswith("["):
-                parts = re.findall(r"\[['\"]([^'\"]+)['\"]\]", path)
-                field = ".".join(parts)
+            if _ASSIGN.match(stmt):
+                lhs, _, rhs = stmt.partition("=")
+                if rhs.startswith("="):
+                    raise KernelCompileError(f"script: unsupported statement {stmt!r}")
+                path = lhs.strip()[3:].lstrip("?.")
+                if path.startswith("["):
+                    parts = re.findall(r"\[['\"]([^'\"]+)['\"]\]", path)
+                    field = ".".join(parts)
+                else:
+                    field = path.replace("?.", ".")
+                kind, name = "field", _resolve_field(field)
             else:
-                field = path.replace("?.", ".")
+                m = self._LOCAL_DECL.match(stmt)
+                if not m:
+                    raise KernelCompileError(
+                        f"script: unsupported statement {stmt!r} — the expression DSL supports "
+                        f"`ctx.field = expr` assignments and typed local declarations only"
+                    )
+                kind, name = "local", m.group(1)
+                rhs = m.group(2)
             try:
                 expr = compile_value_expr(rhs.strip())
             except ValueError as e:
                 raise KernelCompileError(f"script: cannot compile expression {rhs.strip()!r}: {e}") from e
-            self.assignments.append((_resolve_field(field), expr))
+            self.statements.append((kind, name, expr))
 
     def output_fields(self) -> list[str]:
-        return [f for f, _ in self.assignments]
+        return [n for k, n, _ in self.statements if k == "field"]
 
     def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
-        for field, expr in self.assignments:
-            vals = expr.evaluate(batch)
-            batch.blend(field, vals, mask)
+        env: dict[str, np.ndarray] = {}
+        for kind, name, expr in self.statements:
+            vals = expr.evaluate(batch, env)
+            if kind == "local":
+                env[name] = vals
+            else:
+                batch.blend(name, vals, mask)
         return None
 
 

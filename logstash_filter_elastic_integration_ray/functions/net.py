@@ -33,15 +33,17 @@ from .grok import _normalize_field_path
 # user_agent — mini UA regex bank (simplified public uap-core style rules,
 # compiled once at import = once per worker process)
 # --------------------------------------------------------------------------
+_V4 = r"(\d+)(?:\.(\d+))?(?:\.(\d+))?(?:\.(\d+))?"  # up to 4 version parts
+# (spec:983-1006 expects the full "51.0.2704.103" for Chrome)
 _UA_RULES: list[tuple[re.Pattern, str]] = [
-    (re.compile(r"Edg(?:e|A|iOS)?/(\d+)(?:\.(\d+))?(?:\.(\d+))?"), "Edge"),
-    (re.compile(r"OPR/(\d+)(?:\.(\d+))?(?:\.(\d+))?"), "Opera"),
-    (re.compile(r"Chrome/(\d+)(?:\.(\d+))?(?:\.(\d+))?"), "Chrome"),
-    (re.compile(r"Firefox/(\d+)(?:\.(\d+))?(?:\.(\d+))?"), "Firefox"),
-    (re.compile(r"Version/(\d+)(?:\.(\d+))?(?:\.(\d+))?.*Safari/"), "Safari"),
+    (re.compile(r"Edg(?:e|A|iOS)?/" + _V4), "Edge"),
+    (re.compile(r"OPR/" + _V4), "Opera"),
+    (re.compile(r"Chrome/" + _V4), "Chrome"),
+    (re.compile(r"Firefox/" + _V4), "Firefox"),
+    (re.compile(r"Version/" + _V4 + r".*Safari/"), "Safari"),
     (re.compile(r"MSIE (\d+)(?:\.(\d+))?"), "IE"),
-    (re.compile(r"curl/(\d+)(?:\.(\d+))?(?:\.(\d+))?"), "curl"),
-    (re.compile(r"python-requests/(\d+)(?:\.(\d+))?(?:\.(\d+))?"), "Python Requests"),
+    (re.compile(r"curl/" + _V4), "curl"),
+    (re.compile(r"python-requests/" + _V4), "Python Requests"),
     (re.compile(r"(Googlebot|bingbot|DuckDuckBot)/(\d+)(?:\.(\d+))?"), "Spider"),
 ]
 _UA_OS_RULES: list[tuple[re.Pattern, str]] = [

@@ -16,6 +16,7 @@ the driver, shipped in the closure)."""
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -88,6 +89,12 @@ class RoutingConfig:
     default_pipeline: str | None = None
     #: compose the index from data_stream.{type,dataset,namespace}
     use_datastream: bool = True
+    #: sprintf-style event→pipeline-name template, e.g.
+    #: ``%{[@metadata][target_pipeline]}``.  When set it OVERRIDES
+    #: index-based resolution (EventProcessor.java:118-120); a row whose
+    #: template doesn't fully resolve is a no-op pass-through
+    #: (SprintfTemplateEventToPipelineNameResolver.java:51-60)
+    pipeline_template: str | None = None
 
 
 class EventProcessor:
@@ -120,8 +127,13 @@ class EventProcessor:
 
         # 1. resolve index per row (DatastreamEventToIndexNameResolver.java:28-54)
         index = self._resolve_index(batch)
-        # 2. resolve pipeline name per row; None → no-op bypass
-        pipeline_names = self._resolve_pipelines(index)
+        # 2. resolve pipeline name per row; None → no-op bypass.
+        #    A configured template resolver overrides index-based
+        #    resolution (EventProcessor.java:118-123).
+        if self.routing.pipeline_template is not None:
+            pipeline_names = self._resolve_template_pipelines(batch)
+        else:
+            pipeline_names = self._resolve_pipelines(index)
         if batch.has(META_INDEX):
             cur_index = batch.objects(META_INDEX).copy()
         else:
@@ -130,10 +142,16 @@ class EventProcessor:
         history: dict[int, set] = {}
 
         rounds = 0
+        # success marker: set ONLY on rows whose final resolution actually
+        # completed a pipeline run (EventProcessor.java:225-240 sets it in
+        # the executePipeline completion; bypass/no-op rows complete via
+        # the identity path :125-139 and do NOT get it)
+        marker = np.zeros(batch.n, dtype=bool)
         pending = np.array([p is not None for p in pipeline_names], dtype=bool) & ~state.inactive()
         while pending.any() and rounds < MAX_REROUTES:
             rounds += 1
             names = {pipeline_names[i] for i in np.nonzero(pending)[0]}
+            round_mask = pending.copy()
             for name in sorted(names):
                 mask = pending & np.array([p == name for p in pipeline_names], dtype=bool)
                 pipe = self.pipelines.get(name)
@@ -144,6 +162,7 @@ class EventProcessor:
                     )
                     continue
                 self.run_pipeline(pipe, batch, mask, state, stack=(name,))
+            marker |= round_mask & ~state.reroute_pending & ~state.failed & ~state.dropped
             # reroute handling
             pending = np.zeros(batch.n, dtype=bool)
             rr = state.reroute_pending & ~state.inactive()
@@ -182,7 +201,7 @@ class EventProcessor:
                 batch.blend(META_FAILURE_TAG, state.failure_tags, m)
 
         # success marker (EventProcessor.java:60-61,234)
-        ok = ~state.failed & ~state.dropped
+        ok = marker & ~state.failed & ~state.dropped
         if ok.any():
             batch.set_scalar(META_TARGET_PIPELINE, "_none", ok)
 
@@ -224,6 +243,40 @@ class EventProcessor:
 
     def _resolve_pipelines(self, index: np.ndarray) -> list:
         return [self._pipeline_for_index(ix) for ix in index]
+
+    _SPRINTF_REF = re.compile(r"%\{([^}]+)\}")
+
+    def _resolve_template_pipelines(self, batch: ColumnBatch) -> list:
+        """Logstash-sprintf template resolution (overrides index-based)."""
+        template = self.routing.pipeline_template
+        parts = self._SPRINTF_REF.split(template)
+        # parts = [lit, ref, lit, ref, ..., lit]
+        ref_cols = []
+        for j in range(1, len(parts), 2):
+            ref = parts[j].strip()
+            if ref.startswith("["):
+                ref = ".".join(re.findall(r"\[([^\]]+)\]", ref))
+            ref_cols.append(batch.get_objects_or_none(ref))
+        out = []
+        for i in range(batch.n):
+            buf = []
+            ok = True
+            for j, part in enumerate(parts):
+                if j % 2 == 0:
+                    buf.append(part)
+                else:
+                    col = ref_cols[j // 2]
+                    v = col[i] if col is not None else None
+                    if v is None:
+                        ok = False  # unresolved reference → no-op row
+                        break
+                    buf.append(str(v))
+            if not ok:
+                out.append(None)
+                continue
+            name = "".join(buf)
+            out.append(None if name == "_none" else name)
+        return out
 
     # -- pipeline execution --------------------------------------------------
     def run_pipeline(

@@ -72,6 +72,17 @@ def fake_geoip_database() -> dict[str, dict]:
             "country_iso_code": countries[idx],
             "city_name": f"City-{a}",
         }
+    # the reference integration spec's known test address (spec:1010-1032)
+    db["89.160.20"] = {
+        "continent_name": "Europe",
+        "country_name": "Sweden",
+        "country_iso_code": "SE",
+        "city_name": "Tumba",
+        "region_iso_code": "SE-AB",
+        "region_name": "Stockholm",
+        "location.lat": 59.2,
+        "location.lon": 17.8167,
+    }
     return db
 
 

@@ -66,17 +66,28 @@ def test_success_marker_set():  # EventProcessor.java:60-61,234
 # net kernels
 # ---------------------------------------------------------------------------
 
-def test_user_agent():  # spec:983-1006-style
+def test_user_agent():  # spec:983-1006
+    ua = ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_10_5) AppleWebKit/537.36 "
+          "(KHTML, like Gecko) Chrome/51.0.2704.103 Safari/537.36")
+    rows = run_pipeline(
+        {"processors": [{"user_agent": {"field": "user_agent_field"}}]},
+        [{"user_agent_field": ua}],
+    )
+    r = rows[0]
+    assert r["user_agent.name"] == "Chrome"
+    assert r["user_agent.version"] == "51.0.2704.103"
+    assert r["user_agent.device.name"] == "Mac"
+    assert r["user_agent.original"] == ua
+
+
+def test_user_agent_linux():
     ua = "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 Chrome/112.0.0.0 Safari/537.36"
     rows = run_pipeline(
         {"processors": [{"user_agent": {"field": "ua"}}]},
         [{"ua": ua}],
     )
-    r = rows[0]
-    assert r["user_agent.name"] == "Chrome"
-    assert r["user_agent.version"].startswith("112")
-    assert r["user_agent.os.name"] == "Linux"
-    assert r["user_agent.original"] == ua
+    assert rows[0]["user_agent.version"] == "112.0.0.0"
+    assert rows[0]["user_agent.os.name"] == "Linux"
 
 
 def test_registered_domain():  # spec:668-693
@@ -129,3 +140,19 @@ def test_geoip_with_stub_database():
     )
     assert rows[0]["geoip.continent_name"] == "Asia"
     assert rows[0]["geoip.country_iso_code"] == "JP"
+
+
+def test_geoip_spec_known_address():  # spec:1010-1032 values (stub db)
+    from logstash_filter_elastic_integration_ray.state.lookups import fake_geoip_database
+
+    rows = run_pipeline(
+        {"processors": [{"geoip": {"field": "ip", "_database": fake_geoip_database()}}]},
+        [{"ip": "89.160.20.128"}],
+    )
+    r = rows[0]
+    assert r["geoip.continent_name"] == "Europe"
+    assert r["geoip.country_name"] == "Sweden"
+    assert r["geoip.country_iso_code"] == "SE"
+    assert r["geoip.city_name"] == "Tumba"
+    assert abs(r["geoip.location.lat"] - 59.2) < 0.01
+    assert abs(r["geoip.location.lon"] - 17.8167) < 0.02

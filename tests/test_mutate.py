@@ -90,6 +90,17 @@ def test_split_and_join():  # spec:861-882, 519-541
     assert rows[0]["f"] == "a-b-c"
 
 
+def test_split_then_sort_chain():  # spec:1178-1210 (multi-processor pipeline)
+    rows = run_pipeline(
+        {"processors": [
+            {"split": {"field": "split_and_sort_field", "separator": ","}},
+            {"sort": {"field": "split_and_sort_field", "order": "desc"}},
+        ]},
+        [{"split_and_sort_field": "1,3,8,2,4,5,6,7,8"}],
+    )
+    assert rows[0]["split_and_sort_field"] == ["8", "8", "7", "6", "5", "4", "3", "2", "1"]
+
+
 def test_sort_list_desc():  # spec:838-858
     rows = run_pipeline(
         {"processors": [{"sort": {"field": "f", "order": "desc"}}]},
@@ -147,6 +158,30 @@ def test_script_sets_index():  # spec:756-810: script sets _index in ctx
         [{"a": 1}],
     )
     assert rows[0]["__meta_index"] == "my-index"
+
+
+def test_script_params_substitution():  # spec:756-781
+    rows = run_pipeline(
+        {"processors": [{"script": {
+            "lang": "painless",
+            "source": "ctx['_index'] = ctx['lang'] + '-' + params['dataset'];",
+            "params": {"dataset": "catalog"},
+        }}]},
+        [{"lang": "uz"}],
+    )
+    assert rows[0]["__meta_index"] == "uz-catalog"
+
+
+def test_script_locals_and_processors_bytes():  # spec:784-810
+    rows = run_pipeline(
+        {"processors": [{"script": {
+            "lang": "painless",
+            "source": "long bytes = Processors.bytes(params['size']); ctx.size_in_bytes = bytes;",
+            "params": {"size": "1kb"},
+        }}]},
+        [{"m": "x"}],
+    )
+    assert rows[0]["size_in_bytes"] == 1024
 
 
 def test_script_unsupported_statement_fails_compile():

@@ -1,0 +1,81 @@
+"""Template pipeline resolver + end-to-end shard resume."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from logstash_filter_elastic_integration_ray.pipelines import (
+    EventProcessor,
+    RoutingConfig,
+    compile_pipeline_set,
+)
+from tests.util import rows_to_table, table_to_rows
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sprintf_template_resolver_overrides_index():
+    # SprintfTemplateEventToPipelineNameResolver.java:51-60 +
+    # EventProcessor.java:118-123: template overrides index resolution;
+    # unresolved %{...} → no-op pass-through; "_none" → bypass.
+    pipelines = compile_pipeline_set({
+        "pipe-a": {"processors": [{"set": {"field": "ran", "value": "a"}}]},
+        "pipe-b": {"processors": [{"set": {"field": "ran", "value": "b"}}]},
+    })
+    routing = RoutingConfig(
+        pipeline_template="pipe-%{[target]}",
+        index_to_pipeline={"logs-x-y": "pipe-b"},  # must be ignored
+    )
+    proc = EventProcessor(pipelines, routing)
+    rows = table_to_rows(proc(rows_to_table([
+        {"target": "a", "i": 1, "data_stream.type": "logs", "data_stream.dataset": "x",
+         "data_stream.namespace": "y"},
+        {"i": 2},            # unresolved template → untouched
+        {"target": "zzz", "i": 3},  # resolves to unknown pipeline → failure
+    ])))
+    by_i = {r["i"]: r for r in rows}
+    assert by_i[1]["ran"] == "a"
+    assert "ran" not in by_i[2] and "tags" not in by_i[2]
+    assert "pipeline not loaded" in by_i[3]["__meta_failure_message"]
+
+
+def test_template_constant_and_none():
+    pipelines = compile_pipeline_set({"only": {"processors": [{"set": {"field": "x", "value": 1}}]}})
+    proc = EventProcessor(pipelines, RoutingConfig(pipeline_template="only"))
+    assert table_to_rows(proc(rows_to_table([{"i": 1}])))[0]["x"] == 1
+    proc = EventProcessor(pipelines, RoutingConfig(pipeline_template="_none"))
+    assert "x" not in table_to_rows(proc(rows_to_table([{"i": 1}])))[0]
+
+
+def test_flagship_resumable_shards(ray_session, tmp_path):
+    from logstash_filter_elastic_integration_ray.pipelines.runner import run_flagship_resumable
+
+    # split sf0.001 events into 2 input shards
+    events = pq.read_table(f"{SF}/events.parquet")
+    half = events.num_rows // 2
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir)
+    pq.write_table(events.slice(0, half), str(in_dir / "events-0.parquet"))
+    pq.write_table(events.slice(half), str(in_dir / "events-1.parquet"))
+    files = [str(in_dir / "events-0.parquet"), str(in_dir / "events-1.parquet")]
+
+    out = str(tmp_path / "out")
+    res1 = run_flagship_resumable(files, out)
+    assert set(res1["shards"]) == {"shard-00000", "shard-00001"}
+    assert sum(res1["sink_counts"].values()) == events.num_rows
+    assert res1["resumed_shards"] == []
+
+    # record manifest mtimes, rerun → everything skipped, identical counts
+    manifest = os.path.join(out, "shard-00000", "_MANIFEST.json")
+    mtime = os.path.getmtime(manifest)
+    res2 = run_flagship_resumable(files, out)
+    assert res2["sink_counts"] == res1["sink_counts"]
+    assert res2["resumed_shards"] == ["shard-00000", "shard-00001"]
+    assert os.path.getmtime(manifest) == mtime  # untouched on resume
+
+    # manifests carry lineage: inputs + per-sink metrics
+    with open(manifest) as f:
+        doc = json.load(f)
+    assert doc["inputs"] == [files[0]]
+    assert sum(doc["metrics"]["sink_counts"].values()) == half
