@@ -88,11 +88,20 @@ def missing_field_mask(batch: ColumnBatch, field: str, mask: np.ndarray) -> np.n
 
 
 def string_values(batch: ColumnBatch, field: str) -> np.ndarray:
-    """Column as numpy object array of str/None (stringify non-strings)."""
+    """Column as numpy object array of str/None (stringify non-strings).
+
+    Fast path: a column stored as an Arrow string array is already
+    str/None — return the shared derived view without a copy loop.
+    """
+    import pyarrow as pa
+
     if not batch.has(field):
         out = np.empty(batch.n, dtype=object)
         out[:] = None
         return out
+    col = batch._cols.get(field)
+    if isinstance(col, pa.Array) and (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+        return batch.objects(field)
     vals = batch.objects(field)
     out = np.empty(batch.n, dtype=object)
     for i, v in enumerate(vals):

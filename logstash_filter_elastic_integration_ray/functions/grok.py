@@ -213,15 +213,15 @@ def _match_one(values: np.ndarray, pending: np.ndarray, expr: GrokExpr, fields: 
         if not valid.any():
             return pending[:0]
         hit_idx = pending[valid]
-        groups = {g: res.field(g).to_pylist() for g, _, _ in expr.captures}
-        local_hits = np.nonzero(valid)[0]
+        # convert ONLY the matched rows' capture values to Python
+        sub = res.take(pa.array(np.nonzero(valid)[0]))
         for g, f, t in expr.captures:
             col = fields[f]
-            gvals = groups[g]
-            for j in local_hits:
-                v = gvals[j]
-                if v is not None and col[pending[j]] is None:
-                    col[pending[j]] = _coerce(v, t)
+            gvals = sub.field(g).to_pylist()
+            for k, v in enumerate(gvals):
+                idx = hit_idx[k]
+                if v is not None and col[idx] is None:
+                    col[idx] = _coerce(v, t)
         return hit_idx
     # ---- Python re fallback --------------------------------------------
     rx = expr.py

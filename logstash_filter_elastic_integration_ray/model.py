@@ -91,6 +91,11 @@ class ColumnBatch:
 
     def __init__(self, table: pa.Table | None = None, num_rows: int | None = None):
         self._cols: dict[str, object] = {}
+        # derived Python-object views of Arrow columns (``objects()``):
+        # kept ALONGSIDE the Arrow array, not replacing it, so a per-row
+        # kernel touching a column doesn't demote later vectorized
+        # conditions/kernels on the same column to Python loops.
+        self._obj_cache: dict[str, np.ndarray] = {}
         if table is not None:
             self.n = table.num_rows
             for i, name in enumerate(table.column_names):
@@ -119,15 +124,20 @@ class ColumnBatch:
         if isinstance(v, np.ndarray):
             v = _objects_to_arrow(v)
             self._cols[name] = v
+            self._obj_cache.pop(name, None)
         return v
 
     def objects(self, name: str) -> np.ndarray:
-        """Column as numpy object array (materializes Python values)."""
+        """Column as numpy object array (derived view; treat as
+        read-only — write back via ``set``/``blend``)."""
         v = self._cols[name]
-        if not isinstance(v, np.ndarray):
-            v = _to_numpy_objects(v)
-            self._cols[name] = v
-        return v
+        if isinstance(v, np.ndarray):
+            return v
+        cached = self._obj_cache.get(name)
+        if cached is None:
+            cached = _to_numpy_objects(v)
+            self._obj_cache[name] = cached
+        return cached
 
     def get_objects_or_none(self, name: str) -> np.ndarray | None:
         return self.objects(name) if name in self._cols else None
@@ -143,6 +153,10 @@ class ColumnBatch:
         return np.asarray(pc.is_valid(v))
 
     # -- mutation -----------------------------------------------------------
+    def _store(self, name: str, value) -> None:
+        self._cols[name] = value
+        self._obj_cache.pop(name, None)
+
     def set(self, name: str, values) -> None:
         if isinstance(values, pa.ChunkedArray):
             values = values.combine_chunks()
@@ -151,27 +165,27 @@ class ColumnBatch:
                 raise ValueError(f"column {name!r}: length {len(values)} != {self.n}")
             if isinstance(values, np.ndarray) and values.dtype != object:
                 values = pa.array(values)
-            self._cols[name] = values
+            self._store(name, values)
         elif isinstance(values, list):
             if len(values) != self.n:
                 raise ValueError(f"column {name!r}: length {len(values)} != {self.n}")
             arr = np.empty(self.n, dtype=object)
             arr[:] = values
-            self._cols[name] = arr
+            self._store(name, arr)
         else:
             raise TypeError(f"unsupported column value type {type(values)}")
 
     def set_scalar(self, name: str, value, mask: np.ndarray | None = None) -> None:
         if mask is None or bool(mask.all()):
             if value is None:
-                self._cols[name] = pa.nulls(self.n)
+                self._store(name, pa.nulls(self.n))
             else:
                 try:
-                    self._cols[name] = pa.array([value] * self.n)
+                    self._store(name, pa.array([value] * self.n))
                 except (pa.ArrowInvalid, pa.ArrowTypeError):
                     arr = np.empty(self.n, dtype=object)
                     arr[:] = [value] * self.n
-                    self._cols[name] = arr
+                    self._store(name, arr)
             return
         new = np.empty(self.n, dtype=object)
         new[:] = [value] * self.n
@@ -179,9 +193,11 @@ class ColumnBatch:
 
     def drop(self, name: str) -> None:
         self._cols.pop(name, None)
+        self._obj_cache.pop(name, None)
 
     def rename(self, old: str, new: str) -> None:
-        self._cols[new] = self._cols.pop(old)
+        self._store(new, self._cols.pop(old))
+        self._obj_cache.pop(old, None)
 
     def blend(self, name: str, new_values, mask: np.ndarray) -> None:
         """Set ``name`` to ``new_values`` on masked rows, keep old elsewhere.
@@ -199,12 +215,12 @@ class ColumnBatch:
                 isinstance(new_values, np.ndarray) and new_values.dtype != object
             ):
                 arr = new_values if isinstance(new_values, pa.Array) else pa.array(new_values)
-                self._cols[name] = pc.if_else(pa.array(mask), arr, pa.nulls(self.n, arr.type))
+                self._store(name, pc.if_else(pa.array(mask), arr, pa.nulls(self.n, arr.type)))
             else:
                 out = np.empty(self.n, dtype=object)
                 out[:] = None
                 out[mask] = np.asarray(new_values, dtype=object)[mask]
-                self._cols[name] = out
+                self._store(name, out)
             return
         arrow_old = isinstance(old, pa.Array)
         arrow_new = isinstance(new_values, pa.Array) or (
@@ -220,13 +236,13 @@ class ColumnBatch:
                         old = old.cast(common) if old.type != common else old
                     else:
                         arr = arr.cast(old.type)
-                self._cols[name] = pc.if_else(pa.array(mask), arr, old)
+                self._store(name, pc.if_else(pa.array(mask), arr, old))
                 return
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
                 pass
         out = self.objects(name).copy()
         out[mask] = _to_numpy_objects(new_values)[mask]
-        self._cols[name] = out
+        self._store(name, out)
 
     # -- output -------------------------------------------------------------
     def take_mask(self, keep: np.ndarray) -> None:
@@ -239,6 +255,7 @@ class ColumnBatch:
                 self._cols[name] = v[keep]
             else:
                 self._cols[name] = v.filter(kmask)
+        self._obj_cache.clear()
         self.n = int(keep.sum())
 
     def to_table(self, include_private: bool = False) -> pa.Table:
