@@ -1,0 +1,147 @@
+"""Command-line entry point.
+
+A reference user brings (1) ES ingest-pipeline JSON definitions and
+(2) event data; this CLI runs them on Ray Data:
+
+    python -m logstash_filter_elastic_integration_ray run \
+        --pipelines ./pipelines/ --input 'data/*.parquet' --output ./out \
+        --routing routing.json            # index → pipeline table
+        # or: --default-pipeline NAME     # one pipeline for every row
+        # or: --pipeline-template '%{[@metadata][pipeline]}'
+
+Pipeline files use the ES named-object wire format ``{"<id>": {...}}``
+or a bare ``{"processors": [...]}`` (file stem = id) — the local-
+directory resolver analogue of the reference's
+``LocalDirectoryPipelineConfigurationResolver`` used by its smoke
+tests.  Output is fan-out Parquet partitioned by resolved ``_index``
+with per-shard lineage manifests; reruns resume (skip completed
+shards).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def load_pipeline_definitions(path: str) -> dict[str, dict]:
+    """Load pipeline JSONs from a file or directory (ES wire format or
+    bare definitions; file stem used as id for bare ones)."""
+    files = []
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.json")))
+    else:
+        files = [path]
+    defs: dict[str, dict] = {}
+    for f in files:
+        with open(f) as fh:
+            doc = json.load(fh)
+        if "processors" in doc:
+            defs[os.path.splitext(os.path.basename(f))[0]] = doc
+        else:
+            for pid, body in doc.items():
+                defs[pid] = body
+    return defs
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    inputs = sorted(sum((glob.glob(p) for p in args.input), []))
+    if not inputs:
+        print(f"error: no input files match {args.input}", file=sys.stderr)
+        return 2
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .pipelines.compiler import compile_pipeline_set
+    from .pipelines.executor import EventProcessor, RoutingConfig
+    from .stages.sinks import fanout_write, run_shard, sink_counts_from_dir
+
+    defs = load_pipeline_definitions(args.pipelines)
+    routing = RoutingConfig(
+        index_to_pipeline=json.load(open(args.routing)) if args.routing else {},
+        default_pipeline=args.default_pipeline,
+        pipeline_template=args.pipeline_template,
+    )
+    proc = EventProcessor(compile_pipeline_set(defs), routing, emit_private=True)
+
+    def build(files: list[str], dest: str) -> dict:
+        ds = rd.read_parquet(files).map_batches(proc, batch_format="pyarrow")
+        fanout_write(ds, dest)
+        return {"sink_counts": sink_counts_from_dir(dest)}
+
+    os.makedirs(args.output, exist_ok=True)
+    manifests = {}
+    for i in range(0, len(inputs), args.shard_size):
+        shard_id = f"shard-{i // args.shard_size:05d}"
+        manifests[shard_id] = run_shard(shard_id, inputs[i : i + args.shard_size], args.output, build)
+
+    totals: dict[str, int] = {}
+    for m in manifests.values():
+        for sink, n in m["metrics"]["sink_counts"].items():
+            totals[sink] = totals.get(sink, 0) + n
+    print(json.dumps({"shards": len(manifests), "sink_counts": totals}, sort_keys=True))
+    ray.shutdown()
+    return 0
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    """Compile-check pipeline definitions (the reference fails pipeline
+    creation for unsupported processors — docs/index.asciidoc:309-324)."""
+    from .functions.base import KernelCompileError
+    from .pipelines.compiler import compile_pipeline_set
+
+    defs = load_pipeline_definitions(args.pipelines)
+    try:
+        compiled = compile_pipeline_set(defs)
+    except (KernelCompileError, ValueError) as e:
+        print(json.dumps({"ok": False, "error": str(e)}))
+        return 1
+    print(json.dumps({
+        "ok": True,
+        "pipelines": {pid: {"processors": len(p.steps), "adds_fields": p.output_fields()}
+                      for pid, p in compiled.items()},
+    }, sort_keys=True))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="logstash_filter_elastic_integration_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="run pipelines over parquet input with fan-out sinks + resume")
+    run.add_argument("--pipelines", required=True, help="pipeline JSON file or directory")
+    run.add_argument("--input", required=True, nargs="+", help="input parquet glob(s)")
+    run.add_argument("--output", required=True, help="output directory (per-shard fan-out)")
+    run.add_argument("--routing", help="JSON file: {index: pipeline_name}")
+    run.add_argument("--default-pipeline", help="pipeline applied when no index resolves")
+    run.add_argument("--pipeline-template", help="sprintf event→pipeline-name template")
+    run.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    run.add_argument("--shard-size", type=int, default=1, help="input files per resumable shard")
+    run.set_defaults(fn=cmd_run)
+
+    val = sub.add_parser("validate", help="compile-check pipeline definitions")
+    val.add_argument("--pipelines", required=True)
+    val.set_defaults(fn=cmd_validate)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())
