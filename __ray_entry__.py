@@ -41,6 +41,8 @@ def _register_package_by_value() -> None:
     import logstash_filter_elastic_integration_ray as _pkg
 
     for info in pkgutil.walk_packages(_pkg.__path__, _pkg.__name__ + "."):
+        if info.name.endswith("__main__"):
+            continue  # importing __main__ would execute the CLI
         try:
             importlib.import_module(info.name)
         except ImportError:  # pragma: no cover
@@ -601,6 +603,31 @@ def q_segment_orders(sf_dir: str):
     )
 
 
+def q_transcript_dedup(sf_dir: str):
+    """Exact dedup keyed on (conv_id, turn_idx) — the resume-idempotency
+    primitive (SURVEY §2.8): a duplicated input shard (simulated via
+    union-with-self) collapses back to exactly the original rows."""
+    from ray.data.aggregate import Count
+
+    ds = read_transcripts(sf_dir)
+    doubled = ds.union(read_transcripts(sf_dir))
+
+    def key_and_thin(t: pa.Table) -> pa.Table:
+        # local first-per-key reduce before the shuffle
+        import pandas as pd
+
+        df = t.to_pandas().drop_duplicates(["conv_id", "turn_idx"])
+        return pa.Table.from_pandas(df[["conv_id", "turn_idx"]], preserve_index=False)
+
+    thinned = doubled.map_batches(key_and_thin, batch_format="pyarrow")
+    uniq = thinned.groupby(["conv_id", "turn_idx"]).aggregate(Count(alias_name="n_copies"))
+
+    def drop_copies(t: pa.Table) -> pa.Table:
+        return t.select(["conv_id", "turn_idx"])
+
+    return uniq.map_batches(drop_copies, batch_format="pyarrow")
+
+
 def q_session_windows(sf_dir: str):
     """Gap-based session windows (30-min inactivity) per user — the
     streaming-window-shaped custom operator: sort within hash
@@ -744,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "segment_orders": q_segment_orders,
         "top_orders": q_top_orders,
+        "transcript_dedup": q_transcript_dedup,
         "session_windows": q_session_windows,
         "asof_latest_order": q_asof_latest_order,
         "join_orders_nation": q_join_orders_nation,
@@ -915,6 +943,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents "
             "FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
         ),
+        "transcript_dedup": T("SELECT DISTINCT conv_id, turn_idx FROM transcripts"),
         "session_windows": (
             "WITH w AS ("
             "  SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER "

@@ -137,6 +137,21 @@ def run_bench() -> dict:
 
     timed("embedding_topk", topk)
 
+    def minhash():
+        from logstash_filter_elastic_integration_ray.stages.dedup import minhash_lsh_dedup
+
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+        return len(minhash_lsh_dedup(docs))
+
+    timed("minhash_lsh_dedup", minhash, reps=1)
+
+    def sessions():
+        import __ray_entry__ as entrymod
+
+        return entrymod.q_session_windows(SF_DIR).count()
+
+    timed("session_windows", sessions, reps=1)
+
     headline_sec = timings["headline_parse_enrich_route_aggregate"]
     result = {
         "metric": "headline parse→enrich→route→aggregate wall time",

@@ -1,0 +1,77 @@
+"""Render flat dotted columns back into nested ES-shaped documents.
+
+The engine keeps documents columnar with dotted field paths
+(``url.domain``); at the edge (JSON sinks, users expecting
+IngestDocument-shaped output) paths re-nest into objects —
+the inverse of the marshaller's flattening (SURVEY.md §1.2).
+Literal dotted keys recorded by ``dot_expander`` stay nested too
+(flat and nested coincide in the columnar layout by design).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def nest_row(row: dict[str, object]) -> dict:
+    """``{"a.b": 1, "a.c": 2, "d": 3}`` → ``{"a": {"b": 1, "c": 2}, "d": 3}``.
+
+    On path conflicts (both ``a`` and ``a.b`` present with ``a`` not a
+    map) the scalar wins and the nested value is kept under the literal
+    dotted key — documents stay lossless."""
+    out: dict = {}
+    for key in sorted(row, key=lambda k: (k.count("."), k)):
+        value = row[key]
+        if value is None:
+            continue
+        parts = key.split(".")
+        cur = out
+        ok = True
+        for p in parts[:-1]:
+            nxt = cur.get(p)
+            if nxt is None:
+                nxt = cur[p] = {}
+            elif not isinstance(nxt, dict):
+                ok = False
+                break
+            cur = nxt
+        if ok:
+            cur[parts[-1]] = value
+        else:
+            out[key] = value  # conflict → keep literal dotted key
+    return out
+
+
+def table_to_nested_docs(table: pa.Table, include_private: bool = False) -> list[dict]:
+    cols = [c for c in table.column_names if include_private or not c.startswith("__")]
+    data = {c: table.column(c).to_pylist() for c in cols}
+    docs = []
+    for i in range(table.num_rows):
+        docs.append(nest_row({c: data[c][i] for c in cols}))
+    return docs
+
+
+def write_ndjson(ds, out_dir: str) -> str:
+    """Sink: newline-delimited JSON of nested ES-shaped documents.
+
+    Each map task writes its own part file (content-hash named, so
+    reruns overwrite identically — idempotent), then the pipeline is
+    consumed with a cheap count; rows never gather on the driver."""
+    import hashlib
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(t: pa.Table) -> pa.Table:
+        lines = [json.dumps(d, default=str, sort_keys=True) for d in table_to_nested_docs(t)]
+        payload = "\n".join(lines) + ("\n" if lines else "")
+        name = hashlib.md5(payload.encode()).hexdigest()[:16]
+        tmp = os.path.join(out_dir, f".part-{name}.tmp")
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, os.path.join(out_dir, f"part-{name}.ndjson"))
+        return pa.table({"rows": pa.array([t.num_rows], type=pa.int64())})
+
+    ds.map_batches(write_batch, batch_format="pyarrow").sum("rows")
+    return out_dir

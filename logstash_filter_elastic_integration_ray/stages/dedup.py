@@ -144,22 +144,34 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 32, bands: int = 8, threshold: floa
         batch_format="pyarrow",
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
-        ids = g[id_col].to_numpy()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
-        order = np.argsort(ids)
+    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """All candidate pairs within one hash partition of buckets —
+        one vectorized-ish pass per PARTITION (per-bucket Ray map_groups
+        overhead dominates at thousands of tiny buckets)."""
         pairs_a, pairs_b = [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if hasher.jaccard_estimate(sigs[i], sigs[j]) >= threshold:
-                    pairs_a.append(int(ids[i]))
-                    pairs_b.append(int(ids[j]))
+        for _, g in df.groupby("bucket", sort=False):
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            order = np.argsort(ids)
+            sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+            for x in range(len(order)):
+                for y in range(x + 1, len(order)):
+                    i, j = order[x], order[y]
+                    if hasher.jaccard_estimate(sigs[i], sigs[j]) >= threshold:
+                        pairs_a.append(int(ids[i]))
+                        pairs_b.append(int(ids[j]))
         return pd.DataFrame({"a": pd.Series(pairs_a, dtype="int64"), "b": pd.Series(pairs_b, dtype="int64")})
 
-    pairs = band_rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    from .aggregate import add_partition_col
+
+    num_partitions = 32
+    parts = band_rows.map_batches(
+        lambda b: add_partition_col(b, num_partitions, key="bucket"), batch_format="pyarrow"
+    )
+    pairs = parts.repartition(num_partitions).groupby("__part").map_groups(
+        partition_pairs, batch_format="pandas"
+    )
     edge_df = pairs.to_pandas()  # small: candidate edges only
 
     parent: dict[int, int] = {}

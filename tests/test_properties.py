@@ -1,0 +1,146 @@
+"""Property-based tests (hypothesis) — beyond the reference's own test
+strategy (it has none, SURVEY.md §5.5): invariants that must hold for
+ARBITRARY inputs, not just the conformance fixtures."""
+
+import string
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from logstash_filter_elastic_integration_ray.model import ColumnBatch, sanitize_reserved_fields
+from logstash_filter_elastic_integration_ray.sources.render import nest_row
+from tests.util import run_pipeline
+
+words = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.integers(-5, 5), words,
+                          st.lists(words, max_size=3)), min_size=1, max_size=8))
+def test_sanitize_is_idempotent(values):
+    def run(vals):
+        b = ColumnBatch(num_rows=len(vals))
+        b.set("tags", list(vals))
+        b.set("@version", list(vals))
+        sanitize_reserved_fields(b)
+        return (list(b.objects("tags")), list(b.objects("@version")),
+                list(b.objects("_tags")) if b.has("_tags") else None)
+
+    once = run(values)
+    # sanitizing the already-sanitized values must change nothing
+    b2 = ColumnBatch(num_rows=len(values))
+    b2.set("tags", once[0])
+    b2.set("@version", once[1])
+    sanitize_reserved_fields(b2)
+    assert list(b2.objects("tags")) == once[0]
+    assert list(b2.objects("@version")) == once[1]
+    assert not b2.has("_tags")  # nothing left to quarantine
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(words, st.integers(0, 10**9)), min_size=1, max_size=10))
+def test_grok_roundtrip_random_kv(pairs):
+    rows = [{"m": f"{w} id={n} end"} for w, n in pairs]
+    out = run_pipeline(
+        {"processors": [{"grok": {"field": "m", "patterns": [r"^%{WORD:w} id=%{INT:n:long} end$"]}}]},
+        rows,
+    )
+    for (w, n), r in zip(pairs, out):
+        assert r["w"] == w
+        assert r["n"] == n
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(words, min_size=2, max_size=6))
+def test_dissect_split_join_roundtrip(tokens):
+    line = "|".join(tokens)
+    out = run_pipeline(
+        {"processors": [
+            {"split": {"field": "m", "separator": "\\|", "target_field": "parts", "preserve_trailing": True}},
+            {"join": {"field": "parts", "separator": "|", "target_field": "rejoined"}},
+        ]},
+        [{"m": line}],
+    )
+    assert out[0]["rejoined"] == line
+    assert out[0]["parts"] == tokens
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.dictionaries(st.text(alphabet=string.ascii_lowercase + ".", min_size=1, max_size=10)
+                       .filter(lambda s: not s.startswith(".") and not s.endswith(".") and ".." not in s),
+                       st.integers(0, 100), min_size=1, max_size=6))
+def test_nest_row_preserves_all_values(flat):
+    nested = nest_row(dict(flat))
+
+    def collect(d, prefix=""):
+        out = {}
+        for k, v in d.items():
+            key = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                out.update(collect(v, key))
+            else:
+                out[key] = v
+        return out
+
+    # every value survives (possibly under its literal dotted key)
+    assert sorted(collect(nested).values()) == sorted(v for v in flat.values())
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_ordered_hash_is_order_sensitive(seed):
+    from logstash_filter_elastic_integration_ray.stages.aggregate import ordered_hash_contrib, P
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 12))
+    texts = np.array([f"t{rng.integers(0, 1000)}" for _ in range(n)], dtype=object)
+    idx = np.arange(n)
+    h1 = int(ordered_hash_contrib(texts, idx).sum() % int(P))
+    # swapping two distinct texts' positions must change the hash
+    if len(set(texts.tolist())) >= 2:
+        i, j = sorted(rng.choice(np.flatnonzero([True] * n), size=2, replace=False))
+        if texts[i] != texts[j]:
+            swapped = texts.copy()
+            swapped[i], swapped[j] = swapped[j], swapped[i]
+            h2 = int(ordered_hash_contrib(swapped, idx).sum() % int(P))
+            assert h1 != h2
+    # permuting rows WITHOUT changing (text, turn_idx) pairs must not
+    perm = rng.permutation(n)
+    h3 = int(ordered_hash_contrib(texts[perm], idx[perm]).sum() % int(P))
+    assert h1 == h3
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 4), st.integers(0, 50)), min_size=1, max_size=40),
+       st.integers(1, 7))
+def test_conv_partial_merge_invariant(rows, split_at):
+    """Two-phase aggregation must equal single-pass regardless of how
+    rows are split into batches (the invariant the Ray pipeline relies
+    on for ANY block layout)."""
+    import pandas as pd
+
+    from logstash_filter_elastic_integration_ray.stages.aggregate import (
+        conv_partial_batch,
+        _merge_partition,
+    )
+
+    base = pa.table({
+        "conv_id": pa.array([f"c{c}" for c, _ in rows], type=pa.string()),
+        "turn_idx": pa.array([t for _, t in rows], type=pa.int32()),
+        "role": pa.array(["user"] * len(rows)),
+        "text": pa.array([f"text-{c}-{t}" for c, t in rows], type=pa.string()),
+        "tool": pa.array([None] * len(rows), type=pa.string()),
+        "ts": pa.array([np.datetime64("2026-01-01", "us")] * len(rows)),
+    })
+    # dedupe (conv, turn) pairs to keep the oracle well-defined
+    df = base.to_pandas().drop_duplicates(["conv_id", "turn_idx"])
+    base = pa.Table.from_pandas(df, preserve_index=False)
+    k = min(split_at, base.num_rows)
+    parts = [conv_partial_batch(base.slice(0, k))]
+    if base.num_rows > k:
+        parts.append(conv_partial_batch(base.slice(k)))
+    merged = _merge_partition(pa.concat_tables(parts).to_pandas()).sort_values("conv_id").reset_index(drop=True)
+    single = _merge_partition(conv_partial_batch(base).to_pandas()).sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, single)

@@ -1,0 +1,48 @@
+"""Nested document rendering + ndjson sink."""
+
+import glob
+import json
+
+from logstash_filter_elastic_integration_ray.sources.render import (
+    nest_row,
+    table_to_nested_docs,
+    write_ndjson,
+)
+from tests.util import rows_to_table
+
+
+def test_nest_row_basic():
+    assert nest_row({"a.b": 1, "a.c": 2, "d": 3}) == {"a": {"b": 1, "c": 2}, "d": 3}
+
+
+def test_nest_row_conflict_keeps_literal_key():
+    out = nest_row({"a": 5, "a.b": 1})
+    assert out["a"] == 5
+    assert out["a.b"] == 1
+
+
+def test_table_to_nested_docs_hides_private():
+    t = rows_to_table([{"url.domain": "x.com", "url.port": 80, "__meta_index": "logs"}])
+    docs = table_to_nested_docs(t)
+    assert docs == [{"url": {"domain": "x.com", "port": 80}}]
+    docs_priv = table_to_nested_docs(t, include_private=True)
+    assert docs_priv[0]["__meta_index"] == "logs"
+
+
+def test_write_ndjson(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = rows_to_table([
+        {"conv_id": "c1", "payload.foo": 1},
+        {"conv_id": "c2", "payload.foo": 2},
+    ])
+    out = str(tmp_path / "nd")
+    write_ndjson(rd.from_arrow(t), out)
+    lines = []
+    for f in sorted(glob.glob(f"{out}/part-*.ndjson")):
+        lines += [json.loads(line) for line in open(f) if line.strip()]
+    lines.sort(key=lambda d: d["conv_id"])
+    assert lines == [
+        {"conv_id": "c1", "payload": {"foo": 1}},
+        {"conv_id": "c2", "payload": {"foo": 2}},
+    ]
