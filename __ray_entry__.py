@@ -621,11 +621,7 @@ def q_transcript_dedup(sf_dir: str):
 
     thinned = doubled.map_batches(key_and_thin, batch_format="pyarrow")
     uniq = thinned.groupby(["conv_id", "turn_idx"]).aggregate(Count(alias_name="n_copies"))
-
-    def drop_copies(t: pa.Table) -> pa.Table:
-        return t.select(["conv_id", "turn_idx"])
-
-    return uniq.map_batches(drop_copies, batch_format="pyarrow")
+    return uniq.select_columns(["conv_id", "turn_idx"])
 
 
 def q_session_windows(sf_dir: str):
@@ -911,6 +907,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "doc_fingerprints": "SELECT doc_id, md5(text) AS content_hash FROM documents",
+        "lang_id_docs": (
+            # exact SQL twin of textstats.detect_language: CJK shortcut
+            # on the first 200 chars, else first strictly-better
+            # language in en,es,de,fr order wins
+            "WITH s AS (SELECT doc_id, "
+            "regexp_matches(substring(text, 1, 200), '[\\x{4e00}-\\x{9fff}]') AS has_cjk, "
+            "len(list_filter(string_split(lower(text), ' '), w -> list_contains(['the','and','of','to','a','in','is','it','that','for'], w))) AS s_en, "
+            "len(list_filter(string_split(lower(text), ' '), w -> list_contains(['el','la','de','que','y','los','las','un','una','es'], w))) AS s_es, "
+            "len(list_filter(string_split(lower(text), ' '), w -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], w))) AS s_de, "
+            "len(list_filter(string_split(lower(text), ' '), w -> list_contains(['le','la','les','de','et','un','une','est','pour','que'], w))) AS s_fr "
+            "FROM documents) "
+            "SELECT doc_id, CASE "
+            "WHEN has_cjk THEN 'zh' "
+            "WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en' "
+            "WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es' "
+            "WHEN s_de > 0 AND s_de >= s_fr THEN 'de' "
+            "WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS detected_lang FROM s"
+        ),
         "embedding_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)), "
             "sims AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "

@@ -152,6 +152,23 @@ def run_bench() -> dict:
 
     timed("session_windows", sessions, reps=1)
 
+    # hot-key check: top conversation holds 5% of all turns; the
+    # two-phase aggregate must not degrade vs the uniform input.
+    # Synthesis happens BEFORE timing and the cache is keyed by size.
+    import pyarrow.parquet as pqt
+
+    from logstash_filter_elastic_integration_ray.sources.transcripts import synthesize_skewed_transcripts
+
+    skew_path = f"/tmp/graft_transcripts/skewed-{n_rows}.parquet"
+    if not os.path.exists(skew_path):
+        pqt.write_table(synthesize_skewed_transcripts(n_rows, hot_share=0.05), skew_path)
+
+    def conv_stats_skewed():
+        ds = rd.read_parquet(skew_path, override_num_blocks=NUM_CPUS * 2)
+        return conv_stats(ds, num_partitions=2 * NUM_CPUS).count()
+
+    timed("conv_stats_skewed_hotkey", conv_stats_skewed, reps=1)
+
     headline_sec = timings["headline_parse_enrich_route_aggregate"]
     result = {
         "metric": "headline parse→enrich→route→aggregate wall time",

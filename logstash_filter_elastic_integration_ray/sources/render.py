@@ -54,19 +54,27 @@ def table_to_nested_docs(table: pa.Table, include_private: bool = False) -> list
 def write_ndjson(ds, out_dir: str) -> str:
     """Sink: newline-delimited JSON of nested ES-shaped documents.
 
-    Each map task writes its own part file (content-hash named, so
-    reruns overwrite identically — idempotent), then the pipeline is
-    consumed with a cheap count; rows never gather on the driver."""
+    The output directory's previous ``part-*.ndjson`` files are removed
+    first (a rerun replaces the output rather than mixing stale parts
+    in), and each map task writes a uniquely named part file (content
+    hash + random token — identical batches never collide; a per-worker
+    counter would NOT be safe here because by-value function shipping
+    can give every task a fresh copy of module state); the pipeline is
+    then consumed with a cheap count, so rows never gather on the
+    driver."""
+    import glob as _glob
     import hashlib
     import json
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    for stale in _glob.glob(os.path.join(out_dir, "part-*.ndjson")):
+        os.remove(stale)
 
     def write_batch(t: pa.Table) -> pa.Table:
         lines = [json.dumps(d, default=str, sort_keys=True) for d in table_to_nested_docs(t)]
         payload = "\n".join(lines) + ("\n" if lines else "")
-        name = hashlib.md5(payload.encode()).hexdigest()[:16]
+        name = f"{hashlib.md5(payload.encode()).hexdigest()[:12]}-{os.urandom(6).hex()}"
         tmp = os.path.join(out_dir, f".part-{name}.tmp")
         with open(tmp, "w") as f:
             f.write(payload)
