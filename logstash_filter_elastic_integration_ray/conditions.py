@@ -309,15 +309,19 @@ def _eval_values(node: _Node, batch: ColumnBatch, env: dict | None = None) -> np
     raise ValueError(f"node {node.kind} does not produce a value")
 
 
+_BYTES_EXPR_RE = re.compile(r"^\s*([0-9]*\.?[0-9]+)\s*(b|kb|mb|gb|tb|pb)\s*$", re.I)
+_BYTES_EXPR_MULT = {"b": 1, "kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30, "tb": 1 << 40, "pb": 1 << 50}
+
+
 def _processors_bytes(v):
     """``Processors.bytes('1kb')`` — painless access to ingest-common
-    helpers (SmokeTest exercises this via script; spec:784-810)."""
-    from .functions.parse import _BYTES_MULT, _BYTES_RE
-
-    m = _BYTES_RE.match(str(v))
+    helpers (SmokeTest exercises this via script; spec:784-810).
+    Parsing is inlined (no package-relative import: this runs on
+    workers where the by-value-shipped package is not importable)."""
+    m = _BYTES_EXPR_RE.match(str(v))
     if not m:
         raise ValueError(f"failed to parse bytes [{v}]")
-    return int(float(m.group(1)) * _BYTES_MULT[m.group(2).lower()])
+    return int(float(m.group(1)) * _BYTES_EXPR_MULT[m.group(2).lower()])
 
 
 _BUILTIN_CALLS = {

@@ -31,7 +31,7 @@ from ..model import ColumnBatch, META_INDEX
 from .base import Kernel, KernelCompileError, register_processor
 from .grok import _normalize_field_path
 from .mutate import render_template
-from .parse import DateKernel
+from .parse import DateKernel, java_format_to_strptime, string_values
 
 
 class DropKernel(Kernel):
@@ -196,8 +196,6 @@ class DateIndexNameKernel(Kernel):
         self._parser = DateKernel({"field": self.field, "formats": formats, "timezone": config.get("timezone")})
 
     def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
-        from .parse import java_format_to_strptime, string_values
-
         fmt = java_format_to_strptime(self.index_format)
         values = string_values(batch, self.field)
         err = np.zeros(batch.n, dtype=bool)

@@ -28,6 +28,8 @@ import numpy as np
 from ..model import ColumnBatch, append_tag
 from .base import Kernel, KernelCompileError, register_processor
 from .grok import _normalize_field_path
+from .parse import _per_row  # top-level: function-level relative imports fail on
+# workers when the package ships pickled by value (workers cannot import it)
 
 # --------------------------------------------------------------------------
 # user_agent — mini UA regex bank (simplified public uap-core style rules,
@@ -108,8 +110,6 @@ class UserAgentKernel(Kernel):
         self.properties = set(props) if props else None
 
     def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
-        from .parse import _per_row
-
         t = self.target
 
         def parse(s: str):
@@ -181,8 +181,6 @@ class RegisteredDomainKernel(Kernel):
         self.ignore_missing = bool(config.get("ignore_missing", False))
 
     def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
-        from .parse import _per_row
-
         t = self.target
 
         def parse(s: str):
@@ -373,8 +371,6 @@ class GeoIpKernel(Kernel):
         if self.database is None:
             append_tag(batch, mask, f"_geoip_database_unavailable_{self.database_file}")
             return None
-        from .parse import _per_row
-
         t = self.target
         db = self.database
 

@@ -72,3 +72,25 @@ def run_flagship_resumable(
         "resumed_shards": sorted(already),
         "sink_counts": totals,
     }
+
+
+def aggregate_from_sinks(out_dir: str, num_partitions: int = 64):
+    """Aggregate over the RESUMABLE LAYOUT: read only completed shards'
+    fan-out parquet (the checkpoint) and run the per-conversation
+    aggregate on it.  A killed job can thus finish parse+route via
+    :func:`run_flagship_resumable` resume, then (re)run aggregation
+    over exactly the committed partitions — aggregation never depends
+    on half-written shards (SURVEY.md §4.2 resumable-output design)."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    from ..stages.aggregate import conv_stats
+
+    files = []
+    for shard_id in sorted(completed_shards(out_dir)):
+        files.extend(sorted(_glob.glob(os.path.join(out_dir, shard_id, "**", "*.parquet"), recursive=True)))
+    if not files:
+        raise FileNotFoundError(f"no completed shard parquet under {out_dir}")
+    ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "text", "tool", "ts"])
+    return conv_stats(ds, num_partitions=num_partitions)

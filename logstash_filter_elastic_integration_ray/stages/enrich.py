@@ -90,8 +90,17 @@ def enrich_stage(ds, lookup_ref, *, batch_size: int = 32768, concurrency=(2, 8))
     )
 
 
-# per-worker-process cache for the task-based variant
-_ENRICHER_CACHE: dict[str, IntegrationEnricher] = {}
+def _worker_cache() -> dict:
+    """A cache that is truly per worker PROCESS.
+
+    A module-level dict here would NOT be: these functions ship to Ray
+    workers pickled by value, and every task deserializes a fresh copy
+    of this module's globals.  The ``ray`` module itself is imported by
+    reference in every worker, so state stashed on it survives across
+    tasks in the same process."""
+    import ray
+
+    return ray.__dict__.setdefault("_graft_enrich_cache", {})
 
 
 def make_enrich_fn(lookup_ref):
@@ -112,10 +121,11 @@ def make_enrich_fn(lookup_ref):
         key = str(id(lookup_ref))
 
     def enrich(batch: pa.Table) -> pa.Table:
-        enricher = _ENRICHER_CACHE.get(key)
+        cache = _worker_cache()
+        enricher = cache.get(key)
         if enricher is None:
             enricher = IntegrationEnricher(lookup_ref)
-            _ENRICHER_CACHE[key] = enricher
+            cache[key] = enricher
         return enricher(batch)
 
     return enrich

@@ -79,3 +79,14 @@ def test_flagship_resumable_shards(ray_session, tmp_path):
         doc = json.load(f)
     assert doc["inputs"] == [files[0]]
     assert sum(doc["metrics"]["sink_counts"].values()) == half
+
+    # aggregate over the resumable layout equals aggregating the input
+    from logstash_filter_elastic_integration_ray.pipelines.runner import aggregate_from_sinks
+    from logstash_filter_elastic_integration_ray.sources.transcripts import derive_transcripts_table
+    from logstash_filter_elastic_integration_ray.stages.aggregate import conv_stats_reference
+
+    agg = aggregate_from_sinks(out).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    ref = conv_stats_reference(derive_transcripts_table(events)).sort_values("conv_id").reset_index(drop=True)
+    assert agg["conv_id"].tolist() == ref["conv_id"].tolist()
+    assert agg["n_turns"].tolist() == ref["n_turns"].tolist()
+    assert agg["ordered_hash"].tolist() == ref["ordered_hash"].tolist()
