@@ -128,6 +128,20 @@ def _filter_eq(ds, col: str, value: str):
     )
 
 
+def _cast_ts_us(ds, cols: list[str]):
+    """Normalize pandas-born timestamp columns (ns) to timestamp[us] so
+    result schemas match the DuckDB oracle exactly."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        for c in cols:
+            if c in t.column_names:
+                i = t.column_names.index(c)
+                t = t.set_column(i, c, t.column(c).cast(pa.timestamp("us")))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # flagship entry
 # ---------------------------------------------------------------------------
@@ -422,7 +436,8 @@ def q_conv_stats(sf_dir: str):
     parts = read_transcripts(sf_dir).map_batches(
         lambda b: add_partition_col(b, 64), batch_format="pyarrow"
     )
-    return parts.repartition(32).groupby("__part").map_groups(per_partition, batch_format="pandas")
+    out = parts.repartition(32).groupby("__part").map_groups(per_partition, batch_format="pandas")
+    return _cast_ts_us(out, ["first_ts", "last_ts"])
 
 
 def q_conv_stats_scalable(sf_dir: str):
@@ -603,6 +618,21 @@ def q_segment_orders(sf_dir: str):
     )
 
 
+def q_attrs_expand(sf_dir: str):
+    """Schemaless residual column: a JSON ``attrs`` string expands into
+    root-level typed fields (json processor add_to_root — the dynamic-
+    fields story of SURVEY §1.2: hot fields promoted to real columns)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    pipe = {"processors": [
+        {"rename": {"field": "props", "target_field": "attrs"}},
+        {"json": {"field": "attrs", "add_to_root": True}},
+    ]}
+    out = ds.map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["event_id", "k"])
+
+
 def q_transcript_dedup(sf_dir: str):
     """Exact dedup keyed on (conv_id, turn_idx) — the resume-idempotency
     primitive (SURVEY §2.8): a duplicated input shard (simulated via
@@ -648,7 +678,8 @@ def q_session_windows(sf_dir: str):
         return out
 
     parts = ds.map_batches(lambda b: add_partition_col(b, 16, key="user_id"), batch_format="pyarrow")
-    return parts.repartition(16).groupby("__part").map_groups(per_partition, batch_format="pandas")
+    out = parts.repartition(16).groupby("__part").map_groups(per_partition, batch_format="pandas")
+    return _cast_ts_us(out, ["start_ts", "end_ts"])
 
 
 def q_asof_latest_order(sf_dir: str):
@@ -767,6 +798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "segment_orders": q_segment_orders,
         "top_orders": q_top_orders,
+        "attrs_expand": q_attrs_expand,
         "transcript_dedup": q_transcript_dedup,
         "session_windows": q_session_windows,
         "asof_latest_order": q_asof_latest_order,
@@ -956,6 +988,9 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": (
             "SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents "
             "FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+        ),
+        "attrs_expand": (
+            "SELECT event_id, CAST(replace(replace(props, '{\"k\": ', ''), '}', '') AS BIGINT) AS k FROM events"
         ),
         "transcript_dedup": T("SELECT DISTINCT conv_id, turn_idx FROM transcripts"),
         "session_windows": (

@@ -100,6 +100,18 @@ def run_bench() -> dict:
     headline()  # untimed warm run: starts map workers + enrich actors
     timed("headline_parse_enrich_route_aggregate", headline)
 
+    if "--stats" in sys.argv:
+        # per-stage breakdown of the headline pipeline, to stderr
+        ds = (
+            transcripts()
+            .map_batches(assign_datastream, batch_format="pyarrow")
+            .map_batches(proc, batch_format="pyarrow")
+            .map_batches(make_enrich_fn(ref), batch_format="pyarrow")
+        )
+        out = conv_stats(ds, num_partitions=2 * NUM_CPUS)
+        out.count()
+        print(out.stats(), file=sys.stderr)
+
     def fanout():
         ds = (
             transcripts()
