@@ -887,7 +887,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM transcripts WHERE event_id % 8 = 0"
         ),
         "fingerprint_turns": T(
-            "SELECT conv_id, turn_idx, md5('conv_id|' || conv_id || 'text|' || text) AS fp FROM transcripts"
+            # ES byte layout: scalar fields concatenate as raw UTF-8
+            "SELECT conv_id, turn_idx, md5(conv_id || text) AS fp FROM transcripts"
         ),
         "drop_errors": T(
             "SELECT conv_id, turn_idx, CAST(status AS BIGINT) AS status_code "

@@ -507,8 +507,37 @@ _FP_METHODS = {
 }
 
 
+def _fp_traverse(h, v) -> None:
+    """The vendored ES fingerprint byte layout, reverse-engineered from
+    the spec's pinned digest (spec:393-413: field ``animal`` =
+    ``{name: piggy, age: 2, color: pink}`` → SHA-1 base64
+    ``XqSwreW5FVPwjCF9pB7tzX6fQBs=``): map entries sorted by key, each
+    written as ``\\x00 key \\x00 value``; strings UTF-8; integers as
+    8-byte LITTLE-endian; the field name itself is not hashed."""
+    import struct
+
+    if isinstance(v, dict):
+        for k in sorted(v):
+            h.update(b"\x00" + str(k).encode() + b"\x00")
+            _fp_traverse(h, v[k])
+    elif isinstance(v, (list, tuple)):
+        for x in v:
+            _fp_traverse(h, x)
+    elif isinstance(v, bool):
+        h.update(b"\x01" if v else b"\x00")
+    elif isinstance(v, int):
+        h.update(struct.pack("<q", v))
+    elif isinstance(v, float):
+        h.update(struct.pack("<d", v))
+    elif isinstance(v, bytes):
+        h.update(v)
+    elif v is not None:
+        h.update(str(v).encode())
+
+
 class FingerprintKernel(Kernel):
-    """Hash selected fields → deterministic fingerprint (spec:393-413)."""
+    """Hash selected fields → deterministic fingerprint (spec:393-413;
+    byte layout matches the spec's pinned SHA-1 digest exactly)."""
 
     failure_message = "fingerprint processor failed"
 
@@ -542,15 +571,19 @@ class FingerprintKernel(Kernel):
             for f, c in zip(self.fields, cols):
                 v = c[i] if c is not None else None
                 if v is None:
-                    if not self.ignore_missing:
-                        err[i] = True
-                    continue
+                    # nested map field stored as dotted columns?
+                    children = batch.children(f)
+                    if children:
+                        v = {child[len(f) + 1:]: batch.objects(child)[i] for child in children}
+                    else:
+                        if not self.ignore_missing:
+                            err[i] = True
+                        continue
                 any_field = True
-                h.update(f.encode())
-                h.update(b"|")
-                h.update(str(v).encode())
+                _fp_traverse(h, v)
+            if not any_field and not self.ignore_missing:
+                err[i] = True
             if err[i] or not any_field:
-                err[i] = err[i] or not any_field
                 continue
             digest = h.digest()
             out[i] = digest.hex() if self.encoding == "hex" else base64.b64encode(digest).decode()

@@ -125,7 +125,15 @@ def test_dot_expander_marks_path():  # spec:335-358
     assert rows[0]["a.b"] == 5  # columnar layout: flat and nested coincide
 
 
-def test_fingerprint_deterministic():  # spec:393-413
+def test_fingerprint_matches_reference_digest():  # spec:393-413 pinned value
+    rows = run_pipeline(
+        {"processors": [{"fingerprint": {"fields": ["animal"]}}]},
+        [{"animal": {"name": "piggy", "age": 2, "color": "pink"}}],
+    )
+    assert rows[0]["fingerprint"] == "XqSwreW5FVPwjCF9pB7tzX6fQBs="
+
+
+def test_fingerprint_deterministic():
     rows = run_pipeline(
         {"processors": [{"fingerprint": {"fields": ["x", "y"]}}]},
         [{"x": "a", "y": "b"}, {"x": "a", "y": "b"}, {"x": "a", "y": "c"}],
