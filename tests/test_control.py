@@ -220,6 +220,34 @@ def test_reroute_per_sink_counts():
     assert len(failed) == 2
 
 
+def test_reroute_multi_hop_chain():
+    """a → b → c: the reroute loop must follow multiple hops, running
+    each index's pipeline in turn (EventProcessor.java:209-227
+    recursion, bounded by the index-history cycle check)."""
+    pipelines = compile_pipeline_set({
+        "pipe-a": {"processors": [
+            {"set": {"field": "hop_a", "value": "1"}},
+            {"reroute": {"destination": "idx-b"}},
+        ]},
+        "pipe-b": {"processors": [
+            {"set": {"field": "hop_b", "value": "1"}},
+            {"reroute": {"destination": "idx-c"}},
+        ]},
+        "pipe-c": {"processors": [{"set": {"field": "hop_c", "value": "1"}}]},
+    })
+    routing = RoutingConfig(
+        index_to_pipeline={"idx-a": "pipe-a", "idx-b": "pipe-b", "idx-c": "pipe-c"},
+        use_datastream=False,
+    )
+    proc = EventProcessor(pipelines, routing)
+    rows = table_to_rows(proc(rows_to_table([{"__meta_index": "idx-a", "i": 1}])))
+    r = rows[0]
+    assert r["hop_a"] == "1" and r["hop_b"] == "1" and r["hop_c"] == "1"
+    assert r["__meta_index"] == "idx-c"
+    assert r["__meta_target_pipeline"] == "_none"
+    assert "tags" not in r
+
+
 def test_date_index_name():  # spec:278-301
     rows = run_pipeline(
         {"processors": [{"date_index_name": {"field": "date_field", "index_name_prefix": "monthly-index-",
