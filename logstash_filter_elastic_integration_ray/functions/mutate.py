@@ -295,7 +295,9 @@ class GsubKernel(Kernel):
         if not self.field or pattern is None or replacement is None:
             raise KernelCompileError("gsub: requires [field], [pattern], [replacement]")
         self.pattern = pattern
-        self.replacement = replacement
+        # ES replacements use Java Matcher semantics: $1..$9 reference
+        # capture groups; translate to backslash refs for re/RE2
+        self.replacement = re.sub(r"\$(\d)", r"\\\1", replacement)
         self.rx = re.compile(pattern)
         self.target = _resolve_field(config.get("target_field") or "") or self.field
         self.ignore_missing = bool(config.get("ignore_missing", False))
@@ -349,7 +351,11 @@ class SplitKernel(Kernel):
         sep = config.get("separator")
         if not self.field or sep is None:
             raise KernelCompileError("split: requires [field] and [separator]")
-        self.sep = re.compile(sep if len(sep) > 1 else re.escape(sep))
+        # ES split treats the separator as a regex (Java String.split)
+        try:
+            self.sep = re.compile(sep)
+        except re.error as e:
+            raise KernelCompileError(f"split: invalid separator regex {sep!r}: {e}") from e
         self.target = _resolve_field(config.get("target_field") or "") or self.field
         self.preserve_trailing = bool(config.get("preserve_trailing", False))
         self.ignore_missing = bool(config.get("ignore_missing", False))
@@ -468,10 +474,13 @@ def _sort_factory(config):
 
 
 class DotExpanderKernel(Kernel):
-    """``"a.b": v`` → ``{"a": {"b": v}}`` (spec:335-358).  In the
-    columnar layout flat-dotted and nested are the same column; this
-    kernel records the path as expanded so nested renderers emit
-    structure."""
+    """``"a.b": v`` → ``{"a": {"b": v}}`` (spec:335-358).
+
+    In this engine's columnar layout a literal flat key ``a.b`` and the
+    nested path ``a.b`` are the SAME dotted column, so expansion is a
+    true no-op in flight; nested renderers (``sources/render.py``)
+    re-nest every dotted column at the edge.  The kernel exists so
+    pipelines using it compile and validate."""
 
     failure_message = "dot_expander failed"
 
@@ -483,14 +492,6 @@ class DotExpanderKernel(Kernel):
         self.path = config.get("path")
 
     def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
-        if self.field == "*":
-            for name in batch.names():
-                if "." in name and not name.startswith("__"):
-                    batch.expanded_paths.add(name)
-            return None
-        full = f"{self.path}.{self.field}" if self.path else self.field
-        if batch.has(full):
-            batch.expanded_paths.add(full)
         return None
 
 

@@ -73,8 +73,12 @@ class KvKernel(Kernel):
         vs = config.get("value_split")
         if fs is None or vs is None:
             raise KernelCompileError("kv: requires [field_split] and [value_split]")
-        self.field_split = re.compile(fs if len(fs) > 1 else re.escape(fs))
-        self.value_split = re.compile(vs if len(vs) > 1 else re.escape(vs))
+        # ES kv treats both splitters as regexes
+        try:
+            self.field_split = re.compile(fs)
+            self.value_split = re.compile(vs)
+        except re.error as e:
+            raise KernelCompileError(f"kv: invalid split regex: {e}") from e
         self.target = config.get("target_field")
         self.prefix = config.get("prefix", "")
         self.include = set(config.get("include_keys", []) or [])
@@ -242,9 +246,13 @@ def _json_factory(config: dict) -> Kernel:
 # --------------------------------------------------------------------------
 # date
 # --------------------------------------------------------------------------
+# longest-first within each family: 'MMM' (month name) must replace
+# before 'MM' or formats like dd/MMM/yyyy (HTTPDATE) mangle to %mM
 _JAVA_TOKENS = [
     ("yyyy", "%Y"),
     ("yy", "%y"),
+    ("MMMM", "%B"),
+    ("MMM", "%b"),
     ("MM", "%m"),
     ("dd", "%d"),
     ("HH", "%H"),
@@ -255,8 +263,8 @@ _JAVA_TOKENS = [
     ("XX", "%z"),
     ("X", "%z"),
     ("Z", "%z"),
+    ("EEEE", "%A"),
     ("EEE", "%a"),
-    ("MMM", "%b"),
 ]
 
 
@@ -591,12 +599,15 @@ class UriPartsKernel(Kernel):
             return out
 
         err = _per_row(self, batch, mask, parse)
-        if self.remove_if_successful and batch.has(self.field):
+        if self.remove_if_successful and batch.has(self.field) and self.field != self.target:
             ok = mask.copy()
             if err is not None:
                 ok &= ~err
-            if bool(ok.all()) and self.field != self.target:
-                batch.drop(self.field)
+            if ok.any():
+                # per-document removal (ES semantics), not all-or-nothing
+                import numpy as _np
+
+                batch.blend(self.field, _np.full(batch.n, None, dtype=object), ok)
         return err
 
 

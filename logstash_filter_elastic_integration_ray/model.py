@@ -97,14 +97,16 @@ class ColumnBatch:
         # conditions/kernels on the same column to Python loops.
         self._obj_cache: dict[str, np.ndarray] = {}
         if table is not None:
+            # flatten Arrow struct columns into dotted paths so nested
+            # parquet documents (the natural shape for ES-style docs)
+            # are addressable by every `ctx.a.b` condition and processor
+            while any(pa.types.is_struct(f.type) for f in table.schema):
+                table = table.flatten()
             self.n = table.num_rows
             for i, name in enumerate(table.column_names):
                 self._cols[name] = table.column(i).combine_chunks()
         else:
             self.n = int(num_rows or 0)
-        # field paths flagged as originally-flat literal dotted keys
-        # (dot_expander bookkeeping; columnar layout is identical).
-        self.expanded_paths: set[str] = set()
 
     # -- introspection ------------------------------------------------------
     def has(self, name: str) -> bool:
@@ -280,7 +282,10 @@ class ColumnBatch:
     def restore_rows(self, snapshot: dict[str, object], mask: np.ndarray) -> None:
         """Restore masked rows to their snapshot values — the reference's
         failure isolation: a failed event is emitted *unmodified*
-        (EventProcessor.java:176-184)."""
+        (EventProcessor.java:176-184).  Only the masked rows change:
+        a column the pipeline dropped stays dropped for successful rows
+        (it comes back as nulls there, values restored only where
+        ``mask`` is set)."""
         if not mask.any():
             return
         current = set(self._cols)
@@ -292,13 +297,16 @@ class ColumnBatch:
                 # column added after snapshot: null it out on failed rows
                 self.blend(name, np.full(self.n, None, dtype=object), mask)
         for name in snap_names:
-            old = snapshot[name]
+            old_np = _to_numpy_objects(snapshot[name])
             if name not in self._cols:
-                self._cols[name] = old
+                # column was dropped mid-pipeline: reinstate values ONLY
+                # for the failed rows, nulls elsewhere
+                restored = np.full(self.n, None, dtype=object)
+                restored[mask] = old_np[mask]
+                if all(v is None for v in restored):
+                    continue
+                self.set(name, restored)
             else:
-                keep = self._cols[name]
-                self._cols[name] = keep
-                old_np = _to_numpy_objects(old)
                 self.blend(name, old_np, mask)
 
 

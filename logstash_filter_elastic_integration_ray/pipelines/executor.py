@@ -185,6 +185,15 @@ class EventProcessor:
                 state.reroute_pending[:] = False
                 state.reroute_dest[:] = None
 
+        # rows still mid-flight when the reroute bound was hit must NOT
+        # be emitted as silent successes — fail them visibly
+        if pending.any():
+            for i in np.nonzero(pending)[0]:
+                state.failure_messages[i] = (
+                    f"too many reroutes (> {MAX_REROUTES}) while processing document"
+                )
+            state.failed |= pending
+
         # final index column
         has_index = np.array([v is not None for v in cur_index], dtype=bool)
         if has_index.any():
@@ -309,7 +318,12 @@ class EventProcessor:
                     self._fail_rows(state, sub_failed, state.failure_messages, state.failure_tags)
             else:
                 self._fail_rows(state, failed_here, state.failure_messages, state.failure_tags)
-        state.local_done = saved_local
+        # a reroute inside this pipeline also skips the CALLING
+        # pipeline's remaining processors (ES reroute semantics: "if the
+        # current pipeline was called from a Pipeline processor, the
+        # calling pipeline will be skipped, too") — propagate local_done
+        # up instead of discarding it
+        state.local_done = saved_local | state.local_done
 
     def _run_step(
         self,
@@ -395,13 +409,18 @@ class EventProcessor:
                 )
             failed_here |= active
             return
-        # run sub-pipeline inline; its failures surface as this step's
+        # run sub-pipeline inline; its failures surface as THIS step's
+        # failures so the caller's handlers / pipeline-level on_failure
+        # see them (ES propagates the exception up through the pipeline
+        # processor; a caller with an on_failure block catches it)
         sub_failed_before = state.failed.copy()
         self.run_pipeline(sub, batch, active, state, stack + (name,))
         new_failed = state.failed & ~sub_failed_before
-        if new_failed.any() and (step.ignore_failure or step.on_failure):
-            # undo: per-step handlers own these failures
+        if new_failed.any():
+            # un-commit: the failure belongs to this step in the caller
             state.failed &= sub_failed_before | ~new_failed
+            if step.ignore_failure:
+                return
             if step.on_failure:
                 sub_failed = np.zeros(batch.n, dtype=bool)
                 for h in step.on_failure:
@@ -410,6 +429,8 @@ class EventProcessor:
                         break
                     self._run_step(h, batch, act, state, stack, sub_failed)
                 failed_here |= sub_failed
+                return
+            failed_here |= new_failed
 
     def _fail_rows(self, state: PipelineState, mask: np.ndarray, messages, tags) -> None:
         state.failed |= mask

@@ -1,0 +1,134 @@
+"""Regression tests for the round-1 deep-review findings."""
+
+import numpy as np
+import pyarrow as pa
+
+from logstash_filter_elastic_integration_ray.pipelines import (
+    EventProcessor,
+    RoutingConfig,
+    compile_pipeline_set,
+)
+from tests.util import rows_to_table, run_pipeline, table_to_rows
+
+
+def test_removed_column_stays_removed_for_successful_rows():
+    # restore_rows must not resurrect dropped columns on non-failed rows
+    rows = run_pipeline(
+        {"processors": [
+            {"remove": {"field": "secret"}},
+            {"fail": {"if": "ctx.x == 'bad'", "message": "boom"}},
+        ]},
+        [{"secret": "s1", "x": "ok"}, {"secret": "s2", "x": "bad"}, {"secret": "s3", "x": "ok"}],
+    )
+    ok_rows = [r for r in rows if r["x"] != "bad"]
+    bad = next(r for r in rows if r["x"] == "bad")
+    for r in ok_rows:
+        assert "secret" not in r  # stayed removed
+    assert bad["secret"] == "s2"  # failed row restored in full
+
+
+def test_date_month_name_format():
+    rows = run_pipeline(
+        {"processors": [{"date": {"field": "d", "formats": ["dd/MMM/yyyy:HH:mm:ss Z"],
+                                  "target_field": "t"}}]},
+        [{"d": "10/Oct/2000:13:55:36 -0700"}],
+    )
+    assert rows[0]["t"] == "2000-10-10T13:55:36.000-07:00"
+
+
+def test_subpipeline_failure_caught_by_caller_pipeline_on_failure():
+    rows = run_pipeline(
+        {"processors": [{"pipeline": {"name": "inner"}}],
+         "on_failure": [{"set": {"field": "recovered", "value": "yes"}}]},
+        [{"i": 1}],
+        extra_pipelines={"inner": {"processors": [{"fail": {"message": "inner boom"}}]}},
+    )
+    assert rows[0]["recovered"] == "yes"
+    assert "tags" not in rows[0]
+
+
+def test_reroute_in_subpipeline_skips_caller():
+    # ES: "If the current pipeline was called from a Pipeline processor,
+    # the calling pipeline will be skipped, too."
+    pipelines = compile_pipeline_set({
+        "outer": {"processors": [
+            {"pipeline": {"name": "inner"}},
+            {"set": {"field": "after_call", "value": "ran"}},
+        ]},
+        "inner": {"processors": [{"reroute": {"destination": "elsewhere"}}]},
+        "elsewhere-pipe": {"processors": [{"set": {"field": "landed", "value": "yes"}}]},
+    })
+    routing = RoutingConfig(index_to_pipeline={"start": "outer", "elsewhere": "elsewhere-pipe"},
+                            use_datastream=False)
+    proc = EventProcessor(pipelines, routing)
+    rows = table_to_rows(proc(rows_to_table([{"__meta_index": "start", "i": 1}])))
+    r = rows[0]
+    assert "after_call" not in r      # caller's remaining steps skipped
+    assert r["landed"] == "yes"
+    assert r["__meta_index"] == "elsewhere"
+
+
+def test_gsub_dollar_group_references():
+    rows = run_pipeline(
+        {"processors": [{"gsub": {"field": "f", "pattern": r"(\d+)", "replacement": "$1X"}}]},
+        [{"f": "abc-123"}],
+    )
+    assert rows[0]["f"] == "abc-123X"
+
+
+def test_split_separator_is_regex():
+    # ES split = Java String.split(regex): '.' matches any char
+    rows = run_pipeline(
+        {"processors": [{"split": {"field": "f", "separator": r"\."}}]},
+        [{"f": "a.b.c"}],
+    )
+    assert rows[0]["f"] == ["a", "b", "c"]
+    rows = run_pipeline(
+        {"processors": [{"split": {"field": "g", "separator": "[,;]"}}]},
+        [{"g": "a,b;c"}],
+    )
+    assert rows[0]["g"] == ["a", "b", "c"]
+
+
+def test_struct_columns_flatten_to_dotted_paths():
+    t = pa.table({
+        "id": pa.array(["a", "b"]),
+        "data_stream": pa.array([
+            {"type": "logs", "dataset": "test", "namespace": "smoke"},
+            {"type": "logs", "dataset": "test", "namespace": "smoke"},
+        ]),
+    })
+    pipelines = compile_pipeline_set({
+        "p": {"processors": [{"set": {"field": "ds_copy", "value": "{{data_stream.dataset}}"}}]}
+    })
+    proc = EventProcessor(pipelines, RoutingConfig(index_to_pipeline={"logs-test-smoke": "p"}))
+    rows = table_to_rows(proc(t))
+    assert all(r["ds_copy"] == "test" for r in rows)
+    assert all(r["__meta_index"] == "logs-test-smoke" for r in rows)
+
+
+def test_reroute_overflow_fails_visibly():
+    # an 11+-hop acyclic reroute chain must not emit silent successes
+    n_hops = 15
+    defs = {}
+    routing = {}
+    for i in range(n_hops):
+        defs[f"p{i}"] = {"processors": [{"reroute": {"destination": f"idx{i + 1}"}}]}
+        routing[f"idx{i}"] = f"p{i}"
+    proc = EventProcessor(compile_pipeline_set(defs), RoutingConfig(index_to_pipeline=routing,
+                                                                   use_datastream=False))
+    rows = table_to_rows(proc(rows_to_table([{"__meta_index": "idx0", "i": 1}])))
+    r = rows[0]
+    assert "_ingest_pipeline_failure" in r["tags"]
+    assert "too many reroutes" in r["__meta_failure_message"]
+
+
+def test_uri_parts_remove_if_successful_per_row():
+    rows = run_pipeline(
+        {"processors": [{"uri_parts": {"field": "u", "target_field": "url",
+                                       "remove_if_successful": True, "ignore_failure": True}}]},
+        [{"u": "http://a.example.com/x", "i": 1}, {"u": ":::not a uri", "i": 2}],
+    )
+    by_i = {r["i"]: r for r in rows}
+    assert "u" not in by_i[1] or by_i[1].get("u") is None  # removed on success
+    assert by_i[2]["u"] == ":::not a uri"                  # kept on failure
