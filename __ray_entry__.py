@@ -70,11 +70,7 @@ from logstash_filter_elastic_integration_ray.pipelines import (
     RoutingConfig,
     compile_pipeline_set,
 )
-from logstash_filter_elastic_integration_ray.pipelines.flagship import (
-    assign_datastream,
-    build_event_processor,
-    flagship_parsed,
-)
+from logstash_filter_elastic_integration_ray.pipelines.flagship import flagship_parsed
 from logstash_filter_elastic_integration_ray.sources.transcripts import (
     read_transcripts,
     transcripts_sql,

@@ -113,7 +113,10 @@ def main():
             print(f"FAIL {name}: oracle SQL raised {ex}")
             n_fail += 1
             continue
-        problems = compare(name, mine, oracle)
+        try:
+            problems = compare(name, mine, oracle)
+        except Exception as ex:
+            problems = [f"compare raised {type(ex).__name__}: {ex}"]
         if problems:
             print(f"FAIL {name} ({len(mine)} vs {len(oracle)} rows):")
             for p in problems:
