@@ -547,10 +547,13 @@ def q_q1_pricing(sf_dir: str):
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t.column("l_shipdate"), pa.scalar(np.datetime64("1998-09-02", "us"))))
         cents = pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)).cast(pa.int64())
+        # integer-typed qty: TPC-H quantities are integral; an int sum is
+        # order-independent and dtype-identical to the DuckDB oracle
+        qty = pc.round(t.column("l_quantity")).cast(pa.int64())
         return pa.table({
             "l_returnflag": t.column("l_returnflag"),
             "l_linestatus": t.column("l_linestatus"),
-            "l_quantity": t.column("l_quantity"),
+            "qty_int": qty,
             "price_cents": cents,
         })
 
@@ -558,7 +561,7 @@ def q_q1_pricing(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("qty_int", alias_name="sum_qty"),
             Sum("price_cents", alias_name="sum_price_cents"),
             Count(alias_name="n"),
         )
@@ -576,11 +579,12 @@ def q_events_hourly(sf_dir: str):
         cents = pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64())
         return pa.table({"user_id": t.column("user_id"), "hour": hour, "value_cents": cents})
 
-    return (
+    out = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["user_id", "hour"])
         .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents_sum"))
     )
+    return _cast_ts_us(out, ["hour"])
 
 
 def q_segment_orders(sf_dir: str):
@@ -967,19 +971,23 @@ def oracle_sql() -> dict[str, str]:
             "3 AS channels FROM documents"
         ),
         "q1_pricing": (
-            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
-            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, count(*) AS n "
+            # every aggregate CAST to BIGINT: DuckDB sum(BIGINT) yields
+            # HUGEINT (float64 in pandas) which hash-mismatches the
+            # engine's int64 even when values are identical
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents, count(*) AS n "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus"
         ),
         "events_hourly": (
             "SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events, "
-            "sum(CAST(round(value * 100) AS BIGINT)) AS value_cents_sum "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents_sum "
             "FROM events GROUP BY 1, 2"
         ),
         "segment_orders": (
             "SELECT c.c_mktsegment, count(*) AS n_orders, "
-            "sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_price_cents "
+            "CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
         ),
         "top_orders": (
@@ -1010,8 +1018,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1"
         ),
         "join_orders_nation": (
-            "SELECT c.c_nationkey, count(*) AS n_orders, "
-            "sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_price_cents "
+            "SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_orders, "
+            "CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
         ),
     }

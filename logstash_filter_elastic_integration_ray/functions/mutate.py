@@ -89,8 +89,24 @@ class SetKernel(Kernel):
                 return None
         if self.copy_from is not None:
             src = batch.get_objects_or_none(_resolve_field(self.copy_from))
+            # ES applies ignore_empty_value to copy_from too: quietly
+            # exit on a missing/null/empty source; without it a null
+            # source is a per-row error (never copied silently)
             if src is None:
-                return m.copy()  # copy_from missing → error
+                return None if self.ignore_empty_value else m.copy()
+            empty = np.array(
+                [v is None or v == "" or (isinstance(v, list) and not v) for v in src],
+                dtype=bool,
+            )
+            if self.ignore_empty_value:
+                m = m & ~empty
+                if not m.any():
+                    return None
+            else:
+                bad = m & np.array([v is None for v in src], dtype=bool)
+                if bad.any():
+                    batch.blend(self.field, src.copy(), m & ~bad)
+                    return bad
             batch.blend(self.field, src.copy(), m)
             return None
         rendered = render_template(self.value, batch, m)

@@ -134,10 +134,12 @@ class EventProcessor:
             pipeline_names = self._resolve_template_pipelines(batch)
         else:
             pipeline_names = self._resolve_pipelines(index)
-        if batch.has(META_INDEX):
-            cur_index = batch.objects(META_INDEX).copy()
-        else:
-            cur_index = index
+        # _resolve_index already prefers an existing __meta_index value
+        # and fills nulls from data_stream composition — using the raw
+        # column here would lose the composed value for rows whose
+        # pre-existing __meta_index is null (they would run their
+        # pipeline but land in the 'unrouted' sink)
+        cur_index = index.copy()
         # index history for reroute cycle detection (EventProcessor.java:195-207)
         history: dict[int, set] = {}
 
@@ -182,6 +184,12 @@ class EventProcessor:
                     pipeline_names[i] = next_pipe
                     if next_pipe is not None:
                         pending[i] = True
+                    else:
+                        # reroute resolved to no pipeline (or "_none"):
+                        # the document completed successfully — the
+                        # reference sets TARGET_PIPELINE=_none on this
+                        # fall-through too (EventProcessor.java:232-240)
+                        marker[i] = True
                 state.reroute_pending[:] = False
                 state.reroute_dest[:] = None
 
@@ -338,10 +346,17 @@ class EventProcessor:
             try:
                 cond = step.condition.evaluate(batch)
             except Exception:
-                self._record_step_failure(step, state, active, failed_here,
-                                          override_msg="error evaluating conditional")
-                return
-            active = active & cond
+                # per-row isolation: the reference evaluates conditionals
+                # per event and fails only the offending document — one
+                # bad row must not mass-fail the whole batch
+                cond, cond_err = self._per_row_condition(step.condition, batch, active)
+                bad = active & cond_err
+                if bad.any():
+                    self._record_step_failure(step, state, bad, failed_here,
+                                              override_msg="error evaluating conditional")
+                active = active & cond & ~cond_err
+            else:
+                active = active & cond
             if not active.any():
                 return
 
@@ -374,9 +389,45 @@ class EventProcessor:
                     if not act.any():
                         break
                     self._run_step(h, batch, act, state, stack, sub_failed)
+                # handler context fields exist only INSIDE the on_failure
+                # block (Elasticsearch removes them afterwards) — they
+                # must not persist into the emitted output
+                for ctx_col in ("_ingest.on_failure_processor_type",
+                                "_ingest.on_failure_processor_tag",
+                                "_ingest.on_failure_message"):
+                    if batch.has(ctx_col):
+                        vals = batch.objects(ctx_col).copy()
+                        vals[err] = None
+                        if all(v is None for v in vals):
+                            batch.drop(ctx_col)
+                        else:
+                            batch.set(ctx_col, vals)
                 failed_here |= sub_failed
                 return
             self._record_step_failure(step, state, err, failed_here)
+
+    def _per_row_condition(
+        self, condition, batch: ColumnBatch, active: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Error-path fallback: re-evaluate a conditional row by row so
+        only rows where evaluation raises are failed (the reference
+        evaluates per event — one poisoned value must not fail a 16k-row
+        batch).  Returns (cond, err) boolean masks."""
+        cond = np.zeros(batch.n, dtype=bool)
+        err = np.zeros(batch.n, dtype=bool)
+        names = batch.names()
+        cols = {name: batch.objects(name) for name in names}
+        for i in np.nonzero(active)[0]:
+            single = ColumnBatch(num_rows=1)
+            for name in names:
+                arr = np.empty(1, dtype=object)
+                arr[0] = cols[name][i]
+                single._store(name, arr)
+            try:
+                cond[i] = bool(condition.evaluate(single)[0])
+            except Exception:
+                err[i] = True
+        return cond, err
 
     def _record_step_failure(
         self,

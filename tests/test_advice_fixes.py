@@ -1,0 +1,131 @@
+"""Regression tests for the round-1 ADVICE.md findings."""
+
+import numpy as np
+import pyarrow as pa
+
+from logstash_filter_elastic_integration_ray.model import (
+    META_INDEX,
+    META_TARGET_PIPELINE,
+    ColumnBatch,
+)
+from logstash_filter_elastic_integration_ray.pipelines import (
+    EventProcessor,
+    RoutingConfig,
+    compile_pipeline_set,
+)
+from tests.util import rows_to_table, run_pipeline, table_to_rows
+
+
+def test_preexisting_meta_index_with_nulls_still_composes_datastream():
+    # ADVICE #1: a batch whose __meta_index column pre-exists with nulls
+    # on some rows must still route those rows via data_stream.* — the
+    # composed index must land in __meta_index, not null ('unrouted').
+    table = rows_to_table(
+        [
+            {META_INDEX: "logs-app-prod", "data_stream.type": "logs",
+             "data_stream.dataset": "app", "data_stream.namespace": "prod", "v": 1},
+            {META_INDEX: None, "data_stream.type": "logs",
+             "data_stream.dataset": "web", "data_stream.namespace": "prod", "v": 2},
+        ]
+    )
+    proc = EventProcessor(
+        compile_pipeline_set({"p": {"processors": [{"set": {"field": "ran", "value": "y"}}]}}),
+        RoutingConfig(index_to_pipeline={"logs-app-prod": "p", "logs-web-prod": "p"}),
+    )
+    rows = table_to_rows(proc(table))
+    assert rows[0][META_INDEX] == "logs-app-prod"
+    assert rows[1][META_INDEX] == "logs-web-prod"  # composed, not null
+    assert rows[1]["ran"] == "y"
+
+
+def test_reroute_to_unmapped_index_sets_success_marker():
+    # ADVICE #2: reroute resolving to no pipeline still completes the
+    # document — the reference sets TARGET_PIPELINE=_none on this
+    # fall-through (EventProcessor.java:232-240).
+    table = rows_to_table([{META_INDEX: "logs-app-prod", "v": 1}])
+    proc = EventProcessor(
+        compile_pipeline_set({"p": {"processors": [{"reroute": {"destination": "archive-idx"}}]}}),
+        RoutingConfig(index_to_pipeline={"logs-app-prod": "p"}),
+    )
+    rows = table_to_rows(proc(table))
+    assert rows[0][META_INDEX] == "archive-idx"
+    assert rows[0][META_TARGET_PIPELINE] == "_none"
+
+
+def test_condition_eval_error_fails_only_offending_rows():
+    # ADVICE #3: an exception evaluating a step's `if` must fail only
+    # the rows where per-row evaluation raises, not the whole batch.
+    class BoomCondition:
+        def evaluate(self, batch: ColumnBatch) -> np.ndarray:
+            vals = batch.objects("x")
+            if any(v == "boom" for v in vals):
+                raise RuntimeError("poisoned value")
+            return np.array([v == "yes" for v in vals], dtype=bool)
+
+    pipes = compile_pipeline_set(
+        {"main": {"processors": [{"set": {"field": "hit", "value": "t", "if": "ctx.x == 'yes'"}}]}}
+    )
+    pipes["main"].steps[0].condition = BoomCondition()
+    proc = EventProcessor(pipes, RoutingConfig(default_pipeline="main", use_datastream=False))
+    rows = table_to_rows(proc(rows_to_table([{"x": "yes"}, {"x": "boom"}, {"x": "no"}])))
+    assert rows[0]["hit"] == "t"                      # condition true → ran
+    assert "hit" not in rows[2]                       # condition false → skipped
+    assert rows[1].get("tags") == ["_ingest_pipeline_failure"]  # only bad row failed
+    assert "tags" not in rows[0] and "tags" not in rows[2]
+
+
+def test_on_failure_context_fields_do_not_persist():
+    # ADVICE #4: _ingest.on_failure_* exist only inside the handler.
+    rows = run_pipeline(
+        {"processors": [
+            {"convert": {"field": "x", "type": "integer", "tag": "conv1",
+                         "on_failure": [
+                             {"set": {"field": "err_type", "copy_from": "_ingest.on_failure_processor_type"}},
+                             {"set": {"field": "err_tag", "copy_from": "_ingest.on_failure_processor_tag"}},
+                         ]}},
+        ]},
+        [{"x": "notanumber"}, {"x": "7"}],
+    )
+    assert rows[0]["err_type"] == "convert"
+    assert rows[0]["err_tag"] == "conv1"
+    for r in rows:
+        assert "_ingest.on_failure_processor_type" not in r
+        assert "_ingest.on_failure_processor_tag" not in r
+        assert "_ingest.on_failure_message" not in r
+
+
+def test_set_copy_from_ignore_empty_value_missing_source():
+    # ADVICE #5: ignore_empty_value applies to copy_from — quietly exit
+    # on a missing source column…
+    rows = run_pipeline(
+        {"processors": [{"set": {"field": "t", "copy_from": "nope", "ignore_empty_value": True}}]},
+        [{"a": 1}],
+    )
+    assert "t" not in rows[0]
+    assert "tags" not in rows[0]
+
+
+def test_set_copy_from_ignore_empty_value_skips_null_and_empty_rows():
+    # …and per-row on null/empty source values.
+    rows = run_pipeline(
+        {"processors": [{"set": {"field": "t", "copy_from": "src", "ignore_empty_value": True}}]},
+        [{"src": "v1"}, {"src": None}, {"src": ""}],
+    )
+    assert rows[0]["t"] == "v1"
+    assert "t" not in rows[1]
+    assert "t" not in rows[2]
+    for r in rows:
+        assert "tags" not in r
+
+
+def test_set_copy_from_null_source_errors_without_ignore():
+    # Without ignore_empty_value a null source is a per-row error, and
+    # is never copied silently; non-null rows still copy.
+    rows = run_pipeline(
+        {"processors": [{"set": {"field": "t", "copy_from": "src"}}]},
+        [{"src": "v1", "k": 1}, {"src": None, "k": 2}],
+    )
+    assert rows[0]["t"] == "v1"
+    assert "tags" not in rows[0]
+    assert rows[1].get("tags") == ["_ingest_pipeline_failure"]
+    assert "t" not in rows[1]

@@ -48,6 +48,16 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
     if sorted(mine.columns) != sorted(oracle.columns):
         problems.append(f"columns differ: mine={sorted(mine.columns)} oracle={sorted(oracle.columns)}")
         return problems
+    # dtype-kind parity: the driver hashes canonicalized VALUES — integer
+    # widths are canonicalized (int32 vs int64 hash the same, observed in
+    # round 1), but int-vs-float flips the hash even when an exact
+    # numeric compare passes (DuckDB HUGEINT → float64) — catch locally
+    for c in sorted(mine.columns):
+        km, ko = mine[c].dtype.kind, oracle[c].dtype.kind
+        if km != ko:
+            problems.append(
+                f"dtype kind differs in column {c}: mine={mine[c].dtype} oracle={oracle[c].dtype}"
+            )
     if len(mine) != len(oracle):
         problems.append(f"row count differs: mine={len(mine)} oracle={len(oracle)}")
     a, b = canon(mine), canon(oracle)
