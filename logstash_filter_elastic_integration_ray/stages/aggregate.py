@@ -55,16 +55,44 @@ def _pow_table() -> np.ndarray:
     return _POW_TABLE
 
 
-def text_hash_mod_p(texts) -> np.ndarray:
-    """Deterministic 64-bit string hash → mod P (vectorized via pandas
-    hash_array, stable across processes)."""
+def text_hash_mod_p(texts, mode: str = "fast") -> np.ndarray:
+    """Deterministic string hash → mod P.
+
+    ``fast`` (default): pandas hash_array — vectorized, stable across
+    processes; used by the bench/headline path.
+    ``md5``: first 60 bits of md5(text) — per-row but *SQL-expressible*
+    (DuckDB: ``('0x' || substr(md5(text),1,15))::UBIGINT % P``), which
+    is what lets the driver oracle-check the scalable aggregate
+    end-to-end including the order fingerprint."""
+    if mode == "md5":
+        import hashlib
+
+        out = np.fromiter(
+            (
+                int(hashlib.md5(("" if t is None else t).encode("utf-8")).hexdigest()[:15], 16)
+                for t in texts
+            ),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        return out % P
     arr = pd.util.hash_array(np.asarray(texts, dtype=object), categorize=False)
     return (arr % np.uint64(P)).astype(np.int64)
 
 
-def ordered_hash_contrib(texts, turn_idx: np.ndarray) -> np.ndarray:
-    h = text_hash_mod_p(texts)
+def ordered_hash_contrib(texts, turn_idx: np.ndarray, mode: str = "fast") -> np.ndarray:
+    """Per-row contribution to the order-sensitive fingerprint.
+
+    ``fast``:  h(text) · R^turn_idx  (mod P) — polynomial rolling hash.
+    ``md5``:   h_md5(text) · (turn_idx+1)  (mod P) — position-weighted
+    sum; weaker mixing but exactly reproducible in ANSI SQL (no modular
+    exponentiation needed), hence oracle-checkable.  Both are
+    commutative/associative across rows (two-phase safe) yet sensitive
+    to each turn's position."""
     t = np.asarray(turn_idx, dtype=np.int64)
+    h = text_hash_mod_p(texts, mode)
+    if mode == "md5":
+        return (h * ((t % P) + 1)) % P  # h < 2^31, weight < 2^31 → fits int64
     table = _pow_table()
     if t.max(initial=0) < _POW_TABLE_SIZE:
         powers = table[t]
@@ -73,7 +101,7 @@ def ordered_hash_contrib(texts, turn_idx: np.ndarray) -> np.ndarray:
     return (h * powers) % P  # fits: (2^31)^2 < 2^63
 
 
-def conv_partial_batch(batch: pa.Table) -> pa.Table:
+def conv_partial_batch(batch: pa.Table, hash_mode: str = "fast") -> pa.Table:
     """Phase 1: collapse one Arrow batch to one partial row per conv.
 
     One stable sort by (conv_id, turn_idx) then a single vectorized
@@ -87,7 +115,7 @@ def conv_partial_batch(batch: pa.Table) -> pa.Table:
             "text": batch.column("text").to_pandas(),
         }
     )
-    df["hash_part"] = ordered_hash_contrib(df["text"].to_numpy(), df["turn_idx"].to_numpy())
+    df["hash_part"] = ordered_hash_contrib(df["text"].to_numpy(), df["turn_idx"].to_numpy(), hash_mode)
     df.sort_values(["conv_id", "turn_idx"], kind="mergesort", inplace=True, ignore_index=True)
     g = df.groupby("conv_id", sort=False)
     agg = g.agg(
@@ -132,17 +160,40 @@ def _merge_partition(df: pd.DataFrame) -> pd.DataFrame:
     agg["first_text"] = first["first_text"]
     agg["last_text"] = last["last_text"]
     out = agg.reset_index()
-    return out[["conv_id", "n_turns", "n_tool_calls", "first_ts", "last_ts",
-                "first_text", "last_text", "ordered_hash"]]
+    out = out[["conv_id", "n_turns", "n_tool_calls", "first_ts", "last_ts",
+               "first_text", "last_text", "ordered_hash"]]
+    # return ARROW with a pinned schema: pandas-born blocks in an Arrow
+    # stream trigger per-block schema-mismatch warnings and a
+    # pandas↔Arrow conversion per downstream op; timestamp[us] matches
+    # the parquet-born input (and the DuckDB oracle) exactly
+    return pa.Table.from_pandas(out, preserve_index=False, schema=_MERGE_SCHEMA)
 
 
-def conv_stats(ds, num_partitions: int = 64):
+_MERGE_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+        ("n_tool_calls", pa.int64()),
+        ("first_ts", pa.timestamp("us")),
+        ("last_ts", pa.timestamp("us")),
+        ("first_text", pa.string()),
+        ("last_text", pa.string()),
+        ("ordered_hash", pa.int64()),
+    ]
+)
+
+
+def conv_stats(ds, num_partitions: int = 64, hash_mode: str = "fast"):
     """conv_id → (n_turns, n_tool_calls, first/last ts, first/last text,
     ordered_hash).  Shuffle input = partials only (see module doc); the
     final merge hash-partitions the partials into ``num_partitions``
     groups (size ∝ cluster, not ∝ #conversations) and merges each with
-    one vectorized pandas pass."""
-    partials = ds.map_batches(conv_partial_batch, batch_format="pyarrow")
+    one vectorized pandas pass.  ``hash_mode="md5"`` switches the order
+    fingerprint to the SQL-expressible variant (oracle-checked by the
+    driver); ``"fast"`` is the vectorized bench path."""
+    partials = ds.map_batches(
+        lambda b: conv_partial_batch(b, hash_mode), batch_format="pyarrow"
+    )
     parts = partials.map_batches(
         lambda b: add_partition_col(b, num_partitions), batch_format="pyarrow"
     )

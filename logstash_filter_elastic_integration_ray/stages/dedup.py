@@ -9,11 +9,13 @@ Scale design notes (the shapes that survive 100 TB):
 - **MinHash + LSH**: shingle → minhash signature per batch (numpy,
   vectorized over permutations), explode to ``(band, band_hash)``
   bucket keys, ``groupby`` the bucket keys (small rows: id + band
-  hash), verify candidates via signature agreement, connected
-  components by iterative min-label propagation (driver union-find only
-  on the provably-small candidate edge set — documented assumption).
-- **SimHash**: 64-bit signatures per batch; exact-match buckets (and
-  rotated-band buckets for hamming≤k) group near-dups.
+  hash), STAR edges per bucket (each member verified against the
+  bucket-min — O(m), not O(m²)), connected components by fully
+  distributed iterative min-label propagation, survivors/singletons
+  assembled by tag-groupby — nothing ever materializes on the driver.
+- **SimHash**: 64-bit signatures per batch; rotated-band block buckets
+  (complete candidate filter for hamming ≤ k by pigeonhole), verified
+  by vectorized popcount, then the same components machinery.
 - **embedding cosine**: see ``similarity.py`` — normalized matmul per
   batch against a broadcast matrix; here used for near-dup pairs above
   a threshold.
@@ -128,15 +130,154 @@ def minhash_band_rows(
     )
 
 
+def _star_edges_partition(df: pd.DataFrame, threshold: float, id_col: str) -> pd.DataFrame:
+    """Per bucket: verify each member against the bucket-min and emit
+    star edges (bucket_min, member) for members whose signature
+    agreement ≥ threshold.  O(m) edges and one vectorized matrix compare
+    per bucket — never the O(m²) all-pairs explosion (a bucket of
+    identical docs is the COMMON case in dedup)."""
+    edges_a: list[int] = []
+    edges_b: list[int] = []
+    for _, g in df.groupby("bucket", sort=False):
+        if len(g) < 2:
+            continue
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        sigs = np.vstack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        root = order[0]
+        members = order[1:]
+        agree = (sigs[members] == sigs[root][None, :]).mean(axis=1)
+        hit = members[agree >= threshold]
+        edges_a.extend(int(ids[root]) for _ in hit)
+        edges_b.extend(int(ids[m]) for m in hit)
+    return pd.DataFrame({"a": pd.Series(edges_a, dtype="int64"), "b": pd.Series(edges_b, dtype="int64")})
+
+
+_LABELS_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+
+def connected_components_min_label(edges, max_iters: int = 25, num_partitions: int = 8):
+    """Distributed connected components by iterative min-label
+    propagation — the all-Dataset replacement for a driver union-find.
+
+    ``edges`` is a Dataset of int64 columns (a, b).  Returns a Dataset
+    (node, label) for every node incident to an edge, where label = the
+    component's minimum node id.
+
+    Each round is join-free (``Dataset.join`` chokes on the zero-column
+    empty blocks Ray aggregates can emit): edge rows (key=src, val=dst)
+    and label rows (key=node, val=label) are co-partitioned by key, one
+    vectorized pandas pass per partition propagates each key's current
+    label to its neighbours *and* pre-minimizes locally, then a global
+    ``groupby(node).min`` merges — the MapReduce connected-components
+    round.  Shuffle volume per round = edge rows + label rows (near-dup
+    candidates only, never the full input); labels decrease
+    monotonically so the fixpoint test is a cheap Sum aggregate.
+    Converges in O(diameter) rounds — star edges keep components
+    shallow."""
+    from ray.data.aggregate import Min, Sum
+
+    from .aggregate import add_partition_col
+
+    def bidir(t: pa.Table) -> pa.Table:
+        src = pa.concat_arrays([t.column("a").combine_chunks(), t.column("b").combine_chunks()])
+        dst = pa.concat_arrays([t.column("b").combine_chunks(), t.column("a").combine_chunks()])
+        return pa.table(
+            {"key": src, "val": dst, "is_label": pa.array(np.zeros(len(src), dtype=np.int8))}
+        )
+
+    edges_keyed = edges.map_batches(bidir, batch_format="pyarrow").materialize()
+
+    # initial labels: label(node) = min(neighbours ∪ self) — star
+    # components (the common dedup shape) reach their fixpoint in this
+    # single groupby, so the loop below usually runs exactly one
+    # confirming round
+    def nbr_and_self(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t.column("key").combine_chunks(), t.column("key").combine_chunks()]
+                ),
+                "label": pa.concat_arrays(
+                    [t.column("val").combine_chunks(), t.column("key").combine_chunks()]
+                ),
+            }
+        )
+
+    labels = (
+        edges_keyed.map_batches(nbr_and_self, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    def as_label_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.table(
+                {"key": pa.array([], type=pa.int64()), "val": pa.array([], type=pa.int64()),
+                 "is_label": pa.array([], type=pa.int8())}
+            )
+        return pa.table(
+            {"key": t.column("node"), "val": t.column("label"),
+             "is_label": pa.array(np.ones(t.num_rows, dtype=np.int8))}
+        )
+
+    def propagate_partition(df: pd.DataFrame) -> pa.Table:
+        lab = df[df["is_label"] == 1].groupby("key")["val"].min()
+        e = df[df["is_label"] == 0]
+        nbr_nodes = e["val"].to_numpy(dtype=np.int64)
+        nbr_labels = lab.reindex(e["key"]).to_numpy()
+        # every key carries a label row (initialized above); guard anyway
+        miss = pd.isna(nbr_labels)
+        if miss.any():
+            nbr_labels = np.where(miss, e["key"].to_numpy(), nbr_labels)
+        out = pd.DataFrame(
+            {
+                "node": np.concatenate([nbr_nodes, lab.index.to_numpy(dtype=np.int64)]),
+                "label": np.concatenate([nbr_labels.astype(np.int64), lab.to_numpy(dtype=np.int64)]),
+            }
+        )
+        out = out.groupby("node", as_index=False)["label"].min()  # local pre-min
+        return pa.Table.from_pandas(out, preserve_index=False, schema=_LABELS_SCHEMA)
+
+    total = labels.aggregate(Sum("label", alias_name="s"))["s"]
+    for _ in range(max_iters):
+        combined = edges_keyed.union(
+            labels.map_batches(as_label_rows, batch_format="pyarrow")
+        ).map_batches(lambda b: add_partition_col(b, num_partitions, key="key"),
+                      batch_format="pyarrow")
+        new_labels = (
+            combined.repartition(num_partitions)
+            .groupby("__part")
+            .map_groups(propagate_partition, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        new_total = new_labels.aggregate(Sum("label", alias_name="s"))["s"]
+        labels = new_labels
+        if new_total == total:
+            break
+        total = new_total
+    return labels
+
+
 def minhash_lsh_dedup(ds, *, num_perm: int = 32, bands: int = 8, threshold: float = 0.8,
-                      text_col: str = "text", id_col: str = "doc_id"):
-    """MinHash-LSH near-dup clustering → survivors table
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_partitions: int = 32):
+    """MinHash-LSH near-dup clustering → survivors Dataset
     (doc_id, cluster_size), survivors = min doc_id per component.
 
-    Candidate pairs come out of the bucket groupby; union-find runs on
-    the driver over that edge set (provably small: only near-dup
-    candidates; the 100 TB path swaps this for iterative min-label
-    propagation — same semantics)."""
+    100-TB-safe end to end: star edges per bucket (O(m), not O(m²)),
+    distributed min-label propagation for components (no driver
+    union-find), and survivor/singleton assembly via joins — the full
+    doc-id column is NEVER materialized on the driver (pinned by a
+    ``Dataset.to_pandas`` call counter in ``tests/test_stages.py``)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .aggregate import add_partition_col
+
     hasher = MinHasher(num_perm=num_perm)
 
     band_rows = ds.map_batches(
@@ -144,60 +285,80 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 32, bands: int = 8, threshold: floa
         batch_format="pyarrow",
     )
 
-    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        """All candidate pairs within one hash partition of buckets —
-        one vectorized-ish pass per PARTITION (per-bucket Ray map_groups
-        overhead dominates at thousands of tiny buckets)."""
-        pairs_a, pairs_b = [], []
-        for _, g in df.groupby("bucket", sort=False):
-            if len(g) < 2:
-                continue
-            ids = g[id_col].to_numpy()
-            order = np.argsort(ids)
-            sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
-            for x in range(len(order)):
-                for y in range(x + 1, len(order)):
-                    i, j = order[x], order[y]
-                    if hasher.jaccard_estimate(sigs[i], sigs[j]) >= threshold:
-                        pairs_a.append(int(ids[i]))
-                        pairs_b.append(int(ids[j]))
-        return pd.DataFrame({"a": pd.Series(pairs_a, dtype="int64"), "b": pd.Series(pairs_b, dtype="int64")})
-
-    from .aggregate import add_partition_col
-
-    num_partitions = 32
     parts = band_rows.map_batches(
         lambda b: add_partition_col(b, num_partitions, key="bucket"), batch_format="pyarrow"
     )
-    pairs = parts.repartition(num_partitions).groupby("__part").map_groups(
-        partition_pairs, batch_format="pandas"
+    edges = parts.repartition(num_partitions).groupby("__part").map_groups(
+        lambda df: _star_edges_partition(df, threshold, id_col), batch_format="pandas"
     )
-    edge_df = pairs.to_pandas()  # small: candidate edges only
+    # distinct: the same star edge surfaces from up to `bands` buckets
+    edges = edges.groupby(["a", "b"]).aggregate(Count(alias_name="__n")).select_columns(["a", "b"])
 
-    parent: dict[int, int] = {}
+    labels = connected_components_min_label(edges)
+    return _survivors_from_labels(ds, labels, id_col, num_partitions)
 
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
 
-    for a, b in zip(edge_df["a"], edge_df["b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+def _survivors_from_labels(ds, labels, id_col: str, num_partitions: int):
+    """(doc_id, cluster_size) from a components labelling: one row per
+    component (representative = min id) plus one row per singleton doc
+    (docs incident to no verified edge) — all Dataset ops, no driver
+    materialization.  Shared by the MinHash-LSH and SimHash paths."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
 
-    all_ids = ds.select_columns([id_col]).to_pandas()[id_col]
-    roots = np.array([find(int(i)) if int(i) in parent else int(i) for i in all_ids], dtype=np.int64)
-    surv = pd.DataFrame({id_col: all_ids.astype("int64"), "cluster": roots})
-    out = (
-        surv.groupby("cluster")
-        .agg(cluster_size=(id_col, "size"))
-        .reset_index()
-        .rename(columns={"cluster": id_col})
-        .sort_values(id_col)
+    def empty_out() -> pa.Table:
+        return pa.table(
+            {id_col: pa.array([], type=pa.int64()), "cluster_size": pa.array([], type=pa.int64())}
+        )
+
+    # components: one row per label = (representative id, member count)
+    def comp_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "label" not in t.column_names:
+            return empty_out()  # Ray aggregates can emit 0-column blocks
+        return pa.table({id_col: t.column("label"), "cluster_size": t.column("cluster_size")})
+
+    comps = (
+        labels.groupby("label")
+        .aggregate(Count(alias_name="cluster_size"))
+        .map_batches(comp_rows, batch_format="pyarrow")
     )
-    return out[[id_col, "cluster_size"]]
+
+    # singletons: docs incident to NO verified edge — tag-and-groupby
+    # anti-join (docs tagged 0, labelled nodes tagged 1; keep max-tag 0)
+    from ray.data.aggregate import Max
+
+    def doc_tags(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"__id": t.column(id_col).cast(pa.int64()),
+             "__tag": pa.array(np.zeros(t.num_rows, dtype=np.int8))}
+        )
+
+    def node_tags(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.table(
+                {"__id": pa.array([], type=pa.int64()), "__tag": pa.array([], type=pa.int8())}
+            )
+        return pa.table(
+            {"__id": t.column("node"), "__tag": pa.array(np.ones(t.num_rows, dtype=np.int8))}
+        )
+
+    def keep_untagged(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__id" not in t.column_names:
+            return empty_out()
+        kept = t.filter(pc.equal(t.column("max_tag"), 0))
+        return pa.table(
+            {id_col: kept.column("__id"),
+             "cluster_size": pa.array(np.ones(kept.num_rows, dtype=np.int64))}
+        )
+
+    singles = (
+        ds.select_columns([id_col]).map_batches(doc_tags, batch_format="pyarrow")
+        .union(labels.map_batches(node_tags, batch_format="pyarrow"))
+        .groupby("__id")
+        .aggregate(Max("__tag", alias_name="max_tag"))
+        .map_batches(keep_untagged, batch_format="pyarrow")
+    )
+    return comps.union(singles)
 
 
 # --------------------------------------------------------------------------
@@ -222,14 +383,92 @@ def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
     return pa.table({id_col: batch.column(id_col), "simhash": pa.array(out, type=pa.string())})
 
 
-def simhash_dedup(ds, id_col: str = "doc_id"):
-    """Exact-signature grouping (hamming-0); survivors = min id."""
-    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
-    from ray.data.aggregate import Count, Min
+_POPCNT16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
 
-    return sigs.groupby("simhash").aggregate(
-        Min(id_col, alias_name=id_col), Count(alias_name="n_docs")
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized hamming distance between uint64 signature arrays
+    (16-bit popcount table, no per-row Python)."""
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    m = np.uint64(0xFFFF)
+    return (
+        _POPCNT16[(x & m).astype(np.int64)]
+        + _POPCNT16[((x >> np.uint64(16)) & m).astype(np.int64)]
+        + _POPCNT16[((x >> np.uint64(32)) & m).astype(np.int64)]
+        + _POPCNT16[((x >> np.uint64(48)) & m).astype(np.int64)]
+    ).astype(np.int64)
+
+
+def simhash_block_rows(batch: pa.Table, k: int, id_col: str = "doc_id") -> pa.Table:
+    """Rotated-band bucketing (Manku et al., WWW'07): split the 64-bit
+    signature into k+1 blocks — two signatures within hamming ≤ k must
+    agree exactly on at least one block (pigeonhole), so block equality
+    is a complete candidate filter.  One row per (doc, block)."""
+    nb = k + 1
+    widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
+    sigs_t = simhash_batch(batch, id_col=id_col)
+    ids = sigs_t.column(id_col).to_numpy()
+    s = np.array([int(x, 16) for x in sigs_t.column("simhash").to_pylist()], dtype=np.uint64)
+    buckets, out_ids, out_sigs = [], [], []
+    off = 0
+    for b, w in enumerate(widths):
+        block = (s >> np.uint64(off)) & np.uint64((1 << w) - 1)
+        # bucket key packs (block index, block bits) into one int64
+        key = (np.int64(b) << np.int64(57)) | block.astype(np.int64)
+        buckets.append(key)
+        out_ids.append(ids)
+        out_sigs.append(s)
+        off += w
+    return pa.table(
+        {
+            "bucket": pa.array(np.concatenate(buckets)),
+            id_col: pa.array(np.concatenate(out_ids).astype(np.int64)),
+            "sig": pa.array(np.concatenate(out_sigs).astype(np.uint64)),
+        }
     )
+
+
+def _simhash_star_edges_partition(df: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
+    """Star edges per block bucket, verified by full hamming ≤ k against
+    the bucket-min (vectorized popcount) — O(m) per bucket."""
+    edges_a: list[int] = []
+    edges_b: list[int] = []
+    for _, g in df.groupby("bucket", sort=False):
+        if len(g) < 2:
+            continue
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        sigs = g["sig"].to_numpy().astype(np.uint64)
+        root = order[0]
+        members = order[1:]
+        ham = hamming64(sigs[members], np.full(len(members), sigs[root], dtype=np.uint64))
+        hit = members[ham <= k]
+        edges_a.extend(int(ids[root]) for _ in hit)
+        edges_b.extend(int(ids[m]) for m in hit)
+    return pd.DataFrame({"a": pd.Series(edges_a, dtype="int64"), "b": pd.Series(edges_b, dtype="int64")})
+
+
+def simhash_dedup(ds, id_col: str = "doc_id", k: int = 3, num_partitions: int = 32):
+    """SimHash near-dup clustering at hamming ≤ k → survivors Dataset
+    (doc_id, cluster_size) — rotated-band buckets (complete by
+    pigeonhole), star-edge verification, distributed components; the
+    same 100-TB-safe shape as :func:`minhash_lsh_dedup`."""
+    from ray.data.aggregate import Count
+
+    from .aggregate import add_partition_col
+
+    block_rows = ds.map_batches(
+        lambda b: simhash_block_rows(b, k, id_col), batch_format="pyarrow"
+    )
+    parts = block_rows.map_batches(
+        lambda b: add_partition_col(b, num_partitions, key="bucket"), batch_format="pyarrow"
+    )
+    edges = parts.repartition(num_partitions).groupby("__part").map_groups(
+        lambda df: _simhash_star_edges_partition(df, k, id_col), batch_format="pandas"
+    )
+    edges = edges.groupby(["a", "b"]).aggregate(Count(alias_name="__n")).select_columns(["a", "b"])
+    labels = connected_components_min_label(edges)
+    return _survivors_from_labels(ds, labels, id_col, num_partitions)
 
 
 # --------------------------------------------------------------------------

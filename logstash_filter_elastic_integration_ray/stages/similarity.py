@@ -156,6 +156,81 @@ def ivf_topk(ds, index: IvfIndex, queries: np.ndarray, query_ids, k: int = 5, np
     return partials.groupby("query_id").map_groups(_final_topk(k, exclude_self), batch_format="pandas")
 
 
+def build_ivf_layout(ds, index: IvfIndex, out_dir: str,
+                     id_col: str = "vec_id", emb_col: str = "embedding") -> str:
+    """Persist the inverted file: assign each vector to its nearest
+    centroid ONCE and write a bucket-partitioned parquet layout
+    (``out_dir/bucket=N/``).  This is the "I" in IVF — queries then
+    prune at the READ (only ``nprobe`` bucket directories are opened),
+    so probe cost scales with nprobe/nlist, not dataset size."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        buckets = index.assign(_to_matrix(t.column(emb_col)))
+        # `bucket` becomes the hive partition directory; `bucket_id`
+        # stays inside the files so pruned readers need no hive
+        # inference over hand-picked paths
+        t = t.append_column("bucket", pa.array(buckets.astype(np.int64)))
+        return t.append_column("bucket_id", pa.array(buckets.astype(np.int64)))
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+    return out_dir
+
+
+def ivf_topk_pruned(layout_dir: str, index: IvfIndex, queries: np.ndarray, query_ids,
+                    k: int = 5, nprobe: int = 4, exclude_self: bool = True,
+                    id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Approximate top-k over a persisted IVF layout: per query, the
+    ``nprobe`` nearest centroids pick the bucket directories; ONLY those
+    directories are read (pruned ``read_parquet``), each batch matmuls
+    against just the queries probing its bucket, and the per-query merge
+    shuffles ``num_batches × k`` candidate rows."""
+    import ray.data as rd
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    probes = np.argsort(-(q @ index.centroids.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    probe_union = sorted({int(x) for x in probes.ravel()})
+    import glob
+    import os
+
+    paths = [
+        f
+        for b in probe_union
+        for f in sorted(glob.glob(os.path.join(layout_dir, f"bucket={b}", "*.parquet")))
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        buckets = batch.column("bucket_id").to_numpy().astype(np.int64)
+        ids = batch.column(id_col).to_numpy()
+        m = _normalize(_to_matrix(batch.column(emb_col)))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(q.shape[0]):
+            mask = np.isin(buckets, probes[qi])
+            if not mask.any():
+                continue
+            col = m[mask] @ q[qi]
+            cand_ids = ids[mask]
+            kk = min(k + 1, len(col))
+            top = np.argpartition(-col, kk - 1)[:kk]
+            for t in top:
+                out_q.append(int(qids[qi]))
+                out_id.append(int(cand_ids[t]))
+                out_sim.append(float(col[t]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_sim, type=pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(paths)
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(_final_topk(k, exclude_self), batch_format="pandas")
+
+
 def cosine_dup_pairs(matrix: np.ndarray, ids: np.ndarray, threshold: float = 0.95,
                      block: int = 2048) -> pd.DataFrame:
     """All pairs with cosine ≥ threshold (blocked matmul; used by the

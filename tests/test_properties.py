@@ -141,6 +141,12 @@ def test_conv_partial_merge_invariant(rows, split_at):
     parts = [conv_partial_batch(base.slice(0, k))]
     if base.num_rows > k:
         parts.append(conv_partial_batch(base.slice(k)))
-    merged = _merge_partition(pa.concat_tables(parts).to_pandas()).sort_values("conv_id").reset_index(drop=True)
-    single = _merge_partition(conv_partial_batch(base).to_pandas()).sort_values("conv_id").reset_index(drop=True)
+    merged = (
+        _merge_partition(pa.concat_tables(parts).to_pandas())
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    single = (
+        _merge_partition(conv_partial_batch(base).to_pandas())
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
     pd.testing.assert_frame_equal(merged, single)

@@ -136,11 +136,93 @@ def test_minhash_lsh_finds_near_dups(ray_session):
         "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
         "text": [base, near, far, base],
     })
-    out = minhash_lsh_dedup(rd.from_arrow(t), threshold=0.5)
+    out = minhash_lsh_dedup(rd.from_arrow(t), threshold=0.5).to_pandas()
     clusters = dict(zip(out["doc_id"], out["cluster_size"]))
     assert clusters[1] == 3      # base, near-dup and exact dup clustered
     assert clusters[3] == 1
     assert 2 not in clusters and 4 not in clusters
+
+
+def test_minhash_lsh_never_materializes_input_on_driver(ray_session):
+    # the 100-TB invariant: clustering + survivor assembly are all
+    # Dataset ops — Dataset.to_pandas is never called inside the path
+    import ray.data as rd
+    from ray.data import Dataset
+
+    from logstash_filter_elastic_integration_ray.stages.dedup import minhash_lsh_dedup
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(20)), type=pa.int64()),
+        "text": [f"totally unique document number {i} with its own words" for i in range(20)],
+    })
+    calls = []
+    orig = Dataset.to_pandas
+    Dataset.to_pandas = lambda self, *a, **k: (calls.append(1), orig(self, *a, **k))[1]
+    try:
+        out = minhash_lsh_dedup(rd.from_arrow(t))
+        assert isinstance(out, Dataset)
+        n = out.count()
+    finally:
+        Dataset.to_pandas = orig
+    assert n == 20
+    assert calls == []
+
+
+def test_minhash_lsh_matches_bruteforce_components(ray_session):
+    # independent oracle: plain-Python signatures, all-bucket collisions,
+    # star verification and union-find — must agree with the distributed
+    # label-propagation pipeline on clusters AND sizes
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.dedup import (
+        MinHasher,
+        minhash_lsh_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(30):
+        base = " ".join(rng.choice(words, size=25))
+        docs.append(base)
+        if i % 3 == 0:  # a near-dup neighbour
+            docs.append(base + " extra trailing words here")
+    ids = list(range(len(docs)))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": docs})
+
+    hasher = MinHasher(num_perm=32)
+    bands, rows_per = 8, 4
+    sigs = {i: hasher.signature(d) for i, d in zip(ids, docs)}
+    import hashlib as _hl
+
+    buckets: dict[str, list[int]] = {}
+    for i in ids:
+        for b in range(bands):
+            chunk = sigs[i][b * rows_per : (b + 1) * rows_per]
+            buckets.setdefault(f"{b}:{_hl.md5(chunk.tobytes()).hexdigest()[:16]}", []).append(i)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in buckets.values():
+        members = sorted(members)
+        root = members[0]
+        for m in members[1:]:
+            if (sigs[root] == sigs[m]).mean() >= 0.8:
+                ra, rb = find(root), find(m)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    expected: dict[int, int] = {}
+    for i in ids:
+        expected[find(i)] = expected.get(find(i), 0) + 1
+
+    out = minhash_lsh_dedup(rd.from_arrow(t)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_size"]))
+    assert got == expected
 
 
 def test_simhash_near_dup_close(ray_session):
@@ -152,6 +234,43 @@ def test_simhash_near_dup_close(ray_session):
     out = simhash_batch(t)
     a, b = [int(x, 16) for x in out.column("simhash").to_pylist()]
     assert bin(a ^ b).count("1") <= 16  # near-dups stay hamming-close
+
+
+def test_simhash_dedup_clusters_within_hamming_k(ray_session):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.dedup import (
+        hamming64,
+        simhash_batch,
+        simhash_dedup,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+
+    def sig_of(text):
+        t = pa.table({"doc_id": pa.array([0], type=pa.int64()), "text": [text]})
+        return np.uint64(int(simhash_batch(t).column("simhash")[0].as_py(), 16))
+
+    s_base = sig_of(base)
+    # deterministically find a perturbation within hamming <= 3
+    near = None
+    for i in range(60):
+        cand = base.replace(f"tok{i} ", f"tok{i}x ", 1)
+        d = int(hamming64(np.array([sig_of(cand)]), np.array([s_base]))[0])
+        if 1 <= d <= 3:
+            near = cand
+            break
+    assert near is not None, "no hamming<=3 perturbation found (signature changed?)"
+    far = " ".join(f"other{i} word{i * 7} thing{i * 13}" for i in range(40))
+    t = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], type=pa.int64()),
+        "text": [base, near, far, base],
+    })
+    out = simhash_dedup(rd.from_arrow(t), k=3).to_pandas()
+    clusters = dict(zip(out["doc_id"], out["cluster_size"]))
+    assert clusters[10] == 3        # base + near (ham<=3) + exact dup
+    assert clusters[12] == 1
+    assert 11 not in clusters and 13 not in clusters
 
 
 def test_ngram_jaccard():
@@ -211,6 +330,51 @@ def test_ivf_recall(ray_session):
         a = set(approx[approx["query_id"] == qi]["neighbor_id"])
         recall += len(e & a) / len(e)
     assert recall / 3 >= 0.6  # nprobe=4 of 8 buckets
+
+
+def test_ivf_persisted_layout_pruned_probe(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.similarity import (
+        IvfIndex,
+        brute_force_topk,
+        build_ivf_layout,
+        ivf_topk_pruned,
+    )
+
+    rng = np.random.default_rng(23)
+    n, d = 400, 16
+    m = rng.normal(size=(n, d))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array([row.astype(np.float32).tolist() for row in m]),
+    })
+    ds = rd.from_arrow(t)
+    index = IvfIndex(m, n_clusters=8)
+    layout = str(tmp_path / "ivf")
+    build_ivf_layout(ds, index, layout)
+    # the inverted file is a real partitioned layout on disk
+    bucket_dirs = [e for e in os.listdir(layout) if e.startswith("bucket=")]
+    assert 2 <= len(bucket_dirs) <= 8
+
+    q = m[:3]
+    exact = brute_force_topk(ds, q, [0, 1, 2], k=5).to_pandas()
+    # full probe (nprobe = nlist) over the layout == exact brute force
+    full = ivf_topk_pruned(layout, index, q, [0, 1, 2], k=5, nprobe=8).to_pandas()
+    for qi in (0, 1, 2):
+        e = exact[exact["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+        f = full[full["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+        assert f == e
+    # pruned probe keeps good recall
+    approx = ivf_topk_pruned(layout, index, q, [0, 1, 2], k=5, nprobe=4).to_pandas()
+    recall = 0
+    for qi in (0, 1, 2):
+        e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+        recall += len(e & a) / len(e)
+    assert recall / 3 >= 0.6
 
 
 def test_multimodal_plumbing(ray_session):
