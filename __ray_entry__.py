@@ -546,6 +546,20 @@ def q_embedding_topk_ivf(sf_dir: str):
     return ivf_topk_pruned(layout, index, q, qids, k=5, nprobe=4)
 
 
+def q_embedding_dup_docs(sf_dir: str):
+    """Embedding-cosine near-dup pairs over documents: deterministic
+    feature-hash embeddings (no model in this container) → distributed
+    random-hyperplane LSH buckets → per-bucket exact cosine verify.
+    Output (a, b, cosine) for every verified pair ≥ 0.9."""
+    from logstash_filter_elastic_integration_ray.stages.similarity import (
+        embedding_dup_pairs,
+        text_feature_embedding_batch,
+    )
+
+    emb = _docs(sf_dir).map_batches(text_feature_embedding_batch, batch_format="pyarrow")
+    return embedding_dup_pairs(emb, threshold=0.9)
+
+
 def q_multimodal_meta(sf_dir: str):
     from logstash_filter_elastic_integration_ray.stages.multimodal import decode_stage
 
@@ -703,41 +717,32 @@ def q_session_windows(sf_dir: str):
 
 def q_asof_latest_order(sf_dir: str):
     """As-of join: for each event, the latest order of the same
-    customer key at or before the event time.  Small side broadcast +
-    per-batch vectorized ``pd.merge_asof``; the both-sides-large path
-    is bucket-by-key + per-bucket merge_asof (documented assumption:
-    order side fits the object store per bucket)."""
-    import pandas as pd
-    import pyarrow.parquet as pq
+    customer key at or before the event time — the both-sides-large
+    path: BOTH sides read as Datasets, hash-bucketed on the customer
+    key, co-partitioned, one vectorized ``pd.merge_asof`` per bucket
+    (``stages/joins.py``).  The orders fact table is never read on the
+    driver or broadcast whole."""
     import ray.data as rd
 
-    from logstash_filter_elastic_integration_ray.state.lookups import broadcast, resolve_broadcast
+    from logstash_filter_elastic_integration_ray.stages.joins import asof_join_bucketed
 
-    orders = (
-        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"])
-        .to_pandas()
-        .sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
-        .reset_index(drop=True)
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
-    ref = broadcast(orders)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        odf = resolve_broadcast(ref)
-        e = batch.to_pandas().sort_values("ts", kind="mergesort")
-        merged = pd.merge_asof(
-            e, odf, left_on="ts", right_on="o_orderdate",
-            left_by="user_id", right_by="o_custkey", direction="backward",
-        )
-        return pa.table(
-            {
-                "event_id": pa.array(merged["event_id"], type=pa.int64()),
-                "o_orderkey": pa.array(merged["o_orderkey"].astype("Int64")),
-                "o_orderdate": pa.array(merged["o_orderdate"]).cast(pa.timestamp("us")),
-            }
-        )
-
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
-    return ds.map_batches(fn, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+        ]
+    )
+    return asof_join_bucketed(
+        events, orders,
+        on_left="ts", on_right="o_orderdate",
+        by_left="user_id", by_right="o_custkey",
+        direction="backward", num_partitions=32, output_schema=out_schema,
+    )
 
 
 def q_join_orders_nation(sf_dir: str):
@@ -812,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": q_simhash_docs,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_ivf": q_embedding_topk_ivf,
+        "embedding_dup_docs": q_embedding_dup_docs,
         "multimodal_meta": q_multimodal_meta,
         "q1_pricing": q_q1_pricing,
         "events_hourly": q_events_hourly,
@@ -975,6 +981,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_topk_ivf": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/embedding_topk_ivf.sf0_01.parquet')"
+        ),
+        "embedding_dup_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/embedding_dup_docs.sf0_01.parquet')"
         ),
         "exact_dedup_docs": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"

@@ -1,0 +1,123 @@
+"""Distributed as-of join — the both-sides-large path.
+
+The reference engine has no joins at all (strictly per-event,
+``EventProcessor.java:91-108``); the as-of join is an engine-native wide
+operator for event-to-latest-fact enrichment.  Two execution shapes:
+
+- **small right side** → broadcast (``ray.put`` once, per-batch
+  ``pd.merge_asof`` inside ``map_batches``) — see the flagship query's
+  previous revision; kept for dimension-sized right sides.
+- **both sides large** → :func:`asof_join_bucketed` below: hash-bucket
+  BOTH sides on the by-key, co-partition via one repartition+groupby,
+  and run one vectorized ``pd.merge_asof`` per bucket.  Shuffle volume
+  = both inputs exactly once; no side is ever collected to the driver
+  or broadcast whole.
+
+Partitioning assumption (documented per SURVEY §2.8): all rows of one
+by-key land in one bucket, so a single bucket must fit in a worker's
+heap — ``num_partitions`` scales with the cluster, and by-key skew is
+bounded by the hottest single key (same contract as any hash
+co-partitioned join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .aggregate import add_partition_col
+
+
+def asof_join_bucketed(
+    left,
+    right,
+    *,
+    on_left: str,
+    on_right: str,
+    by_left: str,
+    by_right: str,
+    direction: str = "backward",
+    num_partitions: int = 32,
+    output_schema: pa.Schema,
+):
+    """For each left row, the latest right row with the same by-key and
+    ``on_right <= on_left`` (direction="backward").  Ties on
+    ``on_right`` resolve to the right row that sorts LAST under a stable
+    (on_right, remaining columns in schema order) sort — deterministic.
+
+    Both inputs are Datasets; the result is a Dataset with
+    ``output_schema`` = left columns + right payload columns.
+    """
+    def _arrow_schema(ds) -> pa.Schema:
+        s = ds.schema()
+        return getattr(s, "base_schema", s)
+
+    left_schema = _arrow_schema(left)
+    right_schema = _arrow_schema(right)
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    col_types = {**{f.name: f.type for f in right_schema}, **{f.name: f.type for f in left_schema}}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = add_partition_col(t, num_partitions, key=by_left)
+        return t.append_column("__side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = add_partition_col(t, num_partitions, key=by_right)
+        return t.append_column("__side", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+
+    # union of heterogeneous schemas: missing columns become TYPED nulls
+    # so every block carries one common schema through the shuffle
+    all_cols = list(dict.fromkeys(left_cols + right_cols)) + ["__part", "__side"]
+
+    def widen(t: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for c in all_cols:
+            if c in t.column_names:
+                arrays.append(t.column(c))
+            else:
+                arrays.append(pa.nulls(t.num_rows, type=col_types.get(c, pa.int64())))
+            names.append(c)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    combined = lt.map_batches(widen, batch_format="pyarrow").union(
+        rt.map_batches(widen, batch_format="pyarrow")
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        # dtype restoration: the widened union null-fills the other
+        # side's columns, which floats every int column in pandas —
+        # coerce each side back to its source schema (join keys exact,
+        # right payload nullable so unmatched lefts become nulls)
+        l = df[df["__side"] == 0][left_cols].copy()
+        r = df[df["__side"] == 1][right_cols].copy()
+        for f in left_schema:
+            if pa.types.is_integer(f.type):
+                l[f.name] = l[f.name].astype("int64")
+        for f in right_schema:
+            if pa.types.is_integer(f.type):
+                r[f.name] = r[f.name].astype("int64" if f.name == by_right else "Int64")
+        l = l.sort_values(on_left, kind="mergesort").reset_index(drop=True)
+        r = (
+            r.sort_values([on_right] + [c for c in right_cols if c != on_right], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        if len(l) == 0:
+            merged = l.assign(**{c: pd.Series(dtype="object") for c in right_cols if c not in l})
+        else:
+            merged = pd.merge_asof(
+                l, r, left_on=on_left, right_on=on_right,
+                left_by=by_left, right_by=by_right, direction=direction,
+            )
+        out = merged[[f.name for f in output_schema]]
+        return pa.Table.from_pandas(out, preserve_index=False, schema=output_schema)
+
+    return (
+        combined.repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

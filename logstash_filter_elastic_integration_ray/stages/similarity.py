@@ -231,10 +231,116 @@ def ivf_topk_pruned(layout_dir: str, index: IvfIndex, queries: np.ndarray, query
     return partials.groupby("query_id").map_groups(_final_topk(k, exclude_self), batch_format="pandas")
 
 
+def text_feature_embedding_batch(batch: pa.Table, dim: int = 64,
+                                 text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Deterministic feature-hashing embedding of a text column: each
+    token hashes to one of ``dim`` buckets with a ±1 sign, counts are
+    L2-normalized.  Near-dup texts map to near-identical vectors, which
+    makes the embedding-cosine near-dup path exercisable end-to-end
+    without a model (no embedding model ships in this container; swap
+    this stage for real batched inference in production)."""
+    texts = batch.column(text_col).to_pylist()
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    for i, t in enumerate(texts):
+        words = (t or "").split(" ")
+        if not words:
+            continue
+        h = pd.util.hash_array(np.asarray(words, dtype=object), categorize=False)
+        buckets = (h % np.uint64(dim)).astype(np.int64)
+        signs = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+        np.add.at(out[i], buckets, signs)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    out /= norms
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "embedding": pa.array([row.tolist() for row in out], type=pa.list_(pa.float64())),
+        }
+    )
+
+
+def embedding_dup_pairs(ds, threshold: float = 0.9, *, num_bits: int = 64, bands: int = 8,
+                        seed: int = 42, id_col: str = "doc_id", emb_col: str = "embedding",
+                        num_partitions: int = 32):
+    """Distributed embedding-cosine near-dup pairs — the scale path.
+
+    Random-hyperplane LSH (SRP/SimHash for vectors, Charikar STOC'02):
+    per batch, project onto ``num_bits`` seeded hyperplanes → bit
+    signature → ``bands`` bucket keys; vectors sharing any band land in
+    one bucket, where an all-pairs matmul (bounded by bucket size)
+    verifies true cosine ≥ threshold.  Output (a, b, cosine), a < b,
+    deduped across bands by one groupby.  Shuffle volume = bands ×
+    input embeddings; no O(n²) anywhere global, and nothing touches the
+    driver.  Recall is the standard LSH trade-off (≥ ~0.98 for cosine ≥
+    0.9 at 8×8 bits — measured in tests); precision is exact."""
+    from ray.data.aggregate import Max
+
+    from .aggregate import add_partition_col
+
+    bits_per_band = num_bits // bands
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(t.column(emb_col)))
+        rng = np.random.default_rng(seed)
+        planes = rng.normal(size=(m.shape[1], num_bits))  # same every batch
+        bits = (m @ planes) > 0  # (n, num_bits)
+        ids = t.column(id_col).to_numpy()
+        weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+        buckets, out_ids, embs = [], [], []
+        for b in range(bands):
+            block = bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+            key = (np.int64(b) << np.int64(57)) | (block @ weights)
+            buckets.append(key)
+            out_ids.append(ids)
+            embs.append(m)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(buckets)),
+                id_col: pa.array(np.concatenate(out_ids).astype(np.int64)),
+                emb_col: pa.array(
+                    [row.tolist() for chunk in embs for row in chunk], type=pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    def pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c = [], [], []
+        for _, g in df.groupby("bucket", sort=False):
+            if len(g) < 2:
+                continue
+            order = np.argsort(g[id_col].to_numpy(), kind="stable")
+            ids = g[id_col].to_numpy()[order]
+            m = np.vstack(g[emb_col].to_numpy()[order])
+            sims = m @ m.T
+            iu = np.triu_indices(len(ids), k=1)
+            hit = sims[iu] >= threshold
+            out_a.extend(ids[iu[0][hit]].tolist())
+            out_b.extend(ids[iu[1][hit]].tolist())
+            out_c.extend(np.round(sims[iu][hit], 9).tolist())
+        return pd.DataFrame(
+            {
+                "a": pd.Series(out_a, dtype="int64"),
+                "b": pd.Series(out_b, dtype="int64"),
+                "cosine": pd.Series(out_c, dtype="float64"),
+            }
+        )
+
+    rows = ds.map_batches(band_rows, batch_format="pyarrow")
+    parts = rows.map_batches(
+        lambda b: add_partition_col(b, num_partitions, key="bucket"), batch_format="pyarrow"
+    )
+    pairs = parts.repartition(num_partitions).groupby("__part").map_groups(
+        pairs_partition, batch_format="pandas"
+    )
+    return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
 def cosine_dup_pairs(matrix: np.ndarray, ids: np.ndarray, threshold: float = 0.95,
                      block: int = 2048) -> pd.DataFrame:
-    """All pairs with cosine ≥ threshold (blocked matmul; used by the
-    embedding near-dup query and tests)."""
+    """All pairs with cosine ≥ threshold (in-memory blocked matmul) —
+    the EXACT verifier primitive used by tests to measure the LSH
+    path's recall; not a pipeline stage."""
     m = _normalize(np.asarray(matrix, dtype=np.float64))
     n = len(m)
     pa_, pb_ = [], []

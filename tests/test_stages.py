@@ -377,6 +377,86 @@ def test_ivf_persisted_layout_pruned_probe(ray_session, tmp_path):
     assert recall / 3 >= 0.6
 
 
+def test_embedding_dup_pairs_lsh_precision_and_recall(ray_session):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.similarity import (
+        cosine_dup_pairs,
+        embedding_dup_pairs,
+    )
+
+    rng = np.random.default_rng(31)
+    n, d = 300, 32
+    base = rng.normal(size=(n, d))
+    m = base.copy()
+    # plant near-dups: every 10th vector gets a slightly-perturbed twin
+    for i in range(0, n, 10):
+        m[i + 1] = base[i] + rng.normal(scale=0.05, size=d)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array([row.tolist() for row in m], type=pa.list_(pa.float64())),
+    })
+    got = embedding_dup_pairs(rd.from_arrow(t), threshold=0.9, id_col="doc_id").to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+    exact = cosine_dup_pairs(m, np.arange(n), threshold=0.9)
+    exact_pairs = set(zip(exact["a"], exact["b"]))
+    assert exact_pairs, "synthetic data must contain true near-dup pairs"
+    assert got_pairs <= exact_pairs                 # precision: every pair verified
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9                            # LSH recall at 8x8 bits
+
+
+def test_text_feature_embedding_near_dup_separation():
+    from logstash_filter_elastic_integration_ray.stages.similarity import (
+        text_feature_embedding_batch,
+        _to_matrix,
+    )
+
+    base = " ".join(f"word{i}" for i in range(40))
+    near = base.replace("word7", "word7x")
+    far = " ".join(f"other{i}" for i in range(40))
+    t = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()), "text": [base, near, far]})
+    m = _to_matrix(text_feature_embedding_batch(t).column("embedding"))
+    assert m[0] @ m[1] > 0.9     # near-dup text → near-identical vector
+    assert abs(m[0] @ m[2]) < 0.5
+
+
+def test_asof_join_bucketed(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.joins import asof_join_bucketed
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    left = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "user_id": pa.array([10, 10, 20, 30], type=pa.int64()),
+        "ts": pa.array([ts(5), ts(1), ts(6), ts(6)], type=pa.timestamp("us")),
+    }))
+    right = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array([100, 101, 102, 103], type=pa.int64()),
+        "o_custkey": pa.array([10, 10, 20, 20], type=pa.int64()),
+        # orders 102/103 tie on time for user 20 → max orderkey wins
+        "o_orderdate": pa.array([ts(2), ts(4), ts(3), ts(3)], type=pa.timestamp("us")),
+    }))
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+    ])
+    out = asof_join_bucketed(
+        left, right, on_left="ts", on_right="o_orderdate",
+        by_left="user_id", by_right="o_custkey",
+        num_partitions=4, output_schema=schema,
+    ).to_pandas().set_index("event_id")
+    assert out.loc[1, "o_orderkey"] == 101        # latest at-or-before 5h
+    assert pd.isna(out.loc[2, "o_orderkey"])      # no order before 1h
+    assert out.loc[3, "o_orderkey"] == 103        # tie → max orderkey
+    assert pd.isna(out.loc[4, "o_orderkey"])      # user with no orders
+    assert len(out) == 4
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
 

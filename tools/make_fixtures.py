@@ -24,7 +24,7 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FIXTURE_QUERIES = ["minhash_dedup_docs", "simhash_docs", "embedding_topk_ivf"]
+FIXTURE_QUERIES = ["minhash_dedup_docs", "simhash_docs", "embedding_topk_ivf", "embedding_dup_docs"]
 
 
 def main() -> None:
