@@ -32,61 +32,45 @@ from .parse import _per_row  # top-level: function-level relative imports fail o
 # workers when the package ships pickled by value (workers cannot import it)
 
 # --------------------------------------------------------------------------
-# user_agent — mini UA regex bank (simplified public uap-core style rules,
-# compiled once at import = once per worker process)
+# user_agent — vendored uap-core-style rule bank (ua_bank.py; compiled
+# once at import = once per worker process)
 # --------------------------------------------------------------------------
-_V4 = r"(\d+)(?:\.(\d+))?(?:\.(\d+))?(?:\.(\d+))?"  # up to 4 version parts
-# (spec:983-1006 expects the full "51.0.2704.103" for Chrome)
-_UA_RULES: list[tuple[re.Pattern, str]] = [
-    (re.compile(r"Edg(?:e|A|iOS)?/" + _V4), "Edge"),
-    (re.compile(r"OPR/" + _V4), "Opera"),
-    (re.compile(r"Chrome/" + _V4), "Chrome"),
-    (re.compile(r"Firefox/" + _V4), "Firefox"),
-    (re.compile(r"Version/" + _V4 + r".*Safari/"), "Safari"),
-    (re.compile(r"MSIE (\d+)(?:\.(\d+))?"), "IE"),
-    (re.compile(r"curl/" + _V4), "curl"),
-    (re.compile(r"python-requests/" + _V4), "Python Requests"),
-    (re.compile(r"(Googlebot|bingbot|DuckDuckBot)/(\d+)(?:\.(\d+))?"), "Spider"),
-]
-_UA_OS_RULES: list[tuple[re.Pattern, str]] = [
-    (re.compile(r"Windows NT 10"), "Windows 10"),
-    (re.compile(r"Windows NT 6\.1"), "Windows 7"),
-    (re.compile(r"Windows"), "Windows"),
-    (re.compile(r"Android (\d+)"), "Android"),
-    (re.compile(r"iPhone OS (\d+)"), "iOS"),
-    (re.compile(r"Mac OS X"), "Mac OS X"),
-    (re.compile(r"X11; Linux|Linux x86_64|Linux i686"), "Linux"),
-]
-_UA_DEVICE_RULES: list[tuple[re.Pattern, str]] = [
-    (re.compile(r"iPhone"), "iPhone"),
-    (re.compile(r"iPad"), "iPad"),
-    (re.compile(r"Android"), "Generic Smartphone"),
-]
+from .ua_bank import BOT_FAMILIES, UA_DEVICE_RULES, UA_OS_RULES, UA_RULES
 
 
 def parse_user_agent(ua: str) -> dict[str, object]:
     out: dict[str, object] = {"name": "Other", "device.name": "Other"}
-    for rx, name in _UA_RULES:
+    family = None
+    for rx, name in UA_RULES:
         m = rx.search(ua)
         if m:
+            family = name
             out["name"] = name
             groups = [g for g in m.groups() if g is not None and g.isdigit()]
             if groups:
                 out["version"] = ".".join(groups)
                 out["major"] = groups[0]
             break
-    for rx, osname in _UA_OS_RULES:
+    for rx, osname in UA_OS_RULES:
         m = rx.search(ua)
         if m:
-            out["os.name"] = osname.split(" ")[0] if osname.startswith("Windows ") else osname
+            if osname.startswith("Windows ") and not osname.startswith("Windows Phone"):
+                out["os.name"] = "Windows"
+            else:
+                out["os.name"] = osname
             out["os.full"] = osname
-            if m.groups() and m.group(1):
-                out["os.version"] = m.group(1)
-                out["os.full"] = f"{osname} {m.group(1)}"
+            groups = [g for g in m.groups() if g is not None and g.isdigit()]
+            if groups:
+                out["os.version"] = ".".join(groups)
+                out["os.full"] = f"{osname} {out['os.version']}"
             break
-    for rx, dev in _UA_DEVICE_RULES:
-        if rx.search(ua):
-            out["device.name"] = dev
+    if family in BOT_FAMILIES:
+        out["device.name"] = "Spider"
+        return out
+    for rx, dev in UA_DEVICE_RULES:
+        m = rx.search(ua)
+        if m:
+            out["device.name"] = m.expand(dev) if "\\" in dev else dev
             break
     else:
         if "Mac OS X" in ua:
@@ -127,22 +111,12 @@ def _user_agent_factory(config):
 
 
 # --------------------------------------------------------------------------
-# registered_domain — mini public-suffix list (module constant = loaded
-# once per worker; conformance spec:668-693: www.example.ac.uk →
-# top_level_domain=ac.uk, registered_domain=example.ac.uk, subdomain=www)
+# registered_domain — vendored public-suffix list subset (psl_bank.py;
+# module constant = loaded once per worker; conformance spec:668-693:
+# www.example.ac.uk → top_level_domain=ac.uk,
+# registered_domain=example.ac.uk, subdomain=www)
 # --------------------------------------------------------------------------
-_PSL = {
-    "com", "org", "net", "io", "dev", "edu", "gov", "mil", "int", "info", "biz",
-    "co", "ai", "app", "xyz",
-    "uk", "co.uk", "ac.uk", "org.uk", "gov.uk",
-    "de", "fr", "nl", "es", "it", "ru", "pl", "ch", "se",
-    "jp", "co.jp", "ne.jp", "ac.jp",
-    "au", "com.au", "net.au", "org.au",
-    "cn", "com.cn", "org.cn",
-    "br", "com.br",
-    "in", "co.in",
-    "us", "ca", "mx", "kr", "co.kr",
-}
+from .psl_bank import PUBLIC_SUFFIXES as _PSL
 
 
 def split_registered_domain(domain: str) -> dict[str, str] | None:
@@ -343,18 +317,68 @@ def _community_id_factory(config):
 
 
 # --------------------------------------------------------------------------
-# geoip — STUB database behind real plumbing
+# geoip — real MaxMind mmdb reader (pure Python) + injectable dict stub
 # --------------------------------------------------------------------------
-class GeoIpKernel(Kernel):
-    """GeoIP enrichment with the reference's missing-database semantics.
+_MMDB_CACHE: dict[str, object] = {}  # per-process: path → MmdbReader (or None)
 
-    The MaxMind reader is not available here; a database is an injected
-    ``dict[str prefix → dict of fields]`` (see
-    ``state/lookups.py:fake_geoip_database``).  When the configured
-    database is unavailable the event is tagged
-    ``_geoip_database_unavailable_<name>`` and passes through unchanged
-    — exactly the reference behavior (spec:1045,
-    ``geoip/IpDatabaseProvider.java``)."""
+
+def _load_mmdb(path: str):
+    if path not in _MMDB_CACHE:
+        try:
+            from logstash_filter_elastic_integration_ray.state.mmdb import MmdbReader
+
+            _MMDB_CACHE[path] = MmdbReader(path)
+        except (OSError, ValueError):
+            _MMDB_CACHE[path] = None
+    return _MMDB_CACHE[path]
+
+
+# reference default property set for City databases
+# (the GeoIp processor's ES defaults; GEOIP_PROPERTIES below mirror the
+# flattened ECS field names the reference emits)
+def _mmdb_to_fields(rec: dict, target: str) -> dict:
+    out: dict[str, object] = {}
+    country = rec.get("country") or {}
+    continent = rec.get("continent") or {}
+    city = rec.get("city") or {}
+    loc = rec.get("location") or {}
+    subs = rec.get("subdivisions") or []
+    if continent.get("names", {}).get("en"):
+        out[f"{target}.continent_name"] = continent["names"]["en"]
+    if country.get("iso_code"):
+        out[f"{target}.country_iso_code"] = country["iso_code"]
+    if country.get("names", {}).get("en"):
+        out[f"{target}.country_name"] = country["names"]["en"]
+    if subs:
+        sub = subs[0]
+        if sub.get("iso_code") and country.get("iso_code"):
+            out[f"{target}.region_iso_code"] = f"{country['iso_code']}-{sub['iso_code']}"
+        if sub.get("names", {}).get("en"):
+            out[f"{target}.region_name"] = sub["names"]["en"]
+    if city.get("names", {}).get("en"):
+        out[f"{target}.city_name"] = city["names"]["en"]
+    if "latitude" in loc and "longitude" in loc:
+        out[f"{target}.location.lat"] = loc["latitude"]
+        out[f"{target}.location.lon"] = loc["longitude"]
+    return out
+
+
+class GeoIpKernel(Kernel):
+    """GeoIP enrichment.
+
+    Three database sources, in precedence order:
+
+    1. ``_database`` — injected ``dict[str prefix → fields]`` stub
+       (tests / no-database environments);
+    2. ``database_path`` / ``database_directory`` + ``database_file`` —
+       a REAL MaxMind mmdb file decoded by the pure-Python reader in
+       ``state/mmdb.py`` (public format spec), loaded once per worker
+       process and cached (mirrors the reference's per-pipeline managed
+       database holder, ``geoip/ManagedIpDatabaseHolder.java:63-76``);
+    3. none — the event is tagged
+       ``_geoip_database_unavailable_<name>`` and passes through
+       unchanged, exactly the reference behavior (spec:1045,
+       ``geoip/IpDatabaseProvider.java:80-99``)."""
 
     failure_message = "geoip failed"
 
@@ -365,23 +389,46 @@ class GeoIpKernel(Kernel):
         self.target = config.get("target_field", "geoip")
         self.database_file = config.get("database_file", "GeoLite2-City.mmdb")
         self.database: dict | None = config.get("_database")  # injected stub
+        self.database_path: str | None = config.get("database_path")
+        if self.database_path is None and config.get("database_directory"):
+            import os
+
+            self.database_path = os.path.join(config["database_directory"], self.database_file)
         self.ignore_missing = bool(config.get("ignore_missing", False))
+        self._ip_cache: dict[str, dict] = {}
 
     def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
-        if self.database is None:
+        if self.database is not None:
+            t = self.target
+            db = self.database
+
+            def parse(s: str):
+                key = s.rsplit(".", 1)[0] if "." in s else s
+                rec = db.get(key) or db.get(s)
+                if rec is None:
+                    return {}
+                return {f"{t}.{k}": v for k, v in rec.items()}
+
+            return _per_row(self, batch, mask, parse)
+
+        reader = _load_mmdb(self.database_path) if self.database_path else None
+        if reader is None:
             append_tag(batch, mask, f"_geoip_database_unavailable_{self.database_file}")
             return None
+
         t = self.target
-        db = self.database
+        cache = self._ip_cache
 
-        def parse(s: str):
-            key = s.rsplit(".", 1)[0] if "." in s else s
-            rec = db.get(key) or db.get(s)
-            if rec is None:
-                return {}
-            return {f"{t}.{k}": v for k, v in rec.items()}
+        def parse_mmdb(s: str):
+            hit = cache.get(s)
+            if hit is None:
+                rec = reader.lookup(s)
+                hit = _mmdb_to_fields(rec, t) if rec else {}
+                if len(cache) < 65536:
+                    cache[s] = hit
+            return hit
 
-        return _per_row(self, batch, mask, parse)
+        return _per_row(self, batch, mask, parse_mmdb)
 
 
 @register_processor("geoip")

@@ -1,0 +1,110 @@
+"""Vendored subset of the Mozilla Public Suffix List (publicsuffix.org,
+public domain data) — the suffixes the registered_domain processor
+needs for real-world multi-label eTLDs, including the PRIVATE section
+entries (hosting platforms) that Elasticsearch's processor also honors
+via Guava's InternetDomainName.
+
+The reference resolves suffixes through the full list; this vendored
+subset covers every gTLD plus the second-level registrations of the
+major ccTLDs and the common private hosting suffixes.  Unknown TLDs
+fall back to the last label (the PSL "*" default rule), which is
+exactly the list's specified behavior for unlisted TLDs.
+"""
+
+# fmt: off
+PUBLIC_SUFFIXES: frozenset[str] = frozenset({
+    # generic TLDs (ICP section, single label)
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz", "name",
+    "pro", "aero", "asia", "cat", "coop", "jobs", "mobi", "museum", "tel",
+    "travel", "xxx", "io", "dev", "app", "ai", "co", "me", "tv", "cc", "ws",
+    "xyz", "site", "online", "store", "tech", "cloud", "space", "fun", "top",
+    "icu", "vip", "club", "shop", "work", "live", "life", "world", "today",
+    "news", "agency", "digital", "studio", "design", "media", "network",
+    "systems", "solutions", "services", "email", "group", "center", "zone",
+    "one", "run", "page", "link", "blog", "wiki", "art", "bot", "eus", "gay",
+    # ccTLDs with flat registration
+    "de", "fr", "nl", "es", "it", "ru", "pl", "ch", "se", "no", "fi", "dk",
+    "be", "at", "cz", "sk", "pt", "ie", "is", "li", "lu", "ee", "lv", "lt",
+    "ro", "bg", "hr", "si", "rs", "ba", "mk", "al", "md", "by", "am", "ge",
+    "az", "kz", "uz", "mn", "us", "ca", "eu", "su", "to", "ly", "gg", "im",
+    "je", "fm", "am", "st", "sh", "ac",
+    # United Kingdom
+    "uk", "co.uk", "org.uk", "net.uk", "ltd.uk", "plc.uk", "me.uk",
+    "ac.uk", "gov.uk", "sch.uk", "nhs.uk", "police.uk",
+    # Japan
+    "jp", "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    # Australia
+    "au", "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    # New Zealand
+    "nz", "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "kiwi.nz", "maori.nz", "iwi.nz",
+    # South Africa
+    "za", "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    # Brazil
+    "br", "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "art.br", "blog.br", "eco.br", "app.br", "dev.br",
+    # China
+    "cn", "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "mil.cn", "bj.cn", "sh.cn", "gd.cn",
+    # India
+    "in", "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "nic.in", "gov.in", "ac.in", "edu.in", "res.in",
+    # South Korea
+    "kr", "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "kyonggi.kr", "seoul.kr",
+    # Mexico / Latin America
+    "mx", "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "ar", "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "cl", "gob.cl", "gov.cl", "mil.cl",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co",
+    "pe", "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe",
+    "ve", "com.ve", "net.ve", "org.ve", "gob.ve", "edu.ve",
+    "uy", "com.uy", "net.uy", "org.uy", "gub.uy", "edu.uy",
+    "ec", "com.ec", "net.ec", "org.ec", "gob.ec", "edu.ec",
+    "bo", "com.bo", "net.bo", "org.bo", "gob.bo", "edu.bo",
+    "py", "com.py", "net.py", "org.py", "gov.py", "edu.py",
+    # Turkey
+    "tr", "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "web.tr",
+    "gen.tr", "av.tr", "bbs.tr",
+    # Taiwan / Hong Kong / Singapore / Malaysia
+    "tw", "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw", "idv.tw",
+    "hk", "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk", "idv.hk",
+    "sg", "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "my", "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my",
+    # Indonesia / Thailand / Vietnam / Philippines
+    "id", "co.id", "or.id", "ac.id", "go.id", "web.id", "my.id", "sch.id",
+    "net.id", "biz.id",
+    "th", "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th", "mi.th",
+    "vn", "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn",
+    "ph", "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
+    # Middle East / Africa
+    "il", "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "eg", "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
+    "sa", "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    "pub.sa", "sch.sa",
+    "ae", "co.ae", "net.ae", "org.ae", "gov.ae", "ac.ae", "sch.ae",
+    "ng", "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "i.ng",
+    "ke", "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    # Eastern Europe
+    "ua", "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "kiev.ua", "kharkov.ua", "lviv.ua",
+    "gr", "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "hu", "co.hu", "org.hu", "info.hu", "2000.hu", "priv.hu", "sport.hu",
+    "tm.hu",
+    # France second-level (restricted set in the real list)
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    # Russia legacy
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    # PRIVATE section: hosting-platform suffixes (present in the real
+    # PSL; ES treats them as suffixes too)
+    "github.io", "githubusercontent.com", "gitlab.io", "blogspot.com",
+    "herokuapp.com", "appspot.com", "firebaseapp.com", "web.app",
+    "netlify.app", "vercel.app", "pages.dev", "workers.dev",
+    "azurewebsites.net", "cloudapp.net", "cloudfront.net", "wordpress.com",
+    "tumblr.com", "wixsite.com", "squarespace.com", "fastly-edge.com",
+    "s3.amazonaws.com", "elasticbeanstalk.com", "onrender.com",
+    "readthedocs.io", "neocities.org", "surge.sh", "fly.dev", "deno.dev",
+    "repl.co", "glitch.me", "ngrok.io",
+})
+# fmt: on

@@ -1,0 +1,116 @@
+"""Vendored user-agent rule bank in the style of the public uap-core
+project (github.com/ua-parser/uap-core, regexes.yaml — public data).
+
+Ordered most-specific-first exactly like uap-core: derivative browsers
+(Edge, Opera, Samsung Internet, …) must match before the Chrome token
+they all embed, mobile variants before their desktop families, and
+Safari last of the WebKit family because every WebKit UA carries
+``Safari/``.  Compiled once at import = once per worker process.
+
+The reference loads the full uap-core bank through Elasticsearch's
+user_agent processor; this subset covers the families that dominate
+real traffic plus bots and HTTP clients, with the same output fields
+(name / version / major / os.* / device.name).
+"""
+
+from __future__ import annotations
+
+import re
+
+_V4 = r"(\d+)(?:\.(\d+))?(?:\.(\d+))?(?:\.(\d+))?"  # up to 4 version parts
+
+# (pattern, family) — first match wins; version groups are the digits
+UA_RULES: list[tuple[re.Pattern, str]] = [
+    # bots and crawlers (uap-core maps them to family=the bot, device=Spider)
+    (re.compile(r"(?:Googlebot(?:-Image|-News|-Video)?)/" + _V4), "Googlebot"),
+    (re.compile(r"bingbot/" + _V4), "bingbot"),
+    (re.compile(r"DuckDuckBot/" + _V4), "DuckDuckBot"),
+    (re.compile(r"Baiduspider/" + _V4), "Baiduspider"),
+    (re.compile(r"YandexBot/" + _V4), "YandexBot"),
+    (re.compile(r"Applebot/" + _V4), "Applebot"),
+    (re.compile(r"AhrefsBot/" + _V4), "AhrefsBot"),
+    (re.compile(r"SemrushBot/" + _V4), "SemrushBot"),
+    (re.compile(r"facebookexternalhit/" + _V4), "FacebookBot"),
+    (re.compile(r"Slurp"), "Yahoo! Slurp"),
+    # programmatic HTTP clients
+    (re.compile(r"curl/" + _V4), "curl"),
+    (re.compile(r"Wget/" + _V4), "Wget"),
+    (re.compile(r"python-requests/" + _V4), "Python Requests"),
+    (re.compile(r"Python-urllib/" + _V4), "Python-urllib"),
+    (re.compile(r"aiohttp/" + _V4), "aiohttp"),
+    (re.compile(r"Go-http-client/" + _V4), "Go-http-client"),
+    (re.compile(r"okhttp/" + _V4), "okhttp"),
+    (re.compile(r"Apache-HttpClient/" + _V4), "Apache-HttpClient"),
+    (re.compile(r"Java/" + _V4), "Java"),
+    (re.compile(r"libwww-perl/" + _V4), "libwww-perl"),
+    (re.compile(r"PostmanRuntime/" + _V4), "PostmanRuntime"),
+    (re.compile(r"node-fetch/" + _V4), "node-fetch"),
+    (re.compile(r"axios/" + _V4), "axios"),
+    (re.compile(r"insomnia/" + _V4), "Insomnia"),
+    # derivative desktop/mobile browsers BEFORE Chrome
+    (re.compile(r"Edg(?:e|A|iOS)?/" + _V4), "Edge"),
+    (re.compile(r"OPR/" + _V4), "Opera"),
+    (re.compile(r"Opera Mini/" + _V4), "Opera Mini"),
+    (re.compile(r"Opera[/ ]" + _V4), "Opera"),
+    (re.compile(r"SamsungBrowser/" + _V4), "Samsung Internet"),
+    (re.compile(r"UCBrowser/" + _V4), "UC Browser"),
+    (re.compile(r"YaBrowser/" + _V4), "Yandex Browser"),
+    (re.compile(r"Vivaldi/" + _V4), "Vivaldi"),
+    (re.compile(r"Brave/" + _V4), "Brave"),
+    (re.compile(r"DuckDuckGo/" + _V4), "DuckDuckGo"),
+    (re.compile(r"HeadlessChrome/" + _V4), "HeadlessChrome"),
+    (re.compile(r"Electron/" + _V4), "Electron"),
+    # Chrome family: iOS build token first, then Android mobile, then desktop
+    (re.compile(r"CriOS/" + _V4), "Chrome Mobile iOS"),
+    (re.compile(r"Chrome/" + _V4 + r".*Mobile(?: Safari)?"), "Chrome Mobile"),
+    (re.compile(r"Chrome/" + _V4), "Chrome"),
+    # Firefox family
+    (re.compile(r"FxiOS/" + _V4), "Firefox iOS"),
+    (re.compile(r"Firefox/" + _V4 + r".*(?:Mobile|Tablet)"), "Firefox Mobile"),
+    (re.compile(r"Firefox/" + _V4), "Firefox"),
+    # Safari LAST of the WebKit family; Version/ carries the real version
+    (re.compile(r"Version/" + _V4 + r".*Mobile/\w+ Safari/"), "Mobile Safari"),
+    (re.compile(r"Version/" + _V4 + r".*Safari/"), "Safari"),
+    # legacy IE
+    (re.compile(r"Trident/.*rv[: ](\d+)(?:\.(\d+))?"), "IE"),
+    (re.compile(r"MSIE (\d+)(?:\.(\d+))?"), "IE"),
+]
+
+# (pattern, os name, version template) — version from the match groups
+UA_OS_RULES: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"Windows NT 10\.0"), "Windows 10"),
+    (re.compile(r"Windows NT 6\.3"), "Windows 8.1"),
+    (re.compile(r"Windows NT 6\.2"), "Windows 8"),
+    (re.compile(r"Windows NT 6\.1"), "Windows 7"),
+    (re.compile(r"Windows NT 6\.0"), "Windows Vista"),
+    (re.compile(r"Windows NT 5\.1"), "Windows XP"),
+    (re.compile(r"Windows Phone (?:OS )?(\d+)"), "Windows Phone"),
+    (re.compile(r"Windows"), "Windows"),
+    (re.compile(r"Android (\d+)(?:\.(\d+))?"), "Android"),
+    (re.compile(r"Android"), "Android"),
+    (re.compile(r"iPhone OS (\d+)(?:_(\d+))?"), "iOS"),
+    (re.compile(r"CPU OS (\d+)(?:_(\d+))?"), "iOS"),  # iPad UAs
+    (re.compile(r"Mac OS X (\d+)[._](\d+)"), "Mac OS X"),
+    (re.compile(r"Mac OS X"), "Mac OS X"),
+    (re.compile(r"CrOS"), "Chrome OS"),
+    (re.compile(r"X11; Linux|Linux x86_64|Linux i686"), "Linux"),
+    (re.compile(r"Ubuntu"), "Ubuntu"),
+    (re.compile(r"FreeBSD"), "FreeBSD"),
+    (re.compile(r"Linux"), "Linux"),
+]
+
+UA_DEVICE_RULES: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"iPhone"), "iPhone"),
+    (re.compile(r"iPad"), "iPad"),
+    (re.compile(r"iPod"), "iPod"),
+    (re.compile(r"(SM-[A-Z0-9]+)"), "Samsung \\1"),
+    (re.compile(r"(Pixel(?: \d+[a-zA-Z]*)?)\)? Build"), "Google \\1"),
+    (re.compile(r"Kindle"), "Kindle"),
+    (re.compile(r"Android.*Tablet|Tablet.*Android"), "Generic Tablet"),
+    (re.compile(r"Android"), "Generic Smartphone"),
+]
+
+BOT_FAMILIES = {
+    "Googlebot", "bingbot", "DuckDuckBot", "Baiduspider", "YandexBot",
+    "Applebot", "AhrefsBot", "SemrushBot", "FacebookBot", "Yahoo! Slurp",
+}

@@ -229,6 +229,8 @@ class EventProcessor:
         return batch.to_table(include_private=self.emit_private)
 
     # -- resolution ----------------------------------------------------------
+    _DS_COLS = ("data_stream.type", "data_stream.dataset", "data_stream.namespace")
+
     def _resolve_index(self, batch: ColumnBatch) -> np.ndarray:
         n = batch.n
         out = np.empty(n, dtype=object)
@@ -238,13 +240,33 @@ class EventProcessor:
             out[:] = meta
         if not self.routing.use_datastream:
             return out
-        t = batch.get_objects_or_none("data_stream.type")
-        d = batch.get_objects_or_none("data_stream.dataset")
-        ns = batch.get_objects_or_none("data_stream.namespace")
-        if t is None or d is None or ns is None:
+        if not all(batch.has(c) for c in self._DS_COLS):
             return out
-        for i in range(n):
-            if out[i] is None and t[i] and d[i] and ns[i]:
+        need = np.array([v is None for v in out], dtype=bool)
+        if not need.any():
+            return out
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        cols = [batch._cols.get(c) for c in self._DS_COLS]
+        if all(
+            isinstance(c, _pa.Array)
+            and (_pa.types.is_string(c.type) or _pa.types.is_large_string(c.type))
+            for c in cols
+        ):
+            # vectorized composition: null/empty on any part → unresolved
+            nonempty = None
+            for c in cols:
+                ok = _pc.fill_null(_pc.not_equal(c, ""), False)
+                nonempty = ok if nonempty is None else _pc.and_(nonempty, ok)
+            composed = _pc.binary_join_element_wise(*cols, "-")
+            comp = np.asarray(composed.to_pandas(), dtype=object)
+            fill = need & np.asarray(nonempty) & np.array([v is not None for v in comp], dtype=bool)
+            out[fill] = comp[fill]
+            return out
+        t, d, ns = (batch.objects(c) for c in self._DS_COLS)
+        for i in np.nonzero(need)[0]:
+            if t[i] and d[i] and ns[i]:
                 out[i] = f"{t[i]}-{d[i]}-{ns[i]}"
         return out
 
@@ -264,16 +286,52 @@ class EventProcessor:
     _SPRINTF_REF = re.compile(r"%\{([^}]+)\}")
 
     def _resolve_template_pipelines(self, batch: ColumnBatch) -> list:
-        """Logstash-sprintf template resolution (overrides index-based)."""
+        """Logstash-sprintf template resolution (overrides index-based).
+
+        Fast path: every referenced column is an Arrow string array →
+        one ``binary_join_element_wise`` composes all rows at once
+        (null reference → null → no-op row, matching
+        SprintfTemplateEventToPipelineNameResolver.java:51-60)."""
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
         template = self.routing.pipeline_template
         parts = self._SPRINTF_REF.split(template)
         # parts = [lit, ref, lit, ref, ..., lit]
-        ref_cols = []
+        ref_names = []
         for j in range(1, len(parts), 2):
             ref = parts[j].strip()
             if ref.startswith("["):
                 ref = ".".join(re.findall(r"\[([^\]]+)\]", ref))
-            ref_cols.append(batch.get_objects_or_none(ref))
+            ref_names.append(ref)
+
+        arrow_refs = []
+        all_arrow = True
+        for ref in ref_names:
+            c = batch._cols.get(ref)
+            if isinstance(c, _pa.Array) and (
+                _pa.types.is_string(c.type) or _pa.types.is_large_string(c.type)
+            ):
+                arrow_refs.append(c)
+            else:
+                all_arrow = False
+                break
+        if all_arrow and ref_names:
+            pieces = []
+            for j, part in enumerate(parts):
+                if j % 2 == 0:
+                    if part:
+                        pieces.append(part)  # scalar literal broadcasts
+                else:
+                    pieces.append(arrow_refs[j // 2])
+            if len(pieces) == 1 and isinstance(pieces[0], str):
+                composed = _pa.array([pieces[0]] * batch.n)
+            else:
+                composed = _pc.binary_join_element_wise(*pieces, "")
+            vals = composed.to_pylist()
+            return [None if (v is None or v == "_none") else v for v in vals]
+
+        ref_cols = [batch.get_objects_or_none(r) for r in ref_names]
         out = []
         for i in range(batch.n):
             buf = []

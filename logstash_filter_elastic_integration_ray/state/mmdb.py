@@ -1,0 +1,273 @@
+"""Pure-Python MaxMind DB (".mmdb") reader — no external dependency.
+
+Implements the public MaxMind DB File Format Specification 2.0
+(binary search tree over IP bits + typed data section + metadata map
+delimited by the ``\\xab\\xcd\\xefMaxMind.com`` marker).  This is what
+lets the geoip processor read REAL database files the way the reference
+does through its bundled MaxMind reader
+(``/root/reference/src/main/java/co/elastic/logstash/filters/elasticintegration/geoip/IpDatabaseAdapter.java:36-88``),
+while staying inside this container's stdlib-only constraint.
+
+Also ships :func:`write_mmdb`, a minimal single-purpose WRITER used by
+tests and local tooling to build tiny synthetic databases (IPv4,
+32-bit records) — reading real GeoLite2 files and reading synthetic
+files exercise the identical decode path.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import struct
+
+METADATA_MARKER = b"\xab\xcd\xefMaxMind.com"
+
+# data-section type codes (spec §"Output Data Section")
+_T_PTR, _T_STR, _T_DOUBLE, _T_BYTES, _T_U16, _T_U32, _T_MAP = 1, 2, 3, 4, 5, 6, 7
+_T_I32, _T_U64, _T_U128, _T_ARRAY, _T_BOOL, _T_FLOAT = 8, 9, 10, 11, 14, 15
+
+
+class MmdbError(ValueError):
+    pass
+
+
+class MmdbReader:
+    """Decode a MaxMind DB from a file path or raw bytes and resolve
+    IP → record dict via the bit-level search tree."""
+
+    def __init__(self, source: str | bytes):
+        if isinstance(source, (bytes, bytearray)):
+            self.buf = bytes(source)
+        else:
+            with open(source, "rb") as f:
+                self.buf = f.read()
+        marker_at = self.buf.rfind(METADATA_MARKER)
+        if marker_at < 0:
+            raise MmdbError("not a MaxMind DB: metadata marker missing")
+        meta, _ = self._decode(marker_at + len(METADATA_MARKER), base=0)
+        if not isinstance(meta, dict):
+            raise MmdbError("metadata section is not a map")
+        self.metadata = meta
+        self.node_count = int(meta["node_count"])
+        self.record_size = int(meta["record_size"])
+        if self.record_size not in (24, 28, 32):
+            raise MmdbError(f"unsupported record size {self.record_size}")
+        self.ip_version = int(meta.get("ip_version", 6))
+        self.node_bytes = self.record_size * 2 // 8
+        self.tree_size = self.node_count * self.node_bytes
+        self.data_start = self.tree_size + 16  # 16-byte zero separator
+
+    # -- search tree ---------------------------------------------------------
+    def _read_record(self, node: int, bit: int) -> int:
+        base = node * self.node_bytes
+        b = self.buf
+        if self.record_size == 24:
+            o = base + bit * 3
+            return int.from_bytes(b[o : o + 3], "big")
+        if self.record_size == 32:
+            o = base + bit * 4
+            return int.from_bytes(b[o : o + 4], "big")
+        # 28-bit: middle byte carries the high nibbles of both records
+        mid = b[base + 3]
+        if bit == 0:
+            return ((mid >> 4) << 24) | int.from_bytes(b[base : base + 3], "big")
+        return ((mid & 0x0F) << 24) | int.from_bytes(b[base + 4 : base + 7], "big")
+
+    def lookup(self, ip: str):
+        """Record dict for ``ip``, or None when the tree has no entry."""
+        addr = ipaddress.ip_address(ip)
+        if addr.version == 6 and self.ip_version == 4:
+            return None
+        bits = addr.packed
+        nbits = len(bits) * 8
+        node = 0
+        if addr.version == 4 and self.ip_version == 6:
+            # IPv4 lives under the ::/96 subtree: descend 96 zero bits
+            for _ in range(96):
+                node = self._read_record(node, 0)
+                if node >= self.node_count:
+                    return self._record_at(node) if node > self.node_count else None
+        for i in range(nbits):
+            bit = (bits[i // 8] >> (7 - i % 8)) & 1
+            node = self._read_record(node, bit)
+            if node == self.node_count:
+                return None
+            if node > self.node_count:
+                return self._record_at(node)
+        raise MmdbError("search tree ran past address bits")
+
+    def _record_at(self, record_value: int):
+        offset = record_value - self.node_count - 16 + self.data_start
+        value, _ = self._decode(offset, base=self.data_start)
+        return value
+
+    # -- data decoding -------------------------------------------------------
+    def _decode(self, offset: int, base: int):
+        b = self.buf
+        ctrl = b[offset]
+        offset += 1
+        dtype = ctrl >> 5
+        if dtype == 0:  # extended type
+            dtype = b[offset] + 7
+            offset += 1
+        if dtype == _T_PTR:
+            ss = (ctrl >> 3) & 0x3
+            vv = ctrl & 0x7
+            if ss == 0:
+                ptr = (vv << 8) | b[offset]
+                offset += 1
+            elif ss == 1:
+                ptr = (vv << 16) | (b[offset] << 8) | b[offset + 1]
+                ptr += 2048
+                offset += 2
+            elif ss == 2:
+                ptr = (vv << 24) | int.from_bytes(b[offset : offset + 3], "big")
+                ptr += 526336
+                offset += 3
+            else:
+                ptr = int.from_bytes(b[offset : offset + 4], "big")
+                offset += 4
+            value, _ = self._decode(base + ptr, base)
+            return value, offset
+        size = ctrl & 0x1F
+        if size == 29:
+            size = 29 + b[offset]
+            offset += 1
+        elif size == 30:
+            size = 285 + int.from_bytes(b[offset : offset + 2], "big")
+            offset += 2
+        elif size == 31:
+            size = 65821 + int.from_bytes(b[offset : offset + 3], "big")
+            offset += 3
+        if dtype == _T_STR:
+            return b[offset : offset + size].decode("utf-8"), offset + size
+        if dtype == _T_BYTES:
+            return b[offset : offset + size], offset + size
+        if dtype == _T_DOUBLE:
+            return struct.unpack(">d", b[offset : offset + 8])[0], offset + 8
+        if dtype == _T_FLOAT:
+            return struct.unpack(">f", b[offset : offset + 4])[0], offset + 4
+        if dtype in (_T_U16, _T_U32, _T_U64, _T_U128):
+            return int.from_bytes(b[offset : offset + size], "big"), offset + size
+        if dtype == _T_I32:
+            return int.from_bytes(b[offset : offset + size], "big", signed=True), offset + size
+        if dtype == _T_BOOL:
+            return size != 0, offset
+        if dtype == _T_MAP:
+            out = {}
+            for _ in range(size):
+                key, offset = self._decode(offset, base)
+                out[key], offset = self._decode(offset, base)
+            return out, offset
+        if dtype == _T_ARRAY:
+            items = []
+            for _ in range(size):
+                v, offset = self._decode(offset, base)
+                items.append(v)
+            return items, offset
+        raise MmdbError(f"unsupported data type {dtype}")
+
+
+# ---------------------------------------------------------------------------
+# minimal writer (tests / synthetic databases)
+# ---------------------------------------------------------------------------
+
+def _encode_value(v) -> bytes:
+    if isinstance(v, bool):
+        return bytes([0x00 | (1 if v else 0), 14 - 7])  # extended bool
+    if isinstance(v, str):
+        raw = v.encode("utf-8")
+        if len(raw) >= 29:
+            raise MmdbError("writer supports strings < 29 bytes")
+        return bytes([(_T_STR << 5) | len(raw)]) + raw
+    if isinstance(v, float):
+        return bytes([(_T_DOUBLE << 5) | 8]) + struct.pack(">d", v)
+    if isinstance(v, int):
+        raw = v.to_bytes((v.bit_length() + 7) // 8 or 1, "big")
+        return bytes([(_T_U32 << 5) | len(raw)]) + raw
+    if isinstance(v, dict):
+        if len(v) >= 29:
+            raise MmdbError("writer supports maps < 29 entries")
+        out = bytes([(_T_MAP << 5) | len(v)])
+        for k, vv in v.items():
+            out += _encode_value(str(k)) + _encode_value(vv)
+        return out
+    if isinstance(v, list):
+        if len(v) >= 29:
+            raise MmdbError("writer supports arrays < 29 items")
+        out = bytes([0x00 | len(v), _T_ARRAY - 7])
+        for item in v:
+            out += _encode_value(item)
+        return out
+    raise MmdbError(f"writer: unsupported type {type(v)}")
+
+
+def write_mmdb(networks: dict[str, dict], database_type: str = "GeoLite2-City-Test") -> bytes:
+    """Build a tiny IPv4 MaxMind DB (record_size=32) from
+    ``{"cidr": record_dict}`` — enough structure for the reader and the
+    geoip processor tests to exercise the REAL decode path."""
+    nets = [(ipaddress.ip_network(c), rec) for c, rec in networks.items()]
+
+    # data section: one encoded record per network, deduped
+    data = b""
+    offsets: dict[int, int] = {}
+    for i, (_, rec) in enumerate(nets):
+        offsets[i] = len(data)
+        data += _encode_value(rec)
+
+    # trie of (bit path) → leaf(record index)
+    class Node:
+        __slots__ = ("children", "leaf")
+
+        def __init__(self):
+            self.children = [None, None]
+            self.leaf = None
+
+    root = Node()
+    for i, (net, _) in enumerate(nets):
+        bits = int(net.network_address)
+        node = root
+        for d in range(net.prefixlen):
+            bit = (bits >> (31 - d)) & 1
+            if node.children[bit] is None:
+                node.children[bit] = Node()
+            node = node.children[bit]
+        node.leaf = i
+
+    # number internal nodes breadth-first
+    order: list[Node] = []
+
+    def walk(n: Node):
+        if n.leaf is not None:
+            return
+        order.append(n)
+        for c in n.children:
+            if c is not None:
+                walk(c)
+
+    walk(root)
+    ids = {id(n): i for i, n in enumerate(order)}
+    node_count = len(order)
+
+    def record_for(child: Node | None) -> int:
+        if child is None:
+            return node_count  # "no data" sentinel
+        if child.leaf is not None:
+            return node_count + 16 + offsets[child.leaf]
+        return ids[id(child)]
+
+    tree = b""
+    for n in order:
+        tree += struct.pack(">II", record_for(n.children[0]), record_for(n.children[1]))
+
+    meta = {
+        "binary_format_major_version": 2,
+        "binary_format_minor_version": 0,
+        "build_epoch": 0,
+        "database_type": database_type,
+        "description": {"en": "synthetic test database"},
+        "ip_version": 4,
+        "languages": ["en"],
+        "node_count": node_count,
+        "record_size": 32,
+    }
+    return tree + b"\x00" * 16 + data + METADATA_MARKER + _encode_value(meta)

@@ -1,0 +1,103 @@
+"""MaxMind DB reader tests: synthetic-file round trip, format edges,
+and the geoip processor driving the REAL decode path end-to-end."""
+
+import ipaddress
+
+import pytest
+
+from logstash_filter_elastic_integration_ray.state.mmdb import (
+    MmdbError,
+    MmdbReader,
+    write_mmdb,
+)
+from tests.util import run_pipeline
+
+
+CITY_DB = {
+    "10.0.0.0/8": {
+        "continent": {"names": {"en": "North America"}},
+        "country": {"iso_code": "US", "names": {"en": "United States"}},
+        "subdivisions": [{"iso_code": "CA", "names": {"en": "California"}}],
+        "city": {"names": {"en": "San Jose"}},
+        "location": {"latitude": 37.33, "longitude": -121.89},
+    },
+    "192.168.1.0/24": {
+        "country": {"iso_code": "DE", "names": {"en": "Germany"}},
+        "location": {"latitude": 48.13, "longitude": 11.57},
+    },
+    "203.0.113.0/24": {
+        "country": {"iso_code": "JP", "names": {"en": "Japan"}},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def db_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("mmdb") / "GeoLite2-City.mmdb"
+    p.write_bytes(write_mmdb(CITY_DB))
+    return str(p)
+
+
+def test_reader_round_trip(db_path):
+    r = MmdbReader(db_path)
+    assert r.metadata["binary_format_major_version"] == 2
+    rec = r.lookup("10.20.30.40")
+    assert rec["country"]["iso_code"] == "US"
+    assert rec["subdivisions"][0]["names"]["en"] == "California"
+    assert rec["location"]["latitude"] == pytest.approx(37.33)
+    assert r.lookup("192.168.1.200")["country"]["iso_code"] == "DE"
+    assert r.lookup("192.168.2.1") is None     # sibling net not covered
+    assert r.lookup("8.8.8.8") is None
+    assert r.lookup("2001:db8::1") is None     # v6 address, v4 tree
+
+
+def test_reader_network_boundaries(db_path):
+    r = MmdbReader(db_path)
+    net = ipaddress.ip_network("203.0.113.0/24")
+    assert r.lookup(str(net.network_address))["country"]["iso_code"] == "JP"
+    assert r.lookup(str(net.broadcast_address))["country"]["iso_code"] == "JP"
+    assert r.lookup("203.0.114.0") is None
+
+
+def test_reader_rejects_garbage():
+    with pytest.raises(MmdbError):
+        MmdbReader(b"definitely not an mmdb file")
+
+
+def test_geoip_processor_reads_real_mmdb(db_path):
+    rows = run_pipeline(
+        {"processors": [{"geoip": {"field": "ip", "database_path": db_path}}]},
+        [{"ip": "10.20.30.40"}, {"ip": "192.168.1.9"}, {"ip": "8.8.8.8"}],
+    )
+    assert rows[0]["geoip.country_iso_code"] == "US"
+    assert rows[0]["geoip.country_name"] == "United States"
+    assert rows[0]["geoip.continent_name"] == "North America"
+    assert rows[0]["geoip.region_iso_code"] == "US-CA"
+    assert rows[0]["geoip.region_name"] == "California"
+    assert rows[0]["geoip.city_name"] == "San Jose"
+    assert rows[0]["geoip.location.lat"] == pytest.approx(37.33)
+    assert rows[0]["geoip.location.lon"] == pytest.approx(-121.89)
+    assert rows[1]["geoip.country_iso_code"] == "DE"
+    # miss: no geoip fields, no tags, row passes through
+    assert not any(k.startswith("geoip") for k in rows[2])
+    assert "tags" not in rows[2]
+
+
+def test_geoip_processor_database_directory(db_path):
+    import os
+
+    rows = run_pipeline(
+        {"processors": [{"geoip": {"field": "ip",
+                                   "database_directory": os.path.dirname(db_path),
+                                   "database_file": "GeoLite2-City.mmdb"}}]},
+        [{"ip": "203.0.113.7"}],
+    )
+    assert rows[0]["geoip.country_iso_code"] == "JP"
+
+
+def test_geoip_processor_missing_file_tags():
+    rows = run_pipeline(
+        {"processors": [{"geoip": {"field": "ip", "database_path": "/nonexistent/x.mmdb"}}]},
+        [{"ip": "10.0.0.1"}],
+    )
+    assert "_geoip_database_unavailable_GeoLite2-City.mmdb" in rows[0]["tags"]

@@ -1,0 +1,101 @@
+"""Real-world user-agent and public-suffix cases over the vendored
+banks (uap-core-style rules, PSL subset incl. private suffixes)."""
+
+import pytest
+
+from logstash_filter_elastic_integration_ray.functions.net import (
+    parse_user_agent,
+    split_registered_domain,
+)
+
+CHROME_DESKTOP = (
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.6099.109 Safari/537.36"
+)
+CHROME_ANDROID = (
+    "Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36"
+)
+SAFARI_IPHONE = (
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 "
+    "(KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1"
+)
+SAFARI_MAC = (
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+    "(KHTML, like Gecko) Version/17.1 Safari/605.1.15"
+)
+EDGE_WIN = (
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91"
+)
+FIREFOX_LINUX = "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0"
+IE11 = "Mozilla/5.0 (Windows NT 6.1; WOW64; Trident/7.0; rv:11.0) like Gecko"
+SAMSUNG_INTERNET = (
+    "Mozilla/5.0 (Linux; Android 13; SM-G991B) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36"
+)
+GOOGLEBOT = "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)"
+CURL = "curl/8.4.0"
+
+
+@pytest.mark.parametrize(
+    "ua,name,major,os_name,device",
+    [
+        (CHROME_DESKTOP, "Chrome", "120", "Windows", "Other"),
+        (CHROME_ANDROID, "Chrome Mobile", "120", "Android", "Samsung SM-S918B"),
+        (SAFARI_IPHONE, "Mobile Safari", "16", "iOS", "iPhone"),
+        (SAFARI_MAC, "Safari", "17", "Mac OS X", "Mac"),
+        (EDGE_WIN, "Edge", "120", "Windows", "Other"),
+        (FIREFOX_LINUX, "Firefox", "121", "Linux", "Other"),
+        (IE11, "IE", "11", "Windows", "Other"),
+        (SAMSUNG_INTERNET, "Samsung Internet", "23", "Android", "Samsung SM-G991B"),
+        (GOOGLEBOT, "Googlebot", "2", None, "Spider"),
+        (CURL, "curl", "8", None, "Other"),
+    ],
+)
+def test_parse_user_agent_real_world(ua, name, major, os_name, device):
+    out = parse_user_agent(ua)
+    assert out["name"] == name
+    assert out.get("major") == major
+    if os_name is not None:
+        assert out["os.name"] == os_name
+    assert out["device.name"] == device
+
+
+def test_parse_user_agent_os_versions():
+    assert parse_user_agent(SAFARI_MAC)["os.version"] == "10.15"
+    assert parse_user_agent(CHROME_ANDROID)["os.version"] == "13"
+    assert parse_user_agent(SAFARI_IPHONE)["os.version"] == "16.6"
+    assert parse_user_agent(CHROME_DESKTOP)["os.full"] == "Windows 10"
+
+
+@pytest.mark.parametrize(
+    "domain,registered,suffix,sub",
+    [
+        ("www.example.ac.uk", "example.ac.uk", "ac.uk", "www"),
+        ("a.b.example.co.uk", "example.co.uk", "co.uk", "a.b"),
+        ("www.bbc.co.uk", "bbc.co.uk", "co.uk", "www"),
+        ("shop.example.com.au", "example.com.au", "com.au", "shop"),
+        ("media.example.co.jp", "example.co.jp", "co.jp", "media"),
+        ("x.example.com.br", "example.com.br", "com.br", "x"),
+        ("example.com", "example.com", "com", None),
+        ("deep.sub.example.com", "example.com", "com", "deep.sub"),
+        # private-section suffixes: the project page IS the registrable
+        ("myproject.github.io", "myproject.github.io", "github.io", None),
+        ("docs.myproject.github.io", "myproject.github.io", "github.io", "docs"),
+        ("myblog.blogspot.com", "myblog.blogspot.com", "blogspot.com", None),
+        ("app.herokuapp.com", "app.herokuapp.com", "herokuapp.com", None),
+        # unknown TLD falls back to last label (PSL "*" rule)
+        ("example.zz", "example.zz", "zz", None),
+    ],
+)
+def test_split_registered_domain_real_world(domain, registered, suffix, sub):
+    out = split_registered_domain(domain)
+    assert out["registered_domain"] == registered
+    assert out["top_level_domain"] == suffix
+    assert out.get("subdomain") == sub
+
+
+def test_split_registered_domain_bare_suffix():
+    assert split_registered_domain("co.uk") is None
+    assert split_registered_domain("com") is None
