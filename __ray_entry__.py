@@ -71,6 +71,7 @@ from logstash_filter_elastic_integration_ray.pipelines import (
     compile_pipeline_set,
 )
 from logstash_filter_elastic_integration_ray.pipelines.flagship import flagship_parsed
+from logstash_filter_elastic_integration_ray.sources.io import read_parquet_clean
 from logstash_filter_elastic_integration_ray.sources.transcripts import (
     read_transcripts,
     transcripts_sql,
@@ -86,7 +87,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 def _docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet_clean(f"{sf_dir}/documents.parquet")
 
 
 def _pipe_processor(pipeline_def: dict) -> EventProcessor:
@@ -412,12 +413,24 @@ def q_enrich_costs(sf_dir: str):
     return out
 
 
+_CONV_STATS_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+        ("n_tool_calls", pa.int64()),
+        ("first_ts", pa.timestamp("us")),
+        ("last_ts", pa.timestamp("us")),
+        ("turns_concat", pa.string()),
+    ]
+)
+
+
 def q_conv_stats(sf_dir: str):
     import pandas as pd
 
     from logstash_filter_elastic_integration_ray.stages.aggregate import add_partition_col
 
-    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(df: pd.DataFrame) -> pa.Table:
         df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
         g = df.groupby("conv_id", sort=False)
         out = g.agg(
@@ -427,13 +440,12 @@ def q_conv_stats(sf_dir: str):
             last_ts=("ts", "max"),
             turns_concat=("text", "|".join),
         ).reset_index()
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False, schema=_CONV_STATS_SCHEMA).replace_schema_metadata(None)
 
     parts = read_transcripts(sf_dir).map_batches(
         lambda b: add_partition_col(b, 64), batch_format="pyarrow"
     )
-    out = parts.repartition(32).groupby("__part").map_groups(per_partition, batch_format="pandas")
-    return _cast_ts_us(out, ["first_ts", "last_ts"])
+    return parts.repartition(32).groupby("__part").map_groups(per_partition, batch_format="pandas")
 
 
 def q_conv_stats_scalable(sf_dir: str):
@@ -511,7 +523,7 @@ def q_embedding_topk(sf_dir: str):
     from logstash_filter_elastic_integration_ray.stages.similarity import brute_force_topk
 
     q, qids = _query_vectors(sf_dir)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return brute_force_topk(ds, q, qids, k=5)
 
 
@@ -541,7 +553,7 @@ def q_embedding_topk_ivf(sf_dir: str):
     tag = _os.path.basename(_os.path.normpath(sf_dir))
     layout = f"/tmp/graft_ivf/{tag}"
     if not (os.path.isdir(layout) and any(os.scandir(layout))):
-        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         build_ivf_layout(ds, index, layout)
     return ivf_topk_pruned(layout, index, q, qids, k=5, nprobe=4)
 
@@ -572,7 +584,7 @@ def q_q1_pricing(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
     )
@@ -605,7 +617,7 @@ def q_events_hourly(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(t.column("ts"), unit="hour")
@@ -643,7 +655,7 @@ def q_segment_orders(sf_dir: str):
             cents = pc.round(pc.multiply(t.column("o_totalprice"), 100.0)).cast(pa.int64())
             return pa.table({"c_mktsegment": pa.array(seg, type=pa.string()), "price_cents": cents})
 
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     return (
         ds.map_batches(Joiner, batch_format="pyarrow", concurrency=2, num_cpus=1)
         .groupby("c_mktsegment")
@@ -657,7 +669,7 @@ def q_attrs_expand(sf_dir: str):
     fields story of SURVEY §1.2: hot fields promoted to real columns)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
     pipe = {"processors": [
         {"rename": {"field": "props", "target_field": "attrs"}},
         {"json": {"field": "attrs", "add_to_root": True}},
@@ -696,9 +708,19 @@ def q_session_windows(sf_dir: str):
 
     from logstash_filter_elastic_integration_ray.stages.aggregate import add_partition_col
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
 
-    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("session_idx", pa.int64()),
+            ("n_events", pa.int64()),
+            ("start_ts", pa.timestamp("us")),
+            ("end_ts", pa.timestamp("us")),
+        ]
+    )
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         gap = df.groupby("user_id", sort=False)["ts"].diff()
         new_s = gap.isna() | (gap > pd.Timedelta(minutes=30))
@@ -708,11 +730,10 @@ def q_session_windows(sf_dir: str):
             .agg(n_events=("event_id", "size"), start_ts=("ts", "min"), end_ts=("ts", "max"))
             .reset_index()
         )
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False, schema=schema).replace_schema_metadata(None)
 
     parts = ds.map_batches(lambda b: add_partition_col(b, 16, key="user_id"), batch_format="pyarrow")
-    out = parts.repartition(16).groupby("__part").map_groups(per_partition, batch_format="pandas")
-    return _cast_ts_us(out, ["start_ts", "end_ts"])
+    return parts.repartition(16).groupby("__part").map_groups(per_partition, batch_format="pandas")
 
 
 def q_asof_latest_order(sf_dir: str):
@@ -726,8 +747,8 @@ def q_asof_latest_order(sf_dir: str):
 
     from logstash_filter_elastic_integration_ray.stages.joins import asof_join_bucketed
 
-    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
-    orders = rd.read_parquet(
+    events = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
     out_schema = pa.schema(
@@ -757,10 +778,10 @@ def q_join_orders_nation(sf_dir: str):
             "price_cents": pc.round(pc.multiply(t.column("o_totalprice"), 100.0)).cast(pa.int64()),
         })
 
-    o = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]).map_batches(
+    o = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]).map_batches(
         cents, batch_format="pyarrow"
     )
-    c = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    c = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     j = o.join(c, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
     return j.groupby("c_nationkey").aggregate(
         Count(alias_name="n_orders"), Sum("price_cents", alias_name="total_price_cents")
@@ -770,7 +791,7 @@ def q_join_orders_nation(sf_dir: str):
 def q_top_orders(sf_dir: str):
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
     out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
     def cents(t: pa.Table) -> pa.Table:

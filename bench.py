@@ -58,6 +58,7 @@ def run_bench() -> dict:
         assign_datastream,
         build_event_processor,
     )
+    from logstash_filter_elastic_integration_ray.sources.io import read_parquet_clean
     from logstash_filter_elastic_integration_ray.sources.transcripts import materialize_transcripts
     from logstash_filter_elastic_integration_ray.stages.aggregate import conv_stats
     from logstash_filter_elastic_integration_ray.stages.enrich import make_enrich_fn
@@ -68,7 +69,7 @@ def run_bench() -> dict:
     materialize_transcripts(SF_DIR, tdir, num_blocks=max(8, 128 // REPLICATE), replicate=REPLICATE)
 
     def transcripts():
-        return rd.read_parquet(tdir)
+        return read_parquet_clean(tdir)
 
     # untimed warm-up: page cache + worker start
     n_rows = transcripts().count()
@@ -145,7 +146,7 @@ def run_bench() -> dict:
     def dedup():
         from logstash_filter_elastic_integration_ray.stages.dedup import exact_dedup
 
-        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+        docs = read_parquet_clean(f"{SF_DIR}/documents.parquet")
         return exact_dedup(docs).count()
 
     timed("exact_dedup_docs", dedup)
@@ -159,7 +160,7 @@ def run_bench() -> dict:
         t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
         m = _to_matrix(t.column("embedding"))[:8]
         qids = t.column("vec_id").to_numpy()[:8]
-        ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ds = read_parquet_clean(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
         return brute_force_topk(ds, m, qids, k=10).count()
 
     timed("embedding_topk", topk)
@@ -167,7 +168,7 @@ def run_bench() -> dict:
     def minhash():
         from logstash_filter_elastic_integration_ray.stages.dedup import minhash_lsh_dedup
 
-        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+        docs = read_parquet_clean(f"{SF_DIR}/documents.parquet")
         return minhash_lsh_dedup(docs).count()
 
     timed("minhash_lsh_dedup", minhash, reps=1)
@@ -192,7 +193,7 @@ def run_bench() -> dict:
         pqt.write_table(synthesize_skewed_transcripts(n_rows, hot_share=0.05), skew_path)
 
     def conv_stats_skewed():
-        ds = rd.read_parquet(skew_path, override_num_blocks=NUM_CPUS * 2)
+        ds = read_parquet_clean(skew_path, override_num_blocks=NUM_CPUS * 2)
         return conv_stats(ds, num_partitions=2 * NUM_CPUS).count()
 
     timed("conv_stats_skewed_hotkey", conv_stats_skewed, reps=1)

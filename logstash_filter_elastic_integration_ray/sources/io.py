@@ -1,0 +1,37 @@
+"""Parquet read helper shared by queries, bench and sources.
+
+Parquet files written via pandas embed a ``pandas`` metadata dict in
+the Arrow schema, which makes ``pa.Schema`` unhashable — Ray's
+streaming executor then fails block-schema deduplication and floods
+worker logs with "Failed to hash the schemas" warnings on every block.
+Passing an explicit metadata-free schema to ``read_parquet`` keeps
+every downstream block schema clean (and hashable)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _first_file(path: str) -> str:
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if files:
+            return files[0]
+    return path
+
+
+def read_parquet_clean(path, *, columns: list[str] | None = None, **kwargs):
+    """``ray.data.read_parquet`` with the file's schema minus metadata,
+    pruned to ``columns`` when given (the schema= argument must match
+    the projected columns exactly)."""
+    import ray.data as rd
+
+    first = _first_file(path if isinstance(path, str) else path[0])
+    schema = pq.read_schema(first).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, schema=schema, columns=columns, **kwargs)

@@ -146,12 +146,12 @@ def read_transcripts(sf_dir: str, *, override_num_blocks: int | None = None):
     followed by one vectorized ``map_batches``; stays streaming — the
     derivation never materializes.
     """
-    import ray.data as rd
+    from .io import read_parquet_clean
 
     kwargs = {}
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"],
         **kwargs,

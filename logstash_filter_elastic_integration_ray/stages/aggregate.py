@@ -130,7 +130,7 @@ def conv_partial_batch(batch: pa.Table, hash_mode: str = "fast") -> pa.Table:
         hash_part=("hash_part", "sum"),
     )
     agg["hash_part"] = agg["hash_part"] % int(P)
-    return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+    return pa.Table.from_pandas(agg.reset_index(), preserve_index=False).replace_schema_metadata(None)
 
 
 def add_partition_col(batch: pa.Table, num_partitions: int, key: str = "conv_id") -> pa.Table:
@@ -166,7 +166,7 @@ def _merge_partition(df: pd.DataFrame) -> pd.DataFrame:
     # stream trigger per-block schema-mismatch warnings and a
     # pandas↔Arrow conversion per downstream op; timestamp[us] matches
     # the parquet-born input (and the DuckDB oracle) exactly
-    return pa.Table.from_pandas(out, preserve_index=False, schema=_MERGE_SCHEMA)
+    return pa.Table.from_pandas(out, preserve_index=False, schema=_MERGE_SCHEMA).replace_schema_metadata(None)
 
 
 _MERGE_SCHEMA = pa.schema(

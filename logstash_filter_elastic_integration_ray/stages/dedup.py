@@ -130,7 +130,7 @@ def minhash_band_rows(
     )
 
 
-def _star_edges_partition(df: pd.DataFrame, threshold: float, id_col: str) -> pd.DataFrame:
+def _star_edges_partition(df: pd.DataFrame, threshold: float, id_col: str) -> pa.Table:
     """Per bucket: verify each member against the bucket-min and emit
     star edges (bucket_min, member) for members whose signature
     agreement ≥ threshold.  O(m) edges and one vectorized matrix compare
@@ -150,7 +150,7 @@ def _star_edges_partition(df: pd.DataFrame, threshold: float, id_col: str) -> pd
         hit = members[agree >= threshold]
         edges_a.extend(int(ids[root]) for _ in hit)
         edges_b.extend(int(ids[m]) for m in hit)
-    return pd.DataFrame({"a": pd.Series(edges_a, dtype="int64"), "b": pd.Series(edges_b, dtype="int64")})
+    return pa.table({"a": pa.array(edges_a, type=pa.int64()), "b": pa.array(edges_b, type=pa.int64())})
 
 
 _LABELS_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
@@ -238,7 +238,7 @@ def connected_components_min_label(edges, max_iters: int = 25, num_partitions: i
             }
         )
         out = out.groupby("node", as_index=False)["label"].min()  # local pre-min
-        return pa.Table.from_pandas(out, preserve_index=False, schema=_LABELS_SCHEMA)
+        return pa.Table.from_pandas(out, preserve_index=False, schema=_LABELS_SCHEMA).replace_schema_metadata(None)
 
     total = labels.aggregate(Sum("label", alias_name="s"))["s"]
     for _ in range(max_iters):
@@ -428,7 +428,7 @@ def simhash_block_rows(batch: pa.Table, k: int, id_col: str = "doc_id") -> pa.Ta
     )
 
 
-def _simhash_star_edges_partition(df: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
+def _simhash_star_edges_partition(df: pd.DataFrame, k: int, id_col: str) -> pa.Table:
     """Star edges per block bucket, verified by full hamming ≤ k against
     the bucket-min (vectorized popcount) — O(m) per bucket."""
     edges_a: list[int] = []
@@ -445,7 +445,7 @@ def _simhash_star_edges_partition(df: pd.DataFrame, k: int, id_col: str) -> pd.D
         hit = members[ham <= k]
         edges_a.extend(int(ids[root]) for _ in hit)
         edges_b.extend(int(ids[m]) for m in hit)
-    return pd.DataFrame({"a": pd.Series(edges_a, dtype="int64"), "b": pd.Series(edges_b, dtype="int64")})
+    return pa.table({"a": pa.array(edges_a, type=pa.int64()), "b": pa.array(edges_b, type=pa.int64())})
 
 
 def simhash_dedup(ds, id_col: str = "doc_id", k: int = 3, num_partitions: int = 32):

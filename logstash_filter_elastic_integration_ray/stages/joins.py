@@ -114,7 +114,7 @@ def asof_join_bucketed(
                 left_by=by_left, right_by=by_right, direction=direction,
             )
         out = merged[[f.name for f in output_schema]]
-        return pa.Table.from_pandas(out, preserve_index=False, schema=output_schema)
+        return pa.Table.from_pandas(out, preserve_index=False, schema=output_schema).replace_schema_metadata(None)
 
     return (
         combined.repartition(num_partitions)

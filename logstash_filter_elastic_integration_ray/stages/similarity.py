@@ -58,15 +58,19 @@ def topk_partial_batch(batch: pa.Table, queries: np.ndarray, query_ids: np.ndarr
 
 
 def _final_topk(k: int, exclude_self: bool):
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame) -> pa.Table:
         qid = int(g["query_id"].iloc[0])
         if exclude_self:
             g = g[g["neighbor_id"] != qid]
         # deterministic: cosine desc, neighbor_id asc tie-break
         g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "neighbor_id", "rank"]]
+        return pa.table(
+            {
+                "query_id": pa.array(g["query_id"].to_numpy(), type=pa.int64()),
+                "neighbor_id": pa.array(g["neighbor_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+            }
+        )
 
     return merge
 
@@ -226,7 +230,9 @@ def ivf_topk_pruned(layout_dir: str, index: IvfIndex, queries: np.ndarray, query
             }
         )
 
-    ds = rd.read_parquet(paths)
+    from ..sources.io import read_parquet_clean
+
+    ds = read_parquet_clean(paths)
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("query_id").map_groups(_final_topk(k, exclude_self), batch_format="pandas")
 
@@ -304,7 +310,7 @@ def embedding_dup_pairs(ds, threshold: float = 0.9, *, num_bits: int = 64, bands
             }
         )
 
-    def pairs_partition(df: pd.DataFrame) -> pd.DataFrame:
+    def pairs_partition(df: pd.DataFrame) -> pa.Table:
         out_a, out_b, out_c = [], [], []
         for _, g in df.groupby("bucket", sort=False):
             if len(g) < 2:
@@ -318,11 +324,11 @@ def embedding_dup_pairs(ds, threshold: float = 0.9, *, num_bits: int = 64, bands
             out_a.extend(ids[iu[0][hit]].tolist())
             out_b.extend(ids[iu[1][hit]].tolist())
             out_c.extend(np.round(sims[iu][hit], 9).tolist())
-        return pd.DataFrame(
+        return pa.table(
             {
-                "a": pd.Series(out_a, dtype="int64"),
-                "b": pd.Series(out_b, dtype="int64"),
-                "cosine": pd.Series(out_c, dtype="float64"),
+                "a": pa.array(out_a, type=pa.int64()),
+                "b": pa.array(out_b, type=pa.int64()),
+                "cosine": pa.array(out_c, type=pa.float64()),
             }
         )
 
