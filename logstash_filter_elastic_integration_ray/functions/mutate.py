@@ -22,10 +22,19 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..conditions import compile_value_expr
+from ..conditions import _BUILTIN_CALLS, compile_value_expr
 from ..model import ColumnBatch, META_INDEX
 from .base import Kernel, KernelCompileError, register_processor
 from .grok import _normalize_field_path
+# module-level (NOT function-level): apply() runs on workers where the
+# by-value-shipped package cannot be imported lazily
+from .painless import (
+    Interpreter,
+    PainlessError,
+    RowCtx,
+    compile_painless,
+    default_builtins,
+)
 
 _MUSTACHE = re.compile(r"\{\{\{?([^}]+?)\}?\}\}")
 
@@ -670,14 +679,21 @@ _ASSIGN = re.compile(r"^\s*ctx(\??\.|\[)")
 
 
 class ScriptKernel(Kernel):
-    """Expression-DSL subset of the ``script`` processor.
+    """``script`` processor — two execution tiers.
 
-    Supports ``;``-separated assignments ``ctx.path = <expr>`` where
-    ``<expr>`` is the painless-subset expression grammar of
-    :mod:`..conditions` (field refs, literals, arithmetic, string
-    concat, comparisons, method calls).  Arbitrary painless fails
-    pipeline compilation loudly — the documented gap (SURVEY.md §7.3;
-    reference restriction docs/index.asciidoc:192).
+    1. **Vectorized expression DSL** (fast path): ``;``-separated
+       ``ctx.path = <expr>`` assignments and typed local declarations,
+       where ``<expr>`` is the painless-subset expression grammar of
+       :mod:`..conditions` — evaluated column-at-a-time.
+    2. **Painless statement interpreter** (fallback): scripts with
+       control flow (``if``/``else``, ``for``, ``for-each``,
+       ``while``), list/map literals, ``containsKey``/``remove``/
+       ``put`` and Java string/list/map methods compile to a statement
+       AST (:mod:`.painless`) and run per row — loops are inherently
+       per-row; everything else in the engine stays vectorized.
+
+    Scripts neither tier can compile still fail pipeline compilation
+    loudly (reference restriction docs/index.asciidoc:192).
     """
 
     failure_message = "script processor failed"
@@ -689,15 +705,32 @@ class ScriptKernel(Kernel):
     _PARAM_REF = re.compile(r"params(?:\[['\"]([^'\"]+)['\"]\]|\.([A-Za-z_][A-Za-z_0-9]*))")
 
     def __init__(self, config: dict):
-        import json as _json
-
         lang = config.get("lang", "painless")
         if lang != "painless":
             raise KernelCompileError(f"script: only painless supported, got [{lang}]")
-        source = config.get("source") or config.get("inline")
-        if not source:
+        raw_source = config.get("source") or config.get("inline")
+        if not raw_source:
             raise KernelCompileError("script: requires inline [source] (stored scripts unsupported)")
-        params = config.get("params") or {}
+        self.params = config.get("params") or {}
+
+        self.interp = None
+        self.statements: list[tuple[str, str, object]] = []
+        try:
+            self.statements = self._compile_vectorized(str(raw_source))
+        except KernelCompileError as vec_err:
+            try:
+                ast = compile_painless(str(raw_source))
+            except PainlessError as e:
+                raise KernelCompileError(
+                    f"script: not compilable by the vectorized DSL ({vec_err}) "
+                    f"nor the painless interpreter ({e})"
+                ) from e
+            self.interp = Interpreter(ast, default_builtins())
+
+    def _compile_vectorized(self, source: str) -> list:
+        import json as _json
+
+        params = self.params
 
         # substitute params['x'] / params.x with literals at compile time
         def sub_param(m: re.Match) -> str:
@@ -709,10 +742,10 @@ class ScriptKernel(Kernel):
                 return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
             return _json.dumps(v)
 
-        source = self._PARAM_REF.sub(sub_param, str(source))
+        source = self._PARAM_REF.sub(sub_param, source)
 
         #: list of ("local", name, expr) | ("field", path, expr)
-        self.statements: list[tuple[str, str, object]] = []
+        statements: list[tuple[str, str, object]] = []
         for stmt in source.split(";"):
             stmt = stmt.strip()
             if not stmt:
@@ -741,12 +774,39 @@ class ScriptKernel(Kernel):
                 expr = compile_value_expr(rhs.strip())
             except ValueError as e:
                 raise KernelCompileError(f"script: cannot compile expression {rhs.strip()!r}: {e}") from e
-            self.statements.append((kind, name, expr))
+            self._validate_vectorized_ast(expr._ast)
+            statements.append((kind, name, expr))
+        return statements
+
+    # methods the conditions evaluator implements; anything else (e.g.
+    # containsKey, substring) must NOT silently evaluate to null in the
+    # vectorized tier — reject so the script falls to the interpreter
+    _VEC_METHODS = frozenset({
+        "equals", "contains", "startsWith", "endsWith", "isEmpty",
+        "length", "size", "toLowerCase", "toUpperCase",
+    })
+
+    def _validate_vectorized_ast(self, node) -> None:
+        kind = getattr(node, "kind", None)
+        if kind == "method" and node.value not in self._VEC_METHODS:
+            raise KernelCompileError(
+                f"script: method {node.value!r} is not vectorizable — interpreter tier required"
+            )
+        if kind == "call" and tuple(node.value) not in _BUILTIN_CALLS:
+            # `local.method(args)` parses as a namespace call in the
+            # conditions grammar; only real builtins run vectorized
+            raise KernelCompileError(
+                f"script: call {node.value!r} is not vectorizable — interpreter tier required"
+            )
+        for ch in getattr(node, "children", ()) or ():
+            self._validate_vectorized_ast(ch)
 
     def output_fields(self) -> list[str]:
         return [n for k, n, _ in self.statements if k == "field"]
 
     def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        if self.interp is not None:
+            return self._apply_interpreted(batch, mask)
         env: dict[str, np.ndarray] = {}
         for kind, name, expr in self.statements:
             vals = expr.evaluate(batch, env)
@@ -755,6 +815,29 @@ class ScriptKernel(Kernel):
             else:
                 batch.blend(name, vals, mask)
         return None
+
+    def _apply_interpreted(self, batch: ColumnBatch, mask: np.ndarray) -> np.ndarray | None:
+        cols = {name: batch.objects(name) for name in batch.names()}
+        err = np.zeros(batch.n, dtype=bool)
+        write_cols: dict[str, np.ndarray] = {}
+        write_masks: dict[str, np.ndarray] = {}
+        base_env = {"params": self.params}
+        for i in np.nonzero(mask)[0]:
+            rc = RowCtx(cols, int(i), _resolve_field)
+            try:
+                self.interp.run_row(rc, base_env)
+            except Exception:
+                err[i] = True
+                continue
+            for path, v in rc.writes.items():
+                if path not in write_cols:
+                    write_cols[path] = np.full(batch.n, None, dtype=object)
+                    write_masks[path] = np.zeros(batch.n, dtype=bool)
+                write_cols[path][i] = v
+                write_masks[path][i] = True
+        for path, colv in write_cols.items():
+            batch.blend(path, colv, write_masks[path])
+        return err if err.any() else None
 
 
 @register_processor("script")

@@ -1,0 +1,865 @@
+"""Painless-subset statement interpreter for the ``script`` processor.
+
+The vectorized expression DSL (``mutate.ScriptKernel``) covers the
+common ``ctx.f = expr`` scripts; THIS module is the fallback for real
+integration-pipeline scripts — control flow (``if``/``else``,
+``for``/``for-each``, ``while``), local variables, list/map literals,
+``containsKey`` and the Java string/list/map methods painless exposes
+(reference usage: script-processor-pipelines/pipeline.json,
+SmokeTest.java:240-265, spec:754-810).
+
+Execution model: the script compiles ONCE (per worker) to a statement
+AST; rows that reach the processor are interpreted one at a time
+against a row view of the columnar batch (reads resolve dotted column
+paths, writes are collected and blended back column-wise).  This is
+deliberately the slow per-row path — scripts with loops are inherently
+per-row — while everything else in the engine stays vectorized.
+
+Approximation note: the columnar model cannot distinguish a missing
+key from a null value per row, so ``containsKey(k)`` ≈ the resolved
+value (or any child column) is non-null.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<num>\d+\.\d+|\d+)
+      | (?P<str>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
+      | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
+      | (?P<op>\+\+|--|\+=|-=|\*=|/=|==|!=|<=|>=|&&|\|\||\?\.|\?:|[-+*/%<>=!?:.,;(){}\[\]])
+    )""",
+    re.X,
+)
+
+_KEYWORDS = {"if", "else", "for", "while", "return", "break", "continue",
+             "true", "false", "null", "in", "new", "instanceof"}
+_TYPES = {"def", "var", "int", "long", "double", "float", "boolean",
+          "String", "Object", "Map", "List", "ArrayList", "HashMap"}
+
+
+class PainlessError(ValueError):
+    pass
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    src = re.sub(r"//[^\n]*", "", src)
+    src = re.sub(r"/\*.*?\*/", "", src, flags=re.S)
+    while pos < len(src):
+        m = _TOKEN.match(src, pos)
+        if not m:
+            if src[pos:].strip() == "":
+                break
+            raise PainlessError(f"cannot tokenize at: {src[pos:pos + 30]!r}")
+        pos = m.end()
+        if m.group("num") is not None:
+            out.append(("num", m.group("num")))
+        elif m.group("str") is not None:
+            raw = m.group("str")[1:-1]
+            out.append(("str", raw.replace("\\'", "'").replace('\\"', '"').replace("\\\\", "\\")))
+        elif m.group("id") is not None:
+            out.append(("id", m.group("id")))
+        else:
+            out.append(("op", m.group("op")))
+    return out
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k: int = 0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else ("eof", "")
+
+    def eat(self, val: str | None = None, kind: str | None = None):
+        t = self.peek()
+        if val is not None and t[1] != val:
+            raise PainlessError(f"expected {val!r}, got {t[1]!r}")
+        if kind is not None and t[0] != kind:
+            raise PainlessError(f"expected {kind}, got {t}")
+        self.i += 1
+        return t
+
+    # ---- statements -------------------------------------------------------
+    def parse_program(self) -> list:
+        stmts = []
+        while self.peek()[0] != "eof":
+            stmts.append(self.parse_stmt())
+        return stmts
+
+    def parse_block(self) -> list:
+        if self.peek() == ("op", "{"):
+            self.eat("{")
+            out = []
+            while self.peek() != ("op", "}"):
+                out.append(self.parse_stmt())
+            self.eat("}")
+            return out
+        return [self.parse_stmt()]
+
+    def parse_stmt(self):
+        kind, val = self.peek()
+        if (kind, val) == ("op", ";"):
+            self.eat(";")
+            return ("nop",)
+        if kind == "id" and val == "if":
+            self.eat()
+            self.eat("(")
+            cond = self.parse_expr()
+            self.eat(")")
+            then = self.parse_block()
+            other = []
+            if self.peek() == ("id", "else"):
+                self.eat()
+                other = self.parse_block()
+            return ("if", cond, then, other)
+        if kind == "id" and val == "while":
+            self.eat()
+            self.eat("(")
+            cond = self.parse_expr()
+            self.eat(")")
+            return ("while", cond, self.parse_block())
+        if kind == "id" and val == "for":
+            self.eat()
+            self.eat("(")
+            # for-each: `for (def x : expr)` / `for (x in expr)`
+            if (self.peek()[0] == "id" and self.peek()[1] in _TYPES
+                    and self.peek(1)[0] == "id" and self.peek(2) == ("op", ":")):
+                self.eat()
+                var = self.eat(kind="id")[1]
+                self.eat(":")
+                seq = self.parse_expr()
+                self.eat(")")
+                return ("foreach", var, seq, self.parse_block())
+            if self.peek()[0] == "id" and self.peek(1) == ("id", "in"):
+                var = self.eat(kind="id")[1]
+                self.eat("in")
+                seq = self.parse_expr()
+                self.eat(")")
+                return ("foreach", var, seq, self.parse_block())
+            init = None if self.peek() == ("op", ";") else self.parse_simple_stmt()
+            self.eat(";")
+            cond = None if self.peek() == ("op", ";") else self.parse_expr()
+            self.eat(";")
+            post = None if self.peek() == ("op", ")") else self.parse_simple_stmt()
+            self.eat(")")
+            return ("for", init, cond, post, self.parse_block())
+        if kind == "id" and val == "return":
+            self.eat()
+            e = None if self.peek() == ("op", ";") else self.parse_expr()
+            if self.peek() == ("op", ";"):
+                self.eat(";")
+            return ("return", e)
+        if kind == "id" and val in ("break", "continue"):
+            self.eat()
+            if self.peek() == ("op", ";"):
+                self.eat(";")
+            return (val,)
+        s = self.parse_simple_stmt()
+        if self.peek() == ("op", ";"):
+            self.eat(";")
+        return s
+
+    def parse_simple_stmt(self):
+        # declaration: Type name (= expr)?
+        if (self.peek()[0] == "id" and self.peek()[1] in _TYPES
+                and self.peek(1)[0] == "id" and self.peek(1)[1] not in _KEYWORDS):
+            self.eat()
+            name = self.eat(kind="id")[1]
+            if self.peek() == ("op", "="):
+                self.eat("=")
+                return ("decl", name, self.parse_expr())
+            return ("decl", name, ("lit", None))
+        expr = self.parse_expr()
+        t = self.peek()
+        if t[0] == "op" and t[1] in ("=", "+=", "-=", "*=", "/="):
+            self.eat()
+            rhs = self.parse_expr()
+            if t[1] != "=":
+                rhs = ("bin", t[1][0], expr, rhs)
+            return ("assign", expr, rhs)
+        if t[0] == "op" and t[1] in ("++", "--"):
+            self.eat()
+            return ("assign", expr, ("bin", t[1][0], expr, ("lit", 1)))
+        return ("expr", expr)
+
+    # ---- expressions ------------------------------------------------------
+    def parse_expr(self):
+        return self.parse_ternary()
+
+    def parse_ternary(self):
+        cond = self.parse_or()
+        if self.peek() == ("op", "?:"):  # elvis
+            self.eat()
+            return ("elvis", cond, self.parse_ternary())
+        if self.peek() == ("op", "?"):
+            self.eat()
+            a = self.parse_ternary()
+            self.eat(":")
+            b = self.parse_ternary()
+            return ("ternary", cond, a, b)
+        return cond
+
+    def parse_or(self):
+        node = self.parse_and()
+        while self.peek() == ("op", "||"):
+            self.eat()
+            node = ("or", node, self.parse_and())
+        return node
+
+    def parse_and(self):
+        node = self.parse_cmp()
+        while self.peek() == ("op", "&&"):
+            self.eat()
+            node = ("and", node, self.parse_cmp())
+        return node
+
+    def parse_cmp(self):
+        node = self.parse_add()
+        while self.peek()[0] == "op" and self.peek()[1] in ("==", "!=", "<", "<=", ">", ">="):
+            op = self.eat()[1]
+            node = ("cmp", op, node, self.parse_add())
+        return node
+
+    def parse_add(self):
+        node = self.parse_mul()
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+            op = self.eat()[1]
+            node = ("bin", op, node, self.parse_mul())
+        return node
+
+    def parse_mul(self):
+        node = self.parse_unary()
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/", "%"):
+            op = self.eat()[1]
+            node = ("bin", op, node, self.parse_unary())
+        return node
+
+    def parse_unary(self):
+        if self.peek() == ("op", "!"):
+            self.eat()
+            return ("not", self.parse_unary())
+        if self.peek() == ("op", "-"):
+            self.eat()
+            return ("neg", self.parse_unary())
+        return self.parse_postfix()
+
+    def parse_postfix(self):
+        node = self.parse_primary()
+        while True:
+            t = self.peek()
+            if t[0] == "op" and t[1] in (".", "?."):
+                safe = t[1] == "?."
+                self.eat()
+                name = self.eat(kind="id")[1]
+                if self.peek() == ("op", "("):
+                    self.eat("(")
+                    args = []
+                    if self.peek() != ("op", ")"):
+                        args.append(self.parse_expr())
+                        while self.peek() == ("op", ","):
+                            self.eat(",")
+                            args.append(self.parse_expr())
+                    self.eat(")")
+                    node = ("call", node, name, args, safe)
+                else:
+                    node = ("attr", node, name, safe)
+            elif t == ("op", "["):
+                self.eat("[")
+                idx = self.parse_expr()
+                self.eat("]")
+                node = ("index", node, idx)
+            else:
+                return node
+
+    def parse_primary(self):
+        kind, val = self.peek()
+        if kind == "num":
+            self.eat()
+            return ("lit", float(val) if "." in val else int(val))
+        if kind == "str":
+            self.eat()
+            return ("lit", val)
+        if (kind, val) == ("id", "true"):
+            self.eat()
+            return ("lit", True)
+        if (kind, val) == ("id", "false"):
+            self.eat()
+            return ("lit", False)
+        if (kind, val) == ("id", "null"):
+            self.eat()
+            return ("lit", None)
+        if (kind, val) == ("id", "new"):
+            self.eat()
+            tname = self.eat(kind="id")[1]
+            self.eat("(")
+            self.eat(")")
+            return ("lit_new", tname)
+        if (kind, val) == ("op", "("):
+            self.eat("(")
+            # cast: (int) expr — treat as no-op
+            if (self.peek()[0] == "id" and self.peek()[1] in _TYPES
+                    and self.peek(1) == ("op", ")")):
+                self.eat()
+                self.eat(")")
+                return self.parse_unary()
+            node = self.parse_expr()
+            self.eat(")")
+            return node
+        if (kind, val) == ("op", "["):
+            # painless list literal [a, b] or map literal ['k': v, ...] / [:]
+            self.eat("[")
+            if self.peek() == ("op", ":"):
+                self.eat(":")
+                self.eat("]")
+                return ("map", [])
+            if self.peek() == ("op", "]"):
+                self.eat("]")
+                return ("list", [])
+            first = self.parse_expr()
+            if self.peek() == ("op", ":"):
+                self.eat(":")
+                pairs = [(first, self.parse_expr())]
+                while self.peek() == ("op", ","):
+                    self.eat(",")
+                    k = self.parse_expr()
+                    self.eat(":")
+                    pairs.append((k, self.parse_expr()))
+                self.eat("]")
+                return ("map", pairs)
+            items = [first]
+            while self.peek() == ("op", ","):
+                self.eat(",")
+                items.append(self.parse_expr())
+            self.eat("]")
+            return ("list", items)
+        if kind == "id":
+            self.eat()
+            return ("name", val)
+        raise PainlessError(f"unexpected token {val!r}")
+
+
+def compile_painless(source: str) -> list:
+    """Script source → statement AST (raises PainlessError)."""
+    return _Parser(_tokenize(source)).parse_program()
+
+
+# ---------------------------------------------------------------------------
+# interpretation
+# ---------------------------------------------------------------------------
+
+class _Break(Exception):
+    pass
+
+
+class _Continue(Exception):
+    pass
+
+
+class _Return(Exception):
+    pass
+
+
+_MAX_LOOP_ITERS = 100_000  # painless has its own loop counter limit
+
+
+class RowCtx:
+    """Per-row view of a columnar batch for the interpreter.
+
+    Reads resolve dotted paths against (1) this row's pending writes,
+    (2) the flattened columns.  ``ctx.a.b`` walks either the column
+    ``a.b`` or a dict value stored in column ``a``.
+    """
+
+    def __init__(self, cols: dict[str, object], row: int, resolve_field):
+        self.cols = cols
+        self.row = row
+        self.writes: dict[str, object] = {}
+        self.resolve_field = resolve_field
+
+    def _col(self, path: str):
+        if path in self.writes:
+            return self.writes[path]
+        arr = self.cols.get(path)
+        if arr is not None:
+            return arr[self.row]
+        # maybe a prefix column holds a dict
+        if "." in path:
+            head, _, rest = path.partition(".")
+            base = self._col(head)
+            for part in rest.split("."):
+                if isinstance(base, dict):
+                    base = base.get(part)
+                else:
+                    return None
+            return base
+        return None
+
+    def get(self, path: str):
+        p = self.resolve_field(path)
+        v = self._col(p)
+        if v is not None:
+            return v
+        # the columnar model flattens maps to dotted columns; reading a
+        # map-valued path reconstructs a (copy of the) nested dict from
+        # its child columns — mutate via ctx.put/assignment, not through
+        # this copy
+        prefix = p + "."
+        out: dict = {}
+
+        def insert(rel: str, val) -> None:
+            cur = out
+            parts = rel.split(".")
+            for part in parts[:-1]:
+                nxt = cur.setdefault(part, {})
+                if not isinstance(nxt, dict):
+                    return
+                cur = nxt
+            cur[parts[-1]] = val
+
+        for c, arr in self.cols.items():
+            if c.startswith(prefix):
+                val = self.writes[c] if c in self.writes else arr[self.row]
+                if val is not None:
+                    insert(c[len(prefix):], val)
+        for c, val in self.writes.items():
+            if c.startswith(prefix) and c not in self.cols and val is not None:
+                insert(c[len(prefix):], val)
+        return out or None
+
+    def put(self, path: str, value) -> None:
+        self.writes[self.resolve_field(path)] = value
+
+    def contains_key(self, path: str) -> bool:
+        p = self.resolve_field(path)
+        if self._col(p) is not None:
+            return True
+        prefix = p + "."
+        return any(
+            c.startswith(prefix) and (self.cols[c][self.row] is not None or c in self.writes)
+            for c in self.cols
+        ) or any(w.startswith(prefix) for w in self.writes)
+
+    def remove(self, path: str):
+        old = self.get(path)
+        self.put(path, None)
+        return old
+
+
+class _CtxRef:
+    """Marker for `ctx` and partial paths under it (ctx.a.b …)."""
+
+    __slots__ = ("path",)
+
+    def __init__(self, path: str = ""):
+        self.path = path
+
+    def child(self, name: str) -> "_CtxRef":
+        return _CtxRef(f"{self.path}.{name}" if self.path else name)
+
+
+class Interpreter:
+    def __init__(self, statements: list, builtin_calls: dict):
+        self.statements = statements
+        self.builtins = builtin_calls
+
+    def run_row(self, rowctx: RowCtx, base_env: dict | None = None) -> None:
+        env: dict[str, object] = dict(base_env or {})
+        try:
+            self._exec_block(self.statements, rowctx, env)
+        except _Return:
+            pass
+
+    # ---- statements -------------------------------------------------------
+    def _exec_block(self, stmts: list, rc: RowCtx, env: dict) -> None:
+        for s in stmts:
+            self._exec(s, rc, env)
+
+    def _exec(self, s, rc: RowCtx, env: dict) -> None:
+        op = s[0]
+        if op == "nop":
+            return
+        if op == "decl":
+            env[s[1]] = self._deref(self._eval(s[2], rc, env), rc)
+            return
+        if op == "assign":
+            target, rhs = s[1], s[2]
+            value = self._deref(self._eval(rhs, rc, env), rc)
+            self._assign(target, value, rc, env)
+            return
+        if op == "expr":
+            self._eval(s[1], rc, env)
+            return
+        if op == "if":
+            if self._truthy(self._deref(self._eval(s[1], rc, env), rc)):
+                self._exec_block(s[2], rc, env)
+            else:
+                self._exec_block(s[3], rc, env)
+            return
+        if op == "while":
+            n = 0
+            while self._truthy(self._deref(self._eval(s[1], rc, env), rc)):
+                n += 1
+                if n > _MAX_LOOP_ITERS:
+                    raise PainlessError("loop iteration limit exceeded")
+                try:
+                    self._exec_block(s[2], rc, env)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+            return
+        if op == "for":
+            _, init, cond, post, body = s
+            if init is not None:
+                self._exec(init, rc, env)
+            n = 0
+            while cond is None or self._truthy(self._deref(self._eval(cond, rc, env), rc)):
+                n += 1
+                if n > _MAX_LOOP_ITERS:
+                    raise PainlessError("loop iteration limit exceeded")
+                try:
+                    self._exec_block(body, rc, env)
+                except _Break:
+                    break
+                except _Continue:
+                    pass
+                if post is not None:
+                    self._exec(post, rc, env)
+            return
+        if op == "foreach":
+            _, var, seq, body = s
+            values = self._deref(self._eval(seq, rc, env), rc)
+            if values is None:
+                return
+            if isinstance(values, dict):
+                values = list(values.keys())
+            for v in values:
+                env[var] = v
+                try:
+                    self._exec_block(body, rc, env)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+            return
+        if op == "return":
+            raise _Return()
+        if op == "break":
+            raise _Break()
+        if op == "continue":
+            raise _Continue()
+        raise PainlessError(f"unsupported statement {op}")
+
+    def _assign(self, target, value, rc: RowCtx, env: dict) -> None:
+        if target[0] == "name":
+            if target[1] == "ctx":
+                raise PainlessError("cannot reassign ctx")
+            env[target[1]] = value
+            return
+        ref = self._eval_ref(target, rc, env)
+        if isinstance(ref, _CtxRef):
+            rc.put(ref.path, value)
+            return
+        if isinstance(ref, tuple) and ref[0] == "container":
+            _, container, key = ref
+            container[key] = value
+            return
+        raise PainlessError("unsupported assignment target")
+
+    def _eval_ref(self, node, rc: RowCtx, env: dict):
+        """Evaluate an assignable target to a _CtxRef or (container, key)."""
+        op = node[0]
+        if op == "attr":
+            base = self._eval(node[1], rc, env)
+            if isinstance(base, _CtxRef):
+                return base.child(node[2])
+            base = self._deref(base, rc)
+            if isinstance(base, dict):
+                return ("container", base, node[2])
+            raise PainlessError(f"cannot assign attribute {node[2]!r}")
+        if op == "index":
+            base = self._eval(node[1], rc, env)
+            key = self._deref(self._eval(node[2], rc, env), rc)
+            if isinstance(base, _CtxRef):
+                if base.path == "" and isinstance(key, str):
+                    return base.child(key)
+                if isinstance(key, str):
+                    return base.child(key)
+                base = self._deref(base, rc)
+            if isinstance(base, (list, dict)):
+                return ("container", base, key)
+            raise PainlessError("cannot assign into value")
+        raise PainlessError("unsupported assignment target")
+
+    # ---- expressions ------------------------------------------------------
+    def _deref(self, v, rc: RowCtx):
+        return rc.get(v.path) if isinstance(v, _CtxRef) else v
+
+    @staticmethod
+    def _truthy(v) -> bool:
+        return bool(v)
+
+    def _eval(self, node, rc: RowCtx, env: dict):
+        op = node[0]
+        if op == "lit":
+            return node[1]
+        if op == "lit_new":
+            return {} if "Map" in node[1] else []
+        if op == "list":
+            return [self._deref(self._eval(x, rc, env), rc) for x in node[1]]
+        if op == "map":
+            return {
+                self._deref(self._eval(k, rc, env), rc): self._deref(self._eval(v, rc, env), rc)
+                for k, v in node[1]
+            }
+        if op == "name":
+            if node[1] == "ctx":
+                return _CtxRef("")
+            if node[1] in env:
+                return env[node[1]]
+            if node[1] in ("Math", "Processors", "Integer", "Long", "Double", "String", "Boolean"):
+                return ("ns", node[1])
+            raise PainlessError(f"unknown variable {node[1]!r}")
+        if op == "attr":
+            base = self._eval(node[1], rc, env)
+            if isinstance(base, _CtxRef):
+                return base.child(node[2])
+            if isinstance(base, tuple) and base[0] == "ns":
+                if base[1] == "Math":
+                    return {"PI": math.pi, "E": math.e}.get(node[2])
+                raise PainlessError(f"unknown constant {base[1]}.{node[2]}")
+            base = self._deref(base, rc)
+            if base is None and node[3]:  # ?. on null
+                return None
+            if isinstance(base, dict):
+                return base.get(node[2])
+            raise PainlessError(f"cannot read attribute {node[2]!r}")
+        if op == "index":
+            b = self._eval(node[1], rc, env)
+            key = self._deref(self._eval(node[2], rc, env), rc)
+            if isinstance(b, _CtxRef) and isinstance(key, str):
+                return rc.get(b.child(key).path)  # ctx['field'] / ctx.a['b']
+            base = self._deref(b, rc)
+            if base is None:
+                return None
+            if isinstance(base, dict):
+                return base.get(key)
+            if isinstance(base, (list, str)):
+                try:
+                    return base[int(key)]
+                except (IndexError, ValueError, TypeError):
+                    return None
+            raise PainlessError("cannot index value")
+        if op == "call":
+            return self._call(node, rc, env)
+        if op == "not":
+            return not self._truthy(self._deref(self._eval(node[1], rc, env), rc))
+        if op == "neg":
+            v = self._deref(self._eval(node[1], rc, env), rc)
+            return -v if v is not None else None
+        if op == "and":
+            return (self._truthy(self._deref(self._eval(node[1], rc, env), rc))
+                    and self._truthy(self._deref(self._eval(node[2], rc, env), rc)))
+        if op == "or":
+            return (self._truthy(self._deref(self._eval(node[1], rc, env), rc))
+                    or self._truthy(self._deref(self._eval(node[2], rc, env), rc)))
+        if op == "cmp":
+            a = self._deref(self._eval(node[2], rc, env), rc)
+            b = self._deref(self._eval(node[3], rc, env), rc)
+            o = node[1]
+            if o == "==":
+                return a == b
+            if o == "!=":
+                return a != b
+            if a is None or b is None:
+                return False
+            try:
+                if o == "<":
+                    return a < b
+                if o == "<=":
+                    return a <= b
+                if o == ">":
+                    return a > b
+                return a >= b
+            except TypeError:
+                return False
+        if op == "bin":
+            a = self._deref(self._eval(node[2], rc, env), rc)
+            b = self._deref(self._eval(node[3], rc, env), rc)
+            o = node[1]
+            if o == "+":
+                if isinstance(a, str) or isinstance(b, str):
+                    return ("" if a is None else str(a)) + ("" if b is None else str(b))
+                if a is None or b is None:
+                    return None
+                return a + b
+            if a is None or b is None:
+                return None
+            if o == "-":
+                return a - b
+            if o == "*":
+                return a * b
+            if o == "/":
+                if isinstance(a, int) and isinstance(b, int):
+                    return a // b if b else None
+                return a / b if b else None
+            if o == "%":
+                return a % b if b else None
+        if op == "ternary":
+            c = self._truthy(self._deref(self._eval(node[1], rc, env), rc))
+            return self._deref(self._eval(node[2] if c else node[3], rc, env), rc)
+        if op == "elvis":
+            v = self._deref(self._eval(node[1], rc, env), rc)
+            return v if v is not None else self._deref(self._eval(node[2], rc, env), rc)
+        raise PainlessError(f"unsupported expression {op}")
+
+    def _call(self, node, rc: RowCtx, env: dict):
+        _, recv_node, name, arg_nodes, safe = node
+        recv = self._eval(recv_node, rc, env)
+        args = [self._deref(self._eval(a, rc, env), rc) for a in arg_nodes]
+
+        if isinstance(recv, tuple) and recv[0] == "ns":
+            fn = self.builtins.get((recv[1], name))
+            if fn is None:
+                raise PainlessError(f"unsupported call {recv[1]}.{name}()")
+            return fn(*args)
+
+        # ctx-level methods operate on paths
+        if isinstance(recv, _CtxRef):
+            if name == "containsKey" and len(args) == 1:
+                p = f"{recv.path}.{args[0]}" if recv.path else str(args[0])
+                return rc.contains_key(p)
+            if name == "remove" and len(args) == 1:
+                p = f"{recv.path}.{args[0]}" if recv.path else str(args[0])
+                return rc.remove(p)
+            if name == "get" and len(args) == 1:
+                p = f"{recv.path}.{args[0]}" if recv.path else str(args[0])
+                return rc.get(p)
+            if name == "put" and len(args) == 2:
+                p = f"{recv.path}.{args[0]}" if recv.path else str(args[0])
+                rc.put(p, args[1])
+                return None
+            recv = self._deref(recv, rc)
+
+        if recv is None:
+            if safe:
+                return None
+            raise PainlessError(f"null receiver for .{name}()")
+
+        if isinstance(recv, str):
+            table = {
+                "length": lambda: len(recv),
+                "isEmpty": lambda: len(recv) == 0,
+                "contains": lambda s: s in recv,
+                "startsWith": lambda s: recv.startswith(s),
+                "endsWith": lambda s: recv.endswith(s),
+                "indexOf": lambda s: recv.find(s),
+                "lastIndexOf": lambda s: recv.rfind(s),
+                "substring": lambda a, b=None: recv[a:b] if b is not None else recv[a:],
+                "replace": lambda a, b: recv.replace(a, b),
+                "toLowerCase": lambda: recv.lower(),
+                "toUpperCase": lambda: recv.upper(),
+                "trim": lambda: recv.strip(),
+                "splitOnToken": lambda s: recv.split(s),
+                "split": lambda s: re.split(s, recv),
+                "equals": lambda o: recv == o,
+                "equalsIgnoreCase": lambda o: isinstance(o, str) and recv.lower() == o.lower(),
+                "charAt": lambda i: recv[i] if 0 <= i < len(recv) else None,
+                "concat": lambda s: recv + s,
+                "hashCode": lambda: _java_string_hash(recv),
+            }
+            if name in table:
+                return table[name](*args)
+            raise PainlessError(f"unsupported String method {name!r}")
+        if isinstance(recv, list):
+            table = {
+                "size": lambda: len(recv),
+                "isEmpty": lambda: len(recv) == 0,
+                "contains": lambda v: v in recv,
+                "add": lambda *a: (recv.insert(a[0], a[1]) if len(a) == 2 else recv.append(a[0]), True)[1],
+                "get": lambda i: recv[i] if 0 <= i < len(recv) else None,
+                "indexOf": lambda v: recv.index(v) if v in recv else -1,
+                "remove": lambda i: recv.pop(i) if isinstance(i, int) and 0 <= i < len(recv) else None,
+                "clear": lambda: recv.clear(),
+                "sort": lambda: recv.sort(),
+            }
+            if name in table:
+                return table[name](*args)
+            raise PainlessError(f"unsupported List method {name!r}")
+        if isinstance(recv, dict):
+            table = {
+                "containsKey": lambda k: k in recv,
+                "containsValue": lambda v: v in recv.values(),
+                "get": lambda k: recv.get(k),
+                "getOrDefault": lambda k, d: recv.get(k, d),
+                "put": lambda k, v: recv.__setitem__(k, v),
+                "putAll": lambda other: recv.update(other or {}),
+                "remove": lambda k: recv.pop(k, None),
+                "size": lambda: len(recv),
+                "isEmpty": lambda: len(recv) == 0,
+                "keySet": lambda: list(recv.keys()),
+                "values": lambda: list(recv.values()),
+            }
+            if name in table:
+                return table[name](*args)
+            raise PainlessError(f"unsupported Map method {name!r}")
+        if isinstance(recv, bool):
+            raise PainlessError(f"unsupported method {name!r} on boolean")
+        if isinstance(recv, (int, float)):
+            table = {
+                "intValue": lambda: int(recv),
+                "longValue": lambda: int(recv),
+                "doubleValue": lambda: float(recv),
+                "toString": lambda: _num_str(recv),
+            }
+            if name in table:
+                return table[name](*args)
+            raise PainlessError(f"unsupported numeric method {name!r}")
+        raise PainlessError(f"unsupported method {name!r} on {type(recv).__name__}")
+
+
+def default_builtins() -> dict:
+    """(namespace, fn) → callable — the static helpers painless exposes
+    (ingest-common Processors, java.lang wrappers, Math)."""
+    from ..conditions import _BUILTIN_CALLS
+
+    table = dict(_BUILTIN_CALLS)
+    table.update(
+        {
+            ("Math", "floor"): math.floor,
+            ("Math", "ceil"): math.ceil,
+            ("Math", "round"): round,
+            ("Math", "pow"): math.pow,
+            ("Math", "sqrt"): math.sqrt,
+            ("Math", "log"): math.log,
+            ("Math", "log10"): math.log10,
+            ("Integer", "parseInt"): lambda s, base=10: int(str(s), base),
+            ("Integer", "toString"): lambda v: str(int(v)),
+            ("Long", "parseLong"): lambda s, base=10: int(str(s), base),
+            ("Double", "parseDouble"): lambda s: float(s),
+            ("Boolean", "parseBoolean"): lambda s: str(s).lower() == "true",
+            ("String", "valueOf"): lambda v: _num_str(v) if isinstance(v, (int, float)) else str(v),
+            ("String", "join"): lambda sep, parts: str(sep).join(str(p) for p in parts),
+        }
+    )
+    return table
+
+
+def _num_str(v):
+    if isinstance(v, float) and v.is_integer():
+        return str(v)
+    return str(v)
+
+
+def _java_string_hash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (31 * h + ord(ch)) & 0xFFFFFFFF
+    return h - (1 << 32) if h >= (1 << 31) else h

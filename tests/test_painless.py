@@ -1,0 +1,177 @@
+"""Painless interpreter tests: control flow, containsKey, string/list/
+map methods — the scripts the vectorized DSL can't express (reference
+coverage: SmokeTest.java:240-265, spec:754-810)."""
+
+import pytest
+
+from logstash_filter_elastic_integration_ray.functions.mutate import ScriptKernel
+from tests.util import run_pipeline
+
+
+def _script(source, rows, params=None):
+    cfg = {"lang": "painless", "source": source}
+    if params:
+        cfg["params"] = params
+    return run_pipeline({"processors": [{"script": cfg}]}, rows)
+
+
+def test_vectorized_path_still_used_for_simple_scripts():
+    k = ScriptKernel({"source": "ctx.k2 = ctx.n * 2"})
+    assert k.interp is None          # fast path, not the interpreter
+    k2 = ScriptKernel({"source": "if (ctx.n > 1) { ctx.big = true }"})
+    assert k2.interp is not None     # control flow → interpreter
+
+
+def test_reference_spec_scripts_unchanged():
+    # spec:759-767 — ctx['_index'] from params
+    rows = _script("ctx['_index'] = ctx['lang'] + '-' + params['dataset'];",
+                   [{"lang": "uz"}], params={"dataset": "catalog"})
+    assert rows[0]["__meta_index"] == "uz-catalog"
+    # spec:787-797 — Processors.bytes with a typed local
+    rows = _script("long bytes = Processors.bytes(params['size']); ctx.size_in_bytes = bytes;",
+                   [{"m": 1}], params={"size": "1kb"})
+    assert rows[0]["size_in_bytes"] == 1024
+    # SmokeTest.java:240-265 — Processors.lowercase
+    rows = _script("ctx.lower = Processors.lowercase(ctx.mixed)", [{"mixed": "MiXeD"}])
+    assert rows[0]["lower"] == "mixed"
+
+
+def test_if_else():
+    rows = _script(
+        "if (ctx.status >= 500) { ctx.level = 'error' } "
+        "else if (ctx.status >= 400) { ctx.level = 'warn' } "
+        "else { ctx.level = 'ok' }",
+        [{"status": 503}, {"status": 404}, {"status": 200}],
+    )
+    assert [r["level"] for r in rows] == ["error", "warn", "ok"]
+
+
+def test_for_each_over_list_field():
+    rows = _script(
+        "def total = 0; for (def x : ctx.values) { total += x } ctx.total = total;",
+        [{"values": [1, 2, 3]}, {"values": [10]}, {"values": []}],
+    )
+    assert [r["total"] for r in rows] == [6, 10, 0]
+
+
+def test_classic_for_loop_builds_list():
+    rows = _script(
+        "def out = []; for (int i = 0; i < ctx.n; i++) { out.add(i * i) } ctx.squares = out;",
+        [{"n": 4}],
+    )
+    assert rows[0]["squares"] == [0, 1, 4, 9]
+
+
+def test_while_loop():
+    rows = _script(
+        "int n = ctx.start; int steps = 0; "
+        "while (n > 1) { if (n % 2 == 0) { n = n / 2 } else { n = 3 * n + 1 } steps++ } "
+        "ctx.steps = steps;",
+        [{"start": 6}],
+    )
+    assert rows[0]["steps"] == 8  # collatz(6)
+
+
+def test_contains_key():
+    rows = _script(
+        "if (ctx.containsKey('user')) { ctx.has_user = true } else { ctx.has_user = false }",
+        [{"user": "alice"}, {"other": 1}],
+    )
+    assert rows[0]["has_user"] is True
+    assert rows[1]["has_user"] is False
+
+
+def test_contains_key_nested_dotted_column():
+    rows = _script(
+        "ctx.has_ip = ctx.containsKey('source') && ctx.source.containsKey('ip');",
+        [{"source.ip": "10.0.0.1"}, {"source.port": 80}, {"dest.ip": "x"}],
+    )
+    assert rows[0]["has_ip"] is True
+    assert rows[1]["has_ip"] is False
+    assert rows[2]["has_ip"] is False
+
+
+def test_string_methods():
+    rows = _script(
+        "def s = ctx.msg; "
+        "ctx.up = s.toUpperCase(); ctx.sub = s.substring(0, 3); "
+        "ctx.has = s.contains('or'); ctx.idx = s.indexOf('l'); "
+        "ctx.parts = s.splitOnToken(' ');",
+        [{"msg": "hello world"}],
+    )
+    r = rows[0]
+    assert r["up"] == "HELLO WORLD"
+    assert r["sub"] == "hel"
+    assert r["has"] is True
+    assert r["idx"] == 2
+    assert r["parts"] == ["hello", "world"]
+
+
+def test_map_methods_and_literals():
+    rows = _script(
+        "def m = ['a': 1, 'b': 2]; m.put('c', m.get('a') + m.get('b')); "
+        "ctx.keys = m.keySet(); ctx.c = m.get('c'); ctx.has_b = m.containsKey('b');",
+        [{"x": 1}],
+    )
+    assert rows[0]["keys"] == ["a", "b", "c"]
+    assert rows[0]["c"] == 3
+    assert rows[0]["has_b"] is True
+
+
+def test_ctx_remove_and_put():
+    rows = _script(
+        "ctx.moved = ctx.remove('tmp'); ctx.put('extra', 'yes');",
+        [{"tmp": "v", "keep": 1}],
+    )
+    assert rows[0]["moved"] == "v"
+    assert rows[0]["extra"] == "yes"
+    assert "tmp" not in rows[0]  # removed (nulled) value drops from row dict
+
+
+def test_elvis_and_ternary():
+    rows = _script(
+        "ctx.name = ctx.nick ?: 'anon'; ctx.sz = ctx.n > 10 ? 'big' : 'small';",
+        [{"nick": "z", "n": 50}, {"n": 2}],
+    )
+    assert rows[0]["name"] == "z" and rows[0]["sz"] == "big"
+    assert rows[1]["name"] == "anon" and rows[1]["sz"] == "small"
+
+
+def test_null_safe_access():
+    rows = _script(
+        "ctx.v = ctx.maybe?.toUpperCase();",
+        [{"maybe": "x"}, {"other": 1}],
+    )
+    assert rows[0]["v"] == "X"
+    assert "v" not in rows[1]
+
+
+def test_per_row_error_isolation():
+    # a script that raises for one row (null receiver, no ?.) fails
+    # only that row
+    rows = _script(
+        "ctx.up = ctx.s.substring(0, 2);",
+        [{"s": "abc"}, {"x": 1}, {"s": "def"}],
+    )
+    assert rows[0]["up"] == "ab"
+    assert rows[2]["up"] == "de"
+    assert rows[1].get("tags") == ["_ingest_pipeline_failure"]
+    assert "tags" not in rows[0] and "tags" not in rows[2]
+
+
+def test_foreach_over_map_keys():
+    rows = _script(
+        "def n = 0; for (def k : ctx.attrs) { n++ } ctx.n_attrs = n;",
+        [{"attrs": {"a": 1, "b": 2}}],
+    )
+    assert rows[0]["n_attrs"] == 2
+
+
+def test_loop_limit_guards_infinite_loops():
+    rows = _script("while (true) { ctx.x = 1 }", [{"a": 1}])
+    assert rows[0].get("tags") == ["_ingest_pipeline_failure"]
+
+
+def test_uncompilable_script_fails_compilation():
+    with pytest.raises(Exception):
+        ScriptKernel({"source": "this is not painless @@@"})
