@@ -285,6 +285,8 @@ def _eval_values(node: _Node, batch: ColumnBatch, env: dict | None = None) -> np
             try:
                 if name == "equals":
                     out[i] = r == args[0][i]
+                elif name == "containsKey":
+                    out[i] = isinstance(r, dict) and args[0][i] in r
                 elif name == "contains":
                     out[i] = args[0][i] in r
                 elif name == "startsWith":
@@ -400,6 +402,18 @@ def _fast_bool(node: _Node, batch: ColumnBatch) -> np.ndarray | None:
                 if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
                     op = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}[node.value]
                     return np.asarray(pc.fill_null(op(col, b.value), False))
+    if node.kind == "method" and node.value == "containsKey":
+        recv, keyn = node.children[0], node.children[1] if len(node.children) > 1 else None
+        if recv.kind == "field" and keyn is not None and keyn.kind == "lit" and isinstance(keyn.value, str):
+            # key presence in the columnar model: the resolved column
+            # (or any flattened child column) is non-null on the row
+            path = f"{recv.value}.{keyn.value}" if recv.value else keyn.value
+            mask = batch.valid_mask(path)
+            prefix = path + "."
+            for c in batch.names():
+                if c.startswith(prefix):
+                    mask = mask | batch.valid_mask(c)
+            return mask
     if node.kind == "method" and node.value in ("equals", "startsWith", "endsWith", "contains"):
         recv = node.children[0]
         if recv.kind == "field" and len(node.children) == 2 and node.children[1].kind == "lit":

@@ -175,3 +175,18 @@ def test_loop_limit_guards_infinite_loops():
 def test_uncompilable_script_fails_compilation():
     with pytest.raises(Exception):
         ScriptKernel({"source": "this is not painless @@@"})
+
+
+def test_contains_key_in_if_condition():
+    # `if: ctx.containsKey('f')` — vectorized condition fast path
+    rows = run_pipeline(
+        {"processors": [
+            {"set": {"field": "hit", "value": "y", "if": "ctx.containsKey('user')"}},
+            {"set": {"field": "nested", "value": "y",
+                     "if": "ctx.containsKey('source') && ctx.source.containsKey('ip')"}},
+        ]},
+        [{"user": "a", "source.ip": "1.2.3.4"}, {"other": 1}, {"source.port": 80}],
+    )
+    assert rows[0]["hit"] == "y" and rows[0]["nested"] == "y"
+    assert "hit" not in rows[1] and "nested" not in rows[1]
+    assert "hit" not in rows[2] and "nested" not in rows[2]
