@@ -170,6 +170,26 @@ def q_transcripts_source(sf_dir: str):
     return read_transcripts(sf_dir)
 
 
+def q_transcripts_jsonl(sf_dir: str):
+    """Second source format: the transcripts table round-tripped
+    through newline-delimited JSON (write_json → read_json → restore
+    timestamp types) must match the SAME oracle as the parquet source —
+    a user's JSONL event dumps run the same pipelines unchanged."""
+    import os
+    import shutil
+
+    from logstash_filter_elastic_integration_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    out = f"/tmp/graft_jsonl/{tag}"
+    if not (os.path.isdir(out) and os.listdir(out)):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        write_jsonl(read_transcripts(sf_dir), out, timestamp_cols=["ts"])
+    ds = read_jsonl(out, timestamp_cols=["ts"])
+    return _project(ds, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
 _TOOLCALL_PIPE = {
     "processors": [
         {"grok": {"field": "text", "patterns": [
@@ -578,6 +598,17 @@ def q_multimodal_meta(sf_dir: str):
     return decode_stage(_docs(sf_dir)).select_columns(["doc_id", "n_bytes", "width", "height", "channels"])
 
 
+def q_multimodal_frames(sf_dir: str):
+    """Frame sampling over binary payloads: one output row per sampled
+    fixed-size frame (every 4th 256-byte frame) — the row-expanding
+    video-pipeline transform, fully inside ``map_batches``."""
+    from logstash_filter_elastic_integration_ray.stages.multimodal import frame_sample_stage
+
+    return frame_sample_stage(_docs(sf_dir)).select_columns(
+        ["doc_id", "frame_idx", "frame_n_bytes"]
+    )
+
+
 # ---- relational / wide ops ------------------------------------------------
 
 def q_q1_pricing(sf_dir: str):
@@ -806,6 +837,7 @@ def q_top_orders(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "transcripts_source": q_transcripts_source,
+        "transcripts_jsonl": q_transcripts_jsonl,
         "grok_toolcalls": q_grok_toolcalls,
         "dissect_access": q_dissect_access,
         "kv_fields": q_kv_fields,
@@ -840,6 +872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_dup_docs": q_embedding_dup_docs,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
         "q1_pricing": q_q1_pricing,
         "events_hourly": q_events_hourly,
         "segment_orders": q_segment_orders,
@@ -860,6 +893,7 @@ def oracle_sql() -> dict[str, str]:
     T = transcripts_sql
     return {
         "transcripts_source": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
+        "transcripts_jsonl": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "grok_toolcalls": T(
             "SELECT conv_id, turn_idx, tool AS tool_name, CAST(kstr AS BIGINT) AS k, "
             "CAST(status AS BIGINT) AS status, event_id % 1000 AS took_ms, "
@@ -1049,6 +1083,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
             "octet_length(encode(text)) % 640 AS width, octet_length(encode(text)) % 480 AS height, "
             "3 AS channels FROM documents"
+        ),
+        "multimodal_frames": (
+            # payload = utf-8(text), frames of 256 bytes, every 4th kept
+            "WITH f AS (SELECT doc_id, octet_length(encode(text)) AS nb, "
+            "unnest(generate_series(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) - 1)) AS frame_idx "
+            "FROM documents) "
+            "SELECT doc_id, frame_idx, "
+            "CAST(least(256, nb - frame_idx * 256) AS BIGINT) AS frame_n_bytes "
+            "FROM f WHERE frame_idx % 4 = 0"
         ),
         "q1_pricing": (
             # every aggregate CAST to BIGINT: DuckDB sum(BIGINT) yields

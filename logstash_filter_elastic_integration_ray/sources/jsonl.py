@@ -1,0 +1,66 @@
+"""JSON-lines source/sink.
+
+The reference consumes a stream of JSON-shaped Logstash events; the
+engine's native table format is parquet, but a user migrating from the
+reference will often have newline-delimited JSON event dumps.  This
+module provides the Dataset-native round trip: ``write_jsonl`` emits
+one JSON object per row (timestamps as ISO-8601), ``read_jsonl`` reads
+a JSONL directory and restores the engine's column types (ISO strings
+→ ``timestamp[us]``) so the same pipelines run unchanged on either
+format — correctness is pinned by the ``transcripts_jsonl`` driver
+query, which round-trips the transcripts table through JSONL and must
+match the same DuckDB oracle as the parquet source.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def write_jsonl(ds, out_dir: str, *, timestamp_cols: list[str] | None = None) -> str:
+    """One JSON object per row, newline-delimited, sharded per block.
+
+    Timestamp columns are serialized as ISO strings first — the JSON
+    writer would otherwise degrade them to epoch SECONDS, silently
+    dropping sub-second precision."""
+    ts_cols = timestamp_cols or []
+    if ts_cols:
+
+        def to_iso(t: pa.Table) -> pa.Table:
+            for c in ts_cols:
+                if c in t.column_names:
+                    i = t.column_names.index(c)
+                    col = t.column(c)
+                    if pa.types.is_temporal(col.type):
+                        t = t.set_column(i, c, pc.cast(col, pa.string()))
+            return t
+
+        ds = ds.map_batches(to_iso, batch_format="pyarrow")
+    ds.write_json(out_dir)
+    return out_dir
+
+
+def read_jsonl(path, *, timestamp_cols: list[str] | None = None, **kwargs):
+    """Read a JSONL file/directory; listed timestamp columns are parsed
+    from ISO-8601 strings back to ``timestamp[us]``."""
+    import ray.data as rd
+
+    ds = rd.read_json(path, **kwargs)
+    ts_cols = timestamp_cols or []
+    if not ts_cols:
+        return ds
+
+    def restore(t: pa.Table) -> pa.Table:
+        for c in ts_cols:
+            if c in t.column_names:
+                i = t.column_names.index(c)
+                col = t.column(c)
+                if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                    col = pc.cast(col, pa.timestamp("us"))
+                elif pa.types.is_temporal(col.type):
+                    col = col.cast(pa.timestamp("us"))
+                t = t.set_column(i, c, col)
+        return t
+
+    return ds.map_batches(restore, batch_format="pyarrow")

@@ -86,3 +86,139 @@ def decode_stage(ds, *, batch_size: int = 1024, concurrency=(2, 4)):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class FakeImageResizer:
+    """Actor-pool resize stage: payload → payload', (w, h) → target.
+
+    The fake "resample" is a deterministic byte-decimation (keep every
+    k-th byte so output size tracks the scale factor); a real
+    implementation swaps ``_resize`` for PIL/opencv work while the
+    plumbing (actor reuse, small batches, binary in/out) stays as-is.
+    """
+
+    def __init__(self, target_w: int = 64, target_h: int = 64, strict: bool = False):
+        self.target_w = target_w
+        self.target_h = target_h
+        self.strict = strict
+
+    def _resize(self, payload: bytes) -> bytes:
+        if self.strict:
+            raise NotImplementedError(
+                "real image resize requires an image library not present in this container"
+            )
+        target = max(1, self.target_w * self.target_h // 256)
+        if len(payload) <= target:
+            return payload
+        step = max(1, len(payload) // target)
+        return payload[::step][:target]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [p or b"" for p in batch.column("payload").to_pylist()]
+        resized = [self._resize(p) for p in payloads]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(resized, type=pa.binary()),
+                "width": pa.array(np.full(len(resized), self.target_w, dtype=np.int64)),
+                "height": pa.array(np.full(len(resized), self.target_h, dtype=np.int64)),
+            }
+        )
+
+
+class FakeFeatureExtractor:
+    """Actor-pool "model inference" stage: payload → embedding.
+
+    Deterministic byte-histogram features projected to ``dim`` buckets
+    and L2-normalized — stands in for batched model inference; the
+    output composes directly with the similarity ops
+    (``brute_force_topk`` / ``embedding_dup_pairs``)."""
+
+    def __init__(self, dim: int = 64, strict: bool = False):
+        self.dim = dim
+        self.strict = strict  # the "model load" happens once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "real feature extraction requires a model runtime not present in this container"
+            )
+        payloads = [p or b"" for p in batch.column("payload").to_pylist()]
+        out = np.zeros((len(payloads), self.dim), dtype=np.float64)
+        for i, p in enumerate(payloads):
+            if p:
+                arr = np.frombuffer(p, dtype=np.uint8)
+                np.add.at(out[i], arr % self.dim, 1.0)
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        out /= norms
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "embedding": pa.array([row.tolist() for row in out], type=pa.list_(pa.float64())),
+            }
+        )
+
+
+FRAME_SIZE = 256
+FRAME_STRIDE = 4
+
+
+def frame_sample_batch(batch: pa.Table, frame_size: int = FRAME_SIZE,
+                       stride: int = FRAME_STRIDE) -> pa.Table:
+    """Video-shaped fan-out: treat the payload as a sequence of
+    fixed-size frames and emit one ROW per sampled frame (every
+    ``stride``-th) — the row-expanding transform a frame-sampling
+    pipeline needs (output rows ≫ input rows, so this runs as a plain
+    ``map_batches`` emitting more rows than it consumes, never a
+    driver-side loop)."""
+    ids = batch.column("doc_id").to_numpy()
+    payloads = [p or b"" for p in batch.column("payload").to_pylist()]
+    out_id, out_idx, out_nb, out_frames = [], [], [], []
+    for i, p in enumerate(payloads):
+        n_frames = (len(p) + frame_size - 1) // frame_size
+        for f in range(0, n_frames, stride):
+            chunk = p[f * frame_size : (f + 1) * frame_size]
+            out_id.append(int(ids[i]))
+            out_idx.append(f)
+            out_nb.append(len(chunk))
+            out_frames.append(chunk)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "frame_idx": pa.array(out_idx, type=pa.int64()),
+            "frame_n_bytes": pa.array(out_nb, type=pa.int64()),
+            "frame": pa.array(out_frames, type=pa.binary()),
+        }
+    )
+
+
+def resize_stage(ds, *, target_w: int = 64, target_h: int = 64,
+                 batch_size: int = 1024, concurrency=(2, 4)):
+    return ds.map_batches(attach_binary_payload, batch_format="pyarrow").map_batches(
+        FakeImageResizer,
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def feature_stage(ds, *, dim: int = 64, batch_size: int = 1024, concurrency=(2, 4)):
+    return ds.map_batches(attach_binary_payload, batch_format="pyarrow").map_batches(
+        FakeFeatureExtractor,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def frame_sample_stage(ds, *, frame_size: int = FRAME_SIZE, stride: int = FRAME_STRIDE):
+    return ds.map_batches(attach_binary_payload, batch_format="pyarrow").map_batches(
+        lambda b: frame_sample_batch(b, frame_size, stride),
+        batch_format="pyarrow",
+        batch_size=1024,
+    )

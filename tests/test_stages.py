@@ -457,6 +457,47 @@ def test_asof_join_bucketed(ray_session):
     assert len(out) == 4
 
 
+def test_multimodal_resize_feature_framesample(ray_session):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.multimodal import (
+        feature_stage,
+        frame_sample_stage,
+        resize_stage,
+    )
+    from logstash_filter_elastic_integration_ray.stages.similarity import _to_matrix
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": ["a" * 1000, "b" * 1500, "short"],
+    })
+    ds = rd.from_arrow(t)
+
+    resized = resize_stage(ds, target_w=64, target_h=64).to_pandas().set_index("doc_id")
+    assert (resized["width"] == 64).all() and (resized["height"] == 64).all()
+    assert len(resized.loc[1, "payload"]) <= 64 * 64 // 256  # decimated to target budget
+    assert resized.loc[3, "payload"] == b"short"             # already small → kept
+
+    feats = feature_stage(ds, dim=16).to_pandas().sort_values("doc_id")
+    m = _to_matrix(pa.array(list(feats["embedding"]), type=pa.list_(pa.float64())))
+    assert m.shape == (3, 16)
+    assert np.allclose(np.linalg.norm(m, axis=1), 1.0)
+    # identical-byte payloads (all 'a' vs all 'b') land on single buckets
+    assert abs(float(m[0] @ m[1])) in (0.0, 1.0)
+
+    frames = frame_sample_stage(ds).to_pandas()
+    # doc 1: 1000 bytes → 4 frames (0..3), sampled every 4th → frame 0
+    f1 = frames[frames["doc_id"] == 1]
+    assert list(f1["frame_idx"]) == [0]
+    assert list(f1["frame_n_bytes"]) == [256]
+    # doc 2: 1500 bytes → 6 frames → sampled 0 and 4
+    f2 = frames[frames["doc_id"] == 2].sort_values("frame_idx")
+    assert list(f2["frame_idx"]) == [0, 4]
+    assert list(f2["frame_n_bytes"]) == [256, 256]  # frame 4 spans bytes 1024-1279, full
+    # row expansion happens inside map_batches, binary frames carried
+    assert frames["frame_n_bytes"].sum() > 0
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
 
@@ -471,3 +512,27 @@ def test_multimodal_plumbing(ray_session):
     strict = FakeImageDecoder(strict=True)
     with pytest.raises(NotImplementedError):
         strict._decode(b"abc")
+
+
+def test_jsonl_roundtrip_preserves_types(ray_session, tmp_path):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    t = pa.table({
+        "k": pa.array([1, 2], type=pa.int64()),
+        "s": ["a", None],
+        "ts": pa.array(
+            [dt.datetime(2024, 1, 1, 0, 0, 0, 123456), dt.datetime(2024, 6, 1, 12, 30)],
+            type=pa.timestamp("us"),
+        ),
+    })
+    out = str(tmp_path / "j")
+    write_jsonl(rd.from_arrow(t), out, timestamp_cols=["ts"])
+    back = read_jsonl(out, timestamp_cols=["ts"]).to_pandas().sort_values("k").reset_index(drop=True)
+    assert back["ts"][0] == pd.Timestamp("2024-01-01 00:00:00.123456")  # microseconds survive
+    assert back["ts"][1] == pd.Timestamp("2024-06-01 12:30:00")
+    assert back["s"][0] == "a" and pd.isna(back["s"][1])
+    assert list(back["k"]) == [1, 2]
