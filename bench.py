@@ -173,6 +173,36 @@ def run_bench() -> dict:
 
     timed("minhash_lsh_dedup", minhash, reps=1)
 
+    # the adversarial dedup shape: EVERY doc appears 16× (distinct ids),
+    # so every LSH bucket holds ≥16 members — star edges keep the
+    # per-bucket work O(m) where all-pairs would be O(m²).  Input
+    # synthesis is one-time preparation (cached parquet), not pipeline
+    # work — and NOT a 16-deep Dataset.union chain, which alone costs
+    # ~60 s of plan overhead.
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq_
+
+    dup_path = os.path.join(TRANSCRIPTS_CACHE, f"dup-heavy-{os.path.basename(SF_DIR)}.parquet")
+    if not os.path.exists(dup_path):
+        base = pq_.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        copies = [
+            pa_.table({
+                "doc_id": pc_.add(base.column("doc_id"), r * 10_000_000),
+                "text": base.column("text"),
+            })
+            for r in range(16)
+        ]
+        pq_.write_table(pa_.concat_tables(copies), dup_path)
+
+    def minhash_dup_heavy():
+        from logstash_filter_elastic_integration_ray.stages.dedup import minhash_lsh_dedup
+
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        return minhash_lsh_dedup(heavy).count()
+
+    timed("minhash_dedup_dup_heavy_16x", minhash_dup_heavy, reps=1)
+
     import __ray_entry__ as entrymod  # untimed: module import registers
     # the package by value (walk + cloudpickle), a one-time setup cost
 

@@ -441,10 +441,17 @@ class RowCtx:
         if self._col(p) is not None:
             return True
         prefix = p + "."
-        return any(
-            c.startswith(prefix) and (self.cols[c][self.row] is not None or c in self.writes)
-            for c in self.cols
-        ) or any(w.startswith(prefix) for w in self.writes)
+        for c in set(self.cols) | set(self.writes):
+            if c.startswith(prefix):
+                # pending writes win over the column value (a removed
+                # child must read as absent)
+                if c in self.writes:
+                    v = self.writes[c]
+                else:
+                    v = self.cols[c][self.row]
+                if v is not None:
+                    return True
+        return False
 
     def remove(self, path: str):
         old = self.get(path)
