@@ -85,9 +85,16 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # ---------------------------------------------------------------------------
 
 def _docs(sf_dir: str):
-    import ray.data as rd
-
     return read_parquet_clean(f"{sf_dir}/documents.parquet")
+
+
+def _cache_tag(sf_dir: str) -> str:
+    """Collision-safe /tmp cache key: leaf name + a hash of the FULL
+    path (two sf dirs with the same leaf must not share a cache)."""
+    import hashlib as _hl
+
+    p = _os.path.abspath(sf_dir)
+    return f"{_os.path.basename(_os.path.normpath(p))}-{_hl.md5(p.encode()).hexdigest()[:8]}"
 
 
 def _pipe_processor(pipeline_def: dict) -> EventProcessor:
@@ -180,13 +187,16 @@ def q_transcripts_jsonl(sf_dir: str):
 
     from logstash_filter_elastic_integration_ray.sources.jsonl import read_jsonl, write_jsonl
 
-    tag = _os.path.basename(_os.path.normpath(sf_dir))
-    out = f"/tmp/graft_jsonl/{tag}"
-    if not (os.path.isdir(out) and os.listdir(out)):
+    out = f"/tmp/graft_jsonl/{_cache_tag(sf_dir)}"
+    # completeness marker: a partially-written cache from a crashed run
+    # must never be silently reused
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
         write_jsonl(read_transcripts(sf_dir), out, timestamp_cols=["ts"])
-    ds = read_jsonl(out, timestamp_cols=["ts"])
+        with open(os.path.join(out, "_SUCCESS"), "w") as f:
+            f.write("ok")
+    ds = read_jsonl(out, timestamp_cols=["ts"], file_extensions=["json"])
     return _project(ds, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
 
 
@@ -570,11 +580,15 @@ def q_embedding_topk_ivf(sf_dir: str):
         pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).column("embedding")
     )[:2048]
     index = IvfIndex(sample)
-    tag = _os.path.basename(_os.path.normpath(sf_dir))
-    layout = f"/tmp/graft_ivf/{tag}"
-    if not (os.path.isdir(layout) and any(os.scandir(layout))):
+    layout = f"/tmp/graft_ivf/{_cache_tag(sf_dir)}"
+    if not os.path.exists(os.path.join(layout, "_SUCCESS")):
+        import shutil
+
+        shutil.rmtree(layout, ignore_errors=True)
         ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         build_ivf_layout(ds, index, layout)
+        with open(os.path.join(layout, "_SUCCESS"), "w") as f:
+            f.write("ok")
     return ivf_topk_pruned(layout, index, q, qids, k=5, nprobe=4)
 
 

@@ -276,6 +276,31 @@ def _eval_values(node: _Node, batch: ColumnBatch, env: dict | None = None) -> np
         recv = _eval_values(node.children[0], batch, env)
         args = [_eval_values(a, batch, env) for a in node.children[1:]]
         name = node.value
+        if name == "containsKey" and node.children[0].kind == "field" and args:
+            # flattened-aware key presence: a dict-valued receiver is
+            # checked directly; otherwise the resolved child column (or
+            # any flattened grandchild) being non-null means present —
+            # consistent with the vectorized fast path for literal keys
+            recv_field = node.children[0].value
+            keys = args[0]
+            out = np.empty(batch.n, dtype=object)
+            for i in range(batch.n):
+                k = keys[i]
+                if isinstance(recv[i], dict):
+                    out[i] = k in recv[i]
+                    continue
+                if k is None:
+                    out[i] = False
+                    continue
+                path = f"{recv_field}.{k}" if recv_field else str(k)
+                present = batch.has(path) and batch.objects(path)[i] is not None
+                if not present:
+                    for c in batch.children(path):
+                        if batch.objects(c)[i] is not None:
+                            present = True
+                            break
+                out[i] = present
+            return out
         out = np.empty(batch.n, dtype=object)
         for i in range(batch.n):
             r = recv[i]
@@ -405,6 +430,11 @@ def _fast_bool(node: _Node, batch: ColumnBatch) -> np.ndarray | None:
     if node.kind == "method" and node.value == "containsKey":
         recv, keyn = node.children[0], node.children[1] if len(node.children) > 1 else None
         if recv.kind == "field" and keyn is not None and keyn.kind == "lit" and isinstance(keyn.value, str):
+            if recv.value and batch.has(recv.value):
+                # the receiver column itself holds values (possibly
+                # dicts) — only the slow path can check key membership
+                # per row; a definitive mask here would be wrong
+                return None
             # key presence in the columnar model: the resolved column
             # (or any flattened child column) is non-null on the row
             path = f"{recv.value}.{keyn.value}" if recv.value else keyn.value

@@ -30,6 +30,7 @@ from .grok import _normalize_field_path
 # by-value-shipped package cannot be imported lazily
 from .painless import (
     Interpreter,
+    LazyColumns,
     PainlessError,
     RowCtx,
     compile_painless,
@@ -817,7 +818,7 @@ class ScriptKernel(Kernel):
         return None
 
     def _apply_interpreted(self, batch: ColumnBatch, mask: np.ndarray) -> np.ndarray | None:
-        cols = {name: batch.objects(name) for name in batch.names()}
+        cols = LazyColumns(batch)  # convert only the columns the script touches
         err = np.zeros(batch.n, dtype=bool)
         write_cols: dict[str, np.ndarray] = {}
         write_masks: dict[str, np.ndarray] = {}

@@ -369,15 +369,54 @@ class _Return(Exception):
 _MAX_LOOP_ITERS = 100_000  # painless has its own loop counter limit
 
 
+class LazyColumns:
+    """Dict-like view over a ColumnBatch that converts columns to
+    object arrays only on first access — an interpreter script touching
+    2 fields of a 100-column batch must not pay 100 conversions."""
+
+    def __init__(self, batch):
+        self._batch = batch
+        self._names = list(batch.names())
+        self._nameset = set(self._names)
+        self._cache: dict[str, object] = {}
+
+    def get(self, name: str, default=None):
+        if name not in self._nameset:
+            return default
+        arr = self._cache.get(name)
+        if arr is None:
+            arr = self._batch.objects(name)
+            self._cache[name] = arr
+        return arr
+
+    def __getitem__(self, name: str):
+        v = self.get(name)
+        if v is None:
+            raise KeyError(name)
+        return v
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._nameset
+
+    def __iter__(self):
+        return iter(self._names)
+
+
 class RowCtx:
     """Per-row view of a columnar batch for the interpreter.
 
     Reads resolve dotted paths against (1) this row's pending writes,
     (2) the flattened columns.  ``ctx.a.b`` walks either the column
     ``a.b`` or a dict value stored in column ``a``.
-    """
 
-    def __init__(self, cols: dict[str, object], row: int, resolve_field):
+    Container values (lists/dicts) read from a column are DEEP-COPIED
+    and registered as pending writes: painless mutates them in place
+    (``ctx.tags.add('x')``) and the mutation must (a) persist into the
+    output via the normal blend path and (b) never touch the shared
+    column arrays, or the executor's failure-isolation snapshot would
+    emit "unmodified" failed rows with the mutation applied."""
+
+    def __init__(self, cols, row: int, resolve_field):
         self.cols = cols
         self.row = row
         self.writes: dict[str, object] = {}
@@ -388,7 +427,13 @@ class RowCtx:
             return self.writes[path]
         arr = self.cols.get(path)
         if arr is not None:
-            return arr[self.row]
+            v = arr[self.row]
+            if isinstance(v, (list, dict)):
+                import copy
+
+                v = copy.deepcopy(v)
+                self.writes[path] = v
+            return v
         # maybe a prefix column holds a dict
         if "." in path:
             head, _, rest = path.partition(".")
@@ -423,9 +468,9 @@ class RowCtx:
                 cur = nxt
             cur[parts[-1]] = val
 
-        for c, arr in self.cols.items():
+        for c in self.cols:
             if c.startswith(prefix):
-                val = self.writes[c] if c in self.writes else arr[self.row]
+                val = self.writes[c] if c in self.writes else self.cols[c][self.row]
                 if val is not None:
                     insert(c[len(prefix):], val)
         for c, val in self.writes.items():
@@ -714,11 +759,21 @@ class Interpreter:
             if o == "*":
                 return a * b
             if o == "/":
+                if not b:
+                    return None
                 if isinstance(a, int) and isinstance(b, int):
-                    return a // b if b else None
-                return a / b if b else None
+                    # Java/painless integer division truncates toward
+                    # ZERO (Python // floors): -7 / 2 == -3, not -4
+                    q = abs(a) // abs(b)
+                    return -q if (a < 0) != (b < 0) else q
+                return a / b
             if o == "%":
-                return a % b if b else None
+                if not b:
+                    return None
+                if isinstance(a, int) and isinstance(b, int):
+                    # Java % takes the sign of the DIVIDEND: -7 % 10 == -7
+                    return a - (abs(a) // abs(b)) * (b if (a < 0) == (b < 0) else -b)
+                return a % b
         if op == "ternary":
             c = self._truthy(self._deref(self._eval(node[1], rc, env), rc))
             return self._deref(self._eval(node[2] if c else node[3], rc, env), rc)

@@ -104,32 +104,41 @@ class MinHasher:
         return float(np.mean(sig_a == sig_b))
 
 
+_SHINGLE_CHUNK = 1 << 18  # ≈ num_perm × 256k × 8 B = 64 MB temp ceiling
+
+
 def minhash_signatures_batch(texts: list, hasher: MinHasher) -> np.ndarray:
-    """(n_docs, num_perm) uint64 signatures for a whole batch with ONE
-    ``hash_array`` call over all shingles + a segmented minimum — the
-    per-doc Python loop was the dominant cost of the dedup pipeline
-    (~4× slower on signature-heavy batches)."""
-    all_shingles: list[str] = []
-    offsets = [0]
-    for t in texts:
-        all_shingles.extend(hasher.shingles(t))
-        offsets.append(len(all_shingles))
+    """(n_docs, num_perm) uint64 signatures with one ``hash_array``
+    call + a segmented minimum per CHUNK of docs — the per-doc Python
+    loop was the dominant dedup cost (~4× on signature-heavy batches),
+    but an unbounded (num_perm × total_shingles) temporary would OOM
+    workers on large blocks, so docs are processed in groups whose
+    shingle count stays under ``_SHINGLE_CHUNK``."""
     n = len(texts)
     sigs = np.full((n, hasher.num_perm), np.uint64(_MERSENNE), dtype=np.uint64)
-    if not all_shingles:
-        return sigs
-    h = _hash64(all_shingles) % np.uint64(_MERSENNE)  # one vectorized pass
-    # (num_perm, n_shingles) permuted values, then per-doc segment min
-    vals = (hasher.a[:, None] * h[None, :] + hasher.b[:, None]) % np.uint64(_MERSENNE)
-    starts = np.array(offsets[:-1], dtype=np.int64)
-    lengths = np.diff(offsets)
-    nonempty = lengths > 0
-    if nonempty.any():
-        # reduce over NONEMPTY segment starts only: empty segments have
-        # zero width, so consecutive nonempty starts bound each doc's
-        # shingles exactly (reduceat would mis-report empty segments)
-        red = np.minimum.reduceat(vals, starts[nonempty], axis=1)
-        sigs[nonempty] = red.T
+    start_doc = 0
+    while start_doc < n:
+        chunk_shingles: list[str] = []
+        offsets = [0]
+        end_doc = start_doc
+        while end_doc < n and (len(chunk_shingles) < _SHINGLE_CHUNK or end_doc == start_doc):
+            chunk_shingles.extend(hasher.shingles(texts[end_doc]))
+            offsets.append(len(chunk_shingles))
+            end_doc += 1
+        if chunk_shingles:
+            h = _hash64(chunk_shingles) % np.uint64(_MERSENNE)
+            # (num_perm, n_shingles) permuted values → per-doc segment min
+            vals = (hasher.a[:, None] * h[None, :] + hasher.b[:, None]) % np.uint64(_MERSENNE)
+            starts = np.array(offsets[:-1], dtype=np.int64)
+            nonempty = np.diff(offsets) > 0
+            if nonempty.any():
+                # reduce over NONEMPTY segment starts only: empty
+                # segments have zero width, so consecutive nonempty
+                # starts bound each doc's shingles exactly (reduceat
+                # mis-reports empty segments)
+                red = np.minimum.reduceat(vals, starts[nonempty], axis=1)
+                sigs[start_doc:end_doc][nonempty] = red.T
+        start_doc = end_doc
     return sigs
 
 
@@ -161,13 +170,27 @@ def minhash_band_rows(
 
 
 def _star_edges_partition(df: pd.DataFrame, threshold: float, id_col: str) -> pa.Table:
-    """Per bucket: verify each member against the bucket-min and emit
-    star edges (bucket_min, member) for members whose signature
-    agreement ≥ threshold.  O(m) edges and one vectorized matrix compare
-    per bucket — never the O(m²) all-pairs explosion (a bucket of
-    identical docs is the COMMON case in dedup)."""
+    """Per bucket: O(m) verified candidate edges in two passes —
+
+    1. **star**: each member against the bucket-min (a bucket of
+       identical docs, the common dedup case, collapses to one shallow
+       star);
+    2. **chain**: consecutive members sorted by full signature bytes —
+       without it, a bucket-min that is an LSH false positive
+       (dissimilar to everyone) would block true pairs among the other
+       members; similar signatures sort adjacent, so the chain catches
+       them at the same O(m) cost.
+
+    Still an approximation of the O(m²) all-pairs verify (standard LSH
+    recall trade-off; identical-signature groups always fully merge),
+    but never the quadratic explosion."""
     edges_a: list[int] = []
     edges_b: list[int] = []
+
+    def emit(x: int, y: int) -> None:
+        edges_a.append(min(x, y))
+        edges_b.append(max(x, y))
+
     for _, g in df.groupby("bucket", sort=False):
         if len(g) < 2:
             continue
@@ -177,9 +200,16 @@ def _star_edges_partition(df: pd.DataFrame, threshold: float, id_col: str) -> pa
         root = order[0]
         members = order[1:]
         agree = (sigs[members] == sigs[root][None, :]).mean(axis=1)
-        hit = members[agree >= threshold]
-        edges_a.extend(int(ids[root]) for _ in hit)
-        edges_b.extend(int(ids[m]) for m in hit)
+        for m in members[agree >= threshold]:
+            emit(int(ids[root]), int(ids[m]))
+        # chain pass: sort by signature bytes (ids as tie-break)
+        sig_keys = [sigs[i].tobytes() for i in range(len(ids))]
+        chain = sorted(range(len(ids)), key=lambda i: (sig_keys[i], int(ids[i])))
+        prev = np.array(chain[:-1])
+        nxt = np.array(chain[1:])
+        c_agree = (sigs[prev] == sigs[nxt]).mean(axis=1)
+        for p, q in zip(prev[c_agree >= threshold], nxt[c_agree >= threshold]):
+            emit(int(ids[p]), int(ids[q]))
     return pa.table({"a": pa.array(edges_a, type=pa.int64()), "b": pa.array(edges_b, type=pa.int64())})
 
 
@@ -459,10 +489,19 @@ def simhash_block_rows(batch: pa.Table, k: int, id_col: str = "doc_id") -> pa.Ta
 
 
 def _simhash_star_edges_partition(df: pd.DataFrame, k: int, id_col: str) -> pa.Table:
-    """Star edges per block bucket, verified by full hamming ≤ k against
-    the bucket-min (vectorized popcount) — O(m) per bucket."""
+    """Star + chain verified edges per block bucket (full hamming ≤ k,
+    vectorized popcount) — star catches the identical-signature common
+    case, the signature-sorted chain catches pairs a dissimilar
+    bucket-min would otherwise block; O(m) per bucket (an O(m²)
+    all-pairs approximation — the block buckets themselves remain a
+    complete candidate filter by pigeonhole)."""
     edges_a: list[int] = []
     edges_b: list[int] = []
+
+    def emit(x: int, y: int) -> None:
+        edges_a.append(min(x, y))
+        edges_b.append(max(x, y))
+
     for _, g in df.groupby("bucket", sort=False):
         if len(g) < 2:
             continue
@@ -472,9 +511,14 @@ def _simhash_star_edges_partition(df: pd.DataFrame, k: int, id_col: str) -> pa.T
         root = order[0]
         members = order[1:]
         ham = hamming64(sigs[members], np.full(len(members), sigs[root], dtype=np.uint64))
-        hit = members[ham <= k]
-        edges_a.extend(int(ids[root]) for _ in hit)
-        edges_b.extend(int(ids[m]) for m in hit)
+        for m in members[ham <= k]:
+            emit(int(ids[root]), int(ids[m]))
+        chain = sorted(range(len(ids)), key=lambda i: (int(sigs[i]), int(ids[i])))
+        prev = np.array(chain[:-1])
+        nxt = np.array(chain[1:])
+        c_ham = hamming64(sigs[prev], sigs[nxt])
+        for p, q in zip(prev[c_ham <= k], nxt[c_ham <= k]):
+            emit(int(ids[p]), int(ids[q]))
     return pa.table({"a": pa.array(edges_a, type=pa.int64()), "b": pa.array(edges_b, type=pa.int64())})
 
 

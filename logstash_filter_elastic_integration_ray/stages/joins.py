@@ -57,6 +57,15 @@ def asof_join_bucketed(
     right_schema = _arrow_schema(right)
     left_cols = list(left_schema.names)
     right_cols = list(right_schema.names)
+    shared = set(left_cols) & set(right_cols)
+    if shared:
+        # the widened union folds same-named columns together and
+        # merge_asof would _x/_y-suffix them, breaking the output
+        # projection — fail loudly at the driver instead
+        raise ValueError(
+            f"asof_join_bucketed: left and right share column names {sorted(shared)}; "
+            "rename one side before joining"
+        )
     col_types = {**{f.name: f.type for f in right_schema}, **{f.name: f.type for f in left_schema}}
 
     def tag_left(t: pa.Table) -> pa.Table:

@@ -149,7 +149,13 @@ class MmdbReader:
         if dtype in (_T_U16, _T_U32, _T_U64, _T_U128):
             return int.from_bytes(b[offset : offset + size], "big"), offset + size
         if dtype == _T_I32:
-            return int.from_bytes(b[offset : offset + size], "big", signed=True), offset + size
+            # the format strips leading zero bytes; readers zero-pad to 4
+            # bytes before interpreting as signed (a truncated positive
+            # value with its top stored bit set is NOT negative)
+            return (
+                int.from_bytes(b[offset : offset + size].rjust(4, b"\x00"), "big", signed=True),
+                offset + size,
+            )
         if dtype == _T_BOOL:
             return size != 0, offset
         if dtype == _T_MAP:

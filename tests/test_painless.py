@@ -190,3 +190,42 @@ def test_contains_key_in_if_condition():
     assert rows[0]["hit"] == "y" and rows[0]["nested"] == "y"
     assert "hit" not in rows[1] and "nested" not in rows[1]
     assert "hit" not in rows[2] and "nested" not in rows[2]
+
+
+def test_list_mutation_persists_and_respects_failure_isolation():
+    # ctx.tags.add(...) must persist via the write path…
+    rows = _script("ctx.items.add('new');", [{"items": ["a"], "k": 1}])
+    assert rows[0]["items"] == ["a", "new"]
+    # …and a row that mutates a list then FAILS must emit the original
+    # unmodified (snapshot isolation: the column's list object must not
+    # be mutated in place)
+    rows = _script(
+        "ctx.items.add('new'); ctx.boom = ctx.missing.substring(0, 1);",
+        [{"items": ["a"], "k": 1}],
+    )
+    assert rows[0].get("tags") == ["_ingest_pipeline_failure"]
+    assert rows[0]["items"] == ["a"]  # NOT ['a', 'new']
+
+
+def test_java_integer_division_and_modulo_semantics():
+    rows = _script(
+        "ctx.d = ctx.a / ctx.b; ctx.m = ctx.a % ctx.b; "
+        "if (ctx.d > -100) { ctx.ran = true }",  # force interpreter tier
+        [{"a": -7, "b": 2}, {"a": -7, "b": 10}, {"a": 7, "b": -2}],
+    )
+    assert rows[0]["d"] == -3 and rows[0]["m"] == -1   # Java: trunc toward zero
+    assert rows[1]["d"] == 0 and rows[1]["m"] == -7    # sign of dividend
+    assert rows[2]["d"] == -3 and rows[2]["m"] == 1
+
+
+def test_contains_key_condition_with_dict_valued_column():
+    # review finding: a column holding actual dict values must work in
+    # `if: ctx.col.containsKey('k')` (fast path declines, slow path
+    # checks membership)
+    rows = run_pipeline(
+        {"processors": [{"set": {"field": "hit", "value": "y",
+                                 "if": "ctx.meta.containsKey('k')"}}]},
+        [{"meta": {"k": 1}, "n": 1}, {"meta": {"other": 2}, "n": 2}],
+    )
+    assert rows[0]["hit"] == "y"
+    assert "hit" not in rows[1]

@@ -208,14 +208,22 @@ def test_minhash_lsh_matches_bruteforce_components(ray_session):
             x = parent[x]
         return x
 
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
     for members in buckets.values():
         members = sorted(members)
         root = members[0]
         for m in members[1:]:
             if (sigs[root] == sigs[m]).mean() >= 0.8:
-                ra, rb = find(root), find(m)
-                if ra != rb:
-                    parent[max(ra, rb)] = min(ra, rb)
+                union(root, m)
+        # chain pass mirror: consecutive members sorted by signature
+        chain = sorted(members, key=lambda i: (sigs[i].tobytes(), i))
+        for p, q in zip(chain, chain[1:]):
+            if (sigs[p] == sigs[q]).mean() >= 0.8:
+                union(p, q)
     expected: dict[int, int] = {}
     for i in ids:
         expected[find(i)] = expected.get(find(i), 0) + 1
@@ -234,6 +242,42 @@ def test_simhash_near_dup_close(ray_session):
     out = simhash_batch(t)
     a, b = [int(x, 16) for x in out.column("simhash").to_pylist()]
     assert bin(a ^ b).count("1") <= 16  # near-dups stay hamming-close
+
+
+def test_star_chain_catches_pairs_blocked_by_dissimilar_bucket_min():
+    # review finding: a bucket-min that is an LSH false positive must
+    # not block true near-dup pairs among the other members — the
+    # signature-sorted chain pass catches (5,7) even though 1 matches
+    # neither
+    import pandas as pd
+
+    from logstash_filter_elastic_integration_ray.stages.dedup import (
+        _simhash_star_edges_partition,
+        _star_edges_partition,
+    )
+
+    sig_57 = np.arange(32, dtype=np.uint64)
+    sig_1 = np.arange(32, dtype=np.uint64) + np.uint64(1000)  # dissimilar
+    df = pd.DataFrame({
+        "bucket": ["B", "B", "B"],
+        "doc_id": pd.Series([1, 5, 7], dtype="int64"),
+        "sig": [sig_1.tobytes(), sig_57.tobytes(), sig_57.tobytes()],
+    })
+    edges = _star_edges_partition(df, 0.8, "doc_id").to_pandas()
+    pairs = set(zip(edges["a"], edges["b"]))
+    assert (5, 7) in pairs
+    assert (1, 5) not in pairs and (1, 7) not in pairs
+
+    df2 = pd.DataFrame({
+        "bucket": ["B", "B", "B"],
+        "doc_id": pd.Series([1, 5, 7], dtype="int64"),
+        # 5 and 7 differ in 1 bit; 1 is far from both
+        "sig": np.array([0xFFFF_FFFF_0000_0000, 0b1011, 0b1111], dtype=np.uint64),
+    })
+    edges2 = _simhash_star_edges_partition(df2, 3, "doc_id").to_pandas()
+    pairs2 = set(zip(edges2["a"], edges2["b"]))
+    assert (5, 7) in pairs2
+    assert (1, 5) not in pairs2 and (1, 7) not in pairs2
 
 
 def test_simhash_dedup_clusters_within_hamming_k(ray_session):
