@@ -82,6 +82,7 @@ class UserAgentKernel(Kernel):
     failure_message = "user_agent parse failed"
 
     def __init__(self, config: dict):
+        self._value_cache: dict = {}  # per-worker memoization of pure value parses
         self.field = _normalize_field_path(config.get("field", ""))
         if not self.field:
             raise KernelCompileError("user_agent: requires [field]")
@@ -148,6 +149,7 @@ class RegisteredDomainKernel(Kernel):
     failure_message = "unable to determine registered domain"
 
     def __init__(self, config: dict):
+        self._value_cache: dict = {}  # per-worker memoization of pure value parses
         self.field = _normalize_field_path(config.get("field", ""))
         if not self.field:
             raise KernelCompileError("registered_domain: requires [field]")

@@ -21,11 +21,21 @@ from .base import Kernel, KernelCompileError, register_processor, string_values
 from .grok import _normalize_field_path
 
 
+_VALUE_CACHE_CAP = 65536
+_CACHE_MISS = object()
+
+
 def _per_row(kernel_self, batch, mask, fn):
     """Per-row driver: fn(value) -> dict[field, value] | Exception.
 
     Returns err mask. Shared by kernels whose semantics are inherently
     per-row; everything stays batch-level above this point.
+
+    A kernel exposing a ``_value_cache`` dict gets input-value
+    memoization: real log streams repeat user agents, domains and URLs
+    heavily, so parse results are computed once per DISTINCT value per
+    worker (None marks "fn raised/returned None" so failures memoize
+    too).  Only valid for pure fn(value) kernels.
     """
     values = string_values(batch, kernel_self.field)
     present = np.array([v is not None for v in values], dtype=bool)
@@ -35,12 +45,28 @@ def _per_row(kernel_self, batch, mask, fn):
     idx = np.nonzero(mask & present)[0]
     cols: dict[str, np.ndarray] = {}
     ok = np.zeros(batch.n, dtype=bool)
+    cache = getattr(kernel_self, "_value_cache", None)
     for i in idx:
+        if cache is not None:
+            res = cache.get(values[i], _CACHE_MISS)
+            if res is not _CACHE_MISS:
+                if res is None:
+                    err[i] = True
+                    continue
+                ok[i] = True
+                for f, v in res.items():
+                    if f not in cols:
+                        c = np.empty(batch.n, dtype=object)
+                        c[:] = None
+                        cols[f] = c
+                    cols[f][i] = v
+                continue
         try:
             res = fn(values[i])
         except Exception:
-            err[i] = True
-            continue
+            res = None
+        if cache is not None and len(cache) < _VALUE_CACHE_CAP:
+            cache[values[i]] = res
         if res is None:
             err[i] = True
             continue
@@ -556,6 +582,7 @@ class UriPartsKernel(Kernel):
     failure_message = "unable to parse URI"
 
     def __init__(self, config: dict):
+        self._value_cache: dict = {}  # per-worker memoization of pure value parses
         self.field = _normalize_field_path(config.get("field", ""))
         if not self.field:
             raise KernelCompileError("uri_parts: requires [field]")
