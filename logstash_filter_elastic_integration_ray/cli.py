@@ -80,8 +80,18 @@ def cmd_run(args: argparse.Namespace) -> int:
     )
     proc = EventProcessor(compile_pipeline_set(defs), routing, emit_private=True)
 
+    from .sources.io import read_parquet_clean
+    from .sources.jsonl import read_jsonl
+
+    def read_shard(files: list[str]):
+        # JSONL event dumps (the reference user's native format) and
+        # parquet run the same pipelines
+        if all(f.endswith((".json", ".jsonl", ".ndjson")) for f in files):
+            return read_jsonl(files, timestamp_cols=args.timestamp_cols or [])
+        return read_parquet_clean(files)
+
     def build(files: list[str], dest: str) -> dict:
-        ds = rd.read_parquet(files).map_batches(proc, batch_format="pyarrow")
+        ds = read_shard(files).map_batches(proc, batch_format="pyarrow")
         fanout_write(ds, dest)
         return {"sink_counts": sink_counts_from_dir(dest)}
 
@@ -126,7 +136,10 @@ def main(argv: list[str] | None = None) -> int:
 
     run = sub.add_parser("run", help="run pipelines over parquet input with fan-out sinks + resume")
     run.add_argument("--pipelines", required=True, help="pipeline JSON file or directory")
-    run.add_argument("--input", required=True, nargs="+", help="input parquet glob(s)")
+    run.add_argument("--input", required=True, nargs="+",
+                     help="input glob(s): parquet, or .json/.jsonl/.ndjson event dumps")
+    run.add_argument("--timestamp-cols", nargs="*", default=None,
+                     help="columns parsed from ISO strings to timestamps for JSONL inputs")
     run.add_argument("--output", required=True, help="output directory (per-shard fan-out)")
     run.add_argument("--routing", help="JSON file: {index: pipeline_name}")
     run.add_argument("--default-pipeline", help="pipeline applied when no index resolves")

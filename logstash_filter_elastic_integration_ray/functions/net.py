@@ -7,11 +7,11 @@ once per worker process (the reference loads uap regexes / PSL once —
 ``docs/index.asciidoc:200``, spec:668-693), mirroring geoip's
 load-once-per-worker state (``geoip/IpDatabaseProvider.java:80-99``).
 
-``geoip``: the real MaxMind ``.mmdb`` reader is unavailable in this
-environment; the kernel keeps the full Ray-side plumbing (state loaded
-once, per-batch vectorized lookup, missing-database tagging exactly as
-the reference — ``_geoip_database_unavailable_*`` spec:1045) and STUBS
-the database itself behind an injectable dict.
+``geoip``: reads REAL MaxMind ``.mmdb`` files through the pure-Python
+format reader in ``state/mmdb.py`` (loaded once per worker, per-IP
+cache), with the reference's missing-database tagging
+(``_geoip_database_unavailable_*`` spec:1045); an injectable dict stub
+remains for environments without database files.
 """
 
 from __future__ import annotations

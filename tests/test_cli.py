@@ -58,3 +58,26 @@ def test_cli_run_and_resume(tmp_path):
     assert r2.returncode == 0
     assert json.loads(r2.stdout.strip().splitlines()[-1])["sink_counts"] == doc["sink_counts"]
     assert os.path.getmtime(manifest) == mtime  # resumed, not rebuilt
+
+
+def test_cli_run_jsonl_input(tmp_path):
+    from logstash_filter_elastic_integration_ray.sources.transcripts import derive_transcripts_table
+
+    pipes = tmp_path / "pipes"
+    os.makedirs(pipes)
+    (pipes / "p.json").write_text(json.dumps({
+        "mark": {"processors": [{"set": {"field": "mark", "value": "yes"}}]}
+    }))
+    t = derive_transcripts_table(pq.read_table("/root/testdata/sf0.001/events.parquet")).slice(0, 50)
+    lines = []
+    for row in t.to_pylist():
+        row["ts"] = row["ts"].isoformat()
+        lines.append(json.dumps(row))
+    (tmp_path / "in.jsonl").write_text("\n".join(lines) + "\n")
+
+    r = _run(["run", "--pipelines", str(pipes), "--input", str(tmp_path / "in.jsonl"),
+              "--output", str(tmp_path / "out"), "--default-pipeline", "mark",
+              "--timestamp-cols", "ts", "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    doc = json.loads(r.stdout.strip().splitlines()[-1])
+    assert sum(doc["sink_counts"].values()) == 50
