@@ -182,20 +182,13 @@ def q_transcripts_jsonl(sf_dir: str):
     through newline-delimited JSON (write_json → read_json → restore
     timestamp types) must match the SAME oracle as the parquet source —
     a user's JSONL event dumps run the same pipelines unchanged."""
-    import os
-    import shutil
-
+    from logstash_filter_elastic_integration_ray.sources.io import ensure_cache_dir
     from logstash_filter_elastic_integration_ray.sources.jsonl import read_jsonl, write_jsonl
 
-    out = f"/tmp/graft_jsonl/{_cache_tag(sf_dir)}"
-    # completeness marker: a partially-written cache from a crashed run
-    # must never be silently reused
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        shutil.rmtree(out, ignore_errors=True)
-        os.makedirs(out, exist_ok=True)
-        write_jsonl(read_transcripts(sf_dir), out, timestamp_cols=["ts"])
-        with open(os.path.join(out, "_SUCCESS"), "w") as f:
-            f.write("ok")
+    out = ensure_cache_dir(
+        f"/tmp/graft_jsonl/{_cache_tag(sf_dir)}",
+        lambda d: write_jsonl(read_transcripts(sf_dir), d, timestamp_cols=["ts"]),
+    )
     ds = read_jsonl(out, timestamp_cols=["ts"], file_extensions=["json"])
     return _project(ds, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
 
@@ -563,10 +556,7 @@ def q_embedding_topk_ivf(sf_dir: str):
     reads only the ``nprobe`` probed bucket directories (pruned
     ``read_parquet``) — probe cost scales with nprobe/nlist, not
     dataset size."""
-    import os
-
     import pyarrow.parquet as pq
-    import ray.data as rd
 
     from logstash_filter_elastic_integration_ray.stages.similarity import (
         IvfIndex,
@@ -580,15 +570,15 @@ def q_embedding_topk_ivf(sf_dir: str):
         pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).column("embedding")
     )[:2048]
     index = IvfIndex(sample)
-    layout = f"/tmp/graft_ivf/{_cache_tag(sf_dir)}"
-    if not os.path.exists(os.path.join(layout, "_SUCCESS")):
-        import shutil
+    from logstash_filter_elastic_integration_ray.sources.io import ensure_cache_dir
 
-        shutil.rmtree(layout, ignore_errors=True)
-        ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        build_ivf_layout(ds, index, layout)
-        with open(os.path.join(layout, "_SUCCESS"), "w") as f:
-            f.write("ok")
+    layout = ensure_cache_dir(
+        f"/tmp/graft_ivf/{_cache_tag(sf_dir)}",
+        lambda d: build_ivf_layout(
+            read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
+            index, d,
+        ),
+    )
     return ivf_topk_pruned(layout, index, q, qids, k=5, nprobe=4)
 
 

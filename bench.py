@@ -193,7 +193,10 @@ def run_bench() -> dict:
             })
             for r in range(16)
         ]
-        pq_.write_table(pa_.concat_tables(copies), dup_path)
+        # write-then-rename: a run killed mid-write must not leave a
+        # truncated file that every later run silently reuses
+        pq_.write_table(pa_.concat_tables(copies), dup_path + ".tmp")
+        os.replace(dup_path + ".tmp", dup_path)
 
     def minhash_dup_heavy():
         from logstash_filter_elastic_integration_ray.stages.dedup import minhash_lsh_dedup

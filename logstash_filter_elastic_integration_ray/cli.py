@@ -63,7 +63,6 @@ def cmd_run(args: argparse.Namespace) -> int:
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
-    import ray.data as rd
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -83,12 +82,26 @@ def cmd_run(args: argparse.Namespace) -> int:
     from .sources.io import read_parquet_clean
     from .sources.jsonl import read_jsonl
 
+    _JSON_EXTS = (".json", ".jsonl", ".ndjson")
+
     def read_shard(files: list[str]):
         # JSONL event dumps (the reference user's native format) and
-        # parquet run the same pipelines
-        if all(f.endswith((".json", ".jsonl", ".ndjson")) for f in files):
-            return read_jsonl(files, timestamp_cols=args.timestamp_cols or [])
-        return read_parquet_clean(files)
+        # parquet run the same pipelines; a shard may mix both — group
+        # by format and union rather than failing mid-run
+        jf = [f for f in files if f.endswith(_JSON_EXTS)]
+        pf = [f for f in files if not f.endswith(_JSON_EXTS)]
+        parts = []
+        if jf:
+            parts.append(
+                read_jsonl(jf, timestamp_cols=args.timestamp_cols or [],
+                           file_extensions=["json", "jsonl", "ndjson"])
+            )
+        if pf:
+            parts.append(read_parquet_clean(pf))
+        ds = parts[0]
+        for other in parts[1:]:
+            ds = ds.union(other)
+        return ds
 
     def build(files: list[str], dest: str) -> dict:
         ds = read_shard(files).map_batches(proc, batch_format="pyarrow")

@@ -266,9 +266,20 @@ def _eval_values(node: _Node, batch: ColumnBatch, env: dict | None = None) -> np
                 elif op == "*":
                     out[i] = a * b
                 elif op == "/":
-                    out[i] = a / b if isinstance(a, float) or isinstance(b, float) else a // b
+                    if isinstance(a, float) or isinstance(b, float):
+                        out[i] = a / b
+                    else:
+                        # Java/painless semantics (same as the script
+                        # tier): integer division truncates toward zero
+                        q = abs(a) // abs(b)
+                        out[i] = -q if (a < 0) != (b < 0) else q
                 elif op == "%":
-                    out[i] = a % b
+                    if isinstance(a, float) or isinstance(b, float):
+                        import math as _math
+
+                        out[i] = _math.fmod(a, b)  # Java %: sign of dividend
+                    else:
+                        out[i] = a - (abs(a) // abs(b)) * (b if (a < 0) == (b < 0) else -b)
             except TypeError:
                 out[i] = None
         return out

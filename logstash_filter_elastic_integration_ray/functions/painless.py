@@ -486,16 +486,16 @@ class RowCtx:
         if self._col(p) is not None:
             return True
         prefix = p + "."
-        for c in set(self.cols) | set(self.writes):
+        # pending writes win over column values (a removed child must
+        # read as absent); iterate lazily — no per-call set unions
+        for c in self.cols:
             if c.startswith(prefix):
-                # pending writes win over the column value (a removed
-                # child must read as absent)
-                if c in self.writes:
-                    v = self.writes[c]
-                else:
-                    v = self.cols[c][self.row]
+                v = self.writes[c] if c in self.writes else self.cols[c][self.row]
                 if v is not None:
                     return True
+        for c, v in self.writes.items():
+            if c.startswith(prefix) and c not in self.cols and v is not None:
+                return True
         return False
 
     def remove(self, path: str):
@@ -773,7 +773,7 @@ class Interpreter:
                 if isinstance(a, int) and isinstance(b, int):
                     # Java % takes the sign of the DIVIDEND: -7 % 10 == -7
                     return a - (abs(a) // abs(b)) * (b if (a < 0) == (b < 0) else -b)
-                return a % b
+                return math.fmod(a, b)  # Java double %: sign of dividend too
         if op == "ternary":
             c = self._truthy(self._deref(self._eval(node[1], rc, env), rc))
             return self._deref(self._eval(node[2] if c else node[3], rc, env), rc)

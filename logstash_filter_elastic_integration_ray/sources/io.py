@@ -24,6 +24,22 @@ def _first_file(path: str) -> str:
     return path
 
 
+def ensure_cache_dir(path: str, build) -> str:
+    """Crash-safe build-once cache directory: ``build(path)`` runs only
+    when the ``_SUCCESS`` marker is absent; a partially-written cache
+    from a killed run is wiped and rebuilt, never silently reused."""
+    import shutil
+
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        build(path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
 def read_parquet_clean(path, *, columns: list[str] | None = None, **kwargs):
     """``ray.data.read_parquet`` with the file's schema minus metadata,
     pruned to ``columns`` when given (the schema= argument must match

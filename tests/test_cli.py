@@ -81,3 +81,30 @@ def test_cli_run_jsonl_input(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     doc = json.loads(r.stdout.strip().splitlines()[-1])
     assert sum(doc["sink_counts"].values()) == 50
+
+
+def test_cli_run_ndjson_and_mixed_shard(tmp_path):
+    from logstash_filter_elastic_integration_ray.sources.transcripts import derive_transcripts_table
+
+    pipes = tmp_path / "pipes"
+    os.makedirs(pipes)
+    (pipes / "p.json").write_text(json.dumps({
+        "mark": {"processors": [{"set": {"field": "mark", "value": "yes"}}]}
+    }))
+    t = derive_transcripts_table(pq.read_table("/root/testdata/sf0.001/events.parquet")).slice(0, 40)
+    half = t.slice(0, 20)
+    lines = []
+    for row in half.to_pylist():
+        row["ts"] = row["ts"].isoformat()
+        lines.append(json.dumps(row))
+    (tmp_path / "in.ndjson").write_text("\n".join(lines) + "\n")
+    pq.write_table(t.slice(20, 20), str(tmp_path / "in.parquet"))
+
+    # one shard containing BOTH formats (shard-size 2 → single shard)
+    r = _run(["run", "--pipelines", str(pipes),
+              "--input", str(tmp_path / "in.ndjson"), str(tmp_path / "in.parquet"),
+              "--output", str(tmp_path / "out"), "--default-pipeline", "mark",
+              "--timestamp-cols", "ts", "--shard-size", "2", "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    doc = json.loads(r.stdout.strip().splitlines()[-1])
+    assert sum(doc["sink_counts"].values()) == 40

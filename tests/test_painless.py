@@ -229,3 +229,23 @@ def test_contains_key_condition_with_dict_valued_column():
     )
     assert rows[0]["hit"] == "y"
     assert "hit" not in rows[1]
+
+
+def test_condition_tier_java_division_matches_script_tier():
+    # review finding: the same expression must evaluate identically in
+    # an `if` condition and in a script
+    rows = run_pipeline(
+        {"processors": [{"set": {"field": "hit", "value": "y",
+                                 "if": "ctx.a / ctx.b == 0 - 3 && ctx.a % ctx.b == 0 - 1"}}]},
+        [{"a": -7, "b": 2}, {"a": -8, "b": 2}],
+    )
+    assert rows[0]["hit"] == "y"      # Java: -7/2 == -3, -7%2 == -1
+    assert "hit" not in rows[1]
+
+
+def test_float_modulo_java_sign():
+    rows = _script(
+        "ctx.m = ctx.a % ctx.b; if (ctx.m < 100) { ctx.ran = true }",
+        [{"a": -7.0, "b": 10.0}],
+    )
+    assert rows[0]["m"] == -7.0  # Java double %: sign of dividend
