@@ -58,6 +58,8 @@ def test_every_query_has_callable():
     import __ray_entry__ as e
 
     qs = e.queries()
-    assert len(qs) >= 30
+    assert len(qs) >= 40
     oracles = e.oracle_sql()
-    assert set(oracles) <= set(qs)
+    # round-2 invariant: EVERY query is oracle-checked (SQL or pinned
+    # fixture) — no rows-only entries left
+    assert set(oracles) == set(qs), set(qs) - set(oracles)
