@@ -77,7 +77,10 @@ def cmd_run(args: argparse.Namespace) -> int:
         default_pipeline=args.default_pipeline,
         pipeline_template=args.pipeline_template,
     )
-    proc = EventProcessor(compile_pipeline_set(defs), routing, emit_private=True)
+    # defer per-pipeline compile failures: events routed to a pipeline
+    # that failed to load get failure-tagged (reference runtime
+    # behavior, spec:1522-1570); use `validate` for strict checking
+    proc = EventProcessor(compile_pipeline_set(defs, on_error="defer"), routing, emit_private=True)
 
     from .sources.io import read_parquet_clean
     from .sources.jsonl import read_jsonl

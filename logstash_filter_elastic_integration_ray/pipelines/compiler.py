@@ -91,15 +91,33 @@ def compile_pipeline(pipeline_id: str, definition: dict) -> CompiledPipeline:
     return CompiledPipeline(pipeline_id=pipeline_id, steps=steps, on_failure=on_failure)
 
 
-def compile_pipeline_set(definitions: dict[str, dict]) -> dict[str, CompiledPipeline]:
+def compile_pipeline_set(
+    definitions: dict[str, dict], on_error: str = "raise"
+) -> dict[str, CompiledPipeline]:
     """Compile a set of named pipelines.  Accepts either
     ``{id: definition}`` or per-entry ES wire format
-    ``{id: {id: definition}}`` (PipelineConfigurationFactory.java:34-51)."""
+    ``{id: {id: definition}}`` (PipelineConfigurationFactory.java:34-51).
+
+    ``on_error="defer"`` mirrors the reference's runtime behavior for
+    pipelines that fail to load (unsupported processors like
+    ``inference``/``enrich``/``set_security_user``,
+    spec:1522-1570): the bad pipeline is left out of the set, so events
+    that resolve to it are failure-tagged by the executor ("pipeline
+    not loaded [id]") while every other pipeline keeps running — the
+    job does not crash.  The default ``"raise"`` keeps compile-time
+    strictness for validate/test paths
+    (docs/index.asciidoc:309-324)."""
+    from ..functions.base import KernelCompileError
+
     out: dict[str, CompiledPipeline] = {}
     for pid, definition in definitions.items():
         if "processors" not in definition and len(definition) == 1:
             inner_id, inner = next(iter(definition.items()))
             if isinstance(inner, dict) and "processors" in inner:
                 pid, definition = inner_id, inner
-        out[pid] = compile_pipeline(pid, definition)
+        try:
+            out[pid] = compile_pipeline(pid, definition)
+        except (KernelCompileError, ValueError):
+            if on_error != "defer":
+                raise
     return out

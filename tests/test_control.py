@@ -255,3 +255,44 @@ def test_date_index_name():  # spec:278-301
         [{"date_field": "2023-03-08T09:10:17.789Z"}],
     )
     assert rows[0]["__meta_index"].startswith("<monthly-index-{2023-03-08")
+
+
+def test_unsupported_processor_pipeline_defers_and_tags_events():
+    # spec:1522-1570: set_security_user / inference / enrich fail the
+    # PIPELINE load; events resolved to it are failure-tagged at
+    # runtime while other pipelines keep working
+    import numpy as np
+
+    from logstash_filter_elastic_integration_ray.model import META_FAILURE_MESSAGE, META_INDEX
+    from logstash_filter_elastic_integration_ray.pipelines import (
+        EventProcessor,
+        RoutingConfig,
+        compile_pipeline_set,
+    )
+    from tests.util import rows_to_table, table_to_rows
+
+    defs = {
+        "good": {"processors": [{"set": {"field": "ok", "value": "y"}}]},
+        "bad": {"processors": [{"set_security_user": {"field": "user"}}]},
+        "bad2": {"processors": [{"inference": {"model_id": "m"}}]},
+    }
+    pipes = compile_pipeline_set(defs, on_error="defer")
+    assert set(pipes) == {"good"}
+
+    proc = EventProcessor(
+        pipes,
+        RoutingConfig(index_to_pipeline={"idx-good": "good", "idx-bad": "bad"}),
+    )
+    rows = table_to_rows(proc(rows_to_table([
+        {META_INDEX: "idx-good", "v": 1},
+        {META_INDEX: "idx-bad", "v": 2},
+    ])))
+    assert rows[0]["ok"] == "y"
+    assert rows[1].get("tags") == ["_ingest_pipeline_failure"]
+    assert "pipeline not loaded [bad]" in rows[1][META_FAILURE_MESSAGE]
+
+    # strict mode still raises
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        compile_pipeline_set(defs)
