@@ -323,7 +323,10 @@ def run_scaling(headline_only: bool = False) -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        # the scaling criterion measures the HEADLINE pipeline at two
+        # parallelism levels (same as the measurement embedded in the
+        # default run) — no need to run the whole suite twice
+        print(json.dumps(run_scaling(headline_only=True)))
     elif "--headline-only" in sys.argv:
         print(json.dumps(run_bench()))
     else:
