@@ -423,8 +423,13 @@ class EventProcessor:
             return
 
         try:
+            pre = batch.snapshot()  # shallow column-ref copy (O(#cols))
             err = step.kernel.apply(batch, active, state)
         except Exception:
+            # a kernel that raised may have partially written some rows
+            # (e.g. mid-blend) — revert the attempt before isolating, or
+            # read-modify-write kernels would re-apply on mutated input
+            batch.restore_rows(pre, active)
             err = self._rowwise_fallback(step.kernel, batch, active, state)
         if err is not None and err.any():
             err = err & active
@@ -552,17 +557,40 @@ class EventProcessor:
     def _rowwise_fallback(
         self, kernel, batch: ColumnBatch, active: np.ndarray, state: PipelineState
     ) -> np.ndarray | None:
-        """A kernel raised on the whole batch: isolate per-row so one bad
-        row can't poison the batch (SURVEY.md §7.3 — kernels must never
-        throw; retried Ray tasks must stay deterministic)."""
+        """A kernel raised on the whole batch: isolate the offending
+        rows so they can't poison the batch (SURVEY.md §7.3 — kernels
+        must never throw; retried Ray tasks must stay deterministic).
+
+        Binary-split isolation: retry on halves recursively and only
+        at single rows mark the error.  Vectorized kernels cost O(n)
+        per apply regardless of mask width, so per-row retries would be
+        O(n²) on a 100k-row block with a batch-wide failure; splitting
+        is O(n log n) worst case and O(k log n) for k bad rows."""
         err = np.zeros(batch.n, dtype=bool)
-        for i in np.nonzero(active)[0]:
-            single = np.zeros(batch.n, dtype=bool)
-            single[i] = True
+        pre = batch.snapshot()
+
+        def isolate(rows: np.ndarray) -> None:
+            sub = np.zeros(batch.n, dtype=bool)
+            sub[rows] = True
             try:
-                e = kernel.apply(batch, single, state)
-                if e is not None and e[i]:
-                    err[i] = True
+                e = kernel.apply(batch, sub, state)
+                if e is not None:
+                    err[rows] |= e[rows]
+                return
             except Exception:
-                err[i] = True
+                batch.restore_rows(pre, sub)  # revert partial writes
+            if len(rows) == 1:
+                err[rows[0]] = True
+                return
+            mid = len(rows) // 2
+            isolate(rows[:mid])
+            isolate(rows[mid:])
+
+        idx = np.nonzero(active)[0]
+        if len(idx):
+            mid = len(idx) // 2 or 1
+            # the full-batch apply already raised — start at halves
+            isolate(idx[:mid])
+            if len(idx) > 1:
+                isolate(idx[mid:])
         return err if err.any() else None

@@ -72,3 +72,50 @@ def test_unknown_processor_fails_compilation():
     # docs/index.asciidoc:309-324: unsupported processors fail creation
     with pytest.raises(KernelCompileError):
         compile_pipeline("p", {"processors": [{"inference": {"model_id": "m"}}]})
+
+
+def test_rowwise_fallback_binary_split_no_double_apply():
+    # a kernel that PARTIALLY WRITES then raises must isolate only the
+    # bad rows, and retried rows must not see the aborted attempt's
+    # writes (snapshot-revert before each retry) — otherwise a
+    # read-modify-write kernel double-applies
+    import numpy as np
+
+    from logstash_filter_elastic_integration_ray.pipelines import (
+        EventProcessor,
+        RoutingConfig,
+        compile_pipeline_set,
+    )
+    from tests.util import rows_to_table, table_to_rows
+
+    class FlakyAppendX:
+        failure_message = "flaky failed"
+
+        def output_fields(self):
+            return ["s"]
+
+        def apply(self, batch, mask, state):
+            vals = batch.objects("s").copy()
+            idx = np.nonzero(mask)[0]
+            for i in idx:  # write BEFORE the raise (partial-write shape)
+                vals[i] = (vals[i] or "") + "X"
+            batch.set("s", vals)
+            flags = batch.objects("flag")
+            if any(flags[i] == "bad" for i in idx):
+                raise RuntimeError("boom")
+            return None
+
+    pipes = compile_pipeline_set({"main": {"processors": [{"set": {"field": "unused", "value": "y"}}]}})
+    pipes["main"].steps[0].kernel = FlakyAppendX()
+    pipes["main"].steps[0].ptype = "flaky"
+    proc = EventProcessor(pipes, RoutingConfig(default_pipeline="main", use_datastream=False))
+
+    rows_in = [{"s": f"r{i}", "flag": "bad" if i in (3, 11) else "ok"} for i in range(16)]
+    rows = table_to_rows(proc(rows_to_table(rows_in)))
+    for i, r in enumerate(rows):
+        if i in (3, 11):
+            assert r.get("tags") == ["_ingest_pipeline_failure"], r
+            assert r["s"] == f"r{i}"          # restored original, no X
+        else:
+            assert r["s"] == f"r{i}X", r      # applied EXACTLY once
+            assert "tags" not in r
