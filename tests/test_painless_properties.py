@@ -1,0 +1,85 @@
+"""Property-based checks: the two painless tiers and the condition
+evaluator agree with Java semantics and with each other."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from logstash_filter_elastic_integration_ray.functions.painless import (
+    Interpreter,
+    RowCtx,
+    compile_painless,
+    default_builtins,
+)
+from tests.util import run_pipeline
+
+
+def _interp_one(src: str, row: dict):
+    cols = {k: np.array([v], dtype=object) for k, v in row.items()}
+    rc = RowCtx(cols, 0, lambda p: p)
+    Interpreter(compile_painless(src), default_builtins()).run_row(rc)
+    return rc.writes
+
+
+def _java_div(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _java_mod(a: int, b: int) -> int:
+    return a - _java_div(a, b) * b
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(-100, 100), st.integers(-100, 100).filter(lambda v: v != 0))
+def test_interpreter_division_matches_java(a, b):
+    w = _interp_one("ctx.d = ctx.a / ctx.b; ctx.m = ctx.a % ctx.b;", {"a": a, "b": b})
+    assert w["d"] == _java_div(a, b)
+    assert w["m"] == _java_mod(a, b)
+    # Java invariant: (a/b)*b + a%b == a
+    assert w["d"] * b + w["m"] == a
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(-50, 50), st.integers(-50, 50))
+def test_interpreter_add_sub_mul(a, b):
+    w = _interp_one("ctx.s = ctx.a + ctx.b; ctx.d = ctx.a - ctx.b; ctx.p = ctx.a * ctx.b;",
+                    {"a": a, "b": b})
+    assert (w["s"], w["d"], w["p"]) == (a + b, a - b, a * b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=30))
+def test_interpreter_string_methods_match_python(s):
+    w = _interp_one(
+        "ctx.u = ctx.s.toUpperCase(); ctx.l = ctx.s.toLowerCase(); "
+        "ctx.n = ctx.s.length(); ctx.t = ctx.s.trim();",
+        {"s": s},
+    )
+    assert w["u"] == s.upper() and w["l"] == s.lower()
+    assert w["n"] == len(s) and w["t"] == s.strip()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-10, 10), min_size=0, max_size=8))
+def test_interpreter_foreach_sum_matches_python(xs):
+    w = _interp_one("def t = 0; for (def x : ctx.xs) { t += x } ctx.total = t;", {"xs": xs})
+    assert w["total"] == sum(xs)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(-30, 30), st.integers(-30, 30).filter(lambda v: v != 0))
+def test_condition_and_script_tiers_agree_on_division(a, b):
+    # the same arithmetic must give one answer whether it appears in an
+    # `if` condition or in a script body
+    expected_d = _java_div(a, b)
+    rows = run_pipeline(
+        {"processors": [
+            {"script": {"lang": "painless",
+                        "source": "ctx.d = ctx.a / ctx.b; if (ctx.d < 9999) { ctx.ran = 1 }"}},
+            {"set": {"field": "cond_hit", "value": "y", "if": f"ctx.a / ctx.b == {expected_d}"}},
+        ]},
+        [{"a": a, "b": b}],
+    )
+    assert rows[0]["d"] == expected_d
+    assert rows[0].get("cond_hit") == "y"
