@@ -169,21 +169,53 @@ def minhash_band_rows(
     )
 
 
+#: buckets up to this size get EXACT all-pairs verification (≤ 64² =
+#: 4096 vectorized comparisons — cheap); larger buckets (in practice
+#: giant groups of near-identical docs) fall back to the O(m)
+#: star+chain approximation
+_EXACT_BUCKET_CAP = 64
+
+
+def _local_component_stars(ids: np.ndarray, left: np.ndarray, right: np.ndarray):
+    """Collapse a verified within-bucket pair set to spanning stars per
+    local connected component (tiny union-find; m ≤ cap).  Yields
+    (min_id, member_id) int pairs — same global components, O(m) edges."""
+    parent = list(range(len(ids)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(left, right):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[int, list[int]] = {}
+    for i in range(len(ids)):
+        groups.setdefault(find(i), []).append(i)
+    for members in groups.values():
+        if len(members) < 2:
+            continue
+        mvals = sorted(int(ids[i]) for i in members)
+        root = mvals[0]
+        for m in mvals[1:]:
+            yield root, m
+
+
 def _star_edges_partition(df: pd.DataFrame, threshold: float, id_col: str) -> pa.Table:
-    """Per bucket: O(m) verified candidate edges in two passes —
+    """Per bucket: verified candidate edges.
 
-    1. **star**: each member against the bucket-min (a bucket of
-       identical docs, the common dedup case, collapses to one shallow
-       star);
-    2. **chain**: consecutive members sorted by full signature bytes —
-       without it, a bucket-min that is an LSH false positive
-       (dissimilar to everyone) would block true pairs among the other
-       members; similar signatures sort adjacent, so the chain catches
-       them at the same O(m) cost.
-
-    Still an approximation of the O(m²) all-pairs verify (standard LSH
-    recall trade-off; identical-signature groups always fully merge),
-    but never the quadratic explosion."""
+    - bucket ≤ ``_EXACT_BUCKET_CAP``: **exact** — one m×m signature
+      agreement matrix, every qualifying pair emitted (bounded cost).
+    - larger buckets: two O(m) passes — **star** (each member vs the
+      bucket-min; identical-doc buckets collapse to one shallow star)
+      plus **chain** (consecutive members sorted by signature bytes,
+      so an LSH-false-positive bucket-min can't block true pairs).
+      Components only need CONNECTIVITY, not every edge, so the
+      approximation costs recall only when a >cap bucket holds several
+      distinct near-dup groups whose signatures interleave."""
     edges_a: list[int] = []
     edges_b: list[int] = []
 
@@ -195,8 +227,21 @@ def _star_edges_partition(df: pd.DataFrame, threshold: float, id_col: str) -> pa
         if len(g) < 2:
             continue
         ids = g[id_col].to_numpy()
-        order = np.argsort(ids, kind="stable")
         sigs = np.vstack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        if len(g) <= _EXACT_BUCKET_CAP:
+            # exact: agreement fraction for every pair at once, then
+            # collapse to spanning stars per LOCAL component — the
+            # global components are identical (within-bucket
+            # connectivity is preserved exactly) but an identical-doc
+            # bucket emits O(m) edges instead of O(m²)
+            eq = sigs[:, None, :] == sigs[None, :, :]  # (m, m, perms)
+            frac = eq.mean(axis=2)
+            iu = np.triu_indices(len(ids), k=1)
+            hit = frac[iu] >= threshold
+            for x, y in _local_component_stars(ids, iu[0][hit], iu[1][hit]):
+                emit(x, y)
+            continue
+        order = np.argsort(ids, kind="stable")
         root = order[0]
         members = order[1:]
         agree = (sigs[members] == sigs[root][None, :]).mean(axis=1)
@@ -506,8 +551,15 @@ def _simhash_star_edges_partition(df: pd.DataFrame, k: int, id_col: str) -> pa.T
         if len(g) < 2:
             continue
         ids = g[id_col].to_numpy()
-        order = np.argsort(ids, kind="stable")
         sigs = g["sig"].to_numpy().astype(np.uint64)
+        if len(g) <= _EXACT_BUCKET_CAP:
+            iu = np.triu_indices(len(ids), k=1)
+            ham = hamming64(sigs[iu[0]], sigs[iu[1]])
+            hit = ham <= k
+            for x, y in _local_component_stars(ids, iu[0][hit], iu[1][hit]):
+                emit(x, y)
+            continue
+        order = np.argsort(ids, kind="stable")
         root = order[0]
         members = order[1:]
         ham = hamming64(sigs[members], np.full(len(members), sigs[root], dtype=np.uint64))

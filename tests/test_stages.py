@@ -213,17 +213,15 @@ def test_minhash_lsh_matches_bruteforce_components(ray_session):
         if rx != ry:
             parent[max(rx, ry)] = min(rx, ry)
 
+    # mirror of the engine's hybrid verify: buckets ≤ 64 members are
+    # verified exactly (all pairs) — all buckets here are small
     for members in buckets.values():
         members = sorted(members)
-        root = members[0]
-        for m in members[1:]:
-            if (sigs[root] == sigs[m]).mean() >= 0.8:
-                union(root, m)
-        # chain pass mirror: consecutive members sorted by signature
-        chain = sorted(members, key=lambda i: (sigs[i].tobytes(), i))
-        for p, q in zip(chain, chain[1:]):
-            if (sigs[p] == sigs[q]).mean() >= 0.8:
-                union(p, q)
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                p, q = members[ai], members[bi]
+                if (sigs[p] == sigs[q]).mean() >= 0.8:
+                    union(p, q)
     expected: dict[int, int] = {}
     for i in ids:
         expected[find(i)] = expected.get(find(i), 0) + 1
@@ -246,9 +244,9 @@ def test_simhash_near_dup_close(ray_session):
 
 def test_star_chain_catches_pairs_blocked_by_dissimilar_bucket_min():
     # review finding: a bucket-min that is an LSH false positive must
-    # not block true near-dup pairs among the other members — the
-    # signature-sorted chain pass catches (5,7) even though 1 matches
-    # neither
+    # not block true near-dup pairs among the other members.  Small
+    # buckets (≤64) verify exactly; the >64 path must still catch the
+    # pair via the signature-sorted chain pass.
     import pandas as pd
 
     from logstash_filter_elastic_integration_ray.stages.dedup import (
@@ -256,6 +254,7 @@ def test_star_chain_catches_pairs_blocked_by_dissimilar_bucket_min():
         _star_edges_partition,
     )
 
+    # --- small bucket: exact all-pairs path
     sig_57 = np.arange(32, dtype=np.uint64)
     sig_1 = np.arange(32, dtype=np.uint64) + np.uint64(1000)  # dissimilar
     df = pd.DataFrame({
@@ -268,6 +267,23 @@ def test_star_chain_catches_pairs_blocked_by_dissimilar_bucket_min():
     assert (5, 7) in pairs
     assert (1, 5) not in pairs and (1, 7) not in pairs
 
+    # --- large bucket (>64 members): star+chain path
+    rng = np.random.default_rng(3)
+    n_noise = 70
+    noise_ids = list(range(100, 100 + n_noise))
+    noise_sigs = [rng.integers(1 << 20, 1 << 40, size=32).astype(np.uint64).tobytes()
+                  for _ in range(n_noise)]
+    big = pd.DataFrame({
+        "bucket": ["B"] * (n_noise + 3),
+        "doc_id": pd.Series([1, 5, 7] + noise_ids, dtype="int64"),
+        "sig": [sig_1.tobytes(), sig_57.tobytes(), sig_57.tobytes()] + noise_sigs,
+    })
+    edges_big = _star_edges_partition(big, 0.8, "doc_id").to_pandas()
+    pairs_big = set(zip(edges_big["a"], edges_big["b"]))
+    assert (5, 7) in pairs_big          # identical sigs sort adjacent
+    assert (1, 5) not in pairs_big and (1, 7) not in pairs_big
+
+    # --- simhash small bucket: exact path
     df2 = pd.DataFrame({
         "bucket": ["B", "B", "B"],
         "doc_id": pd.Series([1, 5, 7], dtype="int64"),
@@ -278,6 +294,18 @@ def test_star_chain_catches_pairs_blocked_by_dissimilar_bucket_min():
     pairs2 = set(zip(edges2["a"], edges2["b"]))
     assert (5, 7) in pairs2
     assert (1, 5) not in pairs2 and (1, 7) not in pairs2
+
+    # --- simhash large bucket: star+chain path
+    noise64 = rng.integers(1 << 50, 1 << 60, size=70).astype(np.uint64)
+    big2 = pd.DataFrame({
+        "bucket": ["B"] * 73,
+        "doc_id": pd.Series([1, 5, 7] + list(range(100, 170)), dtype="int64"),
+        "sig": np.concatenate([np.array([0xFFFF_FFFF_0000_0000, 0b1011, 0b1111],
+                                        dtype=np.uint64), noise64]),
+    })
+    edges2b = _simhash_star_edges_partition(big2, 3, "doc_id").to_pandas()
+    pairs2b = set(zip(edges2b["a"], edges2b["b"]))
+    assert (5, 7) in pairs2b
 
 
 def test_simhash_dedup_clusters_within_hamming_k(ray_session):
