@@ -297,6 +297,8 @@ class ColumnBatch:
                 # column added after snapshot: null it out on failed rows
                 self.blend(name, np.full(self.n, None, dtype=object), mask)
         for name in snap_names:
+            if name in self._cols and self._cols[name] is snapshot[name]:
+                continue  # untouched since snapshot (kernels REPLACE columns)
             old_np = _to_numpy_objects(snapshot[name])
             if name not in self._cols:
                 # column was dropped mid-pipeline: reinstate values ONLY

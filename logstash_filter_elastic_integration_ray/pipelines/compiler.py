@@ -107,17 +107,26 @@ def compile_pipeline_set(
     job does not crash.  The default ``"raise"`` keeps compile-time
     strictness for validate/test paths
     (docs/index.asciidoc:309-324)."""
-    from ..functions.base import KernelCompileError
+    import logging
 
     out: dict[str, CompiledPipeline] = {}
     for pid, definition in definitions.items():
-        if "processors" not in definition and len(definition) == 1:
-            inner_id, inner = next(iter(definition.items()))
-            if isinstance(inner, dict) and "processors" in inner:
-                pid, definition = inner_id, inner
         try:
+            if (
+                isinstance(definition, dict)
+                and "processors" not in definition
+                and len(definition) == 1
+            ):
+                inner_id, inner = next(iter(definition.items()))
+                if isinstance(inner, dict) and "processors" in inner:
+                    pid, definition = inner_id, inner
             out[pid] = compile_pipeline(pid, definition)
-        except (KernelCompileError, ValueError):
+        except Exception as e:
             if on_error != "defer":
                 raise
+            # surface the root cause once at load time — the runtime
+            # trace is only the generic "pipeline not loaded [id]" tag
+            logging.getLogger(__name__).warning(
+                "pipeline [%s] failed to load and is deferred: %s", pid, e
+            )
     return out

@@ -563,9 +563,10 @@ class EventProcessor:
 
         Binary-split isolation: retry on halves recursively and only
         at single rows mark the error.  Vectorized kernels cost O(n)
-        per apply regardless of mask width, so per-row retries would be
-        O(n²) on a 100k-row block with a batch-wide failure; splitting
-        is O(n log n) worst case and O(k log n) for k bad rows."""
+        per apply regardless of mask width, so per-row retries always
+        cost O(n²); splitting costs O(k·n·log n) for k bad rows — the
+        common one-poisoned-row case drops from O(n²) to O(n log n)
+        (all-rows-bad remains O(n²), same as before)."""
         err = np.zeros(batch.n, dtype=bool)
         pre = batch.snapshot()
 

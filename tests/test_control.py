@@ -261,15 +261,7 @@ def test_unsupported_processor_pipeline_defers_and_tags_events():
     # spec:1522-1570: set_security_user / inference / enrich fail the
     # PIPELINE load; events resolved to it are failure-tagged at
     # runtime while other pipelines keep working
-    import numpy as np
-
     from logstash_filter_elastic_integration_ray.model import META_FAILURE_MESSAGE, META_INDEX
-    from logstash_filter_elastic_integration_ray.pipelines import (
-        EventProcessor,
-        RoutingConfig,
-        compile_pipeline_set,
-    )
-    from tests.util import rows_to_table, table_to_rows
 
     defs = {
         "good": {"processors": [{"set": {"field": "ok", "value": "y"}}]},
@@ -278,6 +270,12 @@ def test_unsupported_processor_pipeline_defers_and_tags_events():
     }
     pipes = compile_pipeline_set(defs, on_error="defer")
     assert set(pipes) == {"good"}
+    # malformed definitions also defer instead of crashing the job
+    pipes2 = compile_pipeline_set(
+        {"good": defs["good"], "broken": ["not-a-dict"], "broken2": {"processors": 5}},
+        on_error="defer",
+    )
+    assert set(pipes2) == {"good"}
 
     proc = EventProcessor(
         pipes,
