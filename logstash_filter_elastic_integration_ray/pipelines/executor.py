@@ -266,7 +266,13 @@ class EventProcessor:
             return out
         t, d, ns = (batch.objects(c) for c in self._DS_COLS)
         for i in np.nonzero(need)[0]:
-            if t[i] and d[i] and ns[i]:
+            # non-string parts (e.g. a list-valued dataset) resolve to
+            # NO index (DatastreamEventToIndexNameResolverTest:65-74)
+            if (
+                isinstance(t[i], str) and t[i]
+                and isinstance(d[i], str) and d[i]
+                and isinstance(ns[i], str) and ns[i]
+            ):
                 out[i] = f"{t[i]}-{d[i]}-{ns[i]}"
         return out
 

@@ -119,3 +119,79 @@ def test_rowwise_fallback_binary_split_no_double_apply():
         else:
             assert r["s"] == f"r{i}X", r      # applied EXACTLY once
             assert "tags" not in r
+
+
+def test_datastream_resolution_reference_cases():
+    # DatastreamEventToIndexNameResolverTest.java:25-86 — missing or
+    # malformed (non-string) parts resolve to NO index
+    import numpy as np
+
+    from logstash_filter_elastic_integration_ray.model import ColumnBatch, META_INDEX
+    from logstash_filter_elastic_integration_ray.pipelines import (
+        EventProcessor,
+        RoutingConfig,
+        compile_pipeline_set,
+    )
+
+    proc = EventProcessor(compile_pipeline_set({"p": {"processors": []}}), RoutingConfig())
+
+    def resolve(rows):
+        b = ColumnBatch(num_rows=len(rows))
+        cols = {}
+        for r in rows:
+            for k in r:
+                cols.setdefault(k, [None] * len(rows))
+        for i, r in enumerate(rows):
+            for k, v in r.items():
+                cols[k][i] = v
+        for k, vals in cols.items():
+            arr = np.empty(len(rows), dtype=object)
+            arr[:] = vals
+            b.set(k, arr)
+        return list(proc._resolve_index(b))
+
+    out = resolve([
+        {"data_stream.type": "logs", "data_stream.dataset": "elastic_agent.metricbeat",
+         "data_stream.namespace": "default"},
+        {"data_stream.type": None, "data_stream.dataset": "x", "data_stream.namespace": "custom"},
+        {"data_stream.type": "logs", "data_stream.dataset": None, "data_stream.namespace": "custom"},
+        {"data_stream.type": "logs", "data_stream.dataset": "x", "data_stream.namespace": None},
+        {"data_stream.type": "logs", "data_stream.dataset": ["one", "two"],  # malformed
+         "data_stream.namespace": "custom"},
+    ])
+    assert out[0] == "logs-elastic_agent.metricbeat-default"
+    assert out[1] is None and out[2] is None and out[3] is None
+    assert out[4] is None  # non-string part → no index
+
+
+def test_sprintf_template_reference_cases():
+    # SprintfTemplateEventToPipelineNameResolverTest.java:20-51
+    import numpy as np
+
+    from logstash_filter_elastic_integration_ray.model import ColumnBatch
+    from logstash_filter_elastic_integration_ray.pipelines import (
+        EventProcessor,
+        RoutingConfig,
+        compile_pipeline_set,
+    )
+
+    def resolve(template, rows):
+        proc = EventProcessor(
+            compile_pipeline_set({"p": {"processors": []}}),
+            RoutingConfig(pipeline_template=template, use_datastream=False),
+        )
+        b = ColumnBatch(num_rows=len(rows))
+        keys = {k for r in rows for k in r}
+        for k in keys:
+            arr = np.empty(len(rows), dtype=object)
+            arr[:] = [r.get(k) for r in rows]
+            b.set(k, arr)
+        return proc._resolve_template_pipelines(b)
+
+    # constant template resolves for every event
+    assert resolve("always", [{"x": 1}, {"y": 2}]) == ["always", "always"]
+    # fully resolved
+    assert resolve("this-%{that}-%{[another][thing]}",
+                   [{"that": "TTHHAATT", "another.thing": "thang"}]) == ["this-TTHHAATT-thang"]
+    # partially resolved → no pipeline for that event
+    assert resolve("this-%{that}-%{[another][thing]}", [{"that": "TTHHAATT"}]) == [None]
