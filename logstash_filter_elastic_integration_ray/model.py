@@ -415,6 +415,45 @@ def sanitize_reserved_fields(batch: ColumnBatch) -> None:
             batch.set(TAGS, cleaned)
 
 
+def apply_timestamp_fallback(batch: ColumnBatch) -> None:
+    """Marshal-out rule for a REMOVED ``@timestamp``
+    (IngestDuplexMarshallerTest.java:187-227): when the input carried
+    the reserved field but the pipeline removed it, the output event's
+    ``@timestamp`` is repopulated from ``event.created`` when present,
+    else the event's creation time — approximated deterministically-
+    per-batch by the batch processing instant (the reference uses the
+    ingest metadata's ``now``, which is equally processing-time).
+    ``_@timestamp`` is NOT set by this path.
+
+    Only call when the INPUT batch had an ``@timestamp`` column (the
+    Logstash-shaped contract: every event carries one)."""
+    import datetime as _dt
+
+    if batch.has(RESERVED_TIMESTAMP):
+        vals = batch.objects(RESERVED_TIMESTAMP)
+        missing = np.array([v is None for v in vals], dtype=bool)
+    else:
+        missing = np.ones(batch.n, dtype=bool)
+    if not missing.any():
+        return
+    created = batch.get_objects_or_none("event.created")
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    fill = np.empty(batch.n, dtype=object)
+    fill[:] = None
+    for i in np.nonzero(missing)[0]:
+        c = created[i] if created is not None else None
+        if isinstance(c, str):
+            try:
+                c = _dt.datetime.fromisoformat(c.replace("Z", "+00:00"))
+            except ValueError:
+                c = None
+        if isinstance(c, _dt.datetime):
+            fill[i] = c if c.tzinfo is None else c.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        else:
+            fill[i] = now
+    batch.blend(RESERVED_TIMESTAMP, fill, missing)
+
+
 def append_tag(batch: ColumnBatch, mask: np.ndarray, tag: str) -> None:
     """Append ``tag`` to the ``tags`` field of masked rows (list-promote)."""
     if not mask.any():

@@ -28,8 +28,10 @@ from ..model import (
     META_INDEX,
     META_TARGET_PIPELINE,
     FAILURE_TAG_VALUE,
+    RESERVED_TIMESTAMP,
     ColumnBatch,
     append_tag,
+    apply_timestamp_fallback,
     sanitize_reserved_fields,
 )
 from .compiler import CompiledPipeline, Step
@@ -223,6 +225,11 @@ class EventProcessor:
             batch.set_scalar(META_TARGET_PIPELINE, "_none", ok)
 
         sanitize_reserved_fields(batch)
+        if RESERVED_TIMESTAMP in original:
+            # input carried the reserved field (Logstash-shaped) — a
+            # pipeline that removed it gets the event.created / now
+            # fallback (IngestDuplexMarshallerTest.java:187-227)
+            apply_timestamp_fallback(batch)
 
         if state.dropped.any():
             batch.take_mask(~state.dropped)

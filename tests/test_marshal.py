@@ -156,3 +156,46 @@ def test_geoip_spec_known_address():  # spec:1010-1032 values (stub db)
     assert r["geoip.city_name"] == "Tumba"
     assert abs(r["geoip.location.lat"] - 59.2) < 0.01
     assert abs(r["geoip.location.lon"] - 17.8167) < 0.02
+
+
+def test_removed_timestamp_falls_back_to_event_created():
+    # IngestDuplexMarshallerTest.java:205-227: a pipeline that removes
+    # @timestamp repopulates it from event.created; no _@timestamp
+    import datetime as dt
+
+    rows = run_pipeline(
+        {"processors": [
+            {"set": {"field": "event.created", "value": "2020-01-23T17:45:21.918273Z"}},
+            {"remove": {"field": "@timestamp"}},
+        ]},
+        [{"@timestamp": dt.datetime(2023, 1, 17, 23, 19, 4), "message": "hello"}],
+    )
+    assert rows[0]["@timestamp"] == dt.datetime(2020, 1, 23, 17, 45, 21, 918273)
+    assert "_@timestamp" not in rows[0]
+
+
+def test_removed_timestamp_without_event_created_gets_now():
+    # IngestDuplexMarshallerTest.java:187-203: without event.created the
+    # fallback is the processing instant (the reference uses ingest
+    # metadata `now`)
+    import datetime as dt
+
+    before = dt.datetime.utcnow() - dt.timedelta(seconds=5)
+    rows = run_pipeline(
+        {"processors": [{"remove": {"field": "@timestamp"}}]},
+        [{"@timestamp": dt.datetime(2023, 1, 17, 23, 19, 4), "message": "hello"}],
+    )
+    after = dt.datetime.utcnow() + dt.timedelta(seconds=5)
+    assert before <= rows[0]["@timestamp"] <= after
+    assert "_@timestamp" not in rows[0]
+
+
+def test_timestamp_untouched_when_pipeline_leaves_it():
+    import datetime as dt
+
+    ts = dt.datetime(2023, 1, 17, 23, 19, 4)
+    rows = run_pipeline(
+        {"processors": [{"set": {"field": "x", "value": "y"}}]},
+        [{"@timestamp": ts, "m": 1}],
+    )
+    assert rows[0]["@timestamp"] == ts
