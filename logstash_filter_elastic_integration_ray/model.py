@@ -399,6 +399,20 @@ def sanitize_reserved_fields(batch: ColumnBatch) -> None:
     if batch.has(TAGS):
         vals = batch.objects(TAGS)
 
+        # coercible shapes first: a set/tuple of strings becomes a list
+        # (IngestDuplexMarshallerTest.java:371-385 — coercible
+        # collections tag normally, only truly invalid shapes
+        # quarantine); sets sort for determinism
+        coerced = vals.copy()
+        changed = False
+        for i, v in enumerate(vals):
+            if isinstance(v, (set, tuple)) and all(isinstance(x, str) for x in v):
+                coerced[i] = sorted(v) if isinstance(v, set) else list(v)
+                changed = True
+        if changed:
+            batch.set(TAGS, coerced)
+            vals = coerced
+
         def _tags_ok(v):
             if v is None or isinstance(v, str):
                 return True

@@ -199,3 +199,21 @@ def test_timestamp_untouched_when_pipeline_leaves_it():
         [{"@timestamp": ts, "m": 1}],
     )
     assert rows[0]["@timestamp"] == ts
+
+
+def test_tags_coercible_collection_shapes():
+    # IngestDuplexMarshallerTest.java:371-425 — a coercible collection
+    # of strings tags normally (no _tags); a map shape quarantines
+    from logstash_filter_elastic_integration_ray.model import ColumnBatch, sanitize_reserved_fields
+    import numpy as np
+
+    b = ColumnBatch(num_rows=3)
+    tags = np.empty(3, dtype=object)
+    tags[:] = [("this", "that"), {"this", "that"}, {"this": "that"}]
+    b.set("tags", tags)
+    sanitize_reserved_fields(b)
+    out = b.objects("tags")
+    assert out[0] == ["this", "that"]           # tuple → list
+    assert out[1] == ["that", "this"]           # set → sorted list
+    assert out[2] is None                       # map → quarantined
+    assert b.objects("_tags")[2] == {"this": "that"}
