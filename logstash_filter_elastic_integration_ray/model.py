@@ -68,15 +68,21 @@ def _objects_to_arrow(arr: np.ndarray) -> pa.Array:
     """Best-effort object→Arrow conversion.
 
     Mixed-type columns (a thing ES documents can legally produce, e.g.
-    ``append`` promoting a scalar to a list on some rows only) fall back
-    to JSON-encoded strings so the batch stays representable.
+    ``append`` promoting a scalar to a list on some rows only, or a
+    failed row restored to its pre-pipeline string next to processed
+    list rows) fall back to a string column: values that are already
+    strings stay RAW (so a restored original is byte-identical to what
+    a string-typed column would hold), everything else JSON-encodes.
     """
     try:
         return pa.array(arr.tolist())
     except (pa.ArrowInvalid, pa.ArrowTypeError):
         import json
 
-        enc = [None if v is None else json.dumps(v, default=str) for v in arr.tolist()]
+        enc = [
+            None if v is None else (v if isinstance(v, str) else json.dumps(v, default=str))
+            for v in arr.tolist()
+        ]
         return pa.array(enc, type=pa.string())
 
 
