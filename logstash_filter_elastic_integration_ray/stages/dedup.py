@@ -399,7 +399,9 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 32, bands: int = 8, threshold: floa
     # distinct: the same star edge surfaces from up to `bands` buckets
     edges = edges.groupby(["a", "b"]).aggregate(Count(alias_name="__n")).select_columns(["a", "b"])
 
-    labels = connected_components_min_label(edges)
+    # CC partitions scale with the caller's partitioning (the edge set
+    # is candidate-only but still grows with the input)
+    labels = connected_components_min_label(edges, num_partitions=max(8, num_partitions // 4))
     return _survivors_from_labels(ds, labels, id_col, num_partitions)
 
 
@@ -593,7 +595,7 @@ def simhash_dedup(ds, id_col: str = "doc_id", k: int = 3, num_partitions: int = 
         lambda df: _simhash_star_edges_partition(df, k, id_col), batch_format="pandas"
     )
     edges = edges.groupby(["a", "b"]).aggregate(Count(alias_name="__n")).select_columns(["a", "b"])
-    labels = connected_components_min_label(edges)
+    labels = connected_components_min_label(edges, num_partitions=max(8, num_partitions // 4))
     return _survivors_from_labels(ds, labels, id_col, num_partitions)
 
 
