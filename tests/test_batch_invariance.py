@@ -101,3 +101,47 @@ def test_batch_split_invariance(seed):
 
     assert canon(whole) == canon(split), f"seed {seed}: whole-batch != per-row"
     assert canon(whole) == canon(two), f"seed {seed}: whole-batch != two-way split"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_batch_split_invariance_with_routing_and_reroute(seed):
+    # the executor's intricate paths: datastream routing, reroute with
+    # cycle detection, sub-pipelines — same batch-split invariance
+    rng = np.random.default_rng(100 + seed)
+    defs = {
+        "root": {"processors": [
+            {"set": {"field": "root_ran", "value": "y"}},
+            {"reroute": {"if": f"ctx.k == {rng.integers(0, 4)}", "dataset": "other"}},
+            {"pipeline": {"name": "sub", "if": f"ctx.k == {rng.integers(0, 4)}"}},
+            {"set": {"field": "root_done", "value": "y"}},
+        ]},
+        "other-pipe": {"processors": [
+            {"set": {"field": "other_ran", "value": "y"}},
+            {"reroute": {"if": f"ctx.k == {rng.integers(0, 4)}", "dataset": "test"}},  # maybe cycle
+        ]},
+        "sub": {"processors": [
+            {"uppercase": {"field": "text", "ignore_missing": True}},
+            {"fail": {"if": f"ctx.k == {rng.integers(0, 4)}", "message": "subboom"}},
+        ]},
+    }
+    routing = RoutingConfig(index_to_pipeline={
+        "logs-test-prod": "root",
+        "logs-other-prod": "other-pipe",
+    })
+    proc = EventProcessor(compile_pipeline_set(defs), routing)
+    rows = []
+    for i in range(13):
+        rows.append({
+            "k": int(rng.integers(0, 4)),
+            "text": str(rng.choice(["alpha beta", "x", ""])),
+            "data_stream.type": "logs",
+            "data_stream.dataset": "test",
+            "data_stream.namespace": "prod",
+        })
+    table = rows_to_table(rows)
+
+    whole = table_to_rows(proc(table))
+    split = []
+    for i in range(table.num_rows):
+        split.extend(table_to_rows(proc(table.slice(i, 1))))
+    assert whole == split, f"seed {100 + seed}: routed whole-batch != per-row"
