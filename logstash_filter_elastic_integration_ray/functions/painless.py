@@ -897,7 +897,9 @@ def default_builtins() -> dict:
         {
             ("Math", "floor"): math.floor,
             ("Math", "ceil"): math.ceil,
-            ("Math", "round"): round,
+            # Java Math.round = floor(x + 0.5) → long (NOT banker's
+            # rounding: Math.round(2.5) == 3, Python round(2.5) == 2)
+            ("Math", "round"): lambda x: math.floor(float(x) + 0.5),
             ("Math", "pow"): math.pow,
             ("Math", "sqrt"): math.sqrt,
             ("Math", "log"): math.log,

@@ -435,14 +435,15 @@ def sanitize_reserved_fields(batch: ColumnBatch) -> None:
             batch.set(TAGS, cleaned)
 
 
-def apply_timestamp_fallback(batch: ColumnBatch) -> None:
+def apply_timestamp_fallback(batch: ColumnBatch, now=None) -> None:
     """Marshal-out rule for a REMOVED ``@timestamp``
     (IngestDuplexMarshallerTest.java:187-227): when the input carried
     the reserved field but the pipeline removed it, the output event's
     ``@timestamp`` is repopulated from ``event.created`` when present,
-    else the event's creation time — approximated deterministically-
-    per-batch by the batch processing instant (the reference uses the
-    ingest metadata's ``now``, which is equally processing-time).
+    else ``now`` — a timestamp the CALLER pins once per run (the
+    executor captures it at construction, on the driver, so Ray task
+    retries and batch splits produce identical output; the reference's
+    equivalent is the ingest metadata's per-event ``now``).
     ``_@timestamp`` is NOT set by this path.
 
     Only call when the INPUT batch had an ``@timestamp`` column (the
@@ -457,7 +458,8 @@ def apply_timestamp_fallback(batch: ColumnBatch) -> None:
     if not missing.any():
         return
     created = batch.get_objects_or_none("event.created")
-    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    if now is None:
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
     fill = np.empty(batch.n, dtype=object)
     fill[:] = None
     for i in np.nonzero(missing)[0]:

@@ -118,6 +118,12 @@ class EventProcessor:
         self.pipelines = pipelines
         self.routing = routing or RoutingConfig()
         self.emit_private = emit_private
+        # pinned once on the DRIVER at construction and serialized into
+        # every worker task: the @timestamp-removed fallback stays
+        # deterministic across task retries and batch splits
+        import datetime as _dt
+
+        self.run_now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
 
     # -- map_batches entry ---------------------------------------------------
     def __call__(self, table: pa.Table) -> pa.Table:
@@ -229,7 +235,7 @@ class EventProcessor:
             # input carried the reserved field (Logstash-shaped) — a
             # pipeline that removed it gets the event.created / now
             # fallback (IngestDuplexMarshallerTest.java:187-227)
-            apply_timestamp_fallback(batch)
+            apply_timestamp_fallback(batch, now=self.run_now)
 
         if state.dropped.any():
             batch.take_mask(~state.dropped)

@@ -109,7 +109,13 @@ def asof_join_bucketed(
                 l[f.name] = l[f.name].astype("int64")
         for f in right_schema:
             if pa.types.is_integer(f.type):
-                r[f.name] = r[f.name].astype("int64" if f.name == by_right else "Int64")
+                # join keys (on/by) must be PLAIN int64 — merge_asof
+                # raises on int64-vs-Int64 key dtype mismatch; only
+                # payload columns need the nullable dtype (unmatched
+                # lefts become NaN, which pyarrow maps back to null)
+                r[f.name] = r[f.name].astype(
+                    "int64" if f.name in (by_right, on_right) else "Int64"
+                )
         l = l.sort_values(on_left, kind="mergesort").reset_index(drop=True)
         r = (
             r.sort_values([on_right] + [c for c in right_cols if c != on_right], kind="mergesort")

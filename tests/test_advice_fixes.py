@@ -129,3 +129,73 @@ def test_set_copy_from_null_source_errors_without_ignore():
     assert "tags" not in rows[0]
     assert rows[1].get("tags") == ["_ingest_pipeline_failure"]
     assert "t" not in rows[1]
+
+
+# ---------------------------------------------------------------------------
+# round-2 ADVICE.md findings
+# ---------------------------------------------------------------------------
+def test_asof_join_integer_keys(ray_session):
+    # ADVICE r2: on_right was coerced to nullable Int64, which makes
+    # pd.merge_asof raise MergeError ('incompatible merge keys') for any
+    # integer-keyed as-of join.  Keys must stay plain int64; unmatched
+    # lefts still produce nulls in the right PAYLOAD columns.
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.joins import asof_join_bucketed
+
+    left = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3], type=pa.int64()),
+        "user_id": pa.array([10, 10, 20], type=pa.int64()),
+        "seq": pa.array([50, 5, 60], type=pa.int64()),       # integer as-of key
+    }))
+    right = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array([100, 101, 102], type=pa.int64()),
+        "o_custkey": pa.array([10, 10, 20], type=pa.int64()),
+        "o_seq": pa.array([20, 40, 70], type=pa.int64()),
+    }))
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("o_orderkey", pa.int64()), ("o_seq", pa.int64()),
+    ])
+    out = asof_join_bucketed(
+        left, right, on_left="seq", on_right="o_seq",
+        by_left="user_id", by_right="o_custkey",
+        num_partitions=2, output_schema=schema,
+    ).to_pandas().set_index("event_id")
+    assert out.loc[1, "o_orderkey"] == 101      # latest o_seq ≤ 50
+    assert pa.types.is_integer(schema.field("o_seq").type)
+    import pandas as pd
+
+    assert pd.isna(out.loc[2, "o_orderkey"])    # no order at-or-before seq 5
+    assert pd.isna(out.loc[3, "o_orderkey"])    # user 20's order is at 70 > 60
+
+
+def test_math_round_java_semantics():
+    # ADVICE r2: Java Math.round is floor(x + 0.5), not banker's rounding
+    from tests.util import run_pipeline
+
+    rows = run_pipeline(
+        {"processors": [{"script": {
+            "source": "ctx.r1 = Math.round(ctx.a); ctx.r2 = Math.round(ctx.b); "
+                      "ctx.r3 = Math.round(ctx.c);"
+        }}]},
+        [{"a": 2.5, "b": 3.5, "c": -2.5}],
+    )
+    assert rows[0]["r1"] == 3       # Python round(2.5) would give 2
+    assert rows[0]["r2"] == 4
+    assert rows[0]["r3"] == -2      # floor(-2.0) — Java parity
+
+
+def test_timestamp_fallback_is_pinned_per_run():
+    # ADVICE r2: the removed-@timestamp fallback used datetime.now() per
+    # batch — nondeterministic across retries/splits.  The executor pins
+    # one run_now at construction; every batch gets the identical fill.
+    pipeline = {"processors": [{"remove": {"field": "@timestamp"}}]}
+    proc = EventProcessor(
+        compile_pipeline_set({"main": pipeline}),
+        RoutingConfig(default_pipeline="main", use_datastream=False),
+    )
+    t1 = rows_to_table([{"@timestamp": "2024-01-01T00:00:00", "v": 1}])
+    t2 = rows_to_table([{"@timestamp": "2024-02-02T00:00:00", "v": 2}])
+    out1 = table_to_rows(proc(t1))
+    out2 = table_to_rows(proc(t2))   # later batch, same run → same fill
+    assert out1[0]["@timestamp"] == out2[0]["@timestamp"] == proc.run_now
