@@ -278,8 +278,15 @@ def connected_components_min_label(edges, max_iters: int = 25, num_partitions: i
     round.  Shuffle volume per round = edge rows + label rows (near-dup
     candidates only, never the full input); labels decrease
     monotonically so the fixpoint test is a cheap Sum aggregate.
-    Converges in O(diameter) rounds — star edges keep components
-    shallow."""
+
+    Convergence: each round ALSO ships a reversed label row
+    (key=label, val=node) as a pseudo-edge, so every node pulls
+    ``label(label(node))`` — pointer-jumping-style shortcutting that
+    collapses long chains in O(log diameter) rounds instead of
+    O(diameter) (the chain-pass edges for >cap buckets can otherwise
+    build paths far deeper than ``max_iters``).  If the Sum fixpoint is
+    NOT reached within ``max_iters`` the function raises rather than
+    silently returning a split component."""
     from ray.data.aggregate import Min, Sum
 
     from .aggregate import add_partition_col
@@ -322,9 +329,22 @@ def connected_components_min_label(edges, max_iters: int = 25, num_partitions: i
                 {"key": pa.array([], type=pa.int64()), "val": pa.array([], type=pa.int64()),
                  "is_label": pa.array([], type=pa.int8())}
             )
+        node = t.column("node").combine_chunks()
+        label = t.column("label").combine_chunks()
+        # (node → label) label rows PLUS the reversed (label → node)
+        # pseudo-edge: in the propagate pass the node then receives
+        # label(label(node)) — the shortcutting that makes deep chains
+        # converge in O(log diameter) rounds
         return pa.table(
-            {"key": t.column("node"), "val": t.column("label"),
-             "is_label": pa.array(np.ones(t.num_rows, dtype=np.int8))}
+            {
+                "key": pa.concat_arrays([node, label]),
+                "val": pa.concat_arrays([label, node]),
+                "is_label": pa.array(
+                    np.concatenate(
+                        [np.ones(t.num_rows, dtype=np.int8), np.zeros(t.num_rows, dtype=np.int8)]
+                    )
+                ),
+            }
         )
 
     def propagate_partition(df: pd.DataFrame) -> pa.Table:
@@ -345,8 +365,18 @@ def connected_components_min_label(edges, max_iters: int = 25, num_partitions: i
         out = out.groupby("node", as_index=False)["label"].min()  # local pre-min
         return pa.Table.from_pandas(out, preserve_index=False, schema=_LABELS_SCHEMA).replace_schema_metadata(None)
 
+    import logging
+
+    log = logging.getLogger(__name__)
+    # memory guard: the per-round materialize() holds edges + labels in
+    # the object store — log the sizes so object-store pressure on huge
+    # edge sets is visible (they spill rather than OOM, but slowly)
+    n_edges = edges_keyed.count()
+    log.info("connected_components: %d directed edge rows, %d partitions", n_edges, num_partitions)
+
     total = labels.aggregate(Sum("label", alias_name="s"))["s"]
-    for _ in range(max_iters):
+    converged = False
+    for rnd in range(max_iters):
         combined = edges_keyed.union(
             labels.map_batches(as_label_rows, batch_format="pyarrow")
         ).map_batches(lambda b: add_partition_col(b, num_partitions, key="key"),
@@ -362,8 +392,16 @@ def connected_components_min_label(edges, max_iters: int = 25, num_partitions: i
         new_total = new_labels.aggregate(Sum("label", alias_name="s"))["s"]
         labels = new_labels
         if new_total == total:
+            converged = True
+            log.info("connected_components: fixpoint after %d rounds", rnd + 1)
             break
         total = new_total
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_min_label did not converge within {max_iters} rounds "
+            f"({n_edges} directed edge rows) — a component would silently split; "
+            "raise max_iters (convergence is O(log diameter) with shortcutting)"
+        )
     return labels
 
 

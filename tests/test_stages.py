@@ -608,3 +608,41 @@ def test_jsonl_roundtrip_preserves_types(ray_session, tmp_path):
     assert back["ts"][1] == pd.Timestamp("2024-06-01 12:30:00")
     assert back["s"][0] == "a" and pd.isna(back["s"][1])
     assert list(back["k"]) == [1, 2]
+
+
+def test_connected_components_deep_chain_converges_via_shortcutting(ray_session):
+    # ADVICE r2: one-hop-per-round propagation needs O(diameter) rounds,
+    # so a 200-node path would silently split at max_iters=25.  The
+    # reversed-label pseudo-edge (label(label(x)) pull) makes this
+    # converge in O(log diameter).
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.dedup import (
+        connected_components_min_label,
+    )
+
+    n = 200
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array(list(range(n - 1)), type=pa.int64()),
+        "b": pa.array(list(range(1, n)), type=pa.int64()),
+    }))
+    out = connected_components_min_label(edges, max_iters=25, num_partitions=4).to_pandas()
+    assert len(out) == n
+    assert (out["label"] == 0).all()        # one component, min id 0
+
+
+def test_connected_components_raises_on_non_convergence(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.dedup import (
+        connected_components_min_label,
+    )
+
+    n = 64
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array(list(range(n - 1)), type=pa.int64()),
+        "b": pa.array(list(range(1, n)), type=pa.int64()),
+    }))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_min_label(edges, max_iters=1, num_partitions=2)
