@@ -596,6 +596,21 @@ def q_embedding_dup_docs(sf_dir: str):
     return embedding_dup_pairs(emb, threshold=0.9)
 
 
+def q_embedding_dedup_docs(sf_dir: str):
+    """Embedding-cosine near-dup CLUSTERING over documents — the O(m)
+    scale path (star+chain candidate edges, deferred exact verify,
+    distributed connected components).  Output (doc_id, cluster_size):
+    one survivor per near-dup component plus singletons, same contract
+    as minhash_dedup_docs."""
+    from logstash_filter_elastic_integration_ray.stages.similarity import (
+        embedding_dedup,
+        text_feature_embedding_batch,
+    )
+
+    emb = _docs(sf_dir).map_batches(text_feature_embedding_batch, batch_format="pyarrow")
+    return embedding_dedup(emb, threshold=0.9)
+
+
 def q_multimodal_meta(sf_dir: str):
     from logstash_filter_elastic_integration_ray.stages.multimodal import decode_stage
 
@@ -875,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": q_embedding_topk,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_dup_docs": q_embedding_dup_docs,
+        "embedding_dedup_docs": q_embedding_dedup_docs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "q1_pricing": q_q1_pricing,
@@ -1043,6 +1059,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_dup_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/embedding_dup_docs.sf0_01.parquet')"
+        ),
+        "embedding_dedup_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/embedding_dedup_docs.sf0_01.parquet')"
         ),
         "exact_dedup_docs": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"

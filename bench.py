@@ -75,15 +75,32 @@ def run_bench() -> dict:
     n_rows = transcripts().count()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, dict] = {}
 
     def timed(name: str, fn, reps: int = 2):
-        best, out = None, None
-        for _ in range(reps):  # best-of-N: the box has noisy neighbors
+        """Median-of-5 for sub-5 s queries (the box has noisy
+        neighbors — medians make round-over-round regressions
+        attributable); longer queries run ``reps`` times and report
+        the median of those.  Per-query min/max spread is emitted
+        alongside so a noisy round is visible as such."""
+        import statistics
+
+        times: list[float] = []
+        out = None
+        t0 = time.time()
+        out = fn()
+        times.append(time.time() - t0)
+        total = 5 if times[0] < 5.0 else reps
+        while len(times) < total:
             t0 = time.time()
-            out = fn()
-            el = time.time() - t0
-            best = el if best is None or el < best else best
-        timings[name] = round(best, 3)
+            fn()
+            times.append(time.time() - t0)
+        timings[name] = round(statistics.median(times), 3)
+        spreads[name] = {
+            "n": len(times),
+            "min": round(min(times), 3),
+            "max": round(max(times), 3),
+        }
         return out
 
     ref = broadcast(INTEGRATIONS_LOOKUP)
@@ -206,6 +223,22 @@ def run_bench() -> dict:
 
     timed("minhash_dedup_dup_heavy_16x", minhash_dup_heavy, reps=1)
 
+    def embedding_dedup_dup_heavy():
+        # mirror of the minhash stress for the embedding path: every
+        # doc ×16 (identical text → identical feature-hash embedding),
+        # so every LSH bucket holds ≥16 identical-signature members —
+        # star+chain candidate edges must keep the bucket work O(m)
+        from logstash_filter_elastic_integration_ray.stages.similarity import (
+            embedding_dedup,
+            text_feature_embedding_batch,
+        )
+
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        emb = heavy.map_batches(text_feature_embedding_batch, batch_format="pyarrow")
+        return embedding_dedup(emb, threshold=0.9).count()
+
+    timed("embedding_dedup_dup_heavy_16x", embedding_dedup_dup_heavy, reps=1)
+
     def ivf_probe_scaling():
         # probe cost must scale with nprobe/nlist, not dataset size:
         # time the SAME query at nprobe=2 vs full probe (nprobe=nlist)
@@ -281,6 +314,7 @@ def run_bench() -> dict:
         "value": headline_sec,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spreads,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "n_turns": int(n_rows),

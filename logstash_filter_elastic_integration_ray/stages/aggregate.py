@@ -134,10 +134,17 @@ def conv_partial_batch(batch: pa.Table, hash_mode: str = "fast") -> pa.Table:
 
 
 def add_partition_col(batch: pa.Table, num_partitions: int, key: str = "conv_id") -> pa.Table:
-    part = (
-        pd.util.hash_array(np.asarray(batch.column(key).to_pylist(), dtype=object), categorize=False)
-        % np.uint64(num_partitions)
-    ).astype(np.int64)
+    col = batch.column(key)
+    if pa.types.is_integer(col.type):
+        # numeric fast path: hash the int64 buffer directly — no
+        # per-row Python object materialization
+        vals = col.to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(vals) % np.uint64(num_partitions)).astype(np.int64)
+    else:
+        part = (
+            pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object), categorize=False)
+            % np.uint64(num_partitions)
+        ).astype(np.int64)
     return batch.append_column("__part", pa.array(part))
 
 

@@ -142,29 +142,55 @@ def minhash_signatures_batch(texts: list, hasher: MinHasher) -> np.ndarray:
     return sigs
 
 
+_BAND_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_BAND_FNV_PRIME = np.uint64(0x9E3779B97F4A7C15)
+
+
+def band_bucket_keys(sig_matrix: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) int64 bucket keys: an FNV-style 64-bit mix of each
+    band's signature slice, vectorized over docs (replaces the per-doc
+    f-string + md5 loop that dominated the band-explode stage).  Shared
+    by the engine, the pytest oracle and the fixture generator so all
+    three agree on bucket membership by construction."""
+    n, num_perm = sig_matrix.shape
+    rows_per = num_perm // bands
+    keys = np.empty((n, bands), dtype=np.int64)
+    mask57 = np.int64((1 << 57) - 1)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            h = np.full(n, _BAND_FNV_OFFSET, dtype=np.uint64)
+            for c in range(b * rows_per, (b + 1) * rows_per):
+                h = (h ^ sig_matrix[:, c].astype(np.uint64)) * _BAND_FNV_PRIME
+            keys[:, b] = (np.int64(b) << np.int64(57)) | (h.view(np.int64) & mask57)
+    return keys
+
+
+def _fixed_binary_rows(sig_matrix: np.ndarray) -> pa.Array:
+    """(n, num_perm) uint64 → FixedSizeBinary array of the row bytes —
+    one buffer, no per-row ``tobytes()``."""
+    n, num_perm = sig_matrix.shape
+    buf = pa.py_buffer(np.ascontiguousarray(sig_matrix).tobytes())
+    return pa.Array.from_buffers(pa.binary(num_perm * 8), n, [None, buf])
+
+
 def minhash_band_rows(
     batch: pa.Table, hasher: MinHasher, bands: int, text_col: str = "text", id_col: str = "doc_id"
 ) -> pa.Table:
-    """Explode each doc to one row per LSH band: (bucket, doc_id, sig)."""
+    """Explode each doc to one row per LSH band: (bucket, doc_id, sig)
+    — fully vectorized: one signature kernel, one band-key mix, one
+    signature buffer shared across bands via Arrow ``take``."""
     texts = batch.column(text_col).to_pylist()
-    ids = batch.column(id_col).to_numpy()
-    rows_per = hasher.num_perm // bands
+    ids = batch.column(id_col).to_numpy().astype(np.int64)
+    n = len(texts)
     sig_matrix = minhash_signatures_batch(texts, hasher)
-    buckets, out_ids, sigs = [], [], []
-    for i in range(len(texts)):
-        sig = sig_matrix[i]
-        sig_bytes = sig.tobytes()
-        for b in range(bands):
-            chunk = sig[b * rows_per : (b + 1) * rows_per]
-            bucket = f"{b}:{hashlib.md5(chunk.tobytes()).hexdigest()[:16]}"
-            buckets.append(bucket)
-            out_ids.append(int(ids[i]))
-            sigs.append(sig_bytes)
+    keys = band_bucket_keys(sig_matrix, bands)  # (n, bands)
+    sig_arr = _fixed_binary_rows(sig_matrix)
+    tile_idx = pa.array(np.tile(np.arange(n, dtype=np.int64), bands))
     return pa.table(
         {
-            "bucket": pa.array(buckets, type=pa.string()),
-            id_col: pa.array(out_ids, type=pa.int64()),
-            "sig": pa.array(sigs, type=pa.binary()),
+            "bucket": pa.array(keys.T.ravel()),  # band-major, matches np.tile below
+            id_col: pa.array(np.tile(ids, bands)),
+            "sig": sig_arr.take(tile_idx),
         }
     )
 
@@ -209,10 +235,14 @@ def _star_edges_partition(df: pd.DataFrame, threshold: float, id_col: str) -> pa
 
     - bucket ≤ ``_EXACT_BUCKET_CAP``: **exact** — one m×m signature
       agreement matrix, every qualifying pair emitted (bounded cost).
-    - larger buckets: two O(m) passes — **star** (each member vs the
-      bucket-min; identical-doc buckets collapse to one shallow star)
-      plus **chain** (consecutive members sorted by signature bytes,
-      so an LSH-false-positive bucket-min can't block true pairs).
+    - larger buckets: IDENTICAL-signature groups collapse to stars
+      (group-min → members; agreement is 1.0 by identity, and star
+      shape keeps the components loop at O(1) rounds where a chain
+      through a g-member identical group would cost O(log g)), then
+      two O(r) passes over the DISTINCT-signature representatives —
+      **star** (each rep vs the rep-min) plus **chain** (consecutive
+      reps in signature order, so an LSH-false-positive rep-min can't
+      block true pairs); ≤ cap reps get exact all-pairs agreement.
       Components only need CONNECTIVITY, not every edge, so the
       approximation costs recall only when a >cap bucket holds several
       distinct near-dup groups whose signatures interleave."""
@@ -222,6 +252,9 @@ def _star_edges_partition(df: pd.DataFrame, threshold: float, id_col: str) -> pa
     def emit(x: int, y: int) -> None:
         edges_a.append(min(x, y))
         edges_b.append(max(x, y))
+
+    vec_a: list[np.ndarray] = []
+    vec_b: list[np.ndarray] = []
 
     for _, g in df.groupby("bucket", sort=False):
         if len(g) < 2:
@@ -241,55 +274,72 @@ def _star_edges_partition(df: pd.DataFrame, threshold: float, id_col: str) -> pa
             for x, y in _local_component_stars(ids, iu[0][hit], iu[1][hit]):
                 emit(x, y)
             continue
-        order = np.argsort(ids, kind="stable")
-        root = order[0]
-        members = order[1:]
-        agree = (sigs[members] == sigs[root][None, :]).mean(axis=1)
+        # (sig bytes, id) sort → identical-sig groups adjacent, min id first
+        order = np.lexsort((ids,) + tuple(sigs[:, c] for c in range(sigs.shape[1] - 1, -1, -1)))
+        s_sorted, i_sorted = sigs[order], ids[order]
+        new_grp = np.r_[True, (s_sorted[1:] != s_sorted[:-1]).any(axis=1)]
+        starts = np.flatnonzero(new_grp)
+        sizes = np.diff(np.r_[starts, len(ids)])
+        vec_a.append(np.repeat(i_sorted[starts], sizes - 1).astype(np.int64))
+        vec_b.append(i_sorted[~new_grp].astype(np.int64))
+        rep_ids, rep_sigs = i_sorted[starts], s_sorted[starts]
+        if len(starts) < 2:
+            continue
+        ro = np.argsort(rep_ids, kind="stable")
+        root = ro[0]
+        members = ro[1:]
+        agree = (rep_sigs[members] == rep_sigs[root][None, :]).mean(axis=1)
         for m in members[agree >= threshold]:
-            emit(int(ids[root]), int(ids[m]))
-        # chain pass: sort by signature bytes (ids as tie-break)
-        sig_keys = [sigs[i].tobytes() for i in range(len(ids))]
-        chain = sorted(range(len(ids)), key=lambda i: (sig_keys[i], int(ids[i])))
-        prev = np.array(chain[:-1])
-        nxt = np.array(chain[1:])
-        c_agree = (sigs[prev] == sigs[nxt]).mean(axis=1)
-        for p, q in zip(prev[c_agree >= threshold], nxt[c_agree >= threshold]):
-            emit(int(ids[p]), int(ids[q]))
-    return pa.table({"a": pa.array(edges_a, type=pa.int64()), "b": pa.array(edges_b, type=pa.int64())})
+            emit(int(rep_ids[root]), int(rep_ids[m]))
+        # chain pass over reps (already in signature order)
+        c_agree = (rep_sigs[:-1] == rep_sigs[1:]).mean(axis=1)
+        for p in np.nonzero(c_agree >= threshold)[0]:
+            emit(int(rep_ids[p]), int(rep_ids[p + 1]))
+    a = np.concatenate([np.asarray(edges_a, dtype=np.int64)] + vec_a) if (edges_a or vec_a) else np.array([], dtype=np.int64)
+    b = np.concatenate([np.asarray(edges_b, dtype=np.int64)] + vec_b) if (edges_b or vec_b) else np.array([], dtype=np.int64)
+    return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
 
 _LABELS_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
 
 def connected_components_min_label(edges, max_iters: int = 25, num_partitions: int = 8):
-    """Distributed connected components by iterative min-label
-    propagation — the all-Dataset replacement for a driver union-find.
+    """Distributed connected components — the all-Dataset replacement
+    for a driver union-find.
 
     ``edges`` is a Dataset of int64 columns (a, b).  Returns a Dataset
     (node, label) for every node incident to an edge, where label = the
     component's minimum node id.
 
-    Each round is join-free (``Dataset.join`` chokes on the zero-column
-    empty blocks Ray aggregates can emit): edge rows (key=src, val=dst)
-    and label rows (key=node, val=label) are co-partitioned by key, one
-    vectorized pandas pass per partition propagates each key's current
-    label to its neighbours *and* pre-minimizes locally, then a global
-    ``groupby(node).min`` merges — the MapReduce connected-components
-    round.  Shuffle volume per round = edge rows + label rows (near-dup
-    candidates only, never the full input); labels decrease
-    monotonically so the fixpoint test is a cheap Sum aggregate.
+    Each round is ONE join-free co-partition exchange (``Dataset.join``
+    chokes on the zero-column empty blocks Ray aggregates can emit):
+    directed edge rows (key=src, val=dst) and the previous round's
+    label rows (key=node, val=label) hash-partition by key, and each
+    partition runs a LOCAL vectorized connected-components pass
+    (min-relax + pointer-jumping compression over its full edge view —
+    label links count as union edges, since a label value is always a
+    node id of the same component).  A chain that is locally visible
+    collapses in one round, so the outer loop needs O(1) rounds for
+    star/clique components and O(log(cross-partition hops)) for deep
+    chains — never O(diameter).
 
-    Convergence: each round ALSO ships a reversed label row
-    (key=label, val=node) as a pseudo-edge, so every node pulls
-    ``label(label(node))`` — pointer-jumping-style shortcutting that
-    collapses long chains in O(log diameter) rounds instead of
-    O(diameter) (the chain-pass edges for >cap buckets can otherwise
-    build paths far deeper than ``max_iters``).  If the Sum fixpoint is
-    NOT reached within ``max_iters`` the function raises rather than
-    silently returning a split component."""
-    from ray.data.aggregate import Min, Sum
+    Fixpoint detection: each partition emits a sentinel row counting
+    how many node labels it improved; a round with zero improvements
+    everywhere is the global fixpoint (any improvable edge would have
+    improved in the partition that holds it).  If the fixpoint is NOT
+    reached within ``max_iters`` the function RAISES rather than
+    silently returning a split component.  Per-round shuffle volume =
+    edge rows + label rows (near-dup candidates only, never the full
+    input); rounds materialize() their label rows — required for
+    iterative Datasets — so the object store holds edges + one label
+    generation (sizes logged as a memory guard)."""
+    import logging
+
+    from ray.data.aggregate import Min
 
     from .aggregate import add_partition_col
+
+    _ROW_SCHEMA = pa.schema([("key", pa.int64()), ("val", pa.int64()), ("is_label", pa.int8())])
 
     def bidir(t: pa.Table) -> pa.Table:
         src = pa.concat_arrays([t.column("a").combine_chunks(), t.column("b").combine_chunks()])
@@ -300,109 +350,72 @@ def connected_components_min_label(edges, max_iters: int = 25, num_partitions: i
 
     edges_keyed = edges.map_batches(bidir, batch_format="pyarrow").materialize()
 
-    # initial labels: label(node) = min(neighbours ∪ self) — star
-    # components (the common dedup shape) reach their fixpoint in this
-    # single groupby, so the loop below usually runs exactly one
-    # confirming round
-    def nbr_and_self(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": pa.concat_arrays(
-                    [t.column("key").combine_chunks(), t.column("key").combine_chunks()]
-                ),
-                "label": pa.concat_arrays(
-                    [t.column("val").combine_chunks(), t.column("key").combine_chunks()]
-                ),
-            }
-        )
-
-    labels = (
-        edges_keyed.map_batches(nbr_and_self, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
-    )
-
-    def as_label_rows(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "node" not in t.column_names:
-            return pa.table(
-                {"key": pa.array([], type=pa.int64()), "val": pa.array([], type=pa.int64()),
-                 "is_label": pa.array([], type=pa.int8())}
-            )
-        node = t.column("node").combine_chunks()
-        label = t.column("label").combine_chunks()
-        # (node → label) label rows PLUS the reversed (label → node)
-        # pseudo-edge: in the propagate pass the node then receives
-        # label(label(node)) — the shortcutting that makes deep chains
-        # converge in O(log diameter) rounds
-        return pa.table(
-            {
-                "key": pa.concat_arrays([node, label]),
-                "val": pa.concat_arrays([label, node]),
-                "is_label": pa.array(
-                    np.concatenate(
-                        [np.ones(t.num_rows, dtype=np.int8), np.zeros(t.num_rows, dtype=np.int8)]
-                    )
-                ),
-            }
-        )
-
     def propagate_partition(df: pd.DataFrame) -> pa.Table:
-        lab = df[df["is_label"] == 1].groupby("key")["val"].min()
-        e = df[df["is_label"] == 0]
-        nbr_nodes = e["val"].to_numpy(dtype=np.int64)
-        nbr_labels = lab.reindex(e["key"]).to_numpy()
-        # every key carries a label row (initialized above); guard anyway
-        miss = pd.isna(nbr_labels)
-        if miss.any():
-            nbr_labels = np.where(miss, e["key"].to_numpy(), nbr_labels)
-        out = pd.DataFrame(
-            {
-                "node": np.concatenate([nbr_nodes, lab.index.to_numpy(dtype=np.int64)]),
-                "label": np.concatenate([nbr_labels.astype(np.int64), lab.to_numpy(dtype=np.int64)]),
-            }
-        )
-        out = out.groupby("node", as_index=False)["label"].min()  # local pre-min
-        return pa.Table.from_pandas(out, preserve_index=False, schema=_LABELS_SCHEMA).replace_schema_metadata(None)
-
-    import logging
+        src = df["key"].to_numpy(dtype=np.int64)
+        dst = df["val"].to_numpy(dtype=np.int64)
+        nodes = np.unique(np.concatenate([src, dst]))
+        lab = nodes.copy()  # label(node) starts at self
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        for _ in range(64):  # local fixpoint: O(log local diameter)
+            new = lab.copy()
+            np.minimum.at(new, si, lab[di])
+            np.minimum.at(new, di, lab[si])
+            # compression: label <- label(label); a label value is in
+            # `nodes` only if it occurs in this partition
+            li = np.searchsorted(nodes, new)
+            ok = (li < len(nodes)) & (nodes[np.minimum(li, len(nodes) - 1)] == new)
+            new[ok] = np.minimum(new[ok], lab[li[ok]])
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        return pa.table({"key": pa.array(nodes), "val": pa.array(lab),
+                         "is_label": pa.array(np.ones(len(nodes), dtype=np.int8))}).cast(_ROW_SCHEMA)
 
     log = logging.getLogger(__name__)
-    # memory guard: the per-round materialize() holds edges + labels in
-    # the object store — log the sizes so object-store pressure on huge
-    # edge sets is visible (they spill rather than OOM, but slowly)
     n_edges = edges_keyed.count()
     log.info("connected_components: %d directed edge rows, %d partitions", n_edges, num_partitions)
 
-    total = labels.aggregate(Sum("label", alias_name="s"))["s"]
+    # fixpoint test: each (partition, node) cell's emitted label is
+    # monotone non-increasing and the emission structure (which
+    # partition emits which nodes) is fixed by the edge set, so the SUM
+    # of all emitted labels is strictly decreasing until — and only
+    # until — the global fixpoint (one cheap scan, no extra shuffle)
+    label_rows = None
+    prev_sum = None
     converged = False
     for rnd in range(max_iters):
-        combined = edges_keyed.union(
-            labels.map_batches(as_label_rows, batch_format="pyarrow")
-        ).map_batches(lambda b: add_partition_col(b, num_partitions, key="key"),
-                      batch_format="pyarrow")
-        new_labels = (
-            combined.repartition(num_partitions)
+        combined = edges_keyed if label_rows is None else edges_keyed.union(label_rows)
+        label_rows = (
+            combined.map_batches(
+                lambda b: add_partition_col(b, num_partitions, key="key"), batch_format="pyarrow"
+            )
+            .repartition(num_partitions)
             .groupby("__part")
             .map_groups(propagate_partition, batch_format="pandas")
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
-        new_total = new_labels.aggregate(Sum("label", alias_name="s"))["s"]
-        labels = new_labels
-        if new_total == total:
+        s = label_rows.sum("val")
+        if s == prev_sum:
             converged = True
             log.info("connected_components: fixpoint after %d rounds", rnd + 1)
             break
-        total = new_total
+        prev_sum = s
     if not converged:
         raise RuntimeError(
             f"connected_components_min_label did not converge within {max_iters} rounds "
-            f"({n_edges} directed edge rows) — a component would silently split; "
-            "raise max_iters (convergence is O(log diameter) with shortcutting)"
+            f"({n_edges} directed edge rows) - a component would silently split; "
+            "raise max_iters (convergence is O(log cross-partition hops) per the local-CC rounds)"
         )
-    return labels
+
+    def to_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("key"), "label": t.column("val")})
+
+    return (
+        label_rows.map_batches(to_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+    )
 
 
 def minhash_lsh_dedup(ds, *, num_perm: int = 32, bands: int = 8, threshold: float = 0.8,
@@ -509,22 +522,43 @@ def _survivors_from_labels(ds, labels, id_col: str, num_partitions: int):
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
+def simhash_codes_batch(texts: list) -> np.ndarray:
+    """64-bit SimHash per doc as uint64 — ONE ``hash_array`` call plus
+    a ``reduceat`` bit-vote per chunk of docs (the per-doc Python loop
+    was the remaining hot spot of the simhash path).  Chunked like
+    :func:`minhash_signatures_batch` so the (tokens × 64) bit
+    temporary stays bounded."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    bit_idx = np.arange(64, dtype=np.uint64)[None, :]
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    start = 0
+    while start < n:
+        words: list[str] = []
+        offsets = [0]
+        end = start
+        while end < n and (len(words) < _SHINGLE_CHUNK or end == start):
+            words.extend((texts[end] or "").split(" "))  # never empty: ''.split(' ') == ['']
+            offsets.append(len(words))
+            end += 1
+        h = _hash64(words)
+        bits = ((h[:, None] >> bit_idx) & np.uint64(1)).astype(np.int32)  # (tokens, 64)
+        starts = np.array(offsets[:-1], dtype=np.int64)
+        counts = np.diff(offsets)  # every segment ≥ 1 token
+        sums = np.add.reduceat(bits, starts, axis=0)  # (docs, 64)
+        votes = sums * 2 - counts[:, None]
+        out[start:end] = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        start = end
+    return out
+
+
 def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """64-bit SimHash per doc (token-hash bit voting, vectorized)."""
-    texts = batch.column(text_col).to_pylist()
-    out = []
-    for t in texts:
-        words = (t or "").split(" ")
-        if not words:
-            out.append("0" * 16)
-            continue
-        h = _hash64(words)  # uint64 per token
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-        votes = bits.sum(axis=0) * 2 - len(words)
-        sim = np.uint64(0)
-        for bit in np.nonzero(votes > 0)[0]:
-            sim |= np.uint64(1) << np.uint64(bit)
-        out.append(f"{int(sim):016x}")
+    """64-bit SimHash per doc (token-hash bit voting, vectorized) —
+    hex-string output for the public query surface."""
+    codes = simhash_codes_batch(batch.column(text_col).to_pylist())
+    out = [f"{int(c):016x}" for c in codes]
     return pa.table({id_col: batch.column(id_col), "simhash": pa.array(out, type=pa.string())})
 
 
@@ -551,9 +585,8 @@ def simhash_block_rows(batch: pa.Table, k: int, id_col: str = "doc_id") -> pa.Ta
     is a complete candidate filter.  One row per (doc, block)."""
     nb = k + 1
     widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
-    sigs_t = simhash_batch(batch, id_col=id_col)
-    ids = sigs_t.column(id_col).to_numpy()
-    s = np.array([int(x, 16) for x in sigs_t.column("simhash").to_pylist()], dtype=np.uint64)
+    ids = batch.column(id_col).to_numpy()
+    s = simhash_codes_batch(batch.column("text").to_pylist())
     buckets, out_ids, out_sigs = [], [], []
     off = 0
     for b, w in enumerate(widths):
@@ -587,6 +620,9 @@ def _simhash_star_edges_partition(df: pd.DataFrame, k: int, id_col: str) -> pa.T
         edges_a.append(min(x, y))
         edges_b.append(max(x, y))
 
+    vec_a: list[np.ndarray] = []
+    vec_b: list[np.ndarray] = []
+
     for _, g in df.groupby("bucket", sort=False):
         if len(g) < 2:
             continue
@@ -599,19 +635,30 @@ def _simhash_star_edges_partition(df: pd.DataFrame, k: int, id_col: str) -> pa.T
             for x, y in _local_component_stars(ids, iu[0][hit], iu[1][hit]):
                 emit(x, y)
             continue
-        order = np.argsort(ids, kind="stable")
-        root = order[0]
-        members = order[1:]
-        ham = hamming64(sigs[members], np.full(len(members), sigs[root], dtype=np.uint64))
+        # identical-signature groups → stars; star+chain over the
+        # distinct-signature representatives (see _star_edges_partition)
+        order = np.lexsort((ids, sigs))
+        s_sorted, i_sorted = sigs[order], ids[order]
+        new_grp = np.r_[True, s_sorted[1:] != s_sorted[:-1]]
+        starts = np.flatnonzero(new_grp)
+        sizes = np.diff(np.r_[starts, len(ids)])
+        vec_a.append(np.repeat(i_sorted[starts], sizes - 1).astype(np.int64))
+        vec_b.append(i_sorted[~new_grp].astype(np.int64))
+        rep_ids, rep_sigs = i_sorted[starts], s_sorted[starts]
+        if len(starts) < 2:
+            continue
+        ro = np.argsort(rep_ids, kind="stable")
+        root = ro[0]
+        members = ro[1:]
+        ham = hamming64(rep_sigs[members], np.full(len(members), rep_sigs[root], dtype=np.uint64))
         for m in members[ham <= k]:
-            emit(int(ids[root]), int(ids[m]))
-        chain = sorted(range(len(ids)), key=lambda i: (int(sigs[i]), int(ids[i])))
-        prev = np.array(chain[:-1])
-        nxt = np.array(chain[1:])
-        c_ham = hamming64(sigs[prev], sigs[nxt])
-        for p, q in zip(prev[c_ham <= k], nxt[c_ham <= k]):
-            emit(int(ids[p]), int(ids[q]))
-    return pa.table({"a": pa.array(edges_a, type=pa.int64()), "b": pa.array(edges_b, type=pa.int64())})
+            emit(int(rep_ids[root]), int(rep_ids[m]))
+        c_ham = hamming64(rep_sigs[:-1], rep_sigs[1:])
+        for p in np.nonzero(c_ham <= k)[0]:
+            emit(int(rep_ids[p]), int(rep_ids[p + 1]))
+    a = np.concatenate([np.asarray(edges_a, dtype=np.int64)] + vec_a) if (edges_a or vec_a) else np.array([], dtype=np.int64)
+    b = np.concatenate([np.asarray(edges_b, dtype=np.int64)] + vec_b) if (edges_b or vec_b) else np.array([], dtype=np.int64)
+    return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
 
 def simhash_dedup(ds, id_col: str = "doc_id", k: int = 3, num_partitions: int = 32):

@@ -19,6 +19,11 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+# module-level (NOT function-level): these are used inside map_groups
+# UDFs that execute on workers, where the package is pickled by value
+# and function-level relative imports raise ModuleNotFoundError
+from .dedup import hamming64
+
 
 def _to_matrix(col) -> np.ndarray:
     """list<float> column → (n, d) float64 matrix, zero-copy-ish."""
@@ -266,80 +271,357 @@ def text_feature_embedding_batch(batch: pa.Table, dim: int = 64,
     )
 
 
+# --------------------------------------------------------------------------
+# embedding near-dup: SRP-LSH candidates → deferred exact verification
+# --------------------------------------------------------------------------
+def pair_cosines(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise cosine of two (n, d) NORMALIZED float64 matrices — the
+    single canonical kernel: the engine's verify stage and the
+    plain-Python fixture generator both call THIS, so pinned cosine
+    values are bit-identical by construction."""
+    return np.einsum("ij,ij->i", a, b)
+
+
+def srp_signature_rows(t: pa.Table, *, num_bits: int, bands: int, seed: int,
+                       id_col: str, emb_col: str) -> pa.Table:
+    """Per batch: random-hyperplane (SRP/Charikar STOC'02) bit
+    signatures → one THIN row per (doc, band): (bucket, id, sig).
+    ``sig`` is the full packed ``num_bits``-bit signature (uint64, so
+    num_bits ≤ 64); the float embedding does NOT ride the shuffle."""
+    assert num_bits <= 64
+    m = _normalize(_to_matrix(t.column(emb_col)))
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(m.shape[1], num_bits))  # same every batch
+    bits = (m @ planes) > 0  # (n, num_bits)
+    packed = (bits.astype(np.uint64) * (np.uint64(1) << np.arange(num_bits, dtype=np.uint64))).sum(
+        axis=1, dtype=np.uint64
+    )
+    ids = t.column(id_col).to_numpy().astype(np.int64)
+    bits_per_band = num_bits // bands
+    n = len(ids)
+    band_mask = np.uint64((1 << bits_per_band) - 1)
+    keys = np.empty(bands * n, dtype=np.int64)
+    for b in range(bands):
+        block = (packed >> np.uint64(b * bits_per_band)) & band_mask
+        keys[b * n : (b + 1) * n] = (np.int64(b) << np.int64(57)) | block.astype(np.int64)
+    return pa.table(
+        {
+            "bucket": pa.array(keys),
+            id_col: pa.array(np.tile(ids, bands)),
+            "sig": pa.array(np.tile(packed, bands)),
+        }
+    )
+
+
+def hamming_cap(threshold: float, num_bits: int) -> int:
+    """Hamming prefilter bound: a true pair at cosine == threshold has
+    expected signature distance num_bits·θ/π; keep candidates within
+    +5σ of that (binomial), so the prune loses essentially nothing
+    while killing the random-pair false-positive bulk in-bucket."""
+    import math
+
+    p = math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    mu = num_bits * p
+    sd = math.sqrt(num_bits * p * (1.0 - p))
+    return min(num_bits - 1, int(math.ceil(mu + 5.0 * sd)))
+
+
+_PAIR_CHUNK = 512  # rows per hamming block: memory ≤ chunk × bucket
+
+
+def _hamming_pairs_bucket(ids: np.ndarray, sigs: np.ndarray, ham_cap: int,
+                          emit_a: list, emit_b: list) -> None:
+    """All (a<b) id pairs in one bucket within hamming ≤ cap — chunked
+    vectorized popcount, memory O(chunk × m), never an m×m float
+    matrix."""
+    m = len(ids)
+    for s in range(0, m, _PAIR_CHUNK):
+        e = min(s + _PAIR_CHUNK, m)
+        ham = hamming64(sigs[s:e][:, None], sigs[None, :])  # (chunk, m)
+        rr, cc = np.nonzero(ham <= ham_cap)
+        keep = (rr + s) < cc  # upper triangle only
+        ia, ib = ids[rr[keep] + s], ids[cc[keep]]
+        emit_a.append(np.minimum(ia, ib))
+        emit_b.append(np.maximum(ia, ib))
+
+
+def _srp_candidate_pairs_partition(df: pd.DataFrame, ham_cap: int, id_col: str) -> pa.Table:
+    """Per bucket: candidate (a, b) pairs passing the hamming
+    prefilter.  Thin in and thin out — 16-byte pair rows; exact cosine
+    verification happens later against the co-partitioned embeddings."""
+    out_a: list = []
+    out_b: list = []
+    for _, g in df.groupby("bucket", sort=False):
+        if len(g) < 2:
+            continue
+        _hamming_pairs_bucket(
+            g[id_col].to_numpy(), g["sig"].to_numpy().astype(np.uint64), ham_cap, out_a, out_b
+        )
+    a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+    b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+    return pa.table({"a": pa.array(a.astype(np.int64)), "b": pa.array(b.astype(np.int64))})
+
+
+def _srp_candidate_edges_partition(df: pd.DataFrame, ham_cap: int, id_col: str,
+                                   exact_cap: int) -> pa.Table:
+    """Per bucket: candidate EDGES for clustering — O(m) per bucket
+    AND star-shaped for identical-signature groups, so the dup-heavy
+    case converges in O(1) component rounds:
+
+    1. IDENTICAL-signature groups collapse to stars (group-min →
+       members) — an identical-doc megagroup contributes O(g) shallow
+       edges instead of an O(g)-diameter chain that costs the
+       connected-components loop O(log g) extra rounds.
+    2. Cross-group candidates run over one REPRESENTATIVE per distinct
+       signature: all hamming-passing rep pairs when ≤ ``exact_cap``
+       reps, else star+chain over reps.  (Member-level cross edges are
+       collapsed to rep-level — the documented connectivity
+       approximation, same contract as the MinHash path.)
+
+    All candidate edges are still verified later by exact cosine."""
+    out_a: list = []
+    out_b: list = []
+    for _, g in df.groupby("bucket", sort=False):
+        if len(g) < 2:
+            continue
+        ids = g[id_col].to_numpy()
+        sigs = g["sig"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, sigs))  # (sig, id) — ids ascend within a group
+        s_sorted, i_sorted = sigs[order], ids[order]
+        new_grp = np.r_[True, s_sorted[1:] != s_sorted[:-1]]
+        starts = np.flatnonzero(new_grp)
+        sizes = np.diff(np.r_[starts, len(ids)])
+        # group stars: root (min id) → other members, hamming 0 ≤ cap
+        out_a.append(np.repeat(i_sorted[starts], sizes - 1))
+        out_b.append(i_sorted[~new_grp])
+        rep_ids, rep_sigs = i_sorted[starts], s_sorted[starts]
+        r = len(starts)
+        if r < 2:
+            continue
+        if r <= exact_cap:
+            _hamming_pairs_bucket(rep_ids, rep_sigs, ham_cap, out_a, out_b)
+            continue
+        ro = np.argsort(rep_ids, kind="stable")
+        root = ro[0]
+        members = ro[1:]
+        ham = hamming64(rep_sigs[members], np.full(len(members), rep_sigs[root], dtype=np.uint64))
+        hit = members[ham <= ham_cap]
+        out_a.append(np.minimum(rep_ids[root], rep_ids[hit]))
+        out_b.append(np.maximum(rep_ids[root], rep_ids[hit]))
+        # chain over reps (already sig-sorted): near-identical distinct
+        # signatures sit adjacent, so a dissimilar rep-min can't block
+        c_ham = hamming64(rep_sigs[:-1], rep_sigs[1:])
+        ok = c_ham <= ham_cap
+        out_a.append(np.minimum(rep_ids[:-1][ok], rep_ids[1:][ok]))
+        out_b.append(np.maximum(rep_ids[:-1][ok], rep_ids[1:][ok]))
+    a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+    b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+    return pa.table({"a": pa.array(a.astype(np.int64)), "b": pa.array(b.astype(np.int64))})
+
+
+_PAIR_SCORE_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())]
+)
+
+
+def _normalized_emb_rows(ds, id_col: str, emb_col: str):
+    def rows(t: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(t.column(emb_col)))
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                "emb": pa.array(list(m), type=pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(rows, batch_format="pyarrow")
+
+
+def attach_pair_cosines(pairs, emb_rows, threshold: float, *, id_col: str = "doc_id",
+                        num_partitions: int = 32):
+    """Exact cosine for a Dataset of candidate (a, b) pairs, keeping
+    those ≥ threshold → (a, b, cosine).
+
+    Two join-free co-partition passes (``Dataset.join`` chokes on
+    aggregate-derived sides): pass 1 keys pairs by ``a`` alongside the
+    normalized embedding rows and attaches ``emb_a``; pass 2 re-keys by
+    ``b``, attaches ``emb_b`` and scores with :func:`pair_cosines`.
+    The embedding table ships ≤ 2× total (once per pass) — never
+    ×bands — and pair rows are 16 bytes until scoring."""
+    from .aggregate import add_partition_col
+
+    emb_type = pa.list_(pa.float64())
+
+    def pair_rows_pass1(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t.column("a").cast(pa.int64()),
+                "other": t.column("b").cast(pa.int64()),
+                "emb": pa.nulls(n, type=emb_type),
+                "carry": pa.nulls(n, type=emb_type),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def emb_rows_keyed(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t.column(id_col).cast(pa.int64()),
+                "other": pa.nulls(n, type=pa.int64()),
+                "emb": t.column("emb"),
+                "carry": pa.nulls(n, type=emb_type),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    def attach_a(df: pd.DataFrame) -> pa.Table:
+        lookup = df[df["side"] == 1].set_index("key")["emb"]
+        p = df[df["side"] == 0]
+        emb_a = lookup.reindex(p["key"]).to_numpy()
+        ok = np.array([e is not None for e in emb_a], dtype=bool)
+        # re-key by b for pass 2, carrying emb_a
+        n = int(ok.sum())
+        return pa.table(
+            {
+                "key": pa.array(p["other"].to_numpy()[ok].astype(np.int64)),
+                "other": pa.array(p["key"].to_numpy()[ok].astype(np.int64)),
+                "emb": pa.nulls(n, type=emb_type),
+                "carry": pa.array([list(e) for e in emb_a[ok]], type=emb_type),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def score_b(df: pd.DataFrame) -> pa.Table:
+        lookup = df[df["side"] == 1].set_index("key")["emb"]
+        p = df[df["side"] == 0]
+        if not len(p):
+            return _PAIR_SCORE_SCHEMA.empty_table()
+        emb_b = lookup.reindex(p["key"]).to_numpy()
+        ok = np.array([e is not None for e in emb_b], dtype=bool)
+        p = p[ok]
+        if not len(p):
+            return _PAIR_SCORE_SCHEMA.empty_table()
+        a_m = np.vstack([np.asarray(e, dtype=np.float64) for e in p["carry"]])
+        b_m = np.vstack([np.asarray(e, dtype=np.float64) for e in emb_b[ok]])
+        cos = pair_cosines(a_m, b_m)
+        hit = cos >= threshold
+        return pa.table(
+            {
+                "a": pa.array(p["other"].to_numpy()[hit].astype(np.int64)),
+                "b": pa.array(p["key"].to_numpy()[hit].astype(np.int64)),
+                "cosine": pa.array(np.round(cos[hit], 9)),
+            }
+        )
+
+    def one_pass(rows, fn):
+        parts = rows.map_batches(
+            lambda b: add_partition_col(b, num_partitions, key="key"), batch_format="pyarrow"
+        )
+        return parts.repartition(num_partitions).groupby("__part").map_groups(
+            fn, batch_format="pandas"
+        )
+
+    pass1 = one_pass(
+        pairs.map_batches(pair_rows_pass1, batch_format="pyarrow").union(
+            emb_rows.map_batches(emb_rows_keyed, batch_format="pyarrow")
+        ),
+        attach_a,
+    )
+    return one_pass(
+        pass1.union(emb_rows.map_batches(emb_rows_keyed, batch_format="pyarrow")), score_b
+    )
+
+
 def embedding_dup_pairs(ds, threshold: float = 0.9, *, num_bits: int = 64, bands: int = 8,
                         seed: int = 42, id_col: str = "doc_id", emb_col: str = "embedding",
                         num_partitions: int = 32):
-    """Distributed embedding-cosine near-dup pairs — the scale path.
+    """Distributed embedding-cosine near-dup pairs: (a, b, cosine) for
+    every LSH-candidate pair with exact cosine ≥ threshold, a < b.
 
-    Random-hyperplane LSH (SRP/SimHash for vectors, Charikar STOC'02):
-    per batch, project onto ``num_bits`` seeded hyperplanes → bit
-    signature → ``bands`` bucket keys; vectors sharing any band land in
-    one bucket, where an all-pairs matmul (bounded by bucket size)
-    verifies true cosine ≥ threshold.  Output (a, b, cosine), a < b,
-    deduped across bands by one groupby.  Shuffle volume = bands ×
-    input embeddings; no O(n²) anywhere global, and nothing touches the
-    driver.  Recall is the standard LSH trade-off (≥ ~0.98 for cosine ≥
-    0.9 at 8×8 bits — measured in tests); precision is exact."""
-    from ray.data.aggregate import Max
+    Scale shape (the round-2 review's ×bands float shuffle and
+    uncapped in-bucket m² matmul are both gone):
+
+    1. THIN band rows — (bucket, id, packed 64-bit SRP signature),
+       24 B/row; the float embedding never rides the band shuffle.
+    2. Per bucket: hamming prefilter (chunked vectorized popcount,
+       memory O(chunk×m)) keeps only pairs whose signature distance is
+       consistent with cosine ≥ threshold (+5σ) — random-pair false
+       positives die here, in-bucket, as 0 bytes of output.
+    3. One global (a, b) groupby dedupes candidates across bands — a
+       pair sharing 5 bands is verified once, not 5×.
+    4. :func:`attach_pair_cosines` co-partitions candidates with the
+       normalized embeddings (shipped ≤2× total) and scores exactly in
+       float64.
+
+    Output size is inherently O(#qualifying pairs) — a megagroup of k
+    identical docs owes k(k-1)/2 rows.  When the consumer only needs
+    clusters/survivors, use :func:`embedding_dedup` (O(m) end to end).
+    Recall is the standard LSH trade-off (measured in tests); precision
+    is exact."""
+    from ray.data.aggregate import Count
 
     from .aggregate import add_partition_col
 
-    bits_per_band = num_bits // bands
-
-    def band_rows(t: pa.Table) -> pa.Table:
-        m = _normalize(_to_matrix(t.column(emb_col)))
-        rng = np.random.default_rng(seed)
-        planes = rng.normal(size=(m.shape[1], num_bits))  # same every batch
-        bits = (m @ planes) > 0  # (n, num_bits)
-        ids = t.column(id_col).to_numpy()
-        weights = 1 << np.arange(bits_per_band, dtype=np.int64)
-        buckets, out_ids, embs = [], [], []
-        for b in range(bands):
-            block = bits[:, b * bits_per_band : (b + 1) * bits_per_band]
-            key = (np.int64(b) << np.int64(57)) | (block @ weights)
-            buckets.append(key)
-            out_ids.append(ids)
-            embs.append(m)
-        return pa.table(
-            {
-                "bucket": pa.array(np.concatenate(buckets)),
-                id_col: pa.array(np.concatenate(out_ids).astype(np.int64)),
-                emb_col: pa.array(
-                    [row.tolist() for chunk in embs for row in chunk], type=pa.list_(pa.float64())
-                ),
-            }
-        )
-
-    def pairs_partition(df: pd.DataFrame) -> pa.Table:
-        out_a, out_b, out_c = [], [], []
-        for _, g in df.groupby("bucket", sort=False):
-            if len(g) < 2:
-                continue
-            order = np.argsort(g[id_col].to_numpy(), kind="stable")
-            ids = g[id_col].to_numpy()[order]
-            m = np.vstack(g[emb_col].to_numpy()[order])
-            sims = m @ m.T
-            iu = np.triu_indices(len(ids), k=1)
-            hit = sims[iu] >= threshold
-            out_a.extend(ids[iu[0][hit]].tolist())
-            out_b.extend(ids[iu[1][hit]].tolist())
-            out_c.extend(np.round(sims[iu][hit], 9).tolist())
-        return pa.table(
-            {
-                "a": pa.array(out_a, type=pa.int64()),
-                "b": pa.array(out_b, type=pa.int64()),
-                "cosine": pa.array(out_c, type=pa.float64()),
-            }
-        )
-
-    rows = ds.map_batches(band_rows, batch_format="pyarrow")
+    cap = hamming_cap(threshold, num_bits)
+    rows = ds.map_batches(
+        lambda t: srp_signature_rows(
+            t, num_bits=num_bits, bands=bands, seed=seed, id_col=id_col, emb_col=emb_col
+        ),
+        batch_format="pyarrow",
+    )
     parts = rows.map_batches(
         lambda b: add_partition_col(b, num_partitions, key="bucket"), batch_format="pyarrow"
     )
-    pairs = parts.repartition(num_partitions).groupby("__part").map_groups(
-        pairs_partition, batch_format="pandas"
+    cands = parts.repartition(num_partitions).groupby("__part").map_groups(
+        lambda df: _srp_candidate_pairs_partition(df, cap, id_col), batch_format="pandas"
     )
-    return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
+    cands = cands.groupby(["a", "b"]).aggregate(Count(alias_name="__n")).select_columns(["a", "b"])
+    emb_rows = _normalized_emb_rows(ds, id_col, emb_col)
+    return attach_pair_cosines(
+        cands, emb_rows, threshold, id_col=id_col, num_partitions=num_partitions
+    )
+
+
+def embedding_dedup(ds, threshold: float = 0.9, *, num_bits: int = 64, bands: int = 8,
+                    seed: int = 42, id_col: str = "doc_id", emb_col: str = "embedding",
+                    num_partitions: int = 32):
+    """Embedding-cosine near-dup CLUSTERING → survivors Dataset
+    (doc_id, cluster_size) — the O(m) scale path (same output contract
+    as :func:`~..stages.dedup.minhash_lsh_dedup`).
+
+    Thin SRP band rows → star+chain candidate edges per bucket (O(m)
+    even for dup-heavy megabuckets) → exact float64 verification of
+    the O(m) edge set via :func:`attach_pair_cosines` → distributed
+    min-label connected components → survivors/singletons.  Nothing is
+    ever O(m²) in time, memory, shuffle or output."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import _EXACT_BUCKET_CAP, _survivors_from_labels, connected_components_min_label
+    from .aggregate import add_partition_col
+
+    cap = hamming_cap(threshold, num_bits)
+    rows = ds.map_batches(
+        lambda t: srp_signature_rows(
+            t, num_bits=num_bits, bands=bands, seed=seed, id_col=id_col, emb_col=emb_col
+        ),
+        batch_format="pyarrow",
+    )
+    parts = rows.map_batches(
+        lambda b: add_partition_col(b, num_partitions, key="bucket"), batch_format="pyarrow"
+    )
+    edges = parts.repartition(num_partitions).groupby("__part").map_groups(
+        lambda df: _srp_candidate_edges_partition(df, cap, id_col, _EXACT_BUCKET_CAP),
+        batch_format="pandas",
+    )
+    edges = edges.groupby(["a", "b"]).aggregate(Count(alias_name="__n")).select_columns(["a", "b"])
+    emb_rows = _normalized_emb_rows(ds, id_col, emb_col)
+    verified = attach_pair_cosines(
+        edges, emb_rows, threshold, id_col=id_col, num_partitions=num_partitions
+    ).select_columns(["a", "b"])
+    labels = connected_components_min_label(verified, num_partitions=max(8, num_partitions // 4))
+    return _survivors_from_labels(ds, labels, id_col, num_partitions)
 
 
 def cosine_dup_pairs(matrix: np.ndarray, ids: np.ndarray, threshold: float = 0.95,

@@ -5,6 +5,38 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 
+def _register_package_by_value() -> None:
+    """Mirror __ray_entry__: ship the package to workers by VALUE, so
+    tests behave the same from any cwd (module-level UDFs referenced
+    from closures pickle by reference otherwise and workers can't
+    import the repo)."""
+    import importlib
+    import pkgutil
+
+    import logstash_filter_elastic_integration_ray as _pkg
+
+    for info in pkgutil.walk_packages(_pkg.__path__, _pkg.__name__ + "."):
+        if info.name.endswith("__main__"):
+            continue
+        try:
+            importlib.import_module(info.name)
+        except ImportError:  # pragma: no cover
+            pass
+    try:
+        from ray import cloudpickle as _cp
+    except ImportError:  # pragma: no cover
+        return
+    for name, mod in list(sys.modules.items()):
+        if name == _pkg.__name__ or name.startswith(_pkg.__name__ + "."):
+            try:
+                _cp.register_pickle_by_value(mod)
+            except Exception:  # pragma: no cover
+                pass
+
+
+_register_package_by_value()
+
+
 @pytest.fixture(scope="session")
 def ray_session():
     """One Ray session for the whole pytest run (driver instruction)."""

@@ -190,16 +190,18 @@ def test_minhash_lsh_matches_bruteforce_components(ray_session):
     ids = list(range(len(docs)))
     t = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": docs})
 
-    hasher = MinHasher(num_perm=32)
-    bands, rows_per = 8, 4
-    sigs = {i: hasher.signature(d) for i, d in zip(ids, docs)}
-    import hashlib as _hl
+    from logstash_filter_elastic_integration_ray.stages.dedup import band_bucket_keys
 
-    buckets: dict[str, list[int]] = {}
+    hasher = MinHasher(num_perm=32)
+    bands = 8
+    sigs = {i: hasher.signature(d) for i, d in zip(ids, docs)}
+
+    buckets: dict[int, list[int]] = {}
     for i in ids:
+        # per-doc keys via the shared (pure, non-distributed) key mix
+        keys = band_bucket_keys(sigs[i][None, :], bands)[0]
         for b in range(bands):
-            chunk = sigs[i][b * rows_per : (b + 1) * rows_per]
-            buckets.setdefault(f"{b}:{_hl.md5(chunk.tobytes()).hexdigest()[:16]}", []).append(i)
+            buckets.setdefault(int(keys[b]), []).append(i)
     parent = {i: i for i in ids}
 
     def find(x):
@@ -646,3 +648,77 @@ def test_connected_components_raises_on_non_convergence(ray_session):
     }))
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components_min_label(edges, max_iters=1, num_partitions=2)
+
+
+def _bruteforce_cosine_clusters(m, ids, threshold):
+    """Independent oracle: union-find over ALL exact cosine-≥-threshold
+    pairs → {survivor_id: cluster_size} including singletons."""
+    from logstash_filter_elastic_integration_ray.stages.similarity import cosine_dup_pairs
+
+    pairs = cosine_dup_pairs(m, ids, threshold=threshold)
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for i in ids:
+        out[find(int(i))] = out.get(find(int(i)), 0) + 1
+    return out
+
+
+def test_embedding_dedup_matches_bruteforce_clusters(ray_session):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.similarity import embedding_dedup
+
+    rng = np.random.default_rng(17)
+    n, d = 240, 32
+    m = rng.normal(size=(n, d))
+    for i in range(0, n, 8):        # plant twin + triplet clusters
+        m[i + 1] = m[i] + rng.normal(scale=0.03, size=d)
+        if i + 2 < n and i % 16 == 0:
+            m[i + 2] = m[i] + rng.normal(scale=0.03, size=d)
+    ids = np.arange(n)
+    t = pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([row.tolist() for row in m], type=pa.list_(pa.float64())),
+    })
+    got_df = embedding_dedup(rd.from_arrow(t), threshold=0.9).to_pandas()
+    got = dict(zip(got_df["doc_id"].astype(int), got_df["cluster_size"].astype(int)))
+    expected = _bruteforce_cosine_clusters(m, ids, 0.9)
+    # LSH recall can miss a candidate pair; at this scale/seed it must
+    # agree fully — an inequality here means a real regression
+    assert got == expected
+
+
+def test_embedding_dedup_dup_heavy_16x(ray_session):
+    # the adversarial megabucket case: every doc replicated 16× with
+    # IDENTICAL embeddings.  Survivors = one per original with
+    # cluster_size ≥ 16; no stage may go O(m²) (covered by the bench
+    # stress; here we pin correctness)
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.similarity import embedding_dedup
+
+    rng = np.random.default_rng(23)
+    n_base, d, reps = 40, 32, 16
+    base = rng.normal(size=(n_base, d))
+    m = np.repeat(base, reps, axis=0)
+    ids = np.arange(n_base * reps)
+    t = pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([row.tolist() for row in m], type=pa.list_(pa.float64())),
+    })
+    got = embedding_dedup(rd.from_arrow(t), threshold=0.9).to_pandas()
+    expected = _bruteforce_cosine_clusters(m, ids, 0.9)
+    assert dict(zip(got["doc_id"].astype(int), got["cluster_size"].astype(int))) == expected
+    assert (got["cluster_size"] >= reps).all() or (got["cluster_size"] == 1).any() is False
+    assert len(got) <= n_base

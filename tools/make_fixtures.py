@@ -1,15 +1,17 @@
 """Regenerate the pinned expected-output fixtures for the queries whose
-semantics are not ANSI-SQL-expressible (MinHash-LSH / SimHash near-dup
-clustering, IVF approximate top-k).
+semantics are not ANSI-SQL-expressible (MinHash-LSH / SimHash /
+embedding near-dup clustering, embedding dup pairs, IVF approximate
+top-k).
 
-Their outputs ARE deterministic (seeded hashers, deterministic
-centroids, order-canonicalized results), so the driver oracle for them
-is ``SELECT * FROM read_parquet('<fixture>')`` — the expected output
-pinned at the driver's correctness scale (sf0.01).  Each fixture is
-independently cross-checked in pytest against a plain-Python
-reimplementation (see tests/test_stages.py: brute-force union-find for
-minhash, hamming search for simhash, exact-vs-full-probe for IVF), so
-the fixture pins a verified result rather than just echoing the engine.
+The fixtures are generated from the PLAIN-PYTHON reference
+implementations in ``tools/reference_impls.py`` — single-process
+union-find over verified pairs, global exact top-k — NOT by running
+the engine (VERDICT r2 #2: a fixture produced by the engine itself
+would only pin determinism, not correctness).  The engine's distributed
+pipelines (banding shuffles, star+chain edges, min-label-propagation
+components, survivor assembly, partial top-k merges) must then
+reproduce these independently-derived tables byte-for-byte for the
+driver oracle to pass.
 
 Usage: python tools/make_fixtures.py [sf_dir]
 """
@@ -19,38 +21,40 @@ from __future__ import annotations
 import os
 import sys
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FIXTURE_QUERIES = ["minhash_dedup_docs", "simhash_docs", "embedding_topk_ivf", "embedding_dup_docs"]
+import reference_impls as ref  # noqa: E402
+
+
+def _canonical(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-
-    import ray
-
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-
-    import __ray_entry__ as e
-
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
     os.makedirs(out_dir, exist_ok=True)
-    qs = e.queries()
-    for name in FIXTURE_QUERIES:
-        df = qs[name](sf_dir).to_pandas()
-        df = df[sorted(df.columns)].sort_values(sorted(df.columns), kind="mergesort").reset_index(drop=True)
+
+    ids, texts = ref.load_documents(sf_dir)
+    tables = {
+        "minhash_dedup_docs": ref.minhash_clusters_reference(ids, texts),
+        "simhash_docs": ref.simhash_clusters_reference(ids, texts),
+        "embedding_dup_docs": ref.embedding_dup_pairs_reference(sf_dir),
+        "embedding_dedup_docs": ref.embedding_dedup_reference(sf_dir),
+        "embedding_topk_ivf": ref.ivf_topk_reference(sf_dir),
+    }
+    for name, df in tables.items():
+        df = _canonical(df)
         path = os.path.join(out_dir, f"{name}.{tag}.parquet")
-        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None), path)
         print(f"wrote {path}: {len(df)} rows, cols={list(df.columns)}")
-    ray.shutdown()
 
 
 if __name__ == "__main__":
