@@ -30,7 +30,7 @@ _TOKEN = re.compile(
         (?P<num>\d+\.\d+|\d+)
       | (?P<str>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
       | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
-      | (?P<op>\+\+|--|\+=|-=|\*=|/=|==|!=|<=|>=|&&|\|\||\?\.|\?:|[-+*/%<>=!?:.,;(){}\[\]])
+      | (?P<op>\+\+|--|\+=|-=|\*=|/=|==~|=~|==|!=|<=|>=|&&|\|\||\?\.|\?:|[-+*/%<>=!?:.,;(){}\[\]])
     )""",
     re.X,
 )
@@ -45,11 +45,59 @@ class PainlessError(ValueError):
     pass
 
 
+#: a '/' starts a REGEX literal (not division) when the previous token
+#: cannot end a value — the standard JS/painless tokenizer heuristic
+_VALUE_ENDERS = {")", "]", "}", "++", "--"}
+
+
+def _prev_is_value(out: list[tuple[str, str]]) -> bool:
+    if not out:
+        return False
+    kind, val = out[-1]
+    if kind in ("num", "str", "regex"):
+        return True
+    if kind == "id":
+        return val not in _KEYWORDS or val in ("true", "false", "null")
+    return val in _VALUE_ENDERS
+
+
+def _scan_regex(src: str, pos: int) -> tuple[tuple[str, str], int]:
+    """``/pattern/flags`` starting at src[pos] == '/'."""
+    i = pos + 1
+    while i < len(src):
+        c = src[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "/":
+            break
+        if c == "\n":
+            raise PainlessError("unterminated regex literal")
+        i += 1
+    else:
+        raise PainlessError("unterminated regex literal")
+    pat = src[pos + 1 : i]
+    i += 1
+    flags = ""
+    while i < len(src) and src[i] in "cilmsUux":
+        flags += src[i]
+        i += 1
+    return ("regex", pat + "\x00" + flags), i
+
+
 def _tokenize(src: str) -> list[tuple[str, str]]:
     out, pos = [], 0
     src = re.sub(r"//[^\n]*", "", src)
     src = re.sub(r"/\*.*?\*/", "", src, flags=re.S)
     while pos < len(src):
+        while pos < len(src) and src[pos] in " \t\r\n":
+            pos += 1
+        if pos >= len(src):
+            break
+        if src[pos] == "/" and not _prev_is_value(out):
+            tok, pos = _scan_regex(src, pos)
+            out.append(tok)
+            continue
         m = _TOKEN.match(src, pos)
         if not m:
             if src[pos:].strip() == "":
@@ -90,8 +138,31 @@ class _Parser:
     def parse_program(self) -> list:
         stmts = []
         while self.peek()[0] != "eof":
+            # user-defined function: Type name(Type a, Type b) { ... }
+            # (painless requires declarations before the main body;
+            # distinguished from `Type name = ...` by the '(')
+            if (self.peek()[0] == "id" and self.peek()[1] in _TYPES
+                    and self.peek(1)[0] == "id" and self.peek(1)[1] not in _KEYWORDS
+                    and self.peek(2) == ("op", "(")):
+                stmts.append(self.parse_funcdef())
+                continue
             stmts.append(self.parse_stmt())
         return stmts
+
+    def parse_funcdef(self):
+        self.eat()  # return type
+        name = self.eat(kind="id")[1]
+        self.eat("(")
+        params: list[str] = []
+        while self.peek() != ("op", ")"):
+            if self.peek()[0] == "id" and self.peek()[1] in _TYPES:
+                self.eat()  # parameter type
+            params.append(self.eat(kind="id")[1])
+            if self.peek() == ("op", ","):
+                self.eat(",")
+        self.eat(")")
+        body = self.parse_block()
+        return ("funcdef", name, params, body)
 
     def parse_block(self) -> list:
         if self.peek() == ("op", "{"):
@@ -222,9 +293,14 @@ class _Parser:
 
     def parse_cmp(self):
         node = self.parse_add()
-        while self.peek()[0] == "op" and self.peek()[1] in ("==", "!=", "<", "<=", ">", ">="):
+        while self.peek()[0] == "op" and self.peek()[1] in (
+            "==", "!=", "<", "<=", ">", ">=", "=~", "==~",
+        ):
             op = self.eat()[1]
-            node = ("cmp", op, node, self.parse_add())
+            if op in ("=~", "==~"):
+                node = ("match", op, node, self.parse_add())
+            else:
+                node = ("cmp", op, node, self.parse_add())
         return node
 
     def parse_add(self):
@@ -275,11 +351,26 @@ class _Parser:
                 idx = self.parse_expr()
                 self.eat("]")
                 node = ("index", node, idx)
+            elif t == ("op", "(") and node[0] == "name":
+                # bare call — a user-defined function: add(1, 2)
+                self.eat("(")
+                args = []
+                if self.peek() != ("op", ")"):
+                    args.append(self.parse_expr())
+                    while self.peek() == ("op", ","):
+                        self.eat(",")
+                        args.append(self.parse_expr())
+                self.eat(")")
+                node = ("ucall", node[1], args)
             else:
                 return node
 
     def parse_primary(self):
         kind, val = self.peek()
+        if kind == "regex":
+            self.eat()
+            pat, _, flags = val.partition("\x00")
+            return ("lit_regex", pat, flags)
         if kind == "num":
             self.eat()
             return ("lit", float(val) if "." in val else int(val))
@@ -363,7 +454,9 @@ class _Continue(Exception):
 
 
 class _Return(Exception):
-    pass
+    def __init__(self, value=None):
+        super().__init__()
+        self.value = value
 
 
 _MAX_LOOP_ITERS = 100_000  # painless has its own loop counter limit
@@ -516,10 +609,20 @@ class _CtxRef:
         return _CtxRef(f"{self.path}.{name}" if self.path else name)
 
 
+_MAX_CALL_DEPTH = 64
+
+
 class Interpreter:
     def __init__(self, statements: list, builtin_calls: dict):
-        self.statements = statements
+        # user-defined functions are hoisted out of the body (painless
+        # requires them to precede the main statements)
+        self.functions: dict[str, tuple[list[str], list]] = {
+            s[1]: (s[2], s[3]) for s in statements if s[0] == "funcdef"
+        }
+        self.statements = [s for s in statements if s[0] != "funcdef"]
         self.builtins = builtin_calls
+        self._regex_cache: dict[tuple[str, str], object] = {}
+        self._depth = 0
 
     def run_row(self, rowctx: RowCtx, base_env: dict | None = None) -> None:
         env: dict[str, object] = dict(base_env or {})
@@ -602,7 +705,9 @@ class Interpreter:
                     continue
             return
         if op == "return":
-            raise _Return()
+            raise _Return(
+                None if s[1] is None else self._deref(self._eval(s[1], rc, env), rc)
+            )
         if op == "break":
             raise _Break()
         if op == "continue":
@@ -658,10 +763,63 @@ class Interpreter:
     def _truthy(v) -> bool:
         return bool(v)
 
+    _REGEX_FLAG_MAP = {"i": re.I, "m": re.M, "s": re.S, "x": re.X, "u": 0, "U": 0, "c": 0}
+
+    def _compiled_regex(self, pat: str, flags: str):
+        key = (pat, flags)
+        got = self._regex_cache.get(key)
+        if got is None:
+            f = 0
+            for ch in flags:
+                if ch == "l":
+                    raise PainlessError("unsupported regex flag 'l' (LITERAL)")
+                f |= self._REGEX_FLAG_MAP.get(ch, 0)
+            try:
+                got = re.compile(pat, f)
+            except re.error as exc:
+                raise PainlessError(f"invalid regex literal /{pat}/: {exc}") from exc
+            self._regex_cache[key] = got
+        return got
+
     def _eval(self, node, rc: RowCtx, env: dict):
         op = node[0]
         if op == "lit":
             return node[1]
+        if op == "lit_regex":
+            return self._compiled_regex(node[1], node[2])
+        if op == "match":
+            lhs = self._deref(self._eval(node[2], rc, env), rc)
+            rhs = self._deref(self._eval(node[3], rc, env), rc)
+            if not hasattr(rhs, "search"):
+                raise PainlessError("right operand of =~ / ==~ must be a regex")
+            if lhs is None:
+                # Java Matcher on null throws — surfaces as script failure
+                raise PainlessError("null operand for =~ / ==~")
+            s = lhs if isinstance(lhs, str) else _num_str(lhs) if isinstance(lhs, (int, float)) else str(lhs)
+            # =~ is Matcher.find (substring), ==~ is Matcher.matches (entire)
+            return (rhs.search(s) if node[1] == "=~" else rhs.fullmatch(s)) is not None
+        if op == "ucall":
+            fn = self.functions.get(node[1])
+            if fn is None:
+                raise PainlessError(f"unknown function {node[1]!r}")
+            params, body = fn
+            args = [self._deref(self._eval(a, rc, env), rc) for a in node[2]]
+            if len(args) != len(params):
+                raise PainlessError(
+                    f"{node[1]}() takes {len(params)} args, got {len(args)}"
+                )
+            if self._depth >= _MAX_CALL_DEPTH:
+                raise PainlessError("max call depth exceeded")
+            self._depth += 1
+            try:
+                fenv = dict(zip(params, args))
+                try:
+                    self._exec_block(body, rc, fenv)
+                except _Return as r:
+                    return r.value
+                return None
+            finally:
+                self._depth -= 1
         if op == "lit_new":
             return {} if "Map" in node[1] else []
         if op == "list":

@@ -249,3 +249,54 @@ def test_float_modulo_java_sign():
         [{"a": -7.0, "b": 10.0}],
     )
     assert rows[0]["m"] == -7.0  # Java double %: sign of dividend
+
+
+# ---------------------------------------------------------------------------
+# round-3: regex literals (=~, ==~) and user-defined functions
+# ---------------------------------------------------------------------------
+def test_regex_find_and_match_operators():
+    rows = _script(
+        "ctx.has_err = ctx.msg =~ /error/; "
+        "ctx.is_code = ctx.msg ==~ /[A-Z]+-\\d+/;",
+        [{"msg": "an error occurred"}, {"msg": "ABC-123"}, {"msg": "fine"}],
+    )
+    assert [r["has_err"] for r in rows] == [True, False, False]
+    assert [r["is_code"] for r in rows] == [False, True, False]
+
+
+def test_regex_case_insensitive_flag_and_if():
+    rows = _script(
+        "if (ctx.ua =~ /windows/i) { ctx.os = 'win' } else { ctx.os = 'other' }",
+        [{"ua": "Mozilla (Windows NT)"}, {"ua": "curl/8"}],
+    )
+    assert [r["os"] for r in rows] == ["win", "other"]
+
+
+def test_division_still_parses_after_regex_support():
+    rows = _script("ctx.half = ctx.n / 2; ctx.q = (ctx.n + 2) / 2;", [{"n": 10}])
+    assert rows[0]["half"] == 5 and rows[0]["q"] == 6
+
+
+def test_user_defined_function():
+    rows = _script(
+        "int twice(int x) { return x * 2; } "
+        "String label(def v) { if (v > 10) { return 'big' } return 'small' } "
+        "ctx.t = twice(ctx.n); ctx.l = label(twice(ctx.n));",
+        [{"n": 3}, {"n": 7}],
+    )
+    assert [r["t"] for r in rows] == [6, 14]
+    assert [r["l"] for r in rows] == ["small", "big"]
+
+
+def test_user_function_recursion_depth_guard():
+    rows = _script(
+        "int boom(int x) { return boom(x + 1); } ctx.v = boom(0);",
+        [{"n": 1}],
+    )
+    # runaway recursion fails the row loudly (failure tag), not the batch
+    assert rows[0].get("tags") == ["_ingest_pipeline_failure"]
+
+
+def test_regex_matcher_on_null_fails_row():
+    rows = _script("ctx.m = ctx.missing =~ /x/;", [{"n": 1}])
+    assert rows[0].get("tags") == ["_ingest_pipeline_failure"]
