@@ -26,6 +26,7 @@ import struct
 import numpy as np
 
 from ..model import ColumnBatch, append_tag
+from ..state.geoip_holder import managed_reader
 from .base import Kernel, KernelCompileError, register_processor
 from .grok import _normalize_field_path
 from .parse import _per_row  # top-level: function-level relative imports fail on
@@ -377,7 +378,13 @@ class GeoIpKernel(Kernel):
        ``state/mmdb.py`` (public format spec), loaded once per worker
        process and cached (mirrors the reference's per-pipeline managed
        database holder, ``geoip/ManagedIpDatabaseHolder.java:63-76``);
-    3. none — the event is tagged
+    3. ``use_manager`` — the HOT-SWAP path: a named detached holder
+       actor serves versioned database bytes
+       (``state/geoip_holder.py``), polled at most every
+       ``manager_poll_seconds``; readers swap atomically between
+       batches with no dropped rows, mirroring the reference's managed
+       RW-lock holder (``geoip/ManagedIpDatabaseHolder.java:63-76``);
+    4. none — the event is tagged
        ``_geoip_database_unavailable_<name>`` and passes through
        unchanged, exactly the reference behavior (spec:1045,
        ``geoip/IpDatabaseProvider.java:80-99``)."""
@@ -396,8 +403,11 @@ class GeoIpKernel(Kernel):
             import os
 
             self.database_path = os.path.join(config["database_directory"], self.database_file)
+        self.use_manager = bool(config.get("use_manager", False))
+        self.manager_poll_seconds = float(config.get("manager_poll_seconds", 30.0))
         self.ignore_missing = bool(config.get("ignore_missing", False))
         self._ip_cache: dict[str, dict] = {}
+        self._cache_version = -1
 
     def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
         if self.database is not None:
@@ -413,7 +423,13 @@ class GeoIpKernel(Kernel):
 
             return _per_row(self, batch, mask, parse)
 
-        reader = _load_mmdb(self.database_path) if self.database_path else None
+        if self.use_manager:
+            reader, version = managed_reader(self.database_file, self.manager_poll_seconds)
+            if version != self._cache_version:
+                self._ip_cache = {}  # a swapped database invalidates per-IP results
+                self._cache_version = version
+        else:
+            reader = _load_mmdb(self.database_path) if self.database_path else None
         if reader is None:
             append_tag(batch, mask, f"_geoip_database_unavailable_{self.database_file}")
             return None

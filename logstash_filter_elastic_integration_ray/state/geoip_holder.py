@@ -1,0 +1,121 @@
+"""Managed GeoIP database holder — hot-swap parity with the reference.
+
+The reference hot-reloads mmdb files under a read/write lock and swaps
+the live reader when the file on disk changes
+(``geoip/ManagedIpDatabaseHolder.java:63-76``,
+``IpDatabaseProvider.java:80-99``).  The Ray-native equivalent is a
+NAMED DETACHED ACTOR holding the database bytes with a monotonically
+increasing version per database name:
+
+- the control plane (driver, or an ops script) pushes new bytes with
+  :meth:`GeoIpDatabaseHolder.set_db` — the actor's single-threaded
+  execution is the write lock;
+- every ``GeoIpKernel`` worker keeps a per-worker-process cached
+  ``MmdbReader`` (on the ``ray`` module object — plain module globals
+  are re-pickled per task) and polls the actor AT MOST once per
+  ``poll_seconds`` with its known version; the actor ships bytes back
+  ONLY when the version moved, so steady-state polls are a tiny int
+  round trip, and readers swap atomically between batches — rows are
+  never dropped, each batch is enriched by exactly one database
+  generation.
+
+No holder actor / Ray not initialized → the kernel falls back to the
+path-based load (and to the ``_geoip_database_unavailable_<name>`` tag,
+spec:1045)."""
+
+from __future__ import annotations
+
+import time
+
+# module-level (NOT function-level): managed_reader runs on workers,
+# where the package ships by value and function-level imports fail
+from .mmdb import MmdbReader
+
+HOLDER_NAME = "graft_geoip_holder"
+HOLDER_NAMESPACE = "graft_geoip"
+
+
+def _holder_cls():
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class GeoIpDatabaseHolder:
+        def __init__(self):
+            self._dbs: dict[str, tuple[int, bytes]] = {}
+
+        def set_db(self, name: str, data: bytes) -> int:
+            version = self._dbs.get(name, (0, b""))[0] + 1
+            self._dbs[name] = (version, data)
+            return version
+
+        def drop_db(self, name: str) -> None:
+            self._dbs.pop(name, None)
+
+        def get_if_newer(self, name: str, known_version: int):
+            """(version, bytes|None) — bytes only when newer than known."""
+            version, data = self._dbs.get(name, (0, b""))
+            if version == known_version:
+                return version, None
+            return version, data
+
+    return GeoIpDatabaseHolder
+
+
+def ensure_holder():
+    """Get-or-create the detached holder (driver-side)."""
+    import ray
+
+    return _holder_cls().options(
+        name=HOLDER_NAME,
+        namespace=HOLDER_NAMESPACE,
+        lifetime="detached",
+        get_if_exists=True,
+    ).remote()
+
+
+def _worker_cache() -> dict:
+    """Per-worker-PROCESS cache: {db name → [version, reader, last_poll]}.
+    Lives on the ``ray`` module object — module-level globals of this
+    package are pickled by value and would reset per task."""
+    import ray as _r
+
+    cache = getattr(_r, "_graft_geoip_managed", None)
+    if cache is None:
+        cache = {}
+        _r._graft_geoip_managed = cache
+    return cache
+
+
+def managed_reader(db_name: str, poll_seconds: float = 30.0):
+    """(reader|None, version) for the named managed database.
+
+    Polls the holder at most every ``poll_seconds`` (0 → every call);
+    between polls, serves the worker-cached reader.  Returns
+    ``(None, 0)`` when there is no holder or no database — callers tag
+    the event, mirroring the unavailable-database behavior."""
+    import ray
+
+    if not ray.is_initialized():
+        return None, 0
+    cache = _worker_cache()
+    entry = cache.get(db_name)
+    now = time.monotonic()
+    if entry is not None and poll_seconds > 0 and (now - entry[2]) < poll_seconds:
+        return entry[1], entry[0]
+    try:
+        holder = ray.get_actor(HOLDER_NAME, namespace=HOLDER_NAMESPACE)
+    except ValueError:
+        return None, 0
+    known = entry[0] if entry is not None else 0
+    version, data = ray.get(holder.get_if_newer.remote(db_name, known))
+    if version == known and entry is not None:
+        entry[2] = now
+        return entry[1], entry[0]
+    reader = None
+    if data:
+        try:
+            reader = MmdbReader(data)
+        except (OSError, ValueError):
+            reader = None
+    cache[db_name] = [version, reader, now]
+    return reader, version

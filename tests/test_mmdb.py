@@ -101,3 +101,96 @@ def test_geoip_processor_missing_file_tags():
         [{"ip": "10.0.0.1"}],
     )
     assert "_geoip_database_unavailable_GeoLite2-City.mmdb" in rows[0]["tags"]
+
+
+# ---------------------------------------------------------------------------
+# round-3: managed hot-swap holder (ManagedIpDatabaseHolder.java:63-76)
+# ---------------------------------------------------------------------------
+def test_geoip_manager_hot_swap_mid_run(ray_session):
+    import ray
+
+    from logstash_filter_elastic_integration_ray.state.geoip_holder import (
+        HOLDER_NAME,
+        HOLDER_NAMESPACE,
+        ensure_holder,
+        managed_reader,
+    )
+
+    holder = ensure_holder()
+    v1 = ray.get(holder.set_db.remote("swap-test.mmdb", write_mmdb(CITY_DB)))
+
+    pipeline = {"processors": [{"geoip": {
+        "field": "ip", "database_file": "swap-test.mmdb",
+        "use_manager": True, "manager_poll_seconds": 0,
+    }}]}
+    rows1 = run_pipeline(pipeline, [{"ip": "10.20.30.40"}, {"ip": "8.8.8.8"}])
+    assert rows1[0]["geoip.country_iso_code"] == "US"   # old generation
+    assert "geoip.country_iso_code" not in rows1[1]
+    assert len(rows1) == 2                               # no dropped rows
+
+    # hot swap: same network now resolves to a NEW database generation
+    new_db = {"10.0.0.0/8": {"country": {"iso_code": "FR", "names": {"en": "France"}}}}
+    v2 = ray.get(holder.set_db.remote("swap-test.mmdb", write_mmdb(new_db)))
+    assert v2 == v1 + 1
+
+    rows2 = run_pipeline(pipeline, [{"ip": "10.20.30.40"}, {"ip": "192.168.1.5"}])
+    assert rows2[0]["geoip.country_iso_code"] == "FR"   # new generation
+    assert "geoip.country_iso_code" not in rows2[1]     # net gone in v2
+    assert len(rows2) == 2
+
+    # steady state: polling with a matching version ships no bytes
+    reader, v = managed_reader("swap-test.mmdb", poll_seconds=0)
+    assert v == v2 and reader is not None
+
+    # unknown database → unavailable tag, rows pass through (spec:1045)
+    rows3 = run_pipeline(
+        {"processors": [{"geoip": {"field": "ip", "database_file": "absent.mmdb",
+                                   "use_manager": True, "manager_poll_seconds": 0}}]},
+        [{"ip": "10.0.0.1"}],
+    )
+    assert rows3[0]["tags"] == ["_geoip_database_unavailable_absent.mmdb"]
+
+    ray.get(holder.drop_db.remote("swap-test.mmdb"))
+    # detached actors outlive the test: clean up explicitly
+    ray.kill(ray.get_actor(HOLDER_NAME, namespace=HOLDER_NAMESPACE))
+
+
+def test_geoip_manager_from_dataset_workers(ray_session):
+    # the managed path must work from map_batches WORKERS (per-worker
+    # reader cache on the ray module, actor lookup by name+namespace)
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.pipelines import (
+        EventProcessor,
+        RoutingConfig,
+        compile_pipeline_set,
+    )
+    from logstash_filter_elastic_integration_ray.state.geoip_holder import (
+        HOLDER_NAME,
+        HOLDER_NAMESPACE,
+        ensure_holder,
+    )
+
+    holder = ensure_holder()
+    ray.get(holder.set_db.remote("worker-test.mmdb", write_mmdb(CITY_DB)))
+    proc = EventProcessor(
+        compile_pipeline_set({"main": {"processors": [{"geoip": {
+            "field": "ip", "database_file": "worker-test.mmdb",
+            "use_manager": True, "manager_poll_seconds": 0,
+        }}]}}),
+        RoutingConfig(default_pipeline="main", use_datastream=False),
+    )
+    t = pa.table({"ip": ["10.1.2.3", "192.168.1.9", "8.8.8.8", "203.0.113.7"]})
+    out = (
+        rd.from_arrow(t)
+        .repartition(2)
+        .map_batches(proc, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("ip")
+    )
+    got = dict(zip(out["ip"], out.get("geoip.country_iso_code", [None] * 4)))
+    assert got["10.1.2.3"] == "US" and got["192.168.1.9"] == "DE"
+    assert got["203.0.113.7"] == "JP"
+    ray.kill(ray.get_actor(HOLDER_NAME, namespace=HOLDER_NAMESPACE))
