@@ -96,6 +96,82 @@ PUBLIC_SUFFIXES: frozenset[str] = frozenset({
     "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
     # Russia legacy
     "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    # Pakistan / Bangladesh / Sri Lanka / Nepal
+    "pk", "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk", "gob.pk",
+    "bd", "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd", "ac.bd",
+    "lk", "com.lk", "net.lk", "org.lk", "edu.lk", "gov.lk", "sch.lk",
+    "np", "com.np", "net.np", "org.np", "edu.np", "gov.np",
+    # Iran / Iraq / Jordan / Lebanon / Gulf
+    "ir", "co.ir", "net.ir", "org.ir", "ac.ir", "gov.ir", "sch.ir",
+    "iq", "com.iq", "net.iq", "org.iq", "edu.iq", "gov.iq",
+    "jo", "com.jo", "net.jo", "org.jo", "edu.jo", "gov.jo", "sch.jo",
+    "lb", "com.lb", "net.lb", "org.lb", "edu.lb", "gov.lb",
+    "kw", "com.kw", "net.kw", "org.kw", "edu.kw", "gov.kw",
+    "qa", "com.qa", "net.qa", "org.qa", "edu.qa", "gov.qa", "sch.qa",
+    "om", "com.om", "net.om", "org.om", "edu.om", "gov.om",
+    "bh", "com.bh", "net.bh", "org.bh", "edu.bh", "gov.bh",
+    # North Africa
+    "ma", "co.ma", "net.ma", "org.ma", "ac.ma", "gov.ma", "press.ma",
+    "tn", "com.tn", "net.tn", "org.tn", "gov.tn", "edunet.tn",
+    "dz", "com.dz", "net.dz", "org.dz", "edu.dz", "gov.dz",
+    # Sub-Saharan Africa
+    "gh", "com.gh", "org.gh", "gov.gh", "edu.gh",
+    "tz", "co.tz", "or.tz", "go.tz", "ac.tz", "sc.tz",
+    "ug", "co.ug", "or.ug", "go.ug", "ac.ug", "sc.ug",
+    "zm", "com.zm", "org.zm", "gov.zm", "ac.zm", "co.zm",
+    "zw", "co.zw", "org.zw", "gov.zw", "ac.zw",
+    "et", "com.et", "org.et", "gov.et", "edu.et",
+    "mu", "com.mu", "net.mu", "org.mu", "ac.mu", "gov.mu", "co.mu",
+    "na", "com.na", "org.na", "co.na",
+    "bw", "co.bw", "org.bw",
+    "sn", "com.sn", "org.sn", "gouv.sn", "edu.sn", "univ.sn",
+    "ci", "com.ci", "org.ci", "net.ci", "go.ci", "ed.ci",
+    "cm", "com.cm", "net.cm", "gov.cm", "co.cm",
+    "rw", "co.rw", "net.rw", "org.rw", "gov.rw", "ac.rw",
+    # Mediterranean / small EU
+    "cy", "com.cy", "net.cy", "org.cy", "ac.cy", "gov.cy",
+    "mt", "com.mt", "net.mt", "org.mt", "edu.mt", "gov.mt",
+    # Portugal second-level
+    "com.pt", "edu.pt", "gov.pt", "org.pt", "net.pt", "publ.pt",
+    # Spain second-level
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    # Poland second-level + cities
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+    "waw.pl", "wroc.pl", "krakow.pl", "poznan.pl", "gda.pl", "slask.pl",
+    # Romania / Italy regional
+    "com.ro", "org.ro", "nom.ro", "nt.ro", "info.ro", "rec.ro", "store.ro",
+    "edu.it", "gov.it",
+    # Canada provincial
+    "ab.ca", "bc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca", "ns.ca",
+    "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yk.ca", "gc.ca",
+    # Israel 2024+ latinized
+    "net.il", "k12.il",
+    # Oceania / misc
+    "fj", "com.fj", "org.fj", "ac.fj", "gov.fj",
+    "pg", "com.pg", "org.pg", "ac.pg", "gov.pg",
+    "ck", "co.ck", "org.ck", "edu.ck", "gov.ck",
+    # additional flat gTLDs (ICANN new-gTLD round, common in logs)
+    "bio", "cash", "city", "codes", "company", "computer", "consulting",
+    "cool", "earth", "education", "energy", "engineering", "enterprises",
+    "estate", "events", "exchange", "expert", "express", "farm", "finance",
+    "financial", "fitness", "foundation", "fund", "gallery", "games",
+    "gifts", "glass", "global", "gold", "golf", "graphics", "green",
+    "guide", "guru", "health", "healthcare", "holdings", "holiday", "host",
+    "house", "institute", "insure", "international", "investments",
+    "kitchen", "land", "lawyer", "legal", "limited", "loan", "loans",
+    "lol", "love", "ltd", "marketing", "markets", "mba", "memorial",
+    "menu", "money", "movie", "ninja", "partners", "parts", "party",
+    "photo", "photography", "photos", "pics", "pictures", "pizza",
+    "place", "plus", "press", "productions", "properties", "pub",
+    "racing", "recipes", "red", "rentals", "repair", "report",
+    "restaurant", "review", "reviews", "rip", "rocks", "sale", "salon",
+    "school", "science", "security", "shoes", "show", "singles", "ski",
+    "soccer", "social", "software", "solar", "supplies", "supply",
+    "support", "surf", "surgery", "tax", "taxi", "team", "tennis",
+    "theater", "tienda", "tips", "tires", "tools", "tours", "town",
+    "toys", "trade", "training", "university", "vacations", "ventures",
+    "vet", "video", "villas", "vision", "vote", "voyage", "watch",
+    "webcam", "website", "wedding", "wine", "works", "wtf",
     # PRIVATE section: hosting-platform suffixes (present in the real
     # PSL; ES treats them as suffixes too)
     "github.io", "githubusercontent.com", "gitlab.io", "blogspot.com",
@@ -105,6 +181,11 @@ PUBLIC_SUFFIXES: frozenset[str] = frozenset({
     "tumblr.com", "wixsite.com", "squarespace.com", "fastly-edge.com",
     "s3.amazonaws.com", "elasticbeanstalk.com", "onrender.com",
     "readthedocs.io", "neocities.org", "surge.sh", "fly.dev", "deno.dev",
-    "repl.co", "glitch.me", "ngrok.io",
+    "repl.co", "glitch.me", "ngrok.io", "ngrok-free.app", "ngrok.app",
+    "myshopify.com", "pythonanywhere.com", "eu.pythonanywhere.com",
+    "azurestaticapps.net", "cloudfunctions.net", "r2.dev", "hf.space",
+    "streamlit.app", "gitbook.io", "hashnode.dev", "bubbleapps.io",
+    "webflow.io", "cargo.site", "framer.app", "framer.website",
+    "translate.goog", "scm.azurewebsites.net", "trafficmanager.net",
 })
 # fmt: on

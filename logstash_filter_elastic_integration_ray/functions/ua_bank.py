@@ -23,6 +23,8 @@ _V4 = r"(\d+)(?:\.(\d+))?(?:\.(\d+))?(?:\.(\d+))?"  # up to 4 version parts
 UA_RULES: list[tuple[re.Pattern, str]] = [
     # bots and crawlers (uap-core maps them to family=the bot, device=Spider)
     (re.compile(r"(?:Googlebot(?:-Image|-News|-Video)?)/" + _V4), "Googlebot"),
+    (re.compile(r"Google-InspectionTool/" + _V4), "Google-InspectionTool"),
+    (re.compile(r"AdsBot-Google"), "AdsBot-Google"),
     (re.compile(r"bingbot/" + _V4), "bingbot"),
     (re.compile(r"DuckDuckBot/" + _V4), "DuckDuckBot"),
     (re.compile(r"Baiduspider/" + _V4), "Baiduspider"),
@@ -30,27 +32,64 @@ UA_RULES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"Applebot/" + _V4), "Applebot"),
     (re.compile(r"AhrefsBot/" + _V4), "AhrefsBot"),
     (re.compile(r"SemrushBot/" + _V4), "SemrushBot"),
+    (re.compile(r"MJ12bot/v?" + _V4), "MJ12bot"),
+    (re.compile(r"DotBot/" + _V4), "DotBot"),
+    (re.compile(r"SeznamBot/" + _V4), "SeznamBot"),
+    (re.compile(r"PetalBot"), "PetalBot"),
+    (re.compile(r"Bytespider"), "Bytespider"),
+    (re.compile(r"GPTBot/" + _V4), "GPTBot"),
+    (re.compile(r"CCBot/" + _V4), "CCBot"),
+    (re.compile(r"Sogou web spider/" + _V4), "Sogou web spider"),
+    (re.compile(r"Exabot/" + _V4), "Exabot"),
+    (re.compile(r"ia_archiver"), "ia_archiver"),
+    (re.compile(r"Screaming Frog SEO Spider/" + _V4), "Screaming Frog SEO Spider"),
     (re.compile(r"facebookexternalhit/" + _V4), "FacebookBot"),
+    (re.compile(r"Twitterbot/" + _V4), "Twitterbot"),
+    (re.compile(r"LinkedInBot/" + _V4), "LinkedInBot"),
+    (re.compile(r"Pinterestbot/" + _V4), "Pinterestbot"),
+    (re.compile(r"Discordbot/" + _V4), "Discordbot"),
+    (re.compile(r"TelegramBot"), "TelegramBot"),
+    (re.compile(r"Slackbot(?:-LinkExpanding)?[/ ]" + _V4), "Slackbot"),
+    (re.compile(r"WhatsApp/" + _V4), "WhatsApp"),
     (re.compile(r"Slurp"), "Yahoo! Slurp"),
     # programmatic HTTP clients
     (re.compile(r"curl/" + _V4), "curl"),
     (re.compile(r"Wget/" + _V4), "Wget"),
     (re.compile(r"python-requests/" + _V4), "Python Requests"),
+    (re.compile(r"python-httpx/" + _V4), "httpx"),
     (re.compile(r"Python-urllib/" + _V4), "Python-urllib"),
     (re.compile(r"aiohttp/" + _V4), "aiohttp"),
+    (re.compile(r"Scrapy/" + _V4), "Scrapy"),
     (re.compile(r"Go-http-client/" + _V4), "Go-http-client"),
     (re.compile(r"okhttp/" + _V4), "okhttp"),
     (re.compile(r"Apache-HttpClient/" + _V4), "Apache-HttpClient"),
+    (re.compile(r"Jakarta Commons-HttpClient/" + _V4), "Jakarta Commons-HttpClient"),
     (re.compile(r"Java/" + _V4), "Java"),
+    (re.compile(r"Dart/" + _V4), "Dart"),
+    (re.compile(r"GuzzleHttp/" + _V4), "Guzzle"),
+    (re.compile(r"HTTPie/" + _V4), "HTTPie"),
+    (re.compile(r"Faraday v" + _V4), "Faraday"),
     (re.compile(r"libwww-perl/" + _V4), "libwww-perl"),
     (re.compile(r"PostmanRuntime/" + _V4), "PostmanRuntime"),
     (re.compile(r"node-fetch/" + _V4), "node-fetch"),
     (re.compile(r"axios/" + _V4), "axios"),
+    (re.compile(r"got \(https://github\.com/sindresorhus/got\)"), "got"),
     (re.compile(r"insomnia/" + _V4), "Insomnia"),
+    # in-app webviews & messengers BEFORE the engines they embed
+    (re.compile(r"Instagram " + _V4), "Instagram"),
+    (re.compile(r"FBAV/" + _V4), "Facebook"),
+    (re.compile(r"FBAN/FBIOS"), "Facebook"),
+    (re.compile(r"MicroMessenger/" + _V4), "WeChat"),
+    (re.compile(r"Line/" + _V4), "LINE"),
+    (re.compile(r"GSA/" + _V4), "Google"),
+    (re.compile(r"Snapchat/" + _V4), "Snapchat"),
+    (re.compile(r"TikTok " + _V4), "TikTok"),
     # derivative desktop/mobile browsers BEFORE Chrome
     (re.compile(r"Edg(?:e|A|iOS)?/" + _V4), "Edge"),
     (re.compile(r"OPR/" + _V4), "Opera"),
     (re.compile(r"Opera Mini/" + _V4), "Opera Mini"),
+    (re.compile(r"OPiOS/" + _V4), "Opera Mini"),
+    (re.compile(r"OPT/" + _V4), "Opera Touch"),
     (re.compile(r"Opera[/ ]" + _V4), "Opera"),
     (re.compile(r"SamsungBrowser/" + _V4), "Samsung Internet"),
     (re.compile(r"UCBrowser/" + _V4), "UC Browser"),
@@ -58,22 +97,53 @@ UA_RULES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"Vivaldi/" + _V4), "Vivaldi"),
     (re.compile(r"Brave/" + _V4), "Brave"),
     (re.compile(r"DuckDuckGo/" + _V4), "DuckDuckGo"),
+    (re.compile(r"Whale/" + _V4), "Whale"),
+    (re.compile(r"coc_coc_browser/" + _V4), "Coc Coc"),
+    (re.compile(r"MiuiBrowser/" + _V4), "MiuiBrowser"),
+    (re.compile(r"HuaweiBrowser/" + _V4), "Huawei Browser"),
+    (re.compile(r"HeyTapBrowser/" + _V4), "HeyTap Browser"),
+    (re.compile(r"VivoBrowser/" + _V4), "Vivo Browser"),
+    (re.compile(r"QQBrowser/" + _V4), "QQ Browser"),
+    (re.compile(r"baiduboxapp/" + _V4), "Baidu App"),
+    (re.compile(r"Puffin/" + _V4), "Puffin"),
+    (re.compile(r"Maxthon/" + _V4), "Maxthon"),
+    (re.compile(r"Silk/" + _V4), "Amazon Silk"),
     (re.compile(r"HeadlessChrome/" + _V4), "HeadlessChrome"),
     (re.compile(r"Electron/" + _V4), "Electron"),
+    (re.compile(r"CrKey/" + _V4), "Chromecast"),
+    # Gecko derivatives BEFORE Firefox
+    (re.compile(r"PaleMoon/" + _V4), "Pale Moon"),
+    (re.compile(r"Waterfox/" + _V4), "Waterfox"),
+    (re.compile(r"SeaMonkey/" + _V4), "SeaMonkey"),
+    (re.compile(r"IceWeasel/" + _V4, re.I), "IceWeasel"),
+    (re.compile(r"Thunderbird/" + _V4), "Thunderbird"),
     # Chrome family: iOS build token first, then Android mobile, then desktop
     (re.compile(r"CriOS/" + _V4), "Chrome Mobile iOS"),
     (re.compile(r"Chrome/" + _V4 + r".*Mobile(?: Safari)?"), "Chrome Mobile"),
     (re.compile(r"Chrome/" + _V4), "Chrome"),
+    # other engines
+    (re.compile(r"Epiphany/" + _V4), "Epiphany"),
+    (re.compile(r"Konqueror/" + _V4), "Konqueror"),
+    (re.compile(r"NetFront/" + _V4), "NetFront"),
     # Firefox family
     (re.compile(r"FxiOS/" + _V4), "Firefox iOS"),
     (re.compile(r"Firefox/" + _V4 + r".*(?:Mobile|Tablet)"), "Firefox Mobile"),
+    (re.compile(r"Focus/" + _V4), "Firefox Focus"),
     (re.compile(r"Firefox/" + _V4), "Firefox"),
+    # game consoles / TVs (before Safari: they carry WebKit tokens)
+    (re.compile(r"PlayStation (\d+)"), "PlayStation"),
+    (re.compile(r"Nintendo Switch"), "Nintendo Browser"),
+    (re.compile(r"Roku/DVP-" + _V4), "Roku"),
     # Safari LAST of the WebKit family; Version/ carries the real version
     (re.compile(r"Version/" + _V4 + r".*Mobile/\w+ Safari/"), "Mobile Safari"),
     (re.compile(r"Version/" + _V4 + r".*Safari/"), "Safari"),
+    (re.compile(r"iPhone.*Mobile/\w+"), "Mobile Safari UI/WKWebView"),
     # legacy IE
     (re.compile(r"Trident/.*rv[: ](\d+)(?:\.(\d+))?"), "IE"),
     (re.compile(r"MSIE (\d+)(?:\.(\d+))?"), "IE"),
+    # mail clients
+    (re.compile(r"Outlook-iOS/" + _V4), "Outlook"),
+    (re.compile(r"Microsoft Outlook " + _V4), "Outlook"),
 ]
 
 # (pattern, os name, version template) — version from the match groups
@@ -86,6 +156,10 @@ UA_OS_RULES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"Windows NT 5\.1"), "Windows XP"),
     (re.compile(r"Windows Phone (?:OS )?(\d+)"), "Windows Phone"),
     (re.compile(r"Windows"), "Windows"),
+    (re.compile(r"KAIOS/(\d+)(?:\.(\d+))?"), "KaiOS"),
+    (re.compile(r"HarmonyOS"), "HarmonyOS"),
+    (re.compile(r"Tizen[/ ](\d+)(?:\.(\d+))?"), "Tizen"),
+    (re.compile(r"Web0?S|webOS"), "webOS"),
     (re.compile(r"Android (\d+)(?:\.(\d+))?"), "Android"),
     (re.compile(r"Android"), "Android"),
     (re.compile(r"iPhone OS (\d+)(?:_(\d+))?"), "iOS"),
@@ -93,9 +167,17 @@ UA_OS_RULES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"Mac OS X (\d+)[._](\d+)"), "Mac OS X"),
     (re.compile(r"Mac OS X"), "Mac OS X"),
     (re.compile(r"CrOS"), "Chrome OS"),
+    (re.compile(r"PlayStation (\d+)"), "PlayStation"),
+    (re.compile(r"Nintendo Switch"), "Nintendo Switch"),
     (re.compile(r"X11; Linux|Linux x86_64|Linux i686"), "Linux"),
     (re.compile(r"Ubuntu"), "Ubuntu"),
+    (re.compile(r"Fedora"), "Fedora"),
+    (re.compile(r"Debian"), "Debian"),
+    (re.compile(r"CentOS"), "CentOS"),
     (re.compile(r"FreeBSD"), "FreeBSD"),
+    (re.compile(r"OpenBSD"), "OpenBSD"),
+    (re.compile(r"NetBSD"), "NetBSD"),
+    (re.compile(r"SunOS"), "Solaris"),
     (re.compile(r"Linux"), "Linux"),
 ]
 
@@ -105,12 +187,31 @@ UA_DEVICE_RULES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"iPod"), "iPod"),
     (re.compile(r"(SM-[A-Z0-9]+)"), "Samsung \\1"),
     (re.compile(r"(Pixel(?: \d+[a-zA-Z]*)?)\)? Build"), "Google \\1"),
+    (re.compile(r"(Redmi [A-Za-z0-9 ]+?)\)? Build"), "XiaoMi \\1"),
+    (re.compile(r"(Mi [A-Za-z0-9]+?)\)? Build"), "XiaoMi \\1"),
+    (re.compile(r"(CPH\d{4})"), "Oppo \\1"),
+    (re.compile(r"(ONEPLUS [A-Z0-9]+)"), "OnePlus \\1"),
+    (re.compile(r"(moto [a-z0-9() ]+?)\)? Build", re.I), "Motorola \\1"),
+    (re.compile(r"(LM-[A-Z0-9]+)"), "LG \\1"),
+    (re.compile(r"(Nokia[ ._A-Za-z0-9]+?)\)? Build"), "\\1"),
+    (re.compile(r"(HUAWEI [A-Z0-9-]+|[A-Z]{3}-[A-Z]?L?X?\d[A-Za-z0-9]*)\)? Build"), "Huawei \\1"),
+    (re.compile(r"(Nexus \d+[a-zA-Z]?)"), "\\1"),
+    (re.compile(r"Kindle Fire|KF[A-Z]{2,}"), "Kindle Fire"),
     (re.compile(r"Kindle"), "Kindle"),
+    (re.compile(r"PlayStation (\d+)"), "PlayStation \\1"),
+    (re.compile(r"Nintendo Switch"), "Nintendo Switch"),
+    (re.compile(r"SMART-TV|SmartTV|Tizen.*TV"), "Smart TV"),
+    (re.compile(r"CrKey"), "Chromecast"),
     (re.compile(r"Android.*Tablet|Tablet.*Android"), "Generic Tablet"),
     (re.compile(r"Android"), "Generic Smartphone"),
 ]
 
 BOT_FAMILIES = {
-    "Googlebot", "bingbot", "DuckDuckBot", "Baiduspider", "YandexBot",
-    "Applebot", "AhrefsBot", "SemrushBot", "FacebookBot", "Yahoo! Slurp",
+    "Googlebot", "Google-InspectionTool", "AdsBot-Google", "bingbot",
+    "DuckDuckBot", "Baiduspider", "YandexBot", "Applebot", "AhrefsBot",
+    "SemrushBot", "MJ12bot", "DotBot", "SeznamBot", "PetalBot",
+    "Bytespider", "GPTBot", "CCBot", "Sogou web spider", "Exabot",
+    "ia_archiver", "Screaming Frog SEO Spider", "FacebookBot",
+    "Twitterbot", "LinkedInBot", "Pinterestbot", "Discordbot",
+    "TelegramBot", "Slackbot", "WhatsApp", "Yahoo! Slurp",
 }

