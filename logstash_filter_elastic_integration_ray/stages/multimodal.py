@@ -38,8 +38,24 @@ class FakeImageDecoder:
     def __init__(self, strict: bool = False):
         self.strict = strict
         self._codec_table = {"fake": 1}  # stand-in for loaded codec state
+        # once-per-actor: pick up a REAL decoder when the library
+        # exists (not shipped in this container — gated import-try)
+        try:
+            from PIL import Image as _Image  # noqa: PLC0415
+
+            self._pil = _Image
+        except ImportError:
+            self._pil = None
 
     def _decode(self, payload: bytes) -> tuple[int, int, int]:
+        if self._pil is not None and payload:
+            import io
+
+            try:
+                with self._pil.open(io.BytesIO(payload)) as img:
+                    return (img.width, img.height, len(img.getbands()))
+            except Exception:
+                pass  # not a decodable image → deterministic fallback below
         if self.strict:
             raise NotImplementedError(
                 "real image decode requires an image library not present in this container"
@@ -101,8 +117,26 @@ class FakeImageResizer:
         self.target_w = target_w
         self.target_h = target_h
         self.strict = strict
+        try:
+            from PIL import Image as _Image  # noqa: PLC0415
+
+            self._pil = _Image
+        except ImportError:
+            self._pil = None
 
     def _resize(self, payload: bytes) -> bytes:
+        if self._pil is not None and payload:
+            import io
+
+            try:
+                with self._pil.open(io.BytesIO(payload)) as img:
+                    out = io.BytesIO()
+                    img.resize((self.target_w, self.target_h)).save(
+                        out, format=img.format or "PNG"
+                    )
+                    return out.getvalue()
+            except Exception:
+                pass  # not a decodable image → deterministic fallback below
         if self.strict:
             raise NotImplementedError(
                 "real image resize requires an image library not present in this container"

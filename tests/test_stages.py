@@ -722,3 +722,31 @@ def test_embedding_dedup_dup_heavy_16x(ray_session):
     assert dict(zip(got["doc_id"].astype(int), got["cluster_size"].astype(int))) == expected
     assert (got["cluster_size"] >= reps).all() or (got["cluster_size"] == 1).any() is False
     assert len(got) <= n_base
+
+
+def test_multimodal_real_decode_with_pil():
+    # exercises the REAL decode path; skipped where no image library
+    # ships (this container) — the deterministic-fake fallback is
+    # covered by test_multimodal_resize_feature_framesample
+    pytest.importorskip("PIL")
+    from logstash_filter_elastic_integration_ray.stages.multimodal import (
+        FakeImageDecoder,
+        FakeImageResizer,
+    )
+
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    t = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "payload": pa.array([png], type=pa.binary())})
+    meta = FakeImageDecoder(strict=True)(t)   # strict OK: real path available
+    assert meta.column("width")[0].as_py() == 20
+    assert meta.column("height")[0].as_py() == 10
+    assert meta.column("channels")[0].as_py() == 3
+    resized = FakeImageResizer(target_w=4, target_h=4, strict=True)(t)
+    out = Image.open(io.BytesIO(resized.column("payload")[0].as_py()))
+    assert out.size == (4, 4)
