@@ -697,11 +697,17 @@ def q_segment_orders(sf_dir: str):
 
     class Joiner:
         def __init__(self):
-            self.lookup = resolve_broadcast(ref)
+            # probe-side state built ONCE per actor: a pandas Series
+            # keyed by custkey — .map() is the vectorized hash probe
+            # (the previous per-row dict .get() loop was the hot path)
+            import pandas as _pd
+
+            lk = resolve_broadcast(ref)
+            self.seg = _pd.Series(list(lk.values()), index=list(lk.keys()))
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t.column("o_custkey").to_pylist()
-            seg = [self.lookup.get(k) for k in keys]
+            keys = t.column("o_custkey").to_numpy()
+            seg = self.seg.reindex(keys).to_numpy()
             cents = pc.round(pc.multiply(t.column("o_totalprice"), 100.0)).cast(pa.int64())
             return pa.table({"c_mktsegment": pa.array(seg, type=pa.string()), "price_cents": cents})
 

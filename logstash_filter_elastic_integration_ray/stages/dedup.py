@@ -43,19 +43,21 @@ def _hash64(values: list[str]) -> np.ndarray:
 # exact dedup
 # --------------------------------------------------------------------------
 def exact_dedup_partial(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    texts = batch.column(text_col).to_pylist()
-    ids = batch.column(id_col).to_numpy()
-    best: dict[str, int] = {}
-    for i, t in enumerate(texts):
-        h = hashlib.md5((t or "").encode("utf-8")).hexdigest()
-        cur = best.get(h)
-        if cur is None or ids[i] < cur:
-            best[h] = int(ids[i])
-    hashes = list(best.keys())
+    """Per-batch local reduce: min id per DISTINCT text, md5 computed
+    once per distinct text (the md5 digest must stay the content key —
+    it is the cross-engine oracle contract — but hashing only local
+    survivors cuts the dominant cost on dup-heavy batches)."""
+    texts = np.asarray(batch.column(text_col).to_pylist(), dtype=object)
+    texts[pd.isna(texts)] = ""
+    ids = batch.column(id_col).to_numpy().astype(np.int64)
+    uniq, inverse = np.unique(texts, return_inverse=True)
+    best = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(best, inverse, ids)
+    hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in uniq]
     return pa.table(
         {
             "content_hash": pa.array(hashes, type=pa.string()),
-            id_col: pa.array([best[h] for h in hashes], type=pa.int64()),
+            id_col: pa.array(best),
         }
     )
 
