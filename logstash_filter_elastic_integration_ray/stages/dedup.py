@@ -62,15 +62,32 @@ def exact_dedup_partial(batch: pa.Table, text_col: str = "text", id_col: str = "
     )
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_partitions: int = 32):
     """Survivor per distinct text = min id.  Two-phase: per-batch local
-    reduce, then groupby over thinned (hash, id) rows."""
+    reduce, then a co-partitioned vectorized min over the thinned
+    (hash, id) rows — ONE pandas groupby per partition, not a Ray
+    aggregate whose per-GROUP overhead dominates at millions of
+    distinct documents."""
+    from .aggregate import add_partition_col
+
     partials = ds.map_batches(
         lambda b: exact_dedup_partial(b, text_col, id_col), batch_format="pyarrow"
     )
-    from ray.data.aggregate import Min
+    schema = pa.schema([("content_hash", pa.string()), (id_col, pa.int64())])
 
-    return partials.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
+    def merge(df: pd.DataFrame) -> pa.Table:
+        out = df.groupby("content_hash", as_index=False)[id_col].min()
+        return pa.Table.from_pandas(out, preserve_index=False, schema=schema).replace_schema_metadata(None)
+
+    return (
+        partials.map_batches(
+            lambda b: add_partition_col(b, num_partitions, key="content_hash"),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -197,6 +214,27 @@ def minhash_band_rows(
     )
 
 
+_EDGE_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
+def distinct_pairs(edges, num_partitions: int):
+    """Distinct (a, b) rows via co-partition + one vectorized pandas
+    ``drop_duplicates`` per partition.  (A pair's duplicates share the
+    same ``a``, so hashing on ``a`` co-locates them; Ray's aggregate
+    pays per-GROUP overhead — ~0.1 ms × millions of distinct pairs
+    dwarfs the actual work.)"""
+    from .aggregate import add_partition_col
+
+    def dd(df: pd.DataFrame) -> pa.Table:
+        out = df[["a", "b"]].drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False, schema=_EDGE_SCHEMA).replace_schema_metadata(None)
+
+    parts = edges.map_batches(
+        lambda b: add_partition_col(b, num_partitions, key="a"), batch_format="pyarrow"
+    )
+    return parts.repartition(num_partitions).groupby("__part").map_groups(dd, batch_format="pandas")
+
+
 #: buckets up to this size get EXACT all-pairs verification (≤ 64² =
 #: 4096 vectorized comparisons — cheap); larger buckets (in practice
 #: giant groups of near-identical docs) fall back to the O(m)
@@ -305,6 +343,10 @@ def _star_edges_partition(df: pd.DataFrame, threshold: float, id_col: str) -> pa
 _LABELS_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
 
+#: directed edge rows a single CC partition handles in-memory (~50 MB)
+_EDGES_PER_CC_PARTITION = 2_000_000
+
+
 def connected_components_min_label(edges, max_iters: int = 25, num_partitions: int = 8):
     """Distributed connected components — the all-Dataset replacement
     for a driver union-find.
@@ -359,10 +401,25 @@ def connected_components_min_label(edges, max_iters: int = 25, num_partitions: i
         lab = nodes.copy()  # label(node) starts at self
         si = np.searchsorted(nodes, src)
         di = np.searchsorted(nodes, dst)
+        # incidence list sorted by target node, built ONCE: each local
+        # iteration is then a segment-min reduceat — NOT np.minimum.at,
+        # whose unbuffered scatter is ~1 µs/element and turned
+        # million-edge partitions into minutes
+        inc_t = np.concatenate([si, di])
+        inc_n = np.concatenate([di, si])
+        order = np.argsort(inc_t)  # quicksort: stability is irrelevant for a min-reduce
+        inc_t = inc_t[order]
+        inc_n = inc_n[order]
+        seg_starts = np.flatnonzero(np.r_[True, inc_t[1:] != inc_t[:-1]])
+        seg_nodes = inc_t[seg_starts]
+        complete = len(seg_nodes) == len(nodes)  # every node is incident
         for _ in range(64):  # local fixpoint: O(log local diameter)
-            new = lab.copy()
-            np.minimum.at(new, si, lab[di])
-            np.minimum.at(new, di, lab[si])
+            mins = np.minimum.reduceat(lab[inc_n], seg_starts)
+            if complete:
+                new = np.minimum(lab, mins)
+            else:
+                new = lab.copy()
+                new[seg_nodes] = np.minimum(new[seg_nodes], mins)
             # compression: label <- label(label); a label value is in
             # `nodes` only if it occurs in this partition
             li = np.searchsorted(nodes, new)
@@ -376,6 +433,13 @@ def connected_components_min_label(edges, max_iters: int = 25, num_partitions: i
 
     log = logging.getLogger(__name__)
     n_edges = edges_keyed.count()
+    # adaptive sharding: a partition's local CC pass solves everything
+    # it can SEE, so use the fewest partitions that keep a partition's
+    # edge slice comfortably in one worker's memory — a small candidate
+    # graph converges in one working round instead of O(log chain)
+    # cross-partition rounds.  `num_partitions` stays the upper bound
+    # for genuinely large edge sets.
+    num_partitions = max(1, min(num_partitions, -(-n_edges // _EDGES_PER_CC_PARTITION)))
     log.info("connected_components: %d directed edge rows, %d partitions", n_edges, num_partitions)
 
     # fixpoint test: each (partition, node) cell's emitted label is
@@ -387,6 +451,9 @@ def connected_components_min_label(edges, max_iters: int = 25, num_partitions: i
     prev_sum = None
     converged = False
     for rnd in range(max_iters):
+        import time as _time
+
+        _t0 = _time.monotonic()
         combined = edges_keyed if label_rows is None else edges_keyed.union(label_rows)
         label_rows = (
             combined.map_batches(
@@ -398,6 +465,10 @@ def connected_components_min_label(edges, max_iters: int = 25, num_partitions: i
             .materialize()
         )
         s = label_rows.sum("val")
+        log.info(
+            "connected_components: round %d, %d label rows, %.2fs",
+            rnd + 1, label_rows.count(), _time.monotonic() - _t0,
+        )
         if s == prev_sum:
             converged = True
             log.info("connected_components: fixpoint after %d rounds", rnd + 1)
@@ -413,10 +484,23 @@ def connected_components_min_label(edges, max_iters: int = 25, num_partitions: i
     def to_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("key"), "label": t.column("val")})
 
+    def min_per_node(df: pd.DataFrame) -> pa.Table:
+        out = df.groupby("node", as_index=False)["label"].min()
+        return pa.Table.from_pandas(out, preserve_index=False, schema=_LABELS_SCHEMA).replace_schema_metadata(None)
+
+    # final per-node merge via co-partition + ONE vectorized pandas
+    # groupby per partition — Ray's aggregate pays per-GROUP overhead,
+    # which at millions of distinct nodes dwarfed the whole loop.
+    # Materialized: callers consume the labelling several times
+    # (components + singleton anti-join).
     return (
         label_rows.map_batches(to_labels, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
+        .map_batches(lambda b: add_partition_col(b, max(2, num_partitions), key="node"),
+                     batch_format="pyarrow")
+        .repartition(max(2, num_partitions))
+        .groupby("__part")
+        .map_groups(min_per_node, batch_format="pandas")
+        .materialize()
     )
 
 
@@ -450,7 +534,7 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 32, bands: int = 8, threshold: floa
         lambda df: _star_edges_partition(df, threshold, id_col), batch_format="pandas"
     )
     # distinct: the same star edge surfaces from up to `bands` buckets
-    edges = edges.groupby(["a", "b"]).aggregate(Count(alias_name="__n")).select_columns(["a", "b"])
+    edges = distinct_pairs(edges, num_partitions)
 
     # CC partitions scale with the caller's partitioning (the edge set
     # is candidate-only but still grows with the input)
@@ -463,30 +547,33 @@ def _survivors_from_labels(ds, labels, id_col: str, num_partitions: int):
     component (representative = min id) plus one row per singleton doc
     (docs incident to no verified edge) — all Dataset ops, no driver
     materialization.  Shared by the MinHash-LSH and SimHash paths."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count
+    from .aggregate import add_partition_col
 
-    def empty_out() -> pa.Table:
-        return pa.table(
-            {id_col: pa.array([], type=pa.int64()), "cluster_size": pa.array([], type=pa.int64())}
+    out_schema = pa.schema([(id_col, pa.int64()), ("cluster_size", pa.int64())])
+
+    # components: one row per label = (representative id, member count),
+    # co-partitioned by label + one vectorized value_counts per
+    # partition (NOT a Ray aggregate: per-group overhead at millions of
+    # components would dominate)
+    def comps_partition(df: pd.DataFrame) -> pa.Table:
+        vc = df["label"].value_counts()
+        out = pd.DataFrame(
+            {id_col: vc.index.to_numpy(dtype=np.int64),
+             "cluster_size": vc.to_numpy(dtype=np.int64)}
         )
-
-    # components: one row per label = (representative id, member count)
-    def comp_rows(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "label" not in t.column_names:
-            return empty_out()  # Ray aggregates can emit 0-column blocks
-        return pa.table({id_col: t.column("label"), "cluster_size": t.column("cluster_size")})
+        return pa.Table.from_pandas(out, preserve_index=False, schema=out_schema).replace_schema_metadata(None)
 
     comps = (
-        labels.groupby("label")
-        .aggregate(Count(alias_name="cluster_size"))
-        .map_batches(comp_rows, batch_format="pyarrow")
+        labels.map_batches(
+            lambda b: add_partition_col(b, num_partitions, key="label"), batch_format="pyarrow"
+        )
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(comps_partition, batch_format="pandas")
     )
 
-    # singletons: docs incident to NO verified edge — tag-and-groupby
-    # anti-join (docs tagged 0, labelled nodes tagged 1; keep max-tag 0)
-    from ray.data.aggregate import Max
-
+    # singletons: docs incident to NO verified edge — tag-union
+    # anti-join, co-partitioned by id, one vectorized isin per partition
     def doc_tags(t: pa.Table) -> pa.Table:
         return pa.table(
             {"__id": t.column(id_col).cast(pa.int64()),
@@ -502,21 +589,22 @@ def _survivors_from_labels(ds, labels, id_col: str, num_partitions: int):
             {"__id": t.column("node"), "__tag": pa.array(np.ones(t.num_rows, dtype=np.int8))}
         )
 
-    def keep_untagged(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "__id" not in t.column_names:
-            return empty_out()
-        kept = t.filter(pc.equal(t.column("max_tag"), 0))
+    def singles_partition(df: pd.DataFrame) -> pa.Table:
+        doc_ids = df.loc[df["__tag"] == 0, "__id"]
+        labelled = df.loc[df["__tag"] == 1, "__id"]
+        keep = doc_ids[~doc_ids.isin(labelled)].to_numpy(dtype=np.int64)
         return pa.table(
-            {id_col: kept.column("__id"),
-             "cluster_size": pa.array(np.ones(kept.num_rows, dtype=np.int64))}
-        )
+            {id_col: pa.array(keep), "cluster_size": pa.array(np.ones(len(keep), dtype=np.int64))}
+        ).cast(out_schema)
 
     singles = (
         ds.select_columns([id_col]).map_batches(doc_tags, batch_format="pyarrow")
         .union(labels.map_batches(node_tags, batch_format="pyarrow"))
-        .groupby("__id")
-        .aggregate(Max("__tag", alias_name="max_tag"))
-        .map_batches(keep_untagged, batch_format="pyarrow")
+        .map_batches(lambda b: add_partition_col(b, num_partitions, key="__id"),
+                     batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(singles_partition, batch_format="pandas")
     )
     return comps.union(singles)
 
@@ -681,7 +769,7 @@ def simhash_dedup(ds, id_col: str = "doc_id", k: int = 3, num_partitions: int = 
     edges = parts.repartition(num_partitions).groupby("__part").map_groups(
         lambda df: _simhash_star_edges_partition(df, k, id_col), batch_format="pandas"
     )
-    edges = edges.groupby(["a", "b"]).aggregate(Count(alias_name="__n")).select_columns(["a", "b"])
+    edges = distinct_pairs(edges, num_partitions)
     labels = connected_components_min_label(edges, num_partitions=max(8, num_partitions // 4))
     return _survivors_from_labels(ds, labels, id_col, num_partitions)
 

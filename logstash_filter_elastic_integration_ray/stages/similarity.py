@@ -22,7 +22,7 @@ import pyarrow as pa
 # module-level (NOT function-level): these are used inside map_groups
 # UDFs that execute on workers, where the package is pickled by value
 # and function-level relative imports raise ModuleNotFoundError
-from .dedup import hamming64
+from .dedup import distinct_pairs, hamming64
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -577,7 +577,7 @@ def embedding_dup_pairs(ds, threshold: float = 0.9, *, num_bits: int = 64, bands
     cands = parts.repartition(num_partitions).groupby("__part").map_groups(
         lambda df: _srp_candidate_pairs_partition(df, cap, id_col), batch_format="pandas"
     )
-    cands = cands.groupby(["a", "b"]).aggregate(Count(alias_name="__n")).select_columns(["a", "b"])
+    cands = distinct_pairs(cands, num_partitions)
     emb_rows = _normalized_emb_rows(ds, id_col, emb_col)
     return attach_pair_cosines(
         cands, emb_rows, threshold, id_col=id_col, num_partitions=num_partitions
@@ -615,7 +615,7 @@ def embedding_dedup(ds, threshold: float = 0.9, *, num_bits: int = 64, bands: in
         lambda df: _srp_candidate_edges_partition(df, cap, id_col, _EXACT_BUCKET_CAP),
         batch_format="pandas",
     )
-    edges = edges.groupby(["a", "b"]).aggregate(Count(alias_name="__n")).select_columns(["a", "b"])
+    edges = distinct_pairs(edges, num_partitions)
     emb_rows = _normalized_emb_rows(ds, id_col, emb_col)
     verified = attach_pair_cosines(
         edges, emb_rows, threshold, id_col=id_col, num_partitions=num_partitions

@@ -623,12 +623,21 @@ def test_connected_components_deep_chain_converges_via_shortcutting(ray_session)
         connected_components_min_label,
     )
 
+    import logstash_filter_elastic_integration_ray.stages.dedup as dedup_mod
+
     n = 200
     edges = rd.from_arrow(pa.table({
         "a": pa.array(list(range(n - 1)), type=pa.int64()),
         "b": pa.array(list(range(1, n)), type=pa.int64()),
     }))
-    out = connected_components_min_label(edges, max_iters=25, num_partitions=4).to_pandas()
+    # force multi-partition rounds (adaptive sharding would otherwise
+    # collapse this small graph into one partition = one local pass)
+    orig = dedup_mod._EDGES_PER_CC_PARTITION
+    dedup_mod._EDGES_PER_CC_PARTITION = 50
+    try:
+        out = connected_components_min_label(edges, max_iters=25, num_partitions=4).to_pandas()
+    finally:
+        dedup_mod._EDGES_PER_CC_PARTITION = orig
     assert len(out) == n
     assert (out["label"] == 0).all()        # one component, min id 0
 
