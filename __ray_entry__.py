@@ -674,10 +674,38 @@ def q_events_hourly(sf_dir: str):
         cents = pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64())
         return pa.table({"user_id": t.column("user_id"), "hour": hour, "value_cents": cents})
 
+    from logstash_filter_elastic_integration_ray.stages.aggregate import add_partition_col
+
+    hourly_schema = pa.schema([
+        ("user_id", pa.int64()), ("hour", pa.timestamp("us")),
+        ("n_events", pa.int64()), ("value_cents_sum", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # per-batch pre-aggregate BEFORE the shuffle: rows → partials
+        import pandas as pd
+
+        df = t.to_pandas()
+        g = df.groupby(["user_id", "hour"], as_index=False, sort=False).agg(
+            n_events=("value_cents", "size"), value_cents_sum=("value_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False, schema=hourly_schema).replace_schema_metadata(None)
+
+    def merge(df) -> pa.Table:
+        g = df.groupby(["user_id", "hour"], as_index=False, sort=False).agg(
+            n_events=("n_events", "sum"), value_cents_sum=("value_cents_sum", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False, schema=hourly_schema).replace_schema_metadata(None)
+
+    # two-phase with a co-partitioned vectorized merge: the group count
+    # scales with users × hours, where Ray's aggregate pays per group
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["user_id", "hour"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents_sum"))
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda b: add_partition_col(b, 32, key="user_id"), batch_format="pyarrow")
+        .repartition(32)
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
     )
     return _cast_ts_us(out, ["hour"])
 
@@ -750,9 +778,26 @@ def q_transcript_dedup(sf_dir: str):
         df = t.to_pandas().drop_duplicates(["conv_id", "turn_idx"])
         return pa.Table.from_pandas(df[["conv_id", "turn_idx"]], preserve_index=False)
 
+    from logstash_filter_elastic_integration_ray.stages.aggregate import add_partition_col
+
+    dedup_schema = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32())])
+
+    def drop_dups(df):
+        import pandas as pd
+
+        out = df[["conv_id", "turn_idx"]].drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False, schema=dedup_schema).replace_schema_metadata(None)
+
+    # co-partition by conv_id + one vectorized drop_duplicates per
+    # partition — a Ray aggregate here pays per-GROUP overhead at
+    # key cardinality == row count
     thinned = doubled.map_batches(key_and_thin, batch_format="pyarrow")
-    uniq = thinned.groupby(["conv_id", "turn_idx"]).aggregate(Count(alias_name="n_copies"))
-    return uniq.select_columns(["conv_id", "turn_idx"])
+    return (
+        thinned.map_batches(lambda b: add_partition_col(b, 32, key="conv_id"), batch_format="pyarrow")
+        .repartition(32)
+        .groupby("__part")
+        .map_groups(drop_dups, batch_format="pandas")
+    )
 
 
 def q_session_windows(sf_dir: str):
