@@ -611,6 +611,16 @@ def q_embedding_dedup_docs(sf_dir: str):
     return embedding_dedup(emb, threshold=0.9)
 
 
+def q_ngram_jaccard_dedup_docs(sf_dir: str):
+    """N-gram Jaccard near-dup clustering over documents: minhash-LSH
+    candidate edges verified by the EXACT shingle-set jaccard (texts
+    attached by co-partitioning), distributed components, survivors
+    (doc_id, cluster_size)."""
+    from logstash_filter_elastic_integration_ray.stages.dedup import ngram_jaccard_dedup
+
+    return ngram_jaccard_dedup(_docs(sf_dir), threshold=0.8)
+
+
 def q_multimodal_meta(sf_dir: str):
     from logstash_filter_elastic_integration_ray.stages.multimodal import decode_stage
 
@@ -942,6 +952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_dup_docs": q_embedding_dup_docs,
         "embedding_dedup_docs": q_embedding_dedup_docs,
+        "ngram_jaccard_dedup_docs": q_ngram_jaccard_dedup_docs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "q1_pricing": q_q1_pricing,
@@ -1113,6 +1124,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_dedup_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/embedding_dedup_docs.sf0_01.parquet')"
+        ),
+        "ngram_jaccard_dedup_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/ngram_jaccard_dedup_docs.sf0_01.parquet')"
         ),
         "exact_dedup_docs": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"

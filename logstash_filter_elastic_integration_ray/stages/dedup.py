@@ -783,3 +783,104 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(1, len(sa | sb))
+
+
+def jaccard_prefilter_threshold(threshold: float, num_perm: int) -> float:
+    """Signature-agreement prefilter bar for EXACT-jaccard candidates:
+    agreement estimates jaccard with binomial sd sqrt(J(1-J)/num_perm),
+    so candidates within 5σ below the target keep essentially every
+    true pair while the bucket noise dies in-bucket."""
+    import math
+
+    sd = math.sqrt(max(threshold * (1.0 - threshold), 0.05) / num_perm)
+    return max(0.0, threshold - 5.0 * sd)
+
+
+def _jaccard_score_fn(shingle_size: int):
+    """score_fn for attach_pair_scores over TEXT payloads: exact
+    shingle-set jaccard, shingle sets memoized per distinct text within
+    the scoring partition."""
+
+    def score(a_vals: np.ndarray, b_vals: np.ndarray) -> np.ndarray:
+        cache: dict[str, frozenset] = {}
+
+        def sset(t: str) -> frozenset:
+            s = cache.get(t)
+            if s is None:
+                words = (t or "").split(" ")
+                if len(words) < shingle_size:
+                    s = frozenset([" ".join(words)]) if words else frozenset()
+                else:
+                    s = frozenset(
+                        " ".join(words[i : i + shingle_size])
+                        for i in range(len(words) - shingle_size + 1)
+                    )
+                cache[t] = s
+            return s
+
+        out = np.empty(len(a_vals), dtype=np.float64)
+        for i, (ta, tb) in enumerate(zip(a_vals, b_vals)):
+            sa, sb = sset(ta), sset(tb)
+            out[i] = 1.0 if not sa and not sb else len(sa & sb) / max(1, len(sa | sb))
+        return out
+
+    return score
+
+
+def ngram_jaccard_dedup(ds, *, threshold: float = 0.8, num_perm: int = 32, bands: int = 8,
+                        shingle_size: int = 3, text_col: str = "text", id_col: str = "doc_id",
+                        num_partitions: int = 32):
+    """N-gram Jaccard near-dup clustering → survivors Dataset
+    (doc_id, cluster_size) — like :func:`minhash_lsh_dedup` but the
+    verification criterion is the EXACT shingle-set jaccard, not the
+    signature agreement estimate:
+
+    1. MinHash-LSH band buckets propose candidate edges via the usual
+       star+chain machinery, prefiltered at a 5σ-loosened agreement bar
+       (:func:`jaccard_prefilter_threshold`) so estimator noise can't
+       drop true pairs;
+    2. candidates dedupe across bands, then the TEXTS are attached by
+       co-partitioning (texts ship ≤ 2× total) and each edge is scored
+       with the exact jaccard;
+    3. verified edges → distributed connected components → survivors.
+
+    Candidate recall is the LSH/star+chain contract shared with the
+    MinHash path; the verification itself is exact."""
+    # driver-side import: similarity imports THIS module at module
+    # level, so the reverse import must stay out of module scope
+    from .similarity import attach_pair_scores
+
+    hasher = MinHasher(num_perm=num_perm, shingle_size=shingle_size)
+    pre = jaccard_prefilter_threshold(threshold, num_perm)
+
+    band_rows = ds.map_batches(
+        lambda b: minhash_band_rows(b, hasher, bands, text_col, id_col),
+        batch_format="pyarrow",
+    )
+    from .aggregate import add_partition_col
+
+    parts = band_rows.map_batches(
+        lambda b: add_partition_col(b, num_partitions, key="bucket"), batch_format="pyarrow"
+    )
+    edges = parts.repartition(num_partitions).groupby("__part").map_groups(
+        lambda df: _star_edges_partition(df, pre, id_col), batch_format="pandas"
+    )
+    edges = distinct_pairs(edges, num_partitions)
+
+    def text_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: t.column(id_col).cast(pa.int64()), "val": t.column(text_col).cast(pa.string())}
+        )
+
+    verified = attach_pair_scores(
+        edges,
+        ds.map_batches(text_rows, batch_format="pyarrow"),
+        score_fn=_jaccard_score_fn(shingle_size),
+        threshold=threshold,
+        value_type=pa.string(),
+        score_col="jaccard",
+        id_col=id_col,
+        num_partitions=num_partitions,
+    ).select_columns(["a", "b"])
+    labels = connected_components_min_label(verified, num_partitions=max(8, num_partitions // 4))
+    return _survivors_from_labels(ds, labels, id_col, num_partitions)

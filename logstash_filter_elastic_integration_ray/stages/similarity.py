@@ -419,38 +419,35 @@ def _srp_candidate_edges_partition(df: pd.DataFrame, ham_cap: int, id_col: str,
     return pa.table({"a": pa.array(a.astype(np.int64)), "b": pa.array(b.astype(np.int64))})
 
 
-_PAIR_SCORE_SCHEMA = pa.schema(
-    [("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())]
-)
-
-
 def _normalized_emb_rows(ds, id_col: str, emb_col: str):
     def rows(t: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(t.column(emb_col)))
         return pa.table(
             {
                 id_col: t.column(id_col).cast(pa.int64()),
-                "emb": pa.array(list(m), type=pa.list_(pa.float64())),
+                "val": pa.array(list(m), type=pa.list_(pa.float64())),
             }
         )
 
     return ds.map_batches(rows, batch_format="pyarrow")
 
 
-def attach_pair_cosines(pairs, emb_rows, threshold: float, *, id_col: str = "doc_id",
-                        num_partitions: int = 32):
-    """Exact cosine for a Dataset of candidate (a, b) pairs, keeping
-    those ≥ threshold → (a, b, cosine).
+def attach_pair_scores(pairs, value_rows, *, score_fn, threshold: float,
+                       value_type: pa.DataType, score_col: str,
+                       id_col: str = "doc_id", num_partitions: int = 32):
+    """Score candidate (a, b) pairs against a per-id value column and
+    keep pairs with score ≥ threshold → (a, b, <score_col>).
 
-    Two join-free co-partition passes (``Dataset.join`` chokes on
-    aggregate-derived sides): pass 1 keys pairs by ``a`` alongside the
-    normalized embedding rows and attaches ``emb_a``; pass 2 re-keys by
-    ``b``, attaches ``emb_b`` and scores with :func:`pair_cosines`.
-    The embedding table ships ≤ 2× total (once per pass) — never
-    ×bands — and pair rows are 16 bytes until scoring."""
+    ``value_rows`` is a Dataset (id_col, val); ``score_fn(a_vals,
+    b_vals)`` takes two aligned object arrays of ``val`` payloads and
+    returns a float64 score per pair.  Two join-free co-partition
+    passes (``Dataset.join`` chokes on aggregate-derived sides): pass 1
+    keys pairs by ``a`` and attaches ``val_a``; pass 2 re-keys by ``b``,
+    attaches ``val_b`` and scores.  The value table ships ≤ 2× total —
+    never ×bands — and pair rows are 16 bytes until scoring."""
     from .aggregate import add_partition_col
 
-    emb_type = pa.list_(pa.float64())
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), (score_col, pa.float64())])
 
     def pair_rows_pass1(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -458,60 +455,58 @@ def attach_pair_cosines(pairs, emb_rows, threshold: float, *, id_col: str = "doc
             {
                 "key": t.column("a").cast(pa.int64()),
                 "other": t.column("b").cast(pa.int64()),
-                "emb": pa.nulls(n, type=emb_type),
-                "carry": pa.nulls(n, type=emb_type),
+                "val": pa.nulls(n, type=value_type),
+                "carry": pa.nulls(n, type=value_type),
                 "side": pa.array(np.zeros(n, dtype=np.int8)),
             }
         )
 
-    def emb_rows_keyed(t: pa.Table) -> pa.Table:
+    def value_rows_keyed(t: pa.Table) -> pa.Table:
         n = t.num_rows
         return pa.table(
             {
                 "key": t.column(id_col).cast(pa.int64()),
                 "other": pa.nulls(n, type=pa.int64()),
-                "emb": t.column("emb"),
-                "carry": pa.nulls(n, type=emb_type),
+                "val": t.column("val"),
+                "carry": pa.nulls(n, type=value_type),
                 "side": pa.array(np.ones(n, dtype=np.int8)),
             }
         )
 
     def attach_a(df: pd.DataFrame) -> pa.Table:
-        lookup = df[df["side"] == 1].set_index("key")["emb"]
+        lookup = df[df["side"] == 1].set_index("key")["val"]
         p = df[df["side"] == 0]
-        emb_a = lookup.reindex(p["key"]).to_numpy()
-        ok = np.array([e is not None for e in emb_a], dtype=bool)
-        # re-key by b for pass 2, carrying emb_a
+        val_a = lookup.reindex(p["key"]).to_numpy()
+        ok = np.array([e is not None for e in val_a], dtype=bool)
+        # re-key by b for pass 2, carrying val_a
         n = int(ok.sum())
         return pa.table(
             {
                 "key": pa.array(p["other"].to_numpy()[ok].astype(np.int64)),
                 "other": pa.array(p["key"].to_numpy()[ok].astype(np.int64)),
-                "emb": pa.nulls(n, type=emb_type),
-                "carry": pa.array([list(e) for e in emb_a[ok]], type=emb_type),
+                "val": pa.nulls(n, type=value_type),
+                "carry": pa.array(list(val_a[ok]), type=value_type),
                 "side": pa.array(np.zeros(n, dtype=np.int8)),
             }
         )
 
     def score_b(df: pd.DataFrame) -> pa.Table:
-        lookup = df[df["side"] == 1].set_index("key")["emb"]
+        lookup = df[df["side"] == 1].set_index("key")["val"]
         p = df[df["side"] == 0]
         if not len(p):
-            return _PAIR_SCORE_SCHEMA.empty_table()
-        emb_b = lookup.reindex(p["key"]).to_numpy()
-        ok = np.array([e is not None for e in emb_b], dtype=bool)
+            return out_schema.empty_table()
+        val_b = lookup.reindex(p["key"]).to_numpy()
+        ok = np.array([e is not None for e in val_b], dtype=bool)
         p = p[ok]
         if not len(p):
-            return _PAIR_SCORE_SCHEMA.empty_table()
-        a_m = np.vstack([np.asarray(e, dtype=np.float64) for e in p["carry"]])
-        b_m = np.vstack([np.asarray(e, dtype=np.float64) for e in emb_b[ok]])
-        cos = pair_cosines(a_m, b_m)
-        hit = cos >= threshold
+            return out_schema.empty_table()
+        scores = np.asarray(score_fn(p["carry"].to_numpy(), val_b[ok]), dtype=np.float64)
+        hit = scores >= threshold
         return pa.table(
             {
                 "a": pa.array(p["other"].to_numpy()[hit].astype(np.int64)),
                 "b": pa.array(p["key"].to_numpy()[hit].astype(np.int64)),
-                "cosine": pa.array(np.round(cos[hit], 9)),
+                score_col: pa.array(np.round(scores[hit], 9)),
             }
         )
 
@@ -525,12 +520,30 @@ def attach_pair_cosines(pairs, emb_rows, threshold: float, *, id_col: str = "doc
 
     pass1 = one_pass(
         pairs.map_batches(pair_rows_pass1, batch_format="pyarrow").union(
-            emb_rows.map_batches(emb_rows_keyed, batch_format="pyarrow")
+            value_rows.map_batches(value_rows_keyed, batch_format="pyarrow")
         ),
         attach_a,
     )
     return one_pass(
-        pass1.union(emb_rows.map_batches(emb_rows_keyed, batch_format="pyarrow")), score_b
+        pass1.union(value_rows.map_batches(value_rows_keyed, batch_format="pyarrow")), score_b
+    )
+
+
+def _cosine_score_fn(a_vals: np.ndarray, b_vals: np.ndarray) -> np.ndarray:
+    a_m = np.vstack([np.asarray(e, dtype=np.float64) for e in a_vals])
+    b_m = np.vstack([np.asarray(e, dtype=np.float64) for e in b_vals])
+    return pair_cosines(a_m, b_m)
+
+
+def attach_pair_cosines(pairs, emb_rows, threshold: float, *, id_col: str = "doc_id",
+                        num_partitions: int = 32):
+    """Exact cosine for candidate pairs (≥ threshold) → (a, b, cosine);
+    see :func:`attach_pair_scores`.  Scores via the shared
+    :func:`pair_cosines` kernel so fixture values are bit-identical."""
+    return attach_pair_scores(
+        pairs, emb_rows, score_fn=_cosine_score_fn, threshold=threshold,
+        value_type=pa.list_(pa.float64()), score_col="cosine",
+        id_col=id_col, num_partitions=num_partitions,
     )
 
 

@@ -759,3 +759,66 @@ def test_multimodal_real_decode_with_pil():
     resized = FakeImageResizer(target_w=4, target_h=4, strict=True)(t)
     out = Image.open(io.BytesIO(resized.column("payload")[0].as_py()))
     assert out.size == (4, 4)
+
+
+def test_ngram_jaccard_dedup_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.dedup import (
+        MinHasher,
+        ngram_jaccard,
+        ngram_jaccard_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(25):
+        base = " ".join(rng.choice(words, size=30))
+        docs.append(base)
+        if i % 2 == 0:  # near-dup: small suffix change
+            docs.append(base + " tail")
+        if i % 5 == 0:  # exact dup
+            docs.append(base)
+    ids = np.arange(len(docs))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": docs})
+
+    got_df = ngram_jaccard_dedup(rd.from_arrow(t), threshold=0.7).to_pandas()
+    got = dict(zip(got_df["doc_id"].astype(int), got_df["cluster_size"].astype(int)))
+
+    # independent oracle: union-find over ALL exact-jaccard pairs
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            if ngram_jaccard(docs[i], docs[j]) >= 0.7:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for i in ids:
+        expected[find(int(i))] = expected.get(find(int(i)), 0) + 1
+    assert got == expected
+
+
+def test_ngram_jaccard_dedup_verification_is_exact(ray_session):
+    # two docs landing in the same LSH bucket whose EXACT jaccard is
+    # below threshold must stay separate even if signatures agree more
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.dedup import ngram_jaccard, ngram_jaccard_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    half = "alpha beta gamma delta epsilon zeta other words go here now end"
+    assert ngram_jaccard(base, half) < 0.5
+    t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": [base, half, base]})
+    out = ngram_jaccard_dedup(rd.from_arrow(t), threshold=0.8).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int), out["cluster_size"].astype(int)))
+    assert got == {1: 2, 2: 1}   # exact dup clusters; near-bucket half does not

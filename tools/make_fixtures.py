@@ -49,6 +49,7 @@ def main() -> None:
         "embedding_dup_docs": ref.embedding_dup_pairs_reference(sf_dir),
         "embedding_dedup_docs": ref.embedding_dedup_reference(sf_dir),
         "embedding_topk_ivf": ref.ivf_topk_reference(sf_dir),
+        "ngram_jaccard_dedup_docs": ref.ngram_jaccard_clusters_reference(ids, texts),
     }
     for name, df in tables.items():
         df = _canonical(df)

@@ -42,8 +42,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from logstash_filter_elastic_integration_ray.stages.dedup import (  # noqa: E402
     _EXACT_BUCKET_CAP,
     MinHasher,
+    _local_component_stars,
     band_bucket_keys,
     hamming64,
+    jaccard_prefilter_threshold,
+    ngram_jaccard,
 )
 from logstash_filter_elastic_integration_ray.stages.similarity import (  # noqa: E402
     IvfIndex,
@@ -160,6 +163,68 @@ def minhash_clusters_reference(ids, texts, *, num_perm: int = 32, bands: int = 8
             continue
         mi = np.array(sorted(members))
         _verify_bucket_minhash(ids[mi], sig[mi], threshold, uf)
+    return uf.clusters()
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard clustering (exact verify over minhash-LSH candidates)
+# ---------------------------------------------------------------------------
+def _minhash_candidate_edges(ids, sigs, pre_threshold) -> set[tuple[int, int]]:
+    """Mirror of the engine's per-bucket candidate contract at the
+    PREFILTER agreement bar: ≤cap exact pairs collapsed to local stars,
+    >cap identical-sig group stars + rep star/chain."""
+    edges: set[tuple[int, int]] = set()
+    m = len(ids)
+    if m <= _EXACT_BUCKET_CAP:
+        left, right = [], []
+        for i in range(m):
+            for j in range(i + 1, m):
+                if (sigs[i] == sigs[j]).mean() >= pre_threshold:
+                    left.append(i)
+                    right.append(j)
+        for x, y in _local_component_stars(ids, np.array(left, dtype=int), np.array(right, dtype=int)):
+            edges.add((min(x, y), max(x, y)))
+        return edges
+    rep_ids, rep_sigs, gs_roots, gs_members = _sig_groups(ids, sigs)
+    for x, y in zip(gs_roots, gs_members):
+        edges.add((min(int(x), int(y)), max(int(x), int(y))))
+    if len(rep_ids) < 2:
+        return edges
+    ro = np.argsort(rep_ids, kind="stable")
+    root = ro[0]
+    for o in ro[1:]:
+        if (rep_sigs[o] == rep_sigs[root]).mean() >= pre_threshold:
+            a, b = int(rep_ids[root]), int(rep_ids[o])
+            edges.add((min(a, b), max(a, b)))
+    for p in range(len(rep_ids) - 1):
+        if (rep_sigs[p] == rep_sigs[p + 1]).mean() >= pre_threshold:
+            a, b = int(rep_ids[p]), int(rep_ids[p + 1])
+            edges.add((min(a, b), max(a, b)))
+    return edges
+
+
+def ngram_jaccard_clusters_reference(ids, texts, *, threshold: float = 0.8,
+                                     num_perm: int = 32, bands: int = 8,
+                                     shingle_size: int = 3) -> pd.DataFrame:
+    hasher = MinHasher(num_perm=num_perm, shingle_size=shingle_size)
+    sig = np.vstack([hasher.signature(t) for t in texts])
+    keys = band_bucket_keys(sig, bands)
+    pre = jaccard_prefilter_threshold(threshold, num_perm)
+    buckets: dict[int, list[int]] = {}
+    for idx in range(len(ids)):
+        for b in range(bands):
+            buckets.setdefault(int(keys[idx, b]), []).append(idx)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        mi = np.array(sorted(members))
+        cand |= _minhash_candidate_edges(ids[mi], sig[mi], pre)
+    by_id = {int(i): t for i, t in zip(ids, texts)}
+    uf = UnionFind(ids)
+    for a, b in sorted(cand):
+        if ngram_jaccard(by_id[a], by_id[b], n=shingle_size) >= threshold:
+            uf.union(a, b)
     return uf.clusters()
 
 
