@@ -171,7 +171,7 @@ def _coerce(value: str | None, ftype: str | None):
 
 
 def match_patterns(
-    values: np.ndarray, exprs: list[GrokExpr]
+    values: np.ndarray, exprs: list[GrokExpr], watchdog_seconds: float = 1.0
 ) -> tuple[np.ndarray, dict[str, np.ndarray], dict[str, str | None]]:
     """Match a list of compiled grok expressions against string values.
 
@@ -193,12 +193,51 @@ def match_patterns(
         pending = np.nonzero(~matched)[0]
         if len(pending) == 0:
             break
-        hit = _match_one(values, pending, expr, fields)
+        hit = _match_one(values, pending, expr, fields, watchdog_seconds)
         matched[hit] = True
     return matched, fields, ftypes
 
 
-def _match_one(values: np.ndarray, pending: np.ndarray, expr: GrokExpr, fields: dict[str, np.ndarray]) -> np.ndarray:
+class _WatchdogTimeout(Exception):
+    pass
+
+
+def _search_with_watchdog(rx, value: str, seconds: float):
+    """``rx.search(value)`` bounded by a wall-clock watchdog — the
+    analogue of the reference's 1 s matcher watchdog
+    (``EventProcessorBuilder.java:224-225``): a catastrophic
+    backtracking pattern fails the ROW instead of hanging the worker.
+
+    Python ``re`` cannot be interrupted cooperatively, so the timeout
+    uses ``SIGALRM`` — available only in the worker's MAIN thread
+    (where Ray executes map tasks); elsewhere the search runs
+    unbounded, exactly like a watchdog-less engine.  Only the Python
+    FALLBACK path pays the two timer syscalls; the RE2 fast path is
+    linear-time by construction and needs no watchdog."""
+    if seconds <= 0:
+        return rx.search(value)
+    import signal
+    import threading
+
+    if threading.current_thread() is not threading.main_thread():
+        return rx.search(value)
+
+    def handler(signum, frame):
+        raise _WatchdogTimeout()
+
+    old_handler = signal.signal(signal.SIGALRM, handler)
+    signal.setitimer(signal.ITIMER_REAL, seconds)
+    try:
+        return rx.search(value)
+    except _WatchdogTimeout:
+        return None  # unmatched → the row fails like any grok mismatch
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, old_handler)
+
+
+def _match_one(values: np.ndarray, pending: np.ndarray, expr: GrokExpr, fields: dict[str, np.ndarray],
+               watchdog_seconds: float = 1.0) -> np.ndarray:
     """Match one expression over ``pending`` row indices; fill captures.
     Returns indices that matched."""
     # ---- RE2 fast path over an Arrow array ------------------------------
@@ -230,7 +269,7 @@ def _match_one(values: np.ndarray, pending: np.ndarray, expr: GrokExpr, fields: 
         v = values[i]
         if v is None:
             continue
-        m = rx.search(v)
+        m = _search_with_watchdog(rx, v, watchdog_seconds)
         if m is None:
             continue
         hits.append(i)
@@ -263,6 +302,9 @@ class GrokKernel(Kernel):
         self.field = _normalize_field_path(field)
         self.exprs = compile_grok_exprs(list(patterns), config.get("pattern_definitions"))
         self.ignore_missing = bool(config.get("ignore_missing", False))
+        # fallback-path matcher watchdog; the reference registers 1 s
+        # (EventProcessorBuilder.java:224-225); 0 disables
+        self.watchdog_seconds = float(config.get("watchdog_seconds", 1.0))
 
     def output_fields(self) -> list[str]:
         return sorted({f for e in self.exprs for _, f, _ in e.captures})
@@ -275,7 +317,9 @@ class GrokKernel(Kernel):
             err |= mask & ~present
         active = mask & present
         if active.any():
-            matched, fields, _ = match_patterns(np.where(active, values, None), self.exprs)
+            matched, fields, _ = match_patterns(
+                np.where(active, values, None), self.exprs, self.watchdog_seconds
+            )
             err |= active & ~matched
             write = active & matched
             for f, col in fields.items():

@@ -80,3 +80,29 @@ def test_redact_default_wrappers():
         [{"m": "from 1.2.3.4 ok"}],
     )
     assert rows[0]["m"] == "from <ip> ok"
+
+
+def test_watchdog_bounds_catastrophic_fallback_pattern():
+    # the reference registers a 1 s matcher watchdog
+    # (EventProcessorBuilder.java:224-225); the Python-re fallback gets
+    # the SIGALRM analogue.  The lookahead forces the RE2 fast path to
+    # reject the pattern (fallback engages); (a+)+b then backtracks
+    # exponentially on an almost-matching input.
+    import time
+
+    from tests.util import run_pipeline
+
+    rows = [{"text": "a" * 28 + "c"}, {"text": "ab"}]
+    t0 = time.time()
+    out = run_pipeline(
+        {"processors": [{"grok": {
+            "field": "text",
+            "patterns": [r"^(?=a)(a+)+b$"],
+            "watchdog_seconds": 0.2,
+        }}]},
+        rows,
+    )
+    elapsed = time.time() - t0
+    assert elapsed < 5.0  # unbounded backtracking would take minutes
+    assert out[0].get("tags") == ["_ingest_pipeline_failure"]  # timed-out row fails
+    assert "tags" not in out[1]  # the matching row still matches

@@ -822,3 +822,42 @@ def test_ngram_jaccard_dedup_verification_is_exact(ray_session):
     out = ngram_jaccard_dedup(rd.from_arrow(t), threshold=0.8).to_pandas()
     got = dict(zip(out["doc_id"].astype(int), out["cluster_size"].astype(int)))
     assert got == {1: 2, 2: 1}   # exact dup clusters; near-bucket half does not
+
+
+def test_connected_components_random_graphs_property(ray_session):
+    # property: on arbitrary random graphs the distributed CC must
+    # agree exactly with a plain union-find (labels = component min)
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.dedup import (
+        connected_components_min_label,
+    )
+
+    rng = np.random.default_rng(99)
+    for trial in range(4):
+        n_nodes = int(rng.integers(5, 120))
+        n_edges = int(rng.integers(1, 200))
+        ids = rng.choice(np.arange(n_nodes) * 7 + 3, size=(n_edges, 2))  # sparse id space
+        a = np.minimum(ids[:, 0], ids[:, 1]).astype(np.int64)
+        b = np.maximum(ids[:, 0], ids[:, 1]).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if not len(a):
+            continue
+        edges = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+        got_df = connected_components_min_label(edges, num_partitions=3).to_pandas()
+        got = dict(zip(got_df["node"].astype(int), got_df["label"].astype(int)))
+
+        parent = {}
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for x, y in zip(a, b):
+            parent.setdefault(int(x), int(x)); parent.setdefault(int(y), int(y))
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        expected = {i: find(i) for i in parent}
+        assert got == expected, f"trial {trial}"
