@@ -45,6 +45,40 @@ class PainlessError(ValueError):
     pass
 
 
+_INSTANCEOF_TYPES: dict[str, tuple] = {
+    "String": (str,),
+    "CharSequence": (str,),
+    "Integer": (int,),
+    "Long": (int,),
+    "Short": (int,),
+    "Byte": (int,),
+    "Double": (float,),
+    "Float": (float,),
+    "Number": (int, float),
+    "Boolean": (bool,),
+    "Map": (dict,),
+    "HashMap": (dict,),
+    "List": (list,),
+    "ArrayList": (list,),
+    "Collection": (list,),
+    "Object": (object,),
+}
+
+
+def _instanceof(value, type_name: str) -> bool:
+    """Java ``instanceof`` semantics over the interpreter's Python
+    value model: null is never an instance; booleans are NOT Integers
+    (Python bool subclasses int, Java Boolean does not)."""
+    types = _INSTANCEOF_TYPES.get(type_name)
+    if types is None:
+        raise PainlessError(f"unknown type in instanceof: {type_name!r}")
+    if value is None:
+        return False
+    if isinstance(value, bool) and types != (bool,) and types != (object,):
+        return False
+    return isinstance(value, types)
+
+
 #: a '/' starts a REGEX literal (not division) when the previous token
 #: cannot end a value — the standard JS/painless tokenizer heuristic
 _VALUE_ENDERS = {")", "]", "}", "++", "--"}
@@ -293,15 +327,21 @@ class _Parser:
 
     def parse_cmp(self):
         node = self.parse_add()
-        while self.peek()[0] == "op" and self.peek()[1] in (
-            "==", "!=", "<", "<=", ">", ">=", "=~", "==~",
-        ):
-            op = self.eat()[1]
-            if op in ("=~", "==~"):
-                node = ("match", op, node, self.parse_add())
-            else:
-                node = ("cmp", op, node, self.parse_add())
-        return node
+        while True:
+            if self.peek() == ("id", "instanceof"):
+                self.eat()
+                node = ("instanceof", node, self.eat(kind="id")[1])
+                continue
+            if self.peek()[0] == "op" and self.peek()[1] in (
+                "==", "!=", "<", "<=", ">", ">=", "=~", "==~",
+            ):
+                op = self.eat()[1]
+                if op in ("=~", "==~"):
+                    node = ("match", op, node, self.parse_add())
+                else:
+                    node = ("cmp", op, node, self.parse_add())
+                continue
+            return node
 
     def parse_add(self):
         node = self.parse_mul()
@@ -787,6 +827,9 @@ class Interpreter:
             return node[1]
         if op == "lit_regex":
             return self._compiled_regex(node[1], node[2])
+        if op == "instanceof":
+            v = self._deref(self._eval(node[1], rc, env), rc)
+            return _instanceof(v, node[2])
         if op == "match":
             lhs = self._deref(self._eval(node[2], rc, env), rc)
             rhs = self._deref(self._eval(node[3], rc, env), rc)

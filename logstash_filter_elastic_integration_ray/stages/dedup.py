@@ -323,7 +323,18 @@ def _star_edges_partition(df: pd.DataFrame, threshold: float, id_col: str) -> pa
         vec_a.append(np.repeat(i_sorted[starts], sizes - 1).astype(np.int64))
         vec_b.append(i_sorted[~new_grp].astype(np.int64))
         rep_ids, rep_sigs = i_sorted[starts], s_sorted[starts]
-        if len(starts) < 2:
+        r = len(starts)
+        if r < 2:
+            continue
+        if r <= _EXACT_BUCKET_CAP:
+            # identical-group collapse usually shrinks a megabucket to
+            # few distinct signatures — then rep pairs verify EXACTLY
+            eq = rep_sigs[:, None, :] == rep_sigs[None, :, :]
+            frac = eq.mean(axis=2)
+            iu = np.triu_indices(r, k=1)
+            hit = frac[iu] >= threshold
+            for x, y in _local_component_stars(rep_ids, iu[0][hit], iu[1][hit]):
+                emit(x, y)
             continue
         ro = np.argsort(rep_ids, kind="stable")
         root = ro[0]
@@ -735,7 +746,15 @@ def _simhash_star_edges_partition(df: pd.DataFrame, k: int, id_col: str) -> pa.T
         vec_a.append(np.repeat(i_sorted[starts], sizes - 1).astype(np.int64))
         vec_b.append(i_sorted[~new_grp].astype(np.int64))
         rep_ids, rep_sigs = i_sorted[starts], s_sorted[starts]
-        if len(starts) < 2:
+        r = len(starts)
+        if r < 2:
+            continue
+        if r <= _EXACT_BUCKET_CAP:
+            iu = np.triu_indices(r, k=1)
+            ham = hamming64(rep_sigs[iu[0]], rep_sigs[iu[1]])
+            hit = ham <= k
+            for x, y in _local_component_stars(rep_ids, iu[0][hit], iu[1][hit]):
+                emit(x, y)
             continue
         ro = np.argsort(rep_ids, kind="stable")
         root = ro[0]

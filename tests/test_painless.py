@@ -300,3 +300,35 @@ def test_user_function_recursion_depth_guard():
 def test_regex_matcher_on_null_fails_row():
     rows = _script("ctx.m = ctx.missing =~ /x/;", [{"n": 1}])
     assert rows[0].get("tags") == ["_ingest_pipeline_failure"]
+
+
+def test_instanceof_dispatch():
+    # one homogeneous column per case (a mixed-type column degrades to
+    # raw strings in the columnar model, which would test the harness,
+    # not instanceof)
+    src = (
+        "if (ctx.v instanceof String) { ctx.kind = 'str' } "
+        "else if (ctx.v instanceof Number) { ctx.kind = 'num' } "
+        "else if (ctx.v instanceof List) { ctx.kind = 'list' } "
+        "else if (ctx.v instanceof Map) { ctx.kind = 'map' } "
+        "else { ctx.kind = 'other' }"
+    )
+    assert _script(src, [{"v": "s"}])[0]["kind"] == "str"
+    assert _script(src, [{"v": 3}])[0]["kind"] == "num"
+    assert _script(src, [{"v": 2.5}])[0]["kind"] == "num"
+    assert _script(src, [{"v": [1, 2]}])[0]["kind"] == "list"
+    assert _script(src, [{"v": {"a": 1}}])[0]["kind"] == "map"
+    assert _script(src, [{"n": 1}])[0]["kind"] == "other"   # null: never an instance
+
+
+def test_instanceof_java_boolean_semantics():
+    rows = _script(
+        "ctx.is_int = ctx.v instanceof Integer; ctx.is_bool = ctx.v instanceof Boolean;",
+        [{"v": True}, {"v": False}],
+    )
+    assert rows[0]["is_int"] is False and rows[0]["is_bool"] is True
+    rows2 = _script(
+        "ctx.is_int = ctx.v instanceof Integer; ctx.is_bool = ctx.v instanceof Boolean;",
+        [{"v": 4}],
+    )
+    assert rows2[0]["is_int"] is True and rows2[0]["is_bool"] is False

@@ -861,3 +861,43 @@ def test_connected_components_random_graphs_property(ray_session):
                 parent[max(rx, ry)] = min(rx, ry)
         expected = {i: find(i) for i in parent}
         assert got == expected, f"trial {trial}"
+
+
+def test_megabucket_collapsed_reps_verify_exactly():
+    # >cap bucket whose identical-group collapse leaves ≤cap reps: rep
+    # pairs must verify EXACTLY (all pairs), so a qualifying pair whose
+    # signatures sort apart (noise reps interleaved between them, and a
+    # dissimilar bucket-min) is still caught.
+    import pandas as pd
+
+    from logstash_filter_elastic_integration_ray.stages.dedup import (
+        _EXACT_BUCKET_CAP,
+        _star_edges_partition,
+    )
+
+    base = np.arange(32, dtype=np.uint64) + np.uint64(100)
+    x = base.copy(); x[0] = np.uint64(5)          # agree on 31/32 → 0.97
+    y = base.copy(); y[0] = np.uint64(9)
+    rows = {"bucket": [], "doc_id": [], "sig": []}
+
+    def add(doc_id, sig, copies=1):
+        for c in range(copies):
+            rows["bucket"].append("B")
+            rows["doc_id"].append(doc_id + c * 1000)
+            rows["sig"].append(sig.tobytes())
+
+    add(50, x, copies=10)   # identical group X (ids 50, 1050, ...)
+    add(60, y, copies=10)   # identical group Y (ids 60, 1060, ...)
+    rng = np.random.default_rng(4)
+    n_noise = 50  # bucket total 70 > cap, but reps = 52 ≤ cap → exact rep pairs
+    for i in range(n_noise):   # noise reps sorting BETWEEN x and y (col0 in 6..8)
+        sig = rng.integers(1 << 30, 1 << 40, size=32).astype(np.uint64)
+        sig[0] = np.uint64(6 + (i % 3))
+        add(1, sig) if i == 0 else add(200 + i, sig)   # id 1 = dissimilar bucket-min
+    df = pd.DataFrame(rows)
+    assert len(df) > _EXACT_BUCKET_CAP
+    edges = _star_edges_partition(df, 0.9, "doc_id").to_pandas()
+    pairs = set(zip(edges["a"], edges["b"]))
+    assert (50, 1050) in pairs and (60, 1060) in pairs   # group stars
+    assert (50, 60) in pairs                             # exact rep pair across noise
+    assert not any(1 in p for p in pairs)                # dissimilar min connects nothing

@@ -136,14 +136,21 @@ def _verify_bucket_minhash(ids, sigs, threshold, uf: UnionFind) -> None:
     rep_ids, rep_sigs, gs_roots, gs_members = _sig_groups(ids, sigs)
     for x, y in zip(gs_roots, gs_members):  # identical sigs: agreement 1.0
         uf.union(x, y)
-    if len(rep_ids) < 2:
+    r = len(rep_ids)
+    if r < 2:
+        return
+    if r <= _EXACT_BUCKET_CAP:  # collapsed megabucket: exact rep pairs
+        for i in range(r):
+            for j in range(i + 1, r):
+                if (rep_sigs[i] == rep_sigs[j]).mean() >= threshold:
+                    uf.union(rep_ids[i], rep_ids[j])
         return
     ro = np.argsort(rep_ids, kind="stable")
     root = ro[0]
     for o in ro[1:]:
         if (rep_sigs[o] == rep_sigs[root]).mean() >= threshold:
             uf.union(rep_ids[root], rep_ids[o])
-    for p in range(len(rep_ids) - 1):
+    for p in range(r - 1):
         if (rep_sigs[p] == rep_sigs[p + 1]).mean() >= threshold:
             uf.union(rep_ids[p], rep_ids[p + 1])
 
@@ -188,7 +195,18 @@ def _minhash_candidate_edges(ids, sigs, pre_threshold) -> set[tuple[int, int]]:
     rep_ids, rep_sigs, gs_roots, gs_members = _sig_groups(ids, sigs)
     for x, y in zip(gs_roots, gs_members):
         edges.add((min(int(x), int(y)), max(int(x), int(y))))
-    if len(rep_ids) < 2:
+    r = len(rep_ids)
+    if r < 2:
+        return edges
+    if r <= _EXACT_BUCKET_CAP:  # collapsed megabucket: exact rep pairs
+        left, right = [], []
+        for i in range(r):
+            for j in range(i + 1, r):
+                if (rep_sigs[i] == rep_sigs[j]).mean() >= pre_threshold:
+                    left.append(i)
+                    right.append(j)
+        for x, y in _local_component_stars(rep_ids, np.array(left, dtype=int), np.array(right, dtype=int)):
+            edges.add((min(x, y), max(x, y)))
         return edges
     ro = np.argsort(rep_ids, kind="stable")
     root = ro[0]
@@ -196,7 +214,7 @@ def _minhash_candidate_edges(ids, sigs, pre_threshold) -> set[tuple[int, int]]:
         if (rep_sigs[o] == rep_sigs[root]).mean() >= pre_threshold:
             a, b = int(rep_ids[root]), int(rep_ids[o])
             edges.add((min(a, b), max(a, b)))
-    for p in range(len(rep_ids) - 1):
+    for p in range(r - 1):
         if (rep_sigs[p] == rep_sigs[p + 1]).mean() >= pre_threshold:
             a, b = int(rep_ids[p]), int(rep_ids[p + 1])
             edges.add((min(a, b), max(a, b)))
@@ -260,7 +278,14 @@ def _verify_bucket_hamming(ids, sigs, k, uf: UnionFind) -> None:
     rep_ids, rep_sigs, gs_roots, gs_members = _sig_groups(ids, sigs)
     for x, y in zip(gs_roots, gs_members):  # identical sigs: hamming 0
         uf.union(x, y)
-    if len(rep_ids) < 2:
+    r = len(rep_ids)
+    if r < 2:
+        return
+    if r <= _EXACT_BUCKET_CAP:  # collapsed megabucket: exact rep pairs
+        for i in range(r):
+            ham = hamming64(rep_sigs[i + 1 :], np.full(r - i - 1, rep_sigs[i], dtype=np.uint64))
+            for j in np.nonzero(ham <= k)[0]:
+                uf.union(rep_ids[i], rep_ids[i + 1 + j])
         return
     ro = np.argsort(rep_ids, kind="stable")
     root = ro[0]
