@@ -223,6 +223,14 @@ def run_bench() -> dict:
 
     timed("minhash_dedup_dup_heavy_16x", minhash_dup_heavy, reps=1)
 
+    def ngram_jaccard():
+        from logstash_filter_elastic_integration_ray.stages.dedup import ngram_jaccard_dedup
+
+        docs = read_parquet_clean(f"{SF_DIR}/documents.parquet")
+        return ngram_jaccard_dedup(docs).count()
+
+    timed("ngram_jaccard_dedup", ngram_jaccard, reps=1)
+
     def embedding_dedup_dup_heavy():
         # mirror of the minhash stress for the embedding path: every
         # doc ×16 (identical text → identical feature-hash embedding),
