@@ -901,3 +901,34 @@ def test_megabucket_collapsed_reps_verify_exactly():
     assert (50, 1050) in pairs and (60, 1060) in pairs   # group stars
     assert (50, 60) in pairs                             # exact rep pair across noise
     assert not any(1 in p for p in pairs)                # dissimilar min connects nothing
+
+
+def test_dedup_ops_on_all_unique_and_tiny_inputs(ray_session):
+    # robustness: zero verified edges (all singletons) and 1-row inputs
+    # must flow through candidates → components → survivors cleanly
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.dedup import (
+        minhash_lsh_dedup,
+        ngram_jaccard_dedup,
+    )
+    from logstash_filter_elastic_integration_ray.stages.similarity import (
+        embedding_dedup,
+        text_feature_embedding_batch,
+    )
+
+    uniq = pa.table({
+        "doc_id": pa.array(list(range(8)), type=pa.int64()),
+        "text": [f"totally distinct text number {i} with unique words{i}" for i in range(8)],
+    })
+    for op in (minhash_lsh_dedup, ngram_jaccard_dedup):
+        out = op(rd.from_arrow(uniq)).to_pandas()
+        assert sorted(out["doc_id"]) == list(range(8))
+        assert (out["cluster_size"] == 1).all()
+    emb = rd.from_arrow(uniq).map_batches(text_feature_embedding_batch, batch_format="pyarrow")
+    out = embedding_dedup(emb, threshold=0.999).to_pandas()
+    assert (out["cluster_size"] == 1).all() and len(out) == 8
+
+    one = pa.table({"doc_id": pa.array([7], type=pa.int64()), "text": ["solo"]})
+    out = minhash_lsh_dedup(rd.from_arrow(one)).to_pandas()
+    assert out["doc_id"].tolist() == [7] and out["cluster_size"].tolist() == [1]
