@@ -696,13 +696,13 @@ def q_events_hourly(sf_dir: str):
         import pandas as pd
 
         df = t.to_pandas()
-        g = df.groupby(["user_id", "hour"], as_index=False, sort=False).agg(
+        g = df.groupby(["user_id", "hour"], as_index=False, sort=False, dropna=False).agg(
             n_events=("value_cents", "size"), value_cents_sum=("value_cents", "sum")
         )
         return pa.Table.from_pandas(g, preserve_index=False, schema=hourly_schema).replace_schema_metadata(None)
 
     def merge(df) -> pa.Table:
-        g = df.groupby(["user_id", "hour"], as_index=False, sort=False).agg(
+        g = df.groupby(["user_id", "hour"], as_index=False, sort=False, dropna=False).agg(
             n_events=("n_events", "sum"), value_cents_sum=("value_cents_sum", "sum")
         )
         return pa.Table.from_pandas(g, preserve_index=False, schema=hourly_schema).replace_schema_metadata(None)
@@ -744,8 +744,13 @@ def q_segment_orders(sf_dir: str):
             self.seg = _pd.Series(list(lk.values()), index=list(lk.keys()))
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            import pandas as _pd
+
             keys = t.column("o_custkey").to_numpy()
             seg = self.seg.reindex(keys).to_numpy()
+            # reindex fills misses with NaN — emit a NULL segment like
+            # a dict .get() would, not an ArrowInvalid
+            seg = np.where(_pd.isna(seg), None, seg)
             cents = pc.round(pc.multiply(t.column("o_totalprice"), 100.0)).cast(pa.int64())
             return pa.table({"c_mktsegment": pa.array(seg, type=pa.string()), "price_cents": cents})
 

@@ -222,18 +222,26 @@ def _search_with_watchdog(rx, value: str, seconds: float):
     if threading.current_thread() is not threading.main_thread():
         return rx.search(value)
 
+    armed = [True]
+
     def handler(signum, frame):
-        raise _WatchdogTimeout()
+        if armed[0]:  # a late alarm after disarm must be a no-op, not
+            raise _WatchdogTimeout()  # an exception escaping `finally`
 
     old_handler = signal.signal(signal.SIGALRM, handler)
     signal.setitimer(signal.ITIMER_REAL, seconds)
+    result = []
     try:
-        return rx.search(value)
+        try:
+            result.append(rx.search(value))
+        finally:
+            armed[0] = False
     except _WatchdogTimeout:
-        return None  # unmatched → the row fails like any grok mismatch
+        pass  # unmatched → the row fails like any grok mismatch
     finally:
         signal.setitimer(signal.ITIMER_REAL, 0)
         signal.signal(signal.SIGALRM, old_handler)
+    return result[0] if result else None
 
 
 def _match_one(values: np.ndarray, pending: np.ndarray, expr: GrokExpr, fields: dict[str, np.ndarray],

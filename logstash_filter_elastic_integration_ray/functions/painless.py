@@ -96,16 +96,23 @@ def _prev_is_value(out: list[tuple[str, str]]) -> bool:
 
 
 def _scan_regex(src: str, pos: int) -> tuple[tuple[str, str], int]:
-    """``/pattern/flags`` starting at src[pos] == '/'."""
+    """``/pattern/flags`` starting at src[pos] == '/'.  An unescaped
+    '/' inside a character class (``[...]``) does not terminate the
+    literal, matching Java regex syntax."""
     i = pos + 1
+    in_class = False
     while i < len(src):
         c = src[i]
         if c == "\\":
             i += 2
             continue
-        if c == "/":
+        if c == "[":
+            in_class = True
+        elif c == "]":
+            in_class = False
+        elif c == "/" and not in_class:
             break
-        if c == "\n":
+        elif c == "\n":
             raise PainlessError("unterminated regex literal")
         i += 1
     else:
@@ -120,14 +127,25 @@ def _scan_regex(src: str, pos: int) -> tuple[tuple[str, str], int]:
 
 
 def _tokenize(src: str) -> list[tuple[str, str]]:
+    # comments are handled IN the loop (not a pre-strip regex): a
+    # pre-strip would corrupt '//' inside string literals (URLs!) and
+    # inside regex literals
     out, pos = [], 0
-    src = re.sub(r"//[^\n]*", "", src)
-    src = re.sub(r"/\*.*?\*/", "", src, flags=re.S)
     while pos < len(src):
         while pos < len(src) and src[pos] in " \t\r\n":
             pos += 1
         if pos >= len(src):
             break
+        if src.startswith("//", pos):
+            nl = src.find("\n", pos)
+            pos = len(src) if nl < 0 else nl + 1
+            continue
+        if src.startswith("/*", pos):
+            end = src.find("*/", pos + 2)
+            if end < 0:
+                raise PainlessError("unterminated block comment")
+            pos = end + 2
+            continue
         if src[pos] == "/" and not _prev_is_value(out):
             tok, pos = _scan_regex(src, pos)
             out.append(tok)

@@ -390,8 +390,6 @@ def connected_components_min_label(edges, max_iters: int = 25, num_partitions: i
     generation (sizes logged as a memory guard)."""
     import logging
 
-    from ray.data.aggregate import Min
-
     from .aggregate import add_partition_col
 
     _ROW_SCHEMA = pa.schema([("key", pa.int64()), ("val", pa.int64()), ("is_label", pa.int8())])
@@ -453,17 +451,27 @@ def connected_components_min_label(edges, max_iters: int = 25, num_partitions: i
     num_partitions = max(1, min(num_partitions, -(-n_edges // _EDGES_PER_CC_PARTITION)))
     log.info("connected_components: %d directed edge rows, %d partitions", n_edges, num_partitions)
 
-    # fixpoint test: each (partition, node) cell's emitted label is
-    # monotone non-increasing and the emission structure (which
-    # partition emits which nodes) is fixed by the edge set, so the SUM
-    # of all emitted labels is strictly decreasing until — and only
-    # until — the global fixpoint (one cheap scan, no extra shuffle)
+    def min_label_per_node(df: pd.DataFrame) -> pa.Table:
+        out = df.groupby("key", as_index=False)["val"].min()
+        out["is_label"] = np.int8(1)
+        return pa.Table.from_pandas(out, preserve_index=False, schema=_ROW_SCHEMA).replace_schema_metadata(None)
+
+    # fixpoint test: each round CANONICALIZES labels to one row per
+    # node (per-node global min, co-partitioned vectorized merge —
+    # never a Ray per-group aggregate).  Canonical labels are monotone
+    # non-increasing per node (the home partition always sees the
+    # node's own label row, so its local min can't exceed it) over the
+    # FIXED node set (edge endpoints), so the label SUM is strictly
+    # decreasing until — and only until — the global fixpoint.  (A sum
+    # over raw per-partition emissions would be unsound: a partition's
+    # node view shifts with the label links, so cells appear/disappear
+    # round-over-round.)
+    import time as _time
+
     label_rows = None
     prev_sum = None
     converged = False
     for rnd in range(max_iters):
-        import time as _time
-
         _t0 = _time.monotonic()
         combined = edges_keyed if label_rows is None else edges_keyed.union(label_rows)
         label_rows = (
@@ -473,6 +481,12 @@ def connected_components_min_label(edges, max_iters: int = 25, num_partitions: i
             .repartition(num_partitions)
             .groupby("__part")
             .map_groups(propagate_partition, batch_format="pandas")
+            .map_batches(
+                lambda b: add_partition_col(b, num_partitions, key="key"), batch_format="pyarrow"
+            )
+            .repartition(num_partitions)
+            .groupby("__part")
+            .map_groups(min_label_per_node, batch_format="pandas")
             .materialize()
         )
         s = label_rows.sum("val")
@@ -493,26 +507,12 @@ def connected_components_min_label(edges, max_iters: int = 25, num_partitions: i
         )
 
     def to_labels(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t.column("key"), "label": t.column("val")})
+        return pa.table({"node": t.column("key"), "label": t.column("val")}).cast(_LABELS_SCHEMA)
 
-    def min_per_node(df: pd.DataFrame) -> pa.Table:
-        out = df.groupby("node", as_index=False)["label"].min()
-        return pa.Table.from_pandas(out, preserve_index=False, schema=_LABELS_SCHEMA).replace_schema_metadata(None)
-
-    # final per-node merge via co-partition + ONE vectorized pandas
-    # groupby per partition — Ray's aggregate pays per-GROUP overhead,
-    # which at millions of distinct nodes dwarfed the whole loop.
-    # Materialized: callers consume the labelling several times
-    # (components + singleton anti-join).
-    return (
-        label_rows.map_batches(to_labels, batch_format="pyarrow")
-        .map_batches(lambda b: add_partition_col(b, max(2, num_partitions), key="node"),
-                     batch_format="pyarrow")
-        .repartition(max(2, num_partitions))
-        .groupby("__part")
-        .map_groups(min_per_node, batch_format="pandas")
-        .materialize()
-    )
+    # labels are already canonical (one row per node, per-node min) —
+    # just rename.  Materialized: callers consume the labelling several
+    # times (components + singleton anti-join).
+    return label_rows.map_batches(to_labels, batch_format="pyarrow").materialize()
 
 
 def minhash_lsh_dedup(ds, *, num_perm: int = 32, bands: int = 8, threshold: float = 0.8,
@@ -527,8 +527,6 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 32, bands: int = 8, threshold: floa
     doc-id column is NEVER materialized on the driver (pinned by a
     ``Dataset.to_pandas`` call counter in ``tests/test_stages.py``)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
-
     from .aggregate import add_partition_col
 
     hasher = MinHasher(num_perm=num_perm)
@@ -775,8 +773,6 @@ def simhash_dedup(ds, id_col: str = "doc_id", k: int = 3, num_partitions: int = 
     (doc_id, cluster_size) — rotated-band buckets (complete by
     pigeonhole), star-edge verification, distributed components; the
     same 100-TB-safe shape as :func:`minhash_lsh_dedup`."""
-    from ray.data.aggregate import Count
-
     from .aggregate import add_partition_col
 
     block_rows = ds.map_batches(
@@ -886,10 +882,13 @@ def ngram_jaccard_dedup(ds, *, threshold: float = 0.8, num_perm: int = 32, bands
     )
     edges = distinct_pairs(edges, num_partitions)
 
+    import pyarrow.compute as pc
+
     def text_rows(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {id_col: t.column(id_col).cast(pa.int64()), "val": t.column(text_col).cast(pa.string())}
-        )
+        # null text scores as "" (the reference implementation and the
+        # shingle kernel both treat None as the empty document)
+        txt = pc.coalesce(t.column(text_col).cast(pa.string()), "")
+        return pa.table({id_col: t.column(id_col).cast(pa.int64()), "val": txt})
 
     verified = attach_pair_scores(
         edges,

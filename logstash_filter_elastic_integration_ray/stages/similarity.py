@@ -480,11 +480,18 @@ def attach_pair_scores(pairs, value_rows, *, score_fn, threshold: float,
             }
         )
 
+    def _present(vals: np.ndarray) -> np.ndarray:
+        # reindex fills MISSES with float NaN (not None); embeddings
+        # are arrays, so test scalars only
+        return np.array(
+            [not (e is None or (np.isscalar(e) and pd.isna(e))) for e in vals], dtype=bool
+        )
+
     def attach_a(df: pd.DataFrame) -> pa.Table:
         lookup = df[df["side"] == 1].set_index("key")["val"]
         p = df[df["side"] == 0]
         val_a = lookup.reindex(p["key"]).to_numpy()
-        ok = np.array([e is not None for e in val_a], dtype=bool)
+        ok = _present(val_a)
         # re-key by b for pass 2, carrying val_a
         n = int(ok.sum())
         return pa.table(
@@ -503,7 +510,7 @@ def attach_pair_scores(pairs, value_rows, *, score_fn, threshold: float,
         if not len(p):
             return out_schema.empty_table()
         val_b = lookup.reindex(p["key"]).to_numpy()
-        ok = np.array([e is not None for e in val_b], dtype=bool)
+        ok = _present(val_b)
         p = p[ok]
         if not len(p):
             return out_schema.empty_table()
@@ -580,8 +587,6 @@ def embedding_dup_pairs(ds, threshold: float = 0.9, *, num_bits: int = 64, bands
     clusters/survivors, use :func:`embedding_dedup` (O(m) end to end).
     Recall is the standard LSH trade-off (measured in tests); precision
     is exact."""
-    from ray.data.aggregate import Count
-
     from .aggregate import add_partition_col
 
     cap = hamming_cap(threshold, num_bits)
@@ -616,8 +621,6 @@ def embedding_dedup(ds, threshold: float = 0.9, *, num_bits: int = 64, bands: in
     the O(m) edge set via :func:`attach_pair_cosines` → distributed
     min-label connected components → survivors/singletons.  Nothing is
     ever O(m²) in time, memory, shuffle or output."""
-    from ray.data.aggregate import Count
-
     from ..stages.dedup import _EXACT_BUCKET_CAP, _survivors_from_labels, connected_components_min_label
     from .aggregate import add_partition_col
 

@@ -374,13 +374,13 @@ def embedding_dup_pairs_reference(sf_dir: str, *, threshold: float = 0.9, num_bi
     pairs = sorted(cand)
     a_m = np.vstack([m[pos[a]] for a, _ in pairs])
     b_m = np.vstack([m[pos[b]] for _, b in pairs])
-    cos = np.round(pair_cosines(a_m, b_m), 9)
-    hit = cos >= threshold
-    return pd.DataFrame(
+    cos = pair_cosines(a_m, b_m)
+    hit = cos >= threshold  # threshold the RAW score like the engine;
+    return pd.DataFrame(     # only the emitted value is rounded
         {
             "a": pd.Series([p[0] for p, h in zip(pairs, hit) if h], dtype="int64"),
             "b": pd.Series([p[1] for p, h in zip(pairs, hit) if h], dtype="int64"),
-            "cosine": pd.Series(cos[hit], dtype="float64"),
+            "cosine": pd.Series(np.round(cos[hit], 9), dtype="float64"),
         }
     )
 
