@@ -748,11 +748,16 @@ def q_segment_orders(sf_dir: str):
 
             keys = t.column("o_custkey").to_numpy()
             seg = self.seg.reindex(keys).to_numpy()
-            # reindex fills misses with NaN — emit a NULL segment like
-            # a dict .get() would, not an ArrowInvalid
-            seg = np.where(_pd.isna(seg), None, seg)
+            # INNER-join semantics (the oracle SQL joins): orders whose
+            # custkey is absent from the dim are DROPPED, not null-grouped
+            ok = ~_pd.isna(seg)
             cents = pc.round(pc.multiply(t.column("o_totalprice"), 100.0)).cast(pa.int64())
-            return pa.table({"c_mktsegment": pa.array(seg, type=pa.string()), "price_cents": cents})
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(seg[ok].astype(object), type=pa.string()),
+                    "price_cents": cents.filter(pa.array(ok)),
+                }
+            )
 
     ds = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     return (

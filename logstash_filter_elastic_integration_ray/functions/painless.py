@@ -101,15 +101,21 @@ def _scan_regex(src: str, pos: int) -> tuple[tuple[str, str], int]:
     literal, matching Java regex syntax."""
     i = pos + 1
     in_class = False
+    class_start = -1
     while i < len(src):
         c = src[i]
         if c == "\\":
             i += 2
             continue
-        if c == "[":
+        if c == "[" and not in_class:
             in_class = True
-        elif c == "]":
-            in_class = False
+            class_start = i
+        elif c == "]" and in_class:
+            # a ']' as the FIRST member of a class ('[]' or '[^]') is a
+            # LITERAL in Java/Python regex, not the class terminator
+            first = i == class_start + 1 or (i == class_start + 2 and src[class_start + 1] == "^")
+            if not first:
+                in_class = False
         elif c == "/" and not in_class:
             break
         elif c == "\n":

@@ -35,6 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 P = np.int64(2**31 - 1)
 R = np.int64(1_000_003)
@@ -137,8 +138,15 @@ def add_partition_col(batch: pa.Table, num_partitions: int, key: str = "conv_id"
     col = batch.column(key)
     if pa.types.is_integer(col.type):
         # numeric fast path: hash the int64 buffer directly — no
-        # per-row Python object materialization
-        vals = col.to_numpy(zero_copy_only=False)
+        # per-row Python object materialization.  Nulls are filled with
+        # a fixed sentinel FIRST: int-with-null converts to float64,
+        # whose hash differs from the int hash, so the same key would
+        # otherwise land in different partitions depending on whether
+        # its batch happened to contain a null (a sentinel collision
+        # merely co-locates two groups, which is harmless).
+        if col.null_count:
+            col = pc.fill_null(col, np.iinfo(np.int64).min)
+        vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
         part = (pd.util.hash_array(vals) % np.uint64(num_partitions)).astype(np.int64)
     else:
         part = (

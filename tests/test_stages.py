@@ -932,3 +932,40 @@ def test_dedup_ops_on_all_unique_and_tiny_inputs(ray_session):
     one = pa.table({"doc_id": pa.array([7], type=pa.int64()), "text": ["solo"]})
     out = minhash_lsh_dedup(rd.from_arrow(one)).to_pandas()
     assert out["doc_id"].tolist() == [7] and out["cluster_size"].tolist() == [1]
+
+
+def test_dedup_ops_invariant_to_block_splits(ray_session):
+    # determinism pin: the clustering output must not depend on how the
+    # input is split into blocks (per-batch kernels + hash partitioning
+    # make every stage block-agnostic)
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.dedup import (
+        minhash_lsh_dedup,
+        ngram_jaccard_dedup,
+    )
+    from logstash_filter_elastic_integration_ray.stages.similarity import (
+        embedding_dedup,
+        text_feature_embedding_batch,
+    )
+
+    rng = np.random.default_rng(41)
+    words = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(40):
+        base = " ".join(rng.choice(words, size=20))
+        docs.append(base)
+        if i % 4 == 0:
+            docs.append(base + " tail words")
+    t = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()), "text": docs})
+
+    def run(op, blocks, embed=False):
+        ds = rd.from_arrow(t).repartition(blocks)
+        if embed:
+            ds = ds.map_batches(text_feature_embedding_batch, batch_format="pyarrow")
+        out = op(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return list(zip(out["doc_id"].astype(int), out["cluster_size"].astype(int)))
+
+    for op, embed in ((minhash_lsh_dedup, False), (ngram_jaccard_dedup, False),
+                      (embedding_dedup, True)):
+        assert run(op, 1, embed) == run(op, 7, embed), op.__name__
