@@ -22,6 +22,7 @@ value (or any child column) is non-null.
 
 from __future__ import annotations
 
+import functools
 import math
 import re
 
@@ -30,7 +31,7 @@ _TOKEN = re.compile(
         (?P<num>\d+\.\d+|\d+)
       | (?P<str>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
       | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
-      | (?P<op>\+\+|--|\+=|-=|\*=|/=|==~|=~|==|!=|<=|>=|&&|\|\||\?\.|\?:|[-+*/%<>=!?:.,;(){}\[\]])
+      | (?P<op>\+\+|--|->|::|\+=|-=|\*=|/=|==~|=~|==|!=|<=|>=|&&|\|\||\?\.|\?:|[-+*/%<>=!?:.,;(){}\[\]])
     )""",
     re.X,
 )
@@ -320,7 +321,61 @@ class _Parser:
 
     # ---- expressions ------------------------------------------------------
     def parse_expr(self):
+        lam = self._try_lambda()
+        if lam is not None:
+            return lam
         return self.parse_ternary()
+
+    def _try_lambda(self):
+        """Parse a lambda expression if one starts here, else None.
+
+        Forms (Java/painless): ``x -> expr``, ``(a, b) -> expr``,
+        ``(def x) -> { ...; return y; }``, ``() -> expr``."""
+        k0 = self.peek()
+        # single bare parameter: `x -> ...`
+        if (k0[0] == "id" and k0[1] not in _KEYWORDS
+                and self.peek(1) == ("op", "->")):
+            param = self.eat(kind="id")[1]
+            self.eat("->")
+            return ("lambda", [param], self._lambda_body())
+        if k0 != ("op", "("):
+            return None
+        # parenthesized parameter list: scan ahead for `([type] id, ...) ->`
+        j = 1
+        params: list[str] = []
+        if self.peek(j) == ("op", ")"):
+            j += 1
+        else:
+            while True:
+                t = self.peek(j)
+                if t[0] != "id" or t[1] in _KEYWORDS:
+                    return None
+                # optional type prefix: `def x` / `String s`
+                if t[1] in _TYPES and self.peek(j + 1)[0] == "id" \
+                        and self.peek(j + 1)[1] not in _KEYWORDS:
+                    j += 1
+                    t = self.peek(j)
+                    if t[0] != "id" or t[1] in _KEYWORDS:
+                        return None
+                params.append(t[1])
+                j += 1
+                if self.peek(j) == ("op", ","):
+                    j += 1
+                    continue
+                if self.peek(j) == ("op", ")"):
+                    j += 1
+                    break
+                return None
+        if self.peek(j) != ("op", "->"):
+            return None
+        self.i += j  # commit: consume up to (but not incl.) the arrow
+        self.eat("->")
+        return ("lambda", params, self._lambda_body())
+
+    def _lambda_body(self):
+        if self.peek() == ("op", "{"):
+            return ("block", self.parse_block())
+        return ("expr", self.parse_expr())
 
     def parse_ternary(self):
         cond = self.parse_or()
@@ -415,6 +470,11 @@ class _Parser:
                 idx = self.parse_expr()
                 self.eat("]")
                 node = ("index", node, idx)
+            elif t == ("op", "::"):
+                # method reference: String::valueOf / this::myFunc
+                self.eat()
+                name = self.eat(kind="id")[1]
+                node = ("mref", node, name)
             elif t == ("op", "(") and node[0] == "name":
                 # bare call — a user-defined function: add(1, 2)
                 self.eat("(")
@@ -676,6 +736,59 @@ class _CtxRef:
 _MAX_CALL_DEPTH = 64
 
 
+class _Lambda:
+    """A painless lambda value: parameters + body closed over the
+    defining environment (painless captures are effectively-final, so a
+    shallow copy of the env dict at call time is sufficient)."""
+
+    __slots__ = ("params", "body", "env")
+
+    def __init__(self, params: list[str], body: tuple, env: dict):
+        self.params = params
+        self.body = body  # ("expr", node) | ("block", stmts)
+        self.env = env
+
+
+class _UserFuncRef:
+    """`this::myFunc` — a reference to a user-defined script function."""
+
+    __slots__ = ("name",)
+
+    def __init__(self, name: str):
+        self.name = name
+
+
+class _Stream:
+    """Minimal java.util.stream.Stream over a materialized list.
+
+    Painless streams in ingest scripts are short per-row element
+    sequences, so eager list semantics (no laziness) are fine."""
+
+    __slots__ = ("items",)
+
+    def __init__(self, items: list):
+        self.items = items
+
+
+class _Optional:
+    __slots__ = ("value", "present")
+
+    def __init__(self, value, present: bool):
+        self.value = value
+        self.present = present
+
+
+class _MapEntry:
+    """A java.util.Map.Entry view backed by the source dict, so
+    ``entry.setValue(v)`` writes through."""
+
+    __slots__ = ("backing", "key")
+
+    def __init__(self, backing: dict, key):
+        self.backing = backing
+        self.key = key
+
+
 class Interpreter:
     def __init__(self, statements: list, builtin_calls: dict):
         # user-defined functions are hoisted out of the body (painless
@@ -866,27 +979,12 @@ class Interpreter:
             # =~ is Matcher.find (substring), ==~ is Matcher.matches (entire)
             return (rhs.search(s) if node[1] == "=~" else rhs.fullmatch(s)) is not None
         if op == "ucall":
-            fn = self.functions.get(node[1])
-            if fn is None:
-                raise PainlessError(f"unknown function {node[1]!r}")
-            params, body = fn
             args = [self._deref(self._eval(a, rc, env), rc) for a in node[2]]
-            if len(args) != len(params):
-                raise PainlessError(
-                    f"{node[1]}() takes {len(params)} args, got {len(args)}"
-                )
-            if self._depth >= _MAX_CALL_DEPTH:
-                raise PainlessError("max call depth exceeded")
-            self._depth += 1
-            try:
-                fenv = dict(zip(params, args))
-                try:
-                    self._exec_block(body, rc, fenv)
-                except _Return as r:
-                    return r.value
-                return None
-            finally:
-                self._depth -= 1
+            return self._call_user_func(node[1], args, rc)
+        if op == "lambda":
+            return _Lambda(node[1], node[2], dict(env))
+        if op == "mref":
+            return self._eval_mref(node, rc, env)
         if op == "lit_new":
             return {} if "Map" in node[1] else []
         if op == "list":
@@ -901,7 +999,8 @@ class Interpreter:
                 return _CtxRef("")
             if node[1] in env:
                 return env[node[1]]
-            if node[1] in ("Math", "Processors", "Integer", "Long", "Double", "String", "Boolean"):
+            if node[1] in ("Math", "Processors", "Integer", "Long", "Double",
+                           "String", "Boolean", "Objects", "Collectors"):
                 return ("ns", node[1])
             raise PainlessError(f"unknown variable {node[1]!r}")
         if op == "attr":
@@ -1007,6 +1106,78 @@ class Interpreter:
             return v if v is not None else self._deref(self._eval(node[2], rc, env), rc)
         raise PainlessError(f"unsupported expression {op}")
 
+    def _call_user_func(self, fname: str, args: list, rc: RowCtx):
+        fn = self.functions.get(fname)
+        if fn is None:
+            raise PainlessError(f"unknown function {fname!r}")
+        params, body = fn
+        if len(args) != len(params):
+            raise PainlessError(
+                f"{fname}() takes {len(params)} args, got {len(args)}"
+            )
+        if self._depth >= _MAX_CALL_DEPTH:
+            raise PainlessError("max call depth exceeded")
+        self._depth += 1
+        try:
+            fenv = dict(zip(params, args))
+            try:
+                self._exec_block(body, rc, fenv)
+            except _Return as r:
+                return r.value
+            return None
+        finally:
+            self._depth -= 1
+
+    def _eval_mref(self, node, rc: RowCtx, env: dict):
+        basenode, name = node[1], node[2]
+        if basenode[0] == "name":
+            bn = basenode[1]
+            if bn == "this":
+                if name in self.functions:
+                    return _UserFuncRef(name)
+                raise PainlessError(f"unknown function this::{name}")
+            fn = self.builtins.get((bn, name))
+            if fn is not None:
+                return fn  # static ref: Integer::parseInt, String::valueOf
+            if bn in ("String", "Integer", "Long", "Double", "Boolean",
+                      "Math", "Objects", "Collectors"):
+                # unbound instance-method ref: String::toLowerCase takes
+                # the stream element as its receiver
+                return lambda *a: self._instance_call(a[0], name, list(a[1:]), rc)
+        raise PainlessError("unsupported method reference")
+
+    def _invoke(self, fnval, args: list, rc: RowCtx):
+        """Apply a painless function value (lambda / this::fn / builtin)."""
+        if isinstance(fnval, _Lambda):
+            if len(args) != len(fnval.params):
+                raise PainlessError(
+                    f"lambda takes {len(fnval.params)} args, got {len(args)}"
+                )
+            if self._depth >= _MAX_CALL_DEPTH:
+                raise PainlessError("max call depth exceeded")
+            self._depth += 1
+            try:
+                fenv = dict(fnval.env)
+                fenv.update(zip(fnval.params, args))
+                kind, payload = fnval.body
+                if kind == "expr":
+                    return self._deref(self._eval(payload, rc, fenv), rc)
+                try:
+                    self._exec_block(payload, rc, fenv)
+                except _Return as r:
+                    return r.value
+                return None
+            finally:
+                self._depth -= 1
+        if isinstance(fnval, _UserFuncRef):
+            return self._call_user_func(fnval.name, args, rc)
+        if callable(fnval):
+            return fnval(*args)
+        raise PainlessError("value is not a function")
+
+    def _cmp_key(self, cmp, rc: RowCtx):
+        return functools.cmp_to_key(lambda a, b: int(self._invoke(cmp, [a, b], rc)))
+
     def _call(self, node, rc: RowCtx, env: dict):
         _, recv_node, name, arg_nodes, safe = node
         recv = self._eval(recv_node, rc, env)
@@ -1033,6 +1204,25 @@ class Interpreter:
                 p = f"{recv.path}.{args[0]}" if recv.path else str(args[0])
                 rc.put(p, args[1])
                 return None
+            if name == "getOrDefault" and len(args) == 2:
+                p = f"{recv.path}.{args[0]}" if recv.path else str(args[0])
+                v = rc.get(p)
+                return args[1] if v is None else v
+            if name == "computeIfAbsent" and len(args) == 2:
+                # write-through: the derefed dict below is a copy, so
+                # map mutators on ctx paths must go via rc.put
+                p = f"{recv.path}.{args[0]}" if recv.path else str(args[0])
+                cur = rc.get(p)
+                if cur is None:
+                    cur = self._invoke(args[1], [args[0]], rc)
+                    rc.put(p, cur)
+                return cur
+            if name == "merge" and len(args) == 3:
+                p = f"{recv.path}.{args[0]}" if recv.path else str(args[0])
+                old = rc.get(p)
+                newv = args[1] if old is None else self._invoke(args[2], [old, args[1]], rc)
+                rc.put(p, newv)  # painless merge→null removes the key
+                return newv
             recv = self._deref(recv, rc)
 
         if recv is None:
@@ -1040,6 +1230,10 @@ class Interpreter:
                 return None
             raise PainlessError(f"null receiver for .{name}()")
 
+        return self._instance_call(recv, name, args, rc)
+
+    def _instance_call(self, recv, name: str, args: list, rc: RowCtx):
+        """Dispatch an instance method on a concrete painless value."""
         if isinstance(recv, str):
             table = {
                 "length": lambda: len(recv),
@@ -1066,21 +1260,92 @@ class Interpreter:
                 return table[name](*args)
             raise PainlessError(f"unsupported String method {name!r}")
         if isinstance(recv, list):
+            if name == "sort" and len(args) == 1:
+                recv.sort(key=self._cmp_key(args[0], rc))
+                return None
+            if name == "removeIf":
+                kept = [x for x in recv if not self._truthy(self._invoke(args[0], [x], rc))]
+                changed = len(kept) != len(recv)
+                recv[:] = kept
+                return changed
+            if name == "replaceAll":
+                recv[:] = [self._invoke(args[0], [x], rc) for x in recv]
+                return None
+            if name == "forEach":
+                for x in list(recv):
+                    self._invoke(args[0], [x], rc)
+                return None
+            if name == "stream":
+                return _Stream(list(recv))
             table = {
                 "size": lambda: len(recv),
                 "isEmpty": lambda: len(recv) == 0,
                 "contains": lambda v: v in recv,
                 "add": lambda *a: (recv.insert(a[0], a[1]) if len(a) == 2 else recv.append(a[0]), True)[1],
+                "addAll": lambda other: (recv.extend(other or []), bool(other))[1],
                 "get": lambda i: recv[i] if 0 <= i < len(recv) else None,
                 "indexOf": lambda v: recv.index(v) if v in recv else -1,
                 "remove": lambda i: recv.pop(i) if isinstance(i, int) and 0 <= i < len(recv) else None,
                 "clear": lambda: recv.clear(),
                 "sort": lambda: recv.sort(),
+                "subList": lambda a, b: recv[a:b],
             }
             if name in table:
                 return table[name](*args)
             raise PainlessError(f"unsupported List method {name!r}")
+        if isinstance(recv, _Stream):
+            return self._stream_call(recv, name, args, rc)
+        if isinstance(recv, _Optional):
+            if name == "get":
+                if not recv.present:
+                    raise PainlessError("Optional.get() on empty Optional")
+                return recv.value
+            if name == "orElse":
+                return recv.value if recv.present else args[0]
+            if name == "isPresent":
+                return recv.present
+            if name == "isEmpty":
+                return not recv.present
+            if name == "ifPresent":
+                if recv.present:
+                    self._invoke(args[0], [recv.value], rc)
+                return None
+            if name == "map":
+                if not recv.present:
+                    return recv
+                return _Optional(self._invoke(args[0], [recv.value], rc), True)
+            raise PainlessError(f"unsupported Optional method {name!r}")
+        if isinstance(recv, _MapEntry):
+            if name == "getKey":
+                return recv.key
+            if name == "getValue":
+                return recv.backing.get(recv.key)
+            if name == "setValue":
+                old = recv.backing.get(recv.key)
+                recv.backing[recv.key] = args[0]
+                return old
+            raise PainlessError(f"unsupported Map.Entry method {name!r}")
         if isinstance(recv, dict):
+            if name == "forEach":
+                for k in list(recv.keys()):
+                    self._invoke(args[0], [k, recv[k]], rc)
+                return None
+            if name == "computeIfAbsent":
+                k = args[0]
+                if recv.get(k) is None:
+                    recv[k] = self._invoke(args[1], [k], rc)
+                return recv.get(k)
+            if name == "merge":
+                k, v, remap = args
+                old = recv.get(k)
+                newv = v if old is None else self._invoke(remap, [old, v], rc)
+                if newv is None:
+                    recv.pop(k, None)
+                else:
+                    recv[k] = newv
+                return newv
+            if name == "entrySet":
+                return [_MapEntry(recv, k) for k in recv.keys()]
             table = {
                 "containsKey": lambda k: k in recv,
                 "containsValue": lambda v: v in recv.values(),
@@ -1111,6 +1376,89 @@ class Interpreter:
             raise PainlessError(f"unsupported numeric method {name!r}")
         raise PainlessError(f"unsupported method {name!r} on {type(recv).__name__}")
 
+    def _stream_call(self, recv: _Stream, name: str, args: list, rc: RowCtx):
+        it = recv.items
+        if name == "filter":
+            return _Stream([x for x in it if self._truthy(self._invoke(args[0], [x], rc))])
+        if name in ("map", "mapToObj"):
+            return _Stream([self._invoke(args[0], [x], rc) for x in it])
+        if name in ("mapToInt", "mapToLong"):
+            return _Stream([int(self._invoke(args[0], [x], rc)) for x in it])
+        if name == "mapToDouble":
+            return _Stream([float(self._invoke(args[0], [x], rc)) for x in it])
+        if name == "flatMap":
+            out = []
+            for x in it:
+                sub = self._invoke(args[0], [x], rc)
+                out.extend(sub.items if isinstance(sub, _Stream) else (sub or []))
+            return _Stream(out)
+        if name == "distinct":
+            return _Stream(list(dict.fromkeys(it)))
+        if name == "sorted":
+            return _Stream(sorted(it, key=self._cmp_key(args[0], rc)) if args else sorted(it))
+        if name == "limit":
+            return _Stream(it[: int(args[0])])
+        if name == "skip":
+            return _Stream(it[int(args[0]):])
+        if name == "count":
+            return len(it)
+        if name == "sum":
+            return sum(it)
+        if name == "average":
+            return _Optional(sum(it) / len(it) if it else None, bool(it))
+        if name in ("min", "max"):
+            pick = min if name == "min" else max
+            if not it:
+                return _Optional(None, False)
+            if args:
+                return _Optional(pick(it, key=self._cmp_key(args[0], rc)), True)
+            return _Optional(pick(it), True)
+        if name == "anyMatch":
+            return any(self._truthy(self._invoke(args[0], [x], rc)) for x in it)
+        if name == "allMatch":
+            return all(self._truthy(self._invoke(args[0], [x], rc)) for x in it)
+        if name == "noneMatch":
+            return not any(self._truthy(self._invoke(args[0], [x], rc)) for x in it)
+        if name in ("findFirst", "findAny"):
+            return _Optional(it[0] if it else None, bool(it))
+        if name == "forEach":
+            for x in it:
+                self._invoke(args[0], [x], rc)
+            return None
+        if name == "reduce":
+            if len(args) == 2:
+                acc = args[0]
+                for x in it:
+                    acc = self._invoke(args[1], [acc, x], rc)
+                return acc
+            if not it:
+                return _Optional(None, False)
+            acc = it[0]
+            for x in it[1:]:
+                acc = self._invoke(args[0], [acc, x], rc)
+            return _Optional(acc, True)
+        if name == "toList":
+            return list(it)
+        if name == "collect":
+            col = args[0]
+            if isinstance(col, tuple) and col and col[0] == "collector":
+                kind = col[1]
+                if kind == "list":
+                    return list(it)
+                if kind == "set":
+                    return list(dict.fromkeys(it))  # insertion-ordered uniques
+                if kind == "join":
+                    sep, prefix, suffix = col[2], col[3], col[4]
+                    return prefix + sep.join("" if x is None else str(x) for x in it) + suffix
+                if kind == "map":
+                    kfn, vfn = col[2], col[3]
+                    return {
+                        self._invoke(kfn, [x], rc): self._invoke(vfn, [x], rc)
+                        for x in it
+                    }
+            raise PainlessError("unsupported collector")
+        raise PainlessError(f"unsupported Stream method {name!r}")
+
 
 def default_builtins() -> dict:
     """(namespace, fn) → callable — the static helpers painless exposes
@@ -1136,9 +1484,27 @@ def default_builtins() -> dict:
             ("Boolean", "parseBoolean"): lambda s: str(s).lower() == "true",
             ("String", "valueOf"): lambda v: _num_str(v) if isinstance(v, (int, float)) else str(v),
             ("String", "join"): lambda sep, parts: str(sep).join(str(p) for p in parts),
+            ("Objects", "nonNull"): lambda v: v is not None,
+            ("Objects", "isNull"): lambda v: v is None,
+            ("Objects", "equals"): lambda a, b: a == b,
+            ("Objects", "requireNonNull"): _require_non_null,
+            ("Objects", "toString"): lambda v, d="null": d if v is None else str(v),
+            # Collectors.* return opaque collector markers consumed by
+            # Stream.collect (see Interpreter._stream_call)
+            ("Collectors", "toList"): lambda: ("collector", "list"),
+            ("Collectors", "toSet"): lambda: ("collector", "set"),
+            ("Collectors", "joining"): lambda sep="", prefix="", suffix="": (
+                "collector", "join", str(sep), str(prefix), str(suffix)),
+            ("Collectors", "toMap"): lambda kfn, vfn: ("collector", "map", kfn, vfn),
         }
     )
     return table
+
+
+def _require_non_null(v, msg=None):
+    if v is None:
+        raise PainlessError(msg or "Objects.requireNonNull: null")
+    return v
 
 
 def _num_str(v):

@@ -332,3 +332,138 @@ def test_instanceof_java_boolean_semantics():
         [{"v": 4}],
     )
     assert rows2[0]["is_int"] is True and rows2[0]["is_bool"] is False
+
+
+# ---- lambdas / method refs / streams (round 3) ---------------------------
+
+def test_lambda_remove_if():
+    rows = _script(
+        "ctx.vals.removeIf(x -> x < 0); ctx.n = ctx.vals.size();",
+        [{"vals": [3, -1, 4, -5]}],
+    )
+    assert rows[0]["vals"] == [3, 4] and rows[0]["n"] == 2
+
+
+def test_lambda_sort_comparator_and_replace_all():
+    rows = _script(
+        "ctx.vals.sort((a, b) -> b - a); ctx.vals.replaceAll(v -> v * 10);",
+        [{"vals": [2, 9, 5]}],
+    )
+    assert rows[0]["vals"] == [90, 50, 20]
+
+
+def test_lambda_captures_enclosing_vars():
+    rows = _script(
+        "def factor = ctx.f; def out = []; "
+        "ctx.vals.forEach(v -> out.add(v * factor)); ctx.scaled = out;",
+        [{"vals": [1, 2, 3], "f": 7}],
+    )
+    assert rows[0]["scaled"] == [7, 14, 21]
+
+
+def test_stream_filter_map_collect_to_list():
+    rows = _script(
+        "ctx.out = ctx.vals.stream().filter(x -> x % 2 == 0)"
+        ".map(x -> x + 1).collect(Collectors.toList());",
+        [{"vals": [1, 2, 3, 4, 5, 6]}],
+    )
+    assert rows[0]["out"] == [3, 5, 7]
+
+
+def test_stream_joining_and_unbound_method_ref():
+    rows = _script(
+        "ctx.joined = ctx.words.stream().map(String::toUpperCase)"
+        ".collect(Collectors.joining(','));",
+        [{"words": ["ab", "cd"]}],
+    )
+    assert rows[0]["joined"] == "AB,CD"
+
+
+def test_stream_terminal_ops():
+    rows = _script(
+        "ctx.total = ctx.vals.stream().mapToInt(x -> x).sum(); "
+        "ctx.n_big = ctx.vals.stream().filter(x -> x > 2).count(); "
+        "ctx.any_neg = ctx.vals.stream().anyMatch(x -> x < 0); "
+        "ctx.first = ctx.vals.stream().sorted().findFirst().orElse(-1);",
+        [{"vals": [3, 1, 4, 1, 5]}],
+    )
+    r = rows[0]
+    assert r["total"] == 14 and r["n_big"] == 3
+    assert r["any_neg"] is False and r["first"] == 1
+
+
+def test_stream_distinct_sorted_comparator_reduce():
+    rows = _script(
+        "ctx.uniq = ctx.vals.stream().distinct().sorted((a, b) -> b - a).toList(); "
+        "ctx.prod = ctx.vals.stream().distinct().reduce(1, (a, b) -> a * b);",
+        [{"vals": [2, 3, 2, 5]}],
+    )
+    assert rows[0]["uniq"] == [5, 3, 2] and rows[0]["prod"] == 30
+
+
+def test_map_for_each_and_entry_set():
+    rows = _script(
+        "def ks = []; ctx.m.forEach((k, v) -> ks.add(k + '=' + v)); ks.sort(); ctx.kv = ks; "
+        "def n = 0; for (def e : ctx.m.entrySet()) { n += e.getValue() } ctx.vsum = n;",
+        [{"m": {"a": 1, "b": 2}}],
+    )
+    assert rows[0]["kv"] == ["a=1", "b=2"] and rows[0]["vsum"] == 3
+
+
+def test_map_compute_if_absent_and_merge():
+    rows = _script(
+        "ctx.m.computeIfAbsent('c', k -> 9); "
+        "ctx.m.merge('a', 5, (old, v) -> old + v); "
+        "ctx.m.merge('z', 5, (old, v) -> old + v);",
+        [{"m": {"a": 1}}],
+    )
+    # the columnar model flattens maps to dotted columns on output
+    assert rows[0]["m.a"] == 6 and rows[0]["m.c"] == 9 and rows[0]["m.z"] == 5
+
+
+def test_this_method_ref_and_static_ref():
+    rows = _script(
+        "int dbl(int x) { return x * 2 } "
+        "ctx.doubled = ctx.vals.stream().map(this::dbl).toList(); "
+        "ctx.parsed = ctx.strs.stream().map(Integer::parseInt).toList();",
+        [{"vals": [1, 2], "strs": ["10", "20"]}],
+    )
+    assert rows[0]["doubled"] == [2, 4] and rows[0]["parsed"] == [10, 20]
+
+
+def test_lambda_block_body_with_return():
+    rows = _script(
+        "ctx.out = ctx.vals.stream().map(x -> { if (x > 2) { return x * 100 } return x; }).toList();",
+        [{"vals": [1, 3]}],
+    )
+    assert rows[0]["out"] == [1, 300]
+
+
+def test_collectors_to_map_and_objects():
+    rows = _script(
+        "ctx.lens = ctx.words.stream().collect(Collectors.toMap(w -> w, String::length)); "
+        "ctx.has_null = ctx.words.stream().anyMatch(Objects::isNull);",
+        [{"words": ["ab", "xyz"]}],
+    )
+    assert rows[0]["lens"] == {"ab": 2, "xyz": 3}
+    assert rows[0]["has_null"] is False
+
+
+def test_optional_if_present_and_map():
+    rows = _script(
+        "def hit = ctx.vals.stream().filter(x -> x > 10).findFirst(); "
+        "ctx.found = hit.isPresent(); "
+        "ctx.val = hit.map(x -> x * 2).orElse(0);",
+        [{"vals": [4, 20, 7]}, {"vals": [1]}],
+    )
+    assert rows[0]["found"] is True and rows[0]["val"] == 40
+    assert rows[1]["found"] is False and rows[1]["val"] == 0
+
+
+def test_parenthesized_expr_not_mistaken_for_lambda():
+    # `(a + b) * 2` must parse as grouping, and `(x)` alone as a var ref
+    rows = _script(
+        "ctx.r = (ctx.a + ctx.b) * 2; def x = 3; ctx.y = (x);",
+        [{"a": 1, "b": 2}],
+    )
+    assert rows[0]["r"] == 6 and rows[0]["y"] == 3
