@@ -39,7 +39,8 @@ _TOKEN = re.compile(
 _KEYWORDS = {"if", "else", "for", "while", "return", "break", "continue",
              "true", "false", "null", "in", "new", "instanceof"}
 _TYPES = {"def", "var", "int", "long", "double", "float", "boolean",
-          "String", "Object", "Map", "List", "ArrayList", "HashMap"}
+          "String", "Object", "Map", "List", "ArrayList", "HashMap",
+          "Set", "HashSet"}
 
 
 class PainlessError(ValueError):
@@ -514,8 +515,14 @@ class _Parser:
             self.eat()
             tname = self.eat(kind="id")[1]
             self.eat("(")
+            args = []
+            if self.peek() != ("op", ")"):
+                args.append(self.parse_expr())
+                while self.peek() == ("op", ","):
+                    self.eat(",")
+                    args.append(self.parse_expr())
             self.eat(")")
-            return ("lit_new", tname)
+            return ("lit_new", tname, args)
         if (kind, val) == ("op", "("):
             self.eat("(")
             # cast: (int) expr — treat as no-op
@@ -696,6 +703,12 @@ class RowCtx:
         return out or None
 
     def put(self, path: str, value) -> None:
+        if isinstance(value, (_Lambda, _UserFuncRef, _Stream, _Optional, _MapEntry)):
+            # a function/stream value in ctx would poison the Arrow
+            # blend for the whole batch — fail just this row instead
+            raise PainlessError(
+                f"cannot store a {type(value).__name__.lstrip('_')} value into ctx"
+            )
         self.writes[self.resolve_field(path)] = value
 
     def contains_key(self, path: str) -> bool:
@@ -986,7 +999,18 @@ class Interpreter:
         if op == "mref":
             return self._eval_mref(node, rc, env)
         if op == "lit_new":
-            return {} if "Map" in node[1] else []
+            cargs = [self._deref(self._eval(a, rc, env), rc) for a in node[2]]
+            if "Map" in node[1]:
+                if cargs and isinstance(cargs[0], dict):
+                    return dict(cargs[0])  # copy constructor
+                return {}
+            if "Set" in node[1]:
+                # modelled as an insertion-ordered unique list (painless
+                # values must round-trip through Arrow/JSON columns)
+                return list(dict.fromkeys(cargs[0])) if cargs and cargs[0] else []
+            if cargs and isinstance(cargs[0], list):
+                return list(cargs[0])  # new ArrayList(existing)
+            return []
         if op == "list":
             return [self._deref(self._eval(x, rc, env), rc) for x in node[1]]
         if op == "map":

@@ -467,3 +467,26 @@ def test_parenthesized_expr_not_mistaken_for_lambda():
         [{"a": 1, "b": 2}],
     )
     assert rows[0]["r"] == 6 and rows[0]["y"] == 3
+
+
+def test_new_collection_copy_constructors():
+    rows = _script(
+        "def l = new ArrayList(ctx.vals); l.add(9); ctx.copied = l; "
+        "def m = new HashMap(ctx.m); m.put('b', 2); ctx.msize = m.size(); "
+        "def s = new HashSet(ctx.dups); s.sort(); ctx.uniq = s;",
+        [{"vals": [1, 2], "m": {"a": 1}, "dups": [3, 1, 3, 2]}],
+    )
+    r = rows[0]
+    assert r["copied"] == [1, 2, 9]
+    assert r["vals"] == [1, 2]          # source list untouched
+    assert r["msize"] == 2
+    assert r["uniq"] == [1, 2, 3]
+
+
+def test_storing_function_value_in_ctx_fails_row_only():
+    rows = _script(
+        "ctx.f = x -> x; ctx.after = 1;",
+        [{"a": 1}, {"a": 2}],
+    )
+    # both rows fail the script (tagged), neither crashes the batch
+    assert all("after" not in r for r in rows)
