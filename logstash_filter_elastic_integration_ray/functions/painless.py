@@ -47,6 +47,70 @@ class PainlessError(ValueError):
     pass
 
 
+class _JavaSet:
+    """java.util.Set modelled over an insertion-ordered backing list with
+    EQUALITY membership (``==``), so unhashable elements (maps, lists)
+    dedup the way Java's equals()-based sets do.  Per-row sets are tiny,
+    so the O(n) membership scan is irrelevant.  Stored into ctx it
+    serializes as a plain list (see RowCtx.put)."""
+
+    __slots__ = ("items",)
+
+    def __init__(self, items=None):
+        self.items: list = []
+        for x in items or []:
+            if x not in self.items:
+                self.items.append(x)
+
+    def add(self, v) -> bool:
+        if v in self.items:
+            return False
+        self.items.append(v)
+        return True
+
+    def __iter__(self):
+        return iter(self.items)
+
+    def __len__(self):
+        return len(self.items)
+
+    def __contains__(self, v):
+        return v in self.items
+
+    def __eq__(self, other):
+        if isinstance(other, _JavaSet):
+            other = other.items
+        if not isinstance(other, list):
+            return NotImplemented
+        return len(self.items) == len(other) and all(x in other for x in self.items)
+
+    __hash__ = None  # mutable, like java.util.HashSet
+
+
+def _unique(items: list) -> list:
+    """Insertion-ordered unique; equality-based fallback when elements
+    are unhashable (Java streams dedup maps/lists via equals())."""
+    try:
+        return list(dict.fromkeys(items))
+    except TypeError:
+        out: list = []
+        for x in items:
+            if x not in out:
+                out.append(x)
+        return out
+
+
+def _to_jstr(v) -> str:
+    """Java String.valueOf rendering: booleans lowercase, null → 'null'."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(v)
+    return str(v)
+
+
 _INSTANCEOF_TYPES: dict[str, tuple] = {
     "String": (str,),
     "CharSequence": (str,),
@@ -62,7 +126,9 @@ _INSTANCEOF_TYPES: dict[str, tuple] = {
     "HashMap": (dict,),
     "List": (list,),
     "ArrayList": (list,),
-    "Collection": (list,),
+    "Set": (_JavaSet,),
+    "HashSet": (_JavaSet,),
+    "Collection": (list, _JavaSet),
     "Object": (object,),
 }
 
@@ -703,13 +769,7 @@ class RowCtx:
         return out or None
 
     def put(self, path: str, value) -> None:
-        if isinstance(value, (_Lambda, _UserFuncRef, _Stream, _Optional, _MapEntry)):
-            # a function/stream value in ctx would poison the Arrow
-            # blend for the whole batch — fail just this row instead
-            raise PainlessError(
-                f"cannot store a {type(value).__name__.lstrip('_')} value into ctx"
-            )
-        self.writes[self.resolve_field(path)] = value
+        self.writes[self.resolve_field(path)] = _sanitize_ctx_value(value)
 
     def contains_key(self, path: str) -> bool:
         p = self.resolve_field(path)
@@ -800,6 +860,54 @@ class _MapEntry:
     def __init__(self, backing: dict, key):
         self.backing = backing
         self.key = key
+
+
+class _CtxEntry:
+    """Map.Entry over a ctx path: ctx maps may live as flattened dotted
+    columns, where the dict RowCtx.get reconstructs is a throwaway copy —
+    setValue must write through rc.put instead."""
+
+    __slots__ = ("rc", "path", "key")
+
+    def __init__(self, rc, path: str, key):
+        self.rc = rc
+        self.path = path
+        self.key = key
+
+    def child_path(self) -> str:
+        return f"{self.path}.{self.key}" if self.path else str(self.key)
+
+
+#: values that must never reach an output column — lambdas, method
+#: references (plain callables), collector markers (tuples), streams,
+#: optionals, entry views
+_CTX_REJECT = (_Lambda, _UserFuncRef, _Stream, _Optional, _MapEntry, _CtxEntry)
+#: container elements that force a sanitizing copy of the container
+_CTX_RECURSE = _CTX_REJECT + (_JavaSet, list, dict, tuple)
+
+
+def _sanitize_ctx_value(value, depth: int = 0):
+    """Make a script value safe to blend into Arrow output columns:
+    Java sets become plain lists; function/stream/entry values (at any
+    nesting level) fail the row loudly instead of leaking Python object
+    reprs into the data."""
+    if depth > 16:
+        raise PainlessError("ctx value nesting too deep")
+    if isinstance(value, _JavaSet):
+        return [_sanitize_ctx_value(x, depth + 1) for x in value.items]
+    if isinstance(value, list):
+        if any(isinstance(x, _CTX_RECURSE) or callable(x) for x in value):
+            return [_sanitize_ctx_value(x, depth + 1) for x in value]
+        return value
+    if isinstance(value, dict):
+        if any(isinstance(v, _CTX_RECURSE) or callable(v) for v in value.values()):
+            return {k: _sanitize_ctx_value(v, depth + 1) for k, v in value.items()}
+        return value
+    if isinstance(value, (_CTX_REJECT, tuple)) or callable(value):
+        raise PainlessError(
+            f"cannot store a {type(value).__name__.lstrip('_')} value into ctx"
+        )
+    return value
 
 
 class Interpreter:
@@ -1005,11 +1113,9 @@ class Interpreter:
                     return dict(cargs[0])  # copy constructor
                 return {}
             if "Set" in node[1]:
-                # modelled as an insertion-ordered unique list (painless
-                # values must round-trip through Arrow/JSON columns)
-                return list(dict.fromkeys(cargs[0])) if cargs and cargs[0] else []
-            if cargs and isinstance(cargs[0], list):
-                return list(cargs[0])  # new ArrayList(existing)
+                return _JavaSet(cargs[0] if cargs else None)
+            if cargs and isinstance(cargs[0], (list, _JavaSet)):
+                return list(cargs[0])  # new ArrayList(existing collection)
             return []
         if op == "list":
             return [self._deref(self._eval(x, rc, env), rc) for x in node[1]]
@@ -1096,7 +1202,7 @@ class Interpreter:
             o = node[1]
             if o == "+":
                 if isinstance(a, str) or isinstance(b, str):
-                    return ("" if a is None else str(a)) + ("" if b is None else str(b))
+                    return ("" if a is None else _to_jstr(a)) + ("" if b is None else _to_jstr(b))
                 if a is None or b is None:
                     return None
                 return a + b
@@ -1200,7 +1306,14 @@ class Interpreter:
         raise PainlessError("value is not a function")
 
     def _cmp_key(self, cmp, rc: RowCtx):
-        return functools.cmp_to_key(lambda a, b: int(self._invoke(cmp, [a, b], rc)))
+        # use the SIGN of the comparator result — int() truncation would
+        # collapse fractional results like (a, b) -> a.x - b.x to 0
+        def c(a, b):
+            r = self._invoke(cmp, [a, b], rc)
+            if r is None:
+                raise PainlessError("comparator returned null")
+            return (r > 0) - (r < 0)
+        return functools.cmp_to_key(c)
 
     def _call(self, node, rc: RowCtx, env: dict):
         _, recv_node, name, arg_nodes, safe = node
@@ -1247,6 +1360,15 @@ class Interpreter:
                 newv = args[1] if old is None else self._invoke(args[2], [old, args[1]], rc)
                 rc.put(p, newv)  # painless merge→null removes the key
                 return newv
+            if name == "entrySet" and not args and recv.path:
+                # entries must write through rc (the dict deref below
+                # reconstructs is a throwaway copy for flattened maps)
+                m = self._deref(recv, rc)
+                if m is None:
+                    return []
+                if not isinstance(m, dict):
+                    raise PainlessError("entrySet() on a non-map value")
+                return [_CtxEntry(rc, recv.path, k) for k in m.keys()]
             recv = self._deref(recv, rc)
 
         if recv is None:
@@ -1317,6 +1439,43 @@ class Interpreter:
             if name in table:
                 return table[name](*args)
             raise PainlessError(f"unsupported List method {name!r}")
+        if isinstance(recv, _JavaSet):
+            if name == "forEach":
+                for x in list(recv.items):
+                    self._invoke(args[0], [x], rc)
+                return None
+            if name == "removeIf":
+                kept = [x for x in recv.items
+                        if not self._truthy(self._invoke(args[0], [x], rc))]
+                changed = len(kept) != len(recv.items)
+                recv.items[:] = kept
+                return changed
+            table = {
+                "add": recv.add,
+                "addAll": lambda other: any([recv.add(x) for x in (other or [])]),
+                "contains": lambda v: v in recv.items,
+                "containsAll": lambda other: all(x in recv.items for x in (other or [])),
+                "remove": lambda v: (recv.items.remove(v), True)[1] if v in recv.items else False,
+                "size": lambda: len(recv.items),
+                "isEmpty": lambda: len(recv.items) == 0,
+                "clear": lambda: recv.items.clear(),
+                "stream": lambda: _Stream(list(recv.items)),
+                "toArray": lambda: list(recv.items),
+            }
+            if name in table:
+                return table[name](*args)
+            raise PainlessError(f"unsupported Set method {name!r}")
+        if isinstance(recv, _CtxEntry):
+            if name == "getKey":
+                return recv.key
+            if name == "getValue":
+                return recv.rc.get(recv.child_path())
+            if name == "setValue":
+                p = recv.child_path()
+                old = recv.rc.get(p)
+                recv.rc.put(p, args[0])
+                return old
+            raise PainlessError(f"unsupported Map.Entry method {name!r}")
         if isinstance(recv, _Stream):
             return self._stream_call(recv, name, args, rc)
         if isinstance(recv, _Optional):
@@ -1337,7 +1496,10 @@ class Interpreter:
             if name == "map":
                 if not recv.present:
                     return recv
-                return _Optional(self._invoke(args[0], [recv.value], rc), True)
+                # Java Optional.map uses ofNullable: a null mapper
+                # result yields an EMPTY Optional
+                v = self._invoke(args[0], [recv.value], rc)
+                return _Optional(v, v is not None)
             raise PainlessError(f"unsupported Optional method {name!r}")
         if isinstance(recv, _MapEntry):
             if name == "getKey":
@@ -1417,7 +1579,7 @@ class Interpreter:
                 out.extend(sub.items if isinstance(sub, _Stream) else (sub or []))
             return _Stream(out)
         if name == "distinct":
-            return _Stream(list(dict.fromkeys(it)))
+            return _Stream(_unique(it))
         if name == "sorted":
             return _Stream(sorted(it, key=self._cmp_key(args[0], rc)) if args else sorted(it))
         if name == "limit":
@@ -1470,10 +1632,10 @@ class Interpreter:
                 if kind == "list":
                     return list(it)
                 if kind == "set":
-                    return list(dict.fromkeys(it))  # insertion-ordered uniques
+                    return _JavaSet(it)
                 if kind == "join":
                     sep, prefix, suffix = col[2], col[3], col[4]
-                    return prefix + sep.join("" if x is None else str(x) for x in it) + suffix
+                    return prefix + sep.join(_to_jstr(x) for x in it) + suffix
                 if kind == "map":
                     kfn, vfn = col[2], col[3]
                     return {
@@ -1506,13 +1668,13 @@ def default_builtins() -> dict:
             ("Long", "parseLong"): lambda s, base=10: int(str(s), base),
             ("Double", "parseDouble"): lambda s: float(s),
             ("Boolean", "parseBoolean"): lambda s: str(s).lower() == "true",
-            ("String", "valueOf"): lambda v: _num_str(v) if isinstance(v, (int, float)) else str(v),
-            ("String", "join"): lambda sep, parts: str(sep).join(str(p) for p in parts),
+            ("String", "valueOf"): _to_jstr,
+            ("String", "join"): lambda sep, parts: str(sep).join(_to_jstr(p) for p in parts),
             ("Objects", "nonNull"): lambda v: v is not None,
             ("Objects", "isNull"): lambda v: v is None,
             ("Objects", "equals"): lambda a, b: a == b,
             ("Objects", "requireNonNull"): _require_non_null,
-            ("Objects", "toString"): lambda v, d="null": d if v is None else str(v),
+            ("Objects", "toString"): lambda v, d="null": d if v is None else _to_jstr(v),
             # Collectors.* return opaque collector markers consumed by
             # Stream.collect (see Interpreter._stream_call)
             ("Collectors", "toList"): lambda: ("collector", "list"),

@@ -473,14 +473,37 @@ def test_new_collection_copy_constructors():
     rows = _script(
         "def l = new ArrayList(ctx.vals); l.add(9); ctx.copied = l; "
         "def m = new HashMap(ctx.m); m.put('b', 2); ctx.msize = m.size(); "
-        "def s = new HashSet(ctx.dups); s.sort(); ctx.uniq = s;",
+        "def s = new HashSet(ctx.dups); ctx.readd = s.add(2); "
+        "def u = new ArrayList(s); u.sort((a, b) -> a - b); ctx.uniq = u;",
         [{"vals": [1, 2], "m": {"a": 1}, "dups": [3, 1, 3, 2]}],
     )
     r = rows[0]
     assert r["copied"] == [1, 2, 9]
     assert r["vals"] == [1, 2]          # source list untouched
     assert r["msize"] == 2
+    assert r["readd"] is False          # 2 was already a member
     assert r["uniq"] == [1, 2, 3]
+
+
+def test_java_set_semantics_and_ctx_sanitization():
+    # a Set stored in ctx serializes as its insertion-ordered list
+    rows = _script(
+        "def s = new HashSet(); s.add(ctx.a); s.add(ctx.b); s.add(ctx.a); "
+        "ctx.n = s.size(); ctx.has = s.contains(ctx.b); ctx.vals = s; "
+        "ctx.removed = s.remove(99);",
+        [{"a": "x", "b": "y"}],
+    )
+    r = rows[0]
+    assert r["n"] == 2 and r["has"] is True
+    assert r["vals"] == ["x", "y"]
+    assert r["removed"] is False
+    # equality-based membership dedups unhashable elements (maps)
+    rows = _script(
+        "def s = new HashSet(); s.add(['k': 1]); s.add(['k': 1]); s.add(['k': 2]); "
+        "ctx.n = s.size();",
+        [{"seed": 1}],
+    )
+    assert rows[0]["n"] == 2
 
 
 def test_storing_function_value_in_ctx_fails_row_only():
