@@ -238,7 +238,7 @@ def distinct_pairs(edges, num_partitions: int):
 #: buckets up to this size get EXACT all-pairs verification (≤ 64² =
 #: 4096 vectorized comparisons — cheap); larger buckets (in practice
 #: giant groups of near-identical docs) fall back to the O(m)
-#: star+chain approximation
+#: star + windowed-exact approximation
 _EXACT_BUCKET_CAP = 64
 
 
@@ -279,13 +279,14 @@ def _star_edges_partition(df: pd.DataFrame, threshold: float, id_col: str) -> pa
       (group-min → members; agreement is 1.0 by identity, and star
       shape keeps the components loop at O(1) rounds where a chain
       through a g-member identical group would cost O(log g)), then
-      two O(r) passes over the DISTINCT-signature representatives —
-      **star** (each rep vs the rep-min) plus **chain** (consecutive
-      reps in signature order, so an LSH-false-positive rep-min can't
-      block true pairs); ≤ cap reps get exact all-pairs agreement.
-      Components only need CONNECTIVITY, not every edge, so the
-      approximation costs recall only when a >cap bucket holds several
-      distinct near-dup groups whose signatures interleave."""
+      a **star** pass (each rep vs the rep-min) plus a **windowed
+      exact** pass over the signature-sorted reps (50%-overlap windows
+      of ``cap`` reps, all pairs within each window — consecutive reps
+      always co-window, and interleaved near-dup groups within a
+      window's reach are recovered); ≤ cap reps get exact all-pairs
+      agreement.  Components only need CONNECTIVITY, not every edge,
+      so the approximation costs recall only when two similar reps
+      sort more than a window apart with no connecting path."""
     edges_a: list[int] = []
     edges_b: list[int] = []
 
@@ -342,10 +343,23 @@ def _star_edges_partition(df: pd.DataFrame, threshold: float, id_col: str) -> pa
         agree = (rep_sigs[members] == rep_sigs[root][None, :]).mean(axis=1)
         for m in members[agree >= threshold]:
             emit(int(rep_ids[root]), int(rep_ids[m]))
-        # chain pass over reps (already in signature order)
-        c_agree = (rep_sigs[:-1] == rep_sigs[1:]).mean(axis=1)
-        for p in np.nonzero(c_agree >= threshold)[0]:
-            emit(int(rep_ids[p]), int(rep_ids[p + 1]))
+        # windowed exact verify over the signature-sorted reps:
+        # 50%-overlap windows of ``cap`` reps get all-pairs agreement.
+        # Consecutive reps always co-window, so this subsumes the old
+        # chain pass, and it additionally recovers near-dup groups
+        # whose signatures interleave with noise reps in sort order
+        # (the documented recall loss of a pure chain); cost stays
+        # bounded at O(r·cap) pairs per bucket.
+        step = _EXACT_BUCKET_CAP // 2
+        for lo in range(0, r, step):
+            hi = min(lo + _EXACT_BUCKET_CAP, r)
+            iu = np.triu_indices(hi - lo, k=1)
+            w = rep_sigs[lo:hi]
+            hit = (w[iu[0]] == w[iu[1]]).mean(axis=1) >= threshold
+            for x, y in _local_component_stars(rep_ids[lo:hi], iu[0][hit], iu[1][hit]):
+                emit(x, y)
+            if hi == r:
+                break
     a = np.concatenate([np.asarray(edges_a, dtype=np.int64)] + vec_a) if (edges_a or vec_a) else np.array([], dtype=np.int64)
     b = np.concatenate([np.asarray(edges_b, dtype=np.int64)] + vec_b) if (edges_b or vec_b) else np.array([], dtype=np.int64)
     return pa.table({"a": pa.array(a), "b": pa.array(b)})
@@ -706,12 +720,13 @@ def simhash_block_rows(batch: pa.Table, k: int, id_col: str = "doc_id") -> pa.Ta
 
 
 def _simhash_star_edges_partition(df: pd.DataFrame, k: int, id_col: str) -> pa.Table:
-    """Star + chain verified edges per block bucket (full hamming ≤ k,
-    vectorized popcount) — star catches the identical-signature common
-    case, the signature-sorted chain catches pairs a dissimilar
-    bucket-min would otherwise block; O(m) per bucket (an O(m²)
-    all-pairs approximation — the block buckets themselves remain a
-    complete candidate filter by pigeonhole)."""
+    """Star + windowed-exact verified edges per block bucket (full
+    hamming ≤ k, vectorized popcount) — star catches the
+    identical-signature common case, 50%-overlap windows over the
+    signature-sorted reps get exact all-pairs (subsuming a consecutive
+    chain and recovering sort-interleaved groups); O(m·cap) per bucket
+    (the block buckets themselves remain a complete candidate filter
+    by pigeonhole)."""
     edges_a: list[int] = []
     edges_b: list[int] = []
 
@@ -734,8 +749,8 @@ def _simhash_star_edges_partition(df: pd.DataFrame, k: int, id_col: str) -> pa.T
             for x, y in _local_component_stars(ids, iu[0][hit], iu[1][hit]):
                 emit(x, y)
             continue
-        # identical-signature groups → stars; star+chain over the
-        # distinct-signature representatives (see _star_edges_partition)
+        # identical-signature groups → stars; star + windowed-exact
+        # over the distinct-sig representatives (see _star_edges_partition)
         order = np.lexsort((ids, sigs))
         s_sorted, i_sorted = sigs[order], ids[order]
         new_grp = np.r_[True, s_sorted[1:] != s_sorted[:-1]]
@@ -760,9 +775,19 @@ def _simhash_star_edges_partition(df: pd.DataFrame, k: int, id_col: str) -> pa.T
         ham = hamming64(rep_sigs[members], np.full(len(members), rep_sigs[root], dtype=np.uint64))
         for m in members[ham <= k]:
             emit(int(rep_ids[root]), int(rep_ids[m]))
-        c_ham = hamming64(rep_sigs[:-1], rep_sigs[1:])
-        for p in np.nonzero(c_ham <= k)[0]:
-            emit(int(rep_ids[p]), int(rep_ids[p + 1]))
+        # windowed exact verify (see _star_edges_partition): subsumes
+        # the consecutive-pair chain and recovers sort-interleaved
+        # near-dup groups at a bounded O(r·cap) pair cost
+        step = _EXACT_BUCKET_CAP // 2
+        for lo in range(0, r, step):
+            hi = min(lo + _EXACT_BUCKET_CAP, r)
+            iu = np.triu_indices(hi - lo, k=1)
+            w = rep_sigs[lo:hi]
+            hit = hamming64(w[iu[0]], w[iu[1]]) <= k
+            for x, y in _local_component_stars(rep_ids[lo:hi], iu[0][hit], iu[1][hit]):
+                emit(x, y)
+            if hi == r:
+                break
     a = np.concatenate([np.asarray(edges_a, dtype=np.int64)] + vec_a) if (edges_a or vec_a) else np.array([], dtype=np.int64)
     b = np.concatenate([np.asarray(edges_b, dtype=np.int64)] + vec_b) if (edges_b or vec_b) else np.array([], dtype=np.int64)
     return pa.table({"a": pa.array(a), "b": pa.array(b)})

@@ -381,7 +381,7 @@ def _srp_candidate_edges_partition(df: pd.DataFrame, ham_cap: int, id_col: str,
        connected-components loop O(log g) extra rounds.
     2. Cross-group candidates run over one REPRESENTATIVE per distinct
        signature: all hamming-passing rep pairs when ≤ ``exact_cap``
-       reps, else star+chain over reps.  (Member-level cross edges are
+       reps, else star + windowed-exact passes over reps.  (Member-level cross edges are
        collapsed to rep-level — the documented connectivity
        approximation, same contract as the MinHash path.)
 
@@ -415,12 +415,17 @@ def _srp_candidate_edges_partition(df: pd.DataFrame, ham_cap: int, id_col: str,
         hit = members[ham <= ham_cap]
         out_a.append(np.minimum(rep_ids[root], rep_ids[hit]))
         out_b.append(np.maximum(rep_ids[root], rep_ids[hit]))
-        # chain over reps (already sig-sorted): near-identical distinct
-        # signatures sit adjacent, so a dissimilar rep-min can't block
-        c_ham = hamming64(rep_sigs[:-1], rep_sigs[1:])
-        ok = c_ham <= ham_cap
-        out_a.append(np.minimum(rep_ids[:-1][ok], rep_ids[1:][ok]))
-        out_b.append(np.maximum(rep_ids[:-1][ok], rep_ids[1:][ok]))
+        # windowed exact pairs over the sig-sorted reps (50%-overlap
+        # windows of ``exact_cap``): consecutive reps always co-window,
+        # subsuming the old chain pass, and sort-interleaved near-dup
+        # groups are recovered; O(r·cap) pairs per bucket, deduped by
+        # the downstream distinct-pairs exchange
+        step = exact_cap // 2
+        for lo in range(0, r, step):
+            hi = min(lo + exact_cap, r)
+            _hamming_pairs_bucket(rep_ids[lo:hi], rep_sigs[lo:hi], ham_cap, out_a, out_b)
+            if hi == r:
+                break
     a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
     b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
     return pa.table({"a": pa.array(a.astype(np.int64)), "b": pa.array(b.astype(np.int64))})

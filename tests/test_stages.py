@@ -903,6 +903,60 @@ def test_megabucket_collapsed_reps_verify_exactly():
     assert not any(1 in p for p in pairs)                # dissimilar min connects nothing
 
 
+def test_windowed_verify_recovers_interleaved_pairs_beyond_rep_cap():
+    # >cap REPS: the old consecutive-pair chain missed a qualifying
+    # pair whose sorted signatures have a noise rep between them; the
+    # 50%-overlap windowed exact verify must recover it while staying
+    # O(r*cap).
+    import pandas as pd
+
+    from logstash_filter_elastic_integration_ray.stages.dedup import (
+        _EXACT_BUCKET_CAP,
+        _star_edges_partition,
+        _simhash_star_edges_partition,
+    )
+
+    base = np.arange(32, dtype=np.uint64) + np.uint64(100)
+    x = base.copy(); x[0] = np.uint64(5)          # agree on 31/32 = 0.97
+    y = base.copy(); y[0] = np.uint64(9)
+    rows = {"bucket": [], "doc_id": [], "sig": []}
+
+    def add(doc_id, sig):
+        rows["bucket"].append("B")
+        rows["doc_id"].append(doc_id)
+        rows["sig"].append(sig.tobytes())
+
+    add(50, x)
+    add(60, y)
+    # a noise rep sorting BETWEEN x and y breaks chain adjacency
+    mid = np.zeros(32, dtype=np.uint64); mid[0] = np.uint64(7)
+    add(70, mid)
+    rng = np.random.default_rng(7)
+    for i in range(_EXACT_BUCKET_CAP + 10):  # push reps past the cap
+        sig = rng.integers(1 << 30, 1 << 40, size=32).astype(np.uint64)
+        add(200 + i, sig)
+    df = pd.DataFrame(rows)
+    edges = _star_edges_partition(df, 0.9, "doc_id").to_pandas()
+    pairs = set(zip(edges["a"], edges["b"]))
+    assert (50, 60) in pairs
+
+    # simhash analogue at k=1: A1=0b000, A2=0b100 (hamming 1), noise
+    # 0b011 sorts between them (hamming 2 and 3 — never a match)
+    rows2 = {"bucket": [], "doc_id": [], "sig": []}
+    sigs = [np.uint64(0), np.uint64(4), np.uint64(3)]
+    for i, sg in enumerate(sigs):
+        rows2["bucket"].append("B"); rows2["doc_id"].append(50 + i); rows2["sig"].append(sg)
+    v = np.uint64(1 << 30)
+    for i in range(_EXACT_BUCKET_CAP + 10):
+        rows2["bucket"].append("B"); rows2["doc_id"].append(200 + i)
+        rows2["sig"].append(v + np.uint64(2 * i))  # distinct, far from all
+    df2 = pd.DataFrame(rows2)
+    edges2 = _simhash_star_edges_partition(df2, 1, "doc_id").to_pandas()
+    pairs2 = set(zip(edges2["a"], edges2["b"]))
+    assert (50, 51) in pairs2
+    assert not any(52 in p for p in pairs2)
+
+
 def test_dedup_ops_on_all_unique_and_tiny_inputs(ray_session):
     # robustness: zero verified edges (all singletons) and 1-row inputs
     # must flow through candidates → components → survivors cleanly

@@ -20,11 +20,12 @@ What is shared with the engine vs. independent:
   top-k, mirroring ``tests/test_stages.py``.
 
 Bucket-size parity note: buckets > ``_EXACT_BUCKET_CAP`` members are
-verified by the engine with the documented star+chain approximation
-rather than all pairs; the reference mirrors that *documented
-semantic* (it is part of the operator's contract, not an execution
-detail), so a fixture match proves the distributed machinery computes
-exactly the contracted result.
+verified by the engine with the documented star + windowed-exact
+approximation (50%-overlap windows of cap reps over the sorted
+distinct signatures) rather than global all pairs; the reference
+mirrors that *documented semantic* (it is part of the operator's
+contract, not an execution detail), so a fixture match proves the
+distributed machinery computes exactly the contracted result.
 """
 
 from __future__ import annotations
@@ -124,8 +125,8 @@ def _sig_groups(ids, sigs):
 def _verify_bucket_minhash(ids, sigs, threshold, uf: UnionFind) -> None:
     """Mirror of the engine's per-bucket verification CONTRACT:
     exact all-pairs for small buckets; for megabuckets,
-    identical-signature group stars plus star+chain over the
-    distinct-signature representatives."""
+    identical-signature group stars plus star + windowed-exact passes
+    over the distinct-signature representatives."""
     m = len(ids)
     if m <= _EXACT_BUCKET_CAP:
         for i in range(m):
@@ -150,9 +151,17 @@ def _verify_bucket_minhash(ids, sigs, threshold, uf: UnionFind) -> None:
     for o in ro[1:]:
         if (rep_sigs[o] == rep_sigs[root]).mean() >= threshold:
             uf.union(rep_ids[root], rep_ids[o])
-    for p in range(r - 1):
-        if (rep_sigs[p] == rep_sigs[p + 1]).mean() >= threshold:
-            uf.union(rep_ids[p], rep_ids[p + 1])
+    # windowed exact verify over sig-sorted reps (engine contract:
+    # 50%-overlap windows of cap reps, all pairs within each window)
+    step = _EXACT_BUCKET_CAP // 2
+    for lo in range(0, r, step):
+        hi = min(lo + _EXACT_BUCKET_CAP, r)
+        for i in range(lo, hi):
+            for j in range(i + 1, hi):
+                if (rep_sigs[i] == rep_sigs[j]).mean() >= threshold:
+                    uf.union(rep_ids[i], rep_ids[j])
+        if hi == r:
+            break
 
 
 def minhash_clusters_reference(ids, texts, *, num_perm: int = 32, bands: int = 8,
@@ -179,7 +188,7 @@ def minhash_clusters_reference(ids, texts, *, num_perm: int = 32, bands: int = 8
 def _minhash_candidate_edges(ids, sigs, pre_threshold) -> set[tuple[int, int]]:
     """Mirror of the engine's per-bucket candidate contract at the
     PREFILTER agreement bar: ≤cap exact pairs collapsed to local stars,
-    >cap identical-sig group stars + rep star/chain."""
+    >cap identical-sig group stars + rep star/windowed-exact passes."""
     edges: set[tuple[int, int]] = set()
     m = len(ids)
     if m <= _EXACT_BUCKET_CAP:
@@ -214,10 +223,23 @@ def _minhash_candidate_edges(ids, sigs, pre_threshold) -> set[tuple[int, int]]:
         if (rep_sigs[o] == rep_sigs[root]).mean() >= pre_threshold:
             a, b = int(rep_ids[root]), int(rep_ids[o])
             edges.add((min(a, b), max(a, b)))
-    for p in range(r - 1):
-        if (rep_sigs[p] == rep_sigs[p + 1]).mean() >= pre_threshold:
-            a, b = int(rep_ids[p]), int(rep_ids[p + 1])
-            edges.add((min(a, b), max(a, b)))
+    # windowed exact verify over sig-sorted reps, window hits collapsed
+    # to local component stars (engine contract, _star_edges_partition)
+    step = _EXACT_BUCKET_CAP // 2
+    for lo in range(0, r, step):
+        hi = min(lo + _EXACT_BUCKET_CAP, r)
+        left, right = [], []
+        for i in range(lo, hi):
+            for j in range(i + 1, hi):
+                if (rep_sigs[i] == rep_sigs[j]).mean() >= pre_threshold:
+                    left.append(i - lo)
+                    right.append(j - lo)
+        for x, y in _local_component_stars(
+            rep_ids[lo:hi], np.array(left, dtype=int), np.array(right, dtype=int)
+        ):
+            edges.add((min(x, y), max(x, y)))
+        if hi == r:
+            break
     return edges
 
 
@@ -293,9 +315,16 @@ def _verify_bucket_hamming(ids, sigs, k, uf: UnionFind) -> None:
     ham = hamming64(rep_sigs[members], np.full(len(members), rep_sigs[root], dtype=np.uint64))
     for o in members[ham <= k]:
         uf.union(rep_ids[root], rep_ids[o])
-    c_ham = hamming64(rep_sigs[:-1], rep_sigs[1:])
-    for p in np.nonzero(c_ham <= k)[0]:
-        uf.union(rep_ids[p], rep_ids[p + 1])
+    # windowed exact verify over sig-sorted reps (engine contract)
+    step = _EXACT_BUCKET_CAP // 2
+    for lo in range(0, r, step):
+        hi = min(lo + _EXACT_BUCKET_CAP, r)
+        for i in range(lo, hi):
+            ham = hamming64(rep_sigs[i + 1 : hi], np.full(hi - i - 1, rep_sigs[i], dtype=np.uint64))
+            for j in np.nonzero(ham <= k)[0]:
+                uf.union(rep_ids[i], rep_ids[i + 1 + j])
+        if hi == r:
+            break
 
 
 def simhash_clusters_reference(ids, texts, *, k: int = 3) -> pd.DataFrame:
@@ -389,7 +418,8 @@ def embedding_dedup_reference(sf_dir: str, *, threshold: float = 0.9, num_bits: 
                               bands: int = 8, seed: int = 42) -> pd.DataFrame:
     """(doc_id, cluster_size): union-find over the engine's contracted
     candidate-edge set (all hamming-passing pairs for small buckets,
-    star+chain for megabuckets), each edge verified by exact cosine."""
+    star + windowed-exact for megabuckets), each edge verified by
+    exact cosine."""
     ids, m = _doc_embeddings(sf_dir)
     packed, buckets = _srp_buckets(m, num_bits=num_bits, bands=bands, seed=seed)
     cap = hamming_cap(threshold, num_bits)
@@ -428,9 +458,18 @@ def embedding_dedup_reference(sf_dir: str, *, threshold: float = 0.9, num_bits: 
         ham = hamming64(rep_sigs[mems], np.full(len(mems), rep_sigs[root], dtype=np.uint64))
         for o in mems[ham <= cap]:
             add(id_pos[int(rep_ids[root])], id_pos[int(rep_ids[o])])
-        c_ham = hamming64(rep_sigs[:-1], rep_sigs[1:])
-        for p in np.nonzero(c_ham <= cap)[0]:
-            add(id_pos[int(rep_ids[p])], id_pos[int(rep_ids[p + 1])])
+        # windowed exact rep pairs (engine contract,
+        # _srp_candidate_edges_partition)
+        step = _EXACT_BUCKET_CAP // 2
+        for lo in range(0, r, step):
+            hi = min(lo + _EXACT_BUCKET_CAP, r)
+            for x in range(lo, hi):
+                rest = np.arange(x + 1, hi)
+                ham = hamming64(rep_sigs[rest], np.full(len(rest), rep_sigs[x], dtype=np.uint64))
+                for j in rest[ham <= cap]:
+                    add(id_pos[int(rep_ids[x])], id_pos[int(rep_ids[j])])
+            if hi == r:
+                break
 
     uf = UnionFind(ids)
     if cand:
