@@ -514,6 +514,41 @@ def q_lang_id_docs(sf_dir: str):
     return _docs(sf_dir).map_batches(lang_id_batch, batch_format="pyarrow")
 
 
+def q_top_tokens_docs(sf_dir: str):
+    from logstash_filter_elastic_integration_ray.stages.sketches import top_k_tokens
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_k_tokens(ds, k=20)
+
+
+def q_price_quantiles(sf_dir: str):
+    import pandas as pd
+
+    from logstash_filter_elastic_integration_ray.stages.sketches import exact_quantiles
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cents": pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)).cast(pa.int64()),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]).map_batches(
+        cents, batch_format="pyarrow"
+    )
+    pcts = [25, 50, 75, 90, 99]
+    res = exact_quantiles(ds, "cents", [p / 100 for p in pcts])
+    return pd.DataFrame({
+        "pct": (res["q"] * 100).round().astype("int64"),
+        "value": res["value"].round().astype("int64"),
+    })
+
+
+def q_sample_stratified_docs(sf_dir: str):
+    from logstash_filter_elastic_integration_ray.stages.sketches import sample_stratified
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return sample_stratified(ds, {"en": 0.5, "de": 0.25, "fr": 0.1}, default_rate=0.05)
+
+
 def q_minhash_dedup_docs(sf_dir: str):
     from logstash_filter_elastic_integration_ray.stages.dedup import minhash_lsh_dedup
 
@@ -956,6 +991,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": q_quality_docs,
         "doc_fingerprints": q_doc_fingerprints,
         "lang_id_docs": q_lang_id_docs,
+        "top_tokens_docs": q_top_tokens_docs,
+        "price_quantiles": q_price_quantiles,
+        "sample_stratified_docs": q_sample_stratified_docs,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_docs": q_simhash_docs,
         "embedding_topk": q_embedding_topk,
@@ -1152,6 +1190,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "doc_fingerprints": "SELECT doc_id, md5(text) AS content_hash FROM documents",
+        "top_tokens_docs": (
+            "SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
+            "GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20"
+        ),
+        "price_quantiles": (
+            "WITH cents AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem) "
+            "SELECT 25 AS pct, CAST(quantile_disc(c, 0.25) AS BIGINT) AS value FROM cents "
+            "UNION ALL SELECT 50, CAST(quantile_disc(c, 0.50) AS BIGINT) FROM cents "
+            "UNION ALL SELECT 75, CAST(quantile_disc(c, 0.75) AS BIGINT) FROM cents "
+            "UNION ALL SELECT 90, CAST(quantile_disc(c, 0.90) AS BIGINT) FROM cents "
+            "UNION ALL SELECT 99, CAST(quantile_disc(c, 0.99) AS BIGINT) FROM cents"
+        ),
+        "sample_stratified_docs": (
+            "SELECT doc_id, lang FROM documents WHERE (doc_id * 48271) % 65537 < "
+            "(CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384 WHEN 'fr' THEN 6553 "
+            "ELSE 3276 END)"
+        ),
         "lang_id_docs": (
             # exact SQL twin of textstats.detect_language: CJK shortcut
             # on the first 200 chars, else first strictly-better

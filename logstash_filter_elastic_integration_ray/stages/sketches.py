@@ -1,0 +1,334 @@
+"""Distributed sketch / summary operators: heavy hitters (exact and
+Misra-Gries), exact quantiles, and deterministic stratified sampling.
+
+Scale design notes (the shapes that survive 100 TB):
+
+- **exact heavy hitters**: per-batch ``value_counts`` partials (shuffle
+  volume = distinct tokens per batch, not token occurrences), then a
+  co-partition merge — every distinct token's TOTAL lands in exactly
+  one hash partition, so per-partition top-k is globally complete and
+  only ``partitions × k`` rows reach the final merge.
+- **Misra-Gries top-k**: when the vocabulary itself is too large to
+  shuffle, each batch compresses to a capacity-bounded summary and
+  summaries merge pairwise (mergeable-summaries construction: sum,
+  then subtract the (c+1)-th largest count).  Counts are lower bounds
+  with error ≤ n/(c+1), so every item with frequency > n/(c+1) is
+  guaranteed present — the classic frequent-items contract.
+- **exact quantiles**: three STREAMING passes over a single pruned
+  column (never a global sort): (1) min/max/count partials, (2) a
+  fixed-width histogram (per-batch ``bincount`` → sparse partials →
+  co-partition merge → ``num_bins`` rows on the driver), (3) for the
+  target bins only, per-batch (value, count) unique partials.  A
+  megabin of one repeated value collapses to one row per batch, so
+  value skew cannot blow up the refine pass; a bin with too many
+  DISTINCT values raises with advice to increase ``num_bins``.
+- **stratified sampling**: a pure per-batch filter on a deterministic
+  Lehmer-style hash of the id — no shuffle, no state, reproducible
+  across engines (the same arithmetic is SQL-expressible, which is
+  what makes the driver oracle exact).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .aggregate import add_partition_col
+
+# ---------------------------------------------------------------------------
+# heavy hitters — exact two-phase
+# ---------------------------------------------------------------------------
+
+
+def token_count_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch (token, cnt) partials: split on single spaces (the
+    exact twin of DuckDB ``unnest(string_split(text, ' '))``) and count
+    with ONE vectorized ``value_counts`` over the whole batch."""
+    texts = batch.column(text_col).to_pylist()
+    toks: list[str] = []
+    for t in texts:
+        if t is not None:
+            toks.extend(t.split(" "))
+    if not toks:
+        return pa.table({"token": pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64())})
+    vc = pd.Series(toks, dtype=object).value_counts(sort=False)
+    return pa.table({
+        "token": pa.array(vc.index.to_numpy(dtype=object), type=pa.string()),
+        "cnt": pa.array(vc.to_numpy().astype(np.int64)),
+    })
+
+
+def top_k_tokens(ds, k: int = 20, text_col: str = "text", num_partitions: int = 32):
+    """Exact global top-k tokens: (token, cnt), cnt desc / token asc.
+
+    Two-phase: batch partials → co-partition sum (one vectorized pandas
+    groupby per partition — never a per-group Ray aggregate) →
+    per-partition top-k (complete because a token's total is confined
+    to its hash partition) → tiny global merge of ``partitions × k``
+    rows."""
+    partials = ds.map_batches(
+        lambda b: token_count_partials(b, text_col), batch_format="pyarrow"
+    )
+    schema = pa.schema([("token", pa.string()), ("cnt", pa.int64())])
+
+    def merge_topk(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby("token", as_index=False)["cnt"].sum()
+        agg = agg.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort").head(k)
+        return pa.Table.from_pandas(agg, preserve_index=False, schema=schema).replace_schema_metadata(None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        out = df.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort").head(k)
+        return pa.Table.from_pandas(out, preserve_index=False, schema=schema).replace_schema_metadata(None)
+
+    return (
+        partials.map_batches(
+            lambda b: add_partition_col(b, num_partitions, key="token"), batch_format="pyarrow"
+        )
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters — Misra-Gries (mergeable summaries)
+# ---------------------------------------------------------------------------
+
+
+def _mg_compress(tokens: np.ndarray, counts: np.ndarray, capacity: int):
+    """Compress exact (token, count) rows to ≤ ``capacity`` entries by
+    subtracting the (capacity+1)-th largest count from every entry and
+    dropping non-positives — the Misra-Gries decrement, batched."""
+    if len(tokens) <= capacity:
+        return tokens, counts
+    order = np.argsort(-counts, kind="stable")
+    d = counts[order[capacity]]
+    keep = counts > d
+    return tokens[keep], counts[keep] - d
+
+
+def mg_partials(batch: pa.Table, capacity: int, text_col: str = "text") -> pa.Table:
+    t = token_count_partials(batch, text_col)
+    toks = t.column("token").to_numpy(zero_copy_only=False)
+    cnts = t.column("cnt").to_numpy()
+    toks, cnts = _mg_compress(toks, cnts, capacity)
+    return pa.table({"token": pa.array(toks, type=pa.string()),
+                     "cnt": pa.array(cnts.astype(np.int64))})
+
+
+def top_k_tokens_sketch(ds, k: int = 20, capacity: int = 1024,
+                        text_col: str = "text", num_partitions: int = 8):
+    """Approximate top-k via mergeable Misra-Gries summaries: (token,
+    cnt) with cnt a LOWER bound, error ≤ total_tokens/(capacity+1).
+    Use when the distinct-token universe is too large to shuffle —
+    the shuffled volume is ``capacity`` rows per batch regardless of
+    vocabulary size.  Every token with true frequency >
+    total/(capacity+1) is guaranteed to surface (frequent-items
+    contract); ranks among near-ties may differ from exact."""
+    partials = ds.map_batches(
+        lambda b: mg_partials(b, capacity, text_col), batch_format="pyarrow"
+    )
+    schema = pa.schema([("token", pa.string()), ("cnt", pa.int64())])
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby("token", as_index=False)["cnt"].sum()
+        toks, cnts = _mg_compress(
+            agg["token"].to_numpy(dtype=object), agg["cnt"].to_numpy(), capacity
+        )
+        out = pd.DataFrame({"token": toks, "cnt": cnts})
+        return pa.Table.from_pandas(out, preserve_index=False, schema=schema).replace_schema_metadata(None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby("token", as_index=False)["cnt"].sum()
+        toks, cnts = _mg_compress(
+            agg["token"].to_numpy(dtype=object), agg["cnt"].to_numpy(), capacity
+        )
+        out = (
+            pd.DataFrame({"token": toks, "cnt": cnts})
+            .sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
+            .head(k)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False, schema=schema).replace_schema_metadata(None)
+
+    return (
+        partials.map_batches(
+            lambda b: add_partition_col(b, num_partitions, key="token"), batch_format="pyarrow"
+        )
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles (quantile_disc semantics)
+# ---------------------------------------------------------------------------
+
+#: distinct values a single target bin may hold before the refine pass
+#: refuses (raise → caller increases num_bins); bounds driver memory
+_REFINE_DISTINCT_CAP = 2_000_000
+
+
+def _bin_of(vals: np.ndarray, mn: float, width: float, num_bins: int) -> np.ndarray:
+    """The ONE binning formula used by both the histogram and refine
+    passes — identical float arithmetic in both places means a value
+    can never straddle a bin boundary between passes."""
+    if width <= 0:
+        return np.zeros(len(vals), dtype=np.int64)
+    return np.clip(((vals - mn) / width).astype(np.int64), 0, num_bins - 1)
+
+
+def exact_quantiles(ds, col: str, qs: list[float], num_bins: int = 4096,
+                    num_partitions: int = 8) -> pd.DataFrame:
+    """Exact ``quantile_disc`` over a numeric column WITHOUT a global
+    sort: (q, value) with value = the element at 1-indexed rank
+    ``max(1, ceil(q*n))`` of the sorted non-null column (DuckDB /
+    ANSI ``percentile_disc`` semantics).
+
+    Three streaming passes over the (pruned) input — min/max/count
+    partials, fixed-width histogram, and per-target-bin (value, count)
+    unique partials — shuffle tiny summaries only.  Pass ``ds`` as a
+    cheap re-executable pipeline (a column-pruned ``read_parquet``):
+    each pass re-executes it.
+    """
+    qs = sorted(set(float(q) for q in qs))
+
+    # ---- pass 1: min / max / count partials ---------------------------
+    def stats(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pa.table({"mn": pa.array([], type=pa.float64()),
+                             "mx": pa.array([], type=pa.float64()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({"mn": [float(v.min())], "mx": [float(v.max())], "n": [len(v)]})
+
+    st = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    if not len(st) or st["n"].sum() == 0:
+        return pd.DataFrame({"q": qs, "value": [np.nan] * len(qs)})
+    mn, mx, n = float(st["mn"].min()), float(st["mx"].max()), int(st["n"].sum())
+    width = (mx - mn) / num_bins
+
+    # ---- pass 2: histogram (sparse partials, co-partition merge) ------
+    def hist(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        bins = _bin_of(v, mn, width, num_bins)
+        bc = np.bincount(bins, minlength=num_bins)
+        nz = np.flatnonzero(bc)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(bc[nz].astype(np.int64))})
+
+    def merge_bins(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby("bin", as_index=False)["cnt"].sum()
+        return pa.Table.from_pandas(agg[["bin", "cnt"]], preserve_index=False).replace_schema_metadata(None)
+
+    hist_df = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .map_batches(lambda b: add_partition_col(b, num_partitions, key="bin"), batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge_bins, batch_format="pandas")
+        .to_pandas()
+    )
+    hist_df = hist_df.sort_values("bin")
+    counts = np.zeros(num_bins, dtype=np.int64)
+    counts[hist_df["bin"].to_numpy()] = hist_df["cnt"].to_numpy()
+    cum = np.cumsum(counts)  # cum[b] = rows in bins 0..b
+
+    # rank r(q) = max(1, ceil(q*n)); target bin = first b with cum[b] >= r
+    ranks = {q: max(1, int(np.ceil(q * n))) for q in qs}
+    target_bins = sorted(set(int(np.searchsorted(cum, r)) for r in ranks.values()))
+
+    # ---- pass 3: (value, count) unique partials for target bins only --
+    tb = np.array(target_bins, dtype=np.int64)
+
+    def refine(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        bins = _bin_of(v, mn, width, num_bins)
+        keep = np.isin(bins, tb)
+        if not keep.any():
+            return pa.table({"bin": pa.array([], type=pa.int64()),
+                             "value": pa.array([], type=pa.float64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        sel_v, sel_b = v[keep], bins[keep]
+        out_b, out_v, out_c = [], [], []
+        for b in np.unique(sel_b):
+            u, c = np.unique(sel_v[sel_b == b], return_counts=True)
+            out_b.append(np.full(len(u), b, dtype=np.int64))
+            out_v.append(u)
+            out_c.append(c.astype(np.int64))
+        return pa.table({"bin": pa.array(np.concatenate(out_b)),
+                         "value": pa.array(np.concatenate(out_v)),
+                         "cnt": pa.array(np.concatenate(out_c))})
+
+    def merge_vals(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby(["bin", "value"], as_index=False)["cnt"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    vals_df = (
+        ds.map_batches(refine, batch_format="pyarrow")
+        .map_batches(lambda b: add_partition_col(b, num_partitions, key="value"), batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge_vals, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(vals_df) > _REFINE_DISTINCT_CAP:
+        raise ValueError(
+            f"target bins hold {len(vals_df)} distinct values "
+            f"(cap {_REFINE_DISTINCT_CAP}); increase num_bins"
+        )
+
+    out = []
+    for q in qs:
+        r = ranks[q]
+        b = int(np.searchsorted(cum, r))
+        before = int(cum[b - 1]) if b > 0 else 0
+        local_rank = r - before  # 1-indexed within bin b
+        g = vals_df[vals_df["bin"] == b].sort_values("value")
+        cc = g["cnt"].to_numpy().cumsum()
+        pos = int(np.searchsorted(cc, local_rank))
+        out.append((q, float(g["value"].to_numpy()[pos])))
+    return pd.DataFrame(out, columns=["q", "value"])
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+#: Lehmer-style sampling hash modulus/multiplier — small enough that
+#: ``id * MULT`` stays exact in BIGINT, so the DuckDB twin
+#: ``(id * 48271) % 65537 < floor(rate * 65537)`` matches bit-for-bit
+_SAMPLE_MULT = 48271
+_SAMPLE_MOD = 65537
+
+
+def sample_stratified(ds, rates: dict[str, float], strata_col: str = "lang",
+                      id_col: str = "doc_id", default_rate: float = 0.0):
+    """Deterministic per-stratum sampling: keep a row iff
+    ``(id * 48271) % 65537 < floor(rate[stratum] * 65537)``.
+
+    A pure per-batch filter — no shuffle, no state, no randomness; the
+    same row set is selected on every run, every engine, and every
+    batch split (the sampling decision depends only on the row's own
+    id), which is exactly what a reproducible training-data pipeline
+    needs."""
+    thresholds = {k: int(np.floor(float(v) * _SAMPLE_MOD)) for k, v in rates.items()}
+    default_thr = int(np.floor(float(default_rate) * _SAMPLE_MOD))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * _SAMPLE_MULT) % _SAMPLE_MOD
+        strata = pd.Series(t.column(strata_col).to_pylist(), dtype=object)
+        thr = strata.map(thresholds).fillna(default_thr).to_numpy().astype(np.int64)
+        return t.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1,0 +1,171 @@
+"""Sketch/summary stage tests: exact heavy hitters, Misra-Gries
+guarantee, exact distributed quantiles, deterministic stratified
+sampling."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from logstash_filter_elastic_integration_ray.stages.sketches import (
+    _SAMPLE_MOD,
+    _SAMPLE_MULT,
+    _mg_compress,
+    exact_quantiles,
+    mg_partials,
+    sample_stratified,
+    token_count_partials,
+    top_k_tokens,
+    top_k_tokens_sketch,
+)
+
+
+def _zipf_docs(n_docs=200, seed=3):
+    """Documents whose token frequencies follow a zipf-ish law."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(500)]
+    p = 1.0 / np.arange(1, len(vocab) + 1)
+    p /= p.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 40), p=p)) for _ in range(n_docs)
+    ]
+    return pa.table({"doc_id": pa.array(range(n_docs), type=pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def _exact_counts(table: pa.Table) -> pd.Series:
+    toks = []
+    for t in table.column("text").to_pylist():
+        toks.extend(t.split(" "))
+    return pd.Series(toks).value_counts()
+
+
+def test_token_count_partials_match_plain_counts():
+    t = _zipf_docs(50)
+    part = token_count_partials(t).to_pandas().set_index("token")["cnt"]
+    exact = _exact_counts(t)
+    assert part.sort_index().equals(exact.sort_index().astype("int64"))
+
+
+def test_top_k_tokens_exact(ray_session):
+    import ray.data as rd
+
+    t = _zipf_docs(200)
+    exact = _exact_counts(t)
+    expect = (
+        exact.rename_axis("token").reset_index(name="cnt")
+        .sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
+        .head(10).reset_index(drop=True)
+    )
+    got = (
+        top_k_tokens(rd.from_arrow(t).repartition(7), k=10)
+        .to_pandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect.astype({"cnt": "int64"}))
+
+
+def test_mg_compress_properties():
+    toks = np.array([f"t{i}" for i in range(10)], dtype=object)
+    cnts = np.array([100, 90, 80, 5, 4, 3, 3, 2, 2, 1], dtype=np.int64)
+    kt, kc = _mg_compress(toks, cnts, capacity=3)
+    assert len(kt) <= 3
+    # every kept count is an underestimate by exactly the 4th-largest
+    assert list(kc) == [95, 85, 75]
+    # no compression needed when under capacity
+    kt2, kc2 = _mg_compress(toks[:3], cnts[:3], capacity=3)
+    assert list(kc2) == [100, 90, 80]
+
+
+def test_mg_sketch_frequent_items_guarantee(ray_session):
+    import ray.data as rd
+
+    t = _zipf_docs(300, seed=11)
+    exact = _exact_counts(t)
+    total = int(exact.sum())
+    capacity = 64
+    got = top_k_tokens_sketch(
+        rd.from_arrow(t).repartition(5), k=30, capacity=capacity
+    ).to_pandas()
+    got_tokens = set(got["token"])
+    # Misra-Gries contract: every token with true frequency >
+    # total/(capacity+1) must surface, and reported counts are lower
+    # bounds within total/(capacity+1) of truth
+    bar = total / (capacity + 1)
+    for tok, cnt in exact.items():
+        if cnt > bar:
+            assert tok in got_tokens, f"{tok} ({cnt} > {bar}) missing"
+    for _, row in got.iterrows():
+        true = int(exact.get(row["token"], 0))
+        assert row["cnt"] <= true
+        assert true - row["cnt"] <= bar + 1e-9
+
+
+def _qdisc(values, q):
+    """quantile_disc ground truth: element at rank max(1, ceil(q*n))."""
+    s = np.sort(np.asarray(values))
+    r = max(1, int(np.ceil(q * len(s))))
+    return s[r - 1]
+
+
+def test_exact_quantiles_matches_definition(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([
+        rng.integers(0, 10_000, size=5000),       # uniform
+        np.full(3000, 42),                        # heavy duplication
+        rng.normal(5000, 100, size=2000).astype(np.int64),
+    ]).astype(np.float64)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(9)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    got = exact_quantiles(ds, "v", qs, num_bins=64)
+    for _, row in got.iterrows():
+        assert row["value"] == _qdisc(vals, row["q"]), row["q"]
+
+
+def test_exact_quantiles_single_value_and_nulls(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"v": pa.array([7.0, None, 7.0, 7.0, None], type=pa.float64())})
+    got = exact_quantiles(rd.from_arrow(t), "v", [0.5, 0.9])
+    assert list(got["value"]) == [7.0, 7.0]
+    empty = pa.table({"v": pa.array([None, None], type=pa.float64())})
+    got2 = exact_quantiles(rd.from_arrow(empty), "v", [0.5])
+    assert np.isnan(got2["value"].iloc[0])
+
+
+def test_exact_quantiles_batch_split_invariant(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(8)
+    vals = rng.normal(0, 1, size=4000)
+    t = pa.table({"v": pa.array(vals)})
+    a = exact_quantiles(rd.from_arrow(t).repartition(3), "v", [0.1, 0.5, 0.9])
+    b = exact_quantiles(rd.from_arrow(t).repartition(17), "v", [0.1, 0.5, 0.9])
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_sample_stratified_deterministic_and_exact(ray_session):
+    import ray.data as rd
+
+    n = 2000
+    langs = np.array(["en", "de", "fr", "zh"])[np.arange(n) % 4]
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "lang": pa.array(langs)})
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.1}
+    got = sample_stratified(rd.from_arrow(t).repartition(6), rates,
+                            default_rate=0.05).to_pandas()
+    # plain-python twin of the contract
+    keep = []
+    for i in range(n):
+        thr = int(np.floor(rates.get(langs[i], 0.05) * _SAMPLE_MOD))
+        if (i * _SAMPLE_MULT) % _SAMPLE_MOD < thr:
+            keep.append(i)
+    assert sorted(got["doc_id"]) == keep
+    # batching must not change the selection
+    got2 = sample_stratified(rd.from_arrow(t).repartition(1), rates,
+                             default_rate=0.05).to_pandas()
+    assert sorted(got2["doc_id"]) == keep
+    # rates land near the target on uniform ids
+    en = got[got["lang"] == "en"]
+    assert abs(len(en) / (n / 4) - 0.5) < 0.1
