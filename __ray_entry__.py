@@ -708,6 +708,87 @@ def q_q1_pricing(sf_dir: str):
     )
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping (sliding) window aggregate: 1 h windows every 15 min —
+    each event explodes into its 4 covering windows per batch
+    (vectorized tile/repeat), then a low-cardinality groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    hop_us = 15 * 60 * 1_000_000
+    windows = 4  # 1 h window / 15 min hop
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        base = (ts // hop_us) * hop_us
+        cents = pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64()).to_numpy()
+        ws = np.concatenate([base - i * hop_us for i in range(windows)])
+        return pa.table({
+            "ws": pa.array(ws).cast(pa.timestamp("us")),
+            "cents_in": pa.array(np.tile(cents, windows)),
+        })
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("ws")
+        .aggregate(Count(alias_name="n"), Sum("cents_in", alias_name="cents"))
+    )
+
+
+def q_range_join_events(sf_dir: str):
+    """Interval join: every event vs each event_type's first hour —
+    both sides Datasets, value-axis chunked (stages/joins.py)."""
+    from ray.data.aggregate import Min
+
+    from logstash_filter_elastic_integration_ray.stages.joins import range_join_chunked
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    iv_src = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    iv = iv_src.groupby("event_type").aggregate(Min("ts", alias_name="lo"))
+
+    def widen_iv(t: pa.Table) -> pa.Table:
+        lo = t.column("lo")
+        hi = pc.add(lo.cast(pa.int64()), 3_600_000_000).cast(lo.type)
+        return pa.table({"itype": t.column("event_type"), "lo": lo, "hi": hi})
+
+    intervals = iv.map_batches(widen_iv, batch_format="pyarrow")
+    out_schema = pa.schema([
+        ("event_id", pa.int64()),
+        ("itype", pa.string()),
+    ])
+    return range_join_chunked(
+        ev, intervals, on_left="ts", lo_right="lo", hi_right="hi",
+        num_chunks=16,
+        output_schema=pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                                 ("itype", pa.string()), ("lo", pa.timestamp("us")),
+                                 ("hi", pa.timestamp("us"))]),
+    ).select_columns([f.name for f in out_schema])
+
+
+def q_price_quantiles_by_flag(sf_dir: str):
+    from logstash_filter_elastic_integration_ray.stages.sketches import group_quantiles
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "cents": pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)).cast(pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    ).map_batches(cents, batch_format="pyarrow")
+    out = group_quantiles(ds, "l_returnflag", "cents", [0.5, 0.9], ["p50_cents", "p90_cents"])
+
+    def to_int(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "p50_cents": t.column("p50_cents").cast(pa.int64()),
+            "p90_cents": t.column("p90_cents").cast(pa.int64()),
+        })
+
+    return out.map_batches(to_int, batch_format="pyarrow")
+
+
 def q_events_hourly(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -1005,6 +1086,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": q_multimodal_frames,
         "q1_pricing": q_q1_pricing,
         "events_hourly": q_events_hourly,
+        "events_hopping": q_events_hopping,
+        "range_join_events": q_range_join_events,
+        "price_quantiles_by_flag": q_price_quantiles_by_flag,
         "segment_orders": q_segment_orders,
         "top_orders": q_top_orders,
         "attrs_expand": q_attrs_expand,
@@ -1261,6 +1345,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events, "
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents_sum "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_hopping": (
+            "WITH x AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents_in, "
+            "unnest(generate_series(time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL 45 MINUTE, "
+            "time_bucket(INTERVAL 15 MINUTE, ts), INTERVAL 15 MINUTE)) AS ws FROM events) "
+            "SELECT ws, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents_in) AS BIGINT) AS cents "
+            "FROM x GROUP BY ws"
+        ),
+        "range_join_events": (
+            "WITH iv AS (SELECT event_type AS itype, min(ts) AS lo, "
+            "min(ts) + INTERVAL 1 HOUR AS hi FROM events GROUP BY event_type) "
+            "SELECT e.event_id, iv.itype FROM events e, iv "
+            "WHERE e.ts >= iv.lo AND e.ts <= iv.hi"
+        ),
+        "price_quantiles_by_flag": (
+            "WITH c AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents "
+            "FROM lineitem) "
+            "SELECT l_returnflag, CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50_cents, "
+            "CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90_cents "
+            "FROM c GROUP BY l_returnflag"
         ),
         "segment_orders": (
             "SELECT c.c_mktsegment, count(*) AS n_orders, "

@@ -332,3 +332,50 @@ def sample_stratified(ds, rates: dict[str, float], strata_col: str = "lang",
         return t.filter(pa.array(h < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-group exact quantiles
+# ---------------------------------------------------------------------------
+
+
+def group_quantiles(ds, key: str, col: str, qs: list[float], names: list[str],
+                    num_partitions: int = 32):
+    """Exact per-group ``quantile_disc``: one output row per key with a
+    column per requested quantile (rank ``max(1, ceil(q*n))``).
+
+    Co-partition by key, then ONE vectorized pass per partition: sort
+    by (key, value), find group boundaries, and gather every quantile
+    of every group with pure index arithmetic — no per-group Python
+    loop, no Ray per-group aggregate.  Contract: one key's rows fit in
+    one partition (the standard hash co-partition bound); for a single
+    key too large for that, use :func:`exact_quantiles` filtered to
+    the key instead."""
+    if len(qs) != len(names):
+        raise ValueError("qs and names must pair up")
+
+    def per_part(df: pd.DataFrame) -> pa.Table:
+        df = df[[key, col]].dropna()
+        if not len(df):
+            cols = {key: pa.array([], type=pa.string())}
+            cols.update({n: pa.array([], type=pa.float64()) for n in names})
+            return pa.table(cols)
+        df = df.sort_values([key, col], kind="mergesort")
+        k = df[key].to_numpy()
+        v = df[col].to_numpy()
+        new = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(k)]
+        n = ends - starts
+        cols = {key: k[starts]}
+        for q, name in zip(qs, names):
+            r = np.maximum(1, np.ceil(q * n).astype(np.int64))
+            cols[name] = v[starts + r - 1]
+        return pa.Table.from_pandas(pd.DataFrame(cols), preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(lambda b: add_partition_col(b, num_partitions, key=key), batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pandas")
+    )

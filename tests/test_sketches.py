@@ -169,3 +169,91 @@ def test_sample_stratified_deterministic_and_exact(ray_session):
     # rates land near the target on uniform ids
     en = got[got["lang"] == "en"]
     assert abs(len(en) / (n / 4) - 0.5) < 0.1
+
+
+def test_group_quantiles_matches_definition(ray_session):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.sketches import group_quantiles
+
+    rng = np.random.default_rng(13)
+    keys = np.array(["a", "b", "c"])[rng.integers(0, 3, size=3000)]
+    vals = rng.integers(0, 1000, size=3000).astype(np.float64)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    got = (
+        group_quantiles(rd.from_arrow(t).repartition(5), "k", "v",
+                        [0.5, 0.9], ["p50", "p90"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        g = vals[keys == row["k"]]
+        assert row["p50"] == _qdisc(g, 0.5)
+        assert row["p90"] == _qdisc(g, 0.9)
+    assert list(got["k"]) == ["a", "b", "c"]
+
+
+def test_range_join_chunked_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.joins import range_join_chunked
+
+    rng = np.random.default_rng(21)
+    n, m = 2000, 40
+    lv = rng.uniform(0, 1000, size=n)
+    t_left = pa.table({"lid": pa.array(np.arange(n, dtype=np.int64)), "x": pa.array(lv)})
+    lo = rng.uniform(-50, 980, size=m)
+    span = rng.uniform(0, 60, size=m)
+    hi = lo + span
+    hi[0] = 2000.0  # one interval spanning past the axis end
+    lo[1] = -100.0  # one starting before the axis
+    t_right = pa.table({
+        "rid": pa.array(np.arange(m, dtype=np.int64)),
+        "lo": pa.array(lo), "hi": pa.array(hi),
+    })
+    out_schema = pa.schema([
+        ("lid", pa.int64()), ("x", pa.float64()),
+        ("rid", pa.int64()), ("lo", pa.float64()), ("hi", pa.float64()),
+    ])
+    got = range_join_chunked(
+        rd.from_arrow(t_left).repartition(6), rd.from_arrow(t_right).repartition(3),
+        on_left="x", lo_right="lo", hi_right="hi", num_chunks=8,
+        output_schema=out_schema,
+    ).to_pandas()
+    expect = {
+        (int(i), int(j))
+        for i in range(n) for j in range(m)
+        if lo[j] <= lv[i] <= hi[j]
+    }
+    assert set(zip(got["lid"], got["rid"])) == expect
+    assert len(got) == len(expect)  # no duplicate pairs across chunks
+
+
+def test_range_join_chunked_null_and_empty(ray_session):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.joins import range_join_chunked
+
+    t_left = pa.table({"lid": pa.array([1, 2, 3], type=pa.int64()),
+                       "x": pa.array([1.0, None, 3.0], type=pa.float64())})
+    t_right = pa.table({"rid": pa.array([10, 11], type=pa.int64()),
+                        "lo": pa.array([0.5, None], type=pa.float64()),
+                        "hi": pa.array([5.0, 4.0], type=pa.float64())})
+    out_schema = pa.schema([("lid", pa.int64()), ("rid", pa.int64())])
+    full = pa.schema([("lid", pa.int64()), ("x", pa.float64()),
+                      ("rid", pa.int64()), ("lo", pa.float64()), ("hi", pa.float64())])
+    got = range_join_chunked(
+        rd.from_arrow(t_left), rd.from_arrow(t_right),
+        on_left="x", lo_right="lo", hi_right="hi", num_chunks=4,
+        output_schema=full,
+    ).to_pandas()
+    # null key rows and null-bound intervals never match
+    assert set(zip(got["lid"], got["rid"])) == {(1, 10), (3, 10)}
+
+    empty_left = pa.table({"lid": pa.array([], type=pa.int64()),
+                           "x": pa.array([], type=pa.float64())})
+    got2 = range_join_chunked(
+        rd.from_arrow(empty_left), rd.from_arrow(t_right),
+        on_left="x", lo_right="lo", hi_right="hi", num_chunks=4,
+        output_schema=full,
+    ).to_pandas()
+    assert len(got2) == 0
