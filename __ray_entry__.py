@@ -656,6 +656,72 @@ def q_ngram_jaccard_dedup_docs(sf_dir: str):
     return ngram_jaccard_dedup(_docs(sf_dir), threshold=0.8)
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed k-means over the embedding column (k=8, 8 rounds):
+    per-round broadcast centroids + per-batch int64 fixed-point partial
+    sums (k rows/batch), two-level reduce, driver updates k tiny
+    vectors.  Exact-integer arithmetic makes the result bit-identical
+    under any batching — the oracle is a fixture from the plain-numpy
+    single-process reference (tools/reference_impls.py)."""
+    from logstash_filter_elastic_integration_ray.stages.clustering import kmeans_assign, kmeans_fit
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent = kmeans_fit(ds, k=8, n_iters=8)
+    return kmeans_assign(ds, cent)
+
+
+def _mod_filter(ds, col: str, mod: int, rem: int, keep_equal: bool):
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(col).to_numpy()
+        mask = (ids % mod == rem) if keep_equal else (ids % mod != rem)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_decontaminate_docs(sf_dir: str):
+    """Train/test decontamination: docs with doc_id % 97 == 0 stand in
+    for the held-out benchmark set; their distinct 4-gram hashes are
+    broadcast once and every training doc is flagged in one streaming
+    pass (stages/decontam.py — no shuffle, no join)."""
+    from logstash_filter_elastic_integration_ray.stages.decontam import (
+        contamination_grams,
+        decontaminate,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    test = _mod_filter(docs, "doc_id", 97, 0, True)
+    train = _mod_filter(docs, "doc_id", 97, 0, False)
+    grams_ref = contamination_grams(test, w=4)
+    return decontaminate(train, grams_ref, w=4)
+
+
+def q_repetition_docs(sf_dir: str):
+    """Gopher-style repetition quality signals per doc (duplicate-word
+    fraction, top-bigram count/fraction) — one vectorized batch kernel
+    (stages/textstats.py:repetition_batch)."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import repetition_batch
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+def q_tfidf_top_docs(sf_dir: str):
+    """Top-3 distinctive tokens per doc by tf/df (log-free idf — see
+    stages/textstats.py:tfidf_topk_batch for why ln is avoided): df via
+    co-partitioned pandas count, broadcast once; tf + top-k batch-local."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import (
+        tfidf_topk_batch,
+        token_df_map,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df_ref = token_df_map(docs)
+    return docs.map_batches(
+        lambda b: tfidf_topk_batch(b, df_ref, k=3), batch_format="pyarrow"
+    )
+
+
 def q_multimodal_meta(sf_dir: str):
     from logstash_filter_elastic_integration_ray.stages.multimodal import decode_stage
 
@@ -1082,6 +1148,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_docs": q_embedding_dup_docs,
         "embedding_dedup_docs": q_embedding_dedup_docs,
         "ngram_jaccard_dedup_docs": q_ngram_jaccard_dedup_docs,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "decontaminate_docs": q_decontaminate_docs,
+        "repetition_docs": q_repetition_docs,
+        "tfidf_top_docs": q_tfidf_top_docs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "q1_pricing": q_q1_pricing,
@@ -1259,6 +1329,45 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard_dedup_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/ngram_jaccard_dedup_docs.sf0_01.parquet')"
+        ),
+        "kmeans_embeddings": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/kmeans_embeddings.sf0_01.parquet')"
+        ),
+        "decontaminate_docs": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "test_grams AS ("
+            "  SELECT DISTINCT array_to_string(list_slice(toks, i, i+3), ' ') AS g "
+            "  FROM t, LATERAL unnest(generate_series(1, len(toks)-3)) AS u(i) "
+            "  WHERE doc_id % 97 = 0), "
+            "hits AS ("
+            "  SELECT DISTINCT doc_id FROM t, LATERAL unnest(generate_series(1, len(toks)-3)) AS u(i) "
+            "  WHERE doc_id % 97 != 0 AND array_to_string(list_slice(toks, i, i+3), ' ') IN (SELECT g FROM test_grams)) "
+            "SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM hits) AS contaminated "
+            "FROM documents d WHERE d.doc_id % 97 != 0"
+        ),
+        "repetition_docs": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "base AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct FROM t), "
+            "bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g FROM t, "
+            "  LATERAL unnest(generate_series(1, len(toks)-1)) AS u(i)), "
+            "bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2), "
+            "top AS (SELECT doc_id, max(c) AS top_bigram_n FROM bgc GROUP BY 1) "
+            "SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(b.n_distinct AS BIGINT) AS n_distinct, "
+            "CAST(b.n_tokens - b.n_distinct AS DOUBLE)/b.n_tokens AS dup_word_frac, "
+            "CAST(COALESCE(tp.top_bigram_n, 0) AS BIGINT) AS top_bigram_n, "
+            "CAST(2*COALESCE(tp.top_bigram_n, 0) AS DOUBLE)/b.n_tokens AS top_bigram_frac "
+            "FROM base b LEFT JOIN top tp USING (doc_id)"
+        ),
+        "tfidf_top_docs": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), "
+            "dfx AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1), "
+            "r AS (SELECT tf.doc_id, tf.token, tf.tf, dfx.df, "
+            "ROW_NUMBER() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY CAST(tf.tf AS DOUBLE)/dfx.df DESC, tf.token ASC) AS rank "
+            "FROM tf JOIN dfx USING (token)) "
+            "SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df FROM r WHERE rank <= 3"
         ),
         "exact_dedup_docs": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"

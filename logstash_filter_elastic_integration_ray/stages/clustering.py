@@ -1,0 +1,193 @@
+"""Distributed k-means clustering over an embedding column.
+
+The canonical iterative Ray Data algorithm: each round broadcasts the
+current centroids (``ray.put`` once, read zero-copy in every task),
+``map_batches`` computes per-batch partial sums (k rows per batch — the
+ONLY data that moves), a two-level reduce merges them, and the driver
+updates k tiny centroid vectors.  Nothing proportional to the dataset
+ever reaches the driver or the shuffle layer, so the round cost at
+100 TB is one streaming pass + a k×dim broadcast.
+
+Determinism contract (shared with the batch-split-invariance tests and
+the driver oracle fixture): embeddings are quantized to fixed-point
+int64 (``round(x * 2**20)``) at the kernel boundary, so
+
+- partial sums are exact int64 arithmetic → associative → the result
+  is bit-identical under ANY batching/partitioning,
+- centroid updates are integer floor-division → identical on the
+  engine and the plain-Python reference (tools/reference_impls.py),
+- distance comparisons are exact integer comparisons (``|x-c|²`` fits
+  int64 for |x| < ~2^21 per coordinate), with ``argmin`` first-index
+  tie-breaking.
+
+Overflow headroom: per-coordinate |x·Q| ≲ 2^23 for unit-scale
+embeddings; squared distance summed over 4096 dims stays < 2^63.
+Partial sums: a single int64 accumulator absorbs ~2^39 rows per
+coordinate before overflow; the two-level reduce keeps every
+accumulator well under that.
+
+Reference parity note: the reference plugin has no clustering stage —
+this is one of the engine-native large-scale training-data operators
+(SURVEY §2.9) alongside dedup/similarity/textstats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .similarity import _to_matrix
+
+#: fixed-point scale — 20 fractional bits
+_Q = 1 << 20
+
+
+def quantize(m: np.ndarray) -> np.ndarray:
+    """float matrix → fixed-point int64 (round half away from zero,
+    matching ``np.rint`` semantics used on both engine and oracle)."""
+    return np.rint(np.asarray(m, dtype=np.float64) * _Q).astype(np.int64)
+
+
+def assign_clusters(x_int: np.ndarray, cent_int: np.ndarray) -> np.ndarray:
+    """Exact-integer nearest-centroid assignment, first-min tie-break.
+
+    ``x_int`` (n, d) int64, ``cent_int`` (k, d) int64 → (n,) int64.
+    Computed in row-chunks so the (chunk, k, d) broadcast stays small.
+    """
+    n = x_int.shape[0]
+    k = cent_int.shape[0]
+    out = np.empty(n, dtype=np.int64)
+    chunk = max(1, (1 << 22) // max(1, k * x_int.shape[1]))  # ~32 MB int64
+    for s in range(0, n, chunk):
+        xs = x_int[s : s + chunk]
+        diff = xs[:, None, :] - cent_int[None, :, :]
+        d2 = np.einsum("nkd,nkd->nk", diff, diff)
+        out[s : s + chunk] = np.argmin(d2, axis=1)
+    return out
+
+
+def partial_sums(x_int: np.ndarray, assign: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-cluster (sums (k,d) int64, counts (k,) int64) for one batch."""
+    d = x_int.shape[1]
+    sums = np.zeros((k, d), dtype=np.int64)
+    counts = np.zeros(k, dtype=np.int64)
+    for j in range(k):  # k is tiny; each pass is one vectorized reduction
+        mask = assign == j
+        c = int(mask.sum())
+        if c:
+            sums[j] = x_int[mask].sum(axis=0)
+            counts[j] = c
+    return sums, counts
+
+
+def _partials_table(sums: np.ndarray, counts: np.ndarray) -> pa.Table:
+    k, d = sums.shape
+    return pa.table(
+        {
+            "cluster": pa.array(np.arange(k, dtype=np.int64)),
+            "count": pa.array(counts),
+            "sums": pa.FixedSizeListArray.from_arrays(pa.array(sums.reshape(-1)), d),
+        }
+    )
+
+
+def _merge_partials_table(t: pa.Table, k: int, d: int) -> tuple[np.ndarray, np.ndarray]:
+    clusters = t.column("cluster").to_numpy()
+    counts = t.column("count").to_numpy()
+    flat = t.column("sums").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    sums_rows = flat.reshape(len(clusters), d)
+    sums = np.zeros((k, d), dtype=np.int64)
+    cnt = np.zeros(k, dtype=np.int64)
+    np.add.at(cnt, clusters, counts)  # ≤ k×n_batches rows — tiny
+    for j in range(k):
+        m = clusters == j
+        if m.any():
+            sums[j] = sums_rows[m].sum(axis=0)
+    return sums, cnt
+
+
+def update_centroids(cent_int: np.ndarray, sums: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Integer floor-division update; empty clusters keep their centroid."""
+    new = cent_int.copy()
+    nz = counts > 0
+    new[nz] = np.floor_divide(sums[nz], counts[nz][:, None])
+    return new
+
+
+def kmeans_fit(
+    ds,
+    *,
+    k: int = 8,
+    n_iters: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Fit k centroids over a Dataset's embedding column.
+
+    Init: the embeddings of the ``k`` smallest ids (deterministic, one
+    pruned pass).  Returns the fixed-point int64 centroid matrix.
+    """
+    init_rows = (
+        ds.filter(expr=f"{id_col} < {k}")
+        .select_columns([id_col, emb_col])
+        .take_all()
+    )
+    init_rows.sort(key=lambda r: r[id_col])
+    if len(init_rows) < k:
+        raise ValueError(f"need ids 0..{k - 1} for deterministic init, got {len(init_rows)}")
+    cent_int = quantize(np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in init_rows]))
+    d = cent_int.shape[1]
+
+    for _ in range(n_iters):
+        cent_ref = ray.put(cent_int)
+
+        def batch_partials(batch: pa.Table) -> pa.Table:
+            cent = ray.get(cent_ref)  # zero-copy plasma read, cached per node
+            x_int = quantize(_to_matrix(batch.column(emb_col)))
+            a = assign_clusters(x_int, cent)
+            s, c = partial_sums(x_int, a, cent.shape[0])
+            return _partials_table(s, c)
+
+        # two-level reduce: per-batch k rows → per-partition merge →
+        # driver sees ≤ 8×k rows regardless of dataset size
+        partials = ds.map_batches(batch_partials, batch_format="pyarrow")
+
+        def merge_block(t: pa.Table) -> pa.Table:
+            s, c = _merge_partials_table(t, k, d)
+            return _partials_table(s, c)
+
+        merged = partials.repartition(8).map_batches(
+            merge_block, batch_format="pyarrow", batch_size=None
+        )
+        final = pa.Table.from_pylist(merged.take_all())
+        sums, counts = _merge_partials_table(final, k, d)
+        cent_int = update_centroids(cent_int, sums, counts)
+    return cent_int
+
+
+def kmeans_assign(ds, cent_int: np.ndarray, *, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Final assignment pass: (id, cluster) per row."""
+    cent_ref = ray.put(cent_int)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        x_int = quantize(_to_matrix(batch.column(emb_col)))
+        a = assign_clusters(x_int, cent)
+        return pa.table({id_col: batch.column(id_col), "cluster": pa.array(a)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def kmeans_reference(m: np.ndarray, *, k: int = 8, n_iters: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Single-process plain-numpy reference (used by the oracle fixture
+    generator and the pytest cross-check): identical fixed-point
+    arithmetic, no Ray.  ``m`` rows must be ordered by id.  Returns
+    (assignments, centroids_int)."""
+    x_int = quantize(m)
+    cent = x_int[:k].copy()
+    for _ in range(n_iters):
+        a = assign_clusters(x_int, cent)
+        s, c = partial_sums(x_int, a, k)
+        cent = update_centroids(cent, s, c)
+    return assign_clusters(x_int, cent), cent

@@ -11,7 +11,16 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+# module-level (NOT function-level): used inside map_batches / map_groups
+# UDFs that execute on workers, where the package is pickled by value and
+# function-level relative imports raise ModuleNotFoundError
+from .aggregate import add_partition_col
+from .decontam import flat_token_hashes, gram_hashes
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
@@ -102,5 +111,156 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             "doc_id": batch.column("doc_id"),
             "content_hash": pa.array(md5s, type=pa.string()),
             "rolling_hash": pa.array(rolls, type=pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition / Gopher-style quality signals
+# ---------------------------------------------------------------------------
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals, fully vectorized: token count,
+    distinct-token count, duplicate-word fraction, and the count/token-
+    fraction of the most frequent bigram.
+
+    One ``split_pattern`` + one ``hash_array`` per batch; distinct and
+    top-bigram counts come from lexsort + run-length ``reduceat`` over
+    the flat token-hash array (no per-doc Python loop).  Distinctness
+    is tested on 64-bit token hashes (collision odds ~n²/2⁶⁴).
+    ``top_bigram_frac = 2·top/n`` can exceed 1.0 for overlapping
+    repeats (e.g. "a a a"); it is a monotone repetition signal, not a
+    coverage measure — the SQL oracle computes the identical formula.
+    """
+    fh, counts = flat_token_hashes(batch.column("text"))
+    n_docs = len(counts)
+    n_flat = len(fh)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+
+    # distinct tokens per doc: sort (doc, hash), count group changes
+    order = np.lexsort((fh, doc_idx))
+    sd, sh = doc_idx[order], fh[order]
+    new = np.ones(n_flat, dtype=bool)
+    if n_flat > 1:
+        new[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
+    starts = np.zeros(n_docs, dtype=np.int64)
+    if n_docs:
+        starts[1:] = np.cumsum(counts)[:-1]
+    n_distinct = (
+        np.add.reduceat(new.astype(np.int64), starts) if n_flat else np.zeros(n_docs, dtype=np.int64)
+    )
+
+    # most frequent bigram per doc: run lengths over sorted (doc, gram)
+    gh, gdoc = gram_hashes(fh, counts, 2)
+    top = np.zeros(n_docs, dtype=np.int64)
+    if len(gh):
+        o2 = np.lexsort((gh, gdoc))
+        gh_s, gd_s = gh[o2], gdoc[o2]
+        rb = np.ones(len(gh_s), dtype=bool)
+        rb[1:] = (gd_s[1:] != gd_s[:-1]) | (gh_s[1:] != gh_s[:-1])
+        run_idx = np.flatnonzero(rb)
+        run_len = np.diff(np.append(run_idx, len(gh_s)))
+        run_doc = gd_s[run_idx]
+        db = np.ones(len(run_doc), dtype=bool)
+        db[1:] = run_doc[1:] != run_doc[:-1]
+        doc_starts_r = np.flatnonzero(db)
+        top[run_doc[doc_starts_r]] = np.maximum.reduceat(run_len, doc_starts_r)
+
+    n_tokens = counts  # always >= 1: '' splits to ['']
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens),
+            "n_distinct": pa.array(n_distinct),
+            "dup_word_frac": pa.array((n_tokens - n_distinct) / n_tokens),
+            "top_bigram_n": pa.array(top),
+            "top_bigram_frac": pa.array(2 * top / n_tokens),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+def token_df_map(ds, *, num_partitions: int = 32, text_col: str = "text"):
+    """Document frequency per token, returned as an ``ObjectRef`` to a
+    ``pd.Series`` (token → df) for broadcast.
+
+    Two-phase: per-batch distinct (doc, token) pairs (each doc lives in
+    exactly one row, so the pairs are globally distinct already), then
+    a co-partitioned pandas count per token — never a per-group Ray
+    aggregate.  The driver-side collect assumes vocabulary ≪ corpus
+    (the standard TF-IDF regime); for an unbounded vocabulary, skip the
+    collect and co-partition the tf rows by token instead (same
+    kernels, join shape)."""
+
+    def doc_tokens(t: pa.Table) -> pa.Table:
+        col = t.column(text_col).combine_chunks() if isinstance(t.column(text_col), pa.ChunkedArray) else t.column(text_col)
+        toks = pc.split_pattern(pc.fill_null(col, ""), " ")
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+        doc_rep = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        df = pd.DataFrame({"d": doc_rep, "token": flat})
+        uniq = df.drop_duplicates()
+        return pa.table({"token": pa.array(uniq["token"].to_numpy(), type=pa.string())})
+
+    def count_partition(df: pd.DataFrame) -> pa.Table:
+        vc = df["token"].value_counts(sort=False)
+        return pa.table(
+            {"token": pa.array(vc.index.to_numpy(), type=pa.string()),
+             "df": pa.array(vc.to_numpy().astype(np.int64))}
+        )
+
+    pairs = ds.map_batches(doc_tokens, batch_format="pyarrow")
+    counted = (
+        pairs.map_batches(lambda b: add_partition_col(b, num_partitions, key="token"), batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(count_partition, batch_format="pandas")
+    )
+    rows = counted.take_all()
+    ser = pd.Series(
+        np.fromiter((r["df"] for r in rows), dtype=np.int64, count=len(rows)),
+        index=pd.Index([r["token"] for r in rows], dtype=object),
+    )
+    return ray.put(ser)
+
+
+def tfidf_topk_batch(batch: pa.Table, df_ref, k: int = 3,
+                     text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-doc top-k tokens by ``tf/df`` (a log-free idf weighting: the
+    score of two (tf, df) pairs with equal real ratio is the identical
+    IEEE double on every engine, so ranking is cross-engine
+    deterministic — ``tf·ln(N/df)`` is not, because ``ln`` is not
+    correctly rounded and mathematically equal scores like
+    ``2·ln4 = 4·ln2`` can order differently per libm).  Ties break by
+    token ascending.  Docs are whole rows, so top-k is batch-local —
+    the only global state is the broadcast df map."""
+    dfmap: pd.Series = ray.get(df_ref)
+    col = batch.column(text_col).combine_chunks() if isinstance(batch.column(text_col), pa.ChunkedArray) else batch.column(text_col)
+    toks = pc.split_pattern(pc.fill_null(col, ""), " ")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+    ids = batch.column(id_col).to_numpy()
+    doc_rep = np.repeat(ids, counts)
+    tf = (
+        pd.DataFrame({"doc_id": doc_rep, "token": flat})
+        .groupby(["doc_id", "token"], sort=False)
+        .size()
+        .reset_index(name="tf")
+    )
+    tf["df"] = tf["token"].map(dfmap).astype(np.int64)
+    tf["score"] = tf["tf"].to_numpy(dtype=np.float64) / tf["df"].to_numpy(dtype=np.float64)
+    tf = tf.sort_values(["doc_id", "score", "token"], ascending=[True, False, True], kind="mergesort")
+    tf["rank"] = tf.groupby("doc_id", sort=False).cumcount() + 1
+    out = tf[tf["rank"] <= k]
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+            "rank": pa.array(out["rank"].to_numpy(), type=pa.int64()),
+            "token": pa.array(out["token"].to_numpy(), type=pa.string()),
+            "tf": pa.array(out["tf"].to_numpy(), type=pa.int64()),
+            "df": pa.array(out["df"].to_numpy(), type=pa.int64()),
         }
     )

@@ -1,0 +1,177 @@
+"""Tests for the round-3 corpus operators: distributed k-means,
+train/test decontamination, repetition quality signals, TF-IDF top
+terms.  Each is cross-checked against an independent plain-Python
+implementation over sf0.001, and k-means additionally against the
+batch-split-invariance contract (fixed-point arithmetic must make the
+result identical under any batching)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from logstash_filter_elastic_integration_ray.sources.io import read_parquet_clean
+from logstash_filter_elastic_integration_ray.stages.clustering import (
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_reference,
+)
+from logstash_filter_elastic_integration_ray.stages.decontam import (
+    contamination_grams,
+    decontaminate,
+    decontaminate_reference,
+)
+from logstash_filter_elastic_integration_ray.stages.textstats import (
+    repetition_batch,
+    tfidf_topk_batch,
+    token_df_map,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _load_embeddings():
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[order]
+    return ids[order], m
+
+
+def _load_docs():
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64),
+        t.column("text").to_pylist(),
+    )
+
+
+class TestKMeans:
+    def test_matches_reference(self, ray_session):
+        ids, m = _load_embeddings()
+        ref_assign, ref_cent = kmeans_reference(m, k=8, n_iters=8)
+
+        ds = read_parquet_clean(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        cent = kmeans_fit(ds, k=8, n_iters=8)
+        assert np.array_equal(cent, ref_cent), "centroids diverge from single-process reference"
+        out = kmeans_assign(ds, cent).take_all()
+        got = {r["vec_id"]: r["cluster"] for r in out}
+        assert len(got) == len(ids)
+        for i, a in zip(ids, ref_assign):
+            assert got[int(i)] == int(a)
+
+    def test_batch_split_invariance(self, ray_session):
+        """Fixed-point partial sums are exact int64 → the fitted
+        centroids must be bit-identical under different partitionings."""
+        ds1 = read_parquet_clean(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        c1 = kmeans_fit(ds1, k=4, n_iters=3)
+        ds2 = ds1.repartition(7)
+        c2 = kmeans_fit(ds2, k=4, n_iters=3)
+        assert np.array_equal(c1, c2)
+
+    def test_clusters_are_nonempty_and_cover(self, ray_session):
+        ids, m = _load_embeddings()
+        a, _ = kmeans_reference(m, k=8, n_iters=8)
+        # the synthetic embeddings carry labeled structure; expect >1 cluster
+        assert len(np.unique(a)) > 1
+        assert a.min() >= 0 and a.max() < 8
+
+
+class TestDecontaminate:
+    def test_matches_string_level_reference(self, ray_session):
+        ids, texts = _load_docs()
+        test_mask = ids % 97 == 0
+        test_texts = [t for t, m in zip(texts, test_mask) if m]
+        train_texts = [t for t, m in zip(texts, test_mask) if not m]
+        train_ids = ids[~test_mask]
+        ref = decontaminate_reference(train_texts, test_texts, w=4)
+        assert ref.any(), "fixture scale should produce at least one contaminated doc"
+
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+        def split(keep_test):
+            def fn(t: pa.Table) -> pa.Table:
+                i = t.column("doc_id").to_numpy()
+                m = (i % 97 == 0) if keep_test else (i % 97 != 0)
+                return t.filter(pa.array(m))
+
+            return docs.map_batches(fn, batch_format="pyarrow")
+
+        grams_ref = contamination_grams(split(True), w=4)
+        out = decontaminate(split(False), grams_ref, w=4).take_all()
+        got = {r["doc_id"]: r["contaminated"] for r in out}
+        assert len(got) == len(train_ids)
+        for i, c in zip(train_ids, ref):
+            assert got[int(i)] == bool(c), f"doc {i}"
+
+    def test_empty_heldout_set(self, ray_session):
+        import ray
+
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        empty_ref = ray.put(np.empty(0, dtype=np.uint64))
+        out = decontaminate(docs, empty_ref, w=4).take_all()
+        assert all(not r["contaminated"] for r in out)
+
+
+class TestRepetition:
+    def test_matches_plain_python(self):
+        ids, texts = _load_docs()
+        t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+        out = repetition_batch(t)
+        df = out.to_pandas().set_index("doc_id")
+        from collections import Counter
+
+        for i, s in zip(ids, texts):
+            toks = (s or "").split(" ")
+            row = df.loc[i]
+            assert row["n_tokens"] == len(toks)
+            assert row["n_distinct"] == len(set(toks))
+            bg = Counter(zip(toks, toks[1:]))
+            top = max(bg.values()) if bg else 0
+            assert row["top_bigram_n"] == top
+            assert row["dup_word_frac"] == (len(toks) - len(set(toks))) / len(toks)
+            assert row["top_bigram_frac"] == 2 * top / len(toks)
+
+    def test_split_points_do_not_matter(self):
+        ids, texts = _load_docs()
+        t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+        whole = repetition_batch(t).to_pandas()
+        parts = pd.concat(
+            [repetition_batch(t.slice(0, 13)).to_pandas(), repetition_batch(t.slice(13)).to_pandas()],
+            ignore_index=True,
+        )
+        pd.testing.assert_frame_equal(
+            whole.sort_values("doc_id").reset_index(drop=True),
+            parts.sort_values("doc_id").reset_index(drop=True),
+        )
+
+
+class TestTfidf:
+    def test_matches_plain_python(self, ray_session):
+        ids, texts = _load_docs()
+        # independent reference: dict-of-Counter tf, set-based df
+        from collections import Counter
+
+        tf = {int(i): Counter((t or "").split(" ")) for i, t in zip(ids, texts)}
+        df_counts: Counter = Counter()
+        for c in tf.values():
+            df_counts.update(set(c))
+        expected = {}
+        for i, c in tf.items():
+            scored = sorted(
+                ((tf_v / df_counts[tok], tok, tf_v) for tok, tf_v in c.items()),
+                key=lambda x: (-x[0], x[1]),
+            )[:3]
+            expected[i] = [(rank + 1, tok, tv, df_counts[tok]) for rank, (_, tok, tv) in enumerate(scored)]
+
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        df_ref = token_df_map(docs)
+        out = docs.map_batches(
+            lambda b: tfidf_topk_batch(b, df_ref, k=3), batch_format="pyarrow"
+        ).take_all()
+        got: dict = {}
+        for r in out:
+            got.setdefault(r["doc_id"], []).append((r["rank"], r["token"], r["tf"], r["df"]))
+        for i in expected:
+            assert sorted(got[i]) == sorted(expected[i]), f"doc {i}"

@@ -50,6 +50,7 @@ def main() -> None:
         "embedding_dedup_docs": ref.embedding_dedup_reference(sf_dir),
         "embedding_topk_ivf": ref.ivf_topk_reference(sf_dir),
         "ngram_jaccard_dedup_docs": ref.ngram_jaccard_clusters_reference(ids, texts),
+        "kmeans_embeddings": ref.kmeans_reference_table(sf_dir),
     }
     for name, df in tables.items():
         df = _canonical(df)

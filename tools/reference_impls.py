@@ -518,3 +518,21 @@ def ivf_topk_reference(sf_dir: str, *, query_ids=(0, 1, 2), k: int = 5, nprobe: 
             "rank": np.arange(1, len(df) + 1, dtype=np.int64),
         }))
     return pd.concat(rows, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering (shares the pure fixed-point kernels — quantize /
+# assign / update are deterministic definitional functions; the part the
+# engine must independently reproduce is the distributed partial-sum
+# reduce, replaced here by one single-process whole-matrix pass)
+# ---------------------------------------------------------------------------
+
+def kmeans_reference_table(sf_dir: str, *, k: int = 8, n_iters: int = 8) -> pd.DataFrame:
+    from logstash_filter_elastic_integration_ray.stages.clustering import kmeans_reference
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[order]
+    assign, _ = kmeans_reference(m, k=k, n_iters=n_iters)
+    return pd.DataFrame({"vec_id": ids[order], "cluster": assign.astype(np.int64)})
