@@ -722,6 +722,42 @@ def q_tfidf_top_docs(sf_dir: str):
     )
 
 
+def q_dup_ngram_docs(sf_dir: str):
+    """Cross-doc duplicated 4-gram stats per doc (the Gopher/RefinedWeb
+    corpus-repetition signal).  Unlike decontamination the gram
+    vocabulary scales with the corpus, so neither side broadcasts: thin
+    (gram-hash, doc, cnt) rows co-partition by gram (exact dup test),
+    per-doc partials co-partition by doc (stages/corpus.py)."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import dup_ngram_stats
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dup_ngram_stats(docs, w=4)
+
+
+def q_pack_docs(sf_dir: str):
+    """GPT-style concat-and-cut sequence packing into 256-token context
+    windows: a distributed ordered prefix sum (range partitions →
+    per-batch totals → driver prefix of P numbers → one co-partitioned
+    scan) gives each doc its global token offset; a vectorized explode
+    emits one row per (doc, window) overlap (stages/corpus.py)."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import pack_docs
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_docs(docs, cap=256)
+
+
+def q_shuffle_shards_docs(sf_dir: str):
+    """Deterministic training-data shuffle-shard assignment: Lehmer
+    hash (MINSTD) permutation → shard = h mod 16, within-shard position
+    by (h, id) rank.  Reproducible across runs/engines/batch splits,
+    unlike random_shuffle; the one exchange co-partitions rows by
+    destination shard (stages/corpus.py)."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import shuffle_shards
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return shuffle_shards(docs, num_shards=16)
+
+
 def q_multimodal_meta(sf_dir: str):
     from logstash_filter_elastic_integration_ray.stages.multimodal import decode_stage
 
@@ -1152,6 +1188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": q_decontaminate_docs,
         "repetition_docs": q_repetition_docs,
         "tfidf_top_docs": q_tfidf_top_docs,
+        "dup_ngram_docs": q_dup_ngram_docs,
+        "pack_docs": q_pack_docs,
+        "shuffle_shards_docs": q_shuffle_shards_docs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "q1_pricing": q_q1_pricing,
@@ -1368,6 +1407,38 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY CAST(tf.tf AS DOUBLE)/dfx.df DESC, tf.token ASC) AS rank "
             "FROM tf JOIN dfx USING (token)) "
             "SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df FROM r WHERE rank <= 3"
+        ),
+        "dup_ngram_docs": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "g AS (SELECT doc_id, array_to_string(list_slice(toks, i, i+3), ' ') AS g "
+            "  FROM t, LATERAL unnest(generate_series(1, len(toks)-3)) AS u(i)), "
+            "cnts AS (SELECT g, doc_id, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2), "
+            "dupg AS (SELECT g FROM cnts GROUP BY g HAVING count(*) >= 2), "
+            "per AS (SELECT doc_id, sum(cnt) AS n_grams, "
+            "  sum(CASE WHEN g IN (SELECT g FROM dupg) THEN cnt ELSE 0 END) AS n_dup "
+            "  FROM cnts GROUP BY 1) "
+            "SELECT d.doc_id, CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams, "
+            "CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_grams, "
+            "CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0 "
+            "ELSE CAST(p.n_dup AS DOUBLE) / p.n_grams END AS dup_gram_frac "
+            "FROM documents d LEFT JOIN per p USING (doc_id)"
+        ),
+        "pack_docs": (
+            "WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents), "
+            "o AS (SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS off FROM t), "
+            "b AS (SELECT doc_id, n, off, "
+            "  unnest(generate_series(off // 256, (off + n - 1) // 256)) AS bin FROM o) "
+            "SELECT doc_id, CAST(bin AS BIGINT) AS bin, "
+            "CAST(greatest(0, bin*256 - off) AS BIGINT) AS tok_start, "
+            "CAST(least(n, (bin+1)*256 - off) AS BIGINT) AS tok_end, "
+            "CAST(least(n, (bin+1)*256 - off) - greatest(0, bin*256 - off) AS BIGINT) AS n_toks "
+            "FROM b"
+        ),
+        "shuffle_shards_docs": (
+            "WITH h AS (SELECT doc_id, (doc_id * 48271) % 2147483647 AS h FROM documents) "
+            "SELECT doc_id, CAST(h % 16 AS BIGINT) AS shard, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1 AS BIGINT) AS pos "
+            "FROM h"
         ),
         "exact_dedup_docs": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"

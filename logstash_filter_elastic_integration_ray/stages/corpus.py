@@ -1,0 +1,317 @@
+"""Corpus-level training-data operators that need genuinely new
+distributed shapes:
+
+- **cross-doc duplicated n-gram stats** (the Gopher/RefinedWeb
+  "fraction of a document covered by n-grams that also occur in other
+  documents" signal): a big-to-big exchange keyed on gram hash — the
+  gram vocabulary scales with the corpus, so unlike decontamination
+  (small held-out side, broadcast) neither side can be broadcast.
+  Shape: thin (gram, doc, cnt) rows → co-partition by gram (dup test
+  is exact per gram because all of a gram's rows co-locate) → per-doc
+  partials → co-partition by doc → sum.  Two exchanges, int64 rows
+  only; text never leaves the first pass.
+
+- **token-budget sequence packing** (GPT-style concat-and-cut): docs in
+  ``order_col`` order are laid on one global token axis and cut every
+  ``cap`` tokens; a doc emits one row per context window it overlaps.
+  Needs an exact global ordered prefix sum — implemented as the classic
+  two-phase scan: contiguous range partitions, per-partition totals
+  (per-batch partials, no shuffle), driver prefix over the tiny totals
+  vector, then one co-partitioned pass adds local cumsum + broadcast
+  base.  Partitioning assumption: ``order_col`` range-partitions evenly
+  (ids are dense-ish); skewed id spaces should pass explicit bounds.
+
+- **deterministic shuffle-shard export**: training-data shuffling must
+  be reproducible, so instead of ``random_shuffle`` the permutation is
+  a Lehmer hash ``(id * 48271) % (2^31 - 1)`` (MINSTD; exact in int64
+  for ids < 1.9e14, and SQL-expressible so the oracle is bit-exact).
+  Shard = h mod S; within-shard position = rank by (h, id).  The only
+  exchange co-partitions rows by their final shard — exactly the
+  all-to-all a shuffled export must pay, and nothing more.
+
+All kernels are vectorized (one Arrow split / one ``hash_array`` /
+numpy arithmetic per batch); reductions use the co-partition +
+vectorized-pandas shape (never per-group Ray aggregates — see
+stages/aggregate.py:add_partition_col).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .aggregate import add_partition_col
+from .decontam import flat_token_hashes, gram_hashes
+
+# ---------------------------------------------------------------------------
+# cross-doc duplicated n-gram fraction
+# ---------------------------------------------------------------------------
+
+
+def _gram_doc_counts(batch: pa.Table, w: int, text_col: str, id_col: str) -> pa.Table:
+    """Per-batch (gram-hash, doc_id, cnt) rows: cnt = positions of that
+    gram in that doc.  Docs with no grams (fewer than ``w`` tokens)
+    emit one (0, doc_id, 0) marker row so they survive to the output
+    with ``n_grams = 0`` (cnt = 0 rows are excluded from the per-gram
+    dup test, so a real gram hashing to 0 is still counted correctly).
+    """
+    fh, counts = flat_token_hashes(batch.column(text_col))
+    gh, doc_idx = gram_hashes(fh, counts, w)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(gh):
+        df = pd.DataFrame({"g": gh.view(np.int64), "d": ids[doc_idx]})
+        agg = df.groupby(["g", "d"], sort=False).size().reset_index(name="cnt")
+        g_out = agg["g"].to_numpy()
+        d_out = agg["d"].to_numpy()
+        c_out = agg["cnt"].to_numpy(dtype=np.int64)
+        seen = np.zeros(len(ids), dtype=bool)
+        seen[np.unique(doc_idx)] = True
+    else:
+        g_out = np.empty(0, dtype=np.int64)
+        d_out = np.empty(0, dtype=np.int64)
+        c_out = np.empty(0, dtype=np.int64)
+        seen = np.zeros(len(ids), dtype=bool)
+    if not seen.all():
+        empty_ids = ids[~seen]
+        g_out = np.concatenate([g_out, np.zeros(len(empty_ids), dtype=np.int64)])
+        d_out = np.concatenate([d_out, empty_ids])
+        c_out = np.concatenate([c_out, np.zeros(len(empty_ids), dtype=np.int64)])
+    return pa.table({"g": pa.array(g_out), "d": pa.array(d_out), "cnt": pa.array(c_out)})
+
+
+def _dup_partials(df: pd.DataFrame) -> pa.Table:
+    """One gram partition → per-doc (n_grams, n_dup) partials.  All of
+    a gram's (doc, cnt) rows are in this partition, so 'appears in ≥ 2
+    docs' is decided exactly here."""
+    real = df["cnt"].to_numpy() > 0
+    ndocs = df.loc[real].groupby("g")["d"].transform("size")
+    dup = np.zeros(len(df), dtype=bool)
+    dup[np.flatnonzero(real)] = ndocs.to_numpy() >= 2
+    cnt = df["cnt"].to_numpy(dtype=np.int64)
+    per = pd.DataFrame(
+        {"doc_id": df["d"].to_numpy(), "n_grams": cnt, "n_dup": np.where(dup, cnt, 0)}
+    ).groupby("doc_id", sort=False).sum().reset_index()
+    return pa.Table.from_pandas(per, preserve_index=False).replace_schema_metadata(None)
+
+
+def _dup_final(df: pd.DataFrame) -> pa.Table:
+    agg = df.groupby("doc_id", sort=False)[["n_grams", "n_dup"]].sum().reset_index()
+    n = agg["n_grams"].to_numpy(dtype=np.int64)
+    d = agg["n_dup"].to_numpy(dtype=np.int64)
+    frac = np.divide(d, n, out=np.zeros(len(n), dtype=np.float64), where=n > 0)
+    return pa.table(
+        {
+            "doc_id": pa.array(agg["doc_id"].to_numpy(dtype=np.int64)),
+            "n_grams": pa.array(n),
+            "n_dup_grams": pa.array(d),
+            "dup_gram_frac": pa.array(frac),
+        }
+    )
+
+
+def dup_ngram_stats(ds, *, w: int = 4, num_partitions: int = 32,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc count/fraction of gram *positions* whose w-gram occurs
+    in at least one other document.  Gram equality is tested on 64-bit
+    rolling hashes (collision odds ~n²/2⁶⁴ — the standard trade for
+    never shipping gram strings through the exchange); the tokenizer is
+    the exact twin of DuckDB ``string_split(text, ' ')``."""
+    pairs = ds.map_batches(
+        lambda b: _gram_doc_counts(b, w, text_col, id_col), batch_format="pyarrow"
+    )
+    partials = (
+        pairs.map_batches(lambda b: add_partition_col(b, num_partitions, key="g"),
+                          batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(_dup_partials, batch_format="pandas")
+    )
+    return (
+        partials.map_batches(lambda b: add_partition_col(b, num_partitions, key="doc_id"),
+                             batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(_dup_final, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed ordered prefix sum + token packing
+# ---------------------------------------------------------------------------
+
+
+def _range_part(batch: pa.Table, key: str, lo: int, hi: int, p: int) -> pa.Table:
+    ids = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+    span = max(hi - lo + 1, 1)
+    part = np.clip((ids - lo) * p // span, 0, p - 1)
+    return batch.append_column("__part", pa.array(part))
+
+
+def ordered_prefix_sum(ds, *, order_col: str, val_col: str,
+                       num_partitions: int = 32, bounds: tuple[int, int] | None = None):
+    """Exclusive prefix sum of ``val_col`` in ``order_col`` order,
+    returned as a Dataset with an added ``off`` column.
+
+    Two-phase scan: rows range-partition by ``order_col`` into
+    contiguous chunks; per-partition totals come from per-batch partial
+    sums (tiny, no shuffle); the driver prefixes the P-element totals
+    vector; then ONE co-partitioned exchange sorts each chunk locally,
+    cumsums, and adds the broadcast base.  Driver state is O(P), never
+    O(rows).  ``bounds`` (min, max of ``order_col``) skips the extra
+    pass when the caller knows the id range; dense-ish ids range-
+    partition evenly — a skewed id space should pass explicit bounds or
+    pre-bucket."""
+    if bounds is None:
+        stats = ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "lo": pa.array([int(pc.min(b.column(order_col)).as_py())], type=pa.int64()),
+                    "hi": pa.array([int(pc.max(b.column(order_col)).as_py())], type=pa.int64()),
+                }
+            ) if b.num_rows else pa.table({"lo": pa.array([], type=pa.int64()),
+                                           "hi": pa.array([], type=pa.int64())}),
+            batch_format="pyarrow",
+        ).take_all()
+        if not stats:
+            raise ValueError("ordered_prefix_sum: empty dataset")
+        lo = min(r["lo"] for r in stats)
+        hi = max(r["hi"] for r in stats)
+    else:
+        lo, hi = bounds
+
+    parted = ds.map_batches(
+        lambda b: _range_part(b, order_col, lo, hi, num_partitions), batch_format="pyarrow"
+    ).materialize()  # consumed twice: totals pass + scan pass
+
+    totals_rows = parted.map_batches(
+        lambda b: pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "__part": b.column("__part").to_numpy(),
+                    "s": b.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64),
+                }
+            ).groupby("__part", sort=False).sum().reset_index(),
+            preserve_index=False,
+        ).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    ).take_all()
+    totals = np.zeros(num_partitions, dtype=np.int64)
+    for r in totals_rows:
+        totals[r["__part"]] += r["s"]
+    bases = np.zeros(num_partitions, dtype=np.int64)
+    bases[1:] = np.cumsum(totals)[:-1]
+
+    def scan(df: pd.DataFrame) -> pa.Table:
+        part = int(df["__part"].iloc[0])
+        df = df.sort_values(order_col, kind="stable")
+        vals = df[val_col].to_numpy(dtype=np.int64)
+        off = np.zeros(len(vals), dtype=np.int64)
+        off[1:] = np.cumsum(vals)[:-1]
+        out = df.drop(columns="__part").assign(off=off + bases[part])
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return parted.groupby("__part").map_groups(scan, batch_format="pandas")
+
+
+def _explode_bins(batch: pa.Table, cap: int, id_col: str) -> pa.Table:
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    off = batch.column("off").to_numpy(zero_copy_only=False).astype(np.int64)
+    first = off // cap
+    last = (off + n - 1) // cap  # n >= 1 always: '' splits to ['']
+    reps = last - first + 1
+    doc_rep = np.repeat(np.arange(len(ids), dtype=np.int64), reps)
+    starts_r = np.repeat(first, reps)
+    within = np.arange(len(doc_rep), dtype=np.int64)
+    seg0 = np.zeros(len(ids), dtype=np.int64)
+    seg0[1:] = np.cumsum(reps)[:-1]
+    bins = starts_r + (within - np.repeat(seg0, reps))
+    off_r, n_r = off[doc_rep], n[doc_rep]
+    tok_start = np.maximum(0, bins * cap - off_r)
+    tok_end = np.minimum(n_r, (bins + 1) * cap - off_r)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[doc_rep]),
+            "bin": pa.array(bins),
+            "tok_start": pa.array(tok_start),
+            "tok_end": pa.array(tok_end),
+            "n_toks": pa.array(tok_end - tok_start),
+        }
+    )
+
+
+def pack_docs(ds, *, cap: int = 256, num_partitions: int = 32,
+              text_col: str = "text", id_col: str = "doc_id",
+              bounds: tuple[int, int] | None = None):
+    """Concat-and-cut sequence packing: docs in ``id_col`` order lie on
+    one global token axis cut every ``cap`` tokens; emits one row per
+    (doc, context-window) overlap with the doc-local token slice.
+    Token counts are single-space splits (DuckDB ``len(string_split)``
+    twin).  Only the (id, n) projection rides the scan — text is
+    dropped in the first pass."""
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        _, counts = flat_token_hashes(t.column(text_col))
+        return pa.table(
+            {id_col: t.column(id_col), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    sized = ds.map_batches(tok_counts, batch_format="pyarrow")
+    with_off = ordered_prefix_sum(
+        sized, order_col=id_col, val_col="n",
+        num_partitions=num_partitions, bounds=bounds,
+    )
+    return with_off.map_batches(lambda b: _explode_bins(b, cap, id_col), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic shuffle-shard export
+# ---------------------------------------------------------------------------
+
+#: MINSTD Lehmer constants — ``id * 48271`` stays exact in int64 for
+#: ids < 1.9e14, and the identical arithmetic runs in DuckDB BIGINT,
+#: which is what makes the oracle bit-exact (same convention as
+#: stages/sketches.py stratified sampling).
+_SHUF_MULT = 48271
+_SHUF_MOD = 2147483647  # 2^31 - 1 (prime) -> h is a permutation of ids mod p
+
+
+def shuffle_shards(ds, *, num_shards: int = 16, id_col: str = "doc_id"):
+    """Deterministic training-data shuffle: shard and within-shard
+    position from a Lehmer hash of the id — reproducible across runs,
+    engines and batch splits (``random_shuffle`` is not).  The single
+    exchange co-partitions rows by destination shard (the minimum any
+    shuffled export pays); each shard sorts locally by (h, id) and
+    ranks.  Returns (id, shard, pos); compose with the fan-out sink to
+    write one directory per shard."""
+
+    def hash_assign(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * _SHUF_MULT) % _SHUF_MOD
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "h": pa.array(h),
+                "__part": pa.array(h % num_shards),
+            }
+        )
+
+    def rank_shard(df: pd.DataFrame) -> pa.Table:
+        shard = int(df["__part"].iloc[0])
+        df = df.sort_values(["h", id_col], kind="stable")
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col].to_numpy(dtype=np.int64)),
+                "shard": pa.array(np.full(len(df), shard, dtype=np.int64)),
+                "pos": pa.array(np.arange(len(df), dtype=np.int64)),
+            }
+        )
+
+    assigned = ds.map_batches(hash_assign, batch_format="pyarrow")
+    return (
+        assigned.repartition(num_shards)
+        .groupby("__part")
+        .map_groups(rank_shard, batch_format="pandas")
+    )

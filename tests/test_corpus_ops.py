@@ -175,3 +175,158 @@ class TestTfidf:
             got.setdefault(r["doc_id"], []).append((r["rank"], r["token"], r["tf"], r["df"]))
         for i in expected:
             assert sorted(got[i]) == sorted(expected[i]), f"doc {i}"
+
+
+def _ray_docs(ids, texts):
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                  "text": pa.array(texts, type=pa.string())})
+    return rd.from_arrow(t).repartition(3)
+
+
+class TestDupNgram:
+    def test_matches_string_level_reference(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.corpus import dup_ngram_stats
+        from collections import Counter
+
+        ids, texts = _load_docs()
+        w = 4
+        # independent reference on gram STRINGS
+        doc_grams = []
+        for t in texts:
+            toks = (t or "").split(" ")
+            doc_grams.append([" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)])
+        in_docs: Counter = Counter()
+        for gs in doc_grams:
+            in_docs.update(set(gs))
+        out = dup_ngram_stats(
+            read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"]), w=w
+        ).take_all()
+        got = {r["doc_id"]: r for r in out}
+        assert len(got) == len(ids)
+        any_dup = False
+        for i, gs in zip(ids, doc_grams):
+            n_dup = sum(1 for g in gs if in_docs[g] >= 2)
+            r = got[int(i)]
+            assert r["n_grams"] == len(gs)
+            assert r["n_dup_grams"] == n_dup, f"doc {i}"
+            exp = n_dup / len(gs) if gs else 0.0
+            assert r["dup_gram_frac"] == exp
+            any_dup = any_dup or n_dup > 0
+        assert any_dup, "fixture scale should contain cross-doc duplicated grams"
+
+    def test_short_docs_and_within_doc_repeats(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.corpus import dup_ngram_stats
+
+        texts = [
+            "a b c d e f",          # shares 'a b c d' with doc 1
+            "a b c d x y",
+            "zz",                   # shorter than w -> 0 grams
+            "p q r s p q r s p q r s",  # within-doc repeats, no cross-doc dup
+        ]
+        out = {r["doc_id"]: r for r in dup_ngram_stats(_ray_docs(range(4), texts), w=4, num_partitions=4).take_all()}
+        assert out[0]["n_grams"] == 3 and out[0]["n_dup_grams"] == 1
+        assert out[1]["n_grams"] == 3 and out[1]["n_dup_grams"] == 1
+        assert out[2]["n_grams"] == 0 and out[2]["dup_gram_frac"] == 0.0
+        # 'p q r s' repeats within doc 3 only: positions count, but the
+        # gram is in ONE doc -> not cross-doc duplicated
+        assert out[3]["n_dup_grams"] == 0 and out[3]["n_grams"] == 9
+
+
+class TestPackDocs:
+    def test_matches_plain_cumsum(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.corpus import pack_docs
+
+        ids, texts = _load_docs()
+        order = np.argsort(ids)
+        cap = 64
+        expected = []
+        off = 0
+        for i in order:
+            n = len((texts[i] or "").split(" "))
+            for b in range(off // cap, (off + n - 1) // cap + 1):
+                s = max(0, b * cap - off)
+                e = min(n, (b + 1) * cap - off)
+                expected.append((int(ids[i]), b, s, e, e - s))
+            off += n
+        out = pack_docs(
+            read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"]), cap=cap
+        ).take_all()
+        got = sorted((r["doc_id"], r["bin"], r["tok_start"], r["tok_end"], r["n_toks"]) for r in out)
+        assert got == sorted(expected)
+        # every bin except the last is exactly full
+        per_bin: dict = {}
+        for _, b, _, _, nt in got:
+            per_bin[b] = per_bin.get(b, 0) + nt
+        last = max(per_bin)
+        assert all(v == cap for b, v in per_bin.items() if b != last)
+
+    def test_doc_spanning_many_bins(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.corpus import pack_docs
+
+        texts = ["x " * 9 + "x", " ".join(["y"] * 70), "z"]  # 10, 70, 1 tokens
+        out = sorted(
+            (r["doc_id"], r["bin"], r["tok_start"], r["tok_end"])
+            for r in pack_docs(_ray_docs([5, 6, 7], texts), cap=16, num_partitions=2).take_all()
+        )
+        # doc 5: [0,10) in bin 0; doc 6: offsets 10..80 -> bins 0..4
+        assert out == [
+            (5, 0, 0, 10),
+            (6, 0, 0, 6), (6, 1, 6, 22), (6, 2, 22, 38), (6, 3, 38, 54), (6, 4, 54, 70),
+            (7, 5, 0, 1),
+        ]
+
+    def test_prefix_sum_partitioning_invariance(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.corpus import ordered_prefix_sum
+        import ray.data as rd
+
+        rng = np.random.default_rng(7)
+        ids = rng.permutation(200).astype(np.int64)
+        vals = rng.integers(1, 50, size=200).astype(np.int64)
+        t = pa.table({"doc_id": pa.array(ids), "n": pa.array(vals)})
+        exp_off = {}
+        acc = 0
+        for i in np.sort(ids):
+            exp_off[int(i)] = acc
+            acc += int(vals[np.flatnonzero(ids == i)[0]])
+        for p in (1, 4, 13):
+            out = ordered_prefix_sum(
+                rd.from_arrow(t).repartition(5), order_col="doc_id", val_col="n", num_partitions=p
+            ).take_all()
+            got = {r["doc_id"]: r["off"] for r in out}
+            assert got == exp_off, f"num_partitions={p}"
+
+
+class TestShuffleShards:
+    def test_matches_plain_python(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.corpus import shuffle_shards
+
+        ids, _ = _load_docs()
+        h = (ids.astype(np.int64) * 48271) % 2147483647
+        shard = h % 16
+        expected = {}
+        for s in range(16):
+            members = np.flatnonzero(shard == s)
+            order = np.lexsort((ids[members], h[members]))
+            for pos, m in enumerate(members[order]):
+                expected[int(ids[m])] = (s, pos)
+        out = shuffle_shards(
+            read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id"]), num_shards=16
+        ).take_all()
+        got = {r["doc_id"]: (r["shard"], r["pos"]) for r in out}
+        assert got == expected
+
+    def test_deterministic_across_batching(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.corpus import shuffle_shards
+
+        ids = list(range(100))
+        a = sorted(map(tuple, (r.values() for r in shuffle_shards(_ray_docs(ids, [""] * 100).select_columns(["doc_id"]), num_shards=8).take_all())))
+        b = sorted(map(tuple, (r.values() for r in shuffle_shards(_ray_docs(ids, [""] * 100).select_columns(["doc_id"]).repartition(9), num_shards=8).take_all())))
+        assert a == b
+        # positions within a shard are a contiguous 0..k-1 range
+        per_shard: dict = {}
+        for _, s, p in a:
+            per_shard.setdefault(s, []).append(p)
+        for s, ps in per_shard.items():
+            assert sorted(ps) == list(range(len(ps)))
