@@ -758,6 +758,39 @@ def q_shuffle_shards_docs(sf_dir: str):
     return shuffle_shards(docs, num_shards=16)
 
 
+def q_dedup_spans_docs(sf_dir: str):
+    """Duplicated-span REMOVAL (rewrites text): strip every token
+    covered by a 4-gram occurring in ≥ 2 docs.  Dup test co-partitions
+    thin (gram, doc) pairs by gram; each doc's dup-gram set exchanges
+    back keyed by doc; text rides exactly one co-partition for the
+    rebuild (stages/corpus.py:remove_dup_spans)."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import remove_dup_spans
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return remove_dup_spans(docs, w=4)
+
+
+def q_quality_filter_docs(sf_dir: str):
+    """Composition: global-quantile quality filter — keep docs whose
+    stopword ratio is at or below the corpus 75th percentile.  The
+    threshold comes from the exact distributed quantile stage (3
+    streaming passes, tiny shuffles — stages/sketches.py), broadcast
+    into one final filter pass; both sides compute the identical
+    quantile_disc element so the cut is bit-exact."""
+    from logstash_filter_elastic_integration_ray.stages.sketches import exact_quantiles
+    from logstash_filter_elastic_integration_ray.stages.textstats import quality_batch
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    quality = docs.map_batches(quality_batch, batch_format="pyarrow")
+    thr = float(exact_quantiles(quality, "stop_ratio", [0.75])["value"].iloc[0])
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.less_equal(t.column("stop_ratio"), thr)
+        return t.filter(mask).select(["doc_id", "stop_ratio"])
+
+    return quality.map_batches(keep, batch_format="pyarrow")
+
+
 def q_multimodal_meta(sf_dir: str):
     from logstash_filter_elastic_integration_ray.stages.multimodal import decode_stage
 
@@ -1191,6 +1224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_docs": q_dup_ngram_docs,
         "pack_docs": q_pack_docs,
         "shuffle_shards_docs": q_shuffle_shards_docs,
+        "dedup_spans_docs": q_dedup_spans_docs,
+        "quality_filter_docs": q_quality_filter_docs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "q1_pricing": q_q1_pricing,
@@ -1439,6 +1474,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(h % 16 AS BIGINT) AS shard, "
             "CAST(ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1 AS BIGINT) AS pos "
             "FROM h"
+        ),
+        "dedup_spans_docs": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "g AS (SELECT doc_id, i, array_to_string(list_slice(toks, i, i+3), ' ') AS g "
+            "  FROM t, LATERAL unnest(generate_series(1, len(toks)-3)) AS u(i)), "
+            "dupg AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS c FROM g GROUP BY g) WHERE c >= 2), "
+            "cov AS (SELECT DISTINCT doc_id, p FROM ("
+            "  SELECT doc_id, unnest(generate_series(i, i+3)) AS p FROM g WHERE g IN (SELECT g FROM dupg))), "
+            "tok AS (SELECT doc_id, i, toks[i] AS tok FROM t, "
+            "  LATERAL unnest(generate_series(1, len(toks))) AS u(i)), "
+            "agg AS (SELECT tok.doc_id, string_agg(tok.tok, ' ' ORDER BY tok.i) AS cleaned_text, "
+            "  CAST(count(*) AS BIGINT) AS n_kept "
+            "  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.p "
+            "  WHERE cov.p IS NULL GROUP BY tok.doc_id) "
+            "SELECT d.doc_id, COALESCE(a.cleaned_text, '') AS cleaned_text, "
+            "CAST(len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "quality_filter_docs": (
+            "WITH q AS (SELECT doc_id, "
+            "CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','and','of','to','in','is'], w))) AS DOUBLE) "
+            "/ greatest(length(string_split(text, ' ')), 1) AS stop_ratio FROM documents), "
+            "thr AS (SELECT quantile_disc(stop_ratio, 0.75) AS v FROM q) "
+            "SELECT doc_id, stop_ratio FROM q, thr WHERE stop_ratio <= v"
         ),
         "exact_dedup_docs": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"

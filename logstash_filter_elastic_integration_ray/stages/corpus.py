@@ -315,3 +315,148 @@ def shuffle_shards(ds, *, num_shards: int = 16, id_col: str = "doc_id"):
         .groupby("__part")
         .map_groups(rank_shard, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span REMOVAL (rewrites text, not just stats)
+# ---------------------------------------------------------------------------
+
+
+def _doc_dup_grams(df: pd.DataFrame) -> pa.Table:
+    """One gram partition → (d, g) rows for every (doc, gram) whose
+    gram occurs in ≥ 2 docs (the exchange-back payload: which of MY
+    grams are corpus-duplicated)."""
+    ndocs = df.groupby("g")["d"].transform("size").to_numpy()
+    keep = ndocs >= 2
+    return pa.table(
+        {
+            "d": pa.array(df["d"].to_numpy()[keep].astype(np.int64)),
+            "g": pa.array(df["g"].to_numpy()[keep].astype(np.int64)),
+        }
+    )
+
+
+def _rebuild_partition(df: pd.DataFrame, w: int, id_col: str) -> pa.Table:
+    """One doc partition holding BOTH its docs (side=1: id, text) and
+    their dup-gram sets (side=0: id, g).  Re-derives gram positions
+    locally (grams were computed from these exact texts in pass 1, so
+    hashes agree), marks covered token ranges with a diff-array, and
+    rebuilds each doc's text from the surviving tokens."""
+    docs = df[df["side"] == 1]
+    dup = df[df["side"] == 0][["d", "g"]]
+    ids = docs["d"].to_numpy(dtype=np.int64)
+    texts = docs["text"].tolist()
+    col = pa.array([t if t is not None else "" for t in texts], type=pa.string())
+    fh, counts = flat_token_hashes(col)
+    gh, doc_idx = gram_hashes(fh, counts, w)
+
+    starts = np.zeros(len(ids), dtype=np.int64)
+    if len(ids):
+        starts[1:] = np.cumsum(counts)[:-1]
+    covered = np.zeros(len(fh) + 1, dtype=np.int64)
+    if len(gh) and len(dup):
+        # exact (doc, gram) membership via a vectorized int64 merge;
+        # global flat position of each valid gram start: valid grams are
+        # the in-doc windows in order, so reconstruct from per-doc counts
+        gram_per_doc = np.maximum(counts - w + 1, 0)
+        gseg = np.zeros(len(ids), dtype=np.int64)
+        gseg[1:] = np.cumsum(gram_per_doc)[:-1]
+        within = np.arange(len(gh), dtype=np.int64) - np.repeat(gseg, gram_per_doc)
+        flat_pos = np.repeat(starts, gram_per_doc) + within
+        probe = pd.DataFrame({"d": ids[doc_idx], "g": gh.view(np.int64), "i": flat_pos})
+        hit = probe.merge(dup.drop_duplicates(), on=["d", "g"], how="inner")
+        hs = hit["i"].to_numpy(dtype=np.int64)
+        np.add.at(covered, hs, 1)
+        np.add.at(covered, hs + w, -1)
+    cov_mask = np.cumsum(covered[:-1]) > 0
+
+    toks = pc.split_pattern(pc.fill_null(col, ""), " ")
+    flat_toks = np.asarray(toks.flatten().to_pylist(), dtype=object)
+    tok_doc = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+    keep = ~cov_mask
+    kept = pd.Series(flat_toks[keep]).groupby(tok_doc[keep]).agg(" ".join)
+    cleaned = kept.reindex(np.arange(len(ids))).fillna("").to_numpy(dtype=object)
+    n_removed = np.zeros(len(ids), dtype=np.int64)
+    if len(fh):
+        rem_counts = pd.Series(tok_doc[cov_mask]).value_counts()
+        n_removed[rem_counts.index.to_numpy()] = rem_counts.to_numpy()
+    return pa.table(
+        {
+            id_col: pa.array(ids),
+            "cleaned_text": pa.array(cleaned, type=pa.string()),
+            "n_removed": pa.array(n_removed),
+        }
+    )
+
+
+def remove_dup_spans(ds, *, w: int = 4, num_partitions: int = 32,
+                     text_col: str = "text", id_col: str = "doc_id"):
+    """CCNet/RefinedWeb-style cleaning: REMOVE every token covered by a
+    w-gram that occurs in at least one other document, emitting the
+    rewritten text.  Three passes:
+
+    1. thin distinct (gram, doc) pairs → co-partition by gram (exact
+       dup test, as :func:`dup_ngram_stats`);
+    2. dup (doc, gram) rows exchange BACK keyed by doc — the doc's own
+       dup-gram set, still int64-thin;
+    3. docs and their dup sets co-partition by doc (union with a side
+       flag — the only exchange text rides, exactly once); positions
+       re-derive locally and a diff-array marks covered ranges.
+
+    Within-doc-only repeats are kept (they are not corpus duplication).
+    Gram equality is 64-bit-hash-based as everywhere in this module."""
+
+    def gram_doc_pairs(t: pa.Table) -> pa.Table:
+        fh, counts = flat_token_hashes(t.column(text_col))
+        gh, doc_idx = gram_hashes(fh, counts, w)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(gh):
+            return pa.table({"g": pa.array([], type=pa.int64()),
+                             "d": pa.array([], type=pa.int64())})
+        df = pd.DataFrame({"g": gh.view(np.int64), "d": ids[doc_idx]}).drop_duplicates()
+        return pa.table({"g": pa.array(df["g"].to_numpy()),
+                         "d": pa.array(df["d"].to_numpy())})
+
+    pairs = ds.map_batches(gram_doc_pairs, batch_format="pyarrow")
+    doc_dup = (
+        pairs.map_batches(lambda b: add_partition_col(b, num_partitions, key="g"),
+                          batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(_doc_dup_grams, batch_format="pandas")
+    )
+
+    def doc_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "d": t.column(id_col).cast(pa.int64()),
+                "text": t.column(text_col),
+                # 0, NOT null: a nullable int64 turns float64 in pandas,
+                # which is lossy for 64-bit gram hashes (side flags the rows)
+                "g": pa.array(np.zeros(n, dtype=np.int64)),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    def gram_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "d": t.column("d").cast(pa.int64()),
+                "text": pa.nulls(n, type=pa.string()),
+                "g": t.column("g"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    unioned = ds.map_batches(doc_side, batch_format="pyarrow").union(
+        doc_dup.map_batches(gram_side, batch_format="pyarrow")
+    )
+    return (
+        unioned.map_batches(lambda b: add_partition_col(b, num_partitions, key="d"),
+                            batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(lambda df: _rebuild_partition(df, w, id_col), batch_format="pandas")
+    )

@@ -330,3 +330,50 @@ class TestShuffleShards:
             per_shard.setdefault(s, []).append(p)
         for s, ps in per_shard.items():
             assert sorted(ps) == list(range(len(ps)))
+
+
+class TestRemoveDupSpans:
+    def test_matches_string_level_reference(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.corpus import remove_dup_spans
+        from collections import Counter
+
+        ids, texts = _load_docs()
+        w = 4
+        in_docs: Counter = Counter()
+        doc_grams = []
+        for t in texts:
+            toks = (t or "").split(" ")
+            gs = [" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)]
+            doc_grams.append((toks, gs))
+            in_docs.update(set(gs))
+        expected = {}
+        for i, (toks, gs) in zip(ids, doc_grams):
+            cov = np.zeros(len(toks), dtype=bool)
+            for p, g in enumerate(gs):
+                if in_docs[g] >= 2:
+                    cov[p:p + w] = True
+            expected[int(i)] = (" ".join(np.asarray(toks, dtype=object)[~cov]), int(cov.sum()))
+        out = remove_dup_spans(
+            read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"]), w=w
+        ).take_all()
+        assert len(out) == len(ids)
+        assert any(r["n_removed"] > 0 for r in out), "fixture scale should remove something"
+        for r in out:
+            exp_text, exp_rm = expected[r["doc_id"]]
+            assert r["cleaned_text"] == exp_text, f"doc {r['doc_id']}"
+            assert r["n_removed"] == exp_rm
+
+    def test_edge_cases(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.corpus import remove_dup_spans
+
+        texts = [
+            "a b c d e",              # 'a b c d' + 'b c d e' both dup with doc 1
+            "x a b c d e y",          # middle span removed, ends kept
+            "p q r s p q r s",        # within-doc repeat only -> kept whole
+            "short",                  # < w tokens -> untouched
+        ]
+        out = {r["doc_id"]: r for r in remove_dup_spans(_ray_docs(range(4), texts), w=4, num_partitions=3).take_all()}
+        assert out[0]["cleaned_text"] == "" and out[0]["n_removed"] == 5
+        assert out[1]["cleaned_text"] == "x y" and out[1]["n_removed"] == 5
+        assert out[2]["cleaned_text"] == texts[2] and out[2]["n_removed"] == 0
+        assert out[3]["cleaned_text"] == "short" and out[3]["n_removed"] == 0
