@@ -256,6 +256,37 @@ def run_bench() -> dict:
 
     timed("embedding_dedup_dup_heavy_16x", embedding_dedup_dup_heavy, reps=1)
 
+    def dup_ngram_dup_heavy():
+        # adversarial case for the gram-keyed exchange: every doc ×16
+        # makes EVERY gram cross-doc duplicated, so the (gram, doc,
+        # cnt) exchange and the per-gram dup test run at full volume
+        from logstash_filter_elastic_integration_ray.stages.corpus import dup_ngram_stats
+
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        return dup_ngram_stats(heavy, w=4, num_partitions=NUM_CPUS * 2).count()
+
+    timed("dup_ngram_dup_heavy_16x", dup_ngram_dup_heavy, reps=1)
+
+    def dedup_spans():
+        # text rides exactly one co-partition; dup sets are int64-thin
+        from logstash_filter_elastic_integration_ray.stages.corpus import remove_dup_spans
+
+        docs = read_parquet_clean(f"{SF_DIR}/documents.parquet")
+        return remove_dup_spans(docs, w=4, num_partitions=NUM_CPUS).count()
+
+    timed("dedup_spans", dedup_spans, reps=1)
+
+    def pack_and_shard():
+        # prefix-sum scan + shard exchange over the documents table
+        from logstash_filter_elastic_integration_ray.stages.corpus import pack_docs, shuffle_shards
+
+        docs = read_parquet_clean(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        n = pack_docs(docs, cap=256, num_partitions=NUM_CPUS).count()
+        ids = read_parquet_clean(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+        return n + shuffle_shards(ids, num_shards=NUM_CPUS).count()
+
+    timed("pack_and_shard", pack_and_shard, reps=1)
+
     def ivf_probe_scaling():
         # probe cost must scale with nprobe/nlist, not dataset size:
         # time the SAME query at nprobe=2 vs full probe (nprobe=nlist)
