@@ -791,6 +791,36 @@ def q_quality_filter_docs(sf_dir: str):
     return quality.map_batches(keep, batch_format="pyarrow")
 
 
+#: mixture target: per-language share of the sampled corpus (sums to 1)
+_MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1}
+
+
+def q_mixture_docs(sf_dir: str):
+    """Data-mixture sampling: draw ~50% of the corpus targeting the
+    per-language shares above.  One tiny per-stratum count reduce →
+    deterministic Lehmer filter — no shuffle; undersized strata
+    contribute everything they have (stages/corpus.py:mixture_sample)."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import mixture_sample
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return mixture_sample(docs, weights=_MIXTURE_WEIGHTS, total_frac=0.5)
+
+
+def q_curriculum_docs(sf_dir: str):
+    """Curriculum binning: quartile bucket of each doc's stopword ratio
+    against GLOBAL exact quantile_disc thresholds (distributed quantile
+    stage, tiny shuffles) broadcast into one stateless pass
+    (stages/corpus.py:curriculum_bins)."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import curriculum_bins
+    from logstash_filter_elastic_integration_ray.stages.sketches import exact_quantiles
+    from logstash_filter_elastic_integration_ray.stages.textstats import quality_batch
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    quality = docs.map_batches(quality_batch, batch_format="pyarrow")
+    thr = exact_quantiles(quality, "stop_ratio", [0.25, 0.5, 0.75])["value"].to_numpy()
+    return curriculum_bins(quality, thr, score_col="stop_ratio")
+
+
 def q_multimodal_meta(sf_dir: str):
     from logstash_filter_elastic_integration_ray.stages.multimodal import decode_stage
 
@@ -1226,6 +1256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_shards_docs": q_shuffle_shards_docs,
         "dedup_spans_docs": q_dedup_spans_docs,
         "quality_filter_docs": q_quality_filter_docs,
+        "mixture_docs": q_mixture_docs,
+        "curriculum_docs": q_curriculum_docs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "q1_pricing": q_q1_pricing,
@@ -1498,6 +1530,26 @@ def oracle_sql() -> dict[str, str]:
             "/ greatest(length(string_split(text, ' ')), 1) AS stop_ratio FROM documents), "
             "thr AS (SELECT quantile_disc(stop_ratio, 0.75) AS v FROM q) "
             "SELECT doc_id, stop_ratio FROM q, thr WHERE stop_ratio <= v"
+        ),
+        "mixture_docs": (
+            "WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY 1), "
+            "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents), "
+            "r AS (SELECT lang, least(1.0, ((0.5 * n_tot) * "
+            "  CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.2 WHEN 'de' THEN 0.2 "
+            "  WHEN 'fr' THEN 0.1 WHEN 'es' THEN 0.1 ELSE 0.0 END) / n_s) AS rate "
+            "  FROM n, tot) "
+            "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
+            "WHERE (d.doc_id * 48271) % 65537 < floor(rate * 65537)"
+        ),
+        "curriculum_docs": (
+            "WITH q AS (SELECT doc_id, "
+            "CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','and','of','to','in','is'], w))) AS DOUBLE) "
+            "/ greatest(length(string_split(text, ' ')), 1) AS stop_ratio FROM documents), "
+            "t AS (SELECT quantile_disc(stop_ratio, 0.25) AS t25, "
+            "quantile_disc(stop_ratio, 0.5) AS t50, quantile_disc(stop_ratio, 0.75) AS t75 FROM q) "
+            "SELECT doc_id, stop_ratio, CAST(CASE WHEN stop_ratio > t75 THEN 3 "
+            "WHEN stop_ratio > t50 THEN 2 WHEN stop_ratio > t25 THEN 1 ELSE 0 END AS BIGINT) AS bin "
+            "FROM q, t"
         ),
         "exact_dedup_docs": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"

@@ -460,3 +460,69 @@ def remove_dup_spans(ds, *, w: int = 4, num_partitions: int = 32,
         .groupby("__part")
         .map_groups(lambda df: _rebuild_partition(df, w, id_col), batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# data-mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def mixture_sample(ds, *, weights: dict, total_frac: float,
+                   strata_col: str = "lang", id_col: str = "doc_id"):
+    """Deterministic data-mixture sampling: draw ~``total_frac`` of the
+    corpus with composition targeting ``weights`` (per-stratum shares
+    summing to 1).  Per-stratum keep rate = min(1, target_rows_s / n_s)
+    — a stratum too small to meet its share contributes all it has.
+
+    Shape: one tiny per-batch count reduce (S strata rows to the
+    driver), then the stateless Lehmer filter from
+    stages/sketches.py:sample_stratified — no shuffle at all; the
+    selection is reproducible across runs/engines/batch splits.  The
+    rate arithmetic is ordered ``((total_frac * N) * w) / n_s`` so the
+    SQL oracle computes the identical IEEE double."""
+    from .sketches import sample_stratified
+
+    def counts(t: pa.Table) -> pa.Table:
+        vc = pd.Series(t.column(strata_col).to_pylist(), dtype=object).value_counts(sort=False)
+        return pa.table({"s": pa.array(vc.index.to_numpy(), type=pa.string()),
+                         "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    rows = ds.map_batches(counts, batch_format="pyarrow").take_all()
+    n_s: dict = {}
+    for r in rows:
+        n_s[r["s"]] = n_s.get(r["s"], 0) + r["n"]
+    total = sum(n_s.values())
+    rates = {
+        s: min(1.0, ((total_frac * total) * float(weights.get(s, 0.0))) / n)
+        for s, n in n_s.items()
+    }
+    return sample_stratified(ds, rates, strata_col=strata_col, id_col=id_col,
+                             default_rate=0.0)
+
+
+# ---------------------------------------------------------------------------
+# curriculum binning by global score quantiles
+# ---------------------------------------------------------------------------
+
+
+def curriculum_bins(scored, thresholds: np.ndarray, *, score_col: str,
+                    id_col: str = "doc_id"):
+    """Assign each row the curriculum bucket of its score against the
+    broadcast global quantile ``thresholds`` (ascending):
+    ``bin = #{t : t < score}`` — the exact twin of the SQL CASE ladder
+    ``score > t_hi → k``.  One stateless streaming pass; thresholds
+    come from stages/sketches.py:exact_quantiles (tiny shuffles)."""
+    thr = np.asarray(thresholds, dtype=np.float64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        s = t.column(score_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        bins = np.searchsorted(thr, s, side="left").astype(np.int64)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                score_col: t.column(score_col),
+                "bin": pa.array(bins),
+            }
+        )
+
+    return scored.map_batches(assign, batch_format="pyarrow")

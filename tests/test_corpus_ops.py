@@ -377,3 +377,68 @@ class TestRemoveDupSpans:
         assert out[1]["cleaned_text"] == "x y" and out[1]["n_removed"] == 5
         assert out[2]["cleaned_text"] == texts[2] and out[2]["n_removed"] == 0
         assert out[3]["cleaned_text"] == "short" and out[3]["n_removed"] == 0
+
+
+class TestMixtureSample:
+    def test_composition_and_determinism(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.corpus import mixture_sample
+
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+        langs = pd.Series(t.column("lang").to_pylist())
+        n_s = langs.value_counts().to_dict()
+        total = len(langs)
+        weights = {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1}
+        # independent reference: per-row Lehmer filter
+        expected = set()
+        ids = t.column("doc_id").to_numpy()
+        for i, s in zip(ids, langs):
+            rate = min(1.0, ((0.5 * total) * weights.get(s, 0.0)) / n_s[s])
+            if (int(i) * 48271) % 65537 < int(np.floor(rate * 65537)):
+                expected.add(int(i))
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+        out = mixture_sample(docs, weights=weights, total_frac=0.5).take_all()
+        assert {r["doc_id"] for r in out} == expected
+        # rerun on a different partitioning -> identical selection
+        out2 = mixture_sample(docs.repartition(7), weights=weights, total_frac=0.5).take_all()
+        assert {r["doc_id"] for r in out2} == expected
+        # sampled composition approximates the target for large strata
+        got_langs = pd.Series([r["lang"] for r in out]).value_counts(normalize=True)
+        assert got_langs.get("en", 0) > got_langs.get("fr", 1)
+
+    def test_undersized_stratum_keeps_everything(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.corpus import mixture_sample
+
+        # 90 'a' docs, 10 'b' docs; ask for 50% with b weighted 0.9:
+        # target_b = 45 > 10 -> rate capped at 1.0, all b docs kept
+        import ray.data as rd
+
+        t = pa.table({
+            "doc_id": pa.array(np.arange(100, dtype=np.int64)),
+            "lang": pa.array(["a"] * 90 + ["b"] * 10),
+        })
+        out = mixture_sample(rd.from_arrow(t).repartition(4),
+                             weights={"a": 0.1, "b": 0.9}, total_frac=0.5).take_all()
+        b_kept = [r for r in out if r["lang"] == "b"]
+        assert len(b_kept) == 10
+
+
+class TestCurriculumBins:
+    def test_bins_match_quantiles(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.corpus import curriculum_bins
+        from logstash_filter_elastic_integration_ray.stages.sketches import exact_quantiles
+        from logstash_filter_elastic_integration_ray.stages.textstats import quality_batch
+
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        quality = docs.map_batches(quality_batch, batch_format="pyarrow")
+        thr = exact_quantiles(quality, "stop_ratio", [0.25, 0.5, 0.75])["value"].to_numpy()
+        out = curriculum_bins(quality, thr, score_col="stop_ratio").take_all()
+        # independent check: recompute quantile_disc with numpy
+        scores = np.sort(np.array([r["stop_ratio"] for r in out]))
+        n = len(scores)
+        ref_thr = [scores[max(1, int(np.ceil(q * n))) - 1] for q in (0.25, 0.5, 0.75)]
+        assert list(thr) == ref_thr
+        for r in out:
+            assert r["bin"] == int(sum(t < r["stop_ratio"] for t in thr))
+        bins = pd.Series([r["bin"] for r in out])
+        assert set(bins.unique()) <= {0, 1, 2, 3}
+        assert bins.value_counts()[0] >= n // 4 - 1  # quartiles roughly balanced
