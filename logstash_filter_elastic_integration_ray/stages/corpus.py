@@ -159,7 +159,11 @@ def ordered_prefix_sum(ds, *, order_col: str, val_col: str,
     sums (tiny, no shuffle); the driver prefixes the P-element totals
     vector; then ONE co-partitioned exchange sorts each chunk locally,
     cumsums, and adds the broadcast base.  Driver state is O(P), never
-    O(rows).  ``bounds`` (min, max of ``order_col``) skips the extra
+    O(rows).  The materialized intermediate is the thin (order, val)
+    projection — ~16 B/row, the minimum state any exact global scan
+    must see twice; the object store spills it rather than re-running
+    the projecting stage over the full input.  ``bounds`` (min, max of
+    ``order_col``) skips the extra
     pass when the caller knows the id range; dense-ish ids range-
     partition evenly — a skewed id space should pass explicit bounds or
     pre-bucket."""
@@ -278,42 +282,69 @@ _SHUF_MULT = 48271
 _SHUF_MOD = 2147483647  # 2^31 - 1 (prime) -> h is a permutation of ids mod p
 
 
-def shuffle_shards(ds, *, num_shards: int = 16, id_col: str = "doc_id"):
+def shuffle_shards(ds, *, num_shards: int = 16, sub_buckets: int = 8,
+                   id_col: str = "doc_id"):
     """Deterministic training-data shuffle: shard and within-shard
     position from a Lehmer hash of the id — reproducible across runs,
-    engines and batch splits (``random_shuffle`` is not).  The single
-    exchange co-partitions rows by destination shard (the minimum any
-    shuffled export pays); each shard sorts locally by (h, id) and
-    ranks.  Returns (id, shard, pos); compose with the fan-out sink to
-    write one directory per shard."""
+    engines and batch splits (``random_shuffle`` is not).
+
+    A shard is NOT one task: at scale a shard holds dataset/S rows, so
+    each shard's rank space is split into ``sub_buckets`` contiguous
+    h-ranges.  Per-batch (shard, bucket) counts go to the driver (S×B
+    ints — no shuffle); the driver prefixes each shard's bucket counts
+    into per-bucket rank bases; ONE exchange co-partitions rows by
+    (shard, bucket) and each partition sorts its own slice by (h, id)
+    and adds its base.  Equal h never spans buckets, so the composed
+    ranks equal a whole-shard sort.  Returns (id, shard, pos); compose
+    with the fan-out sink to write one directory per shard."""
+    n_parts = num_shards * sub_buckets
 
     def hash_assign(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         h = (ids * _SHUF_MULT) % _SHUF_MOD
+        bucket = h * sub_buckets // _SHUF_MOD
         return pa.table(
             {
                 id_col: pa.array(ids),
                 "h": pa.array(h),
-                "__part": pa.array(h % num_shards),
+                "__part": pa.array((h % num_shards) * sub_buckets + bucket),
             }
         )
 
-    def rank_shard(df: pd.DataFrame) -> pa.Table:
-        shard = int(df["__part"].iloc[0])
+    assigned = ds.map_batches(hash_assign, batch_format="pyarrow").materialize()
+    # consumed twice: the count pass and the rank exchange
+
+    count_rows = assigned.map_batches(
+        lambda t: pa.Table.from_pandas(
+            pd.DataFrame({"__part": t.column("__part").to_numpy()})
+            .groupby("__part", sort=False).size().reset_index(name="c"),
+            preserve_index=False,
+        ).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    ).take_all()
+    counts = np.zeros(n_parts, dtype=np.int64)
+    for r in count_rows:
+        counts[r["__part"]] += r["c"]
+    per_shard = counts.reshape(num_shards, sub_buckets)
+    bases = np.zeros_like(per_shard)
+    bases[:, 1:] = np.cumsum(per_shard, axis=1)[:, :-1]
+    bases = bases.reshape(-1)
+
+    def rank_bucket(df: pd.DataFrame) -> pa.Table:
+        part = int(df["__part"].iloc[0])
         df = df.sort_values(["h", id_col], kind="stable")
         return pa.table(
             {
                 id_col: pa.array(df[id_col].to_numpy(dtype=np.int64)),
-                "shard": pa.array(np.full(len(df), shard, dtype=np.int64)),
-                "pos": pa.array(np.arange(len(df), dtype=np.int64)),
+                "shard": pa.array(np.full(len(df), part // sub_buckets, dtype=np.int64)),
+                "pos": pa.array(bases[part] + np.arange(len(df), dtype=np.int64)),
             }
         )
 
-    assigned = ds.map_batches(hash_assign, batch_format="pyarrow")
     return (
-        assigned.repartition(num_shards)
+        assigned.repartition(n_parts)
         .groupby("__part")
-        .map_groups(rank_shard, batch_format="pandas")
+        .map_groups(rank_bucket, batch_format="pandas")
     )
 
 
