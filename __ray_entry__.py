@@ -193,6 +193,22 @@ def q_transcripts_jsonl(sf_dir: str):
     return _project(ds, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
 
 
+def q_transcripts_csv(sf_dir: str):
+    """Third source format: transcripts round-tripped through sharded
+    CSV (timestamps as ISO strings — CSV has no temporal type) must
+    match the SAME oracle as the parquet source."""
+    from logstash_filter_elastic_integration_ray.sources.csvsrc import read_csv, write_csv
+    from logstash_filter_elastic_integration_ray.sources.io import ensure_cache_dir
+
+    out = ensure_cache_dir(
+        f"/tmp/graft_csv/{_cache_tag(sf_dir)}",
+        lambda d: write_csv(read_transcripts(sf_dir), d, timestamp_cols=["ts"]),
+    )
+    ds = read_csv(out, timestamp_cols=["ts"], string_cols=["tool"],
+                  file_extensions=["csv"])
+    return _project(ds, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
 _TOOLCALL_PIPE = {
     "processors": [
         {"grok": {"field": "text", "patterns": [
@@ -1209,6 +1225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "transcripts_source": q_transcripts_source,
         "transcripts_jsonl": q_transcripts_jsonl,
+        "transcripts_csv": q_transcripts_csv,
         "grok_toolcalls": q_grok_toolcalls,
         "dissect_access": q_dissect_access,
         "kv_fields": q_kv_fields,
@@ -1284,6 +1301,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "transcripts_source": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "transcripts_jsonl": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
+        "transcripts_csv": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "grok_toolcalls": T(
             "SELECT conv_id, turn_idx, tool AS tool_name, CAST(kstr AS BIGINT) AS k, "
             "CAST(status AS BIGINT) AS status, event_id % 1000 AS took_ms, "

@@ -442,3 +442,27 @@ class TestCurriculumBins:
         bins = pd.Series([r["bin"] for r in out])
         assert set(bins.unique()) <= {0, 1, 2, 3}
         assert bins.value_counts()[0] >= n // 4 - 1  # quartiles roughly balanced
+
+
+class TestCsvSource:
+    def test_roundtrip_preserves_nulls_and_timestamps(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.sources.csvsrc import read_csv, write_csv
+
+        t = pa.table({
+            "id": pa.array([1, 2, 3], type=pa.int64()),
+            "tool": pa.array(["calc", None, "web"], type=pa.string()),
+            "ts": pa.array([1_700_000_000_123_456, 1_700_000_001_000_001, None],
+                           type=pa.timestamp("us")),
+        })
+        out = str(tmp_path / "csv")
+        write_csv(rd.from_arrow(t), out, timestamp_cols=["ts"])
+        back = read_csv(out, timestamp_cols=["ts"], string_cols=["tool"],
+                        file_extensions=["csv"]).take_all()
+        back.sort(key=lambda r: r["id"])
+        assert [r["tool"] for r in back] == ["calc", None, "web"]
+        # sub-second (microsecond) precision survives the round trip
+        assert back[0]["ts"] == pd.Timestamp(1_700_000_000_123_456, unit="us")
+        assert back[1]["ts"] == pd.Timestamp(1_700_000_001_000_001, unit="us")
+        assert back[2]["ts"] is None or pd.isna(back[2]["ts"])
