@@ -40,7 +40,7 @@ _KEYWORDS = {"if", "else", "for", "while", "return", "break", "continue",
              "true", "false", "null", "in", "new", "instanceof"}
 _TYPES = {"def", "var", "int", "long", "double", "float", "boolean",
           "String", "Object", "Map", "List", "ArrayList", "HashMap",
-          "Set", "HashSet"}
+          "Set", "HashSet", "StringBuilder"}
 
 
 class PainlessError(ValueError):
@@ -87,6 +87,26 @@ class _JavaSet:
     __hash__ = None  # mutable, like java.util.HashSet
 
 
+class _JavaStringBuilder:
+    """java.lang.StringBuilder over a Python list of chunks; appends
+    return self (Java chaining).  Stored into ctx it serializes as its
+    ``toString()`` (see _sanitize_ctx_value)."""
+
+    __slots__ = ("chunks",)
+
+    def __init__(self, init=None):
+        # new StringBuilder(int) is a CAPACITY hint in Java, not content
+        if init is None or (isinstance(init, int) and not isinstance(init, bool)):
+            self.chunks: list[str] = []
+        else:
+            self.chunks = [_to_jstr(init)]
+
+    def build(self) -> str:
+        if len(self.chunks) > 1:
+            self.chunks = ["".join(self.chunks)]
+        return self.chunks[0] if self.chunks else ""
+
+
 def _unique(items: list) -> list:
     """Insertion-ordered unique; equality-based fallback when elements
     are unhashable (Java streams dedup maps/lists via equals())."""
@@ -104,6 +124,8 @@ def _to_jstr(v) -> str:
     """Java String.valueOf rendering: booleans lowercase, null → 'null'."""
     if v is None:
         return "null"
+    if isinstance(v, _JavaStringBuilder):
+        return v.build()
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float) and v.is_integer():
@@ -129,6 +151,7 @@ _INSTANCEOF_TYPES: dict[str, tuple] = {
     "Set": (_JavaSet,),
     "HashSet": (_JavaSet,),
     "Collection": (list, _JavaSet),
+    "StringBuilder": (_JavaStringBuilder,),
     "Object": (object,),
 }
 
@@ -883,7 +906,7 @@ class _CtxEntry:
 #: optionals, entry views
 _CTX_REJECT = (_Lambda, _UserFuncRef, _Stream, _Optional, _MapEntry, _CtxEntry)
 #: container elements that force a sanitizing copy of the container
-_CTX_RECURSE = _CTX_REJECT + (_JavaSet, list, dict, tuple)
+_CTX_RECURSE = _CTX_REJECT + (_JavaSet, _JavaStringBuilder, list, dict, tuple)
 
 
 def _sanitize_ctx_value(value, depth: int = 0):
@@ -893,6 +916,8 @@ def _sanitize_ctx_value(value, depth: int = 0):
     reprs into the data."""
     if depth > 16:
         raise PainlessError("ctx value nesting too deep")
+    if isinstance(value, _JavaStringBuilder):
+        return value.build()
     if isinstance(value, _JavaSet):
         return [_sanitize_ctx_value(x, depth + 1) for x in value.items]
     if isinstance(value, list):
@@ -1108,6 +1133,8 @@ class Interpreter:
             return self._eval_mref(node, rc, env)
         if op == "lit_new":
             cargs = [self._deref(self._eval(a, rc, env), rc) for a in node[2]]
+            if "StringBuilder" in node[1]:
+                return _JavaStringBuilder(cargs[0] if cargs else None)
             if "Map" in node[1]:
                 if cargs and isinstance(cargs[0], dict):
                     return dict(cargs[0])  # copy constructor
@@ -1439,6 +1466,33 @@ class Interpreter:
             if name in table:
                 return table[name](*args)
             raise PainlessError(f"unsupported List method {name!r}")
+        if isinstance(recv, _JavaStringBuilder):
+            if name == "append":
+                recv.chunks.append(_to_jstr(args[0]))
+                return recv  # Java chaining: sb.append(a).append(b)
+            if name == "insert":
+                s = recv.build()
+                i = max(0, min(int(args[0]), len(s)))
+                recv.chunks = [s[:i] + _to_jstr(args[1]) + s[i:]]
+                return recv
+            if name == "reverse":
+                recv.chunks = [recv.build()[::-1]]
+                return recv
+            if name == "setLength":
+                s = recv.build()
+                n = int(args[0])
+                recv.chunks = [s[:n] + "\0" * max(0, n - len(s))]
+                return None
+            table = {
+                "toString": recv.build,
+                "length": lambda: len(recv.build()),
+                "charAt": lambda i: recv.build()[i] if 0 <= i < len(recv.build()) else None,
+                "indexOf": lambda s: recv.build().find(s),
+                "isEmpty": lambda: len(recv.build()) == 0,
+            }
+            if name in table:
+                return table[name](*args)
+            raise PainlessError(f"unsupported StringBuilder method {name!r}")
         if isinstance(recv, _JavaSet):
             if name == "forEach":
                 for x in list(recv.items):

@@ -513,3 +513,30 @@ def test_storing_function_value_in_ctx_fails_row_only():
     )
     # both rows fail the script (tagged), neither crashes the batch
     assert all("after" not in r for r in rows)
+
+
+def test_stringbuilder_append_chain_and_ctx():
+    rows = _script(
+        "StringBuilder sb = new StringBuilder(); "
+        "sb.append('v=').append(ctx.a).append('/').append(true); "
+        "ctx.out = sb.toString(); ctx.n = sb.length(); ctx.raw = sb;",
+        [{"a": 7}],
+    )
+    r = rows[0]
+    assert r["out"] == "v=7/true"
+    assert r["n"] == 8
+    # a builder stored in ctx serializes as its string, never a repr
+    assert r["raw"] == "v=7/true"
+
+
+def test_stringbuilder_constructors_insert_reverse():
+    rows = _script(
+        "def a = new StringBuilder('abc'); a.insert(1, 'X'); a.reverse(); "
+        "def b = new StringBuilder(16); b.append('y'); "
+        "ctx.a = a.toString(); ctx.b = b.toString(); ctx.i = a.indexOf('Xa');",
+        [{"seed": 1}],
+    )
+    r = rows[0]
+    assert r["a"] == "cbXa"          # aXbc reversed
+    assert r["b"] == "y"             # int arg is capacity, not content
+    assert r["i"] == 2
