@@ -807,6 +807,33 @@ def q_quality_filter_docs(sf_dir: str):
     return quality.map_batches(keep, batch_format="pyarrow")
 
 
+def q_customers_no_orders(sf_dir: str):
+    """Distributed ANTI join, both sides large: customers with no
+    HIGH-VALUE order (> 300k).  The right side thins to distinct int64
+    keys per batch; one co-partition exchange + vectorized Arrow is_in
+    per partition — right payload never shuffles
+    (stages/joins.py:hash_semi_join)."""
+    from logstash_filter_elastic_integration_ray.stages.joins import hash_semi_join
+
+    c = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    o = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def high_value(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("o_totalprice"), 300000.0)).select(["o_custkey"])
+
+    return hash_semi_join(c, o.map_batches(high_value, batch_format="pyarrow"),
+                          left_key="c_custkey", right_key="o_custkey", anti=True)
+
+
+def q_customers_with_orders(sf_dir: str):
+    """SEMI twin of :func:`q_customers_no_orders`."""
+    from logstash_filter_elastic_integration_ray.stages.joins import hash_semi_join
+
+    c = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    o = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return hash_semi_join(c, o, left_key="c_custkey", right_key="o_custkey", anti=False)
+
+
 #: mixture target: per-language share of the sampled corpus (sums to 1)
 _MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1}
 
@@ -1275,6 +1302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_docs": q_quality_filter_docs,
         "mixture_docs": q_mixture_docs,
         "curriculum_docs": q_curriculum_docs,
+        "customers_no_orders": q_customers_no_orders,
+        "customers_with_orders": q_customers_with_orders,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "q1_pricing": q_q1_pricing,
@@ -1558,6 +1587,14 @@ def oracle_sql() -> dict[str, str]:
             "  FROM n, tot) "
             "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
             "WHERE (d.doc_id * 48271) % 65537 < floor(rate * 65537)"
+        ),
+        "customers_no_orders": (
+            "SELECT c_custkey, c_nationkey FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"
+        ),
+        "customers_with_orders": (
+            "SELECT c_custkey, c_nationkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
         ),
         "curriculum_docs": (
             "WITH q AS (SELECT doc_id, "

@@ -302,3 +302,58 @@ def range_join_chunked(
         .groupby("__part")
         .map_groups(per_chunk, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# semi / anti join — both sides large
+# ---------------------------------------------------------------------------
+
+
+def hash_semi_join(left, right, *, left_key: str, right_key: str,
+                   anti: bool = False, num_partitions: int = 32):
+    """Distributed semi join (``anti=False``: left rows whose key
+    appears in ``right``) or anti join (``anti=True``: left rows whose
+    key does NOT).  Both sides large: the right side reduces to
+    per-batch distinct keys (one int64 column — the minimum signal a
+    membership test needs), then ONE exchange co-partitions left rows
+    with the matching key set and each partition resolves membership
+    with a vectorized ``isin``.  Right payload columns never shuffle;
+    left rows ship exactly once.  Left columns pass through unchanged.
+    """
+    left_cols = [c for c in left.schema().names]
+
+    def left_side(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__k", t.column(left_key).cast(pa.int64())
+        ).append_column("__side", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+
+    def right_keys(t: pa.Table) -> pa.Table:
+        ks = np.unique(t.column(right_key).cast(pa.int64()).to_numpy(zero_copy_only=False))
+        n = len(ks)
+        cols = {c: pa.nulls(n, type=left.schema().types[left_cols.index(c)]) for c in left_cols}
+        cols["__k"] = pa.array(ks)
+        cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
+
+    def resolve(t: pa.Table) -> pa.Table:
+        # pure Arrow: the null-filled payload columns of the key-side
+        # rows must not force an int64 → float64 pandas conversion
+        import pyarrow.compute as _pc
+
+        side = t.column("__side")
+        keys = t.filter(_pc.equal(side, 0)).column("__k")
+        rows = t.filter(_pc.equal(side, 1))
+        hit = _pc.is_in(rows.column("__k"), value_set=keys.combine_chunks())
+        mask = _pc.invert(_pc.fill_null(hit, False)) if anti else _pc.fill_null(hit, False)
+        return rows.filter(mask).select(left_cols)
+
+    unioned = left.map_batches(left_side, batch_format="pyarrow").union(
+        right.map_batches(right_keys, batch_format="pyarrow")
+    )
+    return (
+        unioned.map_batches(lambda b: add_partition_col(b, num_partitions, key="__k"),
+                            batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

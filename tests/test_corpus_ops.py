@@ -466,3 +466,33 @@ class TestCsvSource:
         assert back[0]["ts"] == pd.Timestamp(1_700_000_000_123_456, unit="us")
         assert back[1]["ts"] == pd.Timestamp(1_700_000_001_000_001, unit="us")
         assert back[2]["ts"] is None or pd.isna(back[2]["ts"])
+
+
+class TestSemiAntiJoin:
+    def test_partition_of_left_and_reference_equality(self, ray_session):
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.joins import hash_semi_join
+
+        rng = np.random.default_rng(3)
+        left = pa.table({
+            "k": pa.array(np.arange(300, dtype=np.int64)),
+            "payload": pa.array(rng.integers(2**60, 2**62, size=300).astype(np.int64)),
+        })
+        right = pa.table({"fk": pa.array(rng.integers(0, 400, size=500).astype(np.int64))})
+        lds = rd.from_arrow(left).repartition(5)
+        rds = rd.from_arrow(right).repartition(4)
+        semi = hash_semi_join(lds, rds, left_key="k", right_key="fk", num_partitions=6).take_all()
+        anti = hash_semi_join(lds, rds, left_key="k", right_key="fk", anti=True,
+                              num_partitions=6).take_all()
+        fk = set(right.column("fk").to_pylist())
+        exp_semi = {k for k in range(300) if k in fk}
+        assert {r["k"] for r in semi} == exp_semi
+        assert {r["k"] for r in anti} == set(range(300)) - exp_semi
+        # semi + anti partition the left exactly
+        assert len(semi) + len(anti) == 300
+        # payload int64 survives EXACTLY (no float64 round trip): values
+        # above 2^53 would corrupt under a pandas nullable-int conversion
+        pay = {r["k"]: r["payload"] for r in semi + anti}
+        for k, v in zip(left.column("k").to_pylist(), left.column("payload").to_pylist()):
+            assert pay[k] == v
