@@ -357,3 +357,88 @@ def hash_semi_join(left, right, *, left_key: str, right_key: str,
         .groupby("__part")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi / anti join
+# ---------------------------------------------------------------------------
+
+#: odd 64-bit mix constants for the double-hashing Bloom probes
+_BLOOM_H1 = np.uint64(0x9E3779B97F4A7C15)
+_BLOOM_H2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _bloom_probes(keys: np.ndarray, m_bits: int, k: int):
+    """k probe bit-positions per key via double hashing (h1 + i*h2):
+    vectorized, no per-key loop.  Returns (n, k) int64 positions."""
+    h = keys.astype(np.uint64)
+    h1 = (h * _BLOOM_H1) >> np.uint64(1)
+    h2 = (h * _BLOOM_H2) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def build_key_bloom(right, right_key: str, *, m_bits: int = 1 << 20, k: int = 4):
+    """Bloom filter of the right side's keys as a packed uint64 word
+    array: per-batch bitmaps OR-merge on the driver (m_bits/8 bytes per
+    batch is all that moves — 128 KiB at the default 2^20 bits).  No
+    false negatives ever; false-positive rate ~(1-e^{-kn/m})^k."""
+
+    def batch_bloom(t: pa.Table) -> pa.Table:
+        ks = t.column(right_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        words = np.zeros(m_bits // 64, dtype=np.uint64)
+        if len(ks):
+            pos = _bloom_probes(ks, m_bits, k).ravel()
+            np.bitwise_or.at(words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
+        return pa.table({"w": pa.array([words.tobytes()], type=pa.binary())})
+
+    rows = right.map_batches(batch_bloom, batch_format="pyarrow").take_all()
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in rows:
+        words |= np.frombuffer(r["w"], dtype=np.uint64)
+    return words, m_bits, k
+
+
+def bloom_test(keys: np.ndarray, bloom) -> np.ndarray:
+    """Vectorized membership probe: True = MAYBE present (verify),
+    False = DEFINITELY absent."""
+    words, m_bits, k = bloom
+    pos = _bloom_probes(keys, m_bits, k)
+    bits = (words[pos // 64] >> (pos % 64).astype(np.uint64)) & np.uint64(1)
+    return bits.all(axis=1)
+
+
+def hash_semi_join_bloom(left, right, *, left_key: str, right_key: str,
+                         anti: bool = False, num_partitions: int = 32,
+                         m_bits: int = 1 << 20, k: int = 4):
+    """:func:`hash_semi_join` with a broadcast Bloom prefilter — the
+    100-TB shape when the right key set is too big to broadcast exactly
+    but the LEFT side is the expensive thing to shuffle.  Bloom-negative
+    left rows never enter the exchange: for semi they are definite
+    misses (dropped on the spot); for anti they are definite keepers
+    (emitted directly, bypassing the shuffle).  Only the ambiguous
+    bloom-positive slice — a few % of the left at typical fp rates —
+    pays the co-partition, where the exact :func:`hash_semi_join`
+    machinery resolves it.  Results are identical to the exact join by
+    construction (Bloom filters have no false negatives)."""
+    import ray
+
+    bloom_words, mb, kk = build_key_bloom(right, right_key, m_bits=m_bits, k=k)
+    bloom_ref = ray.put((bloom_words, mb, kk))
+
+    def split(maybe: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ks = t.column(left_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            mask = bloom_test(ks, ray.get(bloom_ref))
+            return t.filter(pa.array(mask if maybe else ~mask))
+
+        return fn
+
+    maybe_rows = left.map_batches(split(True), batch_format="pyarrow")
+    resolved = hash_semi_join(maybe_rows, right, left_key=left_key,
+                              right_key=right_key, anti=anti,
+                              num_partitions=num_partitions)
+    if not anti:
+        return resolved
+    definite_keep = left.map_batches(split(False), batch_format="pyarrow")
+    return definite_keep.union(resolved)

@@ -379,3 +379,74 @@ def group_quantiles(ds, key: str, col: str, qs: list[float], names: list[str],
         .groupby("__part")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct counting
+# ---------------------------------------------------------------------------
+
+
+def _hll_registers(values: np.ndarray, p: int) -> np.ndarray:
+    """2^p max-rank registers from a uint64 hash array, vectorized:
+    register index = top p bits, rank = 1 + leading zeros of the
+    remaining 64-p bits (capped).  One maximum.reduceat over the
+    index-sorted ranks — no per-value loop."""
+    m = 1 << p
+    idx = (values >> np.uint64(64 - p)).astype(np.int64)
+    rest = (values << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
+    # leading zeros via float64 exponent is unsafe past 2^53; use the
+    # bit_length identity on the shifted remainder instead
+    nbits = np.zeros(len(rest), dtype=np.int64)
+    x = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(shift))
+        nbits[big] += shift
+        x[big] >>= np.uint64(shift)
+    rank = (64 - nbits).astype(np.uint8)  # 1 + clz(rest)
+    regs = np.zeros(m, dtype=np.uint8)
+    order = np.argsort(idx)
+    si, sr = idx[order], rank[order]
+    starts = np.flatnonzero(np.diff(si, prepend=-1))
+    regs[si[starts]] = np.maximum.reduceat(sr, starts)
+    return regs
+
+
+def hll_partials(batch: pa.Table, col: str, p: int = 12) -> pa.Table:
+    """One (blob) row per batch: the batch's 2^p HLL registers packed
+    as bytes.  Merging partials is an elementwise max — commutative and
+    idempotent, so the estimate is EXACTLY batch-split invariant."""
+    raw = batch.column(col)
+    arr = np.asarray(raw.to_pylist(), dtype=object)
+    arr = arr[[v is not None for v in arr]]
+    if len(arr):
+        h = pd.util.hash_array(arr, categorize=False)
+        regs = _hll_registers(h, p)
+    else:
+        regs = np.zeros(1 << p, dtype=np.uint8)
+    return pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard bias-corrected HLL estimate with the linear-counting
+    small-range correction (public HyperLogLog formulation)."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return float(m * np.log(m / zeros))
+    return float(est)
+
+
+def hll_distinct(ds, col: str, *, p: int = 12) -> float:
+    """Approximate distinct count of ``col``: per-batch register
+    partials (one 2^p-byte blob per batch — the only thing that moves),
+    elementwise-max merge on the driver.  Relative error ~1.04/sqrt(2^p)
+    (~1.6% at p=12).  Approximate by design → pinned by pytest accuracy
+    bounds against exact counts, not a driver oracle (same policy as
+    the Misra-Gries sketch above)."""
+    rows = ds.map_batches(lambda b: hll_partials(b, col, p), batch_format="pyarrow").take_all()
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    for r in rows:
+        regs = np.maximum(regs, np.frombuffer(r["regs"], dtype=np.uint8))
+    return hll_estimate(regs)

@@ -257,3 +257,84 @@ def test_range_join_chunked_null_and_empty(ray_session):
         output_schema=full,
     ).to_pandas()
     assert len(got2) == 0
+
+
+class TestHyperLogLog:
+    def test_accuracy_and_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.sketches import hll_distinct
+
+        rng = np.random.default_rng(11)
+        # 100k values, ~40k distinct
+        vals = rng.integers(0, 40_000, size=100_000).astype(np.int64)
+        exact = len(np.unique(vals))
+        t = pa.table({"v": pa.array(vals)})
+        est1 = hll_distinct(rd.from_arrow(t).repartition(3), "v", p=12)
+        # 1.04/sqrt(4096) ~ 1.6% std error; allow 5 sigma
+        assert abs(est1 - exact) / exact < 0.08, (est1, exact)
+        # register max-merge is commutative/idempotent -> the estimate
+        # is EXACTLY identical under any partitioning
+        est2 = hll_distinct(rd.from_arrow(t).repartition(17), "v", p=12)
+        assert est1 == est2
+
+    def test_small_range_linear_counting(self, ray_session):
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.sketches import hll_distinct
+
+        t = pa.table({"v": pa.array(np.arange(50, dtype=np.int64))})
+        est = hll_distinct(rd.from_arrow(t), "v", p=12)
+        assert abs(est - 50) < 3  # linear counting is near-exact here
+
+    def test_string_column_and_nulls(self, ray_session):
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.sketches import hll_distinct
+
+        t = pa.table({"v": pa.array(["a", "b", None, "a", "c", None], type=pa.string())})
+        est = hll_distinct(rd.from_arrow(t), "v", p=12)
+        assert abs(est - 3) < 1
+
+
+class TestBloomSemiJoin:
+    def test_identical_to_exact_join(self, ray_session):
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.joins import (
+            hash_semi_join,
+            hash_semi_join_bloom,
+        )
+
+        rng = np.random.default_rng(5)
+        left = pa.table({
+            "k": pa.array(np.arange(2000, dtype=np.int64)),
+            "val": pa.array(rng.integers(0, 10, size=2000).astype(np.int64)),
+        })
+        right = pa.table({"fk": pa.array(rng.integers(0, 3000, size=1500).astype(np.int64))})
+        lds, rds = rd.from_arrow(left).repartition(5), rd.from_arrow(right).repartition(3)
+        for anti in (False, True):
+            exact = sorted(r["k"] for r in hash_semi_join(
+                lds, rds, left_key="k", right_key="fk", anti=anti, num_partitions=4).take_all())
+            bloom = sorted(r["k"] for r in hash_semi_join_bloom(
+                lds, rds, left_key="k", right_key="fk", anti=anti, num_partitions=4,
+                m_bits=1 << 14).take_all())
+            assert bloom == exact, f"anti={anti}"
+
+    def test_bloom_never_false_negative(self):
+        from logstash_filter_elastic_integration_ray.stages.joins import (
+            _bloom_probes,
+            bloom_test,
+        )
+
+        rng = np.random.default_rng(9)
+        keys = rng.integers(-2**62, 2**62, size=5000).astype(np.int64)
+        m_bits, k = 1 << 16, 4
+        words = np.zeros(m_bits // 64, dtype=np.uint64)
+        pos = _bloom_probes(keys, m_bits, k).ravel()
+        np.bitwise_or.at(words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
+        assert bloom_test(keys, (words, m_bits, k)).all()
+        # false-positive rate stays near theory on fresh keys
+        fresh = rng.integers(2**62, 2**63 - 1, size=5000).astype(np.int64)
+        fp = bloom_test(fresh, (words, m_bits, k)).mean()
+        assert fp < 0.05
