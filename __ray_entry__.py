@@ -834,6 +834,28 @@ def q_customers_with_orders(sf_dir: str):
     return hash_semi_join(c, o, left_key="c_custkey", right_key="o_custkey", anti=False)
 
 
+def q_term_postings_docs(sf_dir: str):
+    """Persisted inverted text index (the text twin of the IVF layout):
+    postings written ONCE as bucket-partitioned parquet keyed by token
+    hash; the term lookup opens ONLY the queried terms' bucket dirs —
+    cost scales with terms × bucket size, not corpus size
+    (stages/textindex.py)."""
+    from logstash_filter_elastic_integration_ray.sources.io import ensure_cache_dir
+    from logstash_filter_elastic_integration_ray.stages.textindex import (
+        build_postings_layout,
+        lookup_terms,
+    )
+
+    layout = ensure_cache_dir(
+        f"/tmp/graft_textindex/{_cache_tag(sf_dir)}",
+        lambda d: build_postings_layout(
+            read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+            d, num_buckets=64,
+        ),
+    )
+    return lookup_terms(layout, ["spark", "vector"], num_buckets=64)
+
+
 #: mixture target: per-language share of the sampled corpus (sums to 1)
 _MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1}
 
@@ -1304,6 +1326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_docs": q_curriculum_docs,
         "customers_no_orders": q_customers_no_orders,
         "customers_with_orders": q_customers_with_orders,
+        "term_postings_docs": q_term_postings_docs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "q1_pricing": q_q1_pricing,
@@ -1595,6 +1618,11 @@ def oracle_sql() -> dict[str, str]:
         "customers_with_orders": (
             "SELECT c_custkey, c_nationkey FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "term_postings_docs": (
+            "SELECT DISTINCT token, doc_id FROM "
+            "(SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) "
+            "WHERE token IN ('spark', 'vector')"
         ),
         "curriculum_docs": (
             "WITH q AS (SELECT doc_id, "

@@ -1,0 +1,106 @@
+"""Persisted inverted text index — the text twin of the IVF layout
+(stages/similarity.py:build_ivf_layout).
+
+``build_postings_layout`` writes (token, doc_id) postings as a
+bucket-partitioned parquet layout keyed by a token hash; a term lookup
+then reads ONLY the queried terms' bucket directories — lookup cost
+scales with terms × bucket size (corpus/num_buckets), not corpus size.
+The build is one streaming pass over the documents (per-batch distinct
+(token, doc) pairs — a doc lives in one row, so the pairs are globally
+distinct) followed by Ray's partitioned parquet write; no driver-side
+state at all.
+
+Token hashing for bucket routing uses Java's ``String.hashCode``
+polynomial (31-based, int32 wraparound) — a pinned PUBLIC convention
+both the engine and any reader can reproduce without pandas-version
+coupling.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def token_bucket(tokens, num_buckets: int) -> np.ndarray:
+    """Deterministic bucket per token string: Java String.hashCode
+    (int32 wraparound), floor-mod into [0, num_buckets)."""
+    out = np.zeros(len(tokens), dtype=np.int64)
+    for i, t in enumerate(tokens):
+        h = 0
+        for ch in t or "":
+            h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+        if h >= 0x80000000:
+            h -= 0x100000000
+        out[i] = h % num_buckets
+    return out
+
+
+def build_postings_layout(ds, out_dir: str, *, num_buckets: int = 64,
+                          text_col: str = "text", id_col: str = "doc_id") -> str:
+    """One streaming pass documents → bucket-partitioned postings
+    (``out_dir/bucket=N/``), one row per distinct (token, doc)."""
+
+    def postings(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        toks = pc.split_pattern(pc.fill_null(col, ""), " ")
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"token": flat, "doc_id": np.repeat(ids, counts)}).drop_duplicates()
+        uniq_tokens, inv = np.unique(df["token"].to_numpy(), return_inverse=True)
+        buckets = token_bucket(list(uniq_tokens), num_buckets)[inv]
+        return pa.table(
+            {
+                "token": pa.array(df["token"].to_numpy(), type=pa.string()),
+                "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+                "bucket": pa.array(buckets),
+            }
+        )
+
+    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+    return out_dir
+
+
+def lookup_terms(layout_dir: str, terms: list[str], *, num_buckets: int = 64):
+    """Postings for ``terms``: opens ONLY the terms' bucket
+    directories.  Returns a Dataset of (token, doc_id)."""
+    from ..sources.io import read_parquet_clean
+
+    buckets = sorted({int(b) for b in token_bucket(list(terms), num_buckets)})
+    paths = [
+        f
+        for b in buckets
+        for f in sorted(glob.glob(os.path.join(layout_dir, f"bucket={b}", "*.parquet")))
+    ]
+    if not paths:
+        raise FileNotFoundError(f"no postings buckets for {terms} under {layout_dir}")
+    ds = read_parquet_clean(paths, columns=["token", "doc_id"])
+    term_set = set(terms)
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column("token"), value_set=pa.array(sorted(term_set), type=pa.string()))
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def postings_rows_scanned(layout_dir: str, terms: list[str], *, num_buckets: int = 64) -> int:
+    """Pruning evidence for benches: total rows in the bucket files a
+    lookup for ``terms`` opens (vs the whole layout)."""
+    import pyarrow.parquet as pq
+
+    buckets = sorted({int(b) for b in token_bucket(list(terms), num_buckets)})
+    total = 0
+    for b in buckets:
+        for f in glob.glob(os.path.join(layout_dir, f"bucket={b}", "*.parquet")):
+            total += pq.ParquetFile(f).metadata.num_rows
+    return total

@@ -496,3 +496,47 @@ class TestSemiAntiJoin:
         pay = {r["k"]: r["payload"] for r in semi + anti}
         for k, v in zip(left.column("k").to_pylist(), left.column("payload").to_pylist()):
             assert pay[k] == v
+
+
+class TestTextIndex:
+    def test_pruned_lookup_matches_full_scan(self, ray_session, tmp_path):
+        from logstash_filter_elastic_integration_ray.stages.textindex import (
+            build_postings_layout,
+            lookup_terms,
+            postings_rows_scanned,
+            token_bucket,
+        )
+
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        layout = str(tmp_path / "postings")
+        build_postings_layout(docs, layout, num_buckets=32)
+        terms = ["spark", "the"]
+        got = sorted(
+            (r["token"], r["doc_id"])
+            for r in lookup_terms(layout, terms, num_buckets=32).take_all()
+        )
+        ids, texts = _load_docs()
+        expected = sorted(
+            {(tok, int(i)) for i, t in zip(ids, texts) for tok in (t or "").split(" ") if tok in terms}
+        )
+        assert got == expected and len(got) > 0
+        # pruning: a lookup opens only the terms' buckets
+        import glob as g
+
+        import pyarrow.parquet as pqt
+
+        full = sum(
+            pqt.ParquetFile(f).metadata.num_rows
+            for f in g.glob(f"{layout}/bucket=*/*.parquet")
+        )
+        scanned = postings_rows_scanned(layout, terms, num_buckets=32)
+        n_buckets_hit = len({int(b) for b in token_bucket(terms, 32)})
+        assert scanned < full, (scanned, full)
+        assert scanned <= full * (n_buckets_hit + 1) / 32 * 3  # rough prune bound
+
+    def test_java_hashcode_pinned(self):
+        from logstash_filter_elastic_integration_ray.stages.textindex import token_bucket
+
+        # Java String.hashCode("spark") == 109638365 -> pinned routing
+        assert token_bucket(["spark"], 1 << 30)[0] == 109638365 % (1 << 30)
+        assert token_bucket([""], 64)[0] == 0
