@@ -55,10 +55,7 @@ def read_csv(path, *, timestamp_cols: list[str] | None = None,
                 i = t.column_names.index(c)
                 col = t.column(c)
                 if not pa.types.is_temporal(col.type):
-                    t = t.set_column(
-                        i, c, pc.cast(col.cast(pa.string()).cast(pa.timestamp("us")),
-                                      pa.timestamp("us"))
-                    )
+                    t = t.set_column(i, c, col.cast(pa.string()).cast(pa.timestamp("us")))
                 elif col.type != pa.timestamp("us"):
                     t = t.set_column(i, c, pc.cast(col, pa.timestamp("us")))
         for c in str_cols:

@@ -44,8 +44,11 @@ _Q = 1 << 20
 
 
 def quantize(m: np.ndarray) -> np.ndarray:
-    """float matrix → fixed-point int64 (round half away from zero,
-    matching ``np.rint`` semantics used on both engine and oracle)."""
+    """float matrix → fixed-point int64 via ``np.rint`` — ROUND HALF TO
+    EVEN (banker's rounding), the IEEE default.  Both the engine and the
+    plain-numpy oracle reference call THIS function, which is what makes
+    the contract hold; an SQL ``round()`` (half away from zero) is NOT
+    an equivalent re-derivation for coordinates landing exactly on .5."""
     return np.rint(np.asarray(m, dtype=np.float64) * _Q).astype(np.int64)
 
 
@@ -125,17 +128,30 @@ def kmeans_fit(
 ) -> np.ndarray:
     """Fit k centroids over a Dataset's embedding column.
 
-    Init: the embeddings of the ``k`` smallest ids (deterministic, one
-    pruned pass).  Returns the fixed-point int64 centroid matrix.
+    Init: the embeddings of the ``k`` globally smallest ids — found by
+    a per-batch local top-k (≤ batches×k rows to the driver, never the
+    dataset), so any id space works, not just dense 0-based ids.
+    Duplicate ids among the k smallest raise (their row order is not
+    engine-reproducible, so silent arbitration would break the
+    determinism contract).  Returns the fixed-point int64 centroids.
     """
-    init_rows = (
-        ds.filter(expr=f"{id_col} < {k}")
-        .select_columns([id_col, emb_col])
-        .take_all()
-    )
+
+    def local_smallest(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, emb_col])
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) <= k:
+            return t
+        keep = np.argpartition(ids, k)[:k]
+        return t.take(pa.array(np.sort(keep)))
+
+    init_rows = ds.map_batches(local_smallest, batch_format="pyarrow").take_all()
     init_rows.sort(key=lambda r: r[id_col])
+    init_rows = init_rows[:k]
+    seen_ids = [r[id_col] for r in init_rows]
+    if len(set(seen_ids)) != len(seen_ids):
+        raise ValueError(f"duplicate ids among the {k} smallest: deterministic init impossible")
     if len(init_rows) < k:
-        raise ValueError(f"need ids 0..{k - 1} for deterministic init, got {len(init_rows)}")
+        raise ValueError(f"need at least k={k} rows for init, got {len(init_rows)}")
     cent_int = quantize(np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in init_rows]))
     d = cent_int.shape[1]
 

@@ -161,12 +161,15 @@ def ordered_prefix_sum(ds, *, order_col: str, val_col: str,
     cumsums, and adds the broadcast base.  Driver state is O(P), never
     O(rows).  The materialized intermediate is the thin (order, val)
     projection — ~16 B/row, the minimum state any exact global scan
-    must see twice; the object store spills it rather than re-running
-    the projecting stage over the full input.  ``bounds`` (min, max of
+    must see more than once (bounds pass + totals pass + scan); the
+    object store spills it rather than re-running the upstream
+    projecting stage once per consumer.  ``bounds`` (min, max of
     ``order_col``) skips the extra
     pass when the caller knows the id range; dense-ish ids range-
     partition evenly — a skewed id space should pass explicit bounds or
     pre-bucket."""
+    ds = ds.materialize()  # thin projection; up to 3 consumers below
+
     if bounds is None:
         stats = ds.map_batches(
             lambda b: pa.table(
@@ -185,9 +188,11 @@ def ordered_prefix_sum(ds, *, order_col: str, val_col: str,
     else:
         lo, hi = bounds
 
+    # lazy over the materialized projection: the totals pass and the
+    # scan each re-run only this cheap append-column map
     parted = ds.map_batches(
         lambda b: _range_part(b, order_col, lo, hi, num_partitions), batch_format="pyarrow"
-    ).materialize()  # consumed twice: totals pass + scan pass
+    )
 
     totals_rows = parted.map_batches(
         lambda b: pa.Table.from_pandas(
@@ -224,8 +229,11 @@ def _explode_bins(batch: pa.Table, cap: int, id_col: str) -> pa.Table:
     n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
     off = batch.column("off").to_numpy(zero_copy_only=False).astype(np.int64)
     first = off // cap
-    last = (off + n - 1) // cap  # n >= 1 always: '' splits to ['']
-    reps = last - first + 1
+    last = (off + n - 1) // cap
+    # n == 0 (NULL text) emits no windows — the oracle's
+    # generate_series over a NULL count is empty ('' still counts as
+    # one token on both sides)
+    reps = np.where(n > 0, last - first + 1, 0)
     doc_rep = np.repeat(np.arange(len(ids), dtype=np.int64), reps)
     starts_r = np.repeat(first, reps)
     within = np.arange(len(doc_rep), dtype=np.int64)
@@ -257,10 +265,15 @@ def pack_docs(ds, *, cap: int = 256, num_partitions: int = 32,
     dropped in the first pass."""
 
     def tok_counts(t: pa.Table) -> pa.Table:
-        _, counts = flat_token_hashes(t.column(text_col))
-        return pa.table(
-            {id_col: t.column(id_col), "n": pa.array(counts.astype(np.int64))}
-        )
+        # pure Arrow — no token hashing/object materialization; a NULL
+        # text counts 0 tokens (DuckDB len(string_split(NULL)) is NULL
+        # and contributes nothing to the window sum), while '' counts 1
+        col = t.column(text_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        counts = pc.fill_null(
+            pc.list_value_length(pc.split_pattern(col, " ")), 0
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: t.column(id_col), "n": pa.array(counts)})
 
     sized = ds.map_batches(tok_counts, batch_format="pyarrow")
     with_off = ordered_prefix_sum(

@@ -29,12 +29,19 @@ import pyarrow.compute as pc
 
 def token_bucket(tokens, num_buckets: int) -> np.ndarray:
     """Deterministic bucket per token string: Java String.hashCode
-    (int32 wraparound), floor-mod into [0, num_buckets)."""
+    (int32 wraparound), floor-mod into [0, num_buckets).
+
+    Java hashes UTF-16 CODE UNITS, so non-BMP characters contribute
+    their surrogate pair (two units), not the code point — iterating
+    the utf-16-be encoding keeps the route byte-exact with a real Java
+    reader of the layout.  Runs only over per-batch UNIQUE tokens and
+    query terms (vocabulary-sized, never corpus-sized)."""
     out = np.zeros(len(tokens), dtype=np.int64)
     for i, t in enumerate(tokens):
         h = 0
-        for ch in t or "":
-            h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+        units = (t or "").encode("utf-16-be")
+        for j in range(0, len(units), 2):
+            h = (h * 31 + (units[j] << 8 | units[j + 1])) & 0xFFFFFFFF
         if h >= 0x80000000:
             h -= 0x100000000
         out[i] = h % num_buckets
@@ -82,7 +89,15 @@ def lookup_terms(layout_dir: str, terms: list[str], *, num_buckets: int = 64):
         for f in sorted(glob.glob(os.path.join(layout_dir, f"bucket={b}", "*.parquet")))
     ]
     if not paths:
-        raise FileNotFoundError(f"no postings buckets for {terms} under {layout_dir}")
+        # a term whose bucket was never written is the same logical
+        # case as a term absent from a written bucket: empty postings,
+        # not an error (write_parquet only creates non-empty partitions)
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"token": pa.array([], type=pa.string()),
+                      "doc_id": pa.array([], type=pa.int64())})
+        )
     ds = read_parquet_clean(paths, columns=["token", "doc_id"])
     term_set = set(terms)
 

@@ -540,3 +540,83 @@ class TestTextIndex:
         # Java String.hashCode("spark") == 109638365 -> pinned routing
         assert token_bucket(["spark"], 1 << 30)[0] == 109638365 % (1 << 30)
         assert token_bucket([""], 64)[0] == 0
+
+
+class TestReviewFixesRound3Late:
+    def test_kmeans_sparse_nondense_ids(self, ray_session):
+        """Init must use the k SMALLEST ids, not require dense 0..k-1."""
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.clustering import (
+            kmeans_assign, kmeans_fit, kmeans_reference,
+        )
+
+        rng = np.random.default_rng(21)
+        m = rng.normal(size=(60, 8))
+        ids = (np.arange(60, dtype=np.int64) * 3 + 10)  # 10, 13, 16, ... sparse
+        t = pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  type=pa.list_(pa.float64())),
+        })
+        cent = kmeans_fit(rd.from_arrow(t).repartition(4), k=4, n_iters=3)
+        ref_assign, ref_cent = kmeans_reference(m, k=4, n_iters=3)
+        assert np.array_equal(cent, ref_cent)
+        got = {r["vec_id"]: r["cluster"] for r in
+               kmeans_assign(rd.from_arrow(t), cent).take_all()}
+        for i, a in zip(ids, ref_assign):
+            assert got[int(i)] == int(a)
+
+    def test_kmeans_duplicate_init_ids_raise(self, ray_session):
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.clustering import kmeans_fit
+
+        t = pa.table({
+            "vec_id": pa.array([0, 0, 1, 2], type=pa.int64()),
+            "embedding": pa.array([[1.0], [2.0], [3.0], [4.0]], type=pa.list_(pa.float64())),
+        })
+        with pytest.raises(ValueError, match="duplicate"):
+            kmeans_fit(rd.from_arrow(t), k=3, n_iters=1)
+
+    def test_pack_docs_null_text_contributes_nothing(self, ray_session):
+        """A NULL text must emit no windows and shift no offsets — the
+        DuckDB twin's len(string_split(NULL)) is NULL."""
+        from logstash_filter_elastic_integration_ray.stages.corpus import pack_docs
+
+        texts = ["a b c", None, "d e f g"]
+        out = sorted(
+            (r["doc_id"], r["bin"], r["tok_start"], r["tok_end"])
+            for r in pack_docs(_ray_docs([1, 2, 3], texts), cap=4, num_partitions=2).take_all()
+        )
+        # doc 2 absent; doc 3 starts at global offset 3 (not 4)
+        assert out == [(1, 0, 0, 3), (3, 0, 0, 1), (3, 1, 1, 4)]
+
+    def test_token_bucket_utf16_surrogates(self):
+        from logstash_filter_elastic_integration_ray.stages.textindex import token_bucket
+
+        # U+1D54F hashes as its surrogate pair (0xD835, 0xDD4F) in Java
+        expected = (0xD835 * 31 + 0xDD4F) & 0xFFFFFFFF
+        if expected >= 0x80000000:
+            expected -= 0x100000000
+        assert token_bucket(["\U0001D54F"], 1 << 30)[0] == expected % (1 << 30)
+
+    def test_lookup_terms_missing_bucket_is_empty_not_error(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.textindex import (
+            build_postings_layout, lookup_terms, token_bucket,
+        )
+
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1], type=pa.int64()),
+            "text": pa.array(["hello world"], type=pa.string()),
+        }))
+        layout = str(tmp_path / "p")
+        build_postings_layout(docs, layout, num_buckets=1024)
+        # find a term whose bucket holds nothing (only 2 buckets exist)
+        present = {int(b) for b in token_bucket(["hello", "world"], 1024)}
+        term = next(t for t in ("zzz", "qqq", "absent", "nope")
+                    if int(token_bucket([t], 1024)[0]) not in present)
+        out = lookup_terms(layout, [term], num_buckets=1024).take_all()
+        assert out == []
