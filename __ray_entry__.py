@@ -1572,7 +1572,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM b"
         ),
         "shuffle_shards_docs": (
-            "WITH h AS (SELECT doc_id, (doc_id * 48271) % 2147483647 AS h FROM documents) "
+            "WITH h AS (SELECT doc_id, ((doc_id * 48271) % 2147483647 + 2147483647) % 2147483647 AS h FROM documents) "
             "SELECT doc_id, CAST(h % 16 AS BIGINT) AS shard, "
             "CAST(ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1 AS BIGINT) AS pos "
             "FROM h"
@@ -1609,7 +1609,7 @@ def oracle_sql() -> dict[str, str]:
             "  WHEN 'fr' THEN 0.1 WHEN 'es' THEN 0.1 ELSE 0.0 END) / n_s) AS rate "
             "  FROM n, tot) "
             "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
-            "WHERE (d.doc_id * 48271) % 65537 < floor(rate * 65537)"
+            "WHERE ((d.doc_id * 48271) % 65537 + 65537) % 65537 < floor(rate * 65537)"
         ),
         "customers_no_orders": (
             "SELECT c_custkey, c_nationkey FROM customer "
@@ -1662,7 +1662,7 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 99, CAST(quantile_disc(c, 0.99) AS BIGINT) FROM cents"
         ),
         "sample_stratified_docs": (
-            "SELECT doc_id, lang FROM documents WHERE (doc_id * 48271) % 65537 < "
+            "SELECT doc_id, lang FROM documents WHERE ((doc_id * 48271) % 65537 + 65537) % 65537 < "
             "(CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384 WHEN 'fr' THEN 6553 "
             "ELSE 3276 END)"
         ),

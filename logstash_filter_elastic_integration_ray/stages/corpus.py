@@ -24,7 +24,10 @@ distributed shapes:
 - **deterministic shuffle-shard export**: training-data shuffling must
   be reproducible, so instead of ``random_shuffle`` the permutation is
   a Lehmer hash ``(id * 48271) % (2^31 - 1)`` (MINSTD; exact in int64
-  for ids < 1.9e14, and SQL-expressible so the oracle is bit-exact).
+  for ids < 1.9e14, and SQL-expressible so the oracle is bit-exact —
+  via the canonical non-negative mod ``((x % p) + p) % p``, because
+  numpy's ``%`` is always non-negative while SQL's keeps the
+  dividend's sign for negative ids).
   Shard = h mod S; within-shard position = rank by (h, id).  The only
   exchange co-partitions rows by their final shard — exactly the
   all-to-all a shuffled export must pay, and nothing more.

@@ -29,6 +29,54 @@ import pyarrow as pa
 from .aggregate import add_partition_col
 
 
+def _dataset_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset, hoisted on the DRIVER (worker-side
+    ``ds.schema()`` calls would trigger nested execution)."""
+    s = ds.schema()
+    return getattr(s, "base_schema", s)
+
+
+def _disjoint_or_raise(left_cols, right_cols, opname: str) -> None:
+    shared = set(left_cols) & set(right_cols)
+    if shared:
+        # the widened union folds same-named columns together and the
+        # per-partition merge would suffix them, breaking the output
+        # projection — fail loudly at the driver instead
+        raise ValueError(
+            f"{opname}: left and right share column names {sorted(shared)}; "
+            "rename one side before joining"
+        )
+
+
+def _make_widen(all_cols: list, col_types: dict):
+    """Union of heterogeneous schemas: missing columns become TYPED
+    nulls so every block carries one common schema through the
+    shuffle.  Shared by the as-of and range joins."""
+
+    def widen(t: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for c in all_cols:
+            if c in t.column_names:
+                arrays.append(t.column(c))
+            else:
+                arrays.append(pa.nulls(t.num_rows, type=col_types.get(c, pa.int64())))
+            names.append(c)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return widen
+
+
+def _restore_int_dtypes(df: pd.DataFrame, schema: pa.Schema, plain_cols: set) -> pd.DataFrame:
+    """Undo the float64 promotion the widened union inflicts on int
+    columns: join-key columns (``plain_cols``, null-free by contract)
+    back to plain int64, payload columns to nullable Int64 so genuine
+    source nulls survive instead of raising IntCastingNaNError."""
+    for f in schema:
+        if pa.types.is_integer(f.type):
+            df[f.name] = df[f.name].astype("int64" if f.name in plain_cols else "Int64")
+    return df
+
+
 def asof_join_bucketed(
     left,
     right,
@@ -49,23 +97,11 @@ def asof_join_bucketed(
     Both inputs are Datasets; the result is a Dataset with
     ``output_schema`` = left columns + right payload columns.
     """
-    def _arrow_schema(ds) -> pa.Schema:
-        s = ds.schema()
-        return getattr(s, "base_schema", s)
-
-    left_schema = _arrow_schema(left)
-    right_schema = _arrow_schema(right)
+    left_schema = _dataset_schema(left)
+    right_schema = _dataset_schema(right)
     left_cols = list(left_schema.names)
     right_cols = list(right_schema.names)
-    shared = set(left_cols) & set(right_cols)
-    if shared:
-        # the widened union folds same-named columns together and
-        # merge_asof would _x/_y-suffix them, breaking the output
-        # projection — fail loudly at the driver instead
-        raise ValueError(
-            f"asof_join_bucketed: left and right share column names {sorted(shared)}; "
-            "rename one side before joining"
-        )
+    _disjoint_or_raise(left_cols, right_cols, "asof_join_bucketed")
     col_types = {**{f.name: f.type for f in right_schema}, **{f.name: f.type for f in left_schema}}
 
     def tag_left(t: pa.Table) -> pa.Table:
@@ -79,43 +115,30 @@ def asof_join_bucketed(
     lt = left.map_batches(tag_left, batch_format="pyarrow")
     rt = right.map_batches(tag_right, batch_format="pyarrow")
 
-    # union of heterogeneous schemas: missing columns become TYPED nulls
-    # so every block carries one common schema through the shuffle
     all_cols = list(dict.fromkeys(left_cols + right_cols)) + ["__part", "__side"]
-
-    def widen(t: pa.Table) -> pa.Table:
-        arrays, names = [], []
-        for c in all_cols:
-            if c in t.column_names:
-                arrays.append(t.column(c))
-            else:
-                arrays.append(pa.nulls(t.num_rows, type=col_types.get(c, pa.int64())))
-            names.append(c)
-        return pa.Table.from_arrays(arrays, names=names)
+    widen = _make_widen(all_cols, col_types)
 
     combined = lt.map_batches(widen, batch_format="pyarrow").union(
         rt.map_batches(widen, batch_format="pyarrow")
     )
 
     def per_bucket(df: pd.DataFrame) -> pa.Table:
-        # dtype restoration: the widened union null-fills the other
-        # side's columns, which floats every int column in pandas —
-        # coerce each side back to its source schema (join keys exact,
-        # right payload nullable so unmatched lefts become nulls)
         l = df[df["__side"] == 0][left_cols].copy()
         r = df[df["__side"] == 1][right_cols].copy()
-        for f in left_schema:
-            if pa.types.is_integer(f.type):
-                l[f.name] = l[f.name].astype("int64")
-        for f in right_schema:
-            if pa.types.is_integer(f.type):
-                # join keys (on/by) must be PLAIN int64 — merge_asof
-                # raises on int64-vs-Int64 key dtype mismatch; only
-                # payload columns need the nullable dtype (unmatched
-                # lefts become NaN, which pyarrow maps back to null)
-                r[f.name] = r[f.name].astype(
-                    "int64" if f.name in (by_right, on_right) else "Int64"
-                )
+        # null on/by keys: merge_asof RAISES on them.  Left rows with a
+        # null key can never match — split them out and emit them with
+        # null right payload (the join is left-preserving); right rows
+        # with a null key can never BE matched — drop them.
+        l_null_mask = l[on_left].isna() | l[by_left].isna()
+        l_null = _restore_int_dtypes(
+            l[l_null_mask].copy(), left_schema, plain_cols=set()  # keys hold nulls here
+        )
+        l = l[~l_null_mask]
+        r = r[~(r[on_right].isna() | r[by_right].isna())]
+        # dtype restoration: join keys exact int64 (null-free now),
+        # payload nullable so genuine source nulls survive
+        l = _restore_int_dtypes(l, left_schema, plain_cols={on_left, by_left})
+        r = _restore_int_dtypes(r, right_schema, plain_cols={on_right, by_right})
         l = l.sort_values(on_left, kind="mergesort").reset_index(drop=True)
         r = (
             r.sort_values([on_right] + [c for c in right_cols if c != on_right], kind="mergesort")
@@ -127,6 +150,11 @@ def asof_join_bucketed(
             merged = pd.merge_asof(
                 l, r, left_on=on_left, right_on=on_right,
                 left_by=by_left, right_by=by_right, direction=direction,
+            )
+        if len(l_null):
+            merged = pd.concat(
+                [merged, l_null.assign(**{c: None for c in right_cols})],
+                ignore_index=True,
             )
         out = merged[[f.name for f in output_schema]]
         return pa.Table.from_pandas(out, preserve_index=False, schema=output_schema).replace_schema_metadata(None)
@@ -193,20 +221,11 @@ def range_join_chunked(
     volume = left once + right × (avg chunks per interval); intervals
     spanning the whole axis replicate everywhere — keep
     ``num_chunks × max interval width / axis width`` bounded."""
-    def _arrow_schema(ds) -> pa.Schema:
-        s = ds.schema()
-        return getattr(s, "base_schema", s)
-
-    left_schema = _arrow_schema(left)
-    right_schema = _arrow_schema(right)
+    left_schema = _dataset_schema(left)
+    right_schema = _dataset_schema(right)
     left_cols = list(left_schema.names)
     right_cols = list(right_schema.names)
-    shared = set(left_cols) & set(right_cols)
-    if shared:
-        raise ValueError(
-            f"range_join_chunked: left and right share column names {sorted(shared)}; "
-            "rename one side before joining"
-        )
+    _disjoint_or_raise(left_cols, right_cols, "range_join_chunked")
     col_types = {**{f.name: f.type for f in right_schema}, **{f.name: f.type for f in left_schema}}
 
     # ---- pass 1: global [mn, mx] of the left key (tiny partials) ------
@@ -256,16 +275,7 @@ def range_join_chunked(
     rt = right.map_batches(tag_right, batch_format="pyarrow")
 
     all_cols = list(dict.fromkeys(left_cols + right_cols)) + ["__part", "__side"]
-
-    def widen(t: pa.Table) -> pa.Table:
-        arrays, names = [], []
-        for c in all_cols:
-            if c in t.column_names:
-                arrays.append(t.column(c))
-            else:
-                arrays.append(pa.nulls(t.num_rows, type=col_types.get(c, pa.int64())))
-            names.append(c)
-        return pa.Table.from_arrays(arrays, names=names)
+    widen = _make_widen(all_cols, col_types)
 
     combined = lt.map_batches(widen, batch_format="pyarrow").union(
         rt.map_batches(widen, batch_format="pyarrow")
@@ -274,12 +284,10 @@ def range_join_chunked(
     def per_chunk(df: pd.DataFrame) -> pa.Table:
         l = df[df["__side"] == 0][left_cols].copy()
         r = df[df["__side"] == 1][right_cols].copy()
-        for f in left_schema:
-            if pa.types.is_integer(f.type):
-                l[f.name] = l[f.name].astype("int64")
-        for f in right_schema:
-            if pa.types.is_integer(f.type):
-                r[f.name] = r[f.name].astype("int64")
+        # keys are NaN-filtered in tag_left/tag_right; payload int
+        # columns may carry genuine source nulls → nullable Int64
+        l = _restore_int_dtypes(l, left_schema, plain_cols={on_left})
+        r = _restore_int_dtypes(r, right_schema, plain_cols={lo_right, hi_right})
         if not len(l) or not len(r):
             return empty
         order = np.argsort(l[on_left].to_numpy(), kind="stable")
@@ -319,8 +327,16 @@ def hash_semi_join(left, right, *, left_key: str, right_key: str,
     with the matching key set and each partition resolves membership
     with a vectorized ``isin``.  Right payload columns never shuffle;
     left rows ship exactly once.  Left columns pass through unchanged.
-    """
-    left_cols = [c for c in left.schema().names]
+
+    Null semantics: null RIGHT keys are ignored (the SQL ``NOT IN``
+    null-poisoning rule — one null makes NOT IN empty — is deliberately
+    not reproduced); a null LEFT key matches nothing, so it drops under
+    semi and survives under anti."""
+    left_schema = _dataset_schema(left)
+    left_cols = list(left_schema.names)
+    left_types = {f.name: f.type for f in left_schema}  # plain dict —
+    # closures must NOT capture the left Dataset (it would pickle the
+    # whole plan into right-side tasks and run ds.schema() on workers)
 
     def left_side(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -328,10 +344,14 @@ def hash_semi_join(left, right, *, left_key: str, right_key: str,
         ).append_column("__side", pa.array(np.ones(t.num_rows, dtype=np.int8)))
 
     def right_keys(t: pa.Table) -> pa.Table:
-        ks = np.unique(t.column(right_key).cast(pa.int64()).to_numpy(zero_copy_only=False))
+        col = t.column(right_key)
+        col = (col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col).drop_null()
+        # drop nulls BEFORE the numpy round trip: a null would float64
+        # the whole array and desync __k's dtype across the union
+        ks = np.unique(col.cast(pa.int64()).to_numpy(zero_copy_only=False))
         n = len(ks)
-        cols = {c: pa.nulls(n, type=left.schema().types[left_cols.index(c)]) for c in left_cols}
-        cols["__k"] = pa.array(ks)
+        cols = {c: pa.nulls(n, type=left_types[c]) for c in left_cols}
+        cols["__k"] = pa.array(ks, type=pa.int64())
         cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
         return pa.table(cols)
 
@@ -425,6 +445,11 @@ def hash_semi_join_bloom(left, right, *, left_key: str, right_key: str,
 
     bloom_words, mb, kk = build_key_bloom(right, right_key, m_bits=m_bits, k=k)
     bloom_ref = ray.put((bloom_words, mb, kk))
+    if anti:
+        # both output branches (definite keepers + exchange slice) read
+        # the left side — materialize once so its upstream pipeline
+        # does not execute twice (object-store spill beats a re-read)
+        left = left.materialize()
 
     def split(maybe: bool):
         def fn(t: pa.Table) -> pa.Table:

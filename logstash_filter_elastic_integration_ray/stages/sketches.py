@@ -43,17 +43,17 @@ from .aggregate import add_partition_col
 
 def token_count_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-batch (token, cnt) partials: split on single spaces (the
-    exact twin of DuckDB ``unnest(string_split(text, ' '))``) and count
-    with ONE vectorized ``value_counts`` over the whole batch."""
-    texts = batch.column(text_col).to_pylist()
-    toks: list[str] = []
-    for t in texts:
-        if t is not None:
-            toks.extend(t.split(" "))
-    if not toks:
+    exact twin of DuckDB ``unnest(string_split(text, ' '))``) with one
+    Arrow kernel and count with ONE vectorized ``value_counts``."""
+    import pyarrow.compute as pc
+
+    col = batch.column(text_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = pc.list_flatten(pc.split_pattern(col.drop_null(), " "))
+    if not len(flat):
         return pa.table({"token": pa.array([], type=pa.string()),
                          "cnt": pa.array([], type=pa.int64())})
-    vc = pd.Series(toks, dtype=object).value_counts(sort=False)
+    vc = pd.Series(flat.to_pandas(), dtype=object).value_counts(sort=False)
     return pa.table({
         "token": pa.array(vc.index.to_numpy(dtype=object), type=pa.string()),
         "cnt": pa.array(vc.to_numpy().astype(np.int64)),
@@ -305,8 +305,11 @@ def exact_quantiles(ds, col: str, qs: list[float], num_bins: int = 4096,
 # ---------------------------------------------------------------------------
 
 #: Lehmer-style sampling hash modulus/multiplier — small enough that
-#: ``id * MULT`` stays exact in BIGINT, so the DuckDB twin
-#: ``(id * 48271) % 65537 < floor(rate * 65537)`` matches bit-for-bit
+#: ``id * MULT`` stays exact in BIGINT.  numpy's ``%`` is always
+#: non-negative while SQL's keeps the dividend's sign, so the DuckDB
+#: twin must spell the canonical non-negative mod
+#: ``((id * 48271) % 65537 + 65537) % 65537 < floor(rate * 65537)``
+#: to match bit-for-bit for negative ids too
 _SAMPLE_MULT = 48271
 _SAMPLE_MOD = 65537
 
@@ -355,11 +358,17 @@ def group_quantiles(ds, key: str, col: str, qs: list[float], names: list[str],
         raise ValueError("qs and names must pair up")
 
     def per_part(df: pd.DataFrame) -> pa.Table:
+        in_key_dtype, in_col_dtype = df[key].dtype, df[col].dtype
         df = df[[key, col]].dropna()
         if not len(df):
-            cols = {key: pa.array([], type=pa.string())}
-            cols.update({n: pa.array([], type=pa.float64()) for n in names})
-            return pa.table(cols)
+            # dtypes must match what non-empty partitions infer, or the
+            # dataset's blocks disagree on schema (int64 key/value runs
+            # would collide with a hardcoded string/float64 empty)
+            empty = pd.DataFrame(
+                {key: pd.Series(dtype=in_key_dtype),
+                 **{n: pd.Series(dtype=in_col_dtype) for n in names}}
+            )
+            return pa.Table.from_pandas(empty, preserve_index=False).replace_schema_metadata(None)
         df = df.sort_values([key, col], kind="mergesort")
         k = df[key].to_numpy()
         v = df[col].to_numpy()

@@ -250,7 +250,12 @@ def tfidf_topk_batch(batch: pa.Table, df_ref, k: int = 3,
         .size()
         .reset_index(name="tf")
     )
-    tf["df"] = tf["token"].map(dfmap).astype(np.int64)
+    # tokens absent from the broadcast df map (a batch stream that is
+    # not exactly the corpus the map was built from) cannot be scored —
+    # drop them instead of crashing on the NaN→int cast
+    tf["df"] = tf["token"].map(dfmap)
+    tf = tf[tf["df"].notna()].copy()
+    tf["df"] = tf["df"].astype(np.int64)
     tf["score"] = tf["tf"].to_numpy(dtype=np.float64) / tf["df"].to_numpy(dtype=np.float64)
     tf = tf.sort_values(["doc_id", "score", "token"], ascending=[True, False, True], kind="mergesort")
     tf["rank"] = tf.groupby("doc_id", sort=False).cumcount() + 1

@@ -620,3 +620,53 @@ class TestReviewFixesRound3Late:
                     if int(token_bucket([t], 1024)[0]) not in present)
         out = lookup_terms(layout, [term], num_buckets=1024).take_all()
         assert out == []
+
+
+class TestJoinNullKeys:
+    def test_semi_anti_with_null_keys_both_sides(self, ray_session):
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.joins import hash_semi_join
+
+        left = pa.table({
+            "k": pa.array([1, 2, None, 4], type=pa.int64()),
+            "v": pa.array([10, 20, 30, 40], type=pa.int64()),
+        })
+        right = pa.table({"fk": pa.array([2, None, 99], type=pa.int64())})
+        lds, rds = rd.from_arrow(left).repartition(2), rd.from_arrow(right).repartition(2)
+        semi = sorted(r["v"] for r in hash_semi_join(
+            lds, rds, left_key="k", right_key="fk", num_partitions=3).take_all())
+        anti = sorted(r["v"] for r in hash_semi_join(
+            lds, rds, left_key="k", right_key="fk", anti=True, num_partitions=3).take_all())
+        # null right key ignored; null left key matches nothing
+        assert semi == [20]
+        assert anti == [10, 30, 40]
+
+    def test_asof_null_on_keys(self, ray_session):
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.joins import asof_join_bucketed
+
+        left = pa.table({
+            "lk": pa.array([1, 1, 2], type=pa.int64()),
+            "lt": pa.array([10, None, 30], type=pa.int64()),
+        })
+        right = pa.table({
+            "rk": pa.array([1, 1, 2], type=pa.int64()),
+            "rt": pa.array([5, None, 25], type=pa.int64()),
+            "pay": pa.array([100, 200, None], type=pa.int64()),
+        })
+        schema = pa.schema([
+            ("lk", pa.int64()), ("lt", pa.int64()),
+            ("rt", pa.int64()), ("pay", pa.int64()),
+        ])
+        out = asof_join_bucketed(
+            rd.from_arrow(left), rd.from_arrow(right),
+            on_left="lt", on_right="rt", by_left="lk", by_right="rk",
+            num_partitions=2, output_schema=schema,
+        ).take_all()
+        rows = {(r["lk"], r["lt"]): (r["rt"], r["pay"]) for r in out}
+        assert len(out) == 3                     # left-preserving incl. the null-key row
+        assert rows[(1, 10)] == (5, 100)         # matched; null-rt right row dropped
+        assert rows[(1, None)] == (None, None)   # null on-key bypasses with null payload
+        assert rows[(2, 30)] == (25, None)       # null int PAYLOAD survives (no crash)
