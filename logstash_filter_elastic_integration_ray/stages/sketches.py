@@ -459,3 +459,123 @@ def hll_distinct(ds, col: str, *, p: int = 12) -> float:
     for r in rows:
         regs = np.maximum(regs, np.frombuffer(r["regs"], dtype=np.uint8))
     return hll_estimate(regs)
+
+
+# ---------------------------------------------------------------------------
+# KLL-style mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+
+class KllSketch:
+    """Mergeable quantile sketch in the KLL style (public Karnin–Lang–
+    Liberty formulation): a ladder of levels where level h holds items
+    each representing 2^h originals; a full level sorts and keeps every
+    other element (random offset), promoting the survivors.
+
+    This is the ONE-PASS scale path beside :func:`exact_quantiles`
+    (which needs 3 streaming passes): per-batch sketches are tiny
+    (O(k log n) items), merge is associative, and rank error is
+    bounded-probability O(1/k) — property-tested, not oracle-exact, so
+    like Misra-Gries / HLL it ships without a driver query.
+
+    Determinism: compaction offsets come from a counter-seeded Lehmer
+    sequence, so a sketch built from the same items in the same order
+    is reproducible; merge ORDER changes the sketch (not the bound),
+    which is the standard trade for mergeability."""
+
+    __slots__ = ("k", "levels", "n", "_rng_state")
+
+    def __init__(self, k: int = 200):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.n = 0
+        self._rng_state = np.uint64(0x9E3779B97F4A7C15)
+
+    def _coin(self) -> int:
+        # deterministic coin: MINSTD step over an internal counter
+        self._rng_state = (self._rng_state * np.uint64(6364136223846793005)
+                           + np.uint64(1442695040888963407))
+        return int(self._rng_state >> np.uint64(63))
+
+    def _capacity(self, h: int) -> int:
+        # geometrically decaying capacities, floor 8
+        c = int(np.ceil(self.k * (2.0 / 3.0) ** (len(self.levels) - 1 - h)))
+        return max(c, 8)
+
+    def update_many(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+
+    def _compress(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            if len(self.levels[h]) > self._capacity(h):
+                buf = np.sort(self.levels[h])
+                off = self._coin()
+                promoted = buf[off::2]
+                self.levels[h] = np.empty(0, dtype=np.float64)
+                if h + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                self.levels[h + 1] = np.concatenate([self.levels[h + 1], promoted])
+            h += 1
+
+    def merge(self, other: "KllSketch") -> "KllSketch":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for h, lvl in enumerate(other.levels):
+            self.levels[h] = np.concatenate([self.levels[h], lvl])
+        self.n += other.n
+        self._compress()
+        return self
+
+    def quantile(self, q: float) -> float:
+        items = np.concatenate(self.levels)
+        weights = np.concatenate(
+            [np.full(len(lvl), 1 << h, dtype=np.int64) for h, lvl in enumerate(self.levels)]
+        )
+        order = np.argsort(items)
+        items, weights = items[order], weights[order]
+        cum = np.cumsum(weights)
+        target = max(1, int(np.ceil(float(q) * self.n)))
+        idx = int(np.searchsorted(cum, target, side="left"))
+        return float(items[min(idx, len(items) - 1)])
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.k, self.n, [lvl.tobytes() for lvl in self.levels]))
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "KllSketch":
+        import pickle
+
+        k, n, raw = pickle.loads(blob)
+        s = cls(k)
+        s.n = n
+        s.levels = [np.frombuffer(b, dtype=np.float64).copy() for b in raw]
+        return s
+
+
+def kll_quantiles(ds, col: str, qs: list[float], *, k: int = 200) -> dict[float, float]:
+    """One-pass approximate quantiles: per-batch KLL partial sketches
+    (one small blob per batch — the only thing that moves), merged on
+    the driver.  Use when the input cannot be re-executed for
+    :func:`exact_quantiles`' three passes."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = KllSketch(k)
+        s.update_many(t.column(col).to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"sk": pa.array([s.to_bytes()], type=pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = KllSketch(k)
+    for r in rows:
+        merged.merge(KllSketch.from_bytes(r["sk"]))
+    if merged.n == 0:
+        raise ValueError("kll_quantiles: no non-null values")
+    return {float(q): merged.quantile(q) for q in qs}

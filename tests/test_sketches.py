@@ -338,3 +338,66 @@ class TestBloomSemiJoin:
         fresh = rng.integers(2**62, 2**63 - 1, size=5000).astype(np.int64)
         fp = bloom_test(fresh, (words, m_bits, k)).mean()
         assert fp < 0.05
+
+
+class TestKllSketch:
+    def test_rank_error_bound(self):
+        from logstash_filter_elastic_integration_ray.stages.sketches import KllSketch
+
+        rng = np.random.default_rng(13)
+        vals = rng.normal(size=200_000)
+        s = KllSketch(k=200)
+        for chunk in np.array_split(vals, 40):
+            s.update_many(chunk)
+        srt = np.sort(vals)
+        n = len(vals)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            est = s.quantile(q)
+            # rank of the estimate must be within ~2% of the target
+            rank = np.searchsorted(srt, est) / n
+            assert abs(rank - q) < 0.02, (q, rank)
+
+    def test_merge_preserves_bound_and_counts(self):
+        from logstash_filter_elastic_integration_ray.stages.sketches import KllSketch
+
+        rng = np.random.default_rng(7)
+        a_vals, b_vals = rng.uniform(size=50_000), rng.uniform(10, 11, size=50_000)
+        a, b = KllSketch(200), KllSketch(200)
+        a.update_many(a_vals)
+        b.update_many(b_vals)
+        a.merge(b)
+        assert a.n == 100_000
+        # median of the merged stream sits at the boundary between the
+        # two disjoint value ranges
+        med = a.quantile(0.5)
+        assert 0.9 < med < 10.1
+        srt = np.sort(np.concatenate([a_vals, b_vals]))
+        rank = np.searchsorted(srt, med) / len(srt)
+        assert abs(rank - 0.5) < 0.03
+
+    def test_roundtrip_and_determinism(self):
+        from logstash_filter_elastic_integration_ray.stages.sketches import KllSketch
+
+        rng = np.random.default_rng(3)
+        vals = rng.normal(size=30_000)
+        s1, s2 = KllSketch(128), KllSketch(128)
+        s1.update_many(vals)
+        s2.update_many(vals)
+        # same items, same order -> identical sketch (deterministic coins)
+        assert all(np.array_equal(x, y) for x, y in zip(s1.levels, s2.levels))
+        back = KllSketch.from_bytes(s1.to_bytes())
+        assert back.n == s1.n and back.quantile(0.5) == s1.quantile(0.5)
+
+    def test_distributed_partials(self, ray_session):
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.sketches import kll_quantiles
+
+        rng = np.random.default_rng(17)
+        vals = rng.exponential(size=80_000)
+        t = pa.table({"v": pa.array(vals)})
+        qs = kll_quantiles(rd.from_arrow(t).repartition(9), "v", [0.5, 0.9], k=200)
+        srt = np.sort(vals)
+        for q, est in qs.items():
+            rank = np.searchsorted(srt, est) / len(vals)
+            assert abs(rank - q) < 0.03, (q, rank)
