@@ -886,6 +886,22 @@ def q_curriculum_docs(sf_dir: str):
     return curriculum_bins(quality, thr, score_col="stop_ratio")
 
 
+def q_audio_features_docs(sf_dir: str):
+    """Audio-column plumbing with REAL math: payloads interpreted as
+    PCM16, features via an actor-pool stage (RMS/ZCR/peak are genuine
+    vectorized waveform computations — only sample-count/duration are
+    SQL-expressible, so the oracle projects those; the full feature
+    set is pinned by pytest)."""
+    from logstash_filter_elastic_integration_ray.stages.multimodal import (
+        attach_binary_payload,
+        audio_feature_stage,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    payloads = docs.map_batches(attach_binary_payload, batch_format="pyarrow")
+    return audio_feature_stage(payloads).select_columns(["doc_id", "n_samples", "duration_s"])
+
+
 def q_multimodal_meta(sf_dir: str):
     from logstash_filter_elastic_integration_ray.stages.multimodal import decode_stage
 
@@ -1327,6 +1343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": q_customers_no_orders,
         "customers_with_orders": q_customers_with_orders,
         "term_postings_docs": q_term_postings_docs,
+        "audio_features_docs": q_audio_features_docs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "q1_pricing": q_q1_pricing,
@@ -1690,6 +1707,10 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(q.qe, e.embedding) AS cos FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.qid), "
             "ranked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM sims) "
             "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5"
+        ),
+        "audio_features_docs": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples, "
+            "CAST(octet_length(encode(text)) // 2 AS DOUBLE) / 16000 AS duration_s FROM documents"
         ),
         "multimodal_meta": (
             "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "

@@ -256,3 +256,66 @@ def frame_sample_stage(ds, *, frame_size: int = FRAME_SIZE, stride: int = FRAME_
         batch_format="pyarrow",
         batch_size=1024,
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: PCM16 waveform features (REAL math — no codec library needed)
+# ---------------------------------------------------------------------------
+
+
+class PcmAudioFeatures:
+    """Actor-pool audio feature stage over raw PCM16 payloads.
+
+    Unlike the image decoders above, nothing here is faked: a payload
+    is interpreted as little-endian int16 samples and the features are
+    genuine vectorized waveform math (RMS, zero-crossing rate, peak).
+    Codec decode (mp3/flac → PCM) would slot in front of this stage as
+    another actor pool; raw PCM needs no library.  ``__init__`` holds
+    the per-actor state (sample rate, normalization constant) — the
+    one-time-setup contract every stateful stage here follows."""
+
+    def __init__(self, sample_rate: int = 16000):
+        self.rate = int(sample_rate)
+        self.scale = np.float64(1 << 15)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        n = len(payloads)
+        n_samples = np.zeros(n, dtype=np.int64)
+        rms = np.zeros(n, dtype=np.float64)
+        zcr = np.zeros(n, dtype=np.float64)
+        peak = np.zeros(n, dtype=np.float64)
+        for i, raw in enumerate(payloads):
+            raw = raw or b""
+            w = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype="<i2").astype(np.float64)
+            n_samples[i] = len(w)
+            if len(w):
+                w = w / self.scale
+                rms[i] = float(np.sqrt(np.mean(w * w)))
+                peak[i] = float(np.max(np.abs(w)))
+                if len(w) > 1:
+                    zcr[i] = float(np.mean(np.signbit(w[1:]) != np.signbit(w[:-1])))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_samples": pa.array(n_samples),
+                "duration_s": pa.array(n_samples / np.float64(self.rate)),
+                "rms": pa.array(rms),
+                "zero_cross_rate": pa.array(zcr),
+                "peak": pa.array(peak),
+            }
+        )
+
+
+def audio_feature_stage(ds, *, sample_rate: int = 16000, batch_size: int = 1024,
+                        concurrency=(2, 4)):
+    """Binary audio payloads → per-row waveform features via an actor
+    pool (per-actor setup in ``__init__``, small batches for large
+    payloads — the same shape as the image stages)."""
+    return ds.map_batches(
+        PcmAudioFeatures,
+        fn_constructor_kwargs={"sample_rate": sample_rate},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -670,3 +670,40 @@ class TestJoinNullKeys:
         assert rows[(1, 10)] == (5, 100)         # matched; null-rt right row dropped
         assert rows[(1, None)] == (None, None)   # null on-key bypasses with null payload
         assert rows[(2, 30)] == (25, None)       # null int PAYLOAD survives (no crash)
+
+
+class TestAudioFeatures:
+    def test_pcm_math_matches_plain_python(self, ray_session):
+        import struct
+
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.multimodal import (
+            PcmAudioFeatures,
+            audio_feature_stage,
+        )
+
+        rng = np.random.default_rng(23)
+        waves = [rng.integers(-32768, 32767, size=m).astype(np.int16) for m in (0, 1, 500, 1601)]
+        payloads = [w.tobytes() for w in waves]
+        payloads[-1] += b"\x07"  # trailing odd byte must be ignored
+        t = pa.table({
+            "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+        out = {r["doc_id"]: r for r in audio_feature_stage(
+            rd.from_arrow(t), concurrency=2, batch_size=2).take_all()}
+        for i, w in enumerate(waves):
+            r = out[i]
+            assert r["n_samples"] == len(w)
+            assert r["duration_s"] == len(w) / 16000
+            f = w.astype(np.float64) / 32768.0
+            if len(w):
+                assert abs(r["rms"] - np.sqrt(np.mean(f * f))) < 1e-12
+                assert r["peak"] == np.max(np.abs(f))
+            if len(w) > 1:
+                exp_zcr = np.mean(np.signbit(f[1:]) != np.signbit(f[:-1]))
+                assert abs(r["zero_cross_rate"] - exp_zcr) < 1e-12
+        # direct batch call agrees with the actor-pool path
+        direct = PcmAudioFeatures()(t)
+        assert direct.num_rows == 4
