@@ -90,11 +90,18 @@ def _docs(sf_dir: str):
 
 def _cache_tag(sf_dir: str) -> str:
     """Collision-safe /tmp cache key: leaf name + a hash of the FULL
-    path (two sf dirs with the same leaf must not share a cache)."""
+    path AND a content fingerprint (file names/sizes/mtimes), so
+    regenerating the source data in place invalidates derived caches
+    instead of silently serving stale JSONL/CSV/IVF/postings."""
+    import glob as _glob
     import hashlib as _hl
 
     p = _os.path.abspath(sf_dir)
-    return f"{_os.path.basename(_os.path.normpath(p))}-{_hl.md5(p.encode()).hexdigest()[:8]}"
+    h = _hl.md5(p.encode())
+    for f in sorted(_glob.glob(_os.path.join(p, "*.parquet"))):
+        st = _os.stat(f)
+        h.update(f"{_os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return f"{_os.path.basename(_os.path.normpath(p))}-{h.hexdigest()[:10]}"
 
 
 def _pipe_processor(pipeline_def: dict) -> EventProcessor:
@@ -797,7 +804,10 @@ def q_quality_filter_docs(sf_dir: str):
     from logstash_filter_elastic_integration_ray.stages.textstats import quality_batch
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    quality = docs.map_batches(quality_batch, batch_format="pyarrow")
+    # materialize the THIN score projection once — exact_quantiles makes
+    # 3 streaming passes plus the final filter pass, and re-running the
+    # per-row quality kernel over full text 4x would dominate
+    quality = docs.map_batches(quality_batch, batch_format="pyarrow").materialize()
     thr = float(exact_quantiles(quality, "stop_ratio", [0.75])["value"].iloc[0])
 
     def keep(t: pa.Table) -> pa.Table:
@@ -881,7 +891,9 @@ def q_curriculum_docs(sf_dir: str):
     from logstash_filter_elastic_integration_ray.stages.textstats import quality_batch
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    quality = docs.map_batches(quality_batch, batch_format="pyarrow")
+    # thin projection materialized once (4 consumers: 3 quantile passes
+    # + the bucket-assign pass) — see q_quality_filter_docs
+    quality = docs.map_batches(quality_batch, batch_format="pyarrow").materialize()
     thr = exact_quantiles(quality, "stop_ratio", [0.25, 0.5, 0.75])["value"].to_numpy()
     return curriculum_bins(quality, thr, score_col="stop_ratio")
 
@@ -1595,7 +1607,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM h"
         ),
         "dedup_spans_docs": (
-            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks FROM documents), "
             "g AS (SELECT doc_id, i, array_to_string(list_slice(toks, i, i+3), ' ') AS g "
             "  FROM t, LATERAL unnest(generate_series(1, len(toks)-3)) AS u(i)), "
             "dupg AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS c FROM g GROUP BY g) WHERE c >= 2), "
@@ -1608,7 +1620,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.p "
             "  WHERE cov.p IS NULL GROUP BY tok.doc_id) "
             "SELECT d.doc_id, COALESCE(a.cleaned_text, '') AS cleaned_text, "
-            "CAST(len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed "
+            "CAST(len(string_split(COALESCE(d.text, ''), ' ')) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed "
             "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
         "quality_filter_docs": (
@@ -1655,7 +1667,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
         ),
         "token_counts_docs": (
-            "SELECT doc_id, length(string_split(text, ' ')) AS n_tokens FROM documents"
+            "SELECT doc_id, CAST(CASE WHEN text IS NULL THEN 0 ELSE length(string_split(text, ' ')) END AS BIGINT) AS n_tokens FROM documents"
         ),
         "quality_docs": (
             "SELECT doc_id, length(text) AS n_chars_calc, "

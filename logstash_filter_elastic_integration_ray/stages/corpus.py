@@ -148,7 +148,18 @@ def dup_ngram_stats(ds, *, w: int = 4, num_partitions: int = 32,
 def _range_part(batch: pa.Table, key: str, lo: int, hi: int, p: int) -> pa.Table:
     ids = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
     span = max(hi - lo + 1, 1)
-    part = np.clip((ids - lo) * p // span, 0, p - 1)
+    if span <= (1 << 62) // max(p, 1):
+        part = np.clip((ids - lo) * p // span, 0, p - 1)
+    else:
+        # snowflake-scale id ranges: (ids-lo)*p would wrap int64 and
+        # silently break partition monotonicity.  float64 division is
+        # weakly monotone (x*c and x/c are monotone for positive c),
+        # which is ALL the scan needs — boundary rounding merely moves
+        # a few rows to the neighboring contiguous chunk.
+        part = np.clip(
+            np.floor((ids - lo).astype(np.float64) * (p / span)).astype(np.int64),
+            0, p - 1,
+        )
     return batch.append_column("__part", pa.array(part))
 
 
