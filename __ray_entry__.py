@@ -898,6 +898,21 @@ def q_curriculum_docs(sf_dir: str):
     return curriculum_bins(quality, thr, score_col="stop_ratio")
 
 
+def q_group_topk_docs(sf_dir: str):
+    """Per-group top-k retention: keep each language's 3 longest docs
+    (``n_chars`` desc, ``doc_id`` tiebreak) with the within-group rank.
+    Two-phase — per-batch local top-k caps any hot key at k rows per
+    upstream block before the single co-partition
+    (stages/corpus.py:group_topk)."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import group_topk
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return group_topk(docs, key="lang", score_col="n_chars", k=3,
+                      tie_col="doc_id", rank_col="rk")
+
+
 def q_audio_features_docs(sf_dir: str):
     """Audio-column plumbing with REAL math: payloads interpreted as
     PCM16, features via an actor-pool stage (RMS/ZCR/peak are genuine
@@ -1352,6 +1367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_docs": q_quality_filter_docs,
         "mixture_docs": q_mixture_docs,
         "curriculum_docs": q_curriculum_docs,
+        "group_topk_docs": q_group_topk_docs,
         "customers_no_orders": q_customers_no_orders,
         "customers_with_orders": q_customers_with_orders,
         "term_postings_docs": q_term_postings_docs,
@@ -1662,6 +1678,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, stop_ratio, CAST(CASE WHEN stop_ratio > t75 THEN 3 "
             "WHEN stop_ratio > t50 THEN 2 WHEN stop_ratio > t25 THEN 1 ELSE 0 END AS BIGINT) AS bin "
             "FROM q, t"
+        ),
+        "group_topk_docs": (
+            "SELECT doc_id, lang, n_chars, rk FROM ("
+            "SELECT doc_id, lang, n_chars, "
+            "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk "
+            "FROM documents WHERE n_chars IS NOT NULL) WHERE rk <= 3"
         ),
         "exact_dedup_docs": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"

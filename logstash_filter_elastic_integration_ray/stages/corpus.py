@@ -584,3 +584,86 @@ def curriculum_bins(scored, thresholds: np.ndarray, *, score_col: str,
         )
 
     return scored.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-group top-k retention
+# ---------------------------------------------------------------------------
+
+
+def _topk_select(keys: np.ndarray, score: np.ndarray, tie: np.ndarray, k: int,
+                 ascending: bool):
+    """Indices (into the input arrays) of each group's top-k rows plus
+    their 1-based within-group rank, fully vectorized.
+
+    Order within a group is (score asc|desc, tie asc) — a TOTAL order
+    when ``tie`` is unique, which is what makes the selection (and the
+    SQL ``row_number()`` twin) deterministic.  Descending int64 scores
+    sort by bitwise-NOT (monotone decreasing, no INT64_MIN overflow);
+    floats by negation."""
+    if ascending:
+        skey = score
+    elif np.issubdtype(score.dtype, np.integer):
+        skey = ~score
+    else:
+        skey = -score
+    order = np.lexsort((tie, skey, keys))
+    ks = keys[order]
+    new = np.r_[True, ks[1:] != ks[:-1]]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.r_[starts, len(ks)])
+    rank = np.arange(len(ks), dtype=np.int64) - np.repeat(starts, sizes)
+    keep = rank < k
+    return order[keep], rank[keep] + 1
+
+
+def group_topk(ds, *, key: str, score_col: str, k: int, tie_col: str,
+               ascending: bool = False, rank_col: str | None = None,
+               num_partitions: int = 32):
+    """Keep each group's top-``k`` rows by ``score_col`` (ties broken by
+    ``tie_col`` ascending — pass a unique id so the result is
+    deterministic).  The classic corpus-curation retention op ("keep
+    the best k documents per host/url/lang").
+
+    Two-phase so the exchange never carries the corpus: a per-BATCH
+    local top-k first (a batch forwards at most ``k`` rows per
+    distinct key it holds — a hot key is capped at ``k`` rows per
+    upstream block, so skew cannot widen the shuffle), then one
+    co-partition by key hash and a single vectorized global pass per
+    partition.  Null scores are dropped (mirror the SQL twin with
+    ``WHERE score IS NOT NULL``); null keys form one group of their
+    own, matching SQL ``PARTITION BY``.
+
+    ``rank_col`` (optional) appends the 1-based within-group rank —
+    the exact twin of ``row_number() OVER (PARTITION BY key ORDER BY
+    score DESC, tie ASC)``."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(score_col)))
+        if t.num_rows == 0:
+            return t
+        codes, _ = pd.factorize(t.column(key).to_pandas(), use_na_sentinel=False)
+        score = t.column(score_col).to_numpy(zero_copy_only=False)
+        tie = t.column(tie_col).to_numpy(zero_copy_only=False)
+        idx, _rk = _topk_select(codes, score, tie, k, ascending)
+        return t.take(np.sort(idx))
+
+    def final_topk(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns="__part")
+        codes, _ = pd.factorize(df[key], use_na_sentinel=False)
+        idx, rk = _topk_select(codes, df[score_col].to_numpy(),
+                               df[tie_col].to_numpy(), k, ascending)
+        out = df.iloc[idx]
+        if rank_col is not None:
+            out = out.assign(**{rank_col: rk})
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .map_batches(lambda b: add_partition_col(b, num_partitions, key=key), batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(final_topk, batch_format="pandas")
+    )

@@ -707,3 +707,96 @@ class TestAudioFeatures:
         # direct batch call agrees with the actor-pool path
         direct = PcmAudioFeatures()(t)
         assert direct.num_rows == 4
+
+
+class TestGroupTopk:
+    """group_topk (stages/corpus.py): reference equality vs a plain
+    pandas row_number() implementation, batching invariance, and the
+    null-key / null-score edges."""
+
+    @staticmethod
+    def _reference(df: pd.DataFrame, key, score, tie, k, ascending=False) -> pd.DataFrame:
+        df = df[df[score].notna()].copy()
+        df["_g"] = df[key].fillna("\0null")
+        df = df.sort_values([score, tie], ascending=[ascending, True], kind="mergesort")
+        df["rk"] = df.groupby("_g", sort=False).cumcount() + 1
+        return (
+            df[df["rk"] <= k]
+            .drop(columns="_g")
+            .sort_values([key, "rk"], kind="mergesort", na_position="last")
+            .reset_index(drop=True)
+        )
+
+    def _frame(self):
+        rng = np.random.RandomState(7)
+        n = 400
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "lang": rng.choice(["en", "de", "fr", None], n),
+                # heavy score ties (scores in 0..9) exercise the tiebreak
+                "score": rng.randint(0, 10, n).astype(np.int64),
+            }
+        )
+
+    def test_matches_reference(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.corpus import group_topk
+
+        df = self._frame()
+        # sprinkle null scores: must be dropped
+        df.loc[df.index % 17 == 0, "score"] = pd.NA
+        df["score"] = df["score"].astype("Int64")
+        t = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        ds = ray.data.from_arrow(t)
+        out = (
+            group_topk(ds, key="lang", score_col="score", k=5,
+                       tie_col="doc_id", rank_col="rk", num_partitions=4)
+            .to_pandas()
+            .sort_values(["lang", "rk"], kind="mergesort", na_position="last")
+            .reset_index(drop=True)
+        )
+        ref = self._reference(df, "lang", "score", "doc_id", 5)
+        assert out["doc_id"].tolist() == ref["doc_id"].tolist()
+        assert out["rk"].tolist() == ref["rk"].tolist()
+        assert [x if x is not None else None for x in out["lang"]] == [
+            x if pd.notna(x) else None for x in ref["lang"]
+        ]
+
+    def test_batch_split_invariance(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.corpus import group_topk
+
+        df = self._frame()
+        t = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        results = []
+        for nblocks in (1, 7):
+            ds = ray.data.from_arrow(t).repartition(nblocks)
+            out = group_topk(ds, key="lang", score_col="score", k=3,
+                             tie_col="doc_id", num_partitions=4).to_pandas()
+            results.append(out.sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(results[0], results[1])
+
+    def test_ascending_and_k_larger_than_group(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.corpus import group_topk
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(6, dtype=np.int64),
+                "lang": ["en", "en", "en", "de", "de", "fr"],
+                "score": np.array([5.0, 1.0, 3.0, 2.0, 4.0, 9.0]),
+            }
+        )
+        ds = ray.data.from_pandas(df)
+        out = group_topk(ds, key="lang", score_col="score", k=2, tie_col="doc_id",
+                         ascending=True, rank_col="rk", num_partitions=2).to_pandas()
+        out = out.sort_values(["lang", "rk"]).reset_index(drop=True)
+        # ascending: smallest two per group; fr has 1 < k rows and keeps it
+        assert out[out.lang == "en"]["doc_id"].tolist() == [1, 2]
+        assert out[out.lang == "de"]["doc_id"].tolist() == [3, 4]
+        assert out[out.lang == "fr"]["doc_id"].tolist() == [5]
+        assert out["rk"].tolist() == [1, 2, 1, 2, 1]

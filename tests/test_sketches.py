@@ -401,3 +401,64 @@ class TestKllSketch:
         for q, est in qs.items():
             rank = np.searchsorted(srt, est) / len(vals)
             assert abs(rank - q) < 0.03, (q, rank)
+
+
+class TestCountMin:
+    """cms_build/cms_query (stages/sketches.py): the one-sided
+    guarantee (never undercount), the (e/w)*N error bound on a Zipfian
+    corpus, exact batch-split invariance of the merged table, and
+    weighted counting."""
+
+    @staticmethod
+    def _zipf_tokens(n=20000, v=500, seed=3):
+        rng = np.random.RandomState(seed)
+        ranks = rng.zipf(1.3, size=n) % v
+        return np.array([f"tok{r}" for r in ranks], dtype=object)
+
+    def test_never_undercounts_and_error_bound(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.sketches import cms_build, cms_query
+
+        toks = self._zipf_tokens()
+        ds = ray.data.from_arrow(pa.table({"token": pa.array(toks, type=pa.string())}))
+        d, w = 5, 1 << 12
+        table = cms_build(ds, "token", d=d, w=w)
+        assert int(table[0].sum()) == len(toks)  # every row sums to N
+        uniq, exact = np.unique(toks, return_counts=True)
+        est = cms_query(table, uniq)
+        assert (est >= exact).all(), "CMS must never undercount"
+        bound = np.e / w * len(toks)
+        frac_within = np.mean(est - exact <= bound)
+        # the union bound gives P(err > bound) <= e^-d per item; allow slack
+        assert frac_within >= 0.99
+
+    def test_merged_table_batch_split_invariant(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.sketches import cms_build
+
+        toks = self._zipf_tokens(n=5000)
+        t = pa.table({"token": pa.array(toks, type=pa.string())})
+        tables = []
+        for nblocks in (1, 9):
+            ds = ray.data.from_arrow(t).repartition(nblocks)
+            tables.append(cms_build(ds, "token", d=3, w=1 << 10))
+        assert (tables[0] == tables[1]).all()
+
+    def test_weighted_counts_and_nulls(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.sketches import cms_build, cms_query
+
+        t = pa.table(
+            {
+                "k": pa.array(["a", "b", "a", None, "c"]),
+                "n": pa.array([10, 2, 5, 99, 1], type=pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        table = cms_build(ds, "k", d=4, w=1 << 8, weight_col="n")
+        est = cms_query(table, ["a", "b", "c"])
+        # tiny key space, wide table: estimates are exact; null row excluded
+        assert est.tolist() == [15, 2, 1]
