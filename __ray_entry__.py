@@ -898,6 +898,47 @@ def q_curriculum_docs(sf_dir: str):
     return curriculum_bins(quality, thr, score_col="stop_ratio")
 
 
+def q_running_totals_events(sf_dir: str):
+    """Per-user running count/sum + inter-event gap — the
+    ``SUM()/count(*)/lag() OVER (PARTITION BY … ORDER BY …)`` window
+    surface, via one co-partition by user and a segmented-cumsum pass
+    (stages/windows.py:grouped_running)."""
+    from logstash_filter_elastic_integration_ray.stages.windows import grouped_running
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "cents": pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64()),
+        })
+
+    return grouped_running(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key="user_id", order_cols=["ts", "event_id"], value_col="cents",
+        cnt_col="run_cnt", sum_col="run_sum", gap_col="gap_us",
+        num_partitions=32,
+    )
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact ``count(DISTINCT user_id) GROUP BY event_type`` — the
+    exchange carries only distinct (type, user) pairs per batch
+    (stages/windows.py:distinct_count_by)."""
+    from logstash_filter_elastic_integration_ray.stages.windows import distinct_count_by
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return distinct_count_by(
+        ds, key="event_type", val="user_id", out_col="n_users", num_partitions=16
+    )
+
+
 def q_group_topk_docs(sf_dir: str):
     """Per-group top-k retention: keep each language's 3 longest docs
     (``n_chars`` desc, ``doc_id`` tiebreak) with the within-group rank.
@@ -1368,6 +1409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_docs": q_mixture_docs,
         "curriculum_docs": q_curriculum_docs,
         "group_topk_docs": q_group_topk_docs,
+        "running_totals_events": q_running_totals_events,
+        "distinct_users_by_type": q_distinct_users_by_type,
         "customers_no_orders": q_customers_no_orders,
         "customers_with_orders": q_customers_with_orders,
         "term_postings_docs": q_term_postings_docs,
@@ -1684,6 +1727,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars, "
             "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk "
             "FROM documents WHERE n_chars IS NOT NULL) WHERE rk <= 3"
+        ),
+        "running_totals_events": (
+            "WITH e AS (SELECT event_id, user_id, ts, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT event_id, user_id, ts, cents, "
+            "CAST(count(*) OVER w AS BIGINT) AS run_cnt, "
+            "CAST(sum(cents) OVER w AS BIGINT) AS run_sum, "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "distinct_users_by_type": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY event_type"
         ),
         "exact_dedup_docs": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"

@@ -1,0 +1,212 @@
+"""Per-key ordered window analytics and exact distinct counting.
+
+Two classic engine surfaces the corpus/aggregate stages don't cover:
+
+- **grouped running aggregates** (``SUM(...) OVER (PARTITION BY key
+  ORDER BY ...)`` / ``lag()``): every input row gets an output row, so
+  the exchange necessarily carries the (thin) projected rows once —
+  the minimum any window function must pay.  One co-partition by key
+  hash, then ONE vectorized pass per partition (lexsort + segmented
+  cumsum via group-boundary arithmetic — never a per-group Python
+  loop; see stages/aggregate.py:add_partition_col for why per-group
+  Ray aggregates are ruled out).
+
+- **exact count-distinct per group**: two-phase so the exchange
+  carries *distinct (key, value) pairs per batch*, not rows — a batch
+  with a million repeats of one pair forwards one row.  The final
+  per-partition pass re-distincts and counts in pure Arrow, so exact
+  int64 values (> 2^53) never round-trip through float64.
+
+Reference parity note: the reference engine (a per-event ingest
+processor, EventProcessor.java:91-108) has no window functions; these
+are engine-native wide stages for the training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from logstash_filter_elastic_integration_ray.stages.aggregate import add_partition_col
+
+__all__ = ["grouped_running", "distinct_count_by"]
+
+
+def _order_view(arr: np.ndarray) -> np.ndarray:
+    """Sortable int64/float view of an order column (timestamps →
+    microseconds)."""
+    if arr.dtype.kind == "M":
+        return arr.astype("datetime64[us]").astype(np.int64)
+    return arr
+
+
+def grouped_running(
+    ds,
+    *,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    cnt_col: str = "run_cnt",
+    sum_col: str = "run_sum",
+    gap_col: str | None = "gap",
+    num_partitions: int = 32,
+):
+    """Running (cumulative) count + sum of ``value_col`` per ``key``
+    group in ``order_cols`` order, plus the lag delta of the first
+    order column — the exact twin of::
+
+        count(*)              OVER w  AS cnt_col
+        sum(coalesce(v, 0))   OVER w  AS sum_col
+        order0 - lag(order0)  OVER w  AS gap_col   -- NULL on group firsts
+        WINDOW w AS (PARTITION BY key ORDER BY order0, order1, ...
+                     ROWS UNBOUNDED PRECEDING)
+
+    Determinism: pass order columns whose tuple is UNIQUE per key
+    (e.g. ``[ts, event_id]``) — otherwise the running values at tied
+    rows are order-dependent.  Order columns must be non-null (SQL
+    null-ordering is dialect-dependent; this raises instead of
+    guessing).  ``value_col`` should be int64 for an exactly
+    order-independent sum (convert money to cents upstream); nulls in
+    it contribute 0.  Timestamp order columns emit ``gap_col`` in
+    MICROSECONDS (int64).
+
+    Shape: one co-partition by key hash (every row must meet its
+    group — the irreducible exchange of a window function; project to
+    the needed columns BEFORE calling), then one lexsort + segmented
+    cumsum per partition.  Output = input columns + the appended
+    window columns, one row per input row.
+    """
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_partition_col(t, num_partitions, key=key)
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns="__part")
+        codes, _ = pd.factorize(df[key], use_na_sentinel=False)
+        orders = [df[c].to_numpy() for c in order_cols]
+        for c, a in zip(order_cols, orders):
+            if pd.isna(a).any():
+                raise ValueError(f"grouped_running: null in order column {c!r}")
+        # np.lexsort: LAST key is primary
+        sort_keys = [_order_view(a) for a in reversed(orders)] + [codes]
+        order = np.lexsort(tuple(sort_keys))
+        g = codes[order]
+        new = np.r_[True, g[1:] != g[:-1]]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, len(g)])
+        # 1-based running count: position within group
+        cnt = np.arange(len(g), dtype=np.int64) - np.repeat(starts, sizes) + 1
+        s = pd.to_numeric(df[value_col], errors="raise").fillna(0)
+        # nullable Int64 → plain int64 (null-free after fillna); a
+        # .to_numpy() on the extension dtype would yield object
+        v = s.to_numpy(
+            dtype=np.int64 if pd.api.types.is_integer_dtype(s) else np.float64
+        )
+        vs = v[order]
+        cs = np.cumsum(vs)
+        # segmented cumsum: subtract the running total just before each
+        # group's first element
+        base = np.repeat(np.r_[0, cs[starts[1:] - 1]], sizes)
+        run_sum = cs - base
+        out = df.iloc[order].reset_index(drop=True)
+        out[cnt_col] = cnt
+        out[sum_col] = run_sum
+        if gap_col is not None:
+            o0 = _order_view(orders[0])[order]
+            gap = np.empty(len(g), dtype=np.float64)
+            gap[1:] = (o0[1:] - o0[:-1]).astype(np.float64)
+            gap[new] = np.nan
+            out[gap_col] = pd.array(
+                np.where(np.isnan(gap), None, gap), dtype="Int64"
+            )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def distinct_count_by(
+    ds,
+    *,
+    key: str,
+    val: str,
+    out_col: str = "n_distinct",
+    num_partitions: int = 32,
+):
+    """Exact ``count(DISTINCT val) GROUP BY key`` — SQL semantics: null
+    values don't count (a group whose values are all null reports 0,
+    and still appears), null keys form one group of their own.
+
+    Two-phase: each batch forwards only its DISTINCT (key, val) pairs
+    — a pair repeated a million times in one batch ships once, so a
+    hot pair cannot widen the exchange; the exchange volume is bounded
+    by the global distinct-pair count — then one co-partition by key
+    hash and a per-partition re-distinct + count.  Everything stays
+    Arrow end-to-end: exact int64 (> 2^53) keys and values never pass
+    through pandas float64.
+
+    Dedup is dictionary-encode + one ``np.unique`` over combined
+    codes, NOT Arrow's multi-key ``Table.group_by``: pyarrow 16.1's
+    multi-column grouper emits DUPLICATE groups when a key column
+    holds nulls past a few dozen rows (reproduced: 1000 rows of
+    ``("a", null|1)`` group to 57 rows instead of 2; single-column
+    grouping is unaffected).
+    """
+
+    def _pair_codes(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(key_codes, val_codes, combined) with -1 = null — exact for
+        any dtype because only dictionary INDICES are used."""
+        kcodes = _dict_codes(t.column(key))
+        vcodes = _dict_codes(t.column(val))
+        combined = kcodes * np.int64(len(t) + 2) + vcodes
+        return kcodes, vcodes, combined
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        t = t.select([key, val])
+        if t.num_rows:
+            _, _, combined = _pair_codes(t)
+            _, first = np.unique(combined, return_index=True)
+            t = t.take(np.sort(first))
+        return add_partition_col(t, num_partitions, key=key)
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.select([key, val])
+        kcodes, vcodes, combined = _pair_codes(t)
+        _, first = np.unique(combined, return_index=True)
+        kc, vc = kcodes[first], vcodes[first]
+        # one representative row index per key code (null key included)
+        uk, rep = np.unique(kc, return_index=True)
+        # distinct non-null values per key; all-null groups stay at 0
+        pos = np.searchsorted(uk, kc[vc >= 0])
+        counts = np.bincount(pos, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                key: t.column(key).take(first[rep]),
+                out_col: pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+
+
+def _dict_codes(col) -> np.ndarray:
+    """Dictionary-encode a column to int64 codes with -1 for null —
+    never materializes values through pandas (exact for int64 > 2^53,
+    binary, anything Arrow can dictionary-encode)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    d = pc.dictionary_encode(arr)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    idx = d.indices
+    return pc.fill_null(idx, -1).cast(pa.int64()).to_numpy(zero_copy_only=False)

@@ -1,0 +1,200 @@
+"""grouped_running / distinct_count_by (stages/windows.py): plain
+pandas reference equality, SQL-twin semantics on the null edges,
+exact int64 preservation, and batch-split invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events_frame(n=500, seed=11):
+    rng = np.random.RandomState(seed)
+    ts = np.datetime64("2025-01-01", "us") + rng.randint(
+        0, 10_000_000, n
+    ).astype("timedelta64[us]")
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 40, n).astype(np.int64),
+            "ts": ts,
+            "cents": rng.randint(-50, 200, n).astype(np.int64),
+        }
+    )
+
+
+def _running_reference(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
+    g = df.groupby("user_id", sort=False)
+    df["run_cnt"] = g.cumcount() + 1
+    df["run_sum"] = g["cents"].transform(lambda s: s.fillna(0).cumsum())
+    gap = g["ts"].diff()
+    df["gap"] = pd.array(
+        [None if pd.isna(x) else int(x / np.timedelta64(1, "us")) for x in gap],
+        dtype="Int64",
+    )
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+class TestGroupedRunning:
+    def test_matches_reference(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import grouped_running
+
+        df = _events_frame()
+        ds = ray.data.from_pandas(df).repartition(6)
+        out = (
+            grouped_running(
+                ds, key="user_id", order_cols=["ts", "event_id"],
+                value_col="cents", num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        ref = _running_reference(df)
+        assert out["run_cnt"].tolist() == ref["run_cnt"].tolist()
+        assert out["run_sum"].tolist() == ref["run_sum"].tolist()
+        assert out["gap"].astype("Int64").equals(ref["gap"])
+
+    def test_null_values_contribute_zero(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import grouped_running
+
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(4, dtype=np.int64),
+                "user_id": np.array([1, 1, 1, 1], dtype=np.int64),
+                "ts": pd.to_datetime(["2025-01-01", "2025-01-02", "2025-01-03", "2025-01-04"]),
+                "cents": pd.array([10, None, 5, None], dtype="Int64"),
+            }
+        )
+        out = (
+            grouped_running(
+                ray.data.from_pandas(df), key="user_id",
+                order_cols=["ts", "event_id"], value_col="cents",
+                num_partitions=2,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+        )
+        # null rows still count, contribute 0 to the running sum
+        assert out["run_cnt"].tolist() == [1, 2, 3, 4]
+        assert out["run_sum"].tolist() == [10, 10, 15, 15]
+        assert out["gap"].tolist()[0] is pd.NA or pd.isna(out["gap"].tolist()[0])
+        assert out["gap"].tolist()[1:] == [86400_000_000] * 3
+
+    def test_null_order_col_raises(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import grouped_running
+
+        df = pd.DataFrame(
+            {
+                "event_id": np.array([0, 1], dtype=np.int64),
+                "user_id": np.array([1, 1], dtype=np.int64),
+                "ts": pd.to_datetime(["2025-01-01", None]),
+                "cents": np.array([1, 2], dtype=np.int64),
+            }
+        )
+        with pytest.raises(Exception, match="null in order column"):
+            grouped_running(
+                ray.data.from_pandas(df), key="user_id",
+                order_cols=["ts"], value_col="cents", num_partitions=1,
+            ).to_pandas()
+
+    def test_batch_split_invariance(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import grouped_running
+
+        df = _events_frame(n=300, seed=5)
+        outs = []
+        for nblocks in (1, 9):
+            ds = ray.data.from_pandas(df).repartition(nblocks)
+            out = grouped_running(
+                ds, key="user_id", order_cols=["ts", "event_id"],
+                value_col="cents", num_partitions=4,
+            ).to_pandas().sort_values("event_id").reset_index(drop=True)
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestDistinctCountBy:
+    def test_matches_reference_with_null_edges(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import distinct_count_by
+
+        rng = np.random.RandomState(3)
+        n = 1000
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c", None], n),
+                "v": pd.array(
+                    [None if i % 13 == 0 else int(rng.randint(0, 30)) for i in range(n)],
+                    dtype="Int64",
+                ),
+            }
+        )
+        # an all-null-value group must still appear, with count 0
+        df = pd.concat(
+            [df, pd.DataFrame({"k": ["only-nulls"] * 3, "v": pd.array([None] * 3, dtype="Int64")})],
+            ignore_index=True,
+        )
+        t = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        out = (
+            distinct_count_by(
+                ray.data.from_arrow(t).repartition(7), key="k", val="v",
+                out_col="n_v", num_partitions=4,
+            )
+            .to_pandas()
+        )
+        got = {row["k"]: row["n_v"] for _, row in out.iterrows()}
+        ref = df.groupby("k", dropna=False)["v"].nunique()
+        for k, expect in ref.items():
+            kk = None if pd.isna(k) else k
+            assert got[kk] == expect, (kk, got[kk], expect)
+        assert got["only-nulls"] == 0
+        assert len(got) == len(ref)
+
+    def test_exact_beyond_2_53(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import distinct_count_by
+
+        # two values that collide when rounded through float64
+        big = (1 << 60) + 0
+        t = pa.table(
+            {
+                "k": pa.array(["x"] * 4),
+                "v": pa.array([big, big + 1, big, big + 1], type=pa.int64()),
+            }
+        )
+        out = distinct_count_by(
+            ray.data.from_arrow(t), key="k", val="v", num_partitions=2
+        ).to_pandas()
+        assert out["n_distinct"].tolist() == [2]
+
+    def test_batch_split_invariance(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import distinct_count_by
+
+        rng = np.random.RandomState(8)
+        t = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 20, 800), type=pa.int64()),
+                "v": pa.array(rng.randint(0, 50, 800), type=pa.int64()),
+            }
+        )
+        outs = []
+        for nblocks in (1, 11):
+            out = distinct_count_by(
+                ray.data.from_arrow(t).repartition(nblocks),
+                key="k", val="v", num_partitions=4,
+            ).to_pandas().sort_values("k").reset_index(drop=True)
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
