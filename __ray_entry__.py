@@ -925,6 +925,34 @@ def q_running_totals_events(sf_dir: str):
     )
 
 
+def q_running_totals_scan(sf_dir: str):
+    """Same window semantics as ``running_totals_events`` via the
+    SKEW-SAFE plan: range-partition by the order axis + a distributed
+    per-key prefix exchange, so a hot key spreads across chunks
+    instead of serializing one worker
+    (stages/windows.py:grouped_running_scan)."""
+    from logstash_filter_elastic_integration_ray.stages.windows import grouped_running_scan
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "cents": pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64()),
+        })
+
+    return grouped_running_scan(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key="user_id", order_cols=["ts", "event_id"], value_col="cents",
+        cnt_col="run_cnt", sum_col="run_sum", gap_col="gap_us",
+        num_partitions=32,
+    )
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """Exact ``count(DISTINCT user_id) GROUP BY event_type`` — the
     exchange carries only distinct (type, user) pairs per batch
@@ -1410,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_docs": q_curriculum_docs,
         "group_topk_docs": q_group_topk_docs,
         "running_totals_events": q_running_totals_events,
+        "running_totals_scan": q_running_totals_scan,
         "distinct_users_by_type": q_distinct_users_by_type,
         "customers_no_orders": q_customers_no_orders,
         "customers_with_orders": q_customers_with_orders,
@@ -1729,6 +1758,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE n_chars IS NOT NULL) WHERE rk <= 3"
         ),
         "running_totals_events": (
+            "WITH e AS (SELECT event_id, user_id, ts, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT event_id, user_id, ts, cents, "
+            "CAST(count(*) OVER w AS BIGINT) AS run_cnt, "
+            "CAST(sum(cents) OVER w AS BIGINT) AS run_sum, "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "running_totals_scan": (
             "WITH e AS (SELECT event_id, user_id, ts, "
             "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
             "SELECT event_id, user_id, ts, cents, "

@@ -332,6 +332,45 @@ def run_bench() -> dict:
 
     ivf_probe_scaling()
 
+    # window-function skew stress: events 16× with HALF of all rows on
+    # one user.  The hash plan serializes that key in one partition;
+    # the order-range scan plan spreads it across every chunk — same
+    # answer (both oracle-checked at sf0.01), different critical path.
+    import numpy as np
+
+    hot_path = os.path.join(TRANSCRIPTS_CACHE, f"hot-events-{os.path.basename(SF_DIR)}.parquet")
+    if not os.path.exists(hot_path):
+        base = pq_.read_table(f"{SF_DIR}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+        copies = []
+        for r in range(16):
+            uid = base.column("user_id")
+            if r % 2 == 0:
+                uid = pa_.array(np.full(base.num_rows, 1, dtype=np.int64))
+            copies.append(pa_.table({
+                "event_id": pc_.add(base.column("event_id"), r * 10_000_000),
+                "user_id": uid,
+                "ts": base.column("ts"),
+                "cents": pc_.round(pc_.multiply(base.column("value"), 100.0)).cast(pa_.int64()),
+            }))
+        pq_.write_table(pa_.concat_tables(copies), hot_path + ".tmp")
+        os.replace(hot_path + ".tmp", hot_path)
+
+    def _window_hot(kind):
+        from logstash_filter_elastic_integration_ray.stages.windows import (
+            grouped_running,
+            grouped_running_scan,
+        )
+
+        fn = grouped_running if kind == "hash" else grouped_running_scan
+        hot = read_parquet_clean(hot_path, override_num_blocks=NUM_CPUS * 2)
+        return fn(
+            hot, key="user_id", order_cols=["ts", "event_id"],
+            value_col="cents", num_partitions=NUM_CPUS * 2,
+        ).count()
+
+    timed("window_hotkey_16x_hash", lambda: _window_hot("hash"), reps=2)
+    timed("window_hotkey_16x_scan", lambda: _window_hot("scan"), reps=2)
+
     import __ray_entry__ as entrymod  # untimed: module import registers
     # the package by value (walk + cloudpickle), a one-time setup cost
 

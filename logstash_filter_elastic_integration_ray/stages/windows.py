@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 
 from logstash_filter_elastic_integration_ray.stages.aggregate import add_partition_col
 
-__all__ = ["grouped_running", "distinct_count_by"]
+__all__ = ["grouped_running", "grouped_running_scan", "distinct_count_by"]
 
 
 def _order_view(arr: np.ndarray) -> np.ndarray:
@@ -198,6 +198,281 @@ def distinct_count_by(
         .groupby("__part")
         .map_groups(per_partition, batch_format="pyarrow")
     )
+
+
+_NO_PREV = np.iinfo(np.int64).min  # sentinel: key has no earlier partition
+
+
+def grouped_running_scan(
+    ds,
+    *,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    cnt_col: str = "run_cnt",
+    sum_col: str = "run_sum",
+    gap_col: str | None = "gap",
+    num_partitions: int = 32,
+    bounds: tuple[int, int] | None = None,
+):
+    """Skew-safe twin of :func:`grouped_running` — identical output,
+    different exchange: rows range-partition by the ORDER axis instead
+    of hashing by key, so a hot key (one user holding half the events)
+    spreads across all chunks instead of serializing one worker.
+
+    The classic distributed unbounded-preceding window plan:
+
+    1. range-partition rows into contiguous ``order_cols[0]`` chunks
+       (stages/corpus.py:_range_part — equal order values land in one
+       chunk, so a key's rows are monotone across chunks);
+    2. per-BATCH partials ``(key, chunk, sum, cnt, max_order)`` —
+       sorted ``reduceat``, no shuffle; a hot key adds ≤1 row per
+       batch×chunk;
+    3. per-key exclusive prefix over chunks: partials co-partition by
+       key hash (the ONLY per-key exchange — thin rows bounded by
+       keys × chunks, not data rows) → ``(key, chunk, base_sum,
+       base_cnt, prev_order)``;
+    4. bases union back with the rows (side-tagged, the
+       stages/joins.py co-group trick), co-grouped by CHUNK: one local
+       sorted scan per chunk plus per-key base offsets.
+
+    Driver state is O(1) — the order bounds; nothing per-key or
+    per-row is ever collected.  ``order_cols[0]`` must be int64-like
+    (timestamps compare in microseconds); ``bounds`` (its min, max)
+    skips the bounds pass.  Same semantics contract as
+    :func:`grouped_running`: unique order tuple per key for
+    determinism, non-null order columns, int64 ``value_col`` whose
+    nulls contribute 0, timestamp gaps in microseconds.
+    """
+    from logstash_filter_elastic_integration_ray.stages.corpus import _range_part
+
+    order0 = order_cols[0]
+
+    def _o0_int64(col):
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.int64())
+        return col.cast(pa.int64())
+
+    def project(t: pa.Table) -> pa.Table:
+        for c in order_cols:
+            if t.column(c).null_count:
+                raise ValueError(f"grouped_running_scan: null in order column {c!r}")
+        return t
+
+    ds = ds.map_batches(project, batch_format="pyarrow")
+
+    if bounds is None:
+        ds = ds.materialize()  # consumed by the bounds pass AND the scan
+        stats = ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "lo": pa.array([int(pc.min(_o0_int64(b.column(order0))).as_py())], type=pa.int64()),
+                    "hi": pa.array([int(pc.max(_o0_int64(b.column(order0))).as_py())], type=pa.int64()),
+                }
+            ) if b.num_rows else pa.table({"lo": pa.array([], type=pa.int64()),
+                                           "hi": pa.array([], type=pa.int64())}),
+            batch_format="pyarrow",
+        ).take_all()
+        if not stats:
+            raise ValueError("grouped_running_scan: empty dataset")
+        lo = min(r["lo"] for r in stats)
+        hi = max(r["hi"] for r in stats)
+    else:
+        lo, hi = bounds
+
+    def tag_range(t: pa.Table) -> pa.Table:
+        tmp = t.append_column("__o0int", _o0_int64(t.column(order0)))
+        tmp = _range_part(tmp, "__o0int", lo, hi, num_partitions)
+        return tmp.drop_columns("__o0int")
+
+    # consumed twice: the partials pass and the final co-group
+    parted = ds.map_batches(tag_range, batch_format="pyarrow").materialize()
+
+    def batch_partials(t: pa.Table) -> pa.Table:
+        """Per-(key, chunk) partial (sum, cnt, max_order) for one batch
+        — sorted reduceat keeps int64 sums exact (bincount weights are
+        float64)."""
+        kcodes = _dict_codes(t.column(key))  # ≥ -1; -1 = null key
+        chunk = t.column("__part").to_numpy().astype(np.int64)
+        v = pd.to_numeric(t.column(value_col).to_pandas(), errors="raise").fillna(0).astype(np.int64).to_numpy()
+        o = _o0_int64(t.column(order0)).to_numpy(zero_copy_only=False)
+        comb = (kcodes + 1) * np.int64(num_partitions + 1) + chunk
+        order = np.argsort(comb, kind="stable")
+        cs = comb[order]
+        new = np.r_[True, cs[1:] != cs[:-1]]
+        starts = np.flatnonzero(new)
+        rep = order[starts]
+        return pa.table(
+            {
+                key: t.column(key).take(rep),
+                "__chunk": pa.array(chunk[rep], type=pa.int64()),
+                "s": pa.array(np.add.reduceat(v[order], starts), type=pa.int64()),
+                "c": pa.array(np.diff(np.r_[starts, len(comb)]), type=pa.int64()),
+                "mo": pa.array(np.maximum.reduceat(o[order], starts), type=pa.int64()),
+            }
+        )
+
+    partials = parted.map_batches(batch_partials, batch_format="pyarrow")
+
+    def per_key_prefix(df: pd.DataFrame) -> pa.Table:
+        """Merge one hash-partition's partials and emit, per (key,
+        chunk), the exclusive prefix of (sum, cnt) over the key's
+        earlier chunks plus the key's max order in its latest earlier
+        chunk — everything the final scan needs."""
+        codes, _ = pd.factorize(df[key], use_na_sentinel=False)
+        chunk = df["__chunk"].to_numpy(dtype=np.int64)
+        s = df["s"].to_numpy(dtype=np.int64)
+        c = df["c"].to_numpy(dtype=np.int64)
+        mo = df["mo"].to_numpy(dtype=np.int64)
+        comb = codes.astype(np.int64) * np.int64(num_partitions + 1) + chunk
+        order = np.argsort(comb, kind="stable")
+        cs = comb[order]
+        new = np.r_[True, cs[1:] != cs[:-1]]
+        starts = np.flatnonzero(new)
+        # collapse duplicate (key, chunk) partials from different batches
+        s2 = np.add.reduceat(s[order], starts)
+        c2 = np.add.reduceat(c[order], starts)
+        mo2 = np.maximum.reduceat(mo[order], starts)
+        g2 = codes[order][starts]
+        ch2 = chunk[order][starts]
+        rep = order[starts]
+        # rows are now sorted (key, chunk): segmented exclusive prefix
+        new2 = np.r_[True, g2[1:] != g2[:-1]]
+        starts2 = np.flatnonzero(new2)
+        sizes2 = np.diff(np.r_[starts2, len(g2)])
+        cs_s = np.cumsum(s2)
+        cs_c = np.cumsum(c2)
+        base_s = np.r_[0, cs_s[:-1]] - np.repeat(np.r_[0, cs_s[starts2[1:] - 1]], sizes2)
+        base_c = np.r_[0, cs_c[:-1]] - np.repeat(np.r_[0, cs_c[starts2[1:] - 1]], sizes2)
+        prev_o = np.empty(len(g2), dtype=np.int64)
+        prev_o[0] = _NO_PREV
+        prev_o[1:] = mo2[:-1]
+        prev_o[new2] = _NO_PREV
+        out = df.iloc[rep].reset_index(drop=True)[[key]]
+        out["__part"] = ch2  # range-chunk id — the co-group key below
+        out["base_s"] = base_s
+        out["base_c"] = base_c
+        out["prev_o"] = prev_o
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    kparts = max(4, num_partitions // 4)
+    bases = (
+        partials.map_batches(lambda b: add_partition_col(b, kparts, key=key), batch_format="pyarrow")
+        .repartition(kparts)
+        .groupby("__part")
+        .map_groups(
+            lambda df: per_key_prefix(df.drop(columns="__part")), batch_format="pandas"
+        )
+    )
+
+    row_schema = _dataset_schema_of(parted)
+    row_cols = [n for n in row_schema.names if n != "__part"]
+    wide_order = row_cols + ["__part", "base_s", "base_c", "prev_o", "__side"]
+
+    def widen_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        t = t.append_column("base_s", pa.array(np.zeros(n, dtype=np.int64)))
+        t = t.append_column("base_c", pa.array(np.zeros(n, dtype=np.int64)))
+        t = t.append_column("prev_o", pa.array(np.full(n, _NO_PREV, dtype=np.int64)))
+        t = t.append_column("__side", pa.array(np.zeros(n, dtype=np.int8)))
+        return t.select(wide_order)
+
+    def widen_bases(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for f in row_schema:
+            if f.name == "__part":
+                continue
+            # typed ZERO sentinels, not nulls: a null-bearing int64
+            # column converts to float64 in the final pandas co-group,
+            # silently corrupting exact int64 row values (> 2^53) and
+            # the output schema.  Base rows' row-columns are never
+            # read (__side distinguishes), only their dtype matters.
+            cols[f.name] = (
+                t.column(key).cast(f.type) if f.name == key else _sentinel_array(n, f.type)
+            )
+        cols["__part"] = t.column("__part").cast(pa.int64())
+        for c in ("base_s", "base_c", "prev_o"):
+            cols[c] = t.column(c).cast(pa.int64())
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table({c: cols[c] for c in wide_order})
+
+    combined = parted.map_batches(widen_rows, batch_format="pyarrow").union(
+        bases.map_batches(widen_bases, batch_format="pyarrow")
+    )
+
+    def final_chunk(df: pd.DataFrame) -> pa.Table:
+        rows = df[df["__side"] == 0]
+        bs = df[df["__side"] == 1]
+        # factorize rows' and bases' keys TOGETHER so codes align even
+        # for null keys (Index.get_indexer does not match NaN↔None
+        # reliably across dtypes)
+        codes_all, uniques = pd.factorize(
+            pd.concat([rows[key], bs[key]], ignore_index=True), use_na_sentinel=False
+        )
+        codes = codes_all[: len(rows)]
+        bcodes = codes_all[len(rows):]
+        orders = [rows[c].to_numpy() for c in order_cols]
+        sort_keys = [_order_view(a) for a in reversed(orders)] + [codes]
+        order = np.lexsort(tuple(sort_keys))
+        g = codes[order]
+        new = np.r_[True, g[1:] != g[:-1]]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, len(g)])
+        cnt = np.arange(len(g), dtype=np.int64) - np.repeat(starts, sizes) + 1
+        sv = pd.to_numeric(rows[value_col], errors="raise").fillna(0)
+        v = sv.to_numpy(dtype=np.int64 if pd.api.types.is_integer_dtype(sv) else np.float64)
+        vs = v[order]
+        csum = np.cumsum(vs)
+        local_base = np.repeat(np.r_[0, csum[starts[1:] - 1]], sizes)
+        run_sum = csum - local_base
+        # per-key offsets from the prefix exchange
+        base_s = np.zeros(len(uniques), dtype=np.int64)
+        base_c = np.zeros(len(uniques), dtype=np.int64)
+        prev_o = np.full(len(uniques), _NO_PREV, dtype=np.int64)
+        valid = bcodes >= 0
+        base_s[bcodes[valid]] = bs["base_s"].to_numpy(dtype=np.int64)[valid]
+        base_c[bcodes[valid]] = bs["base_c"].to_numpy(dtype=np.int64)[valid]
+        prev_o[bcodes[valid]] = bs["prev_o"].to_numpy(dtype=np.int64)[valid]
+        cnt = cnt + base_c[g]
+        run_sum = run_sum + base_s[g]
+        out = rows.iloc[order].reset_index(drop=True)
+        out = out.drop(columns=["__part", "base_s", "base_c", "prev_o", "__side"])
+        out[cnt_col] = cnt
+        out[sum_col] = run_sum
+        if gap_col is not None:
+            o0 = _order_view(orders[0])[order]
+            gap = np.empty(len(g), dtype=np.float64)
+            gap[1:] = (o0[1:] - o0[:-1]).astype(np.float64)
+            po = prev_o[g[new]]
+            gap[new] = np.where(po == _NO_PREV, np.nan, (o0[new] - po).astype(np.float64))
+            out[gap_col] = pd.array(np.where(np.isnan(gap), None, gap), dtype="Int64")
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return combined.groupby("__part").map_groups(final_chunk, batch_format="pandas")
+
+
+def _sentinel_array(n: int, typ: pa.DataType) -> pa.Array:
+    """Null-free placeholder column of ``typ`` (zeros / empty strings /
+    epoch timestamps) — used where a null column would degrade the
+    unioned dtype to float64 in pandas."""
+    if pa.types.is_timestamp(typ):
+        return pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()).cast(typ)
+    if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+        return pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()).cast(typ)
+    if pa.types.is_boolean(typ):
+        return pa.array(np.zeros(n, dtype=bool))
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.array([""] * n, type=typ)
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return pa.array([b""] * n, type=typ)
+    return pa.nulls(n, typ)
+
+
+def _dataset_schema_of(ds) -> pa.Schema:
+    s = ds.schema()
+    return s.base_schema if hasattr(s, "base_schema") else s
 
 
 def _dict_codes(col) -> np.ndarray:

@@ -198,3 +198,84 @@ class TestDistinctCountBy:
             ).to_pandas().sort_values("k").reset_index(drop=True)
             outs.append(out)
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestGroupedRunningScan:
+    """grouped_running_scan: exact equality with grouped_running (which
+    is itself pinned to the pandas window reference), hot-key skew,
+    null keys, chunk-count invariance."""
+
+    def _check_equal(self, df, num_partitions_scan, key="user_id"):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import (
+            grouped_running,
+            grouped_running_scan,
+        )
+
+        ds = ray.data.from_pandas(df).repartition(5)
+        kw = dict(key=key, order_cols=["ts", "event_id"], value_col="cents",
+                  gap_col="gap")
+        a = (
+            grouped_running(ds, num_partitions=4, **kw)
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        b = (
+            grouped_running_scan(ds, num_partitions=num_partitions_scan, **kw)
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        for col in ("run_cnt", "run_sum"):
+            assert a[col].tolist() == b[col].tolist(), col
+        assert a["gap"].astype("Int64").equals(b["gap"].astype("Int64"))
+
+    def test_matches_hash_path(self, ray_session):
+        self._check_equal(_events_frame(n=600, seed=21), num_partitions_scan=6)
+
+    def test_hot_key_spreads(self, ray_session):
+        # one user owns 70% of events — the scan path must still agree
+        df = _events_frame(n=500, seed=9)
+        df.loc[df.index[:350], "user_id"] = 7
+        self._check_equal(df, num_partitions_scan=8)
+
+    def test_single_chunk_and_many_chunks_agree(self, ray_session):
+        df = _events_frame(n=200, seed=2)
+        self._check_equal(df, num_partitions_scan=1)
+        self._check_equal(df, num_partitions_scan=17)
+
+    def test_string_key_with_nulls(self, ray_session):
+        rng = np.random.RandomState(4)
+        n = 300
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.choice(["a", "b", None], n),
+                "ts": np.datetime64("2025-02-01", "us")
+                + rng.randint(0, 1_000_000, n).astype("timedelta64[us]"),
+                "cents": rng.randint(0, 100, n).astype(np.int64),
+            }
+        )
+        self._check_equal(df, num_partitions_scan=5, key="user_id")
+
+    def test_explicit_bounds_and_null_order_raises(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import grouped_running_scan
+
+        df = _events_frame(n=100, seed=1)
+        lo = int(df["ts"].min().value // 1000)
+        hi = int(df["ts"].max().value // 1000)
+        out = grouped_running_scan(
+            ray.data.from_pandas(df), key="user_id",
+            order_cols=["ts", "event_id"], value_col="cents",
+            num_partitions=4, bounds=(lo, hi),
+        ).to_pandas()
+        assert len(out) == len(df)
+
+        df2 = df.copy()
+        df2.loc[0, "ts"] = pd.NaT
+        with pytest.raises(Exception, match="null in order column"):
+            grouped_running_scan(
+                ray.data.from_pandas(df2), key="user_id",
+                order_cols=["ts", "event_id"], value_col="cents",
+                num_partitions=4,
+            ).to_pandas()
