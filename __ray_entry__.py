@@ -982,6 +982,45 @@ def q_group_topk_docs(sf_dir: str):
                       tie_col="doc_id", rank_col="rk")
 
 
+def q_curation_pipeline_docs(sf_dir: str):
+    """END-TO-END curation composition — four distributed operators
+    chained the way a real training-data pipeline would run them, each
+    exchange staying thin:
+
+    1. exact dedup (hash partials; stages/dedup.py:exact_dedup) →
+       survivor ids,
+    2. distributed SEMI JOIN of the corpus against the survivors
+       (both sides large — ids only through the exchange;
+       stages/joins.py:hash_semi_join),
+    3. token-count quality gate (vectorized split-count ≥ 8,
+       the ``len(string_split(text, ' '))`` twin),
+    4. GPT-style sequence packing over the filtered corpus
+       (distributed ordered prefix sum; stages/corpus.py:pack_docs).
+
+    One SQL oracle covers the whole composition."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import pack_docs
+    from logstash_filter_elastic_integration_ray.stages.dedup import exact_dedup
+    from logstash_filter_elastic_integration_ray.stages.joins import hash_semi_join
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    survivors = exact_dedup(docs)  # (content_hash, doc_id)
+    kept = hash_semi_join(
+        docs, survivors.select_columns(["doc_id"]),
+        left_key="doc_id", right_key="doc_id", num_partitions=16,
+    )
+
+    def token_gate(t: pa.Table) -> pa.Table:
+        # len(string_split(text, ' ')): '' counts as one token, NULL
+        # text yields NULL → dropped (matches the SQL predicate)
+        n = pc.add(
+            pc.count_substring(t.column("text"), " "), 1
+        )
+        return t.filter(pc.fill_null(pc.greater_equal(n, 8), False))
+
+    gated = kept.map_batches(token_gate, batch_format="pyarrow")
+    return pack_docs(gated, cap=256)
+
+
 def q_audio_features_docs(sf_dir: str):
     """Audio-column plumbing with REAL math: payloads interpreted as
     PCM16, features via an actor-pool stage (RMS/ZCR/peak are genuine
@@ -1431,6 +1470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_docs": q_tfidf_top_docs,
         "dup_ngram_docs": q_dup_ngram_docs,
         "pack_docs": q_pack_docs,
+        "curation_pipeline_docs": q_curation_pipeline_docs,
         "shuffle_shards_docs": q_shuffle_shards_docs,
         "dedup_spans_docs": q_dedup_spans_docs,
         "quality_filter_docs": q_quality_filter_docs,
@@ -1680,6 +1720,20 @@ def oracle_sql() -> dict[str, str]:
         "pack_docs": (
             "WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents), "
             "o AS (SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS off FROM t), "
+            "b AS (SELECT doc_id, n, off, "
+            "  unnest(generate_series(off // 256, (off + n - 1) // 256)) AS bin FROM o) "
+            "SELECT doc_id, CAST(bin AS BIGINT) AS bin, "
+            "CAST(greatest(0, bin*256 - off) AS BIGINT) AS tok_start, "
+            "CAST(least(n, (bin+1)*256 - off) AS BIGINT) AS tok_end, "
+            "CAST(least(n, (bin+1)*256 - off) - greatest(0, bin*256 - off) AS BIGINT) AS n_toks "
+            "FROM b"
+        ),
+        "curation_pipeline_docs": (
+            "WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), "
+            "keep AS (SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n "
+            "  FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM surv) "
+            "  AND len(string_split(d.text, ' ')) >= 8), "
+            "o AS (SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS off FROM keep), "
             "b AS (SELECT doc_id, n, off, "
             "  unnest(generate_series(off // 256, (off + n - 1) // 256)) AS bin FROM o) "
             "SELECT doc_id, CAST(bin AS BIGINT) AS bin, "
