@@ -953,6 +953,50 @@ def q_running_totals_scan(sf_dir: str):
     )
 
 
+def q_rolling_sum_events(sf_dir: str):
+    """Bounded-frame rolling window: per-user sum/count over the last
+    5 events (``ROWS BETWEEN 4 PRECEDING AND CURRENT ROW``) — a
+    prefix-sum difference inside the same one-pass kernel
+    (stages/windows.py:grouped_running frame_rows)."""
+    from logstash_filter_elastic_integration_ray.stages.windows import grouped_running
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "cents": pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64()),
+        })
+
+    return grouped_running(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key="user_id", order_cols=["ts", "event_id"], value_col="cents",
+        cnt_col="win_cnt", sum_col="win_sum", gap_col=None,
+        num_partitions=32, frame_rows=5,
+    )
+
+
+def q_pivot_events(sf_dir: str):
+    """Long→wide pivot: per-user event counts by type as fixed columns
+    (the ``count(*) FILTER (WHERE …)`` twin).  Two-phase: per-batch
+    bincount partials (one wide row per key per batch), one
+    co-partition + vectorized sum (stages/aggregate.py:pivot_counts)."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import pivot_counts
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return pivot_counts(
+        ds, key="user_id", cat="event_type",
+        categories=["click", "error", "purchase", "signup", "view"],
+        prefix="n_", num_partitions=16,
+    )
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """Exact ``count(DISTINCT user_id) GROUP BY event_type`` — the
     exchange carries only distinct (type, user) pairs per batch
@@ -1479,6 +1523,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topk_docs": q_group_topk_docs,
         "running_totals_events": q_running_totals_events,
         "running_totals_scan": q_running_totals_scan,
+        "rolling_sum_events": q_rolling_sum_events,
+        "pivot_events": q_pivot_events,
         "distinct_users_by_type": q_distinct_users_by_type,
         "customers_no_orders": q_customers_no_orders,
         "customers_with_orders": q_customers_with_orders,
@@ -1830,6 +1876,24 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us "
             "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "rolling_sum_events": (
+            "WITH e AS (SELECT event_id, user_id, ts, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT event_id, user_id, ts, cents, "
+            "CAST(count(*) OVER w AS BIGINT) AS win_cnt, "
+            "CAST(sum(cents) OVER w AS BIGINT) AS win_sum "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+        ),
+        "pivot_events": (
+            "SELECT user_id, "
+            "CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click, "
+            "CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error, "
+            "CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase, "
+            "CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup, "
+            "CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view "
+            "FROM events GROUP BY user_id"
         ),
         "distinct_users_by_type": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "

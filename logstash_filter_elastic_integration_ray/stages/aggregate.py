@@ -243,3 +243,82 @@ def conv_stats_reference(table: pa.Table) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# long → wide pivot
+# ---------------------------------------------------------------------------
+
+
+def pivot_counts(ds, *, key: str, cat: str, categories: list[str],
+                 prefix: str = "n_", num_partitions: int = 32):
+    """Pivot a categorical column into fixed wide count columns — the
+    exact twin of::
+
+        SELECT key,
+               count(*) FILTER (WHERE cat = c0) AS <prefix>c0, ...
+        GROUP BY key
+
+    ``categories`` is the pinned column list (pivot output schemas
+    must be static in a distributed plan — discovering categories at
+    run time would need an extra pass and make the schema
+    data-dependent); rows whose category is not listed (or null)
+    contribute to no column but DO keep their key present, matching
+    the SQL GROUP BY.  Null keys form one group.
+
+    Two-phase: per-batch partials via one ``bincount`` over combined
+    (key, category) codes — a batch emits ONE wide row per distinct
+    key it holds, so the exchange is keys × batches, never rows — then
+    a co-partition by key hash and a vectorized column sum.
+    """
+    ncat = len(categories)
+    if ncat == 0:
+        raise ValueError("pivot_counts: categories must be non-empty")
+    cols = [f"{prefix}{c}" for c in categories]
+    cat_index = {c: i for i, c in enumerate(categories)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        kcol = t.column(key)
+        kcodes, kuniq_first = _first_occurrence_codes(kcol)
+        cvals = t.column(cat).to_pylist()
+        ccodes = np.array([cat_index.get(v, ncat) for v in cvals], dtype=np.int64)
+        nk = len(kuniq_first)
+        counts = np.bincount(
+            kcodes * np.int64(ncat + 1) + ccodes, minlength=nk * (ncat + 1)
+        ).reshape(nk, ncat + 1)
+        out = {key: kcol.take(kuniq_first)}
+        for i, c in enumerate(cols):
+            out[c] = pa.array(counts[:, i], type=pa.int64())
+        return add_partition_col(pa.table(out), num_partitions, key=key)
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(key, sort=False, dropna=False)[cols].sum()
+        out = g.reset_index()
+        t = pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        return pa.table(
+            {key: t.column(key), **{c: t.column(c).cast(pa.int64()) for c in cols}}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def _first_occurrence_codes(col) -> tuple[np.ndarray, np.ndarray]:
+    """Dense 0..k-1 codes (nulls get a code too) plus the first
+    occurrence index of each code — dictionary-encode based, so exact
+    for any dtype."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    d = pc.dictionary_encode(arr)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    idx = pc.fill_null(d.indices, len(d.dictionary)).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    uniq, first = np.unique(idx, return_index=True)
+    remap = np.empty(int(uniq.max()) + 1 if len(uniq) else 1, dtype=np.int64)
+    remap[uniq] = np.arange(len(uniq), dtype=np.int64)
+    return remap[idx], first

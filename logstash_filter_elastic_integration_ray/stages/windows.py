@@ -52,6 +52,7 @@ def grouped_running(
     sum_col: str = "run_sum",
     gap_col: str | None = "gap",
     num_partitions: int = 32,
+    frame_rows: int | None = None,
 ):
     """Running (cumulative) count + sum of ``value_col`` per ``key``
     group in ``order_cols`` order, plus the lag delta of the first
@@ -62,6 +63,14 @@ def grouped_running(
         order0 - lag(order0)  OVER w  AS gap_col   -- NULL on group firsts
         WINDOW w AS (PARTITION BY key ORDER BY order0, order1, ...
                      ROWS UNBOUNDED PRECEDING)
+
+    ``frame_rows=f`` bounds the frame to ``ROWS BETWEEN f-1 PRECEDING
+    AND CURRENT ROW`` (the rolling-window form): the sum/count cover
+    the last ``f`` rows of the group, computed as a prefix-sum
+    difference — still one vectorized pass, no per-row loop.  (The
+    scan twin :func:`grouped_running_scan` intentionally does NOT take
+    ``frame_rows``: a bounded frame needs the previous chunk's last
+    ``f`` rows per key, which breaks its thin partials contract.)
 
     Determinism: pass order columns whose tuple is UNIQUE per key
     (e.g. ``[ts, event_id]``) — otherwise the running values at tied
@@ -105,11 +114,17 @@ def grouped_running(
             dtype=np.int64 if pd.api.types.is_integer_dtype(s) else np.float64
         )
         vs = v[order]
-        cs = np.cumsum(vs)
-        # segmented cumsum: subtract the running total just before each
-        # group's first element
-        base = np.repeat(np.r_[0, cs[starts[1:] - 1]], sizes)
-        run_sum = cs - base
+        cs0 = np.r_[0, np.cumsum(vs)]  # padded prefix: cs0[i+1]-cs0[j] = sum(vs[j:i+1])
+        idx = np.arange(len(g), dtype=np.int64)
+        group_start = np.repeat(starts, sizes)
+        if frame_rows is None:
+            lo = group_start
+        else:
+            # ROWS BETWEEN frame_rows-1 PRECEDING AND CURRENT ROW,
+            # clipped at the group's first row
+            lo = np.maximum(group_start, idx - frame_rows + 1)
+            cnt = np.minimum(cnt, frame_rows)
+        run_sum = cs0[idx + 1] - cs0[lo]
         out = df.iloc[order].reset_index(drop=True)
         out[cnt_col] = cnt
         out[sum_col] = run_sum

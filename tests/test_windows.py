@@ -279,3 +279,103 @@ class TestGroupedRunningScan:
                 order_cols=["ts", "event_id"], value_col="cents",
                 num_partitions=4,
             ).to_pandas()
+
+
+class TestRollingFrame:
+    def test_matches_pandas_rolling(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import grouped_running
+
+        df = _events_frame(n=400, seed=13)
+        out = (
+            grouped_running(
+                ray.data.from_pandas(df).repartition(5), key="user_id",
+                order_cols=["ts", "event_id"], value_col="cents",
+                cnt_col="win_cnt", sum_col="win_sum", gap_col=None,
+                num_partitions=4, frame_rows=5,
+            )
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        ref = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
+        g = ref.groupby("user_id", sort=False)
+        ref["win_sum"] = g["cents"].transform(
+            lambda s: s.rolling(5, min_periods=1).sum()
+        ).astype(np.int64)
+        ref["win_cnt"] = g["cents"].transform(
+            lambda s: s.rolling(5, min_periods=1).count()
+        ).astype(np.int64)
+        ref = ref.sort_values("event_id").reset_index(drop=True)
+        assert out["win_sum"].tolist() == ref["win_sum"].tolist()
+        assert out["win_cnt"].tolist() == ref["win_cnt"].tolist()
+
+    def test_frame_one_is_identity(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import grouped_running
+
+        df = _events_frame(n=60, seed=4)
+        out = grouped_running(
+            ray.data.from_pandas(df), key="user_id",
+            order_cols=["ts", "event_id"], value_col="cents",
+            gap_col=None, num_partitions=2, frame_rows=1,
+        ).to_pandas().sort_values("event_id")
+        assert out["run_sum"].tolist() == out["cents"].tolist()
+        assert set(out["run_cnt"]) == {1}
+
+
+class TestPivotCounts:
+    def test_matches_reference(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.aggregate import pivot_counts
+
+        rng = np.random.RandomState(6)
+        n = 900
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 25, n).astype(np.int64),
+                "c": rng.choice(["a", "b", "c", "zz", None], n),
+            }
+        )
+        t = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        out = (
+            pivot_counts(
+                ray.data.from_arrow(t).repartition(6), key="k", cat="c",
+                categories=["a", "b", "c"], prefix="n_", num_partitions=4,
+            )
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        ref = (
+            df.assign(**{f"n_{x}": (df["c"] == x).astype(np.int64) for x in "abc"})
+            .groupby("k", as_index=False)[["n_a", "n_b", "n_c"]]
+            .sum()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        # unknown 'zz' and null categories count nowhere but keys persist
+        pd.testing.assert_frame_equal(
+            out.astype({"n_a": np.int64, "n_b": np.int64, "n_c": np.int64}), ref
+        )
+        assert len(out) == df["k"].nunique()
+
+    def test_batch_split_invariance(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.aggregate import pivot_counts
+
+        rng = np.random.RandomState(14)
+        t = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 10, 500), type=pa.int64()),
+                "c": pa.array(rng.choice(["x", "y"], 500)),
+            }
+        )
+        outs = []
+        for nblocks in (1, 8):
+            out = pivot_counts(
+                ray.data.from_arrow(t).repartition(nblocks), key="k", cat="c",
+                categories=["x", "y"], num_partitions=3,
+            ).to_pandas().sort_values("k").reset_index(drop=True)
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
