@@ -651,3 +651,112 @@ def cms_query(table: np.ndarray, values) -> np.ndarray:
     vals = np.asarray(list(values), dtype=object)
     idx = _cms_indices(vals, d, w)
     return np.min(table[np.arange(d)[:, None], idx], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# per-group HyperLogLog distinct counting
+# ---------------------------------------------------------------------------
+
+
+def _hll_register_rows(kcodes: np.ndarray, hashes: np.ndarray, nk: int, p: int) -> np.ndarray:
+    """(nk, 2^p) uint8 register matrix for hashed values grouped by
+    dense key codes — ONE maximum.reduceat over the (key, register)
+    sorted layout, no per-key loop."""
+    m = 1 << p
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = (hashes << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
+    nbits = np.zeros(len(rest), dtype=np.int64)
+    x = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(shift))
+        nbits[big] += shift
+        x[big] >>= np.uint64(shift)
+    rank = (64 - nbits).astype(np.uint8)
+    addr = kcodes * np.int64(m) + idx
+    regs = np.zeros(nk * m, dtype=np.uint8)
+    order = np.argsort(addr)
+    sa, sr = addr[order], rank[order]
+    starts = np.flatnonzero(np.diff(sa, prepend=-1))
+    regs[sa[starts]] = np.maximum.reduceat(sr, starts)
+    return regs.reshape(nk, m)
+
+
+def hll_estimate_rows(mat: np.ndarray) -> np.ndarray:
+    """Vectorized bias-corrected HLL estimate per register row (with
+    the linear-counting small-range correction) — the row-wise twin of
+    :func:`hll_estimate`."""
+    nk, m = mat.shape
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -mat.astype(np.float64)), axis=1)
+    zeros = np.sum(mat == 0, axis=1)
+    lc = np.where(zeros > 0, m * np.log(np.maximum(m / np.maximum(zeros, 1), 1.0)), est)
+    return np.where((est <= 2.5 * m) & (zeros > 0), lc, est)
+
+
+def hll_group_partials(batch: pa.Table, key: str, val: str, p: int) -> pa.Table:
+    """One (key, 2^p-byte register blob) row per distinct key in the
+    batch.  Merging rows of one key is an elementwise max —
+    commutative and idempotent, so per-key estimates are EXACTLY
+    batch-split invariant.  Null values register nothing; a key whose
+    batch values are all null still emits (zero registers), so group
+    presence survives like SQL GROUP BY."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import _first_occurrence_codes
+
+    m = 1 << p
+    kcodes, first = _first_occurrence_codes(batch.column(key))
+    nk = len(first)
+    raw = batch.column(val).to_pylist()
+    keep = np.array([v is not None for v in raw], dtype=bool)
+    if keep.any():
+        vals = np.asarray(raw, dtype=object)[keep]
+        h = pd.util.hash_array(vals, categorize=False)
+        mat = _hll_register_rows(kcodes[keep], h, nk, p)
+    else:
+        mat = np.zeros((nk, m), dtype=np.uint8)
+    return pa.table(
+        {
+            key: batch.column(key).take(first),
+            "regs": pa.array([mat[i].tobytes() for i in range(nk)], type=pa.binary()),
+        }
+    )
+
+
+def hll_group_distinct(ds, *, key: str, val: str, p: int = 12,
+                       out_col: str = "approx_distinct", num_partitions: int = 32):
+    """Approximate ``count(DISTINCT val) GROUP BY key`` — the SCALE
+    path beside the exact :func:`~logstash_filter_elastic_integration_ray.stages.windows.distinct_count_by`:
+    when the global distinct-pair count itself is huge (the exact
+    op's exchange is bounded by it), each batch instead forwards one
+    2^p-byte register blob per key it holds, so the exchange is
+    keys × batches REGARDLESS of value cardinality.  One co-partition
+    by key hash, per-partition elementwise-max merge + vectorized
+    row-wise estimation.  Relative error ~1.04/sqrt(2^p) (~1.6% at
+    p=12).  Approximate by design → pinned by pytest accuracy bounds
+    and exact-invariance proofs, not a driver oracle (same policy as
+    Misra-Gries / HLL / KLL / CMS)."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import add_partition_col
+
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        return add_partition_col(hll_group_partials(t, key, val, p), num_partitions, key=key)
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        codes, _ = pd.factorize(df[key], use_na_sentinel=False)
+        blobs = np.frombuffer(b"".join(df["regs"].tolist()), dtype=np.uint8).reshape(len(df), m)
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        starts = np.flatnonzero(np.diff(sc, prepend=-1))
+        merged = np.maximum.reduceat(blobs[order], starts, axis=0)
+        est = hll_estimate_rows(merged)
+        rep = df.index.to_numpy()[order[starts]]
+        out = df.loc[rep, [key]].reset_index(drop=True)
+        out[out_col] = est
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(lambda df: merge(df.drop(columns="__part")), batch_format="pandas")
+    )

@@ -462,3 +462,82 @@ class TestCountMin:
         est = cms_query(table, ["a", "b", "c"])
         # tiny key space, wide table: estimates are exact; null row excluded
         assert est.tolist() == [15, 2, 1]
+
+
+class TestHllGroupDistinct:
+    """hll_group_distinct (stages/sketches.py): per-key accuracy vs
+    exact nunique, EXACT batch-split invariance of estimates, null
+    semantics, and register-level agreement with the global sketch."""
+
+    @staticmethod
+    def _frame(n=30000, k=12, seed=7):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "k": rng.randint(0, k, n).astype(np.int64),
+                # per-key cardinalities spread over two decades
+                "v": (rng.randint(0, 5000, n) % (rng.randint(0, k, n) * 400 + 25)).astype(np.int64),
+            }
+        )
+
+    def test_accuracy_per_key(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.sketches import hll_group_distinct
+
+        df = self._frame()
+        ds = ray.data.from_pandas(df).repartition(6)
+        out = hll_group_distinct(ds, key="k", val="v", p=12, num_partitions=4).to_pandas()
+        exact = df.groupby("k")["v"].nunique()
+        assert len(out) == len(exact)
+        for _, row in out.iterrows():
+            e = exact[row["k"]]
+            assert abs(row["approx_distinct"] - e) / max(e, 1) < 0.08, (row["k"], row["approx_distinct"], e)
+
+    def test_batch_split_invariance_exact(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.sketches import hll_group_distinct
+
+        df = self._frame(n=5000, k=5, seed=3)
+        outs = []
+        for nblocks in (1, 9):
+            out = (
+                hll_group_distinct(
+                    ray.data.from_pandas(df).repartition(nblocks),
+                    key="k", val="v", p=10, num_partitions=3,
+                )
+                .to_pandas().sort_values("k").reset_index(drop=True)
+            )
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_nulls_and_single_key_matches_global(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.sketches import (
+            hll_distinct,
+            hll_group_distinct,
+        )
+
+        rng = np.random.RandomState(5)
+        vals = [None if i % 7 == 0 else int(rng.randint(0, 800)) for i in range(4000)]
+        df = pd.DataFrame({"k": ["only"] * 4000, "v": pd.array(vals, dtype="Int64")})
+        t = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        ds = ray.data.from_arrow(t).repartition(4)
+        grouped = hll_group_distinct(ds, key="k", val="v", p=11, num_partitions=2).to_pandas()
+        global_est = hll_distinct(ds, "v", p=11)
+        assert len(grouped) == 1
+        # same hash, same registers → identical estimate
+        assert abs(grouped["approx_distinct"].iloc[0] - global_est) < 1e-9
+
+        # an all-null group estimates 0 and still appears
+        df2 = pd.DataFrame({"k": ["a", "b", "b"], "v": pd.array([1, None, None], dtype="Int64")})
+        t2 = pa.Table.from_pandas(df2, preserve_index=False).replace_schema_metadata(None)
+        out2 = (
+            hll_group_distinct(ray.data.from_arrow(t2), key="k", val="v", p=10, num_partitions=2)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert out2["k"].tolist() == ["a", "b"]
+        assert out2["approx_distinct"].tolist()[1] == 0.0
+        assert abs(out2["approx_distinct"].tolist()[0] - 1.0) < 0.01
