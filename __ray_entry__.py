@@ -997,6 +997,23 @@ def q_pivot_events(sf_dir: str):
     )
 
 
+def q_unpivot_lineitem(sf_dir: str):
+    """Wide→long melt of the lineitem money columns — stateless
+    per-batch Arrow reshape, no exchange
+    (stages/windows.py:unpivot)."""
+    from logstash_filter_elastic_integration_ray.stages.windows import unpivot
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return unpivot(
+        ds, id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_col="measure", val_col="value",
+    )
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """Exact ``count(DISTINCT user_id) GROUP BY event_type`` — the
     exchange carries only distinct (type, user) pairs per batch
@@ -1525,6 +1542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals_scan": q_running_totals_scan,
         "rolling_sum_events": q_rolling_sum_events,
         "pivot_events": q_pivot_events,
+        "unpivot_lineitem": q_unpivot_lineitem,
         "distinct_users_by_type": q_distinct_users_by_type,
         "customers_no_orders": q_customers_no_orders,
         "customers_with_orders": q_customers_with_orders,
@@ -1894,6 +1912,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup, "
             "CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view "
             "FROM events GROUP BY user_id"
+        ),
+        "unpivot_lineitem": (
+            "SELECT l_orderkey, l_linenumber, measure, value FROM ("
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem"
+            " UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS value FROM lineitem"
+            " UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount' AS measure, l_discount AS value FROM lineitem"
+            " UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax' AS measure, l_tax AS value FROM lineitem"
+            ")"
         ),
         "distinct_users_by_type": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "

@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 
 from logstash_filter_elastic_integration_ray.stages.aggregate import add_partition_col
 
-__all__ = ["grouped_running", "grouped_running_scan", "distinct_count_by"]
+__all__ = ["grouped_running", "grouped_running_scan", "distinct_count_by", "unpivot"]
 
 
 def _order_view(arr: np.ndarray) -> np.ndarray:
@@ -500,3 +500,28 @@ def _dict_codes(col) -> np.ndarray:
         d = d.combine_chunks()
     idx = d.indices
     return pc.fill_null(idx, -1).cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
+            var_col: str = "variable", val_col: str = "value"):
+    """Wide → long melt: one output row per (input row, value column) —
+    the exact twin of a ``UNION ALL`` of per-column selects (or SQL
+    ``UNPIVOT INCLUDE NULLS``).  Stateless and embarrassingly parallel:
+    a pure per-batch Arrow reshape, NO exchange at all — each batch
+    melts in place and the streaming executor never shuffles.  Value
+    columns must share (or cast to) a common Arrow type; output
+    preserves nulls."""
+    if not value_cols:
+        raise ValueError("unpivot: value_cols must be non-empty")
+
+    def melt(t: pa.Table) -> pa.Table:
+        target = t.column(value_cols[0]).type
+        pieces = []
+        for c in value_cols:
+            cols = {ic: t.column(ic) for ic in id_cols}
+            cols[var_col] = pa.array([c] * t.num_rows, type=pa.string())
+            cols[val_col] = t.column(c).cast(target)
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -379,3 +379,27 @@ class TestPivotCounts:
             ).to_pandas().sort_values("k").reset_index(drop=True)
             outs.append(out)
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestUnpivot:
+    def test_melt_matches_reference_and_preserves_nulls(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import unpivot
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2], type=pa.int64()),
+                "a": pa.array([1.5, None], type=pa.float64()),
+                "b": pa.array([2.0, 3.0], type=pa.float64()),
+            }
+        )
+        out = (
+            unpivot(ray.data.from_arrow(t), id_cols=["id"], value_cols=["a", "b"])
+            .to_pandas().sort_values(["id", "variable"]).reset_index(drop=True)
+        )
+        assert len(out) == 4
+        assert out["variable"].tolist() == ["a", "b", "a", "b"]
+        vals = out["value"].tolist()
+        assert vals[0] == 1.5 and vals[1] == 2.0 and vals[3] == 3.0
+        assert pd.isna(vals[2])
