@@ -275,10 +275,14 @@ def grouped_running_scan(
                 raise ValueError(f"grouped_running_scan: null in order column {c!r}")
         return t
 
-    ds = ds.map_batches(project, batch_format="pyarrow")
+    # exactly ONE full-data materialization: the projected rows are
+    # consumed 2-3× (bounds pass, partials pass, final co-group), and
+    # the cheap tag_range append-column map re-runs per consumer —
+    # materializing `parted` TOO would double the object-store
+    # footprint for no win
+    ds = ds.map_batches(project, batch_format="pyarrow").materialize()
 
     if bounds is None:
-        ds = ds.materialize()  # consumed by the bounds pass AND the scan
         stats = ds.map_batches(
             lambda b: pa.table(
                 {
@@ -301,8 +305,9 @@ def grouped_running_scan(
         tmp = _range_part(tmp, "__o0int", lo, hi, num_partitions)
         return tmp.drop_columns("__o0int")
 
-    # consumed twice: the partials pass and the final co-group
-    parted = ds.map_batches(tag_range, batch_format="pyarrow").materialize()
+    # consumed twice (partials + final co-group) but NOT materialized:
+    # it re-derives from the materialized projection with one cheap map
+    parted = ds.map_batches(tag_range, batch_format="pyarrow")
 
     def batch_partials(t: pa.Table) -> pa.Table:
         """Per-(key, chunk) partial (sum, cnt, max_order) for one batch
