@@ -1,0 +1,68 @@
+"""Runnable end-to-end corpus-curation example.
+
+Chains the engine's training-data operators over a documents table the
+way a production curation job would, writing packed training windows
+as partitioned parquet:
+
+    read → exact dedup → semi join survivors → token-count gate →
+    sequence packing → deterministic shuffle shards → write
+
+Usage (any scale factor):
+
+    python examples/curation/run.py [sf_dir] [out_dir]
+
+Defaults: /root/testdata/sf0.001 → /tmp/curation_out.  The same chain
+is oracle-checked end-to-end by the driver query
+``curation_pipeline_docs`` (__ray_entry__.py).
+"""
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def main(sf_dir: str, out_dir: str) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+    from logstash_filter_elastic_integration_ray.sources.io import read_parquet_clean
+    from logstash_filter_elastic_integration_ray.stages.corpus import pack_docs, shuffle_shards
+    from logstash_filter_elastic_integration_ray.stages.dedup import exact_dedup
+    from logstash_filter_elastic_integration_ray.stages.joins import hash_semi_join
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    survivors = exact_dedup(docs)  # (content_hash, doc_id) — min id per content
+    kept = hash_semi_join(
+        docs, survivors.select_columns(["doc_id"]),
+        left_key="doc_id", right_key="doc_id",
+    )
+
+    def token_gate(t: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(t.column("text"), " "), 1)
+        return t.filter(pc.fill_null(pc.greater_equal(n, 8), False))
+
+    gated = kept.map_batches(token_gate, batch_format="pyarrow")
+    windows = pack_docs(gated, cap=256)  # (doc_id, bin, tok_start, tok_end, n_toks)
+
+    # reproducible shard assignment for the packed windows' docs
+    shards = shuffle_shards(windows.select_columns(["doc_id"]), num_shards=8)
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    windows.write_parquet(f"{out_dir}/windows")
+    shards.write_parquet(f"{out_dir}/shards")
+    print(f"windows={windows.count()} shard_rows={shards.count()} → {out_dir}")
+
+
+if __name__ == "__main__":
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+        sys.argv[2] if len(sys.argv) > 2 else "/tmp/curation_out",
+    )
