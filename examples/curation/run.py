@@ -52,8 +52,10 @@ def main(sf_dir: str, out_dir: str) -> None:
     gated = kept.map_batches(token_gate, batch_format="pyarrow")
     windows = pack_docs(gated, cap=256)  # (doc_id, bin, tok_start, tok_end, n_toks)
 
-    # reproducible shard assignment for the packed windows' docs
-    shards = shuffle_shards(windows.select_columns(["doc_id"]), num_shards=8)
+    # reproducible shard assignment, one row per SURVIVING DOC (gated
+    # ids are unique; the windows table has one row per (doc, window)
+    # and would inflate the shard table)
+    shards = shuffle_shards(gated.select_columns(["doc_id"]), num_shards=8)
 
     shutil.rmtree(out_dir, ignore_errors=True)
     windows.write_parquet(f"{out_dir}/windows")

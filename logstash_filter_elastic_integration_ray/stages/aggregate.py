@@ -275,13 +275,20 @@ def pivot_counts(ds, *, key: str, cat: str, categories: list[str],
     if ncat == 0:
         raise ValueError("pivot_counts: categories must be non-empty")
     cols = [f"{prefix}{c}" for c in categories]
-    cat_index = {c: i for i, c in enumerate(categories)}
+    cat_arr = pa.array(categories)
 
     def partial(t: pa.Table) -> pa.Table:
         kcol = t.column(key)
+        if t.num_rows == 0:
+            empty = pa.table({key: kcol, **{c: pa.array([], type=pa.int64()) for c in cols}})
+            return add_partition_col(empty, num_partitions, key=key)
         kcodes, kuniq_first = _first_occurrence_codes(kcol)
-        cvals = t.column(cat).to_pylist()
-        ccodes = np.array([cat_index.get(v, ncat) for v in cvals], dtype=np.int64)
+        # vectorized category→index mapping; unknown/null → ncat slot
+        ccodes = (
+            pc.fill_null(pc.index_in(t.column(cat), value_set=cat_arr), ncat)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
         nk = len(kuniq_first)
         counts = np.bincount(
             kcodes * np.int64(ncat + 1) + ccodes, minlength=nk * (ncat + 1)
@@ -291,34 +298,49 @@ def pivot_counts(ds, *, key: str, cat: str, categories: list[str],
             out[c] = pa.array(counts[:, i], type=pa.int64())
         return add_partition_col(pa.table(out), num_partitions, key=key)
 
-    def merge(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby(key, sort=False, dropna=False)[cols].sum()
-        out = g.reset_index()
-        t = pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
-        return pa.table(
-            {key: t.column(key), **{c: t.column(c).cast(pa.int64()) for c in cols}}
-        )
+    def merge(t: pa.Table) -> pa.Table:
+        """Pure-Arrow per-partition sum: a pandas round trip would
+        degrade a null-bearing int64 key to float64 (exact > 2^53 keys
+        corrupt and the output schema drifts per partition)."""
+        kcodes, kuniq_first = _first_occurrence_codes(t.column(key))
+        nk = len(kuniq_first)
+        out = {key: t.column(key).take(kuniq_first)}
+        for c in cols:
+            vals = t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            out[c] = pa.array(
+                np.bincount(kcodes, weights=vals, minlength=nk).astype(np.int64),
+                type=pa.int64(),
+            )
+        return pa.table(out)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .repartition(num_partitions)
         .groupby("__part")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 
-def _first_occurrence_codes(col) -> tuple[np.ndarray, np.ndarray]:
-    """Dense 0..k-1 codes (nulls get a code too) plus the first
-    occurrence index of each code — dictionary-encode based, so exact
-    for any dtype."""
+def _dict_codes(col) -> np.ndarray:
+    """Dictionary-encode a column to int64 codes with -1 for null —
+    never materializes values through pandas (exact for int64 > 2^53,
+    binary, anything Arrow can dictionary-encode)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     d = pc.dictionary_encode(arr)
     if isinstance(d, pa.ChunkedArray):
         d = d.combine_chunks()
-    idx = pc.fill_null(d.indices, len(d.dictionary)).cast(pa.int64()).to_numpy(
-        zero_copy_only=False
-    )
+    return pc.fill_null(d.indices, -1).cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _first_occurrence_codes(col) -> tuple[np.ndarray, np.ndarray]:
+    """Dense 0..k-1 codes (nulls get a code too) plus the first
+    occurrence index of each code — built on :func:`_dict_codes`, so
+    exact for any dtype."""
+    idx = _dict_codes(col)
     uniq, first = np.unique(idx, return_index=True)
-    remap = np.empty(int(uniq.max()) + 1 if len(uniq) else 1, dtype=np.int64)
+    # the +2 reserves a spare slot: the null code -1 indexes the LAST
+    # element (numpy negative indexing) on both the write and the read,
+    # so nulls get their own dense code without colliding with slot 0
+    remap = np.empty(int(uniq.max()) + 2 if len(uniq) else 1, dtype=np.int64)
     remap[uniq] = np.arange(len(uniq), dtype=np.int64)
     return remap[idx], first

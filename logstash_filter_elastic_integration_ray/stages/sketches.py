@@ -610,17 +610,30 @@ def cms_partials(batch: pa.Table, col: str, *, d: int = 4, w: int = 1 << 16,
     EXACTLY batch-split invariant.  Counters accumulate via
     ``np.bincount`` per row (never ``ufunc.at`` — ~1 µs/element)."""
     raw = batch.column(col).to_pylist()
-    keep = [i for i, v in enumerate(raw) if v is not None]
+    if weight_col is not None:
+        # null weights contribute nothing (SQL sum semantics) — an
+        # int64-with-null column would otherwise round-trip through
+        # float64 NaN and .astype(int64) it into INT64_MIN garbage
+        wraw = batch.column(weight_col).to_pylist()
+        keep = [i for i, v in enumerate(raw) if v is not None and wraw[i] is not None]
+    else:
+        keep = [i for i, v in enumerate(raw) if v is not None]
     counts = np.zeros((d, w), dtype=np.int64)
     if keep:
         vals = np.asarray([raw[i] for i in keep], dtype=object)
-        if weight_col is not None:
-            wts = batch.column(weight_col).to_numpy(zero_copy_only=False)[keep].astype(np.int64)
-        else:
-            wts = None
         idx = _cms_indices(vals, d, w)
-        for r in range(d):
-            counts[r] = np.bincount(idx[r], weights=wts, minlength=w).astype(np.int64)
+        if weight_col is not None:
+            wts = np.asarray([wraw[i] for i in keep], dtype=np.int64)
+            # exact int64 accumulation: bincount's weighted path sums in
+            # float64 (lossy past 2^53) — sorted add.reduceat instead
+            for r in range(d):
+                order = np.argsort(idx[r], kind="stable")
+                si = idx[r][order]
+                starts = np.flatnonzero(np.diff(si, prepend=-1))
+                counts[r][si[starts]] = np.add.reduceat(wts[order], starts)
+        else:
+            for r in range(d):
+                counts[r] = np.bincount(idx[r], minlength=w)
     return pa.table({"cms": pa.array([counts.tobytes()], type=pa.binary())})
 
 

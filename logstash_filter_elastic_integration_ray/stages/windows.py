@@ -29,7 +29,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from logstash_filter_elastic_integration_ray.stages.aggregate import add_partition_col
+from logstash_filter_elastic_integration_ray.stages.aggregate import (
+    _dict_codes,
+    add_partition_col,
+)
 
 __all__ = ["grouped_running", "grouped_running_scan", "distinct_count_by", "unpivot"]
 
@@ -40,6 +43,30 @@ def _order_view(arr: np.ndarray) -> np.ndarray:
     if arr.dtype.kind == "M":
         return arr.astype("datetime64[us]").astype(np.int64)
     return arr
+
+
+def _lexsort_segments(codes: np.ndarray, orders: list[np.ndarray]):
+    """(order, sorted_codes, new_group_mask, starts, sizes) for rows
+    sorted by (key code, order columns...) — the single shared kernel
+    behind BOTH window plans (grouped_running's per-partition pass and
+    grouped_running_scan's final chunk), so the twins cannot drift."""
+    sort_keys = [_order_view(a) for a in reversed(orders)] + [codes]
+    order = np.lexsort(tuple(sort_keys))
+    g = codes[order]
+    new = np.r_[True, g[1:] != g[:-1]]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.r_[starts, len(g)])
+    return order, g, new, starts, sizes
+
+
+def _value_vector(series: pd.Series) -> np.ndarray:
+    """value_col → null-free numpy vector: int64 when the source is
+    integer-typed (exact, order-independent sums), float64 otherwise;
+    nulls contribute 0 (the ``sum(coalesce(v, 0))`` twin)."""
+    s = pd.to_numeric(series, errors="raise").fillna(0)
+    return s.to_numpy(
+        dtype=np.int64 if pd.api.types.is_integer_dtype(s) else np.float64
+    )
 
 
 def grouped_running(
@@ -98,21 +125,10 @@ def grouped_running(
         for c, a in zip(order_cols, orders):
             if pd.isna(a).any():
                 raise ValueError(f"grouped_running: null in order column {c!r}")
-        # np.lexsort: LAST key is primary
-        sort_keys = [_order_view(a) for a in reversed(orders)] + [codes]
-        order = np.lexsort(tuple(sort_keys))
-        g = codes[order]
-        new = np.r_[True, g[1:] != g[:-1]]
-        starts = np.flatnonzero(new)
-        sizes = np.diff(np.r_[starts, len(g)])
+        order, g, new, starts, sizes = _lexsort_segments(codes, orders)
         # 1-based running count: position within group
         cnt = np.arange(len(g), dtype=np.int64) - np.repeat(starts, sizes) + 1
-        s = pd.to_numeric(df[value_col], errors="raise").fillna(0)
-        # nullable Int64 → plain int64 (null-free after fillna); a
-        # .to_numpy() on the extension dtype would yield object
-        v = s.to_numpy(
-            dtype=np.int64 if pd.api.types.is_integer_dtype(s) else np.float64
-        )
+        v = _value_vector(df[value_col])
         vs = v[order]
         cs0 = np.r_[0, np.cumsum(vs)]  # padded prefix: cs0[i+1]-cs0[j] = sum(vs[j:i+1])
         idx = np.arange(len(g), dtype=np.int64)
@@ -264,9 +280,13 @@ def grouped_running_scan(
     order0 = order_cols[0]
 
     def _o0_int64(col):
+        """Order column as int64 in MICROSECONDS for timestamps — the
+        same unit :func:`_order_view` uses in the final pandas pass, so
+        chunk-boundary ``prev_o`` values compare in one unit regardless
+        of the source timestamp resolution (ns parquet vs us)."""
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         if pa.types.is_timestamp(col.type):
-            col = col.cast(pa.int64())
+            col = col.cast(pa.timestamp("us", getattr(col.type, "tz", None)))
         return col.cast(pa.int64())
 
     def project(t: pa.Table) -> pa.Table:
@@ -281,6 +301,13 @@ def grouped_running_scan(
     # materializing `parted` TOO would double the object-store
     # footprint for no win
     ds = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    # preserve the value dtype end-to-end: int64 stays exactly int64
+    # (the hash twin's contract), float sums run in float64 — a silent
+    # int64 truncation of float values would diverge from the twin
+    val_is_int = pa.types.is_integer(_dataset_schema_of(ds).field(value_col).type)
+    sum_pa = pa.int64() if val_is_int else pa.float64()
+    sum_np = np.int64 if val_is_int else np.float64
 
     if bounds is None:
         stats = ds.map_batches(
@@ -313,9 +340,24 @@ def grouped_running_scan(
         """Per-(key, chunk) partial (sum, cnt, max_order) for one batch
         — sorted reduceat keeps int64 sums exact (bincount weights are
         float64)."""
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key: t.column(key),
+                    "__chunk": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=sum_pa),
+                    "c": pa.array([], type=pa.int64()),
+                    "mo": pa.array([], type=pa.int64()),
+                }
+            )
         kcodes = _dict_codes(t.column(key))  # ≥ -1; -1 = null key
         chunk = t.column("__part").to_numpy().astype(np.int64)
-        v = pd.to_numeric(t.column(value_col).to_pandas(), errors="raise").fillna(0).astype(np.int64).to_numpy()
+        v = (
+            pd.to_numeric(t.column(value_col).to_pandas(), errors="raise")
+            .fillna(0)
+            .astype(sum_np)
+            .to_numpy()
+        )
         o = _o0_int64(t.column(order0)).to_numpy(zero_copy_only=False)
         comb = (kcodes + 1) * np.int64(num_partitions + 1) + chunk
         order = np.argsort(comb, kind="stable")
@@ -327,7 +369,7 @@ def grouped_running_scan(
             {
                 key: t.column(key).take(rep),
                 "__chunk": pa.array(chunk[rep], type=pa.int64()),
-                "s": pa.array(np.add.reduceat(v[order], starts), type=pa.int64()),
+                "s": pa.array(np.add.reduceat(v[order], starts), type=sum_pa),
                 "c": pa.array(np.diff(np.r_[starts, len(comb)]), type=pa.int64()),
                 "mo": pa.array(np.maximum.reduceat(o[order], starts), type=pa.int64()),
             }
@@ -342,7 +384,7 @@ def grouped_running_scan(
         chunk — everything the final scan needs."""
         codes, _ = pd.factorize(df[key], use_na_sentinel=False)
         chunk = df["__chunk"].to_numpy(dtype=np.int64)
-        s = df["s"].to_numpy(dtype=np.int64)
+        s = df["s"].to_numpy(dtype=sum_np)
         c = df["c"].to_numpy(dtype=np.int64)
         mo = df["mo"].to_numpy(dtype=np.int64)
         comb = codes.astype(np.int64) * np.int64(num_partitions + 1) + chunk
@@ -392,7 +434,7 @@ def grouped_running_scan(
 
     def widen_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        t = t.append_column("base_s", pa.array(np.zeros(n, dtype=np.int64)))
+        t = t.append_column("base_s", pa.array(np.zeros(n, dtype=sum_np), type=sum_pa))
         t = t.append_column("base_c", pa.array(np.zeros(n, dtype=np.int64)))
         t = t.append_column("prev_o", pa.array(np.full(n, _NO_PREV, dtype=np.int64)))
         t = t.append_column("__side", pa.array(np.zeros(n, dtype=np.int8)))
@@ -413,7 +455,8 @@ def grouped_running_scan(
                 t.column(key).cast(f.type) if f.name == key else _sentinel_array(n, f.type)
             )
         cols["__part"] = t.column("__part").cast(pa.int64())
-        for c in ("base_s", "base_c", "prev_o"):
+        cols["base_s"] = t.column("base_s").cast(sum_pa)
+        for c in ("base_c", "prev_o"):
             cols[c] = t.column(c).cast(pa.int64())
         cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
         return pa.table({c: cols[c] for c in wide_order})
@@ -434,25 +477,19 @@ def grouped_running_scan(
         codes = codes_all[: len(rows)]
         bcodes = codes_all[len(rows):]
         orders = [rows[c].to_numpy() for c in order_cols]
-        sort_keys = [_order_view(a) for a in reversed(orders)] + [codes]
-        order = np.lexsort(tuple(sort_keys))
-        g = codes[order]
-        new = np.r_[True, g[1:] != g[:-1]]
-        starts = np.flatnonzero(new)
-        sizes = np.diff(np.r_[starts, len(g)])
+        order, g, new, starts, sizes = _lexsort_segments(codes, orders)
         cnt = np.arange(len(g), dtype=np.int64) - np.repeat(starts, sizes) + 1
-        sv = pd.to_numeric(rows[value_col], errors="raise").fillna(0)
-        v = sv.to_numpy(dtype=np.int64 if pd.api.types.is_integer_dtype(sv) else np.float64)
+        v = _value_vector(rows[value_col]).astype(sum_np)
         vs = v[order]
         csum = np.cumsum(vs)
         local_base = np.repeat(np.r_[0, csum[starts[1:] - 1]], sizes)
         run_sum = csum - local_base
         # per-key offsets from the prefix exchange
-        base_s = np.zeros(len(uniques), dtype=np.int64)
+        base_s = np.zeros(len(uniques), dtype=sum_np)
         base_c = np.zeros(len(uniques), dtype=np.int64)
         prev_o = np.full(len(uniques), _NO_PREV, dtype=np.int64)
         valid = bcodes >= 0
-        base_s[bcodes[valid]] = bs["base_s"].to_numpy(dtype=np.int64)[valid]
+        base_s[bcodes[valid]] = bs["base_s"].to_numpy(dtype=sum_np)[valid]
         base_c[bcodes[valid]] = bs["base_c"].to_numpy(dtype=np.int64)[valid]
         prev_o[bcodes[valid]] = bs["prev_o"].to_numpy(dtype=np.int64)[valid]
         cnt = cnt + base_c[g]
@@ -495,16 +532,7 @@ def _dataset_schema_of(ds) -> pa.Schema:
     return s.base_schema if hasattr(s, "base_schema") else s
 
 
-def _dict_codes(col) -> np.ndarray:
-    """Dictionary-encode a column to int64 codes with -1 for null —
-    never materializes values through pandas (exact for int64 > 2^53,
-    binary, anything Arrow can dictionary-encode)."""
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    d = pc.dictionary_encode(arr)
-    if isinstance(d, pa.ChunkedArray):
-        d = d.combine_chunks()
-    idx = d.indices
-    return pc.fill_null(idx, -1).cast(pa.int64()).to_numpy(zero_copy_only=False)
+
 
 
 def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
