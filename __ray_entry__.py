@@ -1082,6 +1082,123 @@ def q_curation_pipeline_docs(sf_dir: str):
     return pack_docs(gated, cap=256)
 
 
+def q_sft_pairs(sf_dir: str):
+    """SFT training-pair extraction: one row per assistant turn with
+    the full prior conversation rendered as ``role: text`` lines — the
+    ``string_agg(...) OVER (ROWS ... AND 1 PRECEDING)`` window twin,
+    filtered to the target role.  One co-partition by conversation;
+    the per-row context join costs exactly the bytes emitted
+    (stages/sft.py:context_response_pairs)."""
+    from logstash_filter_elastic_integration_ray.stages.sft import context_response_pairs
+
+    ds = _project(read_transcripts(sf_dir), ["conv_id", "turn_idx", "role", "text"])
+    return context_response_pairs(
+        ds, key="conv_id", order_col="turn_idx", role_col="role",
+        text_col="text", target_role="assistant", num_partitions=16,
+    )
+
+
+def q_pack_turns_by_conv(sf_dir: str):
+    """Per-CONVERSATION context-window packing: running token prefix
+    per conversation (stages/windows.py:grouped_running — the window
+    machinery reused as a training-data op) cut into cap-64 windows
+    that reset at conversation boundaries, unlike the corpus-global
+    :func:`q_pack_docs`."""
+    from logstash_filter_elastic_integration_ray.stages.windows import grouped_running
+
+    ds = read_transcripts(sf_dir)
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = pc.add(
+            pc.count_substring(pc.fill_null(t.column("text"), ""), " "), 1
+        ).cast(pa.int64())
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "n_toks": n,
+        })
+
+    run = grouped_running(
+        ds.map_batches(toks, batch_format="pyarrow"),
+        key="conv_id", order_cols=["turn_idx"], value_col="n_toks",
+        cnt_col="turn_no", sum_col="run_toks", gap_col=None, num_partitions=16,
+    )
+
+    def windows(t: pa.Table) -> pa.Table:
+        run_toks = t.column("run_toks").to_numpy()
+        n = t.column("n_toks").to_numpy()
+        start = run_toks - n
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "n_toks": t.column("n_toks"),
+            "turn_no": t.column("turn_no"),
+            "win": pa.array(start // 64, type=pa.int64()),
+            "tok_start": pa.array(start, type=pa.int64()),
+        })
+
+    return run.map_batches(windows, batch_format="pyarrow")
+
+
+def q_incremental_dedup_docs(sf_dir: str):
+    """Incremental ingestion: re-ingest the full corpus against a
+    PERSISTED reference layout built from the ``doc_id % 7 = 0`` subset
+    (the re-crawl scenario — previously-ingested pages must drop).
+    The layout (bucket-partitioned hashes + Bloom sidecar) builds once
+    into /tmp and is reused across runs; the probe reads ONLY the
+    buckets of bloom-ambiguous hashes
+    (stages/incremental.py:dedup_against_corpus)."""
+    from logstash_filter_elastic_integration_ray.sources.io import ensure_cache_dir
+    from logstash_filter_elastic_integration_ray.stages.incremental import (
+        build_hash_corpus,
+        dedup_against_corpus,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def ref_subset(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(pa.array(ids % 7 == 0))
+
+    corpus_dir = ensure_cache_dir(
+        f"/tmp/graft_hashcorpus/{_cache_tag(sf_dir)}",
+        lambda d: build_hash_corpus(
+            docs.map_batches(ref_subset, batch_format="pyarrow"), d, num_buckets=16
+        ),
+    )
+    return dedup_against_corpus(docs, corpus_dir, num_partitions=8)
+
+
+def q_quality_filter_by_lang(sf_dir: str):
+    """Per-LANGUAGE median quality gate: exact per-group
+    ``quantile_disc`` thresholds (stages/sketches.py:group_quantiles)
+    broadcast into one stateless filter pass — each language is held to
+    its own median, the per-group twin of the global
+    :func:`q_quality_filter_docs`."""
+    from logstash_filter_elastic_integration_ray.stages.sketches import group_quantiles
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    thr_rows = group_quantiles(
+        docs, key="lang", col="n_chars", qs=[0.5], names=["thr"], num_partitions=8
+    ).take_all()  # one row per language — driver-sized by construction
+    thr = {r["lang"]: int(r["thr"]) for r in thr_rows}
+
+    def gate(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lim = t.column("lang").to_pandas().map(thr)
+        n = t.column("n_chars").to_numpy(zero_copy_only=False)
+        mask = (lim.notna() & (n >= lim.fillna(np.inf))).to_numpy()
+        kept = t.filter(pa.array(mask))
+        return kept.append_column(
+            "thr", pa.array(lim.to_numpy(dtype=np.float64)[mask].astype(np.int64))
+        )
+
+    return docs.map_batches(gate, batch_format="pyarrow")
+
+
 def q_audio_features_docs(sf_dir: str):
     """Audio-column plumbing with REAL math: payloads interpreted as
     PCM16, features via an actor-pool stage (RMS/ZCR/peak are genuine
@@ -1532,6 +1649,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_docs": q_dup_ngram_docs,
         "pack_docs": q_pack_docs,
         "curation_pipeline_docs": q_curation_pipeline_docs,
+        "sft_pairs": q_sft_pairs,
+        "pack_turns_by_conv": q_pack_turns_by_conv,
+        "incremental_dedup_docs": q_incremental_dedup_docs,
+        "quality_filter_by_lang": q_quality_filter_by_lang,
         "shuffle_shards_docs": q_shuffle_shards_docs,
         "dedup_spans_docs": q_dedup_spans_docs,
         "quality_filter_docs": q_quality_filter_docs,
@@ -1805,6 +1926,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST(least(n, (bin+1)*256 - off) AS BIGINT) AS tok_end, "
             "CAST(least(n, (bin+1)*256 - off) - greatest(0, bin*256 - off) AS BIGINT) AS n_toks "
             "FROM b"
+        ),
+        "sft_pairs": T(
+            "SELECT conv_id, turn_idx, "
+            "string_agg(role || ': ' || COALESCE(text, ''), chr(10)) OVER w AS context, "
+            "CAST(count(*) OVER w AS BIGINT) AS n_context_turns, text AS response "
+            "FROM transcripts "
+            "WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "QUALIFY role = 'assistant'"
+        ),
+        "pack_turns_by_conv": T(
+            ", t AS (SELECT conv_id, turn_idx, "
+            "CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_toks FROM transcripts), "
+            "w AS (SELECT conv_id, turn_idx, n_toks, "
+            "CAST(count(*) OVER win AS BIGINT) AS turn_no, "
+            "CAST(sum(n_toks) OVER win AS BIGINT) AS run_toks "
+            "FROM t WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING)) "
+            "SELECT conv_id, turn_idx, n_toks, turn_no, "
+            "CAST((run_toks - n_toks) // 64 AS BIGINT) AS win, "
+            "CAST(run_toks - n_toks AS BIGINT) AS tok_start FROM w"
+        ),
+        "incremental_dedup_docs": (
+            "WITH ref AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 7 = 0), "
+            "surv AS (SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY 1) "
+            "SELECT content_hash, doc_id FROM surv "
+            "WHERE content_hash NOT IN (SELECT h FROM ref)"
+        ),
+        "quality_filter_by_lang": (
+            "WITH thr AS (SELECT lang, quantile_disc(n_chars, 0.5) AS thr "
+            "FROM documents WHERE lang IS NOT NULL GROUP BY lang) "
+            "SELECT d.doc_id, d.lang, d.n_chars, CAST(t.thr AS BIGINT) AS thr "
+            "FROM documents d JOIN thr t USING (lang) WHERE d.n_chars >= t.thr"
         ),
         "shuffle_shards_docs": (
             "WITH h AS (SELECT doc_id, ((doc_id * 48271) % 2147483647 + 2147483647) % 2147483647 AS h FROM documents) "

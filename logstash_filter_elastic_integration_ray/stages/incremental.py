@@ -1,0 +1,224 @@
+"""Incremental ingestion: dedup NEW documents against a PERSISTED
+reference corpus without re-reading (or re-shuffling) the corpus.
+
+At 100 TB the reference corpus is the already-curated dataset sitting
+on shared storage; the anti-pattern is joining every ingest batch
+against all of it.  :func:`build_hash_corpus` instead persists the
+corpus's distinct content hashes ONCE as a bucket-partitioned parquet
+layout (``out_dir/bucket=N/`` — the exact-dedup twin of the IVF and
+postings layouts, stages/similarity.py:build_ivf_layout and
+stages/textindex.py) plus a packed Bloom-filter sidecar
+(``bloom.npz``, ~128 KiB at the default 2^20 bits).
+
+:func:`dedup_against_corpus` then runs per ingest batch:
+
+1. exact dedup WITHIN the new batch (stages/dedup.py:exact_dedup —
+   min-id survivor per distinct text, md5 content key),
+2. one Bloom probe against the broadcast sidecar: bloom-NEGATIVE
+   survivors are DEFINITELY new content (no false negatives) — they
+   bypass every corpus read and every exchange,
+3. only the ambiguous bloom-positive slice co-partitions by corpus
+   bucket, and each partition opens ONLY its own bucket directories —
+   corpus bytes read scale with (ambiguous hashes / num_buckets) ×
+   bucket size, never with corpus size.
+
+The content key is the md5 hex digest (the cross-engine oracle
+contract shared with exact_dedup); Bloom probing and bucket routing
+both derive from its first 16 hex chars parsed as a uint64, so any
+reader of the layout can reproduce the routing without this library.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from logstash_filter_elastic_integration_ray.stages.dedup import exact_dedup
+from logstash_filter_elastic_integration_ray.stages.joins import _bloom_probes
+
+__all__ = [
+    "build_hash_corpus",
+    "dedup_against_corpus",
+    "corpus_rows_scanned",
+    "hash_hex_to_u64",
+]
+
+
+def hash_hex_to_u64(hashes: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """md5 hex digests → uint64 (first 16 hex chars, big-endian).
+    Vectorized through one ``bytes.fromhex`` over the concatenated
+    prefixes — no per-row int parsing."""
+    arr = hashes.combine_chunks() if isinstance(hashes, pa.ChunkedArray) else hashes
+    prefixes = pc.utf8_slice_codeunits(arr, 0, 16)
+    blob = bytes.fromhex("".join(prefixes.to_pylist()))
+    return np.frombuffer(blob, dtype=">u8").astype(np.uint64)
+
+
+def _bucket_of(u64: np.ndarray, num_buckets: int) -> np.ndarray:
+    return (u64 % np.uint64(num_buckets)).astype(np.int64)
+
+
+def build_hash_corpus(
+    ds,
+    out_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> str:
+    """Persist the corpus's distinct content hashes as
+    ``out_dir/hashes/bucket=N/`` parquet plus ``out_dir/bloom.npz``.
+
+    Two streaming passes, both over THIN data: pass 1 reduces the
+    corpus to distinct (content_hash, bucket) rows (exact_dedup's
+    two-phase reduce, so a hash ships once per batch) and writes the
+    partitioned layout; pass 2 folds the written hash column into the
+    Bloom sidecar (per-batch bitmaps OR-merged — m_bits/8 bytes per
+    batch is all that moves).  The corpus TEXT is read exactly once."""
+    hashes = exact_dedup(ds, text_col=text_col, id_col=id_col)
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "content_hash": pa.array([], type=pa.string()),
+                    "bucket": pa.array([], type=pa.int64()),
+                }
+            )
+        u = hash_hex_to_u64(t.column("content_hash"))
+        return pa.table(
+            {
+                "content_hash": t.column("content_hash"),
+                "bucket": pa.array(_bucket_of(u, num_buckets)),
+            }
+        )
+
+    layout = os.path.join(out_dir, "hashes")
+    hashes.map_batches(with_bucket, batch_format="pyarrow").write_parquet(
+        layout, partition_cols=["bucket"]
+    )
+
+    # pass 2: Bloom sidecar from the written (thin) layout
+    from logstash_filter_elastic_integration_ray.sources.io import read_parquet_clean
+
+    def batch_bloom(t: pa.Table) -> pa.Table:
+        words = np.zeros(m_bits // 64, dtype=np.uint64)
+        if t.num_rows:
+            u = hash_hex_to_u64(t.column("content_hash")).astype(np.int64)
+            pos = _bloom_probes(u, m_bits, k).ravel()
+            np.bitwise_or.at(words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
+        return pa.table({"w": pa.array([words.tobytes()], type=pa.binary())})
+
+    rows = (
+        read_parquet_clean(layout, columns=["content_hash"])
+        .map_batches(batch_bloom, batch_format="pyarrow")
+        .take_all()
+    )
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in rows:
+        words |= np.frombuffer(r["w"], dtype=np.uint64)
+    np.savez(os.path.join(out_dir, "bloom.npz"), words=words)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"m_bits": m_bits, "k": k, "num_buckets": num_buckets}, f)
+    return out_dir
+
+
+def _load_sidecar(corpus_dir: str):
+    with open(os.path.join(corpus_dir, "meta.json")) as f:
+        meta = json.load(f)
+    words = np.load(os.path.join(corpus_dir, "bloom.npz"))["words"]
+    return words, meta
+
+
+def dedup_against_corpus(
+    ds,
+    corpus_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+):
+    """(content_hash, id) survivors of ``ds`` that are new WITHIN the
+    batch (min-id per distinct text) AND absent from the persisted
+    corpus.  See the module docstring for the read-pruning contract."""
+    import ray
+
+    words, meta = _load_sidecar(corpus_dir)
+    m_bits, k, num_buckets = meta["m_bits"], meta["k"], meta["num_buckets"]
+    bloom_ref = ray.put(words)
+    layout = os.path.join(corpus_dir, "hashes")
+
+    survivors = exact_dedup(ds, text_col=text_col, id_col=id_col).materialize()
+
+    def split(maybe: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            u = hash_hex_to_u64(t.column("content_hash")).astype(np.int64)
+            w = ray.get(bloom_ref)
+            pos = _bloom_probes(u, m_bits, k)
+            bits = (w[pos // 64] >> (pos % 64).astype(np.uint64)) & np.uint64(1)
+            hit = bits.all(axis=1)
+            return t.filter(pa.array(hit if maybe else ~hit))
+
+        return fn
+
+    definite_new = survivors.map_batches(split(False), batch_format="pyarrow")
+    maybe = survivors.map_batches(split(True), batch_format="pyarrow")
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__part", pa.array([], type=pa.int64()))
+        u = hash_hex_to_u64(t.column("content_hash"))
+        part = _bucket_of(u, num_buckets) % num_partitions
+        return t.append_column("__part", pa.array(part))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        t = t.drop_columns("__part")
+        if t.num_rows == 0:
+            return t
+        u = hash_hex_to_u64(t.column("content_hash"))
+        present = np.zeros(t.num_rows, dtype=bool)
+        for b in np.unique(_bucket_of(u, num_buckets)):
+            files = sorted(glob.glob(os.path.join(layout, f"bucket={b}", "*.parquet")))
+            if not files:
+                continue  # bucket never written → nothing to collide with
+            corpus = pa.concat_tables(
+                [pq.read_table(f, columns=["content_hash"]) for f in files]
+            )
+            hit = pc.is_in(
+                t.column("content_hash"),
+                value_set=corpus.column("content_hash").combine_chunks(),
+            )
+            present |= hit.to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~present))
+
+    resolved = (
+        maybe.map_batches(tag, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+    return definite_new.union(resolved)
+
+
+def corpus_rows_scanned(corpus_dir: str, hashes: list[str]) -> int:
+    """Pruning evidence for benches: corpus hash rows in the bucket
+    directories a resolve for ``hashes`` would open (vs the full
+    layout's row count)."""
+    _, meta = _load_sidecar(corpus_dir)
+    u = hash_hex_to_u64(pa.array(hashes, type=pa.string()))
+    layout = os.path.join(corpus_dir, "hashes")
+    total = 0
+    for b in sorted(set(_bucket_of(u, meta["num_buckets"]).tolist())):
+        for f in glob.glob(os.path.join(layout, f"bucket={b}", "*.parquet")):
+            total += pq.ParquetFile(f).metadata.num_rows
+    return total

@@ -1,0 +1,145 @@
+"""Tests for the incremental-ingestion dedup stage
+(stages/incremental.py) and SFT pair extraction (stages/sft.py), each
+cross-checked against an independent plain-Python reference."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from logstash_filter_elastic_integration_ray.stages.incremental import (
+    build_hash_corpus,
+    corpus_rows_scanned,
+    dedup_against_corpus,
+    hash_hex_to_u64,
+)
+from logstash_filter_elastic_integration_ray.stages.sft import (
+    context_response_pairs,
+    context_response_reference,
+)
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+class TestIncrementalDedup:
+    def _docs(self, ids, texts):
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        ).repartition(4)
+
+    def test_matches_set_reference(self, ray_session, tmp_path):
+        # reference corpus: 40 docs; new batch: re-crawled corpus docs,
+        # internal dups, and fresh content
+        ref_texts = [f"corpus doc {i} body" for i in range(40)]
+        build_hash_corpus(
+            self._docs(list(range(40)), ref_texts), str(tmp_path / "c"),
+            num_buckets=8,
+        )
+        new_ids = list(range(100, 160))
+        new_texts = (
+            [f"corpus doc {i} body" for i in range(15)]        # re-crawl hits
+            + [f"fresh doc {i}" for i in range(30)]             # genuinely new
+            + [f"fresh doc {i}" for i in range(15)]             # internal dups
+        )
+        got = dedup_against_corpus(
+            self._docs(new_ids, new_texts), str(tmp_path / "c"), num_partitions=4
+        ).take_all()
+
+        ref_hashes = {_md5(t) for t in ref_texts}
+        expect = {}
+        for i, t in zip(new_ids, new_texts):
+            h = _md5(t)
+            if h in ref_hashes:
+                continue
+            expect[h] = min(expect.get(h, i), i)
+        assert {(r["content_hash"], r["doc_id"]) for r in got} == set(expect.items())
+
+    def test_disjoint_batch_is_untouched(self, ray_session, tmp_path):
+        build_hash_corpus(
+            self._docs([1, 2], ["a", "b"]), str(tmp_path / "c"), num_buckets=4
+        )
+        got = dedup_against_corpus(
+            self._docs([10, 11, 12], ["x", "y", "z"]), str(tmp_path / "c"),
+            num_partitions=2,
+        ).take_all()
+        assert sorted(r["doc_id"] for r in got) == [10, 11, 12]
+
+    def test_bucket_pruning_evidence(self, ray_session, tmp_path):
+        texts = [f"doc {i}" for i in range(200)]
+        build_hash_corpus(
+            self._docs(list(range(200)), texts), str(tmp_path / "c"),
+            num_buckets=16,
+        )
+        full = corpus_rows_scanned(str(tmp_path / "c"), [_md5(t) for t in texts])
+        assert full == 200
+        one = corpus_rows_scanned(str(tmp_path / "c"), [_md5(texts[0])])
+        # a single ambiguous hash opens one bucket ≈ corpus/num_buckets
+        assert one < full / 4
+
+    def test_hex_u64_routing_is_prefix_of_digest(self):
+        h = _md5("hello")
+        (u,) = hash_hex_to_u64(pa.array([h], type=pa.string()))
+        assert u == int(h[:16], 16)
+
+
+class TestSftPairs:
+    ROWS = [
+        # conv A: standard user/assistant alternation
+        {"conv_id": "A", "turn_idx": 0, "role": "user", "text": "hi"},
+        {"conv_id": "A", "turn_idx": 1, "role": "assistant", "text": "hello"},
+        {"conv_id": "A", "turn_idx": 2, "role": "tool", "text": "lookup()"},
+        {"conv_id": "A", "turn_idx": 3, "role": "assistant", "text": "done"},
+        # conv B: assistant FIRST (empty context → NULL), null text mid-conv
+        {"conv_id": "B", "turn_idx": 0, "role": "assistant", "text": "opening"},
+        {"conv_id": "B", "turn_idx": 1, "role": "user", "text": None},
+        {"conv_id": "B", "turn_idx": 2, "role": "assistant", "text": "reply"},
+        # conv C: no assistant turns at all
+        {"conv_id": "C", "turn_idx": 0, "role": "user", "text": "alone"},
+    ]
+
+    def _ds(self, num_blocks=3):
+        return rd.from_arrow(pa.Table.from_pylist(self.ROWS)).repartition(num_blocks)
+
+    def test_matches_reference(self, ray_session):
+        got = context_response_pairs(self._ds(), num_partitions=3).take_all()
+        expect = context_response_reference(self.ROWS)
+        key = lambda r: (r["conv_id"], r["turn_idx"])
+        assert sorted(
+            ({k: r[k] for k in ("conv_id", "turn_idx", "context",
+                                "n_context_turns", "response")} for r in got),
+            key=key,
+        ) == sorted(expect, key=key)
+        by = {(r["conv_id"], r["turn_idx"]): r for r in got}
+        assert by[("A", 3)]["context"] == "user: hi\nassistant: hello\ntool: lookup()"
+        assert by[("B", 0)]["context"] is None  # empty frame → SQL NULL
+        assert by[("B", 0)]["n_context_turns"] == 0
+        assert by[("B", 2)]["context"] == "assistant: opening\nuser: "  # null text renders ''
+        assert not any(r["conv_id"] == "C" for r in got)
+
+    def test_batching_invariance(self, ray_session):
+        a = context_response_pairs(self._ds(1), num_partitions=2).take_all()
+        b = context_response_pairs(self._ds(5), num_partitions=3).take_all()
+        key = lambda r: (r["conv_id"], r["turn_idx"])
+        assert sorted(a, key=key) == sorted(b, key=key)
+
+    def test_max_context_chars_keeps_tail(self, ray_session):
+        got = context_response_pairs(
+            self._ds(), max_context_chars=10, num_partitions=2
+        ).take_all()
+        by = {(r["conv_id"], r["turn_idx"]): r for r in got}
+        full = "user: hi\nassistant: hello\ntool: lookup()"
+        assert by[("A", 3)]["context"] == full[-10:]
+        assert by[("B", 0)]["context"] is None  # cap never fabricates context
+
+    def test_null_order_raises(self, ray_session):
+        rows = [dict(self.ROWS[0]), dict(self.ROWS[1])]
+        rows[1]["turn_idx"] = None
+        with pytest.raises(Exception, match="null in order column"):
+            context_response_pairs(
+                rd.from_arrow(pa.Table.from_pylist(rows)), num_partitions=1
+            ).take_all()
