@@ -1177,9 +1177,11 @@ def q_quality_filter_by_lang(sf_dir: str):
     :func:`q_quality_filter_docs`."""
     from logstash_filter_elastic_integration_ray.stages.sketches import group_quantiles
 
+    # the thin 3-column projection is consumed by BOTH passes (quantile
+    # reduce, then the gate) — materialize so the read runs once
     docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
-    )
+    ).materialize()
     thr_rows = group_quantiles(
         docs, key="lang", col="n_chars", qs=[0.5], names=["thr"], num_partitions=8
     ).take_all()  # one row per language — driver-sized by construction

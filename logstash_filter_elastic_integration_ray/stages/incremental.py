@@ -40,7 +40,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from logstash_filter_elastic_integration_ray.stages.dedup import exact_dedup
-from logstash_filter_elastic_integration_ray.stages.joins import _bloom_probes
+from logstash_filter_elastic_integration_ray.stages.joins import bloom_add, bloom_test
 
 __all__ = [
     "build_hash_corpus",
@@ -113,18 +113,21 @@ def build_hash_corpus(
         words = np.zeros(m_bits // 64, dtype=np.uint64)
         if t.num_rows:
             u = hash_hex_to_u64(t.column("content_hash")).astype(np.int64)
-            pos = _bloom_probes(u, m_bits, k).ravel()
-            np.bitwise_or.at(words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
+            bloom_add(words, u, m_bits, k)
         return pa.table({"w": pa.array([words.tobytes()], type=pa.binary())})
 
-    rows = (
-        read_parquet_clean(layout, columns=["content_hash"])
-        .map_batches(batch_bloom, batch_format="pyarrow")
-        .take_all()
-    )
     words = np.zeros(m_bits // 64, dtype=np.uint64)
-    for r in rows:
-        words |= np.frombuffer(r["w"], dtype=np.uint64)
+    if glob.glob(os.path.join(layout, "bucket=*", "*.parquet")):
+        rows = (
+            read_parquet_clean(layout, columns=["content_hash"])
+            .map_batches(batch_bloom, batch_format="pyarrow")
+            .take_all()
+        )
+        for r in rows:
+            words |= np.frombuffer(r["w"], dtype=np.uint64)
+    # else: EMPTY corpus (bootstrap ingest) — write_parquet emits no
+    # files for an empty dataset; an all-zero Bloom correctly makes
+    # every future probe bloom-negative (definitely new)
     np.savez(os.path.join(out_dir, "bloom.npz"), words=words)
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump({"m_bits": m_bits, "k": k, "num_buckets": num_buckets}, f)
@@ -163,10 +166,7 @@ def dedup_against_corpus(
             if t.num_rows == 0:
                 return t
             u = hash_hex_to_u64(t.column("content_hash")).astype(np.int64)
-            w = ray.get(bloom_ref)
-            pos = _bloom_probes(u, m_bits, k)
-            bits = (w[pos // 64] >> (pos % 64).astype(np.uint64)) & np.uint64(1)
-            hit = bits.all(axis=1)
+            hit = bloom_test(u, (ray.get(bloom_ref), m_bits, k))
             return t.filter(pa.array(hit if maybe else ~hit))
 
         return fn
@@ -185,20 +185,23 @@ def dedup_against_corpus(
         t = t.drop_columns("__part")
         if t.num_rows == 0:
             return t
-        u = hash_hex_to_u64(t.column("content_hash"))
+        buckets = _bucket_of(hash_hex_to_u64(t.column("content_hash")), num_buckets)
         present = np.zeros(t.num_rows, dtype=bool)
-        for b in np.unique(_bucket_of(u, num_buckets)):
+        hashes = t.column("content_hash").combine_chunks()
+        for b in np.unique(buckets):
             files = sorted(glob.glob(os.path.join(layout, f"bucket={b}", "*.parquet")))
             if not files:
                 continue  # bucket never written → nothing to collide with
             corpus = pa.concat_tables(
                 [pq.read_table(f, columns=["content_hash"]) for f in files]
             )
+            # probe only THIS bucket's rows against this bucket's corpus
+            rows = np.flatnonzero(buckets == b)
             hit = pc.is_in(
-                t.column("content_hash"),
+                hashes.take(pa.array(rows)),
                 value_set=corpus.column("content_hash").combine_chunks(),
             )
-            present |= hit.to_numpy(zero_copy_only=False)
+            present[rows] = hit.to_numpy(zero_copy_only=False)
         return t.filter(pa.array(~present))
 
     resolved = (

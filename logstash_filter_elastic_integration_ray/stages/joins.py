@@ -398,6 +398,15 @@ def _bloom_probes(keys: np.ndarray, m_bits: int, k: int):
     return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
 
 
+def bloom_add(words: np.ndarray, keys: np.ndarray, m_bits: int, k: int) -> None:
+    """Set the probe bits of ``keys`` in the packed uint64 word array —
+    the single write-side primitive shared by every Bloom builder
+    (joins and the incremental-dedup corpus sidecar)."""
+    if len(keys):
+        pos = _bloom_probes(keys, m_bits, k).ravel()
+        np.bitwise_or.at(words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
+
+
 def build_key_bloom(right, right_key: str, *, m_bits: int = 1 << 20, k: int = 4):
     """Bloom filter of the right side's keys as a packed uint64 word
     array: per-batch bitmaps OR-merge on the driver (m_bits/8 bytes per
@@ -407,9 +416,7 @@ def build_key_bloom(right, right_key: str, *, m_bits: int = 1 << 20, k: int = 4)
     def batch_bloom(t: pa.Table) -> pa.Table:
         ks = t.column(right_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
         words = np.zeros(m_bits // 64, dtype=np.uint64)
-        if len(ks):
-            pos = _bloom_probes(ks, m_bits, k).ravel()
-            np.bitwise_or.at(words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
+        bloom_add(words, ks, m_bits, k)
         return pa.table({"w": pa.array([words.tobytes()], type=pa.binary())})
 
     rows = right.map_batches(batch_bloom, batch_format="pyarrow").take_all()

@@ -34,6 +34,7 @@ import pandas as pd
 import pyarrow as pa
 
 from logstash_filter_elastic_integration_ray.stages.aggregate import add_partition_col
+from logstash_filter_elastic_integration_ray.stages.windows import _lexsort_segments
 
 __all__ = ["context_response_pairs", "context_response_reference"]
 
@@ -54,6 +55,8 @@ def context_response_pairs(
     ``target_role`` turn.  See the module docstring for semantics and
     the scale contract.  ``order_col`` must be non-null and unique per
     key (ties would make the rendered context order-dependent)."""
+    if max_context_chars is not None and max_context_chars <= 0:
+        raise ValueError("context_response_pairs: max_context_chars must be >= 1")
 
     def tag(t: pa.Table) -> pa.Table:
         return add_partition_col(t, num_partitions, key=key)
@@ -63,14 +66,15 @@ def context_response_pairs(
         if df[order_col].isna().any():
             raise ValueError(f"context_response_pairs: null in order column {order_col!r}")
         codes, _ = pd.factorize(df[key], use_na_sentinel=False)
-        o = df[order_col].to_numpy()
-        order = np.lexsort((o, codes))
+        order, g, _, starts, sizes = _lexsort_segments(
+            codes, [df[order_col].to_numpy()]
+        )
         df = df.iloc[order].reset_index(drop=True)
-        g = codes[order]
-        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
-        group_start = np.repeat(starts, np.diff(np.r_[starts, len(g)]))
-        # rendered "role: text" lines (null text renders as '', matching
-        # the SQL twin's COALESCE(text, ''))
+        group_start = np.repeat(starts, sizes)
+        # rendered "role: text" lines; null text renders '' (the twin's
+        # COALESCE(text, '')) but a null ROLE nulls the whole element,
+        # which string_agg SKIPS — mark those lines absent
+        role_valid = df[role_col].notna().to_numpy()
         lines = (
             df[role_col].fillna("").astype(str) + ": " + df[text_col].fillna("").astype(str)
         ).to_numpy(dtype=object)
@@ -82,10 +86,11 @@ def context_response_pairs(
         # emitted (no per-turn accumulation)
         for j, i in enumerate(tgt):
             s = group_start[i]
-            if i == s:
+            valid = np.flatnonzero(role_valid[s:i])
+            if len(valid) == 0:
                 ctx[j] = None  # empty window frame → SQL NULL
                 continue
-            c = sep.join(lines[s:i])
+            c = sep.join(lines[s:i][valid])
             ctx[j] = c[-max_context_chars:] if max_context_chars is not None else c
         # build arrays from the FULL (non-empty) columns and take the
         # target rows: a partition whose target slice is empty would
@@ -123,6 +128,8 @@ def context_response_reference(
     max_context_chars: int | None = None,
 ) -> list[dict]:
     """Plain-Python reference for tests: same semantics, no Ray."""
+    if max_context_chars is not None and max_context_chars <= 0:
+        raise ValueError("max_context_chars must be >= 1")
     by_key: dict = {}
     for r in rows:
         by_key.setdefault(r[key], []).append(r)
@@ -132,12 +139,17 @@ def context_response_reference(
         for i, r in enumerate(turns):
             if r[role_col] != target_role:
                 continue
-            if i == 0:
+            # null-role elements are skipped (string_agg semantics);
+            # an all-skipped or empty frame yields NULL
+            parts = [
+                f"{t[role_col]}: {t[text_col] if t[text_col] is not None else ''}"
+                for t in turns[:i]
+                if t[role_col] is not None
+            ]
+            if not parts:
                 ctx = None
             else:
-                ctx = sep.join(
-                    f"{t[role_col] or ''}: {t[text_col] or ''}" for t in turns[:i]
-                )
+                ctx = sep.join(parts)
                 if max_context_chars is not None:
                     ctx = ctx[-max_context_chars:]
             out.append(

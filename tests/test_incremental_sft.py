@@ -86,6 +86,18 @@ class TestIncrementalDedup:
         (u,) = hash_hex_to_u64(pa.array([h], type=pa.string()))
         assert u == int(h[:16], 16)
 
+    def test_empty_corpus_bootstrap(self, ray_session, tmp_path):
+        # first-ever ingest: the reference corpus is empty (write_parquet
+        # emits no files) — the sidecar must still build, and every new
+        # doc must pass through bloom-negative
+        build_hash_corpus(
+            self._docs([], []), str(tmp_path / "c"), num_buckets=4
+        )
+        got = dedup_against_corpus(
+            self._docs([5, 6], ["p", "q"]), str(tmp_path / "c"), num_partitions=2
+        ).take_all()
+        assert sorted(r["doc_id"] for r in got) == [5, 6]
+
 
 class TestSftPairs:
     ROWS = [
@@ -135,6 +147,46 @@ class TestSftPairs:
         full = "user: hi\nassistant: hello\ntool: lookup()"
         assert by[("A", 3)]["context"] == full[-10:]
         assert by[("B", 0)]["context"] is None  # cap never fabricates context
+
+    def test_null_role_skipped_like_string_agg(self, ray_session):
+        # string_agg(role || ': ' || COALESCE(text,''), sep) NULLs the
+        # whole element when role is NULL and SKIPS it — but count(*)
+        # still counts the row; pin the engine against DuckDB itself
+        rows = [
+            {"conv_id": "N", "turn_idx": 0, "role": None, "text": "sys"},
+            {"conv_id": "N", "turn_idx": 1, "role": "user", "text": "hi"},
+            {"conv_id": "N", "turn_idx": 2, "role": "assistant", "text": "yo"},
+            {"conv_id": "M", "turn_idx": 0, "role": None, "text": "only-null"},
+            {"conv_id": "M", "turn_idx": 1, "role": "assistant", "text": "a"},
+        ]
+        got = context_response_pairs(
+            rd.from_arrow(pa.Table.from_pylist(rows)), num_partitions=2
+        ).take_all()
+        by = {(r["conv_id"], r["turn_idx"]): r for r in got}
+        assert by[("N", 2)]["context"] == "user: hi"
+        assert by[("N", 2)]["n_context_turns"] == 2
+        assert by[("M", 1)]["context"] is None  # all elements skipped
+        assert by[("M", 1)]["n_context_turns"] == 1
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("t", pa.Table.from_pylist(rows))
+        exp = con.execute(
+            "SELECT conv_id, turn_idx, "
+            "string_agg(role || ': ' || COALESCE(text, ''), chr(10)) OVER w AS context, "
+            "CAST(count(*) OVER w AS BIGINT) AS n_context_turns, text AS response "
+            "FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "QUALIFY role = 'assistant'"
+        ).fetch_arrow_table().to_pylist()
+        key = lambda r: (r["conv_id"], r["turn_idx"])
+        assert sorted(got, key=key) == sorted(exp, key=key)
+
+    def test_nonpositive_cap_raises(self, ray_session):
+        with pytest.raises(ValueError, match="max_context_chars"):
+            context_response_pairs(self._ds(), max_context_chars=0)
+        with pytest.raises(ValueError, match="max_context_chars"):
+            context_response_reference(self.ROWS, max_context_chars=0)
 
     def test_null_order_raises(self, ray_session):
         rows = [dict(self.ROWS[0]), dict(self.ROWS[1])]
