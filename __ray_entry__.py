@@ -216,6 +216,23 @@ def q_transcripts_csv(sf_dir: str):
     return _project(ds, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
 
 
+def q_transcripts_orc(sf_dir: str):
+    """Fourth source format: transcripts round-tripped through sharded
+    ORC (the Hive/Hadoop warehouse export format; Ray ships no ORC IO,
+    so both directions are built from Dataset primitives — workers
+    serialize/decode their own shards, the driver sees only paths) must
+    match the SAME oracle as the parquet source."""
+    from logstash_filter_elastic_integration_ray.sources.io import ensure_cache_dir
+    from logstash_filter_elastic_integration_ray.sources.orcsrc import read_orc, write_orc
+
+    out = ensure_cache_dir(
+        f"/tmp/graft_orc/{_cache_tag(sf_dir)}",
+        lambda d: write_orc(read_transcripts(sf_dir), d),
+    )
+    ds = read_orc(out, timestamp_cols=["ts"])
+    return _project(ds, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
 _TOOLCALL_PIPE = {
     "processors": [
         {"grok": {"field": "text", "patterns": [
@@ -1580,10 +1597,33 @@ def q_join_orders_nation(sf_dir: str):
         cents, batch_format="pyarrow"
     )
     c = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-    j = o.join(c, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+    # 2 partitions: the native join spawns one aggregator ACTOR per
+    # partition (~3 s startup each) — partitions track cluster size
+    j = o.join(c, "inner", num_partitions=2, on=("o_custkey",), right_on=("c_custkey",))
     return j.groupby("c_nationkey").aggregate(
         Count(alias_name="n_orders"), Sum("price_cents", alias_name="total_price_cents")
     )
+
+
+def q_left_join_customer_orders(sf_dir: str):
+    """LEFT OUTER join via the native hash-partitioned ``Dataset.join``
+    — every customer survives, order-less customers carry a NULL count.
+    The per-customer counts come from the two-phase
+    :func:`stages.aggregate.group_counts` (keys × batches exchange),
+    NOT Ray's per-group aggregate, because customer cardinality scales
+    with the data."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import group_counts
+
+    c = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    o = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    cnt = group_counts(o, key="o_custkey", out_col="n_orders", num_partitions=8)
+    # native join spawns one aggregator ACTOR per partition (~3 s
+    # startup each at this scale); partitions should track cluster
+    # size, not a fixed constant — 2 here, the driver runs at sf≤0.01
+    j = c.join(cnt, "left_outer", num_partitions=2, on=("c_custkey",), right_on=("o_custkey",))
+    return j.select_columns(["c_custkey", "c_mktsegment", "n_orders"])
 
 
 def q_top_orders(sf_dir: str):
@@ -1606,6 +1646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_source": q_transcripts_source,
         "transcripts_jsonl": q_transcripts_jsonl,
         "transcripts_csv": q_transcripts_csv,
+        "transcripts_orc": q_transcripts_orc,
         "grok_toolcalls": q_grok_toolcalls,
         "dissect_access": q_dissect_access,
         "kv_fields": q_kv_fields,
@@ -1685,6 +1726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": q_session_windows,
         "asof_latest_order": q_asof_latest_order,
         "join_orders_nation": q_join_orders_nation,
+        "left_join_customer_orders": q_left_join_customer_orders,
     }
 
 
@@ -1698,6 +1740,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_source": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "transcripts_jsonl": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "transcripts_csv": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
+        "transcripts_orc": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "grok_toolcalls": T(
             "SELECT conv_id, turn_idx, tool AS tool_name, CAST(kstr AS BIGINT) AS k, "
             "CAST(status AS BIGINT) AS status, event_id % 1000 AS took_ms, "
@@ -2226,5 +2269,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_orders, "
             "CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
+        ),
+        "left_join_customer_orders": (
+            "WITH cnt AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders GROUP BY 1) "
+            "SELECT c.c_custkey, c.c_mktsegment, cnt.n_orders "
+            "FROM customer c LEFT JOIN cnt ON c.c_custkey = cnt.o_custkey"
         ),
     }

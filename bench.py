@@ -288,6 +288,79 @@ def run_bench() -> dict:
 
     timed("pack_and_shard", pack_and_shard, reps=1)
 
+    def incremental_recrawl():
+        # incremental ingest, worst case: re-crawl the ENTIRE corpus at
+        # 16× volume (80k docs, every text already in the persisted
+        # reference layout).  Within-new dedup thins 80k → 5k hashes,
+        # every hash is bloom-positive (a true hit), and the resolve
+        # reads each bucket once — survivors must be exactly 0.
+        import shutil
+
+        from logstash_filter_elastic_integration_ray.stages.incremental import (
+            build_hash_corpus,
+            dedup_against_corpus,
+        )
+
+        corpus_dir = os.path.join(
+            TRANSCRIPTS_CACHE, f"hashcorpus-{os.path.basename(SF_DIR)}"
+        )
+        if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+            shutil.rmtree(corpus_dir, ignore_errors=True)
+            os.makedirs(corpus_dir, exist_ok=True)
+            build_hash_corpus(
+                read_parquet_clean(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]),
+                corpus_dir, num_buckets=64,
+            )
+            open(os.path.join(corpus_dir, "_SUCCESS"), "w").write("ok")
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        n = dedup_against_corpus(heavy, corpus_dir, num_partitions=NUM_CPUS).count()
+        assert n == 0, f"re-crawl must yield 0 survivors, got {n}"
+        return n
+
+    timed("incremental_dedup_16x_recrawl", incremental_recrawl, reps=1)
+
+    def incremental_prune_evidence():
+        # the pruning claim: a FRESH ingest batch reads corpus bytes
+        # only for its bloom-false-positive slice.  1k unseen docs →
+        # record how many corpus hash rows the resolve would open vs
+        # the full layout (the exact-dedup twin of ivf_rows_scanned).
+        import glob as glob_
+        import hashlib
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from logstash_filter_elastic_integration_ray.stages.incremental import (
+            _load_sidecar,
+            corpus_rows_scanned,
+            hash_hex_to_u64,
+        )
+        from logstash_filter_elastic_integration_ray.stages.joins import bloom_test
+
+        corpus_dir = os.path.join(
+            TRANSCRIPTS_CACHE, f"hashcorpus-{os.path.basename(SF_DIR)}"
+        )
+        words, meta = _load_sidecar(corpus_dir)
+        fresh = [
+            hashlib.md5(f"fresh ingest doc {i}".encode()).hexdigest()
+            for i in range(1000)
+        ]
+        u = hash_hex_to_u64(pa_.array(fresh, type=pa_.string())).astype(np.int64)
+        ambiguous = [
+            h for h, hit in zip(fresh, bloom_test(u, (words, meta["m_bits"], meta["k"])))
+            if hit
+        ]
+        timings["incremental_ambiguous_of_1k_fresh"] = len(ambiguous)
+        timings["incremental_rows_scanned_fresh_1k"] = (
+            corpus_rows_scanned(corpus_dir, ambiguous) if ambiguous else 0
+        )
+        timings["incremental_corpus_rows_total"] = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob_.glob(os.path.join(corpus_dir, "hashes", "bucket=*", "*.parquet"))
+        )
+
+    incremental_prune_evidence()
+
     def ivf_probe_scaling():
         # probe cost must scale with nprobe/nlist, not dataset size:
         # time the SAME query at nprobe=2 vs full probe (nprobe=nlist)

@@ -1,0 +1,78 @@
+"""ORC source/sink.
+
+Fourth source format beside parquet, JSONL and CSV: ORC is the other
+columnar format long-lived Hadoop/Hive log warehouses export.  Ray
+Data ships no ORC reader/writer, so this module builds both from
+Dataset primitives:
+
+- ``write_orc`` runs one distributed ``map_batches`` pass where each
+  task serializes its block with ``pyarrow.orc`` and emits only the
+  written file's path — block bytes never visit the driver, and files
+  land via write-then-rename so a killed run cannot leave a truncated
+  shard that later runs silently read.
+- ``read_orc`` lists the shard files and decodes them inside
+  ``map_batches`` over ``read_binary_files`` rows — each worker
+  decodes its own files, the driver touches only paths.
+
+ORC has a real temporal type, so unlike the CSV/JSONL sinks no ISO
+string round trip is needed; timestamps are normalized back to
+``timestamp[us]`` on read (the ORC reader yields nanoseconds).
+Correctness is pinned by the ``transcripts_orc`` driver query against
+the SAME DuckDB oracle as the parquet source.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def write_orc(ds, out_dir: str) -> str:
+    """Sharded ORC (one file per block), written by the workers."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        from pyarrow import orc
+
+        name = f"part-{uuid.uuid4().hex}.orc"
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        orc.write_table(t, tmp)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({"path": pa.array([name], type=pa.string())})
+
+    # consume via take_all: only the file names travel to the driver
+    ds.map_batches(write_block, batch_format="pyarrow").take_all()
+    return out_dir
+
+
+def read_orc(path, *, timestamp_cols: list[str] | None = None, **kwargs):
+    """Read an ORC file/directory as a Dataset; listed timestamp
+    columns normalize to ``timestamp[us]``.  Decoding happens in the
+    workers (one task per group of files)."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(path, file_extensions=["orc"], **kwargs)
+    ts_cols = timestamp_cols or []
+
+    def decode(t: pa.Table) -> pa.Table:
+        from pyarrow import orc
+
+        parts = [
+            orc.ORCFile(pa.BufferReader(b.as_py())).read()
+            for b in t.column("bytes")
+        ]
+        out = pa.concat_tables(parts) if parts else None
+        if out is None:
+            raise ValueError("read_orc: empty binary batch")
+        for c in ts_cols:
+            if c in out.column_names:
+                i = out.column_names.index(c)
+                col = out.column(c)
+                if pa.types.is_temporal(col.type) and col.type != pa.timestamp("us"):
+                    out = out.set_column(i, c, pc.cast(col, pa.timestamp("us")))
+        return out.replace_schema_metadata(None)
+
+    return ds.map_batches(decode, batch_format="pyarrow")

@@ -321,6 +321,48 @@ def pivot_counts(ds, *, key: str, cat: str, categories: list[str],
     )
 
 
+def group_counts(ds, *, key: str, out_col: str = "n", num_partitions: int = 32):
+    """Exact ``count(*) GROUP BY key`` at scale: per-batch partial
+    counts (one row per distinct key per batch — the exchange is keys ×
+    batches, never rows) merged by a co-partitioned pure-Arrow sum.
+    Use this instead of Ray's ``groupby(key).count()`` whenever the key
+    cardinality scales with the data — the native aggregate pays
+    ~0.1 ms PER GROUP (measured round 3), which is 2½ minutes per
+    million keys.  Null keys form one group, as in SQL."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            empty = pa.table({key: t.column(key), out_col: pa.array([], type=pa.int64())})
+            return add_partition_col(empty, num_partitions, key=key)
+        kcodes, kuniq_first = _first_occurrence_codes(t.column(key))
+        counts = np.bincount(kcodes, minlength=len(kuniq_first))
+        out = pa.table(
+            {key: t.column(key).take(kuniq_first), out_col: pa.array(counts, type=pa.int64())}
+        )
+        return add_partition_col(out, num_partitions, key=key)
+
+    def merge(t: pa.Table) -> pa.Table:
+        kcodes, kuniq_first = _first_occurrence_codes(t.column(key))
+        vals = t.column(out_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # sorted reduceat: exact int64 (bincount's weighted path sums in
+        # float64) and vectorized (ufunc.at is ~1 µs/element).  Codes
+        # are dense 0..k-1 with every code present, so segment order ==
+        # kuniq_first order.
+        order = np.argsort(kcodes, kind="stable")
+        starts = np.flatnonzero(np.diff(kcodes[order], prepend=-1))
+        sums = np.add.reduceat(vals[order], starts) if len(vals) else vals
+        return pa.table(
+            {key: t.column(key).take(kuniq_first), out_col: pa.array(sums, type=pa.int64())}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def _dict_codes(col) -> np.ndarray:
     """Dictionary-encode a column to int64 codes with -1 for null —
     never materializes values through pandas (exact for int64 > 2^53,

@@ -1,0 +1,75 @@
+"""Tests for the ORC source/sink (sources/orcsrc.py), the two-phase
+group_counts aggregate, and the native left-outer join surface."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from logstash_filter_elastic_integration_ray.sources.orcsrc import read_orc, write_orc
+from logstash_filter_elastic_integration_ray.stages.aggregate import group_counts
+
+
+class TestOrcRoundtrip:
+    def test_preserves_nulls_and_timestamps(self, ray_session, tmp_path):
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "s": pa.array(["a", None, "", "d"], type=pa.string()),
+                "ts": pa.array(
+                    [1_700_000_000_123_456, None, 1_700_000_001_000_001, 0],
+                    type=pa.timestamp("us"),
+                ),
+                "big": pa.array([2**60 + 1, None, -(2**60), 7], type=pa.int64()),
+            }
+        )
+        out = str(tmp_path / "orc")
+        write_orc(rd.from_arrow(t).repartition(3), out)
+        got = read_orc(out, timestamp_cols=["ts"]).take_all()
+        got = sorted(got, key=lambda r: r["id"])
+        exp = sorted(t.to_pylist(), key=lambda r: r["id"])
+        # ORC distinguishes null from '' and keeps microseconds + exact
+        # int64 — none of the CSV caveats apply
+        assert got == exp
+
+    def test_schema_is_us_timestamps(self, ray_session, tmp_path):
+        t = pa.table({"ts": pa.array([0, 1], type=pa.timestamp("us"))})
+        out = str(tmp_path / "orc")
+        write_orc(rd.from_arrow(t), out)
+        ds = read_orc(out, timestamp_cols=["ts"])
+        assert ds.schema().base_schema.field("ts").type == pa.timestamp("us")
+
+
+class TestGroupCounts:
+    def test_matches_pandas_with_null_keys(self, ray_session):
+        rng = np.random.default_rng(7)
+        keys = [f"k{int(i)}" for i in rng.integers(0, 50, 3000)]
+        for i in range(0, 3000, 97):
+            keys[i] = None
+        ds = rd.from_arrow(pa.table({"k": pa.array(keys, type=pa.string())}))
+        got = {
+            r["k"]: r["n"]
+            for r in group_counts(
+                ds.repartition(7), key="k", out_col="n", num_partitions=4
+            ).take_all()
+        }
+        exp = pd.Series(keys, dtype=object).value_counts(dropna=False).to_dict()
+        exp = {None if (isinstance(k, float) or k is None) else k: int(v) for k, v in exp.items()}
+        assert got == exp
+
+    def test_batching_invariance(self, ray_session):
+        t = pa.table({"k": pa.array(list("aabbbc") * 10)})
+        a = group_counts(rd.from_arrow(t), key="k", out_col="n", num_partitions=2).take_all()
+        b = group_counts(
+            rd.from_arrow(t).repartition(9), key="k", out_col="n", num_partitions=5
+        ).take_all()
+        key = lambda r: (r["k"] or "",)
+        assert sorted(a, key=key) == sorted(b, key=key)
+
+    def test_exact_int64_keys(self, ray_session):
+        # keys above 2^53 must not round through float64
+        ks = [2**53 + 1, 2**53 + 2, 2**53 + 1]
+        ds = rd.from_arrow(pa.table({"k": pa.array(ks, type=pa.int64())}))
+        got = {r["k"]: r["n"] for r in
+               group_counts(ds, key="k", out_col="n", num_partitions=2).take_all()}
+        assert got == {2**53 + 1: 2, 2**53 + 2: 1}
