@@ -696,6 +696,34 @@ def q_ngram_jaccard_dedup_docs(sf_dir: str):
     return ngram_jaccard_dedup(_docs(sf_dir), threshold=0.8)
 
 
+def q_jaccard_decontaminate_docs(sf_dir: str):
+    """Cross-corpus NEAR-DUP decontamination: the ``doc_id % 5 = 0``
+    subset plays the held-out eval set, the rest is training data; a
+    train doc is flagged when its near-dup cluster (LSH candidates →
+    exact shingle-jaccard ≥ 0.8 → components over the UNION of both
+    corpora) contains a held-out doc.  The fuzzy companion to
+    :func:`q_decontaminate_docs` — paraphrased leakage that exact
+    n-gram overlap misses (stages/dedup.py:ngram_jaccard_decontaminate;
+    fixture oracle from tools/reference_impls.py's union-find)."""
+    from logstash_filter_elastic_integration_ray.stages.dedup import (
+        ngram_jaccard_decontaminate,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def side(held: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            m = (ids % 5 == 0) if held else (ids % 5 != 0)
+            return t.filter(pa.array(m))
+
+        return fn
+
+    train = docs.map_batches(side(False), batch_format="pyarrow")
+    heldout = docs.map_batches(side(True), batch_format="pyarrow")
+    return ngram_jaccard_decontaminate(train, heldout, threshold=0.8, num_partitions=16)
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed k-means over the embedding column (k=8, 8 rounds):
     per-round broadcast centroids + per-batch int64 fixed-point partial
@@ -1685,6 +1713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_docs": q_embedding_dup_docs,
         "embedding_dedup_docs": q_embedding_dedup_docs,
         "ngram_jaccard_dedup_docs": q_ngram_jaccard_dedup_docs,
+        "jaccard_decontaminate_docs": q_jaccard_decontaminate_docs,
         "kmeans_embeddings": q_kmeans_embeddings,
         "decontaminate_docs": q_decontaminate_docs,
         "repetition_docs": q_repetition_docs,
@@ -1892,6 +1921,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard_dedup_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/ngram_jaccard_dedup_docs.sf0_01.parquet')"
+        ),
+        "jaccard_decontaminate_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/jaccard_decontaminate_docs.sf0_01.parquet')"
         ),
         "kmeans_embeddings": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/kmeans_embeddings.sf0_01.parquet')"

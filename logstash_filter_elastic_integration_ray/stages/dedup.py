@@ -927,3 +927,137 @@ def ngram_jaccard_dedup(ds, *, threshold: float = 0.8, num_perm: int = 32, bands
     ).select_columns(["a", "b"])
     labels = connected_components_min_label(verified, num_partitions=max(8, num_partitions // 4))
     return _survivors_from_labels(ds, labels, id_col, num_partitions)
+
+
+def ngram_jaccard_decontaminate(train, heldout, *, threshold: float = 0.8,
+                                num_perm: int = 32, bands: int = 8,
+                                shingle_size: int = 3, text_col: str = "text",
+                                id_col: str = "doc_id", num_partitions: int = 32):
+    """Cross-corpus NEAR-DUP decontamination: flag every train doc that
+    lands in the same near-dup cluster as ANY held-out doc — the fuzzy
+    companion to the exact n-gram :func:`..decontam.decontaminate`
+    (paraphrased eval leakage survives exact n-gram overlap; it does
+    not survive shingle-jaccard clustering).
+
+    Returns (id_col, contaminated bool) for EVERY train doc.
+    Cluster semantics are transitive, matching
+    :func:`ngram_jaccard_dedup`: the near-dup graph is built over the
+    UNION of both corpora (LSH candidates → exact shingle-jaccard
+    verify → distributed components) and a component is contaminated
+    if it contains a held-out member.  Both sides may be large: the
+    held-out corpus is never broadcast — membership rides the same
+    band-bucket exchange as the corpus itself.
+
+    Side identity travels IN the node id (combined = id*2 + side), so
+    no per-node side lookup ever shuffles; ids must be non-negative
+    and < 2^62.  The two id spaces may overlap freely."""
+    import pyarrow.compute as pc
+
+    from .aggregate import add_partition_col
+    from .similarity import attach_pair_scores
+
+    def tagged(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 62)):
+                raise ValueError(
+                    "ngram_jaccard_decontaminate: ids must be in [0, 2^62)"
+                )
+            return pa.table({
+                id_col: pa.array(ids * 2 + side),
+                text_col: t.column(text_col),
+            })
+
+        return fn
+
+    union = train.map_batches(tagged(0), batch_format="pyarrow").union(
+        heldout.map_batches(tagged(1), batch_format="pyarrow")
+    )
+
+    hasher = MinHasher(num_perm=num_perm, shingle_size=shingle_size)
+    pre = jaccard_prefilter_threshold(threshold, num_perm)
+    band_rows = union.map_batches(
+        lambda b: minhash_band_rows(b, hasher, bands, text_col, id_col),
+        batch_format="pyarrow",
+    )
+    parts = band_rows.map_batches(
+        lambda b: add_partition_col(b, num_partitions, key="bucket"), batch_format="pyarrow"
+    )
+    edges = parts.repartition(num_partitions).groupby("__part").map_groups(
+        lambda df: _star_edges_partition(df, pre, id_col), batch_format="pandas"
+    )
+    edges = distinct_pairs(edges, num_partitions)
+
+    def text_rows(t: pa.Table) -> pa.Table:
+        txt = pc.coalesce(t.column(text_col).cast(pa.string()), "")
+        return pa.table({id_col: t.column(id_col).cast(pa.int64()), "val": txt})
+
+    verified = attach_pair_scores(
+        edges,
+        union.map_batches(text_rows, batch_format="pyarrow"),
+        score_fn=_jaccard_score_fn(shingle_size),
+        threshold=threshold,
+        value_type=pa.string(),
+        score_col="jaccard",
+        id_col=id_col,
+        num_partitions=num_partitions,
+    ).select_columns(["a", "b"])
+    labels = connected_components_min_label(
+        verified, num_partitions=max(8, num_partitions // 4)
+    )
+
+    # per-component contamination: co-partition by label, one vectorized
+    # pass — a component member list never leaves its partition
+    def contaminated_partition(df: pd.DataFrame) -> pa.Table:
+        node = df["node"].to_numpy(dtype=np.int64)
+        lab = df["label"].to_numpy(dtype=np.int64)
+        bad = np.unique(lab[node % 2 == 1])  # labels containing a held-out node
+        keep = (node % 2 == 0) & np.isin(lab, bad)
+        return pa.table({id_col: pa.array(node[keep] // 2)})
+
+    contaminated = (
+        labels.map_batches(
+            lambda b: add_partition_col(b, num_partitions, key="label"),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(contaminated_partition, batch_format="pandas")
+    )
+
+    # (id, contaminated) for ALL train docs: one co-partition of thin
+    # int64 ids, pure-Arrow resolve (no pandas float64 round trip)
+    def train_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            "__side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+
+    def cont_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            "__side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+
+    unioned = train.map_batches(
+        lambda t: train_side(t.select([id_col])), batch_format="pyarrow"
+    ).union(contaminated.map_batches(cont_side, batch_format="pyarrow"))
+
+    def flag(t: pa.Table) -> pa.Table:
+        side = t.column("__side")
+        keys = t.filter(pc.equal(side, 0)).column(id_col)
+        rows = t.filter(pc.equal(side, 1))
+        hit = pc.fill_null(
+            pc.is_in(rows.column(id_col), value_set=keys.combine_chunks()), False
+        )
+        return pa.table({id_col: rows.column(id_col), "contaminated": hit})
+
+    return (
+        unioned.map_batches(
+            lambda b: add_partition_col(b, num_partitions, key=id_col),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(flag, batch_format="pyarrow")
+    )

@@ -99,6 +99,56 @@ class TestIncrementalDedup:
         assert sorted(r["doc_id"] for r in got) == [5, 6]
 
 
+class TestJaccardDecontaminate:
+    def _run(self, train_rows, held_rows, **kw):
+        from logstash_filter_elastic_integration_ray.stages.dedup import (
+            ngram_jaccard_decontaminate,
+        )
+
+        train = rd.from_arrow(pa.Table.from_pylist(train_rows)).repartition(3)
+        held = rd.from_arrow(pa.Table.from_pylist(held_rows)).repartition(2)
+        got = ngram_jaccard_decontaminate(train, held, num_partitions=4, **kw).take_all()
+        return {r["doc_id"]: r["contaminated"] for r in got}
+
+    def test_synthetic_semantics(self, ray_session):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        near = base.replace("today", "tonight")  # jaccard > 0.8 vs base
+        train = [
+            {"doc_id": 1, "text": base},              # direct near-dup of held 100
+            {"doc_id": 2, "text": near},              # transitive via doc 1
+            {"doc_id": 3, "text": "completely different words about distributed systems and ray data pipelines"},
+            {"doc_id": 4, "text": "completely different words about distributed systems and ray data pipelines"},
+            # 3 and 4 are dups of EACH OTHER only → must stay clean
+        ]
+        held = [{"doc_id": 100, "text": base}]
+        got = self._run(train, held)
+        assert got == {1: True, 2: True, 3: False, 4: False}
+
+    def test_matches_reference_sf0001(self, ray_session):
+        import sys as _sys
+
+        _sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        ids, texts = ref.load_documents("/root/testdata/sf0.001")
+        tr = [(i, t) for i, t in zip(ids, texts) if i % 5 != 0]
+        hd = [(i, t) for i, t in zip(ids, texts) if i % 5 == 0]
+        exp = ref.ngram_jaccard_decontaminate_reference(
+            [i for i, _ in tr], [t for _, t in tr],
+            [i for i, _ in hd], [t for _, t in hd],
+        )
+        got = self._run(
+            [{"doc_id": int(i), "text": t} for i, t in tr],
+            [{"doc_id": int(i), "text": t} for i, t in hd],
+        )
+        assert got == dict(zip(exp["doc_id"], exp["contaminated"]))
+        assert any(got.values())  # the split must exercise real signal
+
+    def test_id_range_guard(self, ray_session):
+        with __import__("pytest").raises(Exception, match="2\\^62"):
+            self._run([{"doc_id": 1 << 62, "text": "x"}], [{"doc_id": 1, "text": "y"}])
+
+
 class TestSftPairs:
     ROWS = [
         # conv A: standard user/assistant alternation

@@ -50,6 +50,10 @@ def main() -> None:
         "embedding_dedup_docs": ref.embedding_dedup_reference(sf_dir),
         "embedding_topk_ivf": ref.ivf_topk_reference(sf_dir),
         "ngram_jaccard_dedup_docs": ref.ngram_jaccard_clusters_reference(ids, texts),
+        "jaccard_decontaminate_docs": ref.ngram_jaccard_decontaminate_reference(
+            ids[ids % 5 != 0], [t for i, t in zip(ids, texts) if i % 5 != 0],
+            ids[ids % 5 == 0], [t for i, t in zip(ids, texts) if i % 5 == 0],
+        ),
         "kmeans_embeddings": ref.kmeans_reference_table(sf_dir),
     }
     for name, df in tables.items():

@@ -268,6 +268,48 @@ def ngram_jaccard_clusters_reference(ids, texts, *, threshold: float = 0.8,
     return uf.clusters()
 
 
+def ngram_jaccard_decontaminate_reference(
+    train_ids, train_texts, held_ids, held_texts, *, threshold: float = 0.8,
+    num_perm: int = 32, bands: int = 8, shingle_size: int = 3,
+) -> pd.DataFrame:
+    """Cross-corpus near-dup decontamination over the side-tagged
+    (id*2 + side) union — single-process union-find twin of
+    stages/dedup.py:ngram_jaccard_decontaminate.  A train doc is
+    contaminated iff its near-dup component contains a held-out doc."""
+    ids = np.concatenate(
+        [np.asarray(train_ids, dtype=np.int64) * 2,
+         np.asarray(held_ids, dtype=np.int64) * 2 + 1]
+    )
+    texts = list(train_texts) + list(held_texts)
+    hasher = MinHasher(num_perm=num_perm, shingle_size=shingle_size)
+    sig = np.vstack([hasher.signature(t) for t in texts])
+    keys = band_bucket_keys(sig, bands)
+    pre = jaccard_prefilter_threshold(threshold, num_perm)
+    buckets: dict[int, list[int]] = {}
+    for idx in range(len(ids)):
+        for b in range(bands):
+            buckets.setdefault(int(keys[idx, b]), []).append(idx)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        mi = np.array(sorted(members))
+        cand |= _minhash_candidate_edges(ids[mi], sig[mi], pre)
+    by_id = {int(i): t for i, t in zip(ids, texts)}
+    uf = UnionFind(ids)
+    for a, b in sorted(cand):
+        if ngram_jaccard(by_id[a], by_id[b], n=shingle_size) >= threshold:
+            uf.union(a, b)
+    bad_roots = {uf.find(int(i)) for i in ids if i % 2 == 1}
+    out = pd.DataFrame(
+        {
+            "doc_id": np.asarray(train_ids, dtype=np.int64),
+            "contaminated": [uf.find(int(i) * 2) in bad_roots for i in train_ids],
+        }
+    )
+    return out.astype({"doc_id": "int64", "contaminated": "bool"})
+
+
 # ---------------------------------------------------------------------------
 # simhash near-dup clustering (hamming ≤ k)
 # ---------------------------------------------------------------------------
