@@ -1647,6 +1647,19 @@ def q_left_join_customer_orders(sf_dir: str):
     )
     o = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     cnt = group_counts(o, key="o_custkey", out_col="n_orders", num_partitions=8)
+
+    def ensure_cnt_schema(t: pa.Table) -> pa.Table:
+        # Ray aggregates can emit ZERO-COLUMN empty blocks for empty
+        # partition slices, and Dataset.join chokes on them (same
+        # guard the CC/label machinery uses) — restore the schema
+        if t.num_columns == 0:
+            return pa.table({
+                "o_custkey": pa.array([], type=pa.int64()),
+                "n_orders": pa.array([], type=pa.int64()),
+            })
+        return t
+
+    cnt = cnt.map_batches(ensure_cnt_schema, batch_format="pyarrow")
     # native join spawns one aggregator ACTOR per partition (~3 s
     # startup each at this scale); partitions should track cluster
     # size, not a fixed constant — 2 here, the driver runs at sf≤0.01

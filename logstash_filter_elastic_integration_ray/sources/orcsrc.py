@@ -5,11 +5,13 @@ columnar format long-lived Hadoop/Hive log warehouses export.  Ray
 Data ships no ORC reader/writer, so this module builds both from
 Dataset primitives:
 
-- ``write_orc`` runs one distributed ``map_batches`` pass where each
-  task serializes its block with ``pyarrow.orc`` and emits only the
-  written file's path — block bytes never visit the driver, and files
-  land via write-then-rename so a killed run cannot leave a truncated
-  shard that later runs silently read.
+- ``write_orc`` is a ``BlockBasedFileDatasink``: each write task
+  serializes its blocks with ``pyarrow.orc`` straight into the sink's
+  files — block bytes never visit the driver, and Ray's datasink
+  commit protocol owns the filenames, so a RETRIED write task
+  overwrites its own shard instead of duplicating rows (a hand-rolled
+  uuid-per-attempt side-effect writer would double data on lineage
+  re-execution).
 - ``read_orc`` lists the shard files and decodes them inside
   ``map_batches`` over ``read_binary_files`` rows — each worker
   decodes its own files, the driver touches only paths.
@@ -23,28 +25,37 @@ the SAME DuckDB oracle as the parquet source.
 
 from __future__ import annotations
 
-import os
-import uuid
-
 import pyarrow as pa
 import pyarrow.compute as pc
 
 
+class _OrcDatasink:
+    """Lazy holder so importing this module never imports Ray."""
+
+    _cls = None
+
+    @classmethod
+    def get(cls):
+        if cls._cls is None:
+            from ray.data.datasource import BlockBasedFileDatasink
+
+            class OrcDatasink(BlockBasedFileDatasink):
+                def __init__(self, path: str):
+                    super().__init__(path, file_format="orc")
+
+                def write_block_to_file(self, block, file) -> None:
+                    from pyarrow import orc
+
+                    orc.write_table(block.to_arrow(), file)
+
+            cls._cls = OrcDatasink
+        return cls._cls
+
+
 def write_orc(ds, out_dir: str) -> str:
-    """Sharded ORC (one file per block), written by the workers."""
-    os.makedirs(out_dir, exist_ok=True)
-
-    def write_block(t: pa.Table) -> pa.Table:
-        from pyarrow import orc
-
-        name = f"part-{uuid.uuid4().hex}.orc"
-        tmp = os.path.join(out_dir, f".{name}.tmp")
-        orc.write_table(t, tmp)
-        os.replace(tmp, os.path.join(out_dir, name))
-        return pa.table({"path": pa.array([name], type=pa.string())})
-
-    # consume via take_all: only the file names travel to the driver
-    ds.map_batches(write_block, batch_format="pyarrow").take_all()
+    """Sharded ORC via a file datasink — retry-safe filenames owned by
+    Ray's write protocol."""
+    ds.write_datasink(_OrcDatasink.get()(out_dir))
     return out_dir
 
 

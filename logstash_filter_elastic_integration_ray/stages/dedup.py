@@ -886,8 +886,27 @@ def ngram_jaccard_dedup(ds, *, threshold: float = 0.8, num_perm: int = 32, bands
 
     Candidate recall is the LSH/star+chain contract shared with the
     MinHash path; the verification itself is exact."""
+    labels = _verified_jaccard_labels(
+        ds, threshold=threshold, num_perm=num_perm, bands=bands,
+        shingle_size=shingle_size, text_col=text_col, id_col=id_col,
+        num_partitions=num_partitions,
+    )
+    return _survivors_from_labels(ds, labels, id_col, num_partitions)
+
+
+def _verified_jaccard_labels(ds, *, threshold: float, num_perm: int, bands: int,
+                             shingle_size: int, text_col: str, id_col: str,
+                             num_partitions: int):
+    """LSH candidates → exact shingle-jaccard verify → component labels
+    (node, label) — the single shared core behind
+    :func:`ngram_jaccard_dedup` and
+    :func:`ngram_jaccard_decontaminate`, so the two paths cannot
+    drift."""
     # driver-side import: similarity imports THIS module at module
     # level, so the reverse import must stay out of module scope
+    import pyarrow.compute as pc
+
+    from .aggregate import add_partition_col
     from .similarity import attach_pair_scores
 
     hasher = MinHasher(num_perm=num_perm, shingle_size=shingle_size)
@@ -897,8 +916,6 @@ def ngram_jaccard_dedup(ds, *, threshold: float = 0.8, num_perm: int = 32, bands
         lambda b: minhash_band_rows(b, hasher, bands, text_col, id_col),
         batch_format="pyarrow",
     )
-    from .aggregate import add_partition_col
-
     parts = band_rows.map_batches(
         lambda b: add_partition_col(b, num_partitions, key="bucket"), batch_format="pyarrow"
     )
@@ -906,8 +923,6 @@ def ngram_jaccard_dedup(ds, *, threshold: float = 0.8, num_perm: int = 32, bands
         lambda df: _star_edges_partition(df, pre, id_col), batch_format="pandas"
     )
     edges = distinct_pairs(edges, num_partitions)
-
-    import pyarrow.compute as pc
 
     def text_rows(t: pa.Table) -> pa.Table:
         # null text scores as "" (the reference implementation and the
@@ -925,8 +940,7 @@ def ngram_jaccard_dedup(ds, *, threshold: float = 0.8, num_perm: int = 32, bands
         id_col=id_col,
         num_partitions=num_partitions,
     ).select_columns(["a", "b"])
-    labels = connected_components_min_label(verified, num_partitions=max(8, num_partitions // 4))
-    return _survivors_from_labels(ds, labels, id_col, num_partitions)
+    return connected_components_min_label(verified, num_partitions=max(8, num_partitions // 4))
 
 
 def ngram_jaccard_decontaminate(train, heldout, *, threshold: float = 0.8,
@@ -954,11 +968,15 @@ def ngram_jaccard_decontaminate(train, heldout, *, threshold: float = 0.8,
     import pyarrow.compute as pc
 
     from .aggregate import add_partition_col
-    from .similarity import attach_pair_scores
 
     def tagged(side: int):
         def fn(t: pa.Table) -> pa.Table:
-            ids = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            col = t.column(id_col)
+            if col.null_count:
+                # a null would float64-NaN the cast and slip past the
+                # range guard into an undefined INT64_MIN node id
+                raise ValueError("ngram_jaccard_decontaminate: null id")
+            ids = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
             if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 62)):
                 raise ValueError(
                     "ngram_jaccard_decontaminate: ids must be in [0, 2^62)"
@@ -970,40 +988,18 @@ def ngram_jaccard_decontaminate(train, heldout, *, threshold: float = 0.8,
 
         return fn
 
-    union = train.map_batches(tagged(0), batch_format="pyarrow").union(
-        heldout.map_batches(tagged(1), batch_format="pyarrow")
+    # materialized: the union feeds the band pass, the exact-verify
+    # text pass AND the final flag exchange — without this the source
+    # reads + filters re-execute per consumer
+    union = (
+        train.map_batches(tagged(0), batch_format="pyarrow")
+        .union(heldout.map_batches(tagged(1), batch_format="pyarrow"))
+        .materialize()
     )
-
-    hasher = MinHasher(num_perm=num_perm, shingle_size=shingle_size)
-    pre = jaccard_prefilter_threshold(threshold, num_perm)
-    band_rows = union.map_batches(
-        lambda b: minhash_band_rows(b, hasher, bands, text_col, id_col),
-        batch_format="pyarrow",
-    )
-    parts = band_rows.map_batches(
-        lambda b: add_partition_col(b, num_partitions, key="bucket"), batch_format="pyarrow"
-    )
-    edges = parts.repartition(num_partitions).groupby("__part").map_groups(
-        lambda df: _star_edges_partition(df, pre, id_col), batch_format="pandas"
-    )
-    edges = distinct_pairs(edges, num_partitions)
-
-    def text_rows(t: pa.Table) -> pa.Table:
-        txt = pc.coalesce(t.column(text_col).cast(pa.string()), "")
-        return pa.table({id_col: t.column(id_col).cast(pa.int64()), "val": txt})
-
-    verified = attach_pair_scores(
-        edges,
-        union.map_batches(text_rows, batch_format="pyarrow"),
-        score_fn=_jaccard_score_fn(shingle_size),
-        threshold=threshold,
-        value_type=pa.string(),
-        score_col="jaccard",
-        id_col=id_col,
+    labels = _verified_jaccard_labels(
+        union, threshold=threshold, num_perm=num_perm, bands=bands,
+        shingle_size=shingle_size, text_col=text_col, id_col=id_col,
         num_partitions=num_partitions,
-    ).select_columns(["a", "b"])
-    labels = connected_components_min_label(
-        verified, num_partitions=max(8, num_partitions // 4)
     )
 
     # per-component contamination: co-partition by label, one vectorized
@@ -1026,11 +1022,15 @@ def ngram_jaccard_decontaminate(train, heldout, *, threshold: float = 0.8,
     )
 
     # (id, contaminated) for ALL train docs: one co-partition of thin
-    # int64 ids, pure-Arrow resolve (no pandas float64 round trip)
+    # int64 ids, pure-Arrow resolve (no pandas float64 round trip).
+    # Train ids come from the MATERIALIZED union (even combined ids),
+    # not a re-read of the train source.
     def train_side(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        ids = ids[ids % 2 == 0] // 2
         return pa.table({
-            id_col: t.column(id_col).cast(pa.int64()),
-            "__side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            id_col: pa.array(ids, type=pa.int64()),
+            "__side": pa.array(np.ones(len(ids), dtype=np.int8)),
         })
 
     def cont_side(t: pa.Table) -> pa.Table:
@@ -1039,7 +1039,7 @@ def ngram_jaccard_decontaminate(train, heldout, *, threshold: float = 0.8,
             "__side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
         })
 
-    unioned = train.map_batches(
+    unioned = union.map_batches(
         lambda t: train_side(t.select([id_col])), batch_format="pyarrow"
     ).union(contaminated.map_batches(cont_side, batch_format="pyarrow"))
 
