@@ -534,6 +534,17 @@ def q_token_counts_docs(sf_dir: str):
     return _docs(sf_dir).map_batches(token_count_batch, batch_format="pyarrow")
 
 
+def q_bpe_token_counts_docs(sf_dir: str):
+    """BPE-ish (GPT-2 style) regex token counts — one vectorized Arrow
+    RE2 kernel per batch (stages/textstats.py:bpe_token_count_batch);
+    the SQL twin counts the same RE2 pattern via regexp_extract_all."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import (
+        bpe_token_count_batch,
+    )
+
+    return _docs(sf_dir).map_batches(bpe_token_count_batch, batch_format="pyarrow")
+
+
 def q_quality_docs(sf_dir: str):
     from logstash_filter_elastic_integration_ray.stages.textstats import quality_batch
 
@@ -1713,6 +1724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_stats_scalable": q_conv_stats_scalable,
         "exact_dedup_docs": q_exact_dedup_docs,
         "token_counts_docs": q_token_counts_docs,
+        "bpe_token_counts_docs": q_bpe_token_counts_docs,
         "quality_docs": q_quality_docs,
         "doc_fingerprints": q_doc_fingerprints,
         "lang_id_docs": q_lang_id_docs,
@@ -2173,6 +2185,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_counts_docs": (
             "SELECT doc_id, CAST(CASE WHEN text IS NULL THEN 0 ELSE length(string_split(text, ' ')) END AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "bpe_token_counts_docs": (
+            "SELECT doc_id, CAST(COALESCE(len(regexp_extract_all(text, "
+            r"$$'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+$$"
+            ")), 0) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
         "quality_docs": (
             "SELECT doc_id, length(text) AS n_chars_calc, "

@@ -33,6 +33,26 @@ _LANG_PROFILES: dict[str, frozenset] = {
 }
 
 
+#: BPE-ish tokenizer regex (GPT-2 style: contractions, letter runs,
+#: digit runs, punctuation runs, whitespace) restricted to RE2 syntax
+#: so Arrow's count_substring_regex and DuckDB's regexp_extract_all
+#: agree byte-for-byte — the SQL twin is len(regexp_extract_all(...)).
+BPE_TOKEN_REGEX = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """(id, n_bpe_tokens) — non-overlapping :data:`BPE_TOKEN_REGEX`
+    matches, counted by one vectorized Arrow RE2 kernel (null text →
+    0, matching the SQL ``COALESCE``)."""
+    import pyarrow.compute as pc
+
+    n = pc.fill_null(
+        pc.count_substring_regex(batch.column(text_col), BPE_TOKEN_REGEX), 0
+    ).cast(pa.int64())
+    return pa.table({id_col: batch.column(id_col), "n_bpe_tokens": n})
+
+
 def token_count_batch(batch: pa.Table) -> pa.Table:
     """doc_id, n_tokens — tokens split on single spaces (exact twin of
     DuckDB ``length(string_split(text, ' '))``)."""

@@ -40,6 +40,31 @@ class TestOrcRoundtrip:
         assert ds.schema().base_schema.field("ts").type == pa.timestamp("us")
 
 
+class TestBpeTokenCount:
+    def test_matches_python_re_and_handles_edges(self, ray_session):
+        import re
+
+        from logstash_filter_elastic_integration_ray.stages.textstats import (
+            BPE_TOKEN_REGEX,
+            bpe_token_count_batch,
+        )
+
+        texts = [
+            "Hello, world! It's 2026.",
+            "",
+            None,
+            "  double  spaces\tand\nnewlines",
+            "can't won't we'll",
+            "naïve café ¿qué? ×3",
+        ]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        got = bpe_token_count_batch(t).column("n_bpe_tokens").to_pylist()
+        rx = re.compile(BPE_TOKEN_REGEX)
+        exp = [0 if s is None else len(rx.findall(s)) for s in texts]
+        assert got == exp
+
+
 class TestGroupCounts:
     def test_matches_pandas_with_null_keys(self, ray_session):
         rng = np.random.default_rng(7)
