@@ -707,6 +707,32 @@ def q_ngram_jaccard_dedup_docs(sf_dir: str):
     return ngram_jaccard_dedup(_docs(sf_dir), threshold=0.8)
 
 
+def q_embedding_decontaminate_docs(sf_dir: str):
+    """Cross-corpus EMBEDDING near-dup decontamination over the same
+    ``doc_id % 5`` split as the jaccard flavor — cosine ≥ 0.9 clusters
+    over the union of both corpora flag train docs sharing a component
+    with any held-out doc (stages/similarity.py:embedding_decontaminate;
+    fixture oracle from the union-find reference)."""
+    from logstash_filter_elastic_integration_ray.stages.similarity import (
+        embedding_decontaminate,
+        text_feature_embedding_batch,
+    )
+
+    emb = _docs(sf_dir).map_batches(text_feature_embedding_batch, batch_format="pyarrow")
+
+    def side(held: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            m = (ids % 5 == 0) if held else (ids % 5 != 0)
+            return t.filter(pa.array(m))
+
+        return fn
+
+    train = emb.map_batches(side(False), batch_format="pyarrow")
+    heldout = emb.map_batches(side(True), batch_format="pyarrow")
+    return embedding_decontaminate(train, heldout, threshold=0.9, num_partitions=16)
+
+
 def q_jaccard_decontaminate_docs(sf_dir: str):
     """Cross-corpus NEAR-DUP decontamination: the ``doc_id % 5 = 0``
     subset plays the held-out eval set, the rest is training data; a
@@ -1739,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_docs": q_embedding_dedup_docs,
         "ngram_jaccard_dedup_docs": q_ngram_jaccard_dedup_docs,
         "jaccard_decontaminate_docs": q_jaccard_decontaminate_docs,
+        "embedding_decontaminate_docs": q_embedding_decontaminate_docs,
         "kmeans_embeddings": q_kmeans_embeddings,
         "decontaminate_docs": q_decontaminate_docs,
         "repetition_docs": q_repetition_docs,
@@ -1949,6 +1976,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jaccard_decontaminate_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/jaccard_decontaminate_docs.sf0_01.parquet')"
+        ),
+        "embedding_decontaminate_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/embedding_decontaminate_docs.sf0_01.parquet')"
         ),
         "kmeans_embeddings": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/kmeans_embeddings.sf0_01.parquet')"

@@ -965,9 +965,22 @@ def ngram_jaccard_decontaminate(train, heldout, *, threshold: float = 0.8,
     Side identity travels IN the node id (combined = id*2 + side), so
     no per-node side lookup ever shuffles; ids must be non-negative
     and < 2^62.  The two id spaces may overlap freely."""
-    import pyarrow.compute as pc
+    union = side_tagged_union(train, heldout, id_col=id_col, payload_col=text_col)
+    labels = _verified_jaccard_labels(
+        union, threshold=threshold, num_perm=num_perm, bands=bands,
+        shingle_size=shingle_size, text_col=text_col, id_col=id_col,
+        num_partitions=num_partitions,
+    )
+    return contamination_flags(labels, union, id_col=id_col,
+                               num_partitions=num_partitions)
 
-    from .aggregate import add_partition_col
+
+def side_tagged_union(train, heldout, *, id_col: str, payload_col: str):
+    """Materialized union of both corpora with side identity encoded IN
+    the id (combined = id*2 + side; held-out = odd) — shared by every
+    cross-corpus decontamination flavor.  Materialized because the
+    union feeds the candidate pass, the exact-verify payload pass AND
+    the final flag exchange."""
 
     def tagged(side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -975,35 +988,35 @@ def ngram_jaccard_decontaminate(train, heldout, *, threshold: float = 0.8,
             if col.null_count:
                 # a null would float64-NaN the cast and slip past the
                 # range guard into an undefined INT64_MIN node id
-                raise ValueError("ngram_jaccard_decontaminate: null id")
+                raise ValueError("side_tagged_union: null id")
             ids = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
             if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 62)):
-                raise ValueError(
-                    "ngram_jaccard_decontaminate: ids must be in [0, 2^62)"
-                )
+                raise ValueError("side_tagged_union: ids must be in [0, 2^62)")
             return pa.table({
                 id_col: pa.array(ids * 2 + side),
-                text_col: t.column(text_col),
+                payload_col: t.column(payload_col),
             })
 
         return fn
 
-    # materialized: the union feeds the band pass, the exact-verify
-    # text pass AND the final flag exchange — without this the source
-    # reads + filters re-execute per consumer
-    union = (
+    return (
         train.map_batches(tagged(0), batch_format="pyarrow")
         .union(heldout.map_batches(tagged(1), batch_format="pyarrow"))
         .materialize()
     )
-    labels = _verified_jaccard_labels(
-        union, threshold=threshold, num_perm=num_perm, bands=bands,
-        shingle_size=shingle_size, text_col=text_col, id_col=id_col,
-        num_partitions=num_partitions,
-    )
 
-    # per-component contamination: co-partition by label, one vectorized
-    # pass — a component member list never leaves its partition
+
+def contamination_flags(labels, union, *, id_col: str, num_partitions: int):
+    """(id_col, contaminated bool) for every TRAIN doc, given component
+    labels over side-tagged node ids and the materialized union those
+    labels were derived from.  Two thin-int64 exchanges: one
+    co-partition by label (a component's member list never leaves its
+    partition), one by id for the final flag resolve — pure Arrow, so
+    exact int64 ids never round through pandas float64."""
+    import pyarrow.compute as pc
+
+    from .aggregate import add_partition_col
+
     def contaminated_partition(df: pd.DataFrame) -> pa.Table:
         node = df["node"].to_numpy(dtype=np.int64)
         lab = df["label"].to_numpy(dtype=np.int64)
@@ -1021,8 +1034,6 @@ def ngram_jaccard_decontaminate(train, heldout, *, threshold: float = 0.8,
         .map_groups(contaminated_partition, batch_format="pandas")
     )
 
-    # (id, contaminated) for ALL train docs: one co-partition of thin
-    # int64 ids, pure-Arrow resolve (no pandas float64 round trip).
     # Train ids come from the MATERIALIZED union (even combined ids),
     # not a re-read of the train source.
     def train_side(t: pa.Table) -> pa.Table:

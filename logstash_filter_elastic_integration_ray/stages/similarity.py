@@ -626,7 +626,22 @@ def embedding_dedup(ds, threshold: float = 0.9, *, num_bits: int = 64, bands: in
     the O(m) edge set via :func:`attach_pair_cosines` → distributed
     min-label connected components → survivors/singletons.  Nothing is
     ever O(m²) in time, memory, shuffle or output."""
-    from ..stages.dedup import _EXACT_BUCKET_CAP, _survivors_from_labels, connected_components_min_label
+    from ..stages.dedup import _survivors_from_labels
+
+    labels = _verified_cosine_labels(
+        ds, threshold=threshold, num_bits=num_bits, bands=bands, seed=seed,
+        id_col=id_col, emb_col=emb_col, num_partitions=num_partitions,
+    )
+    return _survivors_from_labels(ds, labels, id_col, num_partitions)
+
+
+def _verified_cosine_labels(ds, *, threshold: float, num_bits: int, bands: int,
+                            seed: int, id_col: str, emb_col: str,
+                            num_partitions: int):
+    """SRP candidates → exact cosine verify → component labels
+    (node, label) — the single shared core behind
+    :func:`embedding_dedup` and :func:`embedding_decontaminate`."""
+    from ..stages.dedup import _EXACT_BUCKET_CAP, connected_components_min_label
     from .aggregate import add_partition_col
 
     cap = hamming_cap(threshold, num_bits)
@@ -648,8 +663,32 @@ def embedding_dedup(ds, threshold: float = 0.9, *, num_bits: int = 64, bands: in
     verified = attach_pair_cosines(
         edges, emb_rows, threshold, id_col=id_col, num_partitions=num_partitions
     ).select_columns(["a", "b"])
-    labels = connected_components_min_label(verified, num_partitions=max(8, num_partitions // 4))
-    return _survivors_from_labels(ds, labels, id_col, num_partitions)
+    return connected_components_min_label(verified, num_partitions=max(8, num_partitions // 4))
+
+
+def embedding_decontaminate(train, heldout, *, threshold: float = 0.9,
+                            num_bits: int = 64, bands: int = 8, seed: int = 42,
+                            id_col: str = "doc_id", emb_col: str = "embedding",
+                            num_partitions: int = 32):
+    """Cross-corpus EMBEDDING near-dup decontamination: flag every
+    train doc whose cosine near-dup cluster (over the UNION of both
+    corpora) contains a held-out doc — the semantic companion to
+    :func:`~..stages.dedup.ngram_jaccard_decontaminate` (a rewrite that
+    changes most surface tokens keeps a near-identical embedding).
+
+    Returns (id_col, contaminated bool) for EVERY train doc.  Same
+    contracts as the jaccard flavor: side identity rides IN the node id
+    (id*2 + side, ids in [0, 2^62)), both corpora may be large, the
+    held-out side is never broadcast."""
+    from ..stages.dedup import contamination_flags, side_tagged_union
+
+    union = side_tagged_union(train, heldout, id_col=id_col, payload_col=emb_col)
+    labels = _verified_cosine_labels(
+        union, threshold=threshold, num_bits=num_bits, bands=bands, seed=seed,
+        id_col=id_col, emb_col=emb_col, num_partitions=num_partitions,
+    )
+    return contamination_flags(labels, union, id_col=id_col,
+                               num_partitions=num_partitions)
 
 
 def cosine_dup_pairs(matrix: np.ndarray, ids: np.ndarray, threshold: float = 0.95,

@@ -149,6 +149,36 @@ class TestJaccardDecontaminate:
             self._run([{"doc_id": 1 << 62, "text": "x"}], [{"doc_id": 1, "text": "y"}])
 
 
+class TestEmbeddingDecontaminate:
+    def test_synthetic_and_reference(self, ray_session):
+        import sys as _sys
+
+        _sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        from logstash_filter_elastic_integration_ray.stages.similarity import (
+            embedding_decontaminate,
+            text_feature_embedding_batch,
+        )
+
+        # reference equality over the real sf0.001 docs, %5 split
+        exp = ref.embedding_decontaminate_reference("/root/testdata/sf0.001")
+        import pyarrow.parquet as pq
+
+        t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["doc_id", "text"])
+        emb = text_feature_embedding_batch(t)
+        ids = emb.column("doc_id").to_numpy()
+        train = rd.from_arrow(emb.filter(pa.array(ids % 5 != 0))).repartition(3)
+        held = rd.from_arrow(emb.filter(pa.array(ids % 5 == 0))).repartition(2)
+        got = {
+            r["doc_id"]: r["contaminated"]
+            for r in embedding_decontaminate(train, held, num_partitions=4).take_all()
+        }
+        assert got == dict(zip(exp["doc_id"], exp["contaminated"]))
+        assert any(got.values()) and not all(got.values())
+
+
 class TestSftPairs:
     ROWS = [
         # conv A: standard user/assistant alternation

@@ -463,6 +463,38 @@ def embedding_dedup_reference(sf_dir: str, *, threshold: float = 0.9, num_bits: 
     star + windowed-exact for megabuckets), each edge verified by
     exact cosine."""
     ids, m = _doc_embeddings(sf_dir)
+    return _embedding_verified_uf(
+        ids, m, threshold=threshold, num_bits=num_bits, bands=bands, seed=seed
+    ).clusters()
+
+
+def embedding_decontaminate_reference(sf_dir: str, *, mod: int = 5,
+                                      threshold: float = 0.9, num_bits: int = 64,
+                                      bands: int = 8, seed: int = 42) -> pd.DataFrame:
+    """(doc_id, contaminated) over the ``doc_id % mod`` split with
+    side-tagged (id*2 + side) node ids — single-process union-find twin
+    of stages/similarity.py:embedding_decontaminate."""
+    ids, m = _doc_embeddings(sf_dir)
+    held = ids % mod == 0
+    tagged = np.where(held, ids * 2 + 1, ids * 2)
+    uf = _embedding_verified_uf(
+        tagged, m, threshold=threshold, num_bits=num_bits, bands=bands, seed=seed
+    )
+    bad_roots = {uf.find(int(i)) for i in tagged[held]}
+    train_ids = ids[~held]
+    return pd.DataFrame(
+        {
+            "doc_id": train_ids,
+            "contaminated": [uf.find(int(i) * 2) in bad_roots for i in train_ids],
+        }
+    ).astype({"doc_id": "int64", "contaminated": "bool"})
+
+
+def _embedding_verified_uf(ids, m, *, threshold: float, num_bits: int,
+                           bands: int, seed: int) -> "UnionFind":
+    """The shared candidate+verify core behind both embedding
+    references: engine-contract SRP candidates, exact-cosine verified,
+    folded into a UnionFind over ``ids``."""
     packed, buckets = _srp_buckets(m, num_bits=num_bits, bands=bands, seed=seed)
     cap = hamming_cap(threshold, num_bits)
     cand: set[tuple[int, int]] = set()
@@ -523,7 +555,7 @@ def embedding_dedup_reference(sf_dir: str, *, threshold: float = 0.9, num_bits: 
         for (a, b), c in zip(pairs, cos):
             if c >= threshold:
                 uf.union(a, b)
-    return uf.clusters()
+    return uf
 
 
 # ---------------------------------------------------------------------------
