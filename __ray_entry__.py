@@ -1035,6 +1035,33 @@ def q_running_totals_scan(sf_dir: str):
     )
 
 
+def q_running_minmax_events(sf_dir: str):
+    """Running min/max beside the count/sum surface —
+    ``min(v)/max(v) OVER (PARTITION BY … ORDER BY … ROWS UNBOUNDED
+    PRECEDING)`` via the same one-pass kernel (segmented cythonized
+    cummin/cummax; stages/windows.py:grouped_running min_col/max_col)."""
+    from logstash_filter_elastic_integration_ray.stages.windows import grouped_running
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "cents": pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64()),
+        })
+
+    return grouped_running(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key="user_id", order_cols=["ts", "event_id"], value_col="cents",
+        cnt_col="run_cnt", sum_col="run_sum", gap_col=None,
+        min_col="run_min", max_col="run_max", num_partitions=32,
+    )
+
+
 def q_rolling_sum_events(sf_dir: str):
     """Bounded-frame rolling window: per-user sum/count over the last
     5 events (``ROWS BETWEEN 4 PRECEDING AND CURRENT ROW``) — a
@@ -1786,6 +1813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals_events": q_running_totals_events,
         "running_totals_scan": q_running_totals_scan,
         "rolling_sum_events": q_rolling_sum_events,
+        "running_minmax_events": q_running_minmax_events,
         "pivot_events": q_pivot_events,
         "unpivot_lineitem": q_unpivot_lineitem,
         "distinct_users_by_type": q_distinct_users_by_type,
@@ -2167,6 +2195,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) OVER w AS BIGINT) AS run_cnt, "
             "CAST(sum(cents) OVER w AS BIGINT) AS run_sum, "
             "epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "running_minmax_events": (
+            "WITH e AS (SELECT event_id, user_id, ts, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT event_id, user_id, ts, cents, "
+            "CAST(count(*) OVER w AS BIGINT) AS run_cnt, "
+            "CAST(sum(cents) OVER w AS BIGINT) AS run_sum, "
+            "CAST(min(cents) OVER w AS BIGINT) AS run_min, "
+            "CAST(max(cents) OVER w AS BIGINT) AS run_max "
             "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         ),

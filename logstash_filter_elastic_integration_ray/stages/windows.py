@@ -78,6 +78,8 @@ def grouped_running(
     cnt_col: str = "run_cnt",
     sum_col: str = "run_sum",
     gap_col: str | None = "gap",
+    min_col: str | None = None,
+    max_col: str | None = None,
     num_partitions: int = 32,
     frame_rows: int | None = None,
 ):
@@ -88,6 +90,8 @@ def grouped_running(
         count(*)              OVER w  AS cnt_col
         sum(coalesce(v, 0))   OVER w  AS sum_col
         order0 - lag(order0)  OVER w  AS gap_col   -- NULL on group firsts
+        min(coalesce(v, 0))   OVER w  AS min_col   -- when requested
+        max(coalesce(v, 0))   OVER w  AS max_col   -- when requested
         WINDOW w AS (PARTITION BY key ORDER BY order0, order1, ...
                      ROWS UNBOUNDED PRECEDING)
 
@@ -144,6 +148,21 @@ def grouped_running(
         out = df.iloc[order].reset_index(drop=True)
         out[cnt_col] = cnt
         out[sum_col] = run_sum
+        if min_col is not None or max_col is not None:
+            # segmented running min/max: pandas' cythonized grouped
+            # cummin/rolling — no Python loop, resets at group bounds
+            s = pd.Series(vs)
+            gb = s.groupby(g)
+            if frame_rows is None:
+                mn, mx = gb.cummin(), gb.cummax()
+            else:
+                roll = gb.rolling(frame_rows, min_periods=1)
+                mn = roll.min().reset_index(drop=True)
+                mx = roll.max().reset_index(drop=True)
+            if min_col is not None:
+                out[min_col] = mn.to_numpy(dtype=v.dtype)
+            if max_col is not None:
+                out[max_col] = mx.to_numpy(dtype=v.dtype)
         if gap_col is not None:
             o0 = _order_view(orders[0])[order]
             gap = np.empty(len(g), dtype=np.float64)

@@ -122,6 +122,45 @@ class TestGroupedRunning:
         pd.testing.assert_frame_equal(outs[0], outs[1])
 
 
+class TestRunningMinMax:
+    def _run(self, df, frame_rows=None, num_partitions=4):
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.windows import grouped_running
+
+        ds = rd.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        ).repartition(3)
+        out = grouped_running(
+            ds, key="user_id", order_cols=["ts", "event_id"], value_col="cents",
+            gap_col=None, min_col="run_min", max_col="run_max",
+            num_partitions=num_partitions, frame_rows=frame_rows,
+        ).to_pandas()
+        return out.sort_values("event_id").reset_index(drop=True)
+
+    def test_unbounded_matches_pandas(self, ray_session):
+        df = _events_frame()
+        got = self._run(df)
+        ref = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
+        g = ref.groupby("user_id", sort=False)["cents"]
+        ref["run_min"] = g.cummin()
+        ref["run_max"] = g.cummax()
+        ref = ref.sort_values("event_id").reset_index(drop=True)
+        assert got["run_min"].tolist() == ref["run_min"].tolist()
+        assert got["run_max"].tolist() == ref["run_max"].tolist()
+
+    def test_bounded_frame_matches_pandas_rolling(self, ray_session):
+        df = _events_frame(300, seed=5)
+        got = self._run(df, frame_rows=4)
+        ref = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
+        roll = ref.groupby("user_id", sort=False)["cents"].rolling(4, min_periods=1)
+        ref["run_min"] = roll.min().reset_index(level=0, drop=True)
+        ref["run_max"] = roll.max().reset_index(level=0, drop=True)
+        ref = ref.sort_values("event_id").reset_index(drop=True)
+        assert got["run_min"].tolist() == ref["run_min"].astype(np.int64).tolist()
+        assert got["run_max"].tolist() == ref["run_max"].astype(np.int64).tolist()
+
+
 class TestDistinctCountBy:
     def test_matches_reference_with_null_edges(self, ray_session):
         import ray.data
