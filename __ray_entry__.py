@@ -139,6 +139,18 @@ def _filter_eq(ds, col: str, value: str):
     )
 
 
+def _mod5_side(held: bool):
+    """The shared train/held-out split for BOTH decontamination
+    queries: ``doc_id % 5 == 0`` plays the held-out eval set."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        m = (ids % 5 == 0) if held else (ids % 5 != 0)
+        return t.filter(pa.array(m))
+
+    return fn
+
+
 def _cast_ts_us(ds, cols: list[str]):
     """Normalize pandas-born timestamp columns (ns) to timestamp[us] so
     result schemas match the DuckDB oracle exactly."""
@@ -718,18 +730,16 @@ def q_embedding_decontaminate_docs(sf_dir: str):
         text_feature_embedding_batch,
     )
 
-    emb = _docs(sf_dir).map_batches(text_feature_embedding_batch, batch_format="pyarrow")
-
-    def side(held: bool):
-        def fn(t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_numpy()
-            m = (ids % 5 == 0) if held else (ids % 5 != 0)
-            return t.filter(pa.array(m))
-
-        return fn
-
-    train = emb.map_batches(side(False), batch_format="pyarrow")
-    heldout = emb.map_batches(side(True), batch_format="pyarrow")
+    # filter BEFORE embedding: each doc embeds exactly once (an
+    # unmaterialized shared emb dataset would re-run the embedding
+    # stage once per side)
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    train = docs.map_batches(_mod5_side(False), batch_format="pyarrow").map_batches(
+        text_feature_embedding_batch, batch_format="pyarrow"
+    )
+    heldout = docs.map_batches(_mod5_side(True), batch_format="pyarrow").map_batches(
+        text_feature_embedding_batch, batch_format="pyarrow"
+    )
     return embedding_decontaminate(train, heldout, threshold=0.9, num_partitions=16)
 
 
@@ -747,17 +757,8 @@ def q_jaccard_decontaminate_docs(sf_dir: str):
     )
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def side(held: bool):
-        def fn(t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_numpy()
-            m = (ids % 5 == 0) if held else (ids % 5 != 0)
-            return t.filter(pa.array(m))
-
-        return fn
-
-    train = docs.map_batches(side(False), batch_format="pyarrow")
-    heldout = docs.map_batches(side(True), batch_format="pyarrow")
+    train = docs.map_batches(_mod5_side(False), batch_format="pyarrow")
+    heldout = docs.map_batches(_mod5_side(True), batch_format="pyarrow")
     return ngram_jaccard_decontaminate(train, heldout, threshold=0.8, num_partitions=16)
 
 
@@ -1844,6 +1845,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from logstash_filter_elastic_integration_ray.stages.textstats import (
+        BPE_TOKEN_REGEX as _BPE_TOKEN_REGEX,
+    )
+
     T = transcripts_sql
     return {
         "transcripts_source": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
@@ -2256,8 +2261,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(CASE WHEN text IS NULL THEN 0 ELSE length(string_split(text, ' ')) END AS BIGINT) AS n_tokens FROM documents"
         ),
         "bpe_token_counts_docs": (
+            # the pattern is interpolated from the ONE definition the
+            # engine kernel uses, so engine and oracle cannot drift
             "SELECT doc_id, CAST(COALESCE(len(regexp_extract_all(text, "
-            r"$$'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+$$"
+            f"$${_BPE_TOKEN_REGEX}$$"
             ")), 0) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
         "quality_docs": (

@@ -90,8 +90,9 @@ def grouped_running(
         count(*)              OVER w  AS cnt_col
         sum(coalesce(v, 0))   OVER w  AS sum_col
         order0 - lag(order0)  OVER w  AS gap_col   -- NULL on group firsts
-        min(coalesce(v, 0))   OVER w  AS min_col   -- when requested
-        max(coalesce(v, 0))   OVER w  AS max_col   -- when requested
+        min(v)                OVER w  AS min_col   -- when requested;
+        max(v)                OVER w  AS max_col   -- nulls skipped,
+                                                   -- all-null frame → NULL
         WINDOW w AS (PARTITION BY key ORDER BY order0, order1, ...
                      ROWS UNBOUNDED PRECEDING)
 
@@ -149,20 +150,53 @@ def grouped_running(
         out[cnt_col] = cnt
         out[sum_col] = run_sum
         if min_col is not None or max_col is not None:
-            # segmented running min/max: pandas' cythonized grouped
-            # cummin/rolling — no Python loop, resets at group bounds
-            s = pd.Series(vs)
-            gb = s.groupby(g)
-            if frame_rows is None:
-                mn, mx = gb.cummin(), gb.cummax()
+            # SQL min/max semantics: nulls are SKIPPED (unlike the
+            # documented sum(coalesce(v,0)) twin), an all-null frame is
+            # NULL.  Exact for int64 > 2^53: nulls become per-op
+            # sentinels on the original integer values — never a
+            # float64 NaN round trip (pandas rolling would do exactly
+            # that).  Bounded frames use the block-decomposition
+            # sliding-window extreme: with block size f, a length-f
+            # window either equals one block or spans exactly two, so
+            # window-extreme = op(block_suffix[left], block_prefix[i]).
+            raw = pd.to_numeric(df[value_col], errors="raise")
+            is_int = pd.api.types.is_integer_dtype(raw)
+            notnull = raw.notna().to_numpy()[order]
+            if is_int:
+                rvals = raw.fillna(0).to_numpy(dtype=np.int64)[order]
+                sentinels = {"min": np.iinfo(np.int64).max, "max": np.iinfo(np.int64).min}
             else:
-                roll = gb.rolling(frame_rows, min_periods=1)
-                mn = roll.min().reset_index(drop=True)
-                mx = roll.max().reset_index(drop=True)
-            if min_col is not None:
-                out[min_col] = mn.to_numpy(dtype=v.dtype)
-            if max_col is not None:
-                out[max_col] = mx.to_numpy(dtype=v.dtype)
+                rvals = raw.to_numpy(dtype=np.float64)[order]
+                sentinels = {"min": np.inf, "max": -np.inf}
+            nn0 = np.r_[0, np.cumsum(notnull.astype(np.int64))]
+            win_nn = nn0[idx + 1] - nn0[lo]
+
+            def window_extreme(kind: str) -> np.ndarray:
+                op = np.minimum if kind == "min" else np.maximum
+                x = np.where(notnull, rvals, sentinels[kind])
+                gb = pd.Series(x).groupby(g)
+                cum = (gb.cummin() if kind == "min" else gb.cummax()).to_numpy()
+                if frame_rows is None:
+                    return cum
+                f = frame_rows
+                n = len(x)
+                nb = -(-n // f)
+                xp = np.r_[x, np.full(nb * f - n, sentinels[kind], dtype=x.dtype)]
+                xp = xp.reshape(nb, f)
+                pre = op.accumulate(xp, axis=1).ravel()[:n]
+                suf = op.accumulate(xp[:, ::-1], axis=1)[:, ::-1].ravel()[:n]
+                left = idx - f + 1
+                win = op(suf[np.maximum(left, 0)], pre)
+                # clipped at the group start (lo > left, incl. left<0):
+                # the grouped cumulative IS the [group_start..i] extreme
+                return np.where(lo > left, cum, win)
+
+            for kind, col in (("min", min_col), ("max", max_col)):
+                if col is None:
+                    continue
+                arr = pd.array(window_extreme(kind), dtype="Int64" if is_int else "Float64")
+                arr[win_nn == 0] = pd.NA  # empty (all-null) frame → SQL NULL
+                out[col] = arr
         if gap_col is not None:
             o0 = _order_view(orders[0])[order]
             gap = np.empty(len(g), dtype=np.float64)

@@ -41,8 +41,12 @@ class TestOrcRoundtrip:
 
 
 class TestBpeTokenCount:
-    def test_matches_python_re_and_handles_edges(self, ray_session):
-        import re
+    def test_matches_duckdb_twin_and_handles_edges(self, ray_session):
+        # the contract that matters is Arrow RE2 == DuckDB RE2 (the
+        # oracle) — python `re` is NOT a sound reference (its \s
+        # includes U+00A0, RE2's does not), so pin against DuckDB and
+        # include the non-breaking-space case where python re differs
+        import duckdb
 
         from logstash_filter_elastic_integration_ray.stages.textstats import (
             BPE_TOKEN_REGEX,
@@ -56,12 +60,18 @@ class TestBpeTokenCount:
             "  double  spaces\tand\nnewlines",
             "can't won't we'll",
             "naïve café ¿qué? ×3",
+            "a\xa0\xa0 \xa0b",  # U+00A0: \s in python re, NOT in RE2
         ]
         t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
                       "text": pa.array(texts, type=pa.string())})
         got = bpe_token_count_batch(t).column("n_bpe_tokens").to_pylist()
-        rx = re.compile(BPE_TOKEN_REGEX)
-        exp = [0 if s is None else len(rx.findall(s)) for s in texts]
+        con = duckdb.connect()
+        exp = [
+            0 if s is None else con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [s, BPE_TOKEN_REGEX]
+            ).fetchone()[0]
+            for s in texts
+        ]
         assert got == exp
 
 

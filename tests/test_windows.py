@@ -149,6 +149,63 @@ class TestRunningMinMax:
         assert got["run_min"].tolist() == ref["run_min"].tolist()
         assert got["run_max"].tolist() == ref["run_max"].tolist()
 
+    def test_null_values_skipped_like_sql(self, ray_session):
+        # min/max SKIP nulls (unlike the sum twin's coalesce-to-0) and
+        # an all-null-so-far frame is NULL — pin against DuckDB itself
+        import duckdb
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.windows import grouped_running
+
+        rows = [
+            {"event_id": 0, "user_id": 1, "ts": 0, "cents": None},
+            {"event_id": 1, "user_id": 1, "ts": 1, "cents": -7},
+            {"event_id": 2, "user_id": 1, "ts": 2, "cents": None},
+            {"event_id": 3, "user_id": 1, "ts": 3, "cents": 4},
+            {"event_id": 4, "user_id": 2, "ts": 0, "cents": None},
+        ]
+        t = pa.Table.from_pylist(rows)
+        got = grouped_running(
+            rd.from_arrow(t).repartition(2), key="user_id",
+            order_cols=["ts", "event_id"], value_col="cents", gap_col=None,
+            min_col="run_min", max_col="run_max", num_partitions=2,
+        ).to_pandas().sort_values("event_id")
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.execute(
+            "SELECT event_id, min(cents) OVER w AS run_min, max(cents) OVER w AS run_max "
+            "FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) ORDER BY event_id"
+        ).df()
+        for c in ("run_min", "run_max"):
+            assert [None if pd.isna(x) else int(x) for x in got[c]] == \
+                   [None if pd.isna(x) else int(x) for x in exp[c]], c
+
+    def test_bounded_frame_exact_beyond_2_53(self, ray_session):
+        # the block-decomposition window extreme must not round int64
+        # through float64 (pandas rolling would)
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.windows import grouped_running
+
+        big = 2**53
+        vals = [big + 3, big + 1, big + 2, big + 5, big + 4, big + 6]
+        t = pa.table({
+            "event_id": pa.array(range(6), type=pa.int64()),
+            "user_id": pa.array([1] * 6, type=pa.int64()),
+            "ts": pa.array(range(6), type=pa.int64()),
+            "cents": pa.array(vals, type=pa.int64()),
+        })
+        got = grouped_running(
+            rd.from_arrow(t), key="user_id", order_cols=["ts", "event_id"],
+            value_col="cents", gap_col=None, min_col="run_min",
+            max_col="run_max", num_partitions=1, frame_rows=3,
+        ).to_pandas().sort_values("event_id")
+        exp_min = [min(vals[max(0, i - 2): i + 1]) for i in range(6)]
+        exp_max = [max(vals[max(0, i - 2): i + 1]) for i in range(6)]
+        assert got["run_min"].tolist() == exp_min
+        assert got["run_max"].tolist() == exp_max
+
     def test_bounded_frame_matches_pandas_rolling(self, ray_session):
         df = _events_frame(300, seed=5)
         got = self._run(df, frame_rows=4)
