@@ -170,6 +170,18 @@ def run_bench() -> dict:
 
     timed("parse_route_fanout_write", fanout)
 
+    def sft():
+        # transcript → SFT training pairs: output-bound by construction
+        # (every assistant turn carries its full rendered prior context)
+        from logstash_filter_elastic_integration_ray.stages.sft import (
+            context_response_pairs,
+        )
+
+        ds = transcripts().select_columns(["conv_id", "turn_idx", "role", "text"])
+        return context_response_pairs(ds, num_partitions=NUM_CPUS).count()
+
+    timed("sft_pairs", sft)
+
     def dedup():
         from logstash_filter_elastic_integration_ray.stages.dedup import exact_dedup
 
