@@ -28,7 +28,7 @@ import re
 
 _TOKEN = re.compile(
     r"""\s*(?:
-        (?P<num>\d+\.\d+|\d+)
+        (?P<num>\d+\.\d+(?:[eE][-+]?\d+)?[fFdD]?|\d+(?:[eE][-+]?\d+)[fFdD]?|\d+[lLfFdD]?)
       | (?P<str>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
       | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
       | (?P<op>\+\+|--|->|::|\+=|-=|\*=|/=|==~|=~|==|!=|<=|>=|&&|\|\||\?\.|\?:|[-+*/%<>=!?:.,;(){}\[\]])
@@ -587,7 +587,12 @@ class _Parser:
             return ("lit_regex", pat, flags)
         if kind == "num":
             self.eat()
-            return ("lit", float(val) if "." in val else int(val))
+            # Java literal suffixes: 10L (long → int), 1.5f/2d (→ float)
+            suffix = val[-1] if val[-1] in "lLfFdD" else ""
+            body = val[:-1] if suffix else val
+            if suffix in ("f", "F", "d", "D") or "." in body or "e" in body or "E" in body:
+                return ("lit", float(body))
+            return ("lit", int(body))
         if kind == "str":
             self.eat()
             return ("lit", val)
@@ -1157,7 +1162,7 @@ class Interpreter:
             if node[1] in env:
                 return env[node[1]]
             if node[1] in ("Math", "Processors", "Integer", "Long", "Double",
-                           "String", "Boolean", "Objects", "Collectors"):
+                           "String", "Boolean", "Objects", "Collectors", "Arrays"):
                 return ("ns", node[1])
             raise PainlessError(f"unknown variable {node[1]!r}")
         if op == "attr":
@@ -1724,6 +1729,12 @@ def default_builtins() -> dict:
             ("Boolean", "parseBoolean"): lambda s: str(s).lower() == "true",
             ("String", "valueOf"): _to_jstr,
             ("String", "join"): lambda sep, parts: str(sep).join(_to_jstr(p) for p in parts),
+            # Java %-specifiers that overlap Python's (%s %d %05d %.2f
+            # %x); null renders "null"; anything else raises → the
+            # script fails loudly, never silently
+            ("String", "format"): lambda fmt, *a: str(fmt)
+            % tuple("null" if x is None else x for x in a),
+            ("Arrays", "asList"): lambda *a: list(a),
             ("Objects", "nonNull"): lambda v: v is not None,
             ("Objects", "isNull"): lambda v: v is None,
             ("Objects", "equals"): lambda a, b: a == b,

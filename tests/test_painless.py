@@ -540,3 +540,30 @@ def test_stringbuilder_constructors_insert_reverse():
     assert r["a"] == "cbXa"          # aXbc reversed
     assert r["b"] == "y"             # int arg is capacity, not content
     assert r["i"] == 2
+
+
+def test_java_literal_suffixes_and_sci_notation():
+    rows = _script(
+        "ctx.a = 10000000000L + 1; ctx.b = 1.5f * 2; ctx.c = 1e3 + 1; "
+        "ctx.d = 2.5E-1 * 4;",
+        [{"seed": 1}],
+    )
+    r = rows[0]
+    assert r["a"] == 10_000_000_001        # L suffix → exact long
+    assert r["b"] == 3.0                   # f suffix → float math
+    assert r["c"] == 1001.0                # scientific notation
+    assert r["d"] == 1.0
+
+
+def test_string_format_and_arrays_aslist():
+    rows = _script(
+        "ctx.padded = String.format('%05d', ctx.n); "
+        "ctx.pair = String.format('%s-%s', ctx.missing, ctx.n); "
+        "List l = Arrays.asList('a', 'b', 'c'); "
+        "ctx.k = l.size(); ctx.second = l.get(1);",
+        [{"n": 42}],
+    )
+    r = rows[0]
+    assert r["padded"] == "00042"
+    assert r["pair"] == "null-42"          # Java renders null as 'null'
+    assert r["k"] == 3 and r["second"] == "b"
