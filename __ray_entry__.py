@@ -1036,6 +1036,46 @@ def q_running_totals_scan(sf_dir: str):
     )
 
 
+def q_global_rank_docs(sf_dir: str):
+    """GLOBAL ``ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)`` without a
+    global sort: the (n_chars, doc_id) pair packs into one unique int64
+    order key and the rank is the exact distributed ordered prefix sum
+    of ones + 1 (stages/corpus.py:ordered_prefix_sum — range partitions
+    → driver prefix of P totals → one co-partitioned scan).  The classic
+    'total order at scale' op: driver state stays O(P)."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import ordered_prefix_sum
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        nc = t.column("n_chars").to_numpy()
+        if len(ids) and (ids.max() >= (1 << 33) or nc.max() >= (1 << 29) or ids.min() < 0 or nc.min() < 0):
+            raise ValueError("global_rank_docs: key packing needs n_chars < 2^29, doc_id < 2^33")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": t.column("n_chars"),
+            "okey": pa.array(nc * (1 << 33) + ids, type=pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    run = ordered_prefix_sum(
+        docs.map_batches(keyed, batch_format="pyarrow"),
+        order_col="okey", val_col="one", num_partitions=16,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": t.column("n_chars"),
+            "rank": pc.add(t.column("off"), 1).cast(pa.int64()),
+        })
+
+    return run.map_batches(finish, batch_format="pyarrow")
+
+
 def q_running_minmax_events(sf_dir: str):
     """Running min/max beside the count/sum surface —
     ``min(v)/max(v) OVER (PARTITION BY … ORDER BY … ROWS UNBOUNDED
@@ -1815,6 +1855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals_scan": q_running_totals_scan,
         "rolling_sum_events": q_rolling_sum_events,
         "running_minmax_events": q_running_minmax_events,
+        "global_rank_docs": q_global_rank_docs,
         "pivot_events": q_pivot_events,
         "unpivot_lineitem": q_unpivot_lineitem,
         "distinct_users_by_type": q_distinct_users_by_type,
@@ -2202,6 +2243,11 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us "
             "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "global_rank_docs": (
+            "SELECT doc_id, n_chars, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank "
+            "FROM documents"
         ),
         "running_minmax_events": (
             "WITH e AS (SELECT event_id, user_id, ts, "
