@@ -1103,6 +1103,33 @@ def q_running_minmax_events(sf_dir: str):
     )
 
 
+def q_running_minmax_scan(sf_dir: str):
+    """Running min/max on the SKEW-SAFE scan plan — mergeable per-chunk
+    extreme partials ride the same thin per-key prefix exchange as the
+    sums (stages/windows.py:grouped_running_scan min_col/max_col); the
+    oracle is the SAME window SQL as the hash twin."""
+    from logstash_filter_elastic_integration_ray.stages.windows import grouped_running_scan
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "cents": pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64()),
+        })
+
+    return grouped_running_scan(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key="user_id", order_cols=["ts", "event_id"], value_col="cents",
+        cnt_col="run_cnt", sum_col="run_sum", gap_col=None,
+        min_col="run_min", max_col="run_max", num_partitions=32,
+    )
+
+
 def q_rolling_sum_events(sf_dir: str):
     """Bounded-frame rolling window: per-user sum/count over the last
     5 events (``ROWS BETWEEN 4 PRECEDING AND CURRENT ROW``) — a
@@ -1855,6 +1882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals_scan": q_running_totals_scan,
         "rolling_sum_events": q_rolling_sum_events,
         "running_minmax_events": q_running_minmax_events,
+        "running_minmax_scan": q_running_minmax_scan,
         "global_rank_docs": q_global_rank_docs,
         "pivot_events": q_pivot_events,
         "unpivot_lineitem": q_unpivot_lineitem,
@@ -2248,6 +2276,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars, "
             "CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank "
             "FROM documents"
+        ),
+        "running_minmax_scan": (
+            "WITH e AS (SELECT event_id, user_id, ts, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT event_id, user_id, ts, cents, "
+            "CAST(count(*) OVER w AS BIGINT) AS run_cnt, "
+            "CAST(sum(cents) OVER w AS BIGINT) AS run_sum, "
+            "CAST(min(cents) OVER w AS BIGINT) AS run_min, "
+            "CAST(max(cents) OVER w AS BIGINT) AS run_max "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         ),
         "running_minmax_events": (
             "WITH e AS (SELECT event_id, user_id, ts, "

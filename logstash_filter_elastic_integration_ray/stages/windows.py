@@ -123,6 +123,16 @@ def grouped_running(
     def tag(t: pa.Table) -> pa.Table:
         return add_partition_col(t, num_partitions, key=key)
 
+    # min/max output dtype follows the ARROW source type, exactly like
+    # the scan twin — the per-partition pandas view degrades a
+    # null-bearing int64 column to float64, which must not leak into a
+    # per-plan dtype difference
+    ext_is_int = (
+        _col_is_integer(ds, value_col)
+        if (min_col is not None or max_col is not None)
+        else False
+    )
+
     def per_partition(df: pd.DataFrame) -> pa.Table:
         df = df.drop(columns="__part")
         codes, _ = pd.factorize(df[key], use_na_sentinel=False)
@@ -160,13 +170,19 @@ def grouped_running(
             # window either equals one block or spans exactly two, so
             # window-extreme = op(block_suffix[left], block_prefix[i]).
             raw = pd.to_numeric(df[value_col], errors="raise")
-            is_int = pd.api.types.is_integer_dtype(raw)
+            is_int = ext_is_int
             notnull = raw.notna().to_numpy()[order]
-            if is_int:
-                rvals = raw.fillna(0).to_numpy(dtype=np.int64)[order]
+            if is_int and pd.api.types.is_integer_dtype(raw):
+                # int64 path (plain OR nullable Int64): stays int64
+                # end-to-end, exact past 2^53 — na_value only fills the
+                # masked slots, which notnull re-masks to sentinels
+                rvals = raw.to_numpy(dtype=np.int64, na_value=0)[order]
                 sentinels = {"min": np.iinfo(np.int64).max, "max": np.iinfo(np.int64).min}
             else:
-                rvals = raw.to_numpy(dtype=np.float64)[order]
+                # an int column that arrived as float64 (some pandas
+                # conversions of null-bearing arrow ints do this) keeps
+                # exactness below 2^53
+                rvals = raw.to_numpy(dtype=np.float64, na_value=np.nan)[order]
                 sentinels = {"min": np.inf, "max": -np.inf}
             nn0 = np.r_[0, np.cumsum(notnull.astype(np.int64))]
             win_nn = nn0[idx + 1] - nn0[lo]
@@ -194,7 +210,12 @@ def grouped_running(
             for kind, col in (("min", min_col), ("max", max_col)):
                 if col is None:
                     continue
-                arr = pd.array(window_extreme(kind), dtype="Int64" if is_int else "Float64")
+                vals = window_extreme(kind)
+                if is_int and vals.dtype != np.int64:
+                    # float-path values for an int source: zero the
+                    # (to-be-masked) ±inf sentinel slots, then cast
+                    vals = np.where(win_nn == 0, 0, vals).astype(np.int64)
+                arr = pd.array(vals, dtype="Int64" if is_int else "Float64")
                 arr[win_nn == 0] = pd.NA  # empty (all-null) frame → SQL NULL
                 out[col] = arr
         if gap_col is not None:
@@ -296,6 +317,8 @@ def grouped_running_scan(
     cnt_col: str = "run_cnt",
     sum_col: str = "run_sum",
     gap_col: str | None = "gap",
+    min_col: str | None = None,
+    max_col: str | None = None,
     num_partitions: int = 32,
     bounds: tuple[int, int] | None = None,
 ):
@@ -303,6 +326,12 @@ def grouped_running_scan(
     different exchange: rows range-partition by the ORDER axis instead
     of hashing by key, so a hot key (one user holding half the events)
     spreads across all chunks instead of serializing one worker.
+
+    ``min_col``/``max_col`` add ``min(v)/max(v) OVER w`` with the same
+    SQL null-skipping semantics as the hash twin: the per-(key, chunk)
+    partials carry mergeable min/max (nulls as per-op sentinels) plus a
+    non-null count, the per-key prefix exchange adds their exclusive
+    prefixes, and an all-null-so-far frame resolves to NULL.
 
     The classic distributed unbounded-preceding window plan:
 
@@ -358,9 +387,14 @@ def grouped_running_scan(
     # preserve the value dtype end-to-end: int64 stays exactly int64
     # (the hash twin's contract), float sums run in float64 — a silent
     # int64 truncation of float values would diverge from the twin
-    val_is_int = pa.types.is_integer(_dataset_schema_of(ds).field(value_col).type)
+    val_is_int = _col_is_integer(ds, value_col)
     sum_pa = pa.int64() if val_is_int else pa.float64()
     sum_np = np.int64 if val_is_int else np.float64
+    want_ext = min_col is not None or max_col is not None
+    if val_is_int:
+        SENT_MN, SENT_MX = np.iinfo(np.int64).max, np.iinfo(np.int64).min
+    else:
+        SENT_MN, SENT_MX = np.inf, -np.inf
 
     if bounds is None:
         stats = ds.map_batches(
@@ -394,23 +428,22 @@ def grouped_running_scan(
         — sorted reduceat keeps int64 sums exact (bincount weights are
         float64)."""
         if t.num_rows == 0:
-            return pa.table(
-                {
-                    key: t.column(key),
-                    "__chunk": pa.array([], type=pa.int64()),
-                    "s": pa.array([], type=sum_pa),
-                    "c": pa.array([], type=pa.int64()),
-                    "mo": pa.array([], type=pa.int64()),
-                }
-            )
+            cols = {
+                key: t.column(key),
+                "__chunk": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=sum_pa),
+                "c": pa.array([], type=pa.int64()),
+                "mo": pa.array([], type=pa.int64()),
+            }
+            if want_ext:
+                cols["mn"] = pa.array([], type=sum_pa)
+                cols["mx"] = pa.array([], type=sum_pa)
+                cols["nn"] = pa.array([], type=pa.int64())
+            return pa.table(cols)
         kcodes = _dict_codes(t.column(key))  # ≥ -1; -1 = null key
         chunk = t.column("__part").to_numpy().astype(np.int64)
-        v = (
-            pd.to_numeric(t.column(value_col).to_pandas(), errors="raise")
-            .fillna(0)
-            .astype(sum_np)
-            .to_numpy()
-        )
+        raw = pd.to_numeric(t.column(value_col).to_pandas(), errors="raise")
+        v = raw.fillna(0).astype(sum_np).to_numpy()
         o = _o0_int64(t.column(order0)).to_numpy(zero_copy_only=False)
         comb = (kcodes + 1) * np.int64(num_partitions + 1) + chunk
         order = np.argsort(comb, kind="stable")
@@ -418,15 +451,26 @@ def grouped_running_scan(
         new = np.r_[True, cs[1:] != cs[:-1]]
         starts = np.flatnonzero(new)
         rep = order[starts]
-        return pa.table(
-            {
-                key: t.column(key).take(rep),
-                "__chunk": pa.array(chunk[rep], type=pa.int64()),
-                "s": pa.array(np.add.reduceat(v[order], starts), type=sum_pa),
-                "c": pa.array(np.diff(np.r_[starts, len(comb)]), type=pa.int64()),
-                "mo": pa.array(np.maximum.reduceat(o[order], starts), type=pa.int64()),
-            }
-        )
+        cols = {
+            key: t.column(key).take(rep),
+            "__chunk": pa.array(chunk[rep], type=pa.int64()),
+            "s": pa.array(np.add.reduceat(v[order], starts), type=sum_pa),
+            "c": pa.array(np.diff(np.r_[starts, len(comb)]), type=pa.int64()),
+            "mo": pa.array(np.maximum.reduceat(o[order], starts), type=pa.int64()),
+        }
+        if want_ext:
+            notnull = raw.notna().to_numpy()[order]
+            vo = v[order]
+            cols["mn"] = pa.array(
+                np.minimum.reduceat(np.where(notnull, vo, SENT_MN), starts), type=sum_pa
+            )
+            cols["mx"] = pa.array(
+                np.maximum.reduceat(np.where(notnull, vo, SENT_MX), starts), type=sum_pa
+            )
+            cols["nn"] = pa.array(
+                np.add.reduceat(notnull.astype(np.int64), starts), type=pa.int64()
+            )
+        return pa.table(cols)
 
     partials = parted.map_batches(batch_partials, batch_format="pyarrow")
 
@@ -469,6 +513,28 @@ def grouped_running_scan(
         out["base_s"] = base_s
         out["base_c"] = base_c
         out["prev_o"] = prev_o
+        if want_ext:
+            mn = df["mn"].to_numpy(dtype=sum_np)
+            mx = df["mx"].to_numpy(dtype=sum_np)
+            nn = df["nn"].to_numpy(dtype=np.int64)
+            mn2 = np.minimum.reduceat(mn[order], starts)
+            mx2 = np.maximum.reduceat(mx[order], starts)
+            nn2 = np.add.reduceat(nn[order], starts)
+            # exclusive per-key prefix min/max over chunks: shifted
+            # segmented cummin/cummax, sentinel at each key's first chunk
+            cmn = pd.Series(mn2).groupby(g2).cummin().to_numpy()
+            cmx = pd.Series(mx2).groupby(g2).cummax().to_numpy()
+            base_mn = np.empty_like(cmn)
+            base_mx = np.empty_like(cmx)
+            base_mn[0], base_mx[0] = SENT_MN, SENT_MX
+            base_mn[1:], base_mx[1:] = cmn[:-1], cmx[:-1]
+            base_mn[new2], base_mx[new2] = SENT_MN, SENT_MX
+            cs_nn = np.cumsum(nn2)
+            out["base_mn"] = base_mn
+            out["base_mx"] = base_mx
+            out["base_nn"] = np.r_[0, cs_nn[:-1]] - np.repeat(
+                np.r_[0, cs_nn[starts2[1:] - 1]], sizes2
+            )
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     kparts = max(4, num_partitions // 4)
@@ -483,13 +549,18 @@ def grouped_running_scan(
 
     row_schema = _dataset_schema_of(parted)
     row_cols = [n for n in row_schema.names if n != "__part"]
-    wide_order = row_cols + ["__part", "base_s", "base_c", "prev_o", "__side"]
+    ext_cols = ["base_mn", "base_mx", "base_nn"] if want_ext else []
+    wide_order = row_cols + ["__part", "base_s", "base_c", "prev_o", *ext_cols, "__side"]
 
     def widen_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
         t = t.append_column("base_s", pa.array(np.zeros(n, dtype=sum_np), type=sum_pa))
         t = t.append_column("base_c", pa.array(np.zeros(n, dtype=np.int64)))
         t = t.append_column("prev_o", pa.array(np.full(n, _NO_PREV, dtype=np.int64)))
+        if want_ext:
+            t = t.append_column("base_mn", pa.array(np.full(n, SENT_MN, dtype=sum_np), type=sum_pa))
+            t = t.append_column("base_mx", pa.array(np.full(n, SENT_MX, dtype=sum_np), type=sum_pa))
+            t = t.append_column("base_nn", pa.array(np.zeros(n, dtype=np.int64)))
         t = t.append_column("__side", pa.array(np.zeros(n, dtype=np.int8)))
         return t.select(wide_order)
 
@@ -511,6 +582,10 @@ def grouped_running_scan(
         cols["base_s"] = t.column("base_s").cast(sum_pa)
         for c in ("base_c", "prev_o"):
             cols[c] = t.column(c).cast(pa.int64())
+        if want_ext:
+            cols["base_mn"] = t.column("base_mn").cast(sum_pa)
+            cols["base_mx"] = t.column("base_mx").cast(sum_pa)
+            cols["base_nn"] = t.column("base_nn").cast(pa.int64())
         cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
         return pa.table({c: cols[c] for c in wide_order})
 
@@ -532,6 +607,7 @@ def grouped_running_scan(
         orders = [rows[c].to_numpy() for c in order_cols]
         order, g, new, starts, sizes = _lexsort_segments(codes, orders)
         cnt = np.arange(len(g), dtype=np.int64) - np.repeat(starts, sizes) + 1
+        raw = pd.to_numeric(rows[value_col], errors="raise")
         v = _value_vector(rows[value_col]).astype(sum_np)
         vs = v[order]
         csum = np.cumsum(vs)
@@ -548,9 +624,35 @@ def grouped_running_scan(
         cnt = cnt + base_c[g]
         run_sum = run_sum + base_s[g]
         out = rows.iloc[order].reset_index(drop=True)
-        out = out.drop(columns=["__part", "base_s", "base_c", "prev_o", "__side"])
+        out = out.drop(columns=["__part", "base_s", "base_c", "prev_o",
+                                *ext_cols, "__side"])
         out[cnt_col] = cnt
         out[sum_col] = run_sum
+        if want_ext:
+            notnull = raw.notna().to_numpy()[order]
+            # within-chunk running min/max per key (sentinel-filled) …
+            xmn = np.where(notnull, vs, SENT_MN)
+            xmx = np.where(notnull, vs, SENT_MX)
+            loc_mn = pd.Series(xmn).groupby(g).cummin().to_numpy()
+            loc_mx = pd.Series(xmx).groupby(g).cummax().to_numpy()
+            # … combined with the earlier-chunk prefix extremes
+            base_mn_a = np.full(len(uniques), SENT_MN, dtype=sum_np)
+            base_mx_a = np.full(len(uniques), SENT_MX, dtype=sum_np)
+            base_nn_a = np.zeros(len(uniques), dtype=np.int64)
+            base_mn_a[bcodes[valid]] = bs["base_mn"].to_numpy(dtype=sum_np)[valid]
+            base_mx_a[bcodes[valid]] = bs["base_mx"].to_numpy(dtype=sum_np)[valid]
+            base_nn_a[bcodes[valid]] = bs["base_nn"].to_numpy(dtype=np.int64)[valid]
+            run_mn = np.minimum(loc_mn, base_mn_a[g])
+            run_mx = np.maximum(loc_mx, base_mx_a[g])
+            nn_cs = np.cumsum(notnull.astype(np.int64))
+            loc_nn = nn_cs - np.repeat(np.r_[0, nn_cs[starts[1:] - 1]], sizes)
+            win_nn = loc_nn + base_nn_a[g]
+            for col, vals in ((min_col, run_mn), (max_col, run_mx)):
+                if col is None:
+                    continue
+                arr = pd.array(vals, dtype="Int64" if val_is_int else "Float64")
+                arr[win_nn == 0] = pd.NA  # all-null-so-far frame → SQL NULL
+                out[col] = arr
         if gap_col is not None:
             o0 = _order_view(orders[0])[order]
             gap = np.empty(len(g), dtype=np.float64)
@@ -583,6 +685,19 @@ def _sentinel_array(n: int, typ: pa.DataType) -> pa.Array:
 def _dataset_schema_of(ds) -> pa.Schema:
     s = ds.schema()
     return s.base_schema if hasattr(s, "base_schema") else s
+
+
+def _col_is_integer(ds, col: str) -> bool:
+    """Whether ``col`` is integer-typed, across Arrow AND pandas block
+    schemas (``from_pandas`` datasets expose a PandasBlockSchema whose
+    types are pandas dtypes, not Arrow fields)."""
+    s = _dataset_schema_of(ds)
+    if isinstance(s, pa.Schema):
+        return pa.types.is_integer(s.field(col).type)
+    t = dict(zip(s.names, s.types)).get(col)
+    if isinstance(t, pa.DataType):
+        return pa.types.is_integer(t)
+    return pd.api.types.is_integer_dtype(t)
 
 
 

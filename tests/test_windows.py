@@ -327,6 +327,48 @@ class TestGroupedRunningScan:
     def test_matches_hash_path(self, ray_session):
         self._check_equal(_events_frame(n=600, seed=21), num_partitions_scan=6)
 
+    def _check_minmax_equal(self, df, num_partitions_scan):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import (
+            grouped_running,
+            grouped_running_scan,
+        )
+
+        ds = ray.data.from_pandas(df).repartition(5)
+        kw = dict(key="user_id", order_cols=["ts", "event_id"], value_col="cents",
+                  gap_col=None, min_col="run_min", max_col="run_max")
+        a = (
+            grouped_running(ds, num_partitions=4, **kw)
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        b = (
+            grouped_running_scan(ds, num_partitions=num_partitions_scan, **kw)
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        for col in ("run_cnt", "run_sum"):
+            assert a[col].tolist() == b[col].tolist(), col
+        for col in ("run_min", "run_max"):
+            # extension-dtype equals: NA == NA (a list compare would
+            # fail on the NA rows)
+            assert a[col].dtype == b[col].dtype, col
+            assert a[col].equals(b[col]), col
+
+    def test_minmax_matches_hash_path(self, ray_session):
+        self._check_minmax_equal(_events_frame(n=500, seed=31), num_partitions_scan=7)
+
+    def test_minmax_hot_key_with_null_values(self, ray_session):
+        # one user owns 70% of events AND a third of values are null —
+        # the scan's mergeable extremes must agree with the hash plan's
+        # null-skipping semantics across chunk boundaries
+        df = _events_frame(n=450, seed=13)
+        df.loc[df.index[:315], "user_id"] = 3
+        cents = df["cents"].astype("object")
+        cents.iloc[::3] = None
+        df["cents"] = pd.array(cents, dtype="Int64")
+        self._check_minmax_equal(df, num_partitions_scan=9)
+        self._check_minmax_equal(df, num_partitions_scan=1)
+
     def test_hot_key_spreads(self, ray_session):
         # one user owns 70% of events — the scan path must still agree
         df = _events_frame(n=500, seed=9)
