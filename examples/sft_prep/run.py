@@ -1,0 +1,115 @@
+"""Runnable end-to-end SFT data-prep example.
+
+Chains the engine's transcript-native operators the way an assistant
+fine-tuning prep job would, writing training pairs as shard-partitioned
+parquet:
+
+    read transcripts → dedup conversations (exact, on the ordered turn
+    fingerprint) → extract (context, response) pairs per assistant turn
+    → deterministic shuffle shards → write one directory per shard
+
+Usage (any scale factor):
+
+    python examples/sft_prep/run.py [sf_dir] [out_dir]
+
+Defaults: /root/testdata/sf0.001 → /tmp/sft_out.  The building blocks
+are each oracle-checked by driver queries (``transcript_dedup``,
+``sft_pairs``, ``shuffle_shards_docs``).
+"""
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def main(sf_dir: str, out_dir: str) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+    from logstash_filter_elastic_integration_ray.sources.transcripts import read_transcripts
+    from logstash_filter_elastic_integration_ray.stages.aggregate import conv_stats
+    from logstash_filter_elastic_integration_ray.stages.corpus import group_topk, shuffle_shards
+    from logstash_filter_elastic_integration_ray.stages.joins import hash_semi_join
+    from logstash_filter_elastic_integration_ray.stages.sft import context_response_pairs
+
+    turns = read_transcripts(sf_dir)
+
+    # 1. conversation-level exact dedup: conv_stats' ordered fingerprint
+    #    summarizes each conversation's full turn sequence; keep the
+    #    min-conv_id survivor per fingerprint via group_topk(k=1) — the
+    #    two-phase retention op, NOT a Ray per-group aggregate (whose
+    #    per-group cost scales with #conversations).  Numeric conv key
+    #    for the int64 semi-join exchange: conv ids are 'c<NN>'.
+    stats = conv_stats(turns, num_partitions=8)
+
+    def survivor_rows(t: pa.Table) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 1, 32), pa.int64())
+        return pa.table({"conv_num": num, "fp": t.column("ordered_hash")})
+
+    survivors = group_topk(
+        stats.map_batches(survivor_rows, batch_format="pyarrow"),
+        key="fp", score_col="conv_num", k=1, tie_col="conv_num", ascending=True,
+    )
+
+    def to_num(t: pa.Table) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 1, 32), pa.int64())
+        return t.append_column("conv_num", num)
+
+    kept = hash_semi_join(
+        turns.map_batches(to_num, batch_format="pyarrow"),
+        survivors.select_columns(["conv_num"]),
+        left_key="conv_num", right_key="conv_num",
+    )
+
+    # 2. SFT pair extraction: one row per assistant turn with rendered
+    #    prior context (output-bound; cap bounds worker memory)
+    pairs = context_response_pairs(
+        kept.select_columns(["conv_id", "turn_idx", "role", "text"]),
+        max_context_chars=4096,
+    ).materialize()  # consumed by the shard join AND the final write
+
+    # 3. reproducible shard assignment per conversation, joined back to
+    #    the pairs so each shard directory is self-contained
+    shards = shuffle_shards(
+        pairs.select_columns(["conv_id"]).map_batches(
+            lambda t: pa.table(
+                {"doc_id": pc.cast(pc.utf8_slice_codeunits(
+                    pc.unique(t.column("conv_id").combine_chunks()), 1, 32), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        num_shards=8,
+    )
+
+    shard_of = {r["doc_id"]: r["shard"] for r in shards.take_all()}  # convs: small
+
+    def attach_shard(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        nums = pc.cast(
+            pc.utf8_slice_codeunits(t.column("conv_id"), 1, 32), pa.int64()
+        ).to_pandas()
+        return t.append_column(
+            "shard", pa.array(nums.map(shard_of).to_numpy(dtype=np.int64))
+        )
+
+    import numpy as np
+
+    out = pairs.map_batches(attach_shard, batch_format="pyarrow")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out.write_parquet(out_dir, partition_cols=["shard"])
+    print(f"pairs={out.count()} shards=8 → {out_dir}")
+
+
+if __name__ == "__main__":
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+        sys.argv[2] if len(sys.argv) > 2 else "/tmp/sft_out",
+    )
