@@ -23,8 +23,14 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+def conv_num(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """conv ids are 'c<NN>' — one shared parse to int64."""
+    return pc.cast(pc.utf8_slice_codeunits(col, 1, 32), pa.int64())
 
 
 def main(sf_dir: str, out_dir: str) -> None:
@@ -50,8 +56,8 @@ def main(sf_dir: str, out_dir: str) -> None:
     stats = conv_stats(turns, num_partitions=8)
 
     def survivor_rows(t: pa.Table) -> pa.Table:
-        num = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 1, 32), pa.int64())
-        return pa.table({"conv_num": num, "fp": t.column("ordered_hash")})
+        return pa.table({"conv_num": conv_num(t.column("conv_id")),
+                         "fp": t.column("ordered_hash")})
 
     survivors = group_topk(
         stats.map_batches(survivor_rows, batch_format="pyarrow"),
@@ -59,8 +65,7 @@ def main(sf_dir: str, out_dir: str) -> None:
     )
 
     def to_num(t: pa.Table) -> pa.Table:
-        num = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 1, 32), pa.int64())
-        return t.append_column("conv_num", num)
+        return t.append_column("conv_num", conv_num(t.column("conv_id")))
 
     kept = hash_semi_join(
         turns.map_batches(to_num, batch_format="pyarrow"),
@@ -80,8 +85,7 @@ def main(sf_dir: str, out_dir: str) -> None:
     shards = shuffle_shards(
         pairs.select_columns(["conv_id"]).map_batches(
             lambda t: pa.table(
-                {"doc_id": pc.cast(pc.utf8_slice_codeunits(
-                    pc.unique(t.column("conv_id").combine_chunks()), 1, 32), pa.int64())}
+                {"doc_id": conv_num(pc.unique(t.column("conv_id").combine_chunks()))}
             ),
             batch_format="pyarrow",
         ),
@@ -91,21 +95,17 @@ def main(sf_dir: str, out_dir: str) -> None:
     shard_of = {r["doc_id"]: r["shard"] for r in shards.take_all()}  # convs: small
 
     def attach_shard(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        nums = pc.cast(
-            pc.utf8_slice_codeunits(t.column("conv_id"), 1, 32), pa.int64()
-        ).to_pandas()
+        nums = conv_num(t.column("conv_id")).to_pandas()
         return t.append_column(
             "shard", pa.array(nums.map(shard_of).to_numpy(dtype=np.int64))
         )
 
-    import numpy as np
-
     out = pairs.map_batches(attach_shard, batch_format="pyarrow")
     shutil.rmtree(out_dir, ignore_errors=True)
     out.write_parquet(out_dir, partition_cols=["shard"])
-    print(f"pairs={out.count()} shards=8 → {out_dir}")
+    # count from the materialized pairs — out.count() would re-run the
+    # attach_shard map a second time just to print a number
+    print(f"pairs={pairs.count()} shards=8 → {out_dir}")
 
 
 if __name__ == "__main__":

@@ -1705,6 +1705,48 @@ class Interpreter:
         raise PainlessError(f"unsupported Stream method {name!r}")
 
 
+#: one Java format specifier (flags / width / precision / conversion)
+_FMT_SPEC = re.compile(r"%(?:%|[-#+ 0,(]*\d*(?:\.\d+)?[a-zA-Z])")
+
+
+def _java_format(fmt, *args) -> str:
+    """java.lang.String.format over the %-specifiers Java and Python
+    share (%s %d %05d %.2f %x …), with Java's null handling: a null
+    argument renders as "null" under ANY conversion (Python's ``%``
+    would raise for numeric specifiers), %b renders Java-style
+    true/false, and extra arguments are ignored as Java does.
+    Unsupported conversions still raise → the script fails loudly."""
+    fmt = str(fmt)
+    out: list[str] = []
+    ai = 0
+    pos = 0
+    for m in _FMT_SPEC.finditer(fmt):
+        out.append(fmt[pos:m.start()])
+        pos = m.end()
+        spec = m.group(0)
+        if spec == "%%":
+            out.append("%")
+            continue
+        if ai >= len(args):
+            raise PainlessError(f"String.format: missing argument for {spec!r}")
+        a = args[ai]
+        ai += 1
+        if a is None:
+            # width/alignment still apply; precision must NOT (Java
+            # renders the full word "null", %.2s would truncate it)
+            sm = re.match(r"%([-#+ 0,(]*)(\d*)", spec)
+            left = "-" if "-" in sm.group(1) else ""
+            out.append(f"%{left}{sm.group(2)}s" % "null")
+            continue
+        if spec[-1] in "bB":
+            s = "true" if a else "false"
+            out.append(s.upper() if spec[-1] == "B" else s)
+            continue
+        out.append(spec % a)
+    out.append(fmt[pos:])
+    return "".join(out)
+
+
 def default_builtins() -> dict:
     """(namespace, fn) → callable — the static helpers painless exposes
     (ingest-common Processors, java.lang wrappers, Math)."""
@@ -1729,11 +1771,7 @@ def default_builtins() -> dict:
             ("Boolean", "parseBoolean"): lambda s: str(s).lower() == "true",
             ("String", "valueOf"): _to_jstr,
             ("String", "join"): lambda sep, parts: str(sep).join(_to_jstr(p) for p in parts),
-            # Java %-specifiers that overlap Python's (%s %d %05d %.2f
-            # %x); null renders "null"; anything else raises → the
-            # script fails loudly, never silently
-            ("String", "format"): lambda fmt, *a: str(fmt)
-            % tuple("null" if x is None else x for x in a),
+            ("String", "format"): _java_format,
             ("Arrays", "asList"): lambda *a: list(a),
             ("Objects", "nonNull"): lambda v: v is not None,
             ("Objects", "isNull"): lambda v: v is None,

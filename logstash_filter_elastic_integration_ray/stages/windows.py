@@ -607,7 +607,6 @@ def grouped_running_scan(
         orders = [rows[c].to_numpy() for c in order_cols]
         order, g, new, starts, sizes = _lexsort_segments(codes, orders)
         cnt = np.arange(len(g), dtype=np.int64) - np.repeat(starts, sizes) + 1
-        raw = pd.to_numeric(rows[value_col], errors="raise")
         v = _value_vector(rows[value_col]).astype(sum_np)
         vs = v[order]
         csum = np.cumsum(vs)
@@ -629,6 +628,7 @@ def grouped_running_scan(
         out[cnt_col] = cnt
         out[sum_col] = run_sum
         if want_ext:
+            raw = pd.to_numeric(rows[value_col], errors="raise")
             notnull = raw.notna().to_numpy()[order]
             # within-chunk running min/max per key (sentinel-filled) …
             xmn = np.where(notnull, vs, SENT_MN)

@@ -567,3 +567,18 @@ def test_string_format_and_arrays_aslist():
     assert r["padded"] == "00042"
     assert r["pair"] == "null-42"          # Java renders null as 'null'
     assert r["k"] == 3 and r["second"] == "b"
+
+
+def test_string_format_null_under_numeric_specifiers():
+    # Java's Formatter prints 'null' for a null argument under ANY
+    # conversion (Python's % would raise for %d/%f) and ignores extras
+    rows = _script(
+        "ctx.a = String.format('%05d', ctx.missing); "
+        "ctx.b = String.format('%.2f|%x', ctx.missing, ctx.missing); "
+        "ctx.c = String.format('100%% -> %b', ctx.n);",
+        [{"n": 1}],
+    )
+    r = rows[0]
+    assert r["a"] == " null"          # width applies to the null rendering
+    assert r["b"] == "null|null"
+    assert r["c"] == "100% -> true"
