@@ -45,6 +45,7 @@ from logstash_filter_elastic_integration_ray.stages.joins import bloom_add, bloo
 __all__ = [
     "build_hash_corpus",
     "dedup_against_corpus",
+    "extend_hash_corpus",
     "corpus_rows_scanned",
     "hash_hex_to_u64",
 ]
@@ -211,6 +212,56 @@ def dedup_against_corpus(
         .map_groups(resolve, batch_format="pyarrow")
     )
     return definite_new.union(resolved)
+
+
+def extend_hash_corpus(new_hashes, corpus_dir: str) -> str:
+    """Fold an ingested batch's survivor hashes into the persisted
+    layout — the write side of the incremental loop: after
+    :func:`dedup_against_corpus` accepts a batch, extend the corpus so
+    the NEXT batch dedups against the union.
+
+    ``new_hashes`` is a Dataset with a ``content_hash`` column (e.g.
+    the survivors of ``dedup_against_corpus`` — already globally
+    distinct and absent from the corpus, so no re-dedup is needed).
+    Appends bucket-partitioned rows (write_parquet appends new files,
+    never rewrites existing ones — corpus bytes written scale with the
+    BATCH, not the corpus) and OR-folds the new hashes into the Bloom
+    sidecar via an atomic replace.  Bucket routing and Bloom params
+    come from the layout's own meta, so extensions can never diverge
+    from the original build."""
+    words, meta = _load_sidecar(corpus_dir)
+    num_buckets, m_bits, k = meta["num_buckets"], meta["m_bits"], meta["k"]
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "content_hash": pa.array([], type=pa.string()),
+                "bucket": pa.array([], type=pa.int64()),
+            })
+        u = hash_hex_to_u64(t.column("content_hash"))
+        return pa.table({
+            "content_hash": t.column("content_hash"),
+            "bucket": pa.array(_bucket_of(u, num_buckets)),
+        })
+
+    tagged = new_hashes.map_batches(with_bucket, batch_format="pyarrow").materialize()
+    tagged.write_parquet(os.path.join(corpus_dir, "hashes"), partition_cols=["bucket"])
+
+    def batch_bloom(t: pa.Table) -> pa.Table:
+        w = np.zeros(m_bits // 64, dtype=np.uint64)
+        if t.num_rows:
+            u = hash_hex_to_u64(t.column("content_hash")).astype(np.int64)
+            bloom_add(w, u, m_bits, k)
+        return pa.table({"w": pa.array([w.tobytes()], type=pa.binary())})
+
+    for r in tagged.map_batches(batch_bloom, batch_format="pyarrow").take_all():
+        words = words | np.frombuffer(r["w"], dtype=np.uint64)
+    tmp = os.path.join(corpus_dir, ".bloom.npz.tmp")
+    np.savez(tmp, words=words)
+    # np.savez appends .npz when the name lacks it — normalize
+    tmp_real = tmp if os.path.exists(tmp) else tmp + ".npz"
+    os.replace(tmp_real, os.path.join(corpus_dir, "bloom.npz"))
+    return corpus_dir
 
 
 def corpus_rows_scanned(corpus_dir: str, hashes: list[str]) -> int:

@@ -86,6 +86,38 @@ class TestIncrementalDedup:
         (u,) = hash_hex_to_u64(pa.array([h], type=pa.string()))
         assert u == int(h[:16], 16)
 
+    def test_sequential_ingest_loop(self, ray_session, tmp_path):
+        # the full incremental loop: ingest batch 1, EXTEND the corpus
+        # with its survivors, then batch 2 (overlapping batch 1 AND the
+        # original corpus) must only keep genuinely-new content
+        from logstash_filter_elastic_integration_ray.stages.incremental import (
+            extend_hash_corpus,
+        )
+
+        build_hash_corpus(
+            self._docs([1, 2], ["base a", "base b"]), str(tmp_path / "c"),
+            num_buckets=4,
+        )
+        batch1 = self._docs([10, 11], ["batch1 x", "batch1 y"])
+        s1 = dedup_against_corpus(batch1, str(tmp_path / "c"), num_partitions=2)
+        s1 = s1.materialize()
+        assert sorted(r["doc_id"] for r in s1.take_all()) == [10, 11]
+        extend_hash_corpus(s1.select_columns(["content_hash"]), str(tmp_path / "c"))
+
+        batch2 = self._docs(
+            [20, 21, 22, 23],
+            ["batch1 x",      # now in the EXTENDED corpus → drop
+             "base a",        # in the original corpus → drop
+             "fresh z",       # genuinely new → keep
+             "fresh z"],      # internal dup → one survivor
+        )
+        got = dedup_against_corpus(
+            batch2, str(tmp_path / "c"), num_partitions=2
+        ).take_all()
+        assert [(r["doc_id"], r["content_hash"]) for r in got] == [
+            (22, _md5("fresh z"))
+        ]
+
     def test_empty_corpus_bootstrap(self, ray_session, tmp_path):
         # first-ever ingest: the reference corpus is empty (write_parquet
         # emits no files) — the sidecar must still build, and every new
