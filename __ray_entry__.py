@@ -964,6 +964,22 @@ def q_mixture_docs(sf_dir: str):
     return mixture_sample(docs, weights=_MIXTURE_WEIGHTS, total_frac=0.5)
 
 
+def q_mixture_tokens_docs(sf_dir: str):
+    """TOKEN-weighted data-mixture sampling: per-language keep rates
+    target shares of total CHARACTER MASS (n_chars), not document
+    counts — what practitioners actually tune; selection stays the
+    per-doc deterministic Lehmer filter
+    (stages/corpus.py:mixture_sample weight_col)."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import mixture_sample
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return mixture_sample(
+        docs, weights=_MIXTURE_WEIGHTS, total_frac=0.5, weight_col="n_chars"
+    )
+
+
 def q_curriculum_docs(sf_dir: str):
     """Curriculum binning: quartile bucket of each doc's stopword ratio
     against GLOBAL exact quantile_disc thresholds (distributed quantile
@@ -1876,6 +1892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans_docs": q_dedup_spans_docs,
         "quality_filter_docs": q_quality_filter_docs,
         "mixture_docs": q_mixture_docs,
+        "mixture_tokens_docs": q_mixture_tokens_docs,
         "curriculum_docs": q_curriculum_docs,
         "group_topk_docs": q_group_topk_docs,
         "running_totals_events": q_running_totals_events,
@@ -2231,6 +2248,16 @@ def oracle_sql() -> dict[str, str]:
             "  WHEN 'fr' THEN 0.1 WHEN 'es' THEN 0.1 ELSE 0.0 END) / n_s) AS rate "
             "  FROM n, tot) "
             "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
+            "WHERE ((d.doc_id * 48271) % 65537 + 65537) % 65537 < floor(rate * 65537)"
+        ),
+        "mixture_tokens_docs": (
+            "WITH n AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS w_s FROM documents GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS w_tot FROM documents), "
+            "r AS (SELECT lang, least(1.0, ((0.5 * w_tot) * "
+            "  CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.2 WHEN 'de' THEN 0.2 "
+            "  WHEN 'fr' THEN 0.1 WHEN 'es' THEN 0.1 ELSE 0.0 END) / w_s) AS rate "
+            "  FROM n, tot) "
+            "SELECT d.doc_id, d.lang, d.n_chars FROM documents d JOIN r USING (lang) "
             "WHERE ((d.doc_id * 48271) % 65537 + 65537) % 65537 < floor(rate * 65537)"
         ),
         "customers_no_orders": (

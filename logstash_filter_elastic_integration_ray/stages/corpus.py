@@ -526,11 +526,16 @@ def remove_dup_spans(ds, *, w: int = 4, num_partitions: int = 32,
 
 
 def mixture_sample(ds, *, weights: dict, total_frac: float,
-                   strata_col: str = "lang", id_col: str = "doc_id"):
+                   strata_col: str = "lang", id_col: str = "doc_id",
+                   weight_col: str | None = None):
     """Deterministic data-mixture sampling: draw ~``total_frac`` of the
     corpus with composition targeting ``weights`` (per-stratum shares
-    summing to 1).  Per-stratum keep rate = min(1, target_rows_s / n_s)
-    — a stratum too small to meet its share contributes all it has.
+    summing to 1).  Per-stratum keep rate = min(1, target_mass_s /
+    mass_s) — a stratum too small to meet its share contributes all it
+    has.  ``weight_col`` switches the mass from row COUNTS to that
+    column's SUM (token-weighted mixtures — practitioners target token
+    shares, not document shares; selection stays per-doc, so the
+    achieved share is the expectation over the kept docs).
 
     Shape: one tiny per-batch count reduce (S strata rows to the
     driver), then the stateless Lehmer filter from
@@ -541,7 +546,12 @@ def mixture_sample(ds, *, weights: dict, total_frac: float,
     from .sketches import sample_stratified
 
     def counts(t: pa.Table) -> pa.Table:
-        vc = pd.Series(t.column(strata_col).to_pylist(), dtype=object).value_counts(sort=False)
+        s = pd.Series(t.column(strata_col).to_pylist(), dtype=object)
+        if weight_col is None:
+            vc = s.value_counts(sort=False)
+        else:
+            w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            vc = pd.Series(w).groupby(s, sort=False, dropna=False).sum()
         return pa.table({"s": pa.array(vc.index.to_numpy(), type=pa.string()),
                          "n": pa.array(vc.to_numpy().astype(np.int64))})
 

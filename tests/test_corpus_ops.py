@@ -405,6 +405,29 @@ class TestMixtureSample:
         got_langs = pd.Series([r["lang"] for r in out]).value_counts(normalize=True)
         assert got_langs.get("en", 0) > got_langs.get("fr", 1)
 
+    def test_token_weighted_rates(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.corpus import mixture_sample
+
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+        langs = pd.Series(t.column("lang").to_pylist())
+        nchars = pd.Series(t.column("n_chars").to_numpy())
+        w_s = nchars.groupby(langs).sum().to_dict()
+        w_tot = int(nchars.sum())
+        weights = {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1}
+        expected = set()
+        for i, s in zip(t.column("doc_id").to_numpy(), langs):
+            rate = min(1.0, ((0.5 * w_tot) * weights.get(s, 0.0)) / w_s[s])
+            if (int(i) * 48271) % 65537 < int(np.floor(rate * 65537)):
+                expected.add(int(i))
+        docs = read_parquet_clean(f"{SF}/documents.parquet",
+                                  columns=["doc_id", "lang", "n_chars"])
+        out = mixture_sample(docs.repartition(5), weights=weights,
+                             total_frac=0.5, weight_col="n_chars").take_all()
+        assert {r["doc_id"] for r in out} == expected
+        # weighted rates genuinely differ from count-weighted ones
+        out_cnt = mixture_sample(docs, weights=weights, total_frac=0.5).take_all()
+        assert {r["doc_id"] for r in out} != {r["doc_id"] for r in out_cnt}
+
     def test_undersized_stratum_keeps_everything(self, ray_session):
         from logstash_filter_elastic_integration_ray.stages.corpus import mixture_sample
 
