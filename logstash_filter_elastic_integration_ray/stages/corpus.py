@@ -545,13 +545,35 @@ def mixture_sample(ds, *, weights: dict, total_frac: float,
     SQL oracle computes the identical IEEE double."""
     from .sketches import sample_stratified
 
+    if weight_col is not None:
+        from .joins import _dataset_schema
+
+        wtype = _dataset_schema(ds).field(weight_col).type
+        if not pa.types.is_integer(wtype):
+            # float partial sums would be batch-order-dependent and
+            # diverge from the SQL twin's exact integer sum
+            raise ValueError(
+                "mixture_sample: weight_col must be integer-typed (token/char counts)"
+            )
+
     def counts(t: pa.Table) -> pa.Table:
         s = pd.Series(t.column(strata_col).to_pylist(), dtype=object)
         if weight_col is None:
-            vc = s.value_counts(sort=False)
+            vc = s.value_counts(sort=False)  # null strata drop (rate 0)
         else:
-            w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            vc = pd.Series(w).groupby(s, sort=False, dropna=False).sum()
+            import pyarrow.compute as pc
+
+            # exact int64 via Arrow (a numpy round trip of a
+            # null-bearing int column would NaN→INT64_MIN the sums);
+            # null weights contribute 0, null strata drop — matching
+            # count mode and the SQL sum() twin
+            w = pd.Series(
+                pc.fill_null(t.column(weight_col), 0)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            keep = s.notna()
+            vc = w[keep.to_numpy()].groupby(s[keep].to_numpy()).sum()
         return pa.table({"s": pa.array(vc.index.to_numpy(), type=pa.string()),
                          "n": pa.array(vc.to_numpy().astype(np.int64))})
 

@@ -65,6 +65,46 @@ def _bucket_of(u64: np.ndarray, num_buckets: int) -> np.ndarray:
     return (u64 % np.uint64(num_buckets)).astype(np.int64)
 
 
+def _bucket_rows_fn(num_buckets: int):
+    """content_hash rows → (content_hash, bucket) — the ONE routing
+    used by both the initial build and every extension."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "content_hash": pa.array([], type=pa.string()),
+                "bucket": pa.array([], type=pa.int64()),
+            })
+        u = hash_hex_to_u64(t.column("content_hash"))
+        return pa.table({
+            "content_hash": t.column("content_hash"),
+            "bucket": pa.array(_bucket_of(u, num_buckets)),
+        })
+
+    return fn
+
+
+def _bloom_partial_fn(m_bits: int, k: int):
+    """content_hash rows → one packed per-batch Bloom bitmap row — the
+    ONE construction used by both the build and every extension."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        w = np.zeros(m_bits // 64, dtype=np.uint64)
+        if t.num_rows:
+            u = hash_hex_to_u64(t.column("content_hash")).astype(np.int64)
+            bloom_add(w, u, m_bits, k)
+        return pa.table({"w": pa.array([w.tobytes()], type=pa.binary())})
+
+    return fn
+
+
+def _write_sidecar(corpus_dir: str, words: np.ndarray) -> None:
+    tmp = os.path.join(corpus_dir, ".bloom.tmp.npz")  # .npz suffix:
+    # np.savez appends it otherwise and the replace would miss
+    np.savez(tmp, words=words)
+    os.replace(tmp, os.path.join(corpus_dir, "bloom.npz"))
+
+
 def build_hash_corpus(
     ds,
     out_dir: str,
@@ -86,42 +126,19 @@ def build_hash_corpus(
     batch is all that moves).  The corpus TEXT is read exactly once."""
     hashes = exact_dedup(ds, text_col=text_col, id_col=id_col)
 
-    def with_bucket(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "content_hash": pa.array([], type=pa.string()),
-                    "bucket": pa.array([], type=pa.int64()),
-                }
-            )
-        u = hash_hex_to_u64(t.column("content_hash"))
-        return pa.table(
-            {
-                "content_hash": t.column("content_hash"),
-                "bucket": pa.array(_bucket_of(u, num_buckets)),
-            }
-        )
-
     layout = os.path.join(out_dir, "hashes")
-    hashes.map_batches(with_bucket, batch_format="pyarrow").write_parquet(
+    hashes.map_batches(_bucket_rows_fn(num_buckets), batch_format="pyarrow").write_parquet(
         layout, partition_cols=["bucket"]
     )
 
     # pass 2: Bloom sidecar from the written (thin) layout
     from logstash_filter_elastic_integration_ray.sources.io import read_parquet_clean
 
-    def batch_bloom(t: pa.Table) -> pa.Table:
-        words = np.zeros(m_bits // 64, dtype=np.uint64)
-        if t.num_rows:
-            u = hash_hex_to_u64(t.column("content_hash")).astype(np.int64)
-            bloom_add(words, u, m_bits, k)
-        return pa.table({"w": pa.array([words.tobytes()], type=pa.binary())})
-
     words = np.zeros(m_bits // 64, dtype=np.uint64)
     if glob.glob(os.path.join(layout, "bucket=*", "*.parquet")):
         rows = (
             read_parquet_clean(layout, columns=["content_hash"])
-            .map_batches(batch_bloom, batch_format="pyarrow")
+            .map_batches(_bloom_partial_fn(m_bits, k), batch_format="pyarrow")
             .take_all()
         )
         for r in rows:
@@ -129,7 +146,7 @@ def build_hash_corpus(
     # else: EMPTY corpus (bootstrap ingest) — write_parquet emits no
     # files for an empty dataset; an all-zero Bloom correctly makes
     # every future probe bloom-negative (definitely new)
-    np.savez(os.path.join(out_dir, "bloom.npz"), words=words)
+    _write_sidecar(out_dir, words)
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump({"m_bits": m_bits, "k": k, "num_buckets": num_buckets}, f)
     return out_dir
@@ -223,44 +240,29 @@ def extend_hash_corpus(new_hashes, corpus_dir: str) -> str:
     ``new_hashes`` is a Dataset with a ``content_hash`` column (e.g.
     the survivors of ``dedup_against_corpus`` — already globally
     distinct and absent from the corpus, so no re-dedup is needed).
-    Appends bucket-partitioned rows (write_parquet appends new files,
-    never rewrites existing ones — corpus bytes written scale with the
-    BATCH, not the corpus) and OR-folds the new hashes into the Bloom
-    sidecar via an atomic replace.  Bucket routing and Bloom params
-    come from the layout's own meta, so extensions can never diverge
-    from the original build."""
+    OR-folds the hashes into the Bloom sidecar FIRST (atomic replace),
+    then appends bucket-partitioned rows (write_parquet appends new
+    files, never rewrites — corpus bytes written scale with the BATCH,
+    not the corpus).  Crash-ordering contract: bloom-first means a
+    crash between the two steps leaves hashes bloom-positive but
+    absent from the buckets, which the resolve path verifies exactly
+    (an fp-rate blip, no correctness change); the reverse order would
+    leave bucket rows bloom-NEGATIVE, which the probe short-circuits
+    as "definitely new" — re-ingests of that content would pass dedup
+    forever.  A retried extend may write a bucket row twice; the
+    layout carries SET semantics (membership via ``is_in``), so that
+    is benign.  Bucket routing and Bloom params come from the layout's
+    own meta, so extensions can never diverge from the build."""
     words, meta = _load_sidecar(corpus_dir)
     num_buckets, m_bits, k = meta["num_buckets"], meta["m_bits"], meta["k"]
 
-    def with_bucket(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({
-                "content_hash": pa.array([], type=pa.string()),
-                "bucket": pa.array([], type=pa.int64()),
-            })
-        u = hash_hex_to_u64(t.column("content_hash"))
-        return pa.table({
-            "content_hash": t.column("content_hash"),
-            "bucket": pa.array(_bucket_of(u, num_buckets)),
-        })
-
-    tagged = new_hashes.map_batches(with_bucket, batch_format="pyarrow").materialize()
-    tagged.write_parquet(os.path.join(corpus_dir, "hashes"), partition_cols=["bucket"])
-
-    def batch_bloom(t: pa.Table) -> pa.Table:
-        w = np.zeros(m_bits // 64, dtype=np.uint64)
-        if t.num_rows:
-            u = hash_hex_to_u64(t.column("content_hash")).astype(np.int64)
-            bloom_add(w, u, m_bits, k)
-        return pa.table({"w": pa.array([w.tobytes()], type=pa.binary())})
-
-    for r in tagged.map_batches(batch_bloom, batch_format="pyarrow").take_all():
+    tagged = new_hashes.map_batches(
+        _bucket_rows_fn(num_buckets), batch_format="pyarrow"
+    ).materialize()
+    for r in tagged.map_batches(_bloom_partial_fn(m_bits, k), batch_format="pyarrow").take_all():
         words = words | np.frombuffer(r["w"], dtype=np.uint64)
-    tmp = os.path.join(corpus_dir, ".bloom.npz.tmp")
-    np.savez(tmp, words=words)
-    # np.savez appends .npz when the name lacks it — normalize
-    tmp_real = tmp if os.path.exists(tmp) else tmp + ".npz"
-    os.replace(tmp_real, os.path.join(corpus_dir, "bloom.npz"))
+    _write_sidecar(corpus_dir, words)
+    tagged.write_parquet(os.path.join(corpus_dir, "hashes"), partition_cols=["bucket"])
     return corpus_dir
 
 

@@ -428,6 +428,33 @@ class TestMixtureSample:
         out_cnt = mixture_sample(docs, weights=weights, total_frac=0.5).take_all()
         assert {r["doc_id"] for r in out} != {r["doc_id"] for r in out_cnt}
 
+    def test_weighted_null_edges_and_float_guard(self, ray_session):
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.corpus import mixture_sample
+
+        t = pa.table({
+            "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+            "lang": pa.array(["a", "a", None, "b", "b", "b"]),
+            "w": pa.array([10, None, 99, 5, 5, 5], type=pa.int64()),
+        })
+        # null strata drop, null weights contribute 0 — must not crash
+        # or corrupt the masses (NaN→INT64_MIN via numpy would)
+        out = mixture_sample(rd.from_arrow(t).repartition(3),
+                             weights={"a": 0.5, "b": 0.5}, total_frac=1.0,
+                             weight_col="w").take_all()
+        assert all(r["lang"] is not None for r in out)
+        assert len(out) > 0
+        with __import__("pytest").raises(ValueError, match="integer-typed"):
+            mixture_sample(
+                rd.from_arrow(pa.table({
+                    "doc_id": pa.array([1], type=pa.int64()),
+                    "lang": pa.array(["a"]),
+                    "w": pa.array([1.5]),
+                })),
+                weights={"a": 1.0}, total_frac=0.5, weight_col="w",
+            )
+
     def test_undersized_stratum_keeps_everything(self, ray_session):
         from logstash_filter_elastic_integration_ray.stages.corpus import mixture_sample
 
