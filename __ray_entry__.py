@@ -1830,8 +1830,241 @@ def q_top_orders(sf_dir: str):
     return out.map_batches(cents, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# round-4 processor-conformance queries — driver-oracle rows for the 8
+# processors that previously had pytest evidence only (VERDICT r3 #1):
+# append, remove, sort, dot_expander, foreach, date_index_name,
+# community_id, geoip.
+# ---------------------------------------------------------------------------
+
+_ACCESS_DISSECT = {"dissect": {"field": "text", "pattern":
+    '%{clientip} %{ident} %{auth} "%{verb} %{path} HTTP/%{httpversion}" %{status_code} %{resp_bytes}'}}
+
+
+def q_append_tags(sf_dir: str):
+    """`append` (spec:129-152): scalar base is promoted to a list, the
+    appended values render per-row mustache templates; `join` makes the
+    list SQL-comparable."""
+    pipe = {"processors": [
+        {"set": {"field": "tags_acc", "value": "base"}},
+        {"append": {"field": "tags_acc", "value": ["r-{{role}}", "x"]}},
+        {"join": {"field": "tags_acc", "separator": ",", "target_field": "tags_joined"}},
+    ]}
+    out = read_transcripts(sf_dir).map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "tags_joined"])
+
+
+def q_remove_conditional(sf_dir: str):
+    """`remove` (spec:695-725) under a per-row condition — exercises the
+    partial-mask blend path (only tool turns lose the field)."""
+    pipe = {"processors": [
+        {"set": {"field": "tmp", "copy_from": "role"}},
+        {"remove": {"field": "tmp", "if": "ctx.role == 'tool'"}},
+    ]}
+    out = read_transcripts(sf_dir).map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "tmp"])
+
+
+def q_sort_path_parts(sf_dir: str):
+    """`sort` (spec:838-858): an in-document list sort (NOT a dataset
+    sort) — access-log path segments sorted descending."""
+    ds = _filter_starts(read_transcripts(sf_dir), "text", "10.")
+    pipe = {"processors": [
+        _ACCESS_DISSECT,
+        {"split": {"field": "path", "separator": "/", "target_field": "parts", "preserve_trailing": True}},
+        {"sort": {"field": "parts", "order": "desc"}},
+        {"join": {"field": "parts", "separator": ",", "target_field": "parts_sorted"}},
+    ]}
+    out = ds.map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "parts_sorted"])
+
+
+def q_foreach_upper_path(sf_dir: str):
+    """`foreach` (spec:416-441): the sub-processor sees each list
+    element as `_ingest._value` — uppercase every path segment."""
+    ds = _filter_starts(read_transcripts(sf_dir), "text", "10.")
+    pipe = {"processors": [
+        _ACCESS_DISSECT,
+        {"split": {"field": "path", "separator": "/", "target_field": "parts", "preserve_trailing": True}},
+        {"foreach": {"field": "parts", "processor": {"uppercase": {"field": "_ingest._value"}}}},
+        {"join": {"field": "parts", "separator": "/", "target_field": "path_upper"}},
+    ]}
+    out = ds.map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "path_upper"])
+
+
+def q_dot_expander_json(sf_dir: str):
+    """`dot_expander` (spec:335-358): in this engine's columnar layout a
+    flat `nested.bar` key and the nested path are the SAME dotted
+    column, so expansion is a validated in-flight no-op; the query
+    proves pipelines using it compile and flow values through."""
+    ds = _filter_starts(read_transcripts(sf_dir), "text", "{")
+    pipe = {"processors": [
+        {"json": {"field": "text", "target_field": "payload"}},
+        {"set": {"field": "nested.bar", "copy_from": "payload.bar"}},
+        {"dot_expander": {"field": "nested.bar"}},
+    ]}
+    out = ds.map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["conv_id", "turn_idx", "nested.bar"], {"nested.bar": "nested_bar"})
+
+
+def q_date_index_name(sf_dir: str):
+    """`date_index_name` (spec:278-301): the date-math index expression
+    written to `_index`."""
+    def add_date_str(t: pa.Table) -> pa.Table:
+        s = t.column("ts").to_pandas().dt.strftime("%Y-%m-%dT%H:%M:%S")
+        return t.append_column("date_str", pa.array(s, type=pa.string()))
+
+    pipe = {"processors": [{"date_index_name": {
+        "field": "date_str", "date_rounding": "M", "index_name_prefix": "monthly-",
+        "date_formats": ["ISO8601"]}}]}
+    out = (
+        read_transcripts(sf_dir)
+        .map_batches(add_date_str, batch_format="pyarrow")
+        .map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    )
+    return _project(out, ["conv_id", "turn_idx", META_INDEX], {META_INDEX: "index_expr"})
+
+
+#: oracle literals for `community_id_flows`, derived INDEPENDENTLY of
+#: functions/net.py by tools/reference_impls.community_id_flow_literals
+#: (a from-scratch implementation of the published Community ID spec,
+#: itself pinned by the spec's published test vector).  DuckDB has no
+#: sha1, so the SQL twin is a CASE over these 16 distinct flows.
+_COMMUNITY_ID_LITERALS = [
+    "1:SwNMg+x8mv3lXxTN6liq8h2FpE4=", "1:XRhnA2XPmRzTI9pC6C+XYLIIMBI=",
+    "1:KkCh207EfA/wLBkzMNjEIcCxW7g=", "1:rHx6fPdAovPnSAU4k0NB0GLcpCM=",
+    "1:xCL8ydcA3DyB/+k5Ee1ZKFBcTC0=", "1:I4oU2Qi+HtgVEGLuvyxllM329xg=",
+    "1:8ElPJICoKiBuyv1wDWLqflLEoII=", "1:cu6hutGtk5U9lFik3skx2IUpDqI=",
+    "1:Y/n0e8cks/TRYeB1RY+gMYtqK8s=", "1:DwaY6Z0bxjcZkStX/yr/S6RmGdQ=",
+    "1:BBgHMmhGJA5/TCTrD1Yd/5YE2lo=", "1:kd+7TySnn/ZurGLxHPRAfQV9G9U=",
+    "1:CXmjkWODDM+X97N39ZvJEvXAVFk=", "1:8ioBZvyn0PJK4AyT+aJAshIE37U=",
+    "1:mLZBHifKNp+zWE5kVSCR66Z84ks=", "1:7cQns+ubB6Vwgndj+MWXNAhSwCA=",
+]
+
+
+def _add_eid(t: pa.Table) -> pa.Table:
+    """Recover `event_id` from the transcript key (conv_id='c{eid//20}',
+    turn_idx=eid%20) — the derivation is deterministic, so this is the
+    inverse map, not a new data source."""
+    cid = pc.utf8_slice_codeunits(t.column("conv_id"), 1).cast(pa.int64())
+    eid = pc.add(pc.multiply(cid, 20), t.column("turn_idx").cast(pa.int64()))
+    return t.append_column("eid", eid)
+
+
+def q_community_id_flows(sf_dir: str):
+    """`community_id` (spec:177-199): flow 5-tuples derived from the
+    turn key — 16 distinct flows, hashed with the spec's seeded sha1."""
+    _SIPS = np.array([f"192.0.2.{r}" for r in range(16)], dtype=object)
+
+    def add_flow(t: pa.Table) -> pa.Table:
+        eid = _add_eid(t).column("eid").to_numpy()
+        t = t.append_column("source.ip", pa.array(_SIPS[eid % 16], type=pa.string()))
+        t = t.append_column("source.port", pa.array(1000 + eid % 4, type=pa.int64()))
+        t = t.append_column("destination.ip", pa.array(["198.51.100.9"] * t.num_rows))
+        t = t.append_column("destination.port", pa.array([443] * t.num_rows, type=pa.int64()))
+        t = t.append_column("network.transport", pa.array(["tcp"] * t.num_rows))
+        return t
+
+    pipe = {"processors": [{"community_id": {}}]}
+    out = (
+        read_transcripts(sf_dir)
+        .map_batches(add_flow, batch_format="pyarrow")
+        .map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    )
+    return _project(out, ["conv_id", "turn_idx", "network.community_id"],
+                    {"network.community_id": "cid"})
+
+
+def _geoip_fixture_path() -> str:
+    """Deterministic synthetic GeoLite2-City mmdb: 10.0.X.0/24 →
+    cityX%10 / CX%50 for X in 0..255.  Built once under /tmp with the
+    engine's own public-format writer; the geoip query reads it through
+    the REAL mmdb decode path (state/mmdb.py), not the dict stub."""
+    import tempfile
+
+    from logstash_filter_elastic_integration_ray.state.mmdb import write_mmdb
+
+    path = "/tmp/graft_geoip/synthetic-city.mmdb"
+    if not _os.path.exists(path):
+        _os.makedirs(_os.path.dirname(path), exist_ok=True)
+        nets = {
+            f"10.0.{x}.0/24": {
+                "city": {"names": {"en": f"city{x % 10}"}},
+                "country": {"iso_code": f"C{x % 50:02d}"},
+            }
+            for x in range(256)
+        }
+        blob = write_mmdb(nets)
+        fd, tmp = tempfile.mkstemp(dir=_os.path.dirname(path))
+        with _os.fdopen(fd, "wb") as f:
+            f.write(blob)
+        _os.replace(tmp, path)  # atomic: concurrent builders both win
+    return path
+
+
+def q_geoip_kv(sf_dir: str):
+    """`geoip` (spec:1009-1060): kv-parsed client IPs looked up in a
+    synthetic-but-REAL MaxMind mmdb (per-/24 city + country records)."""
+    pipe = {"processors": [
+        {"kv": {"field": "text", "field_split": " ", "value_split": "="}},
+        {"geoip": {"field": "ip", "target_field": "geo",
+                   "database_path": _geoip_fixture_path()}},
+    ]}
+    ds = _filter_starts(read_transcripts(sf_dir), "text", "ip=")
+    out = ds.map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(
+        out,
+        ["conv_id", "turn_idx", "geo.city_name", "geo.country_iso_code"],
+        {"geo.city_name": "city", "geo.country_iso_code": "country_iso"},
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering is deliberate (VERDICT r3 #2): the driver samples ~50
+    # queries per round, so entries with no driver-green CORRECTNESS
+    # row in ANY round come first — the 8 new processor-conformance
+    # queries, then the 30 that had only local-harness evidence
+    # through r3.  Previously-green queries follow.
     return {
+        "append_tags": q_append_tags,
+        "remove_conditional": q_remove_conditional,
+        "sort_path_parts": q_sort_path_parts,
+        "foreach_upper_path": q_foreach_upper_path,
+        "dot_expander_json": q_dot_expander_json,
+        "date_index_name_monthly": q_date_index_name,
+        "community_id_flows": q_community_id_flows,
+        "geoip_kv": q_geoip_kv,
+        "pack_docs": q_pack_docs,
+        "curation_pipeline_docs": q_curation_pipeline_docs,
+        "sft_pairs": q_sft_pairs,
+        "pack_turns_by_conv": q_pack_turns_by_conv,
+        "incremental_dedup_docs": q_incremental_dedup_docs,
+        "quality_filter_by_lang": q_quality_filter_by_lang,
+        "shuffle_shards_docs": q_shuffle_shards_docs,
+        "dedup_spans_docs": q_dedup_spans_docs,
+        "quality_filter_docs": q_quality_filter_docs,
+        "mixture_docs": q_mixture_docs,
+        "mixture_tokens_docs": q_mixture_tokens_docs,
+        "curriculum_docs": q_curriculum_docs,
+        "group_topk_docs": q_group_topk_docs,
+        "running_totals_events": q_running_totals_events,
+        "running_totals_scan": q_running_totals_scan,
+        "rolling_sum_events": q_rolling_sum_events,
+        "running_minmax_events": q_running_minmax_events,
+        "running_minmax_scan": q_running_minmax_scan,
+        "global_rank_docs": q_global_rank_docs,
+        "pivot_events": q_pivot_events,
+        "unpivot_lineitem": q_unpivot_lineitem,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "customers_no_orders": q_customers_no_orders,
+        "customers_with_orders": q_customers_with_orders,
+        "term_postings_docs": q_term_postings_docs,
+        "audio_features_docs": q_audio_features_docs,
+        "events_hopping": q_events_hopping,
+        "range_join_events": q_range_join_events,
+        "price_quantiles_by_flag": q_price_quantiles_by_flag,
+        "left_join_customer_orders": q_left_join_customer_orders,
         "transcripts_source": q_transcripts_source,
         "transcripts_jsonl": q_transcripts_jsonl,
         "transcripts_csv": q_transcripts_csv,
@@ -1882,39 +2115,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": q_repetition_docs,
         "tfidf_top_docs": q_tfidf_top_docs,
         "dup_ngram_docs": q_dup_ngram_docs,
-        "pack_docs": q_pack_docs,
-        "curation_pipeline_docs": q_curation_pipeline_docs,
-        "sft_pairs": q_sft_pairs,
-        "pack_turns_by_conv": q_pack_turns_by_conv,
-        "incremental_dedup_docs": q_incremental_dedup_docs,
-        "quality_filter_by_lang": q_quality_filter_by_lang,
-        "shuffle_shards_docs": q_shuffle_shards_docs,
-        "dedup_spans_docs": q_dedup_spans_docs,
-        "quality_filter_docs": q_quality_filter_docs,
-        "mixture_docs": q_mixture_docs,
-        "mixture_tokens_docs": q_mixture_tokens_docs,
-        "curriculum_docs": q_curriculum_docs,
-        "group_topk_docs": q_group_topk_docs,
-        "running_totals_events": q_running_totals_events,
-        "running_totals_scan": q_running_totals_scan,
-        "rolling_sum_events": q_rolling_sum_events,
-        "running_minmax_events": q_running_minmax_events,
-        "running_minmax_scan": q_running_minmax_scan,
-        "global_rank_docs": q_global_rank_docs,
-        "pivot_events": q_pivot_events,
-        "unpivot_lineitem": q_unpivot_lineitem,
-        "distinct_users_by_type": q_distinct_users_by_type,
-        "customers_no_orders": q_customers_no_orders,
-        "customers_with_orders": q_customers_with_orders,
-        "term_postings_docs": q_term_postings_docs,
-        "audio_features_docs": q_audio_features_docs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "q1_pricing": q_q1_pricing,
         "events_hourly": q_events_hourly,
-        "events_hopping": q_events_hopping,
-        "range_join_events": q_range_join_events,
-        "price_quantiles_by_flag": q_price_quantiles_by_flag,
         "segment_orders": q_segment_orders,
         "top_orders": q_top_orders,
         "attrs_expand": q_attrs_expand,
@@ -1922,7 +2126,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": q_session_windows,
         "asof_latest_order": q_asof_latest_order,
         "join_orders_nation": q_join_orders_nation,
-        "left_join_customer_orders": q_left_join_customer_orders,
     }
 
 
@@ -1936,7 +2139,46 @@ def oracle_sql() -> dict[str, str]:
     )
 
     T = transcripts_sql
+    _cid_case = "CASE CAST(event_id % 16 AS INTEGER) " + " ".join(
+        f"WHEN {r} THEN '{lit}'" for r, lit in enumerate(_COMMUNITY_ID_LITERALS)
+    ) + " END"
+    _path_expr = ("'/api/v' || CAST(event_id % 3 AS VARCHAR) || '/items/' || "
+                  "CAST(event_id % 50 AS VARCHAR)")
     return {
+        "append_tags": T(
+            "SELECT conv_id, turn_idx, 'base,r-' || role || ',x' AS tags_joined FROM transcripts"
+        ),
+        "remove_conditional": T(
+            "SELECT conv_id, turn_idx, CASE WHEN role = 'tool' THEN NULL ELSE role END AS tmp "
+            "FROM transcripts"
+        ),
+        "sort_path_parts": T(
+            "SELECT conv_id, turn_idx, "
+            f"array_to_string(list_sort(string_split({_path_expr}, '/'), 'DESC'), ',') AS parts_sorted "
+            "FROM transcripts WHERE event_id % 8 = 0"
+        ),
+        "foreach_upper_path": T(
+            f"SELECT conv_id, turn_idx, upper({_path_expr}) AS path_upper "
+            "FROM transcripts WHERE event_id % 8 = 0"
+        ),
+        "dot_expander_json": T(
+            "SELECT conv_id, turn_idx, 'b' || CAST(event_id % 7 AS VARCHAR) AS nested_bar "
+            "FROM transcripts WHERE event_id % 8 = 2"
+        ),
+        "date_index_name_monthly": T(
+            "SELECT conv_id, turn_idx, "
+            "'<monthly-{' || strftime(ts, '%Y-%m-%d') || '||/M{yyyy-MM-dd|UTC}}>' AS index_expr "
+            "FROM transcripts"
+        ),
+        "community_id_flows": T(
+            f"SELECT conv_id, turn_idx, {_cid_case} AS cid FROM transcripts"
+        ),
+        "geoip_kv": T(
+            "SELECT conv_id, turn_idx, "
+            "'city' || CAST(user_id % 256 % 10 AS VARCHAR) AS city, "
+            "'C' || lpad(CAST(user_id % 256 % 50 AS VARCHAR), 2, '0') AS country_iso "
+            "FROM transcripts WHERE event_id % 8 = 1"
+        ),
         "transcripts_source": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "transcripts_jsonl": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "transcripts_csv": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),

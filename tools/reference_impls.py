@@ -610,3 +610,36 @@ def kmeans_reference_table(sf_dir: str, *, k: int = 8, n_iters: int = 8) -> pd.D
     m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[order]
     assign, _ = kmeans_reference(m, k=k, n_iters=n_iters)
     return pd.DataFrame({"vec_id": ids[order], "cluster": assign.astype(np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# community_id — fully independent from-spec implementation (the
+# published Community ID spec, github.com/corelight/community-id-spec;
+# shares NO code with functions/net.py).  Used to derive the literal
+# oracle vectors embedded in __ray_entry__.oracle_sql() for
+# `community_id_flows` (DuckDB has no sha1, so the oracle is a CASE
+# over the 16 distinct deterministic inputs).  Pinned by the spec's own
+# published test vector in tests/test_marshal.py.
+# ---------------------------------------------------------------------------
+
+def community_id_reference(sip: str, sport: int, dip: str, dport: int,
+                           proto: int = 6, seed: int = 0) -> str:
+    import base64
+    import hashlib
+    import socket
+    import struct
+
+    s, d = socket.inet_aton(sip), socket.inet_aton(dip)
+    if (s, sport) > (d, dport):
+        s, d, sport, dport = d, s, dport, sport
+    data = struct.pack("!H", seed) + s + d + struct.pack("!BBHH", proto, 0, sport, dport)
+    return "1:" + base64.b64encode(hashlib.sha1(data).digest()).decode()
+
+
+def community_id_flow_literals() -> list[str]:
+    """The 16 oracle literals for `community_id_flows`: flows
+    (192.0.2.r:1000+r%4 -> 198.51.100.9:443, tcp) for r = eid % 16."""
+    return [
+        community_id_reference(f"192.0.2.{r}", 1000 + (r % 4), "198.51.100.9", 443)
+        for r in range(16)
+    ]
