@@ -814,18 +814,13 @@ def q_repetition_docs(sf_dir: str):
 
 def q_tfidf_top_docs(sf_dir: str):
     """Top-3 distinctive tokens per doc by tf/df (log-free idf — see
-    stages/textstats.py:tfidf_topk_batch for why ln is avoided): df via
-    co-partitioned pandas count, broadcast once; tf + top-k batch-local."""
-    from logstash_filter_elastic_integration_ray.stages.textstats import (
-        tfidf_topk_batch,
-        token_df_map,
-    )
+    stages/textstats.py:tfidf_topk for why ln is avoided): thin
+    (doc, token, tf) rows co-partition by token (df is a local count),
+    then by doc (top-k is local) — no driver-side vocabulary."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import tfidf_topk
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    df_ref = token_df_map(docs)
-    return docs.map_batches(
-        lambda b: tfidf_topk_batch(b, df_ref, k=3), batch_format="pyarrow"
-    )
+    return tfidf_topk(docs, k=3)
 
 
 def q_dup_ngram_docs(sf_dir: str):

@@ -1731,16 +1731,27 @@ def _java_format(fmt, *args) -> str:
             raise PainlessError(f"String.format: missing argument for {spec!r}")
         a = args[ai]
         ai += 1
+        if spec[-1] in "bB":
+            # Java Formatter %b: null → "false", Boolean → its value,
+            # ANY other non-null (even Integer 0 / empty string) →
+            # "true" — NOT Python truthiness
+            if a is None:
+                s = "false"
+            elif isinstance(a, bool):
+                s = "true" if a else "false"
+            else:
+                s = "true"
+            sm = re.match(r"%([-#+ 0,(]*)(\d*)", spec)
+            left = "-" if "-" in sm.group(1) else ""
+            s = s.upper() if spec[-1] == "B" else s
+            out.append(f"%{left}{sm.group(2)}s" % s)
+            continue
         if a is None:
             # width/alignment still apply; precision must NOT (Java
             # renders the full word "null", %.2s would truncate it)
             sm = re.match(r"%([-#+ 0,(]*)(\d*)", spec)
             left = "-" if "-" in sm.group(1) else ""
             out.append(f"%{left}{sm.group(2)}s" % "null")
-            continue
-        if spec[-1] in "bB":
-            s = "true" if a else "false"
-            out.append(s.upper() if spec[-1] == "B" else s)
             continue
         out.append(spec % a)
     out.append(fmt[pos:])

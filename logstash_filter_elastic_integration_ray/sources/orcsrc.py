@@ -67,23 +67,27 @@ def read_orc(path, *, timestamp_cols: list[str] | None = None, **kwargs):
 
     ds = rd.read_binary_files(path, file_extensions=["orc"], **kwargs)
     ts_cols = timestamp_cols or []
+    return ds.map_batches(lambda t: decode_orc_batch(t, ts_cols), batch_format="pyarrow")
 
-    def decode(t: pa.Table) -> pa.Table:
-        from pyarrow import orc
 
-        parts = [
-            orc.ORCFile(pa.BufferReader(b.as_py())).read()
-            for b in t.column("bytes")
-        ]
-        out = pa.concat_tables(parts) if parts else None
-        if out is None:
-            raise ValueError("read_orc: empty binary batch")
-        for c in ts_cols:
-            if c in out.column_names:
-                i = out.column_names.index(c)
-                col = out.column(c)
-                if pa.types.is_temporal(col.type) and col.type != pa.timestamp("us"):
-                    out = out.set_column(i, c, pc.cast(col, pa.timestamp("us")))
-        return out.replace_schema_metadata(None)
+def decode_orc_batch(t: pa.Table, ts_cols: list[str]) -> pa.Table:
+    """Decode one binary-files batch of ORC blobs into rows."""
+    from pyarrow import orc
 
-    return ds.map_batches(decode, batch_format="pyarrow")
+    parts = [
+        orc.ORCFile(pa.BufferReader(b.as_py())).read()
+        for b in t.column("bytes")
+    ]
+    if not parts:
+        # an empty binary block must yield an empty table, not crash
+        # the read; Ray's empty-block handling unifies the schema with
+        # the non-empty blocks downstream
+        return pa.table({})
+    out = pa.concat_tables(parts)
+    for c in ts_cols:
+        if c in out.column_names:
+            i = out.column_names.index(c)
+            col = out.column(c)
+            if pa.types.is_temporal(col.type) and col.type != pa.timestamp("us"):
+                out = out.set_column(i, c, pc.cast(col, pa.timestamp("us")))
+    return out.replace_schema_metadata(None)

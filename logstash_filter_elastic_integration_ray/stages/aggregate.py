@@ -301,16 +301,23 @@ def pivot_counts(ds, *, key: str, cat: str, categories: list[str],
     def merge(t: pa.Table) -> pa.Table:
         """Pure-Arrow per-partition sum: a pandas round trip would
         degrade a null-bearing int64 key to float64 (exact > 2^53 keys
-        corrupt and the output schema drifts per partition)."""
+        corrupt and the output schema drifts per partition).  Sorted
+        ``add.reduceat``, NOT ``bincount(weights=...)`` — the weighted
+        bincount path accumulates in float64, silently rounding counts
+        past 2^53 (the same reason group_counts below uses it)."""
         kcodes, kuniq_first = _first_occurrence_codes(t.column(key))
         nk = len(kuniq_first)
+        order = np.argsort(kcodes, kind="stable")
+        sk = kcodes[order]
+        starts = np.flatnonzero(np.diff(sk, prepend=-1))
+        seg = sk[starts]
         out = {key: t.column(key).take(kuniq_first)}
         for c in cols:
             vals = t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
-            out[c] = pa.array(
-                np.bincount(kcodes, weights=vals, minlength=nk).astype(np.int64),
-                type=pa.int64(),
-            )
+            sums = np.zeros(nk, dtype=np.int64)
+            if len(vals):
+                sums[seg] = np.add.reduceat(vals[order], starts)
+            out[c] = pa.array(sums, type=pa.int64())
         return pa.table(out)
 
     return (

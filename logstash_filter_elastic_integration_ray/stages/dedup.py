@@ -838,30 +838,61 @@ def jaccard_prefilter_threshold(threshold: float, num_perm: int) -> float:
 
 def _jaccard_score_fn(shingle_size: int):
     """score_fn for attach_pair_scores over TEXT payloads: exact
-    shingle-set jaccard, shingle sets memoized per distinct text within
-    the scoring partition."""
+    shingle-set jaccard over 64-bit shingle HASHES (the module-wide
+    hash-based gram-equality convention).
+
+    Vectorized (VERDICT r3 "What's wrong" #3 replaced a per-pair
+    frozenset kernel that dominated the engine's worst bench line): one
+    Arrow split + hash pass over the partition's DISTINCT texts builds
+    a sorted unique uint64 shingle-hash array per text; each pair then
+    intersects two sorted arrays with a searchsorted probe —
+    O(|sa| log |sb|) in C, no Python sets.
+
+    Docs shorter than the shingle width contribute their whole text as
+    the single shingle (hash of the joined string).  The two hash paths
+    cannot alias by construction: a k-word join has exactly k-1
+    separator spaces and space-free words, so it never string-equals a
+    w-word gram for k < w, and same-path equality reduces to token /
+    string equality as everywhere else in this module."""
+    from .decontam import flat_token_hashes, gram_hashes
 
     def score(a_vals: np.ndarray, b_vals: np.ndarray) -> np.ndarray:
-        cache: dict[str, frozenset] = {}
+        a_vals = np.asarray(a_vals, dtype=object)
+        b_vals = np.asarray(b_vals, dtype=object)
+        texts = pd.unique(np.concatenate([a_vals, b_vals]))
+        filled = np.asarray([t if t is not None else "" for t in texts], dtype=object)
+        col = pa.array(filled, type=pa.string())
+        fh, counts = flat_token_hashes(col)
+        gh, doc_idx = gram_hashes(fh, counts, shingle_size)
 
-        def sset(t: str) -> frozenset:
-            s = cache.get(t)
-            if s is None:
-                words = (t or "").split(" ")
-                if len(words) < shingle_size:
-                    s = frozenset([" ".join(words)]) if words else frozenset()
-                else:
-                    s = frozenset(
-                        " ".join(words[i : i + shingle_size])
-                        for i in range(len(words) - shingle_size + 1)
-                    )
-                cache[t] = s
-            return s
+        sets: list = [None] * len(texts)
+        if len(gh):
+            order = np.lexsort((gh, doc_idx))
+            dso, gso = doc_idx[order], gh[order]
+            keep = np.ones(len(gso), dtype=bool)
+            keep[1:] = (dso[1:] != dso[:-1]) | (gso[1:] != gso[:-1])
+            dsu, gsu = dso[keep], gso[keep]
+            starts = np.flatnonzero(np.r_[True, dsu[1:] != dsu[:-1]])
+            for d, arr in zip(dsu[starts], np.split(gsu, starts[1:])):
+                sets[int(d)] = arr
+        short = np.flatnonzero(counts < shingle_size)
+        if len(short):
+            wh = pd.util.hash_array(filled[short], categorize=False)
+            for j, d in enumerate(short):
+                sets[int(d)] = wh[j : j + 1]
 
+        idx = pd.Index(texts)
+        ia = idx.get_indexer(a_vals)
+        ib = idx.get_indexer(b_vals)
         out = np.empty(len(a_vals), dtype=np.float64)
-        for i, (ta, tb) in enumerate(zip(a_vals, b_vals)):
-            sa, sb = sset(ta), sset(tb)
-            out[i] = 1.0 if not sa and not sb else len(sa & sb) / max(1, len(sa | sb))
+        for i in range(len(a_vals)):
+            sa, sb = sets[ia[i]], sets[ib[i]]
+            if sa.size > sb.size:
+                sa, sb = sb, sa
+            pos = np.searchsorted(sb, sa)
+            pos[pos == sb.size] = 0  # out-of-range probes can't match
+            inter = int(np.count_nonzero(sb[pos] == sa))
+            out[i] = inter / (sa.size + sb.size - inter)
         return out
 
     return score

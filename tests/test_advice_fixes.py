@@ -199,3 +199,28 @@ def test_timestamp_fallback_is_pinned_per_run():
     out1 = table_to_rows(proc(t1))
     out2 = table_to_rows(proc(t2))   # later batch, same run → same fill
     assert out1[0]["@timestamp"] == out2[0]["@timestamp"] == proc.run_now
+
+
+def test_java_format_percent_b_semantics():
+    """Java Formatter %b: null → "false", Boolean → its value, ANY
+    other non-null (Integer 0, empty string) → "true"."""
+    from logstash_filter_elastic_integration_ray.functions.painless import _java_format
+
+    assert _java_format("%b", None) == "false"
+    assert _java_format("%b", True) == "true"
+    assert _java_format("%b", False) == "false"
+    assert _java_format("%b", 0) == "true"
+    assert _java_format("%b", "") == "true"
+    assert _java_format("%B", 0) == "TRUE"
+    assert _java_format("%6b", None) == " false"
+    assert _java_format("%-6b|", True) == "true  |"
+
+
+def test_orc_decode_empty_binary_batch_yields_empty_table():
+    import pyarrow as pa
+
+    from logstash_filter_elastic_integration_ray.sources.orcsrc import decode_orc_batch
+
+    t = pa.table({"bytes": pa.array([], type=pa.binary())})
+    out = decode_orc_batch(t, ["ts"])
+    assert out.num_rows == 0

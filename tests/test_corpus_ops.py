@@ -24,8 +24,7 @@ from logstash_filter_elastic_integration_ray.stages.decontam import (
 )
 from logstash_filter_elastic_integration_ray.stages.textstats import (
     repetition_batch,
-    tfidf_topk_batch,
-    token_df_map,
+    tfidf_topk,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -166,10 +165,7 @@ class TestTfidf:
             expected[i] = [(rank + 1, tok, tv, df_counts[tok]) for rank, (_, tok, tv) in enumerate(scored)]
 
         docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
-        df_ref = token_df_map(docs)
-        out = docs.map_batches(
-            lambda b: tfidf_topk_batch(b, df_ref, k=3), batch_format="pyarrow"
-        ).take_all()
+        out = tfidf_topk(docs, k=3).take_all()
         got: dict = {}
         for r in out:
             got.setdefault(r["doc_id"], []).append((r["rank"], r["token"], r["tf"], r["df"]))
