@@ -280,6 +280,16 @@ def run_bench() -> dict:
 
     timed("dup_ngram_dup_heavy_16x", dup_ngram_dup_heavy, reps=1)
 
+    def tfidf_dup_heavy():
+        # the distributed TF-IDF (no driver-side vocabulary) at the 16×
+        # stress input: every token's df row count is 16× the base
+        from logstash_filter_elastic_integration_ray.stages.textstats import tfidf_topk
+
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        return tfidf_topk(heavy, k=3, num_partitions=NUM_CPUS * 2).count()
+
+    timed("tfidf_dup_heavy_16x", tfidf_dup_heavy, reps=1)
+
     def dedup_spans():
         # text rides exactly one co-partition; dup sets are int64-thin
         from logstash_filter_elastic_integration_ray.stages.corpus import remove_dup_spans
@@ -455,6 +465,97 @@ def run_bench() -> dict:
 
     timed("window_hotkey_16x_hash", lambda: _window_hot("hash"), reps=2)
     timed("window_hotkey_16x_scan", lambda: _window_hot("scan"), reps=2)
+
+    # ------------------------------------------------------------------
+    # 64× scale evidence (VERDICT r3 #7): the dup-ngram exchange, the
+    # pack/shard prefix-sum, and the window scan plan at 4× the r3
+    # stress volume, with the object-store spill delta recorded so the
+    # artifact states whether the exchanges stayed spill-free.
+    # GRAFT_SKIP_64X=1 skips for quick local runs.
+    # ------------------------------------------------------------------
+    if os.environ.get("GRAFT_SKIP_64X") != "1":
+        def _spilled_mb() -> float:
+            # object-store spill evidence straight from disk: Ray
+            # writes spilled objects under the session dir (the gRPC
+            # memory_summary API is unavailable in this container)
+            try:
+                sd = ray._private.worker._global_node.get_session_dir_path()
+                total = 0
+                for root, _dirs, files in os.walk(os.path.join(sd, "ray_spilled_objects")):
+                    for f in files:
+                        total += os.path.getsize(os.path.join(root, f))
+                return round(total / 2**20, 1)
+            except Exception:
+                return -1.0
+
+        dup64_path = os.path.join(
+            TRANSCRIPTS_CACHE, f"dup-heavy64-{os.path.basename(SF_DIR)}.parquet"
+        )
+        if not os.path.exists(dup64_path):
+            base = pq_.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+            copies = [
+                pa_.table({
+                    "doc_id": pc_.add(base.column("doc_id"), r * 10_000_000),
+                    "text": base.column("text"),
+                })
+                for r in range(64)
+            ]
+            pq_.write_table(pa_.concat_tables(copies), dup64_path + ".tmp")
+            os.replace(dup64_path + ".tmp", dup64_path)
+
+        hot64_path = os.path.join(
+            TRANSCRIPTS_CACHE, f"hot-events64-{os.path.basename(SF_DIR)}.parquet"
+        )
+        if not os.path.exists(hot64_path):
+            base = pq_.read_table(f"{SF_DIR}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+            copies = []
+            for r in range(64):
+                uid = base.column("user_id")
+                if r % 2 == 0:
+                    uid = pa_.array(np.full(base.num_rows, 1, dtype=np.int64))
+                copies.append(pa_.table({
+                    "event_id": pc_.add(base.column("event_id"), r * 10_000_000),
+                    "user_id": uid,
+                    "ts": base.column("ts"),
+                    "cents": pc_.round(pc_.multiply(base.column("value"), 100.0)).cast(pa_.int64()),
+                }))
+            pq_.write_table(pa_.concat_tables(copies), hot64_path + ".tmp")
+            os.replace(hot64_path + ".tmp", hot64_path)
+
+        spill_before = _spilled_mb()
+
+        def dup_ngram_64x():
+            from logstash_filter_elastic_integration_ray.stages.corpus import dup_ngram_stats
+
+            heavy = read_parquet_clean(dup64_path, override_num_blocks=NUM_CPUS * 4)
+            return dup_ngram_stats(heavy, w=4, num_partitions=NUM_CPUS * 4).count()
+
+        timed("dup_ngram_dup_heavy_64x", dup_ngram_64x, reps=1)
+
+        def pack_and_shard_64x():
+            from logstash_filter_elastic_integration_ray.stages.corpus import pack_docs, shuffle_shards
+
+            heavy = read_parquet_clean(dup64_path, override_num_blocks=NUM_CPUS * 4)
+            n = pack_docs(heavy, cap=256, num_partitions=NUM_CPUS * 2).count()
+            ids = read_parquet_clean(dup64_path, columns=["doc_id"])
+            return n + shuffle_shards(ids, num_shards=NUM_CPUS).count()
+
+        timed("pack_and_shard_64x", pack_and_shard_64x, reps=1)
+
+        def window_hot_64x():
+            from logstash_filter_elastic_integration_ray.stages.windows import grouped_running_scan
+
+            hot = read_parquet_clean(hot64_path, override_num_blocks=NUM_CPUS * 4)
+            return grouped_running_scan(
+                hot, key="user_id", order_cols=["ts", "event_id"],
+                value_col="cents", num_partitions=NUM_CPUS * 4,
+            ).count()
+
+        timed("window_hotkey_64x_scan", window_hot_64x, reps=1)
+
+        spill_after = _spilled_mb()
+        if spill_before >= 0 and spill_after >= 0:
+            timings["spilled_mb_during_64x"] = round(spill_after - spill_before, 1)
 
     import __ray_entry__ as entrymod  # untimed: module import registers
     # the package by value (walk + cloudpickle), a one-time setup cost
