@@ -144,6 +144,20 @@ PUBLIC_SUFFIXES: frozenset[str] = frozenset({
     # Canada provincial
     "ab.ca", "bc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca", "ns.ca",
     "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yk.ca", "gc.ca",
+    # United States state-level registrations (<state>.us)
+    "ak.us", "al.us", "ar.us", "az.us", "ca.us", "co.us", "ct.us", "dc.us",
+    "de.us", "fl.us", "ga.us", "hi.us", "ia.us", "id.us", "il.us", "in.us",
+    "ks.us", "ky.us", "la.us", "ma.us", "md.us", "me.us", "mi.us", "mn.us",
+    "mo.us", "ms.us", "mt.us", "nc.us", "nd.us", "ne.us", "nh.us", "nj.us",
+    "nm.us", "nv.us", "ny.us", "oh.us", "ok.us", "or.us", "pa.us", "ri.us",
+    "sc.us", "sd.us", "tn.us", "tx.us", "ut.us", "va.us", "vt.us", "wa.us",
+    "wi.us", "wv.us", "wy.us", "fed.us", "isa.us", "nsn.us", "dni.us",
+    # Japan prefecture-level registrations
+    "tokyo.jp", "osaka.jp", "kyoto.jp", "hokkaido.jp", "aichi.jp",
+    "kanagawa.jp", "saitama.jp", "chiba.jp", "hyogo.jp", "fukuoka.jp",
+    "hiroshima.jp", "miyagi.jp", "nagano.jp", "niigata.jp", "okinawa.jp",
+    "shizuoka.jp", "nara.jp", "gifu.jp", "gunma.jp", "ibaraki.jp",
+    "kumamoto.jp", "kagoshima.jp", "mie.jp", "okayama.jp", "tochigi.jp",
     # Israel 2024+ latinized
     "net.il", "k12.il",
     # Oceania / misc
@@ -187,5 +201,15 @@ PUBLIC_SUFFIXES: frozenset[str] = frozenset({
     "streamlit.app", "gitbook.io", "hashnode.dev", "bubbleapps.io",
     "webflow.io", "cargo.site", "framer.app", "framer.website",
     "translate.goog", "scm.azurewebsites.net", "trafficmanager.net",
+    # dynamic-DNS providers (PSL private section)
+    "duckdns.org", "dyndns.org", "dyndns.info", "dyndns.biz", "ddns.net",
+    "hopto.org", "zapto.org", "sytes.net", "no-ip.biz", "no-ip.org",
+    "no-ip.net", "nsupdate.info", "dynv6.net", "freeddns.org", "mooo.com",
+    "chickenkiller.com", "us.to", "strangled.net", "ignorelist.com",
+    # additional hosting / platform suffixes (PSL private section)
+    "bitbucket.io", "sourceforge.io", "codeberg.page", "stackblitz.io",
+    "csb.app", "now.sh", "replit.dev", "replit.app", "up.railway.app",
+    "koyeb.app", "linodeusercontent.com", "digitaloceanspaces.com",
+    "notion.site", "ghost.io",
 })
 # fmt: on
