@@ -2015,6 +2015,16 @@ def q_geoip_kv(sf_dir: str):
     )
 
 
+def q_chunk_docs(sf_dir: str):
+    """RAG-style overlapping token-window chunking (window 8, stride
+    6): embarrassingly parallel row expansion, chunk text sliced from
+    the original string by token offsets — no shuffle, no re-join."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import chunk_docs
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_docs(docs, window=8, stride=6)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering is deliberate (VERDICT r3 #2): the driver samples ~50
     # queries per round, so entries with no driver-green CORRECTNESS
@@ -2030,6 +2040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_index_name_monthly": q_date_index_name,
         "community_id_flows": q_community_id_flows,
         "geoip_kv": q_geoip_kv,
+        "chunk_docs": q_chunk_docs,
         "pack_docs": q_pack_docs,
         "curation_pipeline_docs": q_curation_pipeline_docs,
         "sft_pairs": q_sft_pairs,
@@ -2173,6 +2184,15 @@ def oracle_sql() -> dict[str, str]:
             "'city' || CAST(user_id % 256 % 10 AS VARCHAR) AS city, "
             "'C' || lpad(CAST(user_id % 256 % 50 AS VARCHAR), 2, '0') AS country_iso "
             "FROM transcripts WHERE event_id % 8 = 1"
+        ),
+        "chunk_docs": (
+            "WITH toks AS ("
+            "  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk FROM documents"
+            "), starts AS ("
+            "  SELECT doc_id, tk, unnest(range(0, len(tk), 6)) AS g FROM toks"
+            ") SELECT doc_id, CAST(g / 6 AS BIGINT) AS chunk_idx, "
+            "array_to_string(list_slice(tk, g + 1, g + 8), ' ') AS chunk_text, "
+            "least(8, len(tk) - g) AS n_tokens FROM starts"
         ),
         "transcripts_source": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "transcripts_jsonl": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),

@@ -40,7 +40,20 @@ _KEYWORDS = {"if", "else", "for", "while", "return", "break", "continue",
              "true", "false", "null", "in", "new", "instanceof"}
 _TYPES = {"def", "var", "int", "long", "double", "float", "boolean",
           "String", "Object", "Map", "List", "ArrayList", "HashMap",
-          "Set", "HashSet", "StringBuilder"}
+          "Set", "HashSet", "StringBuilder",
+          # boxed primitives + the rest of the collections framework:
+          # all legal in declaration / cast / new positions
+          "Integer", "Long", "Double", "Float", "Boolean", "Character",
+          "Number", "CharSequence", "LinkedList", "LinkedHashMap",
+          "TreeMap", "LinkedHashSet", "TreeSet", "Collection",
+          "Iterable"}
+
+#: classes `new` accepts — anything else (incl. TreeMap/TreeSet, whose
+#: SORTED iteration order dict/_JavaSet cannot honor) fails COMPILATION
+#: loudly (mirroring the reference's unsupported-construct behavior,
+#: docs/index.asciidoc:192) instead of silently building a wrong value
+_NEW_CLASSES = {"StringBuilder", "String", "ArrayList", "LinkedList",
+                "HashMap", "LinkedHashMap", "HashSet", "LinkedHashSet"}
 
 
 class PainlessError(ValueError):
@@ -265,9 +278,43 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
     return out
 
 
+def _strip_generic_args(toks: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Remove Java generic-argument runs (``Map<String, Object>``,
+    ``new ArrayList<>()``, ``(List<String>) x``) from the token stream
+    so every type-position check sees the raw type name.  A run is
+    stripped ONLY when it follows a known type name and the bracketed
+    tokens are purely type syntax (ids, commas, ``?``, nested ``<>``)
+    — ``a < b`` style comparisons never qualify."""
+    out: list[tuple[str, str]] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        out.append(t)
+        i += 1
+        if t[0] == "id" and t[1] in _TYPES and i < n and toks[i] == ("op", "<"):
+            depth, j, ok = 0, i, False
+            while j < n:
+                k, v = toks[j]
+                if (k, v) == ("op", "<"):
+                    depth += 1
+                elif (k, v) == ("op", ">"):
+                    depth -= 1
+                    if depth == 0:
+                        ok = True
+                        j += 1
+                        break
+                elif not (k == "id" or (k, v) in (("op", ","), ("op", "?"))):
+                    break
+                j += 1
+            if ok:
+                i = j  # drop the whole <...> run
+    return out
+
+
 class _Parser:
     def __init__(self, toks: list[tuple[str, str]]):
-        self.toks = toks
+        self.toks = _strip_generic_args(toks)
         self.i = 0
 
     def peek(self, k: int = 0):
@@ -608,6 +655,8 @@ class _Parser:
         if (kind, val) == ("id", "new"):
             self.eat()
             tname = self.eat(kind="id")[1]
+            if tname not in _NEW_CLASSES:
+                raise PainlessError(f"new {tname}(...) is not supported")
             self.eat("(")
             args = []
             if self.peek() != ("op", ")"):
@@ -1140,14 +1189,17 @@ class Interpreter:
             cargs = [self._deref(self._eval(a, rc, env), rc) for a in node[2]]
             if "StringBuilder" in node[1]:
                 return _JavaStringBuilder(cargs[0] if cargs else None)
+            if node[1] == "String":
+                return _to_jstr(cargs[0]) if cargs else ""
             if "Map" in node[1]:
                 if cargs and isinstance(cargs[0], dict):
                     return dict(cargs[0])  # copy constructor
                 return {}
             if "Set" in node[1]:
                 return _JavaSet(cargs[0] if cargs else None)
+            # ArrayList / LinkedList (classes gated by _NEW_CLASSES at parse)
             if cargs and isinstance(cargs[0], (list, _JavaSet)):
-                return list(cargs[0])  # new ArrayList(existing collection)
+                return list(cargs[0])  # copy constructor
             return []
         if op == "list":
             return [self._deref(self._eval(x, rc, env), rc) for x in node[1]]

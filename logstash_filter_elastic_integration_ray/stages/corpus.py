@@ -699,3 +699,62 @@ def group_topk(ds, *, key: str, score_col: str, k: int, tie_col: str,
         .groupby("__part")
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (RAG-style overlapping token windows)
+# ---------------------------------------------------------------------------
+
+def chunk_docs(ds, *, window: int = 64, stride: int = 48,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """Split each document into overlapping token-window chunks —
+    the retrieval/embedding preprocessing step (LangChain/LlamaIndex
+    style fixed-size chunking, a public pattern): chunk ``i`` covers
+    tokens ``[i*stride, i*stride + window)``; the last chunk may be
+    shorter; a doc always yields >= 1 chunk (empty text = one
+    one-token chunk, Python/SQL split semantics agree).
+
+    Embarrassingly parallel (`map_batches` row expansion, no shuffle):
+    chunk COUNT per doc is ceil(n_tokens/stride), so output volume is
+    ~window/stride x input — bounded and predictable at 100 TB.  Chunk
+    text is sliced from the ORIGINAL string by precomputed token
+    offsets (single-space split => token i starts at
+    prefix_len(i) + i), never re-joined token-by-token.
+
+    Output: (id_col, chunk_idx, chunk_text, n_tokens)."""
+    if window < 1 or stride < 1 or stride > window:
+        raise ValueError("chunk_docs: require 1 <= stride <= window")
+
+    def chunk_batch(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        texts = pc.fill_null(col, "").to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        out_ids: list[int] = []
+        out_idx: list[int] = []
+        out_text: list[str] = []
+        out_n: list[int] = []
+        for d, txt in enumerate(texts):
+            lens = [len(tok) for tok in txt.split(" ")]
+            n = len(lens)
+            # start offset of token i in txt = sum(lens[:i]) + i
+            off = np.empty(n + 1, dtype=np.int64)
+            off[0] = 0
+            np.cumsum(np.asarray(lens, dtype=np.int64) + 1, out=off[1:])
+            did = int(ids[d])
+            for ci, g in enumerate(range(0, n, stride)):
+                e = min(g + window, n)
+                out_ids.append(did)
+                out_idx.append(ci)
+                out_text.append(txt[off[g] : off[e] - 1])
+                out_n.append(e - g)
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, type=pa.int64()),
+                "chunk_idx": pa.array(out_idx, type=pa.int64()),
+                "chunk_text": pa.array(out_text, type=pa.string()),
+                "n_tokens": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(chunk_batch, batch_format="pyarrow")

@@ -582,3 +582,70 @@ def test_string_format_null_under_numeric_specifiers():
     assert r["a"] == " null"          # width applies to the null rendering
     assert r["b"] == "null|null"
     assert r["c"] == "100% -> true"
+
+
+class TestRound4GenericsAndNew:
+    """Round-4 painless long tail (VERDICT r3 missing #2): generic type
+    arguments in declaration / cast / new positions, the collections
+    framework under `new`, and LOUD compile failure for everything
+    else."""
+
+    def test_generic_declaration(self):
+        rows = _script(
+            "Map<String, Object> m = ['a': 1]; ctx.v = m.a",
+            [{"x": 1}],
+        )
+        assert rows[0]["v"] == 1
+
+    def test_diamond_new_and_generic_new(self):
+        rows = _script(
+            "List<String> out = new ArrayList<>(); out.add('x'); "
+            "out.add(ctx.w); ctx.joined = String.join('-', out)",
+            [{"w": "y"}],
+        )
+        assert rows[0]["joined"] == "x-y"
+
+    def test_generic_cast(self):
+        rows = _script(
+            "def raw = ['k': 'v']; Map<String, String> m = (Map<String, String>) raw; "
+            "ctx.v = m.k",
+            [{"x": 1}],
+        )
+        assert rows[0]["v"] == "v"
+
+    def test_comparison_not_eaten_by_generics_stripper(self):
+        rows = _script(
+            "int a = 2; int b = 3; if (a < b) { ctx.lt = true } else { ctx.lt = false }",
+            [{"x": 1}],
+        )
+        assert rows[0]["lt"] is True
+
+    def test_new_linkedlist_and_string(self):
+        rows = _script(
+            "def l = new LinkedList(); l.add(1); l.add(2); ctx.n = l.size(); "
+            "ctx.s = new String('abc')",
+            [{"x": 1}],
+        )
+        assert rows[0]["n"] == 2
+        assert rows[0]["s"] == "abc"
+
+    def test_new_linkedhashmap_copy(self):
+        rows = _script(
+            "def src = ['a': 1, 'b': 2]; def m = new LinkedHashMap(src); "
+            "m.put('c', 3); ctx.n = m.size(); ctx.orig = src.size()",
+            [{"x": 1}],
+        )
+        assert rows[0]["n"] == 3
+        assert rows[0]["orig"] == 2  # copy, not alias
+
+    def test_new_unknown_class_fails_compilation(self):
+        from logstash_filter_elastic_integration_ray.functions.base import (
+            KernelCompileError,
+        )
+
+        with pytest.raises((KernelCompileError, ValueError)):
+            ScriptKernel({"source": "ctx.d = new Date()"})
+
+    def test_new_treeset_fails_compilation_not_silent_misorder(self):
+        with pytest.raises(ValueError):
+            ScriptKernel({"source": "def s = new TreeSet(); s.add(2); ctx.v = s"})

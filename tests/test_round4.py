@@ -60,3 +60,35 @@ class TestGeoipFixture:
         assert rec["city"]["names"]["en"] == "city7"
         assert rec["country"]["iso_code"] == "C37"
         assert r.lookup("192.168.1.1") is None
+
+
+class TestChunkDocs:
+    def test_matches_plain_python(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.corpus import chunk_docs
+
+        texts = ["a b c d e f g", "x y", "", "one two three four five six seven eight nine"]
+        ids = np.arange(len(texts), dtype=np.int64)
+        ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts})).repartition(3)
+        got = sorted(
+            (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+            for r in chunk_docs(ds, window=4, stride=3).take_all()
+        )
+        expected = []
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            for ci, g in enumerate(range(0, len(toks), 3)):
+                w = toks[g : g + 4]
+                expected.append((i, ci, " ".join(w), len(w)))
+        assert got == sorted(expected)
+
+    def test_rejects_bad_params(self):
+        import pytest as _pytest
+
+        from logstash_filter_elastic_integration_ray.stages.corpus import chunk_docs
+
+        with _pytest.raises(ValueError):
+            chunk_docs(None, window=4, stride=5)
