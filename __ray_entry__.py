@@ -1976,21 +1976,26 @@ def _geoip_fixture_path() -> str:
     cityX%10 / CX%50 for X in 0..255.  Built once under /tmp with the
     engine's own public-format writer; the geoip query reads it through
     the REAL mmdb decode path (state/mmdb.py), not the dict stub."""
+    import hashlib
     import tempfile
 
     from logstash_filter_elastic_integration_ray.state.mmdb import write_mmdb
 
-    path = "/tmp/graft_geoip/synthetic-city.mmdb"
+    # building the blob is milliseconds for 256 nets, so build it every
+    # call and key the cache path on its CONTENT — a writer or net-map
+    # change in a later commit then invalidates instead of silently
+    # serving a stale fixture to the driver oracle
+    nets = {
+        f"10.0.{x}.0/24": {
+            "city": {"names": {"en": f"city{x % 10}"}},
+            "country": {"iso_code": f"C{x % 50:02d}"},
+        }
+        for x in range(256)
+    }
+    blob = write_mmdb(nets)
+    path = f"/tmp/graft_geoip/synthetic-city-{hashlib.md5(blob).hexdigest()[:10]}.mmdb"
     if not _os.path.exists(path):
         _os.makedirs(_os.path.dirname(path), exist_ok=True)
-        nets = {
-            f"10.0.{x}.0/24": {
-                "city": {"names": {"en": f"city{x % 10}"}},
-                "country": {"iso_code": f"C{x % 50:02d}"},
-            }
-            for x in range(256)
-        }
-        blob = write_mmdb(nets)
         fd, tmp = tempfile.mkstemp(dir=_os.path.dirname(path))
         with _os.fdopen(fd, "wb") as f:
             f.write(blob)

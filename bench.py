@@ -218,24 +218,52 @@ def run_bench() -> dict:
     # synthesis is one-time preparation (cached parquet), not pipeline
     # work — and NOT a 16-deep Dataset.union chain, which alone costs
     # ~60 s of plan overhead.
+    import numpy as np
     import pyarrow as pa_
     import pyarrow.compute as pc_
     import pyarrow.parquet as pq_
 
-    dup_path = os.path.join(TRANSCRIPTS_CACHE, f"dup-heavy-{os.path.basename(SF_DIR)}.parquet")
-    if not os.path.exists(dup_path):
-        base = pq_.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
-        copies = [
-            pa_.table({
-                "doc_id": pc_.add(base.column("doc_id"), r * 10_000_000),
-                "text": base.column("text"),
-            })
-            for r in range(16)
-        ]
-        # write-then-rename: a run killed mid-write must not leave a
-        # truncated file that every later run silently reuses
-        pq_.write_table(pa_.concat_tables(copies), dup_path + ".tmp")
-        os.replace(dup_path + ".tmp", dup_path)
+    def _dup_doc_copy(base: "pa_.Table", r: int) -> "pa_.Table":
+        # every doc replicated with a distinct id — the adversarial
+        # dedup shape (every LSH bucket holds >= n_copies members)
+        return pa_.table({
+            "doc_id": pc_.add(base.column("doc_id"), r * 10_000_000),
+            "text": base.column("text"),
+        })
+
+    def _hot_event_copy(base: "pa_.Table", r: int) -> "pa_.Table":
+        # half of all copies pin user_id=1 → one key holds 50% of rows
+        uid = base.column("user_id")
+        if r % 2 == 0:
+            uid = pa_.array(np.full(base.num_rows, 1, dtype=np.int64))
+        return pa_.table({
+            "event_id": pc_.add(base.column("event_id"), r * 10_000_000),
+            "user_id": uid,
+            "ts": base.column("ts"),
+            "cents": pc_.round(pc_.multiply(base.column("value"), 100.0)).cast(pa_.int64()),
+        })
+
+    def _replicated_parquet(src: str, tag: str, n_copies: int, make_copy) -> str:
+        """One-time synthesis of an n_copies-replicated stress input
+        (cached parquet, NOT a Dataset.union chain — that alone costs
+        ~60 s of plan overhead).  Single builder for the 16x and 64x
+        variants so the two scales can never drift apart.  Write-then-
+        rename: a run killed mid-write must not leave a truncated file
+        that every later run silently reuses."""
+        path = os.path.join(
+            TRANSCRIPTS_CACHE, f"{tag}-{os.path.basename(SF_DIR)}.parquet"
+        )
+        if not os.path.exists(path):
+            base = pq_.read_table(src)
+            pq_.write_table(
+                pa_.concat_tables([make_copy(base, r) for r in range(n_copies)]),
+                path + ".tmp",
+            )
+            os.replace(path + ".tmp", path)
+        return path
+
+    dup_path = _replicated_parquet(
+        f"{SF_DIR}/documents.parquet", "dup-heavy", 16, _dup_doc_copy)
 
     def minhash_dup_heavy():
         from logstash_filter_elastic_integration_ray.stages.dedup import minhash_lsh_dedup
@@ -431,24 +459,8 @@ def run_bench() -> dict:
     # one user.  The hash plan serializes that key in one partition;
     # the order-range scan plan spreads it across every chunk — same
     # answer (both oracle-checked at sf0.01), different critical path.
-    import numpy as np
-
-    hot_path = os.path.join(TRANSCRIPTS_CACHE, f"hot-events-{os.path.basename(SF_DIR)}.parquet")
-    if not os.path.exists(hot_path):
-        base = pq_.read_table(f"{SF_DIR}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
-        copies = []
-        for r in range(16):
-            uid = base.column("user_id")
-            if r % 2 == 0:
-                uid = pa_.array(np.full(base.num_rows, 1, dtype=np.int64))
-            copies.append(pa_.table({
-                "event_id": pc_.add(base.column("event_id"), r * 10_000_000),
-                "user_id": uid,
-                "ts": base.column("ts"),
-                "cents": pc_.round(pc_.multiply(base.column("value"), 100.0)).cast(pa_.int64()),
-            }))
-        pq_.write_table(pa_.concat_tables(copies), hot_path + ".tmp")
-        os.replace(hot_path + ".tmp", hot_path)
+    hot_path = _replicated_parquet(
+        f"{SF_DIR}/events.parquet", "hot-events", 16, _hot_event_copy)
 
     def _window_hot(kind):
         from logstash_filter_elastic_integration_ray.stages.windows import (
@@ -484,45 +496,29 @@ def run_bench() -> dict:
                 for root, _dirs, files in os.walk(os.path.join(sd, "ray_spilled_objects")):
                     for f in files:
                         total += os.path.getsize(os.path.join(root, f))
-                return round(total / 2**20, 1)
             except Exception:
                 return -1.0
+            return round(total / 2**20, 1)
 
-        dup64_path = os.path.join(
-            TRANSCRIPTS_CACHE, f"dup-heavy64-{os.path.basename(SF_DIR)}.parquet"
-        )
-        if not os.path.exists(dup64_path):
-            base = pq_.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
-            copies = [
-                pa_.table({
-                    "doc_id": pc_.add(base.column("doc_id"), r * 10_000_000),
-                    "text": base.column("text"),
-                })
-                for r in range(64)
-            ]
-            pq_.write_table(pa_.concat_tables(copies), dup64_path + ".tmp")
-            os.replace(dup64_path + ".tmp", dup64_path)
+        dup64_path = _replicated_parquet(
+            f"{SF_DIR}/documents.parquet", "dup-heavy64", 64, _dup_doc_copy)
+        hot64_path = _replicated_parquet(
+            f"{SF_DIR}/events.parquet", "hot-events64", 64, _hot_event_copy)
 
-        hot64_path = os.path.join(
-            TRANSCRIPTS_CACHE, f"hot-events64-{os.path.basename(SF_DIR)}.parquet"
-        )
-        if not os.path.exists(hot64_path):
-            base = pq_.read_table(f"{SF_DIR}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
-            copies = []
-            for r in range(64):
-                uid = base.column("user_id")
-                if r % 2 == 0:
-                    uid = pa_.array(np.full(base.num_rows, 1, dtype=np.int64))
-                copies.append(pa_.table({
-                    "event_id": pc_.add(base.column("event_id"), r * 10_000_000),
-                    "user_id": uid,
-                    "ts": base.column("ts"),
-                    "cents": pc_.round(pc_.multiply(base.column("value"), 100.0)).cast(pa_.int64()),
-                }))
-            pq_.write_table(pa_.concat_tables(copies), hot64_path + ".tmp")
-            os.replace(hot64_path + ".tmp", hot64_path)
+        # Ray GARBAGE-COLLECTS spill files as soon as the owning
+        # objects free, so a before/after delta can read 0 even when a
+        # stage spilled mid-run — sample a max WATERMARK concurrently
+        import threading
 
-        spill_before = _spilled_mb()
+        spill_peak = [max(0.0, _spilled_mb())]
+        stop_sampling = threading.Event()
+
+        def _watch_spill():
+            while not stop_sampling.wait(0.5):
+                spill_peak[0] = max(spill_peak[0], _spilled_mb())
+
+        sampler = threading.Thread(target=_watch_spill, daemon=True)
+        sampler.start()
 
         def dup_ngram_64x():
             from logstash_filter_elastic_integration_ray.stages.corpus import dup_ngram_stats
@@ -553,9 +549,9 @@ def run_bench() -> dict:
 
         timed("window_hotkey_64x_scan", window_hot_64x, reps=1)
 
-        spill_after = _spilled_mb()
-        if spill_before >= 0 and spill_after >= 0:
-            timings["spilled_mb_during_64x"] = round(spill_after - spill_before, 1)
+        stop_sampling.set()
+        sampler.join(timeout=2.0)
+        timings["spilled_mb_during_64x"] = round(spill_peak[0], 1)
 
     import __ray_entry__ as entrymod  # untimed: module import registers
     # the package by value (walk + cloudpickle), a one-time setup cost

@@ -293,6 +293,11 @@ def _strip_generic_args(toks: list[tuple[str, str]]) -> list[tuple[str, str]]:
         out.append(t)
         i += 1
         if t[0] == "id" and t[1] in _TYPES and i < n and toks[i] == ("op", "<"):
+            # a FIELD named like a type (ctx.String, params.Map) is a
+            # value, not a type — never strip after member access
+            prev = toks[i - 2] if i >= 2 else ("", "")
+            if prev in (("op", "."), ("op", "?.")):
+                continue
             depth, j, ok = 0, i, False
             while j < n:
                 k, v = toks[j]
@@ -307,7 +312,13 @@ def _strip_generic_args(toks: list[tuple[str, str]]) -> list[tuple[str, str]]:
                 elif not (k == "id" or (k, v) in (("op", ","), ("op", "?"))):
                     break
                 j += 1
-            if ok:
+            # the run must be FOLLOWED by type-position syntax: a
+            # declared name (id), a constructor call `(`, or the close
+            # of a cast `)` — `f(String < a, b > d)` style comparison
+            # pairs end in id too, but are already excluded above when
+            # the operand is a field; a bare local shadowing a type
+            # name is not legal painless style and is not supported
+            if ok and j < n and (toks[j][0] == "id" or toks[j] in (("op", "("), ("op", ")"))):
                 i = j  # drop the whole <...> run
     return out
 
@@ -1786,16 +1797,19 @@ def _java_format(fmt, *args) -> str:
         if spec[-1] in "bB":
             # Java Formatter %b: null → "false", Boolean → its value,
             # ANY other non-null (even Integer 0 / empty string) →
-            # "true" — NOT Python truthiness
+            # "true" — NOT Python truthiness.  Precision truncates the
+            # word (Java %.2b → "tr"), width/alignment pad it.
             if a is None:
                 s = "false"
             elif isinstance(a, bool):
                 s = "true" if a else "false"
             else:
                 s = "true"
-            sm = re.match(r"%([-#+ 0,(]*)(\d*)", spec)
+            sm = re.match(r"%([-#+ 0,(]*)(\d*)(?:\.(\d+))?", spec)
             left = "-" if "-" in sm.group(1) else ""
             s = s.upper() if spec[-1] == "B" else s
+            if sm.group(3) is not None:
+                s = s[: int(sm.group(3))]
             out.append(f"%{left}{sm.group(2)}s" % s)
             continue
         if a is None:

@@ -14,7 +14,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray
 
 # module-level (NOT function-level): used inside map_batches / map_groups
 # UDFs that execute on workers, where the package is pickled by value and
