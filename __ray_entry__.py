@@ -2020,6 +2020,36 @@ def q_geoip_kv(sf_dir: str):
     )
 
 
+def q_image_stats_ppm(sf_dir: str):
+    """REAL image decode, no external library: deterministic netpbm
+    payloads per doc (P6 solid RGB; every 3rd doc a P5 gray) decoded
+    by the pure-numpy codec in an actor-pool stage — width / height /
+    channels / per-channel means come from actual pixels, so the SQL
+    twin derives them from the generation parameters."""
+    from logstash_filter_elastic_integration_ray.stages.multimodal import (
+        encode_netpbm,
+        netpbm_stats_stage,
+    )
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        payloads = []
+        for d in ids:
+            d = int(d)
+            w, h = 4 + d % 5, 3 + d % 4
+            if d % 3 == 0:
+                img = np.full((h, w), d % 256, dtype=np.uint8)
+            else:
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[:, :] = (d % 256, (d * 7) % 256, (d * 13) % 256)
+            payloads.append(encode_netpbm(img))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return netpbm_stats_stage(docs.map_batches(synth, batch_format="pyarrow"))
+
+
 def q_chunk_docs(sf_dir: str):
     """RAG-style overlapping token-window chunking (window 8, stride
     6): embarrassingly parallel row expansion, chunk text sliced from
@@ -2046,6 +2076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "community_id_flows": q_community_id_flows,
         "geoip_kv": q_geoip_kv,
         "chunk_docs": q_chunk_docs,
+        "image_stats_ppm": q_image_stats_ppm,
         "pack_docs": q_pack_docs,
         "curation_pipeline_docs": q_curation_pipeline_docs,
         "sft_pairs": q_sft_pairs,
@@ -2189,6 +2220,15 @@ def oracle_sql() -> dict[str, str]:
             "'city' || CAST(user_id % 256 % 10 AS VARCHAR) AS city, "
             "'C' || lpad(CAST(user_id % 256 % 50 AS VARCHAR), 2, '0') AS country_iso "
             "FROM transcripts WHERE event_id % 8 = 1"
+        ),
+        "image_stats_ppm": (
+            "SELECT doc_id, true AS decoded, "
+            "4 + doc_id % 5 AS width, 3 + doc_id % 4 AS height, "
+            "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS channels, "
+            "CAST(doc_id % 256 AS DOUBLE) AS mean_r, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 256 ELSE (doc_id * 7) % 256 END AS DOUBLE) AS mean_g, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 256 ELSE (doc_id * 13) % 256 END AS DOUBLE) AS mean_b "
+            "FROM documents"
         ),
         "chunk_docs": (
             "WITH toks AS ("

@@ -1,12 +1,15 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed by actor-pool stages.
 
-The image/audio decode libraries are not available in this container,
-so the *decode* step is a clearly-marked deterministic fake (or raises
-``NotImplementedError`` in strict mode) — but the Ray-side plumbing is
-real and tested: binary Arrow columns, small batch sizes for large
-payloads, actor ``__init__`` doing the one-time "model load", and a
-typed metadata output schema.
+Decode paths, in precedence order: (1) PIL when importable (not in
+this container), (2) a REAL pure-numpy codec for the public netpbm
+P5/P6 formats (decode / nearest-neighbor resize / per-channel pixel
+stats — see the netpbm section below), (3) for other formats a
+clearly-marked deterministic fake (or ``NotImplementedError`` in
+strict mode).  The Ray-side plumbing is real and tested throughout:
+binary Arrow columns, small batch sizes for large payloads, actor
+``__init__`` doing the one-time "model load", typed metadata output
+schemas.  PCM16 audio features are real math end-to-end.
 """
 
 from __future__ import annotations
@@ -55,7 +58,11 @@ class FakeImageDecoder:
                 with self._pil.open(io.BytesIO(payload)) as img:
                     return (img.width, img.height, len(img.getbands()))
             except Exception:
-                pass  # not a decodable image → deterministic fallback below
+                pass  # not a decodable image → netpbm / fallback below
+        hdr = _netpbm_header(payload)  # REAL decode path, no library needed
+        if hdr is not None:
+            magic, w, h, _maxval, _off = hdr
+            return (w, h, 3 if magic == b"P6" else 1)
         if self.strict:
             raise NotImplementedError(
                 "real image decode requires an image library not present in this container"
@@ -136,7 +143,10 @@ class FakeImageResizer:
                     )
                     return out.getvalue()
             except Exception:
-                pass  # not a decodable image → deterministic fallback below
+                pass  # not a decodable image → netpbm / fallback below
+        real = resize_netpbm(payload, self.target_w, self.target_h)
+        if real is not None:  # REAL resample path, no library needed
+            return real
         if self.strict:
             raise NotImplementedError(
                 "real image resize requires an image library not present in this container"
@@ -318,4 +328,149 @@ def audio_feature_stage(ds, *, sample_rate: int = 16000, batch_size: int = 1024,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL image codec: netpbm P5/P6 (the public PGM/PPM format spec,
+# netpbm.sourceforge.net) — raw uint8 rasters with an ASCII header,
+# fully decodable with numpy alone.  This closes the "decode is a
+# documented fake" seam for one real public format: pipelines carrying
+# PGM/PPM payloads decode REAL pixels, resize with a REAL resampler,
+# and extract REAL per-channel statistics, no external library needed.
+# Other formats (JPEG/PNG/...) still take the PIL path when available
+# or the documented deterministic fallback.
+# ---------------------------------------------------------------------------
+
+def encode_netpbm(img: np.ndarray) -> bytes:
+    """uint8 array (h, w) → P5 gray, (h, w, 3) → P6 RGB."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        magic = b"P5"
+        h, w = img.shape
+    elif img.ndim == 3 and img.shape[2] == 3:
+        magic = b"P6"
+        h, w = img.shape[:2]
+    else:
+        raise ValueError("encode_netpbm: expected (h, w) or (h, w, 3) uint8")
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def _netpbm_header(payload: bytes):
+    """Parse the ASCII header (magic, w, h, maxval, pixel offset);
+    handles arbitrary whitespace and ``#`` comments per the spec.
+    Returns None when the payload is not binary netpbm."""
+    if len(payload) < 2 or payload[:2] not in (b"P5", b"P6"):
+        return None
+    fields: list[int] = []
+    i = 2
+    n = len(payload)
+    while len(fields) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":  # comment to end-of-line
+            while i < n and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and payload[j : j + 1].isdigit():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(fields) < 3 or i >= n or not payload[i : i + 1].isspace():
+        return None
+    w, h, maxval = fields
+    if not (0 < w and 0 < h and 0 < maxval <= 255):
+        return None  # 16-bit (maxval > 255) not supported
+    return payload[:2], w, h, maxval, i + 1  # +1: single whitespace after maxval
+
+
+def decode_netpbm(payload: bytes) -> np.ndarray | None:
+    """P5 → (h, w) uint8, P6 → (h, w, 3) uint8; None if not netpbm."""
+    hdr = _netpbm_header(payload)
+    if hdr is None:
+        return None
+    magic, w, h, _maxval, off = hdr
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    raster = np.frombuffer(payload, dtype=np.uint8, count=min(need, len(payload) - off), offset=off)
+    if len(raster) != need:
+        return None  # truncated raster
+    return raster.reshape((h, w, 3)) if ch == 3 else raster.reshape((h, w))
+
+
+def resize_netpbm(payload: bytes, target_w: int, target_h: int) -> bytes | None:
+    """REAL nearest-neighbor resample via numpy index maps; returns
+    re-encoded netpbm bytes, or None if the payload is not netpbm."""
+    img = decode_netpbm(payload)
+    if img is None:
+        return None
+    h, w = img.shape[:2]
+    rows = ((np.arange(target_h) + 0.5) * h / target_h).astype(np.int64).clip(0, h - 1)
+    cols = ((np.arange(target_w) + 0.5) * w / target_w).astype(np.int64).clip(0, w - 1)
+    return encode_netpbm(img[rows][:, cols])
+
+
+def netpbm_channel_stats(payload: bytes) -> tuple | None:
+    """(width, height, channels, [mean/channel], [std/channel]) from
+    REAL decoded pixels; None if not netpbm."""
+    img = decode_netpbm(payload)
+    if img is None:
+        return None
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    flat = img.reshape(-1, c).astype(np.float64)
+    return (w, h, c, flat.mean(axis=0), flat.std(axis=0))
+
+
+class NetpbmPixelStats:
+    """Actor-pool stage over REAL decoded pixels: per-image width /
+    height / channels and per-channel mean (3 columns, gray replicated)
+    — the decode work happens in the worker, payload bytes never reach
+    the driver."""
+
+    def __init__(self):
+        # once-per-actor setup slot (real codecs/models load here)
+        self._ready = True
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [p or b"" for p in batch.column("payload").to_pylist()]
+        n = len(payloads)
+        width = np.zeros(n, dtype=np.int64)
+        height = np.zeros(n, dtype=np.int64)
+        channels = np.zeros(n, dtype=np.int64)
+        means = np.zeros((n, 3), dtype=np.float64)
+        ok = np.zeros(n, dtype=bool)
+        for i, p in enumerate(payloads):
+            st = netpbm_channel_stats(p)
+            if st is None:
+                continue
+            w, h, c, mean, _std = st
+            width[i], height[i], channels[i], ok[i] = w, h, c, True
+            means[i] = mean if c == 3 else np.repeat(mean, 3)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "decoded": pa.array(ok),
+                "width": pa.array(width),
+                "height": pa.array(height),
+                "channels": pa.array(channels),
+                "mean_r": pa.array(means[:, 0]),
+                "mean_g": pa.array(means[:, 1]),
+                "mean_b": pa.array(means[:, 2]),
+            }
+        )
+
+
+def netpbm_stats_stage(ds, *, batch_size: int = 1024, concurrency=(2, 4)):
+    return ds.map_batches(
+        NetpbmPixelStats,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
     )

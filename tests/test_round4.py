@@ -92,3 +92,71 @@ class TestChunkDocs:
 
         with _pytest.raises(ValueError):
             chunk_docs(None, window=4, stride=5)
+
+
+class TestNetpbmCodec:
+    """REAL image codec for the public netpbm P5/P6 formats — decode,
+    resample, and pixel stats with no external library."""
+
+    def test_round_trip_rgb_and_gray(self):
+        import numpy as np
+
+        from logstash_filter_elastic_integration_ray.stages.multimodal import (
+            decode_netpbm,
+            encode_netpbm,
+        )
+
+        rgb = np.arange(6 * 7 * 3, dtype=np.uint8).reshape(6, 7, 3)
+        assert np.array_equal(decode_netpbm(encode_netpbm(rgb)), rgb)
+        gray = np.arange(20, dtype=np.uint8).reshape(4, 5)
+        assert np.array_equal(decode_netpbm(encode_netpbm(gray)), gray)
+
+    def test_header_comments_and_whitespace(self):
+        import numpy as np
+
+        from logstash_filter_elastic_integration_ray.stages.multimodal import decode_netpbm
+
+        img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+        payload = b"P6 # width height\n  5 4\n# maxval next\n 255\n" + img.tobytes()
+        assert np.array_equal(decode_netpbm(payload), img)
+
+    def test_rejects_non_netpbm_truncated_and_16bit(self):
+        from logstash_filter_elastic_integration_ray.stages.multimodal import decode_netpbm
+
+        assert decode_netpbm(b"\x89PNG\r\n") is None
+        assert decode_netpbm(b"P6\n5 4\n255\n\x00\x01") is None  # truncated raster
+        assert decode_netpbm(b"P6\n2 2\n65535\n" + b"\x00" * 24) is None  # 16-bit
+
+    def test_resize_matches_numpy_reference(self):
+        import numpy as np
+
+        from logstash_filter_elastic_integration_ray.stages.multimodal import (
+            decode_netpbm,
+            encode_netpbm,
+            resize_netpbm,
+        )
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+        out = decode_netpbm(resize_netpbm(encode_netpbm(img), 6, 8))
+        rows = ((np.arange(8) + 0.5) * 16 / 8).astype(int)
+        cols = ((np.arange(6) + 0.5) * 24 / 6).astype(int)
+        assert np.array_equal(out, img[rows][:, cols])
+
+    def test_decoder_and_resizer_take_real_netpbm_path_in_strict_mode(self):
+        import numpy as np
+
+        from logstash_filter_elastic_integration_ray.stages.multimodal import (
+            FakeImageDecoder,
+            FakeImageResizer,
+            decode_netpbm,
+            encode_netpbm,
+        )
+
+        img = np.full((4, 6, 3), 9, dtype=np.uint8)
+        payload = encode_netpbm(img)
+        # strict mode raises for undecodable payloads — netpbm must NOT
+        dec = FakeImageDecoder(strict=True)
+        assert dec._decode(payload) == (6, 4, 3)
+        rz = FakeImageResizer(target_w=3, target_h=2, strict=True)
+        assert decode_netpbm(rz._resize(payload)).shape == (2, 3, 3)
