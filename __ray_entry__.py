@@ -2050,6 +2050,44 @@ def q_image_stats_ppm(sf_dir: str):
     return netpbm_stats_stage(docs.map_batches(synth, batch_format="pyarrow"))
 
 
+def _with_messy_urls(sf_dir: str):
+    """Deterministic 'messy' URLs per turn: uppercase scheme/host,
+    default port, tracking params, unsorted query, fragment — every
+    rule of the canonicalizer exercised, every part derivable in SQL."""
+
+    def add_url(t: pa.Table) -> pa.Table:
+        t = _add_eid(t)
+        eid = t.column("eid").to_numpy()
+        urls = [
+            f"HTTP://Sub.Example{e % 5}.CO.UK:80/p/{e % 9}"
+            f"?utm_source=t&b={e % 7}&a={e % 11}#s{e % 2}"
+            for e in eid
+        ]
+        return t.append_column("url", pa.array(urls, type=pa.string()))
+
+    return read_transcripts(sf_dir).map_batches(add_url, batch_format="pyarrow")
+
+
+def q_url_canonicalize(sf_dir: str):
+    """Web-crawl URL canonicalization (stages/web.py): lowercase
+    scheme/host, strip default port / fragment / tracking params, sort
+    the query — stateless map_batches, no shuffle."""
+    from logstash_filter_elastic_integration_ray.stages.web import canonicalize_urls
+
+    out = canonicalize_urls(_with_messy_urls(sf_dir))
+    return _project(out, ["conv_id", "turn_idx", "url_canonical"])
+
+
+def q_url_dedup(sf_dir: str):
+    """Dedup keyed on the CANONICAL url: syntactic spellings collapse
+    first, then the bucket-partitioned exact-dedup machinery keeps the
+    min event id per canonical key."""
+    from logstash_filter_elastic_integration_ray.stages.web import dedup_by_url
+
+    ds = _with_messy_urls(sf_dir)
+    return dedup_by_url(ds, url_col="url", id_col="eid")
+
+
 def q_chunk_docs(sf_dir: str):
     """RAG-style overlapping token-window chunking (window 8, stride
     6): embarrassingly parallel row expansion, chunk text sliced from
@@ -2077,6 +2115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geoip_kv": q_geoip_kv,
         "chunk_docs": q_chunk_docs,
         "image_stats_ppm": q_image_stats_ppm,
+        "url_canonicalize": q_url_canonicalize,
+        "url_dedup": q_url_dedup,
         "pack_docs": q_pack_docs,
         "curation_pipeline_docs": q_curation_pipeline_docs,
         "sft_pairs": q_sft_pairs,
@@ -2220,6 +2260,13 @@ def oracle_sql() -> dict[str, str]:
             "'city' || CAST(user_id % 256 % 10 AS VARCHAR) AS city, "
             "'C' || lpad(CAST(user_id % 256 % 50 AS VARCHAR), 2, '0') AS country_iso "
             "FROM transcripts WHERE event_id % 8 = 1"
+        ),
+        "url_canonicalize": T(
+            "SELECT conv_id, turn_idx, 'http://sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk/p/' || CAST(event_id % 9 AS VARCHAR) || '?a=' || CAST(event_id % 11 AS VARCHAR) || '&b=' || CAST(event_id % 7 AS VARCHAR) AS url_canonical FROM transcripts"
+        ),
+        "url_dedup": T(
+            "SELECT md5('http://sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk/p/' || CAST(event_id % 9 AS VARCHAR) || '?a=' || CAST(event_id % 11 AS VARCHAR) || '&b=' || CAST(event_id % 7 AS VARCHAR)) AS content_hash, min(event_id) AS eid FROM transcripts "
+            "GROUP BY 'http://sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk/p/' || CAST(event_id % 9 AS VARCHAR) || '?a=' || CAST(event_id % 11 AS VARCHAR) || '&b=' || CAST(event_id % 7 AS VARCHAR)"
         ),
         "image_stats_ppm": (
             "SELECT doc_id, true AS decoded, "

@@ -1,0 +1,103 @@
+"""Web-corpus curation stages: URL canonicalization and URL-keyed
+deduplication.
+
+Canonicalization follows the standard web-crawl practice (the rules
+every public crawler documents — lowercase scheme/host, strip
+fragments and tracking parameters, drop default ports, sort the query
+string) so that the many syntactic spellings of one resource collapse
+to a single key BEFORE any content fetch or dedup pass.  At 100 TB the
+op is embarrassingly parallel (`map_batches`, no shuffle); the
+URL-keyed dedup composes with :func:`..dedup.exact_dedup`'s
+bucket-partitioned machinery via the canonical column.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+import numpy as np
+import pyarrow as pa
+
+#: dropped query parameters: the cross-site tracking families
+#: (publicly documented by their vendors; the standard crawler strip set)
+_TRACKING_PREFIXES = ("utm_",)
+_TRACKING_EXACT = frozenset({
+    "fbclid", "gclid", "gclsrc", "dclid", "msclkid", "mc_cid", "mc_eid",
+    "igshid", "ref_src", "spm", "yclid", "_hsenc", "_hsmi", "wbraid",
+    "gbraid",
+})
+
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def canonicalize_url(url: str) -> str:
+    """One URL → its canonical spelling.
+
+    - scheme and host lowercase; trailing host dot removed
+    - default port for the scheme removed
+    - empty path → ``/``
+    - fragment removed
+    - tracking parameters removed; the rest sorted bytewise by the
+      full ``k=v`` text (deterministic, locale-free)
+    """
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return url  # unparseable stays as-is (caller may tag/filter)
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc.lower()
+    host_port = netloc.rsplit("@", 1)[-1]
+    default = _DEFAULT_PORTS.get(scheme)
+    if default and host_port.endswith(default):
+        netloc = netloc[: -len(default)]
+    if netloc.endswith("."):
+        netloc = netloc[:-1]
+    path = parts.path or "/"
+    kept = [
+        p for p in parts.query.split("&")
+        if p
+        and not p.split("=", 1)[0].lower().startswith(_TRACKING_PREFIXES)
+        and p.split("=", 1)[0].lower() not in _TRACKING_EXACT
+    ]
+    query = "&".join(sorted(kept))
+    out = f"{scheme}://{netloc}{path}" if scheme else f"{netloc}{path}"
+    if query:
+        out += f"?{query}"
+    return out
+
+
+def canonicalize_urls(ds, *, url_col: str = "url",
+                      out_col: str = "url_canonical"):
+    """Append the canonical URL column.  Stateless `map_batches`; a
+    per-batch memo collapses repeated URLs (crawl frontiers are heavily
+    duplicated) so the per-distinct cost is paid once per batch."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t.column(url_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vals = col.to_pylist()
+        memo: dict[str, str] = {}
+        out = np.empty(len(vals), dtype=object)
+        for i, u in enumerate(vals):
+            if u is None:
+                continue
+            c = memo.get(u)
+            if c is None:
+                c = canonicalize_url(u)
+                memo[u] = c
+            out[i] = c
+        return t.append_column(out_col, pa.array(out, type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_by_url(ds, *, url_col: str = "url", id_col: str = "doc_id",
+                 num_partitions: int = 32):
+    """Keep the lowest-id row per CANONICAL url — exact dedup keyed on
+    the canonical spelling, reusing the bucket-partitioned exact-dedup
+    machinery (no all-pairs, no driver state)."""
+    from .dedup import exact_dedup
+
+    canon = canonicalize_urls(ds, url_col=url_col, out_col="__url_canon")
+    return exact_dedup(canon, text_col="__url_canon", id_col=id_col,
+                       num_partitions=num_partitions)

@@ -160,3 +160,30 @@ class TestNetpbmCodec:
         assert dec._decode(payload) == (6, 4, 3)
         rz = FakeImageResizer(target_w=3, target_h=2, strict=True)
         assert decode_netpbm(rz._resize(payload)).shape == (2, 3, 3)
+
+
+class TestUrlCanonicalize:
+    def test_rules(self):
+        from logstash_filter_elastic_integration_ray.stages.web import canonicalize_url as c
+
+        assert c("HTTP://Example.COM:80/a?b=2&a=1#frag") == "http://example.com/a?a=1&b=2"
+        assert c("https://example.com:443/") == "https://example.com/"
+        assert c("https://example.com:8443/x") == "https://example.com:8443/x"
+        assert c("http://example.com") == "http://example.com/"
+        assert c("http://example.com./x") == "http://example.com/x"
+        assert c("http://u:p@Example.com:80/x") == "http://u:p@example.com/x"
+        assert c("http://e.com/x?utm_source=a&utm_medium=b&fbclid=z&q=1") == "http://e.com/x?q=1"
+        assert c("http://e.com/x?gclid=1") == "http://e.com/x"
+        # path/query case preserved; duplicate keys kept, sorted bytewise
+        assert c("http://e.com/A/B?z=1&z=0&Y=2") == "http://e.com/A/B?Y=2&z=0&z=1"
+
+    def test_unparseable_passthrough_and_nulls(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.web import canonicalize_urls
+
+        ds = rd.from_arrow(pa.table({"url": pa.array(
+            ["HTTP://A.COM/x", None, "http://[bad"], type=pa.string())}))
+        got = [r["url_canonical"] for r in canonicalize_urls(ds).take_all()]
+        assert got == ["http://a.com/x", None, "http://[bad"]
