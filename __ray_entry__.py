@@ -2088,6 +2088,48 @@ def q_url_dedup(sf_dir: str):
     return dedup_by_url(ds, url_col="url", id_col="eid")
 
 
+def q_sft_loss_spans(sf_dir: str):
+    """Loss-mask token spans for SFT: each assistant turn's tokens
+    occupy [span_start, span_end) in the conversation's packed token
+    stream — the per-conversation running token prefix
+    (stages/windows.py:grouped_running) filtered to the loss-bearing
+    role.  The trainer multiplies its loss mask from exactly these
+    spans."""
+    from logstash_filter_elastic_integration_ray.stages.windows import grouped_running
+
+    ds = read_transcripts(sf_dir)
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = pc.add(
+            pc.count_substring(pc.fill_null(t.column("text"), ""), " "), 1
+        ).cast(pa.int64())
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "role": t.column("role"),
+            "n_toks": n,
+        })
+
+    run = grouped_running(
+        ds.map_batches(toks, batch_format="pyarrow"),
+        key="conv_id", order_cols=["turn_idx"], value_col="n_toks",
+        cnt_col="turn_no", sum_col="run_toks", gap_col=None, num_partitions=16,
+    )
+
+    def spans(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("role"), "assistant"))
+        end = t.column("run_toks").to_numpy()
+        n = t.column("n_toks").to_numpy()
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "span_start": pa.array(end - n, type=pa.int64()),
+            "span_end": pa.array(end, type=pa.int64()),
+        })
+
+    return run.map_batches(spans, batch_format="pyarrow")
+
+
 def q_chunk_docs(sf_dir: str):
     """RAG-style overlapping token-window chunking (window 8, stride
     6): embarrassingly parallel row expansion, chunk text sliced from
@@ -2117,6 +2159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_stats_ppm": q_image_stats_ppm,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
+        "sft_loss_spans": q_sft_loss_spans,
         "pack_docs": q_pack_docs,
         "curation_pipeline_docs": q_curation_pipeline_docs,
         "sft_pairs": q_sft_pairs,
@@ -2260,6 +2303,15 @@ def oracle_sql() -> dict[str, str]:
             "'city' || CAST(user_id % 256 % 10 AS VARCHAR) AS city, "
             "'C' || lpad(CAST(user_id % 256 % 50 AS VARCHAR), 2, '0') AS country_iso "
             "FROM transcripts WHERE event_id % 8 = 1"
+        ),
+        "sft_loss_spans": T(
+            ", toks AS (SELECT conv_id, turn_idx, role, "
+            "len(string_split(coalesce(text, ''), ' ')) AS n_toks FROM transcripts), "
+            "run AS (SELECT conv_id, turn_idx, role, n_toks, "
+            "SUM(n_toks) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+            "ROWS UNBOUNDED PRECEDING) AS run_toks FROM toks) "
+            "SELECT conv_id, turn_idx, CAST(run_toks - n_toks AS BIGINT) AS span_start, "
+            "CAST(run_toks AS BIGINT) AS span_end FROM run WHERE role = 'assistant'"
         ),
         "url_canonicalize": T(
             "SELECT conv_id, turn_idx, 'http://sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk/p/' || CAST(event_id % 9 AS VARCHAR) || '?a=' || CAST(event_id % 11 AS VARCHAR) || '&b=' || CAST(event_id % 7 AS VARCHAR) AS url_canonical FROM transcripts"
