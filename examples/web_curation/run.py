@@ -1,0 +1,107 @@
+"""Runnable web-corpus curation example — the round-4 operator set
+composed the way a pretraining-data crawl-cleaning job would run:
+
+    read documents (+ synthetic crawl URLs) →
+    canonicalize URLs → drop refetches of the same canonical URL →
+    near-dup text dedup (MinHash-LSH) →
+    quality gate (stopword/length signals) →
+    RAG-style chunking (overlapping token windows) →
+    write one parquet directory per deterministic shard
+
+Usage (any scale factor):
+
+    python examples/web_curation/run.py [sf_dir] [out_dir]
+
+Defaults: /root/testdata/sf0.001 → /tmp/web_curation_out.  Every
+building block is oracle-checked by a driver query
+(``url_canonicalize`` / ``url_dedup`` / ``minhash_dedup_docs`` /
+``quality_docs`` / ``chunk_docs`` / ``shuffle_shards_docs``).
+"""
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import pyarrow as pa
+
+
+def main(sf_dir: str, out_dir: str) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+    from logstash_filter_elastic_integration_ray.sources.io import read_parquet_clean
+    from logstash_filter_elastic_integration_ray.stages.corpus import chunk_docs, shuffle_shards
+    from logstash_filter_elastic_integration_ray.stages.dedup import minhash_lsh_dedup
+    from logstash_filter_elastic_integration_ray.stages.joins import hash_semi_join
+    from logstash_filter_elastic_integration_ray.stages.textstats import quality_batch
+    from logstash_filter_elastic_integration_ray.stages.web import dedup_by_url
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    # 0. synthetic crawl URLs (in production this column comes from the
+    #    crawler): several docs share a canonical URL on purpose
+    def add_url(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        urls = [
+            f"HTTPS://Mirror{d % 3}.Example.ORG:443/page/{d % 40}?utm_source=crawl&v={d % 2}"
+            for d in ids
+        ]
+        return t.append_column("url", pa.array(urls, type=pa.string()))
+
+    with_urls = docs.map_batches(add_url, batch_format="pyarrow")
+
+    # 1. canonical-URL dedup: refetches of one resource collapse first
+    #    (cheapest dedup signal — runs before any content comparison)
+    url_survivors = dedup_by_url(with_urls, url_col="url", id_col="doc_id")
+    stage1 = hash_semi_join(docs, url_survivors.select_columns(["doc_id"]), left_key="doc_id", right_key="doc_id")
+    n1 = stage1.materialize().count()
+
+    # 2. near-dup TEXT dedup over the URL survivors
+    text_survivors = minhash_lsh_dedup(stage1)
+    stage2 = hash_semi_join(stage1, text_survivors.select_columns(["doc_id"]), left_key="doc_id", right_key="doc_id")
+
+    # 3. quality gate: keep docs with enough content + sane stopword mix
+    def gate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        q = quality_batch(t)
+        keep = pc.and_(
+            pc.greater(q.column("n_words"), 8),
+            pc.less(q.column("stop_ratio"), 0.8),
+        )
+        return t.filter(keep)
+
+    gated = stage2.map_batches(gate, batch_format="pyarrow")
+
+    # 4. RAG chunking: overlapping 64-token windows, stride 48
+    chunks = chunk_docs(gated, window=64, stride=48)
+
+    # 5. deterministic shuffle-shard over chunk ids (reproducible across
+    #    runs/engines, unlike random_shuffle), one output dir per shard
+    def chunk_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rid = pc.add(pc.multiply(t.column("doc_id"), 10_000), t.column("chunk_idx"))
+        return t.append_column("row_id", rid)
+
+    keyed = chunks.map_batches(chunk_key, batch_format="pyarrow")
+    sharded = shuffle_shards(keyed, num_shards=8, id_col="row_id")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    sharded.write_parquet(out_dir, partition_cols=["shard"])
+
+    n_chunks = read_parquet_clean(out_dir).count()
+    print(f"docs in: {docs.count()}  after url-dedup: {n1}  "
+          f"chunks out: {n_chunks}  -> {out_dir}")
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/web_curation_out"
+    main(sf, out)
+    import ray
+
+    ray.shutdown()
