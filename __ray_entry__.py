@@ -2190,6 +2190,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": q_range_join_events,
         "price_quantiles_by_flag": q_price_quantiles_by_flag,
         "left_join_customer_orders": q_left_join_customer_orders,
+        # green in r1/r2 but rotated out of the r3 sample — next in line
+        "q1_pricing": q_q1_pricing,
+        "events_hourly": q_events_hourly,
+        "segment_orders": q_segment_orders,
+        "top_orders": q_top_orders,
+        "attrs_expand": q_attrs_expand,
+        "transcript_dedup": q_transcript_dedup,
+        "session_windows": q_session_windows,
+        "asof_latest_order": q_asof_latest_order,
+        "join_orders_nation": q_join_orders_nation,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
         "transcripts_source": q_transcripts_source,
         "transcripts_jsonl": q_transcripts_jsonl,
         "transcripts_csv": q_transcripts_csv,
@@ -2240,17 +2252,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": q_repetition_docs,
         "tfidf_top_docs": q_tfidf_top_docs,
         "dup_ngram_docs": q_dup_ngram_docs,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "q1_pricing": q_q1_pricing,
-        "events_hourly": q_events_hourly,
-        "segment_orders": q_segment_orders,
-        "top_orders": q_top_orders,
-        "attrs_expand": q_attrs_expand,
-        "transcript_dedup": q_transcript_dedup,
-        "session_windows": q_session_windows,
-        "asof_latest_order": q_asof_latest_order,
-        "join_orders_nation": q_join_orders_nation,
     }
 
 
