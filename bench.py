@@ -318,6 +318,44 @@ def run_bench() -> dict:
 
     timed("tfidf_dup_heavy_16x", tfidf_dup_heavy, reps=1)
 
+    def web_curation_chain():
+        # the composed crawl-cleaning chain (examples/web_curation):
+        # canonical-URL dedup → minhash near-dup dedup → quality gate →
+        # RAG chunking — measures operator COMPOSITION, not one stage
+        import pyarrow as pa2
+        import pyarrow.compute as pc2
+
+        from logstash_filter_elastic_integration_ray.stages.corpus import chunk_docs
+        from logstash_filter_elastic_integration_ray.stages.dedup import minhash_lsh_dedup
+        from logstash_filter_elastic_integration_ray.stages.joins import hash_semi_join
+        from logstash_filter_elastic_integration_ray.stages.textstats import quality_batch
+        from logstash_filter_elastic_integration_ray.stages.web import dedup_by_url
+
+        docs = read_parquet_clean(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+        def add_url(t: pa2.Table) -> pa2.Table:
+            ids = t.column("doc_id").to_numpy()
+            urls = [f"HTTPS://M{d % 3}.Example.ORG:443/p/{d % 400}?utm_source=c&v={d % 2}"
+                    for d in ids]
+            return t.append_column("url", pa2.array(urls, type=pa2.string()))
+
+        with_urls = docs.map_batches(add_url, batch_format="pyarrow")
+        url_surv = dedup_by_url(with_urls, url_col="url", id_col="doc_id")
+        s1 = hash_semi_join(docs, url_surv.select_columns(["doc_id"]),
+                            left_key="doc_id", right_key="doc_id")
+        text_surv = minhash_lsh_dedup(s1)
+        s2 = hash_semi_join(s1, text_surv.select_columns(["doc_id"]),
+                            left_key="doc_id", right_key="doc_id")
+
+        def gate(t: pa2.Table) -> pa2.Table:
+            q = quality_batch(t)
+            return t.filter(pc2.greater(q.column("n_words"), 8))
+
+        return chunk_docs(s2.map_batches(gate, batch_format="pyarrow"),
+                          window=64, stride=48).count()
+
+    timed("web_curation_chain", web_curation_chain, reps=1)
+
     def dedup_spans():
         # text rides exactly one co-partition; dup sets are int64-thin
         from logstash_filter_elastic_integration_ray.stages.corpus import remove_dup_spans

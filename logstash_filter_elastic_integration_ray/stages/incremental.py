@@ -134,14 +134,14 @@ def build_hash_corpus(
     # pass 2: Bloom sidecar from the written (thin) layout
     from logstash_filter_elastic_integration_ray.sources.io import read_parquet_clean
 
+    from .joins import tree_or_blobs
+
     words = np.zeros(m_bits // 64, dtype=np.uint64)
     if glob.glob(os.path.join(layout, "bucket=*", "*.parquet")):
-        rows = (
-            read_parquet_clean(layout, columns=["content_hash"])
-            .map_batches(_bloom_partial_fn(m_bits, k), batch_format="pyarrow")
-            .take_all()
+        partials = read_parquet_clean(layout, columns=["content_hash"]).map_batches(
+            _bloom_partial_fn(m_bits, k), batch_format="pyarrow"
         )
-        for r in rows:
+        for r in tree_or_blobs(partials).take_all():
             words |= np.frombuffer(r["w"], dtype=np.uint64)
     # else: EMPTY corpus (bootstrap ingest) — write_parquet emits no
     # files for an empty dataset; an all-zero Bloom correctly makes
@@ -259,7 +259,10 @@ def extend_hash_corpus(new_hashes, corpus_dir: str) -> str:
     tagged = new_hashes.map_batches(
         _bucket_rows_fn(num_buckets), batch_format="pyarrow"
     ).materialize()
-    for r in tagged.map_batches(_bloom_partial_fn(m_bits, k), batch_format="pyarrow").take_all():
+    from .joins import tree_or_blobs
+
+    partials = tagged.map_batches(_bloom_partial_fn(m_bits, k), batch_format="pyarrow")
+    for r in tree_or_blobs(partials).take_all():
         words = words | np.frombuffer(r["w"], dtype=np.uint64)
     _write_sidecar(corpus_dir, words)
     tagged.write_parquet(os.path.join(corpus_dir, "hashes"), partition_cols=["bucket"])

@@ -407,11 +407,34 @@ def bloom_add(words: np.ndarray, keys: np.ndarray, m_bits: int, k: int) -> None:
         np.bitwise_or.at(words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
 
 
+def bloom_or_merge_batch(t: pa.Table) -> pa.Table:
+    """Merge a batch of Bloom word blobs into ONE row by bitwise OR —
+    the worker-side fold for :func:`tree_or_blobs`."""
+    acc = None
+    for blob in t.column("w").to_pylist():
+        m = np.frombuffer(blob, dtype=np.uint64)
+        acc = m.copy() if acc is None else acc | m
+    return pa.table({"w": pa.array([acc.tobytes()], type=pa.binary())})
+
+
+def tree_or_blobs(partials):
+    """Tree-reduce per-batch Bloom blobs worker-side (the same fan-in
+    64 × two-level reduction the CMS/HLL/KLL builders use): at ~10^6
+    input batches the driver would otherwise collect m_bits/8 bytes ×
+    batches — 128 GiB at the defaults; after the tree it merges
+    ~N/4096 blobs.  OR is commutative + idempotent, so the tree shape
+    cannot change the filter."""
+    from .sketches import _tree_merge
+
+    return _tree_merge(partials, bloom_or_merge_batch)
+
+
 def build_key_bloom(right, right_key: str, *, m_bits: int = 1 << 20, k: int = 4):
     """Bloom filter of the right side's keys as a packed uint64 word
-    array: per-batch bitmaps OR-merge on the driver (m_bits/8 bytes per
-    batch is all that moves — 128 KiB at the default 2^20 bits).  No
-    false negatives ever; false-positive rate ~(1-e^{-kn/m})^k."""
+    array: per-batch bitmaps tree-reduce worker-side, the driver
+    OR-merges ~N/4096 blobs (m_bits/8 bytes each — 128 KiB at the
+    default 2^20 bits).  No false negatives ever; false-positive rate
+    ~(1-e^{-kn/m})^k."""
 
     def batch_bloom(t: pa.Table) -> pa.Table:
         ks = t.column(right_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -419,7 +442,8 @@ def build_key_bloom(right, right_key: str, *, m_bits: int = 1 << 20, k: int = 4)
         bloom_add(words, ks, m_bits, k)
         return pa.table({"w": pa.array([words.tobytes()], type=pa.binary())})
 
-    rows = right.map_batches(batch_bloom, batch_format="pyarrow").take_all()
+    partials = right.map_batches(batch_bloom, batch_format="pyarrow")
+    rows = tree_or_blobs(partials).take_all()
     words = np.zeros(m_bits // 64, dtype=np.uint64)
     for r in rows:
         words |= np.frombuffer(r["w"], dtype=np.uint64)
