@@ -802,6 +802,27 @@ def q_decontaminate_docs(sf_dir: str):
     return decontaminate(train, grams_ref, w=4)
 
 
+def q_perplexity_docs(sf_dir: str):
+    """CCNet-style LM quality signal: a Stupid-Backoff bigram LM is
+    trained on the reference slice (doc_id % 5 == 0 stands in for the
+    curated corpus), its pruned count tables broadcast once, and every
+    remaining doc scored by log2-perplexity in ONE streaming vectorized
+    pass (stages/lm.py — no shuffle, no join, driver state O(pruned
+    vocab) by contract).  Fixture oracle from the string-keyed-dict
+    plain reference (tools/reference_impls.py:perplexity_reference);
+    bit-identical floats under any batching."""
+    from logstash_filter_elastic_integration_ray.stages.lm import (
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    train = _mod_filter(docs, "doc_id", 5, 0, True)
+    score = _mod_filter(docs, "doc_id", 5, 0, False)
+    lm_ref = train_bigram_lm(train)
+    return perplexity_score(score, lm_ref)
+
+
 def q_repetition_docs(sf_dir: str):
     """Gopher-style repetition quality signals per doc (duplicate-word
     fraction, top-bigram count/fraction) — one vectorized batch kernel
@@ -2147,6 +2168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # queries, then the 30 that had only local-harness evidence
     # through r3.  Previously-green queries follow.
     return {
+        "perplexity_docs": q_perplexity_docs,
         "append_tags": q_append_tags,
         "remove_conditional": q_remove_conditional,
         "sort_path_parts": q_sort_path_parts,
@@ -2503,6 +2525,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kmeans_embeddings": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/kmeans_embeddings.sf0_01.parquet')"
+        ),
+        "perplexity_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/perplexity_docs.sf0_01.parquet')"
         ),
         "decontaminate_docs": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "

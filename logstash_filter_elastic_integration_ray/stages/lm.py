@@ -1,0 +1,223 @@
+"""N-gram language-model perplexity scoring (the CCNet quality signal):
+train a bigram LM with Stupid Backoff on a REFERENCE corpus, score
+every document of the big corpus by per-token log-perplexity.
+
+Published design this follows (public results only):
+
+- CCNet (Wenzek et al., LREC 2020) filters web text by the perplexity
+  of a small LM *trained on a curated reference corpus* (Wikipedia) —
+  so the train side is small by construction and the score side is the
+  100 TB crawl.
+- Stupid Backoff (Brants et al., EMNLP 2007): the count-ratio score
+  ``S(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})`` when the bigram
+  was seen, else ``alpha * S(w_i)`` with ``S(w) = c(w) / N`` — no
+  discounting, exact integer counts, which keeps the whole model
+  mergeable and the score bit-deterministic.
+
+Shape at 100 TB (mirrors ``stages/decontam.py``, the other
+small-by-contract broadcast):
+
+- **Train**: per-batch LOCAL token/bigram counts (two thin uint64-hash
+  count tables per batch) tree-reduce worker-side through the sketch
+  machinery's fan-in-64 merge hops, so the driver merges ~N/4096 count
+  tables, prunes rows below ``min_count`` and broadcasts two sorted
+  (hash, count) arrays via ``ray.put`` — O(pruned vocab) driver state,
+  by contract ≪ corpus (the reference corpus is GBs when the crawl is
+  TBs).  A reference corpus too large for one driver table should
+  instead co-partition score-side grams with train-side counts by hash
+  (the ``dup_ngram_stats`` exchange shape).
+- **Score**: ONE streaming ``map_batches`` pass — no shuffle, no join,
+  nothing driver-side proportional to the corpus.  Per batch: one
+  Arrow split kernel, one ``hash_array`` call, one rolling pair-hash,
+  two ``searchsorted`` probes, one segmented ``add.reduceat``.
+
+Tokenization contract: split on single spaces (DuckDB
+``string_split(text, ' ')``), the repo-wide twin.  Token identity is
+tested on 64-bit hashes — collision probability ~vocab²/2⁶⁴, the
+standard trade for never shipping token strings (same note as
+``stages/decontam.py``).
+
+Float determinism: scores are ratios of exact int64 counts evaluated
+in float64, ``np.log2`` elementwise, and a LEFT-TO-RIGHT per-doc sum
+(``np.add.reduceat``) — the pinned-fixture oracle's plain single-node
+reference (tools/reference_impls.py) evaluates the identical formula
+with string-keyed dicts and must match byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .decontam import flat_token_hashes, gram_hashes
+
+#: Stupid Backoff's published back-off multiplier.
+ALPHA = 0.4
+
+
+def _count_table(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted unique hashes, int64 counts) of a uint64 array."""
+    if len(h) == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    u, c = np.unique(h, return_counts=True)
+    return u, c.astype(np.int64)
+
+
+def _pack(uni_h, uni_c, bi_h, bi_c, n_tokens: int) -> pa.Table:
+    return pa.table({
+        "uni_h": pa.array([uni_h.tobytes()], type=pa.binary()),
+        "uni_c": pa.array([uni_c.tobytes()], type=pa.binary()),
+        "bi_h": pa.array([bi_h.tobytes()], type=pa.binary()),
+        "bi_c": pa.array([bi_c.tobytes()], type=pa.binary()),
+        "n_tokens": pa.array([n_tokens], type=pa.int64()),
+    })
+
+
+def _unpack_row(uni_h, uni_c, bi_h, bi_c):
+    return (np.frombuffer(uni_h, dtype=np.uint64), np.frombuffer(uni_c, dtype=np.int64),
+            np.frombuffer(bi_h, dtype=np.uint64), np.frombuffer(bi_c, dtype=np.int64))
+
+
+def _merge_tables(hs: list[np.ndarray], cs: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Exact merge of sorted (hash, count) tables: concat + lexsort +
+    ``add.reduceat`` on segment starts — int64 counts, no float."""
+    h = np.concatenate(hs)
+    c = np.concatenate(cs)
+    if len(h) == 0:
+        return h.astype(np.uint64), c.astype(np.int64)
+    order = np.argsort(h, kind="mergesort")
+    h, c = h[order], c[order]
+    starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+    return h[starts], np.add.reduceat(c, starts)
+
+
+def _merge_count_batch(t: pa.Table) -> pa.Table:
+    """Worker-side fold for the tree reduce: merge a batch of packed
+    count-table rows into ONE row (sum counts per hash, sum totals)."""
+    uh, uc, bh, bc, total = [], [], [], [], 0
+    for row in t.to_pylist():
+        a, b, c, d = _unpack_row(row["uni_h"], row["uni_c"], row["bi_h"], row["bi_c"])
+        uh.append(a); uc.append(b); bh.append(c); bc.append(d)
+        total += row["n_tokens"]
+    mu_h, mu_c = _merge_tables(uh, uc)
+    mb_h, mb_c = _merge_tables(bh, bc)
+    return _pack(mu_h, mu_c, mb_h, mb_c, total)
+
+
+def _train_partial(t: pa.Table, text_col: str) -> pa.Table:
+    fh, counts = flat_token_hashes(t.column(text_col))
+    bh, _ = gram_hashes(fh, counts, 2)
+    uni_h, uni_c = _count_table(fh)
+    bi_h, bi_c = _count_table(bh)
+    return _pack(uni_h, uni_c, bi_h, bi_c, int(len(fh)))
+
+
+class BigramLM:
+    """Broadcast payload: sorted hash + count arrays and the total
+    token count N.  ~16 B per pruned vocab entry."""
+
+    def __init__(self, uni_h, uni_c, bi_h, bi_c, n_total: int):
+        self.uni_h, self.uni_c = uni_h, uni_c
+        self.bi_h, self.bi_c = bi_h, bi_c
+        self.n_total = n_total
+
+    def lookup_uni(self, h: np.ndarray) -> np.ndarray:
+        return _lookup(self.uni_h, self.uni_c, h)
+
+    def lookup_bi(self, h: np.ndarray) -> np.ndarray:
+        return _lookup(self.bi_h, self.bi_c, h)
+
+
+def _lookup(sorted_h: np.ndarray, counts: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    """count per probe hash (0 when absent) — one ``searchsorted``."""
+    out = np.zeros(len(probe), dtype=np.int64)
+    if len(sorted_h) and len(probe):
+        pos = np.searchsorted(sorted_h, probe)
+        pos = np.minimum(pos, len(sorted_h) - 1)
+        hit = sorted_h[pos] == probe
+        out[hit] = counts[pos[hit]]
+    return out
+
+
+def train_bigram_lm(ref_corpus, *, min_count: int = 1, text_col: str = "text"):
+    """Count unigrams + bigrams of the reference corpus and broadcast
+    the pruned model (``ObjectRef`` of :class:`BigramLM`).
+
+    Per-batch local count tables tree-reduce worker-side (fan-in 64,
+    two hops — the :mod:`stages.sketches` reduction), so the driver
+    merges ~N/4096 tables, never one per batch."""
+    from .sketches import _tree_merge
+
+    partials = ref_corpus.map_batches(
+        lambda t: _train_partial(t, text_col), batch_format="pyarrow")
+    rows = _tree_merge(partials, _merge_count_batch).take_all()
+    uh, uc, bh, bc, total = [], [], [], [], 0
+    for row in rows:
+        a, b, c, d = _unpack_row(row["uni_h"], row["uni_c"], row["bi_h"], row["bi_c"])
+        uh.append(a); uc.append(b); bh.append(c); bc.append(d)
+        total += row["n_tokens"]
+    uni_h, uni_c = _merge_tables(uh, uc) if uh else (np.empty(0, np.uint64), np.empty(0, np.int64))
+    bi_h, bi_c = _merge_tables(bh, bc) if bh else (np.empty(0, np.uint64), np.empty(0, np.int64))
+    if min_count > 1:
+        keep = uni_c >= min_count
+        uni_h, uni_c = uni_h[keep], uni_c[keep]
+        keep = bi_c >= min_count
+        bi_h, bi_c = bi_h[keep], bi_c[keep]
+    return ray.put(BigramLM(uni_h, uni_c, bi_h, bi_c, int(total)))
+
+
+def _score_arrays(lm: BigramLM, fh: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-doc log2-perplexity over the flat token-hash array.
+
+    Position 0 of each doc scores by the unigram model; positions i≥1
+    by Stupid Backoff.  Exact formula (shared verbatim with the
+    fixture reference — keep in sync with
+    tools/reference_impls.py:perplexity_reference):
+
+        S_uni(w)  = c(w)/N   if c(w) > 0 else  ALPHA/N
+        S(w|p)    = c(p,w)/c(p)            if c(p,w) > 0
+                    ALPHA * S_uni(w)       otherwise
+        logppl    = -(1/T) * sum_i log2(S_i),   0.0 for empty docs
+    """
+    n_docs = len(counts)
+    out = np.zeros(n_docs, dtype=np.float64)
+    if len(fh) == 0:
+        return out
+    n_total = np.float64(max(lm.n_total, 1))
+    uni_c = lm.lookup_uni(fh).astype(np.float64)
+    s_uni = np.where(uni_c > 0, uni_c / n_total, ALPHA / n_total)
+
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    n_pos = len(fh) - 1
+    s = s_uni.copy()
+    if n_pos > 0:
+        bi_h, _ = gram_hashes(fh, counts, 2)
+        intra = doc_idx[:n_pos] == doc_idx[1:]
+        bi_c = np.zeros(n_pos, dtype=np.float64)
+        bi_c[intra] = lm.lookup_bi(bi_h).astype(np.float64)
+        prefix_c = uni_c[:-1]
+        backoff = ALPHA * s_uni[1:]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(prefix_c > 0, bi_c / np.maximum(prefix_c, 1.0), 0.0)
+        cond = np.where((bi_c > 0) & (prefix_c > 0), ratio, backoff)
+        s[1:] = np.where(intra, cond, s_uni[1:])
+
+    logs = np.log2(s)
+    nz = counts > 0
+    starts = np.r_[0, np.cumsum(counts)][:-1][nz]
+    sums = np.add.reduceat(logs, starts) if len(starts) else np.empty(0)
+    out[nz] = -sums / counts[nz].astype(np.float64)
+    return out
+
+
+def perplexity_score(ds, lm_ref, *, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, logppl) per corpus doc — one streaming vectorized pass."""
+
+    def probe(t: pa.Table) -> pa.Table:
+        lm = ray.get(lm_ref)
+        fh, counts = flat_token_hashes(t.column(text_col))
+        logppl = _score_arrays(lm, fh, counts)
+        return pa.table({id_col: t.column(id_col), "logppl": pa.array(logppl)})
+
+    return ds.map_batches(probe, batch_format="pyarrow")

@@ -1,0 +1,163 @@
+"""Tests for the bigram-LM perplexity stage (stages/lm.py): equality
+with the independent string-keyed plain reference over sf0.001,
+batch-split invariance (bit-identical floats), and the edge-case
+matrix (null/empty text, single token, fully-OOV doc, empty train
+corpus, min_count pruning)."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from logstash_filter_elastic_integration_ray.sources.io import read_parquet_clean
+from logstash_filter_elastic_integration_ray.stages.lm import (
+    ALPHA,
+    BigramLM,
+    _score_arrays,
+    perplexity_score,
+    train_bigram_lm,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref_df(mod=5, min_count=1):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import reference_impls as ref
+
+    ids, texts = ref.load_documents(SF)
+    return ref.perplexity_reference(ids, texts, mod=mod, min_count=min_count)
+
+
+def _split(docs, eq):
+    def fn(t: pa.Table) -> pa.Table:
+        m = (t.column("doc_id").to_numpy() % 5 == 0) == eq
+        return t.filter(pa.array(m))
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _run(repart=None):
+    docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    lm_ref = train_bigram_lm(_split(docs, True))
+    score = _split(docs, False)
+    if repart:
+        score = score.repartition(repart)
+    return (
+        perplexity_score(score, lm_ref)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+class TestPerplexityDistributed:
+    def test_matches_reference_bitwise(self, ray_session):
+        exp = _ref_df().sort_values("doc_id").reset_index(drop=True)
+        got = _run()
+        assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+        # exact float equality, not allclose — the formula contract
+        assert (got["logppl"].to_numpy() == exp["logppl"].to_numpy()).all()
+
+    def test_batch_split_invariance(self, ray_session):
+        a = _run()
+        b = _run(repart=17)
+        assert (a["logppl"].to_numpy() == b["logppl"].to_numpy()).all()
+
+    def test_scores_are_positive_and_finite(self, ray_session):
+        got = _run()
+        v = got["logppl"].to_numpy()
+        assert np.isfinite(v).all()
+        assert (v > 0).all()  # probabilities < 1 => -log2 > 0
+
+
+def _lm_from_texts(texts, min_count=1):
+    """Single-process LM via the same kernels (no Ray)."""
+    from logstash_filter_elastic_integration_ray.stages.decontam import (
+        flat_token_hashes,
+        gram_hashes,
+    )
+    from logstash_filter_elastic_integration_ray.stages.lm import _count_table
+
+    col = pa.array(texts, type=pa.string())
+    fh, counts = flat_token_hashes(col)
+    bh, _ = gram_hashes(fh, counts, 2)
+    uh, uc = _count_table(fh)
+    bhh, bc = _count_table(bh)
+    if min_count > 1:
+        keep = uc >= min_count
+        uh, uc = uh[keep], uc[keep]
+        keep = bc >= min_count
+        bhh, bc = bhh[keep], bc[keep]
+    return BigramLM(uh, uc, bhh, bc, int(len(fh)))
+
+
+def _score_texts(lm, texts):
+    from logstash_filter_elastic_integration_ray.stages.decontam import flat_token_hashes
+
+    fh, counts = flat_token_hashes(pa.array(texts, type=pa.string()))
+    return _score_arrays(lm, fh, counts)
+
+
+class TestPerplexityKernel:
+    def test_known_corpus_hand_computed(self):
+        # train: "a b a b" -> uni a:2 b:2 N=4; bi (a,b):2 (b,a):1
+        lm = _lm_from_texts(["a b a b"])
+        s = _score_texts(lm, ["a b"])
+        # S(a)=2/4, S(b|a)=2/2=1 -> logppl = -(log2(.5)+log2(1))/2 = 0.5
+        assert s[0] == 0.5
+
+    def test_oov_token_backs_off_to_alpha_over_n(self):
+        lm = _lm_from_texts(["a b a b"])
+        s = _score_texts(lm, ["z"])
+        assert s[0] == -np.log2(np.float64(ALPHA) / np.float64(4))
+
+    def test_unseen_bigram_backs_off(self):
+        lm = _lm_from_texts(["a b a b"])
+        # "b b": S(b)=2/4; bigram (b,b) unseen -> ALPHA * S_uni(b)
+        s = _score_texts(lm, ["b b"])
+        exp = -(np.log2(np.float64(0.5)) + np.log2(np.float64(ALPHA) * np.float64(0.5))) / 2.0
+        assert s[0] == exp
+
+    def test_null_and_empty_text(self):
+        lm = _lm_from_texts(["a b"])
+        # null -> "" -> [""] one OOV token; "" same; both finite
+        s = _score_texts(lm, [None, ""])
+        assert np.isfinite(s).all()
+        assert s[0] == s[1]
+
+    def test_single_token_doc_uses_unigram_only(self):
+        lm = _lm_from_texts(["a b a b"])
+        s = _score_texts(lm, ["a"])
+        assert s[0] == -np.log2(np.float64(2) / np.float64(4))
+
+    def test_empty_train_corpus(self, ray_session):
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        empty = docs.filter(lambda r: False)
+        lm_ref = train_bigram_lm(empty)
+        lm = ray.get(lm_ref)
+        assert lm.n_total == 0 and len(lm.uni_h) == 0
+        got = perplexity_score(docs.limit(5), lm_ref).to_pandas()
+        assert np.isfinite(got["logppl"].to_numpy()).all()
+
+    def test_min_count_pruning_matches_reference(self, ray_session):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        exp = (
+            ref.perplexity_reference(*ref.load_documents(SF), min_count=3)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        lm_ref = train_bigram_lm(_split(docs, True), min_count=3)
+        got = (
+            perplexity_score(_split(docs, False), lm_ref)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert (got["logppl"].to_numpy() == exp["logppl"].to_numpy()).all()

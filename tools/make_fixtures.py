@@ -55,6 +55,7 @@ def main() -> None:
             ids[ids % 5 == 0], [t for i, t in zip(ids, texts) if i % 5 == 0],
         ),
         "kmeans_embeddings": ref.kmeans_reference_table(sf_dir),
+        "perplexity_docs": ref.perplexity_reference(ids, texts),
         "embedding_decontaminate_docs": ref.embedding_decontaminate_reference(sf_dir),
     }
     for name, df in tables.items():

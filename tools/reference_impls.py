@@ -643,3 +643,60 @@ def community_id_flow_literals() -> list[str]:
         community_id_reference(f"192.0.2.{r}", 1000 + (r % 4), "198.51.100.9", 443)
         for r in range(16)
     ]
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity (CCNet-style quality signal) — plain single-node
+# reference: string-keyed dict counts (NO hashing, so an engine-side
+# 64-bit hash collision would surface as a mismatch), per-doc Stupid
+# Backoff scoring with the formula shared verbatim with
+# stages/lm.py:_score_arrays.  Train side: doc_id % 5 == 0; score
+# side: the rest (the decontamination split convention).
+# ---------------------------------------------------------------------------
+
+def perplexity_reference(ids, texts, *, mod: int = 5, min_count: int = 1) -> pd.DataFrame:
+    ALPHA = 0.4
+    uni: dict = {}
+    bi: dict = {}
+    n_total = 0
+    for i, t in zip(ids, texts):
+        if i % mod != 0:
+            continue
+        toks = (t or "").split(" ")
+        n_total += len(toks)
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    if min_count > 1:
+        uni = {k: v for k, v in uni.items() if v >= min_count}
+        bi = {k: v for k, v in bi.items() if v >= min_count}
+
+    n = np.float64(max(n_total, 1))
+    out_ids, out_ppl = [], []
+    for i, t in zip(ids, texts):
+        if i % mod == 0:
+            continue
+        toks = (t or "").split(" ")
+        s = np.empty(len(toks), dtype=np.float64)
+        for j, w in enumerate(toks):
+            cu = np.float64(uni.get(w, 0))
+            s_uni = cu / n if cu > 0 else np.float64(ALPHA) / n
+            if j == 0:
+                s[j] = s_uni
+            else:
+                cp = np.float64(uni.get(toks[j - 1], 0))
+                cb = np.float64(bi.get((toks[j - 1], w), 0))
+                s[j] = cb / cp if (cb > 0 and cp > 0) else np.float64(ALPHA) * s_uni
+        out_ids.append(int(i))
+        if len(toks):
+            # np.add.reduceat, same as the engine's segmented sum: the
+            # add ufunc's pairwise blocking depends only on segment
+            # length, so reducing the standalone per-doc array gives
+            # the identical float the engine gets for that segment
+            tot = np.add.reduceat(np.log2(s), [0])[0]
+            out_ppl.append(float(-tot / np.float64(len(toks))))
+        else:
+            out_ppl.append(0.0)
+    return pd.DataFrame({"doc_id": np.array(out_ids, dtype=np.int64),
+                         "logppl": np.array(out_ppl, dtype=np.float64)})
