@@ -776,6 +776,25 @@ def q_kmeans_embeddings(sf_dir: str):
     return kmeans_assign(ds, cent)
 
 
+def q_semdedup_docs(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means clusters the documents'
+    text-feature embeddings, then near-dup components are found WITHIN
+    clusters only (the published recipe bounds all-pairs work by
+    cluster size); each component keeps its farthest-from-centroid
+    member.  The eps test and the keeper rule are exact int64
+    arithmetic on normalized-quantized vectors, so the result is
+    bit-identical under any batching (stages/clustering.py:semdedup;
+    fixture oracle from tools/reference_impls.semdedup_reference)."""
+    from logstash_filter_elastic_integration_ray.stages.clustering import semdedup
+    from logstash_filter_elastic_integration_ray.stages.similarity import (
+        text_feature_embedding_batch,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    emb = docs.map_batches(text_feature_embedding_batch, batch_format="pyarrow")
+    return semdedup(emb, id_col="doc_id", eps=0.9)
+
+
 def _mod_filter(ds, col: str, mod: int, rem: int, keep_equal: bool):
     def fn(t: pa.Table) -> pa.Table:
         ids = t.column(col).to_numpy()
@@ -2169,6 +2188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # through r3.  Previously-green queries follow.
     return {
         "perplexity_docs": q_perplexity_docs,
+        "semdedup_docs": q_semdedup_docs,
         "append_tags": q_append_tags,
         "remove_conditional": q_remove_conditional,
         "sort_path_parts": q_sort_path_parts,
@@ -2528,6 +2548,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "perplexity_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/perplexity_docs.sf0_01.parquet')"
+        ),
+        "semdedup_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/semdedup_docs.sf0_01.parquet')"
         ),
         "decontaminate_docs": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "

@@ -207,3 +207,107 @@ def kmeans_reference(m: np.ndarray, *, k: int = 8, n_iters: int = 8) -> tuple[np
         s, c = partial_sums(x_int, a, k)
         cent = update_centroids(cent, s, c)
     return assign_clusters(x_int, cent), cent
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via cluster-then-near-dup
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication" — public result).  k-means first, so
+# the near-dup search runs WITHIN clusters only: the all-pairs cost is
+# O(sum g_i^2) with g ~= n/k, and k is chosen proportional to n at
+# scale (the published recipe), which bounds per-group work.
+#
+# Exactness contract (extends the k-means fixed-point contract): the
+# eps test compares int64 dot products of NORMALIZED-then-QUANTIZED
+# vectors against round(eps * Q * Q) — integer matmul is exact and
+# order-independent, so the result is bit-identical under any batching
+# and reproduced exactly by the plain reference.  Keeper selection is
+# the published "farthest from centroid" rule, evaluated as the exact
+# int64 squared distance ||quantize(x) - centroid_int||^2 (for unit
+# vectors, lowest cosine-to-centroid == largest squared distance);
+# ties keep the smallest id.
+# ---------------------------------------------------------------------------
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def eps_q(eps: float) -> int:
+    """The integer threshold for quantized-cosine >= eps."""
+    return int(np.rint(np.float64(eps) * _Q * _Q))
+
+
+def _semdedup_group(df, eps_int: int, id_col: str):
+    """Within-cluster dup components + keeper choice (one cluster's
+    rows are co-located by the groupby — vectors ride the shuffle
+    exactly once, as this group).  Row-wise int64 matvec keeps memory
+    O(g*d) while the work stays exact-integer."""
+    import pandas as pd
+
+    ids = df[id_col].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="mergesort")
+    ids = ids[order]
+    nq = np.asarray(df["nq"].to_list(), dtype=np.int64)[order]
+    dist2 = df["dist2"].to_numpy(dtype=np.int64)[order]
+    cluster = int(df["cluster"].iloc[0])
+    g = len(ids)
+
+    parent = np.arange(g, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(g - 1):
+        dots = nq[i + 1 :] @ nq[i]  # exact int64
+        for j in np.flatnonzero(dots >= eps_int):
+            ra, rb = find(i), find(int(i + 1 + j))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    roots = np.fromiter((find(int(i)) for i in range(g)), dtype=np.int64, count=g)
+    # keeper per component: largest dist2, then smallest id (ids are
+    # sorted ascending, so lexsort by (-dist2) within root and take
+    # the first occurrence)
+    ordk = np.lexsort((np.arange(g), -dist2, roots))
+    first = np.r_[True, roots[ordk][1:] != roots[ordk][:-1]]
+    keep = np.zeros(g, dtype=bool)
+    keep[ordk[first]] = True
+    return pd.DataFrame({id_col: ids, "cluster": np.full(g, cluster, dtype=np.int64),
+                         "keep": keep})
+
+
+def semdedup(ds, *, k: int = 8, n_iters: int = 8, eps: float = 0.9,
+             id_col: str = "vec_id", emb_col: str = "embedding"):
+    """(id, cluster, keep) per row: k-means fit + assign, then
+    within-cluster exact-integer near-dup components; each component
+    keeps its farthest-from-centroid member."""
+    cent_int = kmeans_fit(ds, k=k, n_iters=n_iters, id_col=id_col, emb_col=emb_col)
+    cent_ref = ray.put(cent_int)
+    eps_int = eps_q(eps)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        m = _to_matrix(batch.column(emb_col))
+        x_int = quantize(m)
+        a = assign_clusters(x_int, cent)
+        diff = x_int - cent[a]
+        d2 = np.einsum("nd,nd->n", diff, diff)  # exact int64
+        nq = quantize(_normalize_rows(m))
+        d = nq.shape[1]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(a),
+            "dist2": pa.array(d2),
+            "nq": pa.FixedSizeListArray.from_arrays(pa.array(nq.reshape(-1)), d),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(lambda df: _semdedup_group(df, eps_int, id_col),
+                    batch_format="pandas")
+    )

@@ -846,3 +846,60 @@ class TestGroupTopk:
         assert out[out.lang == "de"]["doc_id"].tolist() == [3, 4]
         assert out[out.lang == "fr"]["doc_id"].tolist() == [5]
         assert out["rk"].tolist() == [1, 2, 1, 2, 1]
+
+
+class TestSemDeDup:
+    """SemDeDup (stages/clustering.py:semdedup): cluster-then-near-dup
+    with exact int64 eps tests and keeper selection."""
+
+    def _run(self, repart=None):
+        from logstash_filter_elastic_integration_ray.stages.clustering import semdedup
+        from logstash_filter_elastic_integration_ray.stages.similarity import (
+            text_feature_embedding_batch,
+        )
+
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        emb = docs.map_batches(text_feature_embedding_batch, batch_format="pyarrow")
+        if repart:
+            emb = emb.repartition(repart)
+        return (
+            semdedup(emb, id_col="doc_id", eps=0.9)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[["doc_id", "cluster", "keep"]]
+        )
+
+    def test_matches_reference(self, ray_session):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        exp = (
+            ref.semdedup_docs_reference(SF)
+            .sort_values("doc_id")
+            .reset_index(drop=True)[["doc_id", "cluster", "keep"]]
+        )
+        got = self._run()
+        assert got.equals(exp)
+        # the corpus has real near-dup structure: something is dropped,
+        # most is kept
+        kept = int(exp["keep"].sum())
+        assert 0 < kept < len(exp)
+
+    def test_batch_split_invariance(self, ray_session):
+        a = self._run()
+        b = self._run(repart=13)
+        assert a.equals(b)
+
+    def test_covers_every_doc_exactly_once(self, ray_session):
+        got = self._run()
+        assert len(got) == 500
+        assert got["doc_id"].is_unique
+
+    def test_integer_eps_threshold_roundtrip(self):
+        from logstash_filter_elastic_integration_ray.stages.clustering import eps_q
+
+        # eps=1.0 is the exact-dup bound Q*Q; monotone in eps
+        assert eps_q(1.0) == (1 << 40)
+        assert eps_q(0.9) < eps_q(0.95) < eps_q(1.0)

@@ -700,3 +700,64 @@ def perplexity_reference(ids, texts, *, mod: int = 5, min_count: int = 1) -> pd.
             out_ppl.append(0.0)
     return pd.DataFrame({"doc_id": np.array(out_ids, dtype=np.int64),
                          "logppl": np.array(out_ppl, dtype=np.float64)})
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — plain single-process reference: shared definitional
+# kernels (seeded fixed-point k-means via kmeans_reference, quantize,
+# row normalization), INDEPENDENT within-cluster machinery (double-loop
+# integer dots, dict union-find, per-component keeper scan).  All
+# comparisons are exact int64, so the fixture is bit-stable.
+# ---------------------------------------------------------------------------
+
+def semdedup_docs_reference(sf_dir: str, *, k: int = 8, n_iters: int = 8,
+                            eps: float = 0.9) -> pd.DataFrame:
+    """SemDeDup over the documents table's text-feature embeddings
+    (the table with real near-dup structure)."""
+    ids, m = _doc_embeddings(sf_dir)
+    order = np.argsort(ids, kind="stable")
+    df = semdedup_reference(ids[order], m[order], k=k, n_iters=n_iters, eps=eps)
+    return df.rename(columns={"vec_id": "doc_id"})
+
+
+def semdedup_reference(ids: np.ndarray, m: np.ndarray, *, k: int = 8,
+                       n_iters: int = 8, eps: float = 0.9) -> pd.DataFrame:
+    from logstash_filter_elastic_integration_ray.stages.clustering import (
+        eps_q,
+        kmeans_reference,
+        quantize,
+    )
+
+    assign, cent_int = kmeans_reference(m, k=k, n_iters=n_iters)
+    x_int = quantize(m)
+    nq = quantize(_normalize(m))
+    eps_int = eps_q(eps)
+
+    rows = {"vec_id": [], "cluster": [], "keep": []}
+    for c in range(k):
+        idx = np.flatnonzero(assign == c)
+        if len(idx) == 0:
+            continue
+        cids = ids[idx]
+        uf = UnionFind(cids)
+        for a_pos in range(len(idx)):
+            for b_pos in range(a_pos + 1, len(idx)):
+                dot = int(np.dot(nq[idx[a_pos]], nq[idx[b_pos]]))
+                if dot >= eps_int:
+                    uf.union(cids[a_pos], cids[b_pos])
+        # exact int64 squared distance to the cluster centroid
+        diff = x_int[idx] - cent_int[c]
+        d2 = (diff * diff).sum(axis=1)
+        comp: dict[int, list[int]] = {}
+        for pos, i in enumerate(cids):
+            comp.setdefault(uf.find(int(i)), []).append(pos)
+        keep = np.zeros(len(idx), dtype=bool)
+        for members in comp.values():
+            best = max(members, key=lambda p: (int(d2[p]), -int(cids[p])))
+            keep[best] = True
+        rows["vec_id"].extend(cids.tolist())
+        rows["cluster"].extend([c] * len(idx))
+        rows["keep"].extend(keep.tolist())
+    return pd.DataFrame({"vec_id": np.array(rows["vec_id"], dtype=np.int64),
+                         "cluster": np.array(rows["cluster"], dtype=np.int64),
+                         "keep": np.array(rows["keep"], dtype=bool)})
