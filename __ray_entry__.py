@@ -795,6 +795,32 @@ def q_semdedup_docs(sf_dir: str):
     return semdedup(emb, id_col="doc_id", eps=0.9)
 
 
+def q_logreg_embeddings(sf_dir: str):
+    """Model-based quality classifier (the fasttext/CCNet slot):
+    distributed full-batch logistic regression over the embedding
+    column (target: label < 5), then one streaming scoring pass.  Each
+    step broadcasts d+1 floats and moves ONE quantized int64 gradient
+    row per batch through a worker-side tree merge — exact integer
+    partial sums make the trained weights and scores bit-identical
+    under any batching (stages/logreg.py; fixture oracle from the
+    single-process reference trainer)."""
+    import numpy as np
+
+    from logstash_filter_elastic_integration_ray.stages.logreg import (
+        logreg_fit,
+        logreg_score,
+    )
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+
+    def label_fn(b):
+        return (b.column("label").to_numpy() < 5).astype(np.float64)
+
+    w = logreg_fit(ds, label_fn=label_fn, n_iters=20, lr=1.0)
+    return logreg_score(ds, w)
+
+
 def _mod_filter(ds, col: str, mod: int, rem: int, keep_equal: bool):
     def fn(t: pa.Table) -> pa.Table:
         ids = t.column(col).to_numpy()
@@ -2189,6 +2215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "perplexity_docs": q_perplexity_docs,
         "semdedup_docs": q_semdedup_docs,
+        "logreg_embeddings": q_logreg_embeddings,
         "append_tags": q_append_tags,
         "remove_conditional": q_remove_conditional,
         "sort_path_parts": q_sort_path_parts,
@@ -2551,6 +2578,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "semdedup_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/semdedup_docs.sf0_01.parquet')"
+        ),
+        "logreg_embeddings": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/logreg_embeddings.sf0_01.parquet')"
         ),
         "decontaminate_docs": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "

@@ -1,0 +1,157 @@
+"""Distributed logistic-regression training + scoring over an
+embedding column — the model-based quality-classifier stage of a
+training-data pipeline (the fasttext/CCNet "quality model" slot:
+train a small linear model on labeled examples, score the whole
+corpus, filter on the probability).
+
+Shape at 100 TB (the k-means template, stages/clustering.py): each
+full-batch gradient step broadcasts the (d+1)-float weight vector
+(``ray.put`` once, zero-copy read per task), ``map_batches`` computes
+per-batch partial gradients — ONE (d+1)-long int64 row per batch is
+all that moves — a fan-in-64 tree merge reduces them worker-side, and
+the driver updates d+1 floats.  Nothing proportional to the dataset
+ever reaches the driver; scoring is one streaming pass.
+
+Determinism contract (bit-identical under ANY batching, proven by the
+fixture oracle + pytest):
+
+- the margin ``z = X·w`` is evaluated with ``np.einsum("nd,d->n")``
+  (sequential per-row reduction — no BLAS-threading variance),
+- per-SAMPLE gradient contributions ``r_i * x_i`` are quantized to
+  fixed-point int64 (``np.rint(g * 2^28)``) BEFORE summation, so the
+  partial-gradient sum is exact integer arithmetic — associative,
+  batching-invariant — and the float weight update happens once per
+  step on the driver from the same integers,
+- the plain single-process reference (tools/reference_impls.py)
+  evaluates the identical formulas and must match byte-for-byte.
+
+Overflow headroom: |r| ≤ 1 and unit-scale features keep each
+contribution ≲ 2^29; an int64 coordinate absorbs ~2^34 rows per
+partial before overflow — the tree merge keeps every accumulator far
+below that (and the driver-side final sum is ≤ fan-in² rows).
+
+Reference parity note: the reference plugin has no model stage — this
+is an engine-native training-data operator (SURVEY §2.9), the
+trainable counterpart of the heuristic quality gates in
+stages/textstats.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .similarity import _to_matrix
+
+#: fixed-point scale for gradient quantization — 28 fractional bits
+_GSCALE = np.float64(1 << 28)
+
+
+def sigmoid(z: np.ndarray) -> np.ndarray:
+    """Numerically-stable elementwise sigmoid (shared definitional
+    kernel — both engine and reference call this)."""
+    out = np.empty_like(z, dtype=np.float64)
+    pos = z >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+    e = np.exp(z[~pos])
+    out[~pos] = e / (1.0 + e)
+    return out
+
+
+def margin(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """``X·w + b`` with a deterministic sequential per-row reduction.
+    ``w`` is (d+1,) with the bias last."""
+    return np.einsum("nd,d->n", x, w[:-1]) + w[-1]
+
+
+def grad_partial_int(x: np.ndarray, y: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """One batch's quantized partial gradient: (d+1,) int64 — the
+    logistic-loss gradient contributions ``(sigmoid(z)-y) * [x, 1]``,
+    each QUANTIZED PER SAMPLE then summed exactly."""
+    r = sigmoid(margin(x, w)) - y
+    g = np.rint(r[:, None] * x * _GSCALE).astype(np.int64).sum(axis=0)
+    gb = np.rint(r * _GSCALE).astype(np.int64).sum()
+    return np.r_[g, gb]
+
+
+def _pack_grad(g_int: np.ndarray, n: int) -> pa.Table:
+    return pa.table({
+        "g": pa.array([g_int.tobytes()], type=pa.binary()),
+        "n": pa.array([n], type=pa.int64()),
+    })
+
+
+def _merge_grad_batch(t: pa.Table) -> pa.Table:
+    acc, n = None, 0
+    for row in t.to_pylist():
+        v = np.frombuffer(row["g"], dtype=np.int64)
+        acc = v.copy() if acc is None else acc + v
+        n += row["n"]
+    return _pack_grad(acc, n)
+
+
+def logreg_fit(ds, *, label_fn, n_iters: int = 20, lr: float = 1.0,
+               emb_col: str = "embedding") -> np.ndarray:
+    """Full-batch gradient descent; returns the (d+1,) weight vector.
+
+    ``label_fn(batch) -> float64 {0,1} array`` derives the target from
+    the batch (a column read or a deterministic rule), so the label
+    never needs a separate shuffle-joined table.
+    """
+    w = None
+
+    for _ in range(n_iters):
+        w_ref = ray.put(w)
+
+        def batch_grad(batch: pa.Table) -> pa.Table:
+            x = _to_matrix(batch.column(emb_col))
+            cur = ray.get(w_ref)
+            if cur is None:
+                cur = np.zeros(x.shape[1] + 1, dtype=np.float64)
+            y = np.asarray(label_fn(batch), dtype=np.float64)
+            return _pack_grad(grad_partial_int(x, y, cur), x.shape[0])
+
+        from .sketches import _tree_merge
+
+        partials = ds.map_batches(batch_grad, batch_format="pyarrow")
+        g_int, n_total = None, 0
+        for row in _tree_merge(partials, _merge_grad_batch).take_all():
+            v = np.frombuffer(row["g"], dtype=np.int64)
+            g_int = v.copy() if g_int is None else g_int + v
+            n_total += row["n"]
+        if w is None:
+            w = np.zeros(len(g_int), dtype=np.float64)
+        grad = g_int.astype(np.float64) / _GSCALE / np.float64(max(n_total, 1))
+        w = w - np.float64(lr) * grad
+    return w
+
+
+def logreg_score(ds, w: np.ndarray, *, id_col: str = "vec_id",
+                 emb_col: str = "embedding"):
+    """(id, score, pred) per row — one streaming vectorized pass."""
+    w_ref = ray.put(w)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = _to_matrix(batch.column(emb_col))
+        p = sigmoid(margin(x, ray.get(w_ref)))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "score": pa.array(p),
+            "pred": pa.array(p >= 0.5),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def logreg_reference(x: np.ndarray, y: np.ndarray, *, n_iters: int = 20,
+                     lr: float = 1.0) -> np.ndarray:
+    """Single-process reference trainer: identical quantized-gradient
+    formula, no Ray (int64 sums are associative, so one-shot summation
+    here equals the engine's tree merge exactly)."""
+    w = np.zeros(x.shape[1] + 1, dtype=np.float64)
+    for _ in range(n_iters):
+        g_int = grad_partial_int(x, np.asarray(y, dtype=np.float64), w)
+        grad = g_int.astype(np.float64) / _GSCALE / np.float64(max(len(y), 1))
+        w = w - np.float64(lr) * grad
+    return w

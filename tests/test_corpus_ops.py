@@ -903,3 +903,74 @@ class TestSemDeDup:
         # eps=1.0 is the exact-dup bound Q*Q; monotone in eps
         assert eps_q(1.0) == (1 << 40)
         assert eps_q(0.9) < eps_q(0.95) < eps_q(1.0)
+
+
+class TestLogReg:
+    """Distributed logistic regression (stages/logreg.py): quantized
+    int64 gradient partials make fit + score bit-identical under any
+    batching and equal to the single-process reference trainer."""
+
+    def _label_fn(self):
+        def fn(b):
+            return (b.column("label").to_numpy() < 5).astype(np.float64)
+
+        return fn
+
+    def _ds(self):
+        return read_parquet_clean(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+        )
+
+    def test_fit_matches_reference_bitwise(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from logstash_filter_elastic_integration_ray.stages.logreg import (
+            logreg_fit,
+            logreg_reference,
+        )
+
+        w = logreg_fit(self._ds(), label_fn=self._label_fn(), n_iters=10)
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        order = np.argsort(t.column("vec_id").to_numpy(), kind="stable")
+        x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[order]
+        y = (t.column("label").to_numpy()[order] < 5).astype(np.float64)
+        assert (w == logreg_reference(x, y, n_iters=10)).all()
+
+    def test_fit_batch_split_invariance(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.logreg import logreg_fit
+
+        a = logreg_fit(self._ds(), label_fn=self._label_fn(), n_iters=5)
+        b = logreg_fit(self._ds().repartition(13), label_fn=self._label_fn(), n_iters=5)
+        assert (a == b).all()
+
+    def test_learns_separable_target(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.logreg import (
+            logreg_fit,
+            logreg_score,
+        )
+
+        # deterministic separable target: sign of the first coordinate
+        def sep(b):
+            m = np.asarray(b.column("embedding").to_pylist(), dtype=np.float64)
+            return (m[:, 0] > 0).astype(np.float64)
+
+        ds = self._ds()
+        w = logreg_fit(ds, label_fn=sep, n_iters=40, lr=4.0)
+        got = logreg_score(ds, w).to_pandas()
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        y = dict(zip(t.column("vec_id").to_numpy(), m[:, 0] > 0))
+        acc = np.mean([y[i] == p for i, p in zip(got["vec_id"], got["pred"])])
+        assert acc > 0.9
+
+    def test_score_is_probability(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.logreg import (
+            logreg_fit,
+            logreg_score,
+        )
+
+        w = logreg_fit(self._ds(), label_fn=self._label_fn(), n_iters=5)
+        s = logreg_score(self._ds(), w).to_pandas()["score"].to_numpy()
+        assert ((s > 0) & (s < 1)).all() and np.isfinite(s).all()

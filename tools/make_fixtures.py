@@ -57,6 +57,7 @@ def main() -> None:
         "kmeans_embeddings": ref.kmeans_reference_table(sf_dir),
         "perplexity_docs": ref.perplexity_reference(ids, texts),
         "semdedup_docs": ref.semdedup_docs_reference(sf_dir),
+        "logreg_embeddings": ref.logreg_score_reference(sf_dir),
         "embedding_decontaminate_docs": ref.embedding_decontaminate_reference(sf_dir),
     }
     for name, df in tables.items():

@@ -761,3 +761,30 @@ def semdedup_reference(ids: np.ndarray, m: np.ndarray, *, k: int = 8,
     return pd.DataFrame({"vec_id": np.array(rows["vec_id"], dtype=np.int64),
                          "cluster": np.array(rows["cluster"], dtype=np.int64),
                          "keep": np.array(rows["keep"], dtype=bool)})
+
+
+# ---------------------------------------------------------------------------
+# logistic-regression quality classifier — the reference trainer is
+# the shared single-process definitional recipe (quantized int64
+# gradient partials are associative, so one-shot summation here equals
+# the engine's broadcast + tree-merge path exactly); the INDEPENDENT
+# part being validated is the whole distributed machinery.
+# ---------------------------------------------------------------------------
+
+def logreg_score_reference(sf_dir: str, *, n_iters: int = 20, lr: float = 1.0) -> pd.DataFrame:
+    from logstash_filter_elastic_integration_ray.stages.logreg import (
+        logreg_reference,
+        margin,
+        sigmoid,
+    )
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding", "label"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[order]
+    y = (t.column("label").to_numpy()[order] < 5).astype(np.float64)
+    w = logreg_reference(x, y, n_iters=n_iters, lr=lr)
+    p = sigmoid(margin(x, w))
+    return pd.DataFrame({"vec_id": ids, "score": p, "pred": p >= 0.5})
