@@ -318,6 +318,64 @@ def run_bench() -> dict:
 
     timed("tfidf_dup_heavy_16x", tfidf_dup_heavy, reps=1)
 
+    def perplexity_dup_heavy():
+        # CCNet shape: LM trained on the base corpus (the small curated
+        # side), 16× corpus scored in ONE streaming pass — wall should
+        # track corpus size, never LM size
+        from logstash_filter_elastic_integration_ray.stages.lm import (
+            perplexity_score,
+            train_bigram_lm,
+        )
+
+        ref_corpus = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                                        columns=["doc_id", "text"])
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        lm = train_bigram_lm(ref_corpus)
+        return perplexity_score(heavy, lm).count()
+
+    timed("perplexity_dup_heavy_16x", perplexity_dup_heavy, reps=1)
+
+    def semdedup_16x():
+        # cluster-then-near-dup at the 16× stress input; k scales with
+        # n (the published recipe) so within-cluster all-pairs stays
+        # bounded — k=64 over 80k docs ≈ 1.2k docs/cluster
+        from logstash_filter_elastic_integration_ray.stages.clustering import semdedup
+        from logstash_filter_elastic_integration_ray.stages.similarity import (
+            text_feature_embedding_batch,
+        )
+
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        emb = heavy.map_batches(text_feature_embedding_batch, batch_format="pyarrow")
+        return semdedup(emb, id_col="doc_id", eps=0.9, k=64, n_iters=4).count()
+
+    timed("semdedup_16x", semdedup_16x, reps=1)
+
+    def logreg_16x():
+        # distributed LR over 80k text-feature embeddings, 10 steps +
+        # one scoring pass; each step moves ONE int64 row per batch
+        import numpy as np_
+
+        from logstash_filter_elastic_integration_ray.stages.logreg import (
+            logreg_fit,
+            logreg_score,
+        )
+        from logstash_filter_elastic_integration_ray.stages.similarity import (
+            text_feature_embedding_batch,
+        )
+
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        emb = heavy.map_batches(text_feature_embedding_batch,
+                                batch_format="pyarrow").materialize()
+
+        def sep(b):
+            m = np_.asarray(b.column("embedding").to_pylist(), dtype=np_.float64)
+            return (m[:, 0] > 0).astype(np_.float64)
+
+        w = logreg_fit(emb, label_fn=sep, n_iters=10, lr=2.0)
+        return logreg_score(emb, w, id_col="doc_id").count()
+
+    timed("logreg_16x", logreg_16x, reps=1)
+
     def web_curation_chain():
         # the composed crawl-cleaning chain (examples/web_curation):
         # canonical-URL dedup → minhash near-dup dedup → quality gate →
