@@ -399,10 +399,16 @@ def run_bench() -> dict:
 
         with_urls = docs.map_batches(add_url, batch_format="pyarrow")
         url_surv = dedup_by_url(with_urls, url_col="url", id_col="doc_id")
+        # materialized: minhash consumes its input twice (band rows +
+        # singleton ids), and a lazy s1 would re-execute the whole
+        # url-dedup lineage per consumption (object-store spill beats
+        # the recompute — the hash_semi_join_bloom precedent)
         s1 = hash_semi_join(docs, url_surv.select_columns(["doc_id"]),
-                            left_key="doc_id", right_key="doc_id")
-        text_surv = minhash_lsh_dedup(s1)
-        s2 = hash_semi_join(s1, text_surv.select_columns(["doc_id"]),
+                            left_key="doc_id", right_key="doc_id").materialize()
+        # minhash survivors ⊆ url survivors, so the final corpus is ONE
+        # semi join of the original docs against the thin final id set
+        text_surv = minhash_lsh_dedup(s1).select_columns(["doc_id"])
+        s2 = hash_semi_join(docs, text_surv,
                             left_key="doc_id", right_key="doc_id")
 
         def gate(t: pa2.Table) -> pa2.Table:

@@ -57,10 +57,17 @@ def main(sf_dir: str, out_dir: str) -> None:
     # 1. canonical-URL dedup: refetches of one resource collapse first
     #    (cheapest dedup signal — runs before any content comparison)
     url_survivors = dedup_by_url(with_urls, url_col="url", id_col="doc_id")
-    stage1 = hash_semi_join(docs, url_survivors.select_columns(["doc_id"]), left_key="doc_id", right_key="doc_id")
-    n1 = stage1.materialize().count()
+    # keep the materialized handle: stage1 feeds BOTH the minhash pass
+    # and the post-dedup text recovery — without it the whole
+    # read→url-dedup→join lineage executes twice
+    stage1 = hash_semi_join(docs, url_survivors.select_columns(["doc_id"]),
+                            left_key="doc_id", right_key="doc_id").materialize()
+    n1 = stage1.count()
 
-    # 2. near-dup TEXT dedup over the URL survivors
+    # 2. near-dup TEXT dedup over the URL survivors; survivors come
+    #    back as THIN ids (text never rides the dedup shuffle), and the
+    #    final corpus is one semi join of the original docs against
+    #    them (minhash survivors ⊆ url survivors)
     text_survivors = minhash_lsh_dedup(stage1)
     stage2 = hash_semi_join(stage1, text_survivors.select_columns(["doc_id"]), left_key="doc_id", right_key="doc_id")
 
