@@ -821,6 +821,21 @@ def q_logreg_embeddings(sf_dir: str):
     return logreg_score(ds, w)
 
 
+def q_bpe_tokenize_docs(sf_dir: str):
+    """BPE tokenizer learned ON the corpus, then applied to it: the
+    distributed part is the exact top-V word count (hash exchange +
+    per-partition top-V, driver state O(P·V)) and the encode pass (an
+    actor-pool stage — merge ranks load once per actor, a per-actor
+    memo caches encoded words); merge learning runs on the pruned
+    word-frequency table per the published algorithm (stages/bpe.py;
+    fixture oracle from the dict-counting plain reference)."""
+    from logstash_filter_elastic_integration_ray.stages.bpe import bpe_encode, train_bpe
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = train_bpe(docs, n_merges=200)
+    return bpe_encode(docs, merges)
+
+
 def _mod_filter(ds, col: str, mod: int, rem: int, keep_equal: bool):
     def fn(t: pa.Table) -> pa.Table:
         ids = t.column(col).to_numpy()
@@ -2216,6 +2231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_docs": q_perplexity_docs,
         "semdedup_docs": q_semdedup_docs,
         "logreg_embeddings": q_logreg_embeddings,
+        "bpe_tokenize_docs": q_bpe_tokenize_docs,
         "append_tags": q_append_tags,
         "remove_conditional": q_remove_conditional,
         "sort_path_parts": q_sort_path_parts,
@@ -2581,6 +2597,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "logreg_embeddings": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/logreg_embeddings.sf0_01.parquet')"
+        ),
+        "bpe_tokenize_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/bpe_tokenize_docs.sf0_01.parquet')"
         ),
         "decontaminate_docs": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "

@@ -376,6 +376,24 @@ def run_bench() -> dict:
 
     timed("logreg_16x", logreg_16x, reps=1)
 
+    def bpe_16x():
+        # learn merges on the base corpus (exact top-V word count +
+        # driver-side merge learning), actor-pool encode of the 16×
+        # corpus — the per-actor word memo makes steady-state encode a
+        # dict lookup per distinct word
+        from logstash_filter_elastic_integration_ray.stages.bpe import (
+            bpe_encode,
+            train_bpe,
+        )
+
+        base = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                                  columns=["doc_id", "text"])
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        merges = train_bpe(base, n_merges=200)
+        return bpe_encode(heavy, merges, concurrency=(2, NUM_CPUS // 2)).count()
+
+    timed("bpe_16x", bpe_16x, reps=1)
+
     def web_curation_chain():
         # the composed crawl-cleaning chain (examples/web_curation):
         # canonical-URL dedup → minhash near-dup dedup → quality gate →

@@ -1,0 +1,244 @@
+"""BPE tokenizer: distributed vocabulary learning + actor-pool encode.
+
+The published algorithm (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units"): BPE merges are learned
+from the WORD-FREQUENCY table, not the raw corpus — so the distributed
+work is (a) the exact corpus-wide word count and (b) the streaming
+encode pass, while merge learning itself runs on the pruned table
+(top-V words), which is vocabulary-sized by construction.  This is the
+same split HF/sentencepiece trainers use.
+
+Shape at 100 TB:
+
+- **Word count**: per-batch local ``np.unique`` counts → ONE hash
+  exchange co-partitions (word, count) rows by word → exact int64
+  partition sums.  A word's rows all land in one partition, so the
+  per-partition top-V by (count, word) is a superset-free exact
+  global top-V after the driver merges P×V rows — driver state O(P·V),
+  never the vocabulary.
+- **Merge learning**: O(n_merges · V · len) on the pruned table —
+  driver-side by published design (the table is top-V small).
+- **Encode**: a stateful ACTOR-POOL ``map_batches`` stage — merge
+  ranks load once per actor in ``__init__`` (broadcast via
+  ``ray.put``), and a per-actor memo caches encoded words across
+  batches (Zipf: the hot vocabulary dominates), so steady-state encode
+  cost is a dict lookup per distinct word.
+
+Determinism: counts are exact int64; the merge-selection tie-break is
+(count desc, pair lexicographically asc); encoding merges the
+lowest-rank adjacent pair first, left-to-right — all fully specified,
+so any batching/partitioning yields byte-identical output, and the
+fixture oracle's plain dict-counting reference must agree exactly.
+
+Tokenization contract: words split on single spaces (the repo-wide
+DuckDB ``string_split`` twin); each word ends with the ``</w>``
+end-of-word symbol per the published algorithm.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .aggregate import add_partition_col
+
+#: end-of-word marker (the published algorithm's word-boundary symbol)
+EOW = "</w>"
+
+
+# ---------------------------------------------------------------------------
+# pure definitional kernels (shared with the fixture reference)
+# ---------------------------------------------------------------------------
+
+def word_symbols(word: str) -> tuple[str, ...]:
+    """A word's initial symbol sequence: its characters + EOW."""
+    return tuple(word) + (EOW,)
+
+
+def learn_merges(word_freq: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over a word-frequency table.
+
+    Each round merges the most frequent adjacent symbol pair; ties
+    break by lexicographically smallest pair.  Stops early when no
+    pair remains.  Pure function of the table — both the engine and
+    the fixture reference call THIS."""
+    seqs: dict[str, list[str]] = {w: list(word_symbols(w)) for w in word_freq}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in word_freq.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for w in word_freq:
+            s = seqs[w]
+            if len(s) < 2:
+                continue
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with learned merges: repeatedly merge the
+    LOWEST-rank adjacent pair present (all its occurrences, left to
+    right) until no mergeable pair remains — the published inference
+    procedure."""
+    s = list(word_symbols(word))
+    while len(s) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(s) - 1):
+            r = ranks.get((s[i], s[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (s[i], s[i + 1])
+        if best_pair is None:
+            break
+        a, b = best_pair
+        ab = a + b
+        out, i = [], 0
+        while i < len(s):
+            if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                out.append(ab)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return s
+
+
+# ---------------------------------------------------------------------------
+# distributed word count → pruned table → merges
+# ---------------------------------------------------------------------------
+
+def _batch_word_counts(t: pa.Table, text_col: str) -> pa.Table:
+    col = t.column(text_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    toks = pc.split_pattern(pc.fill_null(col, ""), " ")
+    flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+    if len(flat) == 0:
+        return pa.table({"word": pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64())})
+    u, c = np.unique(flat, return_counts=True)
+    return pa.table({"word": pa.array(u, type=pa.string()),
+                     "cnt": pa.array(c.astype(np.int64))})
+
+
+def _topv_partition(df: pd.DataFrame, top_v: int, min_freq: int) -> pa.Table:
+    g = df.groupby("word", sort=False)["cnt"].sum().reset_index()
+    g = g[g["cnt"] >= min_freq]
+    g = g.sort_values(["cnt", "word"], ascending=[False, True],
+                      kind="mergesort").head(top_v)
+    return pa.table({"word": pa.array(g["word"].to_numpy(), type=pa.string()),
+                     "cnt": pa.array(g["cnt"].to_numpy(), type=pa.int64())})
+
+
+def corpus_word_freq(ds, *, top_v: int = 4096, min_freq: int = 1,
+                     text_col: str = "text",
+                     num_partitions: int = 32) -> dict[str, int]:
+    """Exact global top-V word-frequency table (ties: word asc)."""
+    counts = ds.map_batches(lambda t: _batch_word_counts(t, text_col),
+                            batch_format="pyarrow")
+    per_part = (
+        counts.map_batches(lambda b: add_partition_col(b, num_partitions, key="word"),
+                           batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(lambda df: _topv_partition(df, top_v, min_freq),
+                    batch_format="pandas")
+    )
+    rows = per_part.take_all()  # ≤ P × V rows, by construction
+    df = pd.DataFrame(rows)
+    if df.empty:
+        return {}
+    df = df.sort_values(["cnt", "word"], ascending=[False, True],
+                        kind="mergesort").head(top_v)
+    return dict(zip(df["word"], df["cnt"].astype(int)))
+
+
+def train_bpe(ds, *, n_merges: int = 200, top_v: int = 4096,
+              min_freq: int = 1, text_col: str = "text"):
+    """Distributed word count → driver-side merge learning → merge
+    list in the object store (``ObjectRef`` of list[(str, str)])."""
+    wf = corpus_word_freq(ds, top_v=top_v, min_freq=min_freq, text_col=text_col)
+    return ray.put(learn_merges(wf, n_merges))
+
+
+# ---------------------------------------------------------------------------
+# actor-pool encode
+# ---------------------------------------------------------------------------
+
+class BpeEncoder:
+    """Callable-class ``map_batches`` stage: merge ranks load ONCE per
+    actor; a per-actor memo caches encoded words across batches."""
+
+    def __init__(self, merges_ref, text_col: str = "text", id_col: str = "doc_id"):
+        merges = ray.get(merges_ref)
+        self.ranks = {p: i for i, p in enumerate(merges)}
+        self.text_col, self.id_col = text_col, id_col
+        self.memo: dict[str, list[str]] = {}
+
+    def _encode(self, word: str) -> list[str]:
+        got = self.memo.get(word)
+        if got is None:
+            got = self.memo[word] = encode_word(word, self.ranks)
+        return got
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t.column(self.text_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        toks = pc.split_pattern(pc.fill_null(col, ""), " ")
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten().to_pylist()
+        n_tok = np.zeros(len(flat), dtype=np.int64)
+        pieces: list[list[str]] = []
+        for i, w in enumerate(flat):
+            enc = self._encode(w)
+            n_tok[i] = len(enc)
+            pieces.append(enc)
+        # per-doc totals + the joined token string
+        starts = np.r_[0, np.cumsum(counts)]
+        totals = np.add.reduceat(n_tok, starts[:-1]) if len(flat) else np.zeros(0, np.int64)
+        totals = np.where(counts > 0, totals, 0)
+        joined = [
+            " ".join(tok for w in pieces[starts[d]:starts[d + 1]] for tok in w)
+            for d in range(t.num_rows)
+        ]
+        return pa.table({
+            self.id_col: t.column(self.id_col),
+            "n_bpe": pa.array(totals),
+            "bpe_text": pa.array(joined, type=pa.string()),
+        })
+
+
+def bpe_encode(ds, merges_ref, *, text_col: str = "text", id_col: str = "doc_id",
+               concurrency=(1, 8)):
+    """(id, n_bpe, bpe_text) per doc — stateful actor-pool stage.
+
+    ``concurrency`` is an autoscaling (min, max) pool like the enrich
+    stage: a fixed pool sized at the cluster's CPU count can reserve
+    every slot and starve the upstream read tasks on small clusters."""
+    return ds.map_batches(
+        BpeEncoder,
+        fn_constructor_kwargs={"merges_ref": merges_ref,
+                               "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

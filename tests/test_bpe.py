@@ -1,0 +1,122 @@
+"""Tests for the BPE tokenizer stage (stages/bpe.py): hand-computed
+merge learning, reference equality over sf0.001, batch/partition
+invariance, top-V pruning exactness, and encode edge cases."""
+
+import numpy as np
+import pyarrow as pa
+
+from logstash_filter_elastic_integration_ray.sources.io import read_parquet_clean
+from logstash_filter_elastic_integration_ray.stages.bpe import (
+    EOW,
+    BpeEncoder,
+    bpe_encode,
+    corpus_word_freq,
+    encode_word,
+    learn_merges,
+    train_bpe,
+    word_symbols,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestBpeKernels:
+    def test_word_symbols(self):
+        assert word_symbols("ab") == ("a", "b", EOW)
+
+    def test_learn_merges_hand_computed(self):
+        # "low" x5, "lower" x2: most frequent pair is (l, o) with 7
+        wf = {"low": 5, "lower": 2}
+        m = learn_merges(wf, 3)
+        assert m[0] == ("l", "o")
+        assert m[1] == ("lo", "w")  # "low" now [lo w </w>], pair (lo,w)=7
+        # round 3: "low" -> [low </w>] (5), "lower" -> [low e r </w>] (2)
+        assert m[2] == ("low", EOW)
+
+    def test_tie_break_lexicographic(self):
+        # "ab" and "cd" both appear once -> pairs (a,b),(b,</w>),(c,d),
+        # (d,</w>) all count 1; smallest pair lexicographically wins
+        m = learn_merges({"ab": 1, "cd": 1}, 1)
+        assert m[0] == ("a", "b")
+
+    def test_encode_applies_lowest_rank_first(self):
+        ranks = {("l", "o"): 0, ("lo", "w"): 1, ("low", EOW): 2}
+        assert encode_word("low", ranks) == ["low" + EOW]
+        assert encode_word("lower", ranks) == ["low", "e", "r", EOW]
+        assert encode_word("xyz", ranks) == ["x", "y", "z", EOW]
+
+    def test_encode_empty_word(self):
+        assert encode_word("", {}) == [EOW]
+
+    def test_learn_merges_exhausts_early(self):
+        # single 1-char word: only pair is (a, </w>); after merging it
+        # nothing remains
+        m = learn_merges({"a": 3}, 10)
+        assert m == [("a", EOW)]
+
+
+class TestBpeDistributed:
+    def _docs(self):
+        return read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+    def test_matches_reference(self, ray_session):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        ids, texts = ref.load_documents(SF)
+        exp = ref.bpe_reference(ids, texts, n_merges=120).sort_values(
+            "doc_id").reset_index(drop=True)
+        merges = train_bpe(self._docs(), n_merges=120)
+        got = (
+            bpe_encode(self._docs(), merges)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(exp)
+
+    def test_partition_invariance(self, ray_session):
+        import ray
+
+        m1 = ray.get(train_bpe(self._docs(), n_merges=60))
+        m2 = ray.get(train_bpe(self._docs().repartition(13), n_merges=60))
+        assert m1 == m2
+
+    def test_top_v_pruning_is_exact_global(self, ray_session):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        ids, texts = ref.load_documents(SF)
+        counts: dict = {}
+        for t in texts:
+            for w in (t or "").split(" "):
+                counts[w] = counts.get(w, 0) + 1
+        items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+        wf = corpus_word_freq(self._docs(), top_v=50)
+        assert wf == dict(items)
+
+    def test_encoder_memo_caches(self):
+        import ray
+
+        merges_ref = ray.put([("a", "b")])
+        enc = BpeEncoder(merges_ref)
+        t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                      "text": pa.array(["ab ab", "ab"], type=pa.string())})
+        out = enc(t)
+        assert out.column("n_bpe").to_pylist() == [4, 2]  # [ab, </w>] per word
+        assert out.column("bpe_text").to_pylist()[0] == f"ab {EOW} ab {EOW}"
+        assert "ab" in enc.memo and len(enc.memo) == 1
+
+    def test_null_text(self):
+        import ray
+
+        enc = BpeEncoder(ray.put([]))
+        t = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                      "text": pa.array([None], type=pa.string())})
+        out = enc(t)
+        # null -> "" -> [""] -> [</w>]: one token
+        assert out.column("n_bpe").to_pylist() == [1]

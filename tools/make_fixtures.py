@@ -58,6 +58,7 @@ def main() -> None:
         "perplexity_docs": ref.perplexity_reference(ids, texts),
         "semdedup_docs": ref.semdedup_docs_reference(sf_dir),
         "logreg_embeddings": ref.logreg_score_reference(sf_dir),
+        "bpe_tokenize_docs": ref.bpe_reference(ids, texts),
         "embedding_decontaminate_docs": ref.embedding_decontaminate_reference(sf_dir),
     }
     for name, df in tables.items():

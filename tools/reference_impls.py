@@ -788,3 +788,44 @@ def logreg_score_reference(sf_dir: str, *, n_iters: int = 20, lr: float = 1.0) -
     w = logreg_reference(x, y, n_iters=n_iters, lr=lr)
     p = sigmoid(margin(x, w))
     return pd.DataFrame({"vec_id": ids, "score": p, "pred": p >= 0.5})
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer — plain single-process reference: dict word counting
+# (independent of the engine's hash exchange + per-partition top-V),
+# shared definitional merge-learning / word-encode kernels
+# (stages/bpe.py:learn_merges/encode_word are pure functions of the
+# word-frequency table).
+# ---------------------------------------------------------------------------
+
+def bpe_reference(ids, texts, *, n_merges: int = 200, top_v: int = 4096,
+                  min_freq: int = 1) -> pd.DataFrame:
+    from logstash_filter_elastic_integration_ray.stages.bpe import (
+        encode_word,
+        learn_merges,
+    )
+
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in (t or "").split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    items = [(w, c) for w, c in counts.items() if c >= min_freq]
+    items.sort(key=lambda kv: (-kv[1], kv[0]))
+    wf = dict(items[:top_v])
+    ranks = {p: i for i, p in enumerate(learn_merges(wf, n_merges))}
+
+    memo: dict[str, list[str]] = {}
+
+    def enc(w: str) -> list[str]:
+        if w not in memo:
+            memo[w] = encode_word(w, ranks)
+        return memo[w]
+
+    n_bpe, joined = [], []
+    for t in texts:
+        toks = [enc(w) for w in (t or "").split(" ")]
+        n_bpe.append(sum(len(x) for x in toks))
+        joined.append(" ".join(p for x in toks for p in x))
+    return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                         "n_bpe": np.asarray(n_bpe, dtype=np.int64),
+                         "bpe_text": joined})
