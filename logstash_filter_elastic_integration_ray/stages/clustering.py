@@ -262,12 +262,39 @@ def _semdedup_group(df, eps_int: int, id_col: str):
             x = parent[x]
         return x
 
-    for i in range(g - 1):
-        dots = nq[i + 1 :] @ nq[i]  # exact int64
-        for j in np.flatnonzero(dots >= eps_int):
-            ra, rb = find(i), find(int(i + 1 + j))
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
+    def union(a: int, b: int) -> None:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    # identical-vector collapse (the minhash identical-signature idiom):
+    # duplicate-heavy corpora put many IDENTICAL nq rows in one
+    # cluster; members share every edge with their representative, so
+    # pair-testing runs over distinct vectors only — exactly all-pairs
+    # semantics: a member joins its rep's component iff the self-dot
+    # clears eps (the intra-group edges) OR the rep has any eps-edge
+    # (the member holds the identical edge to that neighbor).
+    vord = np.lexsort(tuple(nq[:, c] for c in range(nq.shape[1] - 1, -1, -1)))
+    vs = nq[vord]
+    new_grp = np.r_[True, (vs[1:] != vs[:-1]).any(axis=1)]
+    rep_pos = vord[new_grp]          # first (min-id) member per distinct vector
+    grp_id = np.cumsum(new_grp) - 1  # distinct-vector index per sorted row
+    r = len(rep_pos)
+    reps = nq[rep_pos]
+    rep_deg = np.zeros(r, dtype=bool)
+    for i in range(r - 1):
+        dots = reps[i + 1 :] @ reps[i]  # exact int64
+        hits = np.flatnonzero(dots >= eps_int)
+        if len(hits):
+            rep_deg[i] = True
+            rep_deg[i + 1 + hits] = True
+            for j in hits:
+                union(rep_pos[i], int(rep_pos[i + 1 + j]))
+    self_ok = np.einsum("rd,rd->r", reps, reps) >= eps_int
+    attach = self_ok | rep_deg
+    for pos, gi in zip(vord, grp_id):
+        if attach[gi] and pos != rep_pos[gi]:
+            union(int(rep_pos[gi]), int(pos))
     roots = np.fromiter((find(int(i)) for i in range(g)), dtype=np.int64, count=g)
     # keeper per component: largest dist2, then smallest id (ids are
     # sorted ascending, so lexsort by (-dist2) within root and take
@@ -284,7 +311,15 @@ def semdedup(ds, *, k: int = 8, n_iters: int = 8, eps: float = 0.9,
              id_col: str = "vec_id", emb_col: str = "embedding"):
     """(id, cluster, keep) per row: k-means fit + assign, then
     within-cluster exact-integer near-dup components; each component
-    keeps its farthest-from-centroid member."""
+    keeps its farthest-from-centroid member.
+
+    The input is materialized first: the k-means loop consumes it
+    n_iters+1 times and the assignment pass once more, so a lazy
+    composed upstream (e.g. a text-feature embedding stage) would
+    re-execute per consumption — the iterative-loop-state idiom
+    (object-store spill beats recompute; rows here are thin id+vector
+    rows, not text)."""
+    ds = ds.materialize()
     cent_int = kmeans_fit(ds, k=k, n_iters=n_iters, id_col=id_col, emb_col=emb_col)
     cent_ref = ray.put(cent_int)
     eps_int = eps_q(eps)
