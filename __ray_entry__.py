@@ -836,6 +836,21 @@ def q_bpe_tokenize_docs(sf_dir: str):
     return bpe_encode(docs, merges)
 
 
+def q_bpe_pack_docs(sf_dir: str):
+    """Composition: the learned BPE tokenizer feeds sequence packing —
+    docs are packed into 256-token context windows by their BPE token
+    counts (not whitespace counts), via the same distributed ordered
+    prefix sum (stages/bpe.py → stages/corpus.py:pack_rows).  Oracle:
+    the pack_docs window SQL over the pinned bpe fixture's n_bpe."""
+    from logstash_filter_elastic_integration_ray.stages.bpe import bpe_encode, train_bpe
+    from logstash_filter_elastic_integration_ray.stages.corpus import pack_rows
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = train_bpe(docs, n_merges=200)
+    sized = bpe_encode(docs, merges).select_columns(["doc_id", "n_bpe"])
+    return pack_rows(sized, cap=256, n_col="n_bpe")
+
+
 def _mod_filter(ds, col: str, mod: int, rem: int, keep_equal: bool):
     def fn(t: pa.Table) -> pa.Table:
         ids = t.column(col).to_numpy()
@@ -2232,6 +2247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_docs": q_semdedup_docs,
         "logreg_embeddings": q_logreg_embeddings,
         "bpe_tokenize_docs": q_bpe_tokenize_docs,
+        "bpe_pack_docs": q_bpe_pack_docs,
         "append_tags": q_append_tags,
         "remove_conditional": q_remove_conditional,
         "sort_path_parts": q_sort_path_parts,
@@ -2600,6 +2616,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_tokenize_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/bpe_tokenize_docs.sf0_01.parquet')"
+        ),
+        "bpe_pack_docs": (
+            "WITH t AS (SELECT doc_id, n_bpe AS n FROM read_parquet("
+            f"'{_REPO_DIR}/fixtures/bpe_tokenize_docs.sf0_01.parquet')), "
+            "o AS (SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS off FROM t), "
+            "b AS (SELECT doc_id, n, off, "
+            "  unnest(generate_series(off // 256, (off + n - 1) // 256)) AS bin FROM o) "
+            "SELECT doc_id, CAST(bin AS BIGINT) AS bin, "
+            "CAST(greatest(0, bin*256 - off) AS BIGINT) AS tok_start, "
+            "CAST(least(n, (bin+1)*256 - off) AS BIGINT) AS tok_end, "
+            "CAST(least(n, (bin+1)*256 - off) - greatest(0, bin*256 - off) AS BIGINT) AS n_toks "
+            "FROM b"
         ),
         "decontaminate_docs": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "

@@ -290,6 +290,25 @@ def pack_docs(ds, *, cap: int = 256, num_partitions: int = 32,
         return pa.table({id_col: t.column(id_col), "n": pa.array(counts)})
 
     sized = ds.map_batches(tok_counts, batch_format="pyarrow")
+    return pack_rows(sized, cap=cap, num_partitions=num_partitions,
+                     id_col=id_col, n_col="n", bounds=bounds)
+
+
+def pack_rows(sized, *, cap: int = 256, num_partitions: int = 32,
+              id_col: str = "doc_id", n_col: str = "n",
+              bounds: tuple[int, int] | None = None):
+    """:func:`pack_docs` over PRE-COMPUTED per-doc token counts — the
+    composition seam for learned tokenizers (e.g. pack by
+    ``stages/bpe.py`` token counts instead of whitespace splits).
+    ``sized`` rows are (id, count); same ordered-prefix-sum + explode
+    machinery, same output schema."""
+    if n_col != "n":
+        def ren(t: pa.Table) -> pa.Table:
+            return pa.table({id_col: t.column(id_col), "n": t.column(n_col)})
+
+        sized = sized.map_batches(ren, batch_format="pyarrow")
+    else:
+        sized = sized.select_columns([id_col, "n"])
     with_off = ordered_prefix_sum(
         sized, order_col=id_col, val_col="n",
         num_partitions=num_partitions, bounds=bounds,

@@ -120,3 +120,54 @@ class TestBpeDistributed:
         out = enc(t)
         # null -> "" -> [""] -> [</w>]: one token
         assert out.column("n_bpe").to_pylist() == [1]
+
+
+class TestBpePack:
+    def test_pack_rows_equals_pack_docs_on_whitespace_counts(self, ray_session):
+        """pack_rows is the same machinery as pack_docs — feeding it
+        whitespace counts must reproduce pack_docs exactly."""
+        import pyarrow.compute as pc
+
+        from logstash_filter_elastic_integration_ray.stages.corpus import (
+            pack_docs,
+            pack_rows,
+        )
+
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+        def count(t: pa.Table) -> pa.Table:
+            n = pc.fill_null(
+                pc.list_value_length(pc.split_pattern(t.column("text"), " ")), 0
+            ).cast(pa.int64())
+            return pa.table({"doc_id": t.column("doc_id"), "n_tok": n})
+
+        a = pack_docs(docs, cap=256).to_pandas().sort_values(
+            ["doc_id", "bin"]).reset_index(drop=True)
+        b = pack_rows(docs.map_batches(count, batch_format="pyarrow"),
+                      cap=256, n_col="n_tok").to_pandas().sort_values(
+            ["doc_id", "bin"]).reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_bpe_pack_windows_are_exact(self, ray_session):
+        """Every 256-token window of the BPE-packed stream is full
+        except the last, and per-doc slices cover each doc exactly."""
+        from logstash_filter_elastic_integration_ray.stages.bpe import (
+            bpe_encode,
+            train_bpe,
+        )
+        from logstash_filter_elastic_integration_ray.stages.corpus import pack_rows
+
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        merges = train_bpe(docs, n_merges=60)
+        sized = bpe_encode(docs, merges).select_columns(["doc_id", "n_bpe"])
+        out = pack_rows(sized, cap=256, n_col="n_bpe").to_pandas()
+        per_bin = out.groupby("bin")["n_toks"].sum().sort_index()
+        assert (per_bin.iloc[:-1] == 256).all()
+        assert 0 < per_bin.iloc[-1] <= 256
+        # per-doc coverage: slices tile [0, n_doc)
+        g = out.sort_values(["doc_id", "bin"]).groupby("doc_id")
+        assert (g["tok_start"].first() == 0).all()
+        assert (out.groupby("doc_id")
+                   .apply(lambda d: (d["tok_end"].iloc[:-1].to_numpy()
+                                     == d["tok_start"].iloc[1:].to_numpy()).all(),
+                          include_groups=False)).all()
