@@ -395,9 +395,12 @@ def run_bench() -> dict:
     timed("bpe_16x", bpe_16x, reps=1)
 
     def web_curation_chain():
-        # the composed crawl-cleaning chain (examples/web_curation):
-        # canonical-URL dedup → minhash near-dup dedup → quality gate →
-        # RAG chunking — measures operator COMPOSITION, not one stage
+        # a composed crawl-cleaning chain: canonical-URL dedup →
+        # minhash near-dup dedup → quality gate → RAG chunking —
+        # measures operator COMPOSITION, not one stage.  Same stage
+        # sequence as examples/web_curation/run.py but NOT the same
+        # pipeline: bench-tuned URL modulus/gate and no shard-write
+        # tail (the number is this chain's, not the example's)
         import pyarrow as pa2
         import pyarrow.compute as pc2
 

@@ -189,6 +189,12 @@ class BpeEncoder:
     """Callable-class ``map_batches`` stage: merge ranks load ONCE per
     actor; a per-actor memo caches encoded words across batches."""
 
+    #: memo cap — web-corpus "words" (urls, hashes, numbers) grow with
+    #: corpus size rather than Zipf-saturating, so an unbounded cache
+    #: would exhaust a long-lived actor; on overflow the cache resets
+    #: (the hot vocabulary repopulates within a batch or two)
+    MEMO_CAP = 1_000_000
+
     def __init__(self, merges_ref, text_col: str = "text", id_col: str = "doc_id"):
         merges = ray.get(merges_ref)
         self.ranks = {p: i for i, p in enumerate(merges)}
@@ -198,6 +204,8 @@ class BpeEncoder:
     def _encode(self, word: str) -> list[str]:
         got = self.memo.get(word)
         if got is None:
+            if len(self.memo) >= self.MEMO_CAP:
+                self.memo.clear()
             got = self.memo[word] = encode_word(word, self.ranks)
         return got
 

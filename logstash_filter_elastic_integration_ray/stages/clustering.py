@@ -228,10 +228,7 @@ def kmeans_reference(m: np.ndarray, *, k: int = 8, n_iters: int = 8) -> tuple[np
 # ties keep the smallest id.
 # ---------------------------------------------------------------------------
 
-def _normalize_rows(m: np.ndarray) -> np.ndarray:
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return m / norms
+from .similarity import _normalize as _normalize_rows  # noqa: E402 — zero-norm guard + row division, single definition
 
 
 def eps_q(eps: float) -> int:

@@ -98,7 +98,13 @@ def logreg_fit(ds, *, label_fn, n_iters: int = 20, lr: float = 1.0,
     ``label_fn(batch) -> float64 {0,1} array`` derives the target from
     the batch (a column read or a deterministic rule), so the label
     never needs a separate shuffle-joined table.
+
+    The input is materialized first (the iterative-loop-state idiom,
+    same as :func:`stages.clustering.semdedup`): the loop consumes it
+    ``n_iters`` times, and a lazy composed upstream would re-execute
+    its whole lineage per gradient step.
     """
+    ds = ds.materialize()
     w = None
 
     for _ in range(n_iters):
