@@ -201,12 +201,14 @@ class BpeEncoder:
         self.text_col, self.id_col = text_col, id_col
         self.memo: dict[str, list[str]] = {}
 
-    def _encode(self, word: str) -> list[str]:
+    def _encode(self, word: str) -> tuple[str, int]:
+        """(joined piece string, piece count) for one word, memoized."""
         got = self.memo.get(word)
         if got is None:
             if len(self.memo) >= self.MEMO_CAP:
                 self.memo.clear()
-            got = self.memo[word] = encode_word(word, self.ranks)
+            enc = encode_word(word, self.ranks)
+            got = self.memo[word] = (" ".join(enc), len(enc))
         return got
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -214,25 +216,36 @@ class BpeEncoder:
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         toks = pc.split_pattern(pc.fill_null(col, ""), " ")
         counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = toks.flatten().to_pylist()
-        n_tok = np.zeros(len(flat), dtype=np.int64)
-        pieces: list[list[str]] = []
-        for i, w in enumerate(flat):
-            enc = self._encode(w)
-            n_tok[i] = len(enc)
-            pieces.append(enc)
-        # per-doc totals + the joined token string
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return pa.table({
+                self.id_col: t.column(self.id_col),
+                "n_bpe": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "bpe_text": pa.array([""] * t.num_rows, type=pa.string()),
+            })
+        # encode each DISTINCT word once per batch (dictionary-encode the
+        # flat token array), then rebuild per-token rows by vectorized
+        # take — the per-token Python loop was the single-actor
+        # throughput cap (profiled 2× slower than this shape)
+        de = flat.dictionary_encode()
+        indices = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        words = de.dictionary.to_pylist()
+        piece_strs = np.empty(len(words), dtype=object)
+        piece_ns = np.empty(len(words), dtype=np.int64)
+        for k, w in enumerate(words):
+            piece_strs[k], piece_ns[k] = self._encode(w)
+        flat_n = piece_ns[indices]
         starts = np.r_[0, np.cumsum(counts)]
-        totals = np.add.reduceat(n_tok, starts[:-1]) if len(flat) else np.zeros(0, np.int64)
+        totals = np.add.reduceat(flat_n, starts[:-1])
         totals = np.where(counts > 0, totals, 0)
-        joined = [
-            " ".join(tok for w in pieces[starts[d]:starts[d + 1]] for tok in w)
-            for d in range(t.num_rows)
-        ]
+        # per-doc join via one Arrow kernel over the rebuilt list array
+        flat_pieces = pa.array(piece_strs[indices], type=pa.string())
+        la = pa.ListArray.from_arrays(toks.offsets, flat_pieces)
+        joined = pc.binary_join(la, " ")
         return pa.table({
             self.id_col: t.column(self.id_col),
             "n_bpe": pa.array(totals),
-            "bpe_text": pa.array(joined, type=pa.string()),
+            "bpe_text": joined,
         })
 
 
