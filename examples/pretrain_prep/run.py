@@ -1,0 +1,104 @@
+"""Runnable pretraining-data preparation example — the round-4
+model/tokenizer tier composed the way a pretraining corpus job would
+run end to end:
+
+    read documents →
+    perplexity gate (bigram LM trained on the curated slice — the
+      CCNet recipe: keep docs the reference LM finds predictable) →
+    SemDeDup (k-means-bounded semantic near-dup removal over
+      text-feature embeddings) →
+    learn a BPE tokenizer on the survivors (distributed top-V word
+      count + merge learning) →
+    encode + pack into fixed-size context windows by LEARNED token
+      counts →
+    write the packed-window manifest as parquet
+
+Usage (any scale factor):
+
+    python examples/pretrain_prep/run.py [sf_dir] [out_dir]
+
+Defaults: /root/testdata/sf0.001 → /tmp/pretrain_prep_out.  Every
+building block is oracle-checked by a driver query
+(``perplexity_docs`` / ``semdedup_docs`` / ``bpe_tokenize_docs`` /
+``bpe_pack_docs``).
+"""
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import pyarrow as pa
+
+
+def main(sf_dir: str, out_dir: str) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+    from logstash_filter_elastic_integration_ray.sources.io import read_parquet_clean
+    from logstash_filter_elastic_integration_ray.stages.bpe import bpe_encode, train_bpe
+    from logstash_filter_elastic_integration_ray.stages.clustering import semdedup
+    from logstash_filter_elastic_integration_ray.stages.corpus import pack_rows
+    from logstash_filter_elastic_integration_ray.stages.joins import hash_semi_join
+    from logstash_filter_elastic_integration_ray.stages.lm import (
+        perplexity_score,
+        train_bigram_lm,
+    )
+    from logstash_filter_elastic_integration_ray.stages.similarity import (
+        text_feature_embedding_batch,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    # 1. perplexity gate: LM trained on the curated slice (doc_id % 5
+    #    == 0 stands in for Wikipedia), everything else scored in one
+    #    streaming pass; keep the most-predictable 80%
+    def side(eq):
+        def fn(t: pa.Table) -> pa.Table:
+            m = (t.column("doc_id").to_numpy() % 5 == 0) == eq
+            return t.filter(pa.array(m))
+
+        return fn
+
+    lm = train_bigram_lm(docs.map_batches(side(True), batch_format="pyarrow"))
+    scored = perplexity_score(
+        docs.map_batches(side(False), batch_format="pyarrow"), lm
+    ).materialize()
+    cut = scored.to_pandas()["logppl"].quantile(0.8)
+    keep_ids = scored.filter(lambda r: r["logppl"] <= cut).select_columns(["doc_id"])
+    gated = hash_semi_join(docs, keep_ids, left_key="doc_id", right_key="doc_id")
+    n1 = gated.materialize().count()
+    print(f"perplexity gate: kept {n1} docs (logppl <= {cut:.2f})")
+
+    # 2. SemDeDup over text-feature embeddings of the gated corpus
+    emb = gated.map_batches(text_feature_embedding_batch, batch_format="pyarrow")
+    sd = semdedup(emb, id_col="doc_id", eps=0.9)
+    surv_ids = sd.filter(lambda r: r["keep"]).select_columns(["doc_id"])
+    corpus = hash_semi_join(gated, surv_ids, left_key="doc_id",
+                            right_key="doc_id").materialize()
+    print(f"semdedup: kept {corpus.count()} docs")
+
+    # 3. learn the tokenizer ON the cleaned corpus, then encode it
+    merges = train_bpe(corpus, n_merges=200)
+    sized = bpe_encode(corpus, merges).select_columns(["doc_id", "n_bpe"])
+
+    # 4. pack into 256-token context windows by LEARNED token counts
+    packed = pack_rows(sized, cap=256, n_col="n_bpe")
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    packed.write_parquet(out_dir)
+    out = read_parquet_clean(out_dir)
+    n_windows = out.to_pandas()["bin"].nunique()
+    print(f"packed {out.count()} (doc, window) rows into {n_windows} "
+          f"256-token context windows -> {out_dir}")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/pretrain_prep_out"
+    main(sf, out)
