@@ -150,3 +150,158 @@ def test_conv_partial_merge_invariant(rows, split_at):
         .to_pandas().sort_values("conv_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(merged, single)
+
+
+# ---------------------------------------------------------------------------
+# round-4 second-session kernels: BPE, Stupid-Backoff LM, SemDeDup group
+# ---------------------------------------------------------------------------
+
+_corpus_words = st.text(alphabet="abcde", min_size=0, max_size=6)
+
+
+@given(st.lists(st.tuples(_corpus_words, st.integers(1, 9)),
+                min_size=1, max_size=12),
+       st.integers(0, 30))
+@settings(max_examples=60, deadline=None)
+def test_bpe_training_segmentation_matches_encode(pairs, n_merges):
+    """Encoding a TRAINING word with the learned ranks reproduces the
+    segmentation the trainer itself arrived at (the published BPE
+    inference/training consistency property), and token pieces always
+    reassemble the original word."""
+    from logstash_filter_elastic_integration_ray.stages.bpe import (
+        EOW,
+        encode_word,
+        learn_merges,
+    )
+
+    wf = {}
+    for w, c in pairs:
+        wf[w] = wf.get(w, 0) + c
+    merges = learn_merges(wf, n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in wf:
+        enc = encode_word(w, ranks)
+        assert "".join(enc) == w + EOW
+
+
+@given(st.lists(st.lists(_corpus_words, min_size=0, max_size=8),
+                min_size=1, max_size=10),
+       st.lists(st.lists(_corpus_words, min_size=0, max_size=8),
+                min_size=1, max_size=6))
+@settings(max_examples=60, deadline=None)
+def test_lm_score_matches_string_dict_reference(score_docs, train_docs):
+    """The vectorized hash-keyed scorer equals a string-keyed plain
+    implementation of the identical Stupid-Backoff formula on random
+    corpora (collision odds are negligible at this size)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from logstash_filter_elastic_integration_ray.stages.decontam import (
+        flat_token_hashes,
+        gram_hashes,
+    )
+    from logstash_filter_elastic_integration_ray.stages.lm import (
+        ALPHA,
+        BigramLM,
+        _count_table,
+        _score_arrays,
+    )
+
+    train_texts = [" ".join(d) for d in train_docs]
+    score_texts = [" ".join(d) for d in score_docs]
+    col = pa.array(train_texts, type=pa.string())
+    fh, counts = flat_token_hashes(col)
+    bh, _ = gram_hashes(fh, counts, 2)
+    uh, uc = _count_table(fh)
+    bhh, bc = _count_table(bh)
+    lm = BigramLM(uh, uc, bhh, bc, int(len(fh)))
+    sfh, scounts = flat_token_hashes(pa.array(score_texts, type=pa.string()))
+    got = _score_arrays(lm, sfh, scounts)
+
+    # plain string-dict twin
+    uni, bi, n_total = {}, {}, 0
+    for t in train_texts:
+        toks = t.split(" ")
+        n_total += len(toks)
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    n = np.float64(max(n_total, 1))
+    for row, t in enumerate(score_texts):
+        toks = t.split(" ")
+        s = np.empty(len(toks))
+        for j, w in enumerate(toks):
+            cu = np.float64(uni.get(w, 0))
+            su = cu / n if cu > 0 else np.float64(ALPHA) / n
+            if j == 0:
+                s[j] = su
+            else:
+                cp = np.float64(uni.get(toks[j - 1], 0))
+                cb = np.float64(bi.get((toks[j - 1], w), 0))
+                s[j] = cb / cp if (cb > 0 and cp > 0) else np.float64(ALPHA) * su
+        exp = float(-np.add.reduceat(np.log2(s), [0])[0] / np.float64(len(toks)))
+        assert got[row] == exp
+
+
+@given(st.integers(2, 24), st.integers(1, 5), st.floats(0.5, 0.99),
+       st.integers(0, 2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_semdedup_group_equals_all_pairs(n, dups, eps, seed):
+    """The identical-vector-collapse group kernel equals brute-force
+    all-pairs union-find + keeper selection, including corpora where
+    every vector appears `dups` times."""
+    import numpy as np
+    import pandas as pd
+
+    from logstash_filter_elastic_integration_ray.stages.clustering import (
+        _semdedup_group,
+        eps_q,
+    )
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(-(1 << 20), 1 << 20, size=(n, 4), dtype=np.int64)
+    nq = np.repeat(base, dups, axis=0)
+    g = len(nq)
+    ids = np.arange(g, dtype=np.int64) * 7 + 3
+    dist2 = rng.integers(0, 1 << 30, size=g).astype(np.int64)
+    # identical vectors must carry identical dist2 (they are the same
+    # point); enforce by recomputing per base row
+    dist2 = np.repeat(dist2[:n], dups)[:g]
+    eps_int = eps_q(eps)
+
+    df = pd.DataFrame({"vec_id": ids, "cluster": np.zeros(g, dtype=np.int64),
+                       "dist2": dist2, "nq": [r for r in nq]})
+    got = pa_sort(_semdedup_group(df, eps_int, "vec_id"))
+
+    # brute force
+    parent = list(range(g))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    order = np.argsort(ids, kind="mergesort")
+    sid, snq, sd2 = ids[order], nq[order], dist2[order]
+    for i in range(g):
+        for j in range(i + 1, g):
+            if int(snq[i] @ snq[j]) >= eps_int:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in range(g):
+        comp.setdefault(find(i), []).append(i)
+    keep = np.zeros(g, dtype=bool)
+    for members in comp.values():
+        best = max(members, key=lambda p: (int(sd2[p]), -int(sid[p])))
+        keep[best] = True
+    exp = pa_sort(pd.DataFrame({"vec_id": sid, "cluster": 0, "keep": keep}))
+    assert (got["vec_id"].to_numpy() == exp["vec_id"].to_numpy()).all()
+    assert (got["keep"].to_numpy() == exp["keep"].to_numpy()).all()
+
+
+def pa_sort(df):
+    return df.sort_values("vec_id").reset_index(drop=True)
