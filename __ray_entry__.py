@@ -851,6 +851,30 @@ def q_bpe_pack_docs(sf_dir: str):
     return pack_rows(sized, cap=256, n_col="n_bpe")
 
 
+def q_softmax_embeddings(sf_dir: str):
+    """Multiclass softmax regression over the embeddings table's 10
+    real classes — the same broadcast + quantized-int64
+    partial-gradient machinery as the binary classifier, one (K, d+1)
+    int64 blob per batch per step; fit and scores bit-identical under
+    any batching (stages/logreg.py:softmax_fit; fixture oracle from
+    the single-process reference trainer)."""
+    import numpy as np
+
+    from logstash_filter_elastic_integration_ray.stages.logreg import (
+        softmax_fit,
+        softmax_score,
+    )
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+
+    def label_fn(b):
+        return b.column("label").to_numpy().astype(np.int64)
+
+    w = softmax_fit(ds, n_classes=10, label_fn=label_fn, n_iters=15, lr=2.0)
+    return softmax_score(ds, w)
+
+
 def _mod_filter(ds, col: str, mod: int, rem: int, keep_equal: bool):
     def fn(t: pa.Table) -> pa.Table:
         ids = t.column(col).to_numpy()
@@ -2248,6 +2272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_embeddings": q_logreg_embeddings,
         "bpe_tokenize_docs": q_bpe_tokenize_docs,
         "bpe_pack_docs": q_bpe_pack_docs,
+        "softmax_embeddings": q_softmax_embeddings,
         "append_tags": q_append_tags,
         "remove_conditional": q_remove_conditional,
         "sort_path_parts": q_sort_path_parts,
@@ -2613,6 +2638,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "logreg_embeddings": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/logreg_embeddings.sf0_01.parquet')"
+        ),
+        "softmax_embeddings": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/softmax_embeddings.sf0_01.parquet')"
         ),
         "bpe_tokenize_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/bpe_tokenize_docs.sf0_01.parquet')"

@@ -161,3 +161,104 @@ def logreg_reference(x: np.ndarray, y: np.ndarray, *, n_iters: int = 20,
         grad = g_int.astype(np.float64) / _GSCALE / np.float64(max(len(y), 1))
         w = w - np.float64(lr) * grad
     return w
+
+
+# ---------------------------------------------------------------------------
+# multiclass softmax regression — same broadcast + quantized-int64
+# partial-gradient machinery, K classes at once.  The gradient batch
+# row is one (K, d+1) int64 blob; everything else mirrors the binary
+# path (and shares its determinism contract).
+# ---------------------------------------------------------------------------
+
+def softmax_probs(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """(n, K) class probabilities.  ``w`` is (K, d+1), bias last.
+    ``einsum`` with default optimize=False keeps the reduction a
+    sequential C loop (no BLAS-threading variance); the per-row
+    max-shift + K-term sum have fixed evaluation order."""
+    z = np.einsum("nd,kd->nk", x, w[:, :-1]) + w[None, :, -1]
+    z = z - z.max(axis=1, keepdims=True)
+    e = np.exp(z)
+    return e / e.sum(axis=1, keepdims=True)
+
+
+def softmax_grad_partial_int(x: np.ndarray, y: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """One batch's quantized partial gradient, flattened (K*(d+1),)
+    int64 — per-sample residuals ``p_ik - 1[y_i = k]`` quantized
+    against each feature before the exact integer sum."""
+    k = w.shape[0]
+    p = softmax_probs(x, w)
+    r = p.copy()
+    r[np.arange(len(y)), y.astype(np.int64)] -= 1.0
+    # quantize per (sample, class, feature) BEFORE summing: build the
+    # (n, k, d+1) contributions in chunks to bound memory
+    out = np.zeros((k, x.shape[1] + 1), dtype=np.int64)
+    chunk = max(1, (1 << 22) // max(1, k * (x.shape[1] + 1)))
+    for s in range(0, x.shape[0], chunk):
+        rs, xs = r[s:s + chunk], x[s:s + chunk]
+        contrib = rs[:, :, None] * np.concatenate(
+            [xs, np.ones((len(xs), 1))], axis=1)[:, None, :]
+        out += np.rint(contrib * _GSCALE).astype(np.int64).sum(axis=0)
+    return out.reshape(-1)
+
+
+def softmax_fit(ds, *, n_classes: int, label_fn, n_iters: int = 20, lr: float = 1.0,
+                emb_col: str = "embedding") -> np.ndarray:
+    """Full-batch softmax GD; returns (K, d+1) weights.  ``label_fn``
+    maps a batch to int class ids in [0, n_classes)."""
+    ds = ds.materialize()
+    w = None
+
+    for _ in range(n_iters):
+        w_ref = ray.put(w)
+
+        def batch_grad(batch: pa.Table) -> pa.Table:
+            x = _to_matrix(batch.column(emb_col))
+            cur = ray.get(w_ref)
+            if cur is None:
+                cur = np.zeros((n_classes, x.shape[1] + 1), dtype=np.float64)
+            y = np.asarray(label_fn(batch), dtype=np.int64)
+            return _pack_grad(softmax_grad_partial_int(x, y, cur), x.shape[0])
+
+        from .sketches import _tree_merge
+
+        partials = ds.map_batches(batch_grad, batch_format="pyarrow")
+        g_int, n_total = None, 0
+        for row in _tree_merge(partials, _merge_grad_batch).take_all():
+            v = np.frombuffer(row["g"], dtype=np.int64)
+            g_int = v.copy() if g_int is None else g_int + v
+            n_total += row["n"]
+        d1 = len(g_int) // n_classes
+        if w is None:
+            w = np.zeros((n_classes, d1), dtype=np.float64)
+        grad = g_int.reshape(n_classes, d1).astype(np.float64) / _GSCALE / np.float64(max(n_total, 1))
+        w = w - np.float64(lr) * grad
+    return w
+
+
+def softmax_score(ds, w: np.ndarray, *, id_col: str = "vec_id",
+                  emb_col: str = "embedding"):
+    """(id, pred, p_max) per row — argmax class (first-max tie-break)."""
+    w_ref = ray.put(w)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = _to_matrix(batch.column(emb_col))
+        p = softmax_probs(x, ray.get(w_ref))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "pred": pa.array(np.argmax(p, axis=1).astype(np.int64)),
+            "p_max": pa.array(p.max(axis=1)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def softmax_reference(x: np.ndarray, y: np.ndarray, *, n_classes: int,
+                      n_iters: int = 20, lr: float = 1.0) -> np.ndarray:
+    """Single-process twin of :func:`softmax_fit` (int64 partial sums
+    are associative, so one-shot summation equals the tree merge)."""
+    w = np.zeros((n_classes, x.shape[1] + 1), dtype=np.float64)
+    for _ in range(n_iters):
+        g_int = softmax_grad_partial_int(x, np.asarray(y, dtype=np.int64), w)
+        grad = g_int.reshape(n_classes, -1).astype(np.float64) / _GSCALE / np.float64(max(len(y), 1))
+        w = w - np.float64(lr) * grad
+    return w

@@ -974,3 +974,64 @@ class TestLogReg:
         w = logreg_fit(self._ds(), label_fn=self._label_fn(), n_iters=5)
         s = logreg_score(self._ds(), w).to_pandas()["score"].to_numpy()
         assert ((s > 0) & (s < 1)).all() and np.isfinite(s).all()
+
+
+class TestSoftmax:
+    """Multiclass softmax regression (stages/logreg.py): same exact
+    int64 gradient-quantization contract as the binary path."""
+
+    def _ds(self):
+        return read_parquet_clean(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+        )
+
+    def _label_fn(self):
+        def fn(b):
+            return b.column("label").to_numpy().astype(np.int64)
+
+        return fn
+
+    def test_fit_matches_reference_and_is_batch_invariant(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from logstash_filter_elastic_integration_ray.stages.logreg import (
+            softmax_fit,
+            softmax_reference,
+        )
+
+        w = softmax_fit(self._ds(), n_classes=10, label_fn=self._label_fn(), n_iters=8)
+        w2 = softmax_fit(self._ds().repartition(9), n_classes=10,
+                         label_fn=self._label_fn(), n_iters=8)
+        assert (w == w2).all()
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        order = np.argsort(t.column("vec_id").to_numpy(), kind="stable")
+        x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[order]
+        y = t.column("label").to_numpy()[order].astype(np.int64)
+        assert (w == softmax_reference(x, y, n_classes=10, n_iters=8)).all()
+
+    def test_probs_sum_to_one_and_beats_chance_on_separable(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.logreg import (
+            softmax_fit,
+            softmax_probs,
+            softmax_score,
+        )
+
+        # separable 4-class target: sign pattern of the first two dims
+        def sep(b):
+            m = np.asarray(b.column("embedding").to_pylist(), dtype=np.float64)
+            return ((m[:, 0] > 0) * 2 + (m[:, 1] > 0)).astype(np.int64)
+
+        ds = self._ds()
+        w = softmax_fit(ds, n_classes=4, label_fn=sep, n_iters=40, lr=4.0)
+        got = softmax_score(ds, w).to_pandas()
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        truth = dict(zip(t.column("vec_id").to_numpy(),
+                         (m[:, 0] > 0) * 2 + (m[:, 1] > 0)))
+        acc = np.mean([truth[i] == p for i, p in zip(got["vec_id"], got["pred"])])
+        assert acc > 0.8
+        p = softmax_probs(m, w)
+        assert np.allclose(p.sum(axis=1), 1.0)
+        assert (got["p_max"].to_numpy() <= 1.0).all()

@@ -59,6 +59,7 @@ def main() -> None:
         "semdedup_docs": ref.semdedup_docs_reference(sf_dir),
         "logreg_embeddings": ref.logreg_score_reference(sf_dir),
         "bpe_tokenize_docs": ref.bpe_reference(ids, texts),
+        "softmax_embeddings": ref.softmax_score_reference(sf_dir),
         "embedding_decontaminate_docs": ref.embedding_decontaminate_reference(sf_dir),
     }
     for name, df in tables.items():

@@ -829,3 +829,27 @@ def bpe_reference(ids, texts, *, n_merges: int = 200, top_v: int = 4096,
     return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
                          "n_bpe": np.asarray(n_bpe, dtype=np.int64),
                          "bpe_text": joined})
+
+
+def softmax_score_reference(sf_dir: str, *, n_classes: int = 10,
+                            n_iters: int = 15, lr: float = 2.0) -> pd.DataFrame:
+    """Multiclass twin of logreg_score_reference (shared single-process
+    definitional trainer; the distributed machinery is what the
+    fixture validates)."""
+    from logstash_filter_elastic_integration_ray.stages.logreg import (
+        softmax_probs,
+        softmax_reference,
+    )
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding", "label"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[order]
+    y = t.column("label").to_numpy()[order].astype(np.int64)
+    w = softmax_reference(x, y, n_classes=n_classes, n_iters=n_iters, lr=lr)
+    p = softmax_probs(x, w)
+    return pd.DataFrame({"vec_id": ids,
+                         "pred": np.argmax(p, axis=1).astype(np.int64),
+                         "p_max": p.max(axis=1)})
