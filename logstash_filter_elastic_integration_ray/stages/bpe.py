@@ -33,6 +33,11 @@ fixture oracle's plain dict-counting reference must agree exactly.
 Tokenization contract: words split on single spaces (the repo-wide
 DuckDB ``string_split`` twin); each word ends with the ``</w>``
 end-of-word symbol per the published algorithm.
+
+Reference parity note: the reference plugin has no tokenizer stage —
+engine-native training-data operator (SURVEY §2.9); the learned
+counterpart of the whitespace/BPE-regex token counters in
+stages/textstats.py.
 """
 
 from __future__ import annotations
@@ -132,13 +137,13 @@ def _batch_word_counts(t: pa.Table, text_col: str) -> pa.Table:
     col = t.column(text_col)
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     toks = pc.split_pattern(pc.fill_null(col, ""), " ")
-    flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+    flat = toks.flatten()
     if len(flat) == 0:
         return pa.table({"word": pa.array([], type=pa.string()),
                          "cnt": pa.array([], type=pa.int64())})
-    u, c = np.unique(flat, return_counts=True)
-    return pa.table({"word": pa.array(u, type=pa.string()),
-                     "cnt": pa.array(c.astype(np.int64))})
+    vc = flat.value_counts()  # one Arrow kernel, no Python objects
+    return pa.table({"word": vc.field("values"),
+                     "cnt": vc.field("counts").cast(pa.int64())})
 
 
 def _topv_partition(df: pd.DataFrame, top_v: int, min_freq: int) -> pa.Table:

@@ -42,6 +42,12 @@ in float64, ``np.log2`` elementwise, and a LEFT-TO-RIGHT per-doc sum
 (``np.add.reduceat``) — the pinned-fixture oracle's plain single-node
 reference (tools/reference_impls.py) evaluates the identical formula
 with string-keyed dicts and must match byte-for-byte.
+
+Reference parity note: the reference plugin (elastic/
+logstash-filter-elastic_integration) has no LM stage — this is an
+engine-native training-data operator (SURVEY §2.9), the
+model-scoring counterpart of the heuristic gates in
+stages/textstats.py.
 """
 
 from __future__ import annotations
