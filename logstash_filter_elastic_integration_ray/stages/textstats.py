@@ -54,10 +54,13 @@ def bpe_token_count_batch(batch: pa.Table, text_col: str = "text",
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
     """doc_id, n_tokens — tokens split on single spaces (exact twin of
-    DuckDB ``length(string_split(text, ' '))``)."""
-    texts = batch.column("text").to_pylist()
-    n_tokens = np.array([len(t.split(" ")) if t is not None else 0 for t in texts], dtype=np.int64)
-    return pa.table({"doc_id": batch.column("doc_id"), "n_tokens": pa.array(n_tokens)})
+    DuckDB ``length(string_split(text, ' '))``; null text counts 0).
+    Pure Arrow — no per-row Python loop."""
+    col = batch.column("text")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = pc.list_value_length(pc.split_pattern(pc.fill_null(col, ""), " "))
+    n = pc.if_else(pc.is_null(col), pa.scalar(0, type=pa.int64()), n.cast(pa.int64()))
+    return pa.table({"doc_id": batch.column("doc_id"), "n_tokens": n})
 
 
 def quality_batch(batch: pa.Table) -> pa.Table:
