@@ -208,23 +208,33 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
 def _tf_rows(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
     """Thin per-batch (doc_id, token, tf) rows — one row per DISTINCT
     (doc, token), so a token's global df is simply its global row
-    count.  Text tokens leave the batch exactly once, as these rows."""
+    count.  Text tokens leave the batch exactly once, as these rows.
+
+    Vectorized: dictionary-encode the flat token array (no Python
+    string objects), then one (doc, code) lexsort + run-length
+    ``reduceat`` replaces the pandas object groupby (which dominated
+    the batch cost)."""
     col = t.column(text_col).combine_chunks() if isinstance(t.column(text_col), pa.ChunkedArray) else t.column(text_col)
     toks = pc.split_pattern(pc.fill_null(col, ""), " ")
     counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+    flat = toks.flatten()
     ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    tf = (
-        pd.DataFrame({"doc_id": np.repeat(ids, counts), "token": flat})
-        .groupby(["doc_id", "token"], sort=False)
-        .size()
-        .reset_index(name="tf")
-    )
+    if len(flat) == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "token": pa.array([], type=pa.string()),
+                         "tf": pa.array([], type=pa.int64())})
+    de = flat.dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_rep = np.repeat(ids, counts)
+    order = np.lexsort((codes, doc_rep))
+    d_s, c_s = doc_rep[order], codes[order]
+    starts = np.flatnonzero(np.r_[True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])])
+    tf = np.diff(np.r_[starts, len(c_s)])
     return pa.table(
         {
-            "doc_id": pa.array(tf["doc_id"].to_numpy(), type=pa.int64()),
-            "token": pa.array(tf["token"].to_numpy(), type=pa.string()),
-            "tf": pa.array(tf["tf"].to_numpy(), type=pa.int64()),
+            "doc_id": pa.array(d_s[starts], type=pa.int64()),
+            "token": de.dictionary.take(pa.array(c_s[starts])),
+            "tf": pa.array(tf.astype(np.int64)),
         }
     )
 
