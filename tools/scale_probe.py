@@ -1,0 +1,94 @@
+"""Two-parallelism scaling probe for the streaming text operators
+(perplexity scoring / BPE encode) — the reproducible source of
+BASELINE.md's round-4 "hot-loop vectorization" measurements.
+
+Synthesizes an N×-replicated copy of sf0.1's documents (distinct ids,
+cached parquet under /tmp) and times one operator in THIS process's
+fresh Ray session.  Run it twice in fresh processes for the
+two-cluster-size comparison the north rule asks for:
+
+    python tools/scale_probe.py 8  perplexity 1024
+    python tools/scale_probe.py 32 perplexity 1024
+    python tools/scale_probe.py 8  bpe 1024
+    python tools/scale_probe.py 32 bpe 1024
+
+(At small replication the kernels are overhead-bound — use ≥ 256× so
+compute dominates; see BASELINE.md note 18 for the memory-bandwidth
+ceiling this box then hits.)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicated(n_copies: int) -> str:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    dst = f"/tmp/graft_transcripts/scaleprobe-{n_copies}x-{os.path.basename(SF_DIR)}.parquet"
+    if not os.path.exists(dst):
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        base = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        w = pq.ParquetWriter(dst + ".tmp", base.schema)
+        for r in range(n_copies):
+            w.write_table(pa.table({
+                "doc_id": pc.add(base.column("doc_id"), r * 1_000_000_000),
+                "text": base.column("text"),
+            }))
+        w.close()
+        os.replace(dst + ".tmp", dst)
+    return dst
+
+
+def main() -> None:
+    ncpu = int(sys.argv[1])
+    which = sys.argv[2]
+    n_copies = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from logstash_filter_elastic_integration_ray.sources.io import read_parquet_clean
+
+    path = replicated(n_copies)
+
+    def run() -> int:
+        base = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                                  columns=["doc_id", "text"])
+        heavy = read_parquet_clean(path, override_num_blocks=ncpu * 2)
+        if which == "perplexity":
+            from logstash_filter_elastic_integration_ray.stages.lm import (
+                perplexity_score,
+                train_bigram_lm,
+            )
+
+            lm = train_bigram_lm(base)
+            return perplexity_score(heavy, lm).count()
+        if which == "bpe":
+            from logstash_filter_elastic_integration_ray.stages.bpe import (
+                bpe_encode,
+                train_bpe,
+            )
+
+            merges = train_bpe(base, n_merges=200)
+            return bpe_encode(heavy, merges,
+                              concurrency=(2, max(2, ncpu // 2))).count()
+        raise SystemExit(f"unknown op {which!r} (perplexity|bpe)")
+
+    t0 = time.time()
+    n = run()
+    dt = time.time() - t0
+    print(f"{which} ncpu={ncpu} copies={n_copies} sec={dt:.2f} rows={n} "
+          f"docs_per_sec={n / dt:.0f}")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
