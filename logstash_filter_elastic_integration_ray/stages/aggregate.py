@@ -149,10 +149,20 @@ def add_partition_col(batch: pa.Table, num_partitions: int, key: str = "conv_id"
         vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
         part = (pd.util.hash_array(vals) % np.uint64(num_partitions)).astype(np.int64)
     else:
-        part = (
-            pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object), categorize=False)
-            % np.uint64(num_partitions)
-        ).astype(np.int64)
+        # string keys: hash the Arrow buffer directly when polars is
+        # available (no per-row Python objects — this is the headline
+        # pipeline's partitioning hot path); partition assignment is
+        # internal-only, so the hash function choice is free
+        try:
+            import polars as _pl
+
+            h = _pl.from_arrow(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            ).hash(seed=0).to_numpy()
+        except ImportError:  # pragma: no cover - polars ships here
+            h = pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object),
+                                   categorize=False)
+        part = (h % np.uint64(num_partitions)).astype(np.int64)
     return batch.append_column("__part", pa.array(part))
 
 
