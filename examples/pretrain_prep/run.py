@@ -69,8 +69,11 @@ def main(sf_dir: str, out_dir: str) -> None:
     ).materialize()
     cut = scored.to_pandas()["logppl"].quantile(0.8)
     keep_ids = scored.filter(lambda r: r["logppl"] <= cut).select_columns(["doc_id"])
-    gated = hash_semi_join(docs, keep_ids, left_key="doc_id", right_key="doc_id")
-    n1 = gated.materialize().count()
+    # keep the materialized handle: gated feeds the embedding pass AND
+    # the post-dedup text recovery (the iterative-loop-state idiom)
+    gated = hash_semi_join(docs, keep_ids, left_key="doc_id",
+                           right_key="doc_id").materialize()
+    n1 = gated.count()
     print(f"perplexity gate: kept {n1} docs (logppl <= {cut:.2f})")
 
     # 2. SemDeDup over text-feature embeddings of the gated corpus

@@ -37,6 +37,11 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+try:  # Arrow-native string hashing (same guard as stages/decontam.py)
+    import polars as _pl
+except ImportError:  # pragma: no cover - polars ships in this container
+    _pl = None
+
 P = np.int64(2**31 - 1)
 R = np.int64(1_000_003)
 
@@ -153,13 +158,11 @@ def add_partition_col(batch: pa.Table, num_partitions: int, key: str = "conv_id"
         # available (no per-row Python objects — this is the headline
         # pipeline's partitioning hot path); partition assignment is
         # internal-only, so the hash function choice is free
-        try:
-            import polars as _pl
-
+        if _pl is not None:
             h = _pl.from_arrow(
                 col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             ).hash(seed=0).to_numpy()
-        except ImportError:  # pragma: no cover - polars ships here
+        else:
             h = pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object),
                                    categorize=False)
         part = (h % np.uint64(num_partitions)).astype(np.int64)

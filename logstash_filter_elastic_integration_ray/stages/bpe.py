@@ -204,7 +204,8 @@ class BpeEncoder:
         merges = ray.get(merges_ref)
         self.ranks = {p: i for i, p in enumerate(merges)}
         self.text_col, self.id_col = text_col, id_col
-        self.memo: dict[str, list[str]] = {}
+        #: word -> (joined piece string, piece count)
+        self.memo: dict[str, tuple[str, int]] = {}
 
     def _encode(self, word: str) -> tuple[str, int]:
         """(joined piece string, piece count) for one word, memoized."""

@@ -126,6 +126,8 @@ def logreg_fit(ds, *, label_fn, n_iters: int = 20, lr: float = 1.0,
             v = np.frombuffer(row["g"], dtype=np.int64)
             g_int = v.copy() if g_int is None else g_int + v
             n_total += row["n"]
+        if g_int is None:
+            raise ValueError("logreg_fit: input dataset has no rows")
         if w is None:
             w = np.zeros(len(g_int), dtype=np.float64)
         grad = g_int.astype(np.float64) / _GSCALE / np.float64(max(n_total, 1))
@@ -186,9 +188,13 @@ def softmax_grad_partial_int(x: np.ndarray, y: np.ndarray, w: np.ndarray) -> np.
     int64 — per-sample residuals ``p_ik - 1[y_i = k]`` quantized
     against each feature before the exact integer sum."""
     k = w.shape[0]
+    y = np.asarray(y, dtype=np.int64)
+    if len(y) and not ((y >= 0) & (y < k)).all():
+        raise ValueError(f"labels must be in [0, {k}); got range "
+                         f"[{y.min()}, {y.max()}]")
     p = softmax_probs(x, w)
     r = p.copy()
-    r[np.arange(len(y)), y.astype(np.int64)] -= 1.0
+    r[np.arange(len(y)), y] -= 1.0
     # quantize per (sample, class, feature) BEFORE summing: build the
     # (n, k, d+1) contributions in chunks to bound memory
     out = np.zeros((k, x.shape[1] + 1), dtype=np.int64)
@@ -227,6 +233,8 @@ def softmax_fit(ds, *, n_classes: int, label_fn, n_iters: int = 20, lr: float = 
             v = np.frombuffer(row["g"], dtype=np.int64)
             g_int = v.copy() if g_int is None else g_int + v
             n_total += row["n"]
+        if g_int is None:
+            raise ValueError("softmax_fit: input dataset has no rows")
         d1 = len(g_int) // n_classes
         if w is None:
             w = np.zeros((n_classes, d1), dtype=np.float64)

@@ -179,9 +179,27 @@ def test_bpe_training_segmentation_matches_encode(pairs, n_merges):
         wf[w] = wf.get(w, 0) + c
     merges = learn_merges(wf, n_merges)
     ranks = {p: i for i, p in enumerate(merges)}
+
+    def trainer_segmentation(word):
+        # replay the trainer's fold: apply each merge in LEARNED order,
+        # all occurrences left to right
+        s = list(word) + [EOW]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
     for w in wf:
         enc = encode_word(w, ranks)
         assert "".join(enc) == w + EOW
+        assert enc == trainer_segmentation(w)
 
 
 @given(st.lists(st.lists(_corpus_words, min_size=0, max_size=8),
