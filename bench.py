@@ -394,6 +394,32 @@ def run_bench() -> dict:
 
     timed("bpe_16x", bpe_16x, reps=1)
 
+    def softmax_16x():
+        # multiclass softmax over 80k text-feature embeddings: 10 GD
+        # steps, one (K, d+1) int64 gradient blob per batch per step
+        import numpy as np_
+
+        from logstash_filter_elastic_integration_ray.stages.logreg import (
+            softmax_fit,
+            softmax_score,
+        )
+        from logstash_filter_elastic_integration_ray.stages.similarity import (
+            text_feature_embedding_batch,
+        )
+
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        emb = heavy.map_batches(text_feature_embedding_batch,
+                                batch_format="pyarrow").materialize()
+
+        def sep(b):
+            m = np_.asarray(b.column("embedding").to_pylist(), dtype=np_.float64)
+            return ((m[:, 0] > 0) * 2 + (m[:, 1] > 0)).astype(np_.int64)
+
+        w = softmax_fit(emb, n_classes=4, label_fn=sep, n_iters=10, lr=2.0)
+        return softmax_score(emb, w, id_col="doc_id").count()
+
+    timed("softmax_16x", softmax_16x, reps=1)
+
     def web_curation_chain():
         # a composed crawl-cleaning chain: canonical-URL dedup →
         # minhash near-dup dedup → quality gate → RAG chunking —
