@@ -856,9 +856,16 @@ def _jaccard_score_fn(shingle_size: int):
     string equality as everywhere else in this module."""
     from .decontam import flat_token_hashes, gram_hashes
 
-    def score(a_vals: np.ndarray, b_vals: np.ndarray) -> np.ndarray:
-        a_vals = np.asarray(a_vals, dtype=object)
-        b_vals = np.asarray(b_vals, dtype=object)
+    def score(a_vals, b_vals) -> np.ndarray:
+        # payloads arrive as Arrow string arrays (attach_pair_scores'
+        # Arrow-native passes); object arrays of str for the dedup/
+        # index machinery below
+        if isinstance(a_vals, pa.ChunkedArray):
+            a_vals = a_vals.combine_chunks()
+        if isinstance(b_vals, pa.ChunkedArray):
+            b_vals = b_vals.combine_chunks()
+        a_vals = np.asarray(a_vals.to_numpy(zero_copy_only=False), dtype=object)
+        b_vals = np.asarray(b_vals.to_numpy(zero_copy_only=False), dtype=object)
         texts = pd.unique(np.concatenate([a_vals, b_vals]))
         filled = np.asarray([t if t is not None else "" for t in texts], dtype=object)
         col = pa.array(filled, type=pa.string())

@@ -431,13 +431,44 @@ def _srp_candidate_edges_partition(df: pd.DataFrame, ham_cap: int, id_col: str,
     return pa.table({"a": pa.array(a.astype(np.int64)), "b": pa.array(b.astype(np.int64))})
 
 
+def _matrix_list_array(m: np.ndarray) -> pa.ListArray:
+    """(n, d) float64 matrix → list<float64> Arrow array without a
+    Python object per row: one flattened values buffer + arithmetic
+    offsets."""
+    n, d = m.shape
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int64), type=pa.int64())
+    return pa.LargeListArray.from_arrays(offsets, pa.array(np.ascontiguousarray(m).reshape(-1))).cast(
+        pa.list_(pa.float64())
+    )
+
+
+def _list_matrix(arr) -> np.ndarray:
+    """list<float64> Arrow array → (n, d) float64 matrix.  Zero-copy
+    flatten + reshape when row lengths are uniform (the embedding
+    contract); per-row fallback otherwise."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if arr.null_count == 0:
+        import pyarrow.compute as pc
+
+        lens = pc.unique(pc.list_value_length(arr))
+        if len(lens) == 1:
+            d = lens[0].as_py()
+            flat = np.asarray(pc.list_flatten(arr), dtype=np.float64)
+            return flat.reshape(n, d)
+    return np.vstack([np.asarray(e, dtype=np.float64) for e in arr.to_pylist()])
+
+
 def _normalized_emb_rows(ds, id_col: str, emb_col: str):
     def rows(t: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(t.column(emb_col)))
         return pa.table(
             {
                 id_col: t.column(id_col).cast(pa.int64()),
-                "val": pa.array(list(m), type=pa.list_(pa.float64())),
+                "val": _matrix_list_array(m),
             }
         )
 
@@ -451,12 +482,18 @@ def attach_pair_scores(pairs, value_rows, *, score_fn, threshold: float,
     keep pairs with score ≥ threshold → (a, b, <score_col>).
 
     ``value_rows`` is a Dataset (id_col, val); ``score_fn(a_vals,
-    b_vals)`` takes two aligned object arrays of ``val`` payloads and
-    returns a float64 score per pair.  Two join-free co-partition
-    passes (``Dataset.join`` chokes on aggregate-derived sides): pass 1
-    keys pairs by ``a`` and attaches ``val_a``; pass 2 re-keys by ``b``,
-    attaches ``val_b`` and scores.  The value table ships ≤ 2× total —
-    never ×bands — and pair rows are 16 bytes until scoring."""
+    b_vals)`` takes two aligned ``pa.Array``/``pa.ChunkedArray`` of
+    ``val`` payloads and returns a float64 score per pair.  Two
+    join-free co-partition passes (``Dataset.join`` chokes on
+    aggregate-derived sides): pass 1 keys pairs by ``a`` and attaches
+    ``val_a``; pass 2 re-keys by ``b``, attaches ``val_b`` and scores.
+    The value table ships ≤ 2× total — never ×bands — and pair rows
+    are 16 bytes until scoring.  Both passes are Arrow end to end
+    (``index_in`` probe + ``take`` gather): the payload column never
+    becomes one Python object per row, which halved the engine's worst
+    bench line when the payloads were 1M+ float lists."""
+    import pyarrow.compute as pc
+
     from .aggregate import add_partition_col
 
     out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), (score_col, pa.float64())])
@@ -485,46 +522,50 @@ def attach_pair_scores(pairs, value_rows, *, score_fn, threshold: float,
             }
         )
 
-    def _present(vals: np.ndarray) -> np.ndarray:
-        # reindex fills MISSES with float NaN (not None); embeddings
-        # are arrays, so test scalars only
-        return np.array(
-            [not (e is None or (np.isscalar(e) and pd.isna(e))) for e in vals], dtype=bool
-        )
+    def _split(t: pa.Table):
+        side = t.column("side")
+        return t.filter(pc.equal(side, 0)), t.filter(pc.equal(side, 1))
 
-    def attach_a(df: pd.DataFrame) -> pa.Table:
-        lookup = df[df["side"] == 1].set_index("key")["val"]
-        p = df[df["side"] == 0]
-        val_a = lookup.reindex(p["key"]).to_numpy()
-        ok = _present(val_a)
+    def _gather(p: pa.Table, v: pa.Table):
+        """Probe pair keys against value keys: (pairs-with-a-value,
+        their gathered payloads); missing ids drop (same contract as
+        the reindex path this replaces)."""
+        idx = pc.index_in(p.column("key"), value_set=v.column("key"))
+        ok = pc.is_valid(idx)
+        return p.filter(ok), v.column("val").take(idx.filter(ok))
+
+    def attach_a(t: pa.Table) -> pa.Table:
+        p, v = _split(t)
+        if p.num_rows == 0 or v.num_rows == 0:
+            p = p.slice(0, 0)
+            vals = pa.chunked_array([], type=value_type)
+        else:
+            p, vals = _gather(p, v)
         # re-key by b for pass 2, carrying val_a
-        n = int(ok.sum())
         return pa.table(
             {
-                "key": pa.array(p["other"].to_numpy()[ok].astype(np.int64)),
-                "other": pa.array(p["key"].to_numpy()[ok].astype(np.int64)),
-                "val": pa.nulls(n, type=value_type),
-                "carry": pa.array(list(val_a[ok]), type=value_type),
-                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": p.column("other"),
+                "other": p.column("key"),
+                "val": pa.nulls(p.num_rows, type=value_type),
+                "carry": vals,
+                "side": pa.array(np.zeros(p.num_rows, dtype=np.int8)),
             }
         )
 
-    def score_b(df: pd.DataFrame) -> pa.Table:
-        lookup = df[df["side"] == 1].set_index("key")["val"]
-        p = df[df["side"] == 0]
-        if not len(p):
+    def score_b(t: pa.Table) -> pa.Table:
+        p, v = _split(t)
+        if p.num_rows == 0 or v.num_rows == 0:
             return out_schema.empty_table()
-        val_b = lookup.reindex(p["key"]).to_numpy()
-        ok = _present(val_b)
-        p = p[ok]
-        if not len(p):
+        p, val_b = _gather(p, v)
+        if p.num_rows == 0:
             return out_schema.empty_table()
-        scores = np.asarray(score_fn(p["carry"].to_numpy(), val_b[ok]), dtype=np.float64)
+        scores = np.asarray(score_fn(p.column("carry"), val_b), dtype=np.float64)
         hit = scores >= threshold
+        hit_arr = pa.array(hit)
         return pa.table(
             {
-                "a": pa.array(p["other"].to_numpy()[hit].astype(np.int64)),
-                "b": pa.array(p["key"].to_numpy()[hit].astype(np.int64)),
+                "a": p.column("other").filter(hit_arr),
+                "b": p.column("key").filter(hit_arr),
                 score_col: pa.array(np.round(scores[hit], 9)),
             }
         )
@@ -534,7 +575,7 @@ def attach_pair_scores(pairs, value_rows, *, score_fn, threshold: float,
             lambda b: add_partition_col(b, num_partitions, key="key"), batch_format="pyarrow"
         )
         return parts.repartition(num_partitions).groupby("__part").map_groups(
-            fn, batch_format="pandas"
+            fn, batch_format="pyarrow"
         )
 
     pass1 = one_pass(
@@ -548,10 +589,8 @@ def attach_pair_scores(pairs, value_rows, *, score_fn, threshold: float,
     )
 
 
-def _cosine_score_fn(a_vals: np.ndarray, b_vals: np.ndarray) -> np.ndarray:
-    a_m = np.vstack([np.asarray(e, dtype=np.float64) for e in a_vals])
-    b_m = np.vstack([np.asarray(e, dtype=np.float64) for e in b_vals])
-    return pair_cosines(a_m, b_m)
+def _cosine_score_fn(a_vals, b_vals) -> np.ndarray:
+    return pair_cosines(_list_matrix(a_vals), _list_matrix(b_vals))
 
 
 def attach_pair_cosines(pairs, emb_rows, threshold: float, *, id_col: str = "doc_id",
