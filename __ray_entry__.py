@@ -57,6 +57,16 @@ def _register_package_by_value() -> None:
                 _cp.register_pickle_by_value(mod)
             except Exception:  # pragma: no cover
                 pass
+    # THIS module too: named module-level helpers (derive_transcripts_
+    # table, add_flow, add_url, …) otherwise pickle by REFERENCE to
+    # "__ray_entry__", which workers cannot import when the driver
+    # runs outside the repo directory
+    this = _sys.modules.get(__name__)
+    if this is not None:
+        try:
+            _cp.register_pickle_by_value(this)
+        except Exception:  # pragma: no cover
+            pass
 
 
 _register_package_by_value()

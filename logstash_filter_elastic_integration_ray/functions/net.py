@@ -27,6 +27,7 @@ import numpy as np
 
 from ..model import ColumnBatch, append_tag
 from ..state.geoip_holder import managed_reader
+from ..state.mmdb import MmdbReader
 from .base import Kernel, KernelCompileError, register_processor
 from .grok import _normalize_field_path
 from .parse import _per_row  # top-level: function-level relative imports fail on
@@ -326,10 +327,12 @@ _MMDB_CACHE: dict[str, object] = {}  # per-process: path → MmdbReader (or None
 
 
 def _load_mmdb(path: str):
+    # MmdbReader is a module-level import: a function-body package
+    # import here would execute ON THE WORKER, where the package is
+    # only available pickled-by-value (not importable) when the driver
+    # runs outside the repo directory
     if path not in _MMDB_CACHE:
         try:
-            from logstash_filter_elastic_integration_ray.state.mmdb import MmdbReader
-
             _MMDB_CACHE[path] = MmdbReader(path)
         except (OSError, ValueError):
             _MMDB_CACHE[path] = None

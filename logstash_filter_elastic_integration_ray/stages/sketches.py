@@ -34,7 +34,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .aggregate import add_partition_col
+from .aggregate import _first_occurrence_codes, add_partition_col
 
 # ---------------------------------------------------------------------------
 # heavy hitters — exact two-phase
@@ -766,9 +766,11 @@ def hll_group_partials(batch: pa.Table, key: str, val: str, p: int) -> pa.Table:
     commutative and idempotent, so per-key estimates are EXACTLY
     batch-split invariant.  Null values register nothing; a key whose
     batch values are all null still emits (zero registers), so group
-    presence survives like SQL GROUP BY."""
-    from logstash_filter_elastic_integration_ray.stages.aggregate import _first_occurrence_codes
+    presence survives like SQL GROUP BY.
 
+    ``_first_occurrence_codes`` comes from the module-level import:
+    this function executes ON WORKERS, where a function-body package
+    import fails when the driver runs outside the repo directory."""
     m = 1 << p
     kcodes, first = _first_occurrence_codes(batch.column(key))
     nk = len(first)

@@ -63,3 +63,52 @@ def test_every_query_has_callable():
     # round-2 invariant: EVERY query is oracle-checked (SQL or pinned
     # fixture) — no rows-only entries left
     assert set(oracles) == set(qs), set(qs) - set(oracles)
+
+
+def test_queries_run_with_driver_outside_repo(tmp_path):
+    """The driver's cwd is NOT guaranteed to be the repo directory, so
+    workers may be unable to ``import`` the package or ``__ray_entry__``
+    at all — everything they run must arrive pickled by value.  Round-4
+    regression: geoip's apply-time lazy import and ``__ray_entry__``'s
+    module-level batch helpers (community_id / url queries) both broke
+    exactly this way.  Spawns a fresh driver with cwd=/tmp-like dir and
+    runs the four previously-broken queries at sf0.001."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import ray
+        ray.init(address="local", num_cpus=4, include_dashboard=False)
+        import __ray_entry__ as e
+        for name in ("geoip_kv", "community_id_flows", "url_canonicalize", "url_dedup"):
+            df = e.queries()[name]("/root/testdata/sf0.001")
+            import ray.data
+            if isinstance(df, ray.data.Dataset):
+                df = df.to_pandas()
+            import pandas as pd
+            df = pd.DataFrame(df)
+            assert len(df) > 0, name
+            # the geoip / community_id outputs must contain real derived
+            # values, not the all-null rows a swallowed worker-side
+            # failure produces
+            if name == "geoip_kv":
+                assert df["city"].notna().any(), "geoip produced no lookups"
+            if name == "community_id_flows":
+                assert df["cid"].notna().any()
+        ray.shutdown()
+        print("CWD_INDEPENDENT_OK")
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env={k: v for k, v in __import__("os").environ.items() if k != "PYTHONPATH"},
+    )
+    assert "CWD_INDEPENDENT_OK" in proc.stdout, proc.stdout[-2000:] + proc.stderr[-2000:]
