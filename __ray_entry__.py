@@ -1361,6 +1361,26 @@ def q_group_topk_docs(sf_dir: str):
                       tie_col="doc_id", rank_col="rk")
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    """Deterministic weighted sampling without replacement: 5 docs per
+    language, selection probability proportional to document length —
+    the quality-weighted subsampling step of a curation pipeline, made
+    reproducible by deriving each row's uniform draw from its id
+    (Efraimidis–Spirakis A-Res;
+    stages/corpus.py:weighted_group_sample).  Output is ids only: the
+    float race key has no cross-engine bit contract, the selection
+    does."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import weighted_group_sample
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    sampled = weighted_group_sample(
+        docs, key="lang", weight_col="n_chars", k=5, id_col="doc_id"
+    )
+    return sampled.select_columns(["lang", "doc_id"]).sort(["lang", "doc_id"])
+
+
 def q_curation_pipeline_docs(sf_dir: str):
     """END-TO-END curation composition — four distributed operators
     chained the way a real training-data pipeline would run them, each
@@ -2277,6 +2297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # queries, then the 30 that had only local-harness evidence
     # through r3.  Previously-green queries follow.
     return {
+        "weighted_sample_docs": q_weighted_sample_docs,
         "perplexity_docs": q_perplexity_docs,
         "semdedup_docs": q_semdedup_docs,
         "logreg_embeddings": q_logreg_embeddings,
@@ -2853,6 +2874,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars, "
             "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk "
             "FROM documents WHERE n_chars IS NOT NULL) WHERE rk <= 3"
+        ),
+        # A-Res race: u = ((doc_id * 2654435761) mod 2^32 + 1) / (2^32 + 1)
+        # — HUGEINT product's low 32 bits == numpy uint64-wraparound
+        # product's low 32 bits, so both engines draw the same u
+        "weighted_sample_docs": (
+            "SELECT lang, doc_id FROM ("
+            "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+            "ORDER BY ln((((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) + 1) "
+            "/ 4294967297.0) / n_chars DESC, doc_id ASC) AS rn "
+            "FROM documents WHERE n_chars > 0 AND doc_id IS NOT NULL) "
+            "WHERE rn <= 5 ORDER BY lang, doc_id"
         ),
         "running_totals_events": (
             "WITH e AS (SELECT event_id, user_id, ts, "

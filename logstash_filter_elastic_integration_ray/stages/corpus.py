@@ -777,3 +777,71 @@ def chunk_docs(ds, *, window: int = 64, stride: int = 48,
         )
 
     return ds.map_batches(chunk_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling without replacement (per group)
+# ---------------------------------------------------------------------------
+
+#: Knuth multiplicative-hash constant for the deterministic uniform
+#: draw — small enough that DuckDB HUGEINT and numpy uint64 wraparound
+#: agree on the low 32 bits of the product (both are the exact
+#: product's low bits).
+_RACE_MULT = np.uint64(2654435761)
+_RACE_MOD = np.uint64(1) << np.uint64(32)
+
+
+def weighted_group_sample(ds, *, key: str, weight_col: str, k: int,
+                          id_col: str, num_partitions: int = 32):
+    """Sample ``k`` rows per group with probability proportional to
+    ``weight_col``, WITHOUT replacement, fully deterministic — the
+    Efraimidis–Spirakis A-Res scheme (a published public algorithm):
+    each row draws u = hash(id) mapped into (0, 1] and races with key
+    ln(u)/w; a group's k largest race keys win.  Deterministic because
+    u comes from the row id, not an RNG — re-runs, retries and any
+    batching produce the same sample (the property a reproducible
+    training-data pipeline needs).
+
+    Distributed shape: the race key is a stateless vectorized
+    map_batches, then the existing :func:`group_topk` two-phase
+    machinery — a batch forwards at most k rows per distinct key it
+    holds, so the exchange is k·groups rows no matter how skewed the
+    corpus.  No driver state; scales like group_topk.
+
+    Rows with null/non-positive weight or null id never race (the SQL
+    twin filters ``weight > 0``).  The race column is dropped from the
+    output: its float64 value is numpy-libm-computed and has no
+    cross-engine bit contract — selection order does, the score does
+    not.
+
+    SQL twin (DuckDB)::
+
+        row_number() OVER (PARTITION BY key ORDER BY
+            ln((((CAST(id AS HUGEINT) * 2654435761) % 4294967296) + 1)
+               / 4294967297.0) / weight DESC, id) <= k
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def race(t: pa.Table) -> pa.Table:
+        mask = pc.and_kleene(
+            pc.greater(pc.coalesce(t.column(weight_col), pa.scalar(0)), 0),
+            pc.is_valid(t.column(id_col)),
+        )
+        t = t.filter(pc.fill_null(mask, False))
+        if t.num_rows == 0:
+            return t.append_column("__race", pa.array([], type=pa.float64()))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if (ids < 0).any():
+            raise ValueError("weighted_group_sample: ids must be non-negative")
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        h = (ids.astype(np.uint64) * _RACE_MULT) % _RACE_MOD
+        u = (h.astype(np.float64) + 1.0) / 4294967297.0  # (0, 1]
+        return t.append_column("__race", pa.array(np.log(u) / w, type=pa.float64()))
+
+    sampled = group_topk(
+        ds.map_batches(race, batch_format="pyarrow"),
+        key=key, score_col="__race", k=k, tie_col=id_col,
+        num_partitions=num_partitions,
+    )
+    return sampled.drop_columns(["__race"])

@@ -1035,3 +1035,103 @@ class TestSoftmax:
         p = softmax_probs(m, w)
         assert np.allclose(p.sum(axis=1), 1.0)
         assert (got["p_max"].to_numpy() <= 1.0).all()
+
+
+class TestWeightedGroupSample:
+    """weighted_group_sample (stages/corpus.py): A-Res reference
+    equality, batch-split invariance, weight-proportional bias, and
+    the null/non-positive-weight filter."""
+
+    @staticmethod
+    def _reference(df: pd.DataFrame, key, weight, k, idc) -> set:
+        df = df[(df[weight].fillna(0) > 0) & df[idc].notna()].copy()
+        ids = df[idc].to_numpy(dtype=np.int64)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        u = (h.astype(np.float64) + 1.0) / 4294967297.0
+        df["_race"] = np.log(u) / df[weight].to_numpy(dtype=np.float64)
+        df = df.sort_values(["_race", idc], ascending=[False, True], kind="mergesort")
+        df["_rn"] = df.groupby(key, sort=False, dropna=False).cumcount() + 1
+        return set(df.loc[df["_rn"] <= k, idc])
+
+    def _frame(self):
+        rng = np.random.RandomState(11)
+        n = 600
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "lang": rng.choice(["en", "de", "fr", "ja"], n),
+                "w": rng.randint(1, 1000, n).astype(np.int64),
+            }
+        )
+
+    def test_matches_reference_and_filters(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.corpus import weighted_group_sample
+
+        df = self._frame()
+        # zero / negative / null weights must never be sampled
+        df.loc[df.index % 13 == 0, "w"] = 0
+        df.loc[df.index % 17 == 0, "w"] = -5
+        df["w"] = df["w"].astype("Int64")
+        df.loc[df.index % 19 == 0, "w"] = pd.NA
+        t = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        ds = ray.data.from_arrow(t).repartition(5)
+        out = weighted_group_sample(ds, key="lang", weight_col="w", k=7,
+                                    id_col="doc_id", num_partitions=4).to_pandas()
+        assert set(out["doc_id"]) == self._reference(df, "lang", "w", 7, "doc_id")
+        assert "__race" not in out.columns
+        bad = set(df.loc[(df["w"].fillna(0) <= 0), "doc_id"])
+        assert not (set(out["doc_id"]) & bad)
+
+    def test_batch_split_invariance_and_determinism(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.corpus import weighted_group_sample
+
+        df = self._frame()
+        t = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        picks = []
+        for nblocks in (1, 9):
+            ds = ray.data.from_arrow(t).repartition(nblocks)
+            out = weighted_group_sample(ds, key="lang", weight_col="w", k=5,
+                                        id_col="doc_id", num_partitions=4).to_pandas()
+            picks.append(sorted(out["doc_id"]))
+        assert picks[0] == picks[1]
+
+    def test_selection_is_weight_proportional(self, ray_session):
+        """Across many independent groups, rows holding most of a
+        group's weight must win far more often than uniform sampling
+        would give them (the statistical contract of A-Res)."""
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.corpus import weighted_group_sample
+
+        n_groups, per = 200, 10
+        n = n_groups * per
+        # one heavy row per group: weight 500 vs 1 for the other nine
+        w = np.ones(n, dtype=np.int64)
+        heavy = np.arange(n_groups) * per
+        w[heavy] = 500
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "g": np.repeat(np.arange(n_groups), per),
+                "w": w,
+            }
+        )
+        t = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        ds = ray.data.from_arrow(t)
+        out = weighted_group_sample(ds, key="g", weight_col="w", k=1,
+                                    id_col="doc_id", num_partitions=4).to_pandas()
+        assert len(out) == n_groups
+        hit = np.isin(out["doc_id"].to_numpy(), heavy).mean()
+        # P(heavy wins) = 500/509 ≈ 0.982; uniform would be 0.1.
+        # With 200 groups the observed rate concentrates hard.
+        assert hit > 0.9
+
+    def test_k_must_be_positive(self):
+        from logstash_filter_elastic_integration_ray.stages.corpus import weighted_group_sample
+
+        with pytest.raises(ValueError):
+            weighted_group_sample(None, key="g", weight_col="w", k=0, id_col="i")
