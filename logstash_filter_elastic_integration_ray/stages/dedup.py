@@ -1013,12 +1013,16 @@ def ngram_jaccard_decontaminate(train, heldout, *, threshold: float = 0.8,
                                num_partitions=num_partitions)
 
 
-def side_tagged_union(train, heldout, *, id_col: str, payload_col: str):
-    """Materialized union of both corpora with side identity encoded IN
-    the id (combined = id*2 + side; held-out = odd) — shared by every
-    cross-corpus decontamination flavor.  Materialized because the
-    union feeds the candidate pass, the exact-verify payload pass AND
-    the final flag exchange."""
+def side_tagged_union(train, heldout, *, id_col: str, payload_col: str,
+                      materialize: bool = True):
+    """Union of both corpora with side identity encoded IN the id
+    (combined = id*2 + side; held-out = odd) — shared by every
+    cross-corpus decontamination flavor.  Materialized by default
+    because the union feeds the candidate pass, the exact-verify
+    payload pass AND the final flag exchange; callers that materialize
+    their own projection instead (the embedding flavor holds
+    NORMALIZED rows) pass ``materialize=False`` so the raw payload
+    isn't held in the object store twice."""
 
     def tagged(side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -1037,11 +1041,10 @@ def side_tagged_union(train, heldout, *, id_col: str, payload_col: str):
 
         return fn
 
-    return (
-        train.map_batches(tagged(0), batch_format="pyarrow")
-        .union(heldout.map_batches(tagged(1), batch_format="pyarrow"))
-        .materialize()
+    u = train.map_batches(tagged(0), batch_format="pyarrow").union(
+        heldout.map_batches(tagged(1), batch_format="pyarrow")
     )
+    return u.materialize() if materialize else u
 
 
 def contamination_flags(labels, union, *, id_col: str, num_partitions: int):

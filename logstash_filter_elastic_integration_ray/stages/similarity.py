@@ -290,13 +290,21 @@ def pair_cosines(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def srp_signature_rows(t: pa.Table, *, num_bits: int, bands: int, seed: int,
-                       id_col: str, emb_col: str) -> pa.Table:
+                       id_col: str, emb_col: str,
+                       pre_normalized: bool = False) -> pa.Table:
     """Per batch: random-hyperplane (SRP/Charikar STOC'02) bit
     signatures → one THIN row per (doc, band): (bucket, id, sig).
     ``sig`` is the full packed ``num_bits``-bit signature (uint64, so
-    num_bits ≤ 64); the float embedding does NOT ride the shuffle."""
+    num_bits ≤ 64); the float embedding does NOT ride the shuffle.
+
+    ``pre_normalized=True`` skips the normalize for inputs that are
+    ALREADY :func:`_normalized_emb_rows` output — re-normalizing a
+    unit vector is not a float no-op (1/‖v‖ ≈ 1 ≠ 1 exactly), and a
+    near-zero plane dot could flip a bit vs the pinned fixtures."""
     assert num_bits <= 64
-    m = _normalize(_to_matrix(t.column(emb_col)))
+    m = _to_matrix(t.column(emb_col))
+    if not pre_normalized:
+        m = _normalize(m)
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(m.shape[1], num_bits))  # same every batch
     bits = (m @ planes) > 0  # (n, num_bits)
@@ -634,9 +642,13 @@ def embedding_dup_pairs(ds, threshold: float = 0.9, *, num_bits: int = 64, bands
     from .aggregate import add_partition_col
 
     cap = hamming_cap(threshold, num_bits)
-    rows = ds.map_batches(
+    # one upstream execution: signature AND verify passes derive from
+    # the same materialized normalized rows (see _verified_cosine_labels)
+    emb_rows = _normalized_emb_rows(ds, id_col, emb_col).materialize()
+    rows = emb_rows.map_batches(
         lambda t: srp_signature_rows(
-            t, num_bits=num_bits, bands=bands, seed=seed, id_col=id_col, emb_col=emb_col
+            t, num_bits=num_bits, bands=bands, seed=seed, id_col=id_col,
+            emb_col="val", pre_normalized=True,
         ),
         batch_format="pyarrow",
     )
@@ -647,7 +659,6 @@ def embedding_dup_pairs(ds, threshold: float = 0.9, *, num_bits: int = 64, bands
         lambda df: _srp_candidate_pairs_partition(df, cap, id_col), batch_format="pandas"
     )
     cands = distinct_pairs(cands, num_partitions)
-    emb_rows = _normalized_emb_rows(ds, id_col, emb_col)
     return attach_pair_cosines(
         cands, emb_rows, threshold, id_col=id_col, num_partitions=num_partitions
     )
@@ -664,29 +675,47 @@ def embedding_dedup(ds, threshold: float = 0.9, *, num_bits: int = 64, bands: in
     even for dup-heavy megabuckets) → exact float64 verification of
     the O(m) edge set via :func:`attach_pair_cosines` → distributed
     min-label connected components → survivors/singletons.  Nothing is
-    ever O(m²) in time, memory, shuffle or output."""
+    ever O(m²) in time, memory, shuffle or output.  The input executes
+    exactly once (see :func:`_verified_cosine_labels`): the survivor
+    pass reads ids from the materialized normalized rows, not from a
+    third re-execution of ``ds``'s upstream."""
     from ..stages.dedup import _survivors_from_labels
 
-    labels = _verified_cosine_labels(
+    labels, emb_rows = _verified_cosine_labels(
         ds, threshold=threshold, num_bits=num_bits, bands=bands, seed=seed,
         id_col=id_col, emb_col=emb_col, num_partitions=num_partitions,
     )
-    return _survivors_from_labels(ds, labels, id_col, num_partitions)
+    return _survivors_from_labels(
+        emb_rows.select_columns([id_col]), labels, id_col, num_partitions
+    )
 
 
 def _verified_cosine_labels(ds, *, threshold: float, num_bits: int, bands: int,
                             seed: int, id_col: str, emb_col: str,
                             num_partitions: int):
-    """SRP candidates → exact cosine verify → component labels
-    (node, label) — the single shared core behind
-    :func:`embedding_dedup` and :func:`embedding_decontaminate`."""
+    """SRP candidates → exact cosine verify → component labels — the
+    single shared core behind :func:`embedding_dedup` and
+    :func:`embedding_decontaminate`.  Returns ``(labels, emb_rows)``:
+    the (node, label) Dataset plus the MATERIALIZED normalized
+    (id, val) rows every downstream pass should reuse.
+
+    The input is consumed exactly ONCE: Ray Data has no common-
+    subexpression reuse, so a lazy ``ds`` fanned into the signature,
+    verify and survivor passes re-executes its whole upstream (read +
+    featurization) per consumer — 3× the pipeline cost.  Materializing
+    the PROJECTED normalized rows instead holds one embedding-column
+    copy in the object store (spilling if needed) and derives all
+    three passes from it; signatures skip the re-normalize so bits
+    (and the pinned fixtures) are unchanged."""
     from ..stages.dedup import _EXACT_BUCKET_CAP, connected_components_min_label
     from .aggregate import add_partition_col
 
     cap = hamming_cap(threshold, num_bits)
-    rows = ds.map_batches(
+    emb_rows = _normalized_emb_rows(ds, id_col, emb_col).materialize()
+    rows = emb_rows.map_batches(
         lambda t: srp_signature_rows(
-            t, num_bits=num_bits, bands=bands, seed=seed, id_col=id_col, emb_col=emb_col
+            t, num_bits=num_bits, bands=bands, seed=seed, id_col=id_col,
+            emb_col="val", pre_normalized=True,
         ),
         batch_format="pyarrow",
     )
@@ -698,11 +727,11 @@ def _verified_cosine_labels(ds, *, threshold: float, num_bits: int, bands: int,
         batch_format="pandas",
     )
     edges = distinct_pairs(edges, num_partitions)
-    emb_rows = _normalized_emb_rows(ds, id_col, emb_col)
     verified = attach_pair_cosines(
         edges, emb_rows, threshold, id_col=id_col, num_partitions=num_partitions
     ).select_columns(["a", "b"])
-    return connected_components_min_label(verified, num_partitions=max(8, num_partitions // 4))
+    labels = connected_components_min_label(verified, num_partitions=max(8, num_partitions // 4))
+    return labels, emb_rows
 
 
 def embedding_decontaminate(train, heldout, *, threshold: float = 0.9,
@@ -721,13 +750,18 @@ def embedding_decontaminate(train, heldout, *, threshold: float = 0.9,
     held-out side is never broadcast."""
     from ..stages.dedup import contamination_flags, side_tagged_union
 
-    union = side_tagged_union(train, heldout, id_col=id_col, payload_col=emb_col)
-    labels = _verified_cosine_labels(
+    # materialize=False: the labels core materializes the NORMALIZED
+    # projection of the union; holding the raw union too would double
+    # the embedding bytes in the object store.  The flag pass reads
+    # tagged ids from the same materialized rows.
+    union = side_tagged_union(train, heldout, id_col=id_col, payload_col=emb_col,
+                              materialize=False)
+    labels, emb_rows = _verified_cosine_labels(
         union, threshold=threshold, num_bits=num_bits, bands=bands, seed=seed,
         id_col=id_col, emb_col=emb_col, num_partitions=num_partitions,
     )
-    return contamination_flags(labels, union, id_col=id_col,
-                               num_partitions=num_partitions)
+    return contamination_flags(labels, emb_rows.select_columns([id_col]),
+                               id_col=id_col, num_partitions=num_partitions)
 
 
 def cosine_dup_pairs(matrix: np.ndarray, ids: np.ndarray, threshold: float = 0.95,
