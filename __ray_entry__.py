@@ -932,6 +932,27 @@ def q_perplexity_docs(sf_dir: str):
     return perplexity_score(score, lm_ref)
 
 
+def q_dsir_select_docs(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    bucket models fit on the target slice (doc_id % 7 == 0 stands in
+    for the curated corpus) and on the raw remainder, the log-ratio
+    vector broadcast once, every raw doc scored in ONE streaming pass,
+    and 100 docs resampled by deterministic Gumbel top-k
+    (stages/dsir.py — count builds tree-reduce one 64 KiB blob per
+    batch; selection rides the group_topk thin exchange).  Fixture
+    oracle from the plain reference
+    (tools/reference_impls.py:dsir_reference); bit-identical floats
+    under any batching."""
+    from logstash_filter_elastic_integration_ray.stages.dsir import dsir_pipeline
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    target = _mod_filter(docs, "doc_id", 7, 0, True)
+    # the raw side feeds both the count build and the scoring pass —
+    # materialize so the read+filter executes once
+    raw = _mod_filter(docs, "doc_id", 7, 0, False).materialize()
+    return dsir_pipeline(raw, target, k=100)
+
+
 def q_repetition_docs(sf_dir: str):
     """Gopher-style repetition quality signals per doc (duplicate-word
     fraction, top-bigram count/fraction) — one vectorized batch kernel
@@ -2297,6 +2318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # queries, then the 30 that had only local-harness evidence
     # through r3.  Previously-green queries follow.
     return {
+        "dsir_select_docs": q_dsir_select_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
         "perplexity_docs": q_perplexity_docs,
         "semdedup_docs": q_semdedup_docs,
@@ -2663,6 +2685,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "perplexity_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/perplexity_docs.sf0_01.parquet')"
+        ),
+        "dsir_select_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/dsir_select_docs.sf0_01.parquet')"
         ),
         "semdedup_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/semdedup_docs.sf0_01.parquet')"

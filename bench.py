@@ -420,6 +420,21 @@ def run_bench() -> dict:
 
     timed("softmax_16x", softmax_16x, reps=1)
 
+    def dsir_16x():
+        # DSIR selection: bucket models on the base (target) corpus and
+        # the 16× raw corpus (one 64 KiB blob/batch, tree-reduced),
+        # streaming score + Gumbel top-k of 80k docs — wall should track
+        # the raw corpus, never the model
+        from logstash_filter_elastic_integration_ray.stages.dsir import dsir_pipeline
+
+        target = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                                    columns=["doc_id", "text"])
+        raw = read_parquet_clean(
+            dup_path, override_num_blocks=NUM_CPUS * 2).materialize()
+        return dsir_pipeline(raw, target, k=5000).count()
+
+    timed("dsir_16x", dsir_16x, reps=1)
+
     def web_curation_chain():
         # a composed crawl-cleaning chain: canonical-URL dedup →
         # minhash near-dup dedup → quality gate → RAG chunking —

@@ -853,3 +853,57 @@ def softmax_score_reference(sf_dir: str, *, n_classes: int = 10,
     return pd.DataFrame({"vec_id": ids,
                          "pred": np.argmax(p, axis=1).astype(np.int64),
                          "p_max": p.max(axis=1)})
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling — plain single-process reference: shared
+# DEFINITIONAL featurizer (hashed unigram+bigram buckets — bucket
+# collisions are part of the feature definition, so both sides must
+# hash identically, same policy as the minhash signature kernels),
+# INDEPENDENT machinery (per-doc Python count loop, plain lexsort
+# selection — not the tree reduce / group_topk exchange the fixture
+# validates).
+# ---------------------------------------------------------------------------
+
+def dsir_reference(ids, texts, *, mod: int = 7, m: int = 8192,
+                   smoothing: float = 1.0, k: int = 100) -> pd.DataFrame:
+    """Target = docs with id % mod == 0; select k of the rest by
+    Gumbel-top-k over the DSIR log importance weight."""
+    from logstash_filter_elastic_integration_ray.stages.dsir import (
+        _doc_buckets,
+        dsir_log_ratio,
+    )
+
+    per_doc = []
+    for i, t in zip(ids, texts):
+        tab = pa.table({"text": pa.array([t], type=pa.string())})
+        ub, counts, bb, _ = _doc_buckets(tab, "text", m)
+        per_doc.append((int(i), ub, bb))
+
+    tvec = np.zeros(m, dtype=np.int64)
+    rvec = np.zeros(m, dtype=np.int64)
+    for i, ub, bb in per_doc:
+        vec = tvec if i % mod == 0 else rvec
+        for b in ub:
+            vec[b] += 1
+        for b in bb:
+            vec[b] += 1
+    lam = dsir_log_ratio(tvec, rvec, smoothing=smoothing)
+
+    out_ids, out_logw = [], []
+    for i, ub, bb in per_doc:
+        if i % mod == 0:
+            continue
+        s_uni = np.add.reduceat(lam[ub], [0])[0] if len(ub) else np.float64(0.0)
+        s_bi = np.add.reduceat(lam[bb], [0])[0] if len(bb) else np.float64(0.0)
+        out_ids.append(i)
+        out_logw.append(np.float64(s_uni) + np.float64(s_bi))
+    rid = np.asarray(out_ids, dtype=np.int64)
+    logw = np.asarray(out_logw, dtype=np.float64)
+
+    h = (rid.astype(np.uint64) * np.uint64(2654435761)) % (np.uint64(1) << np.uint64(32))
+    u = (h.astype(np.float64) + 1.0) / 4294967297.0
+    race = logw + (-np.log(-np.log(u)))
+    order = np.lexsort((rid, -race))[:k]
+    keep = np.sort(order)
+    return pd.DataFrame({"doc_id": rid[keep], "dsir_logw": logw[keep]})
