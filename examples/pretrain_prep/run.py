@@ -5,6 +5,8 @@ run end to end:
     read documents →
     perplexity gate (bigram LM trained on the curated slice — the
       CCNet recipe: keep docs the reference LM finds predictable) →
+    DSIR selection (hashed-n-gram importance resampling toward the
+      curated target distribution — Xie et al. 2023) →
     SemDeDup (k-means-bounded semantic near-dup removal over
       text-feature embeddings) →
     learn a BPE tokenizer on the survivors (distributed top-V word
@@ -19,8 +21,8 @@ Usage (any scale factor):
 
 Defaults: /root/testdata/sf0.001 → /tmp/pretrain_prep_out.  Every
 building block is oracle-checked by a driver query
-(``perplexity_docs`` / ``semdedup_docs`` / ``bpe_tokenize_docs`` /
-``bpe_pack_docs``).
+(``perplexity_docs`` / ``dsir_select_docs`` / ``semdedup_docs`` /
+``bpe_tokenize_docs`` / ``bpe_pack_docs``).
 """
 
 import os
@@ -76,19 +78,32 @@ def main(sf_dir: str, out_dir: str) -> None:
     n1 = gated.count()
     print(f"perplexity gate: kept {n1} docs (logppl <= {cut:.2f})")
 
-    # 2. SemDeDup over text-feature embeddings of the gated corpus
-    emb = gated.map_batches(text_feature_embedding_batch, batch_format="pyarrow")
+    # 2. DSIR: resample the gated corpus toward the curated target
+    #    distribution (keep 90% — the gate already cut the tail, DSIR
+    #    reweights what survives)
+    from logstash_filter_elastic_integration_ray.stages.dsir import dsir_pipeline
+
+    target = docs.map_batches(side(True), batch_format="pyarrow")
+    picked_ids = dsir_pipeline(
+        gated, target, k=max(1, int(n1 * 0.9))
+    ).select_columns(["doc_id"])
+    picked = hash_semi_join(gated, picked_ids, left_key="doc_id",
+                            right_key="doc_id").materialize()
+    print(f"dsir selection: kept {picked.count()} docs")
+
+    # 3. SemDeDup over text-feature embeddings of the selected corpus
+    emb = picked.map_batches(text_feature_embedding_batch, batch_format="pyarrow")
     sd = semdedup(emb, id_col="doc_id", eps=0.9)
     surv_ids = sd.filter(lambda r: r["keep"]).select_columns(["doc_id"])
-    corpus = hash_semi_join(gated, surv_ids, left_key="doc_id",
+    corpus = hash_semi_join(picked, surv_ids, left_key="doc_id",
                             right_key="doc_id").materialize()
     print(f"semdedup: kept {corpus.count()} docs")
 
-    # 3. learn the tokenizer ON the cleaned corpus, then encode it
+    # 4. learn the tokenizer ON the cleaned corpus, then encode it
     merges = train_bpe(corpus, n_merges=200)
     sized = bpe_encode(corpus, merges).select_columns(["doc_id", "n_bpe"])
 
-    # 4. pack into 256-token context windows by LEARNED token counts
+    # 5. pack into 256-token context windows by LEARNED token counts
     packed = pack_rows(sized, cap=256, n_col="n_bpe")
 
     if os.path.exists(out_dir):

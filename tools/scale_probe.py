@@ -1,6 +1,6 @@
 """Two-parallelism scaling probe for the streaming text operators
-(perplexity scoring / BPE encode) — the reproducible source of
-BASELINE.md's round-4 "hot-loop vectorization" measurements.
+(perplexity scoring / BPE encode / DSIR selection) — the reproducible
+source of BASELINE.md's round-4 "hot-loop vectorization" measurements.
 
 Synthesizes an N×-replicated copy of sf0.1's documents (distinct ids,
 cached parquet under /tmp) and times one operator in THIS process's
@@ -80,7 +80,16 @@ def main() -> None:
             merges = train_bpe(base, n_merges=200)
             return bpe_encode(heavy, merges,
                               concurrency=(2, max(2, ncpu // 2))).count()
-        raise SystemExit(f"unknown op {which!r} (perplexity|bpe)")
+        if which == "dsir":
+            from logstash_filter_elastic_integration_ray.stages.dsir import (
+                dsir_pipeline,
+            )
+
+            raw = heavy.materialize()
+            n_raw = raw.count()
+            dsir_pipeline(raw, base, k=max(1, n_raw // 16)).count()
+            return n_raw  # throughput = raw docs scored, not k winners
+        raise SystemExit(f"unknown op {which!r} (perplexity|bpe|dsir)")
 
     t0 = time.time()
     n = run()
