@@ -323,3 +323,52 @@ def test_semdedup_group_equals_all_pairs(n, dups, eps, seed):
 
 def pa_sort(df):
     return df.sort_values("vec_id").reset_index(drop=True)
+
+
+@given(st.lists(st.lists(_corpus_words, min_size=0, max_size=8),
+                min_size=1, max_size=12),
+       st.integers(1, 5), st.integers(8, 64))
+@settings(max_examples=60, deadline=None)
+def test_dsir_batched_kernels_match_per_doc_plain_path(docs, split, m):
+    """DSIR count partials and segment-summed scores are invariant to
+    batch splits and equal a per-doc plain evaluation of the identical
+    formula (the contract the pinned fixture relies on)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from logstash_filter_elastic_integration_ray.stages.dsir import (
+        _count_partial,
+        _doc_buckets,
+        _segment_sums,
+        dsir_log_ratio,
+    )
+
+    texts = [" ".join(d) for d in docs]
+    full = pa.table({"text": pa.array(texts, type=pa.string())})
+
+    # count build: one blob over the full corpus == sum of per-split blobs
+    whole = np.frombuffer(
+        _count_partial(full, "text", m).column("counts")[0].as_py(),
+        dtype=np.int64)
+    parts = np.zeros(m, dtype=np.int64)
+    for lo in range(0, len(texts), split):
+        t = pa.table({"text": pa.array(texts[lo:lo + split], type=pa.string())})
+        parts = parts + np.frombuffer(
+            _count_partial(t, "text", m).column("counts")[0].as_py(),
+            dtype=np.int64)
+    assert (whole == parts).all()
+
+    # scoring: batched segment sums == per-doc standalone reduceat sums
+    lam = dsir_log_ratio(whole, parts + 1)  # any two valid models
+    ub, counts, bb, bdoc = _doc_buckets(full, "text", m)
+    s_uni = _segment_sums(lam[ub], counts)
+    bi_len = (np.bincount(bdoc, minlength=len(counts)).astype(np.int64)
+              if len(bdoc) else np.zeros(len(counts), dtype=np.int64))
+    got = s_uni + _segment_sums(lam[bb], bi_len)
+
+    for i, txt in enumerate(texts):
+        one = pa.table({"text": pa.array([txt], type=pa.string())})
+        u1, _, b1, _ = _doc_buckets(one, "text", m)
+        su = np.add.reduceat(lam[u1], [0])[0] if len(u1) else np.float64(0.0)
+        sb = np.add.reduceat(lam[b1], [0])[0] if len(b1) else np.float64(0.0)
+        assert got[i] == np.float64(su) + np.float64(sb)
