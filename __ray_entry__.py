@@ -1402,6 +1402,52 @@ def q_weighted_sample_docs(sf_dir: str):
     return sampled.select_columns(["lang", "doc_id"]).sort(["lang", "doc_id"])
 
 
+def q_split_corpus_docs(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split: each doc's split is
+    a pure function of its id (Knuth hash onto contiguous 2^32 ranges,
+    stages/corpus.py:hash_split) — reproducible under retries/batching
+    and STABLE UNDER CORPUS GROWTH (adding docs never moves an existing
+    doc's split).  Stateless vectorized pass, no shuffle."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import hash_split
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = hash_split(
+        docs, id_col="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return out.select_columns(["doc_id", "split"])
+
+
+def q_token_budget_head_docs(sf_dir: str):
+    """Token-budget corpus head: keep docs in doc_id order until a
+    global token budget is reached (the doc that crosses the budget is
+    kept — 'take until full').  The running total is the exact
+    distributed ordered prefix sum (stages/corpus.py:
+    ordered_prefix_sum — range partitions, O(P) driver state), so no
+    global sort and no driver-side row state.  The op a '1B-token
+    subset' job runs at 100 TB."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import ordered_prefix_sum
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(pc.fill_null(t.column("text"), ""), " ")
+        )
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_toks": n.cast(pa.int64())})
+
+    run = ordered_prefix_sum(
+        docs.map_batches(toks, batch_format="pyarrow"),
+        order_col="doc_id", val_col="n_toks", num_partitions=16,
+    )
+
+    def head(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("off"), 5000))
+
+    return run.map_batches(head, batch_format="pyarrow")
+
+
 def q_curation_pipeline_docs(sf_dir: str):
     """END-TO-END curation composition — four distributed operators
     chained the way a real training-data pipeline would run them, each
@@ -2319,6 +2365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # through r3.  Previously-green queries follow.
     return {
         "dsir_select_docs": q_dsir_select_docs,
+        "split_corpus_docs": q_split_corpus_docs,
+        "token_budget_head_docs": q_token_budget_head_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
         "perplexity_docs": q_perplexity_docs,
         "semdedup_docs": q_semdedup_docs,
@@ -2437,6 +2485,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB; tables pre-registered as views)
 # ---------------------------------------------------------------------------
+
+def _split_corpus_sql() -> str:
+    """CASE expression over the ENGINE's own integer thresholds
+    (stages/corpus.py:split_thresholds) so the boundaries can never
+    drift between the two sides."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import split_thresholds
+
+    names, cuts = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    h = "(CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296"
+    case = " ".join(
+        f"WHEN {h} < {int(cuts[i])} THEN '{names[i]}'" for i in range(len(names) - 1)
+    )
+    return (f"SELECT doc_id, CASE {case} ELSE '{names[-1]}' END AS split "
+            "FROM documents")
+
 
 def oracle_sql() -> dict[str, str]:
     from logstash_filter_elastic_integration_ray.stages.textstats import (
@@ -2688,6 +2751,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsir_select_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/dsir_select_docs.sf0_01.parquet')"
+        ),
+        "split_corpus_docs": _split_corpus_sql(),
+        "token_budget_head_docs": (
+            "WITH toks AS (SELECT doc_id, "
+            "len(string_split(coalesce(text, ''), ' ')) AS n_toks FROM documents), "
+            "run AS (SELECT doc_id, n_toks, "
+            "CAST(SUM(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) "
+            "- n_toks AS BIGINT) AS off FROM toks) "
+            "SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, off "
+            "FROM run WHERE off < 5000"
         ),
         "semdedup_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/semdedup_docs.sf0_01.parquet')"

@@ -845,3 +845,57 @@ def weighted_group_sample(ds, *, key: str, weight_col: str, k: int,
         num_partitions=num_partitions,
     )
     return sampled.drop_columns(["__race"])
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus splitting (train/val/test)
+# ---------------------------------------------------------------------------
+
+
+def split_thresholds(fractions: dict[str, float]) -> tuple[list[str], np.ndarray]:
+    """(split names, uint64 upper thresholds on the 2^32 hash range) —
+    exposed so the SQL oracle can embed the IDENTICAL integer
+    boundaries the engine computes (float cumsum then floor; the last
+    threshold is pinned to 2^32 so rounding can never orphan a row)."""
+    names = list(fractions)
+    fr = np.array([fractions[n] for n in names], dtype=np.float64)
+    if len(fr) == 0 or (fr <= 0).any():
+        raise ValueError("hash_split: fractions must be positive")
+    if abs(float(fr.sum()) - 1.0) > 1e-9:
+        raise ValueError("hash_split: fractions must sum to 1")
+    cuts = np.floor(np.cumsum(fr) * float(1 << 32)).astype(np.uint64)
+    cuts[-1] = np.uint64(1) << np.uint64(32)
+    return names, cuts
+
+
+def hash_split(ds, *, id_col: str, fractions: dict[str, float],
+               split_col: str = "split"):
+    """Deterministic train/val/test assignment: each row's uniform
+    draw is the Knuth multiplicative hash of its id on the 2^32 range
+    (the same generator as :func:`weighted_group_sample`), and named
+    splits own contiguous hash ranges sized by ``fractions`` (dict
+    order).  Reproducible under re-runs, retries and any batching —
+    and STABLE UNDER CORPUS GROWTH: a doc's split never changes when
+    other docs are added or removed, the property a random split
+    cannot give.  Stateless vectorized pass; no shuffle, no state.
+
+    SQL twin (thresholds from :func:`split_thresholds`)::
+
+        CASE WHEN (CAST(id AS HUGEINT) * 2654435761) % 4294967296 < t0
+             THEN 'name0' WHEN ... END
+    """
+    names, cuts = split_thresholds(fractions)
+    labels = pa.array(names, type=pa.string())
+
+    def assign(t: pa.Table) -> pa.Table:
+        col = t.column(id_col)
+        if col.null_count:
+            raise ValueError("hash_split: ids must be non-null")
+        ids = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        if (ids < 0).any():
+            raise ValueError("hash_split: ids must be non-negative")
+        h = (ids.astype(np.uint64) * _RACE_MULT) % _RACE_MOD
+        idx = np.searchsorted(cuts, h, side="right")
+        return t.append_column(split_col, pc.take(labels, pa.array(idx)))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -1135,3 +1135,56 @@ class TestWeightedGroupSample:
 
         with pytest.raises(ValueError):
             weighted_group_sample(None, key="g", weight_col="w", k=0, id_col="i")
+
+
+class TestHashSplit:
+    def _ds(self, ids):
+        import ray
+
+        return ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, type=pa.int64())}))
+
+    FR = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def test_deterministic_and_stable_under_growth(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.corpus import hash_split
+
+        small = hash_split(self._ds(list(range(100))), id_col="doc_id",
+                           fractions=self.FR).to_pandas()
+        big = hash_split(self._ds(list(range(1000))), id_col="doc_id",
+                         fractions=self.FR).to_pandas()
+        merged = small.merge(big, on="doc_id", suffixes=("_s", "_b"))
+        # a doc's split never changes when the corpus grows
+        assert (merged["split_s"] == merged["split_b"]).all()
+
+    def test_fractions_roughly_respected(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.corpus import hash_split
+
+        out = hash_split(self._ds(list(range(20_000))), id_col="doc_id",
+                         fractions=self.FR).to_pandas()
+        shares = out["split"].value_counts(normalize=True)
+        assert abs(shares["train"] - 0.8) < 0.02
+        assert abs(shares["val"] - 0.1) < 0.02
+        assert abs(shares["test"] - 0.1) < 0.02
+
+    def test_thresholds_validation(self):
+        from logstash_filter_elastic_integration_ray.stages.corpus import split_thresholds
+
+        with pytest.raises(ValueError, match="sum to 1"):
+            split_thresholds({"a": 0.5, "b": 0.4})
+        with pytest.raises(ValueError, match="positive"):
+            split_thresholds({"a": 1.5, "b": -0.5})
+        names, cuts = split_thresholds({"a": 0.25, "b": 0.75})
+        assert names == ["a", "b"] and int(cuts[-1]) == 1 << 32
+
+    def test_bad_ids_raise(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.corpus import hash_split
+
+        with pytest.raises(Exception, match="non-negative"):
+            hash_split(self._ds([-1]), id_col="doc_id",
+                       fractions=self.FR).to_pandas()
+        import ray
+
+        nulls = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([None], type=pa.int64())}))
+        with pytest.raises(Exception, match="non-null"):
+            hash_split(nulls, id_col="doc_id", fractions=self.FR).to_pandas()
