@@ -63,30 +63,46 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch.column("doc_id"), "n_tokens": n})
 
 
+def _seg_sum_int(flags: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Exact int64 per-segment sums (0 for empty segments) — the
+    integer twin of stages/dsir.py:_segment_sums."""
+    out = np.zeros(len(lengths), dtype=np.int64)
+    nz = lengths > 0
+    if flags.size and nz.any():
+        starts = np.r_[0, np.cumsum(lengths)][:-1][nz]
+        out[nz] = np.add.reduceat(flags, starts)
+    return out
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Quality metrics: char/word counts, stopword count + ratio.
 
     ``stop_ratio`` is an exact int/int double division so the DuckDB
-    oracle reproduces it bit-for-bit."""
-    texts = batch.column("text").to_pylist()
-    n = len(texts)
-    n_chars = np.zeros(n, dtype=np.int64)
-    n_words = np.zeros(n, dtype=np.int64)
-    n_stop = np.zeros(n, dtype=np.int64)
-    stop = set(STOPWORDS)
-    for i, t in enumerate(texts):
-        if t is None:
-            continue
-        words = t.split(" ")
-        n_chars[i] = len(t)
-        n_words[i] = len(words)
-        n_stop[i] = sum(1 for w in words if w in stop)
-    ratio = n_stop / np.maximum(n_words, 1)
+    oracle reproduces it bit-for-bit.  Fully vectorized: one Arrow
+    split kernel, one ``is_in`` membership pass over the flat token
+    array, one segmented ``add.reduceat`` — no per-row Python (the
+    old loop measured 0.57 s per 80k docs single-core; null text
+    yields all-zero counts, same as before)."""
+    col = batch.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_chars = pc.fill_null(pc.utf8_length(col), 0).cast(pa.int64())
+    toks = pc.split_pattern(col, " ")
+    n_words = pc.fill_null(pc.list_value_length(toks), 0).cast(pa.int64())
+    lengths = n_words.to_numpy(zero_copy_only=False)
+    flat = toks.flatten()
+    # cast bool→int8 in Arrow before to_numpy: the boolean conversion
+    # path materializes per-element, ~10× the int8 buffer view
+    is_stop = pc.cast(
+        pc.is_in(flat, value_set=pa.array(STOPWORDS)), pa.int8()
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_stop = _seg_sum_int(is_stop, lengths)
+    ratio = n_stop / np.maximum(lengths, 1)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "n_chars_calc": pa.array(n_chars),
-            "n_words": pa.array(n_words),
+            "n_chars_calc": n_chars,
+            "n_words": n_words,
             "n_stopwords": pa.array(n_stop),
             "stop_ratio": pa.array(ratio),
         }
@@ -94,6 +110,8 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 
 
 def detect_language(text: str) -> str:
+    """Plain per-string twin of :func:`lang_id_batch` (kept as the
+    readable spec + test reference; the batch kernel must agree)."""
     if not text:
         return "und"
     # CJK shortcut
@@ -108,10 +126,43 @@ def detect_language(text: str) -> str:
     return best
 
 
+#: profile membership arrays for the vectorized is_in passes
+_PROFILE_ARRAYS = [(lang, pa.array(sorted(words)))
+                   for lang, words in _LANG_PROFILES.items()]
+
+
 def lang_id_batch(batch: pa.Table) -> pa.Table:
-    texts = batch.column("text").to_pylist()
-    langs = [detect_language(t) for t in texts]
-    return pa.table({"doc_id": batch.column("doc_id"), "detected_lang": pa.array(langs, type=pa.string())})
+    """Vectorized language ID, exactly :func:`detect_language` per row
+    (pinned by test equality): CJK presence in the first 200 code
+    points via one RE2 char-class match, then one ``is_in`` membership
+    pass per profile over the flat lowercased token array with
+    segmented sums; ties/zero scores resolve first-profile-wins /
+    "und" exactly like the scalar loop (``np.argmax`` is first-max).
+    The old per-row loop measured 1.7 s per 80k docs single-core."""
+    col = batch.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    head = pc.utf8_slice_codeunits(col, 0, 200)
+    cjk = pc.cast(
+        pc.fill_null(pc.match_substring_regex(head, "[一-鿿]"), False), pa.int8()
+    ).to_numpy(zero_copy_only=False).astype(bool)
+    toks = pc.split_pattern(pc.utf8_lower(col), " ")
+    lengths = pc.fill_null(pc.list_value_length(toks), 0).cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    flat = toks.flatten()
+    scores = np.zeros((len(_PROFILE_ARRAYS), n), dtype=np.int64)
+    for i, (_lang, arr) in enumerate(_PROFILE_ARRAYS):
+        member = pc.cast(pc.is_in(flat, value_set=arr), pa.int8()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        scores[i] = _seg_sum_int(member, lengths)
+    best_idx = np.argmax(scores, axis=0)
+    best_score = scores[best_idx, np.arange(n)]
+    names = np.array([lang for lang, _ in _PROFILE_ARRAYS], dtype=object)
+    langs = np.where(best_score > 0, names[best_idx], "und")
+    langs = np.where(cjk, "zh", langs)
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "detected_lang": pa.array(langs, type=pa.string())})
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:

@@ -1188,3 +1188,49 @@ class TestHashSplit:
             pa.table({"doc_id": pa.array([None], type=pa.int64())}))
         with pytest.raises(Exception, match="non-null"):
             hash_split(nulls, id_col="doc_id", fractions=self.FR).to_pandas()
+
+
+class TestVectorizedTextKernels:
+    """The round-4 vectorized quality / lang-id kernels must agree
+    with their plain per-row twins exactly (the scalar
+    detect_language stays in the module as the readable spec)."""
+
+    ADV = [None, "", " ", "the the the of", "el la de que", "一",
+           "x" * 300 + "一", ("y" * 199) + "一", ("z" * 200) + "一",
+           "Der UND das ist", "le la les de et un", "THE OF"]
+
+    def _tab(self):
+        return pa.table({
+            "doc_id": pa.array(range(len(self.ADV)), type=pa.int64()),
+            "text": pa.array(self.ADV, type=pa.string()),
+        })
+
+    def test_lang_id_matches_scalar_spec(self):
+        from logstash_filter_elastic_integration_ray.stages.textstats import (
+            detect_language,
+            lang_id_batch,
+        )
+
+        got = lang_id_batch(self._tab()).column("detected_lang").to_pylist()
+        assert got == [detect_language(t) for t in self.ADV]
+        # CJK past position 200 must NOT trigger the shortcut
+        assert got[8] != "zh" and got[7] == "zh"
+
+    def test_quality_matches_plain_loop(self):
+        from logstash_filter_elastic_integration_ray.stages.textstats import (
+            STOPWORDS,
+            quality_batch,
+        )
+
+        q = quality_batch(self._tab())
+        stop = set(STOPWORDS)
+        for i, t in enumerate(self.ADV):
+            if t is None:
+                exp = (0, 0, 0)
+            else:
+                w = t.split(" ")
+                exp = (len(t), len(w), sum(1 for x in w if x in stop))
+            assert q.column("n_chars_calc")[i].as_py() == exp[0]
+            assert q.column("n_words")[i].as_py() == exp[1]
+            assert q.column("n_stopwords")[i].as_py() == exp[2]
+            assert q.column("stop_ratio")[i].as_py() == exp[2] / max(exp[1], 1)
