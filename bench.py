@@ -273,6 +273,14 @@ def run_bench() -> dict:
 
     timed("minhash_dedup_dup_heavy_16x", minhash_dup_heavy, reps=1)
 
+    def simhash_dup_heavy():
+        from logstash_filter_elastic_integration_ray.stages.dedup import simhash_dedup
+
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        return simhash_dedup(heavy).count()
+
+    timed("simhash_dedup_dup_heavy_16x", simhash_dup_heavy, reps=1)
+
     def ngram_jaccard():
         from logstash_filter_elastic_integration_ray.stages.dedup import ngram_jaccard_dedup
 

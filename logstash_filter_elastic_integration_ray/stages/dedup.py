@@ -31,12 +31,28 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MERSENNE = (1 << 61) - 1
 
 
 def _hash64(values: list[str]) -> np.ndarray:
     return pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
+
+
+def _distinct_texts(col) -> tuple[list, np.ndarray]:
+    """(distinct texts, inverse index per row) via one Arrow
+    dictionary-encode — signature kernels then run once per DISTINCT
+    text and gather, so a dup-heavy batch (the adversarial dedup
+    shape, where EVERY doc repeats) pays for its unique content only.
+    Pure row-dedup: per-doc signatures are exactly unchanged."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # null and "" hash identically downstream ((text or "") everywhere),
+    # so nulls fold into "" before the encode
+    de = pc.fill_null(col, "").dictionary_encode()
+    inverse = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return de.dictionary.to_pylist(), inverse
 
 
 # --------------------------------------------------------------------------
@@ -198,10 +214,10 @@ def minhash_band_rows(
     """Explode each doc to one row per LSH band: (bucket, doc_id, sig)
     — fully vectorized: one signature kernel, one band-key mix, one
     signature buffer shared across bands via Arrow ``take``."""
-    texts = batch.column(text_col).to_pylist()
     ids = batch.column(id_col).to_numpy().astype(np.int64)
-    n = len(texts)
-    sig_matrix = minhash_signatures_batch(texts, hasher)
+    n = batch.num_rows
+    uniq, inverse = _distinct_texts(batch.column(text_col))
+    sig_matrix = minhash_signatures_batch(uniq, hasher)[inverse]
     keys = band_bucket_keys(sig_matrix, bands)  # (n, bands)
     sig_arr = _fixed_binary_rows(sig_matrix)
     tile_idx = pa.array(np.tile(np.arange(n, dtype=np.int64), bands))
@@ -643,7 +659,6 @@ def simhash_codes_batch(texts: list) -> np.ndarray:
     temporary stays bounded."""
     n = len(texts)
     out = np.zeros(n, dtype=np.uint64)
-    bit_idx = np.arange(64, dtype=np.uint64)[None, :]
     weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     start = 0
     while start < n:
@@ -655,10 +670,15 @@ def simhash_codes_batch(texts: list) -> np.ndarray:
             offsets.append(len(words))
             end += 1
         h = _hash64(words)
-        bits = ((h[:, None] >> bit_idx) & np.uint64(1)).astype(np.int32)  # (tokens, 64)
+        # one C-speed unpackbits == the 64 broadcast shift-and-mask ops
+        # (little-endian uint64 view: column j is bit j)
+        bits = np.unpackbits(
+            np.ascontiguousarray(h).view(np.uint8).reshape(-1, 8),
+            axis=1, bitorder="little",
+        )  # (tokens, 64) uint8
         starts = np.array(offsets[:-1], dtype=np.int64)
         counts = np.diff(offsets)  # every segment ≥ 1 token
-        sums = np.add.reduceat(bits, starts, axis=0)  # (docs, 64)
+        sums = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)  # (docs, 64)
         votes = sums * 2 - counts[:, None]
         out[start:end] = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(
             axis=1, dtype=np.uint64
@@ -670,7 +690,8 @@ def simhash_codes_batch(texts: list) -> np.ndarray:
 def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """64-bit SimHash per doc (token-hash bit voting, vectorized) —
     hex-string output for the public query surface."""
-    codes = simhash_codes_batch(batch.column(text_col).to_pylist())
+    uniq, inverse = _distinct_texts(batch.column(text_col))
+    codes = simhash_codes_batch(uniq)[inverse]
     out = [f"{int(c):016x}" for c in codes]
     return pa.table({id_col: batch.column(id_col), "simhash": pa.array(out, type=pa.string())})
 
@@ -699,7 +720,8 @@ def simhash_block_rows(batch: pa.Table, k: int, id_col: str = "doc_id") -> pa.Ta
     nb = k + 1
     widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
     ids = batch.column(id_col).to_numpy()
-    s = simhash_codes_batch(batch.column("text").to_pylist())
+    uniq, inverse = _distinct_texts(batch.column("text"))
+    s = simhash_codes_batch(uniq)[inverse]
     buckets, out_ids, out_sigs = [], [], []
     off = 0
     for b, w in enumerate(widths):
