@@ -250,32 +250,39 @@ def text_feature_embedding_batch(batch: pa.Table, dim: int = 64,
     makes the embedding-cosine near-dup path exercisable end-to-end
     without a model (no embedding model ships in this container; swap
     this stage for real batched inference in production)."""
-    texts = batch.column(text_col).to_pylist()
-    n = len(texts)
-    out = np.zeros((n, dim), dtype=np.float64)
-    # ONE hash_array call over all tokens + a bincount scatter — the
-    # per-doc loop paid ~50 µs of hash_array overhead per document
+    from .dedup import _distinct_texts
+
+    # vectors per DISTINCT text (dictionary-encode + gather): a
+    # dup-heavy batch pays the hash + scatter for unique content only;
+    # per-doc vectors are bit-unchanged (token hash stays the
+    # definitional pd.util.hash_array, so fixture values cannot move)
+    uniq, inverse = _distinct_texts(batch.column(text_col))
+    u = len(uniq)
+    out = np.zeros((u, dim), dtype=np.float64)
     words_all: list[str] = []
     offsets = [0]
-    for t in texts:
+    for t in uniq:
         words_all.extend((t or "").split(" "))  # never empty: ''.split(' ') == ['']
         offsets.append(len(words_all))
     if words_all:
         h = pd.util.hash_array(np.asarray(words_all, dtype=object), categorize=False)
         buckets = (h % np.uint64(dim)).astype(np.int64)
         signs = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
-        flat = np.bincount(doc_idx * dim + buckets, weights=signs, minlength=n * dim)
-        out = flat.reshape(n, dim)
+        doc_idx = np.repeat(np.arange(u, dtype=np.int64), np.diff(offsets))
+        flat = np.bincount(doc_idx * dim + buckets, weights=signs, minlength=u * dim)
+        out = flat.reshape(u, dim)
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     out /= norms
-    return pa.table(
-        {
-            id_col: batch.column(id_col),
-            "embedding": pa.array([row.tolist() for row in out], type=pa.list_(pa.float64())),
-        }
+    out = np.ascontiguousarray(out[inverse])
+    n = batch.num_rows
+    # zero-copy list column: one values buffer + arange offsets (the
+    # per-row .tolist() built n×dim Python floats)
+    emb = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32), type=pa.int32()),
+        pa.array(out.ravel(), type=pa.float64()),
     )
+    return pa.table({id_col: batch.column(id_col), "embedding": emb})
 
 
 # --------------------------------------------------------------------------
