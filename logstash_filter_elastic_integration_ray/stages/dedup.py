@@ -36,7 +36,21 @@ import pyarrow.compute as pc
 _MERSENNE = (1 << 61) - 1
 
 
+try:  # vectorized string hashing (13× the object-array path; see
+    import polars as _pl  # stages/decontam.py:flat_token_hashes)
+except ImportError:  # pragma: no cover
+    _pl = None
+
+
 def _hash64(values: list[str]) -> np.ndarray:
+    """uint64 hash per string — the DEFINITIONAL token/shingle hash of
+    the minhash + simhash signatures (shared with tools/
+    reference_impls.py through MinHasher/simhash_codes_batch, so both
+    sides move together and fixtures regenerate consistently)."""
+    if _pl is not None:
+        return np.ascontiguousarray(
+            _pl.Series(values, dtype=_pl.String).hash(seed=0).to_numpy(),
+            dtype=np.uint64)
     return pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
 
 

@@ -315,11 +315,18 @@ def ngram_jaccard_decontaminate_reference(
 # ---------------------------------------------------------------------------
 def _simhash_plain(texts) -> np.ndarray:
     """Per-doc simhash — intentionally the naive per-document loop, so
-    the engine's chunked/segmented kernel is validated against it."""
+    the engine's chunked/segmented kernel is validated against it.
+    The per-WORD hash is the shared definitional ``_hash64`` (same
+    policy as MinHasher's shingle hash): an independent
+    reimplementation of a seeded hash is the same code or a wrong
+    one — what this reference independently validates is the bit
+    voting, blocking, and union-find machinery."""
+    from logstash_filter_elastic_integration_ray.stages.dedup import _hash64
+
     out = np.zeros(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts):
         words = (t or "").split(" ")
-        h = pd.util.hash_array(np.asarray(words, dtype=object), categorize=False)
+        h = _hash64(words)
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
             np.int64
         )
