@@ -156,37 +156,89 @@ class MinHasher:
 _SHINGLE_CHUNK = 1 << 18  # ≈ num_perm × 256k × 8 B = 64 MB temp ceiling
 
 
-def minhash_signatures_batch(texts: list, hasher: MinHasher) -> np.ndarray:
-    """(n_docs, num_perm) uint64 signatures with one ``hash_array``
-    call + a segmented minimum per CHUNK of docs — the per-doc Python
-    loop was the dominant dedup cost (~4× on signature-heavy batches),
-    but an unbounded (num_perm × total_shingles) temporary would OOM
-    workers on large blocks, so docs are processed in groups whose
-    shingle count stays under ``_SHINGLE_CHUNK``."""
-    n = len(texts)
+def _hash64_arrow(arr) -> np.ndarray:
+    """:func:`_hash64` over an Arrow string array — same values, no
+    Python-object materialization."""
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if _pl is not None:
+        return np.ascontiguousarray(
+            _pl.from_arrow(arr).hash(seed=0).to_numpy(), dtype=np.uint64)
+    return pd.util.hash_array(
+        np.asarray(arr.to_pylist(), dtype=object), categorize=False)
+
+
+def _shingle_hashes(col, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(flat doc-ordered shingle hashes, shingles per doc) with the
+    shingle STRINGS built in Arrow: k shifted zero-copy views of the
+    flat token array joined element-wise (``binary_join_element_wise``)
+    and filtered to intra-doc positions.  A doc with < k words
+    contributes ONE shingle equal to its text (``" ".join(words)`` of
+    a single-space split is the identity), exactly
+    :meth:`MinHasher.shingles` — the per-doc join loop this replaces
+    cost 1.26 s per 80k docs."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    toks = pc.split_pattern(col, " ")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(counts)
+    lengths = np.maximum(counts - k + 1, 1)
+    flat = toks.flatten()
+    n_pos = len(flat) - k + 1
+    if n_pos > 0:
+        joined = pc.binary_join_element_wise(
+            *[flat.slice(j, n_pos) for j in range(k)], " ")
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        valid = doc_idx[:n_pos] == doc_idx[k - 1:]
+        h_long = _hash64_arrow(joined.filter(pa.array(valid)))
+    else:
+        h_long = np.empty(0, dtype=np.uint64)
+    short = counts < k
+    h_short = _hash64_arrow(col.filter(pa.array(short)))
+    out = np.empty(int(lengths.sum()), dtype=np.uint64)
+    out_off = np.r_[0, np.cumsum(lengths)]
+    if h_long.size:
+        ldocs = np.flatnonzero(~short)
+        llen = lengths[ldocs]
+        base = np.repeat(out_off[ldocs], llen)
+        rank = np.arange(h_long.size, dtype=np.int64) - np.repeat(
+            np.r_[0, np.cumsum(llen)][:-1], llen)
+        out[base + rank] = h_long
+    if h_short.size:
+        out[out_off[np.flatnonzero(short)]] = h_short
+    return out, lengths
+
+
+def minhash_signatures_batch(texts, hasher: MinHasher) -> np.ndarray:
+    """(n_docs, num_perm) uint64 signatures — Arrow-native shingle
+    construction + one vectorized hash pass (:func:`_shingle_hashes`),
+    then the permute × segmented-minimum per CHUNK of docs (an
+    unbounded (num_perm × total_shingles) temporary would OOM workers
+    on large blocks, so the permute walks doc-aligned chunks whose
+    shingle count stays under ``_SHINGLE_CHUNK``).  Accepts an Arrow
+    string array or a Python list; every doc has ≥ 1 shingle."""
+    col = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
+        [t if t is not None else "" for t in texts], type=pa.string())
+    n = len(col)
     sigs = np.full((n, hasher.num_perm), np.uint64(_MERSENNE), dtype=np.uint64)
+    if n == 0:
+        return sigs
+    h_all, lengths = _shingle_hashes(col, hasher.shingle_size)
+    h_all = h_all % np.uint64(_MERSENNE)
+    ends = np.cumsum(lengths)
+    starts_all = ends - lengths
     start_doc = 0
     while start_doc < n:
-        chunk_shingles: list[str] = []
-        offsets = [0]
-        end_doc = start_doc
-        while end_doc < n and (len(chunk_shingles) < _SHINGLE_CHUNK or end_doc == start_doc):
-            chunk_shingles.extend(hasher.shingles(texts[end_doc]))
-            offsets.append(len(chunk_shingles))
-            end_doc += 1
-        if chunk_shingles:
-            h = _hash64(chunk_shingles) % np.uint64(_MERSENNE)
-            # (num_perm, n_shingles) permuted values → per-doc segment min
-            vals = (hasher.a[:, None] * h[None, :] + hasher.b[:, None]) % np.uint64(_MERSENNE)
-            starts = np.array(offsets[:-1], dtype=np.int64)
-            nonempty = np.diff(offsets) > 0
-            if nonempty.any():
-                # reduce over NONEMPTY segment starts only: empty
-                # segments have zero width, so consecutive nonempty
-                # starts bound each doc's shingles exactly (reduceat
-                # mis-reports empty segments)
-                red = np.minimum.reduceat(vals, starts[nonempty], axis=1)
-                sigs[start_doc:end_doc][nonempty] = red.T
+        # widest doc range whose shingle span fits the temp ceiling
+        end_doc = int(np.searchsorted(
+            ends, starts_all[start_doc] + _SHINGLE_CHUNK, side="left")) + 1
+        end_doc = min(max(end_doc, start_doc + 1), n)
+        lo, hi = starts_all[start_doc], ends[end_doc - 1]
+        h = h_all[lo:hi]
+        vals = (hasher.a[:, None] * h[None, :] + hasher.b[:, None]) % np.uint64(_MERSENNE)
+        red = np.minimum.reduceat(vals, starts_all[start_doc:end_doc] - lo, axis=1)
+        sigs[start_doc:end_doc] = red.T
         start_doc = end_doc
     return sigs
 
