@@ -1418,6 +1418,28 @@ def q_split_corpus_docs(sf_dir: str):
     return out.select_columns(["doc_id", "split"])
 
 
+def q_cluster_split_docs(sf_dir: str):
+    """LEAKAGE-SAFE train/val/test split: minhash near-dup components
+    first (stages/dedup.py:minhash_cluster_assignments — every doc gets
+    its component's min-id as cluster_id, distributed star-edge +
+    min-label machinery, no driver union-find), then the deterministic
+    hash split keyed on the CLUSTER id — near-duplicate docs can never
+    straddle the split, the contamination a doc-level random split
+    silently allows.  Fixture oracle from the plain union-find
+    reference (tools/reference_impls.py:
+    minhash_assignment_split_reference)."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import hash_split
+    from logstash_filter_elastic_integration_ray.stages.dedup import (
+        minhash_cluster_assignments,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    assignments = minhash_cluster_assignments(docs)
+    out = hash_split(assignments, id_col="cluster_id",
+                     fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select_columns(["doc_id", "cluster_id", "split"])
+
+
 def q_token_budget_head_docs(sf_dir: str):
     """Token-budget corpus head: keep docs in doc_id order until a
     global token budget is reached (the doc that crosses the budget is
@@ -2366,6 +2388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dsir_select_docs": q_dsir_select_docs,
         "split_corpus_docs": q_split_corpus_docs,
+        "cluster_split_docs": q_cluster_split_docs,
         "token_budget_head_docs": q_token_budget_head_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
         "perplexity_docs": q_perplexity_docs,
@@ -2753,6 +2776,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/dsir_select_docs.sf0_01.parquet')"
         ),
         "split_corpus_docs": _split_corpus_sql(),
+        "cluster_split_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/cluster_split_docs.sf0_01.parquet')"
+        ),
         "token_budget_head_docs": (
             "WITH toks AS (SELECT doc_id, "
             "len(string_split(coalesce(text, ''), ' ')) AS n_toks FROM documents), "

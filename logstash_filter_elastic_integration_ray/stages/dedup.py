@@ -622,7 +622,17 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 32, bands: int = 8, threshold: floa
     union-find), and survivor/singleton assembly via joins — the full
     doc-id column is NEVER materialized on the driver (pinned by a
     ``Dataset.to_pandas`` call counter in ``tests/test_stages.py``)."""
-    import pyarrow.compute as pc
+    labels = _minhash_labels(ds, num_perm=num_perm, bands=bands,
+                             threshold=threshold, text_col=text_col,
+                             id_col=id_col, num_partitions=num_partitions)
+    return _survivors_from_labels(ds, labels, id_col, num_partitions)
+
+
+def _minhash_labels(ds, *, num_perm: int, bands: int, threshold: float,
+                    text_col: str, id_col: str, num_partitions: int):
+    """(node, label) components labelling of the minhash-LSH near-dup
+    graph — the shared middle of :func:`minhash_lsh_dedup` and
+    :func:`minhash_cluster_assignments`."""
     from .aggregate import add_partition_col
 
     hasher = MinHasher(num_perm=num_perm)
@@ -643,8 +653,59 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 32, bands: int = 8, threshold: floa
 
     # CC partitions scale with the caller's partitioning (the edge set
     # is candidate-only but still grows with the input)
-    labels = connected_components_min_label(edges, num_partitions=max(8, num_partitions // 4))
-    return _survivors_from_labels(ds, labels, id_col, num_partitions)
+    return connected_components_min_label(edges, num_partitions=max(8, num_partitions // 4))
+
+
+def minhash_cluster_assignments(ds, *, num_perm: int = 32, bands: int = 8,
+                                threshold: float = 0.8, text_col: str = "text",
+                                id_col: str = "doc_id", num_partitions: int = 32):
+    """(doc_id, cluster_id) for EVERY doc — cluster_id is the min doc
+    id of its near-dup component, its own id for singletons.  The
+    member→cluster map a leakage-safe train/test split needs: split by
+    ``cluster_id`` and near-duplicates can never straddle the split.
+
+    Same banding / star-edge / min-label machinery as
+    :func:`minhash_lsh_dedup`; the per-doc resolve is a tag-union
+    co-partition by id with one vectorized groupby-min per partition
+    (typed int64 columns end to end — a pandas LEFT merge would widen
+    the missing side to float64, BASELINE note 10)."""
+    from .aggregate import add_partition_col
+
+    labels = _minhash_labels(ds, num_perm=num_perm, bands=bands,
+                             threshold=threshold, text_col=text_col,
+                             id_col=id_col, num_partitions=num_partitions)
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("cluster_id", pa.int64())])
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).cast(pa.int64())
+        return pa.table({"__id": ids, "__lab": ids})
+
+    def lab_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.table({"__id": pa.array([], type=pa.int64()),
+                             "__lab": pa.array([], type=pa.int64())})
+        return pa.table({"__id": t.column("node"), "__lab": t.column("label")})
+
+    union = ds.map_batches(doc_rows, batch_format="pyarrow").union(
+        labels.map_batches(lab_rows, batch_format="pyarrow"))
+
+    def resolve(df: pd.DataFrame) -> pa.Table:
+        # a doc contributes its own id; a labelled node also its
+        # component label (== min member id ≤ own id) → min resolves
+        out = df.groupby("__id", as_index=False)["__lab"].min()
+        out.columns = [id_col, "cluster_id"]
+        return pa.Table.from_pandas(out, preserve_index=False,
+                                    schema=out_schema).replace_schema_metadata(None)
+
+    return (
+        union.map_batches(
+            lambda b: add_partition_col(b, num_partitions, key="__id"),
+            batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(resolve, batch_format="pandas")
+    )
 
 
 def _survivors_from_labels(ds, labels, id_col: str, num_partitions: int):

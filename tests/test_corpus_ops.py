@@ -1234,3 +1234,43 @@ class TestVectorizedTextKernels:
             assert q.column("n_words")[i].as_py() == exp[1]
             assert q.column("n_stopwords")[i].as_py() == exp[2]
             assert q.column("stop_ratio")[i].as_py() == exp[2] / max(exp[1], 1)
+
+
+class TestClusterAssignments:
+    def test_assignments_consistent_with_survivors(self, ray_session):
+        from logstash_filter_elastic_integration_ray.sources.io import read_parquet_clean
+        from logstash_filter_elastic_integration_ray.stages.dedup import (
+            minhash_cluster_assignments,
+            minhash_lsh_dedup,
+        )
+
+        docs = read_parquet_clean("/root/testdata/sf0.001/documents.parquet",
+                                  columns=["doc_id", "text"])
+        a = minhash_cluster_assignments(docs).to_pandas()
+        s = minhash_lsh_dedup(docs).to_pandas()
+        # every doc assigned exactly once
+        assert len(a) == docs.count() and a["doc_id"].is_unique
+        # cluster ids == survivor ids; member counts == cluster sizes
+        sizes = a.groupby("cluster_id").size().sort_index()
+        exp = s.set_index("doc_id")["cluster_size"].sort_index()
+        assert (sizes.index.to_numpy() == exp.index.to_numpy()).all()
+        assert (sizes.to_numpy() == exp.to_numpy()).all()
+        # cluster_id is the min member id
+        assert (a.groupby("cluster_id")["doc_id"].min().to_numpy()
+                == sizes.index.to_numpy()).all()
+
+    def test_cluster_split_has_no_leakage(self, ray_session):
+        from logstash_filter_elastic_integration_ray.sources.io import read_parquet_clean
+        from logstash_filter_elastic_integration_ray.stages.corpus import hash_split
+        from logstash_filter_elastic_integration_ray.stages.dedup import (
+            minhash_cluster_assignments,
+        )
+
+        docs = read_parquet_clean("/root/testdata/sf0.001/documents.parquet",
+                                  columns=["doc_id", "text"])
+        out = hash_split(
+            minhash_cluster_assignments(docs), id_col="cluster_id",
+            fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        ).to_pandas()
+        # the property the operator exists for: one split per cluster
+        assert (out.groupby("cluster_id")["split"].nunique() == 1).all()

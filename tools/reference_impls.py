@@ -914,3 +914,36 @@ def dsir_reference(ids, texts, *, mod: int = 7, m: int = 8192,
     order = np.lexsort((rid, -race))[:k]
     keep = np.sort(order)
     return pd.DataFrame({"doc_id": rid[keep], "dsir_logw": logw[keep]})
+
+
+def minhash_assignment_split_reference(ids, texts, *, num_perm: int = 32,
+                                       bands: int = 8, threshold: float = 0.8
+                                       ) -> pd.DataFrame:
+    """Leakage-safe split reference: the minhash union-find's full
+    member→root map (not just survivors), split by the shared
+    :func:`split_thresholds` boundaries on the CLUSTER id so near-dup
+    members can never straddle the split."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import split_thresholds
+
+    hasher = MinHasher(num_perm=num_perm)
+    sig = np.vstack([hasher.signature(t) for t in texts])
+    keys = band_bucket_keys(sig, bands)
+    buckets: dict[int, list[int]] = {}
+    for idx in range(len(ids)):
+        for b in range(bands):
+            buckets.setdefault(int(keys[idx, b]), []).append(idx)
+    uf = UnionFind(ids)
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        mi = np.array(sorted(members))
+        _verify_bucket_minhash(ids[mi], sig[mi], threshold, uf)
+    roots = np.array([uf.find(int(i)) for i in ids], dtype=np.int64)
+    names, cuts = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    h = (roots.astype(np.uint64) * np.uint64(2654435761)) % (np.uint64(1) << np.uint64(32))
+    idxs = np.searchsorted(cuts, h, side="right")
+    return pd.DataFrame({
+        "doc_id": np.asarray(ids, dtype=np.int64),
+        "cluster_id": roots,
+        "split": np.array(names, dtype=object)[idxs],
+    })
