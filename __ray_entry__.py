@@ -963,6 +963,21 @@ def q_repetition_docs(sf_dir: str):
     return docs.map_batches(repetition_batch, batch_format="pyarrow")
 
 
+def q_gopher_repetition_docs(sf_dir: str):
+    """The char-fraction half of the published Gopher repetition rules
+    (top-2/3/4-gram char fraction, duplicate-5..10-gram char coverage
+    with overlaps counted once) — one stateless vectorized batch
+    kernel (stages/textstats.py:gopher_repetition_batch).  Fixture
+    oracle from the string-tuple plain reference; exact int/int float64
+    divisions, bit-identical under any batching."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import (
+        gopher_repetition_batch,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(gopher_repetition_batch, batch_format="pyarrow")
+
+
 def q_tfidf_top_docs(sf_dir: str):
     """Top-3 distinctive tokens per doc by tf/df (log-free idf — see
     stages/textstats.py:tfidf_topk for why ln is avoided): thin
@@ -2389,6 +2404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select_docs": q_dsir_select_docs,
         "split_corpus_docs": q_split_corpus_docs,
         "cluster_split_docs": q_cluster_split_docs,
+        "gopher_repetition_docs": q_gopher_repetition_docs,
         "token_budget_head_docs": q_token_budget_head_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
         "perplexity_docs": q_perplexity_docs,
@@ -2778,6 +2794,9 @@ def oracle_sql() -> dict[str, str]:
         "split_corpus_docs": _split_corpus_sql(),
         "cluster_split_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/cluster_split_docs.sf0_01.parquet')"
+        ),
+        "gopher_repetition_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/gopher_repetition_docs.sf0_01.parquet')"
         ),
         "token_budget_head_docs": (
             "WITH toks AS (SELECT doc_id, "

@@ -361,3 +361,130 @@ def tfidf_topk(ds, *, k: int = 3, num_partitions: int = 32,
         .map_groups(lambda df: _topk_doc_partition(df, k), batch_format="pandas")
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Gopher char-fraction repetition signals (Rae et al. 2021, table A1)
+# ---------------------------------------------------------------------------
+
+def _gram_pos(fh: np.ndarray, counts: np.ndarray, w: int):
+    """Like decontam.gram_hashes but also returns each valid gram's
+    START index into the flat token array."""
+    n_flat = len(fh)
+    n_pos = n_flat - w + 1
+    if n_pos <= 0:
+        z = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.uint64), z, z
+    from .decontam import _GRAM_B
+
+    h = np.zeros(n_pos, dtype=np.uint64)
+    for j in range(w):
+        h = h * _GRAM_B + fh[j: j + n_pos]
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    valid = doc_idx[:n_pos] == doc_idx[w - 1:]
+    pos = np.flatnonzero(valid).astype(np.int64)
+    return h[valid], doc_idx[pos], pos
+
+
+def _gram_runs(gh, gdoc, gpos):
+    """Sorted (doc, gram) run stats: per run — doc, occurrence count,
+    earliest start position, and the index (into the sorted order) of
+    the run head."""
+    order = np.lexsort((gpos, gh, gdoc))
+    gd, gg, gp = gdoc[order], gh[order], gpos[order]
+    head = np.ones(len(gd), dtype=bool)
+    head[1:] = (gd[1:] != gd[:-1]) | (gg[1:] != gg[:-1])
+    heads = np.flatnonzero(head)
+    run_len = np.diff(np.append(heads, len(gd)))
+    return gd[heads], run_len, gp[heads], order, head
+
+
+def gopher_repetition_batch(batch: pa.Table, *, top_ns=(2, 3, 4),
+                            dup_ns=(5, 6, 7, 8, 9, 10),
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> pa.Table:
+    """The char-fraction half of the published Gopher repetition rules
+    (the count-based half lives in :func:`repetition_batch`):
+
+    - ``top_{n}gram_char_frac`` (n = 2..4): occurrences of the doc's
+      most frequent n-gram × the gram's character length ÷ the doc's
+      character length.  Tie on count → the gram occurring EARLIEST in
+      the doc (string-computable, so the plain reference needs no hash).
+    - ``dup_{n}gram_char_frac`` (n = 5..10): fraction of the doc's
+      characters covered by AT LEAST one n-gram that occurs more than
+      once — overlaps counted ONCE (interval union over token + gap
+      coverage via two bincount difference arrays; `np.add.at` is
+      ~1 µs/element, note 7).
+
+    Character spans follow the original string: a gram covers its
+    tokens plus the separators between them; the denominator is
+    ``len(text)``.  Fully vectorized; per-doc fractions are exact
+    int/int float64 divisions, so the pinned fixture's plain per-doc
+    reference (tools/reference_impls.py:gopher_repetition_reference)
+    must match byte-for-byte."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    denom = np.maximum(n_chars, 1).astype(np.float64)
+    toks = pc.split_pattern(col, " ")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    from .dedup import _hash64_arrow
+
+    fh = _hash64_arrow(flat)
+    n_docs = len(counts)
+    n_flat = len(fh)
+    doc_starts = np.r_[0, np.cumsum(counts)][:-1]
+    csum = np.r_[0, np.cumsum(tok_len)]
+
+    out = {id_col: batch.column(id_col)}
+
+    for n in top_ns:
+        frac = np.zeros(n_docs, dtype=np.float64)
+        gh, gdoc, gpos = _gram_pos(fh, counts, n)
+        if len(gh):
+            glen = csum[gpos + n] - csum[gpos] + (n - 1)  # chars incl. gaps
+            run_doc, run_len, run_first, order, head = _gram_runs(gh, gdoc, gpos)
+            run_chars = glen[order][head]
+            sel = np.lexsort((run_first, -run_len, run_doc))
+            rd = run_doc[sel]
+            first = np.ones(len(rd), dtype=bool)
+            first[1:] = rd[1:] != rd[:-1]
+            chosen = sel[first]
+            num = (run_len[chosen] * run_chars[chosen]).astype(np.float64)
+            frac[run_doc[chosen]] = num / denom[run_doc[chosen]]
+        out[f"top_{n}gram_char_frac"] = pa.array(frac)
+
+    for n in dup_ns:
+        frac = np.zeros(n_docs, dtype=np.float64)
+        gh, gdoc, gpos = _gram_pos(fh, counts, n)
+        if len(gh):
+            run_doc, run_len, run_first, order, head = _gram_runs(gh, gdoc, gpos)
+            # per-position occurrence count: run length back-scattered
+            pos_count = np.empty(len(gh), dtype=np.int64)
+            pos_count[order] = np.repeat(run_len, run_len)
+            dup_pos = gpos[pos_count >= 2]
+            if len(dup_pos):
+                # token coverage [p, p+n) and gap coverage [p, p+n-1)
+                tok_cov = np.cumsum(
+                    np.bincount(dup_pos, minlength=n_flat + 1)[:n_flat]
+                    - np.bincount(dup_pos + n, minlength=n_flat + 1)[:n_flat]
+                ) > 0
+                gap_cov = np.cumsum(
+                    np.bincount(dup_pos, minlength=n_flat + 1)[:n_flat]
+                    - np.bincount(dup_pos + n - 1, minlength=n_flat + 1)[:n_flat]
+                ) > 0
+                covered = np.add.reduceat(
+                    tok_len * tok_cov, doc_starts) if n_flat else np.zeros(n_docs)
+                gaps = np.add.reduceat(
+                    gap_cov.astype(np.int64), doc_starts)
+                # a doc's LAST token has no following gap inside the doc;
+                # gram validity guarantees gap_cov is False there, so the
+                # per-doc segment sum over flat indices is exact
+                frac = (covered + gaps).astype(np.float64) / denom
+        out[f"dup_{n}gram_char_frac"] = pa.array(frac)
+
+    return pa.table(out)

@@ -1274,3 +1274,45 @@ class TestClusterAssignments:
         ).to_pandas()
         # the property the operator exists for: one split per cluster
         assert (out.groupby("cluster_id")["split"].nunique() == 1).all()
+
+
+class TestGopherRepetition:
+    def _run(self, texts):
+        from logstash_filter_elastic_integration_ray.stages.textstats import (
+            gopher_repetition_batch,
+        )
+
+        t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        return gopher_repetition_batch(t).to_pandas()
+
+    def test_matches_plain_reference(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        ids, texts = ref.load_documents("/root/testdata/sf0.001")
+        exp = ref.gopher_repetition_reference(ids, texts)
+        got = self._run(texts)
+        for c in exp.columns:
+            if c == "doc_id":
+                continue
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+    def test_hand_computed(self):
+        # "x y z x y z x y z q": dup 5-grams cover tokens 0..8 and the
+        # 8 gaps between them -> 17 of 19 chars
+        r = self._run(["x y z x y z x y z q", "a b a b a b c", None, ""])
+        assert r["dup_5gram_char_frac"][0] == np.float64(17) / np.float64(19)
+        # top bigram "a b" occurs 3x, 3 chars, doc is 13 chars
+        assert r["top_2gram_char_frac"][1] == np.float64(9) / np.float64(13)
+        # null/empty -> all zero
+        assert (r.iloc[2, 1:].to_numpy() == 0.0).all()
+        assert (r.iloc[3, 1:].to_numpy() == 0.0).all()
+
+    def test_overlap_counted_once(self):
+        # "w w w w w w": every 5-gram is "w w w w w" (2 occurrences,
+        # overlapping) -> coverage is the WHOLE string once, frac 1.0
+        r = self._run(["w w w w w w"])
+        assert r["dup_5gram_char_frac"][0] == 1.0

@@ -947,3 +947,48 @@ def minhash_assignment_split_reference(ids, texts, *, num_perm: int = 32,
         "cluster_id": roots,
         "split": np.array(names, dtype=object)[idxs],
     })
+
+
+def gopher_repetition_reference(ids, texts, *, top_ns=(2, 3, 4),
+                                dup_ns=(5, 6, 7, 8, 9, 10)) -> pd.DataFrame:
+    """Plain per-doc twin of stages/textstats.py:
+    gopher_repetition_batch — string-tuple gram identity (no hashes),
+    character coverage via an explicit boolean array over the doc
+    string; ties on the top gram break by earliest occurrence."""
+    cols: dict = {"doc_id": np.asarray(ids, dtype=np.int64)}
+    for n in list(top_ns) + list(dup_ns):
+        cols_key = (f"top_{n}gram_char_frac" if n in top_ns
+                    else f"dup_{n}gram_char_frac")
+        vals = []
+        for t in texts:
+            s = t or ""
+            toks = s.split(" ")
+            off = [0]
+            for w in toks:
+                off.append(off[-1] + len(w) + 1)  # +1 separator
+            L = len(s)
+            grams: dict = {}
+            for p in range(len(toks) - n + 1):
+                g = tuple(toks[p: p + n])
+                cnt, first, spans = grams.get(g, (0, p, []))
+                spans.append(p)
+                grams[g] = (cnt + 1, first, spans)
+            if n in top_ns:
+                if grams:
+                    (cnt, first, spans), g = max(
+                        ((v, g) for g, v in grams.items()),
+                        key=lambda x: (x[0][0], -x[0][1]))
+                    chars = sum(len(w) for w in g) + (n - 1)
+                    vals.append(np.float64(cnt * chars) / np.float64(max(L, 1)))
+                else:
+                    vals.append(np.float64(0.0))
+            else:
+                covered = np.zeros(max(L, 1), dtype=bool)
+                for g, (cnt, first, spans) in grams.items():
+                    if cnt < 2:
+                        continue
+                    for p in spans:
+                        covered[off[p]: off[p + n] - 1] = True
+                vals.append(np.float64(int(covered.sum())) / np.float64(max(L, 1)))
+        cols[cols_key] = np.asarray(vals, dtype=np.float64)
+    return pd.DataFrame(cols)
