@@ -428,6 +428,19 @@ def run_bench() -> dict:
 
     timed("softmax_16x", softmax_16x, reps=1)
 
+    def gopher_16x():
+        # all 9 Gopher char-fraction signals (top-2/3/4-gram,
+        # dup-5..10-gram coverage) in one stateless vectorized pass
+        from logstash_filter_elastic_integration_ray.stages.textstats import (
+            gopher_repetition_batch,
+        )
+
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        return heavy.map_batches(
+            gopher_repetition_batch, batch_format="pyarrow").count()
+
+    timed("gopher_repetition_16x", gopher_16x, reps=1)
+
     def dsir_16x():
         # DSIR selection: bucket models on the base (target) corpus and
         # the 16× raw corpus (one 64 KiB blob/batch, tree-reduced),

@@ -367,23 +367,42 @@ def tfidf_topk(ds, *, k: int = 3, num_partitions: int = 32,
 # Gopher char-fraction repetition signals (Rae et al. 2021, table A1)
 # ---------------------------------------------------------------------------
 
+class _GramCursor:
+    """Incremental rolling-hash ladder: the width-w gram hashes come
+    from the width-(w-1) hashes with ONE multiply-add
+    (``h_w = h_{w-1}[:-1] * B + fh[w-1:]``), so walking w = 2..10
+    costs 9 vector ops instead of 2+3+...+10 = 54.  Hash values are
+    identical to decontam.gram_hashes' per-width loop."""
+
+    def __init__(self, fh: np.ndarray, counts: np.ndarray):
+        self.fh = fh
+        self.doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        self._h = fh.copy()  # width 1
+        self._w = 1
+
+    def at(self, w: int):
+        """(gram hashes, doc index, start position) for width ``w`` —
+        widths must be requested in increasing order."""
+        from .decontam import _GRAM_B
+
+        if w < self._w:
+            raise ValueError("widths must be non-decreasing")
+        while self._w < w:
+            self._h = self._h[:-1] * _GRAM_B + self.fh[self._w:]
+            self._w += 1
+        n_pos = len(self._h)
+        if n_pos <= 0:
+            z = np.empty(0, dtype=np.int64)
+            return np.empty(0, dtype=np.uint64), z, z
+        valid = self.doc_idx[:n_pos] == self.doc_idx[w - 1:]
+        pos = np.flatnonzero(valid).astype(np.int64)
+        return self._h[valid], self.doc_idx[pos], pos
+
+
 def _gram_pos(fh: np.ndarray, counts: np.ndarray, w: int):
     """Like decontam.gram_hashes but also returns each valid gram's
     START index into the flat token array."""
-    n_flat = len(fh)
-    n_pos = n_flat - w + 1
-    if n_pos <= 0:
-        z = np.empty(0, dtype=np.int64)
-        return np.empty(0, dtype=np.uint64), z, z
-    from .decontam import _GRAM_B
-
-    h = np.zeros(n_pos, dtype=np.uint64)
-    for j in range(w):
-        h = h * _GRAM_B + fh[j: j + n_pos]
-    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-    valid = doc_idx[:n_pos] == doc_idx[w - 1:]
-    pos = np.flatnonzero(valid).astype(np.int64)
-    return h[valid], doc_idx[pos], pos
+    return _GramCursor(fh, counts).at(w)
 
 
 def _gram_runs(gh, gdoc, gpos):
@@ -422,10 +441,13 @@ def gopher_repetition_batch(batch: pa.Table, *, top_ns=(2, 3, 4),
     int/int float64 divisions, so the pinned fixture's plain per-doc
     reference (tools/reference_impls.py:gopher_repetition_reference)
     must match byte-for-byte."""
-    col = batch.column(text_col)
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    col = pc.fill_null(col, "")
+    from .dedup import _distinct_texts
+
+    # fractions are pure functions of the text: compute per DISTINCT
+    # text and gather (the dup-heavy shape pays for unique content
+    # only — the 9 per-width lexsorts dominate this kernel)
+    uniq, inverse = _distinct_texts(batch.column(text_col))
+    col = pa.array(uniq, type=pa.string())
     n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
     denom = np.maximum(n_chars, 1).astype(np.float64)
     toks = pc.split_pattern(col, " ")
@@ -441,10 +463,15 @@ def gopher_repetition_batch(batch: pa.Table, *, top_ns=(2, 3, 4),
     csum = np.r_[0, np.cumsum(tok_len)]
 
     out = {id_col: batch.column(id_col)}
+    # the cursor hands out widths in increasing order; precompute the
+    # gram streams for every requested width so callers may pass the
+    # two tuples in any order
+    cursor = _GramCursor(fh, counts)
+    grams = {n: cursor.at(n) for n in sorted(set(top_ns) | set(dup_ns))}
 
     for n in top_ns:
         frac = np.zeros(n_docs, dtype=np.float64)
-        gh, gdoc, gpos = _gram_pos(fh, counts, n)
+        gh, gdoc, gpos = grams[n]
         if len(gh):
             glen = csum[gpos + n] - csum[gpos] + (n - 1)  # chars incl. gaps
             run_doc, run_len, run_first, order, head = _gram_runs(gh, gdoc, gpos)
@@ -456,11 +483,11 @@ def gopher_repetition_batch(batch: pa.Table, *, top_ns=(2, 3, 4),
             chosen = sel[first]
             num = (run_len[chosen] * run_chars[chosen]).astype(np.float64)
             frac[run_doc[chosen]] = num / denom[run_doc[chosen]]
-        out[f"top_{n}gram_char_frac"] = pa.array(frac)
+        out[f"top_{n}gram_char_frac"] = pa.array(frac[inverse])
 
     for n in dup_ns:
         frac = np.zeros(n_docs, dtype=np.float64)
-        gh, gdoc, gpos = _gram_pos(fh, counts, n)
+        gh, gdoc, gpos = grams[n]
         if len(gh):
             run_doc, run_len, run_first, order, head = _gram_runs(gh, gdoc, gpos)
             # per-position occurrence count: run length back-scattered
@@ -485,6 +512,6 @@ def gopher_repetition_batch(batch: pa.Table, *, top_ns=(2, 3, 4),
                 # gram validity guarantees gap_cov is False there, so the
                 # per-doc segment sum over flat indices is exact
                 frac = (covered + gaps).astype(np.float64) / denom
-        out[f"dup_{n}gram_char_frac"] = pa.array(frac)
+        out[f"dup_{n}gram_char_frac"] = pa.array(frac[inverse])
 
     return pa.table(out)
