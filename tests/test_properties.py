@@ -372,3 +372,29 @@ def test_dsir_batched_kernels_match_per_doc_plain_path(docs, split, m):
         su = np.add.reduceat(lam[u1], [0])[0] if len(u1) else np.float64(0.0)
         sb = np.add.reduceat(lam[b1], [0])[0] if len(b1) else np.float64(0.0)
         assert got[i] == np.float64(su) + np.float64(sb)
+
+
+@given(st.lists(st.lists(_corpus_words, min_size=0, max_size=12),
+                min_size=1, max_size=8),
+       st.integers(2, 6))
+@settings(max_examples=60, deadline=None)
+def test_gram_cursor_ladder_equals_per_width_loop(docs, w):
+    """The incremental rolling-hash ladder (_GramCursor) must produce
+    exactly decontam.gram_hashes' per-width values and validity."""
+    import numpy as np
+    import pyarrow as pa
+
+    from logstash_filter_elastic_integration_ray.stages.decontam import (
+        flat_token_hashes,
+        gram_hashes,
+    )
+    from logstash_filter_elastic_integration_ray.stages.textstats import _GramCursor
+
+    texts = [" ".join(d) for d in docs]
+    fh, counts = flat_token_hashes(pa.array(texts, type=pa.string()))
+    gh, gdoc = gram_hashes(fh, counts, w)
+    ch, cdoc, cpos = _GramCursor(fh, counts).at(w)
+    assert (ch == gh).all()
+    assert (cdoc == gdoc).all()
+    # positions are the valid window starts in flat order
+    assert (np.diff(cpos) > 0).all() if len(cpos) > 1 else True
