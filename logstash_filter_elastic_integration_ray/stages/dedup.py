@@ -778,35 +778,44 @@ def _survivors_from_labels(ds, labels, id_col: str, num_partitions: int):
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
-def simhash_codes_batch(texts: list) -> np.ndarray:
-    """64-bit SimHash per doc as uint64 — ONE ``hash_array`` call plus
-    a ``reduceat`` bit-vote per chunk of docs (the per-doc Python loop
-    was the remaining hot spot of the simhash path).  Chunked like
-    :func:`minhash_signatures_batch` so the (tokens × 64) bit
-    temporary stays bounded."""
-    n = len(texts)
+def simhash_codes_batch(texts) -> np.ndarray:
+    """64-bit SimHash per doc as uint64 — the word stream comes from
+    ONE Arrow split kernel (list or Arrow array accepted; null folds
+    to ""), hashed in one vectorized pass, bit-expanded by a C-speed
+    ``unpackbits`` and voted with doc-segmented ``reduceat`` sums.
+    The vote walks doc-aligned chunks so the (tokens × 64) bit
+    temporary stays under the ``_SHINGLE_CHUNK`` ceiling."""
+    col = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
+        [t if t is not None else "" for t in texts], type=pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n = len(col)
     out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    toks = pc.split_pattern(col, " ")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    h_all = _hash64_arrow(toks.flatten())
     weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    ends = np.cumsum(counts)
+    starts_all = ends - counts  # every doc has ≥ 1 token
     start = 0
     while start < n:
-        words: list[str] = []
-        offsets = [0]
-        end = start
-        while end < n and (len(words) < _SHINGLE_CHUNK or end == start):
-            words.extend((texts[end] or "").split(" "))  # never empty: ''.split(' ') == ['']
-            offsets.append(len(words))
-            end += 1
-        h = _hash64(words)
+        end = int(np.searchsorted(
+            ends, starts_all[start] + _SHINGLE_CHUNK, side="left")) + 1
+        end = min(max(end, start + 1), n)
+        lo, hi = starts_all[start], ends[end - 1]
+        h = h_all[lo:hi]
         # one C-speed unpackbits == the 64 broadcast shift-and-mask ops
         # (little-endian uint64 view: column j is bit j)
         bits = np.unpackbits(
             np.ascontiguousarray(h).view(np.uint8).reshape(-1, 8),
             axis=1, bitorder="little",
         )  # (tokens, 64) uint8
-        starts = np.array(offsets[:-1], dtype=np.int64)
-        counts = np.diff(offsets)  # every segment ≥ 1 token
-        sums = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)  # (docs, 64)
-        votes = sums * 2 - counts[:, None]
+        sums = np.add.reduceat(
+            bits, starts_all[start:end] - lo, axis=0, dtype=np.int64)  # (docs, 64)
+        votes = sums * 2 - counts[start:end, None]
         out[start:end] = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(
             axis=1, dtype=np.uint64
         )
