@@ -963,6 +963,20 @@ def q_repetition_docs(sf_dir: str):
     return docs.map_batches(repetition_batch, batch_format="pyarrow")
 
 
+def q_winnow_docs(sf_dir: str):
+    """Winnowed document fingerprints (Schleimer et al., SIGMOD 2003):
+    k-gram hashes sampled by the window-min rule (rightmost ties) —
+    keeps ~2/(w+1) of all grams while GUARANTEEING any shared
+    substring of ≥ w+k-1 tokens still shares a fingerprint, the
+    sampling that cuts a cross-doc duplicate-detection exchange ~w×
+    (stages/textstats.py:winnow_batch, fully vectorized).  Fixture
+    oracle from the plain per-doc reference."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import winnow_batch
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(winnow_batch, batch_format="pyarrow")
+
+
 def q_gopher_repetition_docs(sf_dir: str):
     """The char-fraction half of the published Gopher repetition rules
     (top-2/3/4-gram char fraction, duplicate-5..10-gram char coverage
@@ -2405,6 +2419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_corpus_docs": q_split_corpus_docs,
         "cluster_split_docs": q_cluster_split_docs,
         "gopher_repetition_docs": q_gopher_repetition_docs,
+        "winnow_docs": q_winnow_docs,
         "token_budget_head_docs": q_token_budget_head_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
         "perplexity_docs": q_perplexity_docs,
@@ -2797,6 +2812,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gopher_repetition_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/gopher_repetition_docs.sf0_01.parquet')"
+        ),
+        "winnow_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/winnow_docs.sf0_01.parquet')"
         ),
         "token_budget_head_docs": (
             "WITH toks AS (SELECT doc_id, "

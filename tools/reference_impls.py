@@ -992,3 +992,44 @@ def gopher_repetition_reference(ids, texts, *, top_ns=(2, 3, 4),
                 vals.append(np.float64(int(covered.sum())) / np.float64(max(L, 1)))
         cols[cols_key] = np.asarray(vals, dtype=np.float64)
     return pd.DataFrame(cols)
+
+
+def winnow_reference(ids, texts, *, k: int = 3, w: int = 4) -> pd.DataFrame:
+    """Plain per-doc winnowing twin of stages/textstats.py:
+    winnow_batch — shared definitional token/gram hash (the engine's
+    _hash64 + the _GRAM_B rolling combine, re-evaluated here with
+    plain Python ints mod 2^64), INDEPENDENT per-doc window-min logic
+    (explicit loops, rightmost tie rule, set-dedup of selections)."""
+    from logstash_filter_elastic_integration_ray.stages.decontam import _GRAM_B
+    from logstash_filter_elastic_integration_ray.stages.dedup import _hash64
+
+    B = int(_GRAM_B)
+    M = 1 << 64
+    out_id, out_fp, out_pos = [], [], []
+    for i, t in zip(ids, texts):
+        toks = (t or "").split(" ")
+        if len(toks) < k:
+            continue
+        th = [int(x) for x in _hash64(toks)]
+        grams = []
+        for p in range(len(toks) - k + 1):
+            h = 0
+            for j in range(k):
+                h = (h * B + th[p + j]) % M
+            grams.append((p, h))
+        sel = set()
+        windows = ([grams] if len(grams) < w
+                   else [grams[s: s + w] for s in range(len(grams) - w + 1)])
+        for win in windows:
+            best = None
+            for p, h in win:
+                if best is None or h <= best[1]:
+                    best = (p, h)
+            sel.add(best)
+        for p, h in sorted(sel):
+            out_id.append(int(i))
+            out_fp.append(h - M if h >= (1 << 63) else h)  # int64 view
+            out_pos.append(p)
+    return pd.DataFrame({"doc_id": np.asarray(out_id, dtype=np.int64),
+                         "fp": np.asarray(out_fp, dtype=np.int64),
+                         "token_pos": np.asarray(out_pos, dtype=np.int64)})
