@@ -977,6 +977,19 @@ def q_winnow_docs(sf_dir: str):
     return docs.map_batches(winnow_batch, batch_format="pyarrow")
 
 
+def q_winnow_dup_docs(sf_dir: str):
+    """Cross-doc duplicate stats over the WINNOWED fingerprint sample
+    (stages/textstats.py:winnow_dup_stats) — the dup_ngram_docs signal
+    at ~2/(w+1) of the exchange volume, with the winnowing guarantee
+    that shared runs of ≥ w+k-1 tokens stay detectable.  Same two thin
+    co-partition exchanges (by fp, then by doc); fixture oracle from
+    the plain dict reference."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import winnow_dup_stats
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return winnow_dup_stats(docs)
+
+
 def q_gopher_repetition_docs(sf_dir: str):
     """The char-fraction half of the published Gopher repetition rules
     (top-2/3/4-gram char fraction, duplicate-5..10-gram char coverage
@@ -2420,6 +2433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_split_docs": q_cluster_split_docs,
         "gopher_repetition_docs": q_gopher_repetition_docs,
         "winnow_docs": q_winnow_docs,
+        "winnow_dup_docs": q_winnow_dup_docs,
         "token_budget_head_docs": q_token_budget_head_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
         "perplexity_docs": q_perplexity_docs,
@@ -2815,6 +2829,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "winnow_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/winnow_docs.sf0_01.parquet')"
+        ),
+        "winnow_dup_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/winnow_dup_docs.sf0_01.parquet')"
         ),
         "token_budget_head_docs": (
             "WITH toks AS (SELECT doc_id, "

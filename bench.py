@@ -428,6 +428,41 @@ def run_bench() -> dict:
 
     timed("softmax_16x", softmax_16x, reps=1)
 
+    def winnow_dup_16x():
+        # the dup-ngram signal over the winnowed SAMPLE: same two thin
+        # exchanges, ~2/(w+1) of the gram volume (evidence below)
+        from logstash_filter_elastic_integration_ray.stages.textstats import (
+            winnow_dup_stats,
+        )
+
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        return winnow_dup_stats(heavy).count()
+
+    timed("winnow_dup_16x", winnow_dup_16x, reps=1)
+
+    def _exchange_rows():
+        # rows entering the by-gram exchange: full grams vs winnowed fps
+        from logstash_filter_elastic_integration_ray.stages.corpus import (
+            _gram_doc_counts,
+        )
+        from logstash_filter_elastic_integration_ray.stages.textstats import (
+            _winnow_doc_counts,
+        )
+
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        grams = heavy.map_batches(
+            lambda b: _gram_doc_counts(b, 4, "text", "doc_id"),
+            batch_format="pyarrow").count()
+        heavy2 = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        fps = heavy2.map_batches(
+            lambda b: _winnow_doc_counts(b, 3, 4, "text", "doc_id"),
+            batch_format="pyarrow").count()
+        return grams, fps
+
+    _g, _f = _exchange_rows()
+    timings["dupngram_exchange_rows_16x"] = _g
+    timings["winnow_exchange_rows_16x"] = _f
+
     def gopher_16x():
         # all 9 Gopher char-fraction signals (top-2/3/4-gram,
         # dup-5..10-gram coverage) in one stateless vectorized pass

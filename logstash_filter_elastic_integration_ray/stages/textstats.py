@@ -620,3 +620,80 @@ def winnow_batch(batch: pa.Table, *, k: int = 3, w: int = 4,
         "fp": pa.array(rfp),
         "token_pos": pa.array(rpos - doc_base[rdoc] if len(rdoc) else rpos),
     })
+
+
+def _winnow_doc_counts(batch: pa.Table, k: int, w: int,
+                       text_col: str, id_col: str) -> pa.Table:
+    """Per-batch (fp, doc_id, cnt) rows over the WINNOWED selections —
+    the thin side of :func:`winnow_dup_stats`'s exchange.  Docs that
+    produced no fingerprints (fewer than k tokens) emit one
+    (0, doc_id, 0) marker row so they survive with ``n_fp = 0``
+    (cnt = 0 rows are excluded from the per-fp dup test), exactly the
+    :func:`stages.corpus._gram_doc_counts` contract."""
+    fps = winnow_batch(batch, k=k, w=w, text_col=text_col, id_col=id_col)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    if fps.num_rows:
+        df = pd.DataFrame({"g": fps.column("fp").to_numpy(),
+                           "d": fps.column(id_col).to_numpy()})
+        agg = df.groupby(["g", "d"], sort=False).size().reset_index(name="cnt")
+        g_out = agg["g"].to_numpy(dtype=np.int64)
+        d_out = agg["d"].to_numpy(dtype=np.int64)
+        c_out = agg["cnt"].to_numpy(dtype=np.int64)
+        seen_ids = set(int(x) for x in np.unique(d_out))
+    else:
+        g_out = np.empty(0, dtype=np.int64)
+        d_out = np.empty(0, dtype=np.int64)
+        c_out = np.empty(0, dtype=np.int64)
+        seen_ids = set()
+    missing = np.array([i for i in ids if int(i) not in seen_ids], dtype=np.int64)
+    if len(missing):
+        g_out = np.concatenate([g_out, np.zeros(len(missing), dtype=np.int64)])
+        d_out = np.concatenate([d_out, missing])
+        c_out = np.concatenate([c_out, np.zeros(len(missing), dtype=np.int64)])
+    return pa.table({"g": pa.array(g_out), "d": pa.array(d_out),
+                     "cnt": pa.array(c_out)})
+
+
+def winnow_dup_stats(ds, *, k: int = 3, w: int = 4, num_partitions: int = 32,
+                     text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc count/fraction of winnowed fingerprints that occur in at
+    least one OTHER document — the cross-doc duplicate signal of
+    ``stages/corpus.py:dup_ngram_stats`` computed over the winnowed
+    SAMPLE instead of every gram position.  Same two thin co-partition
+    exchanges (by fp, then by doc), but the fp side carries only
+    ~2/(w+1) of the gram volume while the winnowing guarantee keeps
+    every shared run of ≥ w+k-1 tokens detectable — the sampling that
+    makes this affordable at 100 TB when full-gram stats are not."""
+    from .corpus import _dup_partials
+
+    pairs = ds.map_batches(
+        lambda b: _winnow_doc_counts(b, k, w, text_col, id_col),
+        batch_format="pyarrow",
+    )
+    partials = (
+        pairs.map_batches(lambda b: add_partition_col(b, num_partitions, key="g"),
+                          batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(_dup_partials, batch_format="pandas")
+    )
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby("doc_id", sort=False)[["n_grams", "n_dup"]].sum().reset_index()
+        n = agg["n_grams"].to_numpy(dtype=np.int64)
+        d = agg["n_dup"].to_numpy(dtype=np.int64)
+        frac = np.divide(d, n, out=np.zeros(len(n), dtype=np.float64), where=n > 0)
+        return pa.table({
+            "doc_id": pa.array(agg["doc_id"].to_numpy(dtype=np.int64)),
+            "n_fp": pa.array(n),
+            "n_dup_fp": pa.array(d),
+            "dup_fp_frac": pa.array(frac),
+        })
+
+    return (
+        partials.map_batches(lambda b: add_partition_col(b, num_partitions, key="doc_id"),
+                             batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(final, batch_format="pandas")
+    )

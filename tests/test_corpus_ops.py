@@ -1367,3 +1367,38 @@ class TestWinnowing:
         n_grams = 500 - 2
         density = len(df.loc[df.doc_id == 4]) / n_grams
         assert 0.2 < density < 0.6  # theory: 2/(w+1) = 0.4
+
+    def test_dup_stats_match_reference_and_detect_planted_dup(self, ray_session):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import ray
+        import reference_impls as ref
+
+        from logstash_filter_elastic_integration_ray.stages.textstats import (
+            winnow_dup_stats,
+        )
+
+        ids, texts = ref.load_documents("/root/testdata/sf0.001")
+        exp = ref.winnow_dup_reference(ids, texts).sort_values(
+            "doc_id").reset_index(drop=True)
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        })).repartition(7)
+        got = winnow_dup_stats(ds).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        for c in ("doc_id", "n_fp", "n_dup_fp", "dup_fp_frac"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+        # planted exact duplicate pair must read fully duplicated
+        import ray as _r
+
+        pair = _r.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["one two three four five six seven"] * 2
+                             + ["totally different words here now"],
+                             type=pa.string()),
+        }))
+        d = winnow_dup_stats(pair).to_pandas().set_index("doc_id")
+        assert d.loc[1, "dup_fp_frac"] == 1.0 and d.loc[2, "dup_fp_frac"] == 1.0
+        assert d.loc[3, "dup_fp_frac"] == 0.0

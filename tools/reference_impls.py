@@ -1033,3 +1033,25 @@ def winnow_reference(ids, texts, *, k: int = 3, w: int = 4) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": np.asarray(out_id, dtype=np.int64),
                          "fp": np.asarray(out_fp, dtype=np.int64),
                          "token_pos": np.asarray(out_pos, dtype=np.int64)})
+
+
+def winnow_dup_reference(ids, texts, *, k: int = 3, w: int = 4) -> pd.DataFrame:
+    """Plain twin of stages/textstats.py:winnow_dup_stats — dict
+    fp→docs over the winnow_reference selections; every input doc
+    appears (0 counts for docs with < k tokens)."""
+    fps = winnow_reference(ids, texts, k=k, w=w)
+    fp_docs: dict = {}
+    for f, d in zip(fps["fp"], fps["doc_id"]):
+        fp_docs.setdefault(int(f), set()).add(int(d))
+    n_fp: dict = {int(i): 0 for i in ids}
+    n_dup: dict = {int(i): 0 for i in ids}
+    for f, d in zip(fps["fp"], fps["doc_id"]):
+        n_fp[int(d)] += 1
+        if len(fp_docs[int(f)]) >= 2:
+            n_dup[int(d)] += 1
+    out_ids = sorted(n_fp)
+    n = np.array([n_fp[i] for i in out_ids], dtype=np.int64)
+    d = np.array([n_dup[i] for i in out_ids], dtype=np.int64)
+    frac = np.divide(d, n, out=np.zeros(len(n), dtype=np.float64), where=n > 0)
+    return pd.DataFrame({"doc_id": np.array(out_ids, dtype=np.int64),
+                         "n_fp": n, "n_dup_fp": d, "dup_fp_frac": frac})
