@@ -120,18 +120,30 @@ def _user_agent_factory(config):
 # registered_domain=example.ac.uk, subdomain=www)
 # --------------------------------------------------------------------------
 from .psl_bank import PUBLIC_SUFFIXES as _PSL
+from .psl_bank import SUFFIX_EXCEPTIONS as _PSL_EXC
+from .psl_bank import WILDCARD_SUFFIX_PARENTS as _PSL_WILD
 
 
 def split_registered_domain(domain: str) -> dict[str, str] | None:
     labels = domain.lower().rstrip(".").split(".")
     if len(labels) < 2:
         return None
-    # longest public suffix wins
+    # longest matching rule wins (publicsuffix.org algorithm); an
+    # exception rule (`!www.ck`) beats the wildcard of the same length
+    # and makes the rule-minus-leftmost-label the effective suffix
     suffix = None
     for i in range(len(labels) - 1):
         cand = ".".join(labels[i:])
+        if cand in _PSL_EXC:
+            suffix = ".".join(labels[i + 1:])
+            suffix_start = i + 1
+            break
         if cand in _PSL:
             suffix = cand
+            suffix_start = i
+            break
+        if len(labels) - i >= 2 and ".".join(labels[i + 1:]) in _PSL_WILD:
+            suffix = cand  # `*.parent` rule: this child is a suffix
             suffix_start = i
             break
     if suffix is None:

@@ -212,4 +212,34 @@ PUBLIC_SUFFIXES: frozenset[str] = frozenset({
     "koyeb.app", "linodeusercontent.com", "digitaloceanspaces.com",
     "notion.site", "ghost.io",
 })
+
+#: wildcard rules (`*.parent` in the real list): EVERY direct child of
+#: the parent is a public suffix.  The ICANN section's wildcard ccTLDs
+#: plus the Japanese city domains and the private-section EC2 blocks —
+#: Guava's InternetDomainName (what the reference's processor uses)
+#: honors all of these.
+WILDCARD_SUFFIX_PARENTS: frozenset[str] = frozenset({
+    # ICANN wildcard ccTLDs
+    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
+    # Japanese city domains (wildcard with !city.* exceptions)
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp",
+    # PSL private section: per-region compute blocks
+    "compute.amazonaws.com", "compute-1.amazonaws.com",
+    "elb.amazonaws.com", "s3.amazonaws.com",
+    "cloud.metacentrum.cz", "custom.metacentrum.cz",
+    "futurecms.at", "ex.futurecms.at", "in.futurecms.at",
+    "triton.zone", "transurl.be", "transurl.eu", "transurl.nl",
+})
+
+#: exception rules (`!name.parent` in the real list): the name is NOT a
+#: public suffix even though a wildcard matches it — the rule minus its
+#: leftmost label is the effective suffix (so `www.ck` is a registrable
+#: domain under suffix `ck`).
+SUFFIX_EXCEPTIONS: frozenset[str] = frozenset({
+    "www.ck",
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp",
+})
 # fmt: on

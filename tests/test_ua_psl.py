@@ -246,3 +246,49 @@ def test_round4_psl_additions(domain, registered, suffix):
     out = split_registered_domain(domain)
     assert out["registered_domain"] == registered
     assert out["top_level_domain"] == suffix
+
+
+@pytest.mark.parametrize(
+    "domain,registered,suffix,sub",
+    [
+        # wildcard rules: `*.parent` makes every direct child a suffix
+        ("www.example.np", "www.example.np", "example.np", None),
+        ("a.b.er", "a.b.er", "b.er", None),
+        ("host.corp.mm", "host.corp.mm", "corp.mm", None),
+        (
+            "ec2-1-2-3-4.us-east-1.compute.amazonaws.com",
+            "ec2-1-2-3-4.us-east-1.compute.amazonaws.com",
+            "us-east-1.compute.amazonaws.com",
+            None,
+        ),
+        # explicit rules still resolve under the wildcard ccTLD
+        ("foo.com.np", "foo.com.np", "com.np", None),
+        # exception rules: `!www.ck` → suffix is the rule minus its
+        # leftmost label, so www.ck is registrable under `ck`
+        ("www.ck", "www.ck", "ck", None),
+        ("shop.www.ck", "www.ck", "ck", "shop"),
+        ("city.kawasaki.jp", "city.kawasaki.jp", "kawasaki.jp", None),
+        ("www.city.kawasaki.jp", "city.kawasaki.jp", "kawasaki.jp", "www"),
+        # non-excepted kawasaki children stay wildcard suffixes
+        ("a.b.kawasaki.jp", "a.b.kawasaki.jp", "b.kawasaki.jp", None),
+    ],
+)
+def test_psl_wildcard_and_exception_rules(domain, registered, suffix, sub):
+    out = split_registered_domain(domain)
+    assert out["registered_domain"] == registered
+    assert out["top_level_domain"] == suffix
+    assert out.get("subdomain") == (sub if sub else None) or out.get("subdomain") == sub
+
+
+@pytest.mark.parametrize("bare", ["example.np", "b.er", "x.kawasaki.jp"])
+def test_psl_wildcard_bare_child_is_pure_suffix(bare):
+    # a domain that IS a wildcard-made suffix has no registrable part
+    assert split_registered_domain(bare) is None
+
+
+def test_psl_wildcard_parent_itself_registrable():
+    # `*.kawasaki.jp` does not make kawasaki.jp itself a suffix — the
+    # prevailing rule for it is `jp`
+    out = split_registered_domain("kawasaki.jp")
+    assert out["registered_domain"] == "kawasaki.jp"
+    assert out["top_level_domain"] == "jp"
