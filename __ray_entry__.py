@@ -2091,6 +2091,83 @@ def q_left_join_customer_orders(sf_dir: str):
     return j.select_columns(["c_custkey", "c_mktsegment", "n_orders"])
 
 
+def q_rank_stats_events(sf_dir: str):
+    """The SQL rank family — ``rank()/dense_rank()/percent_rank()/
+    cume_dist()`` over a COARSE tie-heavy ordering (event_type) plus
+    ``ntile(4)`` over the full unique ordering — one co-partition by
+    user + one lexsort/boundary-arithmetic pass
+    (stages/windows.py:grouped_rank_stats)."""
+    from logstash_filter_elastic_integration_ray.stages.windows import grouped_rank_stats
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+    return grouped_rank_stats(
+        ds, key="user_id", order_cols=["event_type", "event_id"],
+        peer_cols=["event_type"], ntile=4, num_partitions=32,
+    )
+
+
+def q_funnel_events(sf_dir: str):
+    """Ordered funnel view → click → purchase per user: earliest
+    strictly-increasing completion chain, rows pre-filtered to the
+    step types before the single co-partition
+    (stages/funnel.py:funnel_steps)."""
+    from logstash_filter_elastic_integration_ray.stages.funnel import funnel_steps
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_steps(
+        ds, key="user_id", ts_col="ts", type_col="event_type",
+        steps=["view", "click", "purchase"], num_partitions=32,
+    )
+
+
+def q_cohort_retention_events(sf_dir: str):
+    """Weekly cohort retention: users cohort by first-activity week;
+    output counts actives per (cohort_week, weeks_since).  Exchange
+    carries DISTINCT (user, week) pairs per batch, never rows
+    (stages/funnel.py:cohort_retention)."""
+    from logstash_filter_elastic_integration_ray.stages.funnel import cohort_retention
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    origin_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch µs
+    return cohort_retention(
+        ds, key="user_id", ts_col="ts", origin_us=origin_us, num_partitions=32,
+    )
+
+
+def q_full_join_events_customers(sf_dir: str):
+    """FULL OUTER join via the native hash-partitioned ``Dataset.join``:
+    per-user event counts × the customer table — event-less customers
+    carry NULL counts AND customer-less users carry NULL attributes,
+    both sides surviving.  Counts pre-reduce through
+    :func:`stages.aggregate.group_counts` so no per-group aggregate
+    rides the join."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import group_counts
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
+    cnt = group_counts(ev, key="user_id", out_col="n_events", num_partitions=8)
+
+    def ensure_cnt_schema(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # zero-column empty aggregate blocks
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+            })
+        return t
+
+    cnt = cnt.map_batches(ensure_cnt_schema, batch_format="pyarrow")
+    c = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    # the native full_outer COALESCES the key pair into the left `on`
+    # column (user_id carries c_custkey for right-only rows)
+    j = cnt.join(c, "full_outer", num_partitions=2, on=("user_id",), right_on=("c_custkey",))
+    return j.select_columns(["user_id", "n_events", "c_mktsegment"])
+
+
 def q_top_orders(sf_dir: str):
     import ray.data as rd
 
@@ -2428,6 +2505,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # queries, then the 30 that had only local-harness evidence
     # through r3.  Previously-green queries follow.
     return {
+        # round-4 additions — never driver-sampled, so they lead
+        "rank_stats_events": q_rank_stats_events,
+        "funnel_events": q_funnel_events,
+        "cohort_retention_events": q_cohort_retention_events,
+        "full_join_events_customers": q_full_join_events_customers,
         "dsir_select_docs": q_dsir_select_docs,
         "split_corpus_docs": q_split_corpus_docs,
         "cluster_split_docs": q_cluster_split_docs,
@@ -3300,5 +3382,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY 1) "
             "SELECT c.c_custkey, c.c_mktsegment, cnt.n_orders "
             "FROM customer c LEFT JOIN cnt ON c.c_custkey = cnt.o_custkey"
+        ),
+        "rank_stats_events": (
+            "SELECT event_id, user_id, event_type, "
+            "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, "
+            "percent_rank() OVER w AS prnk, cume_dist() OVER w AS cdist, "
+            "ntile(4) OVER (PARTITION BY user_id ORDER BY event_type, event_id) AS tile "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_type)"
+        ),
+        "funnel_events": (
+            "WITH s1 AS (SELECT user_id, min(ts) t1 FROM events "
+            "            WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) t2 FROM events e JOIN s1 USING(user_id) "
+            "       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) t3 FROM events e JOIN s2 USING(user_id) "
+            "       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id) "
+            "SELECT s1.user_id, t1 AS step1_ts, t2 AS step2_ts, t3 AS step3_ts, "
+            "CAST(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT AS BIGINT) "
+            "AS steps_completed "
+            "FROM s1 LEFT JOIN s2 USING(user_id) LEFT JOIN s3 USING(user_id)"
+        ),
+        "cohort_retention_events": (
+            "WITH act AS (SELECT DISTINCT user_id, "
+            "  CAST(floor(date_diff('microsecond', TIMESTAMP '2024-01-01', ts) "
+            "       / 604800000000.0) AS BIGINT) AS period FROM events), "
+            "fst AS (SELECT user_id, min(period) AS cohort FROM act GROUP BY user_id) "
+            "SELECT cohort AS cohort_period, period - cohort AS periods_since, "
+            "CAST(count(*) AS BIGINT) AS n_active "
+            "FROM act JOIN fst USING(user_id) GROUP BY 1, 2"
+        ),
+        "full_join_events_customers": (
+            "WITH cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1) "
+            "SELECT coalesce(cnt.user_id, c.c_custkey) AS user_id, "
+            "cnt.n_events, c.c_mktsegment "
+            "FROM cnt FULL OUTER JOIN customer c ON cnt.user_id = c.c_custkey"
         ),
     }

@@ -1,0 +1,204 @@
+"""Behavioral event analytics: ordered funnels and cohort retention.
+
+Two classic product-analytics wide operators over an (entity, ts,
+event_type) stream, built on the repo's standard thin-exchange idioms:
+
+- **funnel_steps**: per entity, the earliest strictly-ordered
+  completion chain of K named steps (first ``steps[0]``, then the
+  first ``steps[1]`` AFTER it, ...).  Rows are pre-filtered to the
+  step types, so the single co-partition by entity carries only
+  funnel-relevant rows; each partition resolves its entities with K
+  vectorized masked group-min passes — never a per-entity loop.
+
+- **cohort_retention**: entities cohorted by their first-activity
+  period; the output counts, per (cohort period, periods since), how
+  many of the cohort's entities were active.  The exchange carries
+  DISTINCT (entity, period) pairs per batch — a batch with a million
+  events for one (user, week) forwards one row — then one
+  co-partition by entity joins first-period to activity and the tiny
+  (cohort, offset) count matrix reduces via the group-counts idiom.
+
+Reference parity note: the reference engine (a per-event ingest
+processor) has no cross-event analytics; these are engine-native wide
+stages for the training-data/analytics surface, same policy as
+stages/windows.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from logstash_filter_elastic_integration_ray.stages.aggregate import add_partition_col
+
+__all__ = ["funnel_steps", "cohort_retention"]
+
+
+def funnel_steps(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    num_partitions: int = 32,
+):
+    """Earliest strictly-increasing completion chain of ``steps`` per
+    ``key``: ``step1_ts = min(ts | type = steps[0])``, then
+    ``step{k}_ts = min(ts | type = steps[k-1] AND ts > step{k-1}_ts)``.
+
+    Output: one row per entity that entered the funnel (has any
+    ``steps[0]`` event) with ``step{k}_ts`` timestamp columns (NULL
+    once the chain breaks) and ``steps_completed``.
+
+    Strictly-after semantics (``>``, not ``>=``): two steps sharing a
+    timestamp do not both count, the standard ordered-funnel
+    definition; the SQL twin uses the same comparison.
+
+    Scale shape: the pre-filter to step types bounds the exchange at
+    the funnel-relevant rows; per-partition work is K masked
+    ``minimum.at`` passes over sorted codes.  Entities hash-partition,
+    so a single entity's events co-locate but distinct entities spread.
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel_steps: need at least one step")
+    step_arr = pa.array(steps, type=pa.string())
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column(type_col), value_set=step_arr)
+        kept = t.filter(m).select([key, ts_col, type_col])
+        return add_partition_col(kept, num_partitions, key=key)
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        codes, uniq = pd.factorize(df[key], use_na_sentinel=False)
+        ts = df[ts_col].to_numpy()
+        if pd.isna(ts).any():
+            raise ValueError("funnel_steps: null timestamp")
+        ts_i = ts.astype("datetime64[us]").astype(np.int64)
+        types = df[type_col].to_numpy()
+        n_ent = len(uniq)
+        sentinel = np.iinfo(np.int64).max
+        prev = np.full(n_ent, np.iinfo(np.int64).min, dtype=np.int64)
+        cols: dict[str, np.ndarray] = {}
+        reached = np.ones(n_ent, dtype=bool)
+        completed = np.zeros(n_ent, dtype=np.int64)
+        for k, s in enumerate(steps, start=1):
+            cur = np.full(n_ent, sentinel, dtype=np.int64)
+            m = (types == s) & (ts_i > prev[codes]) & reached[codes]
+            if m.any():
+                np.minimum.at(cur, codes[m], ts_i[m])
+            reached = reached & (cur != sentinel)
+            completed += reached.astype(np.int64)
+            cols[f"step{k}_ts"] = cur
+            prev = cur
+        entered = cols["step1_ts"] != sentinel
+        out: dict[str, pa.Array] = {}
+        out[key] = pa.array(np.asarray(uniq)[entered])
+        for name, vals in cols.items():
+            v = vals[entered]
+            out[name] = pa.array(v, type=pa.int64(), mask=v == sentinel).cast(
+                pa.timestamp("us")
+            )
+        out["steps_completed"] = pa.array(completed[entered], type=pa.int64())
+        return pa.table(out)
+
+    # NOTE: a funnel nobody entered yields a zero-ROW dataset; Ray
+    # 2.49's to_pandas() drops the column schema of all-empty datasets
+    # (map_batches UDFs are skipped on empty blocks, so a
+    # schema-restoring guard can't fire either) — callers branching on
+    # emptiness should check count() first, as the tests do.
+    return (
+        ds.map_batches(prefilter, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def cohort_retention(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    period_us: int = 7 * 24 * 3600 * 1_000_000,
+    origin_us: int = 0,
+    num_partitions: int = 32,
+):
+    """Cohort retention counts: entities cohort by the period of their
+    FIRST activity (``floor((ts - origin) / period)``); for every
+    (cohort_period, periods_since) cell, the number of the cohort's
+    entities active in that later period.  ``periods_since = 0`` is the
+    cohort size by construction.
+
+    Output columns: ``cohort_period`` (int64 period index),
+    ``periods_since`` (int64 ≥ 0), ``n_active`` (int64).
+
+    Scale shape: batches forward DISTINCT (entity, period) pairs only;
+    one co-partition by entity computes each entity's first period and
+    emits its (cohort, offset) pairs; the resulting matrix is tiny
+    (periods²) and reduces with a final co-partition by cohort.  No
+    driver-side state anywhere.
+    """
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        # exact int64 floor division (numpy floors toward -inf) — a
+        # float64 divide+floor can mis-bin at exact period boundaries
+        period = np.floor_divide(ts - np.int64(origin_us), np.int64(period_us))
+        if len(period) and period.min() < 0:
+            raise ValueError("cohort_retention: ts before origin")
+        pairs = pa.table({key: t.column(key), "__period": pa.array(period)})
+        # batch-local distinct: the exchange carries pairs, not rows
+        df = pairs.to_pandas().drop_duplicates()
+        out = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        return add_partition_col(out, num_partitions, key=key)
+
+    def per_entity(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns="__part").drop_duplicates()
+        codes, _ = pd.factorize(df[key], use_na_sentinel=False)
+        periods = df["__period"].to_numpy(dtype=np.int64)
+        n_ent = int(codes.max()) + 1 if len(codes) else 0
+        first = np.full(n_ent, np.iinfo(np.int64).max, dtype=np.int64)
+        if len(codes):
+            np.minimum.at(first, codes, periods)
+        cohort = first[codes]
+        return pa.table({
+            "cohort_period": pa.array(cohort, type=pa.int64()),
+            "periods_since": pa.array(periods - cohort, type=pa.int64()),
+        })
+
+    from logstash_filter_elastic_integration_ray.stages.aggregate import group_counts
+
+    pairs = (
+        ds.map_batches(local_pairs, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(per_entity, batch_format="pandas")
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        combo = pc.add(
+            pc.multiply(t.column("cohort_period"), pa.scalar(1 << 20, pa.int64())),
+            t.column("periods_since"),
+        )
+        return pa.table({"__combo": combo})
+
+    counted = group_counts(
+        pairs.map_batches(combine, batch_format="pyarrow"),
+        key="__combo", out_col="n_active", num_partitions=num_partitions,
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        combo = t.column("__combo")
+        return pa.table({
+            "cohort_period": pc.divide(combo, pa.scalar(1 << 20, pa.int64())),
+            "periods_since": pc.bit_wise_and(combo, pa.scalar((1 << 20) - 1, pa.int64())),
+            "n_active": t.column("n_active"),
+        })
+
+    return counted.map_batches(split, batch_format="pyarrow")

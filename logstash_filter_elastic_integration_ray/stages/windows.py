@@ -34,7 +34,13 @@ from logstash_filter_elastic_integration_ray.stages.aggregate import (
     add_partition_col,
 )
 
-__all__ = ["grouped_running", "grouped_running_scan", "distinct_count_by", "unpivot"]
+__all__ = [
+    "grouped_running",
+    "grouped_running_scan",
+    "grouped_rank_stats",
+    "distinct_count_by",
+    "unpivot",
+]
 
 
 def _order_view(arr: np.ndarray) -> np.ndarray:
@@ -226,6 +232,108 @@ def grouped_running(
             out[gap_col] = pd.array(
                 np.where(np.isnan(gap), None, gap), dtype="Int64"
             )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def grouped_rank_stats(
+    ds,
+    *,
+    key: str,
+    order_cols: list[str],
+    peer_cols: list[str] | None = None,
+    ntile: int | None = None,
+    rank_col: str = "rnk",
+    dense_col: str = "drnk",
+    prank_col: str = "prnk",
+    cdist_col: str = "cdist",
+    ntile_col: str = "tile",
+    num_partitions: int = 32,
+):
+    """The SQL rank family per ``key`` group — the exact twin of::
+
+        rank()         OVER w  AS rank_col
+        dense_rank()   OVER w  AS dense_col
+        percent_rank() OVER w  AS prank_col   -- (rank-1)/(n-1), 0 if n=1
+        cume_dist()    OVER w  AS cdist_col   -- peers_at_or_before / n
+        ntile(T)       OVER wo AS ntile_col   -- when ntile is given
+        WINDOW w  AS (PARTITION BY key ORDER BY peer_cols...),
+               wo AS (PARTITION BY key ORDER BY order_cols...)
+
+    Tie semantics are handled explicitly: ``peer_cols`` (default: all of
+    ``order_cols``) defines the peer groups that rank/dense_rank/
+    percent_rank/cume_dist share, while ``order_cols`` must be UNIQUE
+    per key so that ntile's row positions — which SQL assigns by
+    row_number, nondeterministic under ties — are deterministic here.
+    Pass ``peer_cols`` as a strict prefix of ``order_cols`` to rank on
+    a coarse key (many ties) while ntile splits on the full unique
+    ordering, exactly as the two WINDOW clauses above do.
+
+    percent_rank/cume_dist are single IEEE divisions of exact integers,
+    so values are bit-identical to any engine computing the same
+    definition.  ntile uses the standard allocation: with n rows and T
+    tiles, the first ``n % T`` tiles get ``n//T + 1`` rows.
+
+    Shape: identical to :func:`grouped_running` — one co-partition by
+    key hash (the irreducible window exchange; project first), then one
+    lexsort + boundary-arithmetic pass per partition.  Ranks need the
+    whole group co-located; for hot-key-skewed inputs rank (unlike
+    running sums) cannot split across chunks without a second exchange,
+    so this deliberately ships the hash plan only.
+    """
+    peers = list(peer_cols) if peer_cols is not None else list(order_cols)
+    for c in peers:
+        if c not in order_cols:
+            raise ValueError(f"grouped_rank_stats: peer col {c!r} not in order_cols")
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_partition_col(t, num_partitions, key=key)
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns="__part")
+        codes, _ = pd.factorize(df[key], use_na_sentinel=False)
+        orders = [df[c].to_numpy() for c in order_cols]
+        for c, a in zip(order_cols, orders):
+            if pd.isna(a).any():
+                raise ValueError(f"grouped_rank_stats: null in order column {c!r}")
+        order, g, new, starts, sizes = _lexsort_segments(codes, orders)
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        group_start = np.repeat(starts, sizes)
+        n_rows = np.repeat(sizes, sizes)
+        # peer boundaries: group change OR any peer column change
+        new_peer = new.copy()
+        for c in peers:
+            a = _order_view(df[c].to_numpy())[order]
+            if n > 1:
+                new_peer[1:] |= a[1:] != a[:-1]
+        peer_starts = np.flatnonzero(new_peer)
+        peer_sizes = np.diff(np.r_[peer_starts, n])
+        peer_first = np.repeat(peer_starts, peer_sizes)
+        peer_last = np.repeat(peer_starts + peer_sizes - 1, peer_sizes)
+        rank = peer_first - group_start + 1
+        dr_cum = np.cumsum(new_peer.astype(np.int64))
+        dense = dr_cum - np.repeat(dr_cum[starts], sizes) + 1
+        prank = np.where(n_rows > 1, (rank - 1) / np.maximum(n_rows - 1, 1), 0.0)
+        cdist = (peer_last - group_start + 1) / n_rows
+        out = df.iloc[order].reset_index(drop=True)
+        out[rank_col] = rank
+        out[dense_col] = dense
+        out[prank_col] = prank
+        out[cdist_col] = cdist
+        if ntile is not None:
+            pos = idx - group_start
+            q, r = n_rows // ntile, n_rows % ntile
+            big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+            out[ntile_col] = np.where(
+                pos < big, pos // np.maximum(q + 1, 1), r + (pos - big) // np.maximum(q, 1)
+            ).astype(np.int64) + 1
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return (

@@ -541,3 +541,107 @@ class TestUnpivot:
         vals = out["value"].tolist()
         assert vals[0] == 1.5 and vals[1] == 2.0 and vals[3] == 3.0
         assert pd.isna(vals[2])
+
+
+class TestGroupedRankStats:
+    """grouped_rank_stats vs a plain pandas rank-family reference:
+    SQL tie semantics on a coarse peer key, ntile allocation, and
+    batch-split invariance."""
+
+    @staticmethod
+    def _frame(n=400, seed=23):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 25, n).astype(np.int64),
+            # low-cardinality score → heavy ties within a user
+            "score": rng.randint(0, 5, n).astype(np.int64),
+        })
+
+    @staticmethod
+    def _reference(df: pd.DataFrame, tiles=4) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "score", "event_id"], kind="mergesort").copy()
+        g = df.groupby("user_id", sort=False)
+        df["rnk"] = g["score"].rank(method="min").astype(np.int64)
+        df["drnk"] = g["score"].rank(method="dense").astype(np.int64)
+        n = g["score"].transform("size").to_numpy()
+        df["prnk"] = np.where(n > 1, (df["rnk"].to_numpy() - 1) / np.maximum(n - 1, 1), 0.0)
+        df["cdist"] = g["score"].rank(method="max").to_numpy() / n
+        pos = g.cumcount().to_numpy()
+        q, r = n // tiles, n % tiles
+        big = r * (q + 1)
+        df["tile"] = np.where(
+            pos < big, pos // np.maximum(q + 1, 1), r + (pos - big) // np.maximum(q, 1)
+        ).astype(np.int64) + 1
+        return df.sort_values("event_id").reset_index(drop=True)
+
+    def _run(self, df, ray_session, num_partitions=8, blocks=5):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.windows import (
+            grouped_rank_stats,
+        )
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False)
+        ).repartition(blocks)
+        out = grouped_rank_stats(
+            ds, key="user_id", order_cols=["score", "event_id"],
+            peer_cols=["score"], ntile=4, num_partitions=num_partitions,
+        ).to_pandas()
+        return out.sort_values("event_id").reset_index(drop=True)
+
+    def test_matches_reference(self, ray_session):
+        df = self._frame()
+        got = self._run(df, ray_session)
+        exp = self._reference(df)
+        for c in ("rnk", "drnk", "tile"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+        for c in ("prnk", "cdist"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c  # exact IEEE
+
+    def test_partition_and_batch_invariance(self, ray_session):
+        df = self._frame(seed=7)
+        a = self._run(df, ray_session, num_partitions=3, blocks=2)
+        b = self._run(df, ray_session, num_partitions=13, blocks=9)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_single_row_groups(self, ray_session):
+        df = pd.DataFrame({
+            "event_id": np.array([0, 1, 2], dtype=np.int64),
+            "user_id": np.array([10, 11, 12], dtype=np.int64),
+            "score": np.array([5, 5, 5], dtype=np.int64),
+        })
+        got = self._run(df, ray_session, num_partitions=2, blocks=1)
+        assert (got["rnk"] == 1).all() and (got["prnk"] == 0.0).all()
+        assert (got["cdist"] == 1.0).all() and (got["tile"] == 1).all()
+
+    def test_ntile_fewer_rows_than_tiles(self, ray_session):
+        # n < T: each row gets its own tile, 1-based in order
+        df = pd.DataFrame({
+            "event_id": np.array([0, 1], dtype=np.int64),
+            "user_id": np.array([1, 1], dtype=np.int64),
+            "score": np.array([3, 1], dtype=np.int64),
+        })
+        got = self._run(df, ray_session, num_partitions=1, blocks=1)
+        by_score = got.sort_values("score")
+        assert by_score["tile"].tolist() == [1, 2]
+
+    def test_null_order_raises(self, ray_session):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.windows import (
+            grouped_rank_stats,
+        )
+
+        df = pd.DataFrame({
+            "event_id": pd.array([0, None], dtype="Int64"),
+            "user_id": np.array([1, 1], dtype=np.int64),
+            "score": np.array([1, 2], dtype=np.int64),
+        })
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        with pytest.raises(Exception, match="null in order column"):
+            grouped_rank_stats(
+                ds, key="user_id", order_cols=["score", "event_id"],
+                num_partitions=2,
+            ).materialize()
