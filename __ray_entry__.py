@@ -990,6 +990,33 @@ def q_winnow_dup_docs(sf_dir: str):
     return winnow_dup_stats(docs)
 
 
+def q_token_entropy_docs(sf_dir: str):
+    """Per-doc Shannon entropy of the token distribution + the
+    [0, 1] normalization — stateless vectorized batches; the float sum
+    reduces in ascending-count order so the value is a deterministic
+    function of each doc's count multiset
+    (stages/textstats.py:token_entropy_batch; pinned plain-Counter
+    fixture)."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import (
+        token_entropy_batch,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(token_entropy_batch, batch_format="pyarrow")
+
+
+def q_pmi_bigrams_docs(sf_dir: str):
+    """Corpus-wide PMI of adjacent token pairs with count ≥ 5:
+    deduped (tok1, tok2, cnt) partials, ONE exchange by tok1 (merges
+    pair counts AND yields the first-token marginal as a local sum),
+    one by tok2; PMI evaluates per output row with glibc log for
+    bit-parity with DuckDB's ln (stages/textstats.py:pmi_bigrams)."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import pmi_bigrams
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pmi_bigrams(docs, min_count=5, num_partitions=32)
+
+
 def q_gopher_repetition_docs(sf_dir: str):
     """The char-fraction half of the published Gopher repetition rules
     (top-2/3/4-gram char fraction, duplicate-5..10-gram char coverage
@@ -2510,6 +2537,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": q_funnel_events,
         "cohort_retention_events": q_cohort_retention_events,
         "full_join_events_customers": q_full_join_events_customers,
+        "token_entropy_docs": q_token_entropy_docs,
+        "pmi_bigrams_docs": q_pmi_bigrams_docs,
         "dsir_select_docs": q_dsir_select_docs,
         "split_corpus_docs": q_split_corpus_docs,
         "cluster_split_docs": q_cluster_split_docs,
@@ -2914,6 +2943,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "winnow_dup_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/winnow_dup_docs.sf0_01.parquet')"
+        ),
+        "token_entropy_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/token_entropy_docs.sf0_01.parquet')"
+        ),
+        "pmi_bigrams_docs": (
+            "WITH toks AS (SELECT string_split(coalesce(text, ''), ' ') AS ts "
+            "              FROM documents), "
+            "bg AS (SELECT pr[1] AS tok1, pr[2] AS tok2 FROM "
+            "  (SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:])) AS pr FROM toks)), "
+            "cnt AS (SELECT tok1, tok2, CAST(count(*) AS BIGINT) AS n_pair "
+            "        FROM bg GROUP BY 1, 2), "
+            "tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n FROM cnt), "
+            "m1 AS (SELECT tok1, CAST(sum(n_pair) AS BIGINT) AS n_first "
+            "       FROM cnt GROUP BY 1), "
+            "m2 AS (SELECT tok2, CAST(sum(n_pair) AS BIGINT) AS n_second "
+            "       FROM cnt GROUP BY 1) "
+            "SELECT c.tok1, c.tok2, c.n_pair, m1.n_first, m2.n_second, "
+            "ln(CAST(c.n_pair AS DOUBLE) * tot.n "
+            "   / (CAST(m1.n_first AS DOUBLE) * m2.n_second)) AS pmi "
+            "FROM cnt c CROSS JOIN tot JOIN m1 USING(tok1) JOIN m2 USING(tok2) "
+            "WHERE c.n_pair >= 5"
         ),
         "token_budget_head_docs": (
             "WITH toks AS (SELECT doc_id, "

@@ -697,3 +697,197 @@ def winnow_dup_stats(ds, *, k: int = 3, w: int = 4, num_partitions: int = 32,
         .groupby("__part")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# token-entropy quality signal (Shannon entropy of the doc's unigram
+# distribution — the information-density cousin of repetition_batch)
+# ---------------------------------------------------------------------------
+
+def token_entropy_batch(batch: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Per-doc Shannon entropy of the token distribution:
+    ``H = ln(n) - (Σ c·ln c)/n`` over unigram counts ``c``, plus the
+    ``H / ln(n_distinct)`` normalization (0 when a doc has one distinct
+    token — a repetition-insensitive [0, 1] quality score).
+
+    Stateless and fully vectorized: one ``flat_token_hashes`` split and
+    one (doc, hash) lexsort for the count runs.  The per-doc Σ uses the
+    repo's int64 fixed-point idiom (``floor(c·ln c · 2³² + ½)`` —
+    exact integer sums are order-independent, unlike float addition,
+    where even ``np.add.reduceat``'s pairwise order breaks ULP parity
+    with a sequential reference), so the value is deterministic under
+    any batching/token order at ~2⁻³² relative quantization — the
+    pinned-fixture oracle relies on this.
+    """
+    fh, counts = flat_token_hashes(batch.column(text_col))
+    n_docs = len(counts)
+    n_flat = len(fh)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+
+    # run lengths per (doc, token-hash) — c values
+    order = np.lexsort((fh, doc_idx))
+    sd, sh = doc_idx[order], fh[order]
+    new = np.ones(n_flat, dtype=bool)
+    if n_flat > 1:
+        new[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
+    run_idx = np.flatnonzero(new)
+    run_len = np.diff(np.append(run_idx, n_flat))
+    run_doc = sd[run_idx]
+
+    rl, rd = run_len, run_doc
+    addend = np.floor(
+        rl.astype(np.float64) * np.log(rl.astype(np.float64)) * 2.0**32 + 0.5
+    ).astype(np.int64)
+    db = np.ones(len(rd), dtype=bool)
+    if len(rd) > 1:
+        db[1:] = rd[1:] != rd[:-1]
+    doc_starts = np.flatnonzero(db)
+    s_fp = np.zeros(n_docs, dtype=np.int64)
+    n_distinct = np.zeros(n_docs, dtype=np.int64)
+    if len(rd):
+        s_fp[rd[doc_starts]] = np.add.reduceat(addend, doc_starts)
+        n_distinct[rd[doc_starts]] = np.add.reduceat(
+            np.ones(len(rd), dtype=np.int64), doc_starts
+        )
+    n = counts.astype(np.float64)  # '' splits to [''] → n >= 1
+    entropy = np.log(n) - (s_fp.astype(np.float64) / 2.0**32) / n
+    denom = np.log(n_distinct.astype(np.float64))
+    norm = np.divide(entropy, denom, out=np.zeros(n_docs, dtype=np.float64),
+                     where=n_distinct > 1)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_tokens": pa.array(counts),
+        "n_distinct": pa.array(n_distinct),
+        "token_entropy": pa.array(entropy),
+        "norm_entropy": pa.array(norm),
+    })
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide PMI bigram statistics
+# ---------------------------------------------------------------------------
+
+def _bigram_pair_counts(t: pa.Table, text_col: str,
+                        num_partitions: int) -> pa.Table:
+    """Per-batch (tok1, tok2, cnt) partial counts over adjacent token
+    pairs — one dictionary-encode per side, pairs deduped by combined
+    code, so the exchange carries each batch's DISTINCT pairs once."""
+    col = t.column(text_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    toks = pc.split_pattern(pc.fill_null(col, ""), " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    n_flat = len(flat)
+    if n_flat == 0:
+        empty = pa.table({"tok1": pa.array([], type=pa.string()),
+                          "tok2": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64())})
+        return add_partition_col(empty, num_partitions, key="tok1")
+    # positions whose successor is in the same doc
+    ends = np.cumsum(lens)  # exclusive doc ends in flat coords
+    valid = np.ones(n_flat, dtype=bool)
+    valid[ends - 1] = False  # last token of each doc starts no bigram
+    pos = np.flatnonzero(valid)
+    de = flat.dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    k = len(de.dictionary)
+    combo = codes[pos] * np.int64(k) + codes[pos + 1]
+    uniq, first, cnt = np.unique(combo, return_index=True, return_counts=True)
+    p = pos[first]
+    out = pa.table({
+        "tok1": de.dictionary.take(pa.array(codes[p])),
+        "tok2": de.dictionary.take(pa.array(codes[p + 1])),
+        "cnt": pa.array(cnt.astype(np.int64)),
+    })
+    return add_partition_col(out, num_partitions, key="tok1")
+
+
+def pmi_bigrams(ds, *, min_count: int = 5, num_partitions: int = 32,
+                text_col: str = "text"):
+    """Corpus-wide pointwise mutual information of adjacent token
+    pairs: every bigram with global count ≥ ``min_count``, its
+    marginals, and ``pmi = ln(n_pair·N / (n_first·n_second))`` where
+    all probabilities come from the bigram stream (``n_first`` = count
+    of bigrams starting with tok1, ``n_second`` = ending with tok2,
+    ``N`` = total bigrams).
+
+    Distributed shape — text tokens leave each batch once, as deduped
+    (tok1, tok2, cnt) partials; no driver-side vocabulary:
+
+    1. partition partials BY TOK1: one exchange merges pair counts
+       (all rows of a pair share tok1) AND yields ``n_first`` as a
+       partition-local sum — no separate unigram pass;
+    2. partition the merged rows BY TOK2: ``n_second`` is again a
+       local sum; candidates filter to ``cnt ≥ min_count`` and PMI
+       evaluates there.  ``N`` is one scalar from a shuffle-free
+       column-pruned pass over the text.
+
+    A pathologically hot first token concentrates its pairs in one
+    partition (same caveat as the gram exchanges in
+    stages/corpus.py:dup_ngram_stats); rows are (string, string,
+    int64) thin either way.
+
+    Determinism: counts are exact int64; each PMI is
+    ``math.log((p·N)/(f·s))`` evaluated per OUTPUT row — glibc ``log``
+    of a correctly-rounded double, bit-identical to DuckDB's ``ln`` of
+    the same expression (NumPy's vectorized log is NOT used: its SIMD
+    path may differ from libm in the last bit).  The loop is bounded
+    by the candidate count, not the corpus.
+    """
+    import math
+
+    n_total = ds.map_batches(
+        lambda t: pa.table({"nb": pa.array([int(np.maximum(
+            pc.list_value_length(pc.split_pattern(
+                pc.fill_null(t.column(text_col), ""), " "))
+            .to_numpy(zero_copy_only=False).astype(np.int64) - 1, 0).sum())],
+            type=pa.int64())}),
+        batch_format="pyarrow",
+    ).sum("nb")
+
+    partials = ds.map_batches(
+        lambda t: _bigram_pair_counts(t, text_col, num_partitions),
+        batch_format="pyarrow",
+    )
+
+    def merge_by_tok1(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby(["tok1", "tok2"], sort=False)["cnt"].sum().reset_index()
+        first = agg.groupby("tok1", sort=False)["cnt"].transform("sum")
+        out = pa.table({
+            "tok1": pa.array(agg["tok1"].to_numpy(), type=pa.string()),
+            "tok2": pa.array(agg["tok2"].to_numpy(), type=pa.string()),
+            "n_pair": pa.array(agg["cnt"].to_numpy(dtype=np.int64)),
+            "n_first": pa.array(first.to_numpy(dtype=np.int64)),
+        })
+        return add_partition_col(out, num_partitions, key="tok2")
+
+    def finish_by_tok2(df: pd.DataFrame) -> pa.Table:
+        second = df.groupby("tok2", sort=False)["n_pair"].transform("sum")
+        keep = df["n_pair"].to_numpy(dtype=np.int64) >= min_count
+        p = df["n_pair"].to_numpy(dtype=np.int64)[keep]
+        f = df["n_first"].to_numpy(dtype=np.int64)[keep]
+        s = second.to_numpy(dtype=np.int64)[keep]
+        n = float(n_total)
+        pmi = np.array(
+            [math.log((float(pi) * n) / (float(fi) * float(si)))
+             for pi, fi, si in zip(p, f, s)],
+            dtype=np.float64,
+        )
+        return pa.table({
+            "tok1": pa.array(df["tok1"].to_numpy()[keep], type=pa.string()),
+            "tok2": pa.array(df["tok2"].to_numpy()[keep], type=pa.string()),
+            "n_pair": pa.array(p),
+            "n_first": pa.array(f),
+            "n_second": pa.array(s),
+            "pmi": pa.array(pmi),
+        })
+
+    return (
+        partials.repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge_by_tok1, batch_format="pandas")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(finish_by_tok2, batch_format="pandas")
+    )

@@ -1402,3 +1402,122 @@ class TestWinnowing:
         d = winnow_dup_stats(pair).to_pandas().set_index("doc_id")
         assert d.loc[1, "dup_fp_frac"] == 1.0 and d.loc[2, "dup_fp_frac"] == 1.0
         assert d.loc[3, "dup_fp_frac"] == 0.0
+
+
+class TestTokenEntropy:
+    def test_matches_reference_and_edges(self, ray_session):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        from logstash_filter_elastic_integration_ray.stages.textstats import (
+            token_entropy_batch,
+        )
+
+        ids, texts = ref.load_documents("/root/testdata/sf0.001")
+        ids = list(ids) + [9001, 9002, 9003]
+        texts = list(texts) + ["", "solo", "x x x x x"]
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        got = token_entropy_batch(t).to_pandas().set_index("doc_id")
+        exp = ref.token_entropy_reference(ids, texts).set_index("doc_id")
+        for c in ("n_tokens", "n_distinct", "token_entropy", "norm_entropy"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+        # edges: one distinct token → H = 0 up to the 2^-32 fixed-point
+        # quantization ("solo" is exactly 0: ln 1 = 0 has no residue)
+        assert got.loc[9002, "token_entropy"] == 0.0
+        assert abs(got.loc[9003, "token_entropy"]) < 1e-9
+        assert got.loc[9003, "norm_entropy"] == 0.0
+        # uniform two-token doc ~ ln 2 per the definition
+        t2 = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                       "text": pa.array(["a b"], type=pa.string())})
+        h = token_entropy_batch(t2).to_pandas()["token_entropy"][0]
+        assert abs(h - np.log(2.0)) < 1e-9
+
+    def test_batch_split_invariance(self, ray_session):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        from logstash_filter_elastic_integration_ray.stages.textstats import (
+            token_entropy_batch,
+        )
+
+        ids, texts = ref.load_documents("/root/testdata/sf0.001")
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        whole = token_entropy_batch(t).to_pandas()
+        parts = pd.concat([
+            token_entropy_batch(t.slice(0, 13)).to_pandas(),
+            token_entropy_batch(t.slice(13, 100)).to_pandas(),
+            token_entropy_batch(t.slice(113)).to_pandas(),
+        ]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(whole, parts)
+
+
+class TestPmiBigrams:
+    @staticmethod
+    def _reference(texts, min_count):
+        import math
+        from collections import Counter
+
+        pairs = Counter()
+        for t in texts:
+            toks = (t or "").split(" ")
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] += 1
+        n = sum(pairs.values())
+        first = Counter()
+        second = Counter()
+        for (a, b), c in pairs.items():
+            first[a] += c
+            second[b] += c
+        rows = []
+        for (a, b), c in pairs.items():
+            if c >= min_count:
+                pmi = math.log((float(c) * float(n))
+                               / (float(first[a]) * float(second[b])))
+                rows.append((a, b, c, first[a], second[b], pmi))
+        return pd.DataFrame(rows, columns=[
+            "tok1", "tok2", "n_pair", "n_first", "n_second", "pmi",
+        ]).sort_values(["tok1", "tok2"]).reset_index(drop=True)
+
+    def _run(self, ids, texts, blocks=5, num_partitions=7, min_count=3):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.textstats import (
+            pmi_bigrams,
+        )
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        })).repartition(blocks)
+        out = pmi_bigrams(ds, min_count=min_count,
+                          num_partitions=num_partitions).to_pandas()
+        return out.sort_values(["tok1", "tok2"]).reset_index(drop=True)
+
+    def test_matches_reference(self, ray_session):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        ids, texts = ref.load_documents("/root/testdata/sf0.001")
+        got = self._run(ids, texts)
+        exp = self._reference(texts, 3)
+        assert len(got) == len(exp) > 0
+        for c in ("tok1", "tok2", "n_pair", "n_first", "n_second", "pmi"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+    def test_partition_invariance_and_null_edge(self, ray_session):
+        ids = list(range(6))
+        texts = ["a b a b", "b a", None, "", "a b", "c c c c c c"]
+        a = self._run(ids, texts, blocks=1, num_partitions=2, min_count=2)
+        b = self._run(ids, texts, blocks=6, num_partitions=13, min_count=2)
+        pd.testing.assert_frame_equal(a, b)
+        exp = self._reference(texts, 2)
+        assert (a[["tok1", "tok2", "n_pair"]].to_numpy() ==
+                exp[["tok1", "tok2", "n_pair"]].to_numpy()).all()

@@ -1055,3 +1055,30 @@ def winnow_dup_reference(ids, texts, *, k: int = 3, w: int = 4) -> pd.DataFrame:
     frac = np.divide(d, n, out=np.zeros(len(n), dtype=np.float64), where=n > 0)
     return pd.DataFrame({"doc_id": np.array(out_ids, dtype=np.int64),
                          "n_fp": n, "n_dup_fp": d, "dup_fp_frac": frac})
+
+
+def token_entropy_reference(ids, texts) -> pd.DataFrame:
+    """Plain twin of stages/textstats.py:token_entropy_batch — Counter
+    per doc; the Σ c·ln c term accumulates in the kernel's documented
+    int64 fixed-point quantization (floor(x·2³² + ½)), which makes the
+    value order-independent and hence comparable bit-for-bit."""
+    import math
+    from collections import Counter
+
+    rows = []
+    for i, t in zip(ids, texts):
+        toks = (t or "").split(" ")
+        cs = sorted(Counter(toks).values())
+        n = len(toks)
+        s_fp = 0
+        for c in cs:
+            x = float(c) * float(np.log(np.float64(c)))
+            s_fp += int(math.floor(x * 2.0**32 + 0.5))
+        h = float(np.log(np.float64(n))) - (float(s_fp) / 2.0**32) / n
+        nd = len(cs)
+        norm = h / float(np.log(np.float64(nd))) if nd > 1 else 0.0
+        rows.append((int(i), n, nd, h, norm))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_tokens", "n_distinct",
+                       "token_entropy", "norm_entropy"]
+    ).astype({"doc_id": np.int64, "n_tokens": np.int64, "n_distinct": np.int64})
