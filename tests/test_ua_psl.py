@@ -292,3 +292,34 @@ def test_psl_wildcard_parent_itself_registrable():
     out = split_registered_domain("kawasaki.jp")
     assert out["registered_domain"] == "kawasaki.jp"
     assert out["top_level_domain"] == "jp"
+
+
+@pytest.mark.parametrize(
+    "domain,registered,suffix,sub",
+    [
+        # entries only the FULL vendored list carries (round 4:
+        # psl_data.py generated from the complete publicsuffix.org
+        # file) — the round-3 hand-curated subset missed all of these
+        ("foo.xn--p1ai", "foo.xn--p1ai", "xn--p1ai", None),      # .рф punycode
+        ("g.xn--fiqs8s", "g.xn--fiqs8s", "xn--fiqs8s", None),    # .中国 punycode
+        ("foo.рф", "foo.рф", "рф", None),                        # unicode spelling
+        ("shop.co.ao", "shop.co.ao", "co.ao", None),
+        ("a.edu.krd", "a.edu.krd", "edu.krd", None),
+        ("b.com.gl", "b.com.gl", "com.gl", None),
+        ("d.blogspot.com.es", "d.blogspot.com.es", "blogspot.com.es", None),
+        (
+            "e.s3.dualstack.eu-west-1.amazonaws.com",
+            "e.s3.dualstack.eu-west-1.amazonaws.com",
+            "s3.dualstack.eu-west-1.amazonaws.com",
+            None,
+        ),
+        ("f.co.technology", "f.co.technology", "co.technology", None),
+        ("h.valer.ostfold.no", "h.valer.ostfold.no", "valer.ostfold.no", None),
+        ("i.gov.scot", "i.gov.scot", "gov.scot", None),
+    ],
+)
+def test_full_psl_only_entries(domain, registered, suffix, sub):
+    out = split_registered_domain(domain)
+    assert out["registered_domain"] == registered
+    assert out["top_level_domain"] == suffix
+    assert out.get("subdomain") == sub
