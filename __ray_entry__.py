@@ -2195,6 +2195,54 @@ def q_full_join_events_customers(sf_dir: str):
     return j.select_columns(["user_id", "n_events", "c_mktsegment"])
 
 
+def q_rollup_events(sf_dir: str):
+    """``count(*) GROUP BY ROLLUP(event_type, hour)`` — every prefix
+    grouping set + grand total with SQL GROUPING() ids, via the
+    one-exchange rollup stage (stages/aggregate.py:rollup_counts; all
+    prefix levels reduce partition-locally because the partials
+    partition by the first key)."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import rollup_counts
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "hour": pc.hour(t.column("ts")).cast(pa.int64()),
+        })
+
+    keyed = ev.map_batches(add_hour, batch_format="pyarrow")
+    return rollup_counts(
+        keyed, keys=["event_type", "hour"], num_partitions=16,
+        key_types={"event_type": pa.string(), "hour": pa.int64()},
+    )
+
+
+def q_cube_events(sf_dir: str):
+    """``count(*) GROUP BY CUBE(event_type, isodow)`` — all four
+    grouping sets (stages/aggregate.py:cube_counts: the k2-only level
+    re-aggregates the tuple-thin base through a second SMALL exchange,
+    never the raw rows)."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import cube_counts
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def add_dow(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            # ISO day-of-week Mon=1..Sun=7 == DuckDB EXTRACT(isodow ...)
+            "isodow": pc.day_of_week(
+                t.column("ts"), count_from_zero=False, week_start=1
+            ).cast(pa.int64()),
+        })
+
+    keyed = ev.map_batches(add_dow, batch_format="pyarrow")
+    return cube_counts(
+        keyed, keys=["event_type", "isodow"], num_partitions=16,
+        key_types={"event_type": pa.string(), "isodow": pa.int64()},
+    )
+
+
 def q_top_orders(sf_dir: str):
     import ray.data as rd
 
@@ -2596,6 +2644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": q_range_join_events,
         "price_quantiles_by_flag": q_price_quantiles_by_flag,
         "left_join_customer_orders": q_left_join_customer_orders,
+        "rollup_events": q_rollup_events,
+        "cube_events": q_cube_events,
         # green in r1/r2 but rotated out of the r3 sample — next in line
         "q1_pricing": q_q1_pricing,
         "events_hourly": q_events_hourly,
@@ -2937,6 +2987,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gopher_repetition_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/gopher_repetition_docs.sf0_01.parquet')"
+        ),
+        "rollup_events": (
+            "SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, "
+            "count(*) AS cnt, GROUPING(event_type, hour) AS grouping_id "
+            "FROM events GROUP BY ROLLUP(event_type, hour)"
+        ),
+        "cube_events": (
+            "SELECT event_type, CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS isodow, "
+            "count(*) AS cnt, GROUPING(event_type, isodow) AS grouping_id "
+            "FROM events GROUP BY CUBE(event_type, isodow)"
         ),
         "winnow_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/winnow_docs.sf0_01.parquet')"

@@ -406,3 +406,230 @@ def _first_occurrence_codes(col) -> tuple[np.ndarray, np.ndarray]:
     remap = np.empty(int(uniq.max()) + 2 if len(uniq) else 1, dtype=np.int64)
     remap[uniq] = np.arange(len(uniq), dtype=np.int64)
     return remap[idx], first
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / CUBE multi-level aggregates (SQL GROUP BY ROLLUP / CUBE)
+# ---------------------------------------------------------------------------
+
+def _multi_group_codes(cols: list) -> tuple[np.ndarray, np.ndarray]:
+    """Dense 0..g-1 group codes over a TUPLE of columns plus one
+    representative row index per group — the multi-key twin of
+    :func:`_first_occurrence_codes` (nulls group like SQL ``GROUP
+    BY``).  Built on per-column dictionary codes + one lexsort, so
+    exact for any dtype including int64 > 2^53."""
+    codes = [_dict_codes(c) for c in cols]
+    n = len(codes[0])
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    order = np.lexsort(tuple(codes))
+    stacked = np.stack([c[order] for c in codes])
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        new[1:] = (stacked[:, 1:] != stacked[:, :-1]).any(axis=0)
+    gid_sorted = np.cumsum(new) - 1
+    gids = np.empty(n, dtype=np.int64)
+    gids[order] = gid_sorted
+    rep = order[new]
+    return gids, rep
+
+
+def _weighted_tuple_sums(t: pa.Table, keys: list[str], val_col: str):
+    """Exact int64 sum of ``val_col`` per distinct key tuple: lexsorted
+    ``np.add.reduceat`` (never ``bincount(weights=...)``, which
+    accumulates in float64 and silently rounds past 2^53).  Returns
+    (representative row indices, sums)."""
+    gids, rep = _multi_group_codes([t.column(k) for k in keys])
+    vals = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    if not len(vals):
+        return rep, vals
+    order = np.argsort(gids, kind="stable")
+    starts = np.flatnonzero(np.diff(gids[order], prepend=-1))
+    sums = np.add.reduceat(vals[order], starts)
+    return rep, sums
+
+
+def _level_table(t: pa.Table, keys: list[str], keep: int, val_col: str,
+                 n_keys: int, sums_rep=None) -> pa.Table:
+    """One grouping-set level: aggregate ``t`` by ``keys[:keep]`` with
+    NULLs for the rolled-away columns and the SQL ``GROUPING()`` id
+    (leftmost key = most significant bit; bit set = aggregated)."""
+    rep, sums = _weighted_tuple_sums(t, keys[:keep], val_col) if sums_rep is None else sums_rep
+    cols: dict = {}
+    for j, k in enumerate(keys):
+        col = t.column(k)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if j < keep:
+            cols[k] = col.take(pa.array(rep, type=pa.int64()))
+        else:
+            cols[k] = pa.nulls(len(rep), col.type)
+    cols[val_col] = pa.array(sums, type=pa.int64())
+    gid = (1 << (n_keys - keep)) - 1
+    cols["grouping_id"] = pa.array(np.full(len(rep), gid, dtype=np.int64))
+    return pa.table(cols)
+
+
+def _count_partials(ds, keys: list[str], out_col: str, num_partitions: int):
+    """Per-batch partial ``count(*)`` over the full key tuple — one row
+    per distinct tuple per batch, partitioned by ``keys[0]`` so every
+    ROLLUP prefix level of a given first-key value is co-located."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            empty = pa.table({**{k: t.column(k) for k in keys},
+                              out_col: pa.array([], type=pa.int64())})
+            return add_partition_col(empty, num_partitions, key=keys[0])
+        gids, rep = _multi_group_codes([t.column(k) for k in keys])
+        counts = np.bincount(gids, minlength=len(rep))
+        out = pa.table({
+            **{k: (t.column(k).combine_chunks()
+                   if isinstance(t.column(k), pa.ChunkedArray) else t.column(k))
+               .take(pa.array(rep, type=pa.int64())) for k in keys},
+            out_col: pa.array(counts.astype(np.int64)),
+        })
+        return add_partition_col(out, num_partitions, key=keys[0])
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def _grand_total(partials, keys: list[str], out_col: str, n_keys: int,
+                 key_types: dict | None = None):
+    """The () grouping set: the per-batch full-tuple partial counts are
+    disjoint, so their plain sum IS the row total — one thin row per
+    batch to a single-block reduce, driver state O(1).  Sourced from
+    the PARTIALS (not the merged levels) so an all-empty input still
+    yields SQL's one zero row: empty blocks run map_batches, but an
+    empty groupby emits no groups at all."""
+    total_gid = (1 << n_keys) - 1
+
+    def part(t: pa.Table) -> pa.Table:
+        s = pc.sum(t.column(out_col)).as_py() or 0
+        cols = {k: pa.nulls(1, t.column(k).type) for k in keys}
+        cols[out_col] = pa.array([int(s)], type=pa.int64())
+        cols["grouping_id"] = pa.array([total_gid], type=pa.int64())
+        return pa.table(cols)
+
+    def merge(t: pa.Table) -> pa.Table:
+        cols = {k: t.column(k).slice(0, 1) for k in keys}
+        cols[out_col] = pa.array(
+            [int(pc.sum(t.column(out_col)).as_py() or 0)], type=pa.int64())
+        cols["grouping_id"] = t.column("grouping_id").slice(0, 1)
+        return pa.table(cols)
+
+    seeded = partials.map_batches(part, batch_format="pyarrow")
+    if key_types is not None:
+        # Ray Data never runs a UDF on a zero-row block, so an
+        # all-empty input would otherwise produce NO rows where SQL's
+        # empty grouping set produces one zero row; a typed seed row
+        # (summing 0 into the reduce) restores the SQL semantics.
+        import ray as _ray
+
+        seed = pa.table({
+            **{k: pa.nulls(1, key_types[k]) for k in keys},
+            out_col: pa.array([0], type=pa.int64()),
+            "grouping_id": pa.array([total_gid], type=pa.int64()),
+        })
+        seeded = seeded.union(_ray.data.from_arrow(seed))
+    return (seeded.repartition(1)
+            .map_batches(merge, batch_format="pyarrow"))
+
+
+def rollup_counts(ds, *, keys: list[str], out_col: str = "cnt",
+                  num_partitions: int = 32, key_types: dict | None = None):
+    """``count(*) GROUP BY ROLLUP(keys...)`` at scale — every prefix
+    grouping set plus the grand total, with SQL ``GROUPING()`` ids.
+
+    Distributed shape (ONE exchange over data-sized state): per-batch
+    partial counts on the full tuple (keys × batches rows, never raw
+    rows) partition by ``keys[0]``; since every ROLLUP level keeps
+    ``keys[0]``, ALL prefix levels reduce partition-locally from the
+    merged base — no second exchange.  The grand total sums the
+    level-1 rows (one thin row per partition) through a single-block
+    reduce.  A pathologically hot first key concentrates its tuples in
+    one partition — same caveat as every key exchange here; the level
+    rows are (tuple, int64) thin either way.
+
+    SQL twin: ``GROUP BY ROLLUP(k1, .., kn)`` with
+    ``GROUPING(k1, .., kn) AS grouping_id`` (leftmost key = most
+    significant bit, DuckDB/ANSI semantics, verified against DuckDB)."""
+    n = len(keys)
+    if n < 1:
+        raise ValueError("rollup_counts: needs at least one key")
+    partials = _count_partials(ds, keys, out_col, num_partitions)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
+        parts = [_level_table(t, keys, i, out_col, n) for i in range(n, 0, -1)]
+        return pa.concat_tables(parts)
+
+    levels = (partials.repartition(num_partitions)
+              .groupby("__part")
+              .map_groups(merge, batch_format="pyarrow"))
+    total = _grand_total(partials, keys, out_col, n, key_types)
+    return levels.union(total)
+
+
+def cube_counts(ds, *, keys: list[str], out_col: str = "cnt",
+                num_partitions: int = 32, key_types: dict | None = None):
+    """``count(*) GROUP BY CUBE(k1, k2)`` (two keys) — all four
+    grouping sets with SQL ``GROUPING()`` ids.
+
+    Shape: the one data-sized exchange produces the (k1, k2) base and
+    the (k1) level exactly as :func:`rollup_counts`; the (k2) level
+    re-aggregates the BASE rows (already tuple-thin) through a second
+    SMALL exchange partitioned by k2; the grand total reduces level-1
+    rows through a single block."""
+    if len(keys) != 2:
+        raise ValueError("cube_counts: exactly two keys")
+    k1, k2 = keys
+    partials = _count_partials(ds, keys, out_col, num_partitions)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
+        return pa.concat_tables([
+            _level_table(t, keys, 2, out_col, 2),
+            _level_table(t, keys, 1, out_col, 2),
+        ])
+
+    levels = (partials.repartition(num_partitions)
+              .groupby("__part")
+              .map_groups(merge, batch_format="pyarrow"))
+
+    def k2_partial(t: pa.Table) -> pa.Table:
+        base = t.filter(pc.equal(t.column("grouping_id"), pa.scalar(0, pa.int64())))
+        rep, sums = _weighted_tuple_sums(base, [k2], out_col)
+        c1 = base.column(k1)
+        c1 = c1.combine_chunks() if isinstance(c1, pa.ChunkedArray) else c1
+        c2 = base.column(k2)
+        c2 = c2.combine_chunks() if isinstance(c2, pa.ChunkedArray) else c2
+        out = pa.table({
+            k1: pa.nulls(len(rep), c1.type),
+            k2: c2.take(pa.array(rep, type=pa.int64())),
+            out_col: pa.array(sums, type=pa.int64()),
+            "grouping_id": pa.array(np.full(len(rep), 2, dtype=np.int64)),
+        })
+        return add_partition_col(out, num_partitions, key=k2)
+
+    def k2_merge(t: pa.Table) -> pa.Table:
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
+        rep, sums = _weighted_tuple_sums(t, [k2], out_col)
+        c1 = t.column(k1)
+        c1 = c1.combine_chunks() if isinstance(c1, pa.ChunkedArray) else c1
+        c2 = t.column(k2)
+        c2 = c2.combine_chunks() if isinstance(c2, pa.ChunkedArray) else c2
+        return pa.table({
+            k1: pa.nulls(len(rep), c1.type),
+            k2: c2.take(pa.array(rep, type=pa.int64())),
+            out_col: pa.array(sums, type=pa.int64()),
+            "grouping_id": pa.array(np.full(len(rep), 2, dtype=np.int64)),
+        })
+
+    k2_level = (levels.map_batches(k2_partial, batch_format="pyarrow")
+                .repartition(num_partitions)
+                .groupby("__part")
+                .map_groups(k2_merge, batch_format="pyarrow"))
+    total = _grand_total(partials, keys, out_col, 2, key_types)
+    return levels.union(k2_level).union(total)

@@ -1,0 +1,125 @@
+"""rollup_counts / cube_counts (stages/aggregate.py): DuckDB
+``GROUP BY ROLLUP / CUBE`` reference equality (incl. GROUPING() ids and
+null keys), partition/batching invariance, and the empty-input
+grand-total row."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from logstash_filter_elastic_integration_ray.stages.aggregate import cube_counts, rollup_counts
+
+
+def _frame(n=400, seed=7):
+    rng = np.random.RandomState(seed)
+    a = np.array(["alpha", "beta", "gamma", None], dtype=object)[
+        rng.randint(0, 4, n)
+    ]
+    b = rng.randint(0, 5, n).astype(np.int64)
+    c = np.array(["x", "y"], dtype=object)[rng.randint(0, 2, n)]
+    return pd.DataFrame({"a": a, "b": b, "c": c})
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for col in df.columns:
+        if df[col].dtype == object or str(df[col].dtype).startswith("float"):
+            df[col] = df[col].astype("string")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _duck(sql: str, df: pd.DataFrame) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("t", df)
+    out = con.execute(sql).df()
+    con.close()
+    return out
+
+
+class TestRollup:
+    def _run(self, fn, df, keys, blocks=5, parts=7):
+        import ray
+
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        return fn(ds, keys=keys, num_partitions=parts).to_pandas()
+
+    def test_rollup_matches_duckdb(self, ray_session):
+        df = _frame()
+        got = self._run(rollup_counts, df, ["a", "b"])
+        exp = _duck(
+            "SELECT a, b, count(*) AS cnt, GROUPING(a, b) AS grouping_id "
+            "FROM t GROUP BY ROLLUP(a, b)",
+            df,
+        )
+        # rolled-away int key comes back float64/NaN from DuckDB;
+        # canon stringifies for comparison
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    def test_rollup_three_keys(self, ray_session):
+        df = _frame()
+        got = self._run(rollup_counts, df, ["a", "b", "c"])
+        exp = _duck(
+            "SELECT a, b, c, count(*) AS cnt, "
+            "GROUPING(a, b, c) AS grouping_id "
+            "FROM t GROUP BY ROLLUP(a, b, c)",
+            df,
+        )
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    def test_rollup_single_key_and_partition_invariance(self, ray_session):
+        df = _frame(131)
+        got1 = self._run(rollup_counts, df, ["a"], blocks=1, parts=2)
+        got2 = self._run(rollup_counts, df, ["a"], blocks=9, parts=13)
+        exp = _duck(
+            "SELECT a, count(*) AS cnt, GROUPING(a) AS grouping_id "
+            "FROM t GROUP BY ROLLUP(a)",
+            df,
+        )
+        pd.testing.assert_frame_equal(_canon(got1), _canon(exp))
+        pd.testing.assert_frame_equal(_canon(got2), _canon(exp))
+
+    def test_cube_matches_duckdb(self, ray_session):
+        df = _frame()
+        got = self._run(cube_counts, df, ["a", "b"])
+        exp = _duck(
+            "SELECT a, b, count(*) AS cnt, GROUPING(a, b) AS grouping_id "
+            "FROM t GROUP BY CUBE(a, b)",
+            df,
+        )
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    def test_cube_partition_invariance(self, ray_session):
+        df = _frame(97, seed=3)
+        a = self._run(cube_counts, df, ["c", "b"], blocks=1, parts=3)
+        b = self._run(cube_counts, df, ["c", "b"], blocks=8, parts=11)
+        pd.testing.assert_frame_equal(_canon(a), _canon(b))
+
+    def test_empty_input_grand_total_row(self, ray_session):
+        import ray
+
+        df = _frame(0)
+        ds = ray.data.from_pandas(df)
+        got = rollup_counts(
+            ds, keys=["a", "b"],
+            key_types={"a": pa.string(), "b": pa.int64()},
+        ).to_pandas()
+        # SQL: the () grouping set aggregates the empty input → one row
+        assert len(got) == 1
+        assert got["cnt"].iloc[0] == 0 and got["grouping_id"].iloc[0] == 3
+        assert got["a"].isna().all() and got["b"].isna().all()
+
+    def test_exact_past_2_53(self, ray_session):
+        # int64 keys beyond float53 stay exact through the tuple codes
+        import ray
+
+        big = np.int64(2**60)
+        df = pd.DataFrame({"a": ["x", "x", "y"], "k": [big, big, big + 1]})
+        ds = ray.data.from_pandas(df)
+        got = rollup_counts(ds, keys=["k", "a"]).to_pandas()
+        base = got[got.grouping_id == 0].sort_values(["k", "a"])
+        assert list(base["k"]) == [big, big + 1]
+        assert list(base["cnt"]) == [2, 1]
