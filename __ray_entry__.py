@@ -2243,6 +2243,48 @@ def q_cube_events(sf_dir: str):
     )
 
 
+def q_window_dedup_events(sf_dir: str):
+    """Streaming-style event dedup: first event per (user, type) within
+    each 10-minute tumbling window — per-batch collapse before ONE
+    co-partition by user (stages/windows.py:window_dedup); window ids
+    are exact int64 floor-divisions."""
+    from logstash_filter_elastic_integration_ray.stages.windows import window_dedup
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return window_dedup(ev, keys=["user_id", "event_type"],
+                        window_us=600_000_000, num_partitions=16)
+
+
+_BLOCKLIST_PHRASES = ["slow table", "spark", "hash value"]
+
+
+def q_blocklist_docs(sf_dir: str):
+    """C4-style blocklist gating: per-doc count of blocklist phrases
+    present (lowercased substring) + keep/drop flag — one stateless
+    vectorized pass (stages/textstats.py:blocklist_flag_batch)."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import blocklist_flag_batch
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: blocklist_flag_batch(t, _BLOCKLIST_PHRASES),
+        batch_format="pyarrow",
+    )
+
+
+def q_oov_rate_docs(sf_dir: str):
+    """Out-of-vocabulary scoring against the corpus's own exact top-30
+    tokens: the two-phase heavy-hitter exchange builds the vocabulary
+    (O(V) driver state), broadcast once, one scoring pass
+    (stages/textstats.py:oov_rate)."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import oov_rate
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return oov_rate(docs, vocab_size=30)
+
+
 def q_top_orders(sf_dir: str):
     import ray.data as rd
 
@@ -2646,6 +2688,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_customer_orders": q_left_join_customer_orders,
         "rollup_events": q_rollup_events,
         "cube_events": q_cube_events,
+        "window_dedup_events": q_window_dedup_events,
+        "blocklist_docs": q_blocklist_docs,
+        "oov_rate_docs": q_oov_rate_docs,
         # green in r1/r2 but rotated out of the r3 sample — next in line
         "q1_pricing": q_q1_pricing,
         "events_hourly": q_events_hourly,
@@ -2997,6 +3042,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS isodow, "
             "count(*) AS cnt, GROUPING(event_type, isodow) AS grouping_id "
             "FROM events GROUP BY CUBE(event_type, isodow)"
+        ),
+        "window_dedup_events": (
+            "WITH w AS (SELECT event_id, user_id, event_type, ts, "
+            "epoch_us(ts) // 600000000 AS win FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id, "
+            "event_type, win ORDER BY ts, event_id) AS rn FROM w) "
+            "SELECT event_id, user_id, event_type, ts, win "
+            "FROM r WHERE rn = 1"
+        ),
+        "blocklist_docs": (
+            "SELECT doc_id, CAST((CASE WHEN contains(lower(coalesce(text, '')), 'slow table') THEN 1 ELSE 0 END) + (CASE WHEN contains(lower(coalesce(text, '')), 'spark') THEN 1 ELSE 0 END) + (CASE WHEN contains(lower(coalesce(text, '')), 'hash value') THEN 1 ELSE 0 END) AS BIGINT) AS n_blocklist_hits, ((CASE WHEN contains(lower(coalesce(text, '')), 'slow table') THEN 1 ELSE 0 END) + (CASE WHEN contains(lower(coalesce(text, '')), 'spark') THEN 1 ELSE 0 END) + (CASE WHEN contains(lower(coalesce(text, '')), 'hash value') THEN 1 ELSE 0 END)) > 0 AS blocked FROM documents"
+        ),
+        "oov_rate_docs": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split(coalesce(text, ''), ' ')) AS tok "
+            "FROM documents), "
+            "cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
+            "vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 30), "
+            "per AS (SELECT doc_id, count(*) AS n_tokens, "
+            "sum(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END) "
+            "AS n_oov FROM toks GROUP BY doc_id) "
+            "SELECT doc_id, n_tokens, CAST(n_oov AS BIGINT) AS n_oov, "
+            "CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate FROM per"
         ),
         "winnow_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/winnow_docs.sf0_01.parquet')"

@@ -891,3 +891,88 @@ def pmi_bigrams(ds, *, min_count: int = 5, num_partitions: int = 32,
         .groupby("__part")
         .map_groups(finish_by_tok2, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# blocklist phrase filter (C4-style badword/boilerplate gating)
+# ---------------------------------------------------------------------------
+
+def blocklist_flag_batch(batch: pa.Table, phrases: list[str],
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """Per-doc blocklist hits: how many of ``phrases`` occur as a
+    (lowercased) substring, plus the keep/drop flag — the published C4
+    recipe gates docs on a phrase blocklist exactly like this.
+
+    Stateless and vectorized: one ``utf8_lower`` pass then one Arrow
+    ``match_substring`` kernel per phrase (K small passes over
+    contiguous buffers beats one giant alternation regex for K in the
+    tens).  SQL twin: ``contains(lower(text), p)`` summed per phrase."""
+    low = pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
+    n = batch.num_rows
+    hits = np.zeros(n, dtype=np.int64)
+    for p in phrases:
+        m = pc.match_substring(low, p.lower()).to_numpy(zero_copy_only=False)
+        hits += m.astype(np.int64)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_blocklist_hits": pa.array(hits),
+        "blocked": pa.array(hits > 0),
+    })
+
+
+# ---------------------------------------------------------------------------
+# OOV rate against an exact top-V corpus vocabulary
+# ---------------------------------------------------------------------------
+
+def oov_score_batch(batch: pa.Table, vocab: pa.Array,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Per-doc out-of-vocabulary stats against a broadcast vocabulary:
+    ``n_oov`` tokens not in ``vocab``, and the single-division rate
+    (IEEE-deterministic, bit-identical to SQL's
+    ``CAST(n_oov AS DOUBLE)/n_tokens``).  One Arrow ``is_in`` over the
+    flattened tokens + one ``reduceat`` per doc — no per-row loop."""
+    col = batch.column(text_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    toks = pc.split_pattern(pc.fill_null(col, ""), " ")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    inv = pc.is_in(flat, value_set=vocab).to_numpy(zero_copy_only=False)
+    oov_flags = (~inv).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    n_docs = len(counts)
+    n_oov = np.zeros(n_docs, dtype=np.int64)
+    nz = counts > 0
+    if nz.any():
+        sums = np.add.reduceat(oov_flags, starts[nz])
+        n_oov[nz] = sums
+    rate = n_oov.astype(np.float64) / counts.astype(np.float64)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_tokens": pa.array(counts),
+        "n_oov": pa.array(n_oov),
+        "oov_rate": pa.array(rate),
+    })
+
+
+def oov_rate(ds, *, vocab_size: int = 30, text_col: str = "text",
+             id_col: str = "doc_id", num_partitions: int = 32):
+    """OOV scoring pipeline: exact global top-``vocab_size`` tokens
+    (cnt desc / token asc tie-break — the two-phase
+    stages/sketches.py:top_k_tokens exchange, whose shuffle is distinct
+    tokens × batches) collected as O(V) driver state, broadcast once
+    via ``ray.put``, then ONE stateless scoring pass."""
+    import ray
+
+    from logstash_filter_elastic_integration_ray.stages.sketches import top_k_tokens
+
+    vocab_tbl = top_k_tokens(ds, k=vocab_size, text_col=text_col,
+                             num_partitions=num_partitions).to_pandas()
+    vocab = pa.array(vocab_tbl["token"].tolist(), type=pa.string())
+    ref = ray.put(vocab)
+
+    def score(t: pa.Table) -> pa.Table:
+        return oov_score_batch(t, ray.get(ref), text_col, id_col)
+
+    return ds.map_batches(score, batch_format="pyarrow")

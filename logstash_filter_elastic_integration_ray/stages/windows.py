@@ -834,3 +834,72 @@ def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
         return pa.concat_tables(pieces)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# windowed event dedup (keep-first per key tuple within a tumbling window)
+# ---------------------------------------------------------------------------
+
+def _first_in_window(t: pa.Table, keys: list[str], ts_col: str, id_col: str,
+                     win: np.ndarray) -> pa.Table:
+    """Select each (keys..., window) tuple's first row by (ts, id) —
+    one lexsort, no per-group loop.  ``win`` is the precomputed int64
+    window id per row."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import _multi_group_codes
+
+    cols = [t.column(k) for k in keys] + [pa.array(win)]
+    gids, _ = _multi_group_codes(cols)
+    ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ids = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, ts, gids))
+    sg = gids[order]
+    new = np.ones(len(sg), dtype=bool)
+    if len(sg) > 1:
+        new[1:] = sg[1:] != sg[:-1]
+    keep = order[new]
+    out = t.take(pa.array(keep, type=pa.int64()))
+    return out.append_column("win", pa.array(win[keep]))
+
+
+def window_dedup(ds, *, keys: list[str], ts_col: str = "ts",
+                 id_col: str = "event_id", window_us: int,
+                 num_partitions: int = 32):
+    """Streaming-style event dedup: keep the FIRST row (by ``ts`` then
+    ``id_col``) of each ``(keys..., tumbling window)`` tuple — the
+    telemetry "suppress repeats within N minutes" operator.
+
+    SQL twin: ``row_number() OVER (PARTITION BY keys...,
+    epoch_us(ts) // W ORDER BY ts, id) = 1``.  Window ids are exact
+    int64 floor-divisions (never float, whose 2^53 rounding could flip
+    a boundary event into the neighboring window).
+
+    Shape: each batch collapses to ≤ one row per live tuple BEFORE the
+    exchange (a hot key re-firing millions of times in one window
+    forwards one row per block), then one co-partition by ``keys[0]``
+    finishes the argmin.  Output rows = survivors with their ``win``
+    id; volume bounded by distinct tuples, not input rows."""
+
+    def win_ids(t: pa.Table) -> np.ndarray:
+        us = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return us // np.int64(window_us)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            out = t.append_column("win", pa.array([], type=pa.int64()))
+        else:
+            out = _first_in_window(t, keys, ts_col, id_col, win_ids(t))
+        return add_partition_col(out, num_partitions, key=keys[0])
+
+    def merge(t: pa.Table) -> pa.Table:
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
+        win = t.column("win").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.drop_columns(["win"])
+        return _first_in_window(t, keys, ts_col, id_col, win)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge, batch_format="pyarrow")
+    )

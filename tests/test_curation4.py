@@ -1,0 +1,131 @@
+"""Round-4 curation ops: window_dedup (stages/windows.py),
+blocklist_flag_batch / oov_rate (stages/textstats.py) — plain
+pandas/python reference equality, batching invariance, edge cases."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from logstash_filter_elastic_integration_ray.stages.textstats import (
+    blocklist_flag_batch,
+    oov_rate,
+    oov_score_batch,
+)
+from logstash_filter_elastic_integration_ray.stages.windows import window_dedup
+
+
+def _events(n=600, seed=5):
+    rng = np.random.RandomState(seed)
+    base = np.datetime64("2025-03-01T00:00:00", "us")
+    ts = base + rng.randint(0, 3_600_000_000, n).astype("timedelta64[us]")
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 25, n).astype(np.int64),
+        "event_type": np.array(["click", "view", "buy"], dtype=object)[
+            rng.randint(0, 3, n)
+        ],
+        "ts": ts,
+    })
+
+
+class TestWindowDedup:
+    W = 60_000_000  # 1 minute
+
+    def _reference(self, df):
+        d = df.copy()
+        d["win"] = d["ts"].astype("int64") // self.W
+        d = d.sort_values(["user_id", "event_type", "win", "ts", "event_id"],
+                          kind="mergesort")
+        keep = ~d.duplicated(["user_id", "event_type", "win"], keep="first")
+        return (d[keep].sort_values("event_id").reset_index(drop=True)
+                [["event_id", "user_id", "event_type", "ts", "win"]])
+
+    def _run(self, df, blocks=6, parts=7):
+        import ray
+
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        out = window_dedup(ds, keys=["user_id", "event_type"],
+                           window_us=self.W, num_partitions=parts).to_pandas()
+        return (out.sort_values("event_id").reset_index(drop=True)
+                [["event_id", "user_id", "event_type", "ts", "win"]])
+
+    def test_matches_reference(self, ray_session):
+        df = _events()
+        pd.testing.assert_frame_equal(self._run(df), self._reference(df))
+
+    def test_batching_invariance_and_tie(self, ray_session):
+        df = _events(200, seed=9)
+        # forced tie: two events, same key, same ts → min event_id wins
+        df.loc[1, ["user_id", "event_type", "ts"]] = df.loc[0, ["user_id", "event_type", "ts"]]
+        a = self._run(df, blocks=1, parts=2)
+        b = self._run(df, blocks=11, parts=13)
+        pd.testing.assert_frame_equal(a, b)
+        pd.testing.assert_frame_equal(a, self._reference(df))
+        assert 0 in a["event_id"].values and 1 not in a["event_id"].values
+
+    def test_hot_key_collapses_per_batch(self, ray_session):
+        # one (user,type,window) tuple firing 10k times still yields 1 row
+        df = pd.DataFrame({
+            "event_id": np.arange(10_000, dtype=np.int64),
+            "user_id": np.zeros(10_000, dtype=np.int64),
+            "event_type": np.repeat("click", 10_000).astype(object),
+            "ts": np.repeat(np.datetime64("2025-03-01T00:00:30", "us"), 10_000),
+        })
+        out = self._run(df, blocks=8, parts=4)
+        assert len(out) == 1 and out["event_id"].iloc[0] == 0
+
+
+class TestBlocklist:
+    PHRASES = ["slow table", "SPARK", "hash value"]
+
+    def test_matches_reference_and_edges(self):
+        texts = [
+            "a slow table is slow", "spark and Spark", None, "",
+            "hash value slow table spark", "nothing here",
+        ]
+        t = pa.table({"doc_id": pa.array(range(6), type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        got = blocklist_flag_batch(t, self.PHRASES).to_pandas()
+        exp_hits = []
+        for x in texts:
+            low = (x or "").lower()
+            exp_hits.append(sum(p.lower() in low for p in self.PHRASES))
+        assert got["n_blocklist_hits"].tolist() == exp_hits
+        assert got["blocked"].tolist() == [h > 0 for h in exp_hits]
+
+
+class TestOovRate:
+    def test_matches_reference(self, ray_session):
+        import ray
+
+        rng = np.random.RandomState(3)
+        words = np.array(["aa", "bb", "cc", "dd", "ee", "ff", "gg"])
+        texts = [" ".join(words[rng.randint(0, 7, rng.randint(1, 12))])
+                 for _ in range(80)] + ["", None]
+        ids = np.arange(82, dtype=np.int64)
+        df = pd.DataFrame({"doc_id": ids, "text": texts})
+        ds = ray.data.from_pandas(df).repartition(5)
+        got = (oov_rate(ds, vocab_size=3).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        # reference: exact top-3 tokens (cnt desc, token asc)
+        from collections import Counter
+
+        cnt = Counter()
+        for x in texts:
+            cnt.update((x or "").split(" "))
+        vocab = set(t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+        rows = []
+        for i, x in zip(ids, texts):
+            toks = (x or "").split(" ")
+            n_oov = sum(t not in vocab for t in toks)
+            rows.append((i, len(toks), n_oov, n_oov / len(toks)))
+        exp = pd.DataFrame(rows, columns=["doc_id", "n_tokens", "n_oov", "oov_rate"])
+        for c in ("n_tokens", "n_oov", "oov_rate"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+    def test_score_batch_empty(self):
+        t = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.string())})
+        out = oov_score_batch(t, pa.array(["x"], type=pa.string()))
+        assert out.num_rows == 0
