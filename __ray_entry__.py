@@ -2285,6 +2285,19 @@ def q_oov_rate_docs(sf_dir: str):
     return oov_rate(docs, vocab_size=30)
 
 
+def q_cdc_chunks_docs(sf_dir: str):
+    """Content-defined chunking (gear-hash CDC, FastCDC family):
+    byte-level chunk boundaries that re-synchronize after edits, with
+    per-chunk md5 content keys for downstream dedup — stateless
+    vectorized row expansion, no shuffle
+    (stages/corpus.py:cdc_chunk_batch; pinned sequential-reference
+    fixture)."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import cdc_chunks
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return cdc_chunks(docs)
+
+
 def q_top_orders(sf_dir: str):
     import ray.data as rd
 
@@ -2691,6 +2704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_dedup_events": q_window_dedup_events,
         "blocklist_docs": q_blocklist_docs,
         "oov_rate_docs": q_oov_rate_docs,
+        "cdc_chunks_docs": q_cdc_chunks_docs,
         # green in r1/r2 but rotated out of the r3 sample — next in line
         "q1_pricing": q_q1_pricing,
         "events_hourly": q_events_hourly,
@@ -3074,6 +3088,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_entropy_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/token_entropy_docs.sf0_01.parquet')"
+        ),
+        "cdc_chunks_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/cdc_chunks_docs.sf0_01.parquet')"
         ),
         "pmi_bigrams_docs": (
             "WITH toks AS (SELECT string_split(coalesce(text, ''), ' ') AS ts "

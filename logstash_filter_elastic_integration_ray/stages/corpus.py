@@ -899,3 +899,113 @@ def hash_split(ds, *, id_col: str, fractions: dict[str, float],
         return t.append_column(split_col, pc.take(labels, pa.array(idx)))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (gear-hash CDC, FastCDC-family)
+# ---------------------------------------------------------------------------
+
+#: deterministic 256-entry gear table (SplitMix64 over the byte value —
+#: a public PRNG construction; any fixed random table works, the CDC
+#: literature only requires it be fixed)
+def _gear_table() -> np.ndarray:
+    x = np.arange(256, dtype=np.uint64)
+    z = (x + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+_GEAR = _gear_table()
+
+
+def cdc_boundaries(data: np.ndarray, *, mask_bits: int = 6,
+                   min_size: int = 16, max_size: int = 256) -> np.ndarray:
+    """Content-defined chunk END offsets (exclusive) for one byte
+    string — gear rolling hash ``h = (h << 1) + gear[b]``, cut after
+    byte ``i`` when ``h & (2^mask_bits - 1) == 0``, with min/max chunk
+    size enforcement (a cut is only taken ≥ ``min_size`` into the
+    current chunk; a chunk is force-cut at ``max_size``).  Average
+    chunk ≈ 2^mask_bits bytes.  The hash's low ``mask_bits`` bits
+    depend on only the last ``mask_bits`` bytes, so the candidate scan
+    vectorizes to ``mask_bits`` shifted adds; the min/max walk touches
+    only the sparse candidate list."""
+    n = len(data)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    mask = np.uint64((1 << mask_bits) - 1)
+    g = _GEAR[data]
+    low = np.zeros(n, dtype=np.uint64)
+    for j in range(mask_bits):
+        # contribution of byte i-j, shifted j — positions < j keep 0
+        # for the out-of-range term (hash warm-up, same as sequential)
+        low[j:] += g[: n - j] << np.uint64(j)
+    cand = np.flatnonzero((low & mask) == np.uint64(0)) + 1  # cut AFTER byte i
+    ends: list[int] = []
+    start = 0
+    ci = 0
+    nc = len(cand)
+    while start < n:
+        limit = start + max_size
+        # first candidate ≥ start+min_size (advance the sparse pointer)
+        ci = int(np.searchsorted(cand, start + min_size, side="left"))
+        if ci < nc and cand[ci] <= limit and cand[ci] < n:
+            cut = int(cand[ci])
+        else:
+            cut = min(limit, n)
+        ends.append(cut)
+        start = cut
+    return np.asarray(ends, dtype=np.int64)
+
+
+def cdc_chunk_batch(t: pa.Table, *, mask_bits: int = 6, min_size: int = 16,
+                    max_size: int = 256, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Per-doc content-defined chunks: (doc_id, chunk_idx, start, end,
+    chunk_md5) over the UTF-8 bytes.  The point of CDC over fixed-size
+    chunking: an insertion near a doc's head shifts fixed-window chunk
+    hashes for the whole tail, but gear-hash boundaries re-synchronize
+    within ~one chunk, so byte-level dedup downstream still matches the
+    unchanged remainder (the published dedup/backup-storage recipe).
+
+    Stateless per-batch row expansion — no shuffle; output volume ≈
+    bytes / 2^mask_bits rows of fixed width.  md5 over each chunk's
+    bytes gives the dedupable content key."""
+    import hashlib
+
+    col = t.column(text_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    texts = pc.fill_null(col, "").to_pylist()
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    o_id: list[int] = []
+    o_idx: list[int] = []
+    o_start: list[int] = []
+    o_end: list[int] = []
+    o_md5: list[str] = []
+    for d, txt in enumerate(texts):
+        raw = txt.encode("utf-8")
+        ends = cdc_boundaries(np.frombuffer(raw, dtype=np.uint8),
+                              mask_bits=mask_bits, min_size=min_size,
+                              max_size=max_size)
+        start = 0
+        for i, e in enumerate(ends):
+            o_id.append(int(ids[d]))
+            o_idx.append(i)
+            o_start.append(start)
+            o_end.append(int(e))
+            o_md5.append(hashlib.md5(raw[start:int(e)]).hexdigest())
+            start = int(e)
+    return pa.table({
+        id_col: pa.array(o_id, type=pa.int64()),
+        "chunk_idx": pa.array(o_idx, type=pa.int64()),
+        "start": pa.array(o_start, type=pa.int64()),
+        "end": pa.array(o_end, type=pa.int64()),
+        "chunk_md5": pa.array(o_md5, type=pa.string()),
+    })
+
+
+def cdc_chunks(ds, **kw):
+    """Dataset wrapper over :func:`cdc_chunk_batch` (stateless map)."""
+    return ds.map_batches(lambda t: cdc_chunk_batch(t, **kw),
+                          batch_format="pyarrow")

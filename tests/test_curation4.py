@@ -129,3 +129,55 @@ class TestOovRate:
                       "text": pa.array([], type=pa.string())})
         out = oov_score_batch(t, pa.array(["x"], type=pa.string()))
         assert out.num_rows == 0
+
+
+class TestCdcChunks:
+    def test_matches_sequential_reference(self, ray_session):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        from logstash_filter_elastic_integration_ray.stages.corpus import cdc_chunk_batch
+
+        ids, texts = ref.load_documents("/root/testdata/sf0.001")
+        ids = list(ids) + [9001, 9002, 9003]
+        texts = list(texts) + ["", "short", "x" * 2000]
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        got = cdc_chunk_batch(t).to_pandas().reset_index(drop=True)
+        exp = ref.cdc_chunks_reference(ids, texts).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_boundary_resync_after_insertion(self):
+        # the CDC property: inserting bytes near the head re-syncs
+        # boundaries, so most tail chunk hashes still match
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        from logstash_filter_elastic_integration_ray.stages.corpus import cdc_chunk_batch
+
+        rng = np.random.RandomState(0)
+        base = " ".join(rng.choice(["alpha", "beta", "gamma", "delta"], 600))
+        edited = "INSERTED PREFIX " + base
+        t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                      "text": pa.array([base, edited], type=pa.string())})
+        out = cdc_chunk_batch(t).to_pandas()
+        h1 = set(out[out.doc_id == 1]["chunk_md5"])
+        h2 = set(out[out.doc_id == 2]["chunk_md5"])
+        # the tail re-synchronizes: most chunks shared despite the edit
+        assert len(h1 & h2) >= 0.7 * len(h1)
+
+    def test_chunk_invariants(self):
+        from logstash_filter_elastic_integration_ray.stages.corpus import cdc_chunk_batch
+
+        t = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                      "text": pa.array(["y" * 1000], type=pa.string())})
+        out = cdc_chunk_batch(t, min_size=16, max_size=256).to_pandas()
+        # contiguous cover, sizes within [min, max] except possibly last
+        assert out["start"].iloc[0] == 0 and out["end"].iloc[-1] == 1000
+        assert (out["start"].iloc[1:].to_numpy() == out["end"].iloc[:-1].to_numpy()).all()
+        sizes = (out["end"] - out["start"]).to_numpy()
+        assert (sizes[:-1] >= 16).all() and (sizes <= 256).all()

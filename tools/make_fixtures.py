@@ -62,6 +62,7 @@ def main() -> None:
         "winnow_docs": ref.winnow_reference(ids, texts),
         "winnow_dup_docs": ref.winnow_dup_reference(ids, texts),
         "token_entropy_docs": ref.token_entropy_reference(ids, texts),
+        "cdc_chunks_docs": ref.cdc_chunks_reference(ids, texts),
         "semdedup_docs": ref.semdedup_docs_reference(sf_dir),
         "logreg_embeddings": ref.logreg_score_reference(sf_dir),
         "bpe_tokenize_docs": ref.bpe_reference(ids, texts),

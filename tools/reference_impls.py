@@ -1082,3 +1082,48 @@ def token_entropy_reference(ids, texts) -> pd.DataFrame:
         rows, columns=["doc_id", "n_tokens", "n_distinct",
                        "token_entropy", "norm_entropy"]
     ).astype({"doc_id": np.int64, "n_tokens": np.int64, "n_distinct": np.int64})
+
+
+def cdc_chunks_reference(ids, texts, *, mask_bits: int = 6, min_size: int = 16,
+                         max_size: int = 256) -> pd.DataFrame:
+    """Plain SEQUENTIAL twin of stages/corpus.py:cdc_chunk_batch — a
+    byte-at-a-time gear rolling hash with per-chunk min/max walk (no
+    vectorization, no shared code beyond the gear table definition,
+    which is re-derived here from the same public SplitMix64 recipe)."""
+    import hashlib
+
+    gear = []
+    for b in range(256):
+        z = (b + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = (z * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z ^= z >> 27
+        z = (z * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z ^= z >> 31
+        gear.append(z)
+    mask = (1 << mask_bits) - 1
+    rows = []
+    for i, t in zip(ids, texts):
+        raw = (t or "").encode("utf-8")
+        n = len(raw)
+        h = 0
+        start = 0
+        idx = 0
+        pos = 0
+        while pos < n:
+            h = ((h << 1) + gear[raw[pos]]) & 0xFFFFFFFFFFFFFFFF
+            pos += 1
+            cut = False
+            if pos - start >= min_size and (h & mask) == 0 and pos < n:
+                cut = True
+            if pos - start >= max_size or pos == n:
+                cut = True
+            if cut:
+                rows.append((int(i), idx, start, pos,
+                             hashlib.md5(raw[start:pos]).hexdigest()))
+                idx += 1
+                start = pos
+        # empty text: no chunks (zero bytes)
+    return pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "start", "end",
+                                       "chunk_md5"]).astype(
+        {"doc_id": np.int64, "chunk_idx": np.int64,
+         "start": np.int64, "end": np.int64})
