@@ -2298,6 +2298,18 @@ def q_cdc_chunks_docs(sf_dir: str):
     return cdc_chunks(docs)
 
 
+def q_cdc_dup_docs(sf_dir: str):
+    """Chunk-level cross-doc dedup stats: per-doc duplicated-byte
+    fraction over CDC chunks — two thin exchanges (by chunk hash, then
+    by doc), text never rides a shuffle
+    (stages/corpus.py:cdc_dup_stats).  Oracle: SQL window over the
+    pinned chunk fixture."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import cdc_dup_stats
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return cdc_dup_stats(docs, num_partitions=16)
+
+
 def q_top_orders(sf_dir: str):
     import ray.data as rd
 
@@ -2705,6 +2717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_docs": q_blocklist_docs,
         "oov_rate_docs": q_oov_rate_docs,
         "cdc_chunks_docs": q_cdc_chunks_docs,
+        "cdc_dup_docs": q_cdc_dup_docs,
         # green in r1/r2 but rotated out of the r3 sample — next in line
         "q1_pricing": q_q1_pricing,
         "events_hourly": q_events_hourly,
@@ -3091,6 +3104,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_chunks_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/cdc_chunks_docs.sf0_01.parquet')"
+        ),
+        "cdc_dup_docs": (
+            f"WITH f AS (SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/cdc_chunks_docs.sf0_01.parquet')), "
+            "d AS (SELECT chunk_md5, count(DISTINCT doc_id) AS nd FROM f GROUP BY chunk_md5), "
+            "j AS (SELECT f.doc_id, (f.\"end\" - f.start) AS b, (d.nd > 1) AS dup "
+            "FROM f JOIN d USING(chunk_md5)) "
+            "SELECT doc_id, CAST(sum(b) AS BIGINT) AS n_bytes, "
+            "CAST(sum(CASE WHEN dup THEN b ELSE 0 END) AS BIGINT) AS dup_bytes, "
+            "CAST(sum(CASE WHEN dup THEN b ELSE 0 END) AS DOUBLE) / sum(b) AS dup_frac "
+            "FROM j GROUP BY doc_id"
         ),
         "pmi_bigrams_docs": (
             "WITH toks AS (SELECT string_split(coalesce(text, ''), ' ') AS ts "

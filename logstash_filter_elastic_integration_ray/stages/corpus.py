@@ -1009,3 +1009,71 @@ def cdc_chunks(ds, **kw):
     """Dataset wrapper over :func:`cdc_chunk_batch` (stateless map)."""
     return ds.map_batches(lambda t: cdc_chunk_batch(t, **kw),
                           batch_format="pyarrow")
+
+
+def cdc_dup_stats(ds, *, num_partitions: int = 32, text_col: str = "text",
+                  id_col: str = "doc_id", **cdc_kw):
+    """Per-doc duplicated-byte fraction at the CDC-chunk level: a
+    chunk is "duplicated" when its content hash appears in more than
+    one document; each doc reports total bytes, duplicated bytes and
+    the single-division fraction — the storage-dedup view of corpus
+    redundancy (robust to insertions, unlike fixed windows, because
+    the gear boundaries re-synchronize).
+
+    Shape (text never rides a shuffle — the dup_ngram_stats idiom at
+    byte level): chunks collapse per batch to distinct
+    (chunk_md5, doc, bytes) rows; ONE exchange by chunk hash computes
+    each hash's distinct-doc count; a second exchange keyed by doc
+    folds the per-chunk dup flags into per-doc byte sums."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import add_partition_col
+
+    chunks = cdc_chunks(ds, text_col=text_col, id_col=id_col, **cdc_kw)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        b = pc.subtract(t.column("end"), t.column("start"))
+        df = pd.DataFrame({
+            "chunk_md5": t.column("chunk_md5").to_pandas(),
+            id_col: t.column(id_col).to_numpy(zero_copy_only=False),
+            "b": b.to_numpy(zero_copy_only=False),
+        })
+        agg = df.groupby(["chunk_md5", id_col], sort=False)["b"].sum().reset_index()
+        out = pa.table({
+            "chunk_md5": pa.array(agg["chunk_md5"], type=pa.string()),
+            id_col: pa.array(agg[id_col].to_numpy(dtype=np.int64)),
+            "b": pa.array(agg["b"].to_numpy(dtype=np.int64)),
+        })
+        return add_partition_col(out, num_partitions, key="chunk_md5")
+
+    def by_hash(df: pd.DataFrame) -> pa.Table:
+        merged = df.groupby(["chunk_md5", id_col], sort=False)["b"].sum().reset_index()
+        nd = merged.groupby("chunk_md5", sort=False)[id_col].transform("nunique")
+        out = pa.table({
+            id_col: pa.array(merged[id_col].to_numpy(dtype=np.int64)),
+            "b": pa.array(merged["b"].to_numpy(dtype=np.int64)),
+            "dup": pa.array((nd > 1).to_numpy()),
+        })
+        return add_partition_col(out, num_partitions, key=id_col)
+
+    def by_doc(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(id_col, sort=False)
+        n_bytes = g["b"].sum()
+        dup_b = df["b"].where(df["dup"], 0).groupby(df[id_col], sort=False).sum()
+        ids = n_bytes.index.to_numpy(dtype=np.int64)
+        nb = n_bytes.to_numpy(dtype=np.int64)
+        db = dup_b.reindex(n_bytes.index).to_numpy(dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_bytes": pa.array(nb),
+            "dup_bytes": pa.array(db),
+            "dup_frac": pa.array(db.astype(np.float64) / nb.astype(np.float64)),
+        })
+
+    return (
+        chunks.map_batches(pair_partial, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(by_hash, batch_format="pandas")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(by_doc, batch_format="pandas")
+    )

@@ -181,3 +181,49 @@ class TestCdcChunks:
         assert (out["start"].iloc[1:].to_numpy() == out["end"].iloc[:-1].to_numpy()).all()
         sizes = (out["end"] - out["start"]).to_numpy()
         assert (sizes[:-1] >= 16).all() and (sizes <= 256).all()
+
+
+class TestCdcDupStats:
+    def test_planted_duplicates(self, ray_session):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.corpus import cdc_dup_stats
+
+        rng = np.random.RandomState(1)
+        words = ["alpha", "beta", "gamma", "delta", "epsi"]
+        other = ["zeta", "theta", "kappa", "sigma", "omega"]
+        shared = " ".join(rng.choice(words, 400))
+        # doc 3 draws from a DISJOINT vocabulary — no accidental
+        # 16-byte chunk collisions with the shared text
+        uniq1 = " ".join(rng.choice(other, 400))
+        uniq2 = " ".join(rng.choice(other, 400))
+        df = pd.DataFrame({
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": [shared, shared, uniq1 + " zzz " + uniq2],
+        })
+        ds = ray.data.from_pandas(df).repartition(3)
+        out = (cdc_dup_stats(ds, num_partitions=5).to_pandas()
+               .set_index("doc_id"))
+        # identical docs: every byte duplicated
+        assert out.loc[1, "dup_frac"] == 1.0 and out.loc[2, "dup_frac"] == 1.0
+        assert out.loc[3, "dup_frac"] == 0.0
+        assert out.loc[1, "n_bytes"] == len(shared.encode())
+
+    def test_partition_invariance(self, ray_session):
+        import ray, sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        from logstash_filter_elastic_integration_ray.stages.corpus import cdc_dup_stats
+
+        ids, texts = ref.load_documents("/root/testdata/sf0.001")
+        df = pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                           "text": texts})
+        a = (cdc_dup_stats(ray.data.from_pandas(df).repartition(1),
+                           num_partitions=2).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (cdc_dup_stats(ray.data.from_pandas(df).repartition(7),
+                           num_partitions=13).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
