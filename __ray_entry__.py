@@ -2310,6 +2310,17 @@ def q_cdc_dup_docs(sf_dir: str):
     return cdc_dup_stats(docs, num_partitions=16)
 
 
+def q_normalize_text_docs(sf_dir: str):
+    """Canonical-form text normalization (ASCII strip, lowercase,
+    punctuation strip, space squeeze, trim) — five codepoint-level RE2
+    kernels, stateless, bit-identical to the SQL twin
+    (stages/textstats.py:normalize_text_batch)."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import normalize_text_batch
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(normalize_text_batch, batch_format="pyarrow")
+
+
 def q_top_orders(sf_dir: str):
     import ray.data as rd
 
@@ -2718,6 +2729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_docs": q_oov_rate_docs,
         "cdc_chunks_docs": q_cdc_chunks_docs,
         "cdc_dup_docs": q_cdc_dup_docs,
+        "normalize_text_docs": q_normalize_text_docs,
         # green in r1/r2 but rotated out of the r3 sample — next in line
         "q1_pricing": q_q1_pricing,
         "events_hourly": q_events_hourly,
@@ -3104,6 +3116,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_chunks_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/cdc_chunks_docs.sf0_01.parquet')"
+        ),
+        "normalize_text_docs": (
+            "SELECT doc_id, "
+            "trim(regexp_replace(regexp_replace(lower(regexp_replace("
+            "text, '[^ -~]', '', 'g')), '[^a-z0-9_ ]', '', 'g'), "
+            "' +', ' ', 'g')) AS norm_text, "
+            "CAST(len(trim(regexp_replace(regexp_replace(lower(regexp_replace("
+            "coalesce(text, ''), '[^ -~]', '', 'g')), '[^a-z0-9_ ]', '', 'g'), "
+            "' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm "
+            "FROM documents"
         ),
         "cdc_dup_docs": (
             f"WITH f AS (SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/cdc_chunks_docs.sf0_01.parquet')), "

@@ -976,3 +976,33 @@ def oov_rate(ds, *, vocab_size: int = 30, text_col: str = "text",
         return oov_score_batch(t, ray.get(ref), text_col, id_col)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# text normalization (curation preprocessing)
+# ---------------------------------------------------------------------------
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """Aggressive web-text normalization: strip non-ASCII codepoints,
+    lowercase, strip everything but ``[a-z0-9_ ]``, squeeze runs of
+    spaces, trim — the canonical form fed to exact dedup / n-gram
+    stats so trivially-reformatted copies collide.
+
+    All five steps are codepoint-level RE2 / ASCII kernels, so the
+    result is bit-identical to the DuckDB twin (Arrow's
+    ``utf8_normalize`` is deliberately NOT used: this pyarrow build
+    does not compose combining marks, so an NFC step would diverge
+    from SQL's ``nfc_normalize``).  Stateless map — no shuffle."""
+    col = batch.column(text_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    x = pc.replace_substring_regex(col, r"[^ -~]", "")
+    x = pc.utf8_lower(x)
+    x = pc.replace_substring_regex(x, r"[^a-z0-9_ ]", "")
+    x = pc.replace_substring_regex(x, r" +", " ")
+    x = pc.utf8_trim_whitespace(x)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "norm_text": x,
+        "n_chars_norm": pc.utf8_length(pc.fill_null(x, "")).cast(pa.int64()),
+    })

@@ -227,3 +227,28 @@ class TestCdcDupStats:
                            num_partitions=13).to_pandas()
              .sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestNormalizeText:
+    def test_matches_reference(self):
+        import re
+
+        from logstash_filter_elastic_integration_ray.stages.textstats import normalize_text_batch
+
+        texts = ["  Héllo,   WORLD!! ", "café  x", None, "",
+                 "Tab\tand\nnewline  MIX 42_a", "é combining", "ALL: 99%"]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        got = normalize_text_batch(t).to_pandas()
+
+        def ref(s):
+            if s is None:
+                return None
+            s = re.sub(r"[^ -~]", "", s).lower()
+            s = re.sub(r"[^a-z0-9_ ]", "", s)
+            s = re.sub(r" +", " ", s)
+            return s.strip()
+
+        exp = [ref(s) for s in texts]
+        assert got["norm_text"].where(got["norm_text"].notna(), None).tolist() == exp
+        assert got["n_chars_norm"].tolist() == [len(e or "") for e in exp]
