@@ -2321,6 +2321,21 @@ def q_normalize_text_docs(sf_dir: str):
     return docs.map_batches(normalize_text_batch, batch_format="pyarrow")
 
 
+_PROFILE_EVENT_COLS = ["event_id", "user_id", "event_type", "props"]
+
+
+def q_profile_events(sf_dir: str):
+    """Per-column data-quality profile (deequ-style): n / nulls / exact
+    distinct / min / max for every column, long format — bounded
+    exchanges only (one thin stats row per column per batch; distinct
+    counting forwards per-batch DISTINCT pairs), final assembly is
+    O(columns) driver state (stages/profile.py)."""
+    from logstash_filter_elastic_integration_ray.stages.profile import profile_columns
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=_PROFILE_EVENT_COLS)
+    return profile_columns(ev, columns=_PROFILE_EVENT_COLS, num_partitions=16)
+
+
 def q_top_orders(sf_dir: str):
     import ray.data as rd
 
@@ -2730,6 +2745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks_docs": q_cdc_chunks_docs,
         "cdc_dup_docs": q_cdc_dup_docs,
         "normalize_text_docs": q_normalize_text_docs,
+        "profile_events": q_profile_events,
         # green in r1/r2 but rotated out of the r3 sample — next in line
         "q1_pricing": q_q1_pricing,
         "events_hourly": q_events_hourly,
@@ -3116,6 +3132,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_chunks_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/cdc_chunks_docs.sf0_01.parquet')"
+        ),
+        "profile_events": (
+            "SELECT 'event_id' AS col_name, count(*) AS n, count(*) - count(event_id) AS n_null, count(DISTINCT event_id) AS n_distinct, CAST(min(event_id) AS VARCHAR) AS min_val, CAST(max(event_id) AS VARCHAR) AS max_val FROM events UNION ALL SELECT 'user_id' AS col_name, count(*) AS n, count(*) - count(user_id) AS n_null, count(DISTINCT user_id) AS n_distinct, CAST(min(user_id) AS VARCHAR) AS min_val, CAST(max(user_id) AS VARCHAR) AS max_val FROM events UNION ALL SELECT 'event_type' AS col_name, count(*) AS n, count(*) - count(event_type) AS n_null, count(DISTINCT event_type) AS n_distinct, CAST(min(event_type) AS VARCHAR) AS min_val, CAST(max(event_type) AS VARCHAR) AS max_val FROM events UNION ALL SELECT 'props' AS col_name, count(*) AS n, count(*) - count(props) AS n_null, count(DISTINCT props) AS n_distinct, CAST(min(props) AS VARCHAR) AS min_val, CAST(max(props) AS VARCHAR) AS max_val FROM events"
         ),
         "normalize_text_docs": (
             "SELECT doc_id, "

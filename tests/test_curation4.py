@@ -252,3 +252,58 @@ class TestNormalizeText:
         exp = [ref(s) for s in texts]
         assert got["norm_text"].where(got["norm_text"].notna(), None).tolist() == exp
         assert got["n_chars_norm"].tolist() == [len(e or "") for e in exp]
+
+
+class TestProfileColumns:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.profile import profile_columns
+
+        rng = np.random.RandomState(4)
+        df = pd.DataFrame({
+            "i": pd.array(
+                [None if x % 11 == 0 else x * 37 for x in range(300)],
+                dtype="Int64"),
+            "s": [None if x % 7 == 0 else f"v{x % 13}" for x in range(300)],
+        })
+        ds = ray.data.from_pandas(df).repartition(6)
+        got = profile_columns(ds, columns=["i", "s"], num_partitions=5)
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute(
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS col_name, count(*) AS n, "
+                f"count(*) - count({c}) AS n_null, "
+                f"count(DISTINCT {c}) AS n_distinct, "
+                f"CAST(min({c}) AS VARCHAR) AS min_val, "
+                f"CAST(max({c}) AS VARCHAR) AS max_val FROM t"
+                for c in ["i", "s"])
+        ).df()
+        con.close()
+        for c in ("n", "n_null", "n_distinct", "min_val", "max_val"):
+            assert got[c].tolist() == exp[c].tolist(), c
+
+    def test_all_null_column(self, ray_session):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.profile import profile_columns
+
+        df = pd.DataFrame({"x": pd.array([None, None], dtype="Int64")})
+        out = profile_columns(ray.data.from_pandas(df), columns=["x"])
+        r = out.iloc[0]
+        assert r["n"] == 2 and r["n_null"] == 2 and r["n_distinct"] == 0
+        assert r["min_val"] is None and r["max_val"] is None
+
+    def test_exact_past_2_53(self, ray_session):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.profile import profile_columns
+
+        big = 2**60
+        df = pd.DataFrame({"x": pd.array([big, big + 1, big + 1], dtype="Int64")})
+        out = profile_columns(ray.data.from_pandas(df).repartition(3), columns=["x"])
+        r = out.iloc[0]
+        assert r["n_distinct"] == 2
+        assert r["min_val"] == str(big) and r["max_val"] == str(big + 1)
