@@ -2614,6 +2614,69 @@ def q_url_dedup(sf_dir: str):
     return dedup_by_url(ds, url_col="url", id_col="eid")
 
 
+def q_domain_stats_web(sf_dir: str):
+    """Per-registered-domain corpus stats — the processor surface
+    feeding a wide stage end-to-end: canonicalize URLs
+    (stages/web.py), resolve each host through the FULL vendored
+    public-suffix list (functions/net.py:split_registered_domain, the
+    ES registered_domain semantics), then a two-phase count/token-sum
+    exchange keyed by the domain.  Per-batch partials collapse to one
+    row per domain per block, so a hot domain never concentrates raw
+    rows."""
+    import pandas as pd
+
+    from logstash_filter_elastic_integration_ray.functions.net import split_registered_domain
+    from logstash_filter_elastic_integration_ray.stages.aggregate import add_partition_col
+    from logstash_filter_elastic_integration_ray.stages.web import canonicalize_urls
+
+    ds = canonicalize_urls(_with_messy_urls(sf_dir))
+
+    def partial(t: pa.Table) -> pa.Table:
+        urls = t.column("url_canonical").to_pylist()
+        memo: dict = {}
+        doms = []
+        for u in urls:
+            host = u.split("://", 1)[1].split("/", 1)[0].split("?", 1)[0]
+            d = memo.get(host)
+            if d is None:
+                r = split_registered_domain(host)
+                d = r["registered_domain"] if r else host
+                memo[host] = d
+            doms.append(d)
+        nt = pc.add(
+            pc.count_substring(pc.fill_null(t.column("text"), ""), " "), 1
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"registered_domain": doms, "nt": nt})
+        agg = df.groupby("registered_domain", sort=False).agg(
+            n_pages=("nt", "size"), n_tokens=("nt", "sum")).reset_index()
+        out = pa.table({
+            "registered_domain": pa.array(agg["registered_domain"], type=pa.string()),
+            "n_pages": pa.array(agg["n_pages"].to_numpy(dtype=np.int64)),
+            "n_tokens": pa.array(agg["n_tokens"].to_numpy(dtype=np.int64)),
+        })
+        return add_partition_col(out, 8, key="registered_domain")
+
+    def merge(df: "pd.DataFrame") -> pa.Table:
+        g = df.groupby("registered_domain", sort=False)
+        n_pages = g["n_pages"].sum()
+        n_tokens = g["n_tokens"].sum()
+        return pa.table({
+            "registered_domain": pa.array(n_pages.index, type=pa.string()),
+            "n_pages": pa.array(n_pages.to_numpy(dtype=np.int64)),
+            "n_tokens": pa.array(n_tokens.to_numpy(dtype=np.int64)),
+            "avg_tokens": pa.array(
+                n_tokens.to_numpy(dtype=np.float64)
+                / n_pages.to_numpy(dtype=np.float64)),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def q_sft_loss_spans(sf_dir: str):
     """Loss-mask token spans for SFT: each assistant turn's tokens
     occupy [span_start, span_end) in the conversation's packed token
@@ -2706,6 +2769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_stats_ppm": q_image_stats_ppm,
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
+        "domain_stats_web": q_domain_stats_web,
         "sft_loss_spans": q_sft_loss_spans,
         "pack_docs": q_pack_docs,
         "curation_pipeline_docs": q_curation_pipeline_docs,
@@ -2887,6 +2951,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_canonicalize": T(
             "SELECT conv_id, turn_idx, 'http://sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk/p/' || CAST(event_id % 9 AS VARCHAR) || '?a=' || CAST(event_id % 11 AS VARCHAR) || '&b=' || CAST(event_id % 7 AS VARCHAR) AS url_canonical FROM transcripts"
+        ),
+        "domain_stats_web": T(
+            "SELECT 'example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk' "
+            "AS registered_domain, count(*) AS n_pages, "
+            "CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) "
+            "AS n_tokens, "
+            "CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS DOUBLE) "
+            "/ count(*) AS avg_tokens "
+            "FROM transcripts GROUP BY 1"
         ),
         "url_dedup": T(
             "SELECT md5('http://sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk/p/' || CAST(event_id % 9 AS VARCHAR) || '?a=' || CAST(event_id % 11 AS VARCHAR) || '&b=' || CAST(event_id % 7 AS VARCHAR)) AS content_hash, min(event_id) AS eid FROM transcripts "

@@ -428,6 +428,29 @@ def run_bench() -> dict:
 
     timed("softmax_16x", softmax_16x, reps=1)
 
+    def cdc_dup_16x():
+        # chunk-level dedup stats at the 16x dup-heavy input: every CDC
+        # chunk is duplicated 16x, so both thin exchanges (by chunk
+        # hash, by doc) run at full volume while text stays out of the
+        # shuffle
+        from logstash_filter_elastic_integration_ray.stages.corpus import cdc_dup_stats
+
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        return cdc_dup_stats(heavy, num_partitions=NUM_CPUS * 2).count()
+
+    timed("cdc_dup_16x", cdc_dup_16x, reps=1)
+
+    def oov_16x():
+        # exact top-V vocabulary + OOV scoring at 16x: the heavy-hitter
+        # exchange sees 16x the token partials; scoring is one pass
+        from logstash_filter_elastic_integration_ray.stages.textstats import oov_rate
+
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        return oov_rate(heavy, vocab_size=100,
+                        num_partitions=NUM_CPUS * 2).count()
+
+    timed("oov_16x", oov_16x, reps=1)
+
     def winnow_dup_16x():
         # the dup-ngram signal over the winnowed SAMPLE: same two thin
         # exchanges, ~2/(w+1) of the gram volume (evidence below)
