@@ -2677,6 +2677,35 @@ def q_domain_stats_web(sf_dir: str):
     )
 
 
+def q_winsorize_events(sf_dir: str):
+    """Outlier clipping (winsorize at p01/p99): the exact distributed
+    ``quantile_disc`` machinery (3 streaming passes, tiny summaries
+    only — stages/sketches.py:exact_quantiles) produces two data-value
+    thresholds broadcast into ONE stateless clamp pass.  Thresholds
+    are actual column values, so no float-bin edge ambiguity; the
+    clamp is pure comparison, bit-identical to SQL
+    least/greatest."""
+    from logstash_filter_elastic_integration_ray.stages.sketches import exact_quantiles
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    res = exact_quantiles(ev, "value", [0.01, 0.99])
+    lo, hi = float(res["value"].iloc[0]), float(res["value"].iloc[1])
+
+    def clamp(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        clipped = pc.min_element_wise(
+            pc.max_element_wise(v, pa.scalar(lo, pa.float64()),
+                                skip_nulls=False),
+            pa.scalar(hi, pa.float64()), skip_nulls=False)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "value": v,
+            "value_clipped": clipped,
+        })
+
+    return ev.map_batches(clamp, batch_format="pyarrow")
+
+
 def q_sft_loss_spans(sf_dir: str):
     """Loss-mask token spans for SFT: each assistant turn's tokens
     occupy [span_start, span_end) in the conversation's packed token
@@ -2770,6 +2799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "domain_stats_web": q_domain_stats_web,
+        "winsorize_events": q_winsorize_events,
         "sft_loss_spans": q_sft_loss_spans,
         "pack_docs": q_pack_docs,
         "curation_pipeline_docs": q_curation_pipeline_docs,
@@ -2951,6 +2981,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_canonicalize": T(
             "SELECT conv_id, turn_idx, 'http://sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk/p/' || CAST(event_id % 9 AS VARCHAR) || '?a=' || CAST(event_id % 11 AS VARCHAR) || '&b=' || CAST(event_id % 7 AS VARCHAR) AS url_canonical FROM transcripts"
+        ),
+        "winsorize_events": (
+            "WITH b AS (SELECT quantile_disc(value, 0.01) AS lo, "
+            "quantile_disc(value, 0.99) AS hi FROM events) "
+            "SELECT event_id, value, "
+            "least(greatest(value, b.lo), b.hi) AS value_clipped "
+            "FROM events, b"
         ),
         "domain_stats_web": T(
             "SELECT 'example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk' "
