@@ -2677,6 +2677,35 @@ def q_domain_stats_web(sf_dir: str):
     )
 
 
+def q_grouping_sets_events(sf_dir: str):
+    """Arbitrary ``GROUP BY GROUPING SETS`` — (event_type, hour),
+    (isodow), and the grand total in one plan: sets containing the
+    partition key reduce locally in the one data-sized exchange, the
+    isodow-only set re-aggregates the tuple-thin base
+    (stages/aggregate.py:grouping_sets_counts)."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import grouping_sets_counts
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "hour": pc.hour(t.column("ts")).cast(pa.int64()),
+            "isodow": pc.day_of_week(
+                t.column("ts"), count_from_zero=False, week_start=1
+            ).cast(pa.int64()),
+        })
+
+    return grouping_sets_counts(
+        ev.map_batches(keyed, batch_format="pyarrow"),
+        keys=["event_type", "hour", "isodow"],
+        sets=[["event_type", "hour"], ["isodow"], []],
+        num_partitions=16,
+        key_types={"event_type": pa.string(), "hour": pa.int64(),
+                   "isodow": pa.int64()},
+    )
+
+
 def q_winsorize_events(sf_dir: str):
     """Outlier clipping (winsorize at p01/p99): the exact distributed
     ``quantile_disc`` machinery (3 streaming passes, tiny summaries
@@ -2800,6 +2829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": q_url_dedup,
         "domain_stats_web": q_domain_stats_web,
         "winsorize_events": q_winsorize_events,
+        "grouping_sets_events": q_grouping_sets_events,
         "sft_loss_spans": q_sft_loss_spans,
         "pack_docs": q_pack_docs,
         "curation_pipeline_docs": q_curation_pipeline_docs,
@@ -2981,6 +3011,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_canonicalize": T(
             "SELECT conv_id, turn_idx, 'http://sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk/p/' || CAST(event_id % 9 AS VARCHAR) || '?a=' || CAST(event_id % 11 AS VARCHAR) || '&b=' || CAST(event_id % 7 AS VARCHAR) AS url_canonical FROM transcripts"
+        ),
+        "grouping_sets_events": (
+            "SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, "
+            "CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS isodow, "
+            "count(*) AS cnt, "
+            "GROUPING(event_type, hour, isodow) AS grouping_id "
+            "FROM events "
+            "GROUP BY GROUPING SETS ((event_type, hour), (isodow), ())"
         ),
         "winsorize_events": (
             "WITH b AS (SELECT quantile_disc(value, 0.01) AS lo, "

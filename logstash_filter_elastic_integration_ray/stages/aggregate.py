@@ -633,3 +633,102 @@ def cube_counts(ds, *, keys: list[str], out_col: str = "cnt",
                 .map_groups(k2_merge, batch_format="pyarrow"))
     total = _grand_total(partials, keys, out_col, 2, key_types)
     return levels.union(k2_level).union(total)
+
+
+def grouping_sets_counts(ds, *, keys: list[str], sets: list[list[str]],
+                         out_col: str = "cnt", num_partitions: int = 32,
+                         key_types: dict | None = None):
+    """``count(*) GROUP BY GROUPING SETS(...)`` — the general form
+    behind :func:`rollup_counts` / :func:`cube_counts`: any subsets of
+    ``keys`` (the empty set = grand total), each row tagged with the
+    SQL ``GROUPING()`` id (leftmost key = most significant bit).
+
+    Shape: ONE data-sized exchange (full-tuple partials partitioned by
+    ``keys[0]``) serves every requested set CONTAINING ``keys[0]``
+    partition-locally — such a set pins the partition key, so all of a
+    tuple's rows co-locate.  Each set NOT containing ``keys[0]``
+    re-aggregates the tuple-thin base through one small exchange keyed
+    by its own first column (consuming the lazy base pipeline once per
+    such set — bounded re-execution over partials, never over raw
+    rows).  The empty set reduces the partials through a single thin
+    block."""
+    n = len(keys)
+    pos = {k: i for i, k in enumerate(keys)}
+    norm: list[tuple[str, ...]] = []
+    for s in sets:
+        s = list(s)
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s!r} not a subset of keys")
+        t = tuple(sorted(set(s), key=pos.__getitem__))
+        if t not in norm:
+            norm.append(t)
+    if not norm:
+        raise ValueError("grouping_sets_counts: needs at least one set")
+
+    def gid_of(subset: tuple[str, ...]) -> int:
+        return sum(1 << (n - 1 - pos[k]) for k in keys if k not in subset)
+
+    partials = _count_partials(ds, keys, out_col, num_partitions)
+    with_k1 = [s for s in norm if s and keys[0] in s]
+    without_k1 = [s for s in norm if s and keys[0] not in s]
+    want_total = any(not s for s in norm)
+    # the base (full tuple) feeds every without-k1 exchange; emit it
+    # even when not itself requested, filtered from the final union
+    need_base = bool(without_k1)
+    emit_sets = list(with_k1)
+    full = tuple(keys)
+    if need_base and full not in emit_sets:
+        emit_sets.append(full)
+
+    def subset_table(t: pa.Table, subset: tuple[str, ...]) -> pa.Table:
+        rep, sums = _weighted_tuple_sums(t, list(subset), out_col)
+        cols: dict = {}
+        for k in keys:
+            col = t.column(k)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if k in subset:
+                cols[k] = col.take(pa.array(rep, type=pa.int64()))
+            else:
+                cols[k] = pa.nulls(len(rep), col.type)
+        cols[out_col] = pa.array(sums, type=pa.int64())
+        cols["grouping_id"] = pa.array(
+            np.full(len(rep), gid_of(subset), dtype=np.int64))
+        return pa.table(cols)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
+        return pa.concat_tables([subset_table(t, s) for s in emit_sets])
+
+    levels = (partials.repartition(num_partitions)
+              .groupby("__part")
+              .map_groups(merge, batch_format="pyarrow"))
+
+    outs = []
+    keep_gids = [gid_of(s) for s in with_k1]
+    if keep_gids:
+        gset = pa.array(keep_gids, type=pa.int64())
+        outs.append(levels.map_batches(
+            lambda t, _g=gset: t.filter(pc.is_in(t.column("grouping_id"), value_set=_g)),
+            batch_format="pyarrow"))
+    for s in without_k1:
+        def sub_partial(t: pa.Table, _s=s) -> pa.Table:
+            base = t.filter(pc.equal(t.column("grouping_id"), pa.scalar(0, pa.int64())))
+            out = subset_table(base, _s)
+            return add_partition_col(out, num_partitions, key=_s[0])
+
+        def sub_merge(t: pa.Table, _s=s) -> pa.Table:
+            if "__part" in t.column_names:
+                t = t.drop_columns(["__part"])
+            return subset_table(t, _s)
+
+        outs.append(levels.map_batches(sub_partial, batch_format="pyarrow")
+                    .repartition(num_partitions)
+                    .groupby("__part")
+                    .map_groups(sub_merge, batch_format="pyarrow"))
+    if want_total:
+        outs.append(_grand_total(partials, keys, out_col, n, key_types))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res

@@ -123,3 +123,44 @@ class TestRollup:
         base = got[got.grouping_id == 0].sort_values(["k", "a"])
         assert list(base["k"]) == [big, big + 1]
         assert list(base["cnt"]) == [2, 1]
+
+
+class TestGroupingSets:
+    def _run(self, df, keys, sets, blocks=5, parts=7):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.aggregate import grouping_sets_counts
+
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        return grouping_sets_counts(ds, keys=keys, sets=sets,
+                                    num_partitions=parts).to_pandas()
+
+    def test_matches_duckdb_mixed_sets(self, ray_session):
+        df = _frame()
+        got = self._run(df, ["a", "b", "c"],
+                        [["a", "b"], ["b"], ["c"], ["a", "c"], []])
+        exp = _duck(
+            "SELECT a, b, c, count(*) AS cnt, "
+            "GROUPING(a, b, c) AS grouping_id FROM t "
+            "GROUP BY GROUPING SETS ((a, b), (b), (c), (a, c), ())",
+            df,
+        )
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    def test_without_full_set_or_total(self, ray_session):
+        df = _frame(120, seed=5)
+        got = self._run(df, ["a", "b"], [["b"]])
+        # DuckDB's GROUPING() rejects columns absent from every set, so
+        # the single-set twin is a plain GROUP BY with literal id
+        exp = _duck(
+            "SELECT CAST(NULL AS VARCHAR) AS a, b, count(*) AS cnt, "
+            "CAST(2 AS BIGINT) AS grouping_id FROM t GROUP BY b",
+            df,
+        )
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    def test_partition_invariance_and_dedup_sets(self, ray_session):
+        df = _frame(90, seed=8)
+        a = self._run(df, ["a", "b"], [["a"], ["a"], []], blocks=1, parts=2)
+        b = self._run(df, ["a", "b"], [["a"], []], blocks=9, parts=13)
+        pd.testing.assert_frame_equal(_canon(a), _canon(b))
