@@ -2706,6 +2706,33 @@ def q_grouping_sets_events(sf_dir: str):
     )
 
 
+def q_pii_scrub_docs(sf_dir: str):
+    """Curation-side PII scrubbing (emails / IPv4 / phones → typed
+    placeholders) with per-kind hit counts — K global RE2 replacements
+    over contiguous Arrow buffers; DuckDB's regexp_replace is RE2 too,
+    so the SQL twin applies the identical patterns
+    (stages/textstats.py:pii_scrub_batch).  Input: docs with
+    deterministic synthetic contact lines appended (every rule
+    exercised; every part derivable in SQL)."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import pii_scrub_batch
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_pii(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        extra = [
+            f" contact u{int(x)}@ex{int(x) % 3}.com ip 10.0.{int(x) % 256}.{int(x) % 7} "
+            f"tel +1-202-555-{int(x) % 10000:04d}"
+            for x in d
+        ]
+        joined = pc.binary_join_element_wise(
+            pc.fill_null(t.column("text"), ""), pa.array(extra, type=pa.string()), "")
+        return pa.table({"doc_id": t.column("doc_id"), "text": joined})
+
+    return docs.map_batches(add_pii, batch_format="pyarrow").map_batches(
+        pii_scrub_batch, batch_format="pyarrow")
+
+
 def q_winsorize_events(sf_dir: str):
     """Outlier clipping (winsorize at p01/p99): the exact distributed
     ``quantile_disc`` machinery (3 streaming passes, tiny summaries
@@ -2830,6 +2857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats_web": q_domain_stats_web,
         "winsorize_events": q_winsorize_events,
         "grouping_sets_events": q_grouping_sets_events,
+        "pii_scrub_docs": q_pii_scrub_docs,
         "sft_loss_spans": q_sft_loss_spans,
         "pack_docs": q_pack_docs,
         "curation_pipeline_docs": q_curation_pipeline_docs,
@@ -3011,6 +3039,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_canonicalize": T(
             "SELECT conv_id, turn_idx, 'http://sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk/p/' || CAST(event_id % 9 AS VARCHAR) || '?a=' || CAST(event_id % 11 AS VARCHAR) || '&b=' || CAST(event_id % 7 AS VARCHAR) AS url_canonical FROM transcripts"
+        ),
+        "pii_scrub_docs": (
+            "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace((coalesce(text, '') || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 3 AS VARCHAR) || '.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 7 AS VARCHAR) || ' tel +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), '\\+?\\d[\\d-]{7,}\\d', '<PHONE>', 'g') AS scrubbed, CAST(len(regexp_extract_all((coalesce(text, '') || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 3 AS VARCHAR) || '.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 7 AS VARCHAR) || ' tel +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(regexp_replace((coalesce(text, '') || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 3 AS VARCHAR) || '.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 7 AS VARCHAR) || ' tel +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips, CAST(len(regexp_extract_all(regexp_replace(regexp_replace((coalesce(text, '') || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 3 AS VARCHAR) || '.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 7 AS VARCHAR) || ' tel +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), '\\+?\\d[\\d-]{7,}\\d')) AS BIGINT) AS n_phones FROM documents"
         ),
         "grouping_sets_events": (
             "SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, "

@@ -1006,3 +1006,40 @@ def normalize_text_batch(batch: pa.Table, text_col: str = "text",
         "norm_text": x,
         "n_chars_norm": pc.utf8_length(pc.fill_null(x, "")).cast(pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (curation-side redaction: emails / IPv4 / phone numbers)
+# ---------------------------------------------------------------------------
+
+#: (pattern, replacement) in application order — email first (its
+#: local part may contain digits a later rule would mangle), then
+#: IPv4 (dots break the phone pattern, so phone can't eat octets),
+#: then phone.  RE2 syntax only: DuckDB's regexp_replace is RE2 too,
+#: so the SQL twin applies the IDENTICAL patterns byte-for-byte.
+PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d-]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub_batch(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Scrub emails / IPv4 addresses / phone numbers from ``text_col``
+    (the document-corpus counterpart of the transcript ``redact``
+    processor): K global RE2 replacements over contiguous Arrow
+    buffers, plus per-kind hit counts — stateless, no shuffle."""
+    col = batch.column(text_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    counts = {}
+    x = col
+    for (pat, repl), name in zip(PII_RULES, ("n_emails", "n_ips", "n_phones")):
+        counts[name] = pc.count_substring_regex(
+            pc.fill_null(x, ""), pat).cast(pa.int64())
+        x = pc.replace_substring_regex(x, pat, repl)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "scrubbed": x,
+        **counts,
+    })

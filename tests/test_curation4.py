@@ -307,3 +307,29 @@ class TestProfileColumns:
         r = out.iloc[0]
         assert r["n_distinct"] == 2
         assert r["min_val"] == str(big) and r["max_val"] == str(big + 1)
+
+
+class TestPiiScrub:
+    def test_matches_python_reference(self):
+        import re
+
+        from logstash_filter_elastic_integration_ray.stages.textstats import PII_RULES, pii_scrub_batch
+
+        texts = [
+            "mail me at bob.smith+x@sub.example.co.uk now",
+            "server 10.1.2.300 and 192.168.0.1!",
+            "call +1-202-555-0143 or 0044-20-7946-0958",
+            None, "",
+            "a@b.io 1.2.3.4 +123456789",
+        ]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        got = pii_scrub_batch(t).to_pandas()
+        for i, x in enumerate(texts):
+            cur = x
+            counts = []
+            for pat, repl in PII_RULES:
+                counts.append(len(re.findall(pat, cur or "")))
+                cur = None if cur is None else re.sub(pat, repl, cur)
+            assert (got["scrubbed"][i] is None and cur is None) or got["scrubbed"][i] == cur
+            assert [got["n_emails"][i], got["n_ips"][i], got["n_phones"][i]] == counts
