@@ -2733,6 +2733,16 @@ def q_pii_scrub_docs(sf_dir: str):
         pii_scrub_batch, batch_format="pyarrow")
 
 
+def q_mode_event_by_user(sf_dir: str):
+    """Per-user modal event type (count desc / value asc tie-break) —
+    the two-phase distinct-triple exchange + one lexsort argmax pass
+    (stages/aggregate.py:group_mode)."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import group_mode
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return group_mode(ev, key="user_id", val_col="event_type", num_partitions=16)
+
+
 def q_winsorize_events(sf_dir: str):
     """Outlier clipping (winsorize at p01/p99): the exact distributed
     ``quantile_disc`` machinery (3 streaming passes, tiny summaries
@@ -2858,6 +2868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_events": q_winsorize_events,
         "grouping_sets_events": q_grouping_sets_events,
         "pii_scrub_docs": q_pii_scrub_docs,
+        "mode_event_by_user": q_mode_event_by_user,
         "sft_loss_spans": q_sft_loss_spans,
         "pack_docs": q_pack_docs,
         "curation_pipeline_docs": q_curation_pipeline_docs,
@@ -3039,6 +3050,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_canonicalize": T(
             "SELECT conv_id, turn_idx, 'http://sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk/p/' || CAST(event_id % 9 AS VARCHAR) || '?a=' || CAST(event_id % 11 AS VARCHAR) || '&b=' || CAST(event_id % 7 AS VARCHAR) AS url_canonical FROM transcripts"
+        ),
+        "mode_event_by_user": (
+            "WITH c AS (SELECT user_id, event_type, count(*) AS cnt "
+            "FROM events GROUP BY 1, 2), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY cnt DESC, event_type) AS rn FROM c) "
+            "SELECT user_id, event_type AS mode_val, "
+            "CAST(cnt AS BIGINT) AS mode_cnt FROM r WHERE rn = 1"
         ),
         "pii_scrub_docs": (
             "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace((coalesce(text, '') || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 3 AS VARCHAR) || '.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 7 AS VARCHAR) || ' tel +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), '\\+?\\d[\\d-]{7,}\\d', '<PHONE>', 'g') AS scrubbed, CAST(len(regexp_extract_all((coalesce(text, '') || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 3 AS VARCHAR) || '.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 7 AS VARCHAR) || ' tel +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(regexp_replace((coalesce(text, '') || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 3 AS VARCHAR) || '.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 7 AS VARCHAR) || ' tel +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips, CAST(len(regexp_extract_all(regexp_replace(regexp_replace((coalesce(text, '') || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 3 AS VARCHAR) || '.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 7 AS VARCHAR) || ' tel +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), '\\+?\\d[\\d-]{7,}\\d')) AS BIGINT) AS n_phones FROM documents"

@@ -732,3 +732,49 @@ def grouping_sets_counts(ds, *, keys: list[str], sets: list[list[str]],
     for o in outs[1:]:
         res = res.union(o)
     return res
+
+
+def group_mode(ds, *, key: str, val_col: str, num_partitions: int = 32):
+    """Per-group mode: each key's most frequent value with the count,
+    ties broken deterministically (count desc, value asc — the SQL
+    ``row_number() OVER (ORDER BY cnt DESC, val)`` twin).
+
+    Two-phase: batches forward distinct (key, value, cnt) rows — a
+    million repeats of one pair forward one row — then one
+    co-partition by key sums pair counts and takes the per-key argmax
+    in a single lexsort pass (no per-group loop).  NULL values are
+    excluded (SQL aggregates ignore NULLs); NULL keys form one group."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.is_valid(t.column(val_col))
+        t = t.filter(mask) if t.num_rows else t
+        if t.num_rows == 0:
+            empty = pa.table({key: t.column(key), val_col: t.column(val_col),
+                              "cnt": pa.array([], type=pa.int64())})
+            return add_partition_col(empty, num_partitions, key=key)
+        gids, rep = _multi_group_codes([t.column(key), t.column(val_col)])
+        counts = np.bincount(gids, minlength=len(rep))
+        out = pa.table({
+            key: t.column(key).take(pa.array(rep, type=pa.int64())),
+            val_col: t.column(val_col).take(pa.array(rep, type=pa.int64())),
+            "cnt": pa.array(counts.astype(np.int64)),
+        })
+        return add_partition_col(out, num_partitions, key=key)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby([key, val_col], sort=False, dropna=False)["cnt"].sum().reset_index()
+        agg = agg.sort_values([key, "cnt", val_col],
+                              ascending=[True, False, True], kind="mergesort")
+        top = agg[~agg.duplicated(key, keep="first")]
+        return pd.DataFrame({
+            key: top[key].to_numpy(),
+            "mode_val": top[val_col].to_numpy(),
+            "mode_cnt": top["cnt"].to_numpy(dtype=np.int64),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -164,3 +164,42 @@ class TestGroupingSets:
         a = self._run(df, ["a", "b"], [["a"], ["a"], []], blocks=1, parts=2)
         b = self._run(df, ["a", "b"], [["a"], []], blocks=9, parts=13)
         pd.testing.assert_frame_equal(_canon(a), _canon(b))
+
+
+class TestGroupMode:
+    def test_matches_duckdb_with_ties_and_nulls(self, ray_session):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.aggregate import group_mode
+
+        rng = np.random.RandomState(2)
+        df = pd.DataFrame({
+            "k": rng.randint(0, 12, 250).astype(np.int64),
+            "v": np.array(["x", "y", "z", None], dtype=object)[
+                rng.randint(0, 4, 250)],
+        })
+        ds = ray.data.from_pandas(df).repartition(6)
+        got = (group_mode(ds, key="k", val_col="v", num_partitions=5)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        exp = _duck(
+            "WITH c AS (SELECT k, v, count(*) AS cnt FROM t "
+            "WHERE v IS NOT NULL GROUP BY 1, 2), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY k "
+            "ORDER BY cnt DESC, v) AS rn FROM c) "
+            "SELECT k, v AS mode_val, CAST(cnt AS BIGINT) AS mode_cnt "
+            "FROM r WHERE rn = 1 ORDER BY k",
+            df,
+        )
+        assert got["k"].tolist() == exp["k"].tolist()
+        assert got["mode_val"].tolist() == exp["mode_val"].tolist()
+        assert got["mode_cnt"].tolist() == exp["mode_cnt"].tolist()
+
+    def test_forced_tie_breaks_by_value(self, ray_session):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.aggregate import group_mode
+
+        df = pd.DataFrame({"k": [1, 1, 1, 1], "v": ["b", "b", "a", "a"]})
+        ds = ray.data.from_pandas(df).repartition(4)
+        out = group_mode(ds, key="k", val_col="v").to_pandas()
+        assert out["mode_val"].tolist() == ["a"] and out["mode_cnt"].tolist() == [2]
