@@ -1,0 +1,104 @@
+"""Runnable corpus-hygiene example — the fourth-session operator set
+composed the way a crawl-cleaning + reporting job would run:
+
+    read documents →
+    PII scrub (emails / IPv4 / phones → typed placeholders) →
+    ASCII-canonical normalization →
+    blocklist phrase gating + token-entropy + OOV-rate quality signals →
+    CDC chunk-level duplicated-byte fraction →
+    gate (not blocked, informative entropy, not mostly duplicated) →
+    per-column data profile of the surviving corpus +
+    ROLLUP(lang, blocked) report of what the gates dropped
+
+Usage:  python examples/corpus_hygiene/run.py [sf_dir]
+Default sf_dir: /root/testdata/sf0.001.  Every building block is
+oracle-checked by a driver query (``pii_scrub_docs`` /
+``normalize_text_docs`` / ``blocklist_docs`` / ``token_entropy_docs``
+/ ``oov_rate_docs`` / ``cdc_dup_docs`` / ``profile_events`` /
+``rollup_events``).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import pyarrow as pa  # noqa: E402
+import ray  # noqa: E402
+
+from logstash_filter_elastic_integration_ray.sources.io import read_parquet_clean  # noqa: E402
+from logstash_filter_elastic_integration_ray.stages.aggregate import rollup_counts  # noqa: E402
+from logstash_filter_elastic_integration_ray.stages.corpus import cdc_dup_stats  # noqa: E402
+from logstash_filter_elastic_integration_ray.stages.profile import profile_columns  # noqa: E402
+from logstash_filter_elastic_integration_ray.stages.textstats import (  # noqa: E402
+    blocklist_flag_batch,
+    normalize_text_batch,
+    oov_rate,
+    pii_scrub_batch,
+    token_entropy_batch,
+)
+
+BLOCKLIST = ["slow table", "hash value"]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
+
+    # 1. scrub + normalize (stateless chained maps — one streaming pass)
+    def scrub_then_norm(t: pa.Table) -> pa.Table:
+        scrubbed = pii_scrub_batch(t)
+        merged = t.drop_columns(["text"]).append_column(
+            "text", scrubbed.column("scrubbed"))
+        norm = normalize_text_batch(merged)
+        return merged.drop_columns(["text"]).append_column(
+            "text", norm.column("norm_text"))
+
+    clean = docs.map_batches(scrub_then_norm, batch_format="pyarrow")
+
+    # 2. quality signals (each its own thin table, joined by doc_id)
+    flags = clean.map_batches(
+        lambda t: blocklist_flag_batch(t, BLOCKLIST), batch_format="pyarrow")
+    entropy = clean.map_batches(token_entropy_batch, batch_format="pyarrow")
+    oov = oov_rate(clean, vocab_size=50)
+    dup = cdc_dup_stats(clean, num_partitions=8)
+
+    sig = (flags.join(entropy, "inner", num_partitions=4, on=("doc_id",))
+           .join(oov.select_columns(["doc_id", "oov_rate"]), "inner",
+                 num_partitions=4, on=("doc_id",))
+           .join(dup.select_columns(["doc_id", "dup_frac"]), "left_outer",
+                 num_partitions=4, on=("doc_id",)))
+
+    # 3. the gate
+    survivors = sig.filter(
+        lambda r: (not r["blocked"]) and r["norm_entropy"] > 0.5
+        and (r["dup_frac"] is None or r["dup_frac"] < 0.8))
+
+    # 4. reports
+    profile = profile_columns(
+        survivors.select_columns(["doc_id", "n_tokens", "n_distinct"]),
+        columns=["doc_id", "n_tokens", "n_distinct"], num_partitions=4)
+    kept = survivors.count()
+    total = docs.count()
+
+    by_block = clean.join(flags, "inner", num_partitions=4, on=("doc_id",))
+    report = rollup_counts(
+        by_block.select_columns(["lang", "blocked"]),
+        keys=["lang", "blocked"], num_partitions=4,
+        key_types={"lang": pa.string(), "blocked": pa.bool_()},
+    ).to_pandas().sort_values(["grouping_id", "lang", "blocked"])
+
+    print(f"\nkept {kept}/{total} docs after hygiene gates")
+    print("\nper-column profile of survivors:")
+    print(profile.to_string(index=False))
+    print("\nROLLUP(lang, blocked) of the cleaned corpus:")
+    print(report.to_string(index=False))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
