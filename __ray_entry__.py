@@ -2743,6 +2743,32 @@ def q_mode_event_by_user(sf_dir: str):
     return group_mode(ev, key="user_id", val_col="event_type", num_partitions=16)
 
 
+def q_range_window_events(sf_dir: str):
+    """Time-RANGE window frame: per-user 10-minute trailing sum/count
+    (RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW,
+    peer-inclusive) — segments lift onto disjoint int64 bands so the
+    whole partition resolves with two global searchsorted calls, no
+    per-group loop (stages/windows.py:grouped_range_sum)."""
+    from logstash_filter_elastic_integration_ray.stages.windows import grouped_range_sum
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "cents": pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64()),
+        })
+
+    out = grouped_range_sum(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        key="user_id", ts_col="ts", val_col="cents",
+        range_us=600_000_000, num_partitions=16)
+    return out.select_columns(["event_id", "user_id", "ts", "range_sum", "range_cnt"])
+
+
 def q_winsorize_events(sf_dir: str):
     """Outlier clipping (winsorize at p01/p99): the exact distributed
     ``quantile_disc`` machinery (3 streaming passes, tiny summaries
@@ -2869,6 +2895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets_events": q_grouping_sets_events,
         "pii_scrub_docs": q_pii_scrub_docs,
         "mode_event_by_user": q_mode_event_by_user,
+        "range_window_events": q_range_window_events,
         "sft_loss_spans": q_sft_loss_spans,
         "pack_docs": q_pack_docs,
         "curation_pipeline_docs": q_curation_pipeline_docs,
@@ -3050,6 +3077,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_canonicalize": T(
             "SELECT conv_id, turn_idx, 'http://sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk/p/' || CAST(event_id % 9 AS VARCHAR) || '?a=' || CAST(event_id % 11 AS VARCHAR) || '&b=' || CAST(event_id % 7 AS VARCHAR) AS url_canonical FROM transcripts"
+        ),
+        "range_window_events": (
+            "WITH c AS (SELECT event_id, user_id, ts, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT event_id, user_id, ts, "
+            "CAST(sum(cents) OVER w AS BIGINT) AS range_sum, "
+            "count(*) OVER w AS range_cnt FROM c "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)"
         ),
         "mode_event_by_user": (
             "WITH c AS (SELECT user_id, event_type, count(*) AS cnt "

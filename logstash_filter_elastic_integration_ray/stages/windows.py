@@ -903,3 +903,95 @@ def window_dedup(ds, *, keys: list[str], ts_col: str = "ts",
         .groupby("__part")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# time-RANGE window frames (RANGE BETWEEN INTERVAL ... PRECEDING AND CURRENT)
+# ---------------------------------------------------------------------------
+
+def grouped_range_sum(ds, *, key: str, ts_col: str, val_col: str,
+                      range_us: int, sum_col: str = "range_sum",
+                      cnt_col: str = "range_cnt", num_partitions: int = 32):
+    """Time-range window aggregate — the frame the ROWS-based
+    :func:`grouped_running` cannot express::
+
+        sum(v)   OVER w AS sum_col
+        count(*) OVER w AS cnt_col
+        WINDOW w AS (PARTITION BY key ORDER BY ts
+                     RANGE BETWEEN <range_us> PRECEDING AND CURRENT ROW)
+
+    RANGE semantics exactly: the frame is every row of the group with
+    ``ts`` in ``[ts_i − range_us, ts_i]`` INCLUSIVE — including peers
+    of the current row that appear after it.  ``val_col`` must be
+    int64 (convert money to cents upstream) so the prefix-sum
+    difference is exact and order-independent; NULL values contribute
+    0 to the sum but still count (SQL ``count(*)``).
+
+    One co-partition by key, then ONE fully vectorized pass per
+    partition — no per-group loop: rows lexsort by (key, ts) and each
+    segment is lifted onto a disjoint int64 band
+    (``seg_id·span + (ts − t_min)`` with ``span > ts-range + range_us``),
+    which makes the whole partition ONE sorted axis where two global
+    ``searchsorted`` calls find every row's frame bounds; frame sums
+    are global-prefix-sum differences.  Falls back to a per-segment
+    loop only if the band arithmetic would overflow int64 (≈ 4·10¹⁸ —
+    key-cardinality × time-range far beyond any real partition)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_partition_col(t, num_partitions, key=key)
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        if "__part" in df.columns:
+            df = df.drop(columns=["__part"])
+        n = len(df)
+        if n == 0:
+            out = df.copy()
+            out[sum_col] = pd.Series([], dtype=np.int64)
+            out[cnt_col] = pd.Series([], dtype=np.int64)
+            return out
+        if df[ts_col].isna().any():
+            raise ValueError(
+                f"grouped_range_sum: null {ts_col!r} (SQL null-ordering "
+                "is dialect-dependent; filter or fill first)")
+        codes = _dict_codes(pa.Array.from_pandas(df[key]))
+        ts = df[ts_col].astype("int64").to_numpy()
+        vals = df[val_col].fillna(0).astype(np.int64).to_numpy()
+        order = np.lexsort((ts, codes))
+        sc, st, sv = codes[order], ts[order], vals[order]
+        seg_new = np.ones(n, dtype=bool)
+        seg_new[1:] = sc[1:] != sc[:-1]
+        seg_id = np.cumsum(seg_new) - 1
+        t0 = int(st.min())
+        rel = st - t0
+        span = int(rel.max()) + int(range_us) + 2
+        n_segs = int(seg_id[-1]) + 1
+        csum = np.cumsum(sv)
+        if n_segs * span < (1 << 62):
+            adj = seg_id * np.int64(span) + rel
+            lo = np.searchsorted(adj, adj - np.int64(range_us), side="left")
+            hi = np.searchsorted(adj, adj, side="right")
+        else:  # pragma: no cover - astronomically large band fallback
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            starts = np.flatnonzero(seg_new)
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                lo[s:e] = s + np.searchsorted(st[s:e], st[s:e] - range_us, "left")
+                hi[s:e] = s + np.searchsorted(st[s:e], st[s:e], "right")
+        sums_sorted = csum[hi - 1] - np.where(lo > 0, csum[np.maximum(lo - 1, 0)], 0)
+        cnts_sorted = hi - lo
+        sums = np.empty(n, dtype=np.int64)
+        cnts = np.empty(n, dtype=np.int64)
+        sums[order] = sums_sorted
+        cnts[order] = cnts_sorted
+        out = df.copy()
+        out[sum_col] = sums
+        out[cnt_col] = cnts
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(run, batch_format="pandas")
+    )

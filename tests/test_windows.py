@@ -645,3 +645,71 @@ class TestGroupedRankStats:
                 ds, key="user_id", order_cols=["score", "event_id"],
                 num_partitions=2,
             ).materialize()
+
+
+class TestGroupedRangeSum:
+    W = 120_000_000  # 2 minutes
+
+    def _df(self, n=400, seed=13):
+        rng = np.random.RandomState(seed)
+        base = np.datetime64("2025-06-01T00:00:00", "us")
+        return pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 15, n).astype(np.int64),
+            "ts": base + rng.randint(0, 1_800_000_000, n).astype("timedelta64[us]"),
+            "cents": rng.randint(-100, 300, n).astype(np.int64),
+        })
+
+    def _run(self, df, blocks=5, parts=7):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.windows import grouped_range_sum
+
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        out = grouped_range_sum(ds, key="user_id", ts_col="ts",
+                                val_col="cents", range_us=self.W,
+                                num_partitions=parts).to_pandas()
+        return out.sort_values("event_id").reset_index(drop=True)
+
+    def _reference(self, df):
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("t", df)
+        out = con.execute(
+            "SELECT event_id, CAST(sum(cents) OVER w AS BIGINT) AS range_sum, "
+            "count(*) OVER w AS range_cnt FROM t "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 2 MINUTES PRECEDING AND CURRENT ROW) "
+            "ORDER BY event_id"
+        ).df()
+        con.close()
+        return out
+
+    def test_matches_duckdb(self, ray_session):
+        df = self._df()
+        got = self._run(df)
+        exp = self._reference(df)
+        assert got["range_sum"].tolist() == exp["range_sum"].tolist()
+        assert got["range_cnt"].tolist() == exp["range_cnt"].tolist()
+
+    def test_peers_after_current_row_included(self, ray_session):
+        # RANGE frames include the WHOLE peer group (equal ts), even
+        # peers "after" the current row — the distinction from ROWS
+        base = np.datetime64("2025-06-01T00:00:00", "us")
+        df = pd.DataFrame({
+            "event_id": np.arange(3, dtype=np.int64),
+            "user_id": np.zeros(3, dtype=np.int64),
+            "ts": np.array([base, base, base + np.timedelta64(1, "s")]),
+            "cents": np.array([5, 7, 100], dtype=np.int64),
+        })
+        got = self._run(df, blocks=3, parts=2)
+        exp = self._reference(df)
+        assert got["range_sum"].tolist() == exp["range_sum"].tolist() == [12, 12, 112]
+        assert got["range_cnt"].tolist() == exp["range_cnt"].tolist() == [2, 2, 3]
+
+    def test_partition_invariance(self, ray_session):
+        df = self._df(150, seed=2)
+        a = self._run(df, blocks=1, parts=2)
+        b = self._run(df, blocks=9, parts=13)
+        pd.testing.assert_frame_equal(a, b)
