@@ -937,9 +937,11 @@ def cdc_boundaries(data: np.ndarray, *, mask_bits: int = 6,
     mask = np.uint64((1 << mask_bits) - 1)
     g = _GEAR[data]
     low = np.zeros(n, dtype=np.uint64)
-    for j in range(mask_bits):
+    for j in range(min(mask_bits, n)):
         # contribution of byte i-j, shifted j — positions < j keep 0
-        # for the out-of-range term (hash warm-up, same as sequential)
+        # for the out-of-range term (hash warm-up, same as sequential);
+        # j is capped at n: a doc shorter than mask_bits has no byte
+        # that far back (negative slice lengths would mis-broadcast)
         low[j:] += g[: n - j] << np.uint64(j)
     cand = np.flatnonzero((low & mask) == np.uint64(0)) + 1  # cut AFTER byte i
     ends: list[int] = []

@@ -398,3 +398,81 @@ def test_gram_cursor_ladder_equals_per_width_loop(docs, w):
     assert (cdoc == gdoc).all()
     # positions are the valid window starts in flat order
     assert (np.diff(cpos) > 0).all() if len(cpos) > 1 else True
+
+
+# ---------------------------------------------------------------------------
+# round-4 session additions: CDC boundaries, token entropy, PII scrub
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=3000))
+def test_cdc_boundaries_cover_and_bound(data):
+    from logstash_filter_elastic_integration_ray.stages.corpus import cdc_boundaries
+
+    ends = cdc_boundaries(np.frombuffer(data, dtype=np.uint8),
+                          mask_bits=5, min_size=8, max_size=64)
+    n = len(data)
+    if n == 0:
+        assert len(ends) == 0
+        return
+    # strictly increasing, exact cover of [0, n]
+    assert ends[-1] == n
+    assert (np.diff(np.concatenate(([0], ends))) > 0).all()
+    sizes = np.diff(np.concatenate(([0], ends)))
+    assert (sizes <= 64).all()
+    assert (sizes[:-1] >= 8).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet=string.printable, min_size=0, max_size=600))
+def test_cdc_vectorized_equals_sequential(text):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import reference_impls as ref
+
+    from logstash_filter_elastic_integration_ray.stages.corpus import cdc_chunk_batch
+
+    t = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "text": pa.array([text], type=pa.string())})
+    got = cdc_chunk_batch(t).to_pandas().reset_index(drop=True)
+    exp = ref.cdc_chunks_reference([1], [text]).reset_index(drop=True)
+    assert got.equals(exp)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(
+    alphabet=string.ascii_lowercase + " ", max_size=40)),
+    min_size=1, max_size=10))
+def test_token_entropy_bounds(texts):
+    from logstash_filter_elastic_integration_ray.stages.textstats import token_entropy_batch
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    out = token_entropy_batch(t).to_pandas()
+    # H in [0 - eps, ln(n_distinct)]; norm in [0, 1]
+    eps = 1e-9
+    assert (out["token_entropy"] >= -eps).all()
+    bound = np.log(np.maximum(out["n_distinct"].to_numpy(), 1).astype(float))
+    assert (out["token_entropy"] <= bound + eps).all()
+    assert ((out["norm_entropy"] >= 0) & (out["norm_entropy"] <= 1 + eps)).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(
+    alphabet=string.ascii_letters + string.digits + " @.+-_",
+    max_size=60)), min_size=1, max_size=8))
+def test_pii_scrub_idempotent(texts):
+    from logstash_filter_elastic_integration_ray.stages.textstats import pii_scrub_batch
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    once = pii_scrub_batch(t)
+    t2 = pa.table({"doc_id": once.column("doc_id"),
+                   "text": once.column("scrubbed")})
+    twice = pii_scrub_batch(t2)
+    # placeholders contain no digits or @domains → a second scrub is a
+    # no-op and finds nothing
+    assert twice.column("scrubbed").to_pylist() == once.column("scrubbed").to_pylist()
+    for c in ("n_emails", "n_ips", "n_phones"):
+        assert sum(twice.column(c).to_pylist()) == 0
