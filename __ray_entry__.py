@@ -2769,6 +2769,17 @@ def q_range_window_events(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "ts", "range_sum", "range_cnt"])
 
 
+def q_log_templates(sf_dir: str):
+    """Drain-family log template mining over the transcript lines:
+    lines group by token count, varying positions become wildcards —
+    batches forward DISTINCT (group, position, token) triples, one
+    exchange by group (stages/textstats.py:log_templates)."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import log_templates
+
+    ds = read_transcripts(sf_dir).select_columns(["text"])
+    return log_templates(ds, num_partitions=16)
+
+
 def q_winsorize_events(sf_dir: str):
     """Outlier clipping (winsorize at p01/p99): the exact distributed
     ``quantile_disc`` machinery (3 streaming passes, tiny summaries
@@ -2896,6 +2907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub_docs": q_pii_scrub_docs,
         "mode_event_by_user": q_mode_event_by_user,
         "range_window_events": q_range_window_events,
+        "log_templates": q_log_templates,
         "sft_loss_spans": q_sft_loss_spans,
         "pack_docs": q_pack_docs,
         "curation_pipeline_docs": q_curation_pipeline_docs,
@@ -3077,6 +3089,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_canonicalize": T(
             "SELECT conv_id, turn_idx, 'http://sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk/p/' || CAST(event_id % 9 AS VARCHAR) || '?a=' || CAST(event_id % 11 AS VARCHAR) || '&b=' || CAST(event_id % 7 AS VARCHAR) AS url_canonical FROM transcripts"
+        ),
+        "log_templates": T(
+            ", sp AS (SELECT string_split(coalesce(text, ''), ' ') AS arr "
+            "FROM transcripts), "
+            "toks AS (SELECT len(arr) AS n_tokens, "
+            "unnest(range(1, len(arr) + 1)) AS pos, unnest(arr) AS tok FROM sp), "
+            "pp AS (SELECT n_tokens, pos, count(DISTINCT tok) AS nd, "
+            "min(tok) AS mn FROM toks GROUP BY 1, 2), "
+            "tpl AS (SELECT n_tokens, string_agg(CASE WHEN nd > 1 THEN '<*>' "
+            "ELSE mn END, ' ' ORDER BY pos) AS template FROM pp GROUP BY 1), "
+            "cnt AS (SELECT len(string_split(coalesce(text, ''), ' ')) AS n_tokens, "
+            "count(*) AS n_lines FROM transcripts GROUP BY 1) "
+            "SELECT t.n_tokens, t.template, CAST(c.n_lines AS BIGINT) AS n_lines "
+            "FROM tpl t JOIN cnt c USING(n_tokens)"
         ),
         "range_window_events": (
             "WITH c AS (SELECT event_id, user_id, ts, "

@@ -1043,3 +1043,90 @@ def pii_scrub_batch(batch: pa.Table, text_col: str = "text",
         "scrubbed": x,
         **counts,
     })
+
+
+# ---------------------------------------------------------------------------
+# log template mining (Drain-family position-wildcard templates)
+# ---------------------------------------------------------------------------
+
+def log_templates(ds, *, text_col: str = "text", wildcard: str = "<*>",
+                  num_partitions: int = 32):
+    """Mine log-line templates: lines group by token count, and each
+    token position that varies within the group becomes a wildcard —
+    the deterministic core of the Drain-family log-template miners
+    (per-position variability instead of Drain's online similarity
+    tree, so the result is a pure function of the corpus).
+
+    Output: one row per group — (n_tokens, template, n_lines).
+
+    Shape: batches forward DISTINCT (group, position, token) triples
+    (a million identical log lines forward one triple per position)
+    plus one (group, count) row per batch; ONE exchange by group, then
+    a per-partition pandas pass computes per-position distinct counts
+    and joins the template string.  SQL twin: parallel
+    ``unnest(range(...)) / unnest(tokens)`` + ``count(DISTINCT)`` +
+    ordered ``string_agg``."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        toks = pc.split_pattern(pc.fill_null(col, ""), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        n_flat = len(flat)
+        if n_flat == 0:
+            empty = pa.table({
+                "grp": pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "tok": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            })
+            return add_partition_col(empty, num_partitions, key="grp")
+        grp = np.repeat(lens, lens)
+        ends = np.cumsum(lens)
+        pos = np.arange(n_flat, dtype=np.int64) - np.repeat(ends - lens, lens) + 1
+        de = flat.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.int64(len(de.dictionary))
+        max_pos = np.int64(int(pos.max()) + 1)
+        combo = (grp * max_pos + pos) * k + codes
+        uniq, first = np.unique(combo, return_index=True)
+        f = pa.array(first, type=pa.int64())
+        triples = pa.table({
+            "grp": pa.array(grp[first]),
+            "pos": pa.array(pos[first]),
+            "tok": flat.take(f),
+            "cnt": pa.array(np.zeros(len(first), dtype=np.int64)),
+        })
+        gu, gc = np.unique(lens, return_counts=True)
+        counts = pa.table({
+            "grp": pa.array(gu.astype(np.int64)),
+            "pos": pa.array(np.full(len(gu), -1, dtype=np.int64)),
+            "tok": pa.nulls(len(gu), pa.string()),
+            "cnt": pa.array(gc.astype(np.int64)),
+        })
+        return add_partition_col(pa.concat_tables([triples, counts]),
+                                 num_partitions, key="grp")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        lines = (df[df["pos"] == -1].groupby("grp", sort=False)["cnt"].sum())
+        tok = df[df["pos"] >= 0]
+        pp = (tok.drop_duplicates(["grp", "pos", "tok"])
+              .groupby(["grp", "pos"], sort=False)
+              .agg(nd=("tok", "size"), mn=("tok", "min")).reset_index())
+        pp["piece"] = np.where(pp["nd"].to_numpy() > 1, wildcard, pp["mn"])
+        pp = pp.sort_values(["grp", "pos"], kind="mergesort")
+        tpl = pp.groupby("grp", sort=False)["piece"].agg(" ".join)
+        out = pd.DataFrame({
+            "n_tokens": tpl.index.to_numpy(dtype=np.int64),
+            "template": tpl.to_numpy(),
+            "n_lines": lines.reindex(tpl.index).to_numpy(dtype=np.int64),
+        })
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+    )

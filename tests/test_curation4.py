@@ -333,3 +333,43 @@ class TestPiiScrub:
                 cur = None if cur is None else re.sub(pat, repl, cur)
             assert (got["scrubbed"][i] is None and cur is None) or got["scrubbed"][i] == cur
             assert [got["n_emails"][i], got["n_ips"][i], got["n_phones"][i]] == counts
+
+
+class TestLogTemplates:
+    def test_wildcards_and_constants(self, ray_session):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.textstats import log_templates
+
+        texts = (["GET /api/%d 200" % i for i in range(20)]
+                 + ["POST /api/9 500", "POST /api/9 500"]
+                 + ["boot ok"] * 3 + [None, ""])
+        df = pd.DataFrame({"text": texts})
+        ds = ray.data.from_pandas(df).repartition(5)
+        out = (log_templates(ds, num_partitions=3).to_pandas()
+               .set_index("n_tokens").sort_index())
+        # 3-token group mixes GET/POST → method + path vary, code varies
+        assert out.loc[3, "template"] == "<*> <*> <*>"
+        assert out.loc[3, "n_lines"] == 22
+        assert out.loc[2, "template"] == "boot ok"
+        assert out.loc[2, "n_lines"] == 3
+        # null/empty → single empty token group
+        assert out.loc[1, "template"] == ""
+        assert out.loc[1, "n_lines"] == 2
+
+    def test_partition_invariance(self, ray_session):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.textstats import log_templates
+
+        rng = np.random.RandomState(7)
+        texts = ["svc=%d msg ok" % rng.randint(0, 5) for _ in range(60)]
+        df = pd.DataFrame({"text": texts})
+        a = (log_templates(ray.data.from_pandas(df).repartition(1),
+                           num_partitions=2).to_pandas()
+             .sort_values("n_tokens").reset_index(drop=True))
+        b = (log_templates(ray.data.from_pandas(df).repartition(7),
+                           num_partitions=5).to_pandas()
+             .sort_values("n_tokens").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        assert a["template"].iloc[0] == "<*> msg ok"
