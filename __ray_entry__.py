@@ -2780,6 +2780,26 @@ def q_log_templates(sf_dir: str):
     return log_templates(ds, num_partitions=16)
 
 
+def q_price_quantiles_cont(sf_dir: str):
+    """Interpolated percentiles (``quantile_cont``): the same 3-pass
+    exact-rank machinery selects BOTH bracketing order statistics,
+    interpolated with DuckDB's own expression ``v_lo·(1−frac) +
+    v_hi·frac`` — verified bit-identical
+    (stages/sketches.py:exact_quantiles interp=True)."""
+    import pandas as pd
+
+    from logstash_filter_elastic_integration_ray.stages.sketches import exact_quantiles
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    pcts = [10, 25, 50, 75, 90, 99]
+    res = exact_quantiles(ds, "l_extendedprice", [p / 100 for p in pcts],
+                          interp=True)
+    return pd.DataFrame({
+        "pct": (res["q"] * 100).round().astype("int64"),
+        "value": res["value"],
+    })
+
+
 def q_winsorize_events(sf_dir: str):
     """Outlier clipping (winsorize at p01/p99): the exact distributed
     ``quantile_disc`` machinery (3 streaming passes, tiny summaries
@@ -2908,6 +2928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_by_user": q_mode_event_by_user,
         "range_window_events": q_range_window_events,
         "log_templates": q_log_templates,
+        "price_quantiles_cont": q_price_quantiles_cont,
         "sft_loss_spans": q_sft_loss_spans,
         "pack_docs": q_pack_docs,
         "curation_pipeline_docs": q_curation_pipeline_docs,
@@ -3089,6 +3110,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_canonicalize": T(
             "SELECT conv_id, turn_idx, 'http://sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk/p/' || CAST(event_id % 9 AS VARCHAR) || '?a=' || CAST(event_id % 11 AS VARCHAR) || '&b=' || CAST(event_id % 7 AS VARCHAR) AS url_canonical FROM transcripts"
+        ),
+        "price_quantiles_cont": (
+            'SELECT CAST(10 AS BIGINT) AS pct, quantile_cont(l_extendedprice, 0.1) AS value FROM lineitem UNION ALL SELECT CAST(25 AS BIGINT) AS pct, quantile_cont(l_extendedprice, 0.25) AS value FROM lineitem UNION ALL SELECT CAST(50 AS BIGINT) AS pct, quantile_cont(l_extendedprice, 0.5) AS value FROM lineitem UNION ALL SELECT CAST(75 AS BIGINT) AS pct, quantile_cont(l_extendedprice, 0.75) AS value FROM lineitem UNION ALL SELECT CAST(90 AS BIGINT) AS pct, quantile_cont(l_extendedprice, 0.9) AS value FROM lineitem UNION ALL SELECT CAST(99 AS BIGINT) AS pct, quantile_cont(l_extendedprice, 0.99) AS value FROM lineitem'
         ),
         "log_templates": T(
             ", sp AS (SELECT string_split(coalesce(text, ''), ' ') AS arr "

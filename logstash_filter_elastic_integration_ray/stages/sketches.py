@@ -185,11 +185,18 @@ def _bin_of(vals: np.ndarray, mn: float, width: float, num_bins: int) -> np.ndar
 
 
 def exact_quantiles(ds, col: str, qs: list[float], num_bins: int = 4096,
-                    num_partitions: int = 8) -> pd.DataFrame:
+                    num_partitions: int = 8, interp: bool = False) -> pd.DataFrame:
     """Exact ``quantile_disc`` over a numeric column WITHOUT a global
     sort: (q, value) with value = the element at 1-indexed rank
     ``max(1, ceil(q*n))`` of the sorted non-null column (DuckDB /
     ANSI ``percentile_disc`` semantics).
+
+    ``interp=True`` switches to ``quantile_cont`` / ``percentile_cont``
+    semantics: the value interpolates between the order statistics at
+    ranks ``floor(h)+1`` and ``floor(h)+2`` for ``h = (n-1)·q``, as
+    ``v_lo·(1−frac) + v_hi·frac`` — the exact expression DuckDB
+    evaluates, verified bit-identical (the algebraically-equal
+    ``v_lo + frac·(v_hi−v_lo)`` is NOT: it differs in the last ulp).
 
     Three streaming passes over the (pruned) input — min/max/count
     partials, fixed-width histogram, and per-target-bin (value, count)
@@ -243,8 +250,17 @@ def exact_quantiles(ds, col: str, qs: list[float], num_bins: int = 4096,
     cum = np.cumsum(counts)  # cum[b] = rows in bins 0..b
 
     # rank r(q) = max(1, ceil(q*n)); target bin = first b with cum[b] >= r
-    ranks = {q: max(1, int(np.ceil(q * n))) for q in qs}
-    target_bins = sorted(set(int(np.searchsorted(cum, r)) for r in ranks.values()))
+    if interp:
+        qranks: dict = {}
+        for q in qs:
+            h = (n - 1) * q
+            lo_r = int(np.floor(h)) + 1
+            qranks[q] = (lo_r, min(lo_r + 1, n), h - np.floor(h))
+        all_ranks = sorted({r for lo, hi, _ in qranks.values() for r in (lo, hi)})
+    else:
+        ranks = {q: max(1, int(np.ceil(q * n))) for q in qs}
+        all_ranks = sorted(set(ranks.values()))
+    target_bins = sorted(set(int(np.searchsorted(cum, r)) for r in all_ranks))
 
     # ---- pass 3: (value, count) unique partials for target bins only --
     tb = np.array(target_bins, dtype=np.int64)
@@ -287,16 +303,23 @@ def exact_quantiles(ds, col: str, qs: list[float], num_bins: int = 4096,
             f"(cap {_REFINE_DISTINCT_CAP}); increase num_bins"
         )
 
-    out = []
-    for q in qs:
-        r = ranks[q]
+    def val_at(r: int) -> float:
         b = int(np.searchsorted(cum, r))
         before = int(cum[b - 1]) if b > 0 else 0
         local_rank = r - before  # 1-indexed within bin b
         g = vals_df[vals_df["bin"] == b].sort_values("value")
         cc = g["cnt"].to_numpy().cumsum()
         pos = int(np.searchsorted(cc, local_rank))
-        out.append((q, float(g["value"].to_numpy()[pos])))
+        return float(g["value"].to_numpy()[pos])
+
+    out = []
+    for q in qs:
+        if interp:
+            lo_r, hi_r, frac = qranks[q]
+            v_lo, v_hi = val_at(lo_r), val_at(hi_r)
+            out.append((q, v_lo * (1.0 - frac) + v_hi * frac))
+        else:
+            out.append((q, val_at(ranks[q])))
     return pd.DataFrame(out, columns=["q", "value"])
 
 

@@ -541,3 +541,34 @@ class TestHllGroupDistinct:
         assert out2["k"].tolist() == ["a", "b"]
         assert out2["approx_distinct"].tolist()[1] == 0.0
         assert abs(out2["approx_distinct"].tolist()[0] - 1.0) < 0.01
+
+
+class TestQuantileCont:
+    def test_bitwise_parity_with_duckdb(self, ray_session):
+        import duckdb
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.sketches import exact_quantiles
+
+        rng = np.random.RandomState(3)
+        v = np.concatenate([rng.randn(5003) * 50, np.repeat(7.25, 40)])
+        df = pd.DataFrame({"v": v})
+        ds = ray.data.from_pandas(df).repartition(7)
+        qs = [0.0, 0.013, 0.25, 0.5, 0.7777, 0.9, 1.0]
+        mine = exact_quantiles(ds, "v", qs, interp=True)
+        con = duckdb.connect()
+        con.register("t", df)
+        for q, mv in zip(mine["q"], mine["value"]):
+            d = con.execute(f"SELECT quantile_cont(v, {q})::DOUBLE FROM t").fetchone()[0]
+            assert d == mv, (q, d, mv)
+        con.close()
+
+    def test_disc_unchanged(self, ray_session):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.sketches import exact_quantiles
+
+        v = np.arange(101, dtype=np.float64)
+        ds = ray.data.from_pandas(pd.DataFrame({"v": v}))
+        res = exact_quantiles(ds, "v", [0.5, 0.9])
+        assert res["value"].tolist() == [50.0, 90.0]
