@@ -2800,6 +2800,27 @@ def q_price_quantiles_cont(sf_dir: str):
     })
 
 
+def q_corr_lineitem(sf_dir: str):
+    """Pearson correlation + sample covariance of (quantity,
+    price-cents) via the EXACT-SUM formulation — per-batch integer
+    partials shipped as decimal strings, merged in unbounded Python
+    ints, one fixed float expression at the end; bit-identical to the
+    HUGEINT SQL twin, unlike native streaming corr()
+    (stages/sketches.py:exact_corr_stats)."""
+    from logstash_filter_elastic_integration_ray.stages.sketches import exact_corr_stats
+
+    def ints(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "x": pc.round(t.column("l_quantity")).cast(pa.int64()),
+            "y": pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)).cast(pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    ).map_batches(ints, batch_format="pyarrow")
+    return exact_corr_stats(ds, "x", "y")
+
+
 def q_winsorize_events(sf_dir: str):
     """Outlier clipping (winsorize at p01/p99): the exact distributed
     ``quantile_disc`` machinery (3 streaming passes, tiny summaries
@@ -2929,6 +2950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_window_events": q_range_window_events,
         "log_templates": q_log_templates,
         "price_quantiles_cont": q_price_quantiles_cont,
+        "corr_lineitem": q_corr_lineitem,
         "sft_loss_spans": q_sft_loss_spans,
         "pack_docs": q_pack_docs,
         "curation_pipeline_docs": q_curation_pipeline_docs,
@@ -3110,6 +3132,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_canonicalize": T(
             "SELECT conv_id, turn_idx, 'http://sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk/p/' || CAST(event_id % 9 AS VARCHAR) || '?a=' || CAST(event_id % 11 AS VARCHAR) || '&b=' || CAST(event_id % 7 AS VARCHAR) AS url_canonical FROM transcripts"
+        ),
+        "corr_lineitem": (
+            "WITH c AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem), "
+            "s AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx, "
+            "CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy, "
+            "CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx, "
+            "CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy, "
+            "CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy FROM c) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * "
+            "CAST(n * syy - sy * sy AS DOUBLE)) AS corr, "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "CAST(n * (n - 1) AS DOUBLE) AS covar_samp FROM s"
         ),
         "price_quantiles_cont": (
             'SELECT CAST(10 AS BIGINT) AS pct, quantile_cont(l_extendedprice, 0.1) AS value FROM lineitem UNION ALL SELECT CAST(25 AS BIGINT) AS pct, quantile_cont(l_extendedprice, 0.25) AS value FROM lineitem UNION ALL SELECT CAST(50 AS BIGINT) AS pct, quantile_cont(l_extendedprice, 0.5) AS value FROM lineitem UNION ALL SELECT CAST(75 AS BIGINT) AS pct, quantile_cont(l_extendedprice, 0.75) AS value FROM lineitem UNION ALL SELECT CAST(90 AS BIGINT) AS pct, quantile_cont(l_extendedprice, 0.9) AS value FROM lineitem UNION ALL SELECT CAST(99 AS BIGINT) AS pct, quantile_cont(l_extendedprice, 0.99) AS value FROM lineitem'

@@ -852,3 +852,64 @@ def hll_group_distinct(ds, *, key: str, val: str, p: int = 12,
         .groupby("__part")
         .map_groups(lambda df: merge(df.drop(columns="__part")), batch_format="pandas")
     )
+
+
+def exact_corr_stats(ds, x_col: str, y_col: str) -> pd.DataFrame:
+    """Pearson correlation + sample covariance over two INT64 columns
+    via the exact-sum formulation: per-batch partials
+    (n, Σx, Σy, Σx², Σy², Σxy) computed in unbounded Python ints and
+    shipped as DECIMAL STRINGS (exact at any magnitude — Σx² over a
+    100 TB corpus overflows int64), merged at the driver in Python
+    ints (O(1) driver state), and the final floats evaluate one fixed
+    expression on exact integers —
+
+        corr  = A / sqrt(B·C)          A = n·Σxy − Σx·Σy
+        covar = A / (n·(n−1))          B = n·Σx² − (Σx)²
+                                        C = n·Σy² − (Σy)²
+
+    — bit-identical to a SQL twin that evaluates the SAME expression
+    on the same exact sums (unlike the engines' native streaming
+    ``corr()``, whose update order is unspecified).  Use integer
+    measures (convert money to cents upstream); one streaming pass,
+    no shuffle."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_rows = len(x)
+        mx = int(np.abs(x).max()) if n_rows else 0
+        my = int(np.abs(y).max()) if n_rows else 0
+        if n_rows and max(mx, my) ** 2 * n_rows < (1 << 62):
+            # vectorized exact int64 path (guarded against overflow)
+            vals = (int(x.sum()), int(y.sum()), int((x * x).sum()),
+                    int((y * y).sum()), int((x * y).sum()))
+        else:  # huge magnitudes: unbounded Python ints, still exact
+            xs = [int(v) for v in x]
+            ys = [int(v) for v in y]
+            vals = (sum(xs), sum(ys), sum(v * v for v in xs),
+                    sum(v * v for v in ys),
+                    sum(a * b for a, b in zip(xs, ys)))
+        sx, sy, sxx, syy, sxy = vals
+        return pa.table({
+            "n": pa.array([n_rows], type=pa.int64()),
+            "sx": pa.array([str(sx)], type=pa.string()),
+            "sy": pa.array([str(sy)], type=pa.string()),
+            "sxx": pa.array([str(sxx)], type=pa.string()),
+            "syy": pa.array([str(syy)], type=pa.string()),
+            "sxy": pa.array([str(sxy)], type=pa.string()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    sx = sum(int(v) for v in parts["sx"])
+    sy = sum(int(v) for v in parts["sy"])
+    sxx = sum(int(v) for v in parts["sxx"])
+    syy = sum(int(v) for v in parts["syy"])
+    sxy = sum(int(v) for v in parts["sxy"])
+    a = n * sxy - sx * sy
+    b = n * sxx - sx * sx
+    c = n * syy - sy * sy
+    corr = float(a) / math.sqrt(float(b) * float(c)) if b and c else float("nan")
+    covar = float(a) / float(n * (n - 1)) if n > 1 else float("nan")
+    return pd.DataFrame({"n": [n], "corr": [corr], "covar_samp": [covar]})

@@ -572,3 +572,45 @@ class TestQuantileCont:
         ds = ray.data.from_pandas(pd.DataFrame({"v": v}))
         res = exact_quantiles(ds, "v", [0.5, 0.9])
         assert res["value"].tolist() == [50.0, 90.0]
+
+
+class TestExactCorr:
+    def test_matches_numpy_and_overflow_path(self, ray_session):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.sketches import exact_corr_stats
+
+        rng = np.random.RandomState(9)
+        x = rng.randint(-1000, 1000, 500).astype(np.int64)
+        y = (3 * x + rng.randint(-200, 200, 500)).astype(np.int64)
+        df = pd.DataFrame({"x": x, "y": y})
+        ds = ray.data.from_pandas(df).repartition(6)
+        out = exact_corr_stats(ds, "x", "y")
+        # exact-sum formula evaluated the same way
+        import math
+
+        n = 500
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x.astype(object) ** 2).sum())
+        syy = int((y.astype(object) ** 2).sum())
+        sxy = int((x.astype(object) * y.astype(object)).sum())
+        a = n * sxy - sx * sy
+        exp_corr = float(a) / math.sqrt(
+            float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+        assert out["corr"][0] == exp_corr
+        assert out["covar_samp"][0] == float(a) / float(n * (n - 1))
+        assert out["corr"][0] > 0.9  # sanity: strongly correlated
+
+    def test_huge_magnitudes_stay_exact(self, ray_session):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.sketches import exact_corr_stats
+
+        big = np.int64(2**40)
+        df = pd.DataFrame({
+            "x": np.array([big, -big, big, -big], dtype=np.int64),
+            "y": np.array([big, -big, big, -big], dtype=np.int64),
+        })
+        ds = ray.data.from_pandas(df)
+        out = exact_corr_stats(ds, "x", "y")
+        assert out["corr"][0] == 1.0  # identical columns → exactly 1
