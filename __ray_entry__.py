@@ -2821,6 +2821,34 @@ def q_corr_lineitem(sf_dir: str):
     return exact_corr_stats(ds, "x", "y")
 
 
+def q_group_broadcast_events(sf_dir: str):
+    """Whole-partition window family in one pass: first_value /
+    last_value (unbounded-following frame) / sum-over-partition /
+    count-over-partition / share-of-group per event — one co-partition
+    by user, one lexsort + segment gather
+    (stages/windows.py:group_broadcast)."""
+    from logstash_filter_elastic_integration_ray.stages.windows import group_broadcast
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "cents": pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64()),
+        })
+
+    out = group_broadcast(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        key="user_id", order_cols=["ts", "event_id"], val_col="cents",
+        num_partitions=16)
+    return out.select_columns(
+        ["event_id", "user_id", "cents", "first_val", "last_val",
+         "grp_sum", "grp_cnt", "share"])
+
+
 def q_winsorize_events(sf_dir: str):
     """Outlier clipping (winsorize at p01/p99): the exact distributed
     ``quantile_disc`` machinery (3 streaming passes, tiny summaries
@@ -2951,6 +2979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_templates": q_log_templates,
         "price_quantiles_cont": q_price_quantiles_cont,
         "corr_lineitem": q_corr_lineitem,
+        "group_broadcast_events": q_group_broadcast_events,
         "sft_loss_spans": q_sft_loss_spans,
         "pack_docs": q_pack_docs,
         "curation_pipeline_docs": q_curation_pipeline_docs,
@@ -3132,6 +3161,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_canonicalize": T(
             "SELECT conv_id, turn_idx, 'http://sub.example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk/p/' || CAST(event_id % 9 AS VARCHAR) || '?a=' || CAST(event_id % 11 AS VARCHAR) || '&b=' || CAST(event_id % 7 AS VARCHAR) AS url_canonical FROM transcripts"
+        ),
+        "group_broadcast_events": (
+            "WITH c AS (SELECT event_id, user_id, ts, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT event_id, user_id, cents, "
+            "first_value(cents) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS first_val, "
+            "last_value(cents) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "UNBOUNDED FOLLOWING) AS last_val, "
+            "CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS grp_sum, "
+            "count(*) OVER (PARTITION BY user_id) AS grp_cnt, "
+            "CASE WHEN sum(cents) OVER (PARTITION BY user_id) = 0 THEN NULL "
+            "ELSE CAST(cents AS DOUBLE) / sum(cents) OVER "
+            "(PARTITION BY user_id) END AS share FROM c"
         ),
         "corr_lineitem": (
             "WITH c AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x, "

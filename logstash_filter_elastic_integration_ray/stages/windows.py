@@ -995,3 +995,83 @@ def grouped_range_sum(ds, *, key: str, ts_col: str, val_col: str,
         .groupby("__part")
         .map_groups(run, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# whole-partition broadcast window functions (first/last value, totals, share)
+# ---------------------------------------------------------------------------
+
+def group_broadcast(ds, *, key: str, order_cols: list[str], val_col: str,
+                    num_partitions: int = 32):
+    """The whole-partition window family — every row receives its
+    group's aggregates::
+
+        first_value(v) OVER (PARTITION BY key ORDER BY o...)   AS first_val
+        last_value(v)  OVER (... ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING)      AS last_val
+        sum(v)   OVER (PARTITION BY key)                       AS grp_sum
+        count(*) OVER (PARTITION BY key)                       AS grp_cnt
+        CASE WHEN grp_sum = 0 THEN NULL
+             ELSE CAST(v AS DOUBLE) / grp_sum END              AS share
+
+    ``val_col`` must be int64 (exact order-independent totals); order
+    columns must be non-null and unique per key for deterministic
+    first/last.  One co-partition by key, one lexsort + segment
+    gather/reduceat per partition — no per-group loop."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_partition_col(t, num_partitions, key=key)
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        if "__part" in df.columns:
+            df = df.drop(columns=["__part"])
+        n = len(df)
+        if n == 0:
+            out = df.copy()
+            for c, dt in (("first_val", np.int64), ("last_val", np.int64),
+                          ("grp_sum", np.int64), ("grp_cnt", np.int64),
+                          ("share", np.float64)):
+                out[c] = pd.Series([], dtype=dt)
+            return out
+        for oc in order_cols:
+            if df[oc].isna().any():
+                raise ValueError(f"group_broadcast: null order col {oc!r}")
+        codes = _dict_codes(pa.Array.from_pandas(df[key]))
+        orders = [_order_view(df[oc].to_numpy()) for oc in order_cols]
+        order = np.lexsort(tuple(reversed(orders)) + (codes,))
+        sc = codes[order]
+        sv = df[val_col].fillna(0).astype(np.int64).to_numpy()[order]
+        seg_new = np.ones(n, dtype=bool)
+        seg_new[1:] = sc[1:] != sc[:-1]
+        starts = np.flatnonzero(seg_new)
+        seg_id = np.cumsum(seg_new) - 1
+        lens = np.diff(np.append(starts, n))
+        firsts = sv[starts]
+        lasts = sv[np.append(starts[1:], n) - 1]
+        totals = np.add.reduceat(sv, starts)
+        fv = np.empty(n, dtype=np.int64)
+        lv = np.empty(n, dtype=np.int64)
+        gs = np.empty(n, dtype=np.int64)
+        gc = np.empty(n, dtype=np.int64)
+        fv[order] = firsts[seg_id]
+        lv[order] = lasts[seg_id]
+        gs[order] = totals[seg_id]
+        gc[order] = lens[seg_id]
+        v = df[val_col].fillna(0).astype(np.int64).to_numpy()
+        share = np.where(gs != 0, v.astype(np.float64) / gs.astype(np.float64),
+                         np.nan)
+        out = df.copy()
+        out["first_val"] = fv
+        out["last_val"] = lv
+        out["grp_sum"] = gs
+        out["grp_cnt"] = gc
+        out["share"] = share
+        out.loc[gs == 0, "share"] = None
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(run, batch_format="pandas")
+    )

@@ -713,3 +713,71 @@ class TestGroupedRangeSum:
         a = self._run(df, blocks=1, parts=2)
         b = self._run(df, blocks=9, parts=13)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestGroupBroadcast:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.windows import group_broadcast
+
+        rng = np.random.RandomState(21)
+        n = 300
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 20, n).astype(np.int64),
+            "ts": (np.datetime64("2025-01-01", "us")
+                   + rng.randint(0, 10**9, n).astype("timedelta64[us]")),
+            "cents": rng.randint(-50, 150, n).astype(np.int64),
+        })
+        ds = ray.data.from_pandas(df).repartition(6)
+        got = (group_broadcast(ds, key="user_id",
+                               order_cols=["ts", "event_id"],
+                               val_col="cents", num_partitions=5)
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute(
+            "SELECT event_id, "
+            "first_value(cents) OVER w AS first_val, "
+            "last_value(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val, "
+            "CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS grp_sum, "
+            "count(*) OVER (PARTITION BY user_id) AS grp_cnt, "
+            "CASE WHEN sum(cents) OVER (PARTITION BY user_id) = 0 THEN NULL "
+            "ELSE CAST(cents AS DOUBLE) / sum(cents) OVER (PARTITION BY user_id) "
+            "END AS share FROM t "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+            "ORDER BY event_id"
+        ).df()
+        con.close()
+        for c in ("first_val", "last_val", "grp_sum", "grp_cnt"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        a = got["share"].to_numpy(dtype=float)
+        b = exp["share"].to_numpy(dtype=float)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+
+    def test_zero_total_share_null_and_invariance(self, ray_session):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.windows import group_broadcast
+
+        df = pd.DataFrame({
+            "event_id": np.arange(4, dtype=np.int64),
+            "user_id": np.array([1, 1, 2, 2], dtype=np.int64),
+            "ts": np.repeat(np.datetime64("2025-01-01", "us"), 4)
+            + np.arange(4).astype("timedelta64[us]"),
+            "cents": np.array([5, -5, 3, 4], dtype=np.int64),
+        })
+        a = (group_broadcast(ray.data.from_pandas(df).repartition(1),
+                             key="user_id", order_cols=["ts", "event_id"],
+                             val_col="cents", num_partitions=2)
+             .to_pandas().sort_values("event_id").reset_index(drop=True))
+        b = (group_broadcast(ray.data.from_pandas(df).repartition(4),
+                             key="user_id", order_cols=["ts", "event_id"],
+                             val_col="cents", num_partitions=7)
+             .to_pandas().sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        assert a.loc[a.user_id == 1, "share"].isna().all()  # total 0 → NULL
+        assert a.loc[a.user_id == 2, "grp_sum"].tolist() == [7, 7]
