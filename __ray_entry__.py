@@ -2930,6 +2930,57 @@ def q_chunk_docs(sf_dir: str):
     return chunk_docs(docs, window=8, stride=6)
 
 
+def q_regr_lineitem_by_flag(sf_dir: str):
+    """Per-group simple OLS regression (slope / intercept / R² of
+    price-cents on quantity per return flag) via the exact-sum GROUP BY
+    machinery — per-batch per-key integer partials shipped as decimal
+    strings, one co-partition merge, fixed float expressions on exact
+    sums; bit-identical to the HUGEINT SQL twin, unlike native
+    streaming regr_* (stages/aggregate.py:group_regr)."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import group_regr
+
+    def ints(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "x": pc.round(t.column("l_quantity")).cast(pa.int64()),
+            "y": pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)).cast(pa.int64()),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).map_batches(ints, batch_format="pyarrow")
+    return group_regr(ds, key="l_returnflag", x_col="x", y_col="y", num_partitions=8)
+
+
+def q_hist_prices(sf_dir: str):
+    """Equi-width histogram of extended price — per-batch bincount
+    partials (O(nbins) rows each), the bin expression
+    least(greatest(floor((x−lo)/w),0),nbins−1) shared verbatim with the
+    SQL twin so edge rows bin identically
+    (stages/sketches.py:equiwidth_histogram)."""
+    from logstash_filter_elastic_integration_ray.stages.sketches import equiwidth_histogram
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    return equiwidth_histogram(ds, "l_extendedprice", lo=0.0, hi=110000.0, nbins=22)
+
+
+def q_latest_event_by_user(sf_dir: str):
+    """Each user's most recent event (arg-max with a DETERMINISTIC
+    tie-break — the row_number() OVER (... ORDER BY ts DESC, event_id)
+    = 1 twin; SQL arg_max leaves ties unspecified).  Per-batch local
+    keep-first caps a hot user at one row per block before the single
+    co-partition (stages/aggregate.py:group_argmax)."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import group_argmax
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+    return group_argmax(ev, key="user_id", order_col="ts",
+                        tiebreak_col="event_id",
+                        keep_cols=["event_type", "value"], num_partitions=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering is deliberate (VERDICT r3 #2): the driver samples ~50
     # queries per round, so entries with no driver-green CORRECTNESS
@@ -2938,6 +2989,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # through r3.  Previously-green queries follow.
     return {
         # round-4 additions — never driver-sampled, so they lead
+        "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
+        "hist_prices": q_hist_prices,
+        "latest_event_by_user": q_latest_event_by_user,
         "rank_stats_events": q_rank_stats_events,
         "funnel_events": q_funnel_events,
         "cohort_retention_events": q_cohort_retention_events,
@@ -3176,6 +3230,41 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN sum(cents) OVER (PARTITION BY user_id) = 0 THEN NULL "
             "ELSE CAST(cents AS DOUBLE) / sum(cents) OVER "
             "(PARTITION BY user_id) END AS share FROM c"
+        ),
+        "regr_lineitem_by_flag": (
+            "WITH c AS (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem), "
+            "s AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx, "
+            "CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy, "
+            "CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx, "
+            "CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy, "
+            "CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy "
+            "FROM c GROUP BY l_returnflag), "
+            "e AS (SELECT l_returnflag, n, sx, sy, n * sxy - sx * sy AS a, "
+            "n * sxx - sx * sx AS b, n * syy - sy * sy AS cc FROM s) "
+            "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+            "CASE WHEN b = 0 THEN NULL ELSE "
+            "CAST(a AS DOUBLE) / CAST(b AS DOUBLE) END AS slope, "
+            "CASE WHEN b = 0 THEN NULL ELSE "
+            "(CAST(sy AS DOUBLE) - (CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) * "
+            "CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS intercept, "
+            "CASE WHEN b = 0 OR cc = 0 THEN NULL ELSE "
+            "(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) / "
+            "(CAST(b AS DOUBLE) * CAST(cc AS DOUBLE)) END AS r2 FROM e"
+        ),
+        "hist_prices": (
+            "WITH b AS (SELECT CAST(least(greatest(floor((l_extendedprice - 0.0) / "
+            "((110000.0 - 0.0) / 22)), 0.0), 21.0) AS BIGINT) AS bin "
+            "FROM lineitem WHERE l_extendedprice IS NOT NULL) "
+            "SELECT bin, 0.0 + bin * ((110000.0 - 0.0) / 22) AS bin_lo, "
+            "count(*) AS cnt FROM b GROUP BY bin"
+        ),
+        "latest_event_by_user": (
+            "SELECT user_id, ts, event_id, event_type, value FROM ("
+            "SELECT user_id, ts, event_id, event_type, value, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id) AS rn FROM events) WHERE rn = 1"
         ),
         "corr_lineitem": (
             "WITH c AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x, "

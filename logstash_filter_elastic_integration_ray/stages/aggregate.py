@@ -778,3 +778,165 @@ def group_mode(ds, *, key: str, val_col: str, num_partitions: int = 32):
         .groupby("__part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS regression (SQL regr_slope / regr_intercept / regr_r2)
+# ---------------------------------------------------------------------------
+
+def group_regr(ds, *, key: str, x_col: str, y_col: str, num_partitions: int = 32):
+    """Per-group simple OLS regression of y on x — the ``GROUP BY``
+    twin of :func:`~.sketches.exact_corr_stats`, with the same exact-sum
+    discipline: per-batch per-key integer partials
+    (n, Σx, Σy, Σx², Σy², Σxy) are computed in exact integers (int64
+    reduceat behind an overflow guard, unbounded Python ints past it)
+    and shipped as DECIMAL STRINGS — one row per key per batch, so the
+    exchange is keys × batches, never rows — then ONE co-partition by
+    key merges them and evaluates the fixed float expressions
+
+        slope     = A / B                A = n·Σxy − Σx·Σy
+        intercept = (Σy − slope·Σx) / n  B = n·Σx² − (Σx)²
+        r2        = A² / (B·C)           C = n·Σy² − (Σy)²
+
+    bit-identical to a HUGEINT SQL twin that evaluates the SAME
+    expressions on the same exact sums (the engines' native streaming
+    ``regr_*`` have unspecified accumulation order).  Columns must be
+    integer-valued (convert money to cents upstream).  Rows with a NULL
+    x or y are excluded (SQL ``regr_*`` semantics); NULL keys form one
+    group; zero-variance groups (B = 0, or C = 0 for r2) yield NULL
+    exactly like the twin's guarded CASE."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t.column(x_col)), pc.is_valid(t.column(y_col)))
+        t = t.filter(mask) if t.num_rows else t
+        if t.num_rows == 0:
+            empty = pa.table({
+                key: t.column(key),
+                "n": pa.array([], type=pa.int64()),
+                "sx": pa.array([], type=pa.string()),
+                "sy": pa.array([], type=pa.string()),
+                "sxx": pa.array([], type=pa.string()),
+                "syy": pa.array([], type=pa.string()),
+                "sxy": pa.array([], type=pa.string()),
+            })
+            return add_partition_col(empty, num_partitions, key=key)
+        kcodes, kfirst = _first_occurrence_codes(t.column(key))
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(kcodes, kind="stable")
+        starts = np.flatnonzero(np.diff(kcodes[order], prepend=-1))
+        k = len(kfirst)
+        n_g = np.bincount(kcodes, minlength=k)
+        mx = int(np.abs(x).max())
+        my = int(np.abs(y).max())
+        if max(mx, my) ** 2 * len(x) < (1 << 62):
+            # vectorized exact int64 path (guarded against overflow)
+            xs = x[order]
+            ys = y[order]
+            sums = [np.add.reduceat(v, starts) for v in
+                    (xs, ys, xs * xs, ys * ys, xs * ys)]
+            cols = [np.array([str(int(s)) for s in col], dtype=object) for col in sums]
+        else:  # huge magnitudes: per-group unbounded Python ints, still exact
+            cols = [np.empty(k, dtype=object) for _ in range(5)]
+            bounds = np.append(starts, len(x))
+            for g in range(k):
+                seg = order[bounds[g]:bounds[g + 1]]
+                gx = [int(v) for v in x[seg]]
+                gy = [int(v) for v in y[seg]]
+                vals = (sum(gx), sum(gy), sum(v * v for v in gx),
+                        sum(v * v for v in gy), sum(a * b for a, b in zip(gx, gy)))
+                for c, v in zip(cols, vals):
+                    c[g] = str(v)
+        out = pa.table({
+            key: t.column(key).take(pa.array(kfirst, type=pa.int64())),
+            "n": pa.array(n_g.astype(np.int64)),
+            "sx": pa.array(cols[0], type=pa.string()),
+            "sy": pa.array(cols[1], type=pa.string()),
+            "sxx": pa.array(cols[2], type=pa.string()),
+            "syy": pa.array(cols[3], type=pa.string()),
+            "sxy": pa.array(cols[4], type=pa.string()),
+        })
+        return add_partition_col(out, num_partitions, key=key)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        keys_out, n_out = [], []
+        slope_out, icept_out, r2_out = [], [], []
+        for kval, g in df.groupby(key, sort=False, dropna=False):
+            n = int(g["n"].sum())
+            sx = sum(int(v) for v in g["sx"])
+            sy = sum(int(v) for v in g["sy"])
+            sxx = sum(int(v) for v in g["sxx"])
+            syy = sum(int(v) for v in g["syy"])
+            sxy = sum(int(v) for v in g["sxy"])
+            a = n * sxy - sx * sy
+            b = n * sxx - sx * sx
+            c = n * syy - sy * sy
+            if b == 0:
+                slope = icept = None
+            else:
+                slope = float(a) / float(b)
+                icept = (float(sy) - slope * float(sx)) / float(n)
+            r2 = ((float(a) * float(a)) / (float(b) * float(c))
+                  if b != 0 and c != 0 else None)
+            keys_out.append(kval)
+            n_out.append(n)
+            slope_out.append(slope)
+            icept_out.append(icept)
+            r2_out.append(r2)
+        return pd.DataFrame({
+            key: keys_out,
+            "n": np.asarray(n_out, dtype=np.int64),
+            "slope": pd.array(slope_out, dtype="float64"),
+            "intercept": pd.array(icept_out, dtype="float64"),
+            "r2": pd.array(r2_out, dtype="float64"),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group arg-max / arg-min row selection
+# ---------------------------------------------------------------------------
+
+def group_argmax(ds, *, key: str, order_col: str, tiebreak_col: str,
+                 keep_cols: list[str], descending: bool = True,
+                 num_partitions: int = 32):
+    """Each group's row at the extreme of ``order_col`` — the
+    ``row_number() OVER (PARTITION BY key ORDER BY order_col DESC,
+    tiebreak) = 1`` twin.  SQL's native ``arg_max`` leaves ties
+    UNSPECIFIED; the explicit tiebreak column (ascending, expected
+    unique within a group) makes the selection deterministic on both
+    engines.
+
+    Per-batch local keep-first caps a hot key at ONE row per block
+    before the single co-partition by key, so a key holding half the
+    corpus ships num_batches rows, not half the corpus.  NULL order
+    values sort last (never selected while a non-NULL row exists) —
+    DuckDB's default NULLS LAST, pandas' na_position='last'."""
+    cols = [key, order_col, tiebreak_col] + [
+        c for c in keep_cols if c not in (key, order_col, tiebreak_col)]
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        extra = [c for c in df.columns if c == "__part"]
+        df = df.sort_values([key, order_col, tiebreak_col],
+                            ascending=[True, not descending, True],
+                            kind="mergesort", na_position="last")
+        return df[~df.duplicated(key, keep="first")][cols + extra]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = keep_first(df[cols])
+        t = pa.Table.from_pandas(out, preserve_index=False)
+        return add_partition_col(t, num_partitions, key=key).to_pandas()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(keep_first, batch_format="pandas")
+        .select_columns(cols)
+    )

@@ -913,3 +913,47 @@ def exact_corr_stats(ds, x_col: str, y_col: str) -> pd.DataFrame:
     corr = float(a) / math.sqrt(float(b) * float(c)) if b and c else float("nan")
     covar = float(a) / float(n * (n - 1)) if n > 1 else float("nan")
     return pd.DataFrame({"n": [n], "corr": [corr], "covar_samp": [covar]})
+
+
+def equiwidth_histogram(ds, col: str, *, lo: float, hi: float, nbins: int) -> pd.DataFrame:
+    """Equi-width histogram over a numeric column: per-batch
+    ``bincount`` partials (one nbins-long count vector per batch, so
+    the driver holds O(nbins × batches) tiny rows, never data), summed
+    into (bin, bin_lo, cnt) rows.  Bin assignment is the ONE float
+    expression shared verbatim with the SQL twin —
+
+        bin = least(greatest(floor((x − lo) / w), 0), nbins − 1),
+        w   = (hi − lo) / nbins
+
+    — evaluated in IEEE double on both engines, so edge values bin
+    identically; out-of-range values clamp to the edge bins; NULLs are
+    dropped (SQL GROUP BY over a NULL-filtered expression).  Empty bins
+    are omitted, like the GROUP BY twin.  ``bin_lo = lo + bin·w`` is
+    the same single expression on both sides."""
+    w = (hi - lo) / nbins
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        x = pc.drop_null(t.column(col)).to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(x) == 0:
+            return pa.table({"bin": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        idx = np.clip(np.floor((x - lo) / w), 0, nbins - 1).astype(np.int64)
+        counts = np.bincount(idx, minlength=nbins)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(counts[nz].astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"bin": np.array([], dtype=np.int64),
+                             "bin_lo": np.array([], dtype=np.float64),
+                             "cnt": np.array([], dtype=np.int64)})
+    agg = parts.groupby("bin", sort=True)["cnt"].sum().reset_index()
+    bins = agg["bin"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "bin": bins,
+        "bin_lo": lo + bins * w,
+        "cnt": agg["cnt"].to_numpy(dtype=np.int64),
+    })

@@ -1,0 +1,229 @@
+"""group_regr / group_argmax (stages/aggregate.py) and
+equiwidth_histogram (stages/sketches.py): DuckDB reference equality
+(the exact-sum HUGEINT regression twin bitwise, the row_number arg-max
+twin, the shared-bin-expression histogram twin), degenerate groups,
+NULL handling, and batching/partition invariance."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from logstash_filter_elastic_integration_ray.stages.aggregate import (
+    group_argmax,
+    group_regr,
+)
+from logstash_filter_elastic_integration_ray.stages.sketches import (
+    equiwidth_histogram,
+)
+
+
+def _duck(sql: str, df: pd.DataFrame) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("t", df)
+    out = con.execute(sql).df()
+    con.close()
+    return out
+
+
+def _regr_frame(n=600, seed=3):
+    rng = np.random.RandomState(seed)
+    key = np.array(["a", "b", "c", None], dtype=object)[rng.randint(0, 4, n)]
+    x = rng.randint(-50, 200, n).astype(np.int64)
+    y = (3 * x + rng.randint(-40, 40, n)).astype(np.int64)
+    df = pd.DataFrame({"k": key, "x": x, "y": y})
+    # NULL x / y rows must be excluded like SQL regr_*
+    df.loc[::97, "x"] = None
+    df.loc[1::89, "y"] = None
+    return df
+
+
+_REGR_SQL = (
+    "WITH c AS (SELECT k, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y "
+    "FROM t WHERE x IS NOT NULL AND y IS NOT NULL), "
+    "s AS (SELECT k, CAST(count(*) AS HUGEINT) AS n, "
+    "CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx, "
+    "CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy, "
+    "CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx, "
+    "CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy, "
+    "CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy "
+    "FROM c GROUP BY k), "
+    "e AS (SELECT k, n, sx, sy, n * sxy - sx * sy AS a, "
+    "n * sxx - sx * sx AS b, n * syy - sy * sy AS cc FROM s) "
+    "SELECT k, CAST(n AS BIGINT) AS n, "
+    "CASE WHEN b = 0 THEN NULL ELSE CAST(a AS DOUBLE) / CAST(b AS DOUBLE) END AS slope, "
+    "CASE WHEN b = 0 THEN NULL ELSE (CAST(sy AS DOUBLE) - "
+    "(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) * CAST(sx AS DOUBLE)) / "
+    "CAST(n AS DOUBLE) END AS intercept, "
+    "CASE WHEN b = 0 OR cc = 0 THEN NULL ELSE "
+    "(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) / "
+    "(CAST(b AS DOUBLE) * CAST(cc AS DOUBLE)) END AS r2 FROM e"
+)
+
+
+def _canon_regr(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[["k", "n", "slope", "intercept", "r2"]].copy()
+    df["k"] = df["k"].astype(object).where(pd.notna(df["k"]), "<NULL>")
+    for c in ("slope", "intercept", "r2"):
+        df[c] = df[c].astype("float64")
+    return df.sort_values("k", kind="mergesort").reset_index(drop=True)
+
+
+class TestGroupRegr:
+    def _run(self, df, blocks=5, parts=7):
+        import ray
+
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        return group_regr(ds, key="k", x_col="x", y_col="y",
+                          num_partitions=parts).to_pandas()
+
+    def test_matches_duckdb_bitwise(self, ray_session):
+        df = _regr_frame()
+        got = _canon_regr(self._run(df))
+        exp = _canon_regr(_duck(_REGR_SQL, df))
+        assert list(got["k"]) == list(exp["k"])
+        assert list(got["n"]) == list(exp["n"])
+        for c in ("slope", "intercept", "r2"):
+            a = got[c].to_numpy()
+            b = exp[c].to_numpy()
+            # bitwise: exact-sum partials + one fixed float expression
+            assert np.array_equal(a, b, equal_nan=True), c
+
+    def test_batching_invariance(self, ray_session):
+        df = _regr_frame()
+        a = _canon_regr(self._run(df, blocks=1, parts=3))
+        b = _canon_regr(self._run(df, blocks=11, parts=5))
+        for c in ("slope", "intercept", "r2"):
+            assert np.array_equal(a[c].to_numpy(), b[c].to_numpy(),
+                                  equal_nan=True)
+
+    def test_zero_variance_group_yields_null(self, ray_session):
+        df = pd.DataFrame({
+            "k": ["flat"] * 4 + ["ok"] * 4,
+            "x": [7, 7, 7, 7, 1, 2, 3, 4],
+            "y": [1, 2, 3, 4, 2, 4, 6, 8],
+        })
+        got = _canon_regr(self._run(df, blocks=2, parts=2))
+        exp = _canon_regr(_duck(_REGR_SQL, df))
+        flat = got[got["k"] == "flat"].iloc[0]
+        assert np.isnan(flat["slope"]) and np.isnan(flat["intercept"])
+        ok = got[got["k"] == "ok"].iloc[0]
+        assert ok["slope"] == 2.0 and ok["intercept"] == 0.0 and ok["r2"] == 1.0
+        for c in ("slope", "intercept", "r2"):
+            assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy(),
+                                  equal_nan=True)
+
+    def test_huge_magnitudes_stay_exact(self, ray_session):
+        # magnitudes whose squares overflow int64: the per-group
+        # Python-int fallback must still match the HUGEINT twin
+        big = np.int64(3_000_000_000)
+        df = pd.DataFrame({
+            "k": ["g"] * 6,
+            "x": (np.arange(6) + 1).astype(np.int64) * big // 3,
+            "y": (np.arange(6) + 2).astype(np.int64) * big // 3,
+        })
+        got = _canon_regr(self._run(df, blocks=2, parts=2))
+        exp = _canon_regr(_duck(_REGR_SQL, df))
+        for c in ("slope", "intercept", "r2"):
+            assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy(),
+                                  equal_nan=True)
+
+
+class TestGroupArgmax:
+    def _frame(self, n=500, seed=11):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame({
+            "k": rng.randint(0, 40, n).astype(np.int64),
+            "ord": rng.randint(0, 25, n).astype(np.int64),  # heavy ties
+            "tb": np.arange(n, dtype=np.int64),
+            "payload": np.array(["p%d" % i for i in range(n)], dtype=object),
+        })
+
+    def _run(self, df, descending=True, blocks=6, parts=5):
+        import ray
+
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        return group_argmax(ds, key="k", order_col="ord", tiebreak_col="tb",
+                            keep_cols=["payload"], descending=descending,
+                            num_partitions=parts).to_pandas()
+
+    def test_matches_row_number_twin(self, ray_session):
+        df = self._frame()
+        got = self._run(df).sort_values("k").reset_index(drop=True)
+        exp = _duck(
+            "SELECT k, ord, tb, payload FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY k ORDER BY ord DESC, tb) AS rn FROM t) "
+            "WHERE rn = 1 ORDER BY k",
+            df,
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["k", "ord", "tb", "payload"]], exp)
+
+    def test_argmin_direction(self, ray_session):
+        df = self._frame(seed=13)
+        got = self._run(df, descending=False).sort_values("k").reset_index(drop=True)
+        exp = _duck(
+            "SELECT k, ord, tb, payload FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY k ORDER BY ord ASC, tb) AS rn FROM t) "
+            "WHERE rn = 1 ORDER BY k",
+            df,
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["k", "ord", "tb", "payload"]], exp)
+
+    def test_null_order_values_sort_last(self, ray_session):
+        df = pd.DataFrame({
+            "k": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+            "ord": pd.array([None, 5, 9, None, None], dtype="Int64"),
+            "tb": np.arange(5, dtype=np.int64),
+            "payload": list("abcde"),
+        })
+        got = self._run(df, blocks=2, parts=2).sort_values("k").reset_index(drop=True)
+        # group 1: max ord 9 → 'c'; group 2: all NULL → first tiebreak 'd'
+        assert list(got["payload"]) == ["c", "d"]
+
+    def test_partition_invariance(self, ray_session):
+        df = self._frame(seed=17)
+        a = self._run(df, blocks=1, parts=2).sort_values("k").reset_index(drop=True)
+        b = self._run(df, blocks=13, parts=9).sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestHistogram:
+    def _run(self, df, lo, hi, nbins, blocks=5):
+        import ray
+
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        return equiwidth_histogram(ds, "v", lo=lo, hi=hi, nbins=nbins)
+
+    def test_matches_duckdb_shared_expression(self, ray_session):
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame({"v": rng.uniform(-10, 120, 2000)})
+        df.loc[::53, "v"] = None
+        lo, hi, nbins = 0.0, 100.0, 13
+        got = self._run(df, lo, hi, nbins).reset_index(drop=True)
+        exp = _duck(
+            f"WITH b AS (SELECT CAST(least(greatest(floor((v - {lo!r}) / "
+            f"(({hi!r} - {lo!r}) / {nbins})), 0.0), {nbins - 1}.0) AS BIGINT) AS bin "
+            "FROM t WHERE v IS NOT NULL) "
+            f"SELECT bin, {lo!r} + bin * (({hi!r} - {lo!r}) / {nbins}) AS bin_lo, "
+            "count(*) AS cnt FROM b GROUP BY bin ORDER BY bin",
+            df,
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+        # clamping: out-of-range mass landed in the edge bins
+        assert got["cnt"].sum() == df["v"].notna().sum()
+
+    def test_exact_edges_and_batching(self, ray_session):
+        # values exactly on bin edges must bin identically regardless
+        # of batching (same IEEE expression everywhere)
+        df = pd.DataFrame({"v": np.array([0.0, 0.1, 0.2, 0.3, 1.0, 0.7])})
+        a = self._run(df, 0.0, 1.0, 10, blocks=1)
+        b = self._run(df, 0.0, 1.0, 10, blocks=6)
+        pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                      b.reset_index(drop=True))
+        assert a["cnt"].sum() == 6
+
+    def test_empty_input(self, ray_session):
+        df = pd.DataFrame({"v": pd.array([None, None], dtype="float64")})
+        got = self._run(df, 0.0, 1.0, 4, blocks=2)
+        assert len(got) == 0
