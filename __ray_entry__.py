@@ -1212,6 +1212,52 @@ def q_curriculum_docs(sf_dir: str):
     return curriculum_bins(quality, thr, score_col="stop_ratio")
 
 
+def q_lead_lag_events(sf_dir: str):
+    """Per-user lead/lag/delta of the event amount — the
+    ``lag()/lead() OVER (PARTITION BY … ORDER BY …)`` surface, via one
+    co-partition by user and an index-arithmetic pass
+    (stages/windows.py:grouped_shift)."""
+    from logstash_filter_elastic_integration_ray.stages.windows import grouped_shift
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "cents": pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64()),
+        })
+
+    out = grouped_shift(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key="user_id", order_cols=["ts", "event_id"], value_col="cents",
+        lag=1, lead=1, lag_col="prev_v", lead_col="next_v", delta_col="dv",
+        num_partitions=32,
+    )
+    return out.select_columns(
+        ["event_id", "user_id", "cents", "prev_v", "next_v", "dv"])
+
+
+def q_event_seq_by_user(sf_dir: str):
+    """Per-user ordered event-type sequence string — the
+    ``string_agg(v, sep ORDER BY …) GROUP BY k`` surface
+    (stages/aggregate.py:group_string_agg)."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import group_string_agg
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return group_string_agg(
+        ds, key="user_id", val_col="event_type",
+        order_cols=["ts", "event_id"], sep="|", out_col="seq",
+        num_partitions=32,
+    )
+
+
 def q_running_totals_events(sf_dir: str):
     """Per-user running count/sum + inter-event gap — the
     ``SUM()/count(*)/lag() OVER (PARTITION BY … ORDER BY …)`` window
@@ -2992,6 +3038,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
+        "lead_lag_events": q_lead_lag_events,
+        "event_seq_by_user": q_event_seq_by_user,
         "rank_stats_events": q_rank_stats_events,
         "funnel_events": q_funnel_events,
         "cohort_retention_events": q_cohort_retention_events,
@@ -3230,6 +3278,19 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN sum(cents) OVER (PARTITION BY user_id) = 0 THEN NULL "
             "ELSE CAST(cents AS DOUBLE) / sum(cents) OVER "
             "(PARTITION BY user_id) END AS share FROM c"
+        ),
+        "lead_lag_events": (
+            "WITH c AS (SELECT event_id, user_id, ts, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT event_id, user_id, cents, "
+            "lag(cents, 1) OVER w AS prev_v, "
+            "lead(cents, 1) OVER w AS next_v, "
+            "cents - lag(cents, 1) OVER w AS dv FROM c "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "event_seq_by_user": (
+            "SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS seq "
+            "FROM events GROUP BY user_id"
         ),
         "regr_lineitem_by_flag": (
             "WITH c AS (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x, "

@@ -940,3 +940,64 @@ def group_argmax(ds, *, key: str, order_col: str, tiebreak_col: str,
         .map_groups(keep_first, batch_format="pandas")
         .select_columns(cols)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group ordered string aggregation
+# ---------------------------------------------------------------------------
+
+def group_string_agg(ds, *, key: str, val_col: str, order_cols: list[str],
+                     sep: str = ",", out_col: str = "agg",
+                     num_partitions: int = 32):
+    """Ordered per-group string concatenation — the exact twin of::
+
+        string_agg(val, sep ORDER BY order0, order1, ...) GROUP BY key
+
+    SQL string_agg semantics: NULL values are SKIPPED (contribute
+    neither a token nor a separator); an all-NULL group yields NULL.
+    The order tuple must be UNIQUE per key — string concatenation is
+    the one aggregate where tie order is directly visible in the
+    output bytes, so this is a correctness contract, not advice.
+
+    Shape: one co-partition by key hash carrying (key, order..., val)
+    rows — an ordered concat is NOT mergeable from per-batch partials
+    (batch order interleaves arbitrarily with the order columns), so
+    the rows ship once, like every ordered window stage.  Per
+    partition: ONE lexsort, then a single pandas groupby join over the
+    sorted view.  A pathological hot key produces one giant output
+    string on one worker — cap upstream (group_topk) if a key can hold
+    a meaningful fraction of the corpus."""
+    cols = [key, *order_cols, val_col]
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_partition_col(t.select(cols), num_partitions, key=key)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df[key], use_na_sentinel=False)
+        for c in order_cols:
+            if df[c].isna().any():
+                raise ValueError(f"group_string_agg: null in order column {c!r}")
+        order = np.lexsort(tuple(
+            df[c].to_numpy() for c in reversed(order_cols)) + (codes,))
+        sdf = df.iloc[order]
+        vals = sdf[val_col]
+        joined = (
+            vals.dropna().astype(str)
+            .groupby(codes[order][vals.notna().to_numpy()])
+            .agg(sep.join)
+        )
+        firsts = sdf[~pd.Series(codes[order]).duplicated().to_numpy()]
+        # firsts is in ascending-code order (codes are the lexsort's
+        # primary key) and so is reindex(unique(codes)) — aligned 1:1
+        agg = joined.reindex(np.unique(codes)).astype(object).to_numpy()
+        agg[pd.isna(agg)] = None  # all-NULL group → NULL, dtype stays string
+        out = pd.DataFrame({key: firsts[key].to_numpy()})
+        out[out_col] = agg
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

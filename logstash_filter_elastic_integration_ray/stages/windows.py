@@ -38,6 +38,7 @@ __all__ = [
     "grouped_running",
     "grouped_running_scan",
     "grouped_rank_stats",
+    "grouped_shift",
     "distinct_count_by",
     "unpivot",
 ]
@@ -232,6 +233,102 @@ def grouped_running(
             out[gap_col] = pd.array(
                 np.where(np.isnan(gap), None, gap), dtype="Int64"
             )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def grouped_shift(
+    ds,
+    *,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    lag: int | None = 1,
+    lead: int | None = None,
+    lag_col: str = "lag_v",
+    lead_col: str = "lead_v",
+    delta_col: str | None = None,
+    num_partitions: int = 32,
+):
+    """Per-key ordered lead/lag of ``value_col`` — the exact twin of::
+
+        lag(v, L)   OVER w  AS lag_col    -- when lag is given
+        lead(v, D)  OVER w  AS lead_col   -- when lead is given
+        v - lag(v, L) OVER w AS delta_col -- when delta_col is given
+        WINDOW w AS (PARTITION BY key ORDER BY order0, order1, ...)
+
+    SQL lag/lead semantics: offsets past the group boundary are NULL
+    (no default-value form), and a NULL at the offset row stays NULL.
+    ``delta_col`` is NULL wherever the lag is NULL or either value is
+    NULL.  Order columns must be non-null and their tuple UNIQUE per
+    key (same determinism contract as :func:`grouped_running`).
+
+    dtype discipline: an integer source shifts as nullable Int64 —
+    exact past 2^53, never a float64 NaN round trip; a float source
+    shifts as Float64.  The delta of an integer source is Int64.
+
+    Shape: identical to :func:`grouped_running` — one co-partition by
+    key hash (the irreducible window exchange; project to the needed
+    columns BEFORE calling), then one lexsort + index-arithmetic pass
+    per partition.  One output row per input row."""
+    if lag is None and lead is None:
+        raise ValueError("grouped_shift: need lag and/or lead")
+    if delta_col is not None and lag is None:
+        raise ValueError("grouped_shift: delta_col requires lag")
+    ext_is_int = _col_is_integer(ds, value_col)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_partition_col(t, num_partitions, key=key)
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns="__part")
+        codes, _ = pd.factorize(df[key], use_na_sentinel=False)
+        orders = [df[c].to_numpy() for c in order_cols]
+        for c, a in zip(order_cols, orders):
+            if pd.isna(a).any():
+                raise ValueError(f"grouped_shift: null in order column {c!r}")
+        order, g, new, starts, sizes = _lexsort_segments(codes, orders)
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        group_start = np.repeat(starts, sizes)
+        group_end = group_start + np.repeat(sizes, sizes) - 1
+        raw = pd.to_numeric(df[value_col], errors="raise")
+        notnull = raw.notna().to_numpy()[order]
+        if ext_is_int and pd.api.types.is_integer_dtype(raw):
+            vals = raw.to_numpy(dtype=np.int64, na_value=0)[order]
+            out_dtype = "Int64"
+        else:
+            vals = raw.to_numpy(dtype=np.float64, na_value=0.0)[order]
+            out_dtype = "Int64" if ext_is_int else "Float64"
+            if ext_is_int:
+                vals = vals.astype(np.int64)
+        out = df.iloc[order].reset_index(drop=True)
+
+        def shifted(offset: int) -> pd.arrays.IntegerArray:
+            src = idx - offset
+            ok = (src >= group_start) & (src <= group_end)
+            src_c = np.clip(src, 0, n - 1)
+            arr = pd.array(vals[src_c], dtype=out_dtype)
+            arr[~(ok & notnull[src_c])] = pd.NA
+            return arr, ok, src_c
+
+        lag_arr = None
+        if lag is not None:
+            lag_arr, _, _ = shifted(lag)
+            out[lag_col] = lag_arr
+        if lead is not None:
+            lead_arr, _, _ = shifted(-lead)
+            out[lead_col] = lead_arr
+        if delta_col is not None:
+            cur = pd.array(vals, dtype=out_dtype)
+            cur[~notnull] = pd.NA
+            out[delta_col] = cur - lag_arr
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return (

@@ -1,0 +1,130 @@
+"""grouped_shift (stages/windows.py) and group_string_agg
+(stages/aggregate.py): DuckDB window/aggregate reference equality,
+NULL handling (offset past group edge, NULL at offset row, all-NULL
+group), dtype discipline (Int64 stays exact), and batching/partition
+invariance."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from logstash_filter_elastic_integration_ray.stages.aggregate import group_string_agg
+from logstash_filter_elastic_integration_ray.stages.windows import grouped_shift
+
+
+def _duck(sql: str, df: pd.DataFrame) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("t", df)
+    out = con.execute(sql).df()
+    con.close()
+    return out
+
+
+def _frame(n=500, seed=11):
+    rng = np.random.RandomState(seed)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 23, n),
+        "o": np.arange(n, dtype=np.int64),  # unique order
+        "v": rng.randint(-1000, 1000, n).astype("int64"),
+        "s": np.array([f"w{r}" for r in rng.randint(0, 9, n)], dtype=object),
+    })
+    df["v"] = df["v"].astype("Int64")
+    df.loc[::13, "v"] = pd.NA  # NULL values must shift as NULL
+    df.loc[::41, "s"] = None
+    return df
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), kind="mergesort",
+                          na_position="last").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_grouped_shift_matches_duckdb(ray_session, nblocks):
+    df = _frame()
+    ds = rd.from_pandas(df).repartition(nblocks)
+    res = grouped_shift(
+        ds, key="k", order_cols=["o"], value_col="v",
+        lag=1, lead=2, delta_col="dv", num_partitions=4,
+    )
+    import pyarrow as pa
+    tbl = pa.concat_tables(
+        [b for b in res.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    # integer source must stay an integer ARROW column (exact > 2^53)
+    assert pa.types.is_integer(tbl.schema.field("lag_v").type)
+    assert pa.types.is_integer(tbl.schema.field("dv").type)
+    out = tbl.to_pandas()
+    ref = _duck(
+        "SELECT k, o, v, s, "
+        "lag(v, 1) OVER w AS lag_v, lead(v, 2) OVER w AS lead_v, "
+        "v - lag(v, 1) OVER w AS dv "
+        "FROM t WINDOW w AS (PARTITION BY k ORDER BY o)", df)
+    a, b = _canon(out), _canon(ref)
+    for c in ("lag_v", "lead_v", "dv", "v"):
+        av = a[c].astype("Float64")
+        bv = b[c].astype("Float64")
+        assert (av.isna() == bv.isna()).all(), c
+        assert (av.dropna() == bv.dropna()).all(), c
+    assert (a["k"] == b["k"]).all() and (a["o"] == b["o"]).all()
+
+
+def test_grouped_shift_float_source(ray_session):
+    df = _frame()
+    # plain float64 + NaN (duckdb's pandas scan ignores the mask on
+    # nullable Float64 masked arrays, reading stale backing values)
+    df["v"] = df["v"].astype("Float64").astype(float) * 0.5
+    ds = rd.from_pandas(df)
+    out = grouped_shift(ds, key="k", order_cols=["o"], value_col="v",
+                        lag=3, num_partitions=3).to_pandas()
+    ref = _duck("SELECT k, o, lag(v, 3) OVER "
+                "(PARTITION BY k ORDER BY o) AS lag_v FROM t", df)
+    a = _canon(out[["k", "o", "lag_v"]])
+    b = _canon(ref)
+    assert (a["lag_v"].isna() == b["lag_v"].isna()).all()
+    assert (a["lag_v"].dropna().astype(float).to_numpy()
+            == b["lag_v"].dropna().to_numpy()).all()
+
+
+def test_grouped_shift_exact_past_2_53(ray_session):
+    big = (1 << 60)
+    df = pd.DataFrame({
+        "k": [1, 1, 1], "o": [0, 1, 2],
+        "v": pd.array([big, big + 1, big + 3], dtype="Int64"),
+    })
+    import pyarrow as pa
+    res = grouped_shift(rd.from_pandas(df), key="k", order_cols=["o"],
+                        value_col="v", lag=1, delta_col="dv",
+                        num_partitions=2)
+    tbl = pa.concat_tables(
+        [b for b in res.iter_batches(batch_format="pyarrow")],
+        promote_options="default").sort_by("o")
+    assert tbl.column("lag_v").to_pylist() == [None, big, big + 1]
+    assert tbl.column("dv").to_pylist() == [None, 1, 2]  # float64 would round
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_group_string_agg_matches_duckdb(ray_session, nblocks):
+    df = _frame()
+    ds = rd.from_pandas(df).repartition(nblocks)
+    out = group_string_agg(ds, key="k", val_col="s", order_cols=["o"],
+                           sep="|", out_col="seq", num_partitions=4).to_pandas()
+    ref = _duck("SELECT k, string_agg(s, '|' ORDER BY o) AS seq "
+                "FROM t GROUP BY k", df)
+    a, b = _canon(out), _canon(ref)
+    assert a["k"].tolist() == b["k"].tolist()
+    assert a["seq"].fillna("∅").tolist() == b["seq"].fillna("∅").tolist()
+
+
+def test_group_string_agg_all_null_group(ray_session):
+    df = pd.DataFrame({
+        "k": ["a", "a", "b"], "o": [1, 0, 0],
+        "s": [None, None, "x"],
+    })
+    out = group_string_agg(rd.from_pandas(df), key="k", val_col="s",
+                           order_cols=["o"], num_partitions=2).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out["seq" if "seq" in out else "agg"].tolist() == [None, "x"]
