@@ -1212,6 +1212,29 @@ def q_curriculum_docs(sf_dir: str):
     return curriculum_bins(quality, thr, score_col="stop_ratio")
 
 
+def q_moments_events_by_type(sf_dir: str):
+    """Per-event-type mean/variance/stddev/skewness/kurtosis from
+    EXACT integer power sums — bitwise-equal to the HUGEINT SQL twin
+    (stages/aggregate.py:group_moments; native streaming skewness()/
+    kurtosis() have unspecified float accumulation order)."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import group_moments
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "cents": pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64()),
+        })
+
+    return group_moments(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key="event_type", x_col="cents", num_partitions=8,
+    )
+
+
 def q_lead_lag_events(sf_dir: str):
     """Per-user lead/lag/delta of the event amount — the
     ``lag()/lead() OVER (PARTITION BY … ORDER BY …)`` surface, via one
@@ -3038,6 +3061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
+        "moments_events_by_type": q_moments_events_by_type,
         "lead_lag_events": q_lead_lag_events,
         "event_seq_by_user": q_event_seq_by_user,
         "rank_stats_events": q_rank_stats_events,
@@ -3278,6 +3302,31 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN sum(cents) OVER (PARTITION BY user_id) = 0 THEN NULL "
             "ELSE CAST(cents AS DOUBLE) / sum(cents) OVER "
             "(PARTITION BY user_id) END AS share FROM c"
+        ),
+        "moments_events_by_type": (
+            "WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x "
+            "FROM events WHERE value IS NOT NULL), "
+            "s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s1, "
+            "CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2, "
+            "CAST(sum(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3, "
+            "CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4 "
+            "FROM c GROUP BY event_type), "
+            "e AS (SELECT event_type, n, s1, n * s2 - s1 * s1 AS m2n, "
+            "n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3n, "
+            "n * n * n * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 "
+            "- 3 * s1 * s1 * s1 * s1 AS m4n FROM s), "
+            "f AS (SELECT event_type, n, s1, m2n, m3n, m4n, "
+            "CAST(n AS DOUBLE) AS nf, "
+            "CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS v "
+            "FROM e) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "CAST(s1 AS DOUBLE) / nf AS mean, v AS var_pop, sqrt(v) AS std_pop, "
+            "CASE WHEN m2n = 0 THEN NULL ELSE "
+            "(CAST(m3n AS DOUBLE) / (nf * nf * nf)) / (v * sqrt(v)) END AS skew_pop, "
+            "CASE WHEN m2n = 0 THEN NULL ELSE "
+            "(CAST(m4n AS DOUBLE) / (nf * nf * nf * nf)) / (v * v) - 3.0 END AS kurt_pop "
+            "FROM f"
         ),
         "lead_lag_events": (
             "WITH c AS (SELECT event_id, user_id, ts, "

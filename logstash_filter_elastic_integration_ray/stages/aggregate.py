@@ -32,6 +32,8 @@ correctness scale, superseded by ``ordered_hash`` at 10^12-turn scale.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1000,4 +1002,124 @@ def group_string_agg(ds, *, key: str, val_col: str, order_cols: list[str],
         .repartition(num_partitions)
         .groupby("__part")
         .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group exact-sum distribution moments (variance / skewness / kurtosis)
+# ---------------------------------------------------------------------------
+
+def group_moments(ds, *, key: str, x_col: str, num_partitions: int = 32):
+    """Per-group mean / population variance / stddev / skewness /
+    kurtosis from EXACT integer power sums — the moments sibling of
+    :func:`group_regr`, with the same discipline: per-batch per-key
+    partials (n, Σx, Σx², Σx³, Σx⁴) in exact integers shipped as
+    decimal strings (keys × batches exchange, never rows), ONE
+    co-partition by key, then fixed float expressions on the exact
+    sums::
+
+        M2 = n·Σx² − (Σx)²                       (= n² · m2)
+        M3 = n²·Σx³ − 3n·Σx·Σx² + 2(Σx)³         (= n³ · m3)
+        M4 = n³·Σx⁴ − 4n²·Σx·Σx³ + 6n(Σx)²·Σx² − 3(Σx)⁴   (= n⁴ · m4)
+        var_pop  = M2 / n²          std_pop = sqrt(var_pop)
+        skew_pop = (M3 / n³) / (var_pop · std_pop)
+        kurt_pop = (M4 / n⁴) / (var_pop · var_pop) − 3     (excess)
+
+    bit-identical to a HUGEINT SQL twin evaluating the SAME expressions
+    (native streaming ``skewness()``/``kurtosis()`` accumulate floats in
+    unspecified order — and use sample corrections; this is the
+    population form).  ``x_col`` must be integer-valued (money → cents
+    upstream); NULLs are excluded like SQL aggregates; zero-variance
+    groups yield NULL skew/kurt exactly like the twin's guarded CASE.
+
+    int64-overflow discipline: x⁴ of a 5-digit cents value already
+    exceeds int64, so the vectorized path is guarded per power — sums
+    whose worst case fits use ``np.add.reduceat`` on int64; the rest
+    switch the SAME reduceat to an object-dtype view (unbounded Python
+    ints, still one C-loop pass, never a per-group Python loop)."""
+
+    POWERS = ("s1", "s2", "s3", "s4")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(x_col))) if t.num_rows else t
+        if t.num_rows == 0:
+            empty = pa.table({
+                key: t.column(key),
+                "n": pa.array([], type=pa.int64()),
+                **{p: pa.array([], type=pa.string()) for p in POWERS},
+            })
+            return add_partition_col(empty, num_partitions, key=key)
+        kcodes, kfirst = _first_occurrence_codes(t.column(key))
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(kcodes, kind="stable")
+        starts = np.flatnonzero(np.diff(kcodes[order], prepend=-1))
+        n_g = np.bincount(kcodes, minlength=len(kfirst))
+        xs = x[order]
+        mx = max(int(np.abs(x).max()), 1)
+        cols = {}
+        xp64 = xs.copy()
+        xpobj = None
+        for p, name in enumerate(POWERS, start=1):
+            if mx ** p * len(x) < (1 << 62):
+                if p > 1:
+                    xp64 = xp64 * xs  # exact: mx**p bounded above
+                sums = np.add.reduceat(xp64, starts)
+            else:
+                if xpobj is None:  # first power past int64 range
+                    xpobj = xs.astype(object) ** p
+                else:
+                    xpobj = xpobj * xs.astype(object)
+                sums = np.add.reduceat(xpobj, starts)
+            cols[name] = np.array([str(int(s)) for s in sums], dtype=object)
+        out = pa.table({
+            key: t.column(key).take(pa.array(kfirst, type=pa.int64())),
+            "n": pa.array(n_g.astype(np.int64)),
+            **{p: pa.array(cols[p], type=pa.string()) for p in POWERS},
+        })
+        return add_partition_col(out, num_partitions, key=key)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {key: [], "n": [], "mean": [], "var_pop": [],
+                "std_pop": [], "skew_pop": [], "kurt_pop": []}
+        for kval, g in df.groupby(key, sort=False, dropna=False):
+            n = int(g["n"].sum())
+            s1 = sum(int(v) for v in g["s1"])
+            s2 = sum(int(v) for v in g["s2"])
+            s3 = sum(int(v) for v in g["s3"])
+            s4 = sum(int(v) for v in g["s4"])
+            m2n = n * s2 - s1 * s1
+            m3n = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+            m4n = (n * n * n * s4 - 4 * n * n * s1 * s3
+                   + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)
+            nf = float(n)
+            mean = float(s1) / nf
+            var = float(m2n) / (nf * nf)
+            std = math.sqrt(var)
+            if m2n == 0:
+                skew = kurt = None
+            else:
+                skew = (float(m3n) / (nf * nf * nf)) / (var * std)
+                kurt = (float(m4n) / (nf * nf * nf * nf)) / (var * var) - 3.0
+            rows[key].append(kval)
+            rows["n"].append(n)
+            rows["mean"].append(mean)
+            rows["var_pop"].append(var)
+            rows["std_pop"].append(std)
+            rows["skew_pop"].append(skew)
+            rows["kurt_pop"].append(kurt)
+        return pd.DataFrame({
+            key: rows[key],
+            "n": np.asarray(rows["n"], dtype=np.int64),
+            "mean": pd.array(rows["mean"], dtype="float64"),
+            "var_pop": pd.array(rows["var_pop"], dtype="float64"),
+            "std_pop": pd.array(rows["std_pop"], dtype="float64"),
+            "skew_pop": pd.array(rows["skew_pop"], dtype="float64"),
+            "kurt_pop": pd.array(rows["kurt_pop"], dtype="float64"),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
     )

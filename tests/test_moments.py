@@ -1,0 +1,116 @@
+"""group_moments (stages/aggregate.py): bitwise DuckDB HUGEINT-twin
+parity for mean/var/std/skew/kurt, NULL exclusion, zero-variance
+groups, the object-dtype exact path past int64, and batching
+invariance."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from logstash_filter_elastic_integration_ray.stages.aggregate import group_moments
+
+
+def _moments_sql(src: str = "t") -> str:
+    return (
+        "WITH c AS (SELECT k, CAST(x AS BIGINT) AS x FROM "
+        + src + " WHERE x IS NOT NULL), "
+        "s AS (SELECT k, CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s1, "
+        "CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2, "
+        "CAST(sum(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3, "
+        "CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4 "
+        "FROM c GROUP BY k), "
+        "e AS (SELECT k, n, s1, n * s2 - s1 * s1 AS m2n, "
+        "n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3n, "
+        "n * n * n * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 "
+        "- 3 * s1 * s1 * s1 * s1 AS m4n FROM s) "
+        "SELECT k, CAST(n AS BIGINT) AS n, "
+        "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, "
+        "CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_pop, "
+        "sqrt(CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std_pop, "
+        "CASE WHEN m2n = 0 THEN NULL ELSE "
+        "(CAST(m3n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / "
+        "((CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * "
+        "sqrt(CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) END AS skew_pop, "
+        "CASE WHEN m2n = 0 THEN NULL ELSE "
+        "(CAST(m4n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / "
+        "((CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * "
+        "(CAST(m2n AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) - 3.0 END AS kurt_pop "
+        "FROM e ORDER BY k NULLS LAST"
+    )
+
+
+def _duck(df: pd.DataFrame) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("t", df)
+    out = con.execute(_moments_sql()).df()
+    con.close()
+    return out
+
+
+def _frame(n=900, seed=7, lo=-40000, hi=56000):
+    rng = np.random.RandomState(seed)
+    df = pd.DataFrame({
+        "k": np.array(["a", "b", "c", None], dtype=object)[rng.randint(0, 4, n)],
+        "x": rng.randint(lo, hi, n).astype("float64"),
+    })
+    df.loc[::53, "x"] = np.nan  # NULLs excluded like SQL aggregates
+    return df
+
+
+def _run(df, nblocks, **kw):
+    ds = rd.from_pandas(df).repartition(nblocks)
+    out = group_moments(ds, key="k", x_col="x", **kw).to_pandas()
+    return out.sort_values("k", na_position="last").reset_index(drop=True)
+
+
+def _assert_bitwise(out: pd.DataFrame, ref: pd.DataFrame):
+    assert out["k"].fillna("∅").tolist() == ref["k"].fillna("∅").tolist()
+    assert out["n"].tolist() == ref["n"].tolist()
+    for c in ("mean", "var_pop", "std_pop", "skew_pop", "kurt_pop"):
+        a, b = out[c].to_numpy(), ref[c].to_numpy()
+        assert ((np.isnan(a) & np.isnan(b)) | (a == b)).all(), c  # bitwise
+
+
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_moments_bitwise_vs_duckdb(ray_session, nblocks):
+    df = _frame()
+    # the engine takes integer-typed x; duckdb CASTs the same values
+    eng = df.copy()
+    out = _run(eng, nblocks, num_partitions=4)
+    _assert_bitwise(out, _duck(df))
+
+
+def test_moments_zero_variance_and_singleton(ray_session):
+    df = pd.DataFrame({
+        "k": ["z", "z", "z", "one"],
+        "x": [5.0, 5.0, 5.0, 9.0],
+    })
+    out = _run(df, 2, num_partitions=2)
+    ref = _duck(df)
+    _assert_bitwise(out, ref)
+    byk = out.set_index("k")
+    assert np.isnan(byk.loc["z", "skew_pop"]) and np.isnan(byk.loc["one", "kurt_pop"])
+    assert byk.loc["z", "var_pop"] == 0.0
+
+
+def test_moments_object_path_past_int64(ray_session):
+    # |x| ~ 3e6: x^4 ~ 8e25 >> int64 — partials must switch to the
+    # object-dtype exact path and still match the HUGEINT twin bitwise
+    df = _frame(n=400, seed=13, lo=-3_000_000, hi=3_000_000)
+    out = _run(df, 5, num_partitions=3)
+    _assert_bitwise(out, _duck(df))
+
+
+def test_moments_batching_invariance(ray_session):
+    df = _frame(n=700, seed=29)
+    a = _run(df, 1, num_partitions=2)
+    b = _run(df, 11, num_partitions=5)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f":
+            assert ((av.isna() & bv.isna()) | (av == bv)).all(), c
+        else:
+            assert av.fillna("∅").tolist() == bv.fillna("∅").tolist(), c
