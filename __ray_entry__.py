@@ -1212,6 +1212,31 @@ def q_curriculum_docs(sf_dir: str):
     return curriculum_bins(quality, thr, score_col="stop_ratio")
 
 
+_CIDR_RULES = [
+    ("10.0.0.0/8", "corp"),
+    ("10.0.0.0/18", "zone-a"),
+    ("10.0.64.0/19", "zone-b"),
+    ("10.0.5.0/24", "ops"),
+    ("10.0.5.128/25", "ops-secure"),
+]
+
+
+def q_cidr_enrich_flows(sf_dir: str):
+    """CIDR longest-prefix-match enrichment of kv-parsed source IPs —
+    the ip_range-enrich-index surface (stages/iprange.py:cidr_enrich;
+    rule table broadcast once, numpy searchsorted probe per batch)."""
+    from logstash_filter_elastic_integration_ray.stages.iprange import cidr_enrich
+
+    ds = _filter_starts(read_transcripts(sf_dir), "text", "ip=")
+    pipe = {"processors": [
+        {"kv": {"field": "text", "field_split": " ", "value_split": "="}},
+    ]}
+    parsed = ds.map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    out = cidr_enrich(parsed, _CIDR_RULES, ip_col="ip", out_col="net_label",
+                      default="unassigned")
+    return _project(out, ["conv_id", "turn_idx", "net_label"], {})
+
+
 def q_moments_events_by_type(sf_dir: str):
     """Per-event-type mean/variance/stddev/skewness/kurtosis from
     EXACT integer power sums — bitwise-equal to the HUGEINT SQL twin
@@ -3061,6 +3086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
+        "cidr_enrich_flows": q_cidr_enrich_flows,
         "moments_events_by_type": q_moments_events_by_type,
         "lead_lag_events": q_lead_lag_events,
         "event_seq_by_user": q_event_seq_by_user,
@@ -3302,6 +3328,17 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN sum(cents) OVER (PARTITION BY user_id) = 0 THEN NULL "
             "ELSE CAST(cents AS DOUBLE) / sum(cents) OVER "
             "(PARTITION BY user_id) END AS share FROM c"
+        ),
+        "cidr_enrich_flows": T(
+            # ip = 10.0.(user_id%256).(event_id%256); the CASE encodes
+            # the longest-prefix resolution of _CIDR_RULES exactly
+            "SELECT conv_id, turn_idx, CASE "
+            "WHEN user_id % 256 = 5 AND event_id % 256 >= 128 THEN 'ops-secure' "
+            "WHEN user_id % 256 = 5 THEN 'ops' "
+            "WHEN user_id % 256 < 64 THEN 'zone-a' "
+            "WHEN user_id % 256 < 96 THEN 'zone-b' "
+            "ELSE 'corp' END AS net_label "
+            "FROM transcripts WHERE event_id % 8 = 1"
         ),
         "moments_events_by_type": (
             "WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x "

@@ -1,0 +1,80 @@
+"""cidr_enrich (stages/iprange.py): longest-prefix-match parity with
+the stdlib ``ipaddress`` reference, malformed/null/octet-range
+handling, overlap precedence, and the Dataset stage end-to-end."""
+
+import ipaddress
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from logstash_filter_elastic_integration_ray.stages.iprange import (
+    cidr_enrich,
+    cidr_label_batch,
+    compile_cidr_rules,
+    ipv4_to_u32,
+)
+
+RULES = [
+    ("10.0.0.0/8", "corp"),
+    ("10.0.0.0/18", "zone-a"),
+    ("10.0.64.0/19", "zone-b"),
+    ("10.0.5.0/24", "ops"),
+    ("10.0.5.128/25", "ops-secure"),
+    ("192.168.0.0/16", "lab"),
+    ("0.0.0.0/0", "any"),
+]
+
+
+def _reference(ip: str):
+    try:
+        addr = ipaddress.ip_address(ip)
+    except ValueError:
+        return None
+    best, best_len = None, -1
+    for cidr, label in RULES:
+        net = ipaddress.ip_network(cidr)
+        if addr in net and net.prefixlen > best_len:
+            best, best_len = label, net.prefixlen
+    return best
+
+
+def test_ipv4_parse_and_validity():
+    col = pa.array(["10.0.5.200", "256.1.1.1", "1.2.3", "a.b.c.d",
+                    None, "0.0.0.0", "255.255.255.255"])
+    vals, valid = ipv4_to_u32(col)
+    assert valid.tolist() == [True, False, False, False, False, True, True]
+    assert vals[0] == (10 << 24) | (5 << 8) | 200
+    assert vals[5] == 0 and vals[6] == 0xFFFFFFFF
+
+
+def test_longest_prefix_matches_stdlib():
+    rng = np.random.RandomState(5)
+    ips = [f"{a}.{b}.{c}.{d}" for a, b, c, d in
+           zip(rng.choice([10, 192, 172, 8], 400),
+               rng.randint(0, 256, 400) % np.where(rng.rand(400) < 0.7, 2, 256),
+               rng.randint(0, 256, 400), rng.randint(0, 256, 400))]
+    ips += ["10.0.5.127", "10.0.5.128", "10.0.63.255", "10.0.64.0",
+            "10.0.96.0", "11.0.0.1", "not-an-ip", None]
+    compiled = compile_cidr_rules(RULES)
+    got = cidr_label_batch(pa.array(ips, type=pa.string()), compiled,
+                           default="unknown").to_pylist()
+    for ip, g in zip(ips, got):
+        want = _reference(ip) if ip is not None else None
+        assert g == (want if want is not None else "unknown"), ip
+
+
+def test_host_bits_rejected():
+    with pytest.raises(ValueError):
+        compile_cidr_rules([("10.0.0.1/24", "bad")])
+
+
+def test_cidr_enrich_dataset(ray_session):
+    ds = rd.from_items([{"ip": "10.0.5.129"}, {"ip": "10.0.70.1"},
+                        {"ip": "203.0.113.9"}, {"ip": "zzz"}])
+    out = cidr_enrich(ds, RULES, ip_col="ip", out_col="net",
+                      default="unmatched").to_pandas()
+    got = dict(zip(out["ip"], out["net"]))
+    assert got == {"10.0.5.129": "ops-secure", "10.0.70.1": "zone-b",
+                   "203.0.113.9": "any", "zzz": "unmatched"}
