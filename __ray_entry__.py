@@ -1212,6 +1212,41 @@ def q_curriculum_docs(sf_dir: str):
     return curriculum_bins(quality, thr, score_col="stop_ratio")
 
 
+def q_gapfill_user_6h(sf_dir: str):
+    """Per-user 6-hour resample with gap generation + forward fill —
+    the generate-range / IGNORE-NULLS-last_value surface
+    (stages/windows.py:gapfill_resample; exchange = distinct
+    (user, bucket) pairs per batch, output = buckets not events)."""
+    from logstash_filter_elastic_integration_ray.stages.windows import gapfill_resample
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "cents": pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64()),
+        })
+
+    out = gapfill_resample(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key="user_id", ts_col="ts", val_col="cents",
+        every_us=21_600_000_000, num_partitions=16,
+    )
+
+    def as_double(t: pa.Table) -> pa.Table:
+        # NULL-bearing int column: ship as double on BOTH sides so the
+        # driver's dtype-kind compare is stable (values < 2^53, lossless)
+        i = t.column_names.index("bucket_sum")
+        return t.set_column(
+            i, "bucket_sum", t.column("bucket_sum").cast(pa.float64())
+        ).replace_schema_metadata(None)  # drop stale pandas-dtype metadata
+
+    return out.map_batches(as_double, batch_format="pyarrow")
+
+
 _CIDR_RULES = [
     ("10.0.0.0/8", "corp"),
     ("10.0.0.0/18", "zone-a"),
@@ -3086,6 +3121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
+        "gapfill_user_6h": q_gapfill_user_6h,
         "cidr_enrich_flows": q_cidr_enrich_flows,
         "moments_events_by_type": q_moments_events_by_type,
         "lead_lag_events": q_lead_lag_events,
@@ -3328,6 +3364,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN sum(cents) OVER (PARTITION BY user_id) = 0 THEN NULL "
             "ELSE CAST(cents AS DOUBLE) / sum(cents) OVER "
             "(PARTITION BY user_id) END AS share FROM c"
+        ),
+        "gapfill_user_6h": (
+            "WITH c AS (SELECT user_id, epoch_us(ts) // 21600000000 AS bkt, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "b AS (SELECT user_id, bkt, CAST(sum(cents) AS BIGINT) AS bucket_sum "
+            "FROM c GROUP BY user_id, bkt), "
+            "r AS (SELECT user_id, min(bkt) AS lo, max(bkt) AS hi FROM b GROUP BY user_id), "
+            "g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bkt FROM r) "
+            "SELECT g.user_id, g.bkt, CAST(b.bucket_sum AS DOUBLE) AS bucket_sum, "
+            "last_value(b.bucket_sum IGNORE NULLS) OVER "
+            "(PARTITION BY g.user_id ORDER BY g.bkt) AS filled_sum "
+            "FROM g LEFT JOIN b USING (user_id, bkt)"
         ),
         "cidr_enrich_flows": T(
             # ip = 10.0.(user_id%256).(event_id%256); the CASE encodes

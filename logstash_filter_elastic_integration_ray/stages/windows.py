@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 
 from logstash_filter_elastic_integration_ray.stages.aggregate import (
     _dict_codes,
+    _first_occurrence_codes,
     add_partition_col,
 )
 
@@ -39,6 +40,7 @@ __all__ = [
     "grouped_running_scan",
     "grouped_rank_stats",
     "grouped_shift",
+    "gapfill_resample",
     "distinct_count_by",
     "unpivot",
 ]
@@ -1171,4 +1173,106 @@ def group_broadcast(ds, *, key: str, order_cols: list[str], val_col: str,
         .repartition(num_partitions)
         .groupby("__part")
         .map_groups(run, batch_format="pandas")
+    )
+
+
+def gapfill_resample(ds, *, key: str, ts_col: str, val_col: str,
+                     every_us: int, bkt_col: str = "bkt",
+                     sum_col: str = "bucket_sum", fill_col: str = "filled_sum",
+                     num_partitions: int = 32):
+    """Fixed-width time-bucket resample per key with gap generation and
+    forward fill — the exact twin of::
+
+        WITH b AS (SELECT k, epoch_us(ts) // E AS bkt,
+                          sum(v) AS bucket_sum GROUP BY k, bkt),
+             r AS (SELECT k, min(bkt) lo, max(bkt) hi FROM b GROUP BY k),
+             g AS (SELECT k, unnest(range(lo, hi + 1)) AS bkt FROM r)
+        SELECT g.k, g.bkt, b.bucket_sum,
+               last_value(b.bucket_sum IGNORE NULLS)
+                 OVER (PARTITION BY g.k ORDER BY g.bkt) AS filled_sum
+        FROM g LEFT JOIN b USING (k, bkt)
+
+    Generated gap buckets carry a NULL ``sum_col`` and the
+    forward-filled ``fill_col``; a key's range starts at its first
+    observed bucket, so the fill never reads before the group (every
+    group's first bucket is present by construction — the vectorized
+    fill exploits exactly this invariant).  ``val_col`` must be
+    integer-valued (money → cents upstream; exact int64 sums).
+
+    Shape: per-batch partial (key, bkt, sum) rows — the exchange is
+    distinct (key, bucket) pairs per batch, never events — then ONE
+    co-partition by key; per partition one sorted reduceat merge, one
+    arange-difference bucket expansion, one maximum.accumulate fill.
+    Output volume is Σ(hi−lo+1) per key: bounded by time-range/E per
+    key, independent of event count."""
+    E = int(every_us)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy()
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = ts // E
+        kcol = t.column(key)
+        kcodes, kfirst = _first_occurrence_codes(kcol)
+        pair = kcodes * np.int64(1 << 42) + (bkt - bkt.min() if len(bkt) else bkt)
+        order = np.argsort(pair, kind="stable")
+        starts = np.flatnonzero(np.diff(pair[order], prepend=np.int64(-1) << 62))
+        sums = np.add.reduceat(v[order], starts) if len(order) else np.empty(0, np.int64)
+        out = pa.table({
+            key: kcol.take(pa.array(order[starts], type=pa.int64())),
+            bkt_col: pa.array(bkt[order][starts] if len(order) else bkt, type=pa.int64()),
+            sum_col: pa.array(sums, type=pa.int64()),
+        })
+        return add_partition_col(out, num_partitions, key=key)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df[key], use_na_sentinel=False)
+        bkt = df[bkt_col].to_numpy()
+        order = np.lexsort((bkt, codes))
+        g = codes[order]
+        b = bkt[order]
+        s = df[sum_col].to_numpy()[order]
+        new = np.r_[True, g[1:] != g[:-1]]
+        gstarts = np.flatnonzero(new)
+        gsizes = np.diff(np.r_[gstarts, len(g)])
+        # merge duplicate (key, bkt) partials
+        dup = np.r_[False, (g[1:] == g[:-1]) & (b[1:] == b[:-1])]
+        mstarts = np.flatnonzero(~dup)
+        b = b[mstarts]
+        s = np.add.reduceat(s, mstarts)
+        g = g[mstarts]
+        new = np.r_[True, g[1:] != g[:-1]]
+        gstarts = np.flatnonzero(new)
+        gsizes = np.diff(np.r_[gstarts, len(g)])
+        lo = b[gstarts]
+        hi = b[gstarts + gsizes - 1]
+        out_sizes = (hi - lo + 1).astype(np.int64)
+        total = int(out_sizes.sum())
+        goff = np.r_[0, np.cumsum(out_sizes)[:-1]]
+        row_g = np.repeat(np.arange(len(gstarts)), out_sizes)
+        flat_b = (np.arange(total, dtype=np.int64) - np.repeat(goff, out_sizes)
+                  + np.repeat(lo, out_sizes))
+        pos = (b - np.repeat(lo, gsizes)) + np.repeat(goff, gsizes)
+        vals = np.zeros(total, dtype=np.int64)
+        present = np.zeros(total, dtype=bool)
+        vals[pos] = s
+        present[pos] = True
+        # forward fill: every group's first slot is present (lo = first
+        # observed bucket), so a global maximum.accumulate of
+        # last-present-index cannot leak across groups
+        lastp = np.maximum.accumulate(
+            np.where(present, np.arange(total, dtype=np.int64), -1))
+        filled = vals[lastp]
+        keys_first = df[key].to_numpy()[order][mstarts][gstarts]
+        out = pd.DataFrame({key: keys_first[row_g]})
+        out[bkt_col] = flat_b
+        out[sum_col] = pd.array(vals, dtype="Int64")
+        out.loc[~present, sum_col] = pd.NA
+        out[fill_col] = filled
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
     )

@@ -1,0 +1,92 @@
+"""gapfill_resample (stages/windows.py): DuckDB generate-range +
+IGNORE NULLS forward-fill twin equality, gap generation, exact int64
+sums, and batching/partition invariance."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from logstash_filter_elastic_integration_ray.stages.windows import gapfill_resample
+
+E = 3_600_000_000  # 1 h in µs
+
+
+def _frame(n=600, seed=3):
+    rng = np.random.RandomState(seed)
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + rng.randint(0, 200, n).astype(np.int64) * (E // 4) \
+        + rng.randint(0, E // 4, n)
+    return pd.DataFrame({
+        "k": rng.randint(0, 9, n),
+        "ts": ts.astype("datetime64[us]"),
+        "v": rng.randint(-500, 500, n).astype(np.int64),
+    })
+
+
+def _duck(df: pd.DataFrame) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("t", df)
+    out = con.execute(f"""
+        WITH b AS (SELECT k, epoch_us(ts) // {E} AS bkt,
+                          CAST(sum(v) AS BIGINT) AS bucket_sum
+                   FROM t GROUP BY k, bkt),
+             r AS (SELECT k, min(bkt) AS lo, max(bkt) AS hi FROM b GROUP BY k),
+             g AS (SELECT k, unnest(range(lo, hi + 1)) AS bkt FROM r)
+        SELECT g.k, g.bkt, b.bucket_sum,
+               last_value(b.bucket_sum IGNORE NULLS)
+                 OVER (PARTITION BY g.k ORDER BY g.bkt) AS filled_sum
+        FROM g LEFT JOIN b USING (k, bkt)
+        ORDER BY k, bkt
+    """).df()
+    con.close()
+    return out
+
+
+def _run(df, nblocks, **kw):
+    ds = rd.from_pandas(df).repartition(nblocks)
+    out = gapfill_resample(ds, key="k", ts_col="ts", val_col="v",
+                           every_us=E, **kw).to_pandas()
+    return out.sort_values(["k", "bkt"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("nblocks", [1, 8])
+def test_gapfill_matches_duckdb(ray_session, nblocks):
+    df = _frame()
+    out = _run(df, nblocks, num_partitions=4)
+    ref = _duck(df)
+    assert len(out) == len(ref) and len(out) > len(df.groupby(["k"]).size())
+    assert out["k"].tolist() == ref["k"].tolist()
+    assert out["bkt"].tolist() == ref["bkt"].tolist()
+    a = out["bucket_sum"].astype("Float64")
+    b = ref["bucket_sum"].astype("Float64")
+    assert (a.isna() == b.isna()).all()
+    assert (a.dropna() == b.dropna()).all()
+    assert out["filled_sum"].astype(np.int64).tolist() == \
+        ref["filled_sum"].astype(np.int64).tolist()
+    # real gaps must exist for the fill to have been exercised
+    assert out["bucket_sum"].isna().any()
+
+
+def test_gapfill_single_bucket_groups(ray_session):
+    df = pd.DataFrame({
+        "k": [1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:50",
+                              "2024-03-05 07:00"]).astype("datetime64[us]"),
+        "v": np.array([3, 4, 7], dtype=np.int64),
+    })
+    out = _run(df, 2, num_partitions=2)
+    assert len(out) == 2  # one bucket each, no expansion
+    assert out["bucket_sum"].tolist() == [7, 7]
+    assert out["filled_sum"].tolist() == [7, 7]
+
+
+def test_gapfill_batching_invariance(ray_session):
+    df = _frame(seed=17)
+    a = _run(df, 1, num_partitions=2)
+    b = _run(df, 9, num_partitions=5)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        assert (av.isna() == bv.isna()).all(), c
+        assert (av.dropna().to_numpy() == bv.dropna().to_numpy()).all(), c
