@@ -1017,6 +1017,56 @@ def q_pmi_bigrams_docs(sf_dir: str):
     return pmi_bigrams(docs, min_count=5, num_partitions=32)
 
 
+def q_keyness_docs(sf_dir: str):
+    """Dunning log-likelihood (G²) keyness of every token between the
+    English sub-corpus and the rest (combined count ≥ 10) — the
+    distribution-drift diagnostic for corpus mixing
+    (stages/textstats.py:token_keyness).  Deduped (token, n_a, n_b)
+    partials, ONE exchange by token; totals are two int64 scalars;
+    per-output-row glibc log for DuckDB ln bit-parity; direction by
+    the exact integer cross-product test (never a float ratio)."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import (
+        token_keyness,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
+    return token_keyness(docs, side_col="lang", side_a="en", min_count=10)
+
+
+def q_line_dedup_docs(sf_dir: str):
+    """Corpus-wide line-level dedup with text rewrite (the
+    RefinedWeb/C4 boilerplate-removal recipe): the globally first
+    instance of each distinct line by (doc_id, line_idx) survives,
+    docs are rewritten from the surviving lines
+    (stages/corpus.py:dedup_lines).  Synthetic texts carry NO newlines,
+    so deterministic multi-line text derives per doc_id — every part
+    derivable in SQL, the twin rebuilds the same lines and dedups with
+    a row_number window.  Hot boilerplate lines collapse per batch
+    (one exchange row per distinct line per block); text rides exactly
+    one exchange."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import dedup_lines
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = []
+        for d in ids:
+            d = int(d)
+            lines = []
+            for j in range(5 + d % 6):
+                if (d + j) % 3 == 0:
+                    lines.append(f"boilerplate notice {j % 4}")
+                else:
+                    lines.append(f"unique {d} {j} payload")
+            texts.append("\n".join(lines))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": pa.array(texts, type=pa.string())})
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return dedup_lines(docs.map_batches(synth, batch_format="pyarrow"),
+                       min_len=1, num_partitions=32)
+
+
 def q_gopher_repetition_docs(sf_dir: str):
     """The char-fraction half of the published Gopher repetition rules
     (top-2/3/4-gram char fraction, duplicate-5..10-gram char coverage
@@ -3118,6 +3168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # through r3.  Previously-green queries follow.
     return {
         # round-4 additions — never driver-sampled, so they lead
+        "line_dedup_docs": q_line_dedup_docs,
+        "keyness_docs": q_keyness_docs,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -3805,6 +3857,41 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN dup THEN b ELSE 0 END) AS BIGINT) AS dup_bytes, "
             "CAST(sum(CASE WHEN dup THEN b ELSE 0 END) AS DOUBLE) / sum(b) AS dup_frac "
             "FROM j GROUP BY doc_id"
+        ),
+        "keyness_docs": (
+            "WITH t AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS s, "
+            "  unnest(string_split(coalesce(text, ''), ' ')) AS token "
+            "  FROM documents), "
+            "c AS (SELECT token, CAST(sum(s) AS BIGINT) AS n_a, "
+            "      CAST(sum(1 - s) AS BIGINT) AS n_b FROM t GROUP BY token), "
+            "tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS na, "
+            "        CAST(sum(n_b) AS BIGINT) AS nb FROM c) "
+            "SELECT token, n_a, n_b, "
+            "2.0 * (CASE WHEN n_a > 0 THEN n_a * ln(n_a / "
+            "  (CAST(tot.na AS DOUBLE) * (n_a + n_b) / (tot.na + tot.nb))) "
+            "  ELSE 0 END "
+            " + CASE WHEN n_b > 0 THEN n_b * ln(n_b / "
+            "  (CAST(tot.nb AS DOUBLE) * (n_a + n_b) / (tot.na + tot.nb))) "
+            "  ELSE 0 END) AS g2, "
+            "CASE WHEN CAST(n_a AS HUGEINT) * tot.nb > "
+            "     CAST(n_b AS HUGEINT) * tot.na THEN 'a' ELSE 'b' END "
+            "  AS direction "
+            "FROM c CROSS JOIN tot WHERE n_a + n_b >= 10"
+        ),
+        "line_dedup_docs": (
+            "WITH g AS (SELECT doc_id, unnest(range(0, 5 + doc_id % 6)) AS j "
+            "           FROM documents), "
+            "l AS (SELECT doc_id, j, "
+            "  CASE WHEN (doc_id + j) % 3 = 0 "
+            "       THEN 'boilerplate notice ' || CAST(j % 4 AS VARCHAR) "
+            "       ELSE 'unique ' || CAST(doc_id AS VARCHAR) || ' ' "
+            "            || CAST(j AS VARCHAR) || ' payload' END AS line FROM g), "
+            "r AS (SELECT doc_id, j, line, "
+            "  row_number() OVER (PARTITION BY line ORDER BY doc_id, j) AS rn FROM l) "
+            "SELECT doc_id, "
+            "  string_agg(line, chr(10) ORDER BY j) FILTER (WHERE rn = 1) AS text, "
+            "  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed "
+            "FROM r GROUP BY doc_id"
         ),
         "pmi_bigrams_docs": (
             "WITH toks AS (SELECT string_split(coalesce(text, ''), ' ') AS ts "

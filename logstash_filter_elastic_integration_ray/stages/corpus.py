@@ -47,6 +47,7 @@ import pyarrow.compute as pc
 
 from .aggregate import add_partition_col
 from .decontam import flat_token_hashes, gram_hashes
+from .dedup import _hash64_arrow
 
 # ---------------------------------------------------------------------------
 # cross-doc duplicated n-gram fraction
@@ -536,6 +537,180 @@ def remove_dup_spans(ds, *, w: int = 4, num_partitions: int = 32,
         .repartition(num_partitions)
         .groupby("__part")
         .map_groups(lambda df: _rebuild_partition(df, w, id_col), batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line-level dedup (RefinedWeb / C4 line filtering)
+# ---------------------------------------------------------------------------
+
+
+def _split_lines(col, sep: str):
+    """Split a string column on ``sep`` → (flat line array, per-doc
+    line counts).  One Arrow kernel, no Python loop."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lines = pc.split_pattern(pc.fill_null(col, ""), sep)
+    counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    return lines.flatten(), counts
+
+
+def _first_rest(h: np.ndarray, d: np.ndarray, i: np.ndarray):
+    """Indices of the (d, i)-minimal instance per distinct ``h`` and of
+    every other instance — one lexsort, no per-group loop."""
+    order = np.lexsort((i, d, h))
+    hs = h[order]
+    first = np.ones(len(hs), dtype=bool)
+    if len(hs):
+        first[1:] = hs[1:] != hs[:-1]
+    return order[first], order[~first]
+
+
+def _line_instance_arrays(t: pa.Table, text_col: str, id_col: str,
+                          sep: str, min_len: int):
+    """(h, d, i) arrays for every PARTICIPATING line instance of a
+    batch: h = 64-bit line hash, d = doc id, i = within-doc line index.
+    Lines shorter than ``min_len`` chars never participate."""
+    flat, counts = _split_lines(t.column(text_col), sep)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(counts.sum())
+    if not total:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    starts = np.zeros(len(ids), dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    m = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64) >= min_len
+    h = _hash64_arrow(flat.filter(pa.array(m))).view(np.int64)
+    return h, np.repeat(ids, counts)[m], within[m]
+
+
+def _line_drop_rows(df: pd.DataFrame) -> pa.Table:
+    """One line-hash partition → the (doc, idx) instances to DROP:
+    every instance of a hash except the globally (d, i)-first."""
+    h = df["h"].to_numpy(dtype=np.int64)
+    d = df["d"].to_numpy(dtype=np.int64)
+    i = df["i"].to_numpy(dtype=np.int64)
+    _, rest = _first_rest(h, d, i)
+    return pa.table({"d": pa.array(d[rest]), "i": pa.array(i[rest])})
+
+
+def _rebuild_lines_partition(df: pd.DataFrame, sep: str, id_col: str) -> pa.Table:
+    """One doc partition holding BOTH its docs (side=1: d, text) and
+    their drop lists (side=0: d, i).  Re-splits each text locally and
+    rebuilds it from the surviving lines; a doc whose every line was
+    removed yields NULL (SQL string_agg-with-FILTER semantics)."""
+    docs = df[df["side"] == 1]
+    drops = df[df["side"] == 0][["d", "i"]].drop_duplicates()
+    ids = docs["d"].to_numpy(dtype=np.int64)
+    col = pa.array([t if t is not None else "" for t in docs["text"].tolist()],
+                   type=pa.string())
+    flat, counts = _split_lines(col, sep)
+    total = int(counts.sum())
+    starts = np.zeros(len(ids), dtype=np.int64)
+    if len(ids):
+        starts[1:] = np.cumsum(counts)[:-1]
+    line_doc = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    keep = np.ones(total, dtype=bool)
+    if len(drops) and total:
+        probe = pd.DataFrame({"d": ids[line_doc], "i": within,
+                              "p": np.arange(total, dtype=np.int64)})
+        hit = probe.merge(drops, on=["d", "i"], how="inner")
+        keep[hit["p"].to_numpy(dtype=np.int64)] = False
+    flat_obj = np.asarray(flat.to_pylist(), dtype=object)
+    kept = pd.Series(flat_obj[keep]).groupby(line_doc[keep]).agg(sep.join)
+    texts = kept.reindex(np.arange(len(ids)))
+    vals = texts.to_numpy(dtype=object)
+    vals[texts.isna().to_numpy()] = None
+    n_removed = np.zeros(len(ids), dtype=np.int64)
+    if total:
+        cnts = pd.Series(line_doc[~keep]).value_counts()
+        n_removed[cnts.index.to_numpy()] = cnts.to_numpy()
+    return pa.table({
+        id_col: pa.array(ids),
+        "text": pa.array(vals, type=pa.string()),
+        "n_removed": pa.array(n_removed),
+    })
+
+
+def dedup_lines(ds, *, sep: str = "\n", min_len: int = 1,
+                num_partitions: int = 32, text_col: str = "text",
+                id_col: str = "doc_id"):
+    """Corpus-wide line-level dedup with text rewrite — the
+    RefinedWeb/C4 boilerplate-removal recipe: among all instances of
+    the same line across the WHOLE corpus, only the globally first by
+    (doc id, line index) survives; every doc is rewritten from its
+    surviving lines (``sep``-joined; a doc that loses every line yields
+    NULL text).  Lines shorter than ``min_len`` chars never participate
+    (always kept, never counted).  Output: (id, text, n_removed).
+
+    Distributed shape — text rides exactly one exchange:
+
+    1. per batch, instances collapse to the batch-local (d, i)-minimum
+       per distinct line hash (a boilerplate line repeated a million
+       times in one block forwards ONE row); the local non-minima are
+       already-resolved drops and skip the hash exchange entirely;
+    2. the minima co-partition by line hash; each partition keeps the
+       global first per hash and emits the rest as (d, i) drops;
+    3. drops (both kinds) exchange back keyed by doc, co-partitioned
+       with the docs themselves — the only exchange text rides — and
+       each partition rebuilds its texts locally.
+
+    Line equality is 64-bit-hash-based as everywhere in this module
+    (a collision merges two distinct lines with probability ~2^-64)."""
+
+    def minima_rows(t: pa.Table) -> pa.Table:
+        h, d, i = _line_instance_arrays(t, text_col, id_col, sep, min_len)
+        first, _ = _first_rest(h, d, i)
+        return pa.table({"h": pa.array(h[first]), "d": pa.array(d[first]),
+                         "i": pa.array(i[first])})
+
+    def local_drop_rows(t: pa.Table) -> pa.Table:
+        h, d, i = _line_instance_arrays(t, text_col, id_col, sep, min_len)
+        _, rest = _first_rest(h, d, i)
+        return pa.table({"d": pa.array(d[rest]), "i": pa.array(i[rest])})
+
+    exchange_drops = (
+        ds.map_batches(minima_rows, batch_format="pyarrow")
+        .map_batches(lambda b: add_partition_col(b, num_partitions, key="h"),
+                     batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(_line_drop_rows, batch_format="pandas")
+    )
+
+    def doc_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "d": t.column(id_col).cast(pa.int64()),
+            "text": t.column(text_col),
+            "i": pa.array(np.zeros(n, dtype=np.int64)),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    def drop_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "d": t.column("d").cast(pa.int64()),
+            "text": pa.nulls(n, type=pa.string()),
+            "i": t.column("i").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    unioned = (
+        ds.map_batches(doc_side, batch_format="pyarrow")
+        .union(exchange_drops.map_batches(drop_side, batch_format="pyarrow"))
+        .union(ds.map_batches(local_drop_rows, batch_format="pyarrow")
+               .map_batches(drop_side, batch_format="pyarrow"))
+    )
+    return (
+        unioned.map_batches(lambda b: add_partition_col(b, num_partitions, key="d"),
+                            batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(lambda df: _rebuild_lines_partition(df, sep, id_col),
+                    batch_format="pandas")
     )
 
 

@@ -894,6 +894,107 @@ def pmi_bigrams(ds, *, min_count: int = 5, num_partitions: int = 32,
 
 
 # ---------------------------------------------------------------------------
+# corpus keyness (Dunning log-likelihood between two sub-corpora)
+# ---------------------------------------------------------------------------
+
+
+def token_keyness(ds, *, side_col: str, side_a, text_col: str = "text",
+                  min_count: int = 10, num_partitions: int = 32):
+    """Dunning log-likelihood (G²) keyness of every token between two
+    sub-corpora — the published corpus-linguistics statistic for
+    "which tokens are over-represented where" (Dunning 1993), the
+    distribution-drift diagnostic a curation pipeline runs when mixing
+    sources.  Side A = rows where ``side_col == side_a``; B = the rest.
+    Output per token with combined count ≥ ``min_count``:
+    (token, n_a, n_b, g2, direction) where
+    ``g2 = 2·(a·ln(a/e1) + b·ln(b/e2))``, ``e1 = Na·(a+b)/(Na+Nb)``,
+    zero-count terms contribute 0, and ``direction`` marks the
+    over-represented side by the exact integer cross-product test
+    ``a·Nb > b·Na`` (no float ratio — exact at any count magnitude).
+
+    Distributed shape: tokens leave each batch once as deduped
+    (token, n_a, n_b) partials; ONE exchange by token merges counts
+    and scores candidates partition-locally.  Totals Na/Nb are two
+    int64 scalars from a shuffle-free pass (no vocabulary at the
+    driver).  Each G² term is ``math.log`` per OUTPUT row — glibc log
+    of a correctly-rounded double, bit-identical to DuckDB's ``ln`` of
+    the same expression (the loop is bounded by candidates, not the
+    corpus)."""
+    import math
+
+    def side_counts(t: pa.Table):
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(pc.fill_null(col, ""), " ")
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        side = pc.fill_null(
+            pc.equal(t.column(side_col), pa.scalar(side_a)), False
+        ).to_numpy(zero_copy_only=False)
+        return toks, counts, side
+
+    def totals(t: pa.Table) -> pa.Table:
+        _, counts, side = side_counts(t)
+        return pa.table({
+            "na": pa.array([int(counts[side].sum())], type=pa.int64()),
+            "nb": pa.array([int(counts[~side].sum())], type=pa.int64()),
+        })
+
+    tot = ds.map_batches(totals, batch_format="pyarrow").sum(["na", "nb"])
+    n_a_tot, n_b_tot = int(tot["sum(na)"]), int(tot["sum(nb)"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        toks, counts, side = side_counts(t)
+        flat = toks.flatten()
+        is_a = np.repeat(side, counts).astype(np.int64)
+        df = pd.DataFrame({"token": flat.to_pandas().to_numpy(dtype=object),
+                           "a": is_a})
+        g = df.groupby("token", sort=False)["a"]
+        n_a = g.sum()
+        n_all = g.size()
+        out = pa.table({
+            "token": pa.array(n_a.index.to_numpy(dtype=object), type=pa.string()),
+            "n_a": pa.array(n_a.to_numpy(dtype=np.int64)),
+            "n_b": pa.array((n_all - n_a).to_numpy(dtype=np.int64)),
+        })
+        return add_partition_col(out, num_partitions, key="token")
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby("token", sort=False)[["n_a", "n_b"]].sum().reset_index()
+        a = agg["n_a"].to_numpy(dtype=np.int64)
+        b = agg["n_b"].to_numpy(dtype=np.int64)
+        keep = (a + b) >= min_count
+        a, b = a[keep], b[keep]
+        n = float(n_a_tot + n_b_tot)
+        g2 = np.empty(len(a), dtype=np.float64)
+        direction = np.empty(len(a), dtype=object)
+        for j in range(len(a)):
+            ai, bi = int(a[j]), int(b[j])
+            e1 = (float(n_a_tot) * float(ai + bi)) / n
+            e2 = (float(n_b_tot) * float(ai + bi)) / n
+            ta = float(ai) * math.log(float(ai) / e1) if ai > 0 else 0.0
+            tb = float(bi) * math.log(float(bi) / e2) if bi > 0 else 0.0
+            g2[j] = 2.0 * (ta + tb)
+            direction[j] = "a" if ai * n_b_tot > bi * n_a_tot else "b"
+        return pa.table({
+            "token": pa.array(agg["token"].to_numpy(dtype=object)[keep],
+                              type=pa.string()),
+            "n_a": pa.array(a),
+            "n_b": pa.array(b),
+            "g2": pa.array(g2),
+            "direction": pa.array(direction, type=pa.string()),
+        })
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # blocklist phrase filter (C4-style badword/boilerplate gating)
 # ---------------------------------------------------------------------------
 

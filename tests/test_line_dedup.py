@@ -1,0 +1,167 @@
+"""Corpus-wide line-level dedup (stages/corpus.py:dedup_lines) vs a
+plain-Python reference: global keep-first semantics, min_len guard,
+NULL for fully-removed docs, invariance to input block structure."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from logstash_filter_elastic_integration_ray.stages.corpus import dedup_lines
+
+
+def ref_dedup_lines(rows: list[tuple[int, str]], min_len: int = 1,
+                    sep: str = "\n") -> dict[int, tuple[str | None, int]]:
+    """Single-process reference: first instance of each distinct
+    participating line by (doc, idx) survives."""
+    seen: set[str] = set()
+    out: dict[int, tuple[str | None, int]] = {}
+    for d, text in sorted(rows):
+        kept, removed = [], 0
+        for line in (text or "").split(sep):
+            if len(line) < min_len:
+                kept.append(line)
+            elif line in seen:
+                removed += 1
+            else:
+                seen.add(line)
+                kept.append(line)
+        out[d] = (sep.join(kept) if kept else None, removed)
+    return out
+
+
+def _mk_rows():
+    return [
+        (1, "alpha one\nshared boiler\nunique 1"),
+        (2, "shared boiler\nbeta two\nx"),          # 'shared boiler' dup; 'x' short
+        (3, "shared boiler\nalpha one\nshared boiler"),  # all dups (min_len=2)
+        (4, "x\nunique 4"),                          # short line kept again
+        (5, ""),                                     # one empty line, never participates
+    ]
+
+
+def _run(rows, min_len, blocks):
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+        "text": pa.array([t for _, t in rows], type=pa.string()),
+    })).repartition(blocks)
+    got = dedup_lines(ds, min_len=min_len, num_partitions=4).to_pandas()
+    return {int(r.doc_id): (None if r.text is None or r.text != r.text else r.text,
+                            int(r.n_removed))
+            for r in got.itertuples()}
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_dedup_lines_matches_reference(ray_session, blocks):
+    rows = _mk_rows()
+    want = ref_dedup_lines(rows, min_len=2)
+    got = _run(rows, min_len=2, blocks=blocks)
+    assert got == want
+    # doc 3 loses every participating line -> NULL text
+    assert got[3][0] is None and got[3][1] == 3
+    # short line 'x' survives in BOTH docs 2 and 4
+    assert "x" in got[2][0].split("\n") and "x" in got[4][0].split("\n")
+
+
+def test_dedup_lines_min_len_zero(ray_session):
+    # min_len=0: empty lines participate too -> only the first "" survives
+    rows = [(1, "a\n\nb"), (2, "\nc")]
+    want = ref_dedup_lines(rows, min_len=0)
+    got = _run(rows, min_len=0, blocks=2)
+    assert got == want
+
+
+def test_dedup_lines_hot_line_collapse(ray_session):
+    # one boilerplate line repeated 5000x across 1000 docs: output keeps
+    # exactly one instance, n_removed sums to 4999 over the unique-line docs
+    rows = [(d, "hot boiler line\nu{}".format(d)) for d in range(1000)]
+    rows += [(1000 + k, "hot boiler line\nhot boiler line\nhot boiler line\n"
+              "hot boiler line\nv{}".format(k)) for k in range(1000)]
+    want = ref_dedup_lines(rows, min_len=1)
+    got = _run(rows, min_len=1, blocks=8)
+    assert got == want
+    total_removed = sum(v[1] for v in got.values())
+    assert total_removed == 999 + 4 * 1000
+
+
+def test_dedup_lines_no_dups_passthrough(ray_session):
+    rows = [(d, f"only {d} a\nonly {d} b") for d in range(10)]
+    got = _run(rows, min_len=1, blocks=2)
+    for d, t in rows:
+        assert got[d] == (t, 0)
+
+
+# ---------------------------------------------------------------------------
+# token keyness (Dunning G²)
+# ---------------------------------------------------------------------------
+
+import math
+from collections import Counter
+
+from logstash_filter_elastic_integration_ray.stages.textstats import token_keyness
+
+
+def ref_keyness(rows, side_a, min_count):
+    ca, cb = Counter(), Counter()
+    for side, text in rows:
+        toks = (text or "").split(" ")
+        (ca if side == side_a else cb).update(toks)
+    na, nb = sum(ca.values()), sum(cb.values())
+    out = {}
+    for tok in set(ca) | set(cb):
+        a, b = ca.get(tok, 0), cb.get(tok, 0)
+        if a + b < min_count:
+            continue
+        e1 = (float(na) * float(a + b)) / float(na + nb)
+        e2 = (float(nb) * float(a + b)) / float(na + nb)
+        ta = float(a) * math.log(float(a) / e1) if a > 0 else 0.0
+        tb = float(b) * math.log(float(b) / e2) if b > 0 else 0.0
+        out[tok] = (a, b, 2.0 * (ta + tb), "a" if a * nb > b * na else "b")
+    return out
+
+
+def _run_keyness(rows, blocks, min_count=3):
+    ds = ray.data.from_arrow(pa.table({
+        "lang": pa.array([s for s, _ in rows], type=pa.string()),
+        "text": pa.array([t for _, t in rows], type=pa.string()),
+    })).repartition(blocks)
+    got = token_keyness(ds, side_col="lang", side_a="en",
+                        min_count=min_count, num_partitions=4).to_pandas()
+    return {r.token: (int(r.n_a), int(r.n_b), float(r.g2), r.direction)
+            for r in got.itertuples()}
+
+
+def _keyness_rows():
+    return [
+        ("en", "alpha alpha beta gamma common common common"),
+        ("en", "alpha delta common common"),
+        ("de", "beta beta beta gamma common common"),
+        ("de", "epsilon common common common rare"),
+    ]
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_keyness_matches_reference(ray_session, blocks):
+    rows = _keyness_rows()
+    want = ref_keyness(rows, "en", 3)
+    got = _run_keyness(rows, blocks)
+    assert set(got) == set(want)
+    for tok, (a, b, g2, d) in want.items():
+        ga, gb, gg2, gd = got[tok]
+        assert (ga, gb, gd) == (a, b, d), tok
+        assert gg2 == g2, tok  # bitwise: same expression shape both sides
+
+
+def test_keyness_direction_tie_and_zero_side(ray_session):
+    # 'balanced' appears proportionally -> tie -> 'b'; 'onlyen' only in A
+    rows = [("en", "balanced onlyen onlyen onlyen"),
+            ("de", "balanced x x")]
+    got = _run_keyness(rows, 2, min_count=1)
+    assert got["onlyen"][3] == "a" and got["onlyen"][1] == 0
+    assert got["onlyen"][2] > 0
+    # exact proportional representation: a*nb == b*na -> 'b'
+    a, b, g2, d = got["balanced"]
+    assert (a, b) == (1, 1)
