@@ -1017,6 +1017,45 @@ def q_pmi_bigrams_docs(sf_dir: str):
     return pmi_bigrams(docs, min_count=5, num_partitions=32)
 
 
+def q_audio_stats_wav(sf_dir: str):
+    """REAL audio container parse, no external library: deterministic
+    RIFF/WAVE PCM16 payloads per doc (square wave of period 2k frames,
+    amplitude v, mono or stereo; every 7th doc a non-WAV payload
+    exercising the decoded=false path) decoded by the pure
+    numpy+struct reader in an actor-pool stage
+    (stages/multimodal.py:decode_wav / WavAudioFeatures).  rms / peak /
+    zcr / duration come from actual decoded samples via exact integer
+    sums + one fixed float expression each, so the SQL twin derives
+    them bit-identically from the generation parameters."""
+    from logstash_filter_elastic_integration_ray.stages.multimodal import (
+        encode_wav,
+        wav_stats_stage,
+    )
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        payloads = []
+        for d in ids:
+            d = int(d)
+            if d % 7 == 0:
+                payloads.append(b"not audio at all")
+                continue
+            rate = 8000 * (1 + d % 2)
+            ch = 2 if d % 3 == 0 else 1
+            frames = 64 + d % 37
+            k = 1 + d % 4
+            v = 200 + (d * 31) % 5000
+            i = np.arange(frames, dtype=np.int64)
+            wave = np.where((i // k) % 2 == 0, v, -v).astype(np.int16)
+            s = np.repeat(wave[:, None], ch, axis=1)
+            payloads.append(encode_wav(s, rate))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return wav_stats_stage(docs.map_batches(synth, batch_format="pyarrow"))
+
+
 def q_keyness_docs(sf_dir: str):
     """Dunning log-likelihood (G²) keyness of every token between the
     English sub-corpus and the rest (combined count ≥ 10) — the
@@ -3170,6 +3209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 additions — never driver-sampled, so they lead
         "line_dedup_docs": q_line_dedup_docs,
         "keyness_docs": q_keyness_docs,
+        "audio_stats_wav": q_audio_stats_wav,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -3857,6 +3897,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN dup THEN b ELSE 0 END) AS BIGINT) AS dup_bytes, "
             "CAST(sum(CASE WHEN dup THEN b ELSE 0 END) AS DOUBLE) / sum(b) AS dup_frac "
             "FROM j GROUP BY doc_id"
+        ),
+        "audio_stats_wav": (
+            "WITH p AS (SELECT doc_id, doc_id % 7 = 0 AS bad, "
+            "  8000 * (1 + doc_id % 2) AS rate, "
+            "  CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ch, "
+            "  64 + doc_id % 37 AS frames, 1 + doc_id % 4 AS k, "
+            "  200 + (doc_id * 31) % 5000 AS v FROM documents) "
+            "SELECT doc_id, NOT bad AS decoded, "
+            "  CAST(CASE WHEN bad THEN 0 ELSE rate END AS BIGINT) AS sample_rate, "
+            "  CAST(CASE WHEN bad THEN 0 ELSE ch END AS BIGINT) AS channels, "
+            "  CAST(CASE WHEN bad THEN 0 ELSE frames END AS BIGINT) AS n_frames, "
+            "  CASE WHEN bad THEN 0.0 ELSE CAST(frames AS DOUBLE) / rate END "
+            "    AS duration_s, "
+            "  CASE WHEN bad THEN 0.0 ELSE "
+            "    sqrt(CAST(v * v * frames * ch AS DOUBLE) / (frames * ch)) "
+            "    / 32768.0 END AS rms, "
+            "  CASE WHEN bad THEN 0.0 ELSE CAST(v AS DOUBLE) / 32768.0 END "
+            "    AS peak, "
+            "  CASE WHEN bad THEN 0.0 ELSE "
+            "    CAST((frames - 1) // k AS DOUBLE) / (frames - 1) END "
+            "    AS zero_cross_rate "
+            "FROM p"
         ),
         "keyness_docs": (
             "WITH t AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS s, "

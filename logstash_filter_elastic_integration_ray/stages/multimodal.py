@@ -15,6 +15,7 @@ schemas.  PCM16 audio features are real math end-to-end.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -469,6 +470,136 @@ class NetpbmPixelStats:
 def netpbm_stats_stage(ds, *, batch_size: int = 1024, concurrency=(2, 4)):
     return ds.map_batches(
         NetpbmPixelStats,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio container: WAV / RIFF PCM16 (the public format spec,
+# RIFF chunk grammar + canonical WAVE fmt/data layout) — decodable
+# with numpy + struct alone, no codec library.  This closes the audio
+# half of the "real decoder goes here" seam the way netpbm closed the
+# image half: pipelines carrying WAV payloads parse a REAL container
+# (chunk walk, word alignment, fmt validation) and the features below
+# are genuine waveform math over the decoded samples.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal canonical RIFF/WAVE writer: PCM16 little-endian.
+    ``samples`` is mono ``(n,)`` or interleaved-by-row ``(n, ch)``
+    int16."""
+    import struct
+
+    s = np.ascontiguousarray(np.asarray(samples, dtype="<i2"))
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, int(sample_rate),
+                      int(sample_rate) * ch * 2, ch * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(payload: bytes):
+    """(sample_rate, channels, samples ``(frames, ch)`` int16) for
+    RIFF/WAVE PCM16 payloads; None for anything else (wrong magic,
+    compressed format tag, other bit depths).  Walks the chunk list
+    properly — unknown chunks (LIST/fact/cue) are skipped and chunk
+    sizes are word-aligned, like a real reader must."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, nch, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            tag, nch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if tag != 1 or bits != 16:
+                return None
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if not rate or not nch or data is None:
+        return None
+    usable = len(data) - (len(data) % (2 * nch))
+    s = np.frombuffer(data[:usable], dtype="<i2").reshape(-1, nch)
+    return int(rate), int(nch), s
+
+
+class WavAudioFeatures:
+    """Actor-pool stage over WAV payloads: REAL container parse + REAL
+    waveform math, with every float produced by ONE fixed expression
+    over EXACT integer sums so the values are bit-reproducible in SQL:
+
+    - ``rms = sqrt(float(Σ s²) / float(n)) / 32768.0`` (int64 Σ —
+      exact for any payload < 2^23 samples of full-scale int16);
+    - ``peak = float(max |s|) / 32768.0`` (power-of-two divide, exact);
+    - ``zero_cross_rate = float(sign changes on channel 0) /
+      float(frames - 1)``;
+    - ``duration_s = float(frames) / float(rate)``.
+
+    Undecodable payloads yield decoded=false zero rows, never an
+    exception (per-row failure isolation as everywhere)."""
+
+    def __init__(self):
+        self._ready = True  # once-per-actor setup slot
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [p or b"" for p in batch.column("payload").to_pylist()]
+        n = len(payloads)
+        ok = np.zeros(n, dtype=bool)
+        rate = np.zeros(n, dtype=np.int64)
+        ch = np.zeros(n, dtype=np.int64)
+        frames = np.zeros(n, dtype=np.int64)
+        dur = np.zeros(n, dtype=np.float64)
+        rms = np.zeros(n, dtype=np.float64)
+        peak = np.zeros(n, dtype=np.float64)
+        zcr = np.zeros(n, dtype=np.float64)
+        for i, p in enumerate(payloads):
+            got = decode_wav(p)
+            if got is None:
+                continue
+            r, c, s = got
+            ok[i], rate[i], ch[i], frames[i] = True, r, c, len(s)
+            if r:
+                dur[i] = float(len(s)) / float(r)
+            if s.size:
+                flat = s.astype(np.int64).ravel()
+                ssq = int(np.dot(flat, flat))
+                rms[i] = math.sqrt(float(ssq) / float(s.size)) / 32768.0
+                peak[i] = float(np.abs(flat).max()) / 32768.0
+            if len(s) > 1:
+                c0 = s[:, 0]
+                nc = int(np.count_nonzero((c0[1:] < 0) != (c0[:-1] < 0)))
+                zcr[i] = float(nc) / float(len(s) - 1)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "decoded": pa.array(ok),
+            "sample_rate": pa.array(rate),
+            "channels": pa.array(ch),
+            "n_frames": pa.array(frames),
+            "duration_s": pa.array(dur),
+            "rms": pa.array(rms),
+            "peak": pa.array(peak),
+            "zero_cross_rate": pa.array(zcr),
+        })
+
+
+def wav_stats_stage(ds, *, batch_size: int = 1024, concurrency=(2, 4)):
+    """Binary WAV payloads → per-row container metadata + waveform
+    features via an actor pool (decode happens on workers; payload
+    bytes never reach the driver)."""
+    return ds.map_batches(
+        WavAudioFeatures,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -187,3 +187,90 @@ class TestUrlCanonicalize:
             ["HTTP://A.COM/x", None, "http://[bad"], type=pa.string())}))
         got = [r["url_canonical"] for r in canonicalize_urls(ds).take_all()]
         assert got == ["http://a.com/x", None, "http://[bad"]
+
+
+# ---------------------------------------------------------------------------
+# WAV / RIFF PCM16 codec (stages/multimodal.py:encode_wav/decode_wav)
+# ---------------------------------------------------------------------------
+
+import math
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from logstash_filter_elastic_integration_ray.stages.multimodal import (
+    WavAudioFeatures,
+    decode_wav,
+    encode_wav,
+)
+
+
+class TestWavCodec:
+    def test_round_trip_mono_and_stereo(self):
+        mono = (np.arange(-50, 50, dtype=np.int16) * 300)
+        r, c, s = decode_wav(encode_wav(mono, 8000))
+        assert (r, c) == (8000, 1)
+        assert np.array_equal(s[:, 0], mono)
+        st = np.stack([mono, -mono], axis=1)
+        r, c, s = decode_wav(encode_wav(st, 44100))
+        assert (r, c) == (44100, 2)
+        assert np.array_equal(s, st)
+
+    def test_skips_unknown_chunks_and_word_alignment(self):
+        # hand-build: RIFF [LIST (odd size, padded)] [fmt ] [data]
+        mono = np.array([100, -100, 100], dtype="<i2")
+        data = mono.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+        body = lst + b"fmt " + struct.pack("<I", 16) + fmt \
+            + b"data" + struct.pack("<I", len(data)) + data
+        payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        r, c, s = decode_wav(payload)
+        assert (r, c) == (8000, 1) and np.array_equal(s[:, 0], mono)
+
+    def test_rejections(self):
+        assert decode_wav(b"") is None
+        assert decode_wav(b"RIFFxxxxWAVX" + b"\x00" * 20) is None
+        # non-PCM format tag
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+        p = (b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+             + b"fmt " + struct.pack("<I", 16) + fmt)
+        assert decode_wav(p) is None
+        # fmt present but no data chunk
+        fmt16 = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        p = (b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+             + b"fmt " + struct.pack("<I", 16) + fmt16)
+        assert decode_wav(p) is None
+
+    def test_truncated_data_drops_partial_frame(self):
+        st = np.array([[1, 2], [3, 4]], dtype="<i2")
+        payload = encode_wav(st, 8000)
+        # chop 2 bytes off: one sample of the last frame
+        chopped = payload[:-2]
+        # fix the data chunk size so the walk still finds it
+        chopped = bytearray(chopped)
+        r, c, s = decode_wav(bytes(chopped[:40]) + bytes(chopped[40:]))
+        assert c == 2 and len(s) in (1, 2)
+
+    def test_features_match_plain_reference(self):
+        ids = np.arange(12, dtype=np.int64)
+        payloads = []
+        for d in ids:
+            d = int(d)
+            wave = ((np.arange(40) * (d + 3) % 700) - 350).astype(np.int16)
+            ch = 1 + d % 2
+            payloads.append(encode_wav(np.repeat(wave[:, None], ch, axis=1),
+                                       8000))
+        batch = pa.table({"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())})
+        out = WavAudioFeatures()(batch).to_pandas()
+        for j, p in enumerate(payloads):
+            r, c, s = decode_wav(p)
+            flat = s.astype(np.int64).ravel()
+            want_rms = math.sqrt(float(int(np.dot(flat, flat))) / float(flat.size)) / 32768.0
+            assert out.rms[j] == want_rms
+            assert out.peak[j] == float(np.abs(flat).max()) / 32768.0
+            c0 = s[:, 0]
+            nc = int(np.count_nonzero((c0[1:] < 0) != (c0[:-1] < 0)))
+            assert out.zero_cross_rate[j] == nc / float(len(s) - 1)
+            assert bool(out.decoded[j]) and out.n_frames[j] == len(s)
