@@ -1017,6 +1017,21 @@ def q_pmi_bigrams_docs(sf_dir: str):
     return pmi_bigrams(docs, min_count=5, num_partitions=32)
 
 
+def q_frequent_pairs_docs(sf_dir: str):
+    """A-Priori frequent token-pair mining with lift over doc baskets
+    (stages/corpus.py:frequent_pairs): pass-1 per-item basket support
+    with one exchange, frequent set (support ≥ 100 docs) broadcast via
+    ray.put, pass-2 candidate pairs only among frequent items
+    (vectorized segment triangular expansion), ONE pair-count
+    exchange; support/lift are fixed float expressions on exact int64
+    counts."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import frequent_pairs
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    return frequent_pairs(docs, min_item_count=100, min_pair_count=20)
+
+
 def q_audio_stats_wav(sf_dir: str):
     """REAL audio container parse, no external library: deterministic
     RIFF/WAVE PCM16 payloads per doc (square wave of period 2k frames,
@@ -3210,6 +3225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": q_line_dedup_docs,
         "keyness_docs": q_keyness_docs,
         "audio_stats_wav": q_audio_stats_wav,
+        "frequent_pairs_docs": q_frequent_pairs_docs,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -3897,6 +3913,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN dup THEN b ELSE 0 END) AS BIGINT) AS dup_bytes, "
             "CAST(sum(CASE WHEN dup THEN b ELSE 0 END) AS DOUBLE) / sum(b) AS dup_frac "
             "FROM j GROUP BY doc_id"
+        ),
+        "frequent_pairs_docs": (
+            "WITH b AS (SELECT DISTINCT doc_id, token FROM "
+            "  (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) "
+            "   AS token FROM documents)), "
+            "n AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM documents), "
+            "f AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM b "
+            "      GROUP BY token HAVING count(*) >= 100), "
+            "p AS (SELECT l.token AS item1, r.token AS item2, "
+            "      CAST(count(*) AS BIGINT) AS n_pair "
+            "      FROM b l JOIN b r ON l.doc_id = r.doc_id "
+            "                       AND l.token < r.token "
+            "      WHERE l.token IN (SELECT token FROM f) "
+            "        AND r.token IN (SELECT token FROM f) "
+            "      GROUP BY 1, 2 HAVING count(*) >= 20) "
+            "SELECT item1, item2, n_pair, f1.cnt AS n_item1, "
+            "  f2.cnt AS n_item2, "
+            "  CAST(n_pair AS DOUBLE) / n.nb AS support, "
+            "  (CAST(n_pair AS DOUBLE) * n.nb) / "
+            "  (CAST(f1.cnt AS DOUBLE) * f2.cnt) AS lift "
+            "FROM p JOIN f f1 ON f1.token = p.item1 "
+            "JOIN f f2 ON f2.token = p.item2 CROSS JOIN n"
         ),
         "audio_stats_wav": (
             "WITH p AS (SELECT doc_id, doc_id % 7 = 0 AS bad, "

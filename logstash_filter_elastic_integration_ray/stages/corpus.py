@@ -1254,3 +1254,171 @@ def cdc_dup_stats(ds, *, num_partitions: int = 32, text_col: str = "text",
         .groupby("__part")
         .map_groups(by_doc, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# A-Priori frequent token pairs (association mining with lift)
+# ---------------------------------------------------------------------------
+
+
+def _distinct_item_partials(t: pa.Table, text_col: str,
+                            num_partitions: int) -> pa.Table:
+    """Per batch: (token, count-of-docs-containing-it) partials.  A doc
+    is one row, so per-batch distinct (doc, token) pairs are globally
+    distinct and the per-token doc counts merge by sum."""
+    flat, counts = _split_tokens_flat(t.column(text_col))
+    doc = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+    df = pd.DataFrame({"token": flat.to_pandas().to_numpy(dtype=object),
+                       "doc": doc}).drop_duplicates()
+    cnt = df.groupby("token", sort=False).size()
+    out = pa.table({
+        "token": pa.array(cnt.index.to_numpy(dtype=object), type=pa.string()),
+        "cnt": pa.array(cnt.to_numpy(dtype=np.int64)),
+    })
+    return add_partition_col(out, num_partitions, key="token")
+
+
+def _split_tokens_flat(col):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern(pc.fill_null(col, ""), " ")
+    counts = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return toks.flatten(), counts
+
+
+def frequent_pairs(ds, *, min_item_count: int, min_pair_count: int = 1,
+                   text_col: str = "text", num_partitions: int = 32):
+    """A-Priori association mining over token baskets (Agrawal &
+    Srikant's two-pass recipe): baskets are docs, items are their
+    DISTINCT tokens.  Pass 1 counts per-item basket support and keeps
+    items with support ≥ ``min_item_count`` (the frequent set —
+    small-by-contract at any sane threshold, broadcast once via
+    ``ray.put`` exactly like the decontamination gram set); pass 2
+    generates candidate pairs ONLY among frequent items per basket
+    (the A-Priori pruning that bounds the pair blowup), merges pair
+    counts through one exchange, and scores
+    ``lift = n_pair·N / (n_item1·n_item2)`` and
+    ``support = n_pair / N`` — single fixed float expressions on exact
+    int64 counts, bit-identical to the SQL twin.
+
+    Output: (item1, item2, n_pair, n_item1, n_item2, support, lift)
+    with item1 < item2 lexicographically and n_pair ≥
+    ``min_pair_count``.  Pair generation is fully vectorized (segment
+    triangular expansion via multi-arange — no per-doc loop)."""
+    import ray
+
+    from .joins import _multi_arange
+
+    n_baskets = int(ds.count())
+
+    def merge_support(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby("token", sort=False)["cnt"].sum()
+        agg = agg[agg >= min_item_count]
+        return pa.table({
+            "token": pa.array(agg.index.to_numpy(dtype=object),
+                              type=pa.string()),
+            "cnt": pa.array(agg.to_numpy(dtype=np.int64)),
+        })
+
+    support = (
+        ds.map_batches(
+            lambda t: _distinct_item_partials(t, text_col, num_partitions),
+            batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge_support, batch_format="pandas")
+    )
+    sup = support.to_pandas()  # bounded by the frequent set, by contract
+    if "token" not in sup.columns or not len(sup):
+        # empty frequent set: an empty dataset loses its schema through
+        # to_pandas, and no pairs can exist — return a TYPED empty result
+        import ray
+
+        return ray.data.from_arrow(pa.table({
+            "item1": pa.array([], type=pa.string()),
+            "item2": pa.array([], type=pa.string()),
+            "n_pair": pa.array([], type=pa.int64()),
+            "n_item1": pa.array([], type=pa.int64()),
+            "n_item2": pa.array([], type=pa.int64()),
+            "support": pa.array([], type=pa.float64()),
+            "lift": pa.array([], type=pa.float64()),
+        }))
+    order = np.argsort(sup["token"].to_numpy(dtype=object), kind="stable")
+    items = sup["token"].to_numpy(dtype=object)[order]
+    item_counts = sup["cnt"].to_numpy(dtype=np.int64)[order]
+    freq_ref = ray.put((items, item_counts))
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        f_items, _ = ray.get(freq_ref)
+        flat, counts = _split_tokens_flat(t.column(text_col))
+        doc = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        tok = flat.to_pandas().to_numpy(dtype=object)
+        pos = np.searchsorted(f_items, tok)
+        m = pos < len(f_items)
+        if len(f_items):
+            m &= f_items[np.minimum(pos, len(f_items) - 1)] == tok
+        ids = np.unique(np.stack([doc[m], pos[m]]), axis=1)
+        d_u, p_u = ids[0], ids[1]
+        # segment triangular expansion: element at idx pairs with every
+        # LATER element of its doc segment
+        seg_start = np.zeros(len(d_u), dtype=np.int64)
+        if len(d_u):
+            new = np.ones(len(d_u), dtype=bool)
+            new[1:] = d_u[1:] != d_u[:-1]
+            seg_id = np.cumsum(new) - 1
+            seg_sizes = np.bincount(seg_id)
+            seg_end = np.cumsum(seg_sizes)[seg_id]
+            idx = np.arange(len(d_u), dtype=np.int64)
+            ii, jj = _multi_arange(idx + 1, seg_end)
+            # _multi_arange returns (interval index, value): interval
+            # index IS the left element, value the right element
+            left, right = p_u[ii], p_u[jj]
+        else:
+            left = right = np.empty(0, dtype=np.int64)
+        if len(left):
+            code = left * np.int64(len(f_items)) + right
+            uniq, cnts = np.unique(code, return_counts=True)
+            l2, r2 = uniq // len(f_items), uniq % len(f_items)
+            out = pa.table({
+                "i1": pa.array(l2.astype(np.int64)),
+                "i2": pa.array(r2.astype(np.int64)),
+                "cnt": pa.array(cnts.astype(np.int64)),
+            })
+        else:
+            out = pa.table({"i1": pa.array([], type=pa.int64()),
+                            "i2": pa.array([], type=pa.int64()),
+                            "cnt": pa.array([], type=pa.int64())})
+        return add_partition_col(out, num_partitions, key="i1")
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        f_items, f_counts = ray.get(freq_ref)
+        agg = df.groupby(["i1", "i2"], sort=False)["cnt"].sum().reset_index()
+        p = agg["cnt"].to_numpy(dtype=np.int64)
+        keep = p >= min_pair_count
+        i1 = agg["i1"].to_numpy(dtype=np.int64)[keep]
+        i2 = agg["i2"].to_numpy(dtype=np.int64)[keep]
+        p = p[keep]
+        n1, n2 = f_counts[i1], f_counts[i2]
+        # plain IEEE divide/multiply — numpy is bit-identical to SQL
+        # here (unlike log, these kernels never reassociate)
+        nb = np.float64(n_baskets)
+        supp = p.astype(np.float64) / nb
+        lift = (p.astype(np.float64) * nb) / (
+            n1.astype(np.float64) * n2.astype(np.float64))
+        return pa.table({
+            "item1": pa.array(f_items[i1], type=pa.string()),
+            "item2": pa.array(f_items[i2], type=pa.string()),
+            "n_pair": pa.array(p),
+            "n_item1": pa.array(n1),
+            "n_item2": pa.array(n2),
+            "support": pa.array(supp),
+            "lift": pa.array(lift),
+        })
+
+    return (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(finish, batch_format="pandas")
+    )

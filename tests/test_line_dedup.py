@@ -165,3 +165,69 @@ def test_keyness_direction_tie_and_zero_side(ray_session):
     # exact proportional representation: a*nb == b*na -> 'b'
     a, b, g2, d = got["balanced"]
     assert (a, b) == (1, 1)
+
+
+# ---------------------------------------------------------------------------
+# A-Priori frequent pairs
+# ---------------------------------------------------------------------------
+
+from itertools import combinations
+
+from logstash_filter_elastic_integration_ray.stages.corpus import frequent_pairs
+
+
+def ref_frequent_pairs(texts, min_item, min_pair):
+    baskets = [sorted(set((t or "").split(" "))) for t in texts]
+    item = Counter()
+    for b in baskets:
+        item.update(b)
+    freq = {t: c for t, c in item.items() if c >= min_item}
+    pair = Counter()
+    for b in baskets:
+        fb = [t for t in b if t in freq]
+        for x, y in combinations(fb, 2):
+            pair[(x, y)] += 1
+    nb = float(len(baskets))
+    out = {}
+    for (x, y), p in pair.items():
+        if p < min_pair:
+            continue
+        out[(x, y)] = (p, freq[x], freq[y], p / nb,
+                       (float(p) * nb) / (float(freq[x]) * float(freq[y])))
+    return out
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_frequent_pairs_matches_reference(ray_session, blocks):
+    texts = [
+        "a b c a a",       # repeats collapse: basket {a,b,c}
+        "a b d",
+        "b c d rare",
+        "a c d",
+        "a b c d",
+        "e e e",           # infrequent items only
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })).repartition(blocks)
+    got = frequent_pairs(ds, min_item_count=3, min_pair_count=2,
+                         num_partitions=4).to_pandas()
+    want = ref_frequent_pairs(texts, 3, 2)
+    gmap = {(r.item1, r.item2): (int(r.n_pair), int(r.n_item1), int(r.n_item2),
+                                 float(r.support), float(r.lift))
+            for r in got.itertuples()}
+    assert gmap == want
+    # A-Priori pruning: 'rare' and 'e' never appear in any pair
+    assert all("rare" not in k and "e" not in k for k in gmap)
+    # item1 < item2 lexicographically
+    assert all(a < b for a, b in gmap)
+
+
+def test_frequent_pairs_empty_frequent_set(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["x y", "z w"], type=pa.string()),
+    }))
+    got = frequent_pairs(ds, min_item_count=5, num_partitions=2).to_pandas()
+    assert len(got) == 0
