@@ -463,6 +463,62 @@ def run_bench() -> dict:
 
     timed("winnow_dup_16x", winnow_dup_16x, reps=1)
 
+    def line_dedup_16x():
+        # corpus-wide line dedup at 16x: docs re-lined into 8-token
+        # lines (one RE2 pass), so every line of every copy is
+        # duplicated >= 16x — the hash exchange runs entirely on
+        # batch-collapsed minima, the rebuild exchange at full text
+        from logstash_filter_elastic_integration_ray.stages.corpus import dedup_lines
+
+        def relined(t):
+            return pa_.table({
+                "doc_id": t.column("doc_id"),
+                "text": pc_.replace_substring_regex(
+                    t.column("text"), pattern=r"((?:\S+ ){7}\S+) ",
+                    replacement="\\1\n"),
+            })
+
+        heavy = read_parquet_clean(
+            dup_path, override_num_blocks=NUM_CPUS * 2
+        ).map_batches(relined, batch_format="pyarrow")
+        return dedup_lines(heavy, num_partitions=NUM_CPUS * 2).count()
+
+    timed("line_dedup_16x", line_dedup_16x, reps=1)
+
+    def keyness_16x():
+        # Dunning G2 keyness at 16x: deduped token partials through one
+        # exchange; the totals pass is shuffle-free
+        from logstash_filter_elastic_integration_ray.stages.textstats import (
+            token_keyness,
+        )
+
+        def sided(t):
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "side",
+                pa_.array(np.where(ids % 2 == 0, "a", "b"), type=pa_.string()))
+
+        heavy = read_parquet_clean(
+            dup_path, override_num_blocks=NUM_CPUS * 2
+        ).map_batches(sided, batch_format="pyarrow")
+        return token_keyness(heavy, side_col="side", side_a="a",
+                             min_count=100, num_partitions=NUM_CPUS * 2).count()
+
+    timed("keyness_16x", keyness_16x, reps=1)
+
+    def frequent_pairs_16x():
+        # A-Priori pairs at 16x: pass-1 support exchange at 16x the
+        # partials, frequent-set broadcast, pass-2 triangular expansion
+        from logstash_filter_elastic_integration_ray.stages.corpus import (
+            frequent_pairs,
+        )
+
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        return frequent_pairs(heavy, min_item_count=1600, min_pair_count=320,
+                              num_partitions=NUM_CPUS * 2).count()
+
+    timed("frequent_pairs_16x", frequent_pairs_16x, reps=1)
+
     def _exchange_rows():
         # rows entering the by-gram exchange: full grams vs winnowed fps
         from logstash_filter_elastic_integration_ray.stages.corpus import (
