@@ -1017,6 +1017,22 @@ def q_pmi_bigrams_docs(sf_dir: str):
     return pmi_bigrams(docs, min_count=5, num_partitions=32)
 
 
+def q_top_tokens_by_lang(sf_dir: str):
+    """Exact top-5 tokens per language with rank, tie-break (count
+    desc, token asc) — the GROUP BY twin of the global heavy-hitter
+    pass (stages/textstats.py:group_top_tokens): deduped
+    (lang, token, cnt) partials, exchange by token (counts finalize +
+    per-partition per-group top-k prune), exchange by lang (≤ k rows
+    per group per partition), local selection.  No driver vocabulary."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import (
+        group_top_tokens,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
+    return group_top_tokens(docs, group_col="lang", k=5)
+
+
 def q_frequent_pairs_docs(sf_dir: str):
     """A-Priori frequent token-pair mining with lift over doc baskets
     (stages/corpus.py:frequent_pairs): pass-1 per-item basket support
@@ -3226,6 +3242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyness_docs": q_keyness_docs,
         "audio_stats_wav": q_audio_stats_wav,
         "frequent_pairs_docs": q_frequent_pairs_docs,
+        "top_tokens_by_lang": q_top_tokens_by_lang,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -3913,6 +3930,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN dup THEN b ELSE 0 END) AS BIGINT) AS dup_bytes, "
             "CAST(sum(CASE WHEN dup THEN b ELSE 0 END) AS DOUBLE) / sum(b) AS dup_frac "
             "FROM j GROUP BY doc_id"
+        ),
+        "top_tokens_by_lang": (
+            "WITH t AS (SELECT lang, "
+            "  unnest(string_split(coalesce(text, ''), ' ')) AS token "
+            "  FROM documents WHERE lang IS NOT NULL), "
+            "c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt "
+            "      FROM t GROUP BY 1, 2), "
+            "r AS (SELECT lang, token, cnt, CAST(row_number() OVER "
+            "  (PARTITION BY lang ORDER BY cnt DESC, token) AS BIGINT) AS rnk "
+            "  FROM c) "
+            "SELECT lang, token, cnt, rnk FROM r WHERE rnk <= 5"
         ),
         "frequent_pairs_docs": (
             "WITH b AS (SELECT DISTINCT doc_id, token FROM "

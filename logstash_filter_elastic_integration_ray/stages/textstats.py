@@ -995,6 +995,88 @@ def token_keyness(ds, *, side_col: str, side_a, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# exact per-group top-k tokens (top terms per language / source)
+# ---------------------------------------------------------------------------
+
+
+def group_top_tokens(ds, *, group_col: str, k: int = 10,
+                     text_col: str = "text", num_partitions: int = 32):
+    """Exact top-``k`` tokens by count per group (e.g. top terms per
+    language) with rank — the GROUP BY twin of the global
+    heavy-hitter pass, tie-break (count desc, token asc).
+
+    Distributed shape: deduped (group, token, cnt) partials leave each
+    batch once; ONE exchange by token merges counts (all rows of a
+    (group, token) pair share the token, so counts finalize
+    partition-locally) and prunes each group to its per-partition
+    top-k — the global top-k is a subset of the union of per-partition
+    top-k's once counts are final, so the second exchange (by group)
+    carries at most k rows per group per partition and selection is
+    local.  No driver-side vocabulary.  NULL group keys are excluded
+    (the SQL twin filters them; mirror with WHERE group IS NOT NULL)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(pc.fill_null(col, ""), " ")
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        grp = t.column(group_col).to_pandas().to_numpy(dtype=object)
+        df = pd.DataFrame({
+            "g": np.repeat(grp, counts),
+            "token": toks.flatten().to_pandas().to_numpy(dtype=object),
+        })
+        cnt = df.groupby(["g", "token"], sort=False).size().reset_index(name="cnt")
+        out = pa.table({
+            "g": pa.array(cnt["g"].to_numpy(dtype=object), type=pa.string()),
+            "token": pa.array(cnt["token"].to_numpy(dtype=object),
+                              type=pa.string()),
+            "cnt": pa.array(cnt["cnt"].to_numpy(dtype=np.int64)),
+        })
+        return add_partition_col(out, num_partitions, key="token")
+
+    def _topk_frame(df: pd.DataFrame) -> pd.DataFrame:
+        # rank by (cnt desc, token asc) within group, keep <= k
+        df = df.sort_values(["g", "cnt", "token"],
+                            ascending=[True, False, True], kind="mergesort")
+        rnk = df.groupby("g", sort=False).cumcount() + 1
+        return df[rnk <= k].assign(rnk=rnk[rnk <= k])
+
+    def merge_prune(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby(["g", "token"], sort=False)["cnt"].sum().reset_index()
+        pruned = _topk_frame(agg)
+        out = pa.table({
+            "g": pa.array(pruned["g"].to_numpy(dtype=object), type=pa.string()),
+            "token": pa.array(pruned["token"].to_numpy(dtype=object),
+                              type=pa.string()),
+            "cnt": pa.array(pruned["cnt"].to_numpy(dtype=np.int64)),
+        })
+        return add_partition_col(out, num_partitions, key="g")
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        top = _topk_frame(df[["g", "token", "cnt"]])
+        return pa.table({
+            group_col: pa.array(top["g"].to_numpy(dtype=object),
+                                type=pa.string()),
+            "token": pa.array(top["token"].to_numpy(dtype=object),
+                              type=pa.string()),
+            "cnt": pa.array(top["cnt"].to_numpy(dtype=np.int64)),
+            "rnk": pa.array(top["rnk"].to_numpy(dtype=np.int64)),
+        })
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge_prune, batch_format="pandas")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # blocklist phrase filter (C4-style badword/boilerplate gating)
 # ---------------------------------------------------------------------------
 

@@ -231,3 +231,58 @@ def test_frequent_pairs_empty_frequent_set(ray_session):
     }))
     got = frequent_pairs(ds, min_item_count=5, num_partitions=2).to_pandas()
     assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# per-group top-k tokens
+# ---------------------------------------------------------------------------
+
+from logstash_filter_elastic_integration_ray.stages.textstats import group_top_tokens
+
+
+def ref_group_top_tokens(rows, k):
+    cnt = Counter()
+    for g, text in rows:
+        for tok in (text or "").split(" "):
+            cnt[(g, tok)] += 1
+    out = {}
+    by_g = {}
+    for (g, tok), c in cnt.items():
+        by_g.setdefault(g, []).append((-c, tok))
+    for g, lst in by_g.items():
+        for r, (negc, tok) in enumerate(sorted(lst)[:k], 1):
+            out[(g, tok)] = (-negc, r)
+    return out
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_group_top_tokens_matches_reference(ray_session, blocks):
+    rows = [
+        ("en", "a a a b b c tie1 tie2"),
+        ("en", "b c c d"),
+        ("de", "x x y z z z"),
+        ("de", "y y x w"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "lang": pa.array([g for g, _ in rows], type=pa.string()),
+        "text": pa.array([t for _, t in rows], type=pa.string()),
+    })).repartition(blocks)
+    got = group_top_tokens(ds, group_col="lang", k=3,
+                           num_partitions=4).to_pandas()
+    want = ref_group_top_tokens(rows, 3)
+    gmap = {(r.lang, r.token): (int(r.cnt), int(r.rnk)) for r in got.itertuples()}
+    assert gmap == want
+    # deterministic tie-break: count desc then token asc
+    en = sorted(((r, t) for (g, t), (c, r) in gmap.items() if g == "en"))
+    assert [t for _, t in en] == [t for _, t in sorted(
+        ((r, t) for (g, t), (c, r) in want.items() if g == "en"))]
+
+
+def test_group_top_tokens_k_larger_than_vocab(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "lang": pa.array(["en", "de"], type=pa.string()),
+        "text": pa.array(["a b", "x"], type=pa.string()),
+    }))
+    got = group_top_tokens(ds, group_col="lang", k=10,
+                           num_partitions=2).to_pandas()
+    assert len(got) == 3  # every token ranked, no padding
