@@ -1017,6 +1017,40 @@ def q_pmi_bigrams_docs(sf_dir: str):
     return pmi_bigrams(docs, min_count=5, num_partitions=32)
 
 
+def q_pagerank_docs(sf_dir: str):
+    """Distributed PageRank over a deterministic doc link graph
+    (stages/graph.py:pagerank): exact int64 fixed-point — floor-div
+    shares, integer damping, one global leftover term — so the scores
+    are bit-identical under any batching and the fixture from the
+    independent dict-and-loop reference
+    (tools/reference_impls.pagerank_reference) matches exactly.  Per
+    iteration: ranks join edges by src, contributions join nodes by
+    dst (two co-partition exchanges — the BSP PageRank cost model);
+    driver state is two scalars.  Edge rule shared with
+    tools/reference_impls.pagerank_edges_for_docs: every 5th doc
+    dangling, others emit 1 + d%3 hashed-target edges."""
+    from logstash_filter_elastic_integration_ray.stages.graph import pagerank
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = int(docs.count())
+
+    def synth_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        src, dst = [], []
+        for d in ids:
+            d = int(d)
+            if d % 5 == 0:
+                continue
+            for j in range(1 + d % 3):
+                src.append(d)
+                dst.append((d * 17 + 1 + 97 * j) % n_docs)
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "dst": pa.array(dst, type=pa.int64())})
+
+    edges = docs.map_batches(synth_edges, batch_format="pyarrow")
+    return pagerank(edges, n_iters=8)
+
+
 def q_top_tokens_by_lang(sf_dir: str):
     """Exact top-5 tokens per language with rank, tie-break (count
     desc, token asc) — the GROUP BY twin of the global heavy-hitter
@@ -3243,6 +3277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_stats_wav": q_audio_stats_wav,
         "frequent_pairs_docs": q_frequent_pairs_docs,
         "top_tokens_by_lang": q_top_tokens_by_lang,
+        "pagerank_docs": q_pagerank_docs,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -3930,6 +3965,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN dup THEN b ELSE 0 END) AS BIGINT) AS dup_bytes, "
             "CAST(sum(CASE WHEN dup THEN b ELSE 0 END) AS DOUBLE) / sum(b) AS dup_frac "
             "FROM j GROUP BY doc_id"
+        ),
+        "pagerank_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/pagerank_docs.sf0_01.parquet')"
         ),
         "top_tokens_by_lang": (
             "WITH t AS (SELECT lang, "

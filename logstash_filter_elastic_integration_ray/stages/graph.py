@@ -1,0 +1,223 @@
+"""Distributed link-graph analytics: PageRank over an edge table.
+
+Link centrality is a published corpus-curation signal (web-graph
+quality weighting for crawl data — the Common Crawl ranking family),
+so the engine carries it as a first-class iterative op alongside
+k-means / logreg.  The shape is the BSP message-passing one every
+distributed PageRank uses:
+
+- per iteration, TWO co-partition exchanges: ranks join edges by src
+  (each edge emits its share, pre-summed per dst within the
+  partition), then contribution partials join the node table by dst;
+- loop state (the node table) is materialized per iteration exactly
+  like the k-means centroid loop — the edges ride one exchange per
+  iteration, which IS PageRank's cost model on any BSP system;
+- the only driver state per iteration is two scalars (propagated-mass
+  sum, base term).
+
+Determinism (the property the float textbook formulation cannot give
+on an unordered engine): ranks are int64 fixed-point micro-units
+(SCALE = 2^32 per node).  Every per-edge share is an exact integer
+floor division ``q // deg``; per-dst sums are exact int64 adds (any
+order); damping is one integer ``(num · S) // den``; ALL rounding
+remainders plus dangling mass plus teleport collapse into one global
+leftover ``L = M − Σ propagated`` redistributed as ``L // n`` per node
+(the sub-n remainder is deliberately discarded — ranking is unaffected
+and the result stays a pure function of the graph, independent of
+batch/partition boundaries).  The final float rank is ``q / 2^32``, an
+exact power-of-two division.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .aggregate import add_partition_col
+
+SCALE = np.int64(1) << np.int64(32)
+
+
+def _node_table(edges, src_col: str, dst_col: str, num_partitions: int):
+    """(node, deg) for every node appearing as src OR dst — one
+    exchange; deg counts outgoing edges (0 = dangling)."""
+
+    def sides(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).cast(pa.int64())
+        d = t.column(dst_col).cast(pa.int64())
+        out = pa.table({
+            "node": pa.concat_arrays([s.combine_chunks(), d.combine_chunks()]),
+            "is_src": pa.array(np.r_[np.ones(len(s), dtype=np.int64),
+                                     np.zeros(len(d), dtype=np.int64)]),
+        })
+        # per-batch pre-collapse: one row per node per batch
+        df = pd.DataFrame({"node": out.column("node").to_numpy(),
+                           "is_src": out.column("is_src").to_numpy()})
+        agg = df.groupby("node", sort=False)["is_src"].sum().reset_index()
+        red = pa.table({"node": pa.array(agg["node"].to_numpy(dtype=np.int64)),
+                        "is_src": pa.array(agg["is_src"].to_numpy(dtype=np.int64))})
+        return add_partition_col(red, num_partitions, key="node")
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby("node", sort=False)["is_src"].sum().reset_index()
+        return pa.table({
+            "node": pa.array(agg["node"].to_numpy(dtype=np.int64)),
+            "deg": pa.array(agg["is_src"].to_numpy(dtype=np.int64)),
+        })
+
+    return (
+        edges.map_batches(sides, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def pagerank(edges, *, n_iters: int = 8, damping_num: int = 85,
+             damping_den: int = 100, num_partitions: int = 32,
+             src_col: str = "src", dst_col: str = "dst"):
+    """PageRank with damping ``damping_num/damping_den`` over an edge
+    Dataset — exact int64 fixed-point (see module docstring), so the
+    output is bit-identical under any batching / partitioning.
+    Returns (node, q, rank): q the fixed-point score, rank = q / 2^32.
+
+    Self-loops count like any edge; parallel edges count twice (match
+    the reference semantics of whatever produced the edge table —
+    dedup first if simple-graph semantics are wanted).
+
+    Magnitude bound: per-dst contribution sums are ≤ n·2^32 and damping
+    multiplies by ``damping_num`` before dividing, so int64 holds up to
+    ~2^24 nodes at the default SCALE; shard id spaces beyond that
+    should lower SCALE (future knob) — noted, not silently wrong."""
+    nodes = _node_table(edges, src_col, dst_col, num_partitions).map_batches(
+        lambda t: t.append_column(
+            "q", pa.array(np.full(t.num_rows, int(SCALE), dtype=np.int64))),
+        batch_format="pyarrow",
+    ).materialize()
+    n_nodes = int(nodes.count())
+    if n_nodes == 0:
+        import ray
+
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "q": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.float64()),
+        }))
+    total_mass = n_nodes * int(SCALE)
+
+    def edge_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "key": t.column(src_col).cast(pa.int64()),
+            "dst": t.column(dst_col).cast(pa.int64()),
+            "deg": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "q": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="key")
+
+    def rank_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "key": t.column("node"),
+            "dst": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "deg": t.column("deg"),
+            "q": t.column("q"),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="key")
+
+    def contribute(df: pd.DataFrame) -> pa.Table:
+        ranks = df[df["side"] == 1][["key", "deg", "q"]]
+        eg = df[df["side"] == 0][["key", "dst"]]
+        live = ranks[ranks["deg"] > 0]
+        share = (live["q"].to_numpy(dtype=np.int64)
+                 // live["deg"].to_numpy(dtype=np.int64))
+        m = eg.merge(pd.DataFrame({"key": live["key"].to_numpy(dtype=np.int64),
+                                   "share": share}), on="key", how="inner")
+        agg = m.groupby("dst", sort=False)["share"].sum().reset_index()
+        out = pa.table({
+            "dst": pa.array(agg["dst"].to_numpy(dtype=np.int64)),
+            "s": pa.array(agg["share"].to_numpy(dtype=np.int64)),
+        })
+        return add_partition_col(out, num_partitions, key="dst")
+
+    def node_row(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "dst": t.column("node"),
+            "s": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "deg": t.column("deg"),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="dst")
+
+    def contrib_row(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "dst": t.column("dst"),
+            "s": t.column("s"),
+            "deg": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "__part": t.column("__part"),
+        })
+
+    def apply_damping(df: pd.DataFrame) -> pa.Table:
+        base_nodes = df[df["side"] == 1][["dst", "deg"]]
+        contrib_rows = df[df["side"] == 0]
+        agg = contrib_rows.groupby("dst", sort=False)["s"].sum().reset_index()
+        # int64 all the way: a NaN-bearing map/fillna round trip would
+        # float64 the sums, lossy past 2^53
+        keys = np.sort(agg["dst"].to_numpy(dtype=np.int64))
+        order = np.argsort(agg["dst"].to_numpy(dtype=np.int64), kind="stable")
+        vals = agg["s"].to_numpy(dtype=np.int64)[order]
+        want = base_nodes["dst"].to_numpy(dtype=np.int64)
+        sv = np.zeros(len(want), dtype=np.int64)
+        if len(keys):
+            pos = np.searchsorted(keys, want)
+            ok = (pos < len(keys))
+            okpos = np.minimum(pos, len(keys) - 1)
+            ok &= keys[okpos] == want
+            sv[ok] = vals[okpos[ok]]
+        # exact integer damping: all rounding loss folds into the
+        # global leftover redistributed next step
+        prop = (damping_num * sv) // damping_den
+        return pa.table({
+            "node": pa.array(base_nodes["dst"].to_numpy(dtype=np.int64)),
+            "deg": pa.array(base_nodes["deg"].to_numpy(dtype=np.int64)),
+            "prop": pa.array(prop.astype(np.int64)),
+        })
+
+    for _ in range(n_iters):
+        contrib = (
+            nodes.map_batches(rank_side, batch_format="pyarrow")
+            .union(edges.map_batches(edge_side, batch_format="pyarrow"))
+            .repartition(num_partitions)
+            .groupby("__part")
+            .map_groups(contribute, batch_format="pandas")
+        )
+        merged = (
+            nodes.map_batches(node_row, batch_format="pyarrow")
+            .union(contrib.map_batches(contrib_row, batch_format="pyarrow"))
+            .repartition(num_partitions)
+            .groupby("__part")
+            .map_groups(apply_damping, batch_format="pandas")
+        ).materialize()
+        tot_prop = int(merged.sum("prop"))
+        base = (total_mass - tot_prop) // n_nodes
+
+        def add_base(t: pa.Table, base=base) -> pa.Table:
+            q = pc.add(t.column("prop"), pa.scalar(base, type=pa.int64()))
+            return pa.table({"node": t.column("node"),
+                             "deg": t.column("deg"),
+                             "q": q})
+
+        nodes = merged.map_batches(add_base, batch_format="pyarrow").materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        q = t.column("q").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": t.column("node"),
+            "q": t.column("q"),
+            "rank": pa.array(q.astype(np.float64) / np.float64(2 ** 32)),
+        })
+
+    return nodes.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,73 @@
+"""Integer fixed-point PageRank (stages/graph.py) vs the plain
+dict-and-loop reference (tools/reference_impls.pagerank_reference):
+bit-exact q values, batching invariance, dangling mass, ordering."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+sys.path.insert(0, "/root/repo")
+
+from logstash_filter_elastic_integration_ray.stages.graph import pagerank
+from tools.reference_impls import pagerank_reference
+
+
+def _run(edges, blocks=1, **kw):
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in edges], type=pa.int64()),
+        "dst": pa.array([d for _, d in edges], type=pa.int64()),
+    })).repartition(blocks)
+    got = pagerank(ds, num_partitions=4, **kw).to_pandas()
+    return {int(r.node): (int(r.q), float(r.rank)) for r in got.itertuples()}
+
+
+def _want(edges, **kw):
+    df = pagerank_reference(edges, **kw)
+    return {int(r.node): (int(r.q), float(r.rank)) for r in df.itertuples()}
+
+
+GRAPH = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 3),  # parallel edge
+    (5, 5),                                           # self-loop
+    (6, 1),                                           # 7 is dangling (dst only)
+    (6, 7),
+]
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_pagerank_bit_exact_vs_reference(ray_session, blocks):
+    got = _run(GRAPH, blocks=blocks)
+    want = _want(GRAPH)
+    assert got == want  # q int64 AND float rank, bitwise
+
+
+def test_pagerank_star_hub_wins(ray_session):
+    star = [(i, 0) for i in range(1, 8)]
+    got = _run(star)
+    hub_q = got[0][0]
+    assert all(hub_q > q for n, (q, _) in got.items() if n != 0)
+    want = _want(star)
+    assert got == want
+
+
+def test_pagerank_mass_bounded_and_iters(ray_session):
+    got = _run(GRAPH, n_iters=3)
+    want = _want(GRAPH, n_iters=3)
+    assert got == want
+    total = sum(q for q, _ in got.values())
+    n = len(got)
+    # leftover remainder discards < n units per iteration, never adds
+    assert n * (1 << 32) - 3 * n <= total <= n * (1 << 32)
+
+
+def test_pagerank_all_dangling(ray_session):
+    # one edge creates two nodes; make both effectively near-dangling
+    got = _run([(1, 2)], n_iters=2)
+    want = _want([(1, 2)], n_iters=2)
+    assert got == want

@@ -68,6 +68,7 @@ def main() -> None:
         "bpe_tokenize_docs": ref.bpe_reference(ids, texts),
         "softmax_embeddings": ref.softmax_score_reference(sf_dir),
         "embedding_decontaminate_docs": ref.embedding_decontaminate_reference(sf_dir),
+        "pagerank_docs": ref.pagerank_docs_reference(sf_dir),
     }
     for name, df in tables.items():
         df = _canonical(df)

@@ -1127,3 +1127,65 @@ def cdc_chunks_reference(ids, texts, *, mask_bits: int = 6, min_size: int = 16,
                                        "chunk_md5"]).astype(
         {"doc_id": np.int64, "chunk_idx": np.int64,
          "start": np.int64, "end": np.int64})
+
+
+# ---------------------------------------------------------------------------
+# PageRank (integer fixed-point — same contract as stages/graph.py)
+# ---------------------------------------------------------------------------
+
+def pagerank_edges_for_docs(ids: np.ndarray, n: int) -> list[tuple[int, int]]:
+    """The DEFINITIONAL deterministic edge rule shared with
+    __ray_entry__.q_pagerank_docs: every 5th doc is dangling, the rest
+    emit 1 + d%3 edges to hashed targets (self-loops allowed — the
+    engine counts them like any edge)."""
+    edges = []
+    for d in ids:
+        d = int(d)
+        if d % 5 == 0:
+            continue
+        for j in range(1 + d % 3):
+            edges.append((d, (d * 17 + 1 + 97 * j) % n))
+    return edges
+
+
+def pagerank_reference(edges, *, n_iters: int = 8, damping_num: int = 85,
+                       damping_den: int = 100) -> pd.DataFrame:
+    """Plain dict-and-loop integer PageRank, independently implemented
+    (per-edge accumulation, no vectorization, no partitioning): SCALE =
+    2^32 per node, exact floor-division shares, integer damping, the
+    global leftover (teleport + dangling + every rounding remainder)
+    redistributed as L // n with the sub-n remainder discarded."""
+    scale = 1 << 32
+    nodes = set()
+    deg: dict[int, int] = {}
+    for s, d in edges:
+        nodes.add(s)
+        nodes.add(d)
+        deg[s] = deg.get(s, 0) + 1
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "q": pd.Series(dtype=np.int64),
+                             "rank": pd.Series(dtype=np.float64)})
+    q = {v: scale for v in nodes}
+    total = n * scale
+    for _ in range(n_iters):
+        acc = {v: 0 for v in nodes}
+        share = {u: q[u] // deg[u] for u in deg}
+        for s, d in edges:
+            acc[d] += share[s]
+        prop = {v: (damping_num * acc[v]) // damping_den for v in nodes}
+        base = (total - sum(prop.values())) // n
+        q = {v: prop[v] + base for v in nodes}
+    rows = sorted(q.items())
+    qv = np.array([r[1] for r in rows], dtype=np.int64)
+    return pd.DataFrame({
+        "node": np.array([r[0] for r in rows], dtype=np.int64),
+        "q": qv,
+        "rank": qv.astype(np.float64) / np.float64(2 ** 32),
+    })
+
+
+def pagerank_docs_reference(sf_dir: str) -> pd.DataFrame:
+    ids, _texts = load_documents(sf_dir)
+    return pagerank_reference(pagerank_edges_for_docs(ids, len(ids)))
