@@ -1051,6 +1051,40 @@ def q_pagerank_docs(sf_dir: str):
     return pagerank(edges, n_iters=8)
 
 
+def q_connected_components_docs(sf_dir: str):
+    """The distributed min-label connected-components machinery
+    (stages/dedup.py:connected_components_min_label — one join-free
+    co-partition exchange per round, local vectorized min-relax +
+    pointer jumping, sentinel-row fixpoint detection, RAISES on
+    non-convergence) exposed as a first-class graph op.  Edge rule
+    shared with tools/reference_impls.cc_edges_for_docs (sparse
+    within-decade chains → many small components); fixture oracle from
+    the plain union-find."""
+    from logstash_filter_elastic_integration_ray.stages.dedup import (
+        connected_components_min_label,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        a, b = [], []
+        for d in ids:
+            d = int(d)
+            r = d % 10
+            if r == 0:
+                continue
+            step = 1 + (d * 7) % 3
+            if r - step >= 0:
+                a.append(d)
+                b.append(d - step)
+        return pa.table({"a": pa.array(a, type=pa.int64()),
+                         "b": pa.array(b, type=pa.int64())})
+
+    edges = docs.map_batches(synth_edges, batch_format="pyarrow")
+    return connected_components_min_label(edges)
+
+
 def q_top_tokens_by_lang(sf_dir: str):
     """Exact top-5 tokens per language with rank, tie-break (count
     desc, token asc) — the GROUP BY twin of the global heavy-hitter
@@ -3278,6 +3312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_pairs_docs": q_frequent_pairs_docs,
         "top_tokens_by_lang": q_top_tokens_by_lang,
         "pagerank_docs": q_pagerank_docs,
+        "connected_components_docs": q_connected_components_docs,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -3968,6 +4003,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/pagerank_docs.sf0_01.parquet')"
+        ),
+        "connected_components_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/cc_docs.sf0_01.parquet')"
         ),
         "top_tokens_by_lang": (
             "WITH t AS (SELECT lang, "

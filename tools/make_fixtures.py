@@ -69,6 +69,7 @@ def main() -> None:
         "softmax_embeddings": ref.softmax_score_reference(sf_dir),
         "embedding_decontaminate_docs": ref.embedding_decontaminate_reference(sf_dir),
         "pagerank_docs": ref.pagerank_docs_reference(sf_dir),
+        "cc_docs": ref.cc_docs_reference(sf_dir),
     }
     for name, df in tables.items():
         df = _canonical(df)

@@ -1189,3 +1189,36 @@ def pagerank_reference(edges, *, n_iters: int = 8, damping_num: int = 85,
 def pagerank_docs_reference(sf_dir: str) -> pd.DataFrame:
     ids, _texts = load_documents(sf_dir)
     return pagerank_reference(pagerank_edges_for_docs(ids, len(ids)))
+
+
+def cc_edges_for_docs(ids: np.ndarray) -> list[tuple[int, int]]:
+    """DEFINITIONAL edge rule shared with
+    __ray_entry__.q_connected_components_docs: sparse within-decade
+    chains with data-dependent gaps → many small components."""
+    edges = []
+    for d in ids:
+        d = int(d)
+        r = d % 10
+        if r == 0:
+            continue
+        step = 1 + (d * 7) % 3
+        if r - step >= 0:
+            edges.append((d, d - step))
+    return edges
+
+
+def cc_docs_reference(sf_dir: str) -> pd.DataFrame:
+    """Union-find over the shared doc edge rule; label = component's
+    minimum node id, rows for incident nodes only (the op contract)."""
+    ids, _texts = load_documents(sf_dir)
+    edges = cc_edges_for_docs(ids)
+    nodes = sorted({x for e in edges for x in e})
+    uf = UnionFind(nodes)
+    for a, b in edges:
+        uf.union(a, b)
+    # this UnionFind always parents the larger root under the smaller,
+    # so find(v) IS the component's minimum node id
+    return pd.DataFrame({
+        "node": np.array(nodes, dtype=np.int64),
+        "label": np.array([uf.find(v) for v in nodes], dtype=np.int64),
+    })
