@@ -519,6 +519,29 @@ def run_bench() -> dict:
 
     timed("frequent_pairs_16x", frequent_pairs_16x, reps=1)
 
+    def pagerank_16x():
+        # 8-iteration integer PageRank over a 1.28M-node synthetic link
+        # graph (16 edges per dup-heavy doc id): per iteration the edges
+        # ride one exchange and the node table another — the BSP cost
+        # model at 20.5M edge rows total
+        from logstash_filter_elastic_integration_ray.stages.graph import pagerank
+
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+
+        def synth_edges(t):
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            n = 1_280_000
+            reps = 16
+            src = np.repeat(ids, reps)
+            j = np.tile(np.arange(reps, dtype=np.int64), len(ids))
+            dst = (src * 17 + 1 + 97 * j) % n
+            return pa_.table({"src": pa_.array(src), "dst": pa_.array(dst)})
+
+        edges = heavy.map_batches(synth_edges, batch_format="pyarrow")
+        return pagerank(edges, n_iters=8, num_partitions=NUM_CPUS).count()
+
+    timed("pagerank_16x", pagerank_16x, reps=1)
+
     def _exchange_rows():
         # rows entering the by-gram exchange: full grams vs winnowed fps
         from logstash_filter_elastic_integration_ray.stages.corpus import (
