@@ -255,6 +255,28 @@ def q_transcripts_orc(sf_dir: str):
     return _project(ds, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
 
 
+def q_transcripts_avro(sf_dir: str):
+    """Fifth source format: transcripts round-tripped through sharded
+    Avro object container files (the Kafka/data-lake interchange
+    format; no Avro library in the stack, so sources/avrosrc.py
+    implements the public spec directly — zigzag varints, deflate
+    codec, timestamp-micros logical type) must match the SAME oracle
+    as the parquet source.  Workers encode/decode their own shards;
+    the driver sees only paths."""
+    from logstash_filter_elastic_integration_ray.sources.avrosrc import (
+        read_avro,
+        write_avro,
+    )
+    from logstash_filter_elastic_integration_ray.sources.io import ensure_cache_dir
+
+    out = ensure_cache_dir(
+        f"/tmp/graft_avro/{_cache_tag(sf_dir)}",
+        lambda d: write_avro(read_transcripts(sf_dir), d, codec="deflate"),
+    )
+    ds = read_avro(out)
+    return _project(ds, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
 _TOOLCALL_PIPE = {
     "processors": [
         {"grok": {"field": "text", "patterns": [
@@ -3419,6 +3441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_jsonl": q_transcripts_jsonl,
         "transcripts_csv": q_transcripts_csv,
         "transcripts_orc": q_transcripts_orc,
+        "transcripts_avro": q_transcripts_avro,
         "grok_toolcalls": q_grok_toolcalls,
         "dissect_access": q_dissect_access,
         "kv_fields": q_kv_fields,
@@ -3759,6 +3782,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_jsonl": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "transcripts_csv": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "transcripts_orc": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
+        "transcripts_avro": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "grok_toolcalls": T(
             "SELECT conv_id, turn_idx, tool AS tool_name, CAST(kstr AS BIGINT) AS k, "
             "CAST(status AS BIGINT) AS status, event_id % 1000 AS took_ms, "
