@@ -618,18 +618,25 @@ def _rebuild_lines_partition(df: pd.DataFrame, sep: str, id_col: str) -> pa.Tabl
                               "p": np.arange(total, dtype=np.int64)})
         hit = probe.merge(drops, on=["d", "i"], how="inner")
         keep[hit["p"].to_numpy(dtype=np.int64)] = False
-    flat_obj = np.asarray(flat.to_pylist(), dtype=object)
-    kept = pd.Series(flat_obj[keep]).groupby(line_doc[keep]).agg(sep.join)
-    texts = kept.reindex(np.arange(len(ids)))
-    vals = texts.to_numpy(dtype=object)
-    vals[texts.isna().to_numpy()] = None
-    n_removed = np.zeros(len(ids), dtype=np.int64)
+    # all-Arrow rebuild: filter the flat line array, reassemble per-doc
+    # lists from kept-count offsets, one binary_join — no Python-object
+    # strings (the .to_pylist() + pandas-join path cost 1 s / 20k docs)
     if total:
-        cnts = pd.Series(line_doc[~keep]).value_counts()
-        n_removed[cnts.index.to_numpy()] = cnts.to_numpy()
+        keep_counts = np.bincount(line_doc[keep], minlength=len(ids)).astype(np.int64)
+        n_removed = np.bincount(line_doc[~keep], minlength=len(ids)).astype(np.int64)
+    else:
+        keep_counts = np.zeros(len(ids), dtype=np.int64)
+        n_removed = np.zeros(len(ids), dtype=np.int64)
+    offsets = np.zeros(len(ids) + 1, dtype=np.int64)
+    offsets[1:] = np.cumsum(keep_counts)
+    la = pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()),
+                                       flat.filter(pa.array(keep)))
+    joined = pc.binary_join(la, sep).cast(pa.string())
+    text_arr = pc.if_else(pa.array(keep_counts == 0),
+                          pa.scalar(None, type=pa.string()), joined)
     return pa.table({
         id_col: pa.array(ids),
-        "text": pa.array(vals, type=pa.string()),
+        "text": text_arr,
         "n_removed": pa.array(n_removed),
     })
 
@@ -660,19 +667,29 @@ def dedup_lines(ds, *, sep: str = "\n", min_len: int = 1,
     Line equality is 64-bit-hash-based as everywhere in this module
     (a collision merges two distinct lines with probability ~2^-64)."""
 
-    def minima_rows(t: pa.Table) -> pa.Table:
+    def instance_rows(t: pa.Table) -> pa.Table:
         h, d, i = _line_instance_arrays(t, text_col, id_col, sep, min_len)
-        first, _ = _first_rest(h, d, i)
-        return pa.table({"h": pa.array(h[first]), "d": pa.array(d[first]),
-                         "i": pa.array(i[first])})
+        first, rest = _first_rest(h, d, i)
+        kind = np.zeros(len(h), dtype=np.int8)
+        kind[rest] = 1
+        return pa.table({"h": pa.array(h), "d": pa.array(d),
+                         "i": pa.array(i), "kind": pa.array(kind)})
 
-    def local_drop_rows(t: pa.Table) -> pa.Table:
-        h, d, i = _line_instance_arrays(t, text_col, id_col, sep, min_len)
-        _, rest = _first_rest(h, d, i)
-        return pa.table({"d": pa.array(d[rest]), "i": pa.array(i[rest])})
+    # thin int64 rows (no text) materialized ONCE so the text is
+    # scanned twice total (here + doc_side), not three times; at scale
+    # these rows are line-count-sized and spill fine
+    partials = ds.map_batches(instance_rows, batch_format="pyarrow").materialize()
+
+    def only_minima(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), 0))
+        return t.select(["h", "d", "i"])
+
+    def only_local_drops(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), 1))
+        return t.select(["d", "i"])
 
     exchange_drops = (
-        ds.map_batches(minima_rows, batch_format="pyarrow")
+        partials.map_batches(only_minima, batch_format="pyarrow")
         .map_batches(lambda b: add_partition_col(b, num_partitions, key="h"),
                      batch_format="pyarrow")
         .repartition(num_partitions)
@@ -701,7 +718,7 @@ def dedup_lines(ds, *, sep: str = "\n", min_len: int = 1,
     unioned = (
         ds.map_batches(doc_side, batch_format="pyarrow")
         .union(exchange_drops.map_batches(drop_side, batch_format="pyarrow"))
-        .union(ds.map_batches(local_drop_rows, batch_format="pyarrow")
+        .union(partials.map_batches(only_local_drops, batch_format="pyarrow")
                .map_batches(drop_side, batch_format="pyarrow"))
     )
     return (
