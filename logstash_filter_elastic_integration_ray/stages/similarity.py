@@ -22,7 +22,7 @@ import pyarrow as pa
 # module-level (NOT function-level): these are used inside map_groups
 # UDFs that execute on workers, where the package is pickled by value
 # and function-level relative imports raise ModuleNotFoundError
-from .dedup import distinct_pairs, hamming64
+from .dedup import _distinct_texts, distinct_pairs, hamming64
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -250,8 +250,6 @@ def text_feature_embedding_batch(batch: pa.Table, dim: int = 64,
     makes the embedding-cosine near-dup path exercisable end-to-end
     without a model (no embedding model ships in this container; swap
     this stage for real batched inference in production)."""
-    from .dedup import _distinct_texts
-
     # vectors per DISTINCT text (dictionary-encode + gather): a
     # dup-heavy batch pays the hash + scatter for unique content only;
     # per-doc vectors are bit-unchanged (token hash stays the

@@ -19,7 +19,10 @@ import pyarrow.compute as pc
 # UDFs that execute on workers, where the package is pickled by value and
 # function-level relative imports raise ModuleNotFoundError
 from .aggregate import add_partition_col
-from .decontam import flat_token_hashes, gram_hashes
+from .corpus import _dup_partials
+from .decontam import _GRAM_B, flat_token_hashes, gram_hashes
+from .dedup import _distinct_texts, _hash64_arrow
+from .sketches import top_k_tokens
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
@@ -171,8 +174,6 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     Hashes compute once per DISTINCT text and gather — the Horner
     char loop over every duplicate was this kernel's whole cost on
     dup-heavy batches (3.7 s → ~0.3 s per 80k docs)."""
-    from .dedup import _distinct_texts
-
     uniq, inverse = _distinct_texts(batch.column("text"))
     md5s, rolls = [], []
     P = (1 << 61) - 1
@@ -390,7 +391,6 @@ class _GramCursor:
     def at(self, w: int):
         """(gram hashes, doc index, start position) for width ``w`` —
         widths must be requested in increasing order."""
-        from .decontam import _GRAM_B
 
         if w < self._w:
             raise ValueError("widths must be non-decreasing")
@@ -448,8 +448,6 @@ def gopher_repetition_batch(batch: pa.Table, *, top_ns=(2, 3, 4),
     int/int float64 divisions, so the pinned fixture's plain per-doc
     reference (tools/reference_impls.py:gopher_repetition_reference)
     must match byte-for-byte."""
-    from .dedup import _distinct_texts
-
     # fractions are pure functions of the text: compute per DISTINCT
     # text and gather (the dup-heavy shape pays for unique content
     # only — the 9 per-width lexsorts dominate this kernel)
@@ -461,8 +459,6 @@ def gopher_repetition_batch(batch: pa.Table, *, top_ns=(2, 3, 4),
     counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = toks.flatten()
     tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
-    from .dedup import _hash64_arrow
-
     fh = _hash64_arrow(flat)
     n_docs = len(counts)
     n_flat = len(fh)
@@ -552,8 +548,6 @@ def winnow_batch(batch: pa.Table, *, k: int = 3, w: int = 4,
     hash (tools/reference_impls.py:winnow_reference)."""
     if k < 1 or w < 1:
         raise ValueError("winnow_batch: require k >= 1 and w >= 1")
-    from .dedup import _hash64_arrow
-
     col = batch.column(text_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -664,8 +658,6 @@ def winnow_dup_stats(ds, *, k: int = 3, w: int = 4, num_partitions: int = 32,
     ~2/(w+1) of the gram volume while the winnowing guarantee keeps
     every shared run of ≥ w+k-1 tokens detectable — the sampling that
     makes this affordable at 100 TB when full-gram stats are not."""
-    from .corpus import _dup_partials
-
     pairs = ds.map_batches(
         lambda b: _winnow_doc_counts(b, k, w, text_col, id_col),
         batch_format="pyarrow",
@@ -1147,8 +1139,6 @@ def oov_rate(ds, *, vocab_size: int = 30, text_col: str = "text",
     tokens × batches) collected as O(V) driver state, broadcast once
     via ``ray.put``, then ONE stateless scoring pass."""
     import ray
-
-    from logstash_filter_elastic_integration_ray.stages.sketches import top_k_tokens
 
     vocab_tbl = top_k_tokens(ds, k=vocab_size, text_col=text_col,
                              num_partitions=num_partitions).to_pandas()

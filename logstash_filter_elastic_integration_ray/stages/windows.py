@@ -29,6 +29,9 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .aggregate import _multi_group_codes
+from .corpus import _range_part
+
 from logstash_filter_elastic_integration_ray.stages.aggregate import (
     _dict_codes,
     _first_occurrence_codes,
@@ -564,8 +567,6 @@ def grouped_running_scan(
     determinism, non-null order columns, int64 ``value_col`` whose
     nulls contribute 0, timestamp gaps in microseconds.
     """
-    from logstash_filter_elastic_integration_ray.stages.corpus import _range_part
-
     order0 = order_cols[0]
 
     def _o0_int64(col):
@@ -944,8 +945,6 @@ def _first_in_window(t: pa.Table, keys: list[str], ts_col: str, id_col: str,
     """Select each (keys..., window) tuple's first row by (ts, id) —
     one lexsort, no per-group loop.  ``win`` is the precomputed int64
     window id per row."""
-    from logstash_filter_elastic_integration_ray.stages.aggregate import _multi_group_codes
-
     cols = [t.column(k) for k in keys] + [pa.array(win)]
     gids, _ = _multi_group_codes(cols)
     ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
