@@ -1039,6 +1039,46 @@ def q_pmi_bigrams_docs(sf_dir: str):
     return pmi_bigrams(docs, min_count=5, num_partitions=32)
 
 
+def q_image_dedup_dhash(sf_dir: str):
+    """LAION-style image near-dup dedup: REAL netpbm decode → 64-bit
+    dHash (integer rec601 gray, center-sample 9×8 resample, adjacent-
+    column comparisons — brightness-shift invariant) in an actor pool,
+    then hamming ≤ 2 clustering on the generic 64-bit-code machinery
+    (stages/dedup.py:hamming_dedup_codes: rotated-band buckets,
+    verified star edges, distributed components).  Image rule shared
+    with tools/reference_impls.dhash_images_for_docs (per-group wrap
+    patterns, comparison-invariant brightness lanes, a 1-bit variant
+    lane, an undecodable lane → singleton); fixture from the all-pairs
+    union-find reference."""
+    from logstash_filter_elastic_integration_ray.stages.multimodal import (
+        image_dedup_dhash,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        payloads = []
+        for d in ids:
+            d = int(d)
+            if d % 7 == 0:
+                payloads.append(b"not an image")
+                continue
+            g = d % 10
+            p_mult = 40 + g * 23
+            off = d % 3
+            y, x = np.mgrid[0:8, 0:9]
+            img = (((x * p_mult + y * 31) % 250) + off).astype(np.uint8)
+            if d % 11 == 0:
+                img[0, 0] = min(255, int(img[0, 1]) + 5)
+            payloads.append(b"P5\n9 8\n255\n" + img.tobytes())
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    return image_dedup_dhash(docs.map_batches(synth, batch_format="pyarrow"),
+                             k=2, num_partitions=32)
+
+
 def q_pagerank_docs(sf_dir: str):
     """Distributed PageRank over a deterministic doc link graph
     (stages/graph.py:pagerank): exact int64 fixed-point — floor-div
@@ -3335,6 +3375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_by_lang": q_top_tokens_by_lang,
         "pagerank_docs": q_pagerank_docs,
         "connected_components_docs": q_connected_components_docs,
+        "image_dedup_dhash": q_image_dedup_dhash,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -4030,6 +4071,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "connected_components_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/cc_docs.sf0_01.parquet')"
+        ),
+        "image_dedup_dhash": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/image_dedup_dhash.sf0_01.parquet')"
         ),
         "top_tokens_by_lang": (
             "WITH t AS (SELECT lang, "

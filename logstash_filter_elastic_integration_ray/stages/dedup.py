@@ -849,15 +849,23 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_block_rows(batch: pa.Table, k: int, id_col: str = "doc_id") -> pa.Table:
-    """Rotated-band bucketing (Manku et al., WWW'07): split the 64-bit
-    signature into k+1 blocks — two signatures within hamming ≤ k must
-    agree exactly on at least one block (pigeonhole), so block equality
-    is a complete candidate filter.  One row per (doc, block)."""
-    nb = k + 1
-    widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
+    """Rotated-band bucketing (Manku et al., WWW'07) over per-doc text
+    SimHash signatures.  One row per (doc, block)."""
     ids = batch.column(id_col).to_numpy()
     uniq, inverse = _distinct_texts(batch.column("text"))
     s = simhash_codes_batch(uniq)[inverse]
+    return _block_rows_from_codes(ids, s, k, id_col)
+
+
+def _block_rows_from_codes(ids: np.ndarray, s: np.ndarray, k: int,
+                           id_col: str) -> pa.Table:
+    """Rotated-band bucketing for ANY 64-bit code array: split into
+    k+1 blocks — two codes within hamming ≤ k must agree exactly on at
+    least one block (pigeonhole), so block equality is a complete
+    candidate filter.  One row per (id, block)."""
+    nb = k + 1
+    widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
+    s = s.astype(np.uint64)
     buckets, out_ids, out_sigs = [], [], []
     off = 0
     for b, w in enumerate(widths):
@@ -969,6 +977,43 @@ def simhash_dedup(ds, id_col: str = "doc_id", k: int = 3, num_partitions: int = 
     )
     edges = distinct_pairs(edges, num_partitions)
     labels = connected_components_min_label(edges, num_partitions=max(8, num_partitions // 4))
+    return _survivors_from_labels(ds, labels, id_col, num_partitions)
+
+
+def hamming_dedup_codes(ds, *, code_col: str, id_col: str = "doc_id",
+                        k: int = 2, num_partitions: int = 32):
+    """Near-dup clustering at hamming ≤ ``k`` over a PRECOMPUTED 64-bit
+    code column (int64/uint64 — e.g. an image perceptual hash) →
+    survivors Dataset (id, cluster_size).  Exactly the SimHash
+    machinery with the text→signature step removed: rotated-band
+    buckets (complete by pigeonhole), star + windowed-exact verified
+    edges, distributed components, Dataset-only survivor assembly.
+    Null codes are excluded from clustering (they come back as
+    singletons via the survivor pass)."""
+    from .aggregate import add_partition_col
+
+    def block_rows(t: pa.Table) -> pa.Table:
+        col = t.column(code_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col)
+        t2 = t.filter(valid)
+        col2 = t2.column(code_col)
+        if isinstance(col2, pa.ChunkedArray):
+            col2 = col2.combine_chunks()
+        codes = col2.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        ids = t2.column(id_col).to_numpy(zero_copy_only=False)
+        return _block_rows_from_codes(ids, codes, k, id_col)
+
+    parts = ds.map_batches(block_rows, batch_format="pyarrow").map_batches(
+        lambda b: add_partition_col(b, num_partitions, key="bucket"),
+        batch_format="pyarrow")
+    edges = parts.repartition(num_partitions).groupby("__part").map_groups(
+        lambda df: _simhash_star_edges_partition(df, k, id_col),
+        batch_format="pandas")
+    edges = distinct_pairs(edges, num_partitions)
+    labels = connected_components_min_label(
+        edges, num_partitions=max(8, num_partitions // 4))
     return _survivors_from_labels(ds, labels, id_col, num_partitions)
 
 

@@ -605,3 +605,71 @@ def wav_stats_stage(ds, *, batch_size: int = 1024, concurrency=(2, 4)):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# image perceptual hash (dHash) + hamming near-dup dedup — the
+# LAION-style image dedup step, over REAL decoded netpbm pixels
+# ---------------------------------------------------------------------------
+
+
+def dhash64(payload: bytes) -> int | None:
+    """64-bit difference hash (dHash, the published perceptual-hash
+    recipe): decode → integer rec601 grayscale ((299R+587G+114B)//1000,
+    exact) → nearest-neighbor resample to 9×8 (the same center-sample
+    index rule as :func:`resize_netpbm`) → bit (y,x) = gray[y,x] >
+    gray[y,x+1], little-endian bit order (bit index y*8+x).  Returns
+    None for undecodable payloads.  Uniform brightness shifts cancel in
+    the comparisons — the invariance that makes dHash a near-dup
+    signal rather than a checksum."""
+    img = decode_netpbm(payload)
+    if img is None:
+        return None
+    if img.ndim == 3:
+        g = (299 * img[:, :, 0].astype(np.int64)
+             + 587 * img[:, :, 1].astype(np.int64)
+             + 114 * img[:, :, 2].astype(np.int64)) // 1000
+    else:
+        g = img.astype(np.int64)
+    h, w = g.shape
+    rows = ((np.arange(8) + 0.5) * h / 8).astype(np.int64).clip(0, h - 1)
+    cols = ((np.arange(9) + 0.5) * w / 9).astype(np.int64).clip(0, w - 1)
+    s = g[rows][:, cols]  # (8, 9)
+    bits = (s[:, :-1] > s[:, 1:]).astype(np.uint64).ravel()  # (64,)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+
+class DhashCodes:
+    """Actor-pool stage: payload → (id, dhash int64 | null).  The
+    int64 view of the uint64 code keeps Arrow/pandas exact."""
+
+    def __init__(self):
+        self._ready = True
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [p or b"" for p in batch.column("payload").to_pylist()]
+        vals = [dhash64(p) for p in payloads]
+        codes = pa.array(
+            [None if v is None else np.uint64(v).astype(np.int64).item()
+             for v in vals], type=pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"), "dhash": codes})
+
+
+def dhash_stage(ds, *, batch_size: int = 1024, concurrency=(2, 4)):
+    return ds.map_batches(DhashCodes, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=1)
+
+
+def image_dedup_dhash(ds, *, k: int = 2, num_partitions: int = 32,
+                      id_col: str = "doc_id"):
+    """Image near-dup dedup: dHash codes (actor pool, real decode) →
+    hamming ≤ k clustering on the generic 64-bit-code machinery
+    (stages/dedup.py:hamming_dedup_codes — rotated-band buckets,
+    verified star edges, distributed components).  Survivors
+    (id, cluster_size); undecodable payloads come back as singletons."""
+    from .dedup import hamming_dedup_codes
+
+    codes = dhash_stage(ds)
+    return hamming_dedup_codes(codes, code_col="dhash", id_col=id_col,
+                               k=k, num_partitions=num_partitions)

@@ -71,3 +71,81 @@ def test_pagerank_all_dangling(ray_session):
     got = _run([(1, 2)], n_iters=2)
     want = _want([(1, 2)], n_iters=2)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# dHash + generic hamming dedup over code columns
+# ---------------------------------------------------------------------------
+
+from logstash_filter_elastic_integration_ray.stages.dedup import hamming_dedup_codes
+from logstash_filter_elastic_integration_ray.stages.multimodal import (
+    dhash64,
+    encode_netpbm,
+)
+
+
+class TestDhash:
+    def test_known_bits_and_brightness_invariance(self):
+        # 8x9 gray: strictly increasing columns -> no "left > right" -> 0
+        img = np.tile(np.arange(9, dtype=np.uint8) * 10, (8, 1))
+        assert dhash64(encode_netpbm(img)) == 0
+        # strictly decreasing -> all 64 bits set
+        dec = img[:, ::-1].copy()
+        assert dhash64(encode_netpbm(dec)) == (1 << 64) - 1
+        # uniform brightness shift cancels
+        assert dhash64(encode_netpbm(dec + 7)) == (1 << 64) - 1
+
+    def test_rgb_gray_and_garbage(self):
+        rgb = np.zeros((8, 9, 3), dtype=np.uint8)
+        rgb[:, :, 1] = np.arange(9, dtype=np.uint8)[None, :] * 20
+        assert dhash64(encode_netpbm(rgb)) == 0  # green gradient increasing
+        assert dhash64(b"junk") is None
+
+    def test_resample_path(self):
+        # a 90x80 image with the same column pattern hashes like 9x8
+        small = np.tile((np.arange(9, dtype=np.uint8)[::-1]) * 10, (8, 1))
+        big = np.repeat(np.repeat(small, 10, axis=0), 10, axis=1)
+        assert dhash64(encode_netpbm(big)) == dhash64(encode_netpbm(small))
+
+
+def _uf_clusters(ids, codes, k):
+    from tools.reference_impls import UnionFind, _hamming_int
+
+    uf = UnionFind(ids)
+    valid = [(i, c) for i, c in zip(ids, codes) if c is not None]
+    for a in range(len(valid)):
+        for b in range(a + 1, len(valid)):
+            if _hamming_int(valid[a][1], valid[b][1]) <= k:
+                uf.union(valid[a][0], valid[b][0])
+    df = uf.clusters()
+    return {int(r.doc_id): int(r.cluster_size) for r in df.itertuples()}
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_hamming_dedup_codes_vs_union_find(ray_session, blocks):
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 2**63, 40, dtype=np.int64)
+    ids, codes = [], []
+    for i, b in enumerate(base):
+        ids.append(i * 10)
+        codes.append(int(b))
+        if i % 3 == 0:  # 1-bit neighbor
+            ids.append(i * 10 + 1)
+            codes.append(int(b) ^ 1)
+        if i % 5 == 0:  # identical code
+            ids.append(i * 10 + 2)
+            codes.append(int(b))
+    ids.append(9999)
+    codes.append(None)  # null code -> singleton
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "dhash": pa.array(codes, type=pa.int64()),
+    })).repartition(blocks)
+    got = hamming_dedup_codes(ds, code_col="dhash", k=2,
+                              num_partitions=4).to_pandas()
+    gmap = {int(r.doc_id): int(r.cluster_size) for r in got.itertuples()}
+    want = _uf_clusters(ids, [None if c is None else c & ((1 << 64) - 1)
+                              for c in codes], 2)
+    # compare on unsigned views: reference uses int keys
+    assert gmap == want
+    assert gmap[9999] == 1

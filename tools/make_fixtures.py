@@ -70,6 +70,7 @@ def main() -> None:
         "embedding_decontaminate_docs": ref.embedding_decontaminate_reference(sf_dir),
         "pagerank_docs": ref.pagerank_docs_reference(sf_dir),
         "cc_docs": ref.cc_docs_reference(sf_dir),
+        "image_dedup_dhash": ref.image_dedup_dhash_reference(sf_dir),
     }
     for name, df in tables.items():
         df = _canonical(df)

@@ -1222,3 +1222,89 @@ def cc_docs_reference(sf_dir: str) -> pd.DataFrame:
         "node": np.array(nodes, dtype=np.int64),
         "label": np.array([uf.find(v) for v in nodes], dtype=np.int64),
     })
+
+
+# ---------------------------------------------------------------------------
+# image dHash dedup (perceptual hash + hamming<=k union-find)
+# ---------------------------------------------------------------------------
+
+def dhash_images_for_docs(ids: np.ndarray):
+    """DEFINITIONAL image-synthesis rule shared with
+    __ray_entry__.q_image_dedup_dhash: 9x8 P5 grays, per-group wrap
+    patterns, comparison-invariant brightness offsets, a 1-bit variant
+    lane, and an undecodable lane."""
+    out = []
+    for d in ids:
+        d = int(d)
+        if d % 7 == 0:
+            out.append((d, b"not an image"))
+            continue
+        g = d % 10
+        p_mult = 40 + g * 23
+        off = d % 3
+        img = np.empty((8, 9), dtype=np.uint8)
+        for y in range(8):
+            for x in range(9):
+                img[y, x] = ((x * p_mult + y * 31) % 250) + off
+        if d % 11 == 0:
+            img[0, 0] = min(255, int(img[0, 1]) + 5)
+        out.append((d, _encode_p5(img)))
+    return out
+
+
+def _encode_p5(img: np.ndarray) -> bytes:
+    h, w = img.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def _dhash_plain(payload: bytes) -> int | None:
+    """Independent plain-loop dHash: parse the P5 header by hand,
+    center-sample resample, per-pixel comparisons."""
+    if not payload.startswith(b"P5"):
+        return None
+    parts = payload.split(b"\n", 3)
+    if len(parts) < 4:
+        return None
+    w, h = (int(v) for v in parts[1].split())
+    raster = parts[3]
+    if len(raster) < w * h:
+        return None
+    px = [[raster[y * w + x] for x in range(w)] for y in range(h)]
+    rows = [min(h - 1, max(0, int((y + 0.5) * h / 8))) for y in range(8)]
+    cols = [min(w - 1, max(0, int((x + 0.5) * w / 9))) for x in range(9)]
+    code = 0
+    bit = 0
+    for y in rows:
+        vals = [px[y][c] for c in cols]
+        for x in range(8):
+            if vals[x] > vals[x + 1]:
+                code |= 1 << bit
+            bit += 1
+    return code
+
+
+def _hamming_int(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def image_dedup_dhash_reference(sf_dir: str, *, k: int = 2) -> pd.DataFrame:
+    """All-pairs hamming<=k union-find over the plain dHash codes;
+    survivors = (min member id, component size), singletons included
+    (undecodable payloads are singletons)."""
+    ids, _texts = load_documents(sf_dir)
+    pairs = dhash_images_for_docs(ids)
+    codes = {d: _dhash_plain(p) for d, p in pairs}
+    valid = [d for d, c in codes.items() if c is not None]
+    uf = UnionFind([d for d, _ in pairs])
+    for i, a in enumerate(valid):
+        for b in valid[i + 1:]:
+            if _hamming_int(codes[a], codes[b]) <= k:
+                uf.union(a, b)
+    comp: dict[int, list[int]] = {}
+    for d, _ in pairs:
+        comp.setdefault(uf.find(d), []).append(d)
+    rows = sorted((min(m), len(m)) for m in comp.values())
+    return pd.DataFrame({
+        "doc_id": np.array([r[0] for r in rows], dtype=np.int64),
+        "cluster_size": np.array([r[1] for r in rows], dtype=np.int64),
+    })
