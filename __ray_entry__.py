@@ -1039,6 +1039,21 @@ def q_pmi_bigrams_docs(sf_dir: str):
     return pmi_bigrams(docs, min_count=5, num_partitions=32)
 
 
+def q_compression_ratio_docs(sf_dir: str):
+    """Per-doc zlib compression ratio — the cheap repetition proxy
+    (templated text compresses far below prose)
+    (stages/textstats.py:compression_ratio_batch).  Stateless
+    vectorized-dispatch batches; fixture oracle from the plain
+    reference (same pinned zlib build, deterministic DEFLATE)."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import (
+        compression_ratio_batch,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    return docs.map_batches(compression_ratio_batch, batch_format="pyarrow")
+
+
 def q_image_dedup_dhash(sf_dir: str):
     """LAION-style image near-dup dedup: REAL netpbm decode → 64-bit
     dHash (integer rec601 gray, center-sample 9×8 resample, adjacent-
@@ -3376,6 +3391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_docs": q_pagerank_docs,
         "connected_components_docs": q_connected_components_docs,
         "image_dedup_dhash": q_image_dedup_dhash,
+        "compression_ratio_docs": q_compression_ratio_docs,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -4074,6 +4090,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "image_dedup_dhash": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/image_dedup_dhash.sf0_01.parquet')"
+        ),
+        "compression_ratio_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/compression_ratio_docs.sf0_01.parquet')"
         ),
         "top_tokens_by_lang": (
             "WITH t AS (SELECT lang, "

@@ -987,6 +987,44 @@ def token_keyness(ds, *, side_col: str, side_a, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# compression-ratio quality signal
+# ---------------------------------------------------------------------------
+
+
+def compression_ratio_batch(batch: pa.Table, text_col: str = "text",
+                            id_col: str = "doc_id", level: int = 6) -> pa.Table:
+    """Per-doc zlib compression ratio — the cheap repetition/boilerplate
+    proxy several published curation recipes gate on (highly repetitive
+    or templated text compresses far below prose; random noise barely
+    compresses).  ``ratio = compressed_bytes / max(1, utf8_bytes)``.
+
+    Stateless batch kernel; the per-row cost is one C zlib call (no
+    Python-level loop work beyond dispatch).  DEFLATE output for a
+    given (input, level) is deterministic for the pinned zlib build, so
+    the fixture from the plain reference is byte-stable."""
+    import zlib
+
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    texts = col.to_pylist()
+    n = len(texts)
+    raw = np.zeros(n, dtype=np.int64)
+    comp = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = (t or "").encode("utf-8")
+        raw[i] = len(b)
+        comp[i] = len(zlib.compress(b, level))
+    ratio = comp.astype(np.float64) / np.maximum(raw, 1).astype(np.float64)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_bytes": pa.array(raw),
+        "z_bytes": pa.array(comp),
+        "z_ratio": pa.array(ratio),
+    })
+
+
+# ---------------------------------------------------------------------------
 # exact per-group top-k tokens (top terms per language / source)
 # ---------------------------------------------------------------------------
 

@@ -71,6 +71,7 @@ def main() -> None:
         "pagerank_docs": ref.pagerank_docs_reference(sf_dir),
         "cc_docs": ref.cc_docs_reference(sf_dir),
         "image_dedup_dhash": ref.image_dedup_dhash_reference(sf_dir),
+        "compression_ratio_docs": ref.compression_ratio_reference(ids, texts),
     }
     for name, df in tables.items():
         df = _canonical(df)

@@ -1308,3 +1308,23 @@ def image_dedup_dhash_reference(sf_dir: str, *, k: int = 2) -> pd.DataFrame:
         "doc_id": np.array([r[0] for r in rows], dtype=np.int64),
         "cluster_size": np.array([r[1] for r in rows], dtype=np.int64),
     })
+
+
+def compression_ratio_reference(ids, texts, *, level: int = 6) -> pd.DataFrame:
+    """Plain per-doc zlib ratio (same pinned zlib build — DEFLATE output
+    for (input, level) is deterministic)."""
+    import zlib
+
+    raw, comp = [], []
+    for t in texts:
+        b = (t or "").encode("utf-8")
+        raw.append(len(b))
+        comp.append(len(zlib.compress(b, level)))
+    raw_a = np.array(raw, dtype=np.int64)
+    comp_a = np.array(comp, dtype=np.int64)
+    return pd.DataFrame({
+        "doc_id": np.asarray(ids, dtype=np.int64),
+        "n_bytes": raw_a,
+        "z_bytes": comp_a,
+        "z_ratio": comp_a.astype(np.float64) / np.maximum(raw_a, 1).astype(np.float64),
+    })
