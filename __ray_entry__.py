@@ -1039,6 +1039,39 @@ def q_pmi_bigrams_docs(sf_dir: str):
     return pmi_bigrams(docs, min_count=5, num_partitions=32)
 
 
+def q_triangle_counts_docs(sf_dir: str):
+    """Exact per-node triangle counts over a deterministic doc graph
+    (stages/graph.py:triangle_counts — degree-ordered wedge check,
+    O(m^1.5) wedge volume, every exchange int64-thin).  Edge rule
+    shared with tools/reference_impls.triangle_edges_for_docs (chains +
+    skip-links close triangles; self-loop / reverse-duplicate noise
+    lanes exercise the simple-graph normalization); fixture from the
+    plain adjacency-set reference."""
+    from logstash_filter_elastic_integration_ray.stages.graph import triangle_counts
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        src, dst = [], []
+        for d in ids:
+            d = int(d)
+            r = d % 10
+            if r >= 1:
+                src.append(d); dst.append(d - 1)
+            if r >= 2 and d % 3 != 0:
+                src.append(d); dst.append(d - 2)
+            if d % 13 == 0:
+                src.append(d); dst.append(d)
+            if d % 9 == 0 and r >= 1:
+                src.append(d - 1); dst.append(d)
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "dst": pa.array(dst, type=pa.int64())})
+
+    edges = docs.map_batches(synth_edges, batch_format="pyarrow")
+    return triangle_counts(edges, num_partitions=32)
+
+
 def q_compression_ratio_docs(sf_dir: str):
     """Per-doc zlib compression ratio — the cheap repetition proxy
     (templated text compresses far below prose)
@@ -3392,6 +3425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components_docs": q_connected_components_docs,
         "image_dedup_dhash": q_image_dedup_dhash,
         "compression_ratio_docs": q_compression_ratio_docs,
+        "triangle_counts_docs": q_triangle_counts_docs,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -4093,6 +4127,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "compression_ratio_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/compression_ratio_docs.sf0_01.parquet')"
+        ),
+        "triangle_counts_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/triangle_counts_docs.sf0_01.parquet')"
         ),
         "top_tokens_by_lang": (
             "WITH t AS (SELECT lang, "

@@ -149,3 +149,69 @@ def test_hamming_dedup_codes_vs_union_find(ray_session, blocks):
     # compare on unsigned views: reference uses int keys
     assert gmap == want
     assert gmap[9999] == 1
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+from logstash_filter_elastic_integration_ray.stages.graph import triangle_counts
+
+
+def _tri_ref(edges):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for u in sorted(adj):
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    for x in (u, v, w):
+                        counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+def _run_tri(edges, blocks=1):
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges], type=pa.int64()),
+        "dst": pa.array([b for _, b in edges], type=pa.int64()),
+    })).repartition(blocks)
+    got = triangle_counts(ds, num_partitions=4).to_pandas()
+    return {int(r.node): int(r.n_triangles) for r in got.itertuples()}
+
+
+TRI_GRAPH = [
+    (1, 2), (2, 3), (1, 3),          # triangle
+    (3, 4), (4, 5), (3, 5), (4, 5),  # triangle + parallel edge
+    (5, 6), (6, 7),                   # path, no triangle
+    (8, 8),                           # self-loop dropped
+    (2, 1),                           # reverse duplicate collapsed
+    (1, 4), (2, 4),                   # (1,2,4) closes another triangle
+]
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_triangle_counts_matches_reference(ray_session, blocks):
+    got = _run_tri(TRI_GRAPH, blocks=blocks)
+    want = _tri_ref(TRI_GRAPH)
+    assert got == want
+    assert 6 not in got and 7 not in got and 8 not in got
+
+
+def test_triangle_counts_clique(ray_session):
+    n = 7
+    k7 = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    got = _run_tri(k7)
+    # each node of K7 is in C(6,2)=15 triangles
+    assert got == {i: 15 for i in range(n)}
+
+
+def test_triangle_counts_no_triangles(ray_session):
+    got = _run_tri([(1, 2), (3, 4), (2, 3)])
+    assert got == {}

@@ -21,13 +21,18 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def to_pandas(res) -> pd.DataFrame:
     import pyarrow as pa
 
+    # the except must wrap ONLY the import: a worker-side
+    # ModuleNotFoundError raised by .to_pandas() inherits ImportError
+    # (Ray dual-inherits the original type) and must surface, not fall
+    # through to "unsupported result type"
     try:
         import ray.data
 
-        if isinstance(res, ray.data.Dataset):
-            return res.to_pandas()
+        _rd = ray.data
     except ImportError:
-        pass
+        _rd = None
+    if _rd is not None and isinstance(res, _rd.Dataset):
+        return res.to_pandas()
     if isinstance(res, pa.Table):
         return res.to_pandas()
     if isinstance(res, pd.DataFrame):

@@ -1328,3 +1328,56 @@ def compression_ratio_reference(ids, texts, *, level: int = 6) -> pd.DataFrame:
         "z_bytes": comp_a,
         "z_ratio": comp_a.astype(np.float64) / np.maximum(raw_a, 1).astype(np.float64),
     })
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+def triangle_edges_for_docs(ids: np.ndarray) -> list[tuple[int, int]]:
+    """DEFINITIONAL edge rule shared with
+    __ray_entry__.q_triangle_counts_docs: within-decade chains plus
+    skip-links so consecutive triples close into triangles, with
+    data-dependent gaps; parallel/self/reverse noise lanes exercise the
+    simple-graph normalization."""
+    edges = []
+    for d in ids:
+        d = int(d)
+        r = d % 10
+        if r >= 1:
+            edges.append((d, d - 1))
+        if r >= 2 and d % 3 != 0:
+            edges.append((d, d - 2))
+        if d % 13 == 0:
+            edges.append((d, d))          # self-loop: dropped
+        if d % 9 == 0 and r >= 1:
+            edges.append((d - 1, d))      # reverse duplicate: collapsed
+    return edges
+
+
+def triangle_counts_reference(sf_dir: str) -> pd.DataFrame:
+    """Plain adjacency-set triangle counter: per-node counts over the
+    simple undirected graph, nodes in >= 1 triangle."""
+    ids, _texts = load_documents(sf_dir)
+    edges = triangle_edges_for_docs(ids)
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts: dict[int, int] = {}
+    nodes = sorted(adj)
+    for u in nodes:
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    for x in (u, v, w):
+                        counts[x] = counts.get(x, 0) + 1
+    rows = sorted(counts.items())
+    return pd.DataFrame({
+        "node": np.array([r[0] for r in rows], dtype=np.int64),
+        "n_triangles": np.array([r[1] for r in rows], dtype=np.int64),
+    })
