@@ -1039,6 +1039,22 @@ def q_pmi_bigrams_docs(sf_dir: str):
     return pmi_bigrams(docs, min_count=5, num_partitions=32)
 
 
+def q_embedding_drift_by_label(sf_dir: str):
+    """Per-label embedding centroid drift: cosine(label centroid,
+    global centroid) on EXACT integer sum vectors (quantize once —
+    floor(v·2^20+0.5) — one exchange by label, K×d driver state,
+    unbounded-int dot/norm products = the HUGEINT twin, ONE fixed
+    float expression) (stages/similarity.py:embedding_drift_by_label).
+    The embedding-space drift diagnostic beside token keyness."""
+    from logstash_filter_elastic_integration_ray.stages.similarity import (
+        embedding_drift_by_label,
+    )
+
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding", "label"])
+    return embedding_drift_by_label(emb)
+
+
 def q_triangle_counts_docs(sf_dir: str):
     """Exact per-node triangle counts over a deterministic doc graph
     (stages/graph.py:triangle_counts — degree-ordered wedge check,
@@ -3426,6 +3442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_dhash": q_image_dedup_dhash,
         "compression_ratio_docs": q_compression_ratio_docs,
         "triangle_counts_docs": q_triangle_counts_docs,
+        "embedding_drift_by_label": q_embedding_drift_by_label,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -4130,6 +4147,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "triangle_counts_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/triangle_counts_docs.sf0_01.parquet')"
+        ),
+        "embedding_drift_by_label": (
+            "WITH e AS (SELECT label, unnest(embedding) AS v, "
+            "  unnest(range(1, len(embedding) + 1)) AS dim FROM embeddings), "
+            "q AS (SELECT label, dim, "
+            "  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) "
+            "      AS BIGINT)) AS BIGINT) AS s, "
+            "  CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2), "
+            "g AS (SELECT dim, CAST(sum(s) AS BIGINT) AS gs FROM q GROUP BY 1), "
+            "d AS (SELECT q.label, sum(CAST(q.s AS HUGEINT) * g.gs) AS dot, "
+            "      sum(CAST(q.s AS HUGEINT) * q.s) AS na "
+            "      FROM q JOIN g USING(dim) GROUP BY 1), "
+            "nbt AS (SELECT sum(CAST(gs AS HUGEINT) * gs) AS nb FROM g), "
+            "n AS (SELECT label, CAST(count(*) AS BIGINT) AS n "
+            "      FROM embeddings GROUP BY 1) "
+            "SELECT d.label, n.n, "
+            "CASE WHEN d.na = 0 OR nbt.nb = 0 THEN 0.0 ELSE "
+            "  CAST(d.dot AS DOUBLE) / (sqrt(CAST(d.na AS DOUBLE)) "
+            "  * sqrt(CAST(nbt.nb AS DOUBLE))) END AS cos_to_global "
+            "FROM d JOIN n USING(label) CROSS JOIN nbt"
         ),
         "top_tokens_by_lang": (
             "WITH t AS (SELECT lang, "

@@ -22,6 +22,7 @@ import pyarrow as pa
 # module-level (NOT function-level): these are used inside map_groups
 # UDFs that execute on workers, where the package is pickled by value
 # and function-level relative imports raise ModuleNotFoundError
+from .aggregate import add_partition_col
 from .dedup import _distinct_texts, distinct_pairs, hamming64
 
 
@@ -787,3 +788,103 @@ def cosine_dup_pairs(matrix: np.ndarray, ids: np.ndarray, threshold: float = 0.9
                     pa_.append(int(ids[gi]))
                     pb_.append(int(ids[j]))
     return pd.DataFrame({"a": pd.Series(pa_, dtype="int64"), "b": pd.Series(pb_, dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding centroid drift (exact-integer cosine to global)
+# ---------------------------------------------------------------------------
+
+_DRIFT_SCALE = 1048576.0  # 2^20
+
+
+def embedding_drift_by_label(ds, *, label_col: str = "label",
+                             emb_col: str = "embedding",
+                             num_partitions: int = 16):
+    """Per-label centroid drift: cosine between each label's centroid
+    and the GLOBAL centroid — the embedding-space analogue of the
+    token-keyness drift diagnostic (which sources/labels sit far from
+    the corpus mean).  Cosine is scale-invariant, so it evaluates on
+    the exact integer SUM vectors directly (no division by counts):
+
+    - every vector quantizes once: ``floor(v·2^20 + 0.5)`` int64 (the
+      float64 widening and libm floor match SQL bit-for-bit);
+    - per-batch per-(label, dim) int64 partial sums → ONE exchange by
+      label merges exact sums (rows per batch = labels × dims, thin);
+    - the label-sum table (K × d ints) is the ONLY driver state;
+      dot/norm products run in unbounded Python ints (the HUGEINT twin)
+      and the final cosine is ONE fixed float expression.
+
+    Output (pandas — K rows): (label, n, cos_to_global); zero-norm
+    sides yield 0.0 (matching the SQL CASE)."""
+    import math
+
+    def partials(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t.column(emb_col)).astype(np.float64)
+        q = np.floor(m * _DRIFT_SCALE + 0.5).astype(np.int64)
+        labels = t.column(label_col).to_numpy(zero_copy_only=False)
+        uniq = np.unique(labels)
+        rows_l, rows_d, rows_s, rows_c = [], [], [], []
+        for lab in uniq:
+            mask = labels == lab
+            s = q[mask].sum(axis=0, dtype=np.int64)
+            rows_l.append(np.full(q.shape[1], lab, dtype=np.int64))
+            rows_d.append(np.arange(q.shape[1], dtype=np.int64))
+            rows_s.append(s)
+            rows_c.append(np.full(q.shape[1], int(mask.sum()), dtype=np.int64))
+        out = pa.table({
+            "label": pa.array(np.concatenate(rows_l) if rows_l else
+                              np.empty(0, dtype=np.int64)),
+            "dim": pa.array(np.concatenate(rows_d) if rows_d else
+                            np.empty(0, dtype=np.int64)),
+            "s": pa.array(np.concatenate(rows_s) if rows_s else
+                          np.empty(0, dtype=np.int64)),
+            "c": pa.array(np.concatenate(rows_c) if rows_c else
+                          np.empty(0, dtype=np.int64)),
+        })
+        return add_partition_col(out, num_partitions, key="label")
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby(["label", "dim"], sort=False)[["s", "c"]].sum().reset_index()
+        return pa.table({
+            "label": pa.array(agg["label"].to_numpy(dtype=np.int64)),
+            "dim": pa.array(agg["dim"].to_numpy(dtype=np.int64)),
+            "s": pa.array(agg["s"].to_numpy(dtype=np.int64)),
+            "c": pa.array(agg["c"].to_numpy(dtype=np.int64)),
+        })
+
+    sums = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+    ).to_pandas()  # K × d rows — the documented tiny driver state
+
+    if not len(sums):
+        return pd.DataFrame({"label": pd.Series(dtype=np.int64),
+                             "n": pd.Series(dtype=np.int64),
+                             "cos_to_global": pd.Series(dtype=np.float64)})
+    dims = int(sums["dim"].max()) + 1
+    labels = np.sort(sums["label"].unique())
+    svec = {int(l): np.zeros(dims, dtype=object) for l in labels}
+    for r in sums.itertuples():
+        svec[int(r.label)][int(r.dim)] = int(r.s)
+    ncnt = {int(r.label): int(r.c) for r in sums.itertuples() if r.dim == 0}
+    gvec = [sum(int(svec[l][d]) for l in ncnt) for d in range(dims)]
+    nb = sum(g * g for g in gvec)
+    out_l, out_n, out_cos = [], [], []
+    for l in sorted(ncnt):
+        sv = [int(x) for x in svec[l]]
+        dot = sum(a * b for a, b in zip(sv, gvec))
+        na = sum(a * a for a in sv)
+        if na == 0 or nb == 0:
+            cos = 0.0
+        else:
+            cos = float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+        out_l.append(l)
+        out_n.append(ncnt[l])
+        out_cos.append(cos)
+    return pd.DataFrame({
+        "label": np.array(out_l, dtype=np.int64),
+        "n": np.array(out_n, dtype=np.int64),
+        "cos_to_global": np.array(out_cos, dtype=np.float64),
+    })

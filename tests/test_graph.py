@@ -215,3 +215,56 @@ def test_triangle_counts_clique(ray_session):
 def test_triangle_counts_no_triangles(ray_session):
     got = _run_tri([(1, 2), (3, 4), (2, 3)])
     assert got == {}
+
+
+# ---------------------------------------------------------------------------
+# embedding drift by label
+# ---------------------------------------------------------------------------
+
+from logstash_filter_elastic_integration_ray.stages.similarity import (
+    embedding_drift_by_label,
+)
+
+
+def _drift_ref(labels, vecs):
+    import math
+
+    q = {}
+    cnt = {}
+    for l, v in zip(labels, vecs):
+        qv = [int(math.floor(float(x) * 1048576.0 + 0.5)) for x in v]
+        if l not in q:
+            q[l] = [0] * len(qv)
+            cnt[l] = 0
+        q[l] = [a + b for a, b in zip(q[l], qv)]
+        cnt[l] += 1
+    g = [sum(q[l][d] for l in q) for d in range(len(next(iter(q.values()))))]
+    nb = sum(x * x for x in g)
+    out = {}
+    for l in sorted(q):
+        dot = sum(a * b for a, b in zip(q[l], g))
+        na = sum(a * a for a in q[l])
+        cos = 0.0 if na == 0 or nb == 0 else (
+            float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb))))
+        out[l] = (cnt[l], cos)
+    return out
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_embedding_drift_matches_plain_ints(ray_session, blocks):
+    rng = np.random.default_rng(3)
+    labels = rng.integers(0, 3, 60).astype(np.int64)
+    vecs = rng.normal(size=(60, 8)).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(60), type=pa.int64()),
+        "label": pa.array(labels),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })).repartition(blocks)
+    got = embedding_drift_by_label(ds, num_partitions=4)
+    gmap = {int(r.label): (int(r.n), float(r.cos_to_global))
+            for r in got.itertuples()}
+    want = _drift_ref(labels.tolist(),
+                      [np.asarray(v, dtype=np.float64) for v in vecs])
+    assert gmap == want  # bitwise: same integer algorithm
+    assert all(-1.0 <= c <= 1.0 for _, c in gmap.values())
