@@ -3432,6 +3432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # through r3.  Previously-green queries follow.
     return {
         # round-4 additions — never driver-sampled, so they lead
+        "transcripts_avro": q_transcripts_avro,
         "line_dedup_docs": q_line_dedup_docs,
         "keyness_docs": q_keyness_docs,
         "audio_stats_wav": q_audio_stats_wav,
@@ -3549,7 +3550,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_jsonl": q_transcripts_jsonl,
         "transcripts_csv": q_transcripts_csv,
         "transcripts_orc": q_transcripts_orc,
-        "transcripts_avro": q_transcripts_avro,
         "grok_toolcalls": q_grok_toolcalls,
         "dissect_access": q_dissect_access,
         "kv_fields": q_kv_fields,
