@@ -542,6 +542,29 @@ def run_bench() -> dict:
 
     timed("pagerank_16x", pagerank_16x, reps=1)
 
+    def triangle_16x():
+        # exact triangle counting over the within-decade chain graph on
+        # 1.28M dup-heavy ids (~2.2M edges): 7 thin exchanges, wedge
+        # volume bounded by the degree-ordered orientation
+        from logstash_filter_elastic_integration_ray.stages.graph import triangle_counts
+
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+
+        def synth_edges(t):
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            r = ids % 10
+            s1, d1 = ids[r >= 1], ids[r >= 1] - 1
+            m2 = (r >= 2) & (ids % 3 != 0)
+            s2, d2 = ids[m2], ids[m2] - 2
+            return pa_.table({"src": pa_.array(np.r_[s1, s2]),
+                              "dst": pa_.array(np.r_[d1, d2])})
+
+        edges = heavy.map_batches(synth_edges, batch_format="pyarrow")
+        return triangle_counts(edges, num_partitions=NUM_CPUS).count()
+
+    timed("triangle_16x", triangle_16x, reps=1)
+
+
     def _exchange_rows():
         # rows entering the by-gram exchange: full grams vs winnowed fps
         from logstash_filter_elastic_integration_ray.stages.corpus import (
