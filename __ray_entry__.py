@@ -1143,6 +1143,69 @@ def q_image_dedup_dhash(sf_dir: str):
                              k=2, num_partitions=32)
 
 
+def q_dedup_keep_best_docs(sf_dir: str):
+    """Near-dup dedup with a KEEP-BEST-QUALITY survivor policy (the
+    curation knob min-id dedup lacks): minhash cluster assignments
+    (stages/dedup.py:minhash_cluster_assignments) co-partition with
+    each doc's n_chars, then stages/aggregate.py:group_argmax keeps
+    each cluster's longest member (tie: min doc_id).  Fixture from the
+    union-find + plain-argmax reference."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import (
+        add_partition_col,
+        group_argmax,
+    )
+    from logstash_filter_elastic_integration_ray.stages.dedup import (
+        minhash_cluster_assignments,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "n_chars"])
+    assign = minhash_cluster_assignments(
+        docs.select_columns(["doc_id", "text"]))
+
+    def a_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        out = pa.table({
+            "doc_id": t.column("doc_id"),
+            "cluster_id": t.column("cluster_id"),
+            "n_chars": pa.array(np.zeros(n, dtype=np.int64)),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+        return add_partition_col(out, 32, key="doc_id")
+
+    def b_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        out = pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "cluster_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "n_chars": t.column("n_chars").cast(pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+        })
+        return add_partition_col(out, 32, key="doc_id")
+
+    def resolve(df):
+        a = df[df["side"] == 0][["doc_id", "cluster_id"]]
+        b = df[df["side"] == 1][["doc_id", "n_chars"]]
+        m = a.merge(b, on="doc_id", how="inner")
+        return pa.table({
+            "cluster_id": pa.array(m["cluster_id"].to_numpy(dtype=np.int64)),
+            "doc_id": pa.array(m["doc_id"].to_numpy(dtype=np.int64)),
+            "n_chars": pa.array(m["n_chars"].to_numpy(dtype=np.int64)),
+        })
+
+    joined = (
+        assign.map_batches(a_side, batch_format="pyarrow")
+        .union(docs.select_columns(["doc_id", "n_chars"])
+               .map_batches(b_side, batch_format="pyarrow"))
+        .repartition(32)
+        .groupby("__part")
+        .map_groups(resolve, batch_format="pandas")
+    )
+    return group_argmax(joined, key="cluster_id", order_col="n_chars",
+                        tiebreak_col="doc_id",
+                        keep_cols=["doc_id", "n_chars"], descending=True)
+
+
 def q_pagerank_docs(sf_dir: str):
     """Distributed PageRank over a deterministic doc link graph
     (stages/graph.py:pagerank): exact int64 fixed-point — floor-div
@@ -3444,6 +3507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio_docs": q_compression_ratio_docs,
         "triangle_counts_docs": q_triangle_counts_docs,
         "embedding_drift_by_label": q_embedding_drift_by_label,
+        "dedup_keep_best_docs": q_dedup_keep_best_docs,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -4141,6 +4205,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "image_dedup_dhash": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/image_dedup_dhash.sf0_01.parquet')"
+        ),
+        "dedup_keep_best_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/dedup_keep_best_docs.sf0_01.parquet')"
         ),
         "compression_ratio_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/compression_ratio_docs.sf0_01.parquet')"

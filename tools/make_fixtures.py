@@ -73,6 +73,7 @@ def main() -> None:
         "image_dedup_dhash": ref.image_dedup_dhash_reference(sf_dir),
         "compression_ratio_docs": ref.compression_ratio_reference(ids, texts),
         "triangle_counts_docs": ref.triangle_counts_reference(sf_dir),
+        "dedup_keep_best_docs": ref.dedup_keep_best_reference(sf_dir),
     }
     for name, df in tables.items():
         df = _canonical(df)

@@ -1381,3 +1381,42 @@ def triangle_counts_reference(sf_dir: str) -> pd.DataFrame:
         "node": np.array([r[0] for r in rows], dtype=np.int64),
         "n_triangles": np.array([r[1] for r in rows], dtype=np.int64),
     })
+
+
+def dedup_keep_best_reference(sf_dir: str, *, num_perm: int = 32,
+                              bands: int = 8, threshold: float = 0.8
+                              ) -> pd.DataFrame:
+    """Keep-best-quality dedup policy reference: minhash union-find
+    roots (as the split reference computes them), then per cluster the
+    member with MAX n_chars, tie-broken by min doc_id."""
+    ids, texts = load_documents(sf_dir)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "n_chars"])
+    nchars = dict(zip(t.column("doc_id").to_numpy().astype(np.int64),
+                      t.column("n_chars").to_numpy().astype(np.int64)))
+    hasher = MinHasher(num_perm=num_perm)
+    sig = np.vstack([hasher.signature(tx) for tx in texts])
+    keys = band_bucket_keys(sig, bands)
+    buckets: dict[int, list[int]] = {}
+    for idx in range(len(ids)):
+        for b in range(bands):
+            buckets.setdefault(int(keys[idx, b]), []).append(idx)
+    uf = UnionFind(ids)
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        mi = np.array(sorted(members))
+        _verify_bucket_minhash(ids[mi], sig[mi], threshold, uf)
+    best: dict[int, tuple[int, int]] = {}
+    for i in ids:
+        i = int(i)
+        root = uf.find(i)
+        cand = (-nchars[i], i)
+        if root not in best or cand < best[root]:
+            best[root] = cand
+    rows = sorted((root, c[1], -c[0]) for root, c in best.items())
+    return pd.DataFrame({
+        "cluster_id": np.array([r[0] for r in rows], dtype=np.int64),
+        "doc_id": np.array([r[1] for r in rows], dtype=np.int64),
+        "n_chars": np.array([r[2] for r in rows], dtype=np.int64),
+    })
