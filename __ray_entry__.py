@@ -1143,6 +1143,39 @@ def q_image_dedup_dhash(sf_dir: str):
                              k=2, num_partitions=32)
 
 
+def q_pagerank_personalized_docs(sf_dir: str):
+    """PERSONALIZED PageRank — teleport mass restricted to a seed set
+    (every 50th doc): the related-content discovery primitive, same
+    exact-integer machinery as q_pagerank_docs with the leftover term
+    redistributed to seeds only (stages/graph.py:pagerank(seeds=…));
+    fixture from the independently-extended dict reference."""
+    from logstash_filter_elastic_integration_ray.stages.graph import pagerank
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = int(docs.count())
+    import pyarrow.parquet as _pq
+
+    all_ids = _pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).column("doc_id").to_numpy()
+    seeds = [int(d) for d in all_ids if d % 50 == 0]
+
+    def synth_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        src, dst = [], []
+        for d in ids:
+            d = int(d)
+            if d % 5 == 0:
+                continue
+            for j in range(1 + d % 3):
+                src.append(d)
+                dst.append((d * 17 + 1 + 97 * j) % n_docs)
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "dst": pa.array(dst, type=pa.int64())})
+
+    edges = docs.map_batches(synth_edges, batch_format="pyarrow")
+    return pagerank(edges, n_iters=8, seeds=seeds)
+
+
 def q_dedup_keep_best_docs(sf_dir: str):
     """Near-dup dedup with a KEEP-BEST-QUALITY survivor policy (the
     curation knob min-id dedup lacks): minhash cluster assignments
@@ -3508,6 +3541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts_docs": q_triangle_counts_docs,
         "embedding_drift_by_label": q_embedding_drift_by_label,
         "dedup_keep_best_docs": q_dedup_keep_best_docs,
+        "pagerank_personalized_docs": q_pagerank_personalized_docs,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -4208,6 +4242,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_keep_best_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/dedup_keep_best_docs.sf0_01.parquet')"
+        ),
+        "pagerank_personalized_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/pagerank_personalized_docs.sf0_01.parquet')"
         ),
         "compression_ratio_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/compression_ratio_docs.sf0_01.parquet')"

@@ -78,7 +78,8 @@ def _node_table(edges, src_col: str, dst_col: str, num_partitions: int):
 
 def pagerank(edges, *, n_iters: int = 8, damping_num: int = 85,
              damping_den: int = 100, num_partitions: int = 32,
-             src_col: str = "src", dst_col: str = "dst"):
+             src_col: str = "src", dst_col: str = "dst",
+             seeds=None):
     """PageRank with damping ``damping_num/damping_den`` over an edge
     Dataset — exact int64 fixed-point (see module docstring), so the
     output is bit-identical under any batching / partitioning.
@@ -91,7 +92,13 @@ def pagerank(edges, *, n_iters: int = 8, damping_num: int = 85,
     Magnitude bound: per-dst contribution sums are ≤ n·2^32 and damping
     multiplies by ``damping_num`` before dividing, so int64 holds up to
     ~2^24 nodes at the default SCALE; shard id spaces beyond that
-    should lower SCALE (future knob) — noted, not silently wrong."""
+    should lower SCALE (future knob) — noted, not silently wrong.
+
+    ``seeds``: PERSONALIZED PageRank — the global leftover (teleport +
+    dangling + rounding) redistributes only to the given node ids
+    (``L // len(seeds)`` each; a seed id absent from the graph simply
+    receives nothing).  Seeds are small-by-contract (they ride the task
+    closure as one sorted int64 array)."""
     nodes = _node_table(edges, src_col, dst_col, num_partitions).map_batches(
         lambda t: t.append_column(
             "q", pa.array(np.full(t.num_rows, int(SCALE), dtype=np.int64))),
@@ -107,6 +114,11 @@ def pagerank(edges, *, n_iters: int = 8, damping_num: int = 85,
             "rank": pa.array([], type=pa.float64()),
         }))
     total_mass = n_nodes * int(SCALE)
+    seed_arr = None
+    if seeds is not None:
+        seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+        if not len(seed_arr):
+            raise ValueError("personalized PageRank needs >= 1 seed")
 
     def edge_side(t: pa.Table) -> pa.Table:
         out = pa.table({
@@ -203,13 +215,27 @@ def pagerank(edges, *, n_iters: int = 8, damping_num: int = 85,
             .map_groups(apply_damping, batch_format="pandas")
         ).materialize()
         tot_prop = int(merged.sum("prop"))
-        base = (total_mass - tot_prop) // n_nodes
+        if seed_arr is None:
+            base = (total_mass - tot_prop) // n_nodes
 
-        def add_base(t: pa.Table, base=base) -> pa.Table:
-            q = pc.add(t.column("prop"), pa.scalar(base, type=pa.int64()))
-            return pa.table({"node": t.column("node"),
-                             "deg": t.column("deg"),
-                             "q": q})
+            def add_base(t: pa.Table, base=base) -> pa.Table:
+                q = pc.add(t.column("prop"), pa.scalar(base, type=pa.int64()))
+                return pa.table({"node": t.column("node"),
+                                 "deg": t.column("deg"),
+                                 "q": q})
+        else:
+            base = (total_mass - tot_prop) // len(seed_arr)
+
+            def add_base(t: pa.Table, base=base, sd=seed_arr) -> pa.Table:
+                nodes_np = t.column("node").to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(sd, nodes_np)
+                is_seed = (pos < len(sd))
+                is_seed &= sd[np.minimum(pos, len(sd) - 1)] == nodes_np
+                add = np.where(is_seed, base, 0).astype(np.int64)
+                q = pc.add(t.column("prop"), pa.array(add))
+                return pa.table({"node": t.column("node"),
+                                 "deg": t.column("deg"),
+                                 "q": q})
 
         nodes = merged.map_batches(add_base, batch_format="pyarrow").materialize()
 

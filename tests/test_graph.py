@@ -268,3 +268,22 @@ def test_embedding_drift_matches_plain_ints(ray_session, blocks):
                       [np.asarray(v, dtype=np.float64) for v in vecs])
     assert gmap == want  # bitwise: same integer algorithm
     assert all(-1.0 <= c <= 1.0 for _, c in gmap.values())
+
+
+def test_personalized_pagerank_bit_exact_and_concentrates(ray_session):
+    from tools.reference_impls import pagerank_reference
+
+    star = [(i, 0) for i in range(1, 8)] + [(0, 1)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in star], type=pa.int64()),
+        "dst": pa.array([d for _, d in star], type=pa.int64()),
+    }))
+    got = pagerank(ds, num_partitions=4, seeds=[3]).to_pandas()
+    gmap = {int(r.node): int(r.q) for r in got.itertuples()}
+    ref = pagerank_reference(star, seeds=[3])
+    want = {int(r.node): int(r.q) for r in ref.itertuples()}
+    assert gmap == want
+    # seed 3 holds strictly more mass than symmetric non-seed leaves
+    assert gmap[3] > gmap[4]
+    with pytest.raises(ValueError):
+        pagerank(ds, seeds=[])

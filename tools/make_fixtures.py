@@ -74,6 +74,7 @@ def main() -> None:
         "compression_ratio_docs": ref.compression_ratio_reference(ids, texts),
         "triangle_counts_docs": ref.triangle_counts_reference(sf_dir),
         "dedup_keep_best_docs": ref.dedup_keep_best_reference(sf_dir),
+        "pagerank_personalized_docs": ref.pagerank_personalized_docs_reference(sf_dir),
     }
     for name, df in tables.items():
         df = _canonical(df)

@@ -1149,7 +1149,7 @@ def pagerank_edges_for_docs(ids: np.ndarray, n: int) -> list[tuple[int, int]]:
 
 
 def pagerank_reference(edges, *, n_iters: int = 8, damping_num: int = 85,
-                       damping_den: int = 100) -> pd.DataFrame:
+                       damping_den: int = 100, seeds=None) -> pd.DataFrame:
     """Plain dict-and-loop integer PageRank, independently implemented
     (per-edge accumulation, no vectorization, no partitioning): SCALE =
     2^32 per node, exact floor-division shares, integer damping, the
@@ -1169,14 +1169,19 @@ def pagerank_reference(edges, *, n_iters: int = 8, damping_num: int = 85,
                              "rank": pd.Series(dtype=np.float64)})
     q = {v: scale for v in nodes}
     total = n * scale
+    seed_set = None if seeds is None else {int(x) for x in seeds}
     for _ in range(n_iters):
         acc = {v: 0 for v in nodes}
         share = {u: q[u] // deg[u] for u in deg}
         for s, d in edges:
             acc[d] += share[s]
         prop = {v: (damping_num * acc[v]) // damping_den for v in nodes}
-        base = (total - sum(prop.values())) // n
-        q = {v: prop[v] + base for v in nodes}
+        if seed_set is None:
+            base = (total - sum(prop.values())) // n
+            q = {v: prop[v] + base for v in nodes}
+        else:
+            base = (total - sum(prop.values())) // len(seed_set)
+            q = {v: prop[v] + (base if v in seed_set else 0) for v in nodes}
     rows = sorted(q.items())
     qv = np.array([r[1] for r in rows], dtype=np.int64)
     return pd.DataFrame({
@@ -1420,3 +1425,10 @@ def dedup_keep_best_reference(sf_dir: str, *, num_perm: int = 32,
         "doc_id": np.array([r[1] for r in rows], dtype=np.int64),
         "n_chars": np.array([r[2] for r in rows], dtype=np.int64),
     })
+
+
+def pagerank_personalized_docs_reference(sf_dir: str) -> pd.DataFrame:
+    ids, _texts = load_documents(sf_dir)
+    seeds = [int(d) for d in ids if d % 50 == 0]
+    return pagerank_reference(pagerank_edges_for_docs(ids, len(ids)),
+                              seeds=seeds)
