@@ -1143,6 +1143,34 @@ def q_image_dedup_dhash(sf_dir: str):
                              k=2, num_partitions=32)
 
 
+def q_hits_docs(sf_dir: str):
+    """Kleinberg HITS hubs/authorities over the shared doc link graph
+    (stages/graph.py:hits): exact-integer power iteration with a
+    deterministic power-of-two rescale replacing the float L2
+    normalization — bit-identical under any batching; fixture from the
+    independent dict-and-loop reference."""
+    from logstash_filter_elastic_integration_ray.stages.graph import hits
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = int(docs.count())
+
+    def synth_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        src, dst = [], []
+        for d in ids:
+            d = int(d)
+            if d % 5 == 0:
+                continue
+            for j in range(1 + d % 3):
+                src.append(d)
+                dst.append((d * 17 + 1 + 97 * j) % n_docs)
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "dst": pa.array(dst, type=pa.int64())})
+
+    edges = docs.map_batches(synth_edges, batch_format="pyarrow")
+    return hits(edges, n_iters=8)
+
+
 def q_pagerank_personalized_docs(sf_dir: str):
     """PERSONALIZED PageRank — teleport mass restricted to a seed set
     (every 50th doc): the related-content discovery primitive, same
@@ -3542,6 +3570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_drift_by_label": q_embedding_drift_by_label,
         "dedup_keep_best_docs": q_dedup_keep_best_docs,
         "pagerank_personalized_docs": q_pagerank_personalized_docs,
+        "hits_docs": q_hits_docs,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -4245,6 +4274,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_personalized_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/pagerank_personalized_docs.sf0_01.parquet')"
+        ),
+        "hits_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/hits_docs.sf0_01.parquet')"
         ),
         "compression_ratio_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/compression_ratio_docs.sf0_01.parquet')"

@@ -456,3 +456,198 @@ def triangle_counts(edges, *, num_partitions: int = 32,
         .groupby("__part")
         .map_groups(final_counts, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (exact-integer power iteration)
+# ---------------------------------------------------------------------------
+
+
+def hits(edges, *, n_iters: int = 8, num_partitions: int = 32,
+         src_col: str = "src", dst_col: str = "dst"):
+    """Kleinberg's HITS over a directed edge Dataset — hub and
+    authority scores by power iteration, made bit-deterministic the
+    same way PageRank is: scores are int64 and every update is an
+    exact integer sum.  The textbook L2 normalization (a float
+    division) is replaced by a DETERMINISTIC power-of-two rescale:
+    after each half-step, if the maximum score exceeds 2^40 every
+    score shifts right by the same amount (a pure function of the max,
+    hence of the graph) — relative order and ratios are preserved to
+    2^-40 and the final output normalizes once, so the floats are one
+    fixed expression ``score / max_score``.
+
+    Per iteration: authorities ← Σ hubs over in-edges (one co-partition
+    by dst), hubs ← Σ authorities over out-edges (one by src); loop
+    state materializes like the PageRank/k-means loops (very deep
+    loops — dozens of iterations — accumulate Ray Data stats lineage;
+    HITS converges in single digits, so the default 8 is the intended
+    operating range).  Output: (node, hub_q, auth_q, hub, auth) with
+    hub/auth in [0, 1]."""
+    nodes = _node_table(edges, src_col, dst_col, num_partitions).map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "h": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "a": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    if int(nodes.count()) == 0:
+        import ray
+
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "hub_q": pa.array([], type=pa.int64()),
+            "auth_q": pa.array([], type=pa.int64()),
+            "hub": pa.array([], type=pa.float64()),
+            "auth": pa.array([], type=pa.float64()),
+        }))
+
+    _CAP = np.int64(1) << np.int64(40)
+
+    def edge_rows(t: pa.Table, key_col: str, other_col: str) -> pa.Table:
+        out = pa.table({
+            "k": t.column(key_col).cast(pa.int64()),
+            "o": t.column(other_col).cast(pa.int64()),
+            "h": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "a": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="k")
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t.column("node"),
+            "o": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "h": t.column("h"),
+            "a": t.column("a"),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="k")
+
+    def sum_partial(df: pd.DataFrame, val: str) -> pa.Table:
+        # edges keyed by k carry the OTHER endpoint in o; the k-side
+        # node rows carry the score being propagated
+        nd = df[df["side"] == 1][["k", val]]
+        eg = df[df["side"] == 0][["k", "o"]]
+        m = eg.merge(nd, on="k", how="inner")
+        agg = m.groupby("o", sort=False)[val].sum().reset_index()
+        out = pa.table({
+            "node": pa.array(agg["o"].to_numpy(dtype=np.int64)),
+            "s": pa.array(agg[val].to_numpy(dtype=np.int64)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    def apply_new(df: pd.DataFrame, keep: str, out_col: str) -> pa.Table:
+        base = df[df["side"] == 1][["node", "h", "a"]]
+        contrib = df[df["side"] == 0]
+        agg = contrib.groupby("node", sort=False)["s"].sum().reset_index()
+        keys = agg["node"].to_numpy(dtype=np.int64)
+        order = np.argsort(keys, kind="stable")
+        kk, vv = keys[order], agg["s"].to_numpy(dtype=np.int64)[order]
+        want = base["node"].to_numpy(dtype=np.int64)
+        sv = np.zeros(len(want), dtype=np.int64)
+        if len(kk):
+            pos = np.searchsorted(kk, want)
+            ok = pos < len(kk)
+            okpos = np.minimum(pos, len(kk) - 1)
+            ok &= kk[okpos] == want
+            sv[ok] = vv[okpos[ok]]
+        cols = {"node": pa.array(want),
+                "h": pa.array(base["h"].to_numpy(dtype=np.int64)),
+                "a": pa.array(base["a"].to_numpy(dtype=np.int64))}
+        cols[out_col] = pa.array(sv)
+        return pa.table(cols)
+
+    def contrib_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"),
+            "s": t.column("s"),
+            "h": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "a": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "__part": t.column("__part"),
+        })
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "node": t.column("node"),
+            "s": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "h": t.column("h"),
+            "a": t.column("a"),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    def rescale(ds_nodes, col: str):
+        ds_nodes = ds_nodes.materialize()
+        mx = ds_nodes.max(col)
+        mx = int(mx) if mx is not None else 0
+        shift = 0
+        while (mx >> shift) > int(_CAP):
+            shift += 1
+        if shift == 0:
+            return ds_nodes
+
+        def sh(t: pa.Table, shift=shift, col=col) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False) >> shift
+            cols = {c: t.column(c) for c in t.column_names}
+            cols[col] = pa.array(v.astype(np.int64))
+            return pa.table(cols)
+
+        return ds_nodes.map_batches(sh, batch_format="pyarrow").materialize()
+
+    for _ in range(n_iters):
+        # authority half-step: a(v) = Σ h(u) over edges u→v
+        auth_contrib = (
+            nodes.map_batches(node_rows, batch_format="pyarrow")
+            .union(edges.map_batches(
+                lambda t: edge_rows(t, src_col, dst_col),
+                batch_format="pyarrow"))
+            .repartition(num_partitions)
+            .groupby("__part")
+            .map_groups(lambda df: sum_partial(df, "h"), batch_format="pandas")
+        )
+        nodes = (
+            nodes.map_batches(base_rows, batch_format="pyarrow")
+            .union(auth_contrib.map_batches(contrib_rows, batch_format="pyarrow"))
+            .repartition(num_partitions)
+            .groupby("__part")
+            .map_groups(lambda df: apply_new(df, "h", "a"),
+                        batch_format="pandas")
+        )
+        nodes = rescale(nodes, "a")
+        # hub half-step: h(u) = Σ a(v) over edges u→v
+        hub_contrib = (
+            nodes.map_batches(node_rows, batch_format="pyarrow")
+            .union(edges.map_batches(
+                lambda t: edge_rows(t, dst_col, src_col),
+                batch_format="pyarrow"))
+            .repartition(num_partitions)
+            .groupby("__part")
+            .map_groups(lambda df: sum_partial(df, "a"), batch_format="pandas")
+        )
+        nodes = (
+            nodes.map_batches(base_rows, batch_format="pyarrow")
+            .union(hub_contrib.map_batches(contrib_rows, batch_format="pyarrow"))
+            .repartition(num_partitions)
+            .groupby("__part")
+            .map_groups(lambda df: apply_new(df, "a", "h"),
+                        batch_format="pandas")
+        )
+        nodes = rescale(nodes, "h")
+
+    hmax = int(nodes.max("h") or 1)
+    amax = int(nodes.max("a") or 1)
+
+    def finish(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": t.column("node"),
+            "hub_q": pa.array(h),
+            "auth_q": pa.array(a),
+            "hub": pa.array(h.astype(np.float64) / np.float64(hmax)),
+            "auth": pa.array(a.astype(np.float64) / np.float64(amax)),
+        })
+
+    return nodes.map_batches(finish, batch_format="pyarrow")

@@ -287,3 +287,48 @@ def test_personalized_pagerank_bit_exact_and_concentrates(ray_session):
     assert gmap[3] > gmap[4]
     with pytest.raises(ValueError):
         pagerank(ds, seeds=[])
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+from logstash_filter_elastic_integration_ray.stages.graph import hits
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_hits_bit_exact_vs_reference(ray_session, blocks):
+    from tools.reference_impls import hits_reference
+
+    g = [(1, 2), (1, 3), (4, 3), (3, 2), (2, 5), (6, 3), (6, 2)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in g], type=pa.int64()),
+        "dst": pa.array([d for _, d in g], type=pa.int64()),
+    })).repartition(blocks)
+    got = hits(ds, num_partitions=4).to_pandas()
+    gmap = {int(r.node): (int(r.hub_q), int(r.auth_q), float(r.hub), float(r.auth))
+            for r in got.itertuples()}
+    ref = hits_reference(g)
+    want = {int(r.node): (int(r.hub_q), int(r.auth_q), float(r.hub), float(r.auth))
+            for r in ref.itertuples()}
+    assert gmap == want
+    # 2 and 3 receive from the most hubs -> top authorities
+    top_auth = max(gmap, key=lambda n: gmap[n][1])
+    assert top_auth in (2, 3)
+
+
+def test_hits_rescale_engages(ray_session):
+    from tools.reference_impls import hits_reference
+
+    # dense bipartite core: scores grow ~ (n/2)^(2 iters) and cross 2^40
+    g = [(i, 100 + j) for i in range(12) for j in range(12)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in g], type=pa.int64()),
+        "dst": pa.array([d for _, d in g], type=pa.int64()),
+    }))
+    got = hits(ds, n_iters=8, num_partitions=4).to_pandas()
+    ref = hits_reference(g, n_iters=8)
+    gmap = {int(r.node): (int(r.hub_q), int(r.auth_q)) for r in got.itertuples()}
+    want = {int(r.node): (int(r.hub_q), int(r.auth_q)) for r in ref.itertuples()}
+    assert gmap == want
+    assert max(q for q, _ in gmap.values()) <= 1 << 41

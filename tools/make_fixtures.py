@@ -75,6 +75,7 @@ def main() -> None:
         "triangle_counts_docs": ref.triangle_counts_reference(sf_dir),
         "dedup_keep_best_docs": ref.dedup_keep_best_reference(sf_dir),
         "pagerank_personalized_docs": ref.pagerank_personalized_docs_reference(sf_dir),
+        "hits_docs": ref.hits_docs_reference(sf_dir),
     }
     for name, df in tables.items():
         df = _canonical(df)

@@ -1432,3 +1432,49 @@ def pagerank_personalized_docs_reference(sf_dir: str) -> pd.DataFrame:
     seeds = [int(d) for d in ids if d % 50 == 0]
     return pagerank_reference(pagerank_edges_for_docs(ids, len(ids)),
                               seeds=seeds)
+
+
+def hits_reference(edges, *, n_iters: int = 8) -> pd.DataFrame:
+    """Plain dict-and-loop integer HITS — same contract as
+    stages/graph.py:hits (power-of-two rescale when max > 2^40,
+    final normalization by max)."""
+    cap = 1 << 40
+    nodes = sorted({x for e in edges for x in e})
+    h = {v: 1 for v in nodes}
+    a = {v: 1 for v in nodes}
+
+    def rescale(d):
+        mx = max(d.values(), default=0)
+        shift = 0
+        while (mx >> shift) > cap:
+            shift += 1
+        if shift:
+            for k in d:
+                d[k] >>= shift
+
+    for _ in range(n_iters):
+        na = {v: 0 for v in nodes}
+        for s, dd in edges:
+            na[dd] += h[s]
+        a = na
+        rescale(a)
+        nh = {v: 0 for v in nodes}
+        for s, dd in edges:
+            nh[s] += a[dd]
+        h = nh
+        rescale(h)
+    hmax = max(h.values()) or 1
+    amax = max(a.values()) or 1
+    rows = sorted(nodes)
+    return pd.DataFrame({
+        "node": np.array(rows, dtype=np.int64),
+        "hub_q": np.array([h[v] for v in rows], dtype=np.int64),
+        "auth_q": np.array([a[v] for v in rows], dtype=np.int64),
+        "hub": np.array([h[v] / float(hmax) for v in rows], dtype=np.float64),
+        "auth": np.array([a[v] / float(amax) for v in rows], dtype=np.float64),
+    })
+
+
+def hits_docs_reference(sf_dir: str) -> pd.DataFrame:
+    ids, _texts = load_documents(sf_dir)
+    return hits_reference(pagerank_edges_for_docs(ids, len(ids)))
