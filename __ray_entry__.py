@@ -1143,6 +1143,21 @@ def q_image_dedup_dhash(sf_dir: str):
                              k=2, num_partitions=32)
 
 
+def q_markov_transitions_events(sf_dir: str):
+    """First-order Markov transition matrix of per-user event
+    sequences (stages/funnel.py:markov_transitions): one co-partition
+    by user extracts adjacent pairs vectorized (deduped per block),
+    one exchange by source type merges counts and computes the local
+    marginal; p is one IEEE division on exact int64 counts."""
+    from logstash_filter_elastic_integration_ray.stages.funnel import (
+        markov_transitions,
+    )
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "event_type"])
+    return markov_transitions(ev)
+
+
 def q_hits_docs(sf_dir: str):
     """Kleinberg HITS hubs/authorities over the shared doc link graph
     (stages/graph.py:hits): exact-integer power iteration with a
@@ -3571,6 +3586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best_docs": q_dedup_keep_best_docs,
         "pagerank_personalized_docs": q_pagerank_personalized_docs,
         "hits_docs": q_hits_docs,
+        "markov_transitions_events": q_markov_transitions_events,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -4277,6 +4293,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hits_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/hits_docs.sf0_01.parquet')"
+        ),
+        "markov_transitions_events": (
+            "WITH s AS (SELECT user_id, event_type, "
+            "  lead(event_type) OVER (PARTITION BY user_id "
+            "    ORDER BY ts, event_id) AS nxt FROM events), "
+            "c AS (SELECT event_type AS src_type, nxt AS dst_type, "
+            "      CAST(count(*) AS BIGINT) AS n FROM s "
+            "      WHERE nxt IS NOT NULL GROUP BY 1, 2), "
+            "m AS (SELECT src_type, CAST(sum(n) AS BIGINT) AS tot "
+            "      FROM c GROUP BY 1) "
+            "SELECT c.src_type, c.dst_type, c.n, "
+            "CAST(c.n AS DOUBLE) / m.tot AS p FROM c JOIN m USING(src_type)"
         ),
         "compression_ratio_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/compression_ratio_docs.sf0_01.parquet')"

@@ -202,3 +202,77 @@ def cohort_retention(
         })
 
     return counted.map_batches(split, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix of per-entity event sequences
+# ---------------------------------------------------------------------------
+
+
+def markov_transitions(ds, *, key: str = "user_id",
+                       order_cols: list[str] | None = None,
+                       type_col: str = "event_type",
+                       num_partitions: int = 32):
+    """First-order Markov transition counts and probabilities over each
+    entity's time-ordered event sequence — the product-analytics
+    "what do users do next" matrix, the exact twin of::
+
+        lead(type) OVER (PARTITION BY key ORDER BY order_cols...) pairs
+        → GROUP BY (src, dst) → p = n / Σ_dst n
+
+    Shape: ONE co-partition by entity (each partition lexsorts its
+    entities and extracts adjacent pairs vectorized, emitting deduped
+    (src, dst, cnt) partials — an entity with a million events forwards
+    at most |types|² rows per block), then ONE exchange by src type
+    where counts merge and the per-src marginal is a local sum.  The
+    probability is one IEEE division on exact int64 counts (numpy and
+    SQL agree bit-for-bit)."""
+    order_cols = order_cols or ["ts", "event_id"]
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_partition_col(t, num_partitions, key=key)
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key] + order_cols, kind="mergesort")
+        k = df[key].to_numpy()
+        ty = df[type_col].to_numpy(dtype=object)
+        if len(k) < 2:
+            return pa.table({"src_type": pa.array([], type=pa.string()),
+                             "dst_type": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "__part": pa.array([], type=pa.int64())})
+        same = k[1:] == k[:-1]
+        pf = pd.DataFrame({"src_type": ty[:-1][same], "dst_type": ty[1:][same]})
+        cnt = pf.groupby(["src_type", "dst_type"], sort=False).size().reset_index(name="n")
+        out = pa.table({
+            "src_type": pa.array(cnt["src_type"].to_numpy(dtype=object),
+                                 type=pa.string()),
+            "dst_type": pa.array(cnt["dst_type"].to_numpy(dtype=object),
+                                 type=pa.string()),
+            "n": pa.array(cnt["n"].to_numpy(dtype=np.int64)),
+        })
+        return add_partition_col(out, num_partitions, key="src_type")
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby(["src_type", "dst_type"], sort=False)["n"].sum().reset_index()
+        tot = agg.groupby("src_type", sort=False)["n"].transform("sum")
+        n = agg["n"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "src_type": pa.array(agg["src_type"].to_numpy(dtype=object),
+                                 type=pa.string()),
+            "dst_type": pa.array(agg["dst_type"].to_numpy(dtype=object),
+                                 type=pa.string()),
+            "n": pa.array(n),
+            "p": pa.array(n.astype(np.float64)
+                          / tot.to_numpy(dtype=np.int64).astype(np.float64)),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(pairs, batch_format="pandas")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(finish, batch_format="pandas")
+    )
