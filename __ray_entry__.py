@@ -222,6 +222,28 @@ def q_transcripts_jsonl(sf_dir: str):
     return _project(ds, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
 
 
+def q_transcripts_jsonl_gz(sf_dir: str):
+    """Sixth source-format round trip: gzip-compressed JSONL — the
+    form web-crawl dumps actually ship in (sources/jsonl.py:
+    write_jsonl_gz/read_jsonl_gz: deterministic mtime=0 gzip bytes,
+    retry-safe datasink filenames; workers decompress + ndjson-parse
+    their own shards).  Must match the SAME oracle as the parquet
+    source."""
+    from logstash_filter_elastic_integration_ray.sources.io import ensure_cache_dir
+    from logstash_filter_elastic_integration_ray.sources.jsonl import (
+        read_jsonl_gz,
+        write_jsonl_gz,
+    )
+
+    out = ensure_cache_dir(
+        f"/tmp/graft_jsonlgz/{_cache_tag(sf_dir)}",
+        lambda d: write_jsonl_gz(read_transcripts(sf_dir), d,
+                                 timestamp_cols=["ts"]),
+    )
+    ds = read_jsonl_gz(out, timestamp_cols=["ts"])
+    return _project(ds, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
 def q_transcripts_csv(sf_dir: str):
     """Third source format: transcripts round-tripped through sharded
     CSV (timestamps as ISO strings — CSV has no temporal type) must
@@ -3572,6 +3594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # round-4 additions — never driver-sampled, so they lead
         "transcripts_avro": q_transcripts_avro,
+        "transcripts_jsonl_gz": q_transcripts_jsonl_gz,
         "line_dedup_docs": q_line_dedup_docs,
         "keyness_docs": q_keyness_docs,
         "audio_stats_wav": q_audio_stats_wav,
@@ -4034,6 +4057,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_csv": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "transcripts_orc": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "transcripts_avro": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
+        "transcripts_jsonl_gz": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "grok_toolcalls": T(
             "SELECT conv_id, turn_idx, tool AS tool_name, CAST(kstr AS BIGINT) AS k, "
             "CAST(status AS BIGINT) AS status, event_id % 1000 AS took_ms, "

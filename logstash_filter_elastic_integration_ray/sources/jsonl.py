@@ -64,3 +64,98 @@ def read_jsonl(path, *, timestamp_cols: list[str] | None = None, **kwargs):
         return t
 
     return ds.map_batches(restore, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# gzip-compressed JSONL (the form web-crawl dumps actually ship in)
+# ---------------------------------------------------------------------------
+
+
+class _JsonlGzDatasink:
+    """Lazy holder so importing this module never imports Ray."""
+
+    _cls = None
+
+    @classmethod
+    def get(cls):
+        if cls._cls is None:
+            from ray.data.datasource import BlockBasedFileDatasink
+
+            class JsonlGzDatasink(BlockBasedFileDatasink):
+                def __init__(self, path: str):
+                    super().__init__(path, file_format="jsonl.gz")
+
+                def write_block_to_file(self, block, file) -> None:
+                    import gzip
+                    import io
+                    import json
+
+                    t = block.to_arrow()
+                    buf = io.BytesIO()
+                    # mtime=0: deterministic bytes, so a RETRIED write
+                    # task reproduces its shard exactly
+                    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                        for row in t.to_pylist():
+                            gz.write(json.dumps(
+                                row, ensure_ascii=False,
+                                separators=(",", ":")).encode("utf-8"))
+                            gz.write(b"\n")
+                    file.write(buf.getvalue())
+
+            cls._cls = JsonlGzDatasink
+        return cls._cls
+
+
+def write_jsonl_gz(ds, out_dir: str, *, timestamp_cols: list[str] | None = None) -> str:
+    """Sharded gzip JSONL via a file datasink — retry-safe filenames
+    owned by Ray's write protocol, deterministic gzip bytes (mtime=0).
+    Timestamps serialize as ISO strings exactly like :func:`write_jsonl`."""
+    ts_cols = timestamp_cols or []
+    if ts_cols:
+
+        def to_iso(t: pa.Table) -> pa.Table:
+            for c in ts_cols:
+                if c in t.column_names:
+                    i = t.column_names.index(c)
+                    col = t.column(c)
+                    if pa.types.is_temporal(col.type):
+                        t = t.set_column(i, c, pc.cast(col, pa.string()))
+            return t
+
+        ds = ds.map_batches(to_iso, batch_format="pyarrow")
+    ds.write_datasink(_JsonlGzDatasink.get()(out_dir))
+    return out_dir
+
+
+def read_jsonl_gz(path, *, timestamp_cols: list[str] | None = None, **kwargs):
+    """Read gzip JSONL file(s): workers decompress + parse their own
+    shards (one pyarrow ndjson parse per file), the driver sees only
+    paths; listed timestamp columns restore to ``timestamp[us]``."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(path, file_extensions=["gz"], **kwargs)
+    ts_cols = timestamp_cols or []
+
+    def decode(t: pa.Table) -> pa.Table:
+        import gzip
+
+        from pyarrow import json as pa_json
+
+        parts = [
+            pa_json.read_json(pa.BufferReader(gzip.decompress(b.as_py())))
+            for b in t.column("bytes")
+        ]
+        if not parts:
+            return pa.table({})
+        out = pa.concat_tables(parts)
+        for c in ts_cols:
+            if c in out.column_names:
+                i = out.column_names.index(c)
+                col = out.column(c)
+                if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                    out = out.set_column(i, c, pc.cast(col, pa.timestamp("us")))
+                elif pa.types.is_temporal(col.type) and col.type != pa.timestamp("us"):
+                    out = out.set_column(i, c, pc.cast(col, pa.timestamp("us")))
+        return out.replace_schema_metadata(None)
+
+    return ds.map_batches(decode, batch_format="pyarrow")
