@@ -1165,6 +1165,43 @@ def q_image_dedup_dhash(sf_dir: str):
                              k=2, num_partitions=32)
 
 
+def q_typo_clusters_docs(sf_dir: str):
+    """Vocabulary typo normalization — the SymSpell symmetric-delete
+    recipe (stages/spell.py:typo_clusters): deletion-variant buckets
+    are a COMPLETE ed≤1 candidate filter (never an all-pairs vocab
+    scan); verified edges → the shared connected components → each
+    cluster maps to its (count desc, word asc) dominant spelling.
+    Typos planted deterministically per doc (rule shared with
+    tools/reference_impls.typo_texts_for_docs); fixture from the plain
+    SymSpell + union-find reference."""
+    from logstash_filter_elastic_integration_ray.stages.spell import typo_clusters
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        out = []
+        for d, tx in zip(ids, texts):
+            d = int(d)
+            tx = tx or ""
+            words = tx.split(" ")
+            first = words[0] if words and words[0] else "pad"
+            extra = ""
+            if d % 3 == 0 and len(first) >= 2:
+                p = d % len(first)
+                extra = " " + first[:p] + first[p + 1:]
+            elif d % 7 == 0 and first:
+                p = d % len(first)
+                extra = " " + first[:p] + "q" + first[p + 1:]
+            out.append(tx + extra)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": pa.array(out, type=pa.string())})
+
+    return typo_clusters(docs.map_batches(plant, batch_format="pyarrow"))
+
+
 def q_markov_transitions_events(sf_dir: str):
     """First-order Markov transition matrix of per-user event
     sequences (stages/funnel.py:markov_transitions): one co-partition
@@ -3610,6 +3647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_personalized_docs": q_pagerank_personalized_docs,
         "hits_docs": q_hits_docs,
         "markov_transitions_events": q_markov_transitions_events,
+        "typo_clusters_docs": q_typo_clusters_docs,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -4317,6 +4355,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hits_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/hits_docs.sf0_01.parquet')"
+        ),
+        "typo_clusters_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/typo_clusters_docs.sf0_01.parquet')"
         ),
         "markov_transitions_events": (
             "WITH s AS (SELECT user_id, event_type, "

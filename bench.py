@@ -873,6 +873,28 @@ def run_bench() -> dict:
 
         timed("dup_ngram_dup_heavy_64x", dup_ngram_64x, reps=1)
 
+        def line_dedup_64x():
+            # 320k docs re-lined into 8-token lines, every line
+            # duplicated >= 64x: the hash exchange stays batch-collapsed
+            from logstash_filter_elastic_integration_ray.stages.corpus import (
+                dedup_lines,
+            )
+
+            def relined(t):
+                return pa_.table({
+                    "doc_id": t.column("doc_id"),
+                    "text": pc_.replace_substring_regex(
+                        t.column("text"), pattern=r"((?:\S+ ){7}\S+) ",
+                        replacement="\\1\n"),
+                })
+
+            heavy = read_parquet_clean(
+                dup64_path, override_num_blocks=NUM_CPUS * 4
+            ).map_batches(relined, batch_format="pyarrow")
+            return dedup_lines(heavy, num_partitions=NUM_CPUS * 4).count()
+
+        timed("line_dedup_64x", line_dedup_64x, reps=1)
+
         def pack_and_shard_64x():
             from logstash_filter_elastic_integration_ray.stages.corpus import pack_docs, shuffle_shards
 

@@ -1,0 +1,106 @@
+"""SymSpell-style typo clustering (stages/spell.py) vs a plain
+union-find reference: ed<=1 semantics, canon selection, block
+invariance."""
+
+from __future__ import annotations
+
+import sys
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+sys.path.insert(0, "/root/repo")
+
+from logstash_filter_elastic_integration_ray.stages.spell import _ed1, typo_clusters
+
+
+class TestEd1:
+    def test_semantics(self):
+        assert _ed1("table", "tables")      # insertion
+        assert _ed1("table", "tble")        # deletion
+        assert _ed1("table", "tabla")       # substitution
+        assert not _ed1("table", "tabel")   # transposition = 2 (plain Lev)
+        assert not _ed1("table", "tab")     # distance 2
+        assert _ed1("a", "")                # single char vs empty
+        assert not _ed1("abc", "xbz")       # two substitutions
+
+
+def ref_typo_clusters(texts):
+    cnt = Counter()
+    for t in texts:
+        cnt.update((t or "").split(" "))
+    words = sorted(cnt)
+    parent = {w: w for w in words}
+
+    def find(w):
+        while parent[w] != w:
+            parent[w] = parent[parent[w]]
+            w = parent[w]
+        return w
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    buckets = {}
+    for w in words:
+        for v in {w} | {w[:i] + w[i + 1:] for i in range(len(w))}:
+            buckets.setdefault(v, []).append(w)
+    for members in buckets.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                if _ed1(members[i], members[j]):
+                    union(members[i], members[j])
+    clusters = {}
+    for w in words:
+        clusters.setdefault(find(w), []).append(w)
+    out = {}
+    for members in clusters.values():
+        canon = sorted(members, key=lambda w: (-cnt[w], w))[0]
+        for w in members:
+            out[w] = (canon, cnt[w])
+    return out
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_typo_clusters_match_reference(ray_session, blocks):
+    texts = [
+        "table table table scan scan merge",
+        "tble scan scan scann",      # tble ~ table; scann ~ scan
+        "merge merge merg window",
+        "window windw value",
+        "unrelated tokens here",
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })).repartition(blocks)
+    got = typo_clusters(ds, num_partitions=4).to_pandas()
+    gmap = {r.word: (r.canon, int(r.cnt)) for r in got.itertuples()}
+    want = ref_typo_clusters(texts)
+    assert gmap == want
+    assert gmap["tble"][0] == "table"
+    assert gmap["scann"][0] == "scan"
+    assert gmap["windw"][0] == "window"
+    assert gmap["unrelated"][0] == "unrelated"  # singleton maps to itself
+
+
+def test_typo_clusters_chain_merges(ray_session):
+    # scan ~ scam ~ sham? no (2 apart) — but scan~scam and scam~sham
+    # chain through the shared member
+    texts = ["scan scan scam sham shim"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    got = typo_clusters(ds, num_partitions=2).to_pandas()
+    gmap = {r.word: r.canon for r in got.itertuples()}
+    want = ref_typo_clusters(texts)
+    assert gmap == {w: c for w, (c, _n) in want.items()}
+    # transitive closure: all four chain into one cluster via scam/sham
+    assert len({gmap[w] for w in ("scan", "scam", "sham", "shim")}) == 1

@@ -76,6 +76,7 @@ def main() -> None:
         "dedup_keep_best_docs": ref.dedup_keep_best_reference(sf_dir),
         "pagerank_personalized_docs": ref.pagerank_personalized_docs_reference(sf_dir),
         "hits_docs": ref.hits_docs_reference(sf_dir),
+        "typo_clusters_docs": ref.typo_clusters_reference(sf_dir),
     }
     for name, df in tables.items():
         df = _canonical(df)

@@ -1478,3 +1478,96 @@ def hits_reference(edges, *, n_iters: int = 8) -> pd.DataFrame:
 def hits_docs_reference(sf_dir: str) -> pd.DataFrame:
     ids, _texts = load_documents(sf_dir)
     return hits_reference(pagerank_edges_for_docs(ids, len(ids)))
+
+
+def typo_texts_for_docs(ids: np.ndarray, texts) -> list[str]:
+    """DEFINITIONAL typo-planting rule shared with
+    __ray_entry__.q_typo_clusters_docs: every 3rd doc appends a
+    1-deletion typo of its first word; every 7th a 1-substitution."""
+    out = []
+    for d, t in zip(ids, texts):
+        d = int(d)
+        t = t or ""
+        words = t.split(" ")
+        first = words[0] if words and words[0] else "pad"
+        extra = ""
+        if d % 3 == 0 and len(first) >= 2:
+            p = d % len(first)
+            extra = " " + first[:p] + first[p + 1:]
+        elif d % 7 == 0 and first:
+            p = d % len(first)
+            extra = " " + first[:p] + "q" + first[p + 1:]
+        out.append(t + extra)
+    return out
+
+
+def _ed1_plain(u: str, v: str) -> bool:
+    lu, lv = len(u), len(v)
+    if lu == lv:
+        return sum(a != b for a, b in zip(u, v)) <= 1
+    if abs(lu - lv) != 1:
+        return False
+    if lu > lv:
+        u, v, lu, lv = v, u, lv, lu
+    i = 0
+    while i < lu and u[i] == v[i]:
+        i += 1
+    return u[i:] == v[i + 1:]
+
+
+def _typo_clusters_plain(texts) -> dict:
+    from collections import Counter
+
+    cnt = Counter()
+    for t in texts:
+        cnt.update((t or "").split(" "))
+    words = sorted(cnt)
+    uf = UnionFindStr(words)
+    buckets: dict[str, list[str]] = {}
+    for w in words:
+        for v in {w} | {w[:i] + w[i + 1:] for i in range(len(w))}:
+            buckets.setdefault(v, []).append(w)
+    for members in buckets.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                if _ed1_plain(members[i], members[j]):
+                    uf.union(members[i], members[j])
+    clusters: dict[str, list[str]] = {}
+    for w in words:
+        clusters.setdefault(uf.find(w), []).append(w)
+    out = {}
+    for members in clusters.values():
+        canon = sorted(members, key=lambda w: (-cnt[w], w))[0]
+        for w in members:
+            out[w] = (canon, cnt[w])
+    return out
+
+
+class UnionFindStr:
+    def __init__(self, items):
+        self.parent = {w: w for w in items}
+
+    def find(self, w):
+        p = self.parent
+        while p[w] != w:
+            p[w] = p[p[w]]
+            w = p[w]
+        return w
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def typo_clusters_reference(sf_dir: str) -> pd.DataFrame:
+    """Plain SymSpell + union-find over the typo-planted texts; canon =
+    (count desc, word asc) per cluster."""
+    ids, texts = load_documents(sf_dir)
+    rows = _typo_clusters_plain(typo_texts_for_docs(ids, texts))
+    words = sorted(rows)
+    return pd.DataFrame({
+        "word": np.array(words, dtype=object),
+        "canon": np.array([rows[w][0] for w in words], dtype=object),
+        "cnt": np.array([rows[w][1] for w in words], dtype=np.int64),
+    })
