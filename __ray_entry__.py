@@ -244,6 +244,26 @@ def q_transcripts_jsonl_gz(sf_dir: str):
     return _project(ds, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
 
 
+def q_transcripts_ipc(sf_dir: str):
+    """Seventh source-format round trip: Arrow IPC stream files (the
+    zero-parse Arrow-native interchange — the on-disk layout IS the
+    in-memory layout; timestamps survive natively, no ISO round trip)
+    (sources/ipcsrc.py).  Must match the SAME oracle as the parquet
+    source."""
+    from logstash_filter_elastic_integration_ray.sources.io import ensure_cache_dir
+    from logstash_filter_elastic_integration_ray.sources.ipcsrc import (
+        read_ipc,
+        write_ipc,
+    )
+
+    out = ensure_cache_dir(
+        f"/tmp/graft_ipc/{_cache_tag(sf_dir)}",
+        lambda d: write_ipc(read_transcripts(sf_dir), d),
+    )
+    ds = read_ipc(out, timestamp_cols=["ts"])
+    return _project(ds, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
 def q_transcripts_csv(sf_dir: str):
     """Third source format: transcripts round-tripped through sharded
     CSV (timestamps as ISO strings — CSV has no temporal type) must
@@ -3632,6 +3652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 additions — never driver-sampled, so they lead
         "transcripts_avro": q_transcripts_avro,
         "transcripts_jsonl_gz": q_transcripts_jsonl_gz,
+        "transcripts_ipc": q_transcripts_ipc,
         "line_dedup_docs": q_line_dedup_docs,
         "keyness_docs": q_keyness_docs,
         "audio_stats_wav": q_audio_stats_wav,
@@ -4096,6 +4117,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_orc": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "transcripts_avro": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "transcripts_jsonl_gz": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
+        "transcripts_ipc": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "grok_toolcalls": T(
             "SELECT conv_id, turn_idx, tool AS tool_name, CAST(kstr AS BIGINT) AS k, "
             "CAST(status AS BIGINT) AS status, event_id % 1000 AS took_ms, "
