@@ -1185,6 +1185,44 @@ def q_image_dedup_dhash(sf_dir: str):
                              k=2, num_partitions=32)
 
 
+def q_upsert_merge_events(sf_dir: str):
+    """CDC upsert merge — the lakehouse MERGE/compaction primitive
+    (stages/joins.py:upsert_merge): a deterministic change stream
+    (every 4th event updated an hour later with doubled value, every
+    10th tombstoned two hours later) merges into the base table by ONE
+    key co-partition; latest ts wins, tombstones drop.  Window-SQL
+    twin."""
+    from logstash_filter_elastic_integration_ray.stages.joins import upsert_merge
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    base = read_parquet_clean(f"{sf_dir}/events.parquet", columns=cols)
+
+    def synth_changes(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        upd = eid % 4 == 0
+        dele = eid % 10 == 0
+        parts = []
+        for mask, dt_us, vmul, op in ((upd, 3_600_000_000, 2.0, "u"),
+                                      (dele, 7_200_000_000, 1.0, "d")):
+            parts.append(pa.table({
+                "event_id": pa.array(eid[mask], type=pa.int64()),
+                "ts": pa.array(ts[mask] + dt_us, type=pa.int64()).cast(
+                    pa.timestamp("us")),
+                "user_id": t.column("user_id").filter(pa.array(mask)),
+                "event_type": t.column("event_type").filter(pa.array(mask)),
+                "value": pa.array(val[mask] * vmul, type=pa.float64()),
+                "op": pa.array(np.full(int(mask.sum()), op, dtype=object),
+                               type=pa.string()),
+            }))
+        return pa.concat_tables(parts)
+
+    changes = base.map_batches(synth_changes, batch_format="pyarrow")
+    return upsert_merge(base, changes, key="event_id", ts_col="ts",
+                        op_col="op")
+
+
 def q_typo_clusters_docs(sf_dir: str):
     """Vocabulary typo normalization — the SymSpell symmetric-delete
     recipe (stages/spell.py:typo_clusters): deletion-variant buckets
@@ -3669,6 +3707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_docs": q_hits_docs,
         "markov_transitions_events": q_markov_transitions_events,
         "typo_clusters_docs": q_typo_clusters_docs,
+        "upsert_merge_events": q_upsert_merge_events,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -4380,6 +4419,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "typo_clusters_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/typo_clusters_docs.sf0_01.parquet')"
+        ),
+        "upsert_merge_events": (
+            "WITH ch AS ("
+            "  SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, "
+            "         event_type, value * 2 AS value, 'u' AS op "
+            "  FROM events WHERE event_id % 4 = 0 "
+            "  UNION ALL "
+            "  SELECT event_id, ts + INTERVAL 2 HOUR, user_id, "
+            "         event_type, value, 'd' "
+            "  FROM events WHERE event_id % 10 = 0), "
+            "allr AS ("
+            "  SELECT event_id, ts, user_id, event_type, value, "
+            "         '' AS op, 0 AS origin FROM events "
+            "  UNION ALL SELECT event_id, ts, user_id, event_type, value, "
+            "         op, 1 FROM ch), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY event_id "
+            "  ORDER BY ts DESC, origin DESC) AS rn FROM allr) "
+            "SELECT event_id, ts, user_id, event_type, value "
+            "FROM r WHERE rn = 1 AND op <> 'd'"
         ),
         "markov_transitions_events": (
             "WITH s AS (SELECT user_id, event_type, "

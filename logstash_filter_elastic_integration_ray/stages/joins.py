@@ -498,3 +498,75 @@ def hash_semi_join_bloom(left, right, *, left_key: str, right_key: str,
         return resolved
     definite_keep = left.map_batches(split(False), batch_format="pyarrow")
     return definite_keep.union(resolved)
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert merge (lakehouse MERGE / compaction)
+# ---------------------------------------------------------------------------
+
+
+def upsert_merge(base, changes, *, key: str, ts_col: str,
+                 op_col: str | None = None, delete_op: str = "d",
+                 num_partitions: int = 32):
+    """Merge a change stream into a base table — the lakehouse
+    MERGE/compaction primitive (Delta/Hudi-style copy-on-write
+    semantics): per key, the row with the LATEST ``ts_col`` wins
+    (base rows count as older than an equal-timestamp change); if the
+    winning change row carries ``op_col == delete_op`` the key is a
+    tombstone and drops from the output.
+
+    Shape: ONE co-partition of base ∪ changes by key hash; each
+    partition resolves its keys with one lexsort (key, ts, origin) —
+    no driver state, no join.  Column sets must match between the two
+    inputs (plus the optional ``op_col`` on the change side).
+
+    Determinism: ties on (key, ts) break by origin (change beats
+    base), then are an input-contract violation if two CHANGES share
+    (key, ts) — the merge keeps the change that sorts last by the
+    remaining columns' block order being irrelevant: callers should
+    make (key, ts) unique per change batch, as every CDC log does."""
+    base_schema = _dataset_schema(base)
+    cols = [c for c in base_schema.names]
+
+    def base_side(t: pa.Table) -> pa.Table:
+        arrs = {c: t.column(c) for c in cols}
+        arrs["__op"] = pa.array(np.full(t.num_rows, "", dtype=object),
+                                type=pa.string())
+        arrs["__origin"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        return add_partition_col(pa.table(arrs), num_partitions, key=key)
+
+    def change_side(t: pa.Table) -> pa.Table:
+        arrs = {c: t.column(c) for c in cols}
+        if op_col is not None:
+            arrs["__op"] = t.column(op_col).cast(pa.string())
+        else:
+            arrs["__op"] = pa.array(np.full(t.num_rows, "", dtype=object),
+                                    type=pa.string())
+        arrs["__origin"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        return add_partition_col(pa.table(arrs), num_partitions, key=key)
+
+    def resolve(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values([key, ts_col, "__origin"], kind="mergesort")
+        last = ~df.duplicated(subset=[key], keep="last")
+        win = df[last]
+        keep = win["__op"].to_numpy(dtype=object) != delete_op
+        win = win[keep]
+        out = {}
+        for c in cols:
+            v = win[c]
+            f = base_schema.field(c)
+            if pa.types.is_integer(f.type):
+                out[c] = pa.array(v.to_numpy(dtype=np.int64), type=f.type)
+            elif pa.types.is_timestamp(f.type):
+                out[c] = pa.array(v.to_numpy(), type=f.type)
+            else:
+                out[c] = pa.array(v.to_numpy(dtype=object), type=f.type)
+        return pa.table(out)
+
+    return (
+        base.map_batches(base_side, batch_format="pyarrow")
+        .union(changes.map_batches(change_side, batch_format="pyarrow"))
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(resolve, batch_format="pandas")
+    )

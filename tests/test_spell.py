@@ -104,3 +104,50 @@ def test_typo_clusters_chain_merges(ray_session):
     assert gmap == {w: c for w, (c, _n) in want.items()}
     # transitive closure: all four chain into one cluster via scam/sham
     assert len({gmap[w] for w in ("scan", "scam", "sham", "shim")}) == 1
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert merge
+# ---------------------------------------------------------------------------
+
+from logstash_filter_elastic_integration_ray.stages.joins import upsert_merge
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_upsert_merge_semantics(ray_session, blocks):
+    base = pa.table({
+        "k": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "ts": pa.array([10, 10, 10, 10], type=pa.int64()),
+        "v": pa.array(["a", "b", "c", "d"], type=pa.string()),
+    })
+    changes = pa.table({
+        "k": pa.array([1, 2, 2, 3, 5], type=pa.int64()),
+        "ts": pa.array([20, 5, 15, 10, 7], type=pa.int64()),
+        "v": pa.array(["a2", "old", "b2", "c-tie", "new5"], type=pa.string()),
+        "op": pa.array(["u", "u", "d", "u", "u"], type=pa.string()),
+    })
+    got = upsert_merge(
+        ray.data.from_arrow(base).repartition(blocks),
+        ray.data.from_arrow(changes).repartition(blocks),
+        key="k", ts_col="ts", op_col="op", num_partitions=4,
+    ).to_pandas()
+    gmap = {int(r.k): (int(r.ts), r.v) for r in got.itertuples()}
+    assert gmap == {
+        1: (20, "a2"),      # newer update wins
+        3: (10, "c-tie"),   # equal ts: change beats base
+        4: (10, "d"),       # untouched base row
+        5: (7, "new5"),     # pure insert
+        # 2 absent: the ts=15 tombstone wins over base(10) and old(5)
+    }
+
+
+def test_upsert_merge_without_op_col(ray_session):
+    base = pa.table({"k": pa.array([1], type=pa.int64()),
+                     "ts": pa.array([1], type=pa.int64()),
+                     "v": pa.array([1.5], type=pa.float64())})
+    ch = pa.table({"k": pa.array([1], type=pa.int64()),
+                   "ts": pa.array([2], type=pa.int64()),
+                   "v": pa.array([2.5], type=pa.float64())})
+    got = upsert_merge(ray.data.from_arrow(base), ray.data.from_arrow(ch),
+                       key="k", ts_col="ts", num_partitions=2).to_pandas()
+    assert len(got) == 1 and float(got.v[0]) == 2.5
