@@ -1185,6 +1185,24 @@ def q_image_dedup_dhash(sf_dir: str):
                              k=2, num_partitions=32)
 
 
+def q_zorder_events(sf_dir: str):
+    """Z-order (Morton) clustering key over (user_id, event_id) — the
+    lakehouse OPTIMIZE ZORDER BY primitive: 62-bit interleave of two
+    31-bit keys so range predicates on EITHER column stay block-local
+    after a sort (stages/corpus.py:zorder_key_batch).  Stateless
+    vectorized batches; the SQL twin runs the IDENTICAL mask-shift
+    sequence on BIGINTs, bit-exact."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import (
+        zorder_key_batch,
+    )
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id"])
+    return ev.map_batches(
+        lambda t: zorder_key_batch(t, "user_id", "event_id"),
+        batch_format="pyarrow")
+
+
 def q_upsert_merge_events(sf_dir: str):
     """CDC upsert merge — the lakehouse MERGE/compaction primitive
     (stages/joins.py:upsert_merge): a deterministic change stream
@@ -3708,6 +3726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_transitions_events": q_markov_transitions_events,
         "typo_clusters_docs": q_typo_clusters_docs,
         "upsert_merge_events": q_upsert_merge_events,
+        "zorder_events": q_zorder_events,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -4419,6 +4438,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "typo_clusters_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/typo_clusters_docs.sf0_01.parquet')"
+        ),
+        "zorder_events": (
+            "SELECT event_id, user_id, ((((((((((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) | ((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) | ((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) | ((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) | ((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | ((((((((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) | ((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) | ((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) | ((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) | ((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205)) | (((((((((((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) | ((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) | ((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) | ((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) | ((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | ((((((((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) | ((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) | ((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) | ((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) | ((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205)) << 1) AS zorder FROM events"
         ),
         "upsert_merge_events": (
             "WITH ch AS ("

@@ -1439,3 +1439,49 @@ def frequent_pairs(ds, *, min_item_count: int, min_pair_count: int = 1,
         .groupby("__part")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) interleaving for multi-column layout locality
+# ---------------------------------------------------------------------------
+
+_Z_MASKS = (
+    (np.uint64(16), np.uint64(0x0000FFFF0000FFFF)),
+    (np.uint64(8), np.uint64(0x00FF00FF00FF00FF)),
+    (np.uint64(4), np.uint64(0x0F0F0F0F0F0F0F0F)),
+    (np.uint64(2), np.uint64(0x3333333333333333)),
+    (np.uint64(1), np.uint64(0x5555555555555555)),
+)
+
+
+def _spread31(x: np.ndarray) -> np.ndarray:
+    """Spread the low 31 bits of each value so bit i lands at 2i —
+    the classic mask-shift sequence, vectorized."""
+    v = x.astype(np.uint64) & np.uint64(0x7FFFFFFF)
+    for shift, mask in _Z_MASKS:
+        v = (v | (v << shift)) & mask
+    return v
+
+
+def zorder_key_batch(t: pa.Table, col_a: str, col_b: str,
+                     out_col: str = "zorder") -> pa.Table:
+    """62-bit Morton code interleaving the low 31 bits of two integer
+    columns (col_a on even bits) — the multi-dimensional clustering
+    key a lakehouse OPTIMIZE ZORDER BY computes so that range
+    predicates on EITHER column stay block-local after a sort.
+    Stateless and exactly SQL-expressible (the same mask-shift
+    sequence runs on BIGINTs), so the twin is bit-exact.  Keys wider
+    than 31 bits should be bucketed first (documented, not silent:
+    the mask keeps the LOW bits)."""
+    a = t.column(col_a).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    b = t.column(col_b).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    z = (_spread31(a) | (_spread31(b) << np.uint64(1))).astype(np.int64)
+    return t.append_column(out_col, pa.array(z))
+
+
+def zorder_sql_expr(col: str) -> str:
+    """The DuckDB twin of :func:`_spread31` as an expression string."""
+    e = f"({col} & 2147483647)"
+    for shift, mask in _Z_MASKS:
+        e = f"(({e} | ({e} << {int(shift)})) & {int(mask)})"
+    return e
