@@ -1185,6 +1185,34 @@ def q_image_dedup_dhash(sf_dir: str):
                              k=2, num_partitions=32)
 
 
+def q_interval_merge_events(sf_dir: str):
+    """Gaps-and-islands interval coalescing per user (the
+    availability/outage merge): deterministic [ts, ts + (1+id%50) min]
+    intervals per event, overlapping-or-touching islands merge
+    (stages/windows.py:merge_intervals — one key co-partition, Cython
+    segmented cummax, never a per-key loop).  Classic window SQL
+    twin."""
+    from logstash_filter_elastic_integration_ray.stages.windows import (
+        merge_intervals,
+    )
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dur_us = (1 + eid % 50) * 60_000_000
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "s": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+            "e": pa.array(ts + dur_us, type=pa.int64()).cast(pa.timestamp("us")),
+        })
+
+    iv = ev.map_batches(synth, batch_format="pyarrow")
+    return merge_intervals(iv, key="user_id", start_col="s", end_col="e")
+
+
 def q_zorder_events(sf_dir: str):
     """Z-order (Morton) clustering key over (user_id, event_id) — the
     lakehouse OPTIMIZE ZORDER BY primitive: 62-bit interleave of two
@@ -3727,6 +3755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typo_clusters_docs": q_typo_clusters_docs,
         "upsert_merge_events": q_upsert_merge_events,
         "zorder_events": q_zorder_events,
+        "interval_merge_events": q_interval_merge_events,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -4438,6 +4467,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "typo_clusters_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/typo_clusters_docs.sf0_01.parquet')"
+        ),
+        "interval_merge_events": (
+            "WITH iv AS (SELECT user_id, ts AS s, "
+            "  ts + (1 + event_id % 50) * INTERVAL 1 MINUTE AS e FROM events), "
+            "o AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id "
+            "  ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "  AS prev_max FROM iv), "
+            "m AS (SELECT user_id, s, e, CASE WHEN prev_max IS NULL "
+            "  OR s > prev_max THEN 1 ELSE 0 END AS brk FROM o), "
+            "g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id "
+            "  ORDER BY s, e) AS island FROM m) "
+            "SELECT user_id, min(s) AS s, max(e) AS e, "
+            "CAST(count(*) AS BIGINT) AS n_merged "
+            "FROM g GROUP BY user_id, island"
         ),
         "zorder_events": (
             "SELECT event_id, user_id, ((((((((((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) | ((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) | ((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) | ((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) | ((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | ((((((((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) | ((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) | ((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) | ((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) | ((((user_id & 2147483647) | ((user_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205)) | (((((((((((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) | ((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) | ((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) | ((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) | ((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | ((((((((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) | ((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) | ((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) | ((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) | ((((event_id & 2147483647) | ((event_id & 2147483647) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205)) << 1) AS zorder FROM events"

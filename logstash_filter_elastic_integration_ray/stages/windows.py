@@ -1275,3 +1275,82 @@ def gapfill_resample(ds, *, key: str, ts_col: str, val_col: str,
         .groupby("__part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# interval coalescing (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+
+def merge_intervals(ds, *, key: str, start_col: str, end_col: str,
+                    num_partitions: int = 32):
+    """Coalesce overlapping-or-touching [start, end] intervals per key —
+    the classic gaps-and-islands reduction (the availability/outage
+    merge every ops pipeline runs).  Output one row per merged island:
+    (key, start, end, n_merged).
+
+    Semantics match the standard SQL formulation: an interval starts a
+    new island iff its start is strictly greater than the running max
+    end of all earlier intervals of the key (ordered by start, then
+    end); touching intervals (start == prev end) MERGE.
+
+    Shape: ONE co-partition by key, then a vectorized lexsort +
+    segmented running-max + cumsum island-id pass per partition —
+    never a per-key loop.  Exact int64 end-to-end (timestamps ride as
+    µs)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_partition_col(t, num_partitions, key=key)
+
+    def coalesce(df: pd.DataFrame) -> pa.Table:
+        k = df[key].to_numpy()
+        s = df[start_col].to_numpy()
+        e = df[end_col].to_numpy()
+        s_i = s.astype("datetime64[us]").astype(np.int64) if np.issubdtype(
+            s.dtype, np.datetime64) else s.astype(np.int64)
+        e_i = e.astype("datetime64[us]").astype(np.int64) if np.issubdtype(
+            e.dtype, np.datetime64) else e.astype(np.int64)
+        codes, _ = pd.factorize(k, use_na_sentinel=False)
+        order = np.lexsort((e_i, s_i, codes))
+        codes, s_i, e_i = codes[order], s_i[order], e_i[order]
+        n = len(codes)
+        if not n:
+            return pa.table({key: pa.array([], type=pa.int64()),
+                             start_col: pa.array([], type=pa.int64()),
+                             end_col: pa.array([], type=pa.int64()),
+                             "n_merged": pa.array([], type=pa.int64())})
+        # segmented running max of end within each key: pandas'
+        # Cython groupby cummax — C-speed, no per-segment Python loop
+        new_key = np.r_[True, codes[1:] != codes[:-1]]
+        acc = pd.Series(e_i).groupby(codes).cummax().to_numpy(dtype=np.int64)
+        prev_max = np.empty(n, dtype=np.int64)
+        prev_max[0] = np.iinfo(np.int64).min
+        prev_max[1:] = acc[:-1]
+        prev_max[new_key] = np.iinfo(np.int64).min
+        new_island = new_key | (s_i > prev_max)
+        island = np.cumsum(new_island) - 1
+        out_k = k[order][np.flatnonzero(new_island)]
+        starts = s_i[np.flatnonzero(new_island)]
+        ends = np.maximum.reduceat(acc, np.flatnonzero(new_island))
+        # acc within a segment is the running max; the island end is the
+        # max end over the island's rows = last acc value of the island
+        # (acc is monotone within a segment) — reduceat(max) of acc works
+        counts = np.bincount(island)
+        tkey = pa.array(out_k.astype(np.int64)) if np.issubdtype(
+            out_k.dtype, np.integer) else pa.array(out_k, type=pa.string())
+        st_dtype = df[start_col].dtype
+        if np.issubdtype(st_dtype, np.datetime64):
+            st_arr = pa.array(starts, type=pa.int64()).cast(pa.timestamp("us"))
+            en_arr = pa.array(ends, type=pa.int64()).cast(pa.timestamp("us"))
+        else:
+            st_arr = pa.array(starts)
+            en_arr = pa.array(ends)
+        return pa.table({key: tkey, start_col: st_arr, end_col: en_arr,
+                         "n_merged": pa.array(counts.astype(np.int64))})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(coalesce, batch_format="pandas")
+    )

@@ -151,3 +151,66 @@ def test_upsert_merge_without_op_col(ray_session):
     got = upsert_merge(ray.data.from_arrow(base), ray.data.from_arrow(ch),
                        key="k", ts_col="ts", num_partitions=2).to_pandas()
     assert len(got) == 1 and float(got.v[0]) == 2.5
+
+
+# ---------------------------------------------------------------------------
+# interval coalescing
+# ---------------------------------------------------------------------------
+
+from logstash_filter_elastic_integration_ray.stages.windows import merge_intervals
+
+
+def ref_merge_intervals(rows):
+    by_key = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    out = []
+    for k, ivs in by_key.items():
+        ivs.sort()
+        cur_s, cur_e, cnt = ivs[0][0], ivs[0][1], 1
+        for s, e in ivs[1:]:
+            if s <= cur_e:
+                cur_e = max(cur_e, e)
+                cnt += 1
+            else:
+                out.append((k, cur_s, cur_e, cnt))
+                cur_s, cur_e, cnt = s, e, 1
+        out.append((k, cur_s, cur_e, cnt))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_merge_intervals_matches_reference(ray_session, blocks):
+    rows = [
+        (1, 0, 10), (1, 5, 12), (1, 12, 15),   # touch merges
+        (1, 20, 25),                            # gap -> new island
+        (2, 3, 4), (2, 10, 11), (2, 2, 9),      # containment + overlap
+        (3, 7, 7),                              # degenerate point
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rows], type=pa.int64()),
+        "s": pa.array([r[1] for r in rows], type=pa.int64()),
+        "e": pa.array([r[2] for r in rows], type=pa.int64()),
+    })).repartition(blocks)
+    got = merge_intervals(ds, key="k", start_col="s", end_col="e",
+                          num_partitions=4).to_pandas()
+    gl = sorted((int(r.k), int(r.s), int(r.e), int(r.n_merged))
+                for r in got.itertuples())
+    assert gl == ref_merge_intervals(rows)
+
+
+def test_merge_intervals_timestamps(ray_session):
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    s = [base, base + np.timedelta64(30, "m"), base + np.timedelta64(3, "h")]
+    e = [base + np.timedelta64(1, "h"), base + np.timedelta64(2, "h"),
+         base + np.timedelta64(4, "h")]
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([7, 7, 7], type=pa.int64()),
+        "s": pa.array(s, type=pa.timestamp("us")),
+        "e": pa.array(e, type=pa.timestamp("us")),
+    }))
+    got = merge_intervals(ds, key="k", start_col="s", end_col="e",
+                          num_partitions=2).to_pandas().sort_values("s")
+    assert len(got) == 2
+    assert list(got.n_merged) == [2, 1]
+    assert got.s.dtype.kind == "M"  # timestamps preserved
