@@ -1185,6 +1185,22 @@ def q_image_dedup_dhash(sf_dir: str):
                              k=2, num_partitions=32)
 
 
+def q_prefix_jaccard_pairs_docs(sf_dir: str):
+    """EXACT-COMPLETE set-similarity self-join (the AllPairs/PPJoin
+    prefix filter, stages/dedup.py:prefix_jaccard_pairs): every pair
+    with exact 3-shingle Jaccard ≥ 0.8 — zero false negatives, the
+    guarantee the MinHash-LSH family cannot give.  Fixture from the
+    brute-force all-pairs reference (the fixture match IS the
+    completeness proof at this scale)."""
+    from logstash_filter_elastic_integration_ray.stages.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    return prefix_jaccard_pairs(docs, threshold=0.8)
+
+
 def q_interval_merge_events(sf_dir: str):
     """Gaps-and-islands interval coalescing per user (the
     availability/outage merge): deterministic [ts, ts + (1+id%50) min]
@@ -3756,6 +3772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsert_merge_events": q_upsert_merge_events,
         "zorder_events": q_zorder_events,
         "interval_merge_events": q_interval_merge_events,
+        "prefix_jaccard_pairs_docs": q_prefix_jaccard_pairs_docs,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -4467,6 +4484,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "typo_clusters_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/typo_clusters_docs.sf0_01.parquet')"
+        ),
+        "prefix_jaccard_pairs_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/prefix_jaccard_pairs_docs.sf0_01.parquet')"
         ),
         "interval_merge_events": (
             "WITH iv AS (SELECT user_id, ts AS s, "

@@ -214,3 +214,62 @@ def test_merge_intervals_timestamps(ray_session):
     assert len(got) == 2
     assert list(got.n_merged) == [2, 1]
     assert got.s.dtype.kind == "M"  # timestamps preserved
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter exact set-similarity join
+# ---------------------------------------------------------------------------
+
+from logstash_filter_elastic_integration_ray.stages.dedup import (
+    MinHasher,
+    _hash64,
+    prefix_jaccard_pairs,
+)
+
+
+def ref_prefix_pairs(rows, threshold, k=3):
+    h = MinHasher(shingle_size=k)
+    sets = {d: set(_hash64(h.shingles(t)).tolist()) for d, t in rows}
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            u = sets[a] | sets[b]
+            if not u:
+                continue
+            j = len(sets[a] & sets[b]) / len(u)
+            if j >= threshold:
+                out[(a, b)] = float(np.round(j, 9))
+    return out
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_prefix_join_exact_complete(ray_session, blocks):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (4, "completely different text with other words here"),
+        (5, "completely different text with other words there"),
+        (6, "short"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+        "text": pa.array([t for _, t in rows], type=pa.string()),
+    })).repartition(blocks)
+    got = prefix_jaccard_pairs(ds, threshold=0.5, num_partitions=4).to_pandas()
+    gmap = {(int(r.a), int(r.b)): float(r.jaccard) for r in got.itertuples()}
+    want = ref_prefix_pairs(rows, 0.5)
+    assert gmap == want  # EXACT completeness: no pair missed, none extra
+    assert gmap[(1, 3)] == 1.0
+
+
+def test_prefix_join_high_threshold_prunes(ray_session):
+    rows = [(1, "a b c d e f g h"), (2, "a b c d e f g x"),
+            (3, "z y x w v u t s")]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+        "text": pa.array([t for _, t in rows], type=pa.string()),
+    }))
+    got = prefix_jaccard_pairs(ds, threshold=0.95, num_partitions=2).to_pandas()
+    assert len(got) == len(ref_prefix_pairs(rows, 0.95))

@@ -77,6 +77,7 @@ def main() -> None:
         "pagerank_personalized_docs": ref.pagerank_personalized_docs_reference(sf_dir),
         "hits_docs": ref.hits_docs_reference(sf_dir),
         "typo_clusters_docs": ref.typo_clusters_reference(sf_dir),
+        "prefix_jaccard_pairs_docs": ref.prefix_jaccard_pairs_reference(sf_dir),
     }
     for name, df in tables.items():
         df = _canonical(df)

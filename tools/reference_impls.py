@@ -1571,3 +1571,34 @@ def typo_clusters_reference(sf_dir: str) -> pd.DataFrame:
         "canon": np.array([rows[w][0] for w in words], dtype=object),
         "cnt": np.array([rows[w][1] for w in words], dtype=np.int64),
     })
+
+
+def prefix_jaccard_pairs_reference(sf_dir: str, *, threshold: float = 0.8,
+                                   shingle_size: int = 3) -> pd.DataFrame:
+    """All-pairs exact shingle-hash-set Jaccard join — the brute-force
+    twin proving the engine's prefix-filter join is EXACT-COMPLETE
+    (no LSH misses).  Shares only the definitional shingle hash."""
+    from logstash_filter_elastic_integration_ray.stages.dedup import _hash64
+
+    ids, texts = load_documents(sf_dir)
+    hasher = MinHasher(shingle_size=shingle_size)
+    sets = [set(_hash64(hasher.shingles(t)).tolist()) for t in texts]
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            si, sj = sets[i], sets[j]
+            if not si and not sj:
+                continue
+            inter = len(si & sj)
+            jac = inter / len(si | sj)
+            if jac >= threshold:
+                a, b = int(ids[i]), int(ids[j])
+                # attach_pair_scores emits scores rounded to 9 decimals
+                # (the module-wide fixture convention)
+                rows.append((min(a, b), max(a, b), float(np.round(jac, 9))))
+    rows.sort()
+    return pd.DataFrame({
+        "a": np.array([r[0] for r in rows], dtype=np.int64),
+        "b": np.array([r[1] for r in rows], dtype=np.int64),
+        "jaccard": np.array([r[2] for r in rows], dtype=np.float64),
+    })
