@@ -79,10 +79,11 @@ def _node_table(edges, src_col: str, dst_col: str, num_partitions: int):
 def pagerank(edges, *, n_iters: int = 8, damping_num: int = 85,
              damping_den: int = 100, num_partitions: int = 32,
              src_col: str = "src", dst_col: str = "dst",
-             seeds=None):
+             seeds=None, engine: str = "pregel"):
     """PageRank with damping ``damping_num/damping_den`` over an edge
     Dataset — exact int64 fixed-point (see module docstring), so the
-    output is bit-identical under any batching / partitioning.
+    output is bit-identical under any batching / partitioning AND
+    across the two engines.
     Returns (node, q, rank): q the fixed-point score, rank = q / 2^32.
 
     Self-loops count like any edge; parallel edges count twice (match
@@ -98,7 +99,42 @@ def pagerank(edges, *, n_iters: int = 8, damping_num: int = 85,
     dangling + rounding) redistributes only to the given node ids
     (``L // len(seeds)`` each; a seed id absent from the graph simply
     receives nothing).  Seeds are small-by-contract (they ride the task
-    closure as one sorted int64 array)."""
+    closure as one sorted int64 array).
+
+    ``engine``:
+
+    - ``"pregel"`` (default): the edge table streams ONCE into
+      ``num_partitions`` shard actors (CSR by src-ownership hash);
+      per superstep only the int64 contribution partials move —
+      O(distinct (src-shard, dst) pairs), the edges are stationary.
+      This is the shape every production graph system uses (Pregel /
+      Giraph / GraphX): re-shuffling the edge table per iteration is
+      PageRank's dominant cost on a pure-Dataset expression, and an
+      iterative fixpoint over mutable sharded state is exactly the
+      semantics the Dataset API cannot express.  Contract: the edge
+      partitions must fit in cluster memory aggregate (CSR int64
+      arrays ≈ 16 B/edge — 100 B-edge graphs need ~1.6 TB across the
+      cluster, standard Pregel sizing).
+    - ``"bsp"``: the original all-Dataset loop (two co-partition
+      exchanges per iteration, edges ride every exchange).  Fully
+      streaming / out-of-core — the fallback when the graph exceeds
+      memory."""
+    if engine == "pregel":
+        return _pagerank_pregel(
+            edges, n_iters=n_iters, damping_num=damping_num,
+            damping_den=damping_den, num_partitions=num_partitions,
+            src_col=src_col, dst_col=dst_col, seeds=seeds)
+    if engine != "bsp":
+        raise ValueError(f"unknown pagerank engine {engine!r}")
+    return _pagerank_bsp(
+        edges, n_iters=n_iters, damping_num=damping_num,
+        damping_den=damping_den, num_partitions=num_partitions,
+        src_col=src_col, dst_col=dst_col, seeds=seeds)
+
+
+def _pagerank_bsp(edges, *, n_iters, damping_num, damping_den,
+                  num_partitions, src_col, dst_col, seeds):
+    """The all-Dataset BSP loop (see ``pagerank`` engine="bsp")."""
     nodes = _node_table(edges, src_col, dst_col, num_partitions).map_batches(
         lambda t: t.append_column(
             "q", pa.array(np.full(t.num_rows, int(SCALE), dtype=np.int64))),
@@ -248,6 +284,199 @@ def pagerank(edges, *, n_iters: int = 8, damping_num: int = 85,
         })
 
     return nodes.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Pregel engine: stationary edge shards, only contributions move
+# ---------------------------------------------------------------------------
+
+
+def _owner_part(ids: np.ndarray, num_parts: int) -> np.ndarray:
+    """Node-ownership hash (self-consistent within the pregel engine —
+    it need not match add_partition_col, and collisions only co-locate)."""
+    return (pd.util.hash_array(ids) % np.uint64(num_parts)).astype(np.int64)
+
+
+class _PregelShardImpl:
+    """One graph shard: owns the nodes whose ``_owner_part`` is
+    ``part_id`` plus every edge whose SRC it owns, as CSR-ish numpy
+    state grouped by destination shard.  Wrapped ``ray.remote`` lazily
+    so importing this module never requires an initialized Ray."""
+
+    def __init__(self, part_id: int, num_parts: int,
+                 damping_num: int, damping_den: int):
+        self.p, self.P = part_id, num_parts
+        self.dn, self.dd = np.int64(damping_num), np.int64(damping_den)
+        self._src: list = []
+        self._dst: list = []
+        self._ids: list = []
+
+    def add_edges(self, src: np.ndarray, dst: np.ndarray) -> None:
+        self._src.append(src)
+        self._dst.append(dst)
+
+    def add_nodes(self, ids: np.ndarray) -> None:
+        self._ids.append(ids)
+
+    def finalize(self) -> int:
+        """Build sorted node array + out-degrees + per-target-shard
+        (src local index, unique dst, reduceat segment starts)."""
+        src = (np.concatenate(self._src) if self._src
+               else np.empty(0, dtype=np.int64))
+        dst = (np.concatenate(self._dst) if self._dst
+               else np.empty(0, dtype=np.int64))
+        extra = (np.concatenate(self._ids) if self._ids
+                 else np.empty(0, dtype=np.int64))
+        self._src = self._dst = self._ids = []
+        nodes = np.unique(np.concatenate([src, extra]))
+        self.nodes = nodes
+        self.deg = (np.bincount(np.searchsorted(nodes, src),
+                                minlength=len(nodes)).astype(np.int64)
+                    if len(src) else np.zeros(len(nodes), dtype=np.int64))
+        self.targets: list = []
+        if len(dst):
+            sidx = np.searchsorted(nodes, src)
+            dpart = _owner_part(dst, self.P)
+            order = np.lexsort((dst, dpart))
+            src_i, dst_s, dp_s = sidx[order], dst[order], dpart[order]
+            bounds = np.r_[0, np.flatnonzero(dp_s[1:] != dp_s[:-1]) + 1,
+                           len(dp_s)]
+            for b in range(len(bounds) - 1):
+                lo, hi = int(bounds[b]), int(bounds[b + 1])
+                seg = dst_s[lo:hi]
+                starts = np.r_[0, np.flatnonzero(seg[1:] != seg[:-1]) + 1]
+                self.targets.append((int(dp_s[lo]), src_i[lo:hi],
+                                     seg[starts], starts.astype(np.int64)))
+        self.q = np.full(len(nodes), int(SCALE), dtype=np.int64)
+        self.prop = np.zeros(len(nodes), dtype=np.int64)
+        return len(nodes)
+
+    def contribs(self):
+        """Per-destination-shard (unique dst, summed int64 shares) —
+        pre-summed per dst locally, so the wire volume is O(distinct
+        (this shard, dst) pairs), never O(edges)."""
+        share = np.zeros(len(self.nodes), dtype=np.int64)
+        live = self.deg > 0
+        share[live] = self.q[live] // self.deg[live]
+        out: list = [None] * self.P
+        for t, src_i, uniq_dst, starts in self.targets:
+            out[t] = (uniq_dst, np.add.reduceat(share[src_i], starts))
+        # num_returns=1 wraps the WHOLE return in one ref, so a P=1
+        # ring hands the bare item back rather than a 1-tuple
+        return out[0] if self.P == 1 else tuple(out)
+
+    def apply_and_sum(self, *incoming) -> int:
+        """Sum inbound contributions into owned nodes, apply integer
+        damping; returns this shard's propagated mass (exact int64)."""
+        acc = np.zeros(len(self.nodes), dtype=np.int64)
+        for item in incoming:
+            if item is None:
+                continue
+            dst_ids, sums = item
+            acc[np.searchsorted(self.nodes, dst_ids)] += sums
+        self.prop = (self.dn * acc) // self.dd
+        return int(self.prop.sum())
+
+    def add_base(self, base: int, seeds=None) -> None:
+        if seeds is None:
+            self.q = self.prop + np.int64(base)
+        else:
+            pos = np.searchsorted(seeds, self.nodes)
+            ok = pos < len(seeds)
+            ok &= seeds[np.minimum(pos, len(seeds) - 1)] == self.nodes
+            self.q = self.prop + np.where(ok, np.int64(base), np.int64(0))
+
+    def node_table(self) -> pa.Table:
+        return pa.table({
+            "node": pa.array(self.nodes),
+            "q": pa.array(self.q),
+            "rank": pa.array(self.q.astype(np.float64) / np.float64(2 ** 32)),
+        })
+
+
+def _pagerank_pregel(edges, *, n_iters, damping_num, damping_den,
+                     num_partitions, src_col, dst_col, seeds):
+    """Actor-sharded PageRank (see ``pagerank`` engine="pregel").
+    The edge Dataset streams ONCE through a routing map_batches that
+    pushes (src, dst) slices to their owning shard actors; every
+    superstep after that moves only pre-summed int64 contribution
+    partials between shards (driver handles refs only — O(P²) refs,
+    never the data).  Null src/dst rows are dropped."""
+    import ray
+    import ray.data as rd
+
+    P = int(num_partitions)
+    seed_arr = None
+    if seeds is not None:
+        seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+        if not len(seed_arr):
+            raise ValueError("personalized PageRank needs >= 1 seed")
+
+    Shard = ray.remote(_PregelShardImpl)
+    shards = [Shard.remote(p, P, damping_num, damping_den)
+              for p in range(P)]
+
+    def route(t: pa.Table) -> pa.Table:
+        n_in = t.num_rows
+        s_col = t.column(src_col).cast(pa.int64())
+        d_col = t.column(dst_col).cast(pa.int64())
+        if s_col.null_count or d_col.null_count:
+            keep = pc.and_(pc.is_valid(s_col), pc.is_valid(d_col))
+            s_col, d_col = s_col.filter(keep), d_col.filter(keep)
+        src = s_col.to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = d_col.to_numpy(zero_copy_only=False).astype(np.int64)
+        acks = []
+        if len(src):
+            spart = _owner_part(src, P)
+            order = np.argsort(spart, kind="stable")
+            ss, dd_, sp = src[order], dst[order], spart[order]
+            bounds = np.r_[0, np.flatnonzero(sp[1:] != sp[:-1]) + 1, len(sp)]
+            for b in range(len(bounds) - 1):
+                lo, hi = int(bounds[b]), int(bounds[b + 1])
+                acks.append(shards[int(sp[lo])].add_edges.remote(
+                    ss[lo:hi], dd_[lo:hi]))
+            # dst EXISTENCE must reach the dst's owner even when that
+            # shard receives no edges (pure-sink / dangling nodes)
+            dpart = _owner_part(dst, P)
+            order2 = np.lexsort((dst, dpart))
+            ds2, dp2 = dst[order2], dpart[order2]
+            keep = np.r_[True, (ds2[1:] != ds2[:-1]) | (dp2[1:] != dp2[:-1])]
+            ds2, dp2 = ds2[keep], dp2[keep]
+            bounds = np.r_[0, np.flatnonzero(dp2[1:] != dp2[:-1]) + 1,
+                           len(dp2)]
+            for b in range(len(bounds) - 1):
+                lo, hi = int(bounds[b]), int(bounds[b + 1])
+                acks.append(shards[int(dp2[lo])].add_nodes.remote(ds2[lo:hi]))
+            ray.get(acks)
+        return pa.table({"n": pa.array([n_in], type=pa.int64())})
+
+    edges.map_batches(route, batch_format="pyarrow").sum("n")
+    counts = ray.get([s.finalize.remote() for s in shards])
+    n_nodes = int(sum(counts))
+    if n_nodes == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "q": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.float64()),
+        }))
+    total_mass = n_nodes * int(SCALE)
+
+    for _ in range(n_iters):
+        outboxes = [s.contribs.options(num_returns=P).remote()
+                    for s in shards]
+        if P == 1:
+            outboxes = [[r] for r in outboxes]
+        props = [shards[t].apply_and_sum.remote(
+                     *[outboxes[p][t] for p in range(P)])
+                 for t in range(P)]
+        tot_prop = int(sum(ray.get(props)))
+        base = ((total_mass - tot_prop) // n_nodes if seed_arr is None
+                else (total_mass - tot_prop) // len(seed_arr))
+        ray.get([s.add_base.remote(base, seed_arr) for s in shards])
+
+    refs = [s.node_table.remote() for s in shards]
+    ray.wait(refs, num_returns=len(refs))  # outlive the actors
+    return rd.from_arrow_refs(refs)
 
 
 # ---------------------------------------------------------------------------

@@ -73,6 +73,44 @@ def test_pagerank_all_dangling(ray_session):
     assert got == want
 
 
+@pytest.mark.parametrize("P", [1, 4])
+def test_pagerank_engines_bit_identical(ray_session, P):
+    """pregel (stationary edge shards) and bsp (all-Dataset loop) are
+    the SAME exact-integer function — bitwise, any shard count."""
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in GRAPH], type=pa.int64()),
+        "dst": pa.array([d for _, d in GRAPH], type=pa.int64()),
+    })).repartition(3)
+    a = pagerank(ds, num_partitions=P, engine="pregel").to_pandas()
+    b = pagerank(ds, num_partitions=P, engine="bsp").to_pandas()
+    ga = {int(r.node): (int(r.q), float(r.rank)) for r in a.itertuples()}
+    gb = {int(r.node): (int(r.q), float(r.rank)) for r in b.itertuples()}
+    assert ga == gb == _want(GRAPH)
+
+
+def test_pagerank_pregel_pure_sink_shard(ray_session):
+    """A node owned by a shard that receives NO edges (pure sink) must
+    still exist in the output with teleport-only mass."""
+    # sink ids chosen so some land on edge-free shards at P=8
+    edges = [(1, k) for k in range(100, 108)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in edges], type=pa.int64()),
+        "dst": pa.array([d for _, d in edges], type=pa.int64()),
+    })).repartition(2)
+    got = pagerank(ds, num_partitions=8).to_pandas()
+    gmap = {int(r.node): (int(r.q), float(r.rank)) for r in got.itertuples()}
+    assert gmap == _want(edges)
+
+
+def test_pagerank_unknown_engine_raises(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([1], type=pa.int64()),
+        "dst": pa.array([2], type=pa.int64()),
+    }))
+    with pytest.raises(ValueError):
+        pagerank(ds, engine="spark")
+
+
 # ---------------------------------------------------------------------------
 # dHash + generic hamming dedup over code columns
 # ---------------------------------------------------------------------------
