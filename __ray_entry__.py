@@ -264,6 +264,29 @@ def q_transcripts_ipc(sf_dir: str):
     return _project(ds, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
 
 
+def q_transcripts_tfrecord(sf_dir: str):
+    """Eighth source-format round trip: TFRecord files of hand-encoded
+    ``tf.train.Example`` protos (sources/tfrecordsrc.py — record
+    framing with VERIFIED masked CRC-32C, proto3 wire format, both
+    specs implemented from scratch; the format TF/JAX input pipelines
+    consume).  Example only carries int64/float32/bytes, so turn_idx
+    widens to int64 and ts rides as epoch micros (restored via
+    timestamp_cols) — values must match the SAME oracle as the parquet
+    source."""
+    from logstash_filter_elastic_integration_ray.sources.io import ensure_cache_dir
+    from logstash_filter_elastic_integration_ray.sources.tfrecordsrc import (
+        read_tfrecord,
+        write_tfrecord,
+    )
+
+    out = ensure_cache_dir(
+        f"/tmp/graft_tfrecord/{_cache_tag(sf_dir)}",
+        lambda d: write_tfrecord(read_transcripts(sf_dir), d),
+    )
+    ds = read_tfrecord(out, timestamp_cols=["ts"])
+    return _project(ds, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
 def q_transcripts_csv(sf_dir: str):
     """Third source format: transcripts round-tripped through sharded
     CSV (timestamps as ISO strings — CSV has no temporal type) must
@@ -3753,6 +3776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_avro": q_transcripts_avro,
         "transcripts_jsonl_gz": q_transcripts_jsonl_gz,
         "transcripts_ipc": q_transcripts_ipc,
+        "transcripts_tfrecord": q_transcripts_tfrecord,
         "line_dedup_docs": q_line_dedup_docs,
         "keyness_docs": q_keyness_docs,
         "audio_stats_wav": q_audio_stats_wav,
@@ -4222,6 +4246,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_avro": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "transcripts_jsonl_gz": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "transcripts_ipc": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
+        "transcripts_tfrecord": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "grok_toolcalls": T(
             "SELECT conv_id, turn_idx, tool AS tool_name, CAST(kstr AS BIGINT) AS k, "
             "CAST(status AS BIGINT) AS status, event_id % 1000 AS took_ms, "

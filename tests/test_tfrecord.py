@@ -1,0 +1,144 @@
+"""TFRecord codec (sources/tfrecordsrc.py): CRC-32C against the
+published test vector, record framing, tf.train.Example round trips
+for every supported type, corruption detection, the Dataset surface."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from logstash_filter_elastic_integration_ray.sources.tfrecordsrc import (
+    _masked,
+    crc32c_many,
+    decode_tfrecord,
+    encode_tfrecord,
+    read_tfrecord,
+    write_tfrecord,
+)
+
+
+def _crc1(data: bytes) -> int:
+    flat = np.frombuffer(data, dtype=np.uint8)
+    return int(crc32c_many(flat, np.array([0], dtype=np.int64),
+                           np.array([len(data)], dtype=np.int64))[0])
+
+
+def test_crc32c_published_vectors():
+    # RFC 3720 / Castagnoli reference values
+    assert _crc1(b"123456789") == 0xE3069283
+    assert _crc1(b"") == 0x00000000
+    assert _crc1(b"\x00" * 32) == 0x8A9136AA
+    assert _crc1(b"\xff" * 32) == 0x62A8AB43
+
+
+def test_crc32c_vectorized_matches_scalar():
+    rng = np.random.default_rng(7)
+    blobs = [rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+             for n in (0, 1, 3, 17, 256, 1000)]
+    flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    offs = np.r_[0, np.cumsum(lens)[:-1]]
+    got = crc32c_many(flat, offs, lens)
+    want = np.array([_crc1(b) for b in blobs], dtype=np.uint32)
+    assert np.array_equal(got, want)
+
+
+def test_mask_formula():
+    # mask(c) = ((c >> 15) | (c << 17)) + 0xa282ead8 mod 2^32
+    c = np.array([0xE3069283], dtype=np.uint32)
+    want = ((0xE3069283 >> 15) | (0xE3069283 << 17) & 0xFFFFFFFF)
+    want = (want + 0xA282EAD8) & 0xFFFFFFFF
+    assert int(_masked(c)[0]) == want
+
+
+def _table(n=30):
+    return pa.table({
+        "i64": pa.array([None if i % 4 == 3 else (i - 5) * 10**12
+                         for i in range(n)], type=pa.int64()),
+        "i32": pa.array([None if i % 5 == 4 else -i for i in range(n)],
+                        type=pa.int32()),
+        "f32": pa.array([None if i % 3 == 2 else np.float32(i) * np.float32(0.5)
+                         for i in range(n)], type=pa.float32()),
+        "b": pa.array([None if i % 6 == 5 else i % 2 == 0 for i in range(n)],
+                      type=pa.bool_()),
+        "s": pa.array([None if i % 7 == 6 else f"räw {i}\n" for i in range(n)],
+                      type=pa.string()),
+        "ts": pa.array([None if i % 9 == 8 else 1_700_000_000_000_000 + i
+                        for i in range(n)], type=pa.timestamp("us")),
+    })
+
+
+def test_round_trip_types_and_nulls():
+    t = _table(50)
+    got = decode_tfrecord(encode_tfrecord(t))
+    # Example carries int64/float32/bytes only: i32/b widen, ts → micros
+    assert got.column("i64").equals(t.column("i64"))
+    assert got.column("i32").equals(t.column("i32").cast(pa.int64()))
+    assert got.column("f32").equals(t.column("f32"))
+    assert got.column("b").equals(t.column("b").cast(pa.int64()))
+    assert got.column("s").equals(t.column("s"))
+    assert got.column("ts").equals(t.column("ts").cast(pa.int64()))
+
+
+def test_float64_narrows_to_float32():
+    t = pa.table({"x": pa.array([0.1, None, 2.5], type=pa.float64())})
+    got = decode_tfrecord(encode_tfrecord(t))
+    assert got.column("x").type == pa.float32()
+    assert got.column("x").to_pylist()[1] is None
+    assert got.column("x").to_pylist()[2] == 2.5
+
+
+def test_negative_int64_ten_byte_varint():
+    t = pa.table({"x": pa.array([-1, -(2**62), 2**62], type=pa.int64())})
+    got = decode_tfrecord(encode_tfrecord(t))
+    assert got.column("x").to_pylist() == [-1, -(2**62), 2**62]
+
+
+def test_corruption_detected():
+    t = pa.table({"s": pa.array(["hello", "world"])})
+    blob = bytearray(encode_tfrecord(t))
+    # flip one payload byte: data CRC must catch it
+    blob[20] ^= 0x40
+    with pytest.raises(ValueError, match="CRC"):
+        decode_tfrecord(bytes(blob))
+    # flip a length byte: header CRC must catch it
+    blob2 = bytearray(encode_tfrecord(t))
+    blob2[0] ^= 0x01
+    with pytest.raises(ValueError):
+        decode_tfrecord(bytes(blob2))
+
+
+def test_empty_table():
+    t = pa.table({"x": pa.array([], type=pa.int64())})
+    assert encode_tfrecord(t) == b""
+    assert decode_tfrecord(b"").num_rows == 0
+
+
+def test_framing_layout_exact():
+    """Byte-level framing: len u64le | masked crc(len) | data | crc."""
+    t = pa.table({"x": pa.array([7], type=pa.int64())})
+    blob = encode_tfrecord(t)
+    (ln,) = struct.unpack_from("<Q", blob, 0)
+    assert len(blob) == 8 + 4 + ln + 4
+    data = blob[12:12 + ln]
+    assert struct.unpack_from("<I", blob, 12 + ln)[0] == int(
+        _masked(np.array([_crc1(data)], dtype=np.uint32))[0])
+
+
+def test_dataset_surface_round_trip(ray_session, tmp_path):
+    t = _table(40)
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = str(tmp_path / "tfr")
+    write_tfrecord(ds, out)
+    back = read_tfrecord(out, timestamp_cols=["ts"]).to_pandas()
+    back = back.sort_values("i64", na_position="first").reset_index(drop=True)
+    want = t.to_pandas().sort_values("i64", na_position="first").reset_index(drop=True)
+    assert len(back) == len(want)
+    assert list(back["s"]) == list(want["s"])
+    assert str(back["ts"].dtype).startswith("datetime64")
+    assert back["ts"].equals(want["ts"])
