@@ -777,6 +777,33 @@ def q_embedding_topk_ivf(sf_dir: str):
     return ivf_topk_pruned(layout, index, q, qids, k=5, nprobe=4)
 
 
+def q_knn_join_embeddings(sf_dir: str):
+    """Distributed A×B KNN JOIN (stages/similarity.py:knn_join): EVERY
+    vector queries the corpus (self-join, self excluded) — the
+    retrieval-augmentation / SemDeDup-graph primitive where BOTH sides
+    are large Datasets.  Right rows route once to their IVF bucket,
+    left rows fan out to nprobe probed buckets, one matmul per bucket,
+    final merge carries ≤ nprobe·(k+1) rows per query.  Fixture from
+    the plain per-query loop (tools/reference_impls.knn_join_reference,
+    sharing only the definitional IvfIndex quantizer)."""
+    import pyarrow.parquet as pq
+
+    from logstash_filter_elastic_integration_ray.stages.similarity import (
+        IvfIndex,
+        _to_matrix,
+        knn_join,
+    )
+
+    sample = _to_matrix(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).column("embedding")
+    )[:2048]
+    index = IvfIndex(sample)
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    return knn_join(emb, emb, index=index, k=3, nprobe=2,
+                    exclude_self=True, left_id="vec_id")
+
+
 def q_embedding_dup_docs(sf_dir: str):
     """Embedding-cosine near-dup pairs over documents: deterministic
     feature-hash embeddings (no model in this container) → distributed
@@ -3797,6 +3824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_events": q_zorder_events,
         "interval_merge_events": q_interval_merge_events,
         "prefix_jaccard_pairs_docs": q_prefix_jaccard_pairs_docs,
+        "knn_join_embeddings": q_knn_join_embeddings,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -4512,6 +4540,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "prefix_jaccard_pairs_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/prefix_jaccard_pairs_docs.sf0_01.parquet')"
+        ),
+        "knn_join_embeddings": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/knn_join_embeddings.sf0_01.parquet')"
         ),
         "interval_merge_events": (
             "WITH iv AS (SELECT user_id, ts AS s, "

@@ -243,6 +243,103 @@ def ivf_topk_pruned(layout_dir: str, index: IvfIndex, queries: np.ndarray, query
     return partials.groupby("query_id").map_groups(_final_topk(k, exclude_self), batch_format="pandas")
 
 
+def knn_join(left, right, *, index: "IvfIndex", k: int = 5, nprobe: int = 4,
+             exclude_self: bool = False,
+             left_id: str = "query_id", left_emb: str = "embedding",
+             right_id: str = "vec_id", right_emb: str = "embedding"):
+    """Distributed A×B k-nearest-neighbor JOIN — both sides LARGE
+    Datasets (the retrieval-augmentation / SemDeDup-graph primitive
+    the broadcast-query ``brute_force_topk`` cannot give: there the
+    query side rides the task closure, here millions of queries
+    stream).
+
+    Shape (no broadcast of either side, no all-pairs):
+
+    1. RIGHT rows route ONCE to their IVF bucket (one exchange,
+       O(|R|·d) — each vector ships exactly once);
+    2. LEFT rows fan out to their ``nprobe`` probed buckets (one
+       exchange, O(|L|·nprobe·d) thin rows);
+    3. per bucket ONE matrix-matrix matmul scores every resident
+       (query, member) pair; local top-(k+1) per query with the
+       deterministic (cosine desc, id asc) tie-break;
+    4. final exchange by query merges ≤ nprobe·(k+1) candidate rows
+       per query — hot queries are bounded by construction.
+
+    Embeddings are L2-normalized BEFORE the exchanges (once per
+    vector).  Returns (query_id, neighbor_id, rank) — same contract
+    as ``ivf_topk``; recall vs exact is the standard IVF trade
+    governed by nprobe/nlist.  Partitioning assumption: one IVF
+    bucket's members fit one task (size nlist ∝ √|R| as usual; a
+    pathological fat bucket shows up as one slow group, not a wrong
+    answer)."""
+    probe_mat = index.centroids.T
+
+    def right_rows(t: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(t.column(right_emb)))
+        buckets = np.argmax(m @ probe_mat, axis=1).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(buckets),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "rid": t.column(right_id).cast(pa.int64()),
+            "emb": _matrix_list_array(m),
+        })
+
+    def left_rows(t: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(t.column(left_emb)))
+        ids = t.column(left_id).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        np_ = min(nprobe, probe_mat.shape[1])
+        probes = np.argsort(-(m @ probe_mat), axis=1)[:, :np_]
+        rep = np.repeat(np.arange(t.num_rows, dtype=np.int64), np_)
+        return pa.table({
+            "bucket": pa.array(probes.ravel().astype(np.int64)),
+            "side": pa.array(np.ones(len(rep), dtype=np.int8)),
+            "rid": pa.array(ids[rep]),
+            "emb": _matrix_list_array(m[rep]),
+        })
+
+    def bucket_scores(g: pd.DataFrame) -> pa.Table:
+        is_left = g["side"].to_numpy() == 1
+        empty = pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+        })
+        if not is_left.any() or is_left.all():
+            return empty
+        lm = np.vstack(g.loc[is_left, "emb"].to_numpy())
+        rm = np.vstack(g.loc[~is_left, "emb"].to_numpy())
+        lids = g.loc[is_left, "rid"].to_numpy(dtype=np.int64)
+        rids = g.loc[~is_left, "rid"].to_numpy(dtype=np.int64)
+        scores = lm @ rm.T  # (Q, M)
+        kk = min(k + 1, scores.shape[1])
+        # deterministic local cut: exact per-bucket top-kk under the
+        # SAME (cosine desc, neighbor_id asc) order the final merge uses
+        if kk < scores.shape[1]:
+            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.tile(np.arange(scores.shape[1]), (scores.shape[0], 1))
+        rows = np.repeat(np.arange(scores.shape[0]), part.shape[1])
+        cols = part.ravel()
+        sc = scores[rows, cols]
+        nid = rids[cols]
+        order = np.lexsort((nid, -sc, rows))
+        rows, sc, nid = rows[order], sc[order], nid[order]
+        keep = (np.arange(len(rows)) -
+                np.searchsorted(rows, rows, side="left")) < kk
+        return pa.table({
+            "query_id": pa.array(lids[rows[keep]]),
+            "neighbor_id": pa.array(nid[keep]),
+            "cosine": pa.array(sc[keep]),
+        })
+
+    union = (right.map_batches(right_rows, batch_format="pyarrow")
+             .union(left.map_batches(left_rows, batch_format="pyarrow")))
+    cands = union.groupby("bucket").map_groups(bucket_scores,
+                                               batch_format="pandas")
+    return cands.groupby("query_id").map_groups(
+        _final_topk(k, exclude_self), batch_format="pandas")
+
+
 def text_feature_embedding_batch(batch: pa.Table, dim: int = 64,
                                  text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Deterministic feature-hashing embedding of a text column: each

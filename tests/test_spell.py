@@ -273,3 +273,73 @@ def test_prefix_join_high_threshold_prunes(ray_session):
     }))
     got = prefix_jaccard_pairs(ds, threshold=0.95, num_partitions=2).to_pandas()
     assert len(got) == len(ref_prefix_pairs(rows, 0.95))
+
+
+# ---------------------------------------------------------------------------
+# distributed KNN join (both sides large)
+# ---------------------------------------------------------------------------
+
+from logstash_filter_elastic_integration_ray.stages.similarity import (
+    IvfIndex,
+    _normalize,
+    knn_join,
+)
+
+
+def _knn_ref(lm, lids, rm, rids, index, k, nprobe, exclude_self):
+    import pandas as pd
+
+    lmn, rmn = _normalize(lm), _normalize(rm)
+    rb = np.argmax(rmn @ index.centroids.T, axis=1)
+    probes = np.argsort(-(lmn @ index.centroids.T), axis=1)[:, :nprobe]
+    out = {}
+    for qi in range(len(lids)):
+        mask = np.isin(rb, probes[qi])
+        cos = rmn[mask] @ lmn[qi]
+        cand = rids[mask]
+        df = pd.DataFrame({"n": cand, "c": cos})
+        if exclude_self:
+            df = df[df["n"] != int(lids[qi])]
+        df = df.sort_values(["c", "n"], ascending=[False, True],
+                            kind="mergesort").head(k)
+        out[int(lids[qi])] = list(df["n"].astype(int))
+    return out
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_knn_join_matches_reference(ray_session, blocks):
+    rng = np.random.default_rng(11)
+    rm = rng.normal(size=(60, 8))
+    lm = rng.normal(size=(25, 8))
+    rids = np.arange(60, dtype=np.int64)
+    lids = np.arange(100, 125, dtype=np.int64)
+    index = IvfIndex(rm, n_clusters=4)
+
+    def mk(ids, m):
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([list(map(float, r)) for r in m]),
+        })).repartition(blocks)
+
+    got = knn_join(mk(lids, lm), mk(rids, rm), index=index, k=3, nprobe=2,
+                   left_id="vec_id").to_pandas()
+    gmap = {int(q): list(g.sort_values("rank")["neighbor_id"].astype(int))
+            for q, g in got.groupby("query_id")}
+    assert gmap == _knn_ref(lm, lids, rm, rids, index, 3, 2, False)
+
+
+def test_knn_join_self_exclusion(ray_session):
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(30, 6))
+    ids = np.arange(30, dtype=np.int64)
+    index = IvfIndex(m, n_clusters=3)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([list(map(float, r)) for r in m]),
+    }))
+    got = knn_join(ds, ds, index=index, k=2, nprobe=2, exclude_self=True,
+                   left_id="vec_id").to_pandas()
+    assert (got["query_id"] != got["neighbor_id"]).all()
+    gmap = {int(q): list(g.sort_values("rank")["neighbor_id"].astype(int))
+            for q, g in got.groupby("query_id")}
+    assert gmap == _knn_ref(m, ids, m, ids, index, 2, 2, True)

@@ -601,6 +601,21 @@ def ivf_topk_reference(sf_dir: str, *, query_ids=(0, 1, 2), k: int = 5, nprobe: 
     return pd.concat(rows, ignore_index=True)
 
 
+def knn_join_reference(sf_dir: str, *, k: int = 3, nprobe: int = 2,
+                       n_clusters: int = 16,
+                       sample_rows: int = 2048) -> pd.DataFrame:
+    """Self KNN-join twin: every vector queries the corpus through the
+    SAME IVF routing (candidates = members of the nprobe probed
+    buckets, self excluded) — plain per-query loop, no engine
+    machinery beyond the definitional IvfIndex quantizer."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id"])
+    all_ids = sorted(int(x) for x in t.column("vec_id").to_pylist())
+    return ivf_topk_reference(sf_dir, query_ids=tuple(all_ids), k=k,
+                              nprobe=nprobe, n_clusters=n_clusters,
+                              sample_rows=sample_rows)
+
+
 # ---------------------------------------------------------------------------
 # k-means clustering (shares the pure fixed-point kernels — quantize /
 # assign / update are deterministic definitional functions; the part the
