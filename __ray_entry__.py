@@ -1067,6 +1067,31 @@ def q_dsir_select_docs(sf_dir: str):
     return dsir_pipeline(raw, target, k=100)
 
 
+def q_clean_text_docs(sf_dir: str):
+    """Unicode text cleaning (stages/textstats.py:clean_text_batch):
+    strip zero-width/control chars, then NFC-compose — the canonical
+    form dedup hashes and tokenizers expect.  The corpus text is pure
+    ASCII, so a deterministic junk prefix (combining-acute 'e', a
+    zero-width space, a BEL) is injected on BOTH sides; the engine's
+    unicodedata NFC and DuckDB's nfc_normalize must then agree byte
+    for byte ('e'+U+0301 → 'é', junk gone)."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import clean_text_batch
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    prefix = "é​\x07"
+
+    def inject_and_clean(t: pa.Table) -> pa.Table:
+        mod = pc.binary_join_element_wise(
+            pa.scalar(prefix, type=pa.string()),
+            t.column("text").cast(pa.string()).combine_chunks(), "")
+        t2 = pa.table({"doc_id": t.column("doc_id"), "text": mod})
+        out = clean_text_batch(t2)
+        return out.select(["doc_id", "clean_text"])
+
+    return docs.map_batches(inject_and_clean, batch_format="pyarrow")
+
+
 def q_repetition_docs(sf_dir: str):
     """Gopher-style repetition quality signals per doc (duplicate-word
     fraction, top-bigram count/fraction) — one vectorized batch kernel
@@ -3813,6 +3838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components_docs": q_connected_components_docs,
         "image_dedup_dhash": q_image_dedup_dhash,
         "compression_ratio_docs": q_compression_ratio_docs,
+        "clean_text_docs": q_clean_text_docs,
         "triangle_counts_docs": q_triangle_counts_docs,
         "embedding_drift_by_label": q_embedding_drift_by_label,
         "dedup_keep_best_docs": q_dedup_keep_best_docs,
@@ -4594,6 +4620,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "compression_ratio_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/compression_ratio_docs.sf0_01.parquet')"
+        ),
+        "clean_text_docs": (
+            "SELECT doc_id, nfc_normalize(regexp_replace("
+            "  chr(101)||chr(769)||chr(8203)||chr(7)||text, "
+            "  '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{00}-\\x{08}"
+            "\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]', '', 'g')) "
+            "AS clean_text FROM documents"
         ),
         "triangle_counts_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/triangle_counts_docs.sf0_01.parquet')"

@@ -1341,3 +1341,60 @@ def log_templates(ds, *, text_col: str = "text", wildcard: str = "<*>",
         .groupby("__part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode text cleaning: strip + NFC normalization (ftfy-lite)
+# ---------------------------------------------------------------------------
+
+#: zero-width chars + C0 controls (minus \t \n \r) + DEL — the
+#: characters web-crawl curation drops before tokenization; the class
+#: is shared CHARACTER-FOR-CHARACTER with the SQL twin's RE2 form
+_CLEAN_CLASS_SQL = (r"[\x{200B}\x{200C}\x{200D}\x{FEFF}"
+                    r"\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]")
+_CLEAN_RE = None
+
+
+def _clean_re():
+    global _CLEAN_RE
+    if _CLEAN_RE is None:
+        import re
+
+        _CLEAN_RE = re.compile(
+            "[​‌‍﻿"
+            "\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    return _CLEAN_RE
+
+
+def clean_text_batch(batch: pa.Table, *, text_col: str = "text",
+                     out_col: str = "clean_text") -> pa.Table:
+    """Unicode normalization for corpus curation: strip zero-width /
+    control characters, then NFC-compose (combining sequences fold to
+    precomposed codepoints — the canonical form dedup hashes and
+    tokenizers expect; mojibake-adjacent junk like U+FEFF BOMs and
+    C0 noise disappears).  Pure function of the text → computed once
+    per DISTINCT text and gathered (the dup-heavy shape pays for
+    unique content only); an all-ASCII string skips the NFC call
+    entirely (identity on ASCII).  SQL twin:
+    ``nfc_normalize(regexp_replace(text, _CLEAN_CLASS_SQL, '', 'g'))``
+    — DuckDB's ICU path and Python's unicodedata implement the same
+    published Unicode algorithm, pinned equal in tests."""
+    import unicodedata
+
+    from .dedup import _distinct_texts
+
+    uniq, inverse = _distinct_texts(batch.column(text_col))
+    pat = _clean_re()
+    cleaned = []
+    for s in uniq:
+        s2 = pat.sub("", s)
+        cleaned.append(s2 if s2.isascii()
+                       else unicodedata.normalize("NFC", s2))
+    # nulls folded to "" by _distinct_texts; restore null per input row
+    out = pa.array(cleaned, type=pa.string()).take(pa.array(inverse))
+    mask = batch.column(text_col).is_null()
+    if isinstance(mask, pa.ChunkedArray):
+        mask = mask.combine_chunks()
+    if pc.any(mask).as_py():
+        out = pc.if_else(mask, pa.nulls(len(out), pa.string()), out)
+    return batch.append_column(out_col, out)

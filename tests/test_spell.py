@@ -343,3 +343,39 @@ def test_knn_join_self_exclusion(ray_session):
     gmap = {int(q): list(g.sort_values("rank")["neighbor_id"].astype(int))
             for q, g in got.groupby("query_id")}
     assert gmap == _knn_ref(m, ids, m, ids, index, 2, 2, True)
+
+
+# ---------------------------------------------------------------------------
+# Unicode clean: strip + NFC
+# ---------------------------------------------------------------------------
+
+from logstash_filter_elastic_integration_ray.stages.textstats import clean_text_batch
+
+
+def test_clean_text_nfc_and_strip():
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["éclair", "a​b\x07c", None,
+                          "plain ascii\tok\n"]),
+    })
+    got = clean_text_batch(t).column("clean_text").to_pylist()
+    assert got[0] == "\u00e9clair"  # combining acute composes
+    assert got[1] == "abc"              # ZWSP + BEL stripped
+    assert got[2] is None               # null stays null
+    assert got[3] == "plain ascii\tok\n"  # \t \n survive
+
+
+def test_clean_text_matches_duckdb_twin():
+    import duckdb
+
+    vals = ["é​\x07x", "ff﻿i", "\x1f\x00ctrl",
+            "café", "안녕‍하세요"]
+    t = pa.table({"doc_id": pa.array(range(len(vals)), type=pa.int64()),
+                  "text": pa.array(vals)})
+    got = clean_text_batch(t).column("clean_text").to_pylist()
+    want = [duckdb.sql(
+        "select nfc_normalize(regexp_replace(?, "
+        "'[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{00}-\\x{08}"
+        "\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]', '', 'g'))",
+        params=[v]).fetchone()[0] for v in vals]
+    assert got == want
