@@ -777,6 +777,26 @@ def q_embedding_topk_ivf(sf_dir: str):
     return ivf_topk_pruned(layout, index, q, qids, k=5, nprobe=4)
 
 
+def q_pca_embeddings(sf_dir: str):
+    """Distributed PCA (stages/clustering.py:pca_fit/pca_transform):
+    one streaming pass accumulates EXACT integer first/second moments
+    (d²+d+1 thin rows per batch), the driver eigendecomposes the d×d
+    covariance, a second stateless pass projects.  Exact sums → one
+    fixed float expression per covariance cell → the fixture from the
+    independent single-process twin
+    (tools/reference_impls.pca_embeddings_reference) matches the
+    rounded projections exactly."""
+    from logstash_filter_elastic_integration_ray.stages.clustering import (
+        pca_fit,
+        pca_transform,
+    )
+
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    mean, w, _ = pca_fit(emb, n_components=2)
+    return pca_transform(emb, mean, w)
+
+
 def q_knn_join_embeddings(sf_dir: str):
     """Distributed A×B KNN JOIN (stages/similarity.py:knn_join): EVERY
     vector queries the corpus (self-join, self excluded) — the
@@ -3851,6 +3871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_merge_events": q_interval_merge_events,
         "prefix_jaccard_pairs_docs": q_prefix_jaccard_pairs_docs,
         "knn_join_embeddings": q_knn_join_embeddings,
+        "pca_embeddings": q_pca_embeddings,
         "regr_lineitem_by_flag": q_regr_lineitem_by_flag,
         "hist_prices": q_hist_prices,
         "latest_event_by_user": q_latest_event_by_user,
@@ -4569,6 +4590,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_join_embeddings": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/knn_join_embeddings.sf0_01.parquet')"
+        ),
+        "pca_embeddings": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/pca_embeddings.sf0_01.parquet')"
         ),
         "interval_merge_events": (
             "WITH iv AS (SELECT user_id, ts AS s, "

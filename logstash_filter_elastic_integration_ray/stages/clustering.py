@@ -343,3 +343,122 @@ def semdedup(ds, *, k: int = 8, n_iters: int = 8, eps: float = 0.9,
         .map_groups(lambda df: _semdedup_group(df, eps_int, id_col),
                     batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA over embeddings via EXACT integer second-moment sums
+# ---------------------------------------------------------------------------
+
+_PCA_SCALE = np.int64(1) << np.int64(20)
+
+
+def _pca_moment_partials(t: pa.Table, emb_col: str,
+                         num_partitions: int) -> pa.Table:
+    """(i, j, s) int64 partial second moments + (i, -1, s) first
+    moments + one (-1, -1, n) count row per batch — d²+d+1 thin rows,
+    the ONLY thing that moves.  Per-batch products fit int64
+    (|q| ≤ ~2^23, batch ≤ 2^16 rows → ≤ 2^62)."""
+    from .aggregate import add_partition_col
+
+    m = _to_matrix(t.column(emb_col)).astype(np.float64)
+    q = np.floor(m * np.float64(_PCA_SCALE) + 0.5).astype(np.int64)
+    d = q.shape[1]
+    ss = q.T @ q  # exact: numpy int64 matmul
+    s1 = q.sum(axis=0, dtype=np.int64)
+    ii, jj = np.meshgrid(np.arange(d, dtype=np.int64),
+                         np.arange(d, dtype=np.int64), indexing="ij")
+    out = pa.table({
+        "i": pa.array(np.r_[ii.ravel(), np.arange(d, dtype=np.int64), -1]),
+        "j": pa.array(np.r_[jj.ravel(), np.full(d, -1, dtype=np.int64), -1]),
+        "s": pa.array(np.r_[ss.ravel(), s1, np.int64(t.num_rows)]),
+    })
+    return add_partition_col(out, num_partitions, key="i")
+
+
+def _pca_merge(df) -> pa.Table:
+    """Sum partials per (i, j) in UNBOUNDED Python ints (per-batch
+    partials are ≤2^62 each; 10^6 batches would overflow an int64
+    accumulator) → decimal strings, the group_moments convention."""
+    import pandas as pd
+
+    g = df.groupby(["i", "j"], sort=False)["s"].apply(
+        lambda s: str(sum(int(x) for x in s))).reset_index()
+    return pa.table({
+        "i": pa.array(g["i"].to_numpy(dtype=np.int64)),
+        "j": pa.array(g["j"].to_numpy(dtype=np.int64)),
+        "s": pa.array(g["s"].to_numpy(dtype=object), type=pa.string()),
+    })
+
+
+def pca_fit(ds, *, n_components: int = 2, emb_col: str = "embedding",
+            num_partitions: int = 32):
+    """PCA components from EXACT integer moment sums: one streaming
+    pass accumulates quantized first/second moments (d² + d + 1 rows
+    per batch — never the data), one exchange merges them in unbounded
+    ints, and the driver eigendecomposes the d×d covariance (the only
+    driver state).  Determinism: exact sums → one fixed float
+    expression per covariance cell → the same eigh input under ANY
+    batching; eigenvector sign fixed by forcing the max-|coefficient|
+    entry (lowest index on ties) positive.
+
+    Returns (mean: float64[d], components: float64[d, p],
+    explained_var: float64[p]) — population covariance (divide by n),
+    eigenpairs sorted by eigenvalue desc then dimension asc."""
+    parts = ds.map_batches(
+        lambda t: _pca_moment_partials(t, emb_col, num_partitions),
+        batch_format="pyarrow")
+    merged = (
+        parts.repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(_pca_merge, batch_format="pandas")
+    ).to_pandas()  # d² + d + 1 rows — tiny by contract
+    n = 0
+    s1: dict[int, int] = {}
+    s2: dict[tuple[int, int], int] = {}
+    for r in merged.itertuples():
+        i, j, s = int(r.i), int(r.j), int(r.s)
+        if i == -1:
+            n += s
+        elif j == -1:
+            s1[i] = s1.get(i, 0) + s
+        else:
+            s2[(i, j)] = s2.get((i, j), 0) + s
+    if n == 0:
+        raise ValueError("pca_fit: empty dataset")
+    d = max(s1) + 1
+    cov = np.empty((d, d), dtype=np.float64)
+    denom = float(n) * float(n) * float(_PCA_SCALE) * float(_PCA_SCALE)
+    for i in range(d):
+        for j in range(d):
+            num = n * s2[(i, j)] - s1[i] * s1[j]  # exact big int
+            cov[i, j] = float(num) / denom
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")[:n_components]
+    w = evecs[:, order]
+    for c in range(w.shape[1]):
+        kmax = int(np.argmax(np.abs(w[:, c])))
+        if w[kmax, c] < 0:
+            w[:, c] = -w[:, c]
+    mean = np.array([s1[i] for i in range(d)], dtype=np.float64) / (
+        float(n) * float(_PCA_SCALE))
+    return mean, w, evals[order]
+
+
+def pca_transform(ds, mean: np.ndarray, components: np.ndarray, *,
+                  id_col: str = "vec_id", emb_col: str = "embedding",
+                  round_to: int = 9):
+    """Project each vector onto the fitted components (stateless
+    vectorized batches; the d×p matrix rides the task closure).
+    Output: (id_col, pc1..pcP) rounded to ``round_to`` decimals (the
+    module-wide fixture convention)."""
+    p = components.shape[1]
+
+    def project(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t.column(emb_col)).astype(np.float64)
+        z = np.round((m - mean) @ components, round_to)
+        cols = {id_col: t.column(id_col).cast(pa.int64())}
+        for c in range(p):
+            cols[f"pc{c + 1}"] = pa.array(z[:, c])
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")

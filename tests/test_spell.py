@@ -379,3 +379,63 @@ def test_clean_text_matches_duckdb_twin():
         "\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]', '', 'g'))",
         params=[v]).fetchone()[0] for v in vals]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# PCA over embeddings (exact integer moments)
+# ---------------------------------------------------------------------------
+
+from logstash_filter_elastic_integration_ray.stages.clustering import (
+    pca_fit,
+    pca_transform,
+)
+
+
+def _pca_ref(m, p):
+    scale = 1 << 20
+    q = np.floor(m * float(scale) + 0.5).astype(np.int64)
+    n, d = q.shape
+    s1 = [int(x) for x in q.sum(axis=0, dtype=np.int64)]
+    s2 = q.T @ q
+    cov = np.empty((d, d))
+    denom = float(n) * float(n) * float(scale) * float(scale)
+    for i in range(d):
+        for j in range(d):
+            cov[i, j] = float(n * int(s2[i, j]) - s1[i] * s1[j]) / denom
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")[:p]
+    w = evecs[:, order]
+    for c in range(w.shape[1]):
+        kmax = int(np.argmax(np.abs(w[:, c])))
+        if w[kmax, c] < 0:
+            w[:, c] = -w[:, c]
+    mean = np.array(s1, dtype=np.float64) / (float(n) * float(scale))
+    return mean, w, evals[order]
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_pca_bit_exact_and_block_invariant(ray_session, blocks):
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(200, 6)) * np.array([3.0, 1.0, 0.5, 2.0, 0.1, 1.5])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in m]),
+    })).repartition(blocks)
+    mean, w, ev = pca_fit(ds, n_components=3, num_partitions=4)
+    rmean, rw, rev = _pca_ref(m, 3)
+    assert np.array_equal(mean, rmean)   # exact sums → identical floats
+    assert np.array_equal(w, rw)
+    assert np.array_equal(ev, rev)
+    assert ev[0] >= ev[1] >= ev[2]
+    got = pca_transform(ds, mean, w).to_pandas().sort_values("vec_id")
+    want = np.round((m - rmean) @ rw, 9)
+    assert np.array_equal(got[["pc1", "pc2", "pc3"]].to_numpy(), want)
+
+
+def test_pca_empty_raises(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float64())),
+    }))
+    with pytest.raises(ValueError, match="empty"):
+        pca_fit(ds)

@@ -79,6 +79,7 @@ def main() -> None:
         "typo_clusters_docs": ref.typo_clusters_reference(sf_dir),
         "prefix_jaccard_pairs_docs": ref.prefix_jaccard_pairs_reference(sf_dir),
         "knn_join_embeddings": ref.knn_join_reference(sf_dir),
+        "pca_embeddings": ref.pca_embeddings_reference(sf_dir),
     }
     for name, df in tables.items():
         df = _canonical(df)

@@ -616,6 +616,42 @@ def knn_join_reference(sf_dir: str, *, k: int = 3, nprobe: int = 2,
                               sample_rows=sample_rows)
 
 
+def pca_embeddings_reference(sf_dir: str, *, n_components: int = 2) -> pd.DataFrame:
+    """Single-process PCA twin: the same exact-integer moment sums,
+    the same fixed float covariance expression, the same eigh + sign
+    convention, the same rounded projections — plain numpy/python
+    only, no engine machinery."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.vstack([np.asarray(e, dtype=np.float64)
+                   for e in t.column("embedding").to_pylist()])
+    scale = 1 << 20
+    q = np.floor(m * float(scale) + 0.5).astype(np.int64)
+    n, d = q.shape
+    s1 = [int(x) for x in q.sum(axis=0, dtype=np.int64)]
+    s2 = q.T @ q  # int64 exact at this scale
+    cov = np.empty((d, d), dtype=np.float64)
+    denom = float(n) * float(n) * float(scale) * float(scale)
+    for i in range(d):
+        for j in range(d):
+            num = n * int(s2[i, j]) - s1[i] * s1[j]
+            cov[i, j] = float(num) / denom
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")[:n_components]
+    w = evecs[:, order]
+    for c in range(w.shape[1]):
+        kmax = int(np.argmax(np.abs(w[:, c])))
+        if w[kmax, c] < 0:
+            w[:, c] = -w[:, c]
+    mean = np.array(s1, dtype=np.float64) / (float(n) * float(scale))
+    z = np.round((m - mean) @ w, 9)
+    out = {"vec_id": ids}
+    for c in range(w.shape[1]):
+        out[f"pc{c + 1}"] = z[:, c]
+    return pd.DataFrame(out).sort_values("vec_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # k-means clustering (shares the pure fixed-point kernels — quantize /
 # assign / update are deterministic definitional functions; the part the
