@@ -693,7 +693,8 @@ def triangle_counts(edges, *, num_partitions: int = 32,
 
 
 def hits(edges, *, n_iters: int = 8, num_partitions: int = 32,
-         src_col: str = "src", dst_col: str = "dst"):
+         src_col: str = "src", dst_col: str = "dst",
+         engine: str = "pregel"):
     """Kleinberg's HITS over a directed edge Dataset — hub and
     authority scores by power iteration, made bit-deterministic the
     same way PageRank is: scores are int64 and every update is an
@@ -711,7 +712,22 @@ def hits(edges, *, n_iters: int = 8, num_partitions: int = 32,
     loops — dozens of iterations — accumulate Ray Data stats lineage;
     HITS converges in single digits, so the default 8 is the intended
     operating range).  Output: (node, hub_q, auth_q, hub, auth) with
-    hub/auth in [0, 1]."""
+    hub/auth in [0, 1].
+
+    ``engine="pregel"`` (default): same stationary-edge-shard design
+    as ``pagerank`` — each edge loads ONCE at both its src owner
+    (forward, for the authority half-step) and its dst owner
+    (reverse, for the hub half-step); per half-step only summed int64
+    contributions move and the rescale shift is two driver scalars.
+    ``engine="bsp"``: the all-Dataset loop (edges ride two exchanges
+    per iteration) — fully streaming, the out-of-core fallback.  Both
+    engines are the same exact-integer function, bit-identical."""
+    if engine == "pregel":
+        return _hits_pregel(edges, n_iters=n_iters,
+                            num_partitions=num_partitions,
+                            src_col=src_col, dst_col=dst_col)
+    if engine != "bsp":
+        raise ValueError(f"unknown hits engine {engine!r}")
     nodes = _node_table(edges, src_col, dst_col, num_partitions).map_batches(
         lambda t: pa.table({
             "node": t.column("node"),
@@ -880,3 +896,185 @@ def hits(edges, *, n_iters: int = 8, num_partitions: int = 32,
         })
 
     return nodes.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HITS Pregel engine (stationary edges, both orientations sharded)
+# ---------------------------------------------------------------------------
+
+_HITS_CAP = np.int64(1) << np.int64(40)
+
+
+class _HitsShardImpl:
+    """One HITS shard: owns nodes with ``_owner_part == part_id``,
+    forward edges whose src it owns (grouped by dst shard) and reverse
+    edges whose dst it owns (grouped by src shard)."""
+
+    def __init__(self, part_id: int, num_parts: int):
+        self.p, self.P = part_id, num_parts
+        self._fs: list = []  # forward: (local src, remote dst)
+        self._fd: list = []
+        self._rs: list = []  # reverse: (local dst, remote src)
+        self._rd: list = []
+
+    def add_fwd(self, loc: np.ndarray, rem: np.ndarray) -> None:
+        self._fs.append(loc)
+        self._fd.append(rem)
+
+    def add_rev(self, loc: np.ndarray, rem: np.ndarray) -> None:
+        self._rs.append(loc)
+        self._rd.append(rem)
+
+    @staticmethod
+    def _group(loc, rem, nodes, P):
+        """[(target part, local idx, unique remote, reduceat starts)]"""
+        out = []
+        if len(rem):
+            lidx = np.searchsorted(nodes, loc)
+            rpart = _owner_part(rem, P)
+            order = np.lexsort((rem, rpart))
+            li, rm, rp = lidx[order], rem[order], rpart[order]
+            bounds = np.r_[0, np.flatnonzero(rp[1:] != rp[:-1]) + 1, len(rp)]
+            for b in range(len(bounds) - 1):
+                lo, hi = int(bounds[b]), int(bounds[b + 1])
+                seg = rm[lo:hi]
+                starts = np.r_[0, np.flatnonzero(seg[1:] != seg[:-1]) + 1]
+                out.append((int(rp[lo]), li[lo:hi], seg[starts],
+                            starts.astype(np.int64)))
+        return out
+
+    def finalize(self) -> int:
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.empty(0, dtype=np.int64))
+        fs, fd, rs, rd = cat(self._fs), cat(self._fd), cat(self._rs), cat(self._rd)
+        self._fs = self._fd = self._rs = self._rd = []
+        # every owned endpoint arrives as the LOCAL side of one of the
+        # two orientations, so the node set needs no separate routing
+        self.nodes = np.unique(np.concatenate([fs, rs]))
+        self.fwd = self._group(fs, fd, self.nodes, self.P)
+        self.rev = self._group(rs, rd, self.nodes, self.P)
+        self.h = np.ones(len(self.nodes), dtype=np.int64)
+        self.a = np.ones(len(self.nodes), dtype=np.int64)
+        return len(self.nodes)
+
+    def _push(self, vals: np.ndarray, groups):
+        out: list = [None] * self.P
+        for t, li, uniq, starts in groups:
+            out[t] = (uniq, np.add.reduceat(vals[li], starts))
+        return out[0] if self.P == 1 else tuple(out)
+
+    def push_hubs(self):
+        """Authority half-step outbox: Σ h(u) toward each dst shard."""
+        return self._push(self.h, self.fwd)
+
+    def push_auths(self):
+        """Hub half-step outbox: Σ a(v) toward each src shard."""
+        return self._push(self.a, self.rev)
+
+    def _recv(self, incoming) -> np.ndarray:
+        acc = np.zeros(len(self.nodes), dtype=np.int64)
+        for item in incoming:
+            if item is None:
+                continue
+            ids, sums = item
+            acc[np.searchsorted(self.nodes, ids)] += sums
+        return acc
+
+    def apply_auth(self, *incoming) -> int:
+        self.a = self._recv(incoming)
+        return int(self.a.max()) if len(self.a) else 0
+
+    def apply_hub(self, *incoming) -> int:
+        self.h = self._recv(incoming)
+        return int(self.h.max()) if len(self.h) else 0
+
+    def shift(self, col: str, shift: int) -> None:
+        if col == "a":
+            self.a = self.a >> np.int64(shift)
+        else:
+            self.h = self.h >> np.int64(shift)
+
+    def maxes(self):
+        return (int(self.h.max()) if len(self.h) else 0,
+                int(self.a.max()) if len(self.a) else 0)
+
+    def node_table(self, hmax: int, amax: int) -> pa.Table:
+        return pa.table({
+            "node": pa.array(self.nodes),
+            "hub_q": pa.array(self.h),
+            "auth_q": pa.array(self.a),
+            "hub": pa.array(self.h.astype(np.float64) / np.float64(hmax)),
+            "auth": pa.array(self.a.astype(np.float64) / np.float64(amax)),
+        })
+
+
+def _hits_pregel(edges, *, n_iters, num_partitions, src_col, dst_col):
+    """Actor-sharded HITS (see ``hits`` engine="pregel")."""
+    import ray
+    import ray.data as rd
+
+    P = int(num_partitions)
+    Shard = ray.remote(_HitsShardImpl)
+    shards = [Shard.remote(p, P) for p in range(P)]
+
+    def route(t: pa.Table) -> pa.Table:
+        n_in = t.num_rows
+        s_col = t.column(src_col).cast(pa.int64())
+        d_col = t.column(dst_col).cast(pa.int64())
+        if s_col.null_count or d_col.null_count:
+            keep = pc.and_(pc.is_valid(s_col), pc.is_valid(d_col))
+            s_col, d_col = s_col.filter(keep), d_col.filter(keep)
+        src = s_col.to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = d_col.to_numpy(zero_copy_only=False).astype(np.int64)
+        acks = []
+        for loc, rem, meth in ((src, dst, "add_fwd"), (dst, src, "add_rev")):
+            if not len(loc):
+                continue
+            part = _owner_part(loc, P)
+            order = np.argsort(part, kind="stable")
+            ll, rr, pp = loc[order], rem[order], part[order]
+            bounds = np.r_[0, np.flatnonzero(pp[1:] != pp[:-1]) + 1, len(pp)]
+            for b in range(len(bounds) - 1):
+                lo, hi = int(bounds[b]), int(bounds[b + 1])
+                acks.append(getattr(shards[int(pp[lo])], meth).remote(
+                    ll[lo:hi], rr[lo:hi]))
+        if acks:
+            ray.get(acks)
+        return pa.table({"n": pa.array([n_in], type=pa.int64())})
+
+    edges.map_batches(route, batch_format="pyarrow").sum("n")
+    counts = ray.get([s.finalize.remote() for s in shards])
+    if int(sum(counts)) == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "hub_q": pa.array([], type=pa.int64()),
+            "auth_q": pa.array([], type=pa.int64()),
+            "hub": pa.array([], type=pa.float64()),
+            "auth": pa.array([], type=pa.float64()),
+        }))
+
+    def _half(push_meth: str, apply_meth: str, col: str) -> None:
+        outboxes = [getattr(s, push_meth).options(num_returns=P).remote()
+                    for s in shards]
+        if P == 1:
+            outboxes = [[r] for r in outboxes]
+        maxes = [getattr(shards[t], apply_meth).remote(
+                     *[outboxes[p][t] for p in range(P)])
+                 for t in range(P)]
+        mx = max(ray.get(maxes))
+        shift = 0
+        while (mx >> shift) > int(_HITS_CAP):
+            shift += 1
+        if shift:
+            ray.get([s.shift.remote(col, shift) for s in shards])
+
+    for _ in range(n_iters):
+        _half("push_hubs", "apply_auth", "a")   # a(v) = Σ h(u)
+        _half("push_auths", "apply_hub", "h")   # h(u) = Σ a(v)
+
+    hm_am = ray.get([s.maxes.remote() for s in shards])
+    hmax = max((x[0] for x in hm_am), default=0) or 1
+    amax = max((x[1] for x in hm_am), default=0) or 1
+    refs = [s.node_table.remote(hmax, amax) for s in shards]
+    ray.wait(refs, num_returns=len(refs))
+    return rd.from_arrow_refs(refs)

@@ -370,3 +370,31 @@ def test_hits_rescale_engages(ray_session):
     want = {int(r.node): (int(r.hub_q), int(r.auth_q)) for r in ref.itertuples()}
     assert gmap == want
     assert max(q for q, _ in gmap.values()) <= 1 << 41
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_hits_engines_bit_identical(ray_session, P):
+    """pregel (stationary double-oriented edge shards) and bsp are the
+    SAME exact-integer function — bitwise, any shard count, rescale
+    shifts included."""
+    g = ([(1, 2), (1, 3), (4, 3), (3, 2), (2, 5), (6, 3), (6, 2)]
+         + [(i, 100 + j) for i in range(9) for j in range(9)])
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in g], type=pa.int64()),
+        "dst": pa.array([d for _, d in g], type=pa.int64()),
+    })).repartition(3)
+    a = hits(ds, num_partitions=P, engine="pregel").to_pandas()
+    b = hits(ds, num_partitions=P, engine="bsp").to_pandas()
+    key = lambda df: {int(r.node): (int(r.hub_q), int(r.auth_q),
+                                    float(r.hub), float(r.auth))
+                      for r in df.itertuples()}
+    assert key(a) == key(b)
+
+
+def test_hits_unknown_engine_raises(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([1], type=pa.int64()),
+        "dst": pa.array([2], type=pa.int64()),
+    }))
+    with pytest.raises(ValueError):
+        hits(ds, engine="flink")
