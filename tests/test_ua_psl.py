@@ -323,3 +323,86 @@ def test_full_psl_only_entries(domain, registered, suffix, sub):
     assert out["registered_domain"] == registered
     assert out["top_level_domain"] == suffix
     assert out.get("subdomain") == sub
+
+
+# ---------------------------------------------------------------------------
+# round-4 held-out corpus: the long-tail families added this round
+# (real-world UA strings from public documentation/examples)
+# ---------------------------------------------------------------------------
+
+_R4_UAS = [
+    # (ua, family, device_is_spider)
+    ("Mozilla/5.0 (compatible; GoogleOther) AppleWebKit/537.36", "GoogleOther", True),
+    ("Mozilla/5.0 (Linux; Android 8.0; Pixel 2 Build/OPD3.170816.012; Storebot-Google/1.0) AppleWebKit/537.36", "Storebot-Google", True),
+    ("Mediapartners-Google", "Mediapartners-Google", True),
+    ("FeedFetcher-Google; (+http://www.google.com/feedfetcher.html)", "FeedFetcher-Google", True),
+    ("Mozilla/5.0 (Windows Phone 8.1; ARM; Trident/7.0; Touch; rv:11.0; IEMobile/11.0; NOKIA; Lumia 530) like Gecko BingPreview/1.0b", "BingPreview", True),
+    ("msnbot/2.0b (+http://search.msn.com/msnbot.htm)", "msnbot", True),
+    ("adidxbot/2.0 (+http://search.msn.com/msnbot.htm)", "adidxbot", True),
+    ("http.rb/5.1.1 (Mastodon/4.2.1; +https://mastodon.social/)", "Mastodon", True),
+    ("Mozilla/5.0 (compatible; redditbot/1.0; +http://www.reddit.com/feedback)", "redditbot", True),
+    ("Mozilla/5.0 (compatible; FlipboardProxy/1.2; +http://flipboard.com/browserproxy)", "FlipboardProxy", True),
+    ("Mozilla/5.0 (compatible; vkShare; +http://vk.com/dev/Share)", "vkShare", True),
+    ("SkypeUriPreview Preview/0.5 skype-url-preview@microsoft.com", "SkypeUriPreview", True),
+    ("ViberUrlDownloader", "ViberUrlDownloader", True),
+    ("Mozilla/5.0 (compatible; rogerbot/1.2; +https://moz.com/help/guides/moz-procedures/what-is-rogerbot)", "rogerbot", True),
+    ("Apache-Nutch/1.19", "Nutch", True),
+    ("Mozilla/5.0 (compatible; ImagesiftBot; +imagesift.com)", "ImagesiftBot", True),
+    ("MistralAI-User/1.0 (+https://docs.mistral.ai/robots)", "MistralAI-User", True),
+    # clients
+    ("MyApp/1.0 CFNetwork/1410.0.3 Darwin/22.6.0", "CFNetwork", False),
+    ("Alamofire/5.8.0", "Alamofire", False),
+    ("grpc-java/1.57.0", "grpc", False),
+    ("WordPress/6.4.2; https://example.org", "WordPress", False),
+    ("Microsoft-CryptoAPI/10.0", "Microsoft-CryptoAPI", False),
+    ("Windows-Update-Agent/10.0.10011.16384 Client-Protocol/2.33", "Windows-Update-Agent", False),
+    # mail
+    ("Mozilla/5.0 (X11; Linux x86_64) Evolution/3.48.4", "Evolution", False),
+    ("Outlook-Android/2.0", "Outlook", False),
+]
+
+
+@pytest.mark.parametrize("ua,family,spider", _R4_UAS)
+def test_round4_bot_and_client_additions(ua, family, spider):
+    got = parse_user_agent(ua)
+    assert got["name"] == family
+    if spider:
+        assert got["device.name"] == "Spider"
+
+
+_R4_BROWSER_UAS = [
+    ("Mozilla/5.0 (Linux; Android 13; V2027) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/112.0.0.0 Mobile Safari/537.36 OppoBrowser/4.6.8", "Oppo Browser", None),
+    ("Mozilla/5.0 (Linux; U; Android 12; zh-cn; Redmi K30 Build/SKQ1.211006.001) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/89.0.4389.116 Mobile Safari/537.36 XiaoMi/MiuiBrowser/16.6.16", "MiuiBrowser", "XiaoMi Redmi K30"),
+    ("Mozilla/5.0 (Linux; U; Android 13; zh-CN; 22081212C Build/TKQ1.220829.002) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/100.0.4896.58 Quark/6.2.2.246 Mobile Safari/537.36 MQQBrowser/13.4", "QQ Browser Mobile", None),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 LibreWolf/121.0", "LibreWolf", None),
+    ("Mozilla/5.0 (Android 14; Mobile; rv:122.0) Gecko/122.0 Firefox/122.0 Klar/122.0", "Firefox Klar", None),
+    ("Mozilla/5.0 (X11; Linux x86_64; Quest 3) AppleWebKit/537.36 (KHTML, like Gecko) OculusBrowser/31.0 SamsungBrowser/4.0 Chrome/120.0.0.0 VR Safari/537.36", "Oculus Browser", "Oculus Quest"),
+    ("Mozilla/5.0 (BB10; Touch) AppleWebKit/537.35+ (KHTML, like Gecko) Version/10.3.3.2205 Mobile Safari/537.35+", "BlackBerry WebKit", None),
+    ("Mozilla/5.0 (compatible; MSIE 10.0; Windows Phone 8.0; Trident/6.0; IEMobile/10.0; ARM; Touch; NOKIA; Lumia 920)", "IE Mobile", None),
+    ("Mozilla/5.0 (Linux; Android 13; RMX3561 Build/TP1A.220905.001) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/110.0.5481.154 Mobile Safari/537.36 RealmeBrowser/47.5.0.1", "Realme Browser", "Realme RMX3561"),
+    ("Mozilla/5.0 (Linux; Android 12; Infinix X669 Build/SP1A.210812.016) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/110.0.0.0 Mobile Safari/537.36", "Chrome Mobile", "Infinix Infinix X669"),
+    ("Mozilla/5.0 (Linux; Android 13; TECNO CK7n Build/TP1A.220624.014) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/112.0.0.0 Mobile Safari/537.36", "Chrome Mobile", "Tecno TECNO CK7n"),
+]
+
+
+@pytest.mark.parametrize("ua,family,device", _R4_BROWSER_UAS)
+def test_round4_browser_additions(ua, family, device):
+    got = parse_user_agent(ua)
+    assert got["name"] == family
+    if device is not None:
+        assert got["device.name"] == device
+
+
+def test_round4_os_additions():
+    assert parse_user_agent(
+        "Mozilla/5.0 (Apple TV; U; CPU OS 14_2 like Mac OS X)"
+    )["os.name"] == "tvOS"
+    assert parse_user_agent(
+        "Mozilla/5.0 (SymbianOS/9.4; Series60/5.0 NokiaN97-1/20.0.019)"
+    )["os.name"] == "Symbian OS"
+    assert parse_user_agent(
+        "Mozilla/5.0 (Linux; U; Sailfish 4.5; Mobile; rv:78.0)"
+    )["os.name"] == "Sailfish OS"
+    assert parse_user_agent(
+        "Mozilla/5.0 (BB10; Touch) AppleWebKit/537.35+"
+    )["os.name"] == "BlackBerry OS"
