@@ -39,6 +39,7 @@ _TOKEN = re.compile(
 _KEYWORDS = {"if", "else", "for", "while", "return", "break", "continue",
              "true", "false", "null", "in", "new", "instanceof"}
 _TYPES = {"def", "var", "int", "long", "double", "float", "boolean",
+          "byte", "short", "char",
           "String", "Object", "Map", "List", "ArrayList", "HashMap",
           "Set", "HashSet", "StringBuilder",
           # boxed primitives + the rest of the collections framework:
@@ -58,6 +59,58 @@ _NEW_CLASSES = {"StringBuilder", "String", "ArrayList", "LinkedList",
 
 class PainlessError(ValueError):
     pass
+
+
+#: primitive casts CONVERT (Java numeric-conversion semantics, JLS 5.1.3:
+#: float→integral truncates toward zero and SATURATES at the target
+#: range, NaN → 0; integral narrowing WRAPS to the target width;
+#: (char) yields the character).  Boxed/reference casts stay no-ops
+#: (Java reference casts convert nothing).
+_NUMERIC_CASTS = {"int", "long", "short", "byte", "char", "float", "double"}
+
+
+def _wrap_int(v: int, bits: int) -> int:
+    m = 1 << bits
+    v &= m - 1
+    return v - m if v >= (1 << (bits - 1)) else v
+
+
+def _float_to_int_sat(x: float, bits: int) -> int:
+    import math
+
+    if math.isnan(x):
+        return 0
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if x <= lo:
+        return lo
+    if x >= hi:
+        return hi
+    return int(x)  # truncates toward zero
+
+
+def _numeric_cast(t: str, v):
+    if v is None:
+        raise PainlessError(f"cannot cast null to {t}")  # Java unboxing NPE
+    if isinstance(v, bool) or isinstance(v, str):
+        raise PainlessError(f"cannot cast {type(v).__name__} to {t}")
+    if not isinstance(v, (int, float)):
+        raise PainlessError(f"cannot cast {type(v).__name__} to {t}")
+    if t in ("float", "double"):
+        return float(v)
+    if isinstance(v, float):
+        base = _float_to_int_sat(v, 64 if t == "long" else 32)
+    else:
+        base = v
+    if t == "long":
+        return _wrap_int(base, 64)
+    if t == "int":
+        return _wrap_int(base, 32)
+    if t == "short":
+        return _wrap_int(base, 16)
+    if t == "byte":
+        return _wrap_int(base, 8)
+    # char: narrowing to the unsigned 16-bit code unit, then the character
+    return chr(base & 0xFFFF)
 
 
 class _JavaSet:
@@ -679,12 +732,17 @@ class _Parser:
             return ("lit_new", tname, args)
         if (kind, val) == ("op", "("):
             self.eat("(")
-            # cast: (int) expr — treat as no-op
+            # cast: (T) expr — numeric primitive casts CONVERT with
+            # Java semantics (truncate toward zero, wrap to width,
+            # (char) → the character); reference-type casts are no-ops
             if (self.peek()[0] == "id" and self.peek()[1] in _TYPES
                     and self.peek(1) == ("op", ")")):
-                self.eat()
+                tname = self.eat()[1]
                 self.eat(")")
-                return self.parse_unary()
+                inner = self.parse_unary()
+                if tname in _NUMERIC_CASTS:
+                    return ("cast", tname, inner)
+                return inner
             node = self.parse_expr()
             self.eat(")")
             return node
@@ -1173,6 +1231,9 @@ class Interpreter:
         op = node[0]
         if op == "lit":
             return node[1]
+        if op == "cast":
+            v = self._deref(self._eval(node[2], rc, env), rc)
+            return _numeric_cast(node[1], v)
         if op == "lit_regex":
             return self._compiled_regex(node[1], node[2])
         if op == "instanceof":

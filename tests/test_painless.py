@@ -649,3 +649,35 @@ class TestRound4GenericsAndNew:
     def test_new_treeset_fails_compilation_not_silent_misorder(self):
         with pytest.raises(ValueError):
             ScriptKernel({"source": "def s = new TreeSet(); s.add(2); ctx.v = s"})
+
+
+class TestNumericCasts:
+    """Primitive casts follow JLS 5.1.3: float→integral truncates
+    toward zero and saturates, integral narrowing wraps, (char) yields
+    the character; reference casts convert nothing."""
+
+    def test_java_cast_semantics(self):
+        src = ("ctx.a = (int) 3.9; ctx.b = (long) -2.7; ctx.c = (byte) 300; "
+               "ctx.d = (char) 65; ctx.e = (int) 1e20; ctx.f = (short) 65535; "
+               "ctx.g = (double) 3; ctx.h = (int) -3.9;")
+        out = run_pipeline({"processors": [{"script": {"source": src}}]},
+                           [{"x": 1}])[0]
+        assert out["a"] == 3 and out["b"] == -2 and out["h"] == -3
+        assert out["c"] == 44          # (byte) 300 wraps
+        assert out["d"] == "A"         # (char) 65
+        assert out["e"] == 2147483647  # float→int saturates
+        assert out["f"] == -1          # (short) 65535 wraps
+        assert out["g"] == 3.0
+
+    def test_reference_casts_are_noops(self):
+        src = "ctx.m2 = (Map) ctx.m; ctx.l2 = (List) ctx.l; ctx.s2 = (String) ctx.s;"
+        out = run_pipeline({"processors": [{"script": {"source": src}}]},
+                           [{"m": {"k": 1}, "l": [1, 2], "s": "x"}])[0]
+        assert out["m2"] == {"k": 1} and out["l2"] == [1, 2] and out["s2"] == "x"
+
+    def test_null_cast_fails_like_npe(self):
+        out = run_pipeline(
+            {"processors": [{"script": {"source": "ctx.a = (int) ctx.missing;"}}]},
+            [{"x": 1}])[0]
+        # script failure surfaces as the standard failure tagging
+        assert out.get("a") is None
