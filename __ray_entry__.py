@@ -1112,6 +1112,49 @@ def q_clean_text_docs(sf_dir: str):
     return docs.map_batches(inject_and_clean, batch_format="pyarrow")
 
 
+def q_c4_filter_docs(sf_dir: str):
+    """The published C4 cleaning rules (Raffel et al. 2020 §2.2,
+    stages/textstats.py:c4_line_filter_batch) over deterministically
+    re-lined text (every 8th space → period+newline, so the published
+    terminal-punctuation rule has real work to do): line-level
+    terminal-punctuation / ≥5-words /
+    no-javascript keeps, then page-level lorem-ipsum / brace /
+    too-few-lines drops.  Rule expressions shared verbatim with the
+    DuckDB list_filter twin."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import (
+        c4_line_filter_batch,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def relined(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": pc.replace_substring_regex(
+                t.column("text"), pattern=r"((?:\S+ ){7})(\S+) ",
+                replacement="\\1\\2.\n"),
+        })
+
+    return (docs.map_batches(relined, batch_format="pyarrow")
+            .map_batches(c4_line_filter_batch, batch_format="pyarrow"))
+
+
+def q_gopher_quality_docs(sf_dir: str):
+    """The published Gopher document-quality rules (Rae et al. 2021
+    table A1, stages/textstats.py:gopher_quality_batch): word-count
+    bounds, mean word length, symbol ratio, alpha-word fraction, stop
+    hits — each rule its own boolean plus the combined pass flag; all
+    ratios are exact int/int IEEE divisions shared with the SQL twin."""
+    from logstash_filter_elastic_integration_ray.stages.textstats import (
+        gopher_quality_batch,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    return docs.map_batches(gopher_quality_batch, batch_format="pyarrow")
+
+
 def q_repetition_docs(sf_dir: str):
     """Gopher-style repetition quality signals per doc (duplicate-word
     fraction, top-bigram count/fraction) — one vectorized batch kernel
@@ -3859,6 +3902,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_dhash": q_image_dedup_dhash,
         "compression_ratio_docs": q_compression_ratio_docs,
         "clean_text_docs": q_clean_text_docs,
+        "c4_filter_docs": q_c4_filter_docs,
+        "gopher_quality_docs": q_gopher_quality_docs,
         "triangle_counts_docs": q_triangle_counts_docs,
         "embedding_drift_by_label": q_embedding_drift_by_label,
         "dedup_keep_best_docs": q_dedup_keep_best_docs,
@@ -4644,6 +4689,61 @@ def oracle_sql() -> dict[str, str]:
         ),
         "compression_ratio_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/compression_ratio_docs.sf0_01.parquet')"
+        ),
+        "c4_filter_docs": (
+            "WITH d AS (SELECT doc_id, regexp_replace(text, "
+            "  '((?:\\S+ ){7})(\\S+) ', '\\1\\2.' || chr(10), 'g') AS text FROM documents), "
+            "base AS (SELECT doc_id, text, "
+            "  list_filter(string_split(coalesce(text, ''), chr(10)), "
+            "    l -> regexp_matches(l, '[.!?\"]$') "
+            "         AND len(string_split(l, ' ')) >= 5 "
+            "         AND NOT contains(lower(l), 'javascript')) AS kept FROM d), "
+            "flags AS (SELECT doc_id, kept, len(kept) AS kept_lines, "
+            "  contains(lower(coalesce(text, '')), 'lorem ipsum') AS lorem, "
+            "  contains(coalesce(text, ''), '{') AS brace FROM base) "
+            "SELECT doc_id, CAST(kept_lines AS BIGINT) AS kept_lines, "
+            "  (lorem OR brace OR kept_lines < 3) AS dropped, "
+            "  CASE WHEN lorem THEN 'lorem_ipsum' WHEN brace THEN 'brace' "
+            "       WHEN kept_lines < 3 THEN 'too_few_lines' END AS reason, "
+            "  CASE WHEN (lorem OR brace OR kept_lines < 3) THEN NULL "
+            "       ELSE array_to_string(kept, chr(10)) END AS clean_text "
+            "FROM flags"
+        ),
+        "gopher_quality_docs": (
+            "WITH t AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents), "
+            "w AS (SELECT doc_id, "
+            "  CASE WHEN length(txt) = 0 THEN 0 "
+            "       ELSE len(string_split(txt, ' ')) END AS n_words, "
+            "  coalesce(list_aggregate(list_transform(string_split(txt, ' '), "
+            "    x -> length(x)), 'sum'), 0) AS sum_len, "
+            "  len(list_filter(string_split(txt, ' '), "
+            "    x -> regexp_matches(x, '[A-Za-z]'))) AS sum_alpha, "
+            "  len(list_filter(string_split(txt, ' '), "
+            "    x -> list_contains(['the','be','to','of','and','that','have','with'], "
+            "                       lower(x)))) AS sum_stop, "
+            "  (length(txt) - length(replace(txt, '#', ''))) AS n_hash, "
+            "  (length(txt) - length(replace(txt, '...', ''))) / 3 AS n_ell "
+            "FROM t) "
+            "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+            "  sum_len / greatest(n_words, 1) AS mean_word_len, "
+            "  (n_hash + n_ell) / greatest(n_words, 1) AS symbol_ratio, "
+            "  sum_alpha / greatest(n_words, 1) AS alpha_word_frac, "
+            "  CAST(sum_stop AS BIGINT) AS stop_hits, "
+            "  (n_words >= 50 AND n_words <= 100000) AS ok_word_count, "
+            "  (sum_len / greatest(n_words, 1) >= 3.0 "
+            "   AND sum_len / greatest(n_words, 1) <= 10.0 "
+            "   AND n_words > 0) AS ok_mean_word_len, "
+            "  ((n_hash + n_ell) / greatest(n_words, 1) <= 0.1) AS ok_symbol_ratio, "
+            "  (sum_alpha / greatest(n_words, 1) >= 0.8 AND n_words > 0) "
+            "    AS ok_alpha_words, "
+            "  (sum_stop >= 2) AS ok_stop_hits, "
+            "  ((n_words >= 50 AND n_words <= 100000) "
+            "   AND (sum_len / greatest(n_words, 1) >= 3.0 "
+            "        AND sum_len / greatest(n_words, 1) <= 10.0 AND n_words > 0) "
+            "   AND ((n_hash + n_ell) / greatest(n_words, 1) <= 0.1) "
+            "   AND (sum_alpha / greatest(n_words, 1) >= 0.8 AND n_words > 0) "
+            "   AND (sum_stop >= 2)) AS pass_gopher "
+            "FROM w"
         ),
         "clean_text_docs": (
             "SELECT doc_id, nfc_normalize(regexp_replace("

@@ -1398,3 +1398,145 @@ def clean_text_batch(batch: pa.Table, *, text_col: str = "text",
     if pc.any(mask).as_py():
         out = pc.if_else(mask, pa.nulls(len(out), pa.string()), out)
     return batch.append_column(out_col, out)
+
+
+# ---------------------------------------------------------------------------
+# C4-style line filtering (Raffel et al. 2020, §2.2)
+# ---------------------------------------------------------------------------
+
+
+def c4_line_filter_batch(batch: pa.Table, *, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         min_kept_lines: int = 3) -> pa.Table:
+    """The published C4 cleaning rules, vectorized, line-level first:
+
+    - keep only lines that END in a terminal punctuation mark
+      (``. ! ?`` or a double quote) AND contain ≥ 5 space-separated
+      words AND do not contain the word "javascript" (case-folded);
+    - then drop the whole page if it contains "lorem ipsum"
+      (case-folded), contains ``{``, or fewer than ``min_kept_lines``
+      lines survive (C4 counts sentences via an English splitter; this
+      engine's documented variant counts KEPT LINES — deterministic
+      and language-independent).
+
+    Fully vectorized: one split to flat lines, three Arrow predicate
+    kernels over the flat array, one ListArray rebuild +
+    ``pc.binary_join`` for the surviving text — no per-row Python.
+    Output: (doc_id, kept_lines, dropped, reason, clean_text) with
+    clean_text NULL on dropped pages; reason ∈ {lorem_ipsum, brace,
+    too_few_lines, NULL} (first failing rule in that fixed order).
+    The rule expressions are shared with the DuckDB twin
+    (list_filter + regexp_matches) so both sides agree byte-for-byte."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    filled = pc.fill_null(col, "")
+    lines = pc.split_pattern(filled, "\n")
+    counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lines.flatten()
+    terminal = pc.match_substring_regex(flat, '[.!?"]$')
+    wordy = pc.greater_equal(
+        pc.add(pc.count_substring(flat, " "), 1), pa.scalar(5))
+    no_js = pc.invert(pc.match_substring(flat, "javascript",
+                                         ignore_case=True))
+    keep = pc.and_(pc.and_(terminal, wordy), no_js)
+    keep_np = keep.to_numpy(zero_copy_only=False).astype(bool)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    kept_per_doc = np.bincount(doc_idx[keep_np], minlength=len(counts)).astype(np.int64)
+    # rebuild list<string> of surviving lines and join with \n
+    kept_flat = flat.filter(keep)
+    offsets = np.r_[0, np.cumsum(kept_per_doc)].astype(np.int32)
+    kept_lists = pa.ListArray.from_arrays(pa.array(offsets),
+                                          kept_flat.combine_chunks()
+                                          if isinstance(kept_flat, pa.ChunkedArray)
+                                          else kept_flat)
+    joined = pc.binary_join(kept_lists, "\n")
+    lower = pc.utf8_lower(filled)
+    lorem = pc.match_substring(lower, "lorem ipsum").to_numpy(zero_copy_only=False).astype(bool)
+    brace = pc.match_substring(filled, "{").to_numpy(zero_copy_only=False).astype(bool)
+    few = kept_per_doc < min_kept_lines
+    dropped = lorem | brace | few
+    reason = np.where(lorem, "lorem_ipsum",
+                      np.where(brace, "brace",
+                               np.where(few, "too_few_lines", None)))
+    clean = pc.if_else(pa.array(dropped), pa.nulls(len(counts), pa.string()),
+                       joined)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "kept_lines": pa.array(kept_per_doc),
+        "dropped": pa.array(dropped),
+        "reason": pa.array(reason.tolist(), type=pa.string()),
+        "clean_text": clean,
+    })
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, table A1)
+# ---------------------------------------------------------------------------
+
+#: the published stop set Gopher requires ≥ 2 hits from
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_batch(batch: pa.Table, *, text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    table A1), each as its own boolean so downstream curation can mix
+    thresholds:
+
+    - ``ok_word_count``: 50 ≤ word count ≤ 100 000;
+    - ``ok_mean_word_len``: mean word length in [3, 10] (exact int/int
+      float division, shared with the SQL twin);
+    - ``ok_symbol_ratio``: (# of ``#`` or ``...`` occurrences) / words
+      ≤ 0.1;
+    - ``ok_alpha_words``: ≥ 80% of words contain ≥ 1 ASCII letter;
+    - ``ok_stop_hits``: ≥ 2 hits from the published 8-word stop set;
+    - ``pass_gopher``: all of the above.
+
+    One split to flat tokens, Arrow predicate kernels + segmented
+    sums — no per-row Python.  Null text fails all bounds (0 words)."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    filled = pc.fill_null(col, "")
+    toks = pc.split_pattern(filled, " ")
+    n_words = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    # "" splits to [""] — count a lone empty token as zero words
+    empty = pc.equal(pc.utf8_length(filled), 0).to_numpy(zero_copy_only=False).astype(bool)
+    n_words = np.where(empty, 0, n_words)
+    flat = toks.flatten()
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    has_alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    is_stop = pc.cast(pc.is_in(pc.utf8_lower(flat),
+                               value_set=pa.array(_GOPHER_STOPS)),
+                      pa.int8()).to_numpy(zero_copy_only=False).astype(np.int64)
+    lens_for_seg = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    sum_len = _seg_sum_int(tok_len, lens_for_seg)
+    sum_alpha = _seg_sum_int(has_alpha, lens_for_seg)
+    sum_stop = _seg_sum_int(is_stop, lens_for_seg)
+    n_hash = pc.count_substring(filled, "#").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_ell = pc.count_substring(filled, "...").to_numpy(zero_copy_only=False).astype(np.int64)
+    wsafe = np.maximum(n_words, 1)
+    mean_len = sum_len / wsafe
+    sym_ratio = (n_hash + n_ell) / wsafe
+    alpha_frac = sum_alpha / wsafe
+    ok_wc = (n_words >= 50) & (n_words <= 100_000)
+    ok_mwl = (mean_len >= 3.0) & (mean_len <= 10.0) & (n_words > 0)
+    ok_sym = sym_ratio <= 0.1
+    ok_alpha = (alpha_frac >= 0.8) & (n_words > 0)
+    ok_stop = sum_stop >= 2
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_words": pa.array(n_words),
+        "mean_word_len": pa.array(mean_len),
+        "symbol_ratio": pa.array(sym_ratio),
+        "alpha_word_frac": pa.array(alpha_frac),
+        "stop_hits": pa.array(sum_stop),
+        "ok_word_count": pa.array(ok_wc),
+        "ok_mean_word_len": pa.array(ok_mwl),
+        "ok_symbol_ratio": pa.array(ok_sym),
+        "ok_alpha_words": pa.array(ok_alpha),
+        "ok_stop_hits": pa.array(ok_stop),
+        "pass_gopher": pa.array(ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop),
+    })

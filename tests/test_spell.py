@@ -439,3 +439,66 @@ def test_pca_empty_raises(ray_session):
     }))
     with pytest.raises(ValueError, match="empty"):
         pca_fit(ds)
+
+
+# ---------------------------------------------------------------------------
+# C4 line filter + Gopher quality rules
+# ---------------------------------------------------------------------------
+
+from logstash_filter_elastic_integration_ray.stages.textstats import (
+    c4_line_filter_batch,
+    gopher_quality_batch,
+)
+
+
+def test_c4_line_filter_rules():
+    docs = [
+        # kept: two good lines survive, short/unterminated/js lines drop
+        "This is a good line with six words.\nshort line.\n"
+        "no terminal punctuation here at all\n"
+        "this line mentions JavaScript so it dies.\n"
+        "Another proper line with enough words!\n"
+        'A quoted line with five words here"',
+        # page drops: lorem ipsum
+        "Lorem Ipsum dolor sit amet consectetur adipiscing.\n"
+        "Second decent line with enough words.\n"
+        "Third decent line with enough words.",
+        # page drops: brace
+        "A fine first line with many words.\n"
+        "function() { return 1; } is code.\n"
+        "Third decent line with enough words.",
+        # page drops: too few kept lines
+        "Only one good line with five words.",
+        None,
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                  "text": pa.array(docs, type=pa.string())})
+    out = c4_line_filter_batch(t)
+    kept = out.column("kept_lines").to_pylist()
+    dropped = out.column("dropped").to_pylist()
+    reason = out.column("reason").to_pylist()
+    clean = out.column("clean_text").to_pylist()
+    assert kept[0] == 3 and not dropped[0]
+    assert clean[0] == ("This is a good line with six words.\n"
+                        "Another proper line with enough words!\n"
+                        'A quoted line with five words here"')
+    assert dropped[1] and reason[1] == "lorem_ipsum"
+    assert dropped[2] and reason[2] == "brace"
+    assert dropped[3] and reason[3] == "too_few_lines"
+    assert dropped[4] and clean[4] is None
+
+
+def test_gopher_quality_rules():
+    good = " ".join(["the", "be", "to"] + ["word"] * 60) + " end"
+    too_short = "the be only five words here"
+    symbols = " ".join(["the", "be"] + ["###"] * 30 + ["word"] * 30)
+    no_alpha = " ".join(["the", "be"] + ["123"] * 60)
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "text": pa.array([good, too_short, symbols, no_alpha])})
+    out = gopher_quality_batch(t).to_pandas().set_index("doc_id")
+    assert bool(out.loc[1, "pass_gopher"])
+    assert not bool(out.loc[2, "ok_word_count"])
+    assert not bool(out.loc[3, "ok_symbol_ratio"])
+    assert not bool(out.loc[4, "ok_alpha_words"])
+    # exact int/int ratios
+    assert out.loc[1, "stop_hits"] == 3
