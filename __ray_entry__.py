@@ -372,6 +372,116 @@ def q_dissect_access(sf_dir: str):
     return _project(out, ["conv_id", "turn_idx", "clientip", "verb", "path", "status_code", "resp_bytes"])
 
 
+def _syslog_oracle_sql() -> str:
+    """SQL twin of q_syslog_parse_events.  The regexes come verbatim
+    from functions/parse.py (both engines parse with RE2); the line
+    rendering mirrors the Arrow expressions token for token."""
+    from logstash_filter_elastic_integration_ray.functions.parse import (
+        SYSLOG_RFC3164_RX,
+        SYSLOG_RFC5424_RX,
+    )
+
+    rx5 = SYSLOG_RFC5424_RX.replace("'", "''")
+    rx3 = SYSLOG_RFC3164_RX.replace("'", "''")
+    return (
+        "WITH l AS (SELECT event_id, CASE WHEN event_id % 2 = 0 THEN "
+        "  '<' || CAST(event_id % 192 AS VARCHAR) || '>1 ' "
+        "  || strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z host' "
+        "  || CAST(user_id % 50 AS VARCHAR) || ' ' || event_type || ' ' "
+        "  || CASE WHEN event_id % 10 = 0 THEN '-' "
+        "     ELSE CAST(event_id % 1000 AS VARCHAR) END "
+        "  || ' ID' || CAST(event_id % 97 AS VARCHAR) || ' ' "
+        "  || CASE WHEN event_id % 5 = 0 THEN "
+        "     '[m@1 seq=\"' || CAST(event_id % 7 AS VARCHAR) || '\"]' "
+        "     ELSE '-' END "
+        "  || ' event ' || event_type "
+        "ELSE "
+        "  '<' || CAST(event_id % 192 AS VARCHAR) || '>' "
+        "  || strftime(ts, '%b %d %H:%M:%S') || ' host' "
+        "  || CAST(user_id % 50 AS VARCHAR) || ' ' || event_type "
+        "  || CASE WHEN event_id % 10 = 1 THEN '' "
+        "     ELSE '[' || CAST(event_id % 500 AS VARCHAR) || ']' END "
+        "  || ': event ' || event_type "
+        "END AS line FROM events), "
+        f"p AS (SELECT event_id, regexp_matches(line, '{rx5}') AS m5, "
+        f"  regexp_extract(line, '{rx5}', "
+        "   ['pri','ver','ts','host','app','proc','msgid','sd','msg']) AS s5, "
+        f"  regexp_matches(line, '{rx3}') AS m3, "
+        f"  regexp_extract(line, '{rx3}', "
+        "   ['pri','ts','host','app','proc','msg']) AS s3 FROM l), "
+        "x AS (SELECT event_id, m5, s5, s3, "
+        "  CAST(CASE WHEN m5 THEN s5.pri ELSE s3.pri END AS BIGINT) AS priority "
+        "  FROM p WHERE m5 OR m3) "
+        "SELECT event_id, priority, priority // 8 AS facility, "
+        "priority % 8 AS severity, "
+        "CASE WHEN m5 THEN CAST(s5.ver AS BIGINT) ELSE NULL END AS version, "
+        "NULLIF(CASE WHEN m5 THEN s5.ts ELSE s3.ts END, '-') AS ts_str, "
+        "NULLIF(CASE WHEN m5 THEN s5.host ELSE s3.host END, '-') AS hostname, "
+        "NULLIF(CASE WHEN m5 THEN s5.app ELSE s3.app END, '-') AS appname, "
+        "NULLIF(NULLIF(CASE WHEN m5 THEN s5.proc ELSE s3.proc END, '-'), '') AS procid, "
+        "CASE WHEN m5 THEN NULLIF(s5.msgid, '-') ELSE NULL END AS msgid, "
+        "CASE WHEN m5 THEN NULLIF(s5.sd, '-') ELSE NULL END AS sd, "
+        "NULLIF(CASE WHEN m5 THEN s5.msg ELSE s3.msg END, '') AS message "
+        "FROM x"
+    )
+
+
+def q_syslog_parse_events(sf_dir: str):
+    """Syslog parsing (functions/parse.py:SyslogKernel — the `syslog`
+    registry-extension processor): deterministic RFC 5424 / RFC 3164
+    lines are rendered from the events table (even event_id → 5424
+    with NIL procid every 10th and structured data every 5th; odd →
+    BSD, bare tag — no [pid] — every 10th), then parsed back through a
+    real compiled ingest pipeline.  The two RE2 patterns are shared
+    VERBATIM with the DuckDB twin (both engines parse with RE2), and
+    the line rendering uses IEEE/locale-free pieces (int mods,
+    second-truncated strftime) so the strings are byte-identical."""
+
+    def render(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t.column("event_type").cast(pa.string()).combine_chunks()
+        S = lambda v: pa.array(v).cast(pa.string())  # noqa: E731
+        tss = pc.cast(t.column("ts"), pa.timestamp("s"), safe=False)
+        iso = pc.strftime(tss, format="%Y-%m-%dT%H:%M:%S")
+        bsd = pc.strftime(tss, format="%b %d %H:%M:%S")
+        if isinstance(iso, pa.ChunkedArray):
+            iso, bsd = iso.combine_chunks(), bsd.combine_chunks()
+        J = lambda *parts: pc.binary_join_element_wise(*parts, "")  # noqa: E731
+        pri = S(ids % 192)
+        host = J("host", S(uid % 50))
+        proc5 = pc.if_else(pa.array(ids % 10 == 0), pa.scalar("-"), S(ids % 1000))
+        sd = pc.if_else(pa.array(ids % 5 == 0),
+                        J('[m@1 seq="', S(ids % 7), '"]'),
+                        pa.scalar("-"))
+        line5 = J("<", pri, ">1 ", iso, "Z ", host, " ", et, " ", proc5,
+                  " ID", S(ids % 97), " ", sd, " event ", et)
+        pid3 = pc.if_else(pa.array(ids % 10 == 1), pa.scalar(""),
+                          J("[", S(ids % 500), "]"))
+        line3 = J("<", pri, ">", bsd, " ", host, " ", et, pid3, ": event ", et)
+        line = pc.if_else(pa.array(ids % 2 == 0), line5, line3)
+        return pa.table({"event_id": t.column("event_id"), "line": line})
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id", "event_type"])
+    rendered = ds.map_batches(render, batch_format="pyarrow")
+    pipe = {"processors": [{"syslog": {"field": "line"}}]}
+    out = rendered.map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(
+        out,
+        ["event_id", "syslog.priority", "syslog.facility", "syslog.severity",
+         "syslog.version", "syslog.timestamp", "syslog.hostname",
+         "syslog.appname", "syslog.procid", "syslog.msgid", "syslog.sd",
+         "syslog.message"],
+        {"syslog.priority": "priority", "syslog.facility": "facility",
+         "syslog.severity": "severity", "syslog.version": "version",
+         "syslog.timestamp": "ts_str", "syslog.hostname": "hostname",
+         "syslog.appname": "appname", "syslog.procid": "procid",
+         "syslog.msgid": "msgid", "syslog.sd": "sd",
+         "syslog.message": "message"},
+    )
+
+
 def q_kv_fields(sf_dir: str):
     ds = _filter_starts(read_transcripts(sf_dir), "text", "ip=")
     pipe = {"processors": [{"kv": {"field": "text", "field_split": " ", "value_split": "="}}]}
@@ -1963,6 +2073,21 @@ def q_mixture_tokens_docs(sf_dir: str):
     return mixture_sample(
         docs, weights=_MIXTURE_WEIGHTS, total_frac=0.5, weight_col="n_chars"
     )
+
+
+def q_mixture_temperature_docs(sf_dir: str):
+    """TEMPERATURE-smoothed mixture sampling (the published
+    multilingual exponentiated-sampling recipe, alpha=0.3 as in
+    XLM-R/mC4): per-language target shares are derived from the corpus
+    itself as share^alpha renormalized — no user weight table — then
+    the same deterministic Lehmer filter selects rows
+    (stages/corpus.py:mixture_temperature).  One tiny per-stratum
+    count reduce, zero shuffles; the smoothing arithmetic is
+    IEEE-ordered so the SQL twin's rates are bit-identical."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import mixture_temperature
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return mixture_temperature(docs, alpha=0.3, total_frac=0.5)
 
 
 def q_curriculum_docs(sf_dir: str):
@@ -3888,6 +4013,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # through r3.  Previously-green queries follow.
     return {
         # round-4 additions — never driver-sampled, so they lead
+        # (seventh session first: newest never-checked entries)
+        "syslog_parse_events": q_syslog_parse_events,
+        "mixture_temperature_docs": q_mixture_temperature_docs,
         "transcripts_avro": q_transcripts_avro,
         "transcripts_jsonl_gz": q_transcripts_jsonl_gz,
         "transcripts_ipc": q_transcripts_ipc,
@@ -4378,6 +4506,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(status AS BIGINT) AS status_code, CAST(event_id % 5000 AS VARCHAR) AS resp_bytes "
             "FROM transcripts WHERE event_id % 8 = 0"
         ),
+        "syslog_parse_events": _syslog_oracle_sql(),
         "kv_fields": T(
             "SELECT conv_id, turn_idx, ip, CAST(status AS VARCHAR) AS code, "
             "'u' || CAST(user_id AS VARCHAR) AS \"user\" FROM transcripts WHERE event_id % 8 = 1"
@@ -5063,6 +5192,23 @@ def oracle_sql() -> dict[str, str]:
             "  FROM n, tot) "
             "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
             "WHERE ((d.doc_id * 48271) % 65537 + 65537) % 65537 < floor(rate * 65537)"
+        ),
+        "mixture_temperature_docs": (
+            # w_s ∝ (n_s/n_tot)^alpha; denominator summed in ascending
+            # lang order (list_sum over an ORDER BY list) — the exact
+            # IEEE order the engine uses, so rates match bitwise
+            "WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_s "
+            "  FROM documents WHERE lang IS NOT NULL GROUP BY 1), "
+            "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents "
+            "  WHERE lang IS NOT NULL), "
+            "p AS (SELECT lang, n_s, pow(n_s / CAST(n_tot AS DOUBLE), 0.3) AS p "
+            "  FROM n, tot), "
+            "d AS (SELECT list_sum(list(p ORDER BY lang)) AS denom FROM p), "
+            "r AS (SELECT lang, least(1.0, ((0.5 * n_tot) * (p / denom)) / n_s) "
+            "  AS rate FROM p, tot, d) "
+            "SELECT doc.doc_id, doc.lang FROM documents doc JOIN r USING (lang) "
+            "WHERE ((doc.doc_id * 48271) % 65537 + 65537) % 65537 "
+            "  < floor(rate * 65537)"
         ),
         "mixture_tokens_docs": (
             "WITH n AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS w_s FROM documents GROUP BY 1), "

@@ -801,6 +801,51 @@ def mixture_sample(ds, *, weights: dict, total_frac: float,
                              default_rate=0.0)
 
 
+def mixture_temperature(ds, *, alpha: float, total_frac: float,
+                        strata_col: str = "lang", id_col: str = "doc_id"):
+    """Temperature-smoothed mixture sampling — the published
+    multilingual recipe (exponentiated sampling, e.g. XLM-R /
+    mC4 with alpha≈0.3): target shares are NOT given by the user but
+    derived from the corpus itself, ``w_s ∝ share_s^alpha``, which
+    up-weights low-resource strata (alpha<1) while keeping the
+    ordering.  alpha=1 reproduces the natural distribution; alpha=0
+    is uniform over strata.
+
+    Shape: identical to :func:`mixture_sample` — one tiny per-stratum
+    count reduce (S rows to the driver), smoothed weights computed on
+    the driver, then the stateless Lehmer filter.  No shuffle.
+
+    IEEE-parity contract with the SQL twin: shares divide exact int64
+    counts, ``pow`` is the libm call both engines make, and the
+    normalizing denominator is summed in ASCENDING STRATUM ORDER
+    (the twin uses ``list_sum(list(p ORDER BY s))``) so every rate is
+    the bit-identical double on both sides."""
+    from .sketches import sample_stratified
+
+    def counts(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column(strata_col).to_pylist(), dtype=object)
+        vc = s.value_counts(sort=False)  # null strata drop (rate 0)
+        return pa.table({"s": pa.array(vc.index.to_numpy(), type=pa.string()),
+                         "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    rows = ds.map_batches(counts, batch_format="pyarrow").take_all()
+    n_s: dict = {}
+    for r in rows:
+        n_s[r["s"]] = n_s.get(r["s"], 0) + r["n"]
+    total = sum(n_s.values())
+    # ordered arithmetic, mirrored verbatim by the SQL twin
+    p_s = {s: (n / float(total)) ** float(alpha) for s, n in n_s.items()}
+    denom = 0.0
+    for s in sorted(p_s):
+        denom += p_s[s]
+    rates = {
+        s: min(1.0, ((total_frac * total) * (p_s[s] / denom)) / n)
+        for s, n in n_s.items()
+    }
+    return sample_stratified(ds, rates, strata_col=strata_col, id_col=id_col,
+                             default_rate=0.0)
+
+
 # ---------------------------------------------------------------------------
 # curriculum binning by global score quantiles
 # ---------------------------------------------------------------------------

@@ -451,6 +451,59 @@ class TestMixtureSample:
                 weights={"a": 1.0}, total_frac=0.5, weight_col="w",
             )
 
+    def test_temperature_smoothing(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.corpus import (
+            mixture_temperature,
+        )
+
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+        langs = pd.Series(t.column("lang").to_pylist())
+        n_s = langs.value_counts().to_dict()
+        total = int(sum(n_s.values()))
+        alpha = 0.3
+        # independent reference in the documented IEEE order
+        p_s = {s: (n / float(total)) ** alpha for s, n in n_s.items()}
+        denom = 0.0
+        for s in sorted(p_s):
+            denom += p_s[s]
+        expected = set()
+        for i, s in zip(t.column("doc_id").to_numpy(), langs):
+            if pd.isna(s):
+                continue
+            rate = min(1.0, ((0.5 * total) * (p_s[s] / denom)) / n_s[s])
+            if (int(i) * 48271) % 65537 < int(np.floor(rate * 65537)):
+                expected.add(int(i))
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+        out = mixture_temperature(docs, alpha=alpha, total_frac=0.5).take_all()
+        assert {r["doc_id"] for r in out} == expected
+        # partitioning invariance
+        out2 = mixture_temperature(docs.repartition(7), alpha=alpha,
+                                   total_frac=0.5).take_all()
+        assert {r["doc_id"] for r in out2} == expected
+        # alpha<1 up-weights low-resource strata relative to natural:
+        # the rarest language's keep RATE exceeds the commonest one's
+        kept = pd.Series([r["lang"] for r in out]).value_counts().to_dict()
+        rare = min(n_s, key=n_s.get)
+        common = max(n_s, key=n_s.get)
+        if n_s[rare] < n_s[common]:
+            assert kept.get(rare, 0) / n_s[rare] >= kept.get(common, 0) / n_s[common]
+        # alpha=1 reproduces plain proportional sampling (rate ≈ 0.5
+        # for every stratum up to the shared denominator rounding)
+        out_nat = mixture_temperature(docs, alpha=1.0, total_frac=0.5).take_all()
+        ids = t.column("doc_id").to_numpy()
+        p1 = {s: n / float(total) for s, n in n_s.items()}
+        d1 = 0.0
+        for s in sorted(p1):
+            d1 += p1[s]
+        nat_expected = {
+            int(i)
+            for i, s in zip(ids, langs)
+            if not pd.isna(s)
+            and (int(i) * 48271) % 65537
+            < int(np.floor(min(1.0, ((0.5 * total) * (p1[s] / d1)) / n_s[s]) * 65537))
+        }
+        assert {r["doc_id"] for r in out_nat} == nat_expected
+
     def test_undersized_stratum_keeps_everything(self, ray_session):
         from logstash_filter_elastic_integration_ray.stages.corpus import mixture_sample
 

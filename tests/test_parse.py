@@ -153,3 +153,83 @@ def test_uri_parts():  # spec:932-957
     assert r["url.fragment"] == "fragment"
     assert r["url.username"] == "myusername"
     assert r["url.original"] == r["f"]
+
+
+# ---------------------------------------------------------------------------
+# syslog (RFC 5424 + RFC 3164) — registry-extension processor
+# ---------------------------------------------------------------------------
+
+
+def test_syslog_rfc5424_full():
+    rows = run_pipeline(
+        {"processors": [{"syslog": {"field": "message"}}]},
+        [{"message": '<165>1 2026-08-19T17:00:00.123Z host7 appX 1234 ID47 [x@1 k="v"] hello world'}],
+    )
+    r = rows[0]
+    assert r["syslog.priority"] == 165
+    assert r["syslog.facility"] == 20 and r["syslog.severity"] == 5
+    assert r["syslog.version"] == 1
+    assert r["syslog.timestamp"] == "2026-08-19T17:00:00.123Z"
+    assert r["syslog.hostname"] == "host7"
+    assert r["syslog.appname"] == "appX"
+    assert r["syslog.procid"] == "1234"
+    assert r["syslog.msgid"] == "ID47"
+    assert r["syslog.sd"] == '[x@1 k="v"]'
+    assert r["syslog.message"] == "hello world"
+
+
+def test_syslog_rfc5424_nil_values_and_empty_msg():
+    rows = run_pipeline(
+        {"processors": [{"syslog": {"field": "message"}}]},
+        [{"message": "<165>1 2026-08-19T17:00:00Z host7 appX - - -"}],
+    )
+    r = rows[0]
+    assert r.get("syslog.procid") is None
+    assert r.get("syslog.msgid") is None
+    assert r.get("syslog.sd") is None
+    assert r.get("syslog.message") is None
+    assert r["syslog.version"] == 1
+
+
+def test_syslog_rfc3164_with_and_without_pid():
+    rows = run_pipeline(
+        {"processors": [{"syslog": {"field": "message"}}]},
+        [
+            {"message": "<13>Aug 19 17:00:00 host3 cron[77]: job done"},
+            {"message": "<13>Aug  9 07:00:00 host3 su: session opened"},
+        ],
+    )
+    assert rows[0]["syslog.appname"] == "cron"
+    assert rows[0]["syslog.procid"] == "77"
+    assert rows[0]["syslog.message"] == "job done"
+    assert rows[0].get("syslog.version") is None
+    assert rows[1]["syslog.appname"] == "su"
+    assert rows[1].get("syslog.procid") is None
+    assert rows[1]["syslog.timestamp"] == "Aug  9 07:00:00"
+
+
+def test_syslog_unparseable_tags_failure():
+    rows = run_pipeline(
+        {"processors": [{"syslog": {"field": "message"}}]},
+        [{"message": "not syslog at all"},
+         {"message": "<13>Aug 19 17:00:00 host3 ok: fine"}],
+    )
+    assert "_ingest_pipeline_failure" in (rows[0].get("tags") or [])
+    assert rows[1]["syslog.severity"] == 5
+
+
+def test_syslog_target_field_and_compile_error():
+    import pytest
+
+    from logstash_filter_elastic_integration_ray.functions.base import (
+        KernelCompileError, build_kernel,
+    )
+
+    rows = run_pipeline(
+        {"processors": [{"syslog": {"field": "m", "target_field": "sl"}}]},
+        [{"m": "<0>1 - h a p i - m"}],
+    )
+    assert rows[0]["sl.priority"] == 0
+    assert rows[0]["sl.facility"] == 0 and rows[0]["sl.severity"] == 0
+    with pytest.raises(KernelCompileError):
+        build_kernel("syslog", {})
