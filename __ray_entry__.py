@@ -482,6 +482,95 @@ def q_syslog_parse_events(sf_dir: str):
     )
 
 
+def _cef_oracle_sql() -> str:
+    """SQL twin of q_cef_kv_events.  The header regex is shared
+    VERBATIM with functions/parse.py:CEF_HEADER_RX (both engines are
+    RE2) and the unescape is the SAME two replaces in the same order;
+    extension values are space-free by construction, so the kv step's
+    SQL twin is four anchored single-group extracts."""
+    from logstash_filter_elastic_integration_ray.functions.parse import CEF_HEADER_RX
+
+    rx = CEF_HEADER_RX.replace("'", "''")
+    return (
+        "WITH l AS (SELECT event_id, "
+        "  'CEF:0|' "
+        "  || CASE WHEN event_id % 3 = 0 THEN 'Sec\\|Vendor' ELSE 'SecVendor' END "
+        "  || '|' || CASE WHEN event_id % 5 = 0 THEN 'thre\\\\at' ELSE 'ids' END "
+        "  || '|1.' || CAST(event_id % 4 AS VARCHAR) "
+        "  || '|SIG' || CAST(event_id % 100 AS VARCHAR) "
+        "  || '|Event ' || event_type "
+        "  || '|' || CAST(event_id % 11 AS VARCHAR) "
+        "  || '|src=10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' "
+        "  || CAST(event_id % 256 AS VARCHAR) "
+        "  || ' spt=' || CAST(event_id % 65536 AS VARCHAR) "
+        "  || ' act=' || event_type "
+        "  || ' cnt=' || CAST(event_id % 7 AS VARCHAR) AS line FROM events), "
+        f"p AS (SELECT event_id, regexp_extract(line, '{rx}', "
+        "   ['ver','vendor','product','dver','sig','name','sev','ext']) AS s "
+        f"  FROM l WHERE regexp_matches(line, '{rx}')) "
+        "SELECT event_id, CAST(s.ver AS BIGINT) AS version, "
+        "replace(replace(s.vendor, '\\|', '|'), '\\\\', '\\') AS device_vendor, "
+        "replace(replace(s.product, '\\|', '|'), '\\\\', '\\') AS device_product, "
+        "s.dver AS device_version, s.sig AS signature_id, s.name AS name, "
+        "s.sev AS severity, "
+        "regexp_extract(s.ext, 'src=([^ ]+)', 1) AS src, "
+        "regexp_extract(s.ext, 'spt=([^ ]+)', 1) AS spt, "
+        "regexp_extract(s.ext, 'act=([^ ]+)', 1) AS act, "
+        "regexp_extract(s.ext, 'cnt=([^ ]+)', 1) AS cnt "
+        "FROM p"
+    )
+
+
+def q_cef_kv_events(sf_dir: str):
+    """CEF parsing + kv extension extraction
+    (functions/parse.py:CefKernel — the `cef` registry-extension
+    processor — composed with the tested kv machinery on
+    `cef.extension`): deterministic ArcSight CEF lines are rendered
+    from the events table (every 3rd vendor carries an escaped pipe
+    `\\|`, every 5th product an escaped backslash `\\\\` to exercise
+    the header unescape), then parsed back through a real compiled
+    ingest pipeline.  The header RE2 pattern and the two-step
+    unescape replaces are shared VERBATIM with the DuckDB twin."""
+
+    def render(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t.column("event_type").cast(pa.string()).combine_chunks()
+        S = lambda v: pa.array(v).cast(pa.string())  # noqa: E731
+        J = lambda *parts: pc.binary_join_element_wise(*parts, "")  # noqa: E731
+        vendor = pc.if_else(pa.array(ids % 3 == 0),
+                            pa.scalar("Sec\\|Vendor"), pa.scalar("SecVendor"))
+        product = pc.if_else(pa.array(ids % 5 == 0),
+                             pa.scalar("thre\\\\at"), pa.scalar("ids"))
+        line = J("CEF:0|", vendor, "|", product, "|1.", S(ids % 4),
+                 "|SIG", S(ids % 100), "|Event ", et, "|", S(ids % 11),
+                 "|src=10.0.", S(uid % 256), ".", S(ids % 256),
+                 " spt=", S(ids % 65536), " act=", et, " cnt=", S(ids % 7))
+        return pa.table({"event_id": t.column("event_id"), "line": line})
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "event_type"])
+    rendered = ds.map_batches(render, batch_format="pyarrow")
+    pipe = {"processors": [
+        {"cef": {"field": "line"}},
+        {"kv": {"field": "cef.extension", "field_split": " ",
+                "value_split": "=", "target_field": "ext"}},
+    ]}
+    out = rendered.map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(
+        out,
+        ["event_id", "cef.version", "cef.device_vendor", "cef.device_product",
+         "cef.device_version", "cef.signature_id", "cef.name", "cef.severity",
+         "ext.src", "ext.spt", "ext.act", "ext.cnt"],
+        {"cef.version": "version", "cef.device_vendor": "device_vendor",
+         "cef.device_product": "device_product",
+         "cef.device_version": "device_version",
+         "cef.signature_id": "signature_id", "cef.name": "name",
+         "cef.severity": "severity", "ext.src": "src", "ext.spt": "spt",
+         "ext.act": "act", "ext.cnt": "cnt"},
+    )
+
+
 def q_kv_fields(sf_dir: str):
     ds = _filter_starts(read_transcripts(sf_dir), "text", "ip=")
     pipe = {"processors": [{"kv": {"field": "text", "field_split": " ", "value_split": "="}}]}
@@ -3159,6 +3248,43 @@ def q_rank_stats_events(sf_dir: str):
     )
 
 
+def q_mad_anomaly_events(sf_dir: str):
+    """Robust per-type daily spike detection
+    (stages/windows.py:mad_anomaly_counts): per (event_type, day)
+    counts, then exact median/MAD per event_type flags burst days —
+    deduped count partials, ONE exchange by type, two lexsort passes
+    per partition.  Median/MAD match DuckDB's median()/mad() bitwise
+    (count-derived doubles are exactly representable)."""
+    from logstash_filter_elastic_integration_ray.stages.windows import mad_anomaly_counts
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        return pa.table({"event_type": t.column("event_type"), "bucket": day})
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+    return mad_anomaly_counts(bucketed, group_col="event_type",
+                              bucket_col="bucket", k=3.0, num_partitions=16)
+
+
+def q_heavy_change_events(sf_dir: str):
+    """Heavy-change detection (stages/windows.py:heavy_change): top-50
+    users by |count delta| between week 1 and week 2 of the event log —
+    deduped (key, cnt_a, cnt_b) partials, ONE exchange by user, local
+    top-k per partition, final ≤ P·k-row cut.  Ties deterministic by
+    (abs delta desc, user asc) on both engines."""
+    from logstash_filter_elastic_integration_ray.stages.windows import heavy_change
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    a = (np.datetime64("2024-01-01", "us"), np.datetime64("2024-01-08", "us"))
+    b = (np.datetime64("2024-01-08", "us"), np.datetime64("2024-01-15", "us"))
+    return heavy_change(ds, key="user_id", ts_col="ts", a_range=a, b_range=b,
+                        top_k=50, num_partitions=16)
+
+
 def q_funnel_events(sf_dir: str):
     """Ordered funnel view → click → purchase per user: earliest
     strictly-increasing completion chain, rows pre-filtered to the
@@ -4014,6 +4140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # round-4 additions — never driver-sampled, so they lead
         # (seventh session first: newest never-checked entries)
+        "cef_kv_events": q_cef_kv_events,
+        "mad_anomaly_events": q_mad_anomaly_events,
+        "heavy_change_events": q_heavy_change_events,
         "syslog_parse_events": q_syslog_parse_events,
         "mixture_temperature_docs": q_mixture_temperature_docs,
         "transcripts_avro": q_transcripts_avro,
@@ -4507,6 +4636,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM transcripts WHERE event_id % 8 = 0"
         ),
         "syslog_parse_events": _syslog_oracle_sql(),
+        "cef_kv_events": _cef_oracle_sql(),
+        "mad_anomaly_events": (
+            "WITH c AS (SELECT event_type, date_trunc('day', ts) AS bucket, "
+            "count(*) AS cnt FROM events GROUP BY 1, 2), "
+            "s AS (SELECT event_type, median(cnt) AS med, mad(cnt) AS mad "
+            "FROM c GROUP BY 1) "
+            "SELECT c.event_type, c.bucket, c.cnt AS cnt, s.med, s.mad, "
+            "abs(c.cnt - s.med) > 3.0 * s.mad AS is_anomaly "
+            "FROM c JOIN s USING (event_type)"
+        ),
+        "heavy_change_events": (
+            "WITH c AS (SELECT user_id, "
+            "count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-01' "
+            "AND ts < TIMESTAMP '2024-01-08') AS cnt_a, "
+            "count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-08' "
+            "AND ts < TIMESTAMP '2024-01-15') AS cnt_b "
+            "FROM events WHERE (ts >= TIMESTAMP '2024-01-01' "
+            "AND ts < TIMESTAMP '2024-01-08') OR (ts >= TIMESTAMP '2024-01-08' "
+            "AND ts < TIMESTAMP '2024-01-15') GROUP BY 1) "
+            "SELECT user_id, cnt_a, cnt_b, cnt_b - cnt_a AS delta FROM c "
+            "ORDER BY abs(cnt_b - cnt_a) DESC, user_id ASC LIMIT 50"
+        ),
         "kv_fields": T(
             "SELECT conv_id, turn_idx, ip, CAST(status AS VARCHAR) AS code, "
             "'u' || CAST(user_id AS VARCHAR) AS \"user\" FROM transcripts WHERE event_id % 8 = 1"

@@ -1354,3 +1354,166 @@ def merge_intervals(ds, *, key: str, start_col: str, end_col: str,
         .groupby("__part")
         .map_groups(coalesce, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# robust anomaly detection (median / MAD) over per-bucket counts
+# ---------------------------------------------------------------------------
+
+
+def _segment_median(codes: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Exact per-group median of ``v`` (float64), returned row-aligned
+    with the inputs.  ``codes`` are dense group ids (0..G-1).  One
+    lexsort + group-boundary index arithmetic — no per-group loop.
+    Even-count groups average the two middles, matching DuckDB's
+    ``median``/``quantile_cont(0.5)``; for values derived from modest
+    int64 counts the average is exactly representable, so parity with
+    the SQL twin is bitwise."""
+    o = np.lexsort((v, codes))
+    sc, sv = codes[o], v[o]
+    starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+    ends = np.r_[starts[1:], len(sc)]
+    n = ends - starts
+    lo = sv[starts + (n - 1) // 2]
+    hi = sv[starts + n // 2]
+    med_g = (lo + hi) / 2.0
+    by_gid = np.empty(int(codes.max()) + 1, dtype=np.float64)
+    by_gid[sc[starts]] = med_g
+    return by_gid[codes]
+
+
+def mad_anomaly_counts(ds, *, group_col: str, bucket_col: str,
+                       k: float = 3.0, out_col: str = "cnt",
+                       num_partitions: int = 32):
+    """Robust per-group spike detection over a per-bucket count series
+    — the log-analytics "did this event type burst today?" primitive,
+    done with median/MAD instead of mean/stddev so a single huge spike
+    cannot mask itself by inflating its own baseline.
+
+    Twin of::
+
+        WITH c AS (SELECT g, b, count(*) AS cnt FROM t GROUP BY 1, 2),
+             s AS (SELECT g, median(cnt) AS med, mad(cnt) AS mad
+                   FROM c GROUP BY 1)
+        SELECT c.g, c.b, c.cnt, s.med, s.mad,
+               abs(cnt - med) > k * mad AS is_anomaly
+        FROM c JOIN s USING (g)
+
+    Shape: per-batch deduped (group, bucket, cnt) partials — a batch
+    with a million rows of one (group, bucket) forwards ONE row — then
+    ONE exchange by group hash; each partition finalizes counts and
+    computes median + MAD with two lexsort passes of index arithmetic
+    (no per-group Python loop).  Driver state: none.  Output volume is
+    the number of distinct (group, bucket) pairs — bounded by the time
+    range, not the row count, so the exchange stays thin at any scale.
+    Contract: one group's buckets fit in one partition (buckets are
+    time-bounded; a 10-year hourly series is <1e5 rows per group).
+    Null groups/buckets are excluded (the SQL twin's GROUP BY would
+    keep them; callers wanting null groups pre-fill a sentinel)."""
+    from .aggregate import _count_partials
+
+    partials = _count_partials(ds, [group_col, bucket_col], out_col,
+                               num_partitions)
+
+    def per_part(df: pd.DataFrame) -> pa.Table:
+        g_dtype, b_dtype = df[group_col].dtype, df[bucket_col].dtype
+        df = df.dropna(subset=[group_col, bucket_col])
+        if not len(df):
+            empty = pd.DataFrame({
+                group_col: pd.Series(dtype=g_dtype),
+                bucket_col: pd.Series(dtype=b_dtype),
+                out_col: pd.Series(dtype=np.int64),
+                "med": pd.Series(dtype=np.float64),
+                "mad": pd.Series(dtype=np.float64),
+                "is_anomaly": pd.Series(dtype=bool),
+            })
+            return pa.Table.from_pandas(empty, preserve_index=False).replace_schema_metadata(None)
+        agg = (df.groupby([group_col, bucket_col], sort=False)[out_col]
+               .sum().reset_index())
+        codes, _ = pd.factorize(agg[group_col], sort=False)
+        v = agg[out_col].to_numpy().astype(np.float64)
+        med = _segment_median(codes, v)
+        dev = np.abs(v - med)
+        mad = _segment_median(codes, dev)
+        agg["med"] = med
+        agg["mad"] = mad
+        agg["is_anomaly"] = dev > k * mad
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        partials.repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# heavy-change detection between two time windows
+# ---------------------------------------------------------------------------
+
+
+def heavy_change(ds, *, key: str, ts_col: str, a_range: tuple, b_range: tuple,
+                 top_k: int = 50, num_partitions: int = 32):
+    """Top-k keys whose event count changed most between two time
+    windows (Cormode & Muthukrishnan's "what's new" deltoids question,
+    answered exactly): the log-analytics "which users/endpoints
+    changed behavior this week vs last week" primitive.
+
+    Per-batch partials emit deduped (key, cnt_a, cnt_b) rows — only
+    keys with at least one in-window row — then ONE exchange by key
+    hash finalizes counts; each partition keeps its local top-k by
+    (|delta| desc, key asc), so the final single-task cut sees at most
+    ``num_partitions * top_k`` thin rows.  No driver state, no global
+    sort.  Ties at the boundary are deterministic: (abs_delta desc,
+    key asc) on both engines."""
+    a0, a1 = a_range
+    b0, b1 = b_range
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ts = t.column(ts_col)
+        in_a = np.asarray(pc.and_(pc.greater_equal(ts, a0), pc.less(ts, a1)).fill_null(False))
+        in_b = np.asarray(pc.and_(pc.greater_equal(ts, b0), pc.less(ts, b1)).fill_null(False))
+        either = in_a | in_b
+        kcol = t.column(key).filter(pa.array(either))
+        if len(kcol) == 0:
+            empty = pa.table({key: kcol,
+                              "cnt_a": pa.array([], type=pa.int64()),
+                              "cnt_b": pa.array([], type=pa.int64())})
+            return add_partition_col(empty, num_partitions, key=key)
+        codes, rep = _first_occurrence_codes(kcol)
+        # float64 bincount weights are EXACT here: per-batch counts are
+        # bounded by the batch row count (≪ 2^53); the cross-batch sum
+        # happens downstream in int64 (pandas groupby sum)
+        na = np.bincount(codes, weights=in_a[either].astype(np.float64),
+                         minlength=len(rep)).astype(np.int64)
+        nb = np.bincount(codes, weights=in_b[either].astype(np.float64),
+                         minlength=len(rep)).astype(np.int64)
+        out = pa.table({key: kcol.take(pa.array(rep, type=pa.int64())),
+                        "cnt_a": pa.array(na), "cnt_b": pa.array(nb)})
+        return add_partition_col(out, num_partitions, key=key)
+
+    def _topk_frame(df: pd.DataFrame) -> pd.DataFrame:
+        df["delta"] = df["cnt_b"] - df["cnt_a"]
+        df["abs_delta"] = df["delta"].abs()
+        df = df.sort_values(["abs_delta", key], ascending=[False, True],
+                            kind="mergesort").head(top_k)
+        return df[[key, "cnt_a", "cnt_b", "delta"]]
+
+    def per_part(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby(key, sort=False)[["cnt_a", "cnt_b"]].sum().reset_index()
+        return pa.Table.from_pandas(_topk_frame(agg), preserve_index=False).replace_schema_metadata(None)
+
+    def final_cut(df: pd.DataFrame) -> pd.DataFrame:
+        # ≤ num_partitions * top_k rows reach this single task; keys are
+        # already final (each key lives in exactly one partition)
+        return _topk_frame(df)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final_cut, batch_format="pandas")
+    )

@@ -233,3 +233,75 @@ def test_syslog_target_field_and_compile_error():
     assert rows[0]["sl.facility"] == 0 and rows[0]["sl.severity"] == 0
     with pytest.raises(KernelCompileError):
         build_kernel("syslog", {})
+
+
+# ---------------------------------------------------------------------------
+# cef (ArcSight Common Event Format) — registry-extension processor
+# ---------------------------------------------------------------------------
+
+
+def test_cef_header_full():
+    rows = run_pipeline(
+        {"processors": [{"cef": {"field": "line"}}]},
+        [{"line": "CEF:0|Security|threatmanager|1.0|100|worm successfully stopped|10|src=10.0.0.1 dst=2.1.2.2 spt=1232"}],
+    )
+    r = rows[0]
+    assert r["cef.version"] == 0
+    assert r["cef.device_vendor"] == "Security"
+    assert r["cef.device_product"] == "threatmanager"
+    assert r["cef.device_version"] == "1.0"
+    assert r["cef.signature_id"] == "100"
+    assert r["cef.name"] == "worm successfully stopped"
+    assert r["cef.severity"] == "10"
+    assert r["cef.extension"] == "src=10.0.0.1 dst=2.1.2.2 spt=1232"
+
+
+def test_cef_header_escapes_unescaped():
+    rows = run_pipeline(
+        {"processors": [{"cef": {"field": "line"}}]},
+        [{"line": r"CEF:1|Vendor\|X|prod\\uct|2.0|sig|detected a \| in name|Low|msg=hi"}],
+    )
+    r = rows[0]
+    assert r["cef.device_vendor"] == "Vendor|X"
+    assert r["cef.device_product"] == "prod\\uct"
+    assert r["cef.name"] == "detected a | in name"
+    assert r["cef.severity"] == "Low"
+
+
+def test_cef_kv_composition_and_empty_extension():
+    rows = run_pipeline(
+        {"processors": [
+            {"cef": {"field": "line"}},
+            {"kv": {"field": "cef.extension", "field_split": " ",
+                    "value_split": "=", "target_field": "ext",
+                    "if": "ctx['cef.extension'] != ''"}},
+        ]},
+        [{"line": "CEF:0|V|P|1|sig|name|5|src=1.2.3.4 act=blocked cnt=3"},
+         {"line": "CEF:0|V|P|1|sig|name|5|"}],
+    )
+    assert rows[0]["ext.src"] == "1.2.3.4"
+    assert rows[0]["ext.act"] == "blocked"
+    assert rows[0]["ext.cnt"] == "3"
+    assert rows[1].get("ext.src") is None
+    assert rows[1]["cef.extension"] == ""
+
+
+def test_cef_unparseable_tags_failure_and_compile_error():
+    import pytest
+
+    from logstash_filter_elastic_integration_ray.functions.base import (
+        KernelCompileError, build_kernel,
+    )
+
+    rows = run_pipeline(
+        {"processors": [{"cef": {"field": "line"}}]},
+        [{"line": "not CEF"},
+         {"line": "CEF:0|a|b|c|d|e|f|"},
+         {"line": "CEF:0|a|b|c|d|e|f"}],  # 7th field unterminated: no ext pipe
+    )
+    assert "_ingest_pipeline_failure" in (rows[0].get("tags") or [])
+    assert rows[1]["cef.device_vendor"] == "a"
+    # a line with only 6 header pipes does not match the grammar
+    assert "_ingest_pipeline_failure" in (rows[2].get("tags") or [])
+    with pytest.raises(KernelCompileError):
+        build_kernel("cef", {})

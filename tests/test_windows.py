@@ -781,3 +781,158 @@ class TestGroupBroadcast:
         pd.testing.assert_frame_equal(a, b)
         assert a.loc[a.user_id == 1, "share"].isna().all()  # total 0 → NULL
         assert a.loc[a.user_id == 2, "grp_sum"].tolist() == [7, 7]
+
+
+# ---------------------------------------------------------------------------
+# mad_anomaly_counts / heavy_change
+# ---------------------------------------------------------------------------
+
+
+def _mad_reference(df, group_col, bucket_col):
+    c = (df.dropna(subset=[group_col, bucket_col])
+         .groupby([group_col, bucket_col], sort=False).size()
+         .rename("cnt").reset_index())
+    rows = []
+    for g, sub in c.groupby(group_col, sort=False):
+        v = np.sort(sub["cnt"].to_numpy().astype(np.float64))
+        n = len(v)
+        med = (v[(n - 1) // 2] + v[n // 2]) / 2.0
+        dev = np.sort(np.abs(sub["cnt"].to_numpy().astype(np.float64) - med))
+        mad = (dev[(n - 1) // 2] + dev[n // 2]) / 2.0
+        for _, r in sub.iterrows():
+            d = abs(float(r["cnt"]) - med)
+            rows.append((g, r[bucket_col], int(r["cnt"]), med, mad, d > 3.0 * mad))
+    out = pd.DataFrame(rows, columns=[group_col, bucket_col, "cnt", "med", "mad", "is_anomaly"])
+    return out.sort_values([group_col, bucket_col]).reset_index(drop=True)
+
+
+class TestMadAnomalyCounts:
+    def _frame(self, n=4000, seed=7):
+        rng = np.random.RandomState(seed)
+        day = rng.randint(0, 30, n)
+        # plant a burst: event type 'c' on day 12 gets 8x traffic
+        et = np.array(["a", "b", "c", "d"])[rng.randint(0, 4, n)]
+        burst = rng.randint(0, 30, n) < 4
+        day = np.where((et == "c") & burst, 12, day)
+        ts = (np.datetime64("2025-02-01", "us")
+              + day.astype("timedelta64[D]").astype("timedelta64[us]")
+              + rng.randint(0, 86_400_000_000, n).astype("timedelta64[us]"))
+        return pd.DataFrame({"et": et, "ts": ts})
+
+    def _bucketed(self, df):
+        out = df.copy()
+        out["bucket"] = out["ts"].dt.floor("D")
+        return out[["et", "bucket"]]
+
+    def test_matches_reference_and_flags_burst(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import mad_anomaly_counts
+
+        df = self._bucketed(self._frame())
+        ds = ray.data.from_pandas(df).repartition(7)
+        out = (mad_anomaly_counts(ds, group_col="et", bucket_col="bucket",
+                                  num_partitions=4)
+               .to_pandas().sort_values(["et", "bucket"]).reset_index(drop=True))
+        ref = _mad_reference(df, "et", "bucket")
+        pd.testing.assert_frame_equal(
+            out[["et", "bucket", "cnt", "med", "mad", "is_anomaly"]], ref,
+            check_dtype=False)
+        flagged = out[out["is_anomaly"]]
+        assert ("c" in flagged["et"].tolist()
+                and pd.Timestamp("2025-02-13") in flagged["bucket"].tolist())
+
+    def test_block_invariance(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import mad_anomaly_counts
+
+        df = self._bucketed(self._frame(n=1500, seed=3))
+        outs = []
+        for parts in (1, 9):
+            ds = ray.data.from_pandas(df).repartition(parts)
+            outs.append(mad_anomaly_counts(ds, group_col="et", bucket_col="bucket",
+                                           num_partitions=3)
+                        .to_pandas().sort_values(["et", "bucket"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_even_group_interpolation(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import mad_anomaly_counts
+
+        # 4 buckets with counts 1,2,4,10 → med 3.0, mad 1.5 (DuckDB parity)
+        rows = []
+        for b, cnt in enumerate((1, 2, 4, 10)):
+            rows += [("g", pd.Timestamp("2025-03-01") + pd.Timedelta(days=b))] * cnt
+        df = pd.DataFrame(rows, columns=["et", "bucket"])
+        out = (mad_anomaly_counts(ray.data.from_pandas(df), group_col="et",
+                                  bucket_col="bucket", num_partitions=2)
+               .to_pandas().sort_values("bucket").reset_index(drop=True))
+        assert out["med"].tolist() == [3.0] * 4
+        assert out["mad"].tolist() == [1.5] * 4
+        assert out["is_anomaly"].tolist() == [False, False, False, True]
+
+
+class TestHeavyChange:
+    A = (np.datetime64("2025-02-01", "us"), np.datetime64("2025-02-08", "us"))
+    B = (np.datetime64("2025-02-08", "us"), np.datetime64("2025-02-15", "us"))
+
+    def _frame(self, n=6000, seed=13):
+        rng = np.random.RandomState(seed)
+        uid = rng.zipf(1.6, n).astype(np.int64) % 200
+        ts = (np.datetime64("2025-01-28", "us")
+              + rng.randint(0, 25 * 86_400_000_000, n).astype("timedelta64[us]"))
+        return pd.DataFrame({"user_id": uid, "ts": ts})
+
+    def _reference(self, df, k):
+        a0, a1 = self.A
+        b0, b1 = self.B
+        in_a = (df["ts"] >= a0) & (df["ts"] < a1)
+        in_b = (df["ts"] >= b0) & (df["ts"] < b1)
+        sub = df[in_a | in_b].copy()
+        sub["cnt_a"] = in_a[in_a | in_b].astype(np.int64)
+        sub["cnt_b"] = in_b[in_a | in_b].astype(np.int64)
+        agg = sub.groupby("user_id", sort=False)[["cnt_a", "cnt_b"]].sum().reset_index()
+        agg["delta"] = agg["cnt_b"] - agg["cnt_a"]
+        agg["abs_delta"] = agg["delta"].abs()
+        agg = agg.sort_values(["abs_delta", "user_id"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        return agg[["user_id", "cnt_a", "cnt_b", "delta"]].reset_index(drop=True)
+
+    def test_matches_reference(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import heavy_change
+
+        df = self._frame()
+        ds = ray.data.from_pandas(df).repartition(8)
+        out = heavy_change(ds, key="user_id", ts_col="ts", a_range=self.A,
+                           b_range=self.B, top_k=25, num_partitions=4).to_pandas()
+        ref = self._reference(df, 25)
+        pd.testing.assert_frame_equal(out.reset_index(drop=True), ref,
+                                      check_dtype=False)
+
+    def test_single_window_keys_and_block_invariance(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import heavy_change
+
+        # keys seen only in window A (or only B) must still rank
+        df = pd.DataFrame({
+            "user_id": np.array([1, 1, 1, 2, 2, 3], dtype=np.int64),
+            "ts": np.array(["2025-02-02", "2025-02-03", "2025-02-04",
+                            "2025-02-09", "2025-02-10", "2025-01-01"],
+                           dtype="datetime64[us]"),
+        })
+        outs = []
+        for parts in (1, 5):
+            ds = ray.data.from_pandas(df).repartition(parts)
+            outs.append(heavy_change(ds, key="user_id", ts_col="ts",
+                                     a_range=self.A, b_range=self.B,
+                                     top_k=10, num_partitions=3).to_pandas())
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        got = {int(r.user_id): (int(r.cnt_a), int(r.cnt_b), int(r.delta))
+               for r in outs[0].itertuples()}
+        # user 3 has no in-window rows: absent
+        assert got == {1: (3, 0, -3), 2: (0, 2, 2)}
