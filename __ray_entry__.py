@@ -3285,6 +3285,39 @@ def q_heavy_change_events(sf_dir: str):
                         top_k=50, num_partitions=16)
 
 
+def q_entity_resolution_contacts(sf_dir: str):
+    """Multi-field entity resolution (stages/er.py:resolve_entities):
+    contact records rendered deterministically from the customer table
+    (base + typo variant + email alias) resolve via phone-digit /
+    email / name-ed≤1 blocking and the shared distributed connected
+    components.  Oracle: independently-derived union-find fixture
+    (tools/reference_impls.entity_resolution_reference — dict blocking
+    + plain ed1; only the input rendering is shared)."""
+    from logstash_filter_elastic_integration_ray.stages.er import (
+        resolve_entities,
+        synth_contacts,
+    )
+
+    ds = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    recs = ds.map_batches(synth_contacts, batch_format="pyarrow")
+    return resolve_entities(recs, num_partitions=16)
+
+
+def q_pair_spans_events(sf_dir: str):
+    """Start/end event correlation (stages/windows.py:pair_spans — the
+    logstash `aggregate`-filter shape): per user the n-th 'view' pairs
+    with the n-th 'purchase' in (ts, id) order — the twin of two
+    row_number() windows joined on (user, rn).  Only start/end rows
+    ride the exchange; one co-partition by user, one lexsort pass."""
+    from logstash_filter_elastic_integration_ray.stages.windows import pair_spans
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "event_type", "ts"])
+    return pair_spans(ds, key="user_id", ts_col="ts", type_col="event_type",
+                      start_val="view", end_val="purchase",
+                      id_col="event_id", num_partitions=16)
+
+
 def q_funnel_events(sf_dir: str):
     """Ordered funnel view → click → purchase per user: earliest
     strictly-increasing completion chain, rows pre-filtered to the
@@ -4142,6 +4175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (seventh session first: newest never-checked entries)
         "cef_kv_events": q_cef_kv_events,
         "mad_anomaly_events": q_mad_anomaly_events,
+        "pair_spans_events": q_pair_spans_events,
+        "entity_resolution_contacts": q_entity_resolution_contacts,
         "heavy_change_events": q_heavy_change_events,
         "syslog_parse_events": q_syslog_parse_events,
         "mixture_temperature_docs": q_mixture_temperature_docs,
@@ -4646,6 +4681,18 @@ def oracle_sql() -> dict[str, str]:
             "abs(c.cnt - s.med) > 3.0 * s.mad AS is_anomaly "
             "FROM c JOIN s USING (event_type)"
         ),
+        "pair_spans_events": (
+            "WITH s AS (SELECT user_id, ts, event_id, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+            "FROM events WHERE event_type = 'view'), "
+            "e AS (SELECT user_id, ts, event_id, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+            "FROM events WHERE event_type = 'purchase') "
+            "SELECT s.user_id, s.rn, s.ts AS start_ts, "
+            "s.event_id AS start_id, e.ts AS end_ts, e.event_id AS end_id, "
+            "epoch_us(e.ts - s.ts) AS duration_us "
+            "FROM s LEFT JOIN e ON s.user_id = e.user_id AND s.rn = e.rn"
+        ),
         "heavy_change_events": (
             "WITH c AS (SELECT user_id, "
             "count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-01' "
@@ -4894,6 +4941,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "connected_components_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/cc_docs.sf0_01.parquet')"
+        ),
+        "entity_resolution_contacts": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/entity_resolution_contacts.sf0_01.parquet')"
         ),
         "image_dedup_dhash": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/image_dedup_dhash.sf0_01.parquet')"

@@ -1517,3 +1517,98 @@ def heavy_change(ds, *, key: str, ts_col: str, a_range: tuple, b_range: tuple,
         .repartition(1)
         .map_batches(final_cut, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# start/end span pairing (event correlation)
+# ---------------------------------------------------------------------------
+
+
+def pair_spans(ds, *, key: str, ts_col: str, type_col: str,
+               start_val: str, end_val: str, id_col: str,
+               num_partitions: int = 32):
+    """Correlate start/end event pairs per key and compute durations —
+    the logstash `aggregate`-filter shape ("task started / task
+    finished → how long did it take") as a batch op.
+
+    Semantics (deterministic and SQL-expressible): per key, the n-th
+    start event in (ts, id) order pairs with the n-th end event in
+    (ts, id) order — the twin of two ``row_number()`` windows joined
+    on (key, rn).  Starts without a matching end keep NULL
+    end/duration (a LEFT join from the start side); surplus ends are
+    dropped.  Rows of other types never ride the exchange — they are
+    filtered in the per-batch pass, so the co-partition carries only
+    start/end rows.  One exchange by key hash, one lexsort + segment
+    index arithmetic per partition, no per-key loop."""
+
+    def thin(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        tv = t.column(type_col)
+        is_s = pc.equal(tv, start_val).fill_null(False)
+        is_e = pc.equal(tv, end_val).fill_null(False)
+        keep = pc.or_(is_s, is_e)
+        sub = t.filter(keep)
+        out = pa.table({
+            key: sub.column(key),
+            ts_col: sub.column(ts_col),
+            id_col: sub.column(id_col),
+            "__is_start": pc.equal(sub.column(type_col), start_val),
+        })
+        return add_partition_col(out, num_partitions, key=key)
+
+    def per_part(df: pd.DataFrame) -> pa.Table:
+        k_dtype, ts_dtype, id_dtype = (df[key].dtype, df[ts_col].dtype,
+                                       df[id_col].dtype)
+        if not len(df):
+            empty = pd.DataFrame({
+                key: pd.Series(dtype=k_dtype),
+                "rn": pd.Series(dtype=np.int64),
+                "start_ts": pd.Series(dtype=ts_dtype),
+                "start_id": pd.Series(dtype=id_dtype),
+                "end_ts": pd.Series(dtype=ts_dtype),
+                "end_id": pd.Series(dtype="Int64"),
+                "duration_us": pd.Series(dtype="Int64"),
+            })
+            return pa.Table.from_pandas(empty, preserve_index=False).replace_schema_metadata(None)
+        kv = df[key].to_numpy()
+        codes, _ = pd.factorize(kv, sort=False)
+        ts = df[ts_col].to_numpy()
+        ids = df[id_col].to_numpy()
+        is_start = df["__is_start"].to_numpy().astype(bool)
+        # rank each start/end within its (key, kind) lane in (ts, id) order
+        lane = codes.astype(np.int64) * 2 + (~is_start).astype(np.int64)
+        o = np.lexsort((ids, ts.astype("datetime64[us]").astype(np.int64), lane))
+        sl = lane[o]
+        seg_start = np.r_[True, sl[1:] != sl[:-1]]
+        seg_idx = np.cumsum(seg_start) - 1
+        first_of_seg = np.flatnonzero(seg_start)
+        rn_sorted = np.arange(len(sl)) - first_of_seg[seg_idx] + 1
+        rn = np.empty(len(sl), dtype=np.int64)
+        rn[o] = rn_sorted
+        s_mask, e_mask = is_start, ~is_start
+        s = pd.DataFrame({key: kv[s_mask], "rn": rn[s_mask],
+                          "start_ts": ts[s_mask], "start_id": ids[s_mask]})
+        e = pd.DataFrame({key: kv[e_mask], "rn": rn[e_mask],
+                          "end_ts": ts[e_mask], "end_id": ids[e_mask]})
+        out = s.merge(e, on=[key, "rn"], how="left")
+        # NaT → float64 would yield INT64_MIN, not NaN: mask explicitly
+        valid = out["end_ts"].notna().to_numpy()
+        dur_i = np.zeros(len(out), dtype=np.int64)
+        if valid.any():
+            dur_i[valid] = (
+                out["end_ts"].to_numpy()[valid].astype("datetime64[us]").astype(np.int64)
+                - out["start_ts"].to_numpy()[valid].astype("datetime64[us]").astype(np.int64)
+            )
+        dur = pd.array(dur_i, dtype="Int64")
+        dur[~valid] = pd.NA
+        out["duration_us"] = dur
+        out["end_id"] = out["end_id"].astype("Int64")
+        out = out.sort_values([key, "rn"], kind="mergesort")
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(thin, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pandas")
+    )

@@ -936,3 +936,91 @@ class TestHeavyChange:
                for r in outs[0].itertuples()}
         # user 3 has no in-window rows: absent
         assert got == {1: (3, 0, -3), 2: (0, 2, 2)}
+
+
+class TestPairSpans:
+    def _frame(self, n=3000, seed=29):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 60, n).astype(np.int64),
+            "event_type": np.array(["start", "end", "click", "view"])[
+                rng.randint(0, 4, n)],
+            "ts": (np.datetime64("2025-04-01", "us")
+                   + rng.randint(0, 10**9, n).astype("timedelta64[us]")),
+        })
+
+    def _reference(self, df):
+        rows = []
+        for u, sub in df.groupby("user_id"):
+            s = sub[sub["event_type"] == "start"].sort_values(
+                ["ts", "event_id"], kind="mergesort")
+            e = sub[sub["event_type"] == "end"].sort_values(
+                ["ts", "event_id"], kind="mergesort")
+            for i in range(len(s)):
+                srow = s.iloc[i]
+                if i < len(e):
+                    erow = e.iloc[i]
+                    dur = int((erow["ts"] - srow["ts"]) / np.timedelta64(1, "us"))
+                    rows.append((u, i + 1, srow["ts"], srow["event_id"],
+                                 erow["ts"], erow["event_id"], dur))
+                else:
+                    rows.append((u, i + 1, srow["ts"], srow["event_id"],
+                                 None, None, None))
+        out = pd.DataFrame(rows, columns=["user_id", "rn", "start_ts", "start_id",
+                                          "end_ts", "end_id", "duration_us"])
+        return out.sort_values(["user_id", "rn"]).reset_index(drop=True)
+
+    def test_matches_reference(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import pair_spans
+
+        df = self._frame()
+        ds = ray.data.from_pandas(df).repartition(7)
+        out = (pair_spans(ds, key="user_id", ts_col="ts", type_col="event_type",
+                          start_val="start", end_val="end", id_col="event_id",
+                          num_partitions=4)
+               .to_pandas().sort_values(["user_id", "rn"]).reset_index(drop=True))
+        ref = self._reference(df)
+        assert len(out) == len(ref)
+        assert out["user_id"].tolist() == ref["user_id"].tolist()
+        assert out["rn"].tolist() == ref["rn"].tolist()
+        assert out["start_id"].tolist() == ref["start_id"].tolist()
+        assert (out["end_id"].astype("Int64").fillna(-1).tolist()
+                == ref["end_id"].astype("Int64").fillna(-1).tolist())
+        assert (out["duration_us"].astype("Int64").fillna(-1).tolist()
+                == ref["duration_us"].astype("Int64").fillna(-1).tolist())
+
+    def test_unmatched_and_surplus_and_invariance(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import pair_spans
+
+        df = pd.DataFrame({
+            "event_id": np.arange(7, dtype=np.int64),
+            "user_id": np.array([1, 1, 1, 2, 2, 2, 2], dtype=np.int64),
+            "event_type": ["start", "start", "end",      # u1: 2 starts, 1 end
+                           "end", "start", "end", "end"],  # u2: surplus ends
+            "ts": np.array(["2025-04-01T00:00:00", "2025-04-01T00:01:00",
+                            "2025-04-01T00:02:00", "2025-04-01T00:00:30",
+                            "2025-04-01T00:01:30", "2025-04-01T00:02:30",
+                            "2025-04-01T00:03:30"], dtype="datetime64[us]"),
+        })
+        outs = []
+        for parts in (1, 4):
+            ds = ray.data.from_pandas(df).repartition(parts)
+            outs.append(pair_spans(ds, key="user_id", ts_col="ts",
+                                   type_col="event_type", start_val="start",
+                                   end_val="end", id_col="event_id",
+                                   num_partitions=3)
+                        .to_pandas().sort_values(["user_id", "rn"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        o = outs[0]
+        # u1: first start pairs the only end; second start unmatched
+        assert o[o.user_id == 1]["end_id"].astype("Int64").fillna(-1).tolist() == [2, -1]
+        assert o[o.user_id == 1]["duration_us"].astype("Int64").fillna(-1).tolist() == [120_000_000, -1]
+        # u2: one start pairs the FIRST end in its lane order (event 3 at 00:00:30
+        # precedes the start but index pairing is by rank, so rn 1 end is event 3)
+        u2 = o[o.user_id == 2]
+        assert len(u2) == 1 and int(u2["end_id"].iloc[0]) == 3

@@ -80,6 +80,7 @@ def main() -> None:
         "prefix_jaccard_pairs_docs": ref.prefix_jaccard_pairs_reference(sf_dir),
         "knn_join_embeddings": ref.knn_join_reference(sf_dir),
         "pca_embeddings": ref.pca_embeddings_reference(sf_dir),
+        "entity_resolution_contacts": ref.entity_resolution_reference(sf_dir),
     }
     for name, df in tables.items():
         df = _canonical(df)

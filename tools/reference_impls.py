@@ -1653,3 +1653,82 @@ def prefix_jaccard_pairs_reference(sf_dir: str, *, threshold: float = 0.8,
         "b": np.array([r[1] for r in rows], dtype=np.int64),
         "jaccard": np.array([r[2] for r in rows], dtype=np.float64),
     })
+
+
+# ---------------------------------------------------------------------------
+# entity resolution over synthesized contact records
+# ---------------------------------------------------------------------------
+def _er_ed1(u: str, v: str) -> bool:
+    """Plain Levenshtein ≤ 1 (independent of the engine's kernel)."""
+    lu, lv = len(u), len(v)
+    if abs(lu - lv) > 1:
+        return False
+    if lu == lv:
+        return sum(a != b for a, b in zip(u, v)) <= 1
+    if lu > lv:
+        u, v, lu, lv = v, u, lv, lu
+    i = 0
+    while i < lu and u[i] == v[i]:
+        i += 1
+    return u[i:] == v[i + 1:]
+
+
+def entity_resolution_reference(sf_dir: str) -> pd.DataFrame:
+    """Plain single-process reference for resolve_entities: dict
+    blocking (phone digits, lowercased email, name tokens) + all-pairs
+    ed≤1 within token blocks + union-find.  Only the INPUT rendering
+    (synth_contacts) is shared with the engine; the resolution is this
+    independent implementation.  Asserts every token block is under
+    the engine's megablock cap so the two semantics are identical at
+    the pinned scale."""
+    import re as _re
+
+    from logstash_filter_elastic_integration_ray.stages.er import (
+        _BUCKET_CAP,
+        synth_contacts,
+    )
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"])
+    recs = synth_contacts(cust)
+    ids = recs.column("id").to_numpy().astype(np.int64)
+    names = recs.column("name").to_pylist()
+    phones = recs.column("phone").to_pylist()
+    emails = recs.column("email").to_pylist()
+
+    norm_name = [" ".join(_re.sub(r"[^a-z0-9]+", " ", (n or "").lower()).split())
+                 for n in names]
+    norm_phone = [_re.sub(r"[^0-9]+", "", p or "") for p in phones]
+    norm_email = [(e or "").lower() for e in emails]
+
+    uf = UnionFind(ids)
+    exact: dict[str, list[int]] = {}
+    for i, rid in enumerate(ids.tolist()):
+        if norm_phone[i]:
+            exact.setdefault("p:" + norm_phone[i], []).append(rid)
+        if norm_email[i]:
+            exact.setdefault("e:" + norm_email[i], []).append(rid)
+    for members in exact.values():
+        for other in members[1:]:
+            uf.union(members[0], other)
+
+    tok_blocks: dict[str, list[int]] = {}
+    by_id = {int(r): n for r, n in zip(ids.tolist(), norm_name)}
+    for i, rid in enumerate(ids.tolist()):
+        for tok in set(norm_name[i].split()):
+            tok_blocks.setdefault(tok, []).append(rid)
+    for tok, members in tok_blocks.items():
+        assert len(members) <= _BUCKET_CAP, (
+            f"token block {tok!r} exceeds the engine cap at this scale")
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                if _er_ed1(by_id[members[x]], by_id[members[y]]):
+                    uf.union(members[x], members[y])
+
+    # union() always parents max under min, so find() IS the
+    # component minimum
+    return pd.DataFrame({
+        "id": ids,
+        "entity_id": np.asarray([uf.find(r) for r in ids.tolist()],
+                                dtype=np.int64),
+    }).sort_values("id").reset_index(drop=True)
