@@ -519,6 +519,35 @@ def run_bench() -> dict:
 
     timed("frequent_pairs_16x", frequent_pairs_16x, reps=1)
 
+    def entity_resolution_16x():
+        # multi-field ER over 16x the synthesized contact records
+        # (distinct customer-key ranges per replica, so the entity
+        # count scales with the input): exercises the blocking-row
+        # exchange, the per-block ed<=1 verify, distributed CC, and
+        # the id-keyed label attach
+        import pyarrow as pa
+
+        from logstash_filter_elastic_integration_ray.stages.er import (
+            resolve_entities, synth_contacts,
+        )
+
+        cust = read_parquet_clean(f"{SF_DIR}/customer.parquet",
+                                  columns=["c_custkey"],
+                                  override_num_blocks=NUM_CPUS * 2)
+
+        def replicate(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            k = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            reps = np.concatenate([k + r * 1_000_000 for r in range(16)])
+            return pa.table({"c_custkey": pa.array(reps)})
+
+        recs = cust.map_batches(replicate, batch_format="pyarrow").map_batches(
+            synth_contacts, batch_format="pyarrow")
+        return resolve_entities(recs, num_partitions=NUM_CPUS * 2).count()
+
+    timed("entity_resolution_16x", entity_resolution_16x, reps=1)
+
     def pagerank_16x():
         # 8-iteration integer PageRank over a 1.28M-node synthetic link
         # graph (16 edges per dup-heavy doc id): per iteration the edges
