@@ -2133,6 +2133,31 @@ def q_term_postings_docs(sf_dir: str):
     return lookup_terms(layout, ["spark", "vector"], num_buckets=64)
 
 
+def q_bm25_topk_docs(sf_dir: str):
+    """BM25 top-20 documents for a 3-term query over the persisted
+    scored postings layout (stages/textindex.py:build_bm25_layout /
+    bm25_topk): the lookup opens ONLY the query terms' bucket dirs,
+    df finalizes in the same token co-partition the scoring runs in,
+    per-doc scores sum in ascending token order (the IEEE convention
+    shared with the SQL twin's list_sum(list(... ORDER BY token))),
+    and the BM25 float expression is shared token-for-token."""
+    from logstash_filter_elastic_integration_ray.sources.io import ensure_cache_dir
+    from logstash_filter_elastic_integration_ray.stages.textindex import (
+        build_bm25_layout,
+        bm25_topk,
+    )
+
+    layout = ensure_cache_dir(
+        f"/tmp/graft_bm25/{_cache_tag(sf_dir)}",
+        lambda d: build_bm25_layout(
+            read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+            d, num_buckets=64,
+        ),
+    )
+    return bm25_topk(layout, ["hash", "join", "spark"], k=20,
+                     num_buckets=64, num_partitions=8)
+
+
 #: mixture target: per-language share of the sampled corpus (sums to 1)
 _MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1}
 
@@ -4177,6 +4202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_anomaly_events": q_mad_anomaly_events,
         "pair_spans_events": q_pair_spans_events,
         "entity_resolution_contacts": q_entity_resolution_contacts,
+        "bm25_topk_docs": q_bm25_topk_docs,
         "heavy_change_events": q_heavy_change_events,
         "syslog_parse_events": q_syslog_parse_events,
         "mixture_temperature_docs": q_mixture_temperature_docs,
@@ -4680,6 +4706,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.event_type, c.bucket, c.cnt AS cnt, s.med, s.mad, "
             "abs(c.cnt - s.med) > 3.0 * s.mad AS is_anomaly "
             "FROM c JOIN s USING (event_type)"
+        ),
+        "bm25_topk_docs": (
+            "WITH tok AS (SELECT doc_id, t.tok AS token FROM documents, "
+            "UNNEST(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''), "
+            "m AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs, "
+            "(SELECT CAST(count(*) AS DOUBLE) FROM tok) AS n_tokens), "
+            "tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf "
+            "FROM tok WHERE token IN ('hash', 'join', 'spark') GROUP BY 1, 2), "
+            "dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1), "
+            "dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), "
+            "c AS (SELECT tf.doc_id, tf.token, "
+            "ln((m.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) "
+            "* (tf.tf * (1.2 + 1.0)) "
+            "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / (m.n_tokens / m.n_docs)))) AS contrib "
+            "FROM tf JOIN dfq ON tf.token = dfq.token "
+            "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN m) "
+            "SELECT doc_id, list_sum(list(contrib ORDER BY token)) AS score "
+            "FROM c GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
         ),
         "pair_spans_events": (
             "WITH s AS (SELECT user_id, ts, event_id, row_number() OVER "

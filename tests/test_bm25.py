@@ -1,0 +1,122 @@
+"""BM25 over the scored postings layout (stages/textindex.py):
+plain-python reference equality, layout pruning evidence, empty-term
+and absent-term edges, block-split invariance."""
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _bm25_reference(docs: dict[int, str], terms: list[str], k: int,
+                    k1=1.2, b=0.75) -> pd.DataFrame:
+    toks = {d: [t for t in s.split(" ") if t] for d, s in docs.items()}
+    n_docs = float(len(docs))
+    n_tokens = float(sum(len(v) for v in toks.values()))
+    avgdl = n_tokens / n_docs
+    df = {t: float(sum(1 for v in toks.values() if t in v)) for t in terms}
+    scores = {}
+    for d, v in toks.items():
+        s = 0.0
+        for t in sorted(set(terms)):
+            tf = float(v.count(t))
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (len(v) / avgdl)))
+        if s != 0.0 or any(t in v for t in terms):
+            scores[d] = s
+    rows = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pd.DataFrame(rows, columns=["doc_id", "score"])
+
+
+def _build(tmpdir, docs, ray, parts=4, num_buckets=8):
+    import ray.data as rd
+
+    from logstash_filter_elastic_integration_ray.stages.textindex import (
+        build_bm25_layout,
+    )
+
+    df = pd.DataFrame({"doc_id": np.array(list(docs), dtype=np.int64),
+                       "text": [docs[d] for d in docs]})
+    ds = rd.from_pandas(df).repartition(parts)
+    out = os.path.join(tmpdir, f"bm25-{parts}")
+    return build_bm25_layout(ds, out, num_buckets=num_buckets)
+
+
+class TestBm25:
+    DOCS = {
+        1: "hash join hash hash scan",
+        2: "join scan filter",
+        3: "spark spark hash",
+        4: "sort merge window",
+        5: "hash",
+        6: "",
+    }
+
+    def test_matches_reference(self, ray_session, tmp_path):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.textindex import bm25_topk
+
+        layout = _build(str(tmp_path), self.DOCS, ray)
+        out = bm25_topk(layout, ["hash", "spark"], k=10, num_buckets=8,
+                        num_partitions=3).to_pandas()
+        ref = _bm25_reference(self.DOCS, ["hash", "spark"], 10)
+        pd.testing.assert_frame_equal(out.reset_index(drop=True), ref,
+                                      check_dtype=False)
+        # doc 1 (tf=3) outranks doc 5 (tf=1, shorter): BM25 saturation
+        # still orders by tf here
+        assert out.iloc[0]["doc_id"] in (1, 3)
+
+    def test_absent_term_and_empty_layout_bucket(self, ray_session, tmp_path):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.textindex import bm25_topk
+
+        layout = _build(str(tmp_path), self.DOCS, ray)
+        out = bm25_topk(layout, ["zzz_not_there"], k=5, num_buckets=8,
+                        num_partitions=2).to_pandas()
+        assert len(out) == 0
+
+    def test_block_split_invariance(self, ray_session, tmp_path):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.textindex import bm25_topk
+
+        rng = np.random.RandomState(3)
+        vocab = ["hash", "join", "scan", "spark", "sort", "row", "col"]
+        docs = {i: " ".join(vocab[j] for j in rng.randint(0, 7, rng.randint(1, 30)))
+                for i in range(1, 200)}
+        outs = []
+        for parts in (1, 6):
+            layout = _build(str(tmp_path), docs, ray, parts=parts)
+            outs.append(bm25_topk(layout, ["hash", "spark", "row"], k=25,
+                                  num_buckets=8, num_partitions=3).to_pandas())
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        ref = _bm25_reference(docs, ["hash", "spark", "row"], 25)
+        pd.testing.assert_frame_equal(outs[0].reset_index(drop=True), ref,
+                                      check_dtype=False)
+
+    def test_pruned_read(self, ray_session, tmp_path):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.textindex import (
+            postings_rows_scanned, token_bucket,
+        )
+
+        layout = _build(str(tmp_path), self.DOCS, ray)
+        scanned = postings_rows_scanned(layout, ["spark"], num_buckets=8)
+        total = postings_rows_scanned(
+            layout, [f"b{i}" for i in range(8)], num_buckets=64)
+        # the single-term lookup opens a strict subset of the layout
+        assert 0 < scanned
+        import glob
+
+        import pyarrow.parquet as pq
+
+        all_rows = sum(pq.ParquetFile(f).metadata.num_rows
+                       for f in glob.glob(os.path.join(layout, "*", "*.parquet")))
+        assert scanned < all_rows
