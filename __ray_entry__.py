@@ -1522,6 +1522,47 @@ def q_image_dedup_dhash(sf_dir: str):
                              k=2, num_partitions=32)
 
 
+def q_audio_dedup_afp(sf_dir: str):
+    """Audio near-dup dedup: REAL RIFF/WAV decode → 64-bit spectral
+    fingerprint (power-spectrum band-energy comparisons, DC bin
+    dropped so a constant sample offset cancels — the audio twin of
+    dHash's brightness invariance) in an actor pool, then hamming ≤ 3
+    clustering on the generic 64-bit-code machinery.  Audio rule
+    shared with tools/reference_impls.afp_samples_for_docs (per-group
+    5-tone LCG spectra, comparison-invariant DC lanes, an undecodable
+    lane every 13th doc); fixture from the all-pairs union-find
+    reference."""
+    from logstash_filter_elastic_integration_ray.stages.multimodal import (
+        audio_dedup_afp,
+        encode_wav,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        tt = np.arange(1024, dtype=np.float64) / 8000.0
+        amps = (0.45, 0.28, 0.2, 0.14, 0.1)
+        payloads = []
+        for d in ids:
+            d = int(d)
+            if d % 13 == 0:
+                payloads.append(b"not audio")
+                continue
+            g = d // 8
+            x = np.zeros(1024, dtype=np.float64)
+            for i, a in enumerate(amps):
+                f = 100.0 + float(((g * 7919 + i * 2711) * 40503 + 11) % 3700)
+                x += a * np.sin(2.0 * np.pi * f * tt)
+            s = (np.round(x * 12000.0).astype(np.int64) + (d % 8) * 9).astype(np.int16)
+            payloads.append(encode_wav(s.reshape(-1, 1), 8000))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    return audio_dedup_afp(docs.map_batches(synth, batch_format="pyarrow"),
+                           k=3, num_partitions=32)
+
+
 def q_prefix_jaccard_pairs_docs(sf_dir: str):
     """EXACT-COMPLETE set-similarity self-join (the AllPairs/PPJoin
     prefix filter, stages/dedup.py:prefix_jaccard_pairs): every pair
@@ -4203,6 +4244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pair_spans_events": q_pair_spans_events,
         "entity_resolution_contacts": q_entity_resolution_contacts,
         "bm25_topk_docs": q_bm25_topk_docs,
+        "audio_dedup_afp": q_audio_dedup_afp,
         "heavy_change_events": q_heavy_change_events,
         "syslog_parse_events": q_syslog_parse_events,
         "mixture_temperature_docs": q_mixture_temperature_docs,
@@ -4988,6 +5030,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "entity_resolution_contacts": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/entity_resolution_contacts.sf0_01.parquet')"
+        ),
+        "audio_dedup_afp": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/audio_dedup_afp.sf0_01.parquet')"
         ),
         "image_dedup_dhash": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/image_dedup_dhash.sf0_01.parquet')"

@@ -274,3 +274,88 @@ class TestWavCodec:
             nc = int(np.count_nonzero((c0[1:] < 0) != (c0[:-1] < 0)))
             assert out.zero_cross_rate[j] == nc / float(len(s) - 1)
             assert bool(out.decoded[j]) and out.n_frames[j] == len(s)
+
+
+class TestAudioFingerprint:
+    def _tone(self, freqs_amps, n=1024, rate=8000, dc=0):
+        t = np.arange(n, dtype=np.float64) / rate
+        x = np.zeros(n, dtype=np.float64)
+        for f, a in freqs_amps:
+            x += a * np.sin(2.0 * np.pi * f * t)
+        return (np.round(x * 12000.0).astype(np.int64) + dc).astype(np.int16)
+
+    def test_dc_offset_invariance_and_distinct_spectra(self):
+        from logstash_filter_elastic_integration_ray.stages.multimodal import (
+            afp64, encode_wav,
+        )
+
+        a = self._tone([(440.0, 0.5), (1313.0, 0.3)])
+        b = self._tone([(440.0, 0.5), (1313.0, 0.3)], dc=63)
+        c = self._tone([(977.0, 0.5), (2222.0, 0.3)])
+        ca = afp64(encode_wav(a.reshape(-1, 1), 8000))
+        cb = afp64(encode_wav(b.reshape(-1, 1), 8000))
+        cc = afp64(encode_wav(c.reshape(-1, 1), 8000))
+        assert ca == cb  # DC lands only in the dropped bin
+        assert bin(ca ^ cc).count("1") > 8
+
+    def test_volume_scale_invariance_of_exact_float_scaling(self):
+        # scaling the FLOAT waveform before quantization perturbs the
+        # spectrum only through requantization — codes stay close
+        from logstash_filter_elastic_integration_ray.stages.multimodal import (
+            afp64, encode_wav,
+        )
+
+        t = np.arange(1024, dtype=np.float64) / 8000.0
+        x = 0.5 * np.sin(2 * np.pi * 700.0 * t) + 0.2 * np.sin(2 * np.pi * 1900.0 * t)
+        a = np.round(x * 12000.0).astype(np.int16)
+        b = np.round(x * 6000.0).astype(np.int16)
+        ca = afp64(encode_wav(a.reshape(-1, 1), 8000))
+        cb = afp64(encode_wav(b.reshape(-1, 1), 8000))
+        assert bin(ca ^ cb).count("1") <= 3
+
+    def test_undecodable_and_short(self):
+        from logstash_filter_elastic_integration_ray.stages.multimodal import (
+            afp64, encode_wav,
+        )
+
+        assert afp64(b"not audio") is None
+        short = self._tone([(440.0, 0.5)], n=100)
+        assert afp64(encode_wav(short.reshape(-1, 1), 8000)) is None
+
+    def test_matches_plain_reference(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        from logstash_filter_elastic_integration_ray.stages.multimodal import (
+            afp64, encode_wav,
+        )
+
+        for d, s in ref.afp_samples_for_docs(np.arange(40)):
+            if s is None:
+                continue
+            assert afp64(encode_wav(s.reshape(-1, 1), 8000)) == ref._afp_plain(s)
+
+    def test_dedup_end_to_end(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.multimodal import (
+            audio_dedup_afp, encode_wav,
+        )
+
+        rows = []
+        for d in range(24):
+            g = d // 6
+            s = self._tone([(300.0 + 450.0 * g, 0.5), (700.0 + 777.0 * g, 0.25)],
+                           dc=(d % 6) * 11)
+            rows.append((d, encode_wav(s.reshape(-1, 1), 8000)))
+        rows.append((99, b"garbage"))
+        t = pa.table({"doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                      "payload": pa.array([r[1] for r in rows], type=pa.binary())})
+        out = (audio_dedup_afp(ray.data.from_arrow(t).repartition(4),
+                               k=3, num_partitions=4)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        got = dict(zip(out["doc_id"], out["cluster_size"]))
+        assert got[0] == 6 and got[6] == 6 and got[12] == 6 and got[18] == 6
+        assert got[99] == 1

@@ -81,6 +81,7 @@ def main() -> None:
         "knn_join_embeddings": ref.knn_join_reference(sf_dir),
         "pca_embeddings": ref.pca_embeddings_reference(sf_dir),
         "entity_resolution_contacts": ref.entity_resolution_reference(sf_dir),
+        "audio_dedup_afp": ref.audio_dedup_afp_reference(sf_dir),
     }
     for name, df in tables.items():
         df = _canonical(df)

@@ -1732,3 +1732,78 @@ def entity_resolution_reference(sf_dir: str) -> pd.DataFrame:
         "entity_id": np.asarray([uf.find(r) for r in ids.tolist()],
                                 dtype=np.int64),
     }).sort_values("id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint near-dup dedup
+# ---------------------------------------------------------------------------
+def afp_samples_for_docs(ids: np.ndarray):
+    """DEFINITIONAL audio-synthesis rule shared with
+    __ray_entry__.q_audio_dedup_afp: per doc a 1024-sample 8 kHz
+    3-harmonic tone whose fundamental is fixed per 8-doc group, a
+    per-doc DC offset (comparison-invariant: the fingerprint drops the
+    DC bin), and an undecodable lane every 13th doc.  Returns
+    (doc_id, samples int16 (1024,) | None)."""
+    out = []
+    t = np.arange(1024, dtype=np.float64) / 8000.0
+    amps = (0.45, 0.28, 0.2, 0.14, 0.1)
+    for d in ids:
+        d = int(d)
+        if d % 13 == 0:
+            out.append((d, None))
+            continue
+        g = d // 8
+        # 5 LCG-derived tones per group: spectrally rich, so any two
+        # groups disagree in many bands (3-Hz-spaced pure tones would
+        # fall inside one ~54 Hz analysis band and collide)
+        x = np.zeros(1024, dtype=np.float64)
+        for i, a in enumerate(amps):
+            f = 100.0 + float(((g * 7919 + i * 2711) * 40503 + 11) % 3700)
+            x += a * np.sin(2.0 * np.pi * f * t)
+        s = np.round(x * 12000.0).astype(np.int64) + (d % 8) * 9
+        out.append((d, s.astype(np.int16)))
+    return out
+
+
+def _afp_plain(samples) -> int | None:
+    """Independent fingerprint evaluation over raw samples (the PCM16
+    WAV round trip is exact, so skipping the container on this side
+    changes nothing): power spectrum via np.fft (a library primitive,
+    like zlib elsewhere), DC dropped, 65 equal bands, adjacent
+    comparisons."""
+    if samples is None or len(samples) < 131:
+        return None
+    p = np.abs(np.fft.rfft(samples.astype(np.float64))) ** 2
+    bins = p[1:]
+    nb = len(bins) // 65
+    if nb == 0:
+        return None
+    e = [float(sum(bins[k * nb:(k + 1) * nb])) for k in range(65)]
+    code = 0
+    for k in range(64):
+        if e[k] > e[k + 1]:
+            code |= 1 << k
+    return code
+
+
+def audio_dedup_afp_reference(sf_dir: str, *, k: int = 3) -> pd.DataFrame:
+    """All-pairs hamming<=k union-find over the plain fingerprints;
+    survivors = (min member id, component size), singletons included."""
+    ids, _texts = load_documents(sf_dir)
+    pairs = afp_samples_for_docs(ids)
+    codes = {d: _afp_plain(s) for d, s in pairs}
+    valid = [d for d, c in codes.items() if c is not None]
+    uf = UnionFind([d for d, _ in pairs])
+    for i, a in enumerate(valid):
+        ca = codes[a]
+        for b in valid[i + 1:]:
+            if _hamming_int(ca, codes[b]) <= k:
+                uf.union(a, b)
+    comp: dict[int, list[int]] = {}
+    for d, _ in pairs:
+        comp.setdefault(uf.find(d), []).append(d)
+    rows = sorted((min(m), len(m)) for m in comp.values())
+    return pd.DataFrame({
+        "doc_id": np.array([r[0] for r in rows], dtype=np.int64),
+        "cluster_size": np.array([r[1] for r in rows], dtype=np.int64),
+    })
