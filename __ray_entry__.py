@@ -1522,6 +1522,19 @@ def q_image_dedup_dhash(sf_dir: str):
                              k=2, num_partitions=32)
 
 
+def q_kcenter_embeddings(sf_dir: str):
+    """Greedy k-center coreset over the embeddings table
+    (stages/clustering.py:kcenter_select — Gonzalez farthest-point
+    diversity sampling): 16 selections, exact int64 quantized
+    distances (the k-means convention), ties to the smaller id.
+    Fixture from the independent plain-loop reference."""
+    from logstash_filter_elastic_integration_ray.stages.clustering import kcenter_select
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return kcenter_select(ds, k=16, id_col="vec_id", emb_col="embedding")
+
+
 def q_audio_dedup_afp(sf_dir: str):
     """Audio near-dup dedup: REAL RIFF/WAV decode → 64-bit spectral
     fingerprint (power-spectrum band-energy comparisons, DC bin
@@ -4245,6 +4258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_resolution_contacts": q_entity_resolution_contacts,
         "bm25_topk_docs": q_bm25_topk_docs,
         "audio_dedup_afp": q_audio_dedup_afp,
+        "kcenter_embeddings": q_kcenter_embeddings,
         "heavy_change_events": q_heavy_change_events,
         "syslog_parse_events": q_syslog_parse_events,
         "mixture_temperature_docs": q_mixture_temperature_docs,
@@ -5033,6 +5047,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "audio_dedup_afp": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/audio_dedup_afp.sf0_01.parquet')"
+        ),
+        "kcenter_embeddings": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/kcenter_embeddings.sf0_01.parquet')"
         ),
         "image_dedup_dhash": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/image_dedup_dhash.sf0_01.parquet')"

@@ -462,3 +462,109 @@ def pca_transform(ds, mean: np.ndarray, components: np.ndarray, *,
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center coreset selection (diversity sampling)
+# ---------------------------------------------------------------------------
+
+
+def kcenter_select(ds, *, k: int = 32, id_col: str = "vec_id",
+                   emb_col: str = "embedding"):
+    """Greedy k-center (Gonzalez 1985, the 2-approximation farthest-
+    point heuristic) — the diversity-sampling / coreset primitive:
+    seed with the minimum id, then k-1 times add the point FARTHEST
+    from its nearest already-chosen center (ties → min id).  Returns a
+    k-row Dataset (rank, id, d2q) where d2q is the exact int64
+    squared quantized distance at selection time — the coverage-radius
+    sequence.
+
+    Determinism: the same ``round(x·2^20)`` int64 quantization as
+    k-means, so every distance and every comparison is exact integer
+    arithmetic — bit-identical under any batching and trivially
+    matched by the plain reference.
+
+    Shape per iteration: ONE broadcast of the newest center (tiny),
+    one streaming d2-min update pass over the materialized working set
+    (per-row arithmetic, no exchange), and one argmax pass emitting a
+    single thin row per block (driver state O(blocks)).  Total: k
+    linear passes — the inherent cost of the greedy algorithm; loop
+    state is materialized like the k-means loop."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def load(t: pa.Table) -> pa.Table:
+        q = quantize(_to_matrix(t.column(emb_col)))
+        n, d = q.shape
+        fsl = pa.FixedSizeListArray.from_arrays(pa.array(q.ravel()), d)
+        return pa.table({
+            "id": t.column(id_col).combine_chunks()
+            if isinstance(t.column(id_col), pa.ChunkedArray) else t.column(id_col),
+            "emb": fsl,
+            "d2q": pa.array(np.full(n, np.iinfo(np.int64).max, dtype=np.int64)),
+        })
+
+    working = ds.map_batches(load, batch_format="pyarrow").materialize()
+    seed = working.min("id")
+
+    def emb_of(target_id: int):
+        sub = working.filter(expr=f"id == {int(target_id)}").take(1)
+        return np.asarray(sub[0]["emb"], dtype=np.int64)
+
+    center = emb_of(seed)
+    out_rows = [(0, int(seed), 0)]
+    chosen = {int(seed)}
+    for rank in range(1, int(k)):
+        cref = ray.put(center)
+
+        def update(t: pa.Table, _c=cref) -> pa.Table:
+            c = ray.get(_c)
+            x = np.asarray(t.column("emb").combine_chunks().values
+                           if isinstance(t.column("emb"), pa.ChunkedArray)
+                           else t.column("emb").values,
+                           dtype=np.int64).reshape(t.num_rows, -1)
+            diff = x - c[None, :]
+            d2new = (diff * diff).sum(axis=1)
+            d2 = np.minimum(
+                t.column("d2q").to_numpy(zero_copy_only=False), d2new)
+            return t.set_column(t.column_names.index("d2q"), "d2q",
+                                pa.array(d2.astype(np.int64)))
+
+        working = working.map_batches(update, batch_format="pyarrow").materialize()
+
+        def local_argmax(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"id": pa.array([], type=pa.int64()),
+                                 "d2q": pa.array([], type=pa.int64()),
+                                 "emb": pa.array([], type=pa.list_(pa.int64()))})
+            d2 = t.column("d2q").to_numpy(zero_copy_only=False)
+            ids = t.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+            mx = d2.max()
+            cand = np.flatnonzero(d2 == mx)
+            pick = cand[np.argmin(ids[cand])]
+            emb = t.column("emb")
+            emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+            return pa.table({
+                "id": pa.array([int(ids[pick])], type=pa.int64()),
+                "d2q": pa.array([int(mx)], type=pa.int64()),
+                "emb": pa.array([list(np.asarray(emb[pick].as_py(), dtype=np.int64))],
+                                type=pa.list_(pa.int64())),
+            })
+
+        tops = working.map_batches(local_argmax, batch_format="pyarrow").take_all()
+        best = max(tops, key=lambda r: (int(r["d2q"]), -int(r["id"])))
+        bid, bd2 = int(best["id"]), int(best["d2q"])
+        if bid in chosen or bd2 == 0:
+            # every remaining point coincides with a center: stop early
+            break
+        out_rows.append((rank, bid, bd2))
+        chosen.add(bid)
+        center = np.asarray(best["emb"], dtype=np.int64)
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "rank": pa.array([r[0] for r in out_rows], type=pa.int64()),
+        id_col: pa.array([r[1] for r in out_rows], type=pa.int64()),
+        "d2q": pa.array([r[2] for r in out_rows], type=pa.int64()),
+    }))

@@ -359,3 +359,75 @@ class TestAudioFingerprint:
         got = dict(zip(out["doc_id"], out["cluster_size"]))
         assert got[0] == 6 and got[6] == 6 and got[12] == 6 and got[18] == 6
         assert got[99] == 1
+
+
+class TestKCenter:
+    def _ds(self, ray, m, ids=None, parts=3):
+        import ray.data as rd
+
+        n = len(m)
+        ids = np.arange(n, dtype=np.int64) if ids is None else np.asarray(ids, np.int64)
+        t = pa.table({"vec_id": pa.array(ids),
+                      "embedding": pa.array([list(map(float, r)) for r in m],
+                                            type=pa.list_(pa.float32()))})
+        return rd.from_arrow(t).repartition(parts)
+
+    def test_farthest_point_order_and_tie(self, ray_session):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.clustering import (
+            kcenter_select,
+        )
+
+        # seed = id 0 at origin; farthest is (10,0); then tie between
+        # (0,6) and (6,0)? distances to nearest center decide; finally
+        # the tie between equidistant points goes to the smaller id
+        m = [[0.0, 0.0], [10.0, 0.0], [0.0, 6.0], [5.0, 0.1], [0.0, -6.0]]
+        out = kcenter_select(self._ds(ray, m), k=4).to_pandas()
+        assert out["vec_id"].tolist()[:2] == [0, 1]
+        # ids 2 and 4 are symmetric (d2 equal): min id 2 wins rank 2
+        assert out["vec_id"].tolist()[2] == 2
+        assert out["rank"].tolist() == [0, 1, 2, 3]
+        assert (out["d2q"].to_numpy()[1:] > 0).all()
+
+    def test_block_invariance_and_reference(self, ray_session):
+        import sys
+
+        import ray
+
+        import pandas as pd
+
+        sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        from logstash_filter_elastic_integration_ray.stages.clustering import (
+            kcenter_select,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        expect = ref.kcenter_reference(sf, k=8)
+        from logstash_filter_elastic_integration_ray.sources.io import (
+            read_parquet_clean,
+        )
+
+        for blocks in (1, 7):
+            ds = read_parquet_clean(f"{sf}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"],
+                                    override_num_blocks=blocks)
+            out = kcenter_select(ds, k=8).to_pandas()
+            pd.testing.assert_frame_equal(
+                out[["rank", "vec_id", "d2q"]], expect, check_dtype=False)
+
+    def test_duplicate_points_early_stop(self, ray_session):
+        import ray
+
+        from logstash_filter_elastic_integration_ray.stages.clustering import (
+            kcenter_select,
+        )
+
+        m = [[1.0, 1.0]] * 5 + [[2.0, 0.0]]
+        out = kcenter_select(self._ds(ray, m), k=6).to_pandas()
+        # after the two distinct locations are covered every remaining
+        # point is distance 0: selection stops at 2 rows
+        assert len(out) == 2
+        assert out["vec_id"].tolist() == [0, 5]

@@ -82,6 +82,7 @@ def main() -> None:
         "pca_embeddings": ref.pca_embeddings_reference(sf_dir),
         "entity_resolution_contacts": ref.entity_resolution_reference(sf_dir),
         "audio_dedup_afp": ref.audio_dedup_afp_reference(sf_dir),
+        "kcenter_embeddings": ref.kcenter_reference(sf_dir),
     }
     for name, df in tables.items():
         df = _canonical(df)

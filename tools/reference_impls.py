@@ -1807,3 +1807,40 @@ def audio_dedup_afp_reference(sf_dir: str, *, k: int = 3) -> pd.DataFrame:
         "doc_id": np.array([r[0] for r in rows], dtype=np.int64),
         "cluster_size": np.array([r[1] for r in rows], dtype=np.int64),
     })
+
+
+def kcenter_reference(sf_dir: str, *, k: int = 16) -> pd.DataFrame:
+    """Plain greedy k-center (Gonzalez farthest-point) over the
+    embeddings table with the engine's exact int64 quantization: seed
+    = min vec_id; each round picks max d2-to-nearest-center, ties to
+    the smaller id.  Independent loops — only the quantization rule
+    (round(x*2^20) int64) is shared convention."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    m = np.vstack([np.asarray(e, dtype=np.float64)
+                   for e in t.column("embedding").to_pylist()])
+    q = np.round(m * float(2 ** 20)).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, q = ids[order], q[order]
+    seed_pos = 0  # ids sorted ascending: min id first
+    rows = [(0, int(ids[seed_pos]), 0)]
+    d2 = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+    center = q[seed_pos]
+    chosen = {int(ids[seed_pos])}
+    for rank in range(1, k):
+        diff = q - center[None, :]
+        d2 = np.minimum(d2, (diff * diff).sum(axis=1))
+        mx = int(d2.max())
+        cand = np.flatnonzero(d2 == mx)
+        pick = int(cand[np.argmin(ids[cand])])
+        if int(ids[pick]) in chosen or mx == 0:
+            break
+        rows.append((rank, int(ids[pick]), mx))
+        chosen.add(int(ids[pick]))
+        center = q[pick]
+    return pd.DataFrame({
+        "rank": np.array([r[0] for r in rows], dtype=np.int64),
+        "vec_id": np.array([r[1] for r in rows], dtype=np.int64),
+        "d2q": np.array([r[2] for r in rows], dtype=np.int64),
+    })
