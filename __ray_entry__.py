@@ -1522,6 +1522,35 @@ def q_image_dedup_dhash(sf_dir: str):
                              k=2, num_partitions=32)
 
 
+def q_kcore_docs(sf_dir: str):
+    """k-core decomposition over the deterministic doc link graph
+    (stages/graph.py:core_numbers — Montresor h-index fixpoint, exact
+    integer arithmetic, simple-graph normalization first).  Same edge
+    rule as q_pagerank_docs (tools/reference_impls.pagerank_edges_for_docs);
+    fixture from the CLASSIC peeling reference — an independent
+    algorithm converging to the same coreness values."""
+    from logstash_filter_elastic_integration_ray.stages.graph import core_numbers
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = int(docs.count())
+
+    def synth_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        src, dst = [], []
+        for d in ids:
+            d = int(d)
+            if d % 5 == 0:
+                continue
+            for j in range(1 + d % 3):
+                src.append(d)
+                dst.append((d * 17 + 1 + 97 * j) % n_docs)
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "dst": pa.array(dst, type=pa.int64())})
+
+    edges = docs.map_batches(synth_edges, batch_format="pyarrow")
+    return core_numbers(edges, num_partitions=16)
+
+
 def q_kcenter_embeddings(sf_dir: str):
     """Greedy k-center coreset over the embeddings table
     (stages/clustering.py:kcenter_select — Gonzalez farthest-point
@@ -4259,6 +4288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_docs": q_bm25_topk_docs,
         "audio_dedup_afp": q_audio_dedup_afp,
         "kcenter_embeddings": q_kcenter_embeddings,
+        "kcore_docs": q_kcore_docs,
         "heavy_change_events": q_heavy_change_events,
         "syslog_parse_events": q_syslog_parse_events,
         "mixture_temperature_docs": q_mixture_temperature_docs,
@@ -5050,6 +5080,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcenter_embeddings": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/kcenter_embeddings.sf0_01.parquet')"
+        ),
+        "kcore_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/kcore_docs.sf0_01.parquet')"
         ),
         "image_dedup_dhash": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/image_dedup_dhash.sf0_01.parquet')"

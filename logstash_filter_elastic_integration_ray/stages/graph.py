@@ -1078,3 +1078,187 @@ def _hits_pregel(edges, *, n_iters, num_partitions, src_col, dst_col):
     refs = [s.node_table.remote(hmax, amax) for s in shards]
     ray.wait(refs, num_returns=len(refs))
     return rd.from_arrow_refs(refs)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (coreness of every node)
+# ---------------------------------------------------------------------------
+
+
+def core_numbers(edges, *, num_partitions: int = 16, max_iters: int = 64,
+                 src_col: str = "src", dst_col: str = "dst"):
+    """Coreness of every node — the distributed k-core decomposition of
+    Montresor/De Pellegrini/Miorandi (2011) via the h-index fixpoint
+    (Lü et al. 2016): each node starts at its degree and repeatedly
+    lowers its estimate to the h-index of its neighbors' estimates
+    (the largest h with ≥ h neighbors at ≥ h); the fixpoint IS the
+    core number.  All arithmetic is integer — the result is exact and
+    batch-invariant, and the plain reference uses the CLASSIC peeling
+    algorithm (an independent method converging to the same values).
+
+    Graph semantics: undirected simple graph — the input edge list is
+    normalized first (self-loops dropped, parallel/reverse duplicates
+    collapsed) with one pair-key exchange, exactly like
+    :func:`triangle_counts`.
+
+    Shape per iteration (BSP): estimates join the directed edge view
+    by src (co-partition), messages (dst, src_est) join estimates by
+    node (second co-partition), per-node h-index is one sort +
+    ``min(rank, value)`` segment max — no per-node Python loop.  The
+    changed-count is the only driver state.  Edges ride two exchanges
+    per iteration — the BSP cost model; iteration count is bounded by
+    the graph's degeneracy ordering depth (small for real graphs) and
+    guarded by ``max_iters`` (raises on non-convergence rather than
+    returning silently-wrong estimates)."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = t.column(dst_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        b = np.maximum(s[keep], d[keep])
+        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        out = pa.table({"a": pa.array(df["a"].to_numpy(dtype=np.int64)),
+                        "b": pa.array(df["b"].to_numpy(dtype=np.int64))})
+        return add_partition_col(out, num_partitions, key="a")
+
+    def dedup_part(df: pd.DataFrame) -> pa.Table:
+        df = df[["a", "b"]].drop_duplicates()
+        return pa.table({"a": pa.array(df["a"].to_numpy(dtype=np.int64)),
+                         "b": pa.array(df["b"].to_numpy(dtype=np.int64))})
+
+    simple = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(dedup_part, batch_format="pandas")
+    )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        out = pa.table({
+            "src": pa.array(np.r_[a, b].astype(np.int64)),
+            "dst": pa.array(np.r_[b, a].astype(np.int64)),
+        })
+        return add_partition_col(out, num_partitions, key="src")
+
+    edges2 = simple.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    # init: est = degree (count of directed-out rows per src)
+    def deg_part(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby("src", sort=False).size().rename("est").reset_index()
+        out = pa.table({"node": pa.array(agg["src"].to_numpy(dtype=np.int64)),
+                        "est": pa.array(agg["est"].to_numpy(dtype=np.int64))})
+        return out
+
+    est = (
+        edges2.repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(deg_part, batch_format="pandas")
+        .materialize()
+    )
+
+    def edge_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t.column("src"),
+            "dst": t.column("dst"),
+            "est": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="k")
+
+    def est_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t.column("node"),
+            "dst": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            "est": t.column("est"),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="k")
+
+    def emit_messages(df: pd.DataFrame) -> pa.Table:
+        ev = df[df["side"] == 1]
+        ed = df[df["side"] == 0]
+        kk = ev["k"].to_numpy(dtype=np.int64)
+        vv = ev["est"].to_numpy(dtype=np.int64)
+        order = np.argsort(kk, kind="stable")
+        kk, vv = kk[order], vv[order]
+        want = ed["k"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(kk, want)
+        src_est = vv[np.minimum(pos, len(kk) - 1)] if len(kk) else np.zeros(0, np.int64)
+        out = pa.table({
+            "node": pa.array(ed["dst"].to_numpy(dtype=np.int64)),
+            "nb_est": pa.array(src_est.astype(np.int64)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    def msg_side2(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "node": t.column("node"),
+            "val": t.column("nb_est"),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    def est_side2(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "node": t.column("node"),
+            "val": t.column("est"),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    def hindex_update(df: pd.DataFrame) -> pa.Table:
+        msgs = df[df["side"] == 0]
+        old = df[df["side"] == 1]
+        n = msgs["node"].to_numpy(dtype=np.int64)
+        v = msgs["val"].to_numpy(dtype=np.int64)
+        # sort by (node, est desc): negate for descending within node
+        order = np.lexsort((-v, n))
+        ns, vs = n[order], v[order]
+        starts = np.flatnonzero(np.r_[True, ns[1:] != ns[:-1]])
+        rank = np.arange(len(ns), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, len(ns)])) + 1
+        minrv = np.minimum(rank, vs)
+        h = np.maximum.reduceat(minrv, starts) if len(ns) else np.zeros(0, np.int64)
+        hn = ns[starts]
+        on = old["node"].to_numpy(dtype=np.int64)
+        oe = old["val"].to_numpy(dtype=np.int64)
+        oorder = np.argsort(on, kind="stable")
+        on, oe = on[oorder], oe[oorder]
+        pos = np.searchsorted(hn, on)
+        hv = h[np.minimum(pos, max(len(hn) - 1, 0))] if len(hn) else np.zeros(len(on), np.int64)
+        ok = (pos < len(hn)) & (hn[np.minimum(pos, max(len(hn) - 1, 0))] == on) if len(hn) else np.zeros(len(on), bool)
+        new = np.where(ok, np.minimum(oe, hv), oe)
+        return pa.table({
+            "node": pa.array(on),
+            "est": pa.array(new.astype(np.int64)),
+            "changed": pa.array((new != oe).astype(np.int64)),
+        })
+
+    for _ in range(int(max_iters)):
+        msgs = (
+            edges2.map_batches(edge_side, batch_format="pyarrow")
+            .union(est.map_batches(est_side, batch_format="pyarrow"))
+            .repartition(num_partitions)
+            .groupby("__part")
+            .map_groups(emit_messages, batch_format="pandas")
+        )
+        upd = (
+            msgs.map_batches(msg_side2, batch_format="pyarrow")
+            .union(est.map_batches(est_side2, batch_format="pyarrow"))
+            .repartition(num_partitions)
+            .groupby("__part")
+            .map_groups(hindex_update, batch_format="pandas")
+            .materialize()
+        )
+        changed = int(upd.sum("changed") or 0)
+        est = upd.drop_columns(["changed"]).materialize()
+        if changed == 0:
+            return est.map_batches(
+                lambda t: pa.table({"node": t.column("node"),
+                                    "core": t.column("est")}),
+                batch_format="pyarrow")
+    raise RuntimeError(
+        f"core_numbers did not converge in {max_iters} h-index rounds")

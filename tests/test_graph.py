@@ -398,3 +398,60 @@ def test_hits_unknown_engine_raises(ray_session):
     }))
     with pytest.raises(ValueError):
         hits(ds, engine="flink")
+
+
+class TestCoreNumbers:
+    def _run(self, ray, edges, parts=3, **kw):
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.graph import core_numbers
+
+        t = pa.table({"src": pa.array([e[0] for e in edges], type=pa.int64()),
+                      "dst": pa.array([e[1] for e in edges], type=pa.int64())})
+        out = core_numbers(rd.from_arrow(t).repartition(parts),
+                           num_partitions=4, **kw)
+        return dict(zip(*[out.to_pandas()[c].tolist() for c in ("node", "core")]))
+
+    def test_known_graph(self, ray_session):
+        import ray
+
+        # K4 (nodes 0-3, coreness 3) + a path 3-4-5 (coreness 1)
+        edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+        got = self._run(ray, edges)
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1}
+
+    def test_parallel_reverse_self_edges_normalized(self, ray_session):
+        import ray
+
+        # duplicates/reverse/self edges must not inflate degrees
+        edges = [(0, 1), (1, 0), (0, 1), (2, 2), (1, 2), (2, 0)]
+        got = self._run(ray, edges)
+        assert got == {0: 2, 1: 2, 2: 2}
+
+    def test_matches_peeling_reference_and_block_invariance(self, ray_session):
+        import sys
+
+        import ray
+
+        sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        rng = np.random.RandomState(17)
+        n = 200
+        edges = [(int(a), int(b)) for a, b in
+                 zip(rng.randint(0, n, 900), rng.randint(0, n, 900))]
+        expect = dict(zip(ref.kcore_reference(edges)["node"],
+                          ref.kcore_reference(edges)["core"]))
+        for parts in (1, 7):
+            got = self._run(ray, edges, parts=parts)
+            assert got == expect
+
+    def test_nonconvergence_guard(self, ray_session):
+        import ray
+
+        import pytest
+
+        # a path needs >1 h-index round (interior estimates cascade down)
+        edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+        with pytest.raises(RuntimeError):
+            self._run(ray, edges, max_iters=1)

@@ -83,6 +83,7 @@ def main() -> None:
         "entity_resolution_contacts": ref.entity_resolution_reference(sf_dir),
         "audio_dedup_afp": ref.audio_dedup_afp_reference(sf_dir),
         "kcenter_embeddings": ref.kcenter_reference(sf_dir),
+        "kcore_docs": ref.kcore_docs_reference(sf_dir),
     }
     for name, df in tables.items():
         df = _canonical(df)

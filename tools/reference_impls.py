@@ -1844,3 +1844,46 @@ def kcenter_reference(sf_dir: str, *, k: int = 16) -> pd.DataFrame:
         "vec_id": np.array([r[1] for r in rows], dtype=np.int64),
         "d2q": np.array([r[2] for r in rows], dtype=np.int64),
     })
+
+
+def kcore_reference(edges) -> pd.DataFrame:
+    """Plain CLASSIC peeling k-core decomposition (Batagelj–Zaveršnik
+    bucket algorithm, independently implemented): normalize to an
+    undirected simple graph, then repeatedly remove the minimum-degree
+    node; its coreness is the running maximum of the degrees at
+    removal time.  An entirely different method from the engine's
+    h-index fixpoint — agreement is real evidence."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        s, d = int(s), int(d)
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    deg = {u: len(vs) for u, vs in adj.items()}
+    core: dict[int, int] = {}
+    import heapq
+
+    heap = [(dv, u) for u, dv in deg.items()]
+    heapq.heapify(heap)
+    removed: set[int] = set()
+    k = 0
+    while heap:
+        dv, u = heapq.heappop(heap)
+        if u in removed or dv != deg[u]:
+            continue
+        k = max(k, dv)
+        core[u] = k
+        removed.add(u)
+        for v in adj[u]:
+            if v not in removed:
+                deg[v] -= 1
+                heapq.heappush(heap, (deg[v], v))
+    return (pd.DataFrame({"node": np.array(sorted(core), dtype=np.int64),
+                          "core": np.array([core[u] for u in sorted(core)],
+                                           dtype=np.int64)}))
+
+
+def kcore_docs_reference(sf_dir: str) -> pd.DataFrame:
+    ids, _texts = load_documents(sf_dir)
+    return kcore_reference(pagerank_edges_for_docs(ids, len(ids)))
