@@ -99,21 +99,36 @@ def _block_rows(t: pa.Table, num_partitions: int) -> pa.Table:
 
 def _block_edges(df: pd.DataFrame) -> pa.Table:
     """Per block: verified (a, b) edges.  Exact blocks emit a star
-    (components-equivalent to the clique, O(m) edges); token blocks
-    verify pairwise full-name ed ≤ 1, star-vs-first past the cap."""
+    (components-equivalent to the clique, O(m) edges) — built with
+    PURE index arithmetic, because exact blocks are one-per-record and
+    a per-group Python loop over them dominated the whole op; token
+    blocks verify pairwise full-name ed ≤ 1, star-vs-first past the
+    cap."""
+    ea_parts: list[np.ndarray] = []
+    eb_parts: list[np.ndarray] = []
+
+    # exact-key lanes (phone/email): vectorized star per block
+    ex = df[df["kind"] == 0]
+    if len(ex):
+        sub = ex[["bkey", "id"]].drop_duplicates().sort_values(
+            ["bkey", "id"], kind="mergesort")
+        bk = sub["bkey"].to_numpy()
+        ids = sub["id"].to_numpy(dtype=np.int64)
+        new = np.r_[True, bk[1:] != bk[:-1]]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, len(bk)])
+        root = np.repeat(ids[starts], lens)
+        others = ~new
+        ea_parts.append(root[others])
+        eb_parts.append(ids[others])
+
     ea: list[int] = []
     eb: list[int] = []
-    for (_, kind), g in df.groupby(["bkey", "kind"], sort=False):
-        ids = np.unique(g["id"].to_numpy(dtype=np.int64))
-        m = len(ids)
+    for _, g in df[df["kind"] == 1].groupby("bkey", sort=False):
+        sub = g.drop_duplicates("id").sort_values("id", kind="mergesort")
+        m = len(sub)
         if m < 2:
             continue
-        if kind == 0:
-            # exact-equality block: star == clique for components
-            ea.extend([int(ids[0])] * (m - 1))
-            eb.extend(int(x) for x in ids[1:])
-            continue
-        sub = g.drop_duplicates("id").sort_values("id", kind="mergesort")
         rid = sub["id"].to_numpy(dtype=np.int64)
         nm = sub["name_norm"].tolist()
         if m > _BUCKET_CAP:
@@ -128,8 +143,11 @@ def _block_edges(df: pd.DataFrame) -> pa.Table:
             for j in range(i + 1, m):
                 if _ed1(ni, nm[j]):
                     ea.append(int(rid[i])); eb.append(int(rid[j]))
-    return pa.table({"a": pa.array(np.asarray(ea, dtype=np.int64)),
-                     "b": pa.array(np.asarray(eb, dtype=np.int64))})
+    ea_parts.append(np.asarray(ea, dtype=np.int64))
+    eb_parts.append(np.asarray(eb, dtype=np.int64))
+    a_all = np.concatenate(ea_parts) if ea_parts else np.zeros(0, np.int64)
+    b_all = np.concatenate(eb_parts) if eb_parts else np.zeros(0, np.int64)
+    return pa.table({"a": pa.array(a_all), "b": pa.array(b_all)})
 
 
 def resolve_entities(ds, *, id_col: str = "id", name_col: str = "name",
