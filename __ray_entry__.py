@@ -571,6 +571,48 @@ def q_cef_kv_events(sf_dir: str):
     )
 
 
+def q_apache_combined_grok(sf_dir: str):
+    """Apache combined-log parsing through the grok BANK pattern
+    %{COMBINEDAPACHELOG} (functions/grok.py — the round-4 upstream
+    core-bank completion): deterministic access-log lines rendered
+    from the events table, parsed by a real compiled grok pipeline
+    with :int type coercion on the response.  The SQL twin recomputes
+    every extracted field from the same rendering expressions (the
+    dissect_access / audio_stats convention)."""
+
+    def render(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t.column("event_type").cast(pa.string()).combine_chunks()
+        S = lambda v: pa.array(v).cast(pa.string())  # noqa: E731
+        J = lambda *parts: pc.binary_join_element_wise(*parts, "")  # noqa: E731
+        tss = pc.cast(t.column("ts"), pa.timestamp("s"), safe=False)
+        httpdate = pc.strftime(tss, format="%d/%b/%Y:%H:%M:%S")
+        if isinstance(httpdate, pa.ChunkedArray):
+            httpdate = httpdate.combine_chunks()
+        line = J("10.0.", S(uid % 200), ".", S(ids % 250),
+                 " - user", S(uid % 97), " [", httpdate, " +0000] \"GET /",
+                 et, "/", S(ids % 50), " HTTP/1.1\" ",
+                 S(200 + (ids % 4) * 100), " ", S(ids % 5000),
+                 " \"http://ref.example/", S(ids % 7), "\" \"agent/",
+                 S(ids % 9), "\"")
+        return pa.table({"event_id": t.column("event_id"), "line": line})
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id", "event_type"])
+    rendered = ds.map_batches(render, batch_format="pyarrow")
+    pipe = {"processors": [
+        {"grok": {"field": "line", "patterns": ["%{COMBINEDAPACHELOG}"]}},
+        {"convert": {"field": "response", "type": "integer"}},
+    ]}
+    out = rendered.map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(
+        out,
+        ["event_id", "clientip", "auth", "timestamp", "verb", "request",
+         "httpversion", "response", "bytes", "referrer", "agent"],
+    )
+
+
 def q_kv_fields(sf_dir: str):
     ds = _filter_starts(read_transcripts(sf_dir), "text", "ip=")
     pipe = {"processors": [{"kv": {"field": "text", "field_split": " ", "value_split": "="}}]}
@@ -4289,6 +4331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_dedup_afp": q_audio_dedup_afp,
         "kcenter_embeddings": q_kcenter_embeddings,
         "kcore_docs": q_kcore_docs,
+        "apache_combined_grok": q_apache_combined_grok,
         "heavy_change_events": q_heavy_change_events,
         "syslog_parse_events": q_syslog_parse_events,
         "mixture_temperature_docs": q_mixture_temperature_docs,
@@ -4792,6 +4835,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.event_type, c.bucket, c.cnt AS cnt, s.med, s.mad, "
             "abs(c.cnt - s.med) > 3.0 * s.mad AS is_anomaly "
             "FROM c JOIN s USING (event_type)"
+        ),
+        "apache_combined_grok": (
+            "SELECT event_id, "
+            "'10.0.' || CAST(user_id % 200 AS VARCHAR) || '.' "
+            "|| CAST(event_id % 250 AS VARCHAR) AS clientip, "
+            "'user' || CAST(user_id % 97 AS VARCHAR) AS auth, "
+            "strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000' AS timestamp, "
+            "'GET' AS verb, "
+            "'/' || event_type || '/' || CAST(event_id % 50 AS VARCHAR) AS request, "
+            "'1.1' AS httpversion, "
+            "CAST(200 + (event_id % 4) * 100 AS BIGINT) AS response, "
+            "CAST(event_id % 5000 AS VARCHAR) AS bytes, "
+            "'\"http://ref.example/' || CAST(event_id % 7 AS VARCHAR) || '\"' AS referrer, "
+            "'\"agent/' || CAST(event_id % 9 AS VARCHAR) || '\"' AS agent "
+            "FROM events"
         ),
         "bm25_topk_docs": (
             "WITH tok AS (SELECT doc_id, t.tok AS token FROM documents, "

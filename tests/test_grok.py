@@ -106,3 +106,75 @@ def test_watchdog_bounds_catastrophic_fallback_pattern():
     assert elapsed < 5.0  # unbounded backtracking would take minutes
     assert out[0].get("tags") == ["_ingest_pipeline_failure"]  # timed-out row fails
     assert "tags" not in out[1]  # the matching row still matches
+
+
+class TestUpstreamCoreBank:
+    """Round-4 bank completion: the remaining upstream core patterns
+    (public logstash-patterns-core grok-patterns file)."""
+
+    def _run(self, pat, line):
+        import numpy as np
+
+        from logstash_filter_elastic_integration_ray.functions.grok import (
+            compile_grok_exprs, match_patterns,
+        )
+
+        matched, fields, _ = match_patterns(
+            np.array([line], dtype=object), compile_grok_exprs([pat]))
+        return bool(matched[0]), {k: v[0] for k, v in fields.items()
+                                  if v[0] not in (None, "")}
+
+    def test_combined_apache_log(self):
+        ok, f = self._run(
+            "%{COMBINEDAPACHELOG}",
+            '10.0.0.9 - alice [10/Oct/2000:13:55:36 -0700] "POST /api/v1 HTTP/1.1"'
+            ' 201 77 "http://ref.example/x" "curl/8.0"')
+        assert ok
+        assert f["clientip"] == "10.0.0.9"
+        assert f["auth"] == "alice"
+        assert f["verb"] == "POST" and f["request"] == "/api/v1"
+        assert f["response"] == "201" and f["bytes"] == "77"
+        assert f["referrer"] == '"http://ref.example/x"'
+        assert f["agent"] == '"curl/8.0"'
+
+    def test_syslogbase_prog_facility(self):
+        ok, f = self._run("%{SYSLOGBASE} %{GREEDYDATA:msg}",
+                          "Aug  9 07:00:00 <13.5> web1 sshd[999]: accepted")
+        assert ok
+        assert f["logsource"] == "web1"
+        assert f["process.name"] == "sshd" and f["process.pid"] == "999"
+        assert f["log.syslog.facility.code"] == "13"
+        assert f["msg"] == "accepted"
+
+    def test_httpd24_errorlog(self):
+        ok, f = self._run(
+            "%{HTTPD24_ERRORLOG}",
+            "[Fri Sep 09 10:42:29 2011] [core:error] [pid 35708:tid 4328636416]"
+            " [client 72.15.99.187:12345] File does not exist: /favicon.ico")
+        assert ok
+        assert f["module"] == "core" and f["loglevel"] == "error"
+        assert f["pid"] == "35708" and f["clientport"] == "12345"
+
+    def test_datestamps_macs_urn(self):
+        for pat, line in [
+            ("%{DATESTAMP_RFC822}", "Tue Aug 19 2026 17:00:00 PST"),
+            ("%{DATESTAMP_RFC2822}", "Tue, 19 Aug 2026 17:00:00 +02:00"),
+            ("%{DATESTAMP_OTHER}", "Tue Aug 19 17:00:00 UTC 2026"),
+            ("%{DATESTAMP_EVENTLOG}", "20260819170000"),
+            ("%{CISCOMAC}", "0123.4567.89ab"),
+            ("%{WINDOWSMAC}", "01-23-45-67-89-ab"),
+            ("%{COMMONMAC}", "01:23:45:67:89:ab"),
+            ("%{URN}", "urn:ietf:rfc:2648"),
+            ("%{BASE16FLOAT}", "0x1f.8"),
+        ]:
+            ok, _ = self._run(pat, line)
+            assert ok, pat
+
+    def test_bank_is_self_consistent(self):
+        # every %{REF} inside the bank resolves (compile the whole bank)
+        from logstash_filter_elastic_integration_ray.functions.grok import (
+            GROK_PATTERNS, compile_grok_exprs,
+        )
+
+        for name in GROK_PATTERNS:
+            compile_grok_exprs(["%{" + name + "}"])
