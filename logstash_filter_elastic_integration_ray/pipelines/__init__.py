@@ -1,5 +1,6 @@
 from .compiler import CompiledPipeline, Step, compile_pipeline, compile_pipeline_set
 from .executor import EventProcessor, RoutingConfig
+from .simulate import simulate
 
 __all__ = [
     "CompiledPipeline",
@@ -8,4 +9,5 @@ __all__ = [
     "compile_pipeline_set",
     "EventProcessor",
     "RoutingConfig",
+    "simulate",
 ]

@@ -1,0 +1,146 @@
+"""Pipeline simulation — the engine's twin of Elasticsearch's
+``POST _ingest/pipeline/_simulate`` (and ``?verbose=true``): run a
+pipeline definition over a handful of documents WITHOUT a Ray cluster
+and, in verbose mode, capture a per-processor trace per document —
+the debugging surface a pipeline author reaches for first.
+
+The executor is a plain callable over Arrow (ColumnBatch), so
+simulation is just driving the same compiled steps one at a time and
+snapshotting between them: nothing here forks the execution semantics
+— ``simulate`` and the distributed engine share EventProcessor's
+``_run_step`` verbatim, including on_failure handling, per-row
+conditional isolation, drop/terminate, and tagging.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..model import ColumnBatch
+from .compiler import compile_pipeline_set
+from .executor import EventProcessor, PipelineState, RoutingConfig
+
+__all__ = ["simulate"]
+
+
+def _rows_to_batch(rows: list[dict]) -> ColumnBatch:
+    keys: list[str] = []
+    for r in rows:
+        for k in r:
+            if k not in keys:
+                keys.append(k)
+    batch = ColumnBatch(num_rows=len(rows))
+    for k in keys:
+        vals = [r.get(k) for r in rows]
+        try:
+            batch.set(k, pa.array(vals))
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            arr = np.empty(len(vals), dtype=object)
+            arr[:] = vals
+            batch.set(k, arr)
+    return batch
+
+
+def _row_snapshot(batch: ColumnBatch, i: int) -> dict:
+    table = batch.to_table(include_private=True)
+    out = {}
+    for name in table.column_names:
+        v = table.column(name)[i].as_py()
+        if v is not None:
+            out[name] = v
+    return out
+
+
+def simulate(pipeline_def: dict, docs: list[dict], *, verbose: bool = False,
+             extra_pipelines: dict | None = None) -> list[dict]:
+    """Run ``pipeline_def`` over ``docs`` (plain dicts).
+
+    - ``verbose=False``: returns the final documents, one dict per
+      input doc (dropped docs come back as ``{"__dropped": True}``).
+    - ``verbose=True``: returns, per doc, ``{"processor_results":
+      [{"processor": "<type[:tag]>", "status": "success" | "skipped" |
+      "dropped" | "error" [, "doc": {...}]}, ...]}`` — one entry per
+      TOP-LEVEL processor, mirroring the verbose simulate shape
+      (sub-pipeline internals run but are not expanded per-step).
+
+    No Ray involvement: the same compiled kernels run inline, so this
+    is safe on a driver, in a REPL, or in a unit test."""
+    defs = {"main": pipeline_def}
+    if extra_pipelines:
+        defs.update(extra_pipelines)
+    pipelines = compile_pipeline_set(defs)
+
+    if not verbose:
+        proc = EventProcessor(
+            pipelines, RoutingConfig(default_pipeline="main", use_datastream=False))
+        table = proc(_rows_to_batch(docs).to_table(include_private=True))
+        out: list[dict] = []
+        dropped_col = ("__meta_dropped" in table.column_names)
+        for i in range(table.num_rows):
+            row = {}
+            for name in table.column_names:
+                v = table.column(name)[i].as_py()
+                if v is not None:
+                    row[name] = v
+            out.append(row)
+        return out
+
+    proc = EventProcessor(
+        pipelines, RoutingConfig(default_pipeline="main", use_datastream=False))
+    pipe = pipelines["main"]
+    batch = _rows_to_batch(docs)
+    n = batch.n
+    state = PipelineState(n)
+    failed_here = np.zeros(n, dtype=bool)
+    traces: list[list[dict]] = [[] for _ in range(n)]
+
+    for step in pipe.steps:
+        active = ~state.inactive() & ~state.local_done & ~failed_here
+        if not active.any():
+            break
+        pre_failed = failed_here | state.failed
+        pre_dropped = state.dropped.copy()
+        cond_skip = np.zeros(n, dtype=bool)
+        if step.condition is not None:
+            try:
+                cond_skip = active & ~step.condition.evaluate(batch)
+            except Exception:
+                # the executor's per-row isolation decides which rows
+                # error; treat none as statically skipped here
+                cond_skip = np.zeros(n, dtype=bool)
+
+        proc._run_step(step, batch, active.copy(), state, ("main",), failed_here)
+
+        now_failed = failed_here | state.failed
+        for i in np.nonzero(active)[0]:
+            if state.dropped[i] and not pre_dropped[i]:
+                status = "dropped"
+            elif now_failed[i] and not pre_failed[i]:
+                status = "error"
+            elif cond_skip[i]:
+                status = "skipped"
+            else:
+                status = "success"
+            rec: dict = {"processor": step.display_name, "status": status}
+            if status in ("success", "error"):
+                rec["doc"] = _row_snapshot(batch, int(i))
+            traces[int(i)].append(rec)
+
+    # pipeline-level on_failure (same semantics run_pipeline applies)
+    if failed_here.any() and pipe.on_failure:
+        recovered = failed_here.copy()
+        sub_failed = np.zeros(n, dtype=bool)
+        for step in pipe.on_failure:
+            act = recovered & ~state.inactive() & ~sub_failed
+            if not act.any():
+                break
+            proc._run_step(step, batch, act, state, ("main",), sub_failed)
+            for i in np.nonzero(act)[0]:
+                traces[int(i)].append({
+                    "processor": f"on_failure:{step.display_name}",
+                    "status": "error" if sub_failed[i] else "success",
+                    "doc": _row_snapshot(batch, int(i)),
+                })
+
+    return [{"processor_results": t} for t in traces]

@@ -1,0 +1,65 @@
+"""simulate() (pipelines/simulate.py): the _simulate / verbose trace
+surface — per-processor status and doc snapshots, shared executor
+semantics (conditions, on_failure, drop), no Ray involvement."""
+
+from logstash_filter_elastic_integration_ray.pipelines.simulate import simulate
+
+
+class TestSimulate:
+    PIPE = {
+        "processors": [
+            {"set": {"field": "a", "value": "one"}},
+            {"uppercase": {"field": "a", "if": "ctx.keep == true"}},
+            {"fail": {"message": "boom", "if": "ctx.bad == true",
+                      "on_failure": [{"set": {"field": "rescued", "value": "yes"}}]}},
+            {"set": {"field": "b", "value": "two"}},
+        ]
+    }
+
+    def test_plain_final_docs(self):
+        out = simulate(self.PIPE, [{"keep": True}, {"keep": False}])
+        assert out[0]["a"] == "ONE" and out[0]["b"] == "two"
+        assert out[1]["a"] == "one" and out[1]["b"] == "two"
+
+    def test_verbose_statuses_and_snapshots(self):
+        out = simulate(self.PIPE, [{"keep": True}, {"keep": False}],
+                       verbose=True)
+        t0 = out[0]["processor_results"]
+        assert [r["status"] for r in t0] == ["success", "success", "skipped", "success"]
+        assert t0[0]["doc"]["a"] == "one"
+        assert t0[1]["doc"]["a"] == "ONE"  # snapshot AFTER the step
+        t1 = out[1]["processor_results"]
+        assert [r["status"] for r in t1] == ["success", "skipped", "skipped", "success"]
+        assert "doc" not in t1[1]
+        assert t1[0]["processor"] == "set"
+
+    def test_verbose_processor_onfailure_recovers(self):
+        out = simulate(self.PIPE, [{"bad": True}], verbose=True)
+        t = out[0]["processor_results"]
+        # the fail processor's own on_failure recovers the row: the
+        # executor reports the step as handled, later steps still run
+        assert t[-1]["processor"] == "set"
+        assert t[-1]["doc"]["rescued"] == "yes"
+        assert t[-1]["doc"]["b"] == "two"
+
+    def test_verbose_drop(self):
+        pipe = {"processors": [
+            {"drop": {"if": "ctx.x > 1"}},
+            {"set": {"field": "later", "value": 1}},
+        ]}
+        out = simulate(pipe, [{"x": 2}, {"x": 0}], verbose=True)
+        t0 = out[0]["processor_results"]
+        assert t0[0]["status"] == "dropped" and len(t0) == 1
+        t1 = out[1]["processor_results"]
+        assert [r["status"] for r in t1] == ["skipped", "success"]
+        final = simulate(pipe, [{"x": 2}, {"x": 0}])
+        assert len(final) == 1 or final[0].get("x") == 0  # dropped row gone
+
+    def test_verbose_sub_pipeline(self):
+        pipe = {"processors": [{"pipeline": {"name": "child"}}]}
+        child = {"processors": [{"set": {"field": "from_child", "value": 1}}]}
+        out = simulate(pipe, [{}], verbose=True,
+                       extra_pipelines={"child": child})
+        t = out[0]["processor_results"]
+        assert t[0]["processor"] == "pipeline"
+        assert t[0]["doc"]["from_child"] == 1
