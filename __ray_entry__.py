@@ -1307,6 +1307,54 @@ def q_perplexity_docs(sf_dir: str):
     return perplexity_score(score, lm_ref)
 
 
+def q_fasttext_quality_docs(sf_dir: str):
+    """fastText-style hashed-n-gram linear classifier (the GPT-3/LLaMA
+    "quality model" slot — Joulin et al., EACL 2017): log1p hashed
+    unigram+bigram bucket features (shared DEFINITIONAL featurizer,
+    stages/fasttext.py:doc_features), trained with the quantized-int64
+    full-batch GD trainer (stages/logreg.py — one (d+1)-long int64 row
+    per batch per step, tree-merged worker-side, bit-identical under
+    any batching), scored in ONE streaming pass.  Train side: doc_id %
+    3 == 0; labels: doc contains the token "spark" (92% held-out
+    accuracy vs 77% base at sf0.001).  Fixture oracle from the plain
+    one-shot-numpy reference
+    (tools/reference_impls.py:fasttext_quality_reference)."""
+    from logstash_filter_elastic_integration_ray.stages.fasttext import (
+        fasttext_fit,
+        fasttext_score,
+        token_presence_labels,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    train = _mod_filter(docs, "doc_id", 3, 0, True)
+    score = _mod_filter(docs, "doc_id", 3, 0, False)
+    w = fasttext_fit(train, label_fn=token_presence_labels, n_iters=100, lr=2.0)
+    return fasttext_score(score, w)
+
+
+def q_kn_perplexity_docs(sf_dir: str):
+    """Interpolated Kneser–Ney trigram perplexity (the KenLM/CCNet
+    discipline, vs the Stupid-Backoff bigram above): trigram/bigram
+    TYPE tables with component-hash satellites tree-reduce worker-side,
+    the driver builds seven continuation-count lookup tables
+    (stages/lm.py:KnTrigramLM) and broadcasts once; every scored doc
+    is ONE streaming pass — three rolling-hash arrays, seven
+    searchsorted probes, one segmented reduceat.  Fixture oracle from
+    the string-keyed plain reference
+    (tools/reference_impls.py:kn_perplexity_reference); bit-identical
+    floats under any batching."""
+    from logstash_filter_elastic_integration_ray.stages.lm import (
+        kn_perplexity_score,
+        train_kn_lm,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    train = _mod_filter(docs, "doc_id", 5, 0, True)
+    score = _mod_filter(docs, "doc_id", 5, 0, False)
+    lm_ref = train_kn_lm(train)
+    return kn_perplexity_score(score, lm_ref)
+
+
 def q_dsir_select_docs(sf_dir: str):
     """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
     bucket models fit on the target slice (doc_id % 7 == 0 stands in
@@ -4322,7 +4370,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # through r3.  Previously-green queries follow.
     return {
         # round-4 additions — never driver-sampled, so they lead
-        # (seventh session first: newest never-checked entries)
+        # (eighth session first: newest never-checked entries)
+        "kn_perplexity_docs": q_kn_perplexity_docs,
+        "fasttext_quality_docs": q_fasttext_quality_docs,
         "cef_kv_events": q_cef_kv_events,
         "mad_anomaly_events": q_mad_anomaly_events,
         "pair_spans_events": q_pair_spans_events,
@@ -5042,6 +5092,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kmeans_embeddings": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/kmeans_embeddings.sf0_01.parquet')"
+        ),
+        "kn_perplexity_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/kn_perplexity_docs.sf0_01.parquet')"
+        ),
+        "fasttext_quality_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/fasttext_quality_docs.sf0_01.parquet')"
         ),
         "perplexity_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/perplexity_docs.sf0_01.parquet')"

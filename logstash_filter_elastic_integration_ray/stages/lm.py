@@ -227,3 +227,273 @@ def perplexity_score(ds, lm_ref, *, text_col: str = "text", id_col: str = "doc_i
         return pa.table({id_col: t.column(id_col), "logppl": pa.array(logppl)})
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser–Ney trigram LM (the KenLM/CCNet discipline)
+# ---------------------------------------------------------------------------
+#
+# Published design this follows (public results only):
+#
+# - Kneser & Ney (ICASSP 1995) / Chen & Goodman (1998): interpolated
+#   KN smoothing — absolute discount D at every order, lower orders
+#   use CONTINUATION counts (how many distinct contexts a gram
+#   completes), not raw counts.
+# - CCNet (Wenzek et al., LREC 2020) scores web text with a KenLM
+#   5-gram KN model trained on Wikipedia; the trigram order here keeps
+#   the model table driver-buildable while exercising the full KN
+#   recursion (highest order on raw counts, middle on continuation
+#   counts, unigram on continuation counts interpolated with uniform).
+#
+# Exact formula (shared VERBATIM with
+# tools/reference_impls.py:kn_perplexity_reference — keep in sync):
+#
+#   p1(w)    = max(N1+(.w) - D, 0)/B + (D * W1 / B) * (1/(U+1))
+#              (1/(U+1) when B == 0)
+#   p2(w|v)  = (max(N1+(.vw) - D, 0) + D * N1+(v.) * p1(w)) / N1+(.v.)
+#              when N1+(.v.) > 0, else p1(w)
+#   p3(w|uv) = (max(c3(uvw) - D, 0) + D * N1+(uv.) * p2(w|v)) / c*(uv)
+#              when c*(uv) > 0, else p2(w|v)
+#   logppl   = -(1/T) * sum_i log2(p_i),  position 0 -> p1,
+#              position 1 -> p2, positions >= 2 -> p3; 0.0 for T == 0
+#
+# where B = distinct bigram types, U = distinct unigram types, W1 =
+# distinct bigram-suffix types, N1+(.w)/N1+(v.) from the bigram type
+# set, N1+(.vw)/N1+(.v.)/N1+(uv.) from the trigram type set, and
+# c*(uv) = sum_w c3(uvw) (the trigram-prefix marginal, so the highest
+# order normalizes over exactly the mass it distributes).
+#
+# Shape at 100 TB: identical to the bigram LM above — the train side
+# is small-by-contract (CCNet trains on curated GBs to score crawled
+# TBs).  Per-batch partials carry the distinct-type tables WITH the
+# component hashes each derived count groups on (prefix / suffix /
+# middle ride as satellite columns — deterministic functions of the
+# type, so any occurrence's value is THE value); the fan-in-64 tree
+# merge folds them worker-side and the driver groups the final pruned
+# tables with O(model) numpy passes.  Scoring is ONE streaming
+# map_batches pass: three rolling-hash arrays, seven searchsorted
+# probes, one segmented add.reduceat.
+
+#: KN absolute discount (the standard fixed value; Chen & Goodman's
+#: estimated D = n1/(n1+2*n2) is corpus-dependent — a FIXED discount
+#: keeps the fixture contract independent of count-of-count noise).
+KN_D = 0.75
+
+from .decontam import _GRAM_B  # noqa: E402  (rolling base shared with gram_hashes)
+
+
+def _type_table(h: np.ndarray, *sats: np.ndarray):
+    """Distinct-type count table with satellite columns.
+
+    Returns (sorted unique hashes, int64 counts, sat0 at first
+    occurrence, sat1 ...).  Satellites are deterministic functions of
+    the type, so the first occurrence's value is the value."""
+    if len(h) == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                *[np.empty(0, s.dtype) for s in sats])
+    order = np.argsort(h, kind="mergesort")
+    hs = h[order]
+    starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+    counts = np.diff(np.r_[starts, len(hs)]).astype(np.int64)
+    return (hs[starts], counts, *[s[order][starts] for s in sats])
+
+
+def _merge_typed(hs, cs, sats_list):
+    """Merge sorted (hash, count, satellites...) tables: concat +
+    mergesort + add.reduceat on counts; satellites at segment starts."""
+    h = np.concatenate(hs)
+    if len(h) == 0:
+        return (h.astype(np.uint64), np.empty(0, np.int64),
+                *[np.empty(0, s[0].dtype if len(s) else np.uint64) for s in sats_list])
+    c = np.concatenate(cs)
+    sats = [np.concatenate(s) for s in sats_list]
+    order = np.argsort(h, kind="mergesort")
+    h, c = h[order], c[order]
+    starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+    return (h[starts], np.add.reduceat(c, starts),
+            *[s[order][starts] for s in sats])
+
+
+_KN_COLS = ("tri_h", "tri_c", "tri_pre", "tri_suf", "tri_v",
+            "bi_h", "bi_c", "bi_pre", "bi_suf", "uni_h", "uni_c")
+_KN_DTYPES = {"tri_c": np.int64, "bi_c": np.int64, "uni_c": np.int64}
+
+
+def _kn_pack(**arrs) -> pa.Table:
+    return pa.table({k: pa.array([arrs[k].tobytes()], type=pa.binary())
+                     for k in _KN_COLS})
+
+
+def _kn_unpack(row: dict) -> dict:
+    return {k: np.frombuffer(row[k], dtype=_KN_DTYPES.get(k, np.uint64))
+            for k in _KN_COLS}
+
+
+def _kn_train_partial(t: pa.Table, text_col: str) -> pa.Table:
+    fh, counts = flat_token_hashes(t.column(text_col))
+    n = len(fh)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    # raw rolling hashes over ALL start positions (validity masked below)
+    bh_raw = fh[:-1] * _GRAM_B + fh[1:] if n >= 2 else np.empty(0, np.uint64)
+    th_raw = (bh_raw[:-1] * _GRAM_B + fh[2:]) if n >= 3 else np.empty(0, np.uint64)
+    intra1 = doc_idx[:-1] == doc_idx[1:] if n >= 2 else np.empty(0, bool)
+    intra2 = (doc_idx[:-2] == doc_idx[2:]) if n >= 3 else np.empty(0, bool)
+
+    bh = bh_raw[intra1]
+    bi_pre_u = fh[:-1][intra1]   # v of (v, w)
+    bi_suf_u = fh[1:][intra1]    # w of (v, w)
+    th = th_raw[intra2]
+    tri_pre = bh_raw[:-1][intra2]   # bigram hash of (u, v)
+    tri_suf = bh_raw[1:][intra2]    # bigram hash of (v, w)
+    tri_v = fh[1:-1][intra2]        # middle token v
+
+    t_h, t_c, t_pre, t_suf, t_v = _type_table(th, tri_pre, tri_suf, tri_v)
+    b_h, b_c, b_pre, b_suf = _type_table(bh, bi_pre_u, bi_suf_u)
+    u_h, u_c = _count_table(fh)
+    return _kn_pack(tri_h=t_h, tri_c=t_c, tri_pre=t_pre, tri_suf=t_suf,
+                    tri_v=t_v, bi_h=b_h, bi_c=b_c, bi_pre=b_pre,
+                    bi_suf=b_suf, uni_h=u_h, uni_c=u_c)
+
+
+def _kn_merge_batch(t: pa.Table) -> pa.Table:
+    rows = [_kn_unpack(r) for r in t.to_pylist()]
+    t_h, t_c, t_pre, t_suf, t_v = _merge_typed(
+        [r["tri_h"] for r in rows], [r["tri_c"] for r in rows],
+        [[r["tri_pre"] for r in rows], [r["tri_suf"] for r in rows],
+         [r["tri_v"] for r in rows]])
+    b_h, b_c, b_pre, b_suf = _merge_typed(
+        [r["bi_h"] for r in rows], [r["bi_c"] for r in rows],
+        [[r["bi_pre"] for r in rows], [r["bi_suf"] for r in rows]])
+    u_h, u_c = _merge_tables([r["uni_h"] for r in rows],
+                             [r["uni_c"] for r in rows])
+    return _kn_pack(tri_h=t_h, tri_c=t_c, tri_pre=t_pre, tri_suf=t_suf,
+                    tri_v=t_v, bi_h=b_h, bi_c=b_c, bi_pre=b_pre,
+                    bi_suf=b_suf, uni_h=u_h, uni_c=u_c)
+
+
+def _group_count(keys: np.ndarray, weights: np.ndarray | None = None):
+    """(sorted unique keys, per-key sum of weights — or type count)."""
+    if len(keys) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    order = np.argsort(keys, kind="mergesort")
+    k = keys[order]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    if weights is None:
+        return k[starts], np.diff(np.r_[starts, len(k)]).astype(np.int64)
+    return k[starts], np.add.reduceat(weights[order], starts)
+
+
+class KnTrigramLM:
+    """Broadcast payload: seven sorted lookup tables + four scalars."""
+
+    def __init__(self, m: dict):
+        # highest order: raw trigram counts + prefix marginals
+        self.tri_h, self.tri_c = m["tri_h"], m["tri_c"]
+        self.pre_h, self.pre_cstar = _group_count(m["tri_pre"], m["tri_c"])
+        _, self.pre_t3p = _group_count(m["tri_pre"])
+        # middle order: continuation counts from trigram types
+        self.suf_h, self.suf_cont2 = _group_count(m["tri_suf"])
+        self.mid_h, self.mid_c = _group_count(m["tri_v"])
+        # from bigram types: N1+(v.), N1+(.w), B, W1
+        self.t2p_h, self.t2p_c = _group_count(m["bi_pre"])
+        self.cont1_h, self.cont1_c = _group_count(m["bi_suf"])
+        self.B = int(len(m["bi_h"]))
+        self.W1 = int(len(self.cont1_h))
+        self.U = int(len(m["uni_h"]))
+
+
+def train_kn_lm(ref_corpus, *, text_col: str = "text"):
+    """Count trigram/bigram/unigram TYPE tables of the reference corpus
+    (component hashes riding as satellites), tree-reduce worker-side,
+    build the seven KN lookup tables on the driver, broadcast once."""
+    from .sketches import _tree_merge
+
+    partials = ref_corpus.map_batches(
+        lambda t: _kn_train_partial(t, text_col), batch_format="pyarrow")
+    rows = [_kn_unpack(r) for r in _tree_merge(partials, _kn_merge_batch).take_all()]
+    if rows:
+        t_h, t_c, t_pre, t_suf, t_v = _merge_typed(
+            [r["tri_h"] for r in rows], [r["tri_c"] for r in rows],
+            [[r["tri_pre"] for r in rows], [r["tri_suf"] for r in rows],
+             [r["tri_v"] for r in rows]])
+        b_h, b_c, b_pre, b_suf = _merge_typed(
+            [r["bi_h"] for r in rows], [r["bi_c"] for r in rows],
+            [[r["bi_pre"] for r in rows], [r["bi_suf"] for r in rows]])
+        u_h, u_c = _merge_tables([r["uni_h"] for r in rows],
+                                 [r["uni_c"] for r in rows])
+    else:  # empty train corpus
+        e_u, e_i = np.empty(0, np.uint64), np.empty(0, np.int64)
+        t_h = t_pre = t_suf = t_v = b_h = b_pre = b_suf = u_h = e_u
+        t_c = b_c = u_c = e_i
+    return ray.put(KnTrigramLM({
+        "tri_h": t_h, "tri_c": t_c, "tri_pre": t_pre, "tri_suf": t_suf,
+        "tri_v": t_v, "bi_h": b_h, "bi_c": b_c, "bi_pre": b_pre,
+        "bi_suf": b_suf, "uni_h": u_h, "uni_c": u_c}))
+
+
+def _kn_score_arrays(lm: KnTrigramLM, fh: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-doc KN log2-perplexity over the flat token-hash array.
+
+    Keep the float expressions in sync with
+    tools/reference_impls.py:kn_perplexity_reference — the fixture
+    contract is bitwise."""
+    n_docs = len(counts)
+    out = np.zeros(n_docs, dtype=np.float64)
+    n = len(fh)
+    if n == 0:
+        return out
+    D = np.float64(KN_D)
+    unif = np.float64(1.0) / (np.float64(lm.U) + np.float64(1.0))
+
+    # level 1 — every position
+    cont1 = _lookup(lm.cont1_h, lm.cont1_c, fh).astype(np.float64)
+    if lm.B > 0:
+        B = np.float64(lm.B)
+        p1 = np.maximum(cont1 - D, 0.0) / B + (D * np.float64(lm.W1) / B) * unif
+    else:
+        p1 = np.full(n, unif, dtype=np.float64)
+
+    s = p1.copy()
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+
+    if n >= 2:
+        bh_raw = fh[:-1] * _GRAM_B + fh[1:]
+        intra1 = doc_idx[:-1] == doc_idx[1:]
+        cont2 = _lookup(lm.suf_h, lm.suf_cont2, bh_raw).astype(np.float64)
+        mid = _lookup(lm.mid_h, lm.mid_c, fh[:-1]).astype(np.float64)
+        t2p = _lookup(lm.t2p_h, lm.t2p_c, fh[:-1]).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p2_num = (np.maximum(cont2 - D, 0.0) + D * t2p * p1[1:])
+            p2_cond = np.where(mid > 0, p2_num / np.maximum(mid, 1.0), p1[1:])
+        s[1:] = np.where(intra1, p2_cond, p1[1:])
+
+        if n >= 3:
+            th_raw = bh_raw[:-1] * _GRAM_B + fh[2:]
+            intra2 = doc_idx[:-2] == doc_idx[2:]
+            c3 = _lookup(lm.tri_h, lm.tri_c, th_raw).astype(np.float64)
+            cstar = _lookup(lm.pre_h, lm.pre_cstar, bh_raw[:-1]).astype(np.float64)
+            t3p = _lookup(lm.pre_h, lm.pre_t3p, bh_raw[:-1]).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p3_num = (np.maximum(c3 - D, 0.0) + D * t3p * p2_cond[1:])
+                p3_cond = np.where(cstar > 0, p3_num / np.maximum(cstar, 1.0),
+                                   p2_cond[1:])
+            s[2:] = np.where(intra2, p3_cond, s[2:])
+
+    logs = np.log2(s)
+    nz = counts > 0
+    starts = np.r_[0, np.cumsum(counts)][:-1][nz]
+    sums = np.add.reduceat(logs, starts) if len(starts) else np.empty(0)
+    out[nz] = -sums / counts[nz].astype(np.float64)
+    return out
+
+
+def kn_perplexity_score(ds, lm_ref, *, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, kn_logppl) per corpus doc — one streaming vectorized pass."""
+
+    def probe(t: pa.Table) -> pa.Table:
+        lm = ray.get(lm_ref)
+        fh, counts = flat_token_hashes(t.column(text_col))
+        logppl = _kn_score_arrays(lm, fh, counts)
+        return pa.table({id_col: t.column(id_col), "kn_logppl": pa.array(logppl)})
+
+    return ds.map_batches(probe, batch_format="pyarrow")

@@ -92,12 +92,16 @@ def _merge_grad_batch(t: pa.Table) -> pa.Table:
 
 
 def logreg_fit(ds, *, label_fn, n_iters: int = 20, lr: float = 1.0,
-               emb_col: str = "embedding") -> np.ndarray:
+               emb_col: str = "embedding", feats_fn=None) -> np.ndarray:
     """Full-batch gradient descent; returns the (d+1,) weight vector.
 
     ``label_fn(batch) -> float64 {0,1} array`` derives the target from
     the batch (a column read or a deterministic rule), so the label
     never needs a separate shuffle-joined table.
+
+    ``feats_fn(batch) -> (n, d) float64`` overrides the default
+    feature read (the ``emb_col`` matrix) — the hashed-text classifier
+    (``stages/fasttext.py``) plugs its featurizer in here.
 
     The input is materialized first (the iterative-loop-state idiom,
     same as :func:`stages.clustering.semdedup`): the loop consumes it
@@ -111,7 +115,8 @@ def logreg_fit(ds, *, label_fn, n_iters: int = 20, lr: float = 1.0,
         w_ref = ray.put(w)
 
         def batch_grad(batch: pa.Table) -> pa.Table:
-            x = _to_matrix(batch.column(emb_col))
+            x = (feats_fn(batch) if feats_fn is not None
+                 else _to_matrix(batch.column(emb_col)))
             cur = ray.get(w_ref)
             if cur is None:
                 cur = np.zeros(x.shape[1] + 1, dtype=np.float64)

@@ -161,3 +161,134 @@ class TestPerplexityKernel:
             .reset_index(drop=True)
         )
         assert (got["logppl"].to_numpy() == exp["logppl"].to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------
+# interpolated Kneser–Ney trigram LM (stages/lm.py KN section)
+# ---------------------------------------------------------------------------
+
+def _kn_ref_df(mod=5):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import reference_impls as ref
+
+    ids, texts = ref.load_documents(SF)
+    return ref.kn_perplexity_reference(ids, texts, mod=mod)
+
+
+def _kn_run(repart=None):
+    from logstash_filter_elastic_integration_ray.stages.lm import (
+        kn_perplexity_score,
+        train_kn_lm,
+    )
+
+    docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    lm_ref = train_kn_lm(_split(docs, True))
+    score = _split(docs, False)
+    if repart:
+        score = score.repartition(repart)
+    return (
+        kn_perplexity_score(score, lm_ref)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+class TestKnPerplexityDistributed:
+    def test_matches_reference_bitwise(self, ray_session):
+        exp = _kn_ref_df().sort_values("doc_id").reset_index(drop=True)
+        got = _kn_run()
+        assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+        assert (got["kn_logppl"].to_numpy() == exp["kn_logppl"].to_numpy()).all()
+
+    def test_batch_split_invariance(self, ray_session):
+        a = _kn_run()
+        b = _kn_run(repart=17)
+        assert (a["kn_logppl"].to_numpy() == b["kn_logppl"].to_numpy()).all()
+
+    def test_scores_are_positive_and_finite(self, ray_session):
+        v = _kn_run()["kn_logppl"].to_numpy()
+        assert np.isfinite(v).all()
+        assert (v > 0).all()
+
+
+def _kn_lm_from_texts(texts):
+    """Single-process KN model via the same kernels (no Ray reduce)."""
+    from logstash_filter_elastic_integration_ray.stages.lm import (
+        KnTrigramLM,
+        _kn_train_partial,
+        _kn_unpack,
+    )
+
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    row = _kn_train_partial(t, "text").to_pylist()[0]
+    return KnTrigramLM(_kn_unpack(row))
+
+
+def _kn_score_texts(lm, texts):
+    from logstash_filter_elastic_integration_ray.stages.decontam import (
+        flat_token_hashes,
+    )
+    from logstash_filter_elastic_integration_ray.stages.lm import _kn_score_arrays
+
+    fh, counts = flat_token_hashes(pa.array(texts, type=pa.string()))
+    return _kn_score_arrays(lm, fh, counts)
+
+
+def _kn_ref_score(train_texts, score_texts):
+    """Reference scores via the string-keyed dict impl (mod split:
+    even synthetic ids = train, odd = score)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import reference_impls as ref
+
+    ids = np.array(
+        [2 * i for i in range(len(train_texts))]
+        + [2 * i + 1 for i in range(len(score_texts))], dtype=np.int64)
+    texts = list(train_texts) + list(score_texts)
+    return ref.kn_perplexity_reference(ids, texts, mod=2)["kn_logppl"].to_numpy()
+
+
+class TestKnPerplexityKernel:
+    def test_trigram_path_matches_dict_reference(self):
+        train = ["a b a b c", "a b c d e a b"]
+        score = ["a b c", "b a b a", "z z z", "a"]
+        lm = _kn_lm_from_texts(train)
+        got = _kn_score_texts(lm, score)
+        exp = _kn_ref_score(train, score)
+        assert (got == exp).all()
+
+    def test_oov_doc_is_finite(self):
+        lm = _kn_lm_from_texts(["a b c a b"])
+        s = _kn_score_texts(lm, ["x y z"])
+        assert np.isfinite(s).all() and (s > 0).all()
+
+    def test_null_and_empty_text(self):
+        lm = _kn_lm_from_texts(["a b c"])
+        s = _kn_score_texts(lm, [None, ""])
+        assert np.isfinite(s).all()
+        assert s[0] == s[1]
+
+    def test_single_and_two_token_docs_use_lower_orders(self):
+        train = ["a b a b c"]
+        lm = _kn_lm_from_texts(train)
+        got = _kn_score_texts(lm, ["a", "a b"])
+        exp = _kn_ref_score(train, ["a", "a b"])
+        assert (got == exp).all()
+
+    def test_empty_train_corpus(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.lm import (
+            kn_perplexity_score,
+            train_kn_lm,
+        )
+
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        empty = docs.filter(lambda r: False)
+        lm_ref = train_kn_lm(empty)
+        lm = ray.get(lm_ref)
+        assert lm.B == 0 and lm.U == 0
+        got = kn_perplexity_score(docs.limit(5), lm_ref).to_pandas()
+        assert np.isfinite(got["kn_logppl"].to_numpy()).all()

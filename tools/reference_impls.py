@@ -1887,3 +1887,136 @@ def kcore_reference(edges) -> pd.DataFrame:
 def kcore_docs_reference(sf_dir: str) -> pd.DataFrame:
     ids, _texts = load_documents(sf_dir)
     return kcore_reference(pagerank_edges_for_docs(ids, len(ids)))
+
+
+# ---------------------------------------------------------------------------
+# interpolated Kneser–Ney trigram perplexity — plain single-node
+# reference: string/tuple-keyed dict type tables (NO hashing, so an
+# engine-side 64-bit hash collision would surface as a mismatch),
+# per-doc scoring with the formula shared verbatim with
+# stages/lm.py:_kn_score_arrays.  Train side: doc_id % 5 == 0; score
+# side: the rest (the decontamination split convention).
+# ---------------------------------------------------------------------------
+
+def kn_perplexity_reference(ids, texts, *, mod: int = 5) -> pd.DataFrame:
+    D = np.float64(0.75)
+    ZERO = np.float64(0.0)
+    c3: dict = {}
+    bi_types: set = set()
+    uni: set = set()
+    for i, t in zip(ids, texts):
+        if i % mod != 0:
+            continue
+        toks = (t or "").split(" ")
+        uni.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            bi_types.add((a, b))
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            c3[(a, b, c)] = c3.get((a, b, c), 0) + 1
+
+    cont1: dict = {}
+    t2p: dict = {}
+    for v, w in bi_types:
+        cont1[w] = cont1.get(w, 0) + 1
+        t2p[v] = t2p.get(v, 0) + 1
+    cont2: dict = {}
+    mid: dict = {}
+    t3p: dict = {}
+    cstar: dict = {}
+    for (u, v, w), c in c3.items():
+        cont2[(v, w)] = cont2.get((v, w), 0) + 1
+        mid[v] = mid.get(v, 0) + 1
+        t3p[(u, v)] = t3p.get((u, v), 0) + 1
+        cstar[(u, v)] = cstar.get((u, v), 0) + c
+
+    B = np.float64(len(bi_types))
+    W1 = np.float64(len(cont1))
+    U = len(uni)
+    unif = np.float64(1.0) / (np.float64(U) + np.float64(1.0))
+
+    def p1_of(w) -> np.float64:
+        if B <= 0:
+            return unif
+        c1 = np.float64(cont1.get(w, 0))
+        return np.maximum(c1 - D, ZERO) / B + (D * W1 / B) * unif
+
+    out_ids, out_ppl = [], []
+    for i, t in zip(ids, texts):
+        if i % mod == 0:
+            continue
+        toks = (t or "").split(" ")
+        s = np.empty(len(toks), dtype=np.float64)
+        for j, w in enumerate(toks):
+            p1 = p1_of(w)
+            if j == 0:
+                s[j] = p1
+                continue
+            v = toks[j - 1]
+            m = np.float64(mid.get(v, 0))
+            if m > 0:
+                c2 = np.float64(cont2.get((v, w), 0))
+                tp = np.float64(t2p.get(v, 0))
+                p2 = (np.maximum(c2 - D, ZERO) + D * tp * p1) / m
+            else:
+                p2 = p1
+            if j == 1:
+                s[j] = p2
+                continue
+            u = toks[j - 2]
+            cs = np.float64(cstar.get((u, v), 0))
+            if cs > 0:
+                cc3 = np.float64(c3.get((u, v, w), 0))
+                tp3 = np.float64(t3p.get((u, v), 0))
+                s[j] = (np.maximum(cc3 - D, ZERO) + D * tp3 * p2) / cs
+            else:
+                s[j] = p2
+        out_ids.append(int(i))
+        if len(toks):
+            tot = np.add.reduceat(np.log2(s), [0])[0]
+            out_ppl.append(float(-tot / np.float64(len(toks))))
+        else:
+            out_ppl.append(0.0)
+    return pd.DataFrame({"doc_id": np.array(out_ids, dtype=np.int64),
+                         "kn_logppl": np.array(out_ppl, dtype=np.float64)})
+
+
+# ---------------------------------------------------------------------------
+# fastText-style hashed-n-gram quality classifier — plain single-node
+# reference: shared DEFINITIONAL featurizer (stages/fasttext.py
+# doc_features, called one doc at a time — bucket collisions are part
+# of the feature definition, the stages/dsir.py policy), INDEPENDENT
+# machinery (one-shot numpy training loop via logreg_reference, not
+# the broadcast + tree-merge the fixture validates).  Train side:
+# doc_id % 3 == 0; labels: the doc's space-split tokens contain
+# "spark" (a content signal the hashed features carry — measured 92%
+# held-out accuracy vs a 77% base rate at sf0.001).
+# ---------------------------------------------------------------------------
+
+def fasttext_quality_reference(ids, texts, *, mod: int = 3, d: int = 256,
+                               token: str = "spark", n_iters: int = 100,
+                               lr: float = 2.0) -> pd.DataFrame:
+    from logstash_filter_elastic_integration_ray.stages.fasttext import doc_features
+    from logstash_filter_elastic_integration_ray.stages.logreg import (
+        logreg_reference,
+        margin,
+        sigmoid,
+    )
+
+    feats = []
+    for t in texts:
+        tab = pa.table({"text": pa.array([t], type=pa.string())})
+        feats.append(doc_features(tab, "text", d)[0])
+    x = np.stack(feats)
+    y = np.array([1.0 if token in (t or "").split(" ") else 0.0
+                  for t in texts])
+
+    train = ids % mod == 0
+    w = logreg_reference(x[train], y[train], n_iters=n_iters, lr=lr)
+
+    score_mask = ~train
+    p = sigmoid(margin(x[score_mask], w))
+    return pd.DataFrame({
+        "doc_id": ids[score_mask].astype(np.int64),
+        "score": p,
+        "pred": p >= 0.5,
+    })
