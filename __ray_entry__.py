@@ -244,6 +244,28 @@ def q_transcripts_jsonl_gz(sf_dir: str):
     return _project(ds, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
 
 
+def q_transcripts_jsonl_zst(sf_dir: str):
+    """Ninth source-format round trip: zstd-compressed JSONL — the
+    compression modern corpus dumps (RedPajama/Dolma-style shards)
+    actually use (sources/jsonl.py: write_jsonl_zst/read_jsonl_zst:
+    deterministic zstd frames, retry-safe datasink filenames; workers
+    decompress + ndjson-parse their own shards).  Must match the SAME
+    oracle as the parquet source."""
+    from logstash_filter_elastic_integration_ray.sources.io import ensure_cache_dir
+    from logstash_filter_elastic_integration_ray.sources.jsonl import (
+        read_jsonl_zst,
+        write_jsonl_zst,
+    )
+
+    out = ensure_cache_dir(
+        f"/tmp/graft_jsonlzst/{_cache_tag(sf_dir)}",
+        lambda d: write_jsonl_zst(read_transcripts(sf_dir), d,
+                                  timestamp_cols=["ts"]),
+    )
+    ds = read_jsonl_zst(out, timestamp_cols=["ts"])
+    return _project(ds, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
 def q_transcripts_ipc(sf_dir: str):
     """Seventh source-format round trip: Arrow IPC stream files (the
     zero-parse Arrow-native interchange — the on-disk layout IS the
@@ -4373,6 +4395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (eighth session first: newest never-checked entries)
         "kn_perplexity_docs": q_kn_perplexity_docs,
         "fasttext_quality_docs": q_fasttext_quality_docs,
+        "transcripts_jsonl_zst": q_transcripts_jsonl_zst,
         "cef_kv_events": q_cef_kv_events,
         "mad_anomaly_events": q_mad_anomaly_events,
         "pair_spans_events": q_pair_spans_events,
@@ -4862,6 +4885,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_orc": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "transcripts_avro": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "transcripts_jsonl_gz": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
+        "transcripts_jsonl_zst": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "transcripts_ipc": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "transcripts_tfrecord": T("SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
         "grok_toolcalls": T(

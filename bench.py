@@ -343,6 +343,41 @@ def run_bench() -> dict:
 
     timed("perplexity_dup_heavy_16x", perplexity_dup_heavy, reps=1)
 
+    def kn_perplexity_dup_heavy():
+        # same CCNet shape, Kneser–Ney trigram order: train-side type
+        # tables stay O(reference corpus); the 16× score side is one
+        # streaming pass with seven searchsorted probes per batch
+        from logstash_filter_elastic_integration_ray.stages.lm import (
+            kn_perplexity_score,
+            train_kn_lm,
+        )
+
+        ref_corpus = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                                        columns=["doc_id", "text"])
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        lm = train_kn_lm(ref_corpus)
+        return kn_perplexity_score(heavy, lm).count()
+
+    timed("kn_perplexity_dup_heavy_16x", kn_perplexity_dup_heavy, reps=1)
+
+    def fasttext_16x():
+        # classifier trained on the base corpus (the small labeled
+        # side), 16× corpus scored in one streaming pass; each of the
+        # 30 gradient steps moves one 257-int64 row per batch
+        from logstash_filter_elastic_integration_ray.stages.fasttext import (
+            fasttext_fit,
+            fasttext_score,
+            token_presence_labels,
+        )
+
+        base = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                                  columns=["doc_id", "text"])
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        w = fasttext_fit(base, label_fn=token_presence_labels, n_iters=30, lr=2.0)
+        return fasttext_score(heavy, w).count()
+
+    timed("fasttext_16x", fasttext_16x, reps=1)
+
     def semdedup_16x():
         # cluster-then-near-dup at the 16× stress input; k scales with
         # n (the published recipe) so within-cluster all-pairs stays

@@ -86,21 +86,21 @@ class _JsonlGzDatasink:
                     super().__init__(path, file_format="jsonl.gz")
 
                 def write_block_to_file(self, block, file) -> None:
-                    import gzip
-                    import io
                     import json
 
+                    # plain ndjson bytes: the datasink's own stream is
+                    # ALREADY gzip-compressing (Ray infers the codec
+                    # from the file_format suffix) — compressing here
+                    # too would double-wrap the file, breaking zcat
+                    # and every external single-compressed dump
+                    # (Arrow's gzip header carries no mtime, so shard
+                    # bytes stay deterministic under write-task retry)
                     t = block.to_arrow()
-                    buf = io.BytesIO()
-                    # mtime=0: deterministic bytes, so a RETRIED write
-                    # task reproduces its shard exactly
-                    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
-                        for row in t.to_pylist():
-                            gz.write(json.dumps(
-                                row, ensure_ascii=False,
-                                separators=(",", ":")).encode("utf-8"))
-                            gz.write(b"\n")
-                    file.write(buf.getvalue())
+                    for row in t.to_pylist():
+                        file.write(json.dumps(
+                            row, ensure_ascii=False,
+                            separators=(",", ":")).encode("utf-8"))
+                        file.write(b"\n")
 
             cls._cls = JsonlGzDatasink
         return cls._cls
@@ -128,23 +128,125 @@ def write_jsonl_gz(ds, out_dir: str, *, timestamp_cols: list[str] | None = None)
 
 
 def read_jsonl_gz(path, *, timestamp_cols: list[str] | None = None, **kwargs):
-    """Read gzip JSONL file(s): workers decompress + parse their own
-    shards (one pyarrow ndjson parse per file), the driver sees only
-    paths; listed timestamp columns restore to ``timestamp[us]``."""
+    """Read gzip JSONL file(s): workers parse their own shards (Ray's
+    binary reader already decompresses — codec inferred from the .gz
+    extension — so the batch holds plain ndjson bytes; one pyarrow
+    ndjson parse per file), the driver sees only paths; listed
+    timestamp columns restore to ``timestamp[us]``."""
     import ray.data as rd
 
     ds = rd.read_binary_files(path, file_extensions=["gz"], **kwargs)
     ts_cols = timestamp_cols or []
 
     def decode(t: pa.Table) -> pa.Table:
-        import gzip
-
         from pyarrow import json as pa_json
 
-        parts = [
-            pa_json.read_json(pa.BufferReader(gzip.decompress(b.as_py())))
-            for b in t.column("bytes")
-        ]
+        parts = []
+        for b in t.column("bytes"):
+            raw = b.as_py()
+            # an empty member (header-only gzip of a zero-row block)
+            # parses to zero rows, never crashes the read
+            if len(raw) == 0:
+                continue
+            parts.append(pa_json.read_json(pa.BufferReader(raw)))
+        if not parts:
+            return pa.table({})
+        out = pa.concat_tables(parts)
+        for c in ts_cols:
+            if c in out.column_names:
+                i = out.column_names.index(c)
+                col = out.column(c)
+                if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                    out = out.set_column(i, c, pc.cast(col, pa.timestamp("us")))
+                elif pa.types.is_temporal(col.type) and col.type != pa.timestamp("us"):
+                    out = out.set_column(i, c, pc.cast(col, pa.timestamp("us")))
+        return out.replace_schema_metadata(None)
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# zstd-compressed JSONL (the compression modern crawl/corpus dumps —
+# Common Crawl WET mirrors, RedPajama/Dolma shards — actually use)
+# ---------------------------------------------------------------------------
+
+
+class _JsonlZstDatasink:
+    """Lazy holder so importing this module never imports Ray."""
+
+    _cls = None
+
+    @classmethod
+    def get(cls):
+        if cls._cls is None:
+            from ray.data.datasource import BlockBasedFileDatasink
+
+            class JsonlZstDatasink(BlockBasedFileDatasink):
+                def __init__(self, path: str):
+                    super().__init__(path, file_format="jsonl.zst")
+
+                def write_block_to_file(self, block, file) -> None:
+                    import json
+
+                    # plain ndjson bytes — the datasink stream is
+                    # already zstd-compressing (codec inferred from
+                    # the file_format suffix); zstd frames carry no
+                    # timestamp, so shard bytes stay deterministic
+                    # under write-task retry
+                    t = block.to_arrow()
+                    for row in t.to_pylist():
+                        file.write(json.dumps(
+                            row, ensure_ascii=False,
+                            separators=(",", ":")).encode("utf-8"))
+                        file.write(b"\n")
+
+            cls._cls = JsonlZstDatasink
+        return cls._cls
+
+
+def write_jsonl_zst(ds, out_dir: str, *, timestamp_cols: list[str] | None = None) -> str:
+    """Sharded zstd JSONL via a file datasink — retry-safe filenames
+    owned by Ray's write protocol, deterministic zstd frames.
+    Timestamps serialize as ISO strings exactly like :func:`write_jsonl`."""
+    ts_cols = timestamp_cols or []
+    if ts_cols:
+
+        def to_iso(t: pa.Table) -> pa.Table:
+            for c in ts_cols:
+                if c in t.column_names:
+                    i = t.column_names.index(c)
+                    col = t.column(c)
+                    if pa.types.is_temporal(col.type):
+                        t = t.set_column(i, c, pc.cast(col, pa.string()))
+            return t
+
+        ds = ds.map_batches(to_iso, batch_format="pyarrow")
+    ds.write_datasink(_JsonlZstDatasink.get()(out_dir))
+    return out_dir
+
+
+def read_jsonl_zst(path, *, timestamp_cols: list[str] | None = None, **kwargs):
+    """Read zstd JSONL file(s): workers parse their own shards (Ray's
+    binary reader already decompresses — codec inferred from the .zst
+    extension — so the batch holds plain ndjson bytes; one pyarrow
+    ndjson parse per file), the driver sees only paths; listed
+    timestamp columns restore to ``timestamp[us]``."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(path, file_extensions=["zst"], **kwargs)
+    ts_cols = timestamp_cols or []
+
+    def decode(t: pa.Table) -> pa.Table:
+        from pyarrow import json as pa_json
+
+        parts = []
+        for b in t.column("bytes"):
+            raw = b.as_py()
+            # an empty frame parses to zero rows, never crashes the
+            # read (the orcsrc empty-batch class)
+            if len(raw) == 0:
+                continue
+            parts.append(pa_json.read_json(pa.BufferReader(raw)))
         if not parts:
             return pa.table({})
         out = pa.concat_tables(parts)

@@ -1,0 +1,102 @@
+"""zstd-JSONL source/sink round trip (sources/jsonl.py): dataset-level
+equality with the parquet source, timestamp restoration, deterministic
+frame bytes, and empty-input behavior."""
+
+import glob
+import os
+
+import pyarrow as pa
+
+from logstash_filter_elastic_integration_ray.sources.jsonl import (
+    read_jsonl_zst,
+    write_jsonl_zst,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _transcripts():
+    from logstash_filter_elastic_integration_ray.sources.transcripts import (
+        read_transcripts,
+    )
+
+    return read_transcripts(SF)
+
+
+def test_round_trip_matches_source(ray_session, tmp_path):
+    src = _transcripts()
+    exp = (src.to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    out = str(tmp_path / "zst")
+    write_jsonl_zst(src, out, timestamp_cols=["ts"])
+    assert glob.glob(os.path.join(out, "*.jsonl.zst"))
+    got = (read_jsonl_zst(out, timestamp_cols=["ts"]).to_pandas()
+           [list(exp.columns)]
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert got["ts"].dtype == exp["ts"].dtype
+    # JSON carries no integer width — turn_idx comes back int64
+    # (the driver oracle's canonical compare is width-insensitive too)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_deterministic_bytes(ray_session, tmp_path):
+    """zstd frames carry no timestamp — two writes of the same block
+    produce identical bytes (the retry-safety contract)."""
+    t = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    import ray.data as rd
+
+    paths = []
+    for sub in ("one", "two"):
+        out = str(tmp_path / sub)
+        write_jsonl_zst(rd.from_arrow(t), out)
+        (p,) = glob.glob(os.path.join(out, "*.jsonl.zst"))
+        paths.append(p)
+    with open(paths[0], "rb") as f1, open(paths[1], "rb") as f2:
+        assert f1.read() == f2.read()
+
+
+def test_empty_frame_among_shards(ray_session, tmp_path):
+    """A shard holding an empty zstd frame must parse to zero rows and
+    concat cleanly with real shards, not crash the read (the ADVICE r3
+    orcsrc empty-batch class).  Ray itself never writes one (empty
+    datasets write no files), but a resumed/external layout can."""
+    out = tmp_path / "mix"
+    out.mkdir()
+    buf = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(buf, "zstd") as z:
+        z.write(b'{"a":1}\n')
+    (out / "0.jsonl.zst").write_bytes(buf.getvalue().to_pybytes())
+    empty = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(empty, "zstd") as z:
+        pass
+    (out / "1.jsonl.zst").write_bytes(empty.getvalue().to_pybytes())
+    got = read_jsonl_zst(str(out)).to_pandas()
+    assert len(got) == 1 and got["a"].tolist() == [1]
+
+
+def test_external_single_compressed_shards_read(ray_session, tmp_path):
+    """Interop: shards compressed by EXTERNAL tools (single zstd/gzip
+    layer — the format real corpus dumps ship in) must read.  The
+    double-compression regression this pins: the original datasink
+    compressed inside write_block_to_file while Ray's datasink stream
+    compressed again, so externally-produced files crashed the read."""
+    import gzip
+
+    from logstash_filter_elastic_integration_ray.sources.jsonl import read_jsonl_gz
+
+    zout = tmp_path / "z"
+    zout.mkdir()
+    buf = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(buf, "zstd") as z:
+        z.write(b'{"a":1}\n{"a":2}\n')
+    (zout / "ext.jsonl.zst").write_bytes(buf.getvalue().to_pybytes())
+    got = read_jsonl_zst(str(zout)).to_pandas()
+    assert sorted(got["a"].tolist()) == [1, 2]
+
+    gout = tmp_path / "g"
+    gout.mkdir()
+    (gout / "ext.jsonl.gz").write_bytes(gzip.compress(b'{"a":7}\n'))
+    got = read_jsonl_gz(str(gout)).to_pandas()
+    assert got["a"].tolist() == [7]
