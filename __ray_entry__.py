@@ -1329,6 +1329,28 @@ def q_perplexity_docs(sf_dir: str):
     return perplexity_score(score, lm_ref)
 
 
+def q_perplexity_gap_docs(sf_dir: str):
+    """Excess-loss (DoReMi/RHO-style) data-selection signal: TWO
+    Stupid-Backoff bigram LMs — one trained on the curated slice
+    (doc_id % 5 == 0), one on the raw remainder — both broadcast once;
+    every scored doc gets logppl under each and the gap in ONE
+    streaming pass (stages/lm.py:perplexity_gap_score).  Fixture
+    oracle from the two-dict plain reference
+    (tools/reference_impls.py:perplexity_gap_reference); bit-identical
+    floats under any batching."""
+    from logstash_filter_elastic_integration_ray.stages.lm import (
+        perplexity_gap_score,
+        train_bigram_lm,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ref_side = _mod_filter(docs, "doc_id", 5, 0, True)
+    corpus_side = _mod_filter(docs, "doc_id", 5, 0, False)
+    lm_ref = train_bigram_lm(ref_side)
+    lm_corpus = train_bigram_lm(corpus_side)
+    return perplexity_gap_score(corpus_side, lm_ref, lm_corpus)
+
+
 def q_fasttext_quality_docs(sf_dir: str):
     """fastText-style hashed-n-gram linear classifier (the GPT-3/LLaMA
     "quality model" slot — Joulin et al., EACL 2017): log1p hashed
@@ -4395,6 +4417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (eighth session first: newest never-checked entries)
         "kn_perplexity_docs": q_kn_perplexity_docs,
         "fasttext_quality_docs": q_fasttext_quality_docs,
+        "perplexity_gap_docs": q_perplexity_gap_docs,
         "transcripts_jsonl_zst": q_transcripts_jsonl_zst,
         "cef_kv_events": q_cef_kv_events,
         "mad_anomaly_events": q_mad_anomaly_events,
@@ -5122,6 +5145,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fasttext_quality_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/fasttext_quality_docs.sf0_01.parquet')"
+        ),
+        "perplexity_gap_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/perplexity_gap_docs.sf0_01.parquet')"
         ),
         "perplexity_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/perplexity_docs.sf0_01.parquet')"

@@ -497,3 +497,33 @@ def kn_perplexity_score(ds, lm_ref, *, text_col: str = "text", id_col: str = "do
         return pa.table({id_col: t.column(id_col), "kn_logppl": pa.array(logppl)})
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def perplexity_gap_score(ds, lm_ref_ref, lm_corpus_ref, *,
+                         text_col: str = "text", id_col: str = "doc_id"):
+    """Excess-loss data selection signal (the DoReMi/RHO-loss shape,
+    published as public results: score each example by the DIFFERENCE
+    between a reference-corpus model's loss and the corpus' own
+    model's loss; examples the curated reference likes more than the
+    raw corpus does are the ones worth keeping).
+
+    Both broadcast LMs score every doc in ONE streaming pass —
+    ``gap = logppl_ref − logppl_corpus`` (negative = looks like the
+    curated reference).  Same scale contract as
+    :func:`perplexity_score`: driver state is two pruned count-table
+    models, nothing proportional to the scored corpus moves."""
+
+    def probe(t: pa.Table) -> pa.Table:
+        lm_r = ray.get(lm_ref_ref)
+        lm_c = ray.get(lm_corpus_ref)
+        fh, counts = flat_token_hashes(t.column(text_col))
+        ppl_ref = _score_arrays(lm_r, fh, counts)
+        ppl_corpus = _score_arrays(lm_c, fh, counts)
+        return pa.table({
+            id_col: t.column(id_col),
+            "logppl_ref": pa.array(ppl_ref),
+            "logppl_corpus": pa.array(ppl_corpus),
+            "gap": pa.array(ppl_ref - ppl_corpus),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")

@@ -292,3 +292,38 @@ class TestKnPerplexityKernel:
         assert lm.B == 0 and lm.U == 0
         got = kn_perplexity_score(docs.limit(5), lm_ref).to_pandas()
         assert np.isfinite(got["kn_logppl"].to_numpy()).all()
+
+
+class TestPerplexityGap:
+    def test_matches_reference_bitwise(self, ray_session):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        from logstash_filter_elastic_integration_ray.stages.lm import (
+            perplexity_gap_score,
+        )
+
+        ids, texts = ref.load_documents(SF)
+        exp = (ref.perplexity_gap_reference(ids, texts)
+               .sort_values("doc_id").reset_index(drop=True))
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        lm_ref = train_bigram_lm(_split(docs, True))
+        lm_corpus = train_bigram_lm(_split(docs, False))
+        got = (perplexity_gap_score(_split(docs, False), lm_ref, lm_corpus)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        for c in ("logppl_ref", "logppl_corpus", "gap"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+    def test_gap_is_difference(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.lm import (
+            perplexity_gap_score,
+        )
+
+        docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        lm_ref = train_bigram_lm(_split(docs, True))
+        lm_corpus = train_bigram_lm(_split(docs, False))
+        got = perplexity_gap_score(_split(docs, False).limit(50), lm_ref, lm_corpus).to_pandas()
+        assert (got["gap"].to_numpy()
+                == got["logppl_ref"].to_numpy() - got["logppl_corpus"].to_numpy()).all()

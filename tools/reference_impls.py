@@ -2020,3 +2020,64 @@ def fasttext_quality_reference(ids, texts, *, mod: int = 3, d: int = 256,
         "score": p,
         "pred": p >= 0.5,
     })
+
+
+# ---------------------------------------------------------------------------
+# perplexity-gap (excess-loss) selection — plain single-node
+# reference: TWO string-keyed Stupid-Backoff bigram models (reference
+# slice = doc_id % 5 == 0, corpus model = the rest), every scored doc
+# evaluated by both with the formula shared verbatim with
+# stages/lm.py:_score_arrays; gap = ref − corpus.
+# ---------------------------------------------------------------------------
+
+def perplexity_gap_reference(ids, texts, *, mod: int = 5) -> pd.DataFrame:
+    ALPHA = 0.4
+
+    def train(select):
+        uni: dict = {}
+        bi: dict = {}
+        n_total = 0
+        for i, t in zip(ids, texts):
+            if not select(i):
+                continue
+            toks = (t or "").split(" ")
+            n_total += len(toks)
+            for w in toks:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(toks, toks[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        return uni, bi, n_total
+
+    def score(model, toks):
+        uni, bi, n_total = model
+        n = np.float64(max(n_total, 1))
+        s = np.empty(len(toks), dtype=np.float64)
+        for j, w in enumerate(toks):
+            cu = np.float64(uni.get(w, 0))
+            s_uni = cu / n if cu > 0 else np.float64(ALPHA) / n
+            if j == 0:
+                s[j] = s_uni
+            else:
+                cp = np.float64(uni.get(toks[j - 1], 0))
+                cb = np.float64(bi.get((toks[j - 1], w), 0))
+                s[j] = cb / cp if (cb > 0 and cp > 0) else np.float64(ALPHA) * s_uni
+        if len(toks) == 0:
+            return 0.0
+        tot = np.add.reduceat(np.log2(s), [0])[0]
+        return float(-tot / np.float64(len(toks)))
+
+    m_ref = train(lambda i: i % mod == 0)
+    m_corpus = train(lambda i: i % mod != 0)
+
+    out_ids, out_r, out_c = [], [], []
+    for i, t in zip(ids, texts):
+        if i % mod == 0:
+            continue
+        toks = (t or "").split(" ")
+        out_ids.append(int(i))
+        out_r.append(score(m_ref, toks))
+        out_c.append(score(m_corpus, toks))
+    r = np.array(out_r, dtype=np.float64)
+    c = np.array(out_c, dtype=np.float64)
+    return pd.DataFrame({"doc_id": np.array(out_ids, dtype=np.int64),
+                         "logppl_ref": r, "logppl_corpus": c, "gap": r - c})
