@@ -1329,6 +1329,39 @@ def q_perplexity_docs(sf_dir: str):
     return perplexity_score(score, lm_ref)
 
 
+def q_pq_topk_embeddings(sf_dir: str):
+    """Product-quantization ANN (Jégou et al., TPAMI 2011 — the
+    IVF-PQ compression path): (m=16, k=32) codebooks trained in the
+    k-means blob-reduce shape (one streaming pass per iteration, an
+    (m·k·d_sub)-int64 blob per batch is all that moves), the corpus
+    encoded to 16 bytes/vector (16× compression of float32×64; 0.50
+    recall@10 vs the exact L2 baseline at sf0.001), top-k
+    answered by an exact-int64 ADC scan over the code column
+    (stages/pq.py).  Queries: vec_id % 100 == 0; corpus: the rest.
+    Fixture oracle from the per-subspace plain reference
+    (tools/reference_impls.py:pq_topk_reference); deterministic ranks
+    under any batching (dist asc, neighbor_id asc)."""
+    import numpy as np
+
+    from logstash_filter_elastic_integration_ray.stages.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    books = pq_train(emb, m=16, k=32, n_iters=8)
+    q_rows = sorted(
+        _mod_filter(emb, "vec_id", 100, 0, True).take_all(),
+        key=lambda r: r["vec_id"])
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    qids = [r["vec_id"] for r in q_rows]
+    corpus = _mod_filter(emb, "vec_id", 100, 0, False)
+    codes = pq_encode(corpus, books)
+    return pq_topk(codes, books, queries, qids, topk=10)
+
+
 def q_perplexity_gap_docs(sf_dir: str):
     """Excess-loss (DoReMi/RHO-style) data-selection signal: TWO
     Stupid-Backoff bigram LMs — one trained on the curated slice
@@ -4418,6 +4451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_perplexity_docs": q_kn_perplexity_docs,
         "fasttext_quality_docs": q_fasttext_quality_docs,
         "perplexity_gap_docs": q_perplexity_gap_docs,
+        "pq_topk_embeddings": q_pq_topk_embeddings,
         "transcripts_jsonl_zst": q_transcripts_jsonl_zst,
         "cef_kv_events": q_cef_kv_events,
         "mad_anomaly_events": q_mad_anomaly_events,
@@ -5148,6 +5182,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "perplexity_gap_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/perplexity_gap_docs.sf0_01.parquet')"
+        ),
+        "pq_topk_embeddings": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/pq_topk_embeddings.sf0_01.parquet')"
         ),
         "perplexity_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/perplexity_docs.sf0_01.parquet')"

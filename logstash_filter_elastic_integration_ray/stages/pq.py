@@ -1,0 +1,212 @@
+"""Product quantization for embedding compression + ADC top-k search
+(Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011 — the published design behind FAISS's IVF-PQ).
+
+Why this exists at 100 TB: float32 embeddings at web scale are the
+single largest byte volume in a curation pipeline (10⁹ docs × 1024
+dims = 4 TB).  PQ stores m bytes per vector (here 8) — a 32–512×
+compression — and answers top-k with an asymmetric distance
+computation (ADC): per query, ONE (m × k) lookup table of exact
+subspace distances, then each candidate scores as m table lookups.
+The scan never touches floats.
+
+Shape: training is the k-means loop shape (``stages/clustering.py``)
+run over all m subspaces in ONE pass per iteration — per batch the
+only thing that moves is an (m·k·d_sub + m·k)-int64 blob; encoding and
+scanning are stateless streaming passes with the codebooks broadcast
+once.  Top-k merges through per-batch local partials, the
+``stages/similarity.py`` pattern.
+
+Determinism contract (extends the k-means fixed-point contract):
+subvectors quantize to int64 via the SHARED ``quantize`` kernel,
+assignments/updates are exact integer arithmetic with first-min
+tie-breaks, ADC distances are exact int64 sums, and final ranking
+sorts (distance asc, neighbor_id asc) — bit-identical under any
+batching and reproduced exactly by the plain single-process reference
+(tools/reference_impls.py:pq_topk_reference).
+
+Reference parity note: the reference plugin has no vector stage — this
+is an engine-native training-data operator (SURVEY §2.9), the
+compressed-ANN counterpart of the IVF layout in stages/similarity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .clustering import assign_clusters, partial_sums, quantize, update_centroids
+from .similarity import _to_matrix
+
+
+def _split_dims(d: int, m: int) -> int:
+    if d % m != 0:
+        raise ValueError(f"embedding dim {d} not divisible into m={m} subspaces")
+    return d // m
+
+
+def _pack_blob(sums: np.ndarray, counts: np.ndarray) -> pa.Table:
+    return pa.table({
+        "sums": pa.array([sums.tobytes()], type=pa.binary()),
+        "counts": pa.array([counts.tobytes()], type=pa.binary()),
+    })
+
+
+def _unpack_blob(row: dict, m: int, k: int, dsub: int):
+    s = np.frombuffer(row["sums"], dtype=np.int64).reshape(m, k, dsub)
+    c = np.frombuffer(row["counts"], dtype=np.int64).reshape(m, k)
+    return s, c
+
+
+def pq_train(ds, *, m: int = 8, k: int = 16, n_iters: int = 8,
+             id_col: str = "vec_id", emb_col: str = "embedding") -> np.ndarray:
+    """Fit the (m, k, d_sub) int64 codebooks.
+
+    Init: each subspace starts from the subvectors of the k globally
+    smallest ids (the :func:`stages.clustering.kmeans_fit` rule — any
+    id space, deterministic, duplicate ids raise).  Each iteration is
+    ONE streaming pass; all m subspaces update together."""
+
+    def local_smallest(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, emb_col])
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) <= k:
+            return t
+        keep = np.argpartition(ids, k)[:k]
+        return t.take(pa.array(np.sort(keep)))
+
+    init_rows = ds.map_batches(local_smallest, batch_format="pyarrow").take_all()
+    init_rows.sort(key=lambda r: r[id_col])
+    init_rows = init_rows[:k]
+    seen = [r[id_col] for r in init_rows]
+    if len(set(seen)) != len(seen):
+        raise ValueError(f"duplicate ids among the {k} smallest: deterministic init impossible")
+    if len(init_rows) < k:
+        raise ValueError(f"need at least k={k} rows for init, got {len(init_rows)}")
+    init = quantize(np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in init_rows]))
+    d = init.shape[1]
+    dsub = _split_dims(d, m)
+    books = np.stack([init[:, j * dsub:(j + 1) * dsub].copy() for j in range(m)])
+
+    for _ in range(n_iters):
+        books_ref = ray.put(books)
+
+        def batch_partials(batch: pa.Table) -> pa.Table:
+            bks = ray.get(books_ref)
+            x_int = quantize(_to_matrix(batch.column(emb_col)))
+            sums = np.empty((m, k, dsub), dtype=np.int64)
+            counts = np.empty((m, k), dtype=np.int64)
+            for j in range(m):
+                xj = x_int[:, j * dsub:(j + 1) * dsub]
+                a = assign_clusters(xj, bks[j])
+                s, c = partial_sums(xj, a, k)
+                sums[j], counts[j] = s, c
+            return _pack_blob(sums, counts)
+
+        def merge_block(t: pa.Table) -> pa.Table:
+            acc_s = np.zeros((m, k, dsub), dtype=np.int64)
+            acc_c = np.zeros((m, k), dtype=np.int64)
+            for row in t.to_pylist():
+                s, c = _unpack_blob(row, m, k, dsub)
+                acc_s += s
+                acc_c += c
+            return _pack_blob(acc_s, acc_c)
+
+        partials = ds.map_batches(batch_partials, batch_format="pyarrow")
+        merged = partials.repartition(8).map_batches(
+            merge_block, batch_format="pyarrow", batch_size=None)
+        acc_s = np.zeros((m, k, dsub), dtype=np.int64)
+        acc_c = np.zeros((m, k), dtype=np.int64)
+        for row in merged.take_all():
+            s, c = _unpack_blob(row, m, k, dsub)
+            acc_s += s
+            acc_c += c
+        books = np.stack([
+            update_centroids(books[j], acc_s[j], acc_c[j]) for j in range(m)])
+    return books
+
+
+def pq_encode(ds, books: np.ndarray, *, id_col: str = "vec_id",
+              emb_col: str = "embedding"):
+    """(id, codes) per row — codes is a fixed_size_list<uint8>[m]
+    column (m bytes per vector, the whole point of PQ)."""
+    m, k, dsub = books.shape
+    books_ref = ray.put(books)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bks = ray.get(books_ref)
+        x_int = quantize(_to_matrix(batch.column(emb_col)))
+        n = x_int.shape[0]
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            codes[:, j] = assign_clusters(
+                x_int[:, j * dsub:(j + 1) * dsub], bks[j]).astype(np.uint8)
+        flat = pa.array(codes.reshape(-1), type=pa.uint8())
+        return pa.table({
+            id_col: batch.column(id_col),
+            "codes": pa.FixedSizeListArray.from_arrays(flat, m),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _adc_luts(books: np.ndarray, q_int: np.ndarray) -> np.ndarray:
+    """(nq, m, k) int64 exact subspace squared distances."""
+    m, k, dsub = books.shape
+    nq = q_int.shape[0]
+    luts = np.empty((nq, m, k), dtype=np.int64)
+    for j in range(m):
+        qj = q_int[:, j * dsub:(j + 1) * dsub]          # (nq, dsub)
+        diff = qj[:, None, :] - books[j][None, :, :]     # (nq, k, dsub)
+        luts[:, j, :] = np.einsum("qkd,qkd->qk", diff, diff)
+    return luts
+
+
+def pq_topk(codes_ds, books: np.ndarray, queries: np.ndarray, query_ids,
+            topk: int = 10, *, id_col: str = "vec_id"):
+    """(query_id, neighbor_id, rank) — ADC scan over the code column.
+
+    Per batch: m uint8 gathers + one sum per candidate, a per-query
+    local top-k partial (≤ topk rows per query per batch moves), final
+    merge per query with (distance asc, neighbor_id asc) determinism."""
+    import pandas as pd
+
+    m = books.shape[0]
+    q_int = quantize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    luts_ref = ray.put(_adc_luts(books, q_int))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        luts = ray.get(luts_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        codes_col = batch.column("codes")
+        if isinstance(codes_col, pa.ChunkedArray):
+            codes_col = codes_col.combine_chunks()
+        codes = codes_col.flatten().to_numpy(zero_copy_only=False).reshape(-1, m)
+        out_q, out_id, out_d = [], [], []
+        ar = np.arange(m)
+        for qi in range(len(qids)):
+            dist = luts[qi][ar[None, :], codes].sum(axis=1)
+            kk = min(topk, len(dist))
+            top = np.argpartition(dist, kk - 1)[:kk] if len(dist) > kk else np.arange(len(dist))
+            out_q.extend([int(qids[qi])] * len(top))
+            out_id.extend(ids[top].tolist())
+            out_d.extend(dist[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_id, type=pa.int64()),
+            "dist": pa.array(out_d, type=pa.int64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["dist", "neighbor_id"],
+                          ascending=[True, True], kind="mergesort").head(topk)
+        return pa.table({
+            "query_id": pa.array(g["query_id"].to_numpy(), type=pa.int64()),
+            "neighbor_id": pa.array(g["neighbor_id"].to_numpy(), type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+        })
+
+    partials = codes_ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -2081,3 +2081,62 @@ def perplexity_gap_reference(ids, texts, *, mod: int = 5) -> pd.DataFrame:
     c = np.array(out_c, dtype=np.float64)
     return pd.DataFrame({"doc_id": np.array(out_ids, dtype=np.int64),
                          "logppl_ref": r, "logppl_corpus": c, "gap": r - c})
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ADC top-k — plain single-node reference: shared
+# DEFINITIONAL kernels (quantize / assign_clusters / update_centroids —
+# the k-means fixed-point contract), INDEPENDENT machinery (per-subspace
+# kmeans_reference loops over the id-ordered matrix, a dense (n, m)
+# code matrix, one brute ADC scan per query, plain lexsort ranking —
+# not the blob tree-reduce / per-batch partial merge the fixture
+# validates).  Queries: vec_id % 100 == 0; corpus: the rest.
+# ---------------------------------------------------------------------------
+
+def pq_topk_reference(sf_dir: str, *, m: int = 16, k: int = 32,
+                      n_iters: int = 8, topk: int = 10) -> pd.DataFrame:
+    from logstash_filter_elastic_integration_ray.stages.clustering import (
+        assign_clusters,
+        kmeans_reference,
+        quantize,
+    )
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    order = np.argsort(ids, kind="mergesort")
+    ids, mat = ids[order], mat[order]
+
+    d = mat.shape[1]
+    dsub = d // m
+    # codebooks: per-subspace k-means over ALL rows (train side = the
+    # full table, the engine's pq_train input), id-ordered init
+    books = []
+    for j in range(m):
+        _, cent = kmeans_reference(mat[:, j * dsub:(j + 1) * dsub], k=k, n_iters=n_iters)
+        books.append(cent)
+
+    q_mask = ids % 100 == 0
+    x_int = quantize(mat)
+    codes = np.empty((len(ids), m), dtype=np.int64)
+    for j in range(m):
+        codes[:, j] = assign_clusters(x_int[:, j * dsub:(j + 1) * dsub], books[j])
+
+    out_q, out_n, out_r = [], [], []
+    corpus_ids = ids[~q_mask]
+    corpus_codes = codes[~q_mask]
+    for qi in np.flatnonzero(q_mask):
+        qv = x_int[qi]
+        lut = np.empty((m, k), dtype=np.int64)
+        for j in range(m):
+            diff = qv[j * dsub:(j + 1) * dsub][None, :] - books[j]
+            lut[j] = np.einsum("kd,kd->k", diff, diff)
+        dist = lut[np.arange(m)[None, :], corpus_codes].sum(axis=1)
+        sel = np.lexsort((corpus_ids, dist))[:topk]
+        out_q.extend([int(ids[qi])] * len(sel))
+        out_n.extend(corpus_ids[sel].tolist())
+        out_r.extend(range(1, len(sel) + 1))
+    return pd.DataFrame({"query_id": np.array(out_q, dtype=np.int64),
+                         "neighbor_id": np.array(out_n, dtype=np.int64),
+                         "rank": np.array(out_r, dtype=np.int64)})
