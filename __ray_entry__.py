@@ -1362,6 +1362,47 @@ def q_pq_topk_embeddings(sf_dir: str):
     return pq_topk(codes, books, queries, qids, topk=10)
 
 
+def q_ivfpq_topk_embeddings(sf_dir: str):
+    """IVF-PQ — the composed FAISS-style scale path: the coarse
+    inverted file prunes at the READ (only nprobe bucket directories
+    open) and the layout stores ONLY 16-byte PQ codes + ids (floats
+    never reach disk), so probe cost scales with nprobe/nlist × 16 B
+    per candidate (stages/pq.py:build_ivfpq_layout/ivfpq_topk).
+    Fixture oracle from the dense in-memory plain reference
+    (tools/reference_impls.py:ivfpq_topk_reference)."""
+    import numpy as np
+    import pyarrow.parquet as pqt
+
+    from logstash_filter_elastic_integration_ray.sources.io import ensure_cache_dir
+    from logstash_filter_elastic_integration_ray.stages.pq import (
+        build_ivfpq_layout,
+        ivfpq_topk,
+        pq_train,
+    )
+    from logstash_filter_elastic_integration_ray.stages.similarity import (
+        IvfIndex,
+        _to_matrix,
+    )
+
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    sample = _to_matrix(
+        pqt.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).column("embedding")
+    )[:2048]
+    index = IvfIndex(sample)
+    books = pq_train(emb, m=16, k=32, n_iters=8)
+    layout = ensure_cache_dir(
+        f"/tmp/graft_ivfpq/{_cache_tag(sf_dir)}",
+        lambda d: build_ivfpq_layout(emb, index, books, d),
+    )
+    q_rows = sorted(
+        _mod_filter(emb, "vec_id", 100, 0, True).take_all(),
+        key=lambda r: r["vec_id"])
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    qids = [r["vec_id"] for r in q_rows]
+    return ivfpq_topk(layout, index, books, queries, qids, topk=10, nprobe=4)
+
+
 def q_perplexity_gap_docs(sf_dir: str):
     """Excess-loss (DoReMi/RHO-style) data-selection signal: TWO
     Stupid-Backoff bigram LMs — one trained on the curated slice
@@ -4452,6 +4493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fasttext_quality_docs": q_fasttext_quality_docs,
         "perplexity_gap_docs": q_perplexity_gap_docs,
         "pq_topk_embeddings": q_pq_topk_embeddings,
+        "ivfpq_topk_embeddings": q_ivfpq_topk_embeddings,
         "transcripts_jsonl_zst": q_transcripts_jsonl_zst,
         "cef_kv_events": q_cef_kv_events,
         "mad_anomaly_events": q_mad_anomaly_events,
@@ -5185,6 +5227,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pq_topk_embeddings": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/pq_topk_embeddings.sf0_01.parquet')"
+        ),
+        "ivfpq_topk_embeddings": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/ivfpq_topk_embeddings.sf0_01.parquet')"
         ),
         "perplexity_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/perplexity_docs.sf0_01.parquet')"

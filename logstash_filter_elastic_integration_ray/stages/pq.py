@@ -210,3 +210,117 @@ def pq_topk(codes_ds, books: np.ndarray, queries: np.ndarray, query_ids,
 
     partials = codes_ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed FAISS-style scale path — coarse inverted-file
+# partitioning (prune at the READ) over PQ codes (16 bytes/vector on
+# disk).  At 10⁹ vectors the probe reads nprobe/nlist of the corpus
+# and only the code column: pruning × compression stack.
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_layout(ds, index, books: np.ndarray, out_dir: str, *,
+                       id_col: str = "vec_id", emb_col: str = "embedding") -> str:
+    """One pass: coarse-assign each vector (``IvfIndex``), PQ-encode
+    it, and write a bucket-partitioned parquet layout holding ONLY
+    (id, codes, bucket_id) — the float embeddings never reach the
+    layout, which is the storage win (16 B + id per vector)."""
+    m, k, dsub = books.shape
+    books_ref = ray.put(books)
+
+    def tag(t: pa.Table) -> pa.Table:
+        bks = ray.get(books_ref)
+        mat = _to_matrix(t.column(emb_col))
+        buckets = index.assign(mat)
+        x_int = quantize(mat)
+        n = x_int.shape[0]
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            codes[:, j] = assign_clusters(
+                x_int[:, j * dsub:(j + 1) * dsub], bks[j]).astype(np.uint8)
+        flat = pa.array(codes.reshape(-1), type=pa.uint8())
+        return pa.table({
+            id_col: t.column(id_col),
+            "codes": pa.FixedSizeListArray.from_arrays(flat, m),
+            "bucket": pa.array(buckets.astype(np.int64)),
+            "bucket_id": pa.array(buckets.astype(np.int64)),
+        })
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"])
+    return out_dir
+
+
+def ivfpq_topk(layout_dir: str, index, books: np.ndarray,
+               queries: np.ndarray, query_ids, topk: int = 10, *,
+               nprobe: int = 4, exclude_self: bool = True,
+               id_col: str = "vec_id"):
+    """(query_id, neighbor_id, rank) over the persisted IVF-PQ layout:
+    per query the ``nprobe`` nearest coarse centroids pick bucket
+    directories; ONLY those parquet files are opened, each batch runs
+    the ADC scan for just the queries probing its bucket, and the
+    final merge ranks (distance asc, neighbor_id asc)."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from ..sources.io import read_parquet_clean
+    from .similarity import _normalize
+
+    m = books.shape[0]
+    qf = np.asarray(queries, dtype=np.float64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    probes = np.argsort(-(_normalize(qf) @ index.centroids.T), axis=1)[:, :nprobe]
+    probe_union = sorted({int(x) for x in probes.ravel()})
+    paths = [
+        f
+        for b in probe_union
+        for f in sorted(glob.glob(os.path.join(layout_dir, f"bucket={b}", "*.parquet")))
+    ]
+    luts_ref = ray.put(_adc_luts(books, quantize(qf)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        luts = ray.get(luts_ref)
+        buckets = batch.column("bucket_id").to_numpy().astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        codes_col = batch.column("codes")
+        if isinstance(codes_col, pa.ChunkedArray):
+            codes_col = codes_col.combine_chunks()
+        codes = codes_col.flatten().to_numpy(zero_copy_only=False).reshape(-1, m)
+        ar = np.arange(m)
+        out_q, out_id, out_d = [], [], []
+        for qi in range(len(qids)):
+            mask = np.isin(buckets, probes[qi])
+            if not mask.any():
+                continue
+            cand_ids = ids[mask]
+            dist = luts[qi][ar[None, :], codes[mask]].sum(axis=1)
+            kk = min(topk + 1, len(dist))  # +1 to survive self-removal
+            top = (np.argpartition(dist, kk - 1)[:kk]
+                   if len(dist) > kk else np.arange(len(dist)))
+            out_q.extend([int(qids[qi])] * len(top))
+            out_id.extend(cand_ids[top].tolist())
+            out_d.extend(dist[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_id, type=pa.int64()),
+            "dist": pa.array(out_d, type=pa.int64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        qid = int(g["query_id"].iloc[0])
+        if exclude_self:
+            g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["dist", "neighbor_id"],
+                          ascending=[True, True], kind="mergesort").head(topk)
+        return pa.table({
+            "query_id": pa.array(g["query_id"].to_numpy(), type=pa.int64()),
+            "neighbor_id": pa.array(g["neighbor_id"].to_numpy(), type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+        })
+
+    ds = read_parquet_clean(paths)
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

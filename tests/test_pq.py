@@ -96,3 +96,62 @@ class TestPqDistributed:
             approx = set(got[got["query_id"] == qids[qi]]["neighbor_id"].tolist())
             recalls.append(len(exact & approx) / 10)
         assert np.mean(recalls) >= 0.35, recalls
+
+
+class TestIvfPq:
+    def _setup(self, tmp_path):
+        import pyarrow.parquet as pqt
+
+        from logstash_filter_elastic_integration_ray.stages.pq import (
+            build_ivfpq_layout,
+            pq_train,
+        )
+        from logstash_filter_elastic_integration_ray.stages.similarity import (
+            IvfIndex,
+            _to_matrix,
+        )
+
+        emb = _emb()
+        sample = _to_matrix(
+            pqt.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+            .column("embedding"))[:2048]
+        index = IvfIndex(sample)
+        books = pq_train(emb, m=16, k=32, n_iters=8)
+        layout = build_ivfpq_layout(emb, index, books, str(tmp_path / "ivfpq"))
+        q_rows = sorted(_mod(emb, True).take_all(), key=lambda r: r["vec_id"])
+        queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+        qids = [r["vec_id"] for r in q_rows]
+        return layout, index, books, queries, qids
+
+    def test_matches_reference(self, ray_session, tmp_path):
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        from logstash_filter_elastic_integration_ray.stages.pq import ivfpq_topk
+
+        layout, index, books, queries, qids = self._setup(tmp_path)
+        exp = (ref.ivfpq_topk_reference(SF)
+               .sort_values(["query_id", "rank"]).reset_index(drop=True))
+        got = (ivfpq_topk(layout, index, books, queries, qids, topk=10, nprobe=4)
+               .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+        for c in ("query_id", "neighbor_id", "rank"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+    def test_layout_is_code_only_and_pruned(self, ray_session, tmp_path):
+        """The storage contract: the layout holds ONLY id + 16-byte
+        codes + bucket (no float embeddings), and a probe opens only
+        its nprobe bucket directories."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pqt
+
+        layout, index, books, queries, qids = self._setup(tmp_path)
+        f = glob.glob(os.path.join(layout, "bucket=*", "*.parquet"))[0]
+        schema = pqt.read_schema(f)
+        assert "embedding" not in schema.names
+        assert set(schema.names) >= {"vec_id", "codes", "bucket_id"}
+        n_buckets = len(glob.glob(os.path.join(layout, "bucket=*")))
+        assert n_buckets > 4  # nprobe=4 < nlist → the read is a real prune

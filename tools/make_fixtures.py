@@ -60,6 +60,7 @@ def main() -> None:
         "fasttext_quality_docs": ref.fasttext_quality_reference(ids, texts),
         "perplexity_gap_docs": ref.perplexity_gap_reference(ids, texts),
         "pq_topk_embeddings": ref.pq_topk_reference(sf_dir),
+        "ivfpq_topk_embeddings": ref.ivfpq_topk_reference(sf_dir),
         "dsir_select_docs": ref.dsir_reference(ids, texts),
         "cluster_split_docs": ref.minhash_assignment_split_reference(ids, texts),
         "gopher_repetition_docs": ref.gopher_repetition_reference(ids, texts),

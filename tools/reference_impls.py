@@ -2140,3 +2140,65 @@ def pq_topk_reference(sf_dir: str, *, m: int = 16, k: int = 32,
     return pd.DataFrame({"query_id": np.array(out_q, dtype=np.int64),
                          "neighbor_id": np.array(out_n, dtype=np.int64),
                          "rank": np.array(out_r, dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ pruned ADC top-k — plain single-node reference: shared
+# DEFINITIONAL kernels (IvfIndex coarse quantizer, quantize /
+# assign_clusters / kmeans_reference codebooks), INDEPENDENT machinery
+# (dense in-memory bucket masks + one brute ADC scan per query — not
+# the partitioned-parquet pruned read the fixture validates).
+# Queries: vec_id % 100 == 0 over the FULL corpus, self excluded.
+# ---------------------------------------------------------------------------
+
+def ivfpq_topk_reference(sf_dir: str, *, m: int = 16, k: int = 32,
+                         n_iters: int = 8, topk: int = 10, nprobe: int = 4,
+                         n_clusters: int = 16, sample_rows: int = 2048) -> pd.DataFrame:
+    from logstash_filter_elastic_integration_ray.stages.clustering import (
+        assign_clusters,
+        kmeans_reference,
+        quantize,
+    )
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    mat_raw = np.vstack([np.asarray(e, dtype=np.float64) for e in t.column("embedding").to_pylist()])
+    index = IvfIndex(mat_raw[:sample_rows], n_clusters=n_clusters)
+    buckets = index.assign(mat_raw)
+
+    order = np.argsort(ids, kind="mergesort")
+    ids_s, mat_s = ids[order], mat_raw[order]
+    d = mat_s.shape[1]
+    dsub = d // m
+    books = [kmeans_reference(mat_s[:, j * dsub:(j + 1) * dsub], k=k, n_iters=n_iters)[1]
+             for j in range(m)]
+
+    x_int = quantize(mat_raw)
+    codes = np.empty((len(ids), m), dtype=np.int64)
+    for j in range(m):
+        codes[:, j] = assign_clusters(x_int[:, j * dsub:(j + 1) * dsub], books[j])
+
+    q_mask = ids % 100 == 0
+    qorder = np.argsort(ids[q_mask])
+    q_rows = np.flatnonzero(q_mask)[qorder]
+    probes = np.argsort(-(_normalize(mat_raw[q_rows]) @ index.centroids.T), axis=1)[:, :nprobe]
+
+    out_q, out_n, out_r = [], [], []
+    for qi, row in enumerate(q_rows):
+        qid = int(ids[row])
+        lut = np.empty((m, k), dtype=np.int64)
+        qv = x_int[row]
+        for j in range(m):
+            diff = qv[j * dsub:(j + 1) * dsub][None, :] - books[j]
+            lut[j] = np.einsum("kd,kd->k", diff, diff)
+        mask = np.isin(buckets, probes[qi]) & (ids != qid)
+        cand_ids = ids[mask]
+        dist = lut[np.arange(m)[None, :], codes[mask]].sum(axis=1)
+        sel = np.lexsort((cand_ids, dist))[:topk]
+        out_q.extend([qid] * len(sel))
+        out_n.extend(cand_ids[sel].tolist())
+        out_r.extend(range(1, len(sel) + 1))
+    return pd.DataFrame({"query_id": np.array(out_q, dtype=np.int64),
+                         "neighbor_id": np.array(out_n, dtype=np.int64),
+                         "rank": np.array(out_r, dtype=np.int64)})
