@@ -305,6 +305,41 @@ def run_bench() -> dict:
 
     timed("embedding_dedup_dup_heavy_16x", embedding_dedup_dup_heavy, reps=1)
 
+    def pq_scan_16x():
+        # compressed-ANN scale probe: codebooks train on the base
+        # corpus (80k feature-hash embeddings, 8 blob-reduce passes),
+        # the 16× corpus (1.28M vectors) encodes to 16 B each and one
+        # ADC scan answers 5 queries — scan wall must track code bytes
+        # (20 MiB), never float bytes (655 MiB)
+        import numpy as np
+
+        from logstash_filter_elastic_integration_ray.stages.pq import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+        from logstash_filter_elastic_integration_ray.stages.similarity import (
+            text_feature_embedding_batch,
+        )
+
+        base = read_parquet_clean(f"{SF_DIR}/documents.parquet",
+                                  columns=["doc_id", "text"])
+        base_emb = base.map_batches(text_feature_embedding_batch,
+                                    batch_format="pyarrow")
+        books = pq_train(base_emb, m=16, k=32, n_iters=8,
+                         id_col="doc_id", emb_col="embedding")
+        q_rows = sorted(base_emb.limit(5).take_all(), key=lambda r: r["doc_id"])
+        queries = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                            for r in q_rows])
+        qids = [r["doc_id"] for r in q_rows]
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+        emb = heavy.map_batches(text_feature_embedding_batch, batch_format="pyarrow")
+        codes = pq_encode(emb, books, id_col="doc_id")
+        return pq_topk(codes, books, queries, qids, topk=10,
+                       id_col="doc_id").count()
+
+    timed("pq_scan_16x", pq_scan_16x, reps=1)
+
     def dup_ngram_dup_heavy():
         # adversarial case for the gram-keyed exchange: every doc ×16
         # makes EVERY gram cross-doc duplicated, so the (gram, doc,
