@@ -4093,6 +4093,56 @@ def _with_messy_urls(sf_dir: str):
     return read_transcripts(sf_dir).map_batches(add_url, batch_format="pyarrow")
 
 
+def q_domain_split_web(sf_dir: str):
+    """Leakage-safe train/val/test split GROUPED BY registered domain
+    (the published web-curation discipline: random per-page splits
+    leak near-duplicate pages from one site across splits, so the
+    split key must be the domain).  Canonicalize → full-PSL registered
+    domain → 32-bit polynomial string hash (Java hashCode folding,
+    Knuth-scrambled) → the engine's split_thresholds cuts, so every
+    page of a domain lands in ONE split.  Stateless map_batches with a
+    per-batch host memo — no shuffle.  The SQL twin reproduces the
+    hash bit-exactly via list_reduce over codepoints."""
+    import numpy as np
+
+    from logstash_filter_elastic_integration_ray.functions.net import (
+        split_registered_domain,
+    )
+    from logstash_filter_elastic_integration_ray.stages.corpus import split_thresholds
+    from logstash_filter_elastic_integration_ray.stages.web import canonicalize_urls
+
+    names, cuts = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    ds = canonicalize_urls(_with_messy_urls(sf_dir))
+
+    def fn(t: pa.Table) -> pa.Table:
+        urls = t.column("url_canonical").to_pylist()
+        memo: dict = {}
+        doms, splits = [], []
+        for u in urls:
+            host = u.split("://", 1)[1].split("/", 1)[0].split("?", 1)[0]
+            r = memo.get(host)
+            if r is None:
+                rd = split_registered_domain(host)
+                dom = rd["registered_domain"] if rd else host
+                h = 0
+                for ch in dom:
+                    h = (h * 31 + ord(ch)) % 4294967296
+                draw = (h * 2654435761) % 4294967296
+                si = int(np.searchsorted(cuts, np.uint64(draw), side="right"))
+                r = (dom, names[si])
+                memo[host] = r
+            doms.append(r[0])
+            splits.append(r[1])
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "domain": pa.array(doms, type=pa.string()),
+            "split": pa.array(splits, type=pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q_url_canonicalize(sf_dir: str):
     """Web-crawl URL canonicalization (stages/web.py): lowercase
     scheme/host, strip default port / fragment / tracking params, sort
@@ -4494,6 +4544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_gap_docs": q_perplexity_gap_docs,
         "pq_topk_embeddings": q_pq_topk_embeddings,
         "ivfpq_topk_embeddings": q_ivfpq_topk_embeddings,
+        "domain_split_web": q_domain_split_web,
         "transcripts_jsonl_zst": q_transcripts_jsonl_zst,
         "cef_kv_events": q_cef_kv_events,
         "mad_anomaly_events": q_mad_anomaly_events,
@@ -4708,6 +4759,27 @@ def _split_corpus_sql() -> str:
     )
     return (f"SELECT doc_id, CASE {case} ELSE '{names[-1]}' END AS split "
             "FROM documents")
+
+
+def _domain_split_sql() -> str:
+    """The engine's own integer thresholds + a bit-exact DuckDB
+    emulation of the 32-bit polynomial domain hash (list_reduce over
+    codepoints with a BIGINT accumulator folded mod 2^32, then the
+    Knuth scramble) — boundaries and hash can never drift between the
+    two sides."""
+    from logstash_filter_elastic_integration_ray.stages.corpus import split_thresholds
+
+    names, cuts = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    dom = "'example' || CAST(event_id % 5 AS VARCHAR) || '.co.uk'"
+    h = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+         f"list_transform(string_split_regex({dom}, ''), "
+         "c -> CAST(unicode(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 4294967296)")
+    draw = f"(CAST(({h}) AS HUGEINT) * 2654435761) % 4294967296"
+    case = " ".join(
+        f"WHEN {draw} < {int(cuts[i])} THEN '{names[i]}'"
+        for i in range(len(names) - 1))
+    return (f"SELECT conv_id, turn_idx, {dom} AS domain, "
+            f"CASE {case} ELSE '{names[-1]}' END AS split FROM transcripts")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5231,6 +5303,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk_embeddings": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/ivfpq_topk_embeddings.sf0_01.parquet')"
         ),
+        "domain_split_web": T(_domain_split_sql()),
         "perplexity_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/perplexity_docs.sf0_01.parquet')"
         ),

@@ -1,0 +1,52 @@
+"""Eighth-session additions not covered by their own files: the
+leakage-safe domain-grouped split and registry invariants."""
+
+import numpy as np
+
+
+class TestDomainSplit:
+    def _run(self, sf="/root/testdata/sf0.001"):
+        import __ray_entry__ as e
+
+        return e.q_domain_split_web(sf).to_pandas()
+
+    def test_split_is_constant_per_domain(self, ray_session):
+        """The leakage-safety property itself: every row of a domain
+        lands in exactly one split."""
+        df = self._run()
+        assert (df.groupby("domain")["split"].nunique() == 1).all()
+
+    def test_fractions_roughly_hold_over_domains(self, ray_session):
+        """With only 5 synthetic domains the 80/10/10 target is coarse,
+        but train must dominate and all splits must be legal names."""
+        df = self._run()
+        assert set(df["split"].unique()) <= {"train", "val", "test"}
+        per_domain = df.drop_duplicates("domain")
+        assert (per_domain["split"] == "train").sum() >= len(per_domain) // 2
+
+    def test_assignment_is_deterministic(self, ray_session):
+        a = self._run().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        b = self._run().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert a.equals(b)
+
+
+class TestRegistryInvariants:
+    def test_every_query_has_an_oracle(self):
+        import __ray_entry__ as e
+
+        q = e.queries()
+        o = e.oracle_sql()
+        missing = set(q) - set(o)
+        assert not missing, f"queries without oracles: {sorted(missing)}"
+        extra = set(o) - set(q)
+        assert not extra, f"oracles without queries: {sorted(extra)}"
+
+    def test_fixture_files_exist(self):
+        import os
+        import re
+
+        import __ray_entry__ as e
+
+        for name, sql in e.oracle_sql().items():
+            for path in re.findall(r"read_parquet\('([^']+)'\)", sql):
+                assert os.path.exists(path), f"{name}: missing fixture {path}"
