@@ -4093,6 +4093,56 @@ def _with_messy_urls(sf_dir: str):
     return read_transcripts(sf_dir).map_batches(add_url, batch_format="pyarrow")
 
 
+def q_multiline_assemble(sf_dir: str):
+    """Multiline log-event assembly (the Logstash multiline-codec
+    shape — stack traces / wrapped lines join their parent event):
+    per-turn log lines are rendered deterministically (every turn_idx %
+    3 == 2 line is an indented continuation), co-partitioned by
+    conversation, and each stream assembles in ONE vectorized pass —
+    boundary mask → cumsum event ids → Arrow list rebuild +
+    binary_join (stages/logflow.py:multiline_assemble).  The SQL twin
+    is the row_number/SUM-over window formulation."""
+    from logstash_filter_elastic_integration_ray.stages.logflow import (
+        multiline_assemble,
+    )
+
+    def render(t: pa.Table) -> pa.Table:
+        idx = t.column("turn_idx").to_numpy(zero_copy_only=False)
+        text = pc.fill_null(t.column("text"), "")
+        cont = pa.array(idx % 3 == 2)
+        line = pc.if_else(
+            cont,
+            pc.binary_join_element_wise("    ", text, ""),
+            pc.binary_join_element_wise("LOG: ", text, ""),
+        )
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "line": line,
+        })
+
+    ds = read_transcripts(sf_dir).map_batches(render, batch_format="pyarrow")
+    return multiline_assemble(ds, stream_col="conv_id", idx_col="turn_idx",
+                              line_col="line")
+
+
+def q_throttle_events(sf_dir: str):
+    """Per-key event throttling (the Logstash throttle-filter shape:
+    at most N events per key per window pass, the rest are flagged):
+    one hash exchange on user_id, per-partition lexsort, vectorized
+    within-(key, 6h-window) arrival rank
+    (stages/logflow.py:throttle_events).  row_number SQL twin."""
+    from logstash_filter_elastic_integration_ray.stages.logflow import (
+        throttle_events,
+    )
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+    return throttle_events(ev, key_col="user_id", ts_col="ts",
+                           order_col="event_id",
+                           window_us=21600000000, limit=3)
+
+
 def q_domain_split_web(sf_dir: str):
     """Leakage-safe train/val/test split GROUPED BY registered domain
     (the published web-curation discipline: random per-page splits
@@ -4545,6 +4595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_topk_embeddings": q_pq_topk_embeddings,
         "ivfpq_topk_embeddings": q_ivfpq_topk_embeddings,
         "domain_split_web": q_domain_split_web,
+        "multiline_assemble": q_multiline_assemble,
+        "throttle_events": q_throttle_events,
         "transcripts_jsonl_zst": q_transcripts_jsonl_zst,
         "cef_kv_events": q_cef_kv_events,
         "mad_anomaly_events": q_mad_anomaly_events,
@@ -5304,6 +5356,29 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/ivfpq_topk_embeddings.sf0_01.parquet')"
         ),
         "domain_split_web": T(_domain_split_sql()),
+        "multiline_assemble": T(
+            ", l AS (SELECT conv_id, turn_idx, CASE WHEN turn_idx % 3 = 2 "
+            "THEN '    ' || coalesce(text, '') ELSE 'LOG: ' || coalesce(text, '') END AS line "
+            "FROM transcripts), "
+            "s AS (SELECT conv_id, turn_idx, line, CASE WHEN substr(line, 1, 1) <> ' ' "
+            "OR row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) = 1 "
+            "THEN 1 ELSE 0 END AS st FROM l), "
+            "e AS (SELECT conv_id, turn_idx, line, "
+            "SUM(st) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+            "ROWS UNBOUNDED PRECEDING) AS ev FROM s) "
+            "SELECT conv_id, CAST(ev AS BIGINT) AS event_idx, "
+            "CAST(count(*) AS BIGINT) AS n_lines, "
+            "string_agg(line, chr(10) ORDER BY turn_idx) AS message "
+            "FROM e GROUP BY conv_id, ev"
+        ),
+        "throttle_events": (
+            "WITH r AS (SELECT user_id, epoch_us(ts) // 21600000000 AS bkt, "
+            "event_id, ts FROM events) "
+            "SELECT user_id, bkt, event_id, "
+            "row_number() OVER (PARTITION BY user_id, bkt ORDER BY ts, event_id) AS seq, "
+            "row_number() OVER (PARTITION BY user_id, bkt ORDER BY ts, event_id) > 3 AS throttled "
+            "FROM r"
+        ),
         "perplexity_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/perplexity_docs.sf0_01.parquet')"
         ),

@@ -50,3 +50,78 @@ class TestRegistryInvariants:
         for name, sql in e.oracle_sql().items():
             for path in re.findall(r"read_parquet\('([^']+)'\)", sql):
                 assert os.path.exists(path), f"{name}: missing fixture {path}"
+
+
+class TestLogflow:
+    def test_multiline_orphan_and_edges(self, ray_session):
+        """A stream whose first line is a continuation still opens an
+        event (the Logstash orphan rule); nulls render as empty lines."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.logflow import (
+            multiline_assemble,
+        )
+
+        t = pa.table({
+            "s": ["a", "a", "a", "b", "b", "c"],
+            "i": [1, 2, 3, 1, 2, 1],
+            "line": ["L1", "  c1", "L2", "  orphan", "L3", None],
+        })
+        got = (multiline_assemble(rd.from_arrow(t), stream_col="s",
+                                  idx_col="i", line_col="line")
+               .to_pandas().sort_values(["s", "event_idx"]).reset_index(drop=True))
+        assert got["message"].tolist() == ["L1\n  c1", "L2", "  orphan", "L3", ""]
+        assert got["n_lines"].tolist() == [2, 1, 1, 1, 1]
+        assert got["event_idx"].tolist() == [1, 2, 1, 2, 1]
+
+    def test_multiline_batching_invariance(self, ray_session):
+        import __ray_entry__ as e
+
+        a = (e.q_multiline_assemble("/root/testdata/sf0.001").to_pandas()
+             .sort_values(["conv_id", "event_idx"]).reset_index(drop=True))
+        import pyarrow as pa
+
+        from logstash_filter_elastic_integration_ray.stages.logflow import (
+            multiline_assemble,
+        )
+        from logstash_filter_elastic_integration_ray.sources.transcripts import (
+            read_transcripts,
+        )
+        # same inputs, different partitioning
+        import pyarrow.compute as pc
+
+        def render(t):
+            idx = t.column("turn_idx").to_numpy(zero_copy_only=False)
+            text = pc.fill_null(t.column("text"), "")
+            cont = pa.array(idx % 3 == 2)
+            line = pc.if_else(cont, pc.binary_join_element_wise("    ", text, ""),
+                              pc.binary_join_element_wise("LOG: ", text, ""))
+            return pa.table({"conv_id": t.column("conv_id"),
+                             "turn_idx": t.column("turn_idx"), "line": line})
+
+        ds = (read_transcripts("/root/testdata/sf0.001")
+              .map_batches(render, batch_format="pyarrow").repartition(13))
+        b = (multiline_assemble(ds, stream_col="conv_id", idx_col="turn_idx",
+                                line_col="line").to_pandas()
+             .sort_values(["conv_id", "event_idx"]).reset_index(drop=True))
+        assert a.equals(b)
+
+    def test_throttle_limit_semantics(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from logstash_filter_elastic_integration_ray.stages.logflow import (
+            throttle_events,
+        )
+
+        # one user, 5 events in one window, 1 in the next
+        ts = pa.array([1, 2, 3, 4, 5, 1_000_001], type=pa.int64()).cast(
+            pa.timestamp("us"))
+        t = pa.table({"u": [7] * 6, "ts": ts, "eid": list(range(6))})
+        got = (throttle_events(rd.from_arrow(t), key_col="u", ts_col="ts",
+                               order_col="eid", window_us=1_000_000, limit=3)
+               .to_pandas().sort_values(["bkt", "seq"]).reset_index(drop=True))
+        assert got["seq"].tolist() == [1, 2, 3, 4, 5, 1]
+        assert got["throttled"].tolist() == [False, False, False, True, True, False]
