@@ -1,0 +1,115 @@
+"""Runnable end-to-end MODEL-BASED curation example (the CCNet/GPT-3
+filter stack): heuristic gates first, then the three model signals
+this engine trains distributed —
+
+    read → C4/Gopher heuristic gates → KN trigram perplexity
+    (curated-slice LM) → perplexity-gap (excess loss vs the corpus'
+    own LM) → fastText-style hashed-n-gram classifier →
+    combined keep decision → write survivors + a score table
+
+Usage (any scale factor):
+
+    python examples/model_curation/run.py [sf_dir] [out_dir]
+
+Defaults: /root/testdata/sf0.001 → /tmp/model_curation_out.  Every
+component is individually oracle-checked by the driver queries
+``kn_perplexity_docs`` / ``perplexity_gap_docs`` /
+``fasttext_quality_docs`` / ``gopher_quality_docs`` /
+``c4_filter_docs`` (__ray_entry__.py).
+"""
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import pyarrow as pa
+
+
+def main(sf_dir: str, out_dir: str) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import numpy as np
+
+    from logstash_filter_elastic_integration_ray.sources.io import read_parquet_clean
+    from logstash_filter_elastic_integration_ray.stages.fasttext import (
+        fasttext_fit,
+        fasttext_score,
+        token_presence_labels,
+    )
+    from logstash_filter_elastic_integration_ray.stages.lm import (
+        kn_perplexity_score,
+        perplexity_gap_score,
+        train_bigram_lm,
+        train_kn_lm,
+    )
+    from logstash_filter_elastic_integration_ray.stages.textstats import (
+        gopher_quality_batch,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    # 1. heuristic gate (Gopher rules) — cheap, runs on everything
+    def gate(t: pa.Table) -> pa.Table:
+        g = gopher_quality_batch(t)
+        return t.filter(g.column("pass_gopher"))
+
+    gated = docs.map_batches(gate, batch_format="pyarrow").materialize()
+
+    # 2. model signals: curated slice = doc_id % 5 == 0 (stands in for
+    # the Wikipedia-quality reference corpus)
+    def side(eq):
+        def fn(t: pa.Table) -> pa.Table:
+            m = (t.column("doc_id").to_numpy() % 5 == 0) == eq
+            return t.filter(pa.array(m))
+
+        return gated.map_batches(fn, batch_format="pyarrow")
+
+    curated, raw = side(True), side(False)
+    kn = train_kn_lm(curated)
+    lm_ref, lm_raw = train_bigram_lm(curated), train_bigram_lm(raw)
+    w = fasttext_fit(curated, label_fn=token_presence_labels, n_iters=30, lr=2.0)
+
+    kn_scores = kn_perplexity_score(raw, kn).to_pandas().set_index("doc_id")
+    gap = (perplexity_gap_score(raw, lm_ref, lm_raw).to_pandas()
+           .set_index("doc_id"))
+    clf = fasttext_score(raw, w).to_pandas().set_index("doc_id")
+
+    scores = kn_scores.join(gap[["gap"]]).join(clf[["score"]])
+    # 3. keep decision: classifier-positive AND fluent under the
+    # curated LM AND in the reference-leaning half of the gap
+    # distribution (quantile thresholds, the CCNet "head/middle"
+    # bucketing discipline)
+    kn_cut = float(np.quantile(scores["kn_logppl"], 0.75))
+    gap_cut = float(np.quantile(scores["gap"], 0.75))
+    keep = ((scores["score"] >= 0.5)
+            & (scores["kn_logppl"] <= kn_cut)
+            & (scores["gap"] <= gap_cut))
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    scores.assign(keep=keep).reset_index().to_parquet(
+        os.path.join(out_dir, "scores.parquet"))
+    kept_ids = set(scores.index[keep].tolist())
+
+    def survivors(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(pa.array(np.isin(ids, list(kept_ids))))
+
+    raw.map_batches(survivors, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "kept"))
+    n_raw = raw.count()
+    print(f"scored {n_raw} docs, kept {len(kept_ids)} "
+          f"({len(kept_ids) / max(n_raw, 1):.1%}) -> {out_dir}")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/model_curation_out"
+    main(sf, out)
