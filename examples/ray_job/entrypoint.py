@@ -1,0 +1,50 @@
+"""Cluster job entrypoint for `ray job submit` — the north-rule launch
+path on a fixed-size multi-node cluster:
+
+    ray job submit --working-dir . -- \
+        python examples/ray_job/entrypoint.py \
+        --input '/data/transcripts/*.parquet' --output /data/out \
+        --pipelines ./pipelines --routing routing.json
+
+Inside a job, `ray.init()` with no address attaches to the cluster
+that launched the job (the RAY_ADDRESS the job supervisor injects);
+standalone (e.g. this sandbox) it starts a local cluster.  Everything
+else — resumable fan-out sinks, per-shard lineage manifests, metrics —
+is the library's normal `run` surface, so the SAME command works on a
+laptop and on a 256-node cluster; only the submit wrapper changes.
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--pipelines", default=None)
+    p.add_argument("--routing", default=None)
+    p.add_argument("--default-pipeline", default=None)
+    args = p.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init()  # in a submitted job this attaches to the cluster
+
+    from logstash_filter_elastic_integration_ray.cli import main as cli_main
+
+    argv = ["run", "--input", args.input, "--output", args.output]
+    if args.pipelines:
+        argv += ["--pipelines", args.pipelines]
+    if args.routing:
+        argv += ["--routing", args.routing]
+    if args.default_pipeline:
+        argv += ["--default-pipeline", args.default_pipeline]
+    cli_main(argv)
+
+
+if __name__ == "__main__":
+    main()
