@@ -2817,6 +2817,98 @@ def q_rolling_sum_events(sf_dir: str):
     )
 
 
+def q_ewma_events(sf_dir: str):
+    """Per-user exponential smoothing (EWMA, alpha=0.25) of event
+    values in (ts, event_id) order — the log/metric anomaly baseline.
+    Rank-sequential / key-parallel kernel: the per-partition loop runs
+    max(group size) fused numpy steps, bit-identical to the sequential
+    ``list_reduce`` fold (stages/windows.py:grouped_ewma)."""
+    from logstash_filter_elastic_integration_ray.stages.windows import grouped_ewma
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return grouped_ewma(
+        ds, key="user_id", order_cols=["ts", "event_id"], value_col="value",
+        alpha=0.25, out_col="ewma", num_partitions=32,
+    )
+
+
+def q_turn_integrity(sf_dir: str):
+    """Per-conversation ordinal integrity audit — missing / duplicate
+    turn indexes, the validation gate a transcript ingest pipeline
+    runs before training-data export.  Defects are planted
+    deterministically on BOTH sides (drop ``turn_idx % 7 == 3``,
+    re-append ``turn_idx % 11 == 5``) so the checker has real gaps and
+    dups to find.  Two-phase deduped (conv, idx, cnt) partials → one
+    exchange (stages/windows.py:sequence_integrity)."""
+    from logstash_filter_elastic_integration_ray.stages.windows import sequence_integrity
+
+    ds = read_transcripts(sf_dir)
+
+    def plant(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = t.select(["conv_id", "turn_idx"])
+        ti = t.column("turn_idx").to_numpy()
+        keep = t.filter(pa.array(ti % 7 != 3))
+        dups = t.filter(pa.array(ti % 11 == 5))
+        return pa.concat_tables([keep, dups])
+
+    return sequence_integrity(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        key="conv_id", idx_col="turn_idx", num_partitions=32,
+    )
+
+
+def q_secret_scan_docs(sf_dir: str):
+    """Entropy-based credential scanning over documents — secrets are
+    planted deterministically on BOTH sides (every 3rd doc gets a
+    ``key_<md5hex>`` token, every 5th a constant low-entropy run, so
+    the flag has real positives AND real negatives to separate).
+    Stateless vectorized kernel (stages/textstats.py:secret_scan_batch)."""
+    import hashlib
+
+    from logstash_filter_elastic_integration_ray.stages.textstats import secret_scan_batch
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        out = []
+        for i, txt in enumerate(texts):
+            d = int(ids[i])
+            txt = txt or ""
+            if d % 3 == 0:
+                txt += " key_" + hashlib.md5(str(d).encode()).hexdigest()
+            if d % 5 == 0:
+                txt += " " + "x" * 24
+            out.append(txt)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(out, type=pa.string())})
+
+    return ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        lambda t: secret_scan_batch(t), batch_format="pyarrow"
+    )
+
+
+def q_psi_drift_events(sf_dir: str):
+    """Population Stability Index of the event value distribution,
+    first half of January vs second half — the histogram drift
+    diagnostic (stages/windows.py:psi_drift).  Thin bincount partials,
+    one tiny exchange, glibc ln for DuckDB bit-parity."""
+    from logstash_filter_elastic_integration_ray.stages.windows import psi_drift
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    return psi_drift(
+        ds, val_col="value", ts_col="ts",
+        a_range=("2024-01-01", "2024-01-16"),
+        b_range=("2024-01-16", "2024-01-31"),
+        lo=0.0, hi=500.0, nbins=10, num_partitions=8,
+    )
+
+
 def q_pivot_events(sf_dir: str):
     """Long→wide pivot: per-user event counts by type as fixed columns
     (the ``count(*) FILTER (WHERE …)`` twin).  Two-phase: per-batch
@@ -4589,6 +4681,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # round-4 additions — never driver-sampled, so they lead
         # (eighth session first: newest never-checked entries)
+        "ewma_events": q_ewma_events,
+        "turn_integrity": q_turn_integrity,
+        "psi_drift_events": q_psi_drift_events,
+        "secret_scan_docs": q_secret_scan_docs,
         "kn_perplexity_docs": q_kn_perplexity_docs,
         "fasttext_quality_docs": q_fasttext_quality_docs,
         "perplexity_gap_docs": q_perplexity_gap_docs,
@@ -6040,6 +6136,73 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us "
             "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "turn_integrity": T(
+            ", d AS ("
+            "SELECT conv_id, turn_idx FROM transcripts WHERE turn_idx % 7 <> 3 "
+            "UNION ALL "
+            "SELECT conv_id, turn_idx FROM transcripts WHERE turn_idx % 11 = 5) "
+            "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
+            "CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_distinct, "
+            "CAST(min(turn_idx) AS BIGINT) AS min_idx, "
+            "CAST(max(turn_idx) AS BIGINT) AS max_idx, "
+            "CAST(max(turn_idx) - min(turn_idx) + 1 - count(DISTINCT turn_idx) AS BIGINT) AS n_missing, "
+            "CAST(count(*) - count(DISTINCT turn_idx) AS BIGINT) AS n_dups, "
+            "(max(turn_idx) - min(turn_idx) + 1 - count(DISTINCT turn_idx) = 0 "
+            "AND count(*) = count(DISTINCT turn_idx)) AS is_contiguous "
+            "FROM d GROUP BY conv_id"
+        ),
+        "secret_scan_docs": (
+            "WITH p AS (SELECT doc_id, coalesce(text, '') || "
+            "CASE WHEN doc_id % 3 = 0 THEN ' key_' || md5(CAST(doc_id AS VARCHAR)) ELSE '' END || "
+            "CASE WHEN doc_id % 5 = 0 THEN ' ' || repeat('x', 24) ELSE '' END AS text "
+            "FROM documents), "
+            "cand AS (SELECT DISTINCT doc_id, cand FROM ("
+            "SELECT doc_id, unnest(regexp_extract_all(text, "
+            "'[A-Za-z0-9+/=_-]{20,}')) AS cand FROM p)), "
+            "chars AS (SELECT doc_id, cand, ch, CAST(count(*) AS BIGINT) AS c "
+            "FROM (SELECT doc_id, cand, unnest(string_split_regex(cand, '')) AS ch "
+            "FROM cand) GROUP BY doc_id, cand, ch), "
+            "ent AS (SELECT doc_id, cand, "
+            "0.0 - list_sum(list((CAST(c AS DOUBLE) / length(cand)) "
+            "* log2(CAST(c AS DOUBLE) / length(cand)) ORDER BY ch)) AS entropy "
+            "FROM chars GROUP BY doc_id, cand) "
+            "SELECT doc_id, cand AS candidate, "
+            "CAST(length(cand) AS BIGINT) AS n_chars, entropy, "
+            "entropy >= 3.5 AS is_secret FROM ent"
+        ),
+        "psi_drift_events": (
+            "WITH b AS (SELECT "
+            "CAST(least(greatest(floor((value - 0.0) / 50.0), 0), 9) AS BIGINT) AS bin, "
+            "(ts < TIMESTAMP '2024-01-16') AS in_a FROM events "
+            "WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-01' "
+            "AND ts < TIMESTAMP '2024-01-31'), "
+            "c AS (SELECT bin, "
+            "CAST(count(*) FILTER (WHERE in_a) AS BIGINT) AS n_a, "
+            "CAST(count(*) FILTER (WHERE NOT in_a) AS BIGINT) AS n_b "
+            "FROM b GROUP BY bin), "
+            "t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta, "
+            "CAST(sum(n_b) AS DOUBLE) AS tb FROM c) "
+            "SELECT bin, n_a, n_b, "
+            "CAST(n_a AS DOUBLE) / ta AS p_a, CAST(n_b AS DOUBLE) / tb AS p_b, "
+            "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL "
+            "ELSE (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb) "
+            "* ln((CAST(n_a AS DOUBLE) / ta) / (CAST(n_b AS DOUBLE) / tb)) END AS psi_term "
+            "FROM c, t"
+        ),
+        "ewma_events": (
+            # sequential left fold per user: list_reduce over the
+            # ordered prefix slice reproduces the engine's
+            # a*x + (1-a)*acc IEEE op order exactly (first value seeds)
+            "WITH r AS (SELECT event_id, user_id, ts, value, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+            "FROM events), "
+            "g AS (SELECT user_id, list(coalesce(value, 0.0) "
+            "ORDER BY ts, event_id) AS vs FROM events GROUP BY user_id) "
+            "SELECT r.event_id, r.user_id, r.ts, r.value, "
+            "list_reduce(list_slice(g.vs, 1, r.rn), "
+            "(acc, x) -> 0.25*x + 0.75*acc) AS ewma "
+            "FROM r JOIN g USING (user_id)"
         ),
         "rolling_sum_events": (
             "WITH e AS (SELECT event_id, user_id, ts, "

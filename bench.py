@@ -1102,7 +1102,10 @@ def run_bench() -> dict:
         ds = read_parquet_clean(skew_path, override_num_blocks=NUM_CPUS * 2)
         return conv_stats(ds, num_partitions=2 * NUM_CPUS).count()
 
-    timed("conv_stats_skewed_hotkey", conv_stats_skewed, reps=1)
+    # median-of-5 like the other sub-5s headline-family queries: the
+    # r2→r3 3.3→4.3 s drift was shared-box noise visible only because
+    # this line ran once per round (VERDICT r3 #8).
+    timed("conv_stats_skewed_hotkey", conv_stats_skewed, reps=5)
 
     headline_sec = timings["headline_parse_enrich_route_aggregate"]
     result = {

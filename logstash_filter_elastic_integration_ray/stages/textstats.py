@@ -1540,3 +1540,93 @@ def gopher_quality_batch(batch: pa.Table, *, text_col: str = "text",
         "ok_stop_hits": pa.array(ok_stop),
         "pass_gopher": pa.array(ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop),
     })
+
+
+# ---------------------------------------------------------------------------
+# entropy-based secret / credential scanning
+# ---------------------------------------------------------------------------
+
+SECRET_RUN_REGEX = r"[A-Za-z0-9+/=_\-]{20,}"
+SECRET_ENTROPY_THRESHOLD = 3.5
+
+
+def secret_scan_batch(batch: pa.Table, *, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """Detect high-entropy credential-like token runs — the
+    entropy-based complement of the pattern-based ``redact`` processor
+    (the gitleaks/trufflehog discipline: API keys and tokens look like
+    long base64/hex runs with near-maximal character entropy, which no
+    fixed pattern list catches).
+
+    Per row, every maximal ``[A-Za-z0-9+/=_-]{20,}`` run is a
+    candidate; per DISTINCT ``(id, candidate)`` pair one output row
+    carries the run, its length, its Shannon character entropy (bits)
+    and ``is_secret = entropy >= 3.5``.
+
+    Float discipline: entropy is ``0.0 - Σ (c/n)·log2(c/n)`` summed
+    over distinct characters in CODEPOINT order with per-term glibc
+    ``math.log2`` — bit-identical to the DuckDB twin's
+    ``0.0 - list_sum(list(... ORDER BY ch))`` (the
+    mixture_temperature ordered-IEEE convention).  The leading
+    ``0.0 -`` is deliberate: a constant run has term sum ``0.0`` and
+    Python unary minus would emit ``-0.0`` where SQL emits ``0.0``.
+
+    Shape: stateless per-batch kernel — candidate extraction is
+    vectorized (polars ``str.extract_all`` over the Arrow column,
+    zero-copy in/out), entropy is memoized per DISTINCT candidate
+    string (a batch of repeated boilerplate keys costs one Counter
+    pass).  No shuffle, no state; compose with a groupby downstream
+    for corpus-level secret inventories."""
+    import math
+    from collections import Counter
+
+    import polars as pl
+
+    col = batch.column(text_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    ids = batch.column(id_col)
+    ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+
+    s = pl.from_arrow(pa.table({"t": col}))["t"]
+    runs = s.fill_null("").str.extract_all(SECRET_RUN_REGEX)
+    lens = runs.list.len().to_numpy().astype(np.int64)
+    flat = runs.explode().drop_nulls().to_numpy()
+    if len(flat) == 0:
+        return pa.table({
+            id_col: pa.array([], type=ids.type),
+            "candidate": pa.array([], type=pa.string()),
+            "n_chars": pa.array([], type=pa.int64()),
+            "entropy": pa.array([], type=pa.float64()),
+            "is_secret": pa.array([], type=pa.bool_()),
+        })
+    row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    # distinct (row, candidate): np.unique over the pair key
+    cand_codes, cand_uniq = pd.factorize(flat, sort=False)
+    pair = row_of * np.int64(len(cand_uniq) + 1) + cand_codes
+    _, first = np.unique(pair, return_index=True)
+    first = np.sort(first)
+    rows, cands = row_of[first], flat[first]
+
+    memo: dict[str, float] = {}
+
+    def ent(sv: str) -> float:
+        e = memo.get(sv)
+        if e is None:
+            n = len(sv)
+            cnt = Counter(sv)
+            tot = 0.0
+            for ch in sorted(cnt):
+                p = cnt[ch] / n
+                tot += p * math.log2(p)
+            e = 0.0 - tot
+            memo[sv] = e
+        return e
+
+    ents = np.array([ent(c) for c in cands], dtype=np.float64)
+    return pa.table({
+        id_col: ids.take(pa.array(rows, type=pa.int64())),
+        "candidate": pa.array(cands.tolist(), type=pa.string()),
+        "n_chars": pa.array([len(c) for c in cands], type=pa.int64()),
+        "entropy": pa.array(ents),
+        "is_secret": pa.array(ents >= SECRET_ENTROPY_THRESHOLD),
+    })

@@ -43,6 +43,7 @@ __all__ = [
     "grouped_running_scan",
     "grouped_rank_stats",
     "grouped_shift",
+    "grouped_ewma",
     "gapfill_resample",
     "distinct_count_by",
     "unpivot",
@@ -1611,4 +1612,282 @@ def pair_spans(ds, *, key: str, ts_col: str, type_col: str,
         .repartition(num_partitions)
         .groupby("__part")
         .map_groups(per_part, batch_format="pandas")
+    )
+
+
+def grouped_ewma(ds, *, key: str, order_cols: list[str], value_col: str,
+                 alpha: float = 0.25, out_col: str = "ewma",
+                 num_partitions: int = 32):
+    """Per-row exponentially weighted moving average of ``value_col``
+    per ``key`` group in ``order_cols`` order — the classic log/metric
+    smoothing baseline (Holt's level component; the EWMA half of every
+    "deviation from smoothed baseline" anomaly detector).
+
+    Recurrence (left fold, first value seeds the accumulator)::
+
+        y_1 = x_1
+        y_i = alpha * x_i + (1 - alpha) * y_{i-1}
+
+    evaluated with EXACTLY the scalar IEEE op order
+    ``alpha*x + (1-alpha)*acc`` at every step, so the output is
+    bit-identical to DuckDB's sequential
+    ``list_reduce(list_slice(vals, 1, rn), (acc, x) ->
+    a*x + (1.0 - a)*acc)`` twin.  Nulls in ``value_col`` contribute
+    0.0 (the ``coalesce(v, 0)`` convention shared with
+    :func:`grouped_running`); order columns must be non-null and
+    unique per key for determinism (pass ``[ts, event_id]``).
+
+    Shape: one co-partition by key hash (the irreducible window
+    exchange), then per partition ONE lexsort + a rank-sequential /
+    key-parallel loop: iteration r updates ALL groups that still have
+    an r-th row with one fused numpy expression, so the Python-level
+    loop count is max(group size) per partition — never rows, and
+    never a per-key loop.  The recurrence is non-associative as
+    specified (an associative (mul, add) linear-scan lifting exists
+    but changes float rounding, breaking the sequential twin), so a
+    single pathological million-row key bounds the loop; keys at that
+    scale should be pre-bucketed by time range upstream.
+
+    Reference parity note: the reference engine (per-event ingest
+    processors, EventProcessor.java:91-108) has no cross-event state;
+    this is an engine-native wide stage for the log-analytics surface.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"grouped_ewma: alpha must be in (0, 1], got {alpha}")
+    beta = 1.0 - alpha
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_partition_col(t, num_partitions, key=key)
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns="__part")
+        if not len(df):
+            out = df.copy()
+            out[out_col] = pd.Series(dtype=np.float64)
+            return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        codes, _ = pd.factorize(df[key], use_na_sentinel=False)
+        orders = [df[c].to_numpy() for c in order_cols]
+        for c, a in zip(order_cols, orders):
+            if pd.isna(a).any():
+                raise ValueError(f"grouped_ewma: null in order column {c!r}")
+        order, g, new, starts, sizes = _lexsort_segments(codes, orders)
+        vs = pd.to_numeric(df[value_col], errors="raise").fillna(0.0).to_numpy(
+            dtype=np.float64)[order]
+        out_vals = np.empty(len(g), dtype=np.float64)
+        # rank 0 seeds: y_1 = x_1
+        y = vs[starts].copy()
+        out_vals[starts] = y
+        for r in range(1, int(sizes.max())):
+            act = sizes > r
+            ix = starts[act] + r
+            # fused per-group step, identical IEEE ops to the scalar
+            # a*x + (1-a)*acc (two multiplies, one add, this order)
+            y[act] = alpha * vs[ix] + beta * y[act]
+            out_vals[ix] = y[act]
+        out = df.iloc[order].reset_index(drop=True)
+        out[out_col] = out_vals
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def sequence_integrity(ds, *, key: str, idx_col: str,
+                       num_partitions: int = 32):
+    """Per-key ordinal-sequence validation — the transcript-pipeline
+    integrity gate ("does every conversation have a contiguous,
+    duplicate-free run of turn indexes?"), equally the log-shipper
+    sequence-number audit.  Twin of::
+
+        SELECT key, count(*) AS n_turns,
+               count(DISTINCT idx)          AS n_distinct,
+               min(idx) AS min_idx, max(idx) AS max_idx,
+               max(idx) - min(idx) + 1 - count(DISTINCT idx) AS n_missing,
+               count(*) - count(DISTINCT idx)                AS n_dups,
+               ...both zero...                               AS is_contiguous
+        FROM t GROUP BY key
+
+    Shape: per-batch deduped (key, idx, cnt) partials — a million
+    repeats of one (key, idx) forward ONE row — then ONE exchange by
+    key hash and a per-partition vectorized finalize (counts sum
+    exactly in int64).  Exchange volume is bounded by the distinct
+    (key, idx) pair count, so a hot conversation cannot widen it.
+    Null keys/indexes are excluded (pre-fill a sentinel upstream to
+    audit them).
+
+    Reference parity note: the reference processes events one at a
+    time (EventProcessor.java:91-108) and cannot see cross-event
+    sequence gaps; this is an engine-native wide validation stage.
+    """
+    from .aggregate import _count_partials
+
+    partials = _count_partials(ds, [key, idx_col], "__cnt", num_partitions)
+
+    def per_part(df: pd.DataFrame) -> pa.Table:
+        k_dtype = df[key].dtype
+        df = df.dropna(subset=[key, idx_col])
+        if not len(df):
+            empty = pd.DataFrame({
+                key: pd.Series(dtype=k_dtype),
+                "n_turns": pd.Series(dtype=np.int64),
+                "n_distinct": pd.Series(dtype=np.int64),
+                "min_idx": pd.Series(dtype=np.int64),
+                "max_idx": pd.Series(dtype=np.int64),
+                "n_missing": pd.Series(dtype=np.int64),
+                "n_dups": pd.Series(dtype=np.int64),
+                "is_contiguous": pd.Series(dtype=bool),
+            })
+            return pa.Table.from_pandas(empty, preserve_index=False).replace_schema_metadata(None)
+        # finalize pair counts (partials may repeat a pair across batches)
+        pair = (df.groupby([key, idx_col], sort=False)["__cnt"]
+                .sum().reset_index())
+        idx = pair[idx_col].to_numpy(dtype=np.int64)
+        cnt = pair["__cnt"].to_numpy(dtype=np.int64)
+        codes, uniques = pd.factorize(pair[key], sort=False)
+        order = np.argsort(codes, kind="stable")
+        c = codes[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        sizes = np.diff(np.r_[starts, len(c)])
+        cs = np.r_[0, np.cumsum(cnt[order])]
+        n_turns = cs[starts + sizes] - cs[starts]
+        n_distinct = sizes.astype(np.int64)
+        mins = np.minimum.reduceat(idx[order], starts)
+        maxs = np.maximum.reduceat(idx[order], starts)
+        n_missing = maxs - mins + 1 - n_distinct
+        n_dups = n_turns - n_distinct
+        out = pd.DataFrame({
+            key: pair[key].iloc[order[starts]].reset_index(drop=True),
+            "n_turns": n_turns,
+            "n_distinct": n_distinct,
+            "min_idx": mins,
+            "max_idx": maxs,
+            "n_missing": n_missing,
+            "n_dups": n_dups,
+            "is_contiguous": (n_missing == 0) & (n_dups == 0),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        partials.repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
+def psi_drift(ds, *, val_col: str, ts_col: str, a_range: tuple, b_range: tuple,
+              lo: float, hi: float, nbins: int, num_partitions: int = 8):
+    """Population Stability Index between two time windows of a value
+    distribution — the standard "did this metric's distribution shift
+    week-over-week?" data-quality diagnostic (the histogram complement
+    of :func:`heavy_change`'s per-key count deltas).
+
+    Fixed equal-width bins over ``[lo, hi)`` (out-of-range values clip
+    to the edge bins; null values drop).  Per bin::
+
+        p_a = n_a / total_a          p_b = n_b / total_b
+        psi_term = (p_a - p_b) * ln(p_a / p_b)   -- NULL when either
+                                                 -- side's count is 0
+
+    ``sum(psi_term)`` is the PSI; the per-bin rows are emitted so the
+    shifted bins are visible.  Float discipline: bin = clip(floor((v -
+    lo) / w)) with one IEEE op order shared with the SQL twin, counts
+    exact int64, ratios IEEE double division, ``ln`` via per-row glibc
+    ``math.log`` for DuckDB ``ln()`` bit-parity (the keyness
+    convention, stages/textstats.py:token_keyness).
+
+    Shape: per-batch bincount partials (≤ 2·nbins thin rows per batch,
+    independent of row count) → co-partition by bin → per-partition
+    exact sums → ONE ≤ nbins-row block computes totals + PSI.  No
+    driver state, nothing materializes."""
+    import math
+
+    if nbins < 1:
+        raise ValueError("psi_drift: nbins must be >= 1")
+    w = (hi - lo) / nbins
+    a_lo, a_hi = (np.datetime64(x, "us") for x in a_range)
+    b_lo, b_hi = (np.datetime64(x, "us") for x in b_range)
+    bin_ids = np.arange(nbins, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            out = pa.table({
+                "bin": pa.array([], type=pa.int64()),
+                "n_a": pa.array([], type=pa.int64()),
+                "n_b": pa.array([], type=pa.int64()),
+            })
+            return add_partition_col(out, num_partitions, key="bin")
+        ts = t.column(ts_col).to_numpy().astype("datetime64[us]")
+        v_arr = t.column(val_col)
+        if isinstance(v_arr, pa.ChunkedArray):
+            v_arr = v_arr.combine_chunks()
+        notnull = pc.is_valid(v_arr).to_numpy(zero_copy_only=False)
+        v = np.asarray(v_arr.to_numpy(zero_copy_only=False), dtype=np.float64)
+        in_a = (ts >= a_lo) & (ts < a_hi) & notnull
+        in_b = (ts >= b_lo) & (ts < b_hi) & notnull
+        keep = in_a | in_b
+        bins = np.clip(np.floor((v[keep] - lo) / w), 0, nbins - 1).astype(np.int64)
+        side_a = in_a[keep]
+        n_a = np.bincount(bins[side_a], minlength=nbins).astype(np.int64)
+        n_b = np.bincount(bins[~side_a], minlength=nbins).astype(np.int64)
+        out = pa.table({"bin": bin_ids, "n_a": n_a, "n_b": n_b})
+        return add_partition_col(out, num_partitions, key="bin")
+
+    def per_part(t: pa.Table) -> pa.Table:
+        b = t.column("bin").to_numpy()
+        na = t.column("n_a").to_numpy()
+        nb = t.column("n_b").to_numpy()
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        cs_a = np.r_[0, np.cumsum(na[order])]
+        cs_b = np.r_[0, np.cumsum(nb[order])]
+        ends = np.r_[starts[1:], len(bs)]
+        return pa.table({
+            "bin": bs[starts],
+            "n_a": cs_a[ends] - cs_a[starts],
+            "n_b": cs_b[ends] - cs_b[starts],
+        })
+
+    def final(t: pa.Table) -> pa.Table:
+        b = t.column("bin").to_numpy()
+        na = t.column("n_a").to_numpy()
+        nb = t.column("n_b").to_numpy()
+        # bins with no rows on either side don't exist in the SQL
+        # twin's GROUP BY (bincount minlength materialized them)
+        nz = (na + nb) > 0
+        b, na, nb = b[nz], na[nz], nb[nz]
+        ta = int(na.sum())
+        tb = int(nb.sum())
+        p_a = np.empty(len(b)); p_b = np.empty(len(b))
+        psi = np.full(len(b), np.nan)
+        for i in range(len(b)):  # ≤ nbins rows: glibc ln per row
+            p_a[i] = na[i] / ta
+            p_b[i] = nb[i] / tb
+            if na[i] > 0 and nb[i] > 0:
+                psi[i] = (p_a[i] - p_b[i]) * math.log(p_a[i] / p_b[i])
+        order = np.argsort(b, kind="stable")
+        return pa.table({
+            "bin": pa.array(b[order]),
+            "n_a": pa.array(na[order]),
+            "n_b": pa.array(nb[order]),
+            "p_a": pa.array(p_a[order]),
+            "p_b": pa.array(p_b[order]),
+            "psi_term": pa.array([None if np.isnan(x) else float(x)
+                                  for x in psi[order]], type=pa.float64()),
+        })
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(
+            lambda t: per_part(t.drop_columns(["__part"])), batch_format="pyarrow"
+        )
+    )
+    return merged.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
     )

@@ -286,3 +286,49 @@ def test_group_top_tokens_k_larger_than_vocab(ray_session):
     got = group_top_tokens(ds, group_col="lang", k=10,
                            num_partitions=2).to_pandas()
     assert len(got) == 3  # every token ranked, no padding
+
+
+class TestSecretScan:
+    def _scan(self, texts):
+        from logstash_filter_elastic_integration_ray.stages.textstats import secret_scan_batch
+
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        })
+        return secret_scan_batch(t).to_pandas()
+
+    def test_entropy_reference_and_flags(self):
+        import hashlib
+        import math
+        from collections import Counter
+
+        key = "key_" + hashlib.md5(b"7").hexdigest()
+        out = self._scan([
+            f"hello {key} world",
+            "the xxxxxxxxxxxxxxxxxxxxxxxx run",   # constant: entropy 0
+            "short run only",                      # no candidate
+        ])
+        assert len(out) == 2
+        row = out[out["doc_id"] == 0].iloc[0]
+        assert row["candidate"] == key and row["n_chars"] == len(key)
+        n = len(key)
+        cnt = Counter(key)
+        ref = 0.0 - sum((cnt[c] / n) * math.log2(cnt[c] / n) for c in sorted(cnt))
+        assert row["entropy"] == ref
+        assert bool(row["is_secret"])
+        low = out[out["doc_id"] == 1].iloc[0]
+        assert low["entropy"] == 0.0 and not bool(low["is_secret"])
+        # 0.0, not -0.0: the SQL twin's 0.0 - list_sum convention
+        assert math.copysign(1.0, low["entropy"]) == 1.0
+
+    def test_distinct_per_doc_and_null_text(self):
+        tok = "ABCDEFGHIJKLMNOPQRSTuvwx"
+        out = self._scan([f"{tok} again {tok}", None])
+        assert len(out) == 1  # repeated run → one distinct row; null → none
+        assert out.iloc[0]["candidate"] == tok
+
+    def test_empty_batch(self):
+        out = self._scan([])
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_id", "candidate", "n_chars", "entropy", "is_secret"]

@@ -1024,3 +1024,262 @@ class TestPairSpans:
         # precedes the start but index pairing is by rank, so rn 1 end is event 3)
         u2 = o[o.user_id == 2]
         assert len(u2) == 1 and int(u2["end_id"].iloc[0]) == 3
+
+
+def _ewma_reference(df: pd.DataFrame, alpha=0.25) -> dict:
+    """Scalar left fold per key, exact IEEE op order a*x + (1-a)*acc."""
+    out = {}
+    beta = 1.0 - alpha
+    for _, sub in df.sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort"
+    ).groupby("user_id", sort=False):
+        y = None
+        for eid, x in zip(sub["event_id"], sub["cents"].astype(np.float64)):
+            x = 0.0 if pd.isna(x) else float(x)
+            y = x if y is None else alpha * x + beta * y
+            out[int(eid)] = y
+    return out
+
+
+class TestGroupedEwma:
+    def test_bitwise_matches_sequential_fold(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import grouped_ewma
+
+        df = _events_frame(400, seed=3)
+        ds = ray.data.from_pandas(df).repartition(5)
+        out = grouped_ewma(
+            ds, key="user_id", order_cols=["ts", "event_id"],
+            value_col="cents", alpha=0.25, num_partitions=4,
+        ).to_pandas()
+        ref = _ewma_reference(df)
+        got = dict(zip(out["event_id"].astype(int), out["ewma"]))
+        assert len(got) == len(ref)
+        for eid, v in ref.items():
+            # bit-exact: the vectorized rank loop performs the SAME
+            # float ops as the scalar fold
+            assert got[eid] == v, (eid, got[eid], v)
+
+    def test_block_invariance(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import grouped_ewma
+
+        df = _events_frame(300, seed=7)
+        outs = []
+        for nblocks in (1, 4, 11):
+            ds = ray.data.from_pandas(df).repartition(nblocks)
+            out = grouped_ewma(
+                ds, key="user_id", order_cols=["ts", "event_id"],
+                value_col="cents", num_partitions=3,
+            ).to_pandas().sort_values("event_id").reset_index(drop=True)
+            outs.append(out["ewma"].to_numpy())
+        assert (outs[0] == outs[1]).all() and (outs[0] == outs[2]).all()
+
+    def test_null_values_contribute_zero(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import grouped_ewma
+
+        df = pd.DataFrame({
+            "event_id": np.arange(4, dtype=np.int64),
+            "user_id": np.zeros(4, dtype=np.int64),
+            "ts": pd.to_datetime(
+                ["2025-01-01", "2025-01-02", "2025-01-03", "2025-01-04"]
+            ),
+            "cents": pd.array([8.0, None, 4.0, None], dtype="Float64"),
+        })
+        out = grouped_ewma(
+            ray.data.from_pandas(df), key="user_id",
+            order_cols=["ts", "event_id"], value_col="cents",
+            alpha=0.25, num_partitions=2,
+        ).to_pandas().sort_values("event_id")
+        # y1=8, y2=.25*0+.75*8=6, y3=.25*4+.75*6=5.5, y4=.75*5.5=4.125
+        assert out["ewma"].tolist() == [8.0, 6.0, 5.5, 4.125]
+
+    def test_alpha_bounds(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import grouped_ewma
+
+        df = _events_frame(10)
+        with pytest.raises(ValueError, match="alpha"):
+            grouped_ewma(
+                ray.data.from_pandas(df), key="user_id",
+                order_cols=["ts"], value_col="cents", alpha=0.0,
+            )
+
+
+class TestSequenceIntegrity:
+    def _frame(self):
+        # conv a: [0,1,2,4,4] → missing 3, dup 4
+        # conv b: [1,2,3]     → contiguous (min 1 is fine)
+        # conv c: [7]         → contiguous single
+        return pd.DataFrame({
+            "conv_id": ["a"] * 5 + ["b"] * 3 + ["c"],
+            "turn_idx": np.array([0, 1, 2, 4, 4, 1, 2, 3, 7], dtype=np.int32),
+        })
+
+    def test_semantics(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import sequence_integrity
+
+        out = sequence_integrity(
+            ray.data.from_pandas(self._frame()).repartition(3),
+            key="conv_id", idx_col="turn_idx", num_partitions=2,
+        ).to_pandas().set_index("conv_id").sort_index()
+        a = out.loc["a"]
+        assert (a["n_turns"], a["n_distinct"], a["min_idx"], a["max_idx"]) == (5, 4, 0, 4)
+        assert (a["n_missing"], a["n_dups"], a["is_contiguous"]) == (1, 1, False)
+        b = out.loc["b"]
+        assert (b["n_turns"], b["n_missing"], b["n_dups"]) == (3, 0, 0)
+        assert bool(b["is_contiguous"])
+        c = out.loc["c"]
+        assert (c["n_turns"], c["min_idx"], c["max_idx"]) == (1, 7, 7)
+        assert bool(c["is_contiguous"])
+
+    def test_hot_key_forwards_deduped_pairs(self, ray_session):
+        """A million-repeat (key, idx) pair in one batch rides the
+        exchange as ONE partial row — verified via reference equality
+        on a frame with extreme repetition."""
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import sequence_integrity
+
+        df = pd.DataFrame({
+            "conv_id": ["hot"] * 50_000 + ["cold"],
+            "turn_idx": np.r_[np.zeros(50_000, dtype=np.int64),
+                              np.array([2], dtype=np.int64)],
+        })
+        out = sequence_integrity(
+            ray.data.from_pandas(df).repartition(4),
+            key="conv_id", idx_col="turn_idx", num_partitions=2,
+        ).to_pandas().set_index("conv_id")
+        assert out.loc["hot", "n_turns"] == 50_000
+        assert out.loc["hot", "n_dups"] == 49_999
+        assert out.loc["hot", "n_missing"] == 0
+
+    def test_block_invariance(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import sequence_integrity
+
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame({
+            "conv_id": [f"c{v}" for v in rng.randint(0, 30, 2000)],
+            "turn_idx": rng.randint(0, 25, 2000).astype(np.int32),
+        })
+        frames = []
+        for nblocks in (1, 7):
+            out = sequence_integrity(
+                ray.data.from_pandas(df).repartition(nblocks),
+                key="conv_id", idx_col="turn_idx", num_partitions=3,
+            ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+            frames.append(out)
+        pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+class TestPsiDrift:
+    def _frame(self):
+        rng = np.random.RandomState(9)
+        n = 4000
+        ts = np.r_[
+            np.datetime64("2025-03-01", "us")
+            + rng.randint(0, 86_400_000_000, n // 2).astype("timedelta64[us]"),
+            np.datetime64("2025-03-02", "us")
+            + rng.randint(0, 86_400_000_000, n // 2).astype("timedelta64[us]"),
+        ]
+        # window B shifted right: drift must be detected
+        vals = np.r_[rng.uniform(0, 80, n // 2), rng.uniform(20, 100, n // 2)]
+        return pd.DataFrame({"ts": ts, "value": vals})
+
+    def _reference(self, df, lo=0.0, hi=100.0, nbins=10):
+        import math
+
+        w = (hi - lo) / nbins
+        a = df[df["ts"] < np.datetime64("2025-03-02", "us")]["value"]
+        b = df[df["ts"] >= np.datetime64("2025-03-02", "us")]["value"]
+        bins_a = np.clip(np.floor((a.to_numpy() - lo) / w), 0, nbins - 1).astype(int)
+        bins_b = np.clip(np.floor((b.to_numpy() - lo) / w), 0, nbins - 1).astype(int)
+        na = np.bincount(bins_a, minlength=nbins)
+        nb = np.bincount(bins_b, minlength=nbins)
+        out = {}
+        for i in range(nbins):
+            if na[i] + nb[i] == 0:
+                continue
+            pa_, pb_ = na[i] / int(na.sum()), nb[i] / int(nb.sum())
+            term = ((pa_ - pb_) * math.log(pa_ / pb_)
+                    if na[i] > 0 and nb[i] > 0 else None)
+            out[i] = (int(na[i]), int(nb[i]), pa_, pb_, term)
+        return out
+
+    def test_matches_reference(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import psi_drift
+
+        df = self._frame()
+        out = psi_drift(
+            ray.data.from_pandas(df).repartition(6),
+            val_col="value", ts_col="ts",
+            a_range=("2025-03-01", "2025-03-02"),
+            b_range=("2025-03-02", "2025-03-03"),
+            lo=0.0, hi=100.0, nbins=10, num_partitions=3,
+        ).to_pandas().set_index("bin")
+        ref = self._reference(df)
+        assert sorted(out.index) == sorted(ref)
+        for i, (na, nb, pa_, pb_, term) in ref.items():
+            row = out.loc[i]
+            assert (row["n_a"], row["n_b"]) == (na, nb)
+            assert row["p_a"] == pa_ and row["p_b"] == pb_
+            if term is None:
+                assert pd.isna(row["psi_term"])
+            else:
+                assert row["psi_term"] == term  # bit-exact glibc ln
+        # the planted shift must register: the disjoint tails (values
+        # only one window can produce) surface as one-sided NULL-term
+        # bins, and the overlapping bins still carry positive PSI
+        assert out["psi_term"].isna().sum() >= 2
+        assert out["psi_term"].dropna().sum() > 0.0
+
+    def test_zero_side_bin_is_null_and_clipping(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import psi_drift
+
+        df = pd.DataFrame({
+            "ts": np.array(
+                ["2025-03-01T01", "2025-03-01T02", "2025-03-02T01", "2025-03-02T02"],
+                dtype="datetime64[us]"),
+            # -5 clips into bin 0; 250 clips into bin 9
+            "value": [-5.0, 95.0, 95.0, 250.0],
+        })
+        out = psi_drift(
+            ray.data.from_pandas(df), val_col="value", ts_col="ts",
+            a_range=("2025-03-01", "2025-03-02"),
+            b_range=("2025-03-02", "2025-03-03"),
+            lo=0.0, hi=100.0, nbins=10, num_partitions=2,
+        ).to_pandas().set_index("bin")
+        assert set(out.index) == {0, 9}
+        assert pd.isna(out.loc[0, "psi_term"])  # n_b == 0
+        assert out.loc[9, "n_a"] == 1 and out.loc[9, "n_b"] == 2
+
+    def test_block_invariance(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import psi_drift
+
+        df = self._frame()
+        outs = []
+        for nblocks in (1, 9):
+            out = psi_drift(
+                ray.data.from_pandas(df).repartition(nblocks),
+                val_col="value", ts_col="ts",
+                a_range=("2025-03-01", "2025-03-02"),
+                b_range=("2025-03-02", "2025-03-03"),
+                lo=0.0, hi=100.0, nbins=10, num_partitions=3,
+            ).to_pandas().sort_values("bin").reset_index(drop=True)
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
