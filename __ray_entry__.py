@@ -1243,6 +1243,25 @@ def q_bpe_tokenize_docs(sf_dir: str):
     return bpe_encode(docs, merges)
 
 
+def q_unigram_tokenize_docs(sf_dir: str):
+    """Unigram-LM (SentencePiece-style) tokenizer learned ON the
+    corpus, then applied to it — the probabilistic counterpart of the
+    BPE query: exact distributed top-V word count → EM over the pruned
+    table (int64-quantized expected counts, order-independent) →
+    actor-pool Viterbi encode with a per-actor memo
+    (stages/unigram.py; fixture oracle from the plain dict-counting
+    reference)."""
+    from logstash_filter_elastic_integration_ray.stages.unigram import (
+        train_unigram,
+        unigram_encode,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    logp = train_unigram(docs, seed_size=1024, max_piece_len=8, n_iters=4,
+                         final_size=512)
+    return unigram_encode(docs, logp)
+
+
 def q_bpe_pack_docs(sf_dir: str):
     """Composition: the learned BPE tokenizer feeds sequence packing —
     docs are packed into 256-token context windows by their BPE token
@@ -4685,6 +4704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_integrity": q_turn_integrity,
         "psi_drift_events": q_psi_drift_events,
         "secret_scan_docs": q_secret_scan_docs,
+        "unigram_tokenize_docs": q_unigram_tokenize_docs,
         "kn_perplexity_docs": q_kn_perplexity_docs,
         "fasttext_quality_docs": q_fasttext_quality_docs,
         "perplexity_gap_docs": q_perplexity_gap_docs,
@@ -5862,6 +5882,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_tokenize_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/bpe_tokenize_docs.sf0_01.parquet')"
+        ),
+        "unigram_tokenize_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/unigram_tokenize_docs.sf0_01.parquet')"
         ),
         "bpe_pack_docs": (
             "WITH t AS (SELECT doc_id, n_bpe AS n FROM read_parquet("

@@ -4,6 +4,7 @@ invariance, top-V pruning exactness, and encode edge cases."""
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from logstash_filter_elastic_integration_ray.sources.io import read_parquet_clean
 from logstash_filter_elastic_integration_ray.stages.bpe import (
@@ -171,3 +172,114 @@ class TestBpePack:
                    .apply(lambda d: (d["tok_end"].iloc[:-1].to_numpy()
                                      == d["tok_start"].iloc[1:].to_numpy()).all(),
                           include_groups=False)).all()
+
+
+class TestUnigram:
+    def test_expected_counts_match_bruteforce_enumeration(self):
+        """Forward–backward posterior counts == direct enumeration of
+        every segmentation (an independent algorithm)."""
+        import itertools
+        import math
+
+        from logstash_filter_elastic_integration_ray.stages.unigram import (
+            word_expected_counts,
+        )
+
+        logp = {"a": math.log(0.3), "b": math.log(0.2), "ab": math.log(0.35),
+                "ba": math.log(0.1), "aba": math.log(0.05)}
+        w = "abab"
+        # enumerate all segmentations via cut masks
+        segs = []
+        n = len(w)
+        for mask in itertools.product([0, 1], repeat=n - 1):
+            cuts = [0] + [i + 1 for i, m in enumerate(mask) if m] + [n]
+            pieces = [w[cuts[k]:cuts[k + 1]] for k in range(len(cuts) - 1)]
+            if all(p in logp for p in pieces):
+                segs.append(pieces)
+        probs = [math.exp(sum(logp[p] for p in s)) for s in segs]
+        z = sum(probs)
+        want: dict[str, float] = {}
+        for s, pr in zip(segs, probs):
+            for p in s:
+                want[p] = want.get(p, 0.0) + pr / z
+        got = word_expected_counts(w, logp, 3)
+        assert set(got) == set(want)
+        for p in want:
+            assert abs(got[p] - want[p]) < 1e-12
+
+    def test_viterbi_matches_bruteforce(self):
+        import itertools
+        import math
+
+        from logstash_filter_elastic_integration_ray.stages.unigram import (
+            viterbi_encode,
+        )
+
+        logp = {"a": math.log(0.25), "b": math.log(0.2), "ab": math.log(0.3),
+                "bb": math.log(0.15), "abb": math.log(0.1)}
+        for w in ["abb", "abab", "bbbb", "aabba"]:
+            n = len(w)
+            best, best_score = None, -math.inf
+            for mask in itertools.product([0, 1], repeat=n - 1):
+                cuts = [0] + [i + 1 for i, m in enumerate(mask) if m] + [n]
+                pieces = [w[cuts[k]:cuts[k + 1]] for k in range(len(cuts) - 1)]
+                if not all(p in logp for p in pieces):
+                    continue
+                sc = sum(logp[p] for p in pieces)
+                if sc > best_score:
+                    best_score, best = sc, pieces
+            got = viterbi_encode(w, logp, 3)
+            assert sum(logp[p] for p in got) == pytest.approx(best_score)
+
+    def test_unk_fallback_and_empty(self):
+        import math
+
+        from logstash_filter_elastic_integration_ray.stages.unigram import (
+            viterbi_encode,
+        )
+
+        logp = {"a": math.log(0.9)}
+        assert viterbi_encode("axa", logp, 4) == ["a", "x", "a"]
+
+    def test_em_concentrates_on_frequent_pieces(self):
+        from logstash_filter_elastic_integration_ray.stages.unigram import (
+            em_train,
+            viterbi_encode,
+        )
+
+        wf = {"hello": 50, "help": 30, "low": 40, "yellow": 10}
+        logp = em_train(wf, seed_size=40, max_piece_len=5, n_iters=4)
+        assert viterbi_encode("hello", logp, 5)[0] in ("hello", "hell", "hel")
+        # single-char coverage always survives
+        assert all(c in logp for c in "helowyp")
+
+    def test_distributed_encode_matches_plain_reference(self, ray_session):
+        import ray.data
+
+        sys_path_guard = True  # tools/ import below
+        import sys as _sys
+
+        _sys.path.insert(0, "/root/repo/tools")
+        import reference_impls as ref
+
+        from logstash_filter_elastic_integration_ray.stages.unigram import (
+            train_unigram,
+            unigram_encode,
+        )
+
+        ids, texts = ref.load_documents("/root/testdata/sf0.001")
+        want = ref.unigram_reference(ids, texts, seed_size=256,
+                                     max_piece_len=6, n_iters=2,
+                                     final_size=128, top_v=512)
+        docs = ray.data.from_items(
+            [{"doc_id": int(i), "text": t} for i, t in zip(ids, texts)]
+        ).repartition(5)
+        logp = train_unigram(docs, seed_size=256, max_piece_len=6,
+                             n_iters=2, final_size=128, top_v=512)
+        got = (
+            unigram_encode(docs, logp, max_piece_len=6)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        assert got["n_pieces"].tolist() == want["n_pieces"].tolist()
+        assert got["uni_text"].tolist() == want["uni_text"].tolist()

@@ -71,6 +71,7 @@ def main() -> None:
         "semdedup_docs": ref.semdedup_docs_reference(sf_dir),
         "logreg_embeddings": ref.logreg_score_reference(sf_dir),
         "bpe_tokenize_docs": ref.bpe_reference(ids, texts),
+        "unigram_tokenize_docs": ref.unigram_reference(ids, texts),
         "softmax_embeddings": ref.softmax_score_reference(sf_dir),
         "embedding_decontaminate_docs": ref.embedding_decontaminate_reference(sf_dir),
         "pagerank_docs": ref.pagerank_docs_reference(sf_dir),

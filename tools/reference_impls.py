@@ -2202,3 +2202,42 @@ def ivfpq_topk_reference(sf_dir: str, *, m: int = 16, k: int = 32,
     return pd.DataFrame({"query_id": np.array(out_q, dtype=np.int64),
                          "neighbor_id": np.array(out_n, dtype=np.int64),
                          "rank": np.array(out_r, dtype=np.int64)})
+
+
+def unigram_reference(ids, texts, *, seed_size: int = 1024,
+                      max_piece_len: int = 8, n_iters: int = 4,
+                      final_size: int = 512, top_v: int = 4096,
+                      min_freq: int = 1) -> pd.DataFrame:
+    """Plain single-process unigram-LM tokenizer: Counter word counts +
+    the shared definitional EM/Viterbi kernels (the distributed word
+    count and the actor-pool encode are what the fixture validates)."""
+    from logstash_filter_elastic_integration_ray.stages.unigram import (
+        em_train,
+        viterbi_encode,
+    )
+
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in (t or "").split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    items = [(w, c) for w, c in counts.items() if c >= min_freq]
+    items.sort(key=lambda kv: (-kv[1], kv[0]))
+    wf = dict(items[:top_v])
+    logp = em_train(wf, seed_size=seed_size, max_piece_len=max_piece_len,
+                    n_iters=n_iters, final_size=final_size)
+
+    memo: dict[str, list[str]] = {}
+
+    def enc(w: str) -> list[str]:
+        if w not in memo:
+            memo[w] = viterbi_encode(w, logp, max_piece_len) if w else []
+        return memo[w]
+
+    n_pieces, joined = [], []
+    for t in texts:
+        toks = [enc(w) for w in (t or "").split(" ")]
+        n_pieces.append(sum(len(x) for x in toks))
+        joined.append(" ".join(p for x in toks for p in x))
+    return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                         "n_pieces": np.asarray(n_pieces, dtype=np.int64),
+                         "uni_text": joined})
