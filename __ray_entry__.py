@@ -2142,6 +2142,37 @@ def q_pagerank_docs(sf_dir: str):
     return pagerank(edges, n_iters=8)
 
 
+def q_hop_distance_docs(sf_dir: str):
+    """Multi-source BFS hop distance from a seed set over the shared
+    doc link graph (the TrustRank-style link-distance feature) —
+    frontier-BSP rounds where only the frontier rides the exchanges
+    (stages/graph.py:hop_distances).  Seeds = ``doc_id % 50 == 0``
+    (the personalized-PageRank seed rule); undirected view; fixture
+    oracle from the independent deque-BFS reference
+    (tools/reference_impls.hop_distance_docs_reference)."""
+    from logstash_filter_elastic_integration_ray.stages.graph import hop_distances
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = int(docs.count())
+
+    def synth_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        src, dst = [], []
+        for d in ids:
+            d = int(d)
+            if d % 5 == 0:
+                continue
+            for j in range(1 + d % 3):
+                src.append(d)
+                dst.append((d * 17 + 1 + 97 * j) % n_docs)
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "dst": pa.array(dst, type=pa.int64())})
+
+    edges = docs.map_batches(synth_edges, batch_format="pyarrow")
+    seeds = [d for d in range(0, n_docs, 50)]
+    return hop_distances(edges, seeds=seeds, num_partitions=16)
+
+
 def q_connected_components_docs(sf_dir: str):
     """The distributed min-label connected-components machinery
     (stages/dedup.py:connected_components_min_label — one join-free
@@ -4705,6 +4736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_drift_events": q_psi_drift_events,
         "secret_scan_docs": q_secret_scan_docs,
         "unigram_tokenize_docs": q_unigram_tokenize_docs,
+        "hop_distance_docs": q_hop_distance_docs,
         "kn_perplexity_docs": q_kn_perplexity_docs,
         "fasttext_quality_docs": q_fasttext_quality_docs,
         "perplexity_gap_docs": q_perplexity_gap_docs,
@@ -5885,6 +5917,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "unigram_tokenize_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/unigram_tokenize_docs.sf0_01.parquet')"
+        ),
+        "hop_distance_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/hop_distance_docs.sf0_01.parquet')"
         ),
         "bpe_pack_docs": (
             "WITH t AS (SELECT doc_id, n_bpe AS n FROM read_parquet("

@@ -1262,3 +1262,133 @@ def core_numbers(edges, *, num_partitions: int = 16, max_iters: int = 64,
                 batch_format="pyarrow")
     raise RuntimeError(
         f"core_numbers did not converge in {max_iters} h-index rounds")
+
+
+def hop_distances(edges, *, seeds, num_partitions: int = 16,
+                  max_iters: int = 128, src_col: str = "src",
+                  dst_col: str = "dst", directed: bool = False):
+    """Minimum hop distance from a seed set to every reachable node —
+    multi-source BFS, the TrustRank-style link-distance primitive
+    ("how many links from a trusted/spam seed is this page?") and the
+    crawl-depth / blast-radius feature for web curation and incident
+    triage.
+
+    Exact and deterministic by construction: unweighted BFS levels are
+    unique (no tie-breaking exists to get wrong), every round is
+    integer arithmetic, and the round count is the seed set's graph
+    eccentricity — guarded by ``max_iters`` (raises rather than
+    returning a partial frontier).  Unreached nodes are omitted
+    (document the NULL-means-unreachable convention at the join site).
+
+    Shape (frontier BSP): the edge list loads ONCE into a stationary
+    src-partitioned view; per round only the FRONTIER rides the
+    exchanges — (1) frontier ∪ edges co-partitioned by src emit
+    candidate dst rows (deduped per partition), (2) candidates ∪
+    visited co-partitioned by node keep the genuinely new nodes, which
+    become the next frontier with ``dist = round``.  Every frontier
+    node's distance is final when assigned (BFS invariant), so rounds
+    never revisit settled nodes; loop state materializes like the
+    k-means loop, driver state is one changed-count scalar.
+
+    ``seeds`` is small-by-contract (ships in task closures, like the
+    personalized-PageRank teleport set); ``directed=False`` (default)
+    normalizes to the undirected view by emitting both directions.
+    """
+    seed_arr = np.array(sorted({int(s) for s in seeds}), dtype=np.int64)
+    if len(seed_arr) == 0:
+        raise ValueError("hop_distances: empty seed set")
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = t.column(dst_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if directed:
+            src, dst = s, d
+        else:
+            src, dst = np.r_[s, d], np.r_[d, s]
+        # per-batch dedup only — min semantics tolerate cross-batch dups
+        df = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+        out = pa.table({"src": pa.array(df["src"].to_numpy(dtype=np.int64)),
+                        "dst": pa.array(df["dst"].to_numpy(dtype=np.int64))})
+        return add_partition_col(out, num_partitions, key="src")
+
+    edges2 = edges.map_batches(canon, batch_format="pyarrow").materialize()
+
+    import ray.data as _rd
+
+    dist = _rd.from_arrow(pa.table({
+        "node": pa.array(seed_arr),
+        "dist": pa.array(np.zeros(len(seed_arr), dtype=np.int64)),
+    })).materialize()
+    frontier = dist
+
+    def edge_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t.column("src"),
+            "dst": t.column("dst"),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="k")
+
+    def frontier_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t.column("node"),
+            "dst": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="k")
+
+    def emit_candidates(df: pd.DataFrame) -> pa.Table:
+        fr = np.unique(df[df["side"] == 1]["k"].to_numpy(dtype=np.int64))
+        ed = df[df["side"] == 0]
+        src = ed["k"].to_numpy(dtype=np.int64)
+        hit = np.isin(src, fr)
+        cand = np.unique(ed["dst"].to_numpy(dtype=np.int64)[hit])
+        out = pa.table({"node": pa.array(cand)})
+        return add_partition_col(out, num_partitions, key="node")
+
+    def cand_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "node": t.column("node"),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    def visited_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "node": t.column("node"),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    for r in range(1, int(max_iters) + 1):
+        cands = (
+            edges2.map_batches(edge_side, batch_format="pyarrow")
+            .union(frontier.map_batches(frontier_side, batch_format="pyarrow"))
+            .repartition(num_partitions)
+            .groupby("__part")
+            .map_groups(emit_candidates, batch_format="pandas")
+        )
+
+        def keep_new(df: pd.DataFrame, _r: int = r) -> pa.Table:
+            seen = np.unique(df[df["side"] == 1]["node"].to_numpy(dtype=np.int64))
+            cand = np.unique(df[df["side"] == 0]["node"].to_numpy(dtype=np.int64))
+            new = cand[~np.isin(cand, seen)]
+            return pa.table({
+                "node": pa.array(new),
+                "dist": pa.array(np.full(len(new), _r, dtype=np.int64)),
+            })
+
+        new_nodes = (
+            cands.map_batches(cand_side, batch_format="pyarrow")
+            .union(dist.map_batches(visited_side, batch_format="pyarrow"))
+            .repartition(num_partitions)
+            .groupby("__part")
+            .map_groups(keep_new, batch_format="pandas")
+            .materialize()
+        )
+        if int(new_nodes.count()) == 0:
+            return dist
+        dist = dist.union(new_nodes).materialize()
+        frontier = new_nodes
+    raise RuntimeError(
+        f"hop_distances frontier still active after {max_iters} rounds")

@@ -7,6 +7,7 @@ from __future__ import annotations
 import sys
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -455,3 +456,92 @@ class TestCoreNumbers:
         edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
         with pytest.raises(RuntimeError):
             self._run(ray, edges, max_iters=1)
+
+
+class TestHopDistances:
+    def _ds(self, edges):
+        import ray.data
+
+        return ray.data.from_items(
+            [{"src": int(s), "dst": int(d)} for s, d in edges]
+        ).repartition(4)
+
+    def _bfs(self, edges, seeds, directed=False):
+        from collections import deque
+
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, set()).add(d)
+            if not directed:
+                adj.setdefault(d, set()).add(s)
+        dist = {s: 0 for s in seeds}
+        q = deque(seeds)
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    def test_matches_bfs_reference_random_graph(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.graph import hop_distances
+
+        rng = np.random.RandomState(17)
+        edges = [(int(a), int(b)) for a, b in rng.randint(0, 120, (500, 2))]
+        seeds = [0, 7, 99]
+        out = hop_distances(self._ds(edges), seeds=seeds,
+                            num_partitions=4).to_pandas()
+        got = dict(zip(out["node"].astype(int), out["dist"].astype(int)))
+        assert got == self._bfs(edges, seeds)
+
+    def test_directed_vs_undirected(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.graph import hop_distances
+
+        edges = [(1, 2), (2, 3), (5, 1)]
+        und = hop_distances(self._ds(edges), seeds=[1], num_partitions=2).to_pandas()
+        got_u = dict(zip(und["node"].astype(int), und["dist"].astype(int)))
+        assert got_u == {1: 0, 2: 1, 3: 2, 5: 1}
+        dird = hop_distances(self._ds(edges), seeds=[1], num_partitions=2,
+                             directed=True).to_pandas()
+        got_d = dict(zip(dird["node"].astype(int), dird["dist"].astype(int)))
+        # 5 → 1 is not traversable from 1 in the directed view
+        assert got_d == {1: 0, 2: 1, 3: 2}
+
+    def test_unreachable_omitted_and_multi_seed_min(self, ray_session):
+        from logstash_filter_elastic_integration_ray.stages.graph import hop_distances
+
+        edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)]
+        out = hop_distances(self._ds(edges), seeds=[1, 4, 10],
+                            num_partitions=3).to_pandas()
+        got = dict(zip(out["node"].astype(int), out["dist"].astype(int)))
+        # node 3 is 2 hops from seed 1 but 1 hop from seed 4 → min wins
+        assert got == {1: 0, 4: 0, 10: 0, 2: 1, 3: 1, 11: 1}
+        assert 20 not in got and 21 not in got
+
+    def test_empty_seeds_raise_and_max_iters_guard(self, ray_session):
+        import pytest as _pytest
+
+        from logstash_filter_elastic_integration_ray.stages.graph import hop_distances
+
+        with _pytest.raises(ValueError, match="empty seed"):
+            hop_distances(self._ds([(1, 2)]), seeds=[])
+        chain = [(i, i + 1) for i in range(6)]
+        with _pytest.raises(RuntimeError, match="frontier still active"):
+            hop_distances(self._ds(chain), seeds=[0], num_partitions=2,
+                          max_iters=2)
+
+    def test_block_invariance(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.graph import hop_distances
+
+        rng = np.random.RandomState(23)
+        edges = [(int(a), int(b)) for a, b in rng.randint(0, 60, (200, 2))]
+        outs = []
+        for nblocks in (1, 7):
+            ds = ray.data.from_items(
+                [{"src": s, "dst": d} for s, d in edges]).repartition(nblocks)
+            out = hop_distances(ds, seeds=[3, 44], num_partitions=3).to_pandas()
+            outs.append(out.sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])

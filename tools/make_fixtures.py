@@ -90,6 +90,7 @@ def main() -> None:
         "audio_dedup_afp": ref.audio_dedup_afp_reference(sf_dir),
         "kcenter_embeddings": ref.kcenter_reference(sf_dir),
         "kcore_docs": ref.kcore_docs_reference(sf_dir),
+        "hop_distance_docs": ref.hop_distance_docs_reference(sf_dir),
     }
     for name, df in tables.items():
         df = _canonical(df)

@@ -2241,3 +2241,31 @@ def unigram_reference(ids, texts, *, seed_size: int = 1024,
     return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
                          "n_pieces": np.asarray(n_pieces, dtype=np.int64),
                          "uni_text": joined})
+
+
+def hop_distance_docs_reference(sf_dir: str) -> pd.DataFrame:
+    """Plain multi-source BFS (collections.deque, adjacency dict) over
+    the shared doc link graph, seeds = doc_id % 50 == 0, undirected —
+    an independent algorithm from the engine's frontier-BSP rounds."""
+    from collections import deque
+
+    ids, _texts = load_documents(sf_dir)
+    edges = pagerank_edges_for_docs(ids, len(ids))
+    adj: dict[int, set] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    seeds = [int(d) for d in ids if d % 50 == 0]
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    items = sorted(dist.items())
+    return pd.DataFrame({
+        "node": np.array([k for k, _ in items], dtype=np.int64),
+        "dist": np.array([v for _, v in items], dtype=np.int64),
+    })
