@@ -2943,6 +2943,98 @@ def q_secret_scan_docs(sf_dir: str):
     )
 
 
+def q_translate_events(sf_dir: str):
+    """The `translate` registry-extension processor in regex mode:
+    event types map to categories through an ordered regex dictionary
+    (first match wins) with a default — RE2 patterns shared VERBATIM
+    with the DuckDB CASE/regexp_matches twin
+    (functions/mutate.py:TranslateKernel)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type"])
+    pipe = {"processors": [{"translate": {
+        "field": "event_type", "target_field": "category", "regex": True,
+        "dictionary": {"^(click|view)$": "browse", "error": "problem",
+                       "^p": "commerce"},
+        "default": "other",
+    }}]}
+    out = ds.map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(out, ["event_id", "event_type", "category"])
+
+
+def q_xml_events(sf_dir: str):
+    """The `xml` registry-extension processor: deterministic XML lines
+    rendered from events (attributes + nested elements, byte-identical
+    on both sides) parsed back through a real compiled pipeline into
+    flattened dotted fields (functions/parse.py:XmlKernel — per-row
+    DOM parse memoized per distinct value); the twin re-derives the
+    expected columns from the same integer parts."""
+
+    def render(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t.column("event_type").cast(pa.string()).combine_chunks()
+        S = lambda v: pa.array(v).cast(pa.string())  # noqa: E731
+        J = lambda *parts: pc.binary_join_element_wise(*parts, "")  # noqa: E731
+        line = J('<event id="', S(ids), '" type="', et, '"><user>u',
+                 S(ids % 1000), '</user><detail code="', S(ids % 7), '">d',
+                 S(ids % 100), "</detail></event>")
+        return pa.table({"event_id": t.column("event_id"), "line": line})
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type"])
+    rendered = ds.map_batches(render, batch_format="pyarrow")
+    pipe = {"processors": [{"xml": {"field": "line"}}]}
+    out = rendered.map_batches(_pipe_processor(pipe), batch_format="pyarrow")
+    return _project(
+        out,
+        ["event_id", "xml.id", "xml.type", "xml.user", "xml.detail.code",
+         "xml.detail"],
+        {"xml.id": "xid", "xml.type": "xtype", "xml.user": "xuser",
+         "xml.detail.code": "xcode", "xml.detail": "xdetail"},
+    )
+
+
+def q_trending_events(sf_dir: str):
+    """Trending items per time bucket: top-3 event types per day with
+    dense arrival ranks — the "what spiked today" dashboard primitive.
+    One exchange: per-batch deduped (day, type, cnt) partials
+    (stages/aggregate.py:_count_partials, partitioned by day so a
+    day's rows co-locate), then finalize + per-day top-k in the same
+    partition pass.  Ties (count desc, type asc)."""
+    import pandas as pd
+
+    from logstash_filter_elastic_integration_ray.stages.aggregate import _count_partials
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def day_col(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.floor_temporal(t.column("ts"), unit="day"),
+            "event_type": t.column("event_type"),
+        })
+
+    partials = _count_partials(
+        ds.map_batches(day_col, batch_format="pyarrow"),
+        ["day", "event_type"], "cnt", 16,
+    )
+
+    def per_part(df: pd.DataFrame) -> pa.Table:
+        agg = (df.groupby(["day", "event_type"], sort=False)["cnt"]
+               .sum().reset_index())
+        agg = agg.sort_values(["day", "cnt", "event_type"],
+                              ascending=[True, False, True], kind="mergesort")
+        agg["rank"] = (agg.groupby("day", sort=False).cumcount() + 1).astype("int64")
+        agg = agg[agg["rank"] <= 3]
+        out = pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+        i = out.column_names.index("day")
+        return out.set_column(i, "day", out.column("day").cast(pa.timestamp("us")))
+
+    return (
+        partials.repartition(16)
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
 def q_psi_drift_events(sf_dir: str):
     """Population Stability Index of the event value distribution,
     first half of January vs second half — the histogram drift
@@ -4737,6 +4829,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "secret_scan_docs": q_secret_scan_docs,
         "unigram_tokenize_docs": q_unigram_tokenize_docs,
         "hop_distance_docs": q_hop_distance_docs,
+        "trending_events": q_trending_events,
+        "translate_events": q_translate_events,
+        "xml_events": q_xml_events,
         "kn_perplexity_docs": q_kn_perplexity_docs,
         "fasttext_quality_docs": q_fasttext_quality_docs,
         "perplexity_gap_docs": q_perplexity_gap_docs,
@@ -6228,6 +6323,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, cand AS candidate, "
             "CAST(length(cand) AS BIGINT) AS n_chars, entropy, "
             "entropy >= 3.5 AS is_secret FROM ent"
+        ),
+        "translate_events": (
+            "SELECT event_id, event_type, "
+            "CASE WHEN regexp_matches(event_type, '^(click|view)$') THEN 'browse' "
+            "WHEN regexp_matches(event_type, 'error') THEN 'problem' "
+            "WHEN regexp_matches(event_type, '^p') THEN 'commerce' "
+            "ELSE 'other' END AS category FROM events"
+        ),
+        "xml_events": (
+            "SELECT event_id, CAST(event_id AS VARCHAR) AS xid, "
+            "event_type AS xtype, "
+            "'u' || CAST(event_id % 1000 AS VARCHAR) AS xuser, "
+            "CAST(event_id % 7 AS VARCHAR) AS xcode, "
+            "'d' || CAST(event_id % 100 AS VARCHAR) AS xdetail "
+            "FROM events"
+        ),
+        "trending_events": (
+            "WITH c AS (SELECT date_trunc('day', ts) AS day, event_type, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+            "r AS (SELECT day, event_type, cnt, "
+            "CAST(row_number() OVER (PARTITION BY day "
+            "ORDER BY cnt DESC, event_type) AS BIGINT) AS rank FROM c) "
+            "SELECT day, event_type, cnt, rank FROM r WHERE rank <= 3"
         ),
         "psi_drift_events": (
             "WITH b AS (SELECT "

@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 from ..conditions import _BUILTIN_CALLS, compile_value_expr
 from ..model import ColumnBatch, META_INDEX
-from .base import Kernel, KernelCompileError, register_processor
+from .base import Kernel, KernelCompileError, register_processor, string_values
 from .grok import _normalize_field_path
 # module-level (NOT function-level): apply() runs on workers where the
 # by-value-shipped package cannot be imported lazily
@@ -844,3 +844,102 @@ class ScriptKernel(Kernel):
 @register_processor("script")
 def _script_factory(config):
     return ScriptKernel(config)
+
+
+class TranslateKernel(Kernel):
+    """Dictionary / regex-dictionary lookup — the Logstash `translate`
+    filter shape as a registry-extension processor (the reference's
+    supported set has no lookup processor beyond enrich-by-key; this
+    covers the "map this code/pattern to a label" config users port
+    from translate, logstash-patterns README:translate).
+
+    Modes:
+
+    - exact (default): the source value keys a plain dict — ONE
+      vectorized dictionary-encode + table lookup per batch, so a
+      million repeats of one value cost one probe.
+    - ``regex: true``: dictionary keys are RE2 regexes tried IN ORDER,
+      first (unanchored) match wins — K ``match_substring_regex``
+      masks per batch, never a per-row loop.
+
+    No match → ``default`` when configured, else the target is left
+    unset.  A lookup miss is NOT a failure (translate is enrichment,
+    not parsing); a MISSING source field is, unless ``ignore_missing``
+    (the parse-family convention)."""
+
+    failure_message = "translate processor failed"
+
+    def __init__(self, config: dict):
+        self.field = _resolve_field(config.get("field", ""))
+        self.target = _resolve_field(config.get("target_field", ""))
+        if not self.field or not self.target:
+            raise KernelCompileError("translate: requires [field] and [target_field]")
+        d = config.get("dictionary")
+        if not isinstance(d, dict) or not d:
+            raise KernelCompileError("translate: requires a non-empty [dictionary]")
+        self.rules = [(str(k), str(v)) for k, v in d.items()]
+        self.regex = bool(config.get("regex", False))
+        self.default = config.get("default")
+        if self.default is not None:
+            self.default = str(self.default)
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+        if self.regex:
+            self.compiled = []
+            for k, v in self.rules:
+                try:
+                    re.compile(k)
+                except re.error as e:
+                    raise KernelCompileError(f"translate: bad regex {k!r}: {e}")
+                self.compiled.append((k, v))
+        else:
+            self.table = dict(self.rules)
+
+    def output_fields(self) -> list[str]:
+        return [self.target]
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        vals = string_values(batch, self.field)
+        arr = pa.array(vals, type=pa.string())
+        present = np.asarray(pc.is_valid(arr))
+        err = np.zeros(batch.n, dtype=bool)
+        if not self.ignore_missing:
+            err |= mask & ~present
+        act = mask & present & ~err
+        if act.any():
+            out = np.empty(batch.n, dtype=object)
+            out[:] = None
+            resolved = np.zeros(batch.n, dtype=bool)
+            if self.regex:
+                for pat, val in self.compiled:
+                    m = np.asarray(
+                        pc.match_substring_regex(pc.fill_null(arr, ""), pat)
+                    )
+                    hit = act & m & ~resolved
+                    if hit.any():
+                        out[hit] = val
+                        resolved |= hit
+            else:
+                # probe once per DISTINCT value: dictionary-encode, map
+                # the (small) dictionary through the table, gather
+                de = arr.dictionary_encode()
+                dict_vals = de.dictionary.to_pylist()
+                mapped = [self.table.get(v) for v in dict_vals]
+                looked_arr = pc.take(pa.array(mapped, type=pa.string()), de.indices)
+                if isinstance(looked_arr, pa.ChunkedArray):
+                    looked_arr = looked_arr.combine_chunks()
+                looked = np.asarray(looked_arr.to_numpy(zero_copy_only=False))
+                hit = act & np.asarray(pc.is_valid(looked_arr))
+                out[hit] = looked[hit]
+                resolved = hit
+            if self.default is not None:
+                fb = act & ~resolved
+                out[fb] = self.default
+                resolved |= fb
+            if resolved.any():
+                batch.blend(self.target, out, resolved)
+        return err if err.any() else None
+
+
+@register_processor("translate")
+def _translate_factory(config):
+    return TranslateKernel(config)

@@ -867,3 +867,80 @@ class CefKernel(Kernel):
 @register_processor("cef")
 def _cef_factory(config: dict) -> Kernel:
     return CefKernel(config)
+
+
+# ---------------------------------------------------------------------------
+# xml — registry-extension processor (Windows-event / SOAP log shape)
+# ---------------------------------------------------------------------------
+
+class XmlKernel(Kernel):
+    """Parse an XML document field into flattened dotted fields — the
+    Logstash `xml` filter shape as a registry-extension processor
+    (Windows event logs and SOAP/middleware payloads ship as XML; the
+    reference ecosystem handles them with the xml filter upstream of
+    the ES processors).
+
+    Flattening semantics (deterministic, XmlSimple-like):
+
+    - root attributes        → ``{target}.{attr}``
+    - element attributes     → ``{target}.{path}.{attr}``
+    - leaf element text      → ``{target}.{path}`` (stripped;
+      empty/whitespace-only text writes nothing)
+    - ``path`` joins nested tags under the root with ``.``; repeated
+      paths collect into a list in document order (the kv multi-value
+      convention); namespaced tags keep ElementTree's ``{ns}tag``
+      spelling.
+
+    Malformed XML rows go to the executor's on_failure machinery.
+    Inherently per-document DOM work, so the kernel memoizes parse
+    results per DISTINCT input value per worker (``_value_cache`` —
+    real log streams repeat templates heavily)."""
+
+    failure_message = "unable to parse xml"
+
+    def __init__(self, config: dict):
+        self.field = _normalize_field_path(config.get("field", ""))
+        if not self.field:
+            raise KernelCompileError("xml: requires [field]")
+        self.target = config.get("target_field", "xml")
+        self.ignore_missing = bool(config.get("ignore_missing", False))
+        self._value_cache: dict = {}
+
+    def apply(self, batch: ColumnBatch, mask: np.ndarray, state) -> np.ndarray | None:
+        import xml.etree.ElementTree as ET
+
+        t = self.target
+
+        def parse(s: str):
+            root = ET.fromstring(s)
+            out: dict[str, object] = {}
+
+            def put(f: str, v: str):
+                if f in out:
+                    prev = out[f]
+                    out[f] = (prev if isinstance(prev, list) else [prev]) + [v]
+                else:
+                    out[f] = v
+
+            for a, v in root.attrib.items():
+                put(f"{t}.{a}", v)
+
+            def walk(el, prefix: str):
+                for child in el:
+                    path = f"{prefix}.{child.tag}" if prefix else child.tag
+                    for a, v in child.attrib.items():
+                        put(f"{t}.{path}.{a}", v)
+                    txt = (child.text or "").strip()
+                    if len(child) == 0 and txt:
+                        put(f"{t}.{path}", txt)
+                    walk(child, path)
+
+            walk(root, "")
+            return out
+
+        return _per_row(self, batch, mask, parse)
+
+
+@register_processor("xml")
+def _xml_factory(config: dict) -> Kernel:
+    return XmlKernel(config)
