@@ -1,0 +1,169 @@
+"""Conformance for the `translate` and `xml` registry-extension
+processors (functions/mutate.py:TranslateKernel,
+functions/parse.py:XmlKernel) — the semantics the Logstash translate
+and xml filters document, exercised without Ray via tests/util."""
+
+from __future__ import annotations
+
+import pytest
+
+from logstash_filter_elastic_integration_ray.functions.base import (
+    KernelCompileError,
+    build_kernel,
+)
+from tests.util import run_pipeline
+
+
+# ---------------------------------------------------------------------------
+# translate
+# ---------------------------------------------------------------------------
+
+def _translate(cfg: dict, rows: list[dict]) -> list[dict]:
+    return run_pipeline({"processors": [{"translate": cfg}]}, rows)
+
+
+def test_translate_exact_hit_miss_default():
+    rows = _translate(
+        {"field": "code", "target_field": "label",
+         "dictionary": {"200": "ok", "404": "missing"}, "default": "other"},
+        [{"code": "200"}, {"code": "404"}, {"code": "500"}],
+    )
+    assert [r["label"] for r in rows] == ["ok", "missing", "other"]
+
+
+def test_translate_exact_miss_without_default_leaves_target_unset():
+    rows = _translate(
+        {"field": "code", "target_field": "label", "dictionary": {"200": "ok"}},
+        [{"code": "500"}],
+    )
+    assert "label" not in rows[0]
+    # a lookup miss is enrichment, not a failure
+    assert "_ingest_pipeline_failure" not in (rows[0].get("tags") or [])
+
+
+def test_translate_regex_first_match_wins_in_dict_order():
+    rows = _translate(
+        {"field": "et", "target_field": "cat", "regex": True,
+         "dictionary": {"^(click|view)$": "browse", "error": "problem",
+                        "^p": "commerce"},
+         "default": "other"},
+        [{"et": "click"}, {"et": "page_error"}, {"et": "purchase"}, {"et": "zzz"}],
+    )
+    # "page_error" matches both 'error' and '^p' — dict order decides
+    assert [r["cat"] for r in rows] == ["browse", "problem", "commerce", "other"]
+
+
+def test_translate_regex_is_unanchored_substring_match():
+    rows = _translate(
+        {"field": "et", "target_field": "cat", "regex": True,
+         "dictionary": {"err": "problem"}},
+        [{"et": "some_error_here"}],
+    )
+    assert rows[0]["cat"] == "problem"
+
+
+def test_translate_missing_field_fails_unless_ignore_missing():
+    rows = _translate(
+        {"field": "nope", "target_field": "label", "dictionary": {"a": "b"}},
+        [{"code": "200"}],
+    )
+    assert "_ingest_pipeline_failure" in (rows[0].get("tags") or [])
+    rows = _translate(
+        {"field": "nope", "target_field": "label", "dictionary": {"a": "b"},
+         "ignore_missing": True, "default": "other"},
+        [{"code": "200"}],
+    )
+    assert "tags" not in rows[0]
+    # missing + ignore_missing: row is untouched, default does NOT fire
+    assert "label" not in rows[0]
+
+
+def test_translate_non_string_source_values_match_via_string_form():
+    rows = _translate(
+        {"field": "code", "target_field": "label",
+         "dictionary": {"200": "ok"}, "default": "other"},
+        [{"code": 200}, {"code": 201}],
+    )
+    assert [r["label"] for r in rows] == ["ok", "other"]
+
+
+def test_translate_compile_errors():
+    for cfg in (
+        {"target_field": "t", "dictionary": {"a": "b"}},           # no field
+        {"field": "f", "dictionary": {"a": "b"}},                  # no target
+        {"field": "f", "target_field": "t"},                       # no dict
+        {"field": "f", "target_field": "t", "dictionary": {}},     # empty dict
+        {"field": "f", "target_field": "t", "regex": True,
+         "dictionary": {"(": "b"}},                                # bad regex
+    ):
+        with pytest.raises(KernelCompileError):
+            build_kernel("translate", cfg)
+
+
+# ---------------------------------------------------------------------------
+# xml
+# ---------------------------------------------------------------------------
+
+def _xml(cfg: dict, rows: list[dict]) -> list[dict]:
+    return run_pipeline({"processors": [{"xml": cfg}]}, rows)
+
+
+def test_xml_flattens_attributes_text_and_nesting():
+    rows = _xml(
+        {"field": "line"},
+        [{"line": '<event id="7" type="click"><user>u7</user>'
+                  '<detail code="3">d1</detail></event>'}],
+    )
+    r = rows[0]
+    assert r["xml.id"] == "7"
+    assert r["xml.type"] == "click"
+    assert r["xml.user"] == "u7"
+    assert r["xml.detail.code"] == "3"
+    assert r["xml.detail"] == "d1"
+
+
+def test_xml_repeated_paths_collect_into_list_in_document_order():
+    rows = _xml(
+        {"field": "line"},
+        [{"line": "<r><tag>a</tag><tag>b</tag><tag>c</tag></r>"}],
+    )
+    assert rows[0]["xml.tag"] == ["a", "b", "c"]
+
+
+def test_xml_whitespace_only_text_writes_nothing():
+    rows = _xml(
+        {"field": "line"},
+        [{"line": "<r><empty>   </empty><full>x</full></r>"}],
+    )
+    assert "xml.empty" not in rows[0]
+    assert rows[0]["xml.full"] == "x"
+
+
+def test_xml_custom_target_field():
+    rows = _xml(
+        {"field": "line", "target_field": "doc"},
+        [{"line": '<r a="1"><b>2</b></r>'}],
+    )
+    assert rows[0]["doc.a"] == "1"
+    assert rows[0]["doc.b"] == "2"
+
+
+def test_xml_malformed_rows_fail_without_poisoning_the_batch():
+    rows = _xml(
+        {"field": "line"},
+        [{"line": "<unclosed>"}, {"line": "<ok><v>1</v></ok>"}],
+    )
+    assert "_ingest_pipeline_failure" in (rows[0].get("tags") or [])
+    assert rows[1]["xml.v"] == "1"
+
+
+def test_xml_missing_field_respects_ignore_missing():
+    rows = _xml({"field": "line"}, [{"other": "x"}])
+    assert "_ingest_pipeline_failure" in (rows[0].get("tags") or [])
+    rows = _xml({"field": "line", "ignore_missing": True}, [{"other": "x"}])
+    assert "tags" not in rows[0]
+
+
+def test_xml_compile_error_without_field():
+    with pytest.raises(KernelCompileError):
+        build_kernel("xml", {})
