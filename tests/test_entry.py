@@ -65,6 +65,28 @@ def test_every_query_has_callable():
     assert set(oracles) == set(qs), set(qs) - set(oracles)
 
 
+def test_registry_self_rotates_never_green_first():
+    """The driver samples ~50 queries per round, so queries() must put
+    every entry WITHOUT a green row in a committed CORRECTNESS_r*.json
+    artifact ahead of all previously-confirmed ones, with the 8
+    processor-conformance queries pinned at the very front until the
+    driver confirms them (VERDICT r3 #1/#2)."""
+    import __ray_entry__ as e
+
+    qs = list(e.queries())
+    green = e._driver_green()
+    assert green, "artifacts exist in-repo, so green must be non-empty"
+    never = [q for q in qs if q not in green]
+    assert qs[: len(never)] == never, "never-green entries must lead contiguously"
+    eight = [
+        "append_tags", "remove_conditional", "sort_path_parts",
+        "foreach_upper_path", "dot_expander_json", "date_index_name_monthly",
+        "community_id_flows", "geoip_kv",
+    ]
+    pinned_first = [q for q in eight if q not in green]
+    assert qs[: len(pinned_first)] == pinned_first
+
+
 def test_queries_run_with_driver_outside_repo(tmp_path):
     """The driver's cwd is NOT guaranteed to be the repo directory, so
     workers may be unable to ``import`` the package or ``__ray_entry__``
