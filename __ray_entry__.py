@@ -2884,6 +2884,73 @@ def q_ewma_events(sf_dir: str):
     )
 
 
+def q_counter_rate_events(sf_dir: str):
+    """PromQL-style ``increase()`` with counter-reset detection over
+    the per-user reading series in (ts, event_id) order — the
+    metrics-agent primitive (stages/windows.py:counter_increase).  A
+    drop in the reading means the counter restarted; the post-reset
+    reading itself is the increase.  NULL discipline is SQL ``lag``
+    (first row per key → NULL), so the twin is exact."""
+    from logstash_filter_elastic_integration_ray.stages.windows import counter_increase
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "ctr": pc.round(pc.multiply(t.column("value"), 100.0)).cast(pa.int64()),
+        })
+
+    return counter_increase(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key="user_id", order_cols=["ts", "event_id"], value_col="ctr",
+        inc_col="inc", num_partitions=32,
+    )
+
+
+def q_snapshot_diff_docs(sf_dir: str):
+    """Corpus snapshot diff — what happened to each doc id between two
+    crawls (stages/snapshot.py:snapshot_diff).  Snapshot B is derived
+    deterministically on BOTH sides: every 7th doc removed, every 5th
+    modified (text + ' v2'), every 11th re-added under id + 1,000,000
+    — so all four statuses have real members.  Both sides reduce to
+    THIN (doc_id, md5) rows via the shared fingerprint kernel before
+    the one co-partition; text never rides the exchange."""
+    from logstash_filter_elastic_integration_ray.stages.snapshot import snapshot_diff
+    from logstash_filter_elastic_integration_ray.stages.textstats import fingerprint_batch
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def derive_b(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        text = pc.fill_null(t.column("text").combine_chunks(), "")
+        mod = pa.array(ids % 5 == 0)
+        new_text = pc.if_else(mod, pc.binary_join_element_wise(text, " v2", ""), text)
+        kept = pa.table({"doc_id": t.column("doc_id"), "text": new_text}).filter(
+            pa.array(ids % 7 != 0)
+        )
+        add_ids = ids[ids % 11 == 0]
+        added = pa.table({
+            "doc_id": pa.array(add_ids + 1_000_000, type=pa.int64()),
+            "text": pa.array([f"new doc {i}" for i in add_ids], type=pa.string()),
+        })
+        return pa.concat_tables([kept, added])
+
+    def fp(t: pa.Table) -> pa.Table:
+        return fingerprint_batch(t).select(["doc_id", "content_hash"])
+
+    a = docs.map_batches(fp, batch_format="pyarrow")
+    b = docs.map_batches(derive_b, batch_format="pyarrow").map_batches(
+        fp, batch_format="pyarrow"
+    )
+    return snapshot_diff(a, b, key="doc_id", fp_col="content_hash",
+                         num_partitions=32)
+
+
 def q_turn_integrity(sf_dir: str):
     """Per-conversation ordinal integrity audit — missing / duplicate
     turn indexes, the validation gate a transcript ingest pipeline
@@ -4872,6 +4939,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_events": q_trending_events,
         "translate_events": q_translate_events,
         "xml_events": q_xml_events,
+        "counter_rate_events": q_counter_rate_events,
+        "snapshot_diff_docs": q_snapshot_diff_docs,
         "kn_perplexity_docs": q_kn_perplexity_docs,
         "fasttext_quality_docs": q_fasttext_quality_docs,
         "perplexity_gap_docs": q_perplexity_gap_docs,
@@ -6375,6 +6444,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(event_id % 7 AS VARCHAR) AS xcode, "
             "'d' || CAST(event_id % 100 AS VARCHAR) AS xdetail "
             "FROM events"
+        ),
+        "counter_rate_events": (
+            "WITH c AS (SELECT event_id, user_id, ts, "
+            "CAST(round(value * 100) AS BIGINT) AS ctr FROM events), "
+            "w AS (SELECT event_id, user_id, ts, ctr, "
+            "ctr - lag(ctr, 1) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS d FROM c) "
+            "SELECT event_id, user_id, ts, ctr, "
+            "CASE WHEN d IS NULL THEN NULL WHEN d < 0 THEN ctr ELSE d END AS inc "
+            "FROM w"
+        ),
+        "snapshot_diff_docs": (
+            "WITH b AS ("
+            "SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+            "THEN coalesce(text, '') || ' v2' ELSE coalesce(text, '') END AS text "
+            "FROM documents WHERE doc_id % 7 <> 0 "
+            "UNION ALL "
+            "SELECT doc_id + 1000000 AS doc_id, "
+            "'new doc ' || CAST(doc_id AS VARCHAR) AS text "
+            "FROM documents WHERE doc_id % 11 = 0), "
+            "a2 AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents), "
+            "b2 AS (SELECT doc_id, md5(text) AS fp FROM b) "
+            "SELECT coalesce(a2.doc_id, b2.doc_id) AS doc_id, "
+            "a2.fp AS fp_a, b2.fp AS fp_b, "
+            "CASE WHEN a2.fp IS NULL THEN 'added' "
+            "WHEN b2.fp IS NULL THEN 'removed' "
+            "WHEN a2.fp <> b2.fp THEN 'modified' "
+            "ELSE 'unchanged' END AS status "
+            "FROM a2 FULL OUTER JOIN b2 ON a2.doc_id = b2.doc_id"
         ),
         "trending_events": (
             "WITH c AS (SELECT date_trunc('day', ts) AS day, event_type, "

@@ -43,6 +43,7 @@ __all__ = [
     "grouped_running_scan",
     "grouped_rank_stats",
     "grouped_shift",
+    "counter_increase",
     "grouped_ewma",
     "gapfill_resample",
     "distinct_count_by",
@@ -343,6 +344,52 @@ def grouped_shift(
         .groupby("__part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def counter_increase(
+    ds,
+    *,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    inc_col: str = "inc",
+    num_partitions: int = 32,
+):
+    """Per-key increase of a cumulative counter with reset detection —
+    the PromQL ``increase()`` convention over scraped counter readings
+    (process restarts zero the counter, so a drop means "restarted";
+    the post-reset reading itself is the increase since the reset).
+    Exact twin of::
+
+        CASE WHEN d IS NULL THEN NULL
+             WHEN d < 0     THEN v      -- counter reset
+             ELSE d END
+        with d = v - lag(v) OVER (PARTITION BY key ORDER BY ...)
+
+    NULL discipline follows SQL ``lag``: the first row of each key and
+    any row whose own or previous reading is NULL gets a NULL increase
+    (no PromQL-style null skipping — the SQL twin must be exact).
+
+    Shape: composes :func:`grouped_shift` (the one irreducible window
+    co-partition) with a stateless Arrow finish pass, so the exchange
+    carries thin projected rows exactly once.  Integer counters stay
+    exact int64 end-to-end."""
+    shifted = grouped_shift(
+        ds, key=key, order_cols=order_cols, value_col=value_col,
+        lag=1, lag_col="__ctr_lag", delta_col="__ctr_d",
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t.column("__ctr_d")
+        v = pc.cast(t.column(value_col), d.type)
+        # Arrow if_else propagates a NULL condition to a NULL result,
+        # which is exactly the CASE's d-IS-NULL branch
+        inc = pc.if_else(pc.less(d, 0), v, d)
+        keep = [c for c in t.column_names if c not in ("__ctr_lag", "__ctr_d")]
+        return t.select(keep).append_column(inc_col, inc)
+
+    return shifted.map_batches(finish, batch_format="pyarrow")
 
 
 def grouped_rank_stats(

@@ -1,0 +1,95 @@
+"""snapshot_diff (stages/snapshot.py): full-outer-join diff semantics,
+input contracts, and block-split invariance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _side(ids, fps):
+    return pd.DataFrame({
+        "doc_id": np.asarray(ids, dtype=np.int64),
+        "fp": pd.array(fps, dtype="string"),
+    })
+
+
+def _run(ray, a: pd.DataFrame, b: pd.DataFrame, parts=3) -> dict:
+    import ray.data
+
+    from logstash_filter_elastic_integration_ray.stages.snapshot import snapshot_diff
+
+    out = snapshot_diff(
+        ray.data.from_pandas(a), ray.data.from_pandas(b),
+        key="doc_id", fp_col="fp", num_partitions=parts,
+    ).to_pandas()
+    return {int(r.doc_id): (r.fp_a if pd.notna(r.fp_a) else None,
+                            r.fp_b if pd.notna(r.fp_b) else None,
+                            r.status)
+            for r in out.itertuples()}
+
+
+class TestSnapshotDiff:
+    def test_all_four_statuses(self, ray_session):
+        import ray
+
+        a = _side([1, 2, 3], ["h1", "h2", "h3"])
+        b = _side([2, 3, 4], ["h2", "hX", "h4"])
+        got = _run(ray, a, b)
+        assert got == {
+            1: ("h1", None, "removed"),
+            2: ("h2", "h2", "unchanged"),
+            3: ("h3", "hX", "modified"),
+            4: (None, "h4", "added"),
+        }
+
+    def test_matches_plain_full_outer_reference(self, ray_session):
+        import ray
+
+        rng = np.random.RandomState(3)
+        ids_a = rng.choice(np.arange(500), 300, replace=False)
+        ids_b = rng.choice(np.arange(500), 300, replace=False)
+        a = _side(ids_a, [f"a{i % 7}" for i in ids_a])
+        b = _side(ids_b, [f"a{i % 7}" if i % 3 else f"b{i}" for i in ids_b])
+        ref = {}
+        fa = dict(zip(a["doc_id"].astype(int), a["fp"]))
+        fb = dict(zip(b["doc_id"].astype(int), b["fp"]))
+        for k in set(fa) | set(fb):
+            ha, hb = fa.get(k), fb.get(k)
+            status = ("added" if ha is None else "removed" if hb is None
+                      else "modified" if ha != hb else "unchanged")
+            ref[k] = (ha, hb, status)
+        assert _run(ray, a, b) == ref
+
+    def test_block_split_invariance(self, ray_session):
+        import ray
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.snapshot import snapshot_diff
+
+        a = _side(np.arange(100), [f"h{i % 9}" for i in range(100)])
+        b = _side(np.arange(50, 150), [f"h{i % 11}" for i in range(50, 150)])
+        outs = []
+        for blocks in (1, 6):
+            dsa = ray.data.from_pandas(list(np.array_split(a, blocks)))
+            dsb = ray.data.from_pandas(list(np.array_split(b, blocks)))
+            out = (snapshot_diff(dsa, dsb, key="doc_id", fp_col="fp",
+                                 num_partitions=4)
+                   .to_pandas().sort_values("doc_id").reset_index(drop=True))
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_duplicate_key_within_a_side_raises(self, ray_session):
+        import ray
+
+        a = _side([1, 1], ["h1", "h1"])
+        b = _side([2], ["h2"])
+        with pytest.raises(Exception, match="duplicate"):
+            _run(ray, a, b, parts=1)
+
+    def test_null_fingerprint_raises(self, ray_session):
+        import ray
+
+        a = _side([1], [None])
+        b = _side([1], ["h1"])
+        with pytest.raises(Exception, match="null fingerprint"):
+            _run(ray, a, b, parts=1)

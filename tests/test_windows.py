@@ -1283,3 +1283,92 @@ class TestPsiDrift:
             ).to_pandas().sort_values("bin").reset_index(drop=True)
             outs.append(out)
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestCounterIncrease:
+    """counter_increase (stages/windows.py): PromQL increase() with
+    reset detection, SQL lag NULL discipline."""
+
+    @staticmethod
+    def _reference(df: pd.DataFrame) -> dict:
+        out = {}
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        for _, g in df.groupby("user_id", sort=False):
+            prev = None
+            for _, row in g.iterrows():
+                v = row["cents"] if pd.notna(row["cents"]) else None
+                d = None if (prev is None or v is None) else v - prev
+                if d is None:
+                    inc = None
+                elif d < 0:
+                    inc = v
+                else:
+                    inc = d
+                out[int(row["event_id"])] = inc
+                prev = v
+        return out
+
+    def test_matches_plain_reference_with_resets(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import counter_increase
+
+        df = _events_frame(n=400, seed=23)
+        # make it counter-like: mostly rising, planted resets
+        df["cents"] = np.abs(df["cents"]).cumsum() % 997  # wraps → resets
+        ref = self._reference(df)
+        out = counter_increase(
+            ray.data.from_pandas(df.rename(columns={"cents": "cents"})),
+            key="user_id", order_cols=["ts", "event_id"], value_col="cents",
+            num_partitions=4,
+        ).to_pandas()
+        got = {int(r.event_id): (None if pd.isna(r.inc) else int(r.inc))
+               for r in out.itertuples()}
+        assert got == ref
+        # both branches exercised
+        incs = [v for v in ref.values() if v is not None]
+        assert any(v < 0 for _, v in _counter_deltas(df)) and incs
+
+    def test_null_reading_propagates_like_sql_lag(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import counter_increase
+
+        df = pd.DataFrame({
+            "event_id": np.arange(5, dtype=np.int64),
+            "user_id": np.zeros(5, dtype=np.int64),
+            "ts": pd.to_datetime("2025-01-01") + pd.to_timedelta(np.arange(5), "s"),
+            "cents": pd.array([10, None, 30, 20, 25], dtype="Int64"),
+        })
+        out = counter_increase(
+            ray.data.from_pandas(df), key="user_id",
+            order_cols=["ts", "event_id"], value_col="cents", num_partitions=2,
+        ).to_pandas().sort_values("event_id")
+        # first row NULL; rows adjacent to the NULL reading NULL;
+        # 30→20 is a reset → 20; 20→25 is +5
+        assert [None if pd.isna(v) else int(v) for v in out["inc"]] == \
+            [None, None, None, 20, 5]
+
+    def test_block_split_invariance(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import counter_increase
+
+        df = _events_frame(n=300, seed=7)
+        outs = []
+        for blocks in (1, 7):
+            ds = ray.data.from_pandas([d for d in np.array_split(df, blocks)])
+            out = counter_increase(
+                ds, key="user_id", order_cols=["ts", "event_id"],
+                value_col="cents", num_partitions=3,
+            ).to_pandas().sort_values("event_id").reset_index(drop=True)
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def _counter_deltas(df: pd.DataFrame):
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    for _, g in df.groupby("user_id", sort=False):
+        v = g["cents"].to_numpy()
+        for i in range(1, len(v)):
+            yield int(g["event_id"].iloc[i]), int(v[i] - v[i - 1])
