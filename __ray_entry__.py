@@ -2912,6 +2912,46 @@ def q_counter_rate_events(sf_dir: str):
     )
 
 
+def q_scd2_events(sf_dir: str):
+    """SCD2 (slowly-changing-dimension type 2) validity intervals from
+    a change log: each per-user event opens a version valid
+    ``[ts, next ts)``; the newest version is open-ended
+    (``valid_to`` NULL, ``is_current`` true) — the warehouse dimension
+    -history build, twin of a ``lead(ts)`` window.  One window
+    co-partition (stages/windows.py:grouped_shift over epoch-µs int64),
+    then a stateless cast back to timestamps."""
+    from logstash_filter_elastic_integration_ray.stages.windows import grouped_shift
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def epoch(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts_us": t.column("ts").cast(pa.int64()),
+        })
+
+    out = grouped_shift(
+        ds.map_batches(epoch, batch_format="pyarrow"),
+        key="user_id", order_cols=["ts_us", "event_id"], value_col="ts_us",
+        lag=None, lead=1, lead_col="valid_to_us", num_partitions=32,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        vt = t.column("valid_to_us").cast(pa.timestamp("us"))
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "valid_from": t.column("ts_us").cast(pa.timestamp("us")),
+            "valid_to": vt,
+            "is_current": pc.is_null(vt),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_snapshot_diff_docs(sf_dir: str):
     """Corpus snapshot diff — what happened to each doc id between two
     crawls (stages/snapshot.py:snapshot_diff).  Snapshot B is derived
@@ -4941,6 +4981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xml_events": q_xml_events,
         "counter_rate_events": q_counter_rate_events,
         "snapshot_diff_docs": q_snapshot_diff_docs,
+        "scd2_events": q_scd2_events,
         "kn_perplexity_docs": q_kn_perplexity_docs,
         "fasttext_quality_docs": q_fasttext_quality_docs,
         "perplexity_gap_docs": q_perplexity_gap_docs,
@@ -6444,6 +6485,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(event_id % 7 AS VARCHAR) AS xcode, "
             "'d' || CAST(event_id % 100 AS VARCHAR) AS xdetail "
             "FROM events"
+        ),
+        "scd2_events": (
+            "SELECT event_id, user_id, ts AS valid_from, "
+            "lead(ts, 1) OVER w AS valid_to, "
+            "(lead(ts, 1) OVER w IS NULL) AS is_current FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         "counter_rate_events": (
             "WITH c AS (SELECT event_id, user_id, ts, "

@@ -351,6 +351,42 @@ def run_bench() -> dict:
 
     timed("dup_ngram_dup_heavy_16x", dup_ngram_dup_heavy, reps=1)
 
+    def snapshot_diff_16x():
+        # two 80k-key crawl snapshots diffed: both sides reduce to thin
+        # (doc_id, md5) rows before the union + key co-partition, so
+        # the exchange volume is O(|A| + |B|) 48-byte rows regardless
+        # of text size
+        from logstash_filter_elastic_integration_ray.stages.snapshot import snapshot_diff
+        from logstash_filter_elastic_integration_ray.stages.textstats import fingerprint_batch
+
+        docs = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+
+        def derive_b(t):
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            text = pc_.fill_null(t.column("text").combine_chunks(), "")
+            mod = pa_.array(ids % 5 == 0)
+            new_text = pc_.if_else(
+                mod, pc_.binary_join_element_wise(text, " v2", ""), text)
+            kept = pa_.table({"doc_id": t.column("doc_id"), "text": new_text}).filter(
+                pa_.array(ids % 7 != 0))
+            add_ids = ids[ids % 11 == 0]
+            added = pa_.table({
+                "doc_id": pa_.array(add_ids + 1_000_000_000, type=pa_.int64()),
+                "text": pa_.array([f"new doc {i}" for i in add_ids], type=pa_.string()),
+            })
+            return pa_.concat_tables([kept, added])
+
+        def fp(t):
+            return fingerprint_batch(t).select(["doc_id", "content_hash"])
+
+        a = docs.map_batches(fp, batch_format="pyarrow")
+        b = docs.map_batches(derive_b, batch_format="pyarrow").map_batches(
+            fp, batch_format="pyarrow")
+        return snapshot_diff(a, b, key="doc_id", fp_col="content_hash",
+                             num_partitions=NUM_CPUS).count()
+
+    timed("snapshot_diff_16x", snapshot_diff_16x, reps=1)
+
     def tfidf_dup_heavy():
         # the distributed TF-IDF (no driver-side vocabulary) at the 16×
         # stress input: every token's df row count is 16× the base
