@@ -2142,6 +2142,62 @@ def q_pagerank_docs(sf_dir: str):
     return pagerank(edges, n_iters=8)
 
 
+def q_assortativity_docs(sf_dir: str):
+    """Degree assortativity of the shared doc link graph — Newman's
+    degree-correlation r in the directed out→in form: the Pearson
+    correlation of (out-degree of src, in-degree of dst) over every
+    edge.  Degrees via the two-phase group_counts (keys × batches
+    exchange, never a per-group Ray aggregate), attached with two
+    native hash-partitioned ``Dataset.join`` exchanges, correlation
+    via the exact-sum formulation shared with ``corr_lineitem``
+    (stages/sketches.py:exact_corr_stats) so the scalar is
+    bit-identical to the HUGEINT SQL twin.  Edge rule shared with
+    ``pagerank_docs``: every 5th doc dangling, others emit 1 + d%3
+    hashed-target edges."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import group_counts
+    from logstash_filter_elastic_integration_ray.stages.sketches import exact_corr_stats
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = int(docs.count())
+
+    def synth_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        src, dst = [], []
+        for d in ids:
+            d = int(d)
+            if d % 5 == 0:
+                continue
+            for j in range(1 + d % 3):
+                src.append(d)
+                dst.append((d * 17 + 1 + 97 * j) % n_docs)
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "dst": pa.array(dst, type=pa.int64())})
+
+    def ensure_schema(key: str, cnt: str):
+        def fn(t: pa.Table) -> pa.Table:
+            # zero-column empty blocks crash Dataset.join (the
+            # left_join_customer_orders guard)
+            if t.num_columns == 0:
+                return pa.table({key: pa.array([], type=pa.int64()),
+                                 cnt: pa.array([], type=pa.int64())})
+            return t
+
+        return fn
+
+    edges = docs.map_batches(synth_edges, batch_format="pyarrow")
+    od = group_counts(edges, key="src", out_col="od", num_partitions=8).map_batches(
+        ensure_schema("src", "od"), batch_format="pyarrow")
+    idg = group_counts(edges, key="dst", out_col="idg", num_partitions=8).map_batches(
+        ensure_schema("dst", "idg"), batch_format="pyarrow")
+    j = edges.join(od, "inner", num_partitions=2, on=("src",)).join(
+        idg, "inner", num_partitions=2, on=("dst",))
+
+    def xy(t: pa.Table) -> pa.Table:
+        return pa.table({"x": t.column("od"), "y": t.column("idg")})
+
+    return exact_corr_stats(j.map_batches(xy, batch_format="pyarrow"), "x", "y")
+
+
 def q_hop_distance_docs(sf_dir: str):
     """Multi-source BFS hop distance from a seed set over the shared
     doc link graph (the TrustRank-style link-distance feature) —
@@ -4982,6 +5038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "counter_rate_events": q_counter_rate_events,
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "scd2_events": q_scd2_events,
+        "assortativity_docs": q_assortativity_docs,
         "kn_perplexity_docs": q_kn_perplexity_docs,
         "fasttext_quality_docs": q_fasttext_quality_docs,
         "perplexity_gap_docs": q_perplexity_gap_docs,
@@ -6485,6 +6542,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(event_id % 7 AS VARCHAR) AS xcode, "
             "'d' || CAST(event_id % 100 AS VARCHAR) AS xdetail "
             "FROM events"
+        ),
+        "assortativity_docs": (
+            "WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), "
+            "js AS (SELECT 0 AS jj UNION ALL SELECT 1 UNION ALL SELECT 2), "
+            "e AS (SELECT d.doc_id AS src, "
+            "(d.doc_id * 17 + 1 + 97 * jj) % (SELECT n_docs FROM nd) AS dst "
+            "FROM documents d, js WHERE d.doc_id % 5 <> 0 AND jj < 1 + d.doc_id % 3), "
+            "od AS (SELECT src, CAST(count(*) AS BIGINT) AS x FROM e GROUP BY src), "
+            "idg AS (SELECT dst, CAST(count(*) AS BIGINT) AS y FROM e GROUP BY dst), "
+            "xy AS (SELECT od.x AS x, idg.y AS y FROM e "
+            "JOIN od ON e.src = od.src JOIN idg ON e.dst = idg.dst), "
+            "s AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx, "
+            "CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy, "
+            "CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx, "
+            "CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy, "
+            "CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy FROM xy) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * "
+            "CAST(n * syy - sy * sy AS DOUBLE)) AS corr, "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "CAST(n * (n - 1) AS DOUBLE) AS covar_samp FROM s"
         ),
         "scd2_events": (
             "SELECT event_id, user_id, ts AS valid_from, "
