@@ -2184,7 +2184,10 @@ def q_assortativity_docs(sf_dir: str):
 
         return fn
 
-    edges = docs.map_batches(synth_edges, batch_format="pyarrow")
+    # edges fans into THREE consumers (two group_counts + the join
+    # spine); a lazy Dataset consumed twice re-executes, so pin the
+    # synth pass once (ADVICE r4)
+    edges = docs.map_batches(synth_edges, batch_format="pyarrow").materialize()
     od = group_counts(edges, key="src", out_col="od", num_partitions=8).map_batches(
         ensure_schema("src", "od"), batch_format="pyarrow")
     idg = group_counts(edges, key="dst", out_col="idg", num_partitions=8).map_batches(
@@ -3012,7 +3015,9 @@ def q_snapshot_diff_docs(sf_dir: str):
     """Corpus snapshot diff — what happened to each doc id between two
     crawls (stages/snapshot.py:snapshot_diff).  Snapshot B is derived
     deterministically on BOTH sides: every 7th doc removed, every 5th
-    modified (text + ' v2'), every 11th re-added under id + 1,000,000
+    modified (text + ' v2'), every 11th re-added under
+    id + 1,000,000,000 (the same offset as the bench variant, safely
+    past any real doc_id so added ids never collide with kept ones)
     — so all four statuses have real members.  Both sides reduce to
     THIN (doc_id, md5) rows via the shared fingerprint kernel before
     the one co-partition; text never rides the exchange."""
@@ -3031,7 +3036,7 @@ def q_snapshot_diff_docs(sf_dir: str):
         )
         add_ids = ids[ids % 11 == 0]
         added = pa.table({
-            "doc_id": pa.array(add_ids + 1_000_000, type=pa.int64()),
+            "doc_id": pa.array(add_ids + 1_000_000_000, type=pa.int64()),
             "text": pa.array([f"new doc {i}" for i in add_ids], type=pa.string()),
         })
         return pa.concat_tables([kept, added])
@@ -3060,8 +3065,6 @@ def q_turn_integrity(sf_dir: str):
     ds = read_transcripts(sf_dir)
 
     def plant(t: pa.Table) -> pa.Table:
-        import numpy as np
-
         t = t.select(["conv_id", "turn_idx"])
         ti = t.column("turn_idx").to_numpy()
         keep = t.filter(pa.array(ti % 7 != 3))
@@ -6588,7 +6591,7 @@ def oracle_sql() -> dict[str, str]:
             "THEN coalesce(text, '') || ' v2' ELSE coalesce(text, '') END AS text "
             "FROM documents WHERE doc_id % 7 <> 0 "
             "UNION ALL "
-            "SELECT doc_id + 1000000 AS doc_id, "
+            "SELECT doc_id + 1000000000 AS doc_id, "
             "'new doc ' || CAST(doc_id AS VARCHAR) AS text "
             "FROM documents WHERE doc_id % 11 = 0), "
             "a2 AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents), "

@@ -382,7 +382,14 @@ def counter_increase(
 
     def finish(t: pa.Table) -> pa.Table:
         d = t.column("__ctr_d")
-        v = pc.cast(t.column(value_col), d.type)
+        v = t.column(value_col)
+        # a float reading meeting an integer delta must round, not
+        # truncate, or the CASE twin diverges (unreachable via
+        # grouped_shift today — its delta is float for float sources —
+        # but pinned so a future caller can't silently hit it)
+        if pa.types.is_integer(d.type) and pa.types.is_floating(v.type):
+            v = pc.round(v)
+        v = pc.cast(v, d.type)
         # Arrow if_else propagates a NULL condition to a NULL result,
         # which is exactly the CASE's d-IS-NULL branch
         inc = pc.if_else(pc.less(d, 0), v, d)

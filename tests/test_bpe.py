@@ -241,6 +241,99 @@ class TestUnigram:
         logp = {"a": math.log(0.9)}
         assert viterbi_encode("axa", logp, 4) == ["a", "x", "a"]
 
+    def test_em_train_matches_independent_bruteforce_em(self):
+        """Full EM cross-check (ADVICE r4): an independent
+        single-process EM — enumeration E-step (every segmentation via
+        cut masks, no lattice), Counter-based seeding, M-step written
+        from the documented contract — must agree with em_train on the
+        surviving vocabulary and its log-probabilities.  The engine's
+        E-step is forward–backward, so agreement here pins the whole
+        training loop, not just the plumbing."""
+        import itertools
+        import math
+        from collections import Counter
+
+        from logstash_filter_elastic_integration_ray.stages.unigram import (
+            UNK_LOGP,
+            em_train,
+        )
+
+        def brute_expected(w, logp, max_len):
+            n = len(w)
+            segs = []
+            for mask in itertools.product([0, 1], repeat=n - 1):
+                cuts = [0] + [i + 1 for i, m in enumerate(mask) if m] + [n]
+                pieces = [w[cuts[k]:cuts[k + 1]] for k in range(len(cuts) - 1)]
+                if all(len(p) <= max_len and p in logp for p in pieces):
+                    segs.append(pieces)
+            if not segs:
+                return {}
+            probs = [math.exp(sum(logp[p] for p in s)) for s in segs]
+            z = sum(probs)
+            out: dict[str, float] = {}
+            for s, pr in zip(segs, probs):
+                for p in s:
+                    out[p] = out.get(p, 0.0) + pr / z
+            return out
+
+        def em_independent(word_freq, *, seed_size, max_piece_len, n_iters,
+                           final_size=None):
+            sub: Counter = Counter()
+            for w, f in word_freq.items():
+                for i in range(len(w)):
+                    for ln in range(1, max_piece_len + 1):
+                        if i + ln <= len(w):
+                            sub[w[i:i + ln]] += f
+            chars = sorted({c for w in word_freq for c in w})
+            multi = sorted((s for s in sub if len(s) > 1),
+                           key=lambda s: (-sub[s], s))[:seed_size]
+            vocab = chars + multi
+            total = sum(sub[s] for s in vocab)
+            logp = {s: math.log(sub[s] / total) for s in vocab}
+            for _ in range(n_iters):
+                q: dict[str, int] = {}
+                for w in sorted(word_freq):
+                    f = word_freq[w]
+                    for s, e in brute_expected(w, logp, max_piece_len).items():
+                        q[s] = q.get(s, 0) + int(math.floor(e * f * (1 << 20) + 0.5))
+                total_q = sum(q.get(s, 0) for s in logp)
+                if total_q == 0:
+                    break
+                nxt: dict[str, float] = {}
+                for s in logp:
+                    c = q.get(s, 0)
+                    if c > 0:
+                        nxt[s] = math.log(c / total_q)
+                    elif len(s) == 1:
+                        nxt[s] = UNK_LOGP
+                logp = nxt
+            if final_size is not None:
+                singles = [s for s in logp if len(s) == 1]
+                multi2 = sorted((s for s in logp if len(s) > 1),
+                                key=lambda s: (-logp[s], s))
+                keep = set(singles) | set(
+                    multi2[: max(0, final_size - len(singles))])
+                kept = {s: logp[s] for s in keep}
+                terms = [kept[s] for s in sorted(kept)]
+                m = max(terms)
+                zs = m + math.log(sum(math.exp(t - m) for t in terms))
+                logp = {s: kept[s] - zs for s in kept}
+            return logp
+
+        wf = {"abab": 7, "aba": 5, "bab": 4, "bb": 3, "aab": 2}
+        for kwargs in (
+            {"seed_size": 12, "max_piece_len": 3, "n_iters": 3},
+            {"seed_size": 8, "max_piece_len": 4, "n_iters": 4,
+             "final_size": 6},
+        ):
+            got = em_train(wf, **kwargs)
+            want = em_independent(wf, **kwargs)
+            assert set(got) == set(want)
+            for s in want:
+                # quantization may flip a ±1-ulp E-step difference by
+                # one integer count; tolerance covers that, nothing more
+                assert abs(got[s] - want[s]) < 1e-5, s
+
     def test_em_concentrates_on_frequent_pieces(self):
         from logstash_filter_elastic_integration_ray.stages.unigram import (
             em_train,

@@ -1365,6 +1365,29 @@ class TestCounterIncrease:
             outs.append(out)
         pd.testing.assert_frame_equal(outs[0], outs[1])
 
+    def test_float_counter_matches_case_twin(self, ray_session):
+        """ADVICE r4: a float-valued counter must round, never
+        truncate, wherever a float reading meets an integer delta —
+        and the float path itself must match the SQL CASE twin."""
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.windows import counter_increase
+
+        df = pd.DataFrame({
+            "event_id": np.arange(6, dtype=np.int64),
+            "user_id": np.zeros(6, dtype=np.int64),
+            "ts": pd.to_datetime("2025-01-01") + pd.to_timedelta(np.arange(6), "s"),
+            "reading": np.array([1.5, 3.25, 2.75, 2.75, 10.0, 4.5]),
+        })
+        out = counter_increase(
+            ray.data.from_pandas(df), key="user_id",
+            order_cols=["ts", "event_id"], value_col="reading",
+            num_partitions=2,
+        ).to_pandas().sort_values("event_id")
+        want = [None, 1.75, 2.75, 0.0, 7.25, 4.5]
+        got = [None if pd.isna(v) else float(v) for v in out["inc"]]
+        assert got == want
+
 
 def _counter_deltas(df: pd.DataFrame):
     df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")

@@ -2210,7 +2210,12 @@ def unigram_reference(ids, texts, *, seed_size: int = 1024,
                       min_freq: int = 1) -> pd.DataFrame:
     """Plain single-process unigram-LM tokenizer: Counter word counts +
     the shared definitional EM/Viterbi kernels (the distributed word
-    count and the actor-pool encode are what the fixture validates)."""
+    count and the actor-pool encode are what the fixture validates).
+    The shared kernels themselves are cross-checked against an
+    INDEPENDENT enumeration-based EM/Viterbi in tests/test_bpe.py
+    (TestUnigram: bruteforce expected-counts, bruteforce Viterbi, and
+    the full independent EM loop), so this fixture is not the only
+    line of defense on the math (ADVICE r4)."""
     from logstash_filter_elastic_integration_ray.stages.unigram import (
         em_train,
         viterbi_encode,
