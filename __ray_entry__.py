@@ -2232,6 +2232,36 @@ def q_hop_distance_docs(sf_dir: str):
     return hop_distances(edges, seeds=seeds, num_partitions=16)
 
 
+def q_label_prop_docs(sf_dir: str):
+    """Label-propagation community detection over the shared doc link
+    graph (stages/graph.py:label_propagation) — the published LPA of
+    Raghavan et al. 2007 with the random tie-break replaced by the
+    smallest label, so 5 synchronous rounds are a pure function of the
+    graph.  Fixture oracle from the independent dict-and-Counter
+    reference (tools/reference_impls.label_propagation_reference).
+    Edge rule shared with ``pagerank_docs``."""
+    from logstash_filter_elastic_integration_ray.stages.graph import label_propagation
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = int(docs.count())
+
+    def synth_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        src, dst = [], []
+        for d in ids:
+            d = int(d)
+            if d % 5 == 0:
+                continue
+            for j in range(1 + d % 3):
+                src.append(d)
+                dst.append((d * 17 + 1 + 97 * j) % n_docs)
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "dst": pa.array(dst, type=pa.int64())})
+
+    edges = docs.map_batches(synth_edges, batch_format="pyarrow")
+    return label_propagation(edges, n_iters=5, num_partitions=16)
+
+
 def q_connected_components_docs(sf_dir: str):
     """The distributed min-label connected-components machinery
     (stages/dedup.py:connected_components_min_label — one join-free
@@ -3074,6 +3104,79 @@ def q_turn_integrity(sf_dir: str):
     return sequence_integrity(
         ds.map_batches(plant, batch_format="pyarrow"),
         key="conv_id", idx_col="turn_idx", num_partitions=32,
+    )
+
+
+def q_conv_prefix_dedup(sf_dir: str):
+    """Regenerate-branch detection: group conversations sharing an
+    identical first-4-turn prefix and elect the lexicographically
+    smallest conv_id of each group as canonical
+    (stages/convdedup.py:conversation_prefix_groups — text rides only
+    the k-turn conv-keyed exchange; the prefix-keyed election exchange
+    carries thin (conv, md5) rows).  Branches are planted on BOTH
+    sides: every conversation whose number % 7 == 0 gets a clone
+    ``r<num>`` with the same first 4 turns and ``' regen'`` appended
+    to the rest — real multi-member groups, real singletons."""
+    from logstash_filter_elastic_integration_ray.stages.convdedup import (
+        conversation_prefix_groups,
+    )
+
+    ds = read_transcripts(sf_dir)
+    k = 4
+
+    def plant(t: pa.Table) -> pa.Table:
+        t = t.select(["conv_id", "turn_idx", "text"])
+        nums = pc.cast(
+            pc.utf8_slice_codeunits(t.column("conv_id"), 1, 2**31 - 1),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        sel = t.filter(pa.array(nums % 7 == 0))
+        sel_nums = nums[nums % 7 == 0]
+        regen = pc.if_else(
+            pc.less(sel.column("turn_idx"), k),
+            sel.column("text"),
+            pc.binary_join_element_wise(sel.column("text"), " regen", ""),
+        )
+        clones = pa.table({
+            "conv_id": pa.array([f"r{v}" for v in sel_nums], type=pa.string()),
+            "turn_idx": sel.column("turn_idx"),
+            "text": regen,
+        })
+        return pa.concat_tables([t, clones])
+
+    return conversation_prefix_groups(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        k=k, num_partitions=32,
+    )
+
+
+def q_response_dedup_turns(sf_dir: str):
+    """Exact dedup of assistant responses ACROSS conversations —
+    templated/canned reply detection, the turn-level counterpart of
+    exact_dedup_docs (stages/convdedup.py:response_dedup: per-batch
+    distinct-text reduce → one hash-keyed exchange).  The (conv, turn)
+    identity is encoded into one int64 row key (conv number × 20 +
+    turn_idx — exact, since conversations are 20 turns by derivation)
+    so the survivor rule min(key) is SQL-exact."""
+    from logstash_filter_elastic_integration_ray.stages.convdedup import response_dedup
+
+    ds = read_transcripts(sf_dir)
+
+    def enc(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("role"), "assistant"))
+        nums = pc.cast(
+            pc.utf8_slice_codeunits(t.column("conv_id"), 1, 2**31 - 1),
+            pa.int64(),
+        )
+        key = pc.add(
+            pc.multiply(nums, 20),
+            pc.cast(t.column("turn_idx"), pa.int64()),
+        )
+        return pa.table({"turn_key": key, "text": t.column("text")})
+
+    return response_dedup(
+        ds.map_batches(enc, batch_format="pyarrow"),
+        key_col="turn_key", num_partitions=32,
     )
 
 
@@ -5027,6 +5130,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_index_name_monthly": q_date_index_name,
         "community_id_flows": q_community_id_flows,
         "geoip_kv": q_geoip_kv,
+        # round-5 additions — newest never-checked entries lead
+        "conv_prefix_dedup": q_conv_prefix_dedup,
+        "response_dedup_turns": q_response_dedup_turns,
+        "label_prop_docs": q_label_prop_docs,
         # round-4 additions — never driver-sampled, so they lead
         # (eighth session first: newest never-checked entries)
         "ewma_events": q_ewma_events,
@@ -5916,6 +6023,9 @@ def oracle_sql() -> dict[str, str]:
         "connected_components_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/cc_docs.sf0_01.parquet')"
         ),
+        "label_prop_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/label_prop_docs.sf0_01.parquet')"
+        ),
         "entity_resolution_contacts": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/entity_resolution_contacts.sf0_01.parquet')"
         ),
@@ -6496,6 +6606,27 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us "
             "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "conv_prefix_dedup": T(
+            ", allc AS ("
+            "SELECT conv_id, turn_idx, text FROM transcripts "
+            "UNION ALL "
+            "SELECT 'r' || substr(conv_id, 2) AS conv_id, turn_idx, "
+            "CASE WHEN turn_idx < 4 THEN text ELSE text || ' regen' END AS text "
+            "FROM transcripts WHERE CAST(substr(conv_id, 2) AS BIGINT) % 7 = 0), "
+            "p AS (SELECT conv_id, "
+            "md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS prefix_key "
+            "FROM allc WHERE turn_idx < 4 GROUP BY conv_id) "
+            "SELECT conv_id, prefix_key, "
+            "CAST(count(*) OVER w AS BIGINT) AS n_branches, "
+            "conv_id = min(conv_id) OVER w AS keep "
+            "FROM p WINDOW w AS (PARTITION BY prefix_key)"
+        ),
+        "response_dedup_turns": T(
+            ", a AS (SELECT CAST(substr(conv_id, 2) AS BIGINT) * 20 + turn_idx "
+            "AS turn_key, text FROM transcripts WHERE role = 'assistant') "
+            "SELECT md5(text) AS content_hash, min(turn_key) AS keep_id, "
+            "CAST(count(*) AS BIGINT) AS n_dups FROM a GROUP BY md5(text)"
         ),
         "turn_integrity": T(
             ", d AS ("

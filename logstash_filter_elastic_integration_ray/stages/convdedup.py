@@ -1,0 +1,214 @@
+"""Conversation-level dedup operators over transcript tables.
+
+Two curation primitives an SFT / dialogue-training pipeline needs that
+document-level dedup does not cover:
+
+- :func:`conversation_prefix_groups` — group conversations that share
+  an identical first-``k``-turn prefix (regenerate branches, retried
+  rollouts, A/B samples of the same context) and elect one canonical
+  conversation per group.  The industry-standard first pass before
+  turn-level dedup: regen branches are near-100% duplicated context
+  and must be collapsed BEFORE token-level near-dup, or the branch
+  family dominates the LSH buckets.
+- :func:`response_dedup` — exact dedup of individual responses ACROSS
+  conversations (templated assistant replies, canned tool outputs),
+  keyed by content hash with a deterministic min-key survivor, plus
+  the duplicate count that quality dashboards chart.
+
+Reference parity: the reference plugin has no conversation operators —
+engine-native training-data stages (SURVEY §2.9 family), same two-phase
+/ co-partition discipline as stages/dedup.py:exact_dedup.
+
+Scale shape (100 TB bar):
+
+- prefix grouping ships only the first ``k`` turns' text into the one
+  conv-keyed exchange (k is small and fixed); after the per-partition
+  md5 fold the rows are THIN (conv_id, 32-hex) — the prefix-keyed
+  second exchange never carries text.
+- response_dedup is the exact_dedup shape: per-batch local reduce
+  (distinct text → min key + count) thins dup-heavy batches before the
+  single hash-keyed exchange; merged per partition with ONE pandas
+  groupby, never a per-group Ray aggregate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .aggregate import add_partition_col
+
+#: unit separator — joins prefix turns; cannot occur in text columns
+#: that came through the transcript marshaller (control chars are not
+#: produced by any parse kernel), and the SQL twin uses chr(31)
+PREFIX_SEP = "\x1f"
+
+
+def conversation_prefix_groups(
+    ds,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    k: int = 4,
+    num_partitions: int = 32,
+):
+    """One row per conversation: ``(conv_col, prefix_key, n_branches,
+    keep)`` where ``prefix_key`` is the md5 of the first ``k`` turns'
+    text joined on :data:`PREFIX_SEP` in ``idx_col`` order (fewer than
+    ``k`` turns → the turns that exist), ``n_branches`` is the number
+    of conversations sharing that prefix, and ``keep`` marks the
+    lexicographically-smallest conversation id of each group.
+
+    Exact twin of::
+
+        WITH p AS (SELECT conv, md5(string_agg(text, chr(31)
+                                     ORDER BY turn_idx)) AS prefix_key
+                   FROM t WHERE turn_idx < k GROUP BY conv)
+        SELECT conv, prefix_key,
+               count(*) OVER w AS n_branches,
+               conv = min(conv) OVER w AS keep
+        FROM p WINDOW w AS (PARTITION BY prefix_key)
+
+    Two exchanges: conversations co-partition by ``conv_col`` hash
+    (only ``turn_idx < k`` rows ride, projected to three columns), the
+    thin (conv, md5) rows co-partition by prefix hash.  ``idx_col``
+    must be unique per conversation (the transcript integrity contract
+    — run sequence_integrity first on untrusted input).
+    """
+    proj = ds.map_batches(
+        lambda t: t.filter(pc.less(t.column(idx_col), k)).select(
+            [conv_col, idx_col, text_col]
+        ),
+        batch_format="pyarrow",
+    )
+
+    key_schema = pa.schema([(conv_col, pa.string()), ("prefix_key", pa.string())])
+
+    def fold_prefix(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns="__part").sort_values(
+            [conv_col, idx_col], kind="mergesort"
+        )
+        joined = df.groupby(conv_col, sort=True)[text_col].agg(
+            lambda s: PREFIX_SEP.join("" if pd.isna(v) else v for v in s)
+        )
+        out = pd.DataFrame({
+            conv_col: joined.index.to_numpy(dtype=object),
+            "prefix_key": [
+                hashlib.md5(p.encode("utf-8")).hexdigest() for p in joined
+            ],
+        })
+        return pa.Table.from_pandas(
+            out, preserve_index=False, schema=key_schema
+        ).replace_schema_metadata(None)
+
+    keys = (
+        proj.map_batches(
+            lambda t: add_partition_col(t, num_partitions, key=conv_col),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(fold_prefix, batch_format="pandas")
+    )
+
+    out_schema = pa.schema([
+        (conv_col, pa.string()),
+        ("prefix_key", pa.string()),
+        ("n_branches", pa.int64()),
+        ("keep", pa.bool_()),
+    ])
+
+    def elect(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns="__part")
+        g = df.groupby("prefix_key", sort=False)[conv_col]
+        df = df.assign(
+            n_branches=g.transform("size").astype(np.int64),
+            keep=df[conv_col] == g.transform("min"),
+        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False, schema=out_schema
+        ).replace_schema_metadata(None)
+
+    return (
+        keys.map_batches(
+            lambda t: add_partition_col(t, num_partitions, key="prefix_key"),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(elect, batch_format="pandas")
+    )
+
+
+def response_dedup(
+    ds,
+    *,
+    key_col: str,
+    text_col: str = "text",
+    num_partitions: int = 32,
+):
+    """Exact dedup of individual rows (responses) by text content:
+    one row per distinct text — ``(content_hash, keep_id, n_dups)``
+    with ``keep_id = min(key_col)`` (the deterministic survivor) and
+    ``n_dups`` the total occurrence count.  ``key_col`` must be a
+    unique int64 row key (callers with a (conv, turn) identity encode
+    it into one int64 first — exact and cheap, and it keeps the
+    exchange rows at three fixed-width columns).
+
+    Exact twin of::
+
+        SELECT md5(text) AS content_hash, min(key) AS keep_id,
+               count(*) AS n_dups
+        FROM t GROUP BY md5(text)
+
+    Shape = stages/dedup.py:exact_dedup plus the count: per-batch
+    local reduce hashes each DISTINCT text once and forwards
+    (hash, local min key, local count); one co-partition by hash; one
+    pandas groupby per partition.  A response repeated a million times
+    in one batch ships one row.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = np.asarray(t.column(text_col).to_pylist(), dtype=object)
+        texts[pd.isna(texts)] = ""
+        keys = t.column(key_col).to_numpy().astype(np.int64)
+        uniq, inverse = np.unique(texts, return_inverse=True)
+        best = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(best, inverse, keys)
+        cnt = np.bincount(inverse, minlength=len(uniq)).astype(np.int64)
+        hashes = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in uniq]
+        return pa.table({
+            "content_hash": pa.array(hashes, type=pa.string()),
+            "keep_id": pa.array(best),
+            "n_dups": pa.array(cnt),
+        })
+
+    schema = pa.schema([
+        ("content_hash", pa.string()),
+        ("keep_id", pa.int64()),
+        ("n_dups", pa.int64()),
+    ])
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        out = df.groupby("content_hash", as_index=False).agg(
+            keep_id=("keep_id", "min"), n_dups=("n_dups", "sum")
+        )
+        return pa.Table.from_pandas(
+            out, preserve_index=False, schema=schema
+        ).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: add_partition_col(t, num_partitions, key="content_hash"),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -1392,3 +1392,188 @@ def hop_distances(edges, *, seeds, num_partitions: int = 16,
         frontier = new_nodes
     raise RuntimeError(
         f"hop_distances frontier still active after {max_iters} rounds")
+
+
+def label_propagation(edges, *, n_iters: int = 5, num_partitions: int = 16,
+                      src_col: str = "src", dst_col: str = "dst"):
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007) made fully deterministic: every node starts
+    labeled with its own id; each round, every node adopts the label
+    that is MOST FREQUENT among its neighbors, ties broken by the
+    SMALLEST label — the published algorithm's random tie-break
+    replaced with an order statistic, so any batching / partitioning
+    yields byte-identical output.  Exactly ``n_iters`` synchronous
+    rounds run (stopping early only when a round changes nothing);
+    synchronous LPA can 2-cycle on bipartite structures, so the fixed
+    round count — not a convergence test — is the determinism contract,
+    and the result is a pure function of (graph, n_iters).
+
+    Graph semantics: undirected simple graph — edges are normalized
+    first (self-loops dropped, parallel/reverse duplicates collapsed),
+    the :func:`triangle_counts` / :func:`core_numbers` convention.
+    Returns ``(node, label)`` for every edge endpoint.
+
+    Shape per round (BSP, the :func:`core_numbers` message pattern):
+    labels join the directed edge view by src (co-partition #1), the
+    (dst, neighbor-label) messages join labels by node (co-partition
+    #2), and the per-node plurality vote is one lexsort + two
+    ``reduceat``-style segment passes — no per-node Python loop.  Loop
+    state (the label table, thin int64 pairs) is materialized per
+    round; the changed-count is the only driver state.  Edges ride two
+    exchanges per round — the BSP cost model for any distributed LPA.
+    """
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = t.column(dst_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        b = np.maximum(s[keep], d[keep])
+        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        out = pa.table({"a": pa.array(df["a"].to_numpy(dtype=np.int64)),
+                        "b": pa.array(df["b"].to_numpy(dtype=np.int64))})
+        return add_partition_col(out, num_partitions, key="a")
+
+    def dedup_part(df: pd.DataFrame) -> pa.Table:
+        df = df[["a", "b"]].drop_duplicates()
+        return pa.table({"a": pa.array(df["a"].to_numpy(dtype=np.int64)),
+                         "b": pa.array(df["b"].to_numpy(dtype=np.int64))})
+
+    simple = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(dedup_part, batch_format="pandas")
+    )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        out = pa.table({
+            "src": pa.array(np.r_[a, b].astype(np.int64)),
+            "dst": pa.array(np.r_[b, a].astype(np.int64)),
+        })
+        return add_partition_col(out, num_partitions, key="src")
+
+    edges2 = simple.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def init_labels(df: pd.DataFrame) -> pa.Table:
+        nodes = np.unique(df["src"].to_numpy(dtype=np.int64))
+        return pa.table({"node": pa.array(nodes), "lbl": pa.array(nodes)})
+
+    labels = (
+        edges2.repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(init_labels, batch_format="pandas")
+        .materialize()
+    )
+
+    def edge_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t.column("src"),
+            "dst": t.column("dst"),
+            "lbl": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="k")
+
+    def lbl_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t.column("node"),
+            "dst": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            "lbl": t.column("lbl"),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="k")
+
+    def emit_messages(df: pd.DataFrame) -> pa.Table:
+        lv = df[df["side"] == 1]
+        ed = df[df["side"] == 0]
+        kk = lv["k"].to_numpy(dtype=np.int64)
+        vv = lv["lbl"].to_numpy(dtype=np.int64)
+        order = np.argsort(kk, kind="stable")
+        kk, vv = kk[order], vv[order]
+        want = ed["k"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(kk, want)
+        nb = vv[np.minimum(pos, len(kk) - 1)] if len(kk) else np.zeros(0, np.int64)
+        out = pa.table({
+            "node": pa.array(ed["dst"].to_numpy(dtype=np.int64)),
+            "nb_lbl": pa.array(nb.astype(np.int64)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    def msg_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "node": t.column("node"),
+            "val": t.column("nb_lbl"),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    def old_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "node": t.column("node"),
+            "val": t.column("lbl"),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    def plurality_update(df: pd.DataFrame) -> pa.Table:
+        msgs = df[df["side"] == 0]
+        old = df[df["side"] == 1]
+        n = msgs["node"].to_numpy(dtype=np.int64)
+        v = msgs["val"].to_numpy(dtype=np.int64)
+        on = old["node"].to_numpy(dtype=np.int64)
+        oe = old["val"].to_numpy(dtype=np.int64)
+        oorder = np.argsort(on, kind="stable")
+        on, oe = on[oorder], oe[oorder]
+        if len(n):
+            # (node, label) pair counts via one lexsort + segment diff
+            order = np.lexsort((v, n))
+            ns, vs = n[order], v[order]
+            pair_new = np.r_[True, (ns[1:] != ns[:-1]) | (vs[1:] != vs[:-1])]
+            starts = np.flatnonzero(pair_new)
+            counts = np.diff(np.r_[starts, len(ns)])
+            pn, pv = ns[starts], vs[starts]
+            # plurality with min-label tie-break: sort pairs by
+            # (node, count desc, label asc), take the first per node
+            o2 = np.lexsort((pv, -counts, pn))
+            pn2, pv2 = pn[o2], pv[o2]
+            nstarts = np.flatnonzero(np.r_[True, pn2[1:] != pn2[:-1]])
+            win_n, win_l = pn2[nstarts], pv2[nstarts]
+            pos = np.searchsorted(win_n, on)
+            pos_c = np.minimum(pos, max(len(win_n) - 1, 0))
+            hit = (pos < len(win_n)) & (win_n[pos_c] == on)
+            new = np.where(hit, win_l[pos_c], oe)
+        else:
+            new = oe
+        return pa.table({
+            "node": pa.array(on),
+            "lbl": pa.array(new.astype(np.int64)),
+            "changed": pa.array((new != oe).astype(np.int64)),
+        })
+
+    for _ in range(int(n_iters)):
+        msgs = (
+            edges2.map_batches(edge_side, batch_format="pyarrow")
+            .union(labels.map_batches(lbl_side, batch_format="pyarrow"))
+            .repartition(num_partitions)
+            .groupby("__part")
+            .map_groups(emit_messages, batch_format="pandas")
+        )
+        upd = (
+            msgs.map_batches(msg_side, batch_format="pyarrow")
+            .union(labels.map_batches(old_side, batch_format="pyarrow"))
+            .repartition(num_partitions)
+            .groupby("__part")
+            .map_groups(plurality_update, batch_format="pandas")
+            .materialize()
+        )
+        changed = int(upd.sum("changed") or 0)
+        labels = upd.drop_columns(["changed"]).materialize()
+        if changed == 0:
+            break
+    return labels.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "label": t.column("lbl")}),
+        batch_format="pyarrow")

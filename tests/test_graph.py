@@ -545,3 +545,65 @@ class TestHopDistances:
             out = hop_distances(ds, seeds=[3, 44], num_partitions=3).to_pandas()
             outs.append(out.sort_values("node").reset_index(drop=True))
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.graph import label_propagation
+
+        # two 4-cliques {0..3} and {10..13} joined by one bridge edge:
+        # LPA must label each clique by its minimum node and the bridge
+        # must not merge them
+        cliq = lambda base: [(base + i, base + j)
+                             for i in range(4) for j in range(i + 1, 4)]
+        edges = cliq(0) + cliq(10) + [(3, 10)]
+        ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+        out = label_propagation(ds, n_iters=8, num_partitions=3).to_pandas()
+        got = dict(zip(out["node"], out["label"]))
+        assert all(got[v] == 0 for v in range(4))
+        assert all(got[v] == 10 for v in range(10, 14))
+
+    def test_matches_independent_reference_and_block_invariant(self, ray_session):
+        import os
+        import sys
+
+        import ray.data
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        import reference_impls as ref
+
+        from logstash_filter_elastic_integration_ray.stages.graph import label_propagation
+
+        # pseudo-random graph incl. self-loops + duplicate/reverse
+        # edges (exercises normalization) and plurality ties
+        rng = np.random.default_rng(11)
+        edges = [(int(a), int(b)) for a, b in rng.integers(0, 40, size=(120, 2))]
+        want = ref.label_propagation_reference(edges, n_iters=5)
+        for nblocks in (1, 6):
+            ds = ray.data.from_items(
+                [{"src": s, "dst": d} for s, d in edges]).repartition(nblocks)
+            out = (label_propagation(ds, n_iters=5, num_partitions=4)
+                   .to_pandas().sort_values("node").reset_index(drop=True))
+            pd.testing.assert_frame_equal(out, want)
+
+    def test_early_stop_is_fixpoint(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.graph import label_propagation
+
+        # a clique pair converges in a few rounds (a PATH would 2-cycle
+        # forever under synchronous updates — that's why the contract
+        # fixes n_iters); once a round changes nothing, extra rounds
+        # must not change the answer (early-stop = fixpoint contract)
+        cliq = lambda base: [(base + i, base + j)
+                             for i in range(4) for j in range(i + 1, 4)]
+        edges = cliq(0) + cliq(10) + [(3, 10)]
+        ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+        a = label_propagation(ds, n_iters=4, num_partitions=2).to_pandas()
+        b = label_propagation(ds, n_iters=16, num_partitions=2).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("node").reset_index(drop=True),
+            b.sort_values("node").reset_index(drop=True),
+        )

@@ -2274,3 +2274,42 @@ def hop_distance_docs_reference(sf_dir: str) -> pd.DataFrame:
         "node": np.array([k for k, _ in items], dtype=np.int64),
         "dist": np.array([v for _, v in items], dtype=np.int64),
     })
+
+
+def label_propagation_reference(edges, *, n_iters: int = 5) -> pd.DataFrame:
+    """Plain dict-and-Counter synchronous label propagation — an
+    independent implementation of the deterministic LPA contract
+    (plurality of neighbor labels, ties to the SMALLEST label, exactly
+    n_iters synchronous rounds with early stop on a no-change round).
+    Undirected simple graph: self-loops dropped, duplicates collapsed."""
+    from collections import Counter
+
+    adj: dict[int, set] = {}
+    for s, d in edges:
+        s, d = int(s), int(d)
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    labels = {v: v for v in adj}
+    for _ in range(n_iters):
+        new = {}
+        for v, nbrs in adj.items():
+            cnt = Counter(labels[u] for u in nbrs)
+            top = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == top)
+        if new == labels:
+            break
+        labels = new
+    items = sorted(labels.items())
+    return pd.DataFrame({
+        "node": np.array([k for k, _ in items], dtype=np.int64),
+        "label": np.array([v for _, v in items], dtype=np.int64),
+    })
+
+
+def label_prop_docs_reference(sf_dir: str) -> pd.DataFrame:
+    """LPA over the shared doc link graph (pagerank edge rule)."""
+    ids, _texts = load_documents(sf_dir)
+    return label_propagation_reference(
+        pagerank_edges_for_docs(ids, len(ids)), n_iters=5)
