@@ -2262,6 +2262,41 @@ def q_label_prop_docs(sf_dir: str):
     return label_propagation(edges, n_iters=5, num_partitions=16)
 
 
+def q_modularity_docs(sf_dir: str):
+    """Newman–Girvan modularity Q of the LPA community labelling over
+    the shared doc link graph (stages/graph.py:modularity composing
+    label_propagation) — the standard partition-quality score, exact
+    int64 terms + ONE double division so the scalar is bit-identical
+    to the SQL twin (which recomputes the same edges in SQL and reads
+    the community labels from the independently-derived LPA fixture —
+    live labels ≡ fixture labels is itself pinned by
+    ``label_prop_docs``)."""
+    from logstash_filter_elastic_integration_ray.stages.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = int(docs.count())
+
+    def synth_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        src, dst = [], []
+        for d in ids:
+            d = int(d)
+            if d % 5 == 0:
+                continue
+            for j in range(1 + d % 3):
+                src.append(d)
+                dst.append((d * 17 + 1 + 97 * j) % n_docs)
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "dst": pa.array(dst, type=pa.int64())})
+
+    edges = docs.map_batches(synth_edges, batch_format="pyarrow").materialize()
+    labels = label_propagation(edges, n_iters=5, num_partitions=16)
+    return modularity(edges, labels, num_partitions=16)
+
+
 def q_connected_components_docs(sf_dir: str):
     """The distributed min-label connected-components machinery
     (stages/dedup.py:connected_components_min_label — one join-free
@@ -3178,6 +3213,124 @@ def q_response_dedup_turns(sf_dir: str):
         ds.map_batches(enc, batch_format="pyarrow"),
         key_col="turn_key", num_partitions=32,
     )
+
+
+def q_role_alternation(sf_dir: str):
+    """Per-conversation role-alternation audit — adjacent turns with
+    the SAME role flag malformed dialogue (doubled user turns, dropped
+    assistant replies), the structural gate an SFT export runs after
+    ``turn_integrity``.  One window co-partition (grouped_shift over
+    int role codes) + thin two-phase per-conversation sums; SQL lag
+    NULL discipline (the first turn never counts)."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import (
+        add_partition_col,
+    )
+    from logstash_filter_elastic_integration_ray.stages.windows import grouped_shift
+
+    ds = read_transcripts(sf_dir)
+
+    def enc(t: pa.Table) -> pa.Table:
+        role = t.column("role")
+        rc = pc.if_else(
+            pc.equal(role, "user"), 0,
+            pc.if_else(pc.equal(role, "assistant"), 1, 2),
+        )
+        return pa.table({
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "rc": pc.cast(rc, pa.int64()),
+        })
+
+    shifted = grouped_shift(
+        ds.map_batches(enc, batch_format="pyarrow"),
+        key="conv_id", order_cols=["turn_idx"], value_col="rc",
+        lag=1, lag_col="__prev", num_partitions=32,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        same = pc.cast(
+            pc.fill_null(pc.equal(t.column("__prev"), t.column("rc")), False),
+            pa.int64(),
+        )
+        part = pa.table({"conv_id": t.column("conv_id"), "s": same})
+        df = part.to_pandas().groupby("conv_id", as_index=False)["s"].sum()
+        out = pa.table({
+            "conv_id": pa.array(df["conv_id"].to_numpy(dtype=object),
+                                type=pa.string()),
+            "s": pa.array(df["s"].to_numpy(dtype=np.int64)),
+        })
+        return add_partition_col(out, 32, key="conv_id")
+
+    def finish(df: "pd.DataFrame") -> pa.Table:
+        agg = df.groupby("conv_id", as_index=False)["s"].sum()
+        return pa.table({
+            "conv_id": pa.array(agg["conv_id"].to_numpy(dtype=object),
+                                type=pa.string()),
+            "n_same_role_adjacent": pa.array(
+                agg["s"].to_numpy(dtype=np.int64)),
+            "alternates": pa.array(agg["s"].to_numpy(dtype=np.int64) == 0),
+        })
+
+    return (
+        shifted.map_batches(partial, batch_format="pyarrow")
+        .repartition(32)
+        .groupby("__part")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def q_conv_neardup_minhash(sf_dir: str):
+    """WHOLE-conversation near-dup: assemble each conversation's turns
+    into one document (stages/convdedup.py:conversation_text — the
+    text rides the conv-keyed exchange once), then MinHash-LSH
+    clustering over the assembled texts (the full stages/dedup.py
+    banding → star-edge → distributed-CC machinery).  Near-dups are
+    planted on BOTH sides: every conversation whose number % 9 == 0
+    gets a clone under key + 10,000,000 with 2 of its 20 turns
+    replaced — ~90% shared shingles, above the 0.8 LSH bar.  Fixture
+    oracle from the independent union-find reference
+    (tools/reference_impls.conv_neardup_reference)."""
+    from logstash_filter_elastic_integration_ray.stages.convdedup import (
+        conversation_text,
+    )
+    from logstash_filter_elastic_integration_ray.stages.dedup import minhash_lsh_dedup
+
+    ds = read_transcripts(sf_dir)
+
+    def plant(t: pa.Table) -> pa.Table:
+        nums = pc.cast(
+            pc.utf8_slice_codeunits(t.column("conv_id"), 1, 2**31 - 1),
+            pa.int64(),
+        )
+        base = pa.table({
+            "conv_key": nums,
+            "turn_idx": t.column("turn_idx"),
+            "text": t.column("text"),
+        })
+        nn = nums.to_numpy(zero_copy_only=False)
+        sel = base.filter(pa.array(nn % 9 == 0))
+        idx = sel.column("turn_idx")
+        iv = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        mutated = pc.if_else(
+            pa.array(iv % 10 == 9),
+            pc.binary_join_element_wise(
+                "regen variant ", pc.cast(idx, pa.string()), ""),
+            sel.column("text"),
+        )
+        clones = pa.table({
+            "conv_key": pc.add(sel.column("conv_key"), 10_000_000),
+            "turn_idx": idx,
+            "text": mutated,
+        })
+        return pa.concat_tables([base, clones])
+
+    convs = conversation_text(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        conv_col="conv_key", num_partitions=32,
+    ).map_batches(
+        lambda t: t.rename_columns(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    return minhash_lsh_dedup(convs)
 
 
 def q_secret_scan_docs(sf_dir: str):
@@ -5134,6 +5287,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_prefix_dedup": q_conv_prefix_dedup,
         "response_dedup_turns": q_response_dedup_turns,
         "label_prop_docs": q_label_prop_docs,
+        "modularity_docs": q_modularity_docs,
+        "conv_neardup_minhash": q_conv_neardup_minhash,
+        "role_alternation": q_role_alternation,
         # round-4 additions — never driver-sampled, so they lead
         # (eighth session first: newest never-checked entries)
         "ewma_events": q_ewma_events,
@@ -6026,6 +6182,34 @@ def oracle_sql() -> dict[str, str]:
         "label_prop_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/label_prop_docs.sf0_01.parquet')"
         ),
+        "conv_neardup_minhash": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/conv_neardup_minhash.sf0_01.parquet')"
+        ),
+        "modularity_docs": (
+            "WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), "
+            "js AS (SELECT 0 AS jj UNION ALL SELECT 1 UNION ALL SELECT 2), "
+            "e AS (SELECT d.doc_id AS src, "
+            "(d.doc_id * 17 + 1 + 97 * jj) % (SELECT n_docs FROM nd) AS dst "
+            "FROM documents d, js WHERE d.doc_id % 5 <> 0 AND jj < 1 + d.doc_id % 3), "
+            "simple AS (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM e WHERE src <> dst), "
+            f"lab AS (SELECT node, label FROM read_parquet('{_REPO_DIR}/fixtures/label_prop_docs.sf0_01.parquet')), "
+            "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM simple), "
+            "ein AS (SELECT CAST(count(*) AS BIGINT) AS e_in FROM simple "
+            "JOIN lab la ON simple.a = la.node "
+            "JOIN lab lb ON simple.b = lb.node WHERE la.label = lb.label), "
+            "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM "
+            "(SELECT a AS node FROM simple UNION ALL SELECT b FROM simple) "
+            "GROUP BY node), "
+            "dc AS (SELECT la.label, CAST(sum(d) AS BIGINT) AS deg_c "
+            "FROM deg JOIN lab la ON deg.node = la.node GROUP BY la.label), "
+            "sq AS (SELECT CAST(sum(CAST(deg_c AS HUGEINT) * deg_c) AS BIGINT) "
+            "AS sum_deg_sq FROM dc) "
+            "SELECT mm.m AS m, ein.e_in AS e_in, sq.sum_deg_sq AS sum_deg_sq, "
+            "CAST(4 * CAST(mm.m AS HUGEINT) * ein.e_in - sq.sum_deg_sq AS DOUBLE) / "
+            "CAST(4 * CAST(mm.m AS HUGEINT) * mm.m AS DOUBLE) AS modularity "
+            "FROM mm, ein, sq"
+        ),
         "entity_resolution_contacts": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/entity_resolution_contacts.sf0_01.parquet')"
         ),
@@ -6606,6 +6790,18 @@ def oracle_sql() -> dict[str, str]:
             "epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us "
             "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "role_alternation": T(
+            ", r AS (SELECT conv_id, turn_idx, "
+            "CASE role WHEN 'user' THEN 0 WHEN 'assistant' THEN 1 ELSE 2 END "
+            "AS rc FROM transcripts), "
+            "w AS (SELECT conv_id, rc, lag(rc) OVER (PARTITION BY conv_id "
+            "ORDER BY turn_idx) AS prev FROM r) "
+            "SELECT conv_id, "
+            "CAST(count(*) FILTER (WHERE prev = rc) AS BIGINT) "
+            "AS n_same_role_adjacent, "
+            "count(*) FILTER (WHERE prev = rc) = 0 AS alternates "
+            "FROM w GROUP BY conv_id"
         ),
         "conv_prefix_dedup": T(
             ", allc AS ("

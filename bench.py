@@ -1123,6 +1123,87 @@ def run_bench() -> dict:
 
     timed("session_windows", sessions, reps=1)
 
+    # conversation-level dedup at 16x: every conversation replicated
+    # 16 times under distinct ids with IDENTICAL text — every prefix
+    # group holds >= 16 branches, every assistant response >= 16 dups
+    # (the adversarial shape for both ops)
+    def _conv_copy(base: "pa_.Table", r: int) -> "pa_.Table":
+        nums = pc_.cast(
+            pc_.utf8_slice_codeunits(base.column("conv_id"), 1, 2**31 - 1),
+            pa_.int64(),
+        )
+        return pa_.table({
+            "conv_id": pc_.binary_join_element_wise(
+                "c", pc_.cast(pc_.add(nums, r * 1_000_000), pa_.string()), ""
+            ),
+            "turn_idx": base.column("turn_idx"),
+            "role": base.column("role"),
+            "text": base.column("text"),
+        })
+
+    conv_dup_path = _replicated_parquet(tdir, "conv-dup", 16, _conv_copy)
+
+    def conv_prefix_16x():
+        from logstash_filter_elastic_integration_ray.stages.convdedup import (
+            conversation_prefix_groups,
+        )
+
+        heavy = read_parquet_clean(conv_dup_path,
+                                   override_num_blocks=NUM_CPUS * 2)
+        return conversation_prefix_groups(
+            heavy, k=4, num_partitions=NUM_CPUS * 2).count()
+
+    timed("conv_prefix_dedup_16x", conv_prefix_16x, reps=1)
+
+    def response_dedup_16x():
+        from logstash_filter_elastic_integration_ray.stages.convdedup import (
+            response_dedup,
+        )
+
+        heavy = read_parquet_clean(conv_dup_path,
+                                   override_num_blocks=NUM_CPUS * 2)
+
+        def enc(t):
+            t = t.filter(pc_.equal(t.column("role"), "assistant"))
+            nums = pc_.cast(
+                pc_.utf8_slice_codeunits(t.column("conv_id"), 1, 2**31 - 1),
+                pa_.int64(),
+            )
+            key = pc_.add(pc_.multiply(nums, 20),
+                          pc_.cast(t.column("turn_idx"), pa_.int64()))
+            return pa_.table({"turn_key": key, "text": t.column("text")})
+
+        return response_dedup(
+            heavy.map_batches(enc, batch_format="pyarrow"),
+            key_col="turn_key", num_partitions=NUM_CPUS * 2).count()
+
+    timed("response_dedup_16x", response_dedup_16x, reps=1)
+
+    def label_prop_16x():
+        # 5 synchronous LPA rounds over the same 1.28M-node synthetic
+        # link graph as pagerank_16x: 2 co-partition exchanges per
+        # round over ~20.5M directed message rows
+        from logstash_filter_elastic_integration_ray.stages.graph import (
+            label_propagation,
+        )
+
+        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
+
+        def synth_edges(t):
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            n = 1_280_000
+            reps = 16
+            src = np.repeat(ids, reps)
+            j = np.tile(np.arange(reps, dtype=np.int64), len(ids))
+            dst = (src * 17 + 1 + 97 * j) % n
+            return pa_.table({"src": pa_.array(src), "dst": pa_.array(dst)})
+
+        edges = heavy.map_batches(synth_edges, batch_format="pyarrow")
+        return label_propagation(edges, n_iters=5,
+                                 num_partitions=NUM_CPUS).count()
+
+    timed("label_prop_16x", label_prop_16x, reps=1)
+
     # hot-key check: top conversation holds 5% of all turns; the
     # two-phase aggregate must not degrade vs the uniform input.
     # Synthesis happens BEFORE timing and the cache is keyed by size.

@@ -212,3 +212,41 @@ def response_dedup(
         .groupby("__part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def conversation_text(
+    ds,
+    *,
+    conv_col: str = "conv_key",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    sep: str = " ",
+    num_partitions: int = 32,
+):
+    """One row per conversation: ``(conv_col, text)`` with the turn
+    texts joined on ``sep`` in ``idx_col`` order — the assembly pass
+    that turns a turn-grained transcript table into a document-grained
+    one (whole-conversation near-dup, conversation-level LM scoring,
+    packing).  Exact twin of ``string_agg(text, sep ORDER BY idx)
+    GROUP BY conv``.
+
+    Delegates to the shared ordered-concat machinery
+    (stages/aggregate.py:group_string_agg — one conv-keyed
+    co-partition, the text rides exactly once) after filling null
+    turns with '' — a missing turn contributes an empty token, NOT a
+    skipped separator position, so turn arity is preserved.
+    ``idx_col`` must be unique per conversation."""
+    from .aggregate import group_string_agg
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.select([conv_col, idx_col, text_col])
+        return t.set_column(
+            t.schema.get_field_index(text_col), text_col,
+            pc.fill_null(t.column(text_col), ""),
+        )
+
+    return group_string_agg(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        key=conv_col, val_col=text_col, order_cols=[idx_col],
+        sep=sep, out_col="text", num_partitions=num_partitions,
+    )

@@ -1577,3 +1577,142 @@ def label_propagation(edges, *, n_iters: int = 5, num_partitions: int = 16,
         lambda t: pa.table({"node": t.column("node"),
                             "label": t.column("lbl")}),
         batch_format="pyarrow")
+
+
+def modularity(edges, labels, *, num_partitions: int = 16,
+               src_col: str = "src", dst_col: str = "dst"):
+    """Newman–Girvan modularity Q of a community labelling over the
+    undirected simple view of ``edges`` — the standard quality score
+    for :func:`label_propagation` output (Newman 2004)::
+
+        Q = Σ_c [ e_c/m − (deg_c/2m)² ]
+          = (4m·E_in − Σ_c deg_c²) / 4m²
+
+    where m is the simple-edge count, E_in the number of edges whose
+    endpoints share a label, and deg_c the total degree of community
+    c.  Every term is an exact int64 (HUGEINT on the SQL side); Q is
+    ONE division of exact integers cast to double, so the scalar is
+    bit-identical to any engine computing the same formula.
+
+    ``labels`` is a ``(node, label)`` Dataset covering every edge
+    endpoint (the :func:`label_propagation` contract).  Returns one
+    row: ``(m, e_in, sum_deg_sq, modularity)``.
+
+    Shape: the same normalization exchange as LPA, then two native
+    hash-partitioned ``Dataset.join`` exchanges attach endpoint labels
+    (thin int64 rows), E_in reduces to per-batch scalar partials, and
+    the community degree sums go through one ``group_counts``-style
+    exchange — per-label rows, never per-node, ride the final pass.
+    Driver state: three scalars."""
+    from .aggregate import group_counts
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = t.column(dst_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        b = np.maximum(s[keep], d[keep])
+        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        out = pa.table({"a": pa.array(df["a"].to_numpy(dtype=np.int64)),
+                        "b": pa.array(df["b"].to_numpy(dtype=np.int64))})
+        return add_partition_col(out, num_partitions, key="a")
+
+    def dedup_part(df: pd.DataFrame) -> pa.Table:
+        df = df[["a", "b"]].drop_duplicates()
+        return pa.table({"a": pa.array(df["a"].to_numpy(dtype=np.int64)),
+                         "b": pa.array(df["b"].to_numpy(dtype=np.int64))})
+
+    simple = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(dedup_part, batch_format="pandas")
+        .materialize()
+    )
+    m = int(simple.count())
+    if m == 0:
+        raise ValueError("modularity: graph has no simple edges")
+
+    def rename(old: str, new_node: str, new_lbl: str):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return pa.table({new_node: pa.array([], type=pa.int64()),
+                                 new_lbl: pa.array([], type=pa.int64())})
+            return t.rename_columns([new_node, new_lbl])
+        return fn
+
+    la = labels.map_batches(rename("node", "a", "la"), batch_format="pyarrow")
+    lb = labels.map_batches(rename("node", "b", "lb"), batch_format="pyarrow")
+    tagged = simple.join(la, "inner", num_partitions=max(2, num_partitions // 4),
+                         on=("a",)).join(
+        lb, "inner", num_partitions=max(2, num_partitions // 4), on=("b",))
+
+    def ein_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({"e_in": pa.array([0], type=pa.int64())})
+        same = pc.sum(pc.cast(pc.equal(t.column("la"), t.column("lb")),
+                              pa.int64())).as_py() or 0
+        return pa.table({"e_in": pa.array([same], type=pa.int64())})
+
+    e_in = int(tagged.map_batches(ein_partial, batch_format="pyarrow")
+               .sum("e_in") or 0)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.r_[a, b].astype(np.int64))})
+
+    deg = group_counts(simple.map_batches(both_dirs, batch_format="pyarrow"),
+                       key="node", out_col="d", num_partitions=num_partitions)
+    deg_tag = deg.map_batches(
+        lambda t: t if t.num_columns else pa.table(
+            {"node": pa.array([], type=pa.int64()),
+             "d": pa.array([], type=pa.int64())}),
+        batch_format="pyarrow",
+    ).join(
+        labels, "inner", num_partitions=max(2, num_partitions // 4),
+        on=("node",),
+    )
+    # per-label degree SUM (not count): two-phase partial sums by label
+    from .aggregate import add_partition_col as _apc
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            t = pa.table({"label": pa.array([], type=pa.int64()),
+                          "d": pa.array([], type=pa.int64())})
+        lbls = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lbls, kind="stable")
+        ls, ds_ = lbls[order], d[order]
+        starts = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
+        sums = np.add.reduceat(ds_, starts) if len(ls) else np.zeros(0, np.int64)
+        out = pa.table({"label": pa.array(ls[starts] if len(ls) else ls),
+                        "dsum": pa.array(sums.astype(np.int64))})
+        return _apc(out, num_partitions, key="label")
+
+    def sq_partial(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby("label", sort=False)["dsum"].sum().to_numpy(dtype=np.int64)
+        total = int((agg.astype(object) ** 2).sum()) if len(agg) else 0
+        if total > np.iinfo(np.int64).max:
+            raise OverflowError("modularity: sum of squared community "
+                                "degrees exceeds int64")
+        return pa.table({"sq": pa.array([total], type=pa.int64())})
+
+    sum_deg_sq = int(
+        deg_tag.map_batches(deg_partial, batch_format="pyarrow")
+        .repartition(max(2, num_partitions // 4))
+        .groupby("__part")
+        .map_groups(sq_partial, batch_format="pandas")
+        .sum("sq") or 0
+    )
+
+    num = 4 * m * e_in - sum_deg_sq
+    q = float(num) / float(4 * m * m)
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.table({
+        "m": pa.array([m], type=pa.int64()),
+        "e_in": pa.array([e_in], type=pa.int64()),
+        "sum_deg_sq": pa.array([sum_deg_sq], type=pa.int64()),
+        "modularity": pa.array([q], type=pa.float64()),
+    }))

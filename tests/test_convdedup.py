@@ -130,3 +130,25 @@ class TestResponseDedup:
         out = response_dedup(ds, key_col="turn_key", num_partitions=2).to_pandas()
         assert len(out) == 1
         assert int(out["n_dups"].iloc[0]) == n and int(out["keep_id"].iloc[0]) == 0
+
+
+class TestConversationText:
+    def test_matches_string_agg_and_block_invariant(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.convdedup import (
+            conversation_text,
+        )
+
+        df = pd.DataFrame({
+            "conv_key": np.array([2, 2, 2, 1, 1, 3], dtype=np.int64),
+            "turn_idx": np.array([1, 0, 2, 1, 0, 0], dtype=np.int32),
+            "text": ["b", "a", "c", "y", "x", None],
+        })
+        want = {2: "a b c", 1: "x y", 3: ""}
+        for blocks in (1, 3):
+            ds = ray.data.from_pandas(list(np.array_split(df, blocks)))
+            out = conversation_text(ds, conv_col="conv_key",
+                                    num_partitions=2).to_pandas()
+            got = dict(zip(out["conv_key"], out["text"]))
+            assert got == want

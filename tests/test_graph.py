@@ -607,3 +607,79 @@ class TestLabelPropagation:
             a.sort_values("node").reset_index(drop=True),
             b.sort_values("node").reset_index(drop=True),
         )
+
+
+class TestModularity:
+    def test_hand_computed_two_cliques(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.graph import modularity
+
+        # two triangles joined by a bridge, perfectly labeled:
+        # m=7, E_in=6, deg_c = 7 each → Q = (4·7·6 − 98)/196 = 70/196
+        edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+        labels = ray.data.from_items(
+            [{"node": v, "label": 0} for v in (0, 1, 2)]
+            + [{"node": v, "label": 10} for v in (10, 11, 12)])
+        ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+        out = modularity(ds, labels, num_partitions=2).to_pandas()
+        assert int(out["m"].iloc[0]) == 7
+        assert int(out["e_in"].iloc[0]) == 6
+        assert int(out["sum_deg_sq"].iloc[0]) == 98
+        assert float(out["modularity"].iloc[0]) == 70.0 / 196.0
+
+    def test_matches_plain_reference_on_random_graph(self, ray_session):
+        import os
+        import sys
+
+        import ray.data
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        import reference_impls as ref
+
+        from logstash_filter_elastic_integration_ray.stages.graph import (
+            label_propagation,
+            modularity,
+        )
+
+        rng = np.random.default_rng(5)
+        edges = [(int(a), int(b)) for a, b in rng.integers(0, 30, size=(90, 2))]
+        lab_df = ref.label_propagation_reference(edges, n_iters=5)
+        lab = dict(zip(lab_df["node"], lab_df["label"]))
+
+        # independent plain modularity: normalize, count within-label
+        # edges and per-label degrees with dicts
+        simple = set()
+        for s, d in edges:
+            if s != d:
+                simple.add((min(s, d), max(s, d)))
+        m = len(simple)
+        e_in = sum(1 for a, b in simple if lab[a] == lab[b])
+        deg: dict = {}
+        for a, b in simple:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        dc: dict = {}
+        for v, d in deg.items():
+            dc[lab[v]] = dc.get(lab[v], 0) + d
+        sds = sum(d * d for d in dc.values())
+        want_q = float(4 * m * e_in - sds) / float(4 * m * m)
+
+        ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+        labels = label_propagation(ds, n_iters=5, num_partitions=3)
+        out = modularity(ds, labels, num_partitions=3).to_pandas()
+        assert int(out["m"].iloc[0]) == m
+        assert int(out["e_in"].iloc[0]) == e_in
+        assert int(out["sum_deg_sq"].iloc[0]) == sds
+        assert float(out["modularity"].iloc[0]) == want_q
+
+    def test_empty_graph_raises(self, ray_session):
+        import pytest as _pytest
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.graph import modularity
+
+        ds = ray.data.from_items([{"src": 1, "dst": 1}])  # only a self-loop
+        labels = ray.data.from_items([{"node": 1, "label": 1}])
+        with _pytest.raises(ValueError):
+            modularity(ds, labels, num_partitions=2)

@@ -92,6 +92,7 @@ def main() -> None:
         "kcore_docs": ref.kcore_docs_reference(sf_dir),
         "hop_distance_docs": ref.hop_distance_docs_reference(sf_dir),
         "label_prop_docs": ref.label_prop_docs_reference(sf_dir),
+        "conv_neardup_minhash": ref.conv_neardup_reference(sf_dir),
     }
     for name, df in tables.items():
         df = _canonical(df)

@@ -2313,3 +2313,43 @@ def label_prop_docs_reference(sf_dir: str) -> pd.DataFrame:
     ids, _texts = load_documents(sf_dir)
     return label_propagation_reference(
         pagerank_edges_for_docs(ids, len(ids)), n_iters=5)
+
+
+def conv_neardup_reference(sf_dir: str) -> pd.DataFrame:
+    """Whole-conversation near-dup clusters: assemble per-conversation
+    text with plain pandas (sort + groupby join — independent of the
+    engine's co-partition fold), plant the clone rule identically
+    (every 9th conversation cloned under key + 10,000,000 with turns
+    idx % 10 == 9 replaced), then the independent union-find MinHash
+    reference.  The turn table itself comes from the definitional
+    derivation (sources/transcripts.py) whose SQL CTE twin is pinned
+    by dozens of SQL-oracled queries — what this fixture independently
+    checks is the assembly + minhash/LSH/union-find math."""
+    import pyarrow.parquet as pq
+
+    from logstash_filter_elastic_integration_ray.sources.transcripts import (
+        derive_transcripts_table,
+    )
+
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    )
+    t = derive_transcripts_table(ev)
+    df = t.select(["conv_id", "turn_idx", "text"]).to_pandas()
+    df["conv_key"] = df["conv_id"].str[1:].astype("int64")
+    clones = df[df["conv_key"] % 9 == 0].copy()
+    clones["conv_key"] = clones["conv_key"] + 10_000_000
+    mask = (clones["turn_idx"].astype("int64") % 10) == 9
+    clones.loc[mask, "text"] = (
+        "regen variant " + clones.loc[mask, "turn_idx"].astype(str)
+    )
+    allc = pd.concat([df, clones])
+    joined = (
+        allc.sort_values(["conv_key", "turn_idx"], kind="mergesort")
+        .groupby("conv_key")["text"]
+        .agg(" ".join)
+    )
+    ids = joined.index.to_numpy(dtype=np.int64)
+    texts = list(joined)
+    return minhash_clusters_reference(ids, texts)
