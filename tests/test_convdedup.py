@@ -152,3 +152,57 @@ class TestConversationText:
                                     num_partitions=2).to_pandas()
             got = dict(zip(out["conv_key"], out["text"]))
             assert got == want
+
+
+class TestRandomizedCrossCheck:
+    def test_random_conversations_match_pandas_reference(self, ray_session):
+        """Seeded random conv tables (ragged lengths, duplicate
+        prefixes by construction, null texts) vs plain pandas for both
+        conversation ops — the formula-space check beside the
+        hand-built cases."""
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.convdedup import (
+            conversation_prefix_groups,
+            response_dedup,
+        )
+
+        rng = np.random.default_rng(42)
+        rows = []
+        for c in range(40):
+            n_turns = int(rng.integers(1, 9))
+            # 8 distinct texts → heavy cross-conv prefix collisions
+            for i in range(n_turns):
+                txt = None if rng.random() < 0.05 else f"t{rng.integers(0, 8)}"
+                rows.append({"conv_id": f"c{c:02d}",
+                             "turn_idx": np.int32(i), "text": txt})
+        df = pd.DataFrame(rows)
+
+        want = _prefix_reference(df.assign(text=df["text"].fillna("")), k=3)
+        ds = ray.data.from_pandas(list(np.array_split(df, 7)))
+        out = conversation_prefix_groups(ds, k=3, num_partitions=4).to_pandas()
+        got = {r.conv_id: (r.prefix_key, int(r.n_branches), bool(r.keep))
+               for r in out.itertuples()}
+        assert got == want
+        assert any(v[1] > 1 for v in want.values())  # real collisions
+
+        # response dedup over the same rows with a synthetic row key
+        df2 = df.assign(key=np.arange(len(df), dtype=np.int64))
+        ref = (
+            df2.assign(text=df2["text"].fillna(""))
+            .groupby("text")
+            .agg(keep_id=("key", "min"), n_dups=("key", "size"))
+        )
+        import hashlib as _h
+
+        want2 = {
+            _h.md5(t.encode()).hexdigest(): (int(r.keep_id), int(r.n_dups))
+            for t, r in ref.iterrows()
+        }
+        out2 = response_dedup(
+            ray.data.from_pandas(list(np.array_split(df2, 5))),
+            key_col="key", num_partitions=4,
+        ).to_pandas()
+        got2 = {r.content_hash: (int(r.keep_id), int(r.n_dups))
+                for r in out2.itertuples()}
+        assert got2 == want2
