@@ -2262,6 +2262,43 @@ def q_label_prop_docs(sf_dir: str):
     return label_propagation(edges, n_iters=5, num_partitions=16)
 
 
+def q_clustering_coeff_docs(sf_dir: str):
+    """Local clustering coefficient per node
+    (stages/graph.py:clustering_coefficients — simple_undirected →
+    group_counts degrees + the O(m^1.5) wedge-check triangle counts,
+    one node-keyed merge co-partition; cc is ONE double division of
+    exact int64s).  Edge rule shared with ``triangle_counts_docs``
+    (chains + skip-links close triangles; self-loop / reverse-dup
+    noise lanes exercise normalization); the SQL twin recomputes the
+    edges and degrees in SQL and reads the per-node triangle counts
+    from the independently-derived adjacency-set fixture."""
+    from logstash_filter_elastic_integration_ray.stages.graph import (
+        clustering_coefficients,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        src, dst = [], []
+        for d in ids:
+            d = int(d)
+            r = d % 10
+            if r >= 1:
+                src.append(d); dst.append(d - 1)
+            if r >= 2 and d % 3 != 0:
+                src.append(d); dst.append(d - 2)
+            if d % 13 == 0:
+                src.append(d); dst.append(d)
+            if d % 9 == 0 and r >= 1:
+                src.append(d - 1); dst.append(d)
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "dst": pa.array(dst, type=pa.int64())})
+
+    edges = docs.map_batches(synth_edges, batch_format="pyarrow")
+    return clustering_coefficients(edges, num_partitions=16)
+
+
 def q_modularity_docs(sf_dir: str):
     """Newman–Girvan modularity Q of the LPA community labelling over
     the shared doc link graph (stages/graph.py:modularity composing
@@ -5290,6 +5327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity_docs": q_modularity_docs,
         "conv_neardup_minhash": q_conv_neardup_minhash,
         "role_alternation": q_role_alternation,
+        "clustering_coeff_docs": q_clustering_coeff_docs,
         # round-4 additions — never driver-sampled, so they lead
         # (eighth session first: newest never-checked entries)
         "ewma_events": q_ewma_events,
@@ -6184,6 +6222,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "conv_neardup_minhash": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/conv_neardup_minhash.sf0_01.parquet')"
+        ),
+        "clustering_coeff_docs": (
+            "WITH e AS ("
+            "SELECT doc_id AS src, doc_id - 1 AS dst FROM documents "
+            "WHERE doc_id % 10 >= 1 "
+            "UNION ALL SELECT doc_id, doc_id - 2 FROM documents "
+            "WHERE doc_id % 10 >= 2 AND doc_id % 3 <> 0 "
+            "UNION ALL SELECT doc_id - 1, doc_id FROM documents "
+            "WHERE doc_id % 9 = 0 AND doc_id % 10 >= 1), "
+            "simple AS (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM e WHERE src <> dst), "
+            "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM "
+            "(SELECT a AS node FROM simple UNION ALL SELECT b FROM simple) "
+            "GROUP BY node), "
+            f"tri AS (SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/triangle_counts_docs.sf0_01.parquet')) "
+            "SELECT deg.node, deg.deg, "
+            "CAST(coalesce(tri.n_triangles, 0) AS BIGINT) AS n_triangles, "
+            "CASE WHEN deg.deg >= 2 THEN "
+            "CAST(2 * coalesce(tri.n_triangles, 0) AS DOUBLE) / "
+            "CAST(deg.deg * (deg.deg - 1) AS DOUBLE) ELSE 0.0 END AS cc "
+            "FROM deg LEFT JOIN tri ON deg.node = tri.node"
         ),
         "modularity_docs": (
             "WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), "

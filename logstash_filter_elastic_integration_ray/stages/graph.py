@@ -1085,6 +1085,40 @@ def _hits_pregel(edges, *, n_iters, num_partitions, src_col, dst_col):
 # ---------------------------------------------------------------------------
 
 
+def simple_undirected(edges, *, num_partitions: int = 16,
+                      src_col: str = "src", dst_col: str = "dst"):
+    """Normalize an edge table to the undirected simple graph:
+    self-loops dropped, parallel / reverse duplicates collapsed —
+    one batch-local canon pass + one pair-keyed dedup exchange.
+    Returns ``(a, b)`` rows with ``a < b``.  The shared front door of
+    :func:`core_numbers`, :func:`label_propagation` and
+    :func:`modularity` (triangle_counts keeps its pair-key variant —
+    it needs the packed pair key downstream anyway)."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = t.column(dst_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        b = np.maximum(s[keep], d[keep])
+        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        out = pa.table({"a": pa.array(df["a"].to_numpy(dtype=np.int64)),
+                        "b": pa.array(df["b"].to_numpy(dtype=np.int64))})
+        return add_partition_col(out, num_partitions, key="a")
+
+    def dedup_part(df: pd.DataFrame) -> pa.Table:
+        df = df[["a", "b"]].drop_duplicates()
+        return pa.table({"a": pa.array(df["a"].to_numpy(dtype=np.int64)),
+                         "b": pa.array(df["b"].to_numpy(dtype=np.int64))})
+
+    return (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(dedup_part, batch_format="pandas")
+    )
+
+
 def core_numbers(edges, *, num_partitions: int = 16, max_iters: int = 64,
                  src_col: str = "src", dst_col: str = "dst"):
     """Coreness of every node — the distributed k-core decomposition of
@@ -1111,28 +1145,8 @@ def core_numbers(edges, *, num_partitions: int = 16, max_iters: int = 64,
     guarded by ``max_iters`` (raises on non-convergence rather than
     returning silently-wrong estimates)."""
 
-    def canon(t: pa.Table) -> pa.Table:
-        s = t.column(src_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        d = t.column(dst_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        keep = s != d
-        a = np.minimum(s[keep], d[keep])
-        b = np.maximum(s[keep], d[keep])
-        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
-        out = pa.table({"a": pa.array(df["a"].to_numpy(dtype=np.int64)),
-                        "b": pa.array(df["b"].to_numpy(dtype=np.int64))})
-        return add_partition_col(out, num_partitions, key="a")
-
-    def dedup_part(df: pd.DataFrame) -> pa.Table:
-        df = df[["a", "b"]].drop_duplicates()
-        return pa.table({"a": pa.array(df["a"].to_numpy(dtype=np.int64)),
-                         "b": pa.array(df["b"].to_numpy(dtype=np.int64))})
-
-    simple = (
-        edges.map_batches(canon, batch_format="pyarrow")
-        .repartition(num_partitions)
-        .groupby("__part")
-        .map_groups(dedup_part, batch_format="pandas")
-    )
+    simple = simple_undirected(edges, num_partitions=num_partitions,
+                               src_col=src_col, dst_col=dst_col)
 
     def both_dirs(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)
@@ -1423,28 +1437,8 @@ def label_propagation(edges, *, n_iters: int = 5, num_partitions: int = 16,
     exchanges per round — the BSP cost model for any distributed LPA.
     """
 
-    def canon(t: pa.Table) -> pa.Table:
-        s = t.column(src_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        d = t.column(dst_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        keep = s != d
-        a = np.minimum(s[keep], d[keep])
-        b = np.maximum(s[keep], d[keep])
-        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
-        out = pa.table({"a": pa.array(df["a"].to_numpy(dtype=np.int64)),
-                        "b": pa.array(df["b"].to_numpy(dtype=np.int64))})
-        return add_partition_col(out, num_partitions, key="a")
-
-    def dedup_part(df: pd.DataFrame) -> pa.Table:
-        df = df[["a", "b"]].drop_duplicates()
-        return pa.table({"a": pa.array(df["a"].to_numpy(dtype=np.int64)),
-                         "b": pa.array(df["b"].to_numpy(dtype=np.int64))})
-
-    simple = (
-        edges.map_batches(canon, batch_format="pyarrow")
-        .repartition(num_partitions)
-        .groupby("__part")
-        .map_groups(dedup_part, batch_format="pandas")
-    )
+    simple = simple_undirected(edges, num_partitions=num_partitions,
+                               src_col=src_col, dst_col=dst_col)
 
     def both_dirs(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)
@@ -1606,29 +1600,8 @@ def modularity(edges, labels, *, num_partitions: int = 16,
     Driver state: three scalars."""
     from .aggregate import group_counts
 
-    def canon(t: pa.Table) -> pa.Table:
-        s = t.column(src_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        d = t.column(dst_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        keep = s != d
-        a = np.minimum(s[keep], d[keep])
-        b = np.maximum(s[keep], d[keep])
-        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
-        out = pa.table({"a": pa.array(df["a"].to_numpy(dtype=np.int64)),
-                        "b": pa.array(df["b"].to_numpy(dtype=np.int64))})
-        return add_partition_col(out, num_partitions, key="a")
-
-    def dedup_part(df: pd.DataFrame) -> pa.Table:
-        df = df[["a", "b"]].drop_duplicates()
-        return pa.table({"a": pa.array(df["a"].to_numpy(dtype=np.int64)),
-                         "b": pa.array(df["b"].to_numpy(dtype=np.int64))})
-
-    simple = (
-        edges.map_batches(canon, batch_format="pyarrow")
-        .repartition(num_partitions)
-        .groupby("__part")
-        .map_groups(dedup_part, batch_format="pandas")
-        .materialize()
-    )
+    simple = simple_undirected(edges, num_partitions=num_partitions,
+                               src_col=src_col, dst_col=dst_col).materialize()
     m = int(simple.count())
     if m == 0:
         raise ValueError("modularity: graph has no simple edges")
@@ -1716,3 +1689,89 @@ def modularity(edges, labels, *, num_partitions: int = 16,
         "sum_deg_sq": pa.array([sum_deg_sq], type=pa.int64()),
         "modularity": pa.array([q], type=pa.float64()),
     }))
+
+
+def clustering_coefficients(edges, *, num_partitions: int = 16,
+                            src_col: str = "src", dst_col: str = "dst"):
+    """Local clustering coefficient per node over the undirected
+    simple view: ``cc(v) = 2·T(v) / (deg(v)·(deg(v)−1))``, 0.0 when
+    deg < 2 — the classic transitivity measure (Watts & Strogatz
+    1998), here as a composition: :func:`simple_undirected` →
+    degrees via ``group_counts`` (keys × batches exchange) +
+    :func:`triangle_counts` (the O(m^1.5) wedge-check), merged by one
+    node-keyed co-partition.  One row per simple-graph node:
+    ``(node, deg, n_triangles, cc)``.  cc is ONE double division of
+    exact int64s, so the scalar is bit-identical to any engine
+    computing the same formula (nodes in no triangle join as T=0)."""
+    from .aggregate import group_counts
+
+    simple = simple_undirected(edges, num_partitions=num_partitions,
+                               src_col=src_col, dst_col=dst_col).materialize()
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.r_[a, b].astype(np.int64))})
+
+    deg = group_counts(simple.map_batches(both_ends, batch_format="pyarrow"),
+                       key="node", out_col="deg",
+                       num_partitions=num_partitions)
+    # triangle_counts normalizes identically from the raw edges; feed
+    # it the already-simple view (normalization is idempotent)
+    tri = triangle_counts(simple, num_partitions=num_partitions,
+                          src_col="a", dst_col="b")
+
+    def deg_side(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            t = pa.table({"node": pa.array([], type=pa.int64()),
+                          "deg": pa.array([], type=pa.int64())})
+        out = pa.table({
+            "node": t.column("node"),
+            "v": t.column("deg"),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    def tri_side(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            t = pa.table({"node": pa.array([], type=pa.int64()),
+                          "n_triangles": pa.array([], type=pa.int64())})
+        out = pa.table({
+            "node": t.column("node"),
+            "v": t.column("n_triangles"),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        dd = df[df["side"] == 0]
+        tt = df[df["side"] == 1]
+        n = dd["node"].to_numpy(dtype=np.int64)
+        d = dd["v"].to_numpy(dtype=np.int64)
+        order = np.argsort(n, kind="stable")
+        n, d = n[order], d[order]
+        tn = tt["node"].to_numpy(dtype=np.int64)
+        tv = tt["v"].to_numpy(dtype=np.int64)
+        torder = np.argsort(tn, kind="stable")
+        tn, tv = tn[torder], tv[torder]
+        pos = np.searchsorted(tn, n)
+        pos_c = np.minimum(pos, max(len(tn) - 1, 0))
+        hit = (pos < len(tn)) & (tn[pos_c] == n) if len(tn) else \
+            np.zeros(len(n), dtype=bool)
+        tri_n = np.where(hit, tv[pos_c] if len(tn) else 0, 0).astype(np.int64)
+        denom = d * (d - 1)
+        cc = np.where(denom > 0, (2.0 * tri_n) / np.maximum(denom, 1), 0.0)
+        return pa.table({
+            "node": pa.array(n),
+            "deg": pa.array(d),
+            "n_triangles": pa.array(tri_n),
+            "cc": pa.array(cc.astype(np.float64)),
+        })
+
+    return (
+        deg.map_batches(deg_side, batch_format="pyarrow")
+        .union(tri.map_batches(tri_side, batch_format="pyarrow"))
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+    )

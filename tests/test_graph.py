@@ -683,3 +683,53 @@ class TestModularity:
         labels = ray.data.from_items([{"node": 1, "label": 1}])
         with _pytest.raises(ValueError):
             modularity(ds, labels, num_partitions=2)
+
+
+class TestClusteringCoefficients:
+    def test_k4_plus_pendant(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.graph import (
+            clustering_coefficients,
+        )
+
+        # K4 (every node cc=1.0) plus a pendant node hanging off node 0
+        edges = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(0, 99)]
+        ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+        out = clustering_coefficients(ds, num_partitions=2).to_pandas()
+        got = {int(r.node): (int(r.deg), int(r.n_triangles), float(r.cc))
+               for r in out.itertuples()}
+        assert got[99] == (1, 0, 0.0)          # pendant: deg<2 → 0
+        assert got[0] == (4, 3, 0.5)           # 3 tri / C(4,2)=6
+        for v in (1, 2, 3):
+            assert got[v] == (3, 3, 1.0)
+
+    def test_matches_plain_reference_random(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.graph import (
+            clustering_coefficients,
+        )
+
+        rng = np.random.default_rng(3)
+        edges = [(int(a), int(b)) for a, b in rng.integers(0, 25, size=(80, 2))]
+        # plain adjacency-set reference
+        adj: dict = {}
+        for s, d in edges:
+            if s != d:
+                adj.setdefault(s, set()).add(d)
+                adj.setdefault(d, set()).add(s)
+        want = {}
+        for v, nb in adj.items():
+            nb = sorted(nb)
+            t = sum(1 for i in range(len(nb)) for j in range(i + 1, len(nb))
+                    if nb[j] in adj[nb[i]])
+            deg = len(nb)
+            cc = (2.0 * t) / (deg * (deg - 1)) if deg >= 2 else 0.0
+            want[v] = (deg, t, cc)
+        ds = ray.data.from_items(
+            [{"src": s, "dst": d} for s, d in edges]).repartition(4)
+        out = clustering_coefficients(ds, num_partitions=3).to_pandas()
+        got = {int(r.node): (int(r.deg), int(r.n_triangles), float(r.cc))
+               for r in out.itertuples()}
+        assert got == want
