@@ -3316,6 +3316,177 @@ def q_role_alternation(sf_dir: str):
     )
 
 
+def q_conv_curation_chain(sf_dir: str):
+    """END-TO-END conversation curation — four distributed operators
+    chained the way an SFT-data pipeline would run them, each exchange
+    staying thin:
+
+    1. regen-branch dedup over planted clones
+       (stages/convdedup.py:conversation_prefix_groups on INT conv
+       keys; clone rule shared with ``conv_prefix_dedup``) → canonical
+       conversation keys,
+    2. distributed SEMI JOIN of the full turn table against the
+       keepers (both sides large, keys-only exchange;
+       stages/joins.py:hash_semi_join),
+    3. per-conversation signal extraction: the ``\"foo\": N`` integers
+       parsed OUT OF THE TEXT of the JSON-class turns (one RE2
+       ``pc.extract_regex`` pass — the regexp_extract twin), summed
+       per conversation with thin two-phase partials alongside the
+       turn count,
+    4. a signal gate (k_sum ≥ 120, the corpus median) → the surviving
+       conversation roster ``(conv_key, n_turns, k_sum)``.
+
+    One SQL oracle covers the whole composition."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import (
+        add_partition_col,
+    )
+    from logstash_filter_elastic_integration_ray.stages.convdedup import (
+        conversation_prefix_groups,
+    )
+    from logstash_filter_elastic_integration_ray.stages.joins import hash_semi_join
+
+    ds = read_transcripts(sf_dir)
+    k = 4
+
+    def plant(t: pa.Table) -> pa.Table:
+        nums = pc.cast(
+            pc.utf8_slice_codeunits(t.column("conv_id"), 1, 2**31 - 1),
+            pa.int64(),
+        )
+        base = pa.table({
+            "conv_key": nums,
+            "turn_idx": t.column("turn_idx"),
+            "text": t.column("text"),
+        })
+        nn = nums.to_numpy(zero_copy_only=False)
+        sel = base.filter(pa.array(nn % 7 == 0))
+        regen = pc.if_else(
+            pc.less(sel.column("turn_idx"), k),
+            sel.column("text"),
+            pc.binary_join_element_wise(sel.column("text"), " regen", ""),
+        )
+        clones = pa.table({
+            "conv_key": pc.add(sel.column("conv_key"), 1_000_000_000),
+            "turn_idx": sel.column("turn_idx"),
+            "text": regen,
+        })
+        return pa.concat_tables([base, clones])
+
+    turns = ds.map_batches(plant, batch_format="pyarrow").materialize()
+    groups = conversation_prefix_groups(
+        turns, conv_col="conv_key", k=k, num_partitions=32,
+    )
+    keepers = groups.map_batches(
+        lambda t: t.filter(t.column("keep")).select(["conv_key"]),
+        batch_format="pyarrow",
+    )
+    kept = hash_semi_join(turns, keepers, left_key="conv_key",
+                          right_key="conv_key", num_partitions=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("text"), r'"foo": (?P<k>\d+)')
+        ks = pc.if_else(
+            pc.is_valid(m),
+            pc.cast(pc.struct_field(m, "k"), pa.int64()),
+            pa.scalar(0, type=pa.int64()),
+        )
+        part = pa.table({"conv_key": t.column("conv_key"), "ks": ks})
+        df = part.to_pandas().groupby("conv_key", as_index=False).agg(
+            k_sum=("ks", "sum"), n_turns=("ks", "size"))
+        out = pa.table({
+            "conv_key": pa.array(df["conv_key"].to_numpy(dtype=np.int64)),
+            "n_turns": pa.array(df["n_turns"].to_numpy(dtype=np.int64)),
+            "k_sum": pa.array(df["k_sum"].to_numpy(dtype=np.int64)),
+        })
+        return add_partition_col(out, 32, key="conv_key")
+
+    def finish(df: "pd.DataFrame") -> pa.Table:
+        agg = df.groupby("conv_key", as_index=False).agg(
+            n_turns=("n_turns", "sum"), k_sum=("k_sum", "sum"))
+        agg = agg[agg["k_sum"] >= 120]
+        return pa.table({
+            "conv_key": pa.array(agg["conv_key"].to_numpy(dtype=np.int64)),
+            "n_turns": pa.array(agg["n_turns"].to_numpy(dtype=np.int64)),
+            "k_sum": pa.array(agg["k_sum"].to_numpy(dtype=np.int64)),
+        })
+
+    return (
+        kept.map_batches(partial, batch_format="pyarrow")
+        .repartition(32)
+        .groupby("__part")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def q_preference_pairs(sf_dir: str):
+    """RLHF preference-pair construction from regenerate branches: a
+    prefix group with ≥ 2 branches shares its context, so each
+    non-canonical branch pairs against the canonical as
+    (prefix_key, chosen, rejected) — the standard way retried rollouts
+    become comparison data.  Composes conversation_prefix_groups
+    (clone plant shared with ``conv_prefix_dedup``) with one stateless
+    per-batch expansion: the groups table already carries keep +
+    n_branches, so no further exchange is needed beyond a min-per-key
+    attach (thin rows, co-partitioned by prefix)."""
+    from logstash_filter_elastic_integration_ray.stages.aggregate import (
+        add_partition_col,
+    )
+    from logstash_filter_elastic_integration_ray.stages.convdedup import (
+        conversation_prefix_groups,
+    )
+
+    ds = read_transcripts(sf_dir)
+    k = 4
+
+    def plant(t: pa.Table) -> pa.Table:
+        t = t.select(["conv_id", "turn_idx", "text"])
+        nums = pc.cast(
+            pc.utf8_slice_codeunits(t.column("conv_id"), 1, 2**31 - 1),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        sel = t.filter(pa.array(nums % 7 == 0))
+        sel_nums = nums[nums % 7 == 0]
+        regen = pc.if_else(
+            pc.less(sel.column("turn_idx"), k),
+            sel.column("text"),
+            pc.binary_join_element_wise(sel.column("text"), " regen", ""),
+        )
+        clones = pa.table({
+            "conv_id": pa.array([f"r{v}" for v in sel_nums], type=pa.string()),
+            "turn_idx": sel.column("turn_idx"),
+            "text": regen,
+        })
+        return pa.concat_tables([t, clones])
+
+    groups = conversation_prefix_groups(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        k=k, num_partitions=32,
+    )
+
+    def pairs(df: "pd.DataFrame") -> pa.Table:
+        df = df.drop(columns="__part")
+        chosen = df.groupby("prefix_key")["conv_id"].transform("min")
+        rej = df[(df["n_branches"] >= 2) & (df["conv_id"] != chosen)]
+        return pa.table({
+            "prefix_key": pa.array(rej["prefix_key"].to_numpy(dtype=object),
+                                   type=pa.string()),
+            "chosen": pa.array(
+                chosen[rej.index].to_numpy(dtype=object), type=pa.string()),
+            "rejected": pa.array(rej["conv_id"].to_numpy(dtype=object),
+                                 type=pa.string()),
+        })
+
+    return (
+        groups.map_batches(
+            lambda t: add_partition_col(t, 32, key="prefix_key"),
+            batch_format="pyarrow",
+        )
+        .repartition(32)
+        .groupby("__part")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
 def q_conv_neardup_minhash(sf_dir: str):
     """WHOLE-conversation near-dup: assemble each conversation's turns
     into one document (stages/convdedup.py:conversation_text — the
@@ -5328,6 +5499,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_neardup_minhash": q_conv_neardup_minhash,
         "role_alternation": q_role_alternation,
         "clustering_coeff_docs": q_clustering_coeff_docs,
+        "conv_curation_chain": q_conv_curation_chain,
+        "preference_pairs": q_preference_pairs,
         # round-4 additions — never driver-sampled, so they lead
         # (eighth session first: newest never-checked entries)
         "ewma_events": q_ewma_events,
@@ -6861,6 +7034,45 @@ def oracle_sql() -> dict[str, str]:
             "AS n_same_role_adjacent, "
             "count(*) FILTER (WHERE prev = rc) = 0 AS alternates "
             "FROM w GROUP BY conv_id"
+        ),
+        "conv_curation_chain": T(
+            ", allc AS ("
+            "SELECT CAST(substr(conv_id, 2) AS BIGINT) AS conv_key, "
+            "turn_idx, text FROM transcripts "
+            "UNION ALL "
+            "SELECT CAST(substr(conv_id, 2) AS BIGINT) + 1000000000 AS conv_key, "
+            "turn_idx, "
+            "CASE WHEN turn_idx < 4 THEN text ELSE text || ' regen' END AS text "
+            "FROM transcripts WHERE CAST(substr(conv_id, 2) AS BIGINT) % 7 = 0), "
+            "p AS (SELECT conv_key, "
+            "md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS prefix_key "
+            "FROM allc WHERE turn_idx < 4 GROUP BY conv_key), "
+            "keepers AS (SELECT conv_key FROM ("
+            "SELECT conv_key, conv_key = min(conv_key) OVER "
+            "(PARTITION BY prefix_key) AS keep FROM p) WHERE keep), "
+            "kept AS (SELECT a.* FROM allc a JOIN keepers USING (conv_key)), "
+            "s AS (SELECT conv_key, CAST(count(*) AS BIGINT) AS n_turns, "
+            "CAST(coalesce(sum(coalesce(TRY_CAST("
+            "regexp_extract(text, '\"foo\": (\\d+)', 1) AS BIGINT), 0)), 0) "
+            "AS BIGINT) AS k_sum FROM kept GROUP BY conv_key) "
+            "SELECT conv_key, n_turns, k_sum FROM s WHERE k_sum >= 120"
+        ),
+        "preference_pairs": T(
+            ", allc AS ("
+            "SELECT conv_id, turn_idx, text FROM transcripts "
+            "UNION ALL "
+            "SELECT 'r' || substr(conv_id, 2) AS conv_id, turn_idx, "
+            "CASE WHEN turn_idx < 4 THEN text ELSE text || ' regen' END AS text "
+            "FROM transcripts WHERE CAST(substr(conv_id, 2) AS BIGINT) % 7 = 0), "
+            "p AS (SELECT conv_id, "
+            "md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS prefix_key "
+            "FROM allc WHERE turn_idx < 4 GROUP BY conv_id), "
+            "g AS (SELECT conv_id, prefix_key, "
+            "min(conv_id) OVER w AS chosen, "
+            "CAST(count(*) OVER w AS BIGINT) AS n_branches "
+            "FROM p WINDOW w AS (PARTITION BY prefix_key)) "
+            "SELECT prefix_key, chosen, conv_id AS rejected FROM g "
+            "WHERE n_branches >= 2 AND conv_id <> chosen"
         ),
         "conv_prefix_dedup": T(
             ", allc AS ("

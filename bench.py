@@ -1123,6 +1123,13 @@ def run_bench() -> dict:
 
     timed("session_windows", sessions, reps=1)
 
+    def conv_chain():
+        # 4-op conversation curation chain (plant → prefix dedup →
+        # semi join → per-conv signal gate) at sf scale
+        return entrymod.q_conv_curation_chain(SF_DIR).count()
+
+    timed("conv_curation_chain", conv_chain, reps=1)
+
     # conversation-level dedup at 16x: every conversation replicated
     # 16 times under distinct ids with IDENTICAL text — every prefix
     # group holds >= 16 branches, every assistant response >= 16 dups

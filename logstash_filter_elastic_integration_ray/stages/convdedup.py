@@ -78,16 +78,22 @@ def conversation_prefix_groups(
     (only ``turn_idx < k`` rows ride, projected to three columns), the
     thin (conv, md5) rows co-partition by prefix hash.  ``idx_col``
     must be unique per conversation (the transcript integrity contract
-    — run sequence_integrity first on untrusted input).
+    — run sequence_integrity first on untrusted input).  ``conv_col``
+    may be a string OR an int64 key (int keys let the survivors feed
+    hash_semi_join directly); "smallest" is lexicographic for strings,
+    numeric for ints.
     """
+    from .joins import _dataset_schema
+
     proj = ds.map_batches(
         lambda t: t.filter(pc.less(t.column(idx_col), k)).select(
             [conv_col, idx_col, text_col]
         ),
         batch_format="pyarrow",
     )
+    conv_type = _dataset_schema(proj).field(conv_col).type
 
-    key_schema = pa.schema([(conv_col, pa.string()), ("prefix_key", pa.string())])
+    key_schema = pa.schema([(conv_col, conv_type), ("prefix_key", pa.string())])
 
     def fold_prefix(df: pd.DataFrame) -> pa.Table:
         df = df.drop(columns="__part").sort_values(
@@ -97,7 +103,7 @@ def conversation_prefix_groups(
             lambda s: PREFIX_SEP.join("" if pd.isna(v) else v for v in s)
         )
         out = pd.DataFrame({
-            conv_col: joined.index.to_numpy(dtype=object),
+            conv_col: joined.index.to_numpy(),
             "prefix_key": [
                 hashlib.md5(p.encode("utf-8")).hexdigest() for p in joined
             ],
@@ -117,7 +123,7 @@ def conversation_prefix_groups(
     )
 
     out_schema = pa.schema([
-        (conv_col, pa.string()),
+        (conv_col, conv_type),
         ("prefix_key", pa.string()),
         ("n_branches", pa.int64()),
         ("keep", pa.bool_()),
