@@ -3418,6 +3418,40 @@ def q_conv_curation_chain(sf_dir: str):
     )
 
 
+def q_tool_latency_quantiles(sf_dir: str):
+    """Per-tool latency profile parsed OUT OF THE TEXT of tool turns
+    (``took=NNNms`` via one RE2 ``pc.extract_regex`` pass — the
+    regexp_extract twin) → exact per-group p50/p90
+    (stages/sketches.py:group_quantiles, quantile_disc semantics) —
+    the agent-observability composition: parse family feeding the
+    distributed stats family."""
+    from logstash_filter_elastic_integration_ray.stages.sketches import group_quantiles
+
+    ds = read_transcripts(sf_dir)
+
+    def parse(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("role"), "tool"))
+        m = pc.extract_regex(t.column("text"), r"took=(?P<ms>\d+)ms")
+        out = pa.table({
+            "tool": t.column("tool"),
+            "took_ms": pc.cast(pc.struct_field(m, "ms"), pa.int64()),
+        })
+        return out.filter(pc.is_valid(out.column("took_ms")))
+
+    out = group_quantiles(
+        ds.map_batches(parse, batch_format="pyarrow"),
+        "tool", "took_ms", [0.5, 0.9], ["p50_ms", "p90_ms"],
+    )
+    return out.map_batches(
+        lambda t: pa.table({
+            "tool": t.column("tool"),
+            "p50_ms": t.column("p50_ms").cast(pa.int64()),
+            "p90_ms": t.column("p90_ms").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_preference_pairs(sf_dir: str):
     """RLHF preference-pair construction from regenerate branches: a
     prefix group with ≥ 2 branches shares its context, so each
@@ -5501,6 +5535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff_docs": q_clustering_coeff_docs,
         "conv_curation_chain": q_conv_curation_chain,
         "preference_pairs": q_preference_pairs,
+        "tool_latency_quantiles": q_tool_latency_quantiles,
         # round-4 additions — never driver-sampled, so they lead
         # (eighth session first: newest never-checked entries)
         "ewma_events": q_ewma_events,
@@ -7056,6 +7091,15 @@ def oracle_sql() -> dict[str, str]:
             "regexp_extract(text, '\"foo\": (\\d+)', 1) AS BIGINT), 0)), 0) "
             "AS BIGINT) AS k_sum FROM kept GROUP BY conv_key) "
             "SELECT conv_key, n_turns, k_sum FROM s WHERE k_sum >= 120"
+        ),
+        "tool_latency_quantiles": T(
+            ", d AS (SELECT tool, TRY_CAST(regexp_extract(text, "
+            "'took=(\\d+)ms', 1) AS BIGINT) AS took_ms "
+            "FROM transcripts WHERE role = 'tool') "
+            "SELECT tool, "
+            "CAST(quantile_disc(took_ms, 0.5) AS BIGINT) AS p50_ms, "
+            "CAST(quantile_disc(took_ms, 0.9) AS BIGINT) AS p90_ms "
+            "FROM d WHERE took_ms IS NOT NULL GROUP BY tool"
         ),
         "preference_pairs": T(
             ", allc AS ("
