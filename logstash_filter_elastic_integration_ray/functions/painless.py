@@ -54,7 +54,8 @@ _TYPES = {"def", "var", "int", "long", "double", "float", "boolean",
 #: loudly (mirroring the reference's unsupported-construct behavior,
 #: docs/index.asciidoc:192) instead of silently building a wrong value
 _NEW_CLASSES = {"StringBuilder", "String", "ArrayList", "LinkedList",
-                "HashMap", "LinkedHashMap", "HashSet", "LinkedHashSet"}
+                "HashMap", "LinkedHashMap", "HashSet", "LinkedHashSet",
+                "TreeMap", "TreeSet"}
 
 
 class PainlessError(ValueError):
@@ -151,6 +152,46 @@ class _JavaSet:
         return len(self.items) == len(other) and all(x in other for x in self.items)
 
     __hash__ = None  # mutable, like java.util.HashSet
+
+
+class _JavaTreeSet(_JavaSet):
+    """java.util.TreeSet: equality membership like :class:`_JavaSet`,
+    but ITERATION follows natural sorted order.  Mutually incomparable
+    elements raise (Java throws ClassCastException at insertion; here
+    the raise surfaces at first iteration — same loud contract)."""
+
+    def __iter__(self):
+        try:
+            return iter(sorted(self.items))
+        except TypeError as ex:
+            raise PainlessError(
+                f"TreeSet elements not mutually comparable: {ex}")
+
+
+class _JavaTreeMap(dict):
+    """java.util.TreeMap: a dict whose key/value/entry iteration
+    follows natural sorted key order.  All dict mutation paths (the
+    interpreter's put/merge/compute methods use item assignment) work
+    unchanged; only the view methods re-order."""
+
+    def _order(self):
+        try:
+            return sorted(super().keys())
+        except TypeError as ex:
+            raise PainlessError(
+                f"TreeMap keys not mutually comparable: {ex}")
+
+    def __iter__(self):
+        return iter(self._order())
+
+    def keys(self):  # type: ignore[override]
+        return self._order()
+
+    def values(self):  # type: ignore[override]
+        return [self[k] for k in self._order()]
+
+    def items(self):  # type: ignore[override]
+        return [(k, self[k]) for k in self._order()]
 
 
 class _JavaStringBuilder:
@@ -1263,6 +1304,11 @@ class Interpreter:
                 return _JavaStringBuilder(cargs[0] if cargs else None)
             if node[1] == "String":
                 return _to_jstr(cargs[0]) if cargs else ""
+            if node[1] == "TreeMap":
+                return _JavaTreeMap(cargs[0] if cargs and
+                                    isinstance(cargs[0], dict) else {})
+            if node[1] == "TreeSet":
+                return _JavaTreeSet(cargs[0] if cargs else None)
             if "Map" in node[1]:
                 if cargs and isinstance(cargs[0], dict):
                     return dict(cargs[0])  # copy constructor

@@ -646,9 +646,39 @@ class TestRound4GenericsAndNew:
         with pytest.raises((KernelCompileError, ValueError)):
             ScriptKernel({"source": "ctx.d = new Date()"})
 
-    def test_new_treeset_fails_compilation_not_silent_misorder(self):
-        with pytest.raises(ValueError):
-            ScriptKernel({"source": "def s = new TreeSet(); s.add(2); ctx.v = s"})
+    def test_new_treeset_sorted_iteration(self):
+        # round 5: TreeSet is real — equality membership, SORTED
+        # iteration (previously a loud compile failure)
+        src = ("def s = new TreeSet(); s.add(3); s.add(1); s.add(2); "
+               "s.add(1); def out = []; for (x in s) { out.add(x) } "
+               "ctx.v = out; ctx.n = s.size();")
+        out = run_pipeline({"processors": [{"script": {"source": src}}]},
+                           [{"x": 1}])[0]
+        assert out["v"] == [1, 2, 3] and out["n"] == 3
+
+    def test_new_treemap_sorted_views(self):
+        src = ("def m = new TreeMap(); m.put('b', 2); m.put('a', 1); "
+               "m.put('c', 3); ctx.ks = m.keySet(); ctx.vs = m.values(); "
+               "def acc = 0; for (e in m.entrySet()) { acc = acc * 10 + e.getValue() } "
+               "ctx.acc = acc;")
+        out = run_pipeline({"processors": [{"script": {"source": src}}]},
+                           [{"x": 1}])[0]
+        assert out["ks"] == ["a", "b", "c"]
+        assert out["vs"] == [1, 2, 3]
+        assert out["acc"] == 123       # entrySet in sorted key order
+
+    def test_treemap_copy_constructor_and_incomparable_keys(self):
+        src = "ctx.ks = new TreeMap(ctx.m).keySet();"
+        out = run_pipeline({"processors": [{"script": {"source": src}}]},
+                           [{"m": {"z": 1, "a": 2}}])[0]
+        assert out["ks"] == ["a", "z"]
+        # mixed-type keys raise at iteration (the ClassCastException
+        # analogue) → standard failure tagging, no silent misorder
+        bad = ("def m = new TreeMap(); m.put(1, 'x'); m.put('s', 'y'); "
+               "ctx.ks = m.keySet();")
+        out2 = run_pipeline({"processors": [{"script": {"source": bad}}]},
+                            [{"x": 1}])[0]
+        assert out2.get("ks") is None
 
 
 class TestNumericCasts:
