@@ -2262,6 +2262,40 @@ def q_label_prop_docs(sf_dir: str):
     return label_propagation(edges, n_iters=5, num_partitions=16)
 
 
+def q_betweenness_docs(sf_dir: str):
+    """Pivot-sampled betweenness centrality over the shared doc link
+    graph (stages/graph.py:betweenness_pivots — synchronized
+    multi-pivot Brandes with PINNED float accumulation order, thin
+    int64 BFS state, two exchanges per level each way).  Pivots =
+    ``doc_id % 50 == 0`` (the hop_distance seed rule); fixture oracle
+    from the independent deque-BFS Brandes reference
+    (tools/reference_impls.betweenness_pivots_reference) — doubles
+    byte-identical, not merely close."""
+    from logstash_filter_elastic_integration_ray.stages.graph import (
+        betweenness_pivots,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = int(docs.count())
+
+    def synth_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        src, dst = [], []
+        for d in ids:
+            d = int(d)
+            if d % 5 == 0:
+                continue
+            for j in range(1 + d % 3):
+                src.append(d)
+                dst.append((d * 17 + 1 + 97 * j) % n_docs)
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "dst": pa.array(dst, type=pa.int64())})
+
+    edges = docs.map_batches(synth_edges, batch_format="pyarrow")
+    seeds = list(range(0, n_docs, 50))
+    return betweenness_pivots(edges, pivots=seeds, num_partitions=16)
+
+
 def q_clustering_coeff_docs(sf_dir: str):
     """Local clustering coefficient per node
     (stages/graph.py:clustering_coefficients — simple_undirected →
@@ -5533,6 +5567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_neardup_minhash": q_conv_neardup_minhash,
         "role_alternation": q_role_alternation,
         "clustering_coeff_docs": q_clustering_coeff_docs,
+        "betweenness_docs": q_betweenness_docs,
         "conv_curation_chain": q_conv_curation_chain,
         "preference_pairs": q_preference_pairs,
         "tool_latency_quantiles": q_tool_latency_quantiles,
@@ -6430,6 +6465,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "conv_neardup_minhash": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/conv_neardup_minhash.sf0_01.parquet')"
+        ),
+        "betweenness_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/betweenness_docs.sf0_01.parquet')"
         ),
         "clustering_coeff_docs": (
             "WITH e AS ("

@@ -1775,3 +1775,342 @@ def clustering_coefficients(edges, *, num_partitions: int = 16,
         .groupby("__part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def betweenness_pivots(edges, *, pivots, num_partitions: int = 16,
+                       max_levels: int = 64,
+                       src_col: str = "src", dst_col: str = "dst"):
+    """Pivot-sampled betweenness centrality (Brandes 2001 dependency
+    accumulation; Bader et al. 2007 pivot approximation): exact
+    single-source dependencies from a DETERMINISTIC pivot set, summed
+    per node — bc(v) = Σ_p δ_p(v).  With pivots = all nodes this IS
+    exact betweenness; with k pivots it is the standard k-sample
+    estimate at k/n of the cost.
+
+    Determinism contract (the published algorithm is float-valued, so
+    accumulation ORDER is pinned): per (pivot, v) the successor terms
+    (1+δ_w)/σ_w reduce in ascending-w order, per v the pivot
+    dependencies reduce in ascending-pivot order — both via one
+    lexsort + ``np.add.reduceat`` (numpy's deterministic PAIRWISE
+    summation — the reference must use ``np.add.reduce``, not a
+    sequential ``+=`` loop, which diverges by 1 ulp past the pairwise
+    threshold) inside the owning partition, so any batching /
+    partitioning yields byte-identical doubles and the plain reference
+    reproduces them exactly.  Path counts σ are exact int64.
+
+    Shape (BSP over the undirected simple view): forward = one
+    frontier⋈edges exchange + one settle exchange per BFS level, ALL
+    pivots advancing in the same synchronized wave — state rows are
+    thin (pivot, node, σ) int64 triples, O(k·n) total; backward = the
+    same two exchanges per level in reverse.  Per-level frontier
+    tables are materialized (the loop-state discipline); driver state
+    is the level count.  Raises after ``max_levels`` (disconnected
+    remainders just stop contributing — that is BFS semantics, not an
+    error)."""
+    if not pivots:
+        raise ValueError("betweenness_pivots: need at least one pivot")
+    pivot_arr = np.array(sorted(int(p) for p in pivots), dtype=np.int64)
+
+    simple = simple_undirected(edges, num_partitions=num_partitions,
+                               src_col=src_col, dst_col=dst_col)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.r_[a, b].astype(np.int64)),
+            "dst": pa.array(np.r_[b, a].astype(np.int64)),
+        })
+
+    edges2 = simple.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def nodes_part(df: pd.DataFrame) -> pa.Table:
+        nodes = np.unique(df["src"].to_numpy(dtype=np.int64))
+        return pa.table({"node": pa.array(nodes)})
+
+    node_tbl = (
+        edges2.map_batches(
+            lambda t: add_partition_col(t, num_partitions, key="src"),
+            batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(nodes_part, batch_format="pandas")
+        .materialize()
+    )
+
+    def init_frontier(t: pa.Table) -> pa.Table:
+        nodes = t.column("node").to_numpy(zero_copy_only=False)
+        hits = nodes[np.isin(nodes, pivot_arr)]
+        return pa.table({
+            "p": pa.array(hits.astype(np.int64)),
+            "node": pa.array(hits.astype(np.int64)),
+            "sigma": pa.array(np.ones(len(hits), dtype=np.int64)),
+        })
+
+    frontier = node_tbl.map_batches(init_frontier,
+                                    batch_format="pyarrow").materialize()
+    settled = frontier
+    levels = [frontier]
+
+    def fr_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t.column("node"), "p": t.column("p"),
+            "v2": t.column("sigma"),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="k")
+
+    def ed_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t.column("src"), "p": t.column("dst"),
+            "v2": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="k")
+
+    def emit_fwd(df: pd.DataFrame) -> pa.Table:
+        fr = df[df["side"] == 1]
+        ed = df[df["side"] == 0]
+        m = ed[["k", "p"]].rename(columns={"p": "dst"}).merge(
+            fr[["k", "p", "v2"]], on="k")
+        if not len(m):
+            out = pa.table({"p": pa.array([], type=pa.int64()),
+                            "node": pa.array([], type=pa.int64()),
+                            "sigma": pa.array([], type=pa.int64())})
+            return add_partition_col(out, num_partitions, key="node")
+        g = m.groupby(["p", "dst"], as_index=False)["v2"].sum()
+        out = pa.table({
+            "p": pa.array(g["p"].to_numpy(dtype=np.int64)),
+            "node": pa.array(g["dst"].to_numpy(dtype=np.int64)),
+            "sigma": pa.array(g["v2"].to_numpy(dtype=np.int64)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    def msg_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "p": t.column("p"), "node": t.column("node"),
+            "sigma": t.column("sigma"),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    def settled_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "p": t.column("p"), "node": t.column("node"),
+            "sigma": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    def settle(df: pd.DataFrame) -> pa.Table:
+        ms = df[df["side"] == 0]
+        st = df[df["side"] == 1][["p", "node"]]
+        g = ms.groupby(["p", "node"], as_index=False)["sigma"].sum()
+        new = g.merge(st, on=["p", "node"], how="left", indicator=True)
+        new = new[new["_merge"] == "left_only"]
+        return pa.table({
+            "p": pa.array(new["p"].to_numpy(dtype=np.int64)),
+            "node": pa.array(new["node"].to_numpy(dtype=np.int64)),
+            "sigma": pa.array(new["sigma"].to_numpy(dtype=np.int64)),
+        })
+
+    for _ in range(int(max_levels)):
+        msgs = (
+            frontier.map_batches(fr_side, batch_format="pyarrow")
+            .union(edges2.map_batches(ed_side, batch_format="pyarrow"))
+            .repartition(num_partitions)
+            .groupby("__part")
+            .map_groups(emit_fwd, batch_format="pandas")
+        )
+        new = (
+            msgs.map_batches(msg_side, batch_format="pyarrow")
+            .union(settled.map_batches(settled_side, batch_format="pyarrow"))
+            .repartition(num_partitions)
+            .groupby("__part")
+            .map_groups(settle, batch_format="pandas")
+            .materialize()
+        )
+        if int(new.count()) == 0:
+            break
+        settled = settled.union(new).materialize()
+        levels.append(new)
+        frontier = new
+    else:
+        raise RuntimeError(
+            f"betweenness_pivots: BFS still active after {max_levels} levels")
+
+    # backward dependency accumulation, deepest level first
+    deltas = []  # one (p, node, delta) Dataset per level (levels[i])
+    zero_delta = levels[-1].map_batches(
+        lambda t: pa.table({
+            "p": t.column("p"), "node": t.column("node"),
+            "sigma": t.column("sigma"),
+            "delta": pa.array(np.zeros(t.num_rows, dtype=np.float64)),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    deltas.append(zero_delta)
+    cur = zero_delta
+
+    def lvl_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t.column("node"), "p": t.column("p"),
+            "sigma": t.column("sigma"), "delta": t.column("delta"),
+            "v": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="k")
+
+    def edb_side(t: pa.Table) -> pa.Table:
+        # edge (v, w) keyed by w: both orientations exist in edges2,
+        # so rows with src=w carry dst=v
+        out = pa.table({
+            "k": t.column("src"), "p": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "sigma": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "delta": pa.array(np.zeros(t.num_rows, dtype=np.float64)),
+            "v": t.column("dst"),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="k")
+
+    def emit_bwd(df: pd.DataFrame) -> pa.Table:
+        lv = df[df["side"] == 1]
+        ed = df[df["side"] == 0]
+        m = ed[["k", "v"]].merge(
+            lv[["k", "p", "sigma", "delta"]], on="k")
+        if not len(m):
+            out = pa.table({"p": pa.array([], type=pa.int64()),
+                            "v": pa.array([], type=pa.int64()),
+                            "w": pa.array([], type=pa.int64()),
+                            "contrib": pa.array([], type=pa.float64())})
+            return add_partition_col(out, num_partitions, key="v")
+        contrib = (1.0 + m["delta"].to_numpy()) / m["sigma"].to_numpy()
+        out = pa.table({
+            "p": pa.array(m["p"].to_numpy(dtype=np.int64)),
+            "v": pa.array(m["v"].to_numpy(dtype=np.int64)),
+            "w": pa.array(m["k"].to_numpy(dtype=np.int64)),
+            "contrib": pa.array(contrib.astype(np.float64)),
+        })
+        return add_partition_col(out, num_partitions, key="v")
+
+    def contrib_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "p": t.column("p"), "node": t.column("v"),
+            "w": t.column("w"), "x": t.column("contrib"),
+            "sigma": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    def level_membership_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "p": t.column("p"), "node": t.column("node"),
+            "w": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "x": pa.array(np.zeros(t.num_rows, dtype=np.float64)),
+            "sigma": t.column("sigma"),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    def acc_delta(df: pd.DataFrame) -> pa.Table:
+        ms = df[df["side"] == 0]
+        lv = df[df["side"] == 1]
+        if not len(lv):
+            return pa.table({"p": pa.array([], type=pa.int64()),
+                             "node": pa.array([], type=pa.int64()),
+                             "sigma": pa.array([], type=pa.int64()),
+                             "delta": pa.array([], type=pa.float64())})
+        p = ms["p"].to_numpy(dtype=np.int64)
+        n = ms["node"].to_numpy(dtype=np.int64)
+        w = ms["w"].to_numpy(dtype=np.int64)
+        x = ms["x"].to_numpy(dtype=np.float64)
+        order = np.lexsort((w, n, p))
+        p, n, x = p[order], n[order], x[order]
+        new = np.r_[True, (p[1:] != p[:-1]) | (n[1:] != n[:-1])]
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(x, starts) if len(x) else np.zeros(0)
+        sdf = pd.DataFrame({"p": p[starts] if len(p) else p,
+                            "node": n[starts] if len(n) else n,
+                            "s": sums})
+        out = lv[["p", "node", "sigma"]].merge(sdf, on=["p", "node"],
+                                               how="left")
+        s = out["s"].fillna(0.0).to_numpy()
+        delta = out["sigma"].to_numpy(dtype=np.float64) * s
+        return pa.table({
+            "p": pa.array(out["p"].to_numpy(dtype=np.int64)),
+            "node": pa.array(out["node"].to_numpy(dtype=np.int64)),
+            "sigma": pa.array(out["sigma"].to_numpy(dtype=np.int64)),
+            "delta": pa.array(delta.astype(np.float64)),
+        })
+
+    for li in range(len(levels) - 2, -1, -1):
+        msgs = (
+            cur.map_batches(lvl_side, batch_format="pyarrow")
+            .union(edges2.map_batches(edb_side, batch_format="pyarrow"))
+            .repartition(num_partitions)
+            .groupby("__part")
+            .map_groups(emit_bwd, batch_format="pandas")
+        )
+        cur = (
+            msgs.map_batches(contrib_side, batch_format="pyarrow")
+            .union(levels[li].map_batches(
+                lambda t: pa.table({
+                    "p": t.column("p"), "node": t.column("node"),
+                    "sigma": t.column("sigma"),
+                }), batch_format="pyarrow",
+            ).map_batches(level_membership_side, batch_format="pyarrow"))
+            .repartition(num_partitions)
+            .groupby("__part")
+            .map_groups(acc_delta, batch_format="pandas")
+            .materialize()
+        )
+        deltas.append(cur)
+
+    all_delta = deltas[0]
+    for d in deltas[1:]:
+        all_delta = all_delta.union(d)
+
+    def d_side(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("p"), t.column("node"))
+        t = t.filter(keep)
+        out = pa.table({
+            "node": t.column("node"), "p": t.column("p"),
+            "delta": t.column("delta"),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    def n_side(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "node": t.column("node"),
+            "p": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "delta": pa.array(np.zeros(t.num_rows, dtype=np.float64)),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+        return add_partition_col(out, num_partitions, key="node")
+
+    def final_bc(df: pd.DataFrame) -> pa.Table:
+        ms = df[df["side"] == 0]
+        nodes = np.unique(df[df["side"] == 1]["node"].to_numpy(dtype=np.int64))
+        n = ms["node"].to_numpy(dtype=np.int64)
+        p = ms["p"].to_numpy(dtype=np.int64)
+        x = ms["delta"].to_numpy(dtype=np.float64)
+        order = np.lexsort((p, n))
+        n, x = n[order], x[order]
+        new = np.r_[True, n[1:] != n[:-1]]
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(x, starts) if len(x) else np.zeros(0)
+        bc = pd.Series(sums, index=n[starts] if len(n) else n).reindex(
+            nodes).fillna(0.0)
+        return pa.table({
+            "node": pa.array(nodes),
+            "bc": pa.array(bc.to_numpy(dtype=np.float64)),
+        })
+
+    return (
+        all_delta.map_batches(d_side, batch_format="pyarrow")
+        .union(node_tbl.map_batches(n_side, batch_format="pyarrow"))
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(final_bc, batch_format="pandas")
+    )

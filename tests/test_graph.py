@@ -733,3 +733,63 @@ class TestClusteringCoefficients:
         got = {int(r.node): (int(r.deg), int(r.n_triangles), float(r.cc))
                for r in out.itertuples()}
         assert got == want
+
+
+class TestBetweennessPivots:
+    def test_path_graph_all_pivots_exact(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.graph import (
+            betweenness_pivots,
+        )
+
+        # path 0-1-2-3-4 with ALL nodes as pivots = exact betweenness
+        # (directed-pair convention, no /2): interior node counts
+        # bc(1)=6, bc(2)=8, endpoints 0
+        edges = [(i, i + 1) for i in range(4)]
+        ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+        out = betweenness_pivots(ds, pivots=range(5),
+                                 num_partitions=2).to_pandas()
+        got = dict(zip(out["node"], out["bc"]))
+        assert got == {0: 0.0, 1: 6.0, 2: 8.0, 3: 6.0, 4: 0.0}
+
+    def test_matches_reference_bitwise_and_block_invariant(self, ray_session):
+        import os
+        import sys
+
+        import ray.data
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        import reference_impls as ref
+
+        from logstash_filter_elastic_integration_ray.stages.graph import (
+            betweenness_pivots,
+        )
+
+        rng = np.random.default_rng(9)
+        edges = [(int(a), int(b)) for a, b in rng.integers(0, 30, size=(70, 2))]
+        pivots = [0, 5, 10, 15, 20, 25]
+        want = ref.betweenness_pivots_reference(edges, pivots)
+        for blocks in (1, 5):
+            ds = ray.data.from_items(
+                [{"src": s, "dst": d} for s, d in edges]).repartition(blocks)
+            out = (betweenness_pivots(ds, pivots=pivots, num_partitions=3)
+                   .to_pandas().sort_values("node").reset_index(drop=True))
+            pd.testing.assert_frame_equal(out, want)  # doubles BITWISE
+
+    def test_diamond_split_paths(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.graph import (
+            betweenness_pivots,
+        )
+
+        # diamond 0-{1,2}-3: two shortest 0→3 paths → each middle node
+        # carries 0.5 per (0,3) direction; pivots {0, 3} → bc = 1.0
+        edges = [(0, 1), (0, 2), (1, 3), (2, 3)]
+        ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+        out = betweenness_pivots(ds, pivots=[0, 3],
+                                 num_partitions=2).to_pandas()
+        got = dict(zip(out["node"], out["bc"]))
+        assert got[1] == 1.0 and got[2] == 1.0
+        assert got[0] == 0.0 and got[3] == 0.0

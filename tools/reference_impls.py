@@ -2353,3 +2353,72 @@ def conv_neardup_reference(sf_dir: str) -> pd.DataFrame:
     ids = joined.index.to_numpy(dtype=np.int64)
     texts = list(joined)
     return minhash_clusters_reference(ids, texts)
+
+
+def betweenness_pivots_reference(edges, pivots) -> pd.DataFrame:
+    """Plain per-pivot Brandes (dict adjacency, deque BFS, explicit
+    level lists) with the engine's pinned float accumulation order:
+    per (pivot, v) the successor terms reduce in ascending-w order and
+    per v the pivot dependencies reduce in ascending-pivot order, BOTH
+    via per-group ``np.add.reduceat`` — the EXACT kernel the engine's
+    segmented reduceat applies (reduceat is segment-local and
+    slice-invariant, but its accumulation differs from both a
+    sequential ``+=`` loop AND ``np.add.reduce``'s pairwise order past
+    ~1 ulp, so the kernel itself is the pinned spec) — doubles are
+    byte-identical, not merely close."""
+    from collections import deque
+
+    adj: dict[int, set] = {}
+    for s, d in edges:
+        s, d = int(s), int(d)
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    nodes = sorted(adj)
+    bc: dict[int, list] = {}
+    for p in sorted(int(x) for x in pivots):
+        if p not in adj:
+            continue
+        dist = {p: 0}
+        sigma = {p: 1}
+        order = [p]
+        q = deque([p])
+        while q:
+            u = q.popleft()
+            for v in sorted(adj[u]):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    sigma[v] = 0
+                    order.append(v)
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+        delta = {v: 0.0 for v in dist}
+        maxd = max(dist.values())
+        for lev in range(maxd - 1, -1, -1):
+            for v in sorted(x for x in dist if dist[x] == lev):
+                terms = np.array(
+                    [(1.0 + delta[w]) / sigma[w] for w in sorted(adj[v])
+                     if dist.get(w) == lev + 1], dtype=np.float64)
+                s = float(np.add.reduceat(terms, [0])[0]) if len(terms) else 0.0
+                delta[v] = sigma[v] * s
+        for v in dist:
+            if v != p:
+                bc.setdefault(v, []).append(delta[v])
+    out = []
+    for v in nodes:
+        terms = np.array(bc.get(v) or [], dtype=np.float64)
+        out.append(float(np.add.reduceat(terms, [0])[0]) if len(terms) else 0.0)
+    return pd.DataFrame({
+        "node": np.array(nodes, dtype=np.int64),
+        "bc": np.array(out, dtype=np.float64),
+    })
+
+
+def betweenness_docs_reference(sf_dir: str) -> pd.DataFrame:
+    """Pivot Brandes over the shared doc link graph; pivots = the
+    hop_distance seed rule (doc_id % 50 == 0)."""
+    ids, _texts = load_documents(sf_dir)
+    edges = pagerank_edges_for_docs(ids, len(ids))
+    return betweenness_pivots_reference(edges, range(0, len(ids), 50))
