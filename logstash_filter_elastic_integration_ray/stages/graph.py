@@ -1777,67 +1777,15 @@ def clustering_coefficients(edges, *, num_partitions: int = 16,
     )
 
 
-def betweenness_pivots(edges, *, pivots, num_partitions: int = 16,
-                       max_levels: int = 64,
-                       src_col: str = "src", dst_col: str = "dst"):
-    """Pivot-sampled betweenness centrality (Brandes 2001 dependency
-    accumulation; Bader et al. 2007 pivot approximation): exact
-    single-source dependencies from a DETERMINISTIC pivot set, summed
-    per node — bc(v) = Σ_p δ_p(v).  With pivots = all nodes this IS
-    exact betweenness; with k pivots it is the standard k-sample
-    estimate at k/n of the cost.
-
-    Determinism contract (the published algorithm is float-valued, so
-    accumulation ORDER is pinned): per (pivot, v) the successor terms
-    (1+δ_w)/σ_w reduce in ascending-w order, per v the pivot
-    dependencies reduce in ascending-pivot order — both via one
-    lexsort + ``np.add.reduceat`` (numpy's deterministic PAIRWISE
-    summation — the reference must use ``np.add.reduce``, not a
-    sequential ``+=`` loop, which diverges by 1 ulp past the pairwise
-    threshold) inside the owning partition, so any batching /
-    partitioning yields byte-identical doubles and the plain reference
-    reproduces them exactly.  Path counts σ are exact int64.
-
-    Shape (BSP over the undirected simple view): forward = one
-    frontier⋈edges exchange + one settle exchange per BFS level, ALL
-    pivots advancing in the same synchronized wave — state rows are
-    thin (pivot, node, σ) int64 triples, O(k·n) total; backward = the
-    same two exchanges per level in reverse.  Per-level frontier
-    tables are materialized (the loop-state discipline); driver state
-    is the level count.  Raises after ``max_levels`` (disconnected
-    remainders just stop contributing — that is BFS semantics, not an
-    error)."""
-    if not pivots:
-        raise ValueError("betweenness_pivots: need at least one pivot")
-    pivot_arr = np.array(sorted(int(p) for p in pivots), dtype=np.int64)
-
-    simple = simple_undirected(edges, num_partitions=num_partitions,
-                               src_col=src_col, dst_col=dst_col)
-
-    def both_dirs(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False)
-        b = t.column("b").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "src": pa.array(np.r_[a, b].astype(np.int64)),
-            "dst": pa.array(np.r_[b, a].astype(np.int64)),
-        })
-
-    edges2 = simple.map_batches(both_dirs, batch_format="pyarrow").materialize()
-
-    def nodes_part(df: pd.DataFrame) -> pa.Table:
-        nodes = np.unique(df["src"].to_numpy(dtype=np.int64))
-        return pa.table({"node": pa.array(nodes)})
-
-    node_tbl = (
-        edges2.map_batches(
-            lambda t: add_partition_col(t, num_partitions, key="src"),
-            batch_format="pyarrow")
-        .repartition(num_partitions)
-        .groupby("__part")
-        .map_groups(nodes_part, batch_format="pandas")
-        .materialize()
-    )
-
+def _pivot_bfs_levels(edges2, node_tbl, pivot_arr, *,
+                      num_partitions: int, max_levels: int):
+    """Synchronized multi-pivot BFS over a directed both-orientations
+    edge view: one frontier⋈edges exchange + one settle exchange per
+    level, ALL pivots advancing in the same wave; state rows are thin
+    (pivot, node, σ) int64 triples.  Returns the per-level frontier
+    Datasets (level = list index; σ = exact shortest-path counts) —
+    the shared forward phase of :func:`betweenness_pivots` and
+    :func:`harmonic_closeness_pivots`."""
     def init_frontier(t: pa.Table) -> pa.Table:
         nodes = t.column("node").to_numpy(zero_copy_only=False)
         hits = nodes[np.isin(nodes, pivot_arr)]
@@ -1937,7 +1885,74 @@ def betweenness_pivots(edges, *, pivots, num_partitions: int = 16,
         frontier = new
     else:
         raise RuntimeError(
-            f"betweenness_pivots: BFS still active after {max_levels} levels")
+            f"_pivot_bfs_levels: BFS still active after {max_levels} levels")
+    return levels
+
+
+def betweenness_pivots(edges, *, pivots, num_partitions: int = 16,
+                       max_levels: int = 64,
+                       src_col: str = "src", dst_col: str = "dst"):
+    """Pivot-sampled betweenness centrality (Brandes 2001 dependency
+    accumulation; Bader et al. 2007 pivot approximation): exact
+    single-source dependencies from a DETERMINISTIC pivot set, summed
+    per node — bc(v) = Σ_p δ_p(v).  With pivots = all nodes this IS
+    exact betweenness; with k pivots it is the standard k-sample
+    estimate at k/n of the cost.
+
+    Determinism contract (the published algorithm is float-valued, so
+    accumulation ORDER is pinned): per (pivot, v) the successor terms
+    (1+δ_w)/σ_w reduce in ascending-w order, per v the pivot
+    dependencies reduce in ascending-pivot order — both via one
+    lexsort + ``np.add.reduceat`` (numpy's deterministic PAIRWISE
+    summation — the reference must use ``np.add.reduce``, not a
+    sequential ``+=`` loop, which diverges by 1 ulp past the pairwise
+    threshold) inside the owning partition, so any batching /
+    partitioning yields byte-identical doubles and the plain reference
+    reproduces them exactly.  Path counts σ are exact int64.
+
+    Shape (BSP over the undirected simple view): forward = one
+    frontier⋈edges exchange + one settle exchange per BFS level, ALL
+    pivots advancing in the same synchronized wave — state rows are
+    thin (pivot, node, σ) int64 triples, O(k·n) total; backward = the
+    same two exchanges per level in reverse.  Per-level frontier
+    tables are materialized (the loop-state discipline); driver state
+    is the level count.  Raises after ``max_levels`` (disconnected
+    remainders just stop contributing — that is BFS semantics, not an
+    error)."""
+    if not pivots:
+        raise ValueError("betweenness_pivots: need at least one pivot")
+    pivot_arr = np.array(sorted(int(p) for p in pivots), dtype=np.int64)
+
+    simple = simple_undirected(edges, num_partitions=num_partitions,
+                               src_col=src_col, dst_col=dst_col)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.r_[a, b].astype(np.int64)),
+            "dst": pa.array(np.r_[b, a].astype(np.int64)),
+        })
+
+    edges2 = simple.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def nodes_part(df: pd.DataFrame) -> pa.Table:
+        nodes = np.unique(df["src"].to_numpy(dtype=np.int64))
+        return pa.table({"node": pa.array(nodes)})
+
+    node_tbl = (
+        edges2.map_batches(
+            lambda t: add_partition_col(t, num_partitions, key="src"),
+            batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(nodes_part, batch_format="pandas")
+        .materialize()
+    )
+
+    levels = _pivot_bfs_levels(edges2, node_tbl, pivot_arr,
+                               num_partitions=num_partitions,
+                               max_levels=max_levels)
 
     # backward dependency accumulation, deepest level first
     deltas = []  # one (p, node, delta) Dataset per level (levels[i])
@@ -2113,4 +2128,99 @@ def betweenness_pivots(edges, *, pivots, num_partitions: int = 16,
         .repartition(num_partitions)
         .groupby("__part")
         .map_groups(final_bc, batch_format="pandas")
+    )
+
+
+def harmonic_closeness_pivots(edges, *, pivots, num_partitions: int = 16,
+                              max_levels: int = 64,
+                              src_col: str = "src", dst_col: str = "dst"):
+    """Exact harmonic and closeness centrality of a DETERMINISTIC
+    pivot set (Marchiori & Latora 2000 harmonic; classic closeness):
+    one synchronized multi-pivot BFS (:func:`_pivot_bfs_levels` — the
+    betweenness forward phase, shared) gives every pivot its full
+    distance vector; per pivot ``harmonic = Σ_{v≠p} 1/d(p,v)``
+    (reachable v only), ``closeness = (reached−1)/Σ d(p,v)``.
+
+    Determinism: Σd is exact int64; the harmonic float terms reduce in
+    ascending-node order via the segmented ``np.add.reduceat`` kernel
+    (the pinned summation spec shared with betweenness); closeness is
+    ONE double division of exact ints.  Output: one row per pivot
+    present in the graph — ``(pivot, n_reached, harmonic,
+    closeness)``; a pivot reaching nothing reports 0.0 / 0.0."""
+    if not pivots:
+        raise ValueError("harmonic_closeness_pivots: need at least one pivot")
+    pivot_arr = np.array(sorted(int(p) for p in pivots), dtype=np.int64)
+
+    simple = simple_undirected(edges, num_partitions=num_partitions,
+                               src_col=src_col, dst_col=dst_col)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.r_[a, b].astype(np.int64)),
+            "dst": pa.array(np.r_[b, a].astype(np.int64)),
+        })
+
+    edges2 = simple.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def nodes_part(df: pd.DataFrame) -> pa.Table:
+        nodes = np.unique(df["src"].to_numpy(dtype=np.int64))
+        return pa.table({"node": pa.array(nodes)})
+
+    node_tbl = (
+        edges2.map_batches(
+            lambda t: add_partition_col(t, num_partitions, key="src"),
+            batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(nodes_part, batch_format="pandas")
+        .materialize()
+    )
+
+    levels = _pivot_bfs_levels(edges2, node_tbl, pivot_arr,
+                               num_partitions=num_partitions,
+                               max_levels=max_levels)
+
+    def dist_rows(dist: int):
+        def fn(t: pa.Table) -> pa.Table:
+            out = pa.table({
+                "p": t.column("p"), "node": t.column("node"),
+                "dist": pa.array(np.full(t.num_rows, dist, dtype=np.int64)),
+            })
+            return add_partition_col(out, num_partitions, key="p")
+        return fn
+
+    all_rows = levels[0].map_batches(dist_rows(0), batch_format="pyarrow")
+    for d, lvl in enumerate(levels[1:], start=1):
+        all_rows = all_rows.union(
+            lvl.map_batches(dist_rows(d), batch_format="pyarrow"))
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        p = df["p"].to_numpy(dtype=np.int64)
+        n = df["node"].to_numpy(dtype=np.int64)
+        d = df["dist"].to_numpy(dtype=np.int64)
+        order = np.lexsort((n, p))
+        p, d = p[order], d[order]
+        new = np.r_[True, p[1:] != p[:-1]]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[starts, len(p)])
+        sum_d = np.add.reduceat(d, starts) if len(p) else np.zeros(0, np.int64)
+        inv = np.where(d > 0, 1.0 / np.maximum(d, 1), 0.0)
+        harm = np.add.reduceat(inv, starts) if len(p) else np.zeros(0)
+        reached = cnt - 1  # exclude the pivot itself (dist 0)
+        closeness = np.where(sum_d > 0,
+                             reached.astype(np.float64) /
+                             np.maximum(sum_d, 1).astype(np.float64), 0.0)
+        return pa.table({
+            "pivot": pa.array(p[starts] if len(p) else p),
+            "n_reached": pa.array(reached.astype(np.int64)),
+            "harmonic": pa.array(harm.astype(np.float64)),
+            "closeness": pa.array(closeness.astype(np.float64)),
+        })
+
+    return (
+        all_rows.repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(finish, batch_format="pandas")
     )

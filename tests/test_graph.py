@@ -793,3 +793,54 @@ class TestBetweennessPivots:
         got = dict(zip(out["node"], out["bc"]))
         assert got[1] == 1.0 and got[2] == 1.0
         assert got[0] == 0.0 and got[3] == 0.0
+
+
+class TestHarmonicCloseness:
+    def test_path_graph_hand_values(self, ray_session):
+        import ray.data
+
+        from logstash_filter_elastic_integration_ray.stages.graph import (
+            harmonic_closeness_pivots,
+        )
+
+        # path 0-1-2-3-4; pivot 0: dists 1,2,3,4 → harmonic = 1 + 1/2
+        # + 1/3 + 1/4, closeness = 4/10; pivot 2: dists 1,1,2,2 →
+        # harmonic = 3.0, closeness = 4/6
+        edges = [(i, i + 1) for i in range(4)]
+        ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+        out = harmonic_closeness_pivots(ds, pivots=[0, 2],
+                                        num_partitions=2).to_pandas()
+        got = {int(r.pivot): (int(r.n_reached), float(r.harmonic),
+                              float(r.closeness)) for r in out.itertuples()}
+        import numpy as _np
+
+        h0 = float(_np.add.reduceat(
+            _np.array([1.0, 1 / 2, 1 / 3, 1 / 4]), [0])[0])
+        assert got[0] == (4, h0, 4.0 / 10.0)
+        assert got[2] == (4, 3.0, 4.0 / 6.0)
+
+    def test_matches_reference_bitwise(self, ray_session):
+        import os
+        import sys
+
+        import ray.data
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        import reference_impls as ref
+
+        from logstash_filter_elastic_integration_ray.stages.graph import (
+            harmonic_closeness_pivots,
+        )
+
+        rng = np.random.default_rng(17)
+        edges = [(int(a), int(b)) for a, b in rng.integers(0, 40, size=(90, 2))]
+        pivots = [0, 8, 16, 24, 32]
+        want = ref.harmonic_closeness_reference(edges, pivots)
+        for blocks in (1, 4):
+            ds = ray.data.from_items(
+                [{"src": s, "dst": d} for s, d in edges]).repartition(blocks)
+            out = (harmonic_closeness_pivots(ds, pivots=pivots,
+                                             num_partitions=3)
+                   .to_pandas().sort_values("pivot").reset_index(drop=True))
+            pd.testing.assert_frame_equal(
+                out, want.sort_values("pivot").reset_index(drop=True))

@@ -94,6 +94,7 @@ def main() -> None:
         "label_prop_docs": ref.label_prop_docs_reference(sf_dir),
         "conv_neardup_minhash": ref.conv_neardup_reference(sf_dir),
         "betweenness_docs": ref.betweenness_docs_reference(sf_dir),
+        "harmonic_docs": ref.harmonic_docs_reference(sf_dir),
     }
     for name, df in tables.items():
         df = _canonical(df)

@@ -2422,3 +2422,50 @@ def betweenness_docs_reference(sf_dir: str) -> pd.DataFrame:
     ids, _texts = load_documents(sf_dir)
     edges = pagerank_edges_for_docs(ids, len(ids))
     return betweenness_pivots_reference(edges, range(0, len(ids), 50))
+
+
+def harmonic_closeness_reference(edges, pivots) -> pd.DataFrame:
+    """Plain per-pivot BFS harmonic/closeness with the engine's pinned
+    reduceat float kernel (terms in ascending-node order)."""
+    from collections import deque
+
+    adj: dict[int, set] = {}
+    for s, d in edges:
+        s, d = int(s), int(d)
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    rows = []
+    for p in sorted(int(x) for x in pivots):
+        if p not in adj:
+            continue
+        dist = {p: 0}
+        q = deque([p])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        nodes = sorted(dist)
+        d_arr = np.array([dist[v] for v in nodes], dtype=np.int64)
+        inv = np.where(d_arr > 0, 1.0 / np.maximum(d_arr, 1), 0.0)
+        harm = float(np.add.reduceat(inv, [0])[0]) if len(inv) else 0.0
+        sum_d = int(d_arr.sum())
+        reached = len(nodes) - 1
+        rows.append({
+            "pivot": p, "n_reached": reached, "harmonic": harm,
+            "closeness": (float(reached) / float(sum_d)) if sum_d > 0 else 0.0,
+        })
+    out = pd.DataFrame(rows)
+    return out.astype({"pivot": "int64", "n_reached": "int64",
+                       "harmonic": "float64", "closeness": "float64"})
+
+
+def harmonic_docs_reference(sf_dir: str) -> pd.DataFrame:
+    """Harmonic/closeness of the hop_distance seed pivots over the
+    shared doc link graph."""
+    ids, _texts = load_documents(sf_dir)
+    edges = pagerank_edges_for_docs(ids, len(ids))
+    return harmonic_closeness_reference(edges, range(0, len(ids), 50))
