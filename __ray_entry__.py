@@ -2293,7 +2293,9 @@ def q_betweenness_docs(sf_dir: str):
 
     edges = docs.map_batches(synth_edges, batch_format="pyarrow")
     seeds = list(range(0, n_docs, 50))
-    return betweenness_pivots(edges, pivots=seeds, num_partitions=16)
+    # wall time is BSP-round-count x stage overhead, not data volume,
+    # at this scale — fewer partitions = fewer tasks per round
+    return betweenness_pivots(edges, pivots=seeds, num_partitions=8)
 
 
 def q_harmonic_docs(sf_dir: str):
@@ -2325,7 +2327,7 @@ def q_harmonic_docs(sf_dir: str):
 
     edges = docs.map_batches(synth_edges, batch_format="pyarrow")
     return harmonic_closeness_pivots(
-        edges, pivots=range(0, n_docs, 50), num_partitions=16)
+        edges, pivots=range(0, n_docs, 50), num_partitions=8)
 
 
 def q_clustering_coeff_docs(sf_dir: str):

@@ -1186,32 +1186,6 @@ def run_bench() -> dict:
 
     timed("response_dedup_16x", response_dedup_16x, reps=1)
 
-    def betweenness_16x():
-        # 4-pivot Brandes over the shared 1.28M-node synthetic graph:
-        # forward + backward BSP waves, thin int64 state, float order
-        # pinned to the reduceat kernel
-        from logstash_filter_elastic_integration_ray.stages.graph import (
-            betweenness_pivots,
-        )
-
-        heavy = read_parquet_clean(dup_path, override_num_blocks=NUM_CPUS * 2)
-
-        def synth_edges(t):
-            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            n = 1_280_000
-            reps = 16
-            src = np.repeat(ids, reps)
-            j = np.tile(np.arange(reps, dtype=np.int64), len(ids))
-            dst = (src * 17 + 1 + 97 * j) % n
-            return pa_.table({"src": pa_.array(src), "dst": pa_.array(dst)})
-
-        edges = heavy.map_batches(synth_edges, batch_format="pyarrow")
-        return betweenness_pivots(
-            edges, pivots=[0, 320_000, 640_000, 960_000],
-            num_partitions=NUM_CPUS).count()
-
-    timed("betweenness_16x", betweenness_16x, reps=1)
-
     def label_prop_16x():
         # 5 synchronous LPA rounds over the same 1.28M-node synthetic
         # link graph as pagerank_16x: 2 co-partition exchanges per
