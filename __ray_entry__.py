@@ -2330,6 +2330,36 @@ def q_harmonic_docs(sf_dir: str):
         edges, pivots=range(0, n_docs, 50), num_partitions=8)
 
 
+def q_eccentricity_docs(sf_dir: str):
+    """Pivot eccentricities over the shared doc link graph — the
+    diameter-lower-bound probe (stages/graph.py:eccentricity_pivots,
+    the shared multi-pivot BFS + an all-integer per-pivot max).
+    Fixture from the independent deque-BFS reference."""
+    from logstash_filter_elastic_integration_ray.stages.graph import (
+        eccentricity_pivots,
+    )
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = int(docs.count())
+
+    def synth_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        src, dst = [], []
+        for d in ids:
+            d = int(d)
+            if d % 5 == 0:
+                continue
+            for j in range(1 + d % 3):
+                src.append(d)
+                dst.append((d * 17 + 1 + 97 * j) % n_docs)
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "dst": pa.array(dst, type=pa.int64())})
+
+    edges = docs.map_batches(synth_edges, batch_format="pyarrow")
+    return eccentricity_pivots(
+        edges, pivots=range(0, n_docs, 50), num_partitions=8)
+
+
 def q_clustering_coeff_docs(sf_dir: str):
     """Local clustering coefficient per node
     (stages/graph.py:clustering_coefficients — simple_undirected →
@@ -5603,6 +5633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff_docs": q_clustering_coeff_docs,
         "betweenness_docs": q_betweenness_docs,
         "harmonic_docs": q_harmonic_docs,
+        "eccentricity_docs": q_eccentricity_docs,
         "conv_curation_chain": q_conv_curation_chain,
         "preference_pairs": q_preference_pairs,
         "tool_latency_quantiles": q_tool_latency_quantiles,
@@ -6506,6 +6537,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "harmonic_docs": (
             f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/harmonic_docs.sf0_01.parquet')"
+        ),
+        "eccentricity_docs": (
+            f"SELECT * FROM read_parquet('{_REPO_DIR}/fixtures/eccentricity_docs.sf0_01.parquet')"
         ),
         "clustering_coeff_docs": (
             "WITH e AS ("

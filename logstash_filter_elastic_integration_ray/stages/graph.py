@@ -2224,3 +2224,80 @@ def harmonic_closeness_pivots(edges, *, pivots, num_partitions: int = 16,
         .groupby("__part")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def eccentricity_pivots(edges, *, pivots, num_partitions: int = 16,
+                        max_levels: int = 64,
+                        src_col: str = "src", dst_col: str = "dst"):
+    """Exact eccentricity of a deterministic pivot set — the max BFS
+    distance each pivot reaches in its component (max over pivots is
+    the classic lower bound on the graph diameter; the iFUB family of
+    diameter algorithms starts exactly here).  One synchronized
+    multi-pivot BFS (:func:`_pivot_bfs_levels`, shared with
+    betweenness/harmonic), then a per-pivot integer max — no floats
+    anywhere.  Output: ``(pivot, eccentricity, n_reached)`` per pivot
+    present in the graph."""
+    if not pivots:
+        raise ValueError("eccentricity_pivots: need at least one pivot")
+    pivot_arr = np.array(sorted(int(p) for p in pivots), dtype=np.int64)
+
+    simple = simple_undirected(edges, num_partitions=num_partitions,
+                               src_col=src_col, dst_col=dst_col)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.r_[a, b].astype(np.int64)),
+            "dst": pa.array(np.r_[b, a].astype(np.int64)),
+        })
+
+    edges2 = simple.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def nodes_part(df: pd.DataFrame) -> pa.Table:
+        nodes = np.unique(df["src"].to_numpy(dtype=np.int64))
+        return pa.table({"node": pa.array(nodes)})
+
+    node_tbl = (
+        edges2.map_batches(
+            lambda t: add_partition_col(t, num_partitions, key="src"),
+            batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(nodes_part, batch_format="pandas")
+        .materialize()
+    )
+
+    levels = _pivot_bfs_levels(edges2, node_tbl, pivot_arr,
+                               num_partitions=num_partitions,
+                               max_levels=max_levels)
+
+    def dist_rows(dist: int):
+        def fn(t: pa.Table) -> pa.Table:
+            out = pa.table({
+                "p": t.column("p"),
+                "dist": pa.array(np.full(t.num_rows, dist, dtype=np.int64)),
+            })
+            return add_partition_col(out, num_partitions, key="p")
+        return fn
+
+    all_rows = levels[0].map_batches(dist_rows(0), batch_format="pyarrow")
+    for d, lvl in enumerate(levels[1:], start=1):
+        all_rows = all_rows.union(
+            lvl.map_batches(dist_rows(d), batch_format="pyarrow"))
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("p", as_index=False).agg(
+            eccentricity=("dist", "max"), n=("dist", "size"))
+        return pa.table({
+            "pivot": pa.array(g["p"].to_numpy(dtype=np.int64)),
+            "eccentricity": pa.array(
+                g["eccentricity"].to_numpy(dtype=np.int64)),
+            "n_reached": pa.array(g["n"].to_numpy(dtype=np.int64) - 1),
+        })
+
+    return (
+        all_rows.repartition(num_partitions)
+        .groupby("__part")
+        .map_groups(finish, batch_format="pandas")
+    )

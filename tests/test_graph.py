@@ -844,3 +844,38 @@ class TestHarmonicCloseness:
                    .to_pandas().sort_values("pivot").reset_index(drop=True))
             pd.testing.assert_frame_equal(
                 out, want.sort_values("pivot").reset_index(drop=True))
+
+
+class TestEccentricityPivots:
+    def test_path_and_reference(self, ray_session):
+        import os
+        import sys
+
+        import ray.data
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        import reference_impls as ref
+
+        from logstash_filter_elastic_integration_ray.stages.graph import (
+            eccentricity_pivots,
+        )
+
+        # path 0-1-2-3-4: ecc(0)=4, ecc(2)=2
+        edges = [(i, i + 1) for i in range(4)]
+        ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+        out = eccentricity_pivots(ds, pivots=[0, 2],
+                                  num_partitions=2).to_pandas()
+        got = {int(r.pivot): (int(r.eccentricity), int(r.n_reached))
+               for r in out.itertuples()}
+        assert got == {0: (4, 4), 2: (2, 4)}
+
+        rng = np.random.default_rng(21)
+        redges = [(int(a), int(b)) for a, b in rng.integers(0, 35, size=(80, 2))]
+        pivots = [0, 7, 14, 21]
+        want = ref.eccentricity_reference(redges, pivots)
+        ds2 = ray.data.from_items(
+            [{"src": s, "dst": d} for s, d in redges]).repartition(3)
+        out2 = (eccentricity_pivots(ds2, pivots=pivots, num_partitions=3)
+                .to_pandas().sort_values("pivot").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            out2, want.sort_values("pivot").reset_index(drop=True))

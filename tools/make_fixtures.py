@@ -95,6 +95,7 @@ def main() -> None:
         "conv_neardup_minhash": ref.conv_neardup_reference(sf_dir),
         "betweenness_docs": ref.betweenness_docs_reference(sf_dir),
         "harmonic_docs": ref.harmonic_docs_reference(sf_dir),
+        "eccentricity_docs": ref.eccentricity_docs_reference(sf_dir),
     }
     for name, df in tables.items():
         df = _canonical(df)

@@ -2469,3 +2469,38 @@ def harmonic_docs_reference(sf_dir: str) -> pd.DataFrame:
     ids, _texts = load_documents(sf_dir)
     edges = pagerank_edges_for_docs(ids, len(ids))
     return harmonic_closeness_reference(edges, range(0, len(ids), 50))
+
+
+def eccentricity_reference(edges, pivots) -> pd.DataFrame:
+    """Plain per-pivot BFS eccentricity (all-integer)."""
+    from collections import deque
+
+    adj: dict[int, set] = {}
+    for s, d in edges:
+        s, d = int(s), int(d)
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    rows = []
+    for p in sorted(int(x) for x in pivots):
+        if p not in adj:
+            continue
+        dist = {p: 0}
+        q = deque([p])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        rows.append({"pivot": p, "eccentricity": max(dist.values()),
+                     "n_reached": len(dist) - 1})
+    return pd.DataFrame(rows).astype(
+        {"pivot": "int64", "eccentricity": "int64", "n_reached": "int64"})
+
+
+def eccentricity_docs_reference(sf_dir: str) -> pd.DataFrame:
+    ids, _texts = load_documents(sf_dir)
+    edges = pagerank_edges_for_docs(ids, len(ids))
+    return eccentricity_reference(edges, range(0, len(ids), 50))
